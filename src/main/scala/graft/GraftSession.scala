@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with the engine's scale-posture defaults.
+  *
+  * Tuned for the 32-thread local harness but written for a real cluster:
+  * AQE on (runtime join-strategy switch + skew-join splitting), shuffle
+  * partitions sized to the parallelism rather than Spark's default 200,
+  * UTC session time so date semantics match the DuckDB oracle.
+  */
+object GraftSession {
+  def builder(appName: String = "graft", cpus: String = "32"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def get(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = builder(appName, cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Catalog over the driver-provided TESTDATA star schema (TESTDATA.md).
+  * One method per logical table; every query resolves tables through here
+  * so the read path (schema, pushdown surface) is uniform.
+  */
+final class Tables(spark: SparkSession, sfDir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  def events: DataFrame     = t("events")
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  def apply(spark: SparkSession, sfDir: String): Tables = new Tables(spark, sfDir)
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality gates (SURVEY.md §2.12).
+  *
+  * The reference guards pipeline stages with count assertions that halt the
+  * run (`/root/reference/direct/direct_water_prep.py:76-101`,
+  * `down/down_water_prep.py:323-360,540-543`). The engine's form is a named
+  * predicate list evaluated in ONE aggregation pass (conditional counts),
+  * not one `count()` action per check — at 100 TB, N passes over the fact
+  * table for N gates is the difference between one scan and N scans.
+  */
+object Quality {
+
+  final case class Gate(name: String, violation: Column)
+
+  /** Evaluate all gates in a single scan; returns (gate, violations) rows. */
+  def audit(df: DataFrame, gates: Seq[Gate]): DataFrame = {
+    val counts = df.agg(
+      count(lit(1)).as("__total"),
+      gates.map(g => sum(when(g.violation, 1L).otherwise(0L)).as(g.name)): _*
+    )
+    // pivot to long form: one row per gate
+    val stacked = gates.map(g =>
+      struct(lit(g.name).as("gate"), col(g.name).as("violations")))
+    counts.select(explode(array(stacked: _*)).as("g"), col("__total").as("total_rows"))
+      .select(col("g.gate").as("gate"), col("g.violations").as("violations"), col("total_rows"))
+  }
+
+  /** Hard gate: throw if any violations (the reference's halt-on-anomaly,
+    * minus the interactive prompt — G5 becomes fail-fast). */
+  def enforce(df: DataFrame, gates: Seq[Gate]): Unit = {
+    val bad = audit(df, gates).filter(col("violations") > 0).collect()
+    if (bad.nonEmpty) {
+      val detail = bad.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
+      throw new IllegalStateException(s"DQ gate failed: $detail")
+    }
+  }
+
+  /** G3 — row conservation between pipeline stages, as a law. */
+  def requireRowConservation(in: DataFrame, out: DataFrame): Unit = {
+    val (i, o) = (in.count(), out.count())
+    if (i != o) throw new IllegalStateException(s"row conservation violated: in=$i out=$o")
+  }
+}
