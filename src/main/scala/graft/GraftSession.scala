@@ -44,7 +44,20 @@ final class Tables(spark: SparkSession, sfDir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark refuses by
+    * default (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and rebuild a
+    * TIMESTAMP_NTZ: integer `DIV 1000` (never a double divide — 1.7e18 ns
+    * exceeds 2^53) truncates toward zero exactly like DuckDB's ns→µs read,
+    * and the NTZ cast keeps wall-clock semantics aligned with the oracle.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")).cast("timestamp_ntz"))
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

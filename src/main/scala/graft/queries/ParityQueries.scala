@@ -143,6 +143,177 @@ object ParityQueries {
       .orderBy("key_bucket")
   }
 
+  // ------------------------------------------------------------ set ops
+
+  /** U1 — union of heterogeneous strata by name, null-padding missing
+    * columns (the reference's 3-strata rebuild,
+    * `/root/reference/down/down_water_prep.py:531-532`). */
+  val q09UnionStrata: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val a = t.orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+        col("o_orderpriority").as("priority"))
+    val b = t.lineitem.filter(col("l_linenumber") === 1 && col("l_returnflag") === "A")
+      .select(col("l_orderkey").as("k"), col("l_extendedprice").as("price"))
+    unionStrata(Seq(a, b))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n"), sumMoney(col("price")).as("total_price"))
+      .orderBy(col("priority").asc_nulls_first)
+  }
+
+  /** A2 — whole-row distinct over a derived projection. */
+  val q10Distinct: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .select(col("l_returnflag"), col("l_linestatus"),
+        year(col("l_shipdate")).as("ship_year"))
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus", "ship_year")
+  }
+
+  // ------------------------------------------------------ scalar functions
+
+  /** X1–X7 — string function battery (trim/case/substring/split/replace)
+    * as pure codegen'd expressions, no UDFs. */
+  val q11ScalarStrings: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(
+        col("doc_id"),
+        upper(col("lang")).as("lang_uc"),
+        length(col("text")).cast("int").as("text_len"),
+        substring(col("text"), 1, 10).as("prefix10"),
+        split_part(col("text"), lit(" "), lit(1)).as("first_token"),
+        size(split(col("text"), " ")).cast("int").as("n_tokens"),
+        length(regexp_replace(col("text"), "spark", "SPARK")).cast("int").as("len_replaced"),
+        concat_ws("|", col("lang"), col("source")).as("lang_source"))
+      .orderBy("doc_id")
+  }
+
+  /** X8 — calendar decomposition of event timestamps. */
+  val q12DateParts: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .orderBy("y", "m", "d")
+  }
+
+  /** X10 — conditional bucketing (CASE WHEN cascade). */
+  val q13ConditionalCase: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    t.orders
+      .withColumn("bucket",
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("large"))
+      .groupBy("bucket", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("total"))
+      .orderBy("bucket", "o_orderstatus")
+  }
+
+  // ---------------------------------------------------------------- windows
+
+  /** W — ranking window: top-3 orders per customer, deterministic ties. */
+  val q14WindowRank: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** O2 — global top-k with total tiebreak: executes as TakeOrderedAndProject
+    * (per-partition heap + driver merge), not a global sort. */
+  val q15TopK: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    t.orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+  }
+
+  /** A+ — rollup with grouping indicators (subtotal + grand-total rows). */
+  val q16Rollup: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        sumMoney(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"),
+        grouping(col("r_name")).cast("int").as("lvl_r"),
+        grouping(col("n_name")).cast("int").as("lvl_n"))
+      .orderBy(col("lvl_r"), col("lvl_n"), col("r_name").asc_nulls_first,
+        col("n_name").asc_nulls_first)
+  }
+
+  /** G1–G4 — data-quality gate audit: all gates in ONE scan (conditional
+    * aggregates), not one count() action per gate. */
+  val q17DqGates: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    graft.operators.Quality.audit(t.lineitem, Seq(
+      graft.operators.Quality.Gate("null_keys",
+        col("l_orderkey").isNull || col("l_partkey").isNull || col("l_suppkey").isNull),
+      graft.operators.Quality.Gate("suspicious_quantity", col("l_quantity") > 49),
+      graft.operators.Quality.Gate("tax_out_of_policy", col("l_tax") > 0.07),
+      graft.operators.Quality.Gate("discount_out_of_policy",
+        col("l_discount") < 0 || col("l_discount") > 0.09)))
+      .orderBy("gate")
+  }
+
+  /** J — semi-join (EXISTS): customers with at least one big order. */
+  val q18SemiJoin: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders.filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), sumMoney(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** ST — tumbling event-time window (the batch shape of the streaming
+    * windowed aggregation; Structured Streaming runs the same plan). */
+  val q19EventWindow: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("ws"),
+        col("event_type"),
+        col("n"),
+        col("total_value"))
+      .orderBy("ws", "event_type")
+  }
+
+  /** AS-OF — for each purchase, the most recent prior signup of the same
+    * user (composed from a bounded-preceding window max — no custom
+    * physical operator needed). */
+  val q20AsOfJoin: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    t.events
+      .withColumn("last_signup_ts",
+        max(when(col("event_type") === "signup", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "last_signup_ts", "value")
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pruned_scan" -> q01PrunedScan,
     "q02_agg_pricing" -> q02AggPricing,
@@ -151,7 +322,19 @@ object ParityQueries {
     "q05_hierarchical_enrich" -> q05HierarchicalEnrich,
     "q06_keep_first" -> q06KeepFirst,
     "q07_anti_join" -> q07AntiJoin,
-    "q08_key_mirror" -> q08KeyMirror)
+    "q08_key_mirror" -> q08KeyMirror,
+    "q09_union_strata" -> q09UnionStrata,
+    "q10_distinct" -> q10Distinct,
+    "q11_scalar_strings" -> q11ScalarStrings,
+    "q12_date_parts" -> q12DateParts,
+    "q13_conditional_case" -> q13ConditionalCase,
+    "q14_window_rank" -> q14WindowRank,
+    "q15_topk" -> q15TopK,
+    "q16_rollup" -> q16Rollup,
+    "q17_dq_gates" -> q17DqGates,
+    "q18_semi_join" -> q18SemiJoin,
+    "q19_event_window" -> q19EventWindow,
+    "q20_asof_join" -> q20AsOfJoin)
 
   val oracle: Map[String, String] = Map(
     "q01_pruned_scan" ->
@@ -225,5 +408,97 @@ object ParityQueries {
         |  SELECT l_partkey AS entity_key, l_quantity FROM lineitem
         |  UNION ALL
         |  SELECT l_suppkey AS entity_key, l_quantity FROM lineitem)
-        |GROUP BY key_bucket ORDER BY key_bucket""".stripMargin)
+        |GROUP BY key_bucket ORDER BY key_bucket""".stripMargin,
+    "q09_union_strata" ->
+      """SELECT priority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM (
+        |  SELECT o_orderkey AS k, o_totalprice AS price, o_orderpriority AS priority
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT l_orderkey AS k, l_extendedprice AS price, CAST(NULL AS VARCHAR) AS priority
+        |  FROM lineitem WHERE l_linenumber = 1 AND l_returnflag = 'A')
+        |GROUP BY priority ORDER BY priority NULLS FIRST""".stripMargin,
+    "q10_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus, ship_year""".stripMargin,
+    "q11_scalar_strings" ->
+      """SELECT doc_id, UPPER(lang) AS lang_uc,
+        |  CAST(LENGTH(text) AS INT) AS text_len,
+        |  SUBSTR(text, 1, 10) AS prefix10,
+        |  SPLIT_PART(text, ' ', 1) AS first_token,
+        |  CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(LENGTH(REPLACE(text, 'spark', 'SPARK')) AS INT) AS len_replaced,
+        |  CONCAT_WS('|', lang, source) AS lang_source
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q12_date_parts" ->
+      """SELECT CAST(EXTRACT(year FROM ts) AS INT) AS y,
+        |  CAST(EXTRACT(month FROM ts) AS INT) AS m,
+        |  CAST(EXTRACT(day FROM ts) AS INT) AS d,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY y, m, d ORDER BY y, m, d""".stripMargin,
+    "q13_conditional_case" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 150000 THEN 'mid'
+        |            ELSE 'large' END AS bucket,
+        |  o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY bucket, o_orderstatus
+        |ORDER BY bucket, o_orderstatus""".stripMargin,
+    "q14_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q15_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q16_rollup" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items,
+        |  CAST(GROUPING(r_name) AS INT) AS lvl_r,
+        |  CAST(GROUPING(n_name) AS INT) AS lvl_n
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY lvl_r, lvl_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q17_dq_gates" ->
+      """SELECT gate, violations, total_rows FROM (
+        |  SELECT 'null_keys' AS gate,
+        |    COUNT(*) FILTER (WHERE l_orderkey IS NULL OR l_partkey IS NULL OR l_suppkey IS NULL) AS violations,
+        |    COUNT(*) AS total_rows FROM lineitem
+        |  UNION ALL
+        |  SELECT 'suspicious_quantity', COUNT(*) FILTER (WHERE l_quantity > 49), COUNT(*) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'tax_out_of_policy', COUNT(*) FILTER (WHERE l_tax > 0.07), COUNT(*) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'discount_out_of_policy', COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.09), COUNT(*) FROM lineitem)
+        |ORDER BY gate""".stripMargin,
+    "q18_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer WHERE EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q19_event_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "q20_asof_join" ->
+      """SELECT user_id, event_id, ts, last_signup_ts, value FROM (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+        |    MAX(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup_ts
+        |  FROM events) WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin)
 }
