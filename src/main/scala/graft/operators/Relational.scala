@@ -110,8 +110,12 @@ object Relational {
     require(keyLevels.nonEmpty, "at least one key level")
 
     // One deduped, suffixed dimension per level: keys + payload_L<i> + marker.
+    // keepFirst runs on the full dim so dimOrder may reference non-payload
+    // columns; Catalyst's ColumnPruning drops everything the window and the
+    // projection don't need.
     val levelDims = keyLevels.zipWithIndex.map { case (keys, i) =>
-      val slim = keepFirst(dim.select((keys ++ payloadCols).distinct.map(col): _*), keys, dimOrder)
+      val slim = keepFirst(dim, keys, dimOrder)
+        .select((keys ++ payloadCols).distinct.map(col): _*)
       val suffixed = payloadCols.foldLeft(slim)((d, c) => d.withColumnRenamed(c, s"__${c}_L$i"))
       keys -> suffixed.withColumn(s"__hit_L$i", lit(true))
     }

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Quality._
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (1, 10.0), (2, -5.0), (3, 200.0), (4, 50.0)).toDF("k", "v")
+
+  test("audit returns one row per gate with violation counts from a single scan") {
+    val out = audit(fixture, Seq(
+      Gate("negative", $"v" < 0),
+      Gate("huge", $"v" > 100),
+      Gate("never", lit(false))))
+    val m = out.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m == Map("negative" -> ((1L, 4L)), "huge" -> ((1L, 4L)), "never" -> ((0L, 4L))))
+  }
+
+  test("enforce throws on violations, passes on clean gates") {
+    enforce(fixture, Seq(Gate("none", $"v" > 1e9)))
+    val e = intercept[IllegalStateException] {
+      enforce(fixture, Seq(Gate("neg", $"v" < 0)))
+    }
+    assert(e.getMessage.contains("neg=1"))
+  }
+
+  test("requireRowConservation is the G3 law") {
+    requireRowConservation(fixture, fixture.select("k"))
+    intercept[IllegalStateException] {
+      requireRowConservation(fixture, fixture.filter($"v" > 0))
+    }
+  }
+}
