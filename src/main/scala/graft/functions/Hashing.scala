@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing primitives.
+  *
+  * Every hash here is defined purely in terms of `md5` over UTF-8 text, so
+  * the *same value* is computable in any ANSI-ish SQL engine (the DuckDB
+  * oracle computes `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`): that
+  * portability is what lets MinHash/SimHash/fingerprint results be
+  * hash-verified cross-engine instead of "rows-only" checked.
+  *
+  * 15 hex chars = 60 bits: always positive in a signed 64-bit long, so
+  * `%`, `>>`, `&` behave identically everywhere. All expressions are
+  * Spark built-ins (codegen'd) — no UDFs, nothing leaves whole-stage
+  * codegen.
+  */
+object Hashing {
+
+  /** 60-bit positive hash of a string column. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: one independent-ish hash family member per seed
+    * (standard MinHash construction: h_i(x) = H(i || x)). */
+  def h60(seed: Int, c: Column): Column =
+    h60(concat(lit(s"$seed:"), c))
+
+  /** The DuckDB-SQL text of [[h60]] — used to build oracle queries from
+    * the same definition. */
+  def h60Sql(expr: String): String =
+    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+
+  def h60Sql(seed: Int, expr: String): String =
+    h60Sql(s"'$seed:' || $expr")
+
+  /** Plain-JVM twin of [[h60]] for plan-build-time constants (e.g. LSH
+    * hyperplane signs embedded as literals on both engines). */
+  def h60Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale corpus pipelines: tokenization,
+  * language ID, quality scoring, fingerprinting.
+  *
+  * Everything is a pure column expression over Spark built-ins (split /
+  * regexp / higher-order array functions) — codegen-friendly, no UDFs, and
+  * numerically engine-portable: ratios are emitted as floor-scaled integers
+  * (permille / centi) so the DuckDB oracle matches bit-for-bit with no
+  * float-rounding hazards.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer. */
+  def tokensWs(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+    * (The regex is RE2-safe — no lookaround — so the oracle runs it too.) */
+  val BpePattern = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\\s]"
+  def tokensBpe(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** Count of occurrences of `word` in a token array. */
+  def wordCount(tokens: Column, word: String): Column =
+    size(filter(tokens, t => t === lit(word)))
+
+  // ------------------------------------------------------------- language ID
+
+  /** Per-language marker-word profiles with integer lift weights (×100),
+    * measured once on the public sf0.01 corpus: weight = relative frequency
+    * of the word in-language vs corpus-wide. A classic unigram-profile
+    * classifier; the synthetic languages share one vocabulary and differ
+    * only in frequency skew, so lifts are small but real.
+    */
+  val LangProfiles: Seq[(String, Seq[(String, Int)])] = Seq(
+    "de" -> Seq("customer" -> 116, "part" -> 109, "row" -> 109, "join" -> 108),
+    "en" -> Seq("order" -> 109, "window" -> 108, "table" -> 108, "sort" -> 105),
+    "es" -> Seq("dup" -> 132, "agg" -> 113, "slow" -> 112, "merge" -> 108),
+    "fr" -> Seq("query" -> 118, "scan" -> 117, "data" -> 114, "batch" -> 110),
+    "zh" -> Seq("dup" -> 151, "the" -> 115, "fast" -> 112, "small" -> 109))
+
+  /** Integer score of one language profile over a token array. */
+  def langScore(tokens: Column, profile: Seq[(String, Int)]): Column =
+    profile.map { case (w, wt) => wordCount(tokens, w) * lit(wt) }
+      .reduce(_ + _)
+
+  /** Predicted language: alphabetical-first argmax over profile scores —
+    * deterministic under ties, same CASE cascade as the oracle SQL. */
+  def langId(tokens: Column): Column = {
+    val scores = LangProfiles.map { case (l, p) => l -> langScore(tokens, p) }
+    scores.zipWithIndex.foldRight(lit(null).cast("string")) {
+      case (((lang, score), i), rest) =>
+        val remaining = scores.drop(i + 1).map(_._2)
+        if (remaining.isEmpty) when(lit(true), lit(lang)).otherwise(rest)
+        else {
+          val best = if (remaining.size == 1) remaining.head else greatest(remaining: _*)
+          when(score >= best, lit(lang)).otherwise(rest)
+        }
+    }
+  }
+
+  // --------------------------------------------------------- quality scoring
+
+  val Stopwords = Seq("the", "a", "of", "and", "in")
+
+  /** floor(scale * num / den) as a long — exact cross-engine integerization
+    * of a ratio (single IEEE divide + floor, deterministic everywhere). */
+  def scaledRatio(num: Column, den: Column, scale: Int): Column =
+    floor(lit(scale) * num.cast("double") / den.cast("double")).cast("long")
+
+  def stopwordCount(tokens: Column): Column =
+    size(filter(tokens, t => t.isin(Stopwords.map(lit): _*)))
+
+  /** Document quality facets: token count, distinct ratio, stopword ratio,
+    * mean token length — the length/punct/stopword heuristics of corpus
+    * filtering, as floor-scaled integers. */
+  def qualityFacets(text: Column): Seq[(String, Column)] = {
+    val toks = tokensWs(text)
+    val n = size(toks)
+    Seq(
+      "n_tokens" -> n.cast("long"),
+      "n_chars" -> length(text).cast("long"),
+      "distinct_permille" -> scaledRatio(size(array_distinct(toks)), n, 1000),
+      "stopword_permille" -> scaledRatio(stopwordCount(toks), n, 1000),
+      "mean_tok_len_centi" -> scaledRatio(
+        aggregate(toks, lit(0), (acc, t) => acc + length(t)), n, 100))
+  }
+
+  /** Boolean keep/drop gate in the shape of corpus quality filters. */
+  def qualityKeep(text: Column): Column = {
+    val toks = tokensWs(text)
+    val n = size(toks)
+    (n >= 10) && (n <= 10000) &&
+      (scaledRatio(stopwordCount(toks), n, 1000) >= 10) &&
+      (scaledRatio(size(array_distinct(toks)), n, 1000) >= 100)
+  }
+
+  // ---------------------------------------------------------- fingerprinting
+
+  /** Character k-grams of a string (empty array when shorter than k). */
+  def charKgrams(text: Column, k: Int): Column =
+    when(length(text) >= k,
+      transform(sequence(lit(1), length(text) - (k - 1)),
+        i => text.substr(i, lit(k))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Rolling-hash document fingerprint: min 60-bit hash over character
+    * k-grams (a 1-permutation MinHash over the k-gram set — the winnowing
+    * family's document-level signature), plus the count of mod-sampled
+    * k-grams (0 mod 64) as a size-normalized sketch. */
+  def fingerprint(text: Column, k: Int = 8): Column = {
+    val hashes = transform(charKgrams(text, k), g => Hashing.h60(g))
+    array_min(hashes)
+  }
+
+  def sampledKgramCount(text: Column, k: Int = 8, mod: Int = 64): Column =
+    size(filter(transform(charKgrams(text, k), g => Hashing.h60(g)),
+      h => h % mod === 0)).cast("long")
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Hashing, TextAnalysis => TA}
+import graft.queries.ParityQueries.Q
+
+/** Text-analysis queries over the `documents` table (training-data
+  * pipeline surface: tokenization, language ID, quality gates,
+  * fingerprinting). Integer-only outputs — see [[graft.functions.TextAnalysis]].
+  */
+object TextQueries {
+
+  /** TX1 — token statistics: whitespace + BPE-ish tokenizations. */
+  val q21TokenStats: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(
+        col("doc_id"),
+        size(TA.tokensWs(col("text"))).cast("long").as("n_ws"),
+        size(TA.tokensBpe(col("text"))).cast("long").as("n_bpe"),
+        size(array_distinct(TA.tokensWs(col("text")))).cast("long").as("n_distinct"))
+      .orderBy("doc_id")
+  }
+
+  /** TX2 — language ID: unigram-profile classifier vs. the labeled lang,
+    * aggregated to a per-language confusion summary. */
+  val q22LangId: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    t.documents
+      .withColumn("predicted", TA.langId(TA.tokensWs(col("text"))))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** TX3 — quality facets + keep/drop gate per document. */
+  val q23Quality: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val facets = TA.qualityFacets(col("text")).map { case (n, c) => c.as(n) }
+    t.documents
+      .select(col("doc_id") +: facets :+ TA.qualityKeep(col("text")).as("keep"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** TX4 — document fingerprint: min-hash over char 8-grams + mod-sampled
+    * gram count (winnowing-style signature). */
+  val q24Fingerprint: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(
+        col("doc_id"),
+        TA.fingerprint(col("text")).as("fp"),
+        TA.sampledKgramCount(col("text")).as("n_sampled"))
+      .orderBy("doc_id")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q21_token_stats" -> q21TokenStats,
+    "q22_lang_id" -> q22LangId,
+    "q23_quality" -> q23Quality,
+    "q24_fingerprint" -> q24Fingerprint)
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private def wcSql(word: String): String =
+    s"len(list_filter(toks, t -> t = '$word'))"
+
+  private val langScoreSql: Seq[(String, String)] =
+    TA.LangProfiles.map { case (lang, profile) =>
+      lang -> profile.map { case (w, wt) => s"${wcSql(w)} * $wt" }.mkString(" + ")
+    }
+
+  /** Alphabetical-first argmax CASE cascade, same shape as [[TA.langId]]. */
+  private val predictedSql: String = {
+    val scores = langScoreSql.map { case (l, _) => l -> s"s_$l" }
+    scores.zipWithIndex.map { case ((lang, s), i) =>
+      val rest = scores.drop(i + 1).map(_._2)
+      if (rest.isEmpty) s"ELSE '$lang'"
+      else s"WHEN $s >= greatest(${rest.mkString(", ")}) THEN '$lang'"
+    }.mkString("CASE ", " ", " END")
+  }
+
+  private val kgramHashesSql =
+    s"""CASE WHEN length(text) >= 8
+       |  THEN list_transform(generate_series(1, length(text) - 7),
+       |         i -> ${Hashing.h60Sql("substr(text, i, 8)")})
+       |  ELSE [] END""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q21_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe,
+        |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q22_lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT lang, ${langScoreSql.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")}
+         |  FROM (SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)),
+         |pred AS (SELECT lang, $predictedSql AS predicted FROM scored)
+         |SELECT lang, predicted, COUNT(*) AS n FROM pred
+         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "q23_quality" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(floor(1000 * CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) AS BIGINT) AS distinct_permille,
+        |    CAST(floor(1000 * CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','in'))) AS DOUBLE) / len(toks)) AS BIGINT) AS stopword_permille,
+        |    CAST(floor(100 * CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)) AS BIGINT) AS mean_tok_len_centi
+        |  FROM tok)
+        |SELECT *,
+        |  (n_tokens >= 10 AND n_tokens <= 10000
+        |   AND stopword_permille >= 10 AND distinct_permille >= 100) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q24_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_min(hashes) AS fp,
+         |  CAST(len(list_filter(hashes, h -> h % 64 = 0)) AS BIGINT) AS n_sampled
+         |FROM (SELECT doc_id, $kgramHashesSql AS hashes FROM documents)
+         |ORDER BY doc_id""".stripMargin)
+}
