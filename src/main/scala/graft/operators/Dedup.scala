@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing.h60
+import graft.functions.TextAnalysis.tokensWs
+
+/** Deduplication operators for large-scale corpus pipelines: exact
+  * (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale posture: nothing here is pairwise-over-the-corpus. Candidate
+  * generation is always an equi-join on a derived key (content hash, LSH
+  * band, SimHash chunk), so Spark executes it as a hash shuffle on that
+  * key — O(corpus) + O(candidates), never O(n²). The only quadratic step
+  * is *within* a bucket, which the banding parameters keep tiny. All
+  * hashes are the portable md5-based [[graft.functions.Hashing.h60]], so
+  * every operator is cross-engine verifiable.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** Exact dedup by content hash: annotate each row with its group's
+    * canonical (min) id and copy count. `dropDuplicates`-shaped but
+    * deterministic, and keeps the lineage visible instead of silently
+    * discarding rows. One shuffle on the content hash.
+    */
+  def exactDedup(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val w = Window.partitionBy("content_hash")
+    df.withColumn("content_hash", md5(col(contentCol)))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
+  }
+
+  // --------------------------------------------------------------- shingles
+
+  /** Distinct word n-gram shingles of a token array (empty when shorter
+    * than n). */
+  def tokenShingles(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      array_distinct(transform(sequence(lit(1), size(tokens) - (n - 1)),
+        i => array_join(slice(tokens, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  /** (id, shingle) long form — the base relation for set-similarity joins. */
+  def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(tokenShingles(tokensWs(col(textCol)), n)).as("shingle"))
+
+  // --------------------------------------------------------- n-gram Jaccard
+
+  /** Exact n-gram Jaccard near-dup pairs via a shared-shingle equi-join:
+    * |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|. Emits pairs (a < b) with
+    * `jaccard_permille` ≥ `minPermille` (floor-scaled integer — exact
+    * cross-engine).
+    *
+    * `maxShingleDocFreq` drops shingles occurring in more than that many
+    * documents before the join — the skew guard at corpus scale, where a
+    * boilerplate shingle shared by millions of docs would otherwise
+    * quadratically explode one join key. (Dropping frequent shingles only
+    * loses candidate pairs whose *every* shared shingle is boilerplate —
+    * the standard precision/recall trade of frequency-capped similarity
+    * joins.)
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minPermille: Int = 500,
+      maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    val base = shingled(df, idCol, textCol, n)
+    val sh = maxShingleDocFreq match {
+      case Some(cap) =>
+        base.withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
+          .filter(col("__df") <= cap).drop("__df")
+      case None => base
+    }
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val a = sh.toDF(s"a_$idCol", "shingle")
+    val b = sh.toDF(s"b_$idCol", "shingle")
+    a.join(b, Seq("shingle"))
+      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
+      .groupBy(s"a_$idCol", s"b_$idCol")
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.toDF(s"a_$idCol", "n_a"), s"a_$idCol")
+      .join(sizes.toDF(s"b_$idCol", "n_b"), s"b_$idCol")
+      .withColumn("jaccard_permille",
+        floor(lit(1000) * col("shared").cast("double")
+          / (col("n_a") + col("n_b") - col("shared")).cast("double")).cast("long"))
+      .filter(col("jaccard_permille") >= minPermille)
+      .select(s"a_$idCol", s"b_$idCol", "shared", "jaccard_permille")
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Wide MinHash signature: one row per id, columns mh0..mh{k−1} where
+    * mh_i = min over shingles of h60(i, shingle). Single pass over the
+    * exploded shingles (k min-aggregates in one hash aggregation — the
+    * shingle set is NOT replicated k times). */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16): DataFrame = {
+    val sh = shingled(df, idCol, textCol, n)
+    val mins = (0 until k).map(i => min(h60(i, col("shingle"))).as(s"mh$i"))
+    sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding over a wide signature: `bands` keys per id, each hashing
+    * `rowsPerBand` consecutive signature slots. Docs agreeing on any band
+    * key become candidates (prob ≈ 1−(1−j^r)^b for Jaccard j). */
+  def lshBandKeys(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { bnd =>
+      val slots = (0 until rowsPerBand).map(i => col(s"mh${bnd * rowsPerBand + i}").cast("string"))
+      struct(lit(bnd).as("band"),
+        h60(concat_ws(",", lit(bnd.toString) +: slots: _*)).as("band_key"))
+    }
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("b"))
+      .select(col(idCol), col("b.band").as("band"), col("b.band_key").as("band_key"))
+  }
+
+  /** MinHash-LSH near-dup candidate pairs with signature-estimated
+    * similarity: join on (band, band_key), dedup pairs, then count
+    * agreeing signature slots (est. Jaccard = agree/k). */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 4, minAgree: Int = 8): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val sigs = minhashSignature(df, idCol, textCol, n, k)
+    val keys = lshBandKeys(sigs, idCol, bands, k / bands)
+    val pairs = keys.toDF(s"a_$idCol", "band", "band_key")
+      .join(keys.toDF(s"b_$idCol", "band", "band_key"), Seq("band", "band_key"))
+      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
+      .select(s"a_$idCol", s"b_$idCol").distinct()
+    val aSig = sigs.toDF(s"a_$idCol" +: (0 until k).map(i => s"a_mh$i"): _*)
+    val bSig = sigs.toDF(s"b_$idCol" +: (0 until k).map(i => s"b_mh$i"): _*)
+    val agree = (0 until k)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(aSig, s"a_$idCol").join(bSig, s"b_$idCol")
+      .withColumn("sig_agree", agree.cast("long"))
+      .filter(col("sig_agree") >= minAgree)
+      .select(s"a_$idCol", s"b_$idCol", "sig_agree")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 60-bit frequency-weighted SimHash of the whitespace tokens: bit i is
+    * set when Σ_tokens (2·bit_i(h60(token)) − 1) > 0. One explode + one
+    * 60-column conditional aggregation — a single shuffle on the id. */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(tokensWs(col(textCol))).as("__t"))
+      .withColumn("__h", h60(col("__t")))
+    val bitSums = (0 until bits).map(i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as(s"__b$i"))
+    val grouped = exploded.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits)
+      .map(i => when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    grouped.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on equality of any 15-bit signature
+    * chunk (4 blocking keys per doc — random pairs collide with prob
+    * ≈ 4·2^−15, so candidates stay linear), then exact Hamming distance
+    * ≤ `maxHamming` via bit_count(xor). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 10, chunkBits: Int = 15, bits: Int = 60): DataFrame = {
+    val nChunks = bits / chunkBits
+    val sigs = simhash(df, idCol, textCol, bits)
+    val chunks = (0 until nChunks).map(j =>
+      struct(lit(j).as("chunk_id"),
+        shiftright(col("simhash"), j * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1)).as("chunk")))
+    val keyed = sigs.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("c"))
+      .select(col(idCol), col("simhash"), col("c.chunk_id").as("chunk_id"), col("c.chunk").as("chunk"))
+    keyed.toDF(s"a_$idCol", "a_sim", "chunk_id", "chunk")
+      .join(keyed.toDF(s"b_$idCol", "b_sim", "chunk_id", "chunk"), Seq("chunk_id", "chunk"))
+      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
+      .select(s"a_$idCol", s"b_$idCol", "a_sim", "b_sim").distinct()
+      .withColumn("hamming", bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(s"a_$idCol", s"b_$idCol", "hamming")
+  }
+}

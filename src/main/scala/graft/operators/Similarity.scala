@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Numeric discipline: dot products and norms accumulate in DOUBLE via the
+  * sequential `aggregate` higher-order function (left-to-right IEEE fold —
+  * bit-identical to the oracle's `list_reduce`), and similarities are
+  * compared/ranked as `floor(1e6·cos)` integers so ordering can never
+  * diverge across engines on a last-ulp difference.
+  *
+  * Scale posture: the brute-force form broadcasts the (small) query set and
+  * scans the corpus once — right when queries ≪ corpus. The LSH form maps
+  * every vector to a hyperplane-sign bucket and equi-joins on the bucket:
+  * candidate generation is a hash shuffle, O(corpus + collisions), the
+  * standard ANN trade of recall for a join that survives 100 TB.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** floor(1e6 · cosine) as a long — the engine's canonical similarity. */
+  def cosineMicro(a: Column, b: Column): Column =
+    floor(lit(1e6) * dot(a, b) / (norm(a) * norm(b))).cast("long")
+
+  /** floor(1e6 · dot/(na·nb)) with norms precomputed per vector — one dot
+    * per pair instead of three. */
+  private def cosMicroPre(d: Column, na: Column, nb: Column): Column =
+    floor(lit(1e6) * d / (na * nb)).cast("long")
+
+  /** Exact near-dup pairs (a < b) with cosine ≥ minMicro/1e6. Quadratic —
+    * intended for bucketed/bounded inputs; see [[annTopK]] for the scale
+    * path. Norms are computed once per vector, not per pair. */
+  def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      minMicro: Long): DataFrame = {
+    val n = vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+    val a = n.toDF("a_id", "a_vec", "a_nrm")
+    val b = n.toDF("b_id", "b_vec", "b_nrm")
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos_micro",
+        cosMicroPre(dot(col("a_vec"), col("b_vec")), col("a_nrm"), col("b_nrm")))
+      .filter(col("cos_micro") >= minMicro)
+      .select("a_id", "b_id", "cos_micro")
+  }
+
+  /** Brute-force top-k: for each query vector, the k nearest corpus vectors
+    * by cosine (self excluded), ranked (cos_micro desc, id asc). The query
+    * side is broadcast; the corpus is scanned once with no shuffle until
+    * the per-query top-k. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val n = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+    val q = broadcast(n.join(queries.select(col(idCol)), Seq(idCol))
+      .toDF("query_id", "q_vec", "q_nrm"))
+    val c = n.toDF("neighbor_id", "c_vec", "c_nrm")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_micro").desc, col("neighbor_id"))
+    c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_micro",
+        cosMicroPre(dot(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_micro", "rank")
+  }
+
+  // ------------------------------------------------------------- LSH / ANN
+
+  /** Deterministic ±1 hyperplane components: sign_pi from the portable
+    * md5 hash of "p:i" — reproducible as literals on any engine. */
+  def hyperplaneSigns(planes: Int, dims: Int): Seq[Seq[Int]] =
+    (0 until planes).map(p =>
+      (0 until dims).map(i => if (Hashing.h60Jvm(s"$p:$i") % 2 == 0) 1 else -1))
+
+  /** Random-hyperplane LSH bucket id: bit p set iff sign-weighted
+    * projection p is positive. */
+  def lshBucket(vec: Column, signs: Seq[Seq[Int]]): Column =
+    signs.zipWithIndex.map { case (s, p) =>
+      val weights = array(s.map(x => lit(x.toDouble)): _*)
+      val proj = aggregate(zip_with(vec, weights, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k: candidates share the query's LSH bucket (equi-join on
+    * bucket — no cross product), then exact cosine ranking within the
+    * bucket. Approximate: recall is the bucket-collision probability. */
+  def annTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, planes: Int, dims: Int, queryFilter: Column): DataFrame = {
+    val signs = hyperplaneSigns(planes, dims)
+    val bucketed = vecs.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("nrm"), lshBucket(col(vecCol), signs).as("bucket"))
+    val q = broadcast(bucketed.filter(queryFilter)
+      .toDF("query_id", "q_vec", "q_nrm", "bucket"))
+    val c = bucketed.toDF("neighbor_id", "c_vec", "c_nrm", "bucket")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_micro").desc, col("neighbor_id"))
+    c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_micro",
+        cosMicroPre(dot(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "bucket", "neighbor_id", "cos_micro", "rank")
+  }
+}

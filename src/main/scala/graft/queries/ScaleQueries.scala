@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashing
+import graft.operators.{Dedup, Similarity}
+import graft.queries.ParityQueries.Q
+
+/** Dedup + similarity-search queries (the training-data-pipeline surface)
+  * with DuckDB oracles generated from the same constants (seeds, band
+  * layout, hyperplane signs) as the Spark plans.
+  */
+object ScaleQueries {
+
+  /** DD1 — exact dedup lineage by content hash. */
+  val q25ExactDedup: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    Dedup.exactDedup(t.documents, "doc_id", "text")
+      .select("doc_id", "content_hash", "canonical_id", "n_copies", "is_dup")
+      .orderBy("doc_id")
+  }
+
+  /** DD2 — exact 3-gram Jaccard near-dup pairs via shared-shingle join. */
+  val q26JaccardPairs: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    Dedup.jaccardPairs(t.documents, "doc_id", "text", n = 3, minPermille = 500)
+      .orderBy("a_doc_id", "b_doc_id")
+  }
+
+  /** DD3 — MinHash(16) + LSH(4 bands × 4 rows) candidate pairs with
+    * signature-agreement scores. */
+  val q27MinhashLsh: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    Dedup.minhashLshPairs(t.documents, "doc_id", "text",
+      n = 3, k = 16, bands = 4, minAgree = 8)
+      .orderBy("a_doc_id", "b_doc_id")
+  }
+
+  /** DD4 — SimHash(60-bit) near-dup pairs, 15-bit-chunk blocking,
+    * Hamming ≤ 10. */
+  val q28Simhash: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    Dedup.simhashPairs(t.documents, "doc_id", "text", maxHamming = 10)
+      .orderBy("a_doc_id", "b_doc_id")
+  }
+
+  /** SS1 — exact embedding near-dup pairs, cosine ≥ 0.4. */
+  val q29EmbeddingNearDup: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    Similarity.nearDupPairs(t.embeddings, "vec_id", "embedding", minMicro = 400000L)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** SS2 — brute-force cosine top-5 for the decimated query set. */
+  val q30CosineTopK: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val e = t.embeddings
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** SS3 — LSH-bucketed ANN top-3 (6 hyperplanes → 64 buckets). */
+  val q31AnnLsh: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    Similarity.annTopK(t.embeddings, "vec_id", "embedding",
+      k = 3, planes = 6, dims = 64, queryFilter = col("vec_id") % 50 === 0)
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q25_exact_dedup" -> q25ExactDedup,
+    "q26_jaccard_pairs" -> q26JaccardPairs,
+    "q27_minhash_lsh" -> q27MinhashLsh,
+    "q28_simhash" -> q28Simhash,
+    "q29_embedding_neardup" -> q29EmbeddingNearDup,
+    "q30_cosine_topk" -> q30CosineTopK,
+    "q31_ann_lsh" -> q31AnnLsh)
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private val toksSql = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** Distinct 3-token shingles of `toks` (empty list below 3 tokens). */
+  private val shinglesSql =
+    s"""CASE WHEN len(toks) >= 3
+       |  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |         i -> array_to_string(toks[i:i+2], ' ')))
+       |  ELSE [] END""".stripMargin
+
+  private val shingledCte =
+    s"""sh AS (
+       |  SELECT doc_id, unnest($shinglesSql) AS shingle
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents))""".stripMargin
+
+  /** 16-column MinHash signature CTE. */
+  private val sigCte = {
+    val mins = (0 until 16)
+      .map(i => s"min(${Hashing.h60Sql(i, "shingle")}) AS mh$i").mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+  }
+
+  /** 4-band LSH key CTE over the signature. */
+  private val keysCte = {
+    val bands = (0 until 4).map { b =>
+      val parts = (s"'$b'" +: (0 until 4).map(i => s"CAST(mh${b * 4 + i} AS VARCHAR)"))
+        .mkString(", ")
+      s"SELECT doc_id, $b AS band, ${Hashing.h60Sql(s"concat_ws(',', $parts)")} AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"keys AS (\n  $bands)"
+  }
+
+  /** Sequential-fold double dot product (matches Spark's aggregate fold). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, len($a)),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  /** Embeddings with precomputed norms. */
+  private val normedCte =
+    s"""e AS (SELECT vec_id, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |FROM embeddings)""".stripMargin
+
+  /** LSH bucket expression over `embedding` with the same hyperplane signs
+    * as [[Similarity.hyperplaneSigns]], embedded as literals. */
+  private val bucketSql: String =
+    Similarity.hyperplaneSigns(6, 64).zipWithIndex.map { case (s, p) =>
+      val arr = s.mkString("[", ", ", "]")
+      val proj =
+        s"""list_reduce(list_transform(generate_series(1, 64),
+           |  i -> CAST(embedding[i] AS DOUBLE) * ($arr)[i]), (x, y) -> x + y)""".stripMargin
+      s"(CASE WHEN $proj > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "q25_exact_dedup" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+        |  doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q26_jaccard_pairs" ->
+      s"""WITH $shingledCte,
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT * FROM (
+         |  SELECT a_doc_id, b_doc_id, shared,
+         |    CAST(floor(1000 * CAST(shared AS DOUBLE)
+         |      / (x.n_sh + y.n_sh - shared)) AS BIGINT) AS jaccard_permille
+         |  FROM p JOIN sz x ON a_doc_id = x.doc_id JOIN sz y ON b_doc_id = y.doc_id)
+         |WHERE jaccard_permille >= 500
+         |ORDER BY a_doc_id, b_doc_id""".stripMargin,
+    "q27_minhash_lsh" ->
+      s"""WITH $shingledCte,
+         |$sigCte,
+         |$keysCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+         |  FROM keys a JOIN keys b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT * FROM (
+         |  SELECT a_doc_id, b_doc_id,
+         |    CAST(${(0 until 16).map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS sig_agree
+         |  FROM cand JOIN sig x ON a_doc_id = x.doc_id JOIN sig y ON b_doc_id = y.doc_id)
+         |WHERE sig_agree >= 8
+         |ORDER BY a_doc_id, b_doc_id""".stripMargin,
+    "q28_simhash" -> {
+      val bitSums = (0 until 60)
+        .map(i => s"sum(CASE WHEN (hh >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+        .mkString(", ")
+      val sigExpr = (0 until 60)
+        .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT doc_id, ${Hashing.h60Sql("t")} AS hh
+         |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)),
+         |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS simhash FROM bits),
+         |chunks AS (
+         |  ${(0 until 4).map(j =>
+                s"SELECT doc_id, simhash, $j AS chunk_id, (simhash >> ${j * 15}) & 32767 AS chunk FROM sig")
+              .mkString("\n  UNION ALL ")}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
+         |         a.simhash AS a_sim, b.simhash AS b_sim
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT * FROM (
+         |  SELECT a_doc_id, b_doc_id,
+         |    CAST(bit_count(xor(a_sim, b_sim)) AS BIGINT) AS hamming
+         |  FROM cand)
+         |WHERE hamming <= 10
+         |ORDER BY a_doc_id, b_doc_id""".stripMargin
+    },
+    "q29_embedding_neardup" ->
+      s"""WITH $normedCte
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    CAST(floor(1e6 * ${dotSql("a.embedding", "b.embedding")}
+         |      / (a.nrm * b.nrm)) AS BIGINT) AS cos_micro
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |WHERE cos_micro >= 400000
+         |ORDER BY a_id, b_id""".stripMargin,
+    "q30_cosine_topk" ->
+      s"""WITH $normedCte,
+         |q AS (SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_nrm
+         |      FROM e WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |    CAST(floor(1e6 * ${dotSql("q_vec", "c.embedding")}
+         |      / (q_nrm * c.nrm)) AS BIGINT) AS cos_micro
+         |  FROM q JOIN e c ON c.vec_id != query_id)
+         |SELECT query_id, neighbor_id, cos_micro, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_micro DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q31_ann_lsh" ->
+      s"""WITH $normedCte,
+         |b AS (SELECT vec_id, embedding, nrm, CAST($bucketSql AS BIGINT) AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_nrm, bucket
+         |      FROM b WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT query_id, bucket, c.vec_id AS neighbor_id,
+         |    CAST(floor(1e6 * ${dotSql("q_vec", "c.embedding")}
+         |      / (q_nrm * c.nrm)) AS BIGINT) AS cos_micro
+         |  FROM q JOIN b c USING (bucket) WHERE c.vec_id != query_id)
+         |SELECT query_id, bucket, neighbor_id, cos_micro, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_micro DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
+}
