@@ -19,6 +19,7 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def get(appName: String = "graft"): SparkSession = {
@@ -46,18 +47,20 @@ final class Tables(spark: SparkSession, sfDir: String) {
   def lineitem: DataFrame   = t("lineitem")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark refuses by
-    * default (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and rebuild a
-    * TIMESTAMP_NTZ: integer `DIV 1000` (never a double divide — 1.7e18 ns
-    * exceeds 2^53) truncates toward zero exactly like DuckDB's ns→µs read,
-    * and the NTZ cast keeps wall-clock semantics aligned with the oracle.
+    * default (PARQUET_TYPE_ILLEGAL). The session must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    * [[GraftSession.builder]] and the Verify/Bench mains — NOT mutated
+    * here, so reading `events` has no side effect on unrelated reads).
+    * The raw nanos become a TIMESTAMP_NTZ: integer `DIV 1000` (never a
+    * double divide — 1.7e18 ns exceeds 2^53) truncates toward zero exactly
+    * like DuckDB's ns→µs read, and the NTZ cast keeps wall-clock semantics
+    * aligned with the oracle.
     */
-  def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events: DataFrame =
     t("events").withColumn(
       "ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")).cast("timestamp_ntz"))
-  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

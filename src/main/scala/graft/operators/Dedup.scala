@@ -57,12 +57,15 @@ object Dedup {
     * cross-engine).
     *
     * `maxShingleDocFreq` drops shingles occurring in more than that many
-    * documents before the join — the skew guard at corpus scale, where a
-    * boilerplate shingle shared by millions of docs would otherwise
-    * quadratically explode one join key. (Dropping frequent shingles only
-    * loses candidate pairs whose *every* shared shingle is boilerplate —
-    * the standard precision/recall trade of frequency-capped similarity
-    * joins.)
+    * documents from the JOIN INPUT only — the skew guard at corpus scale,
+    * where a boilerplate shingle shared by millions of docs would
+    * otherwise quadratically explode one join key (the per-key candidate
+    * fanout is bounded by cap²). Set sizes |A|,|B| are always computed
+    * from the uncapped shingle relation, so reported Jaccard values are
+    * never inflated by the cap; `shared` can only undercount, meaning the
+    * cap trades candidate-pair recall (a pair whose every shared shingle
+    * is boilerplate is missed) and never produces false positives at the
+    * threshold.
     */
   def jaccardPairs(
       df: DataFrame,
@@ -78,7 +81,7 @@ object Dedup {
           .filter(col("__df") <= cap).drop("__df")
       case None => base
     }
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val sizes = base.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val a = sh.toDF(s"a_$idCol", "shingle")
     val b = sh.toDF(s"b_$idCol", "shingle")
     a.join(b, Seq("shingle"))

@@ -83,13 +83,15 @@ object Relational {
     * Scale design — this deliberately does NOT mirror the reference's
     * three-pass join/split/union shape. Each key level's dimension is
     * 1:1-ified with [[keepFirst]], then ALL levels join in one pass over
-    * the fact table (left join per level, match precedence enforced by
-    * `coalesce`). With reference-sized dims every join is a broadcast hash
-    * join: the 100 TB fact table is scanned once, shuffle-free, instead of
-    * 3 passes + 2 re-filters. Equivalence with the sequential cascade holds
-    * because each per-level dim is unique on its keys (no fan-out) and
-    * coalesce picks the most specific level, so a row matched at level k
-    * is never re-enriched at k+1.
+    * the fact table (left join per level, match precedence enforced by a
+    * first-hit CASE over the per-level match markers). With
+    * reference-sized dims every join is a broadcast hash join: the 100 TB
+    * fact table is scanned once, shuffle-free, instead of 3 passes + 2
+    * re-filters. Equivalence with the sequential cascade holds because
+    * each per-level dim is unique on its keys (no fan-out) and payloads
+    * are gated on the level's hit marker, so a row matched at level k is
+    * never re-enriched at k+1 — even when the level-k payload value is
+    * genuinely NULL in the dimension.
     *
     * @param data       fact rows to enrich
     * @param dim        dimension carrying `payloadCols`
@@ -97,6 +99,10 @@ object Relational {
     * @param payloadCols dimension columns to attach
     * @param dimOrder   total order choosing the per-key survivor inside `dim`
     * @param dropUnmatched J4 semantics: drop rows that miss at every level
+    * @param hintBroadcast force a broadcast hint on every level dim. Leave
+    *        false (the default) to let AQE / autoBroadcastJoinThreshold
+    *        choose — a dimension past the 8 GB broadcast limit then falls
+    *        back to a shuffle join instead of failing the job.
     */
   def hierarchicalEnrich(
       data: DataFrame,
@@ -105,7 +111,8 @@ object Relational {
       payloadCols: Seq[String],
       dimOrder: Seq[Column],
       dropUnmatched: Boolean = false,
-      levelColName: String = "match_level"): DataFrame = {
+      levelColName: String = "match_level",
+      hintBroadcast: Boolean = false): DataFrame = {
 
     require(keyLevels.nonEmpty, "at least one key level")
 
@@ -120,14 +127,17 @@ object Relational {
       keys -> suffixed.withColumn(s"__hit_L$i", lit(true))
     }
 
-    // Single pass: chain of left joins (broadcast-sized dims hash-join with
-    // no fact shuffle), then per-payload coalesce in level order.
+    // Single pass: chain of left joins, then per-payload first-hit CASE in
+    // level order (hit markers, not payload nullness, decide the level).
     val joined = levelDims.foldLeft(data) { case (acc, (keys, d)) =>
-      acc.join(broadcast(d), keys, "left")
+      acc.join(if (hintBroadcast) broadcast(d) else d, keys, "left")
     }
 
     val repaired = payloadCols.foldLeft(joined) { (d, c) =>
-      d.withColumn(c, coalesce(keyLevels.indices.map(i => col(s"__${c}_L$i")): _*))
+      val firstHit = keyLevels.indices
+        .map(i => when(col(s"__hit_L$i"), col(s"__${c}_L$i")))
+        .reduceRight((a, b) => a.otherwise(b))
+      d.withColumn(c, firstHit)
     }
 
     val levelExpr = keyLevels.indices.foldRight(lit(null).cast("int")) { (i, rest) =>

@@ -38,12 +38,20 @@ object Similarity {
   private def cosMicroPre(d: Column, na: Column, nb: Column): Column =
     floor(lit(1e6) * d / (na * nb)).cast("long")
 
+  /** Vectors with their precomputed norm, zero-norm rows dropped (cosine
+    * is undefined there: Spark would emit NaN→null and silently drop at a
+    * later filter while other engines error — excluding them explicitly
+    * keeps every downstream plan cross-engine deterministic). */
+  private def withNorm(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0)
+
   /** Exact near-dup pairs (a < b) with cosine ≥ minMicro/1e6. Quadratic —
-    * intended for bucketed/bounded inputs; see [[annTopK]] for the scale
-    * path. Norms are computed once per vector, not per pair. */
+    * intended for bucketed/bounded inputs; see [[nearDupPairsLsh]] for the
+    * corpus-scale path. Norms are computed once per vector, not per pair. */
   def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
       minMicro: Long): DataFrame = {
-    val n = vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+    val n = withNorm(vecs, idCol, vecCol)
     val a = n.toDF("a_id", "a_vec", "a_nrm")
     val b = n.toDF("b_id", "b_vec", "b_nrm")
     a.join(b, col("a_id") < col("b_id"))
@@ -53,13 +61,53 @@ object Similarity {
       .select("a_id", "b_id", "cos_micro")
   }
 
+  /** Scale-safe near-dup pairs via multi-table hyperplane LSH (the
+    * OR-construction): each of `tables` independent plane families maps a
+    * vector to one bucket; candidate pairs share a bucket in ANY table.
+    * Candidate generation is an equi-join on (table, bucket) — a hash
+    * shuffle, no BroadcastNestedLoopJoin / CartesianProduct anywhere —
+    * then each distinct candidate pair is scored with the exact cosine.
+    *
+    * Tuning: per-table match prob for angle θ is (1−θ/π)^planes; recall is
+    * 1−(1−p)^tables. `planes` bounds per-bucket size (n/2^planes expected
+    * — raise it as the corpus grows), `tables` buys recall back at the
+    * cost of `tables`× candidate generation. A pair split across buckets
+    * in every table is missed; every emitted pair carries its exact
+    * cosine. */
+  def nearDupPairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
+      minMicro: Long, planes: Int, dims: Int, tables: Int = 1): DataFrame = {
+    val n = withNorm(vecs, idCol, vecCol)
+    val keyStructs = (0 until tables).map { t =>
+      val signs = hyperplaneSigns(planes, dims, t)
+      struct(lit(t).as("tbl"), lshBucket(col(vecCol), signs).as("bucket"))
+    }
+    val keyed = n.select(col(idCol), explode(array(keyStructs: _*)).as("k"))
+      .select(col(idCol), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
+    val pairs = keyed.toDF("a_id", "tbl", "bucket")
+      .join(keyed.toDF("b_id", "tbl", "bucket"), Seq("tbl", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val aSide = n.toDF("a_id", "a_vec", "a_nrm")
+    val bSide = n.toDF("b_id", "b_vec", "b_nrm")
+    pairs.join(aSide, "a_id").join(bSide, "b_id")
+      .withColumn("cos_micro",
+        cosMicroPre(dot(col("a_vec"), col("b_vec")), col("a_nrm"), col("b_nrm")))
+      .filter(col("cos_micro") >= minMicro)
+      .select("a_id", "b_id", "cos_micro")
+  }
+
   /** Brute-force top-k: for each query vector, the k nearest corpus vectors
     * by cosine (self excluded), ranked (cos_micro desc, id asc). The query
     * side is broadcast; the corpus is scanned once with no shuffle until
-    * the per-query top-k. */
+    * the per-query top-k.
+    *
+    * CONTRACT: `queries` must be a FIXED, small set (thousands at most) —
+    * it is broadcast to every task and each corpus row is scored against
+    * all of it. A query set proportional to the corpus makes this plan
+    * quadratic; route such workloads through [[annTopK]] instead. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val n = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+    val n = withNorm(corpus, idCol, vecCol)
     val q = broadcast(n.join(queries.select(col(idCol)), Seq(idCol))
       .toDF("query_id", "q_vec", "q_nrm"))
     val c = n.toDF("neighbor_id", "c_vec", "c_nrm")
@@ -76,10 +124,13 @@ object Similarity {
   // ------------------------------------------------------------- LSH / ANN
 
   /** Deterministic ±1 hyperplane components: sign_pi from the portable
-    * md5 hash of "p:i" — reproducible as literals on any engine. */
-  def hyperplaneSigns(planes: Int, dims: Int): Seq[Seq[Int]] =
+    * md5 hash of "p:i" — reproducible as literals on any engine. `table`
+    * seeds an independent plane family ("t:p:i") for multi-table LSH. */
+  def hyperplaneSigns(planes: Int, dims: Int, table: Int = -1): Seq[Seq[Int]] = {
+    def key(p: Int, i: Int) = if (table < 0) s"$p:$i" else s"$table:$p:$i"
     (0 until planes).map(p =>
-      (0 until dims).map(i => if (Hashing.h60Jvm(s"$p:$i") % 2 == 0) 1 else -1))
+      (0 until dims).map(i => if (Hashing.h60Jvm(key(p, i)) % 2 == 0) 1 else -1))
+  }
 
   /** Random-hyperplane LSH bucket id: bit p set iff sign-weighted
     * projection p is positive. */
@@ -97,8 +148,8 @@ object Similarity {
   def annTopK(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, planes: Int, dims: Int, queryFilter: Column): DataFrame = {
     val signs = hyperplaneSigns(planes, dims)
-    val bucketed = vecs.select(col(idCol), col(vecCol),
-      norm(col(vecCol)).as("nrm"), lshBucket(col(vecCol), signs).as("bucket"))
+    val bucketed = withNorm(vecs, idCol, vecCol)
+      .withColumn("bucket", lshBucket(col(vecCol), signs))
     val q = broadcast(bucketed.filter(queryFilter)
       .toDF("query_id", "q_vec", "q_nrm", "bucket"))
     val c = bucketed.toDF("neighbor_id", "c_vec", "c_nrm", "bucket")

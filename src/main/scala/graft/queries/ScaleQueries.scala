@@ -21,10 +21,14 @@ object ScaleQueries {
       .orderBy("doc_id")
   }
 
-  /** DD2 — exact 3-gram Jaccard near-dup pairs via shared-shingle join. */
+  /** DD2 — exact 3-gram Jaccard near-dup pairs via shared-shingle join.
+    * The doc-frequency cap bounds any one shingle's join fanout to 100²
+    * candidate pairs — the skew guard that keeps this plan alive when one
+    * boilerplate shingle is shared by millions of documents. */
   val q26JaccardPairs: Q = (spark, dir) => {
     val t = Tables(spark, dir)
-    Dedup.jaccardPairs(t.documents, "doc_id", "text", n = 3, minPermille = 500)
+    Dedup.jaccardPairs(t.documents, "doc_id", "text", n = 3, minPermille = 500,
+      maxShingleDocFreq = Some(100))
       .orderBy("a_doc_id", "b_doc_id")
   }
 
@@ -45,18 +49,25 @@ object ScaleQueries {
       .orderBy("a_doc_id", "b_doc_id")
   }
 
-  /** SS1 — exact embedding near-dup pairs, cosine ≥ 0.4. */
+  /** SS1 — embedding near-dup pairs, cosine ≥ 0.4, multi-table LSH:
+    * exact cosine runs only on candidate pairs sharing a hyperplane-sign
+    * bucket in any of 6 independent 3-plane tables (equi-join on
+    * (table, bucket) — no nested-loop all-pairs anywhere in the plan;
+    * expected recall ≈ 0.8 at the 0.4 threshold). */
   val q29EmbeddingNearDup: Q = (spark, dir) => {
     val t = Tables(spark, dir)
-    Similarity.nearDupPairs(t.embeddings, "vec_id", "embedding", minMicro = 400000L)
+    Similarity.nearDupPairsLsh(t.embeddings, "vec_id", "embedding",
+      minMicro = 400000L, planes = 3, dims = 64, tables = 6)
       .orderBy("a_id", "b_id")
   }
 
-  /** SS2 — brute-force cosine top-5 for the decimated query set. */
+  /** SS2 — brute-force cosine top-5 for a FIXED 40-query set (bounded
+    * independently of corpus size, so the broadcast never grows with the
+    * data — corpus-scaling query sets go through [[Similarity.annTopK]]). */
   val q30CosineTopK: Q = (spark, dir) => {
     val t = Tables(spark, dir)
     val e = t.embeddings
-    Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 100 === 0),
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 40),
       "vec_id", "embedding", k = 5)
       .orderBy("query_id", "rank")
   }
@@ -116,22 +127,36 @@ object ScaleQueries {
     s"""list_reduce(list_transform(generate_series(1, len($a)),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
 
-  /** Embeddings with precomputed norms. */
+  /** Embeddings with precomputed norms; zero-norm vectors excluded (same
+    * guard as [[Similarity]] — cosine is undefined there and engines
+    * diverge on NaN handling). */
   private val normedCte =
-    s"""e AS (SELECT vec_id, embedding,
+    s"""e0 AS (SELECT vec_id, embedding,
        |  sqrt(${dotSql("embedding", "embedding")}) AS nrm
-       |FROM embeddings)""".stripMargin
+       |FROM embeddings),
+       |e AS (SELECT * FROM e0 WHERE nrm > 0)""".stripMargin
 
-  /** LSH bucket expression over `embedding` with the same hyperplane signs
-    * as [[Similarity.hyperplaneSigns]], embedded as literals. */
-  private val bucketSql: String =
-    Similarity.hyperplaneSigns(6, 64).zipWithIndex.map { case (s, p) =>
+  /** LSH bucket expression over `embedding` from a given sign family —
+    * identical literals to [[Similarity.hyperplaneSigns]]. */
+  private def bucketSqlOf(signs: Seq[Seq[Int]]): String =
+    signs.zipWithIndex.map { case (s, p) =>
       val arr = s.mkString("[", ", ", "]")
       val proj =
         s"""list_reduce(list_transform(generate_series(1, 64),
            |  i -> CAST(embedding[i] AS DOUBLE) * ($arr)[i]), (x, y) -> x + y)""".stripMargin
       s"(CASE WHEN $proj > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
+
+  private val bucketSql: String = bucketSqlOf(Similarity.hyperplaneSigns(6, 64))
+
+  /** Multi-table (tbl, bucket) keys matching q29's 6×3-plane families. */
+  private val multiKeysCte: String = {
+    val tables = (0 until 6).map { t =>
+      val b = bucketSqlOf(Similarity.hyperplaneSigns(3, 64, t))
+      s"SELECT vec_id, $t AS tbl, CAST($b AS BIGINT) AS bucket FROM e"
+    }.mkString("\n  UNION ALL ")
+    s"mk AS (\n  $tables)"
+  }
 
   val oracle: Map[String, String] = Map(
     "q25_exact_dedup" ->
@@ -143,9 +168,12 @@ object ScaleQueries {
     "q26_jaccard_pairs" ->
       s"""WITH $shingledCte,
          |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |fdf AS (SELECT shingle, count(*) AS dfreq FROM sh GROUP BY shingle),
+         |shc AS (SELECT sh.doc_id, sh.shingle FROM sh
+         |        JOIN fdf ON sh.shingle = fdf.shingle WHERE dfreq <= 100),
          |p AS (
          |  SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, count(*) AS shared
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT * FROM (
          |  SELECT a_doc_id, b_doc_id, shared,
@@ -197,18 +225,23 @@ object ScaleQueries {
          |ORDER BY a_doc_id, b_doc_id""".stripMargin
     },
     "q29_embedding_neardup" ->
-      s"""WITH $normedCte
+      s"""WITH $normedCte,
+         |$multiKeysCte,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM mk a JOIN mk b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT * FROM (
-         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |    CAST(floor(1e6 * ${dotSql("a.embedding", "b.embedding")}
-         |      / (a.nrm * b.nrm)) AS BIGINT) AS cos_micro
-         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |  SELECT a_id, b_id,
+         |    CAST(floor(1e6 * ${dotSql("x.embedding", "y.embedding")}
+         |      / (x.nrm * y.nrm)) AS BIGINT) AS cos_micro
+         |  FROM cand JOIN e x ON a_id = x.vec_id JOIN e y ON b_id = y.vec_id)
          |WHERE cos_micro >= 400000
          |ORDER BY a_id, b_id""".stripMargin,
     "q30_cosine_topk" ->
       s"""WITH $normedCte,
          |q AS (SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_nrm
-         |      FROM e WHERE vec_id % 100 = 0),
+         |      FROM e WHERE vec_id < 40),
          |scored AS (
          |  SELECT query_id, c.vec_id AS neighbor_id,
          |    CAST(floor(1e6 * ${dotSql("q_vec", "c.embedding")}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Physical-plan regression guards: the similarity/dedup operators must
+  * stay equi-join-shaped — a BroadcastNestedLoopJoin or CartesianProduct
+  * appearing in these plans is the difference between O(corpus) and
+  * O(corpus²) at scale, regardless of what the row counts say at test SF.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+    (2L, Array(0.9f, 0.1f, 0.4f, 0.2f)),
+    (3L, Array(-1.0f, 0.3f, 0.0f, 0.7f)),
+    (4L, Array(0.0f, -0.2f, 0.8f, 0.1f))
+  ).toDF("vec_id", "embedding")
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different text body here now")
+  ).toDF("doc_id", "text")
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def assertNoQuadraticJoin(plan: String, what: String): Unit = {
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"$what plan contains BroadcastNestedLoopJoin")
+    assert(!plan.contains("CartesianProduct"),
+      s"$what plan contains CartesianProduct")
+  }
+
+  test("nearDupPairsLsh candidate generation is equi-join only") {
+    val df = Similarity.nearDupPairsLsh(vecs, "vec_id", "embedding",
+      minMicro = 400000L, planes = 3, dims = 4, tables = 6)
+    assertNoQuadraticJoin(physicalPlan(df), "nearDupPairsLsh")
+    assert(df.count() >= 1) // near-identical vectors 1 and 2 found
+  }
+
+  test("annTopK candidate generation is equi-join only") {
+    val df = Similarity.annTopK(vecs, "vec_id", "embedding",
+      k = 2, planes = 2, dims = 4, queryFilter = col("vec_id") === 1L)
+    assertNoQuadraticJoin(physicalPlan(df), "annTopK")
+  }
+
+  test("jaccard, minhash and simhash pair generation are equi-join only") {
+    for ((name, df) <- Seq(
+        "jaccardPairs" -> Dedup.jaccardPairs(docs, "doc_id", "text",
+          maxShingleDocFreq = Some(100)),
+        "minhashLshPairs" -> Dedup.minhashLshPairs(docs, "doc_id", "text"),
+        "simhashPairs" -> Dedup.simhashPairs(docs, "doc_id", "text")))
+      assertNoQuadraticJoin(physicalPlan(df), name)
+  }
+
+  test("multi-table LSH recall beats single-table at equal cosine") {
+    val single = Similarity.nearDupPairsLsh(vecs, "vec_id", "embedding",
+      minMicro = 100000L, planes = 3, dims = 4, tables = 1).count()
+    val multi = Similarity.nearDupPairsLsh(vecs, "vec_id", "embedding",
+      minMicro = 100000L, planes = 3, dims = 4, tables = 8).count()
+    assert(multi >= single)
+  }
+}
