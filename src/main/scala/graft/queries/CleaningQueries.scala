@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.clean.Clean
+import graft.operators.{Multimodal, Relational}
+import graft.queries.ParityQueries.Q
+
+/** Oracle coverage for the cleaning layer, the reference's reconciliation
+  * join, J4 drop-unmatched, set operations and multimodal columns.
+  *
+  * The cleaning queries manufacture the reference's data quirks
+  * (sentinel nulls, `.0` float artifacts, embedded-space dates, word-wrap
+  * whitespace — FIXTURES.md §1) deterministically from the star schema in
+  * BOTH engines, then apply the [[graft.clean.Clean]] operators on the
+  * Spark side and equivalent ANSI SQL on the DuckDB side, so the messy →
+  * clean semantics (`/root/reference/compare.py:56-69`,
+  * `/root/reference/down/down_water_prep.py:460-471`) are hash-checked,
+  * not just unit-tested.
+  */
+object CleaningQueries {
+
+  /** F4/X2/X3/X8/X5 — the cleaning battery: sentinel-null normalization,
+    * float-artifact strip + n-prefix keying, whitespace canonicalization,
+    * lenient multi-format date parse, and sentinel-date imputation
+    * (`compare.py:63`'s `'.'` → 1/9/1999). */
+  val q32CleanBattery: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val raw = t.orders.select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 5 === 0, lit("."))
+        .when(col("o_orderkey") % 5 === 1, lit("nan"))
+        .when(col("o_orderkey") % 5 === 2, lit("NaN"))
+        .when(col("o_orderkey") % 5 === 3, lit(""))
+        .otherwise(col("o_orderpriority")).as("raw_val"),
+      concat(col("o_custkey").cast("string"),
+        when(col("o_orderkey") % 2 === 0, lit(".0")).otherwise(lit(""))).as("raw_key"),
+      concat(lit(" "), regexp_replace(col("o_orderpriority"), "-", "\t  "), lit(" "))
+        .as("raw_ws"),
+      when(col("o_orderkey") % 7 === 0,
+        regexp_replace(date_format(col("o_orderdate"), "MM/dd/yyyy"), "/", "/ "))
+        .when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "M/d/yyyy"))
+        .otherwise(date_format(col("o_orderdate"), "MM/dd/yyyy")).as("raw_date"))
+      .withColumn("raw_date2",
+        when(col("o_orderkey") % 11 === 0, lit(".")).otherwise(col("raw_date")))
+    raw.select(
+      col("o_orderkey"),
+      Clean.normalizeNull(col("raw_val")).as("val_clean"),
+      Clean.stringKey(col("raw_key"), "n").as("key_n"),
+      Clean.normalizeWhitespace(col("raw_ws")).as("ws_clean"),
+      Clean.parseDateLenient(col("raw_date")).as("date_clean"),
+      coalesce(Clean.parseDateLenient(Clean.normalizeNull(col("raw_date2"))),
+        lit("1999-01-09").cast("date")).as("date_imputed"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J6 — the reference's 7-key reconciliation (`compare.py:88-89`): two
+    * independently-messy projections of the same facts are normalized
+    * through the Clean layer (trim, `.0` strip, n-prefix, lenient dates,
+    * sentinel-date imputation, type-code derivation) and inner-joined on
+    * all 7 canonical keys. At scale both sides shuffle once on the key
+    * hash — a classic sort-merge join; no broadcast (both sides are
+    * fact-sized). */
+  val q33Reconcile7Key: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val li = t.lineitem.filter(col("l_quantity") >= 49)
+    val keys = Seq("pwsid", "cont", "sysname", "sampdate", "analdate", "samptype", "loc")
+    // "down" side: every key arrives messy, exactly like the PDF-parsed CSVs.
+    val downRaw = li.select(
+      concat(lit(" "), col("l_orderkey").cast("string"), lit(" ")).as("pwsid_raw"),
+      concat(col("l_partkey").cast("string"), lit(".0")).as("cont_raw"),
+      concat(lit(" "), col("l_returnflag"), col("l_linestatus")).as("sysname_raw"),
+      when(col("l_linenumber") % 3 === 0,
+        regexp_replace(date_format(col("l_shipdate"), "MM/dd/yyyy"), "/", "/ "))
+        .otherwise(date_format(col("l_shipdate"), "M/d/yyyy")).as("sampdate_raw"),
+      when(col("l_linenumber") % 5 === 0, lit("."))
+        .otherwise(date_format(date_add(to_date(col("l_shipdate")), 2), "MM/dd/yyyy"))
+        .as("analdate_raw"),
+      when(col("l_linenumber") % 2 === 0, lit("ENTRY POINT"))
+        .otherwise(lit("DISTRIBUTION")).as("sample_type"),
+      col("l_suppkey").cast("string").as("loc_raw"),
+      col("l_quantity").as("result_down"))
+    val down = downRaw.select(
+      trim(col("pwsid_raw")).cast("long").as("pwsid"),
+      Clean.stringKey(col("cont_raw")).as("cont"),
+      trim(col("sysname_raw")).as("sysname"),
+      Clean.parseDateLenient(col("sampdate_raw")).as("sampdate"),
+      coalesce(Clean.parseDateLenient(Clean.normalizeNull(col("analdate_raw"))),
+        lit("1999-01-09").cast("date")).as("analdate"),
+      substring(col("sample_type"), 1, 1).as("samptype"),
+      Clean.stringKey(col("loc_raw"), "n").as("loc"),
+      col("result_down"))
+    // "direct" side: the same facts, already-typed (the emailed workbook).
+    val direct = li.select(
+      col("l_orderkey").as("pwsid"),
+      col("l_partkey").cast("string").as("cont"),
+      concat(col("l_returnflag"), col("l_linestatus")).as("sysname"),
+      to_date(col("l_shipdate")).as("sampdate"),
+      when(col("l_linenumber") % 5 === 0, lit("1999-01-09").cast("date"))
+        .otherwise(date_add(to_date(col("l_shipdate")), 2)).as("analdate"),
+      when(col("l_linenumber") % 2 === 0, lit("E")).otherwise(lit("D")).as("samptype"),
+      concat(lit("n"), col("l_suppkey").cast("string")).as("loc"),
+      col("l_extendedprice").as("result_direct"))
+    down.join(direct, keys, "inner")
+      .select((keys.map(col) :+ col("result_down") :+ col("result_direct")): _*)
+      .orderBy((keys.map(col) :+ col("result_down") :+ col("result_direct")): _*)
+  }
+
+  /** J4 — strict-then-loose enrichment with drop-unmatched
+    * (`direct/direct_water_prep.py:134-166`): ~10% of fact keys are
+    * mangled so they miss every level and are dropped, unlike q05 which
+    * conserves rows. */
+  val q34EnrichDrop: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val data = t.orders.select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 10 === 0, col("o_custkey") + 1000000)
+        .otherwise(col("o_custkey")).as("custkey"),
+      (col("o_orderkey") % 25).cast("int").as("nkey"))
+    val dim = t.customer.select(
+      col("c_custkey").as("custkey"),
+      col("c_nationkey").as("nkey"),
+      col("c_name"),
+      col("c_acctbal"))
+    Relational.hierarchicalEnrich(
+      data, dim,
+      keyLevels = Seq(Seq("custkey", "nkey"), Seq("custkey")),
+      payloadCols = Seq("c_name", "c_acctbal"),
+      dimOrder = Seq(col("c_acctbal").desc, col("c_name")),
+      dropUnmatched = true,
+      hintBroadcast = true)
+      .select("o_orderkey", "custkey", "nkey", "c_name", "c_acctbal", "match_level")
+      .orderBy("o_orderkey")
+  }
+
+  /** U2 — intersect: customers who placed an urgent order AND a finished
+    * order (distinct set semantics on both engines). */
+  val q35Intersect: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+      .intersect(
+        t.orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  /** U2 — except: customers who never placed an urgent order (distinct
+    * set except — the native form of the reference's null-split idiom). */
+  val q36Except: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    t.customer.select(col("c_custkey").as("custkey"))
+      .except(t.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+  }
+
+  /** MM — multimodal asset columns: binary payloads with magic-byte MIME
+    * sniffing, byte length, cross-engine sha256 fingerprint and chunk
+    * counts, all as pure column expressions over `binary`. */
+  val q37Multimodal: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val assets = t.documents.select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(Multimodal.PngMagic), encode(col("text"), "UTF-8")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit(Multimodal.JpegMagic), encode(col("text"), "UTF-8")))
+        .otherwise(encode(col("text"), "UTF-8")).as("bytes"))
+    Multimodal.withMetadata(assets, "bytes").select(
+      col("doc_id"),
+      col("meta.n_bytes").as("n_bytes"),
+      col("meta.mime").as("mime"),
+      col("meta.sha256").as("sha_hex"),
+      ceil(col("meta.n_bytes") / 256.0).cast("long").as("n_chunks"))
+      .orderBy("doc_id")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q32_clean_battery" -> q32CleanBattery,
+    "q33_reconcile_7key" -> q33Reconcile7Key,
+    "q34_enrich_drop" -> q34EnrichDrop,
+    "q35_intersect" -> q35Intersect,
+    "q36_except" -> q36Except,
+    "q37_multimodal" -> q37Multimodal)
+
+  // ------------------------------------------------------------- oracle SQL
+
+  // NB: no line in this CTE may START with "||" — the enclosing oracle
+  // string runs stripMargin over the interpolated result, which would eat
+  // the first bar of a leading "||".
+  private val rawsCte =
+    """raw AS (SELECT o_orderkey,
+      |  CASE o_orderkey % 5 WHEN 0 THEN '.' WHEN 1 THEN 'nan' WHEN 2 THEN 'NaN'
+      |    WHEN 3 THEN '' ELSE o_orderpriority END AS raw_val,
+      |  CAST(o_custkey AS VARCHAR) ||
+      |    CASE WHEN o_orderkey % 2 = 0 THEN '.0' ELSE '' END AS raw_key,
+      |  ' ' || regexp_replace(o_orderpriority, '-', chr(9) || '  ', 'g') || ' ' AS raw_ws,
+      |  CASE WHEN o_orderkey % 7 = 0
+      |         THEN replace(strftime(o_orderdate, '%m/%d/%Y'), '/', '/ ')
+      |       WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%-m/%-d/%Y')
+      |       ELSE strftime(o_orderdate, '%m/%d/%Y') END AS raw_date
+      |FROM orders),
+      |raw2 AS (SELECT *, CASE WHEN o_orderkey % 11 = 0 THEN '.' ELSE raw_date END AS raw_date2
+      |FROM raw)""".stripMargin
+
+  private val downSideSql =
+    """down_raw AS (
+      |  SELECT ' ' || CAST(l_orderkey AS VARCHAR) || ' ' AS pwsid_raw,
+      |    CAST(l_partkey AS VARCHAR) || '.0' AS cont_raw,
+      |    ' ' || l_returnflag || l_linestatus AS sysname_raw,
+      |    CASE WHEN l_linenumber % 3 = 0
+      |           THEN replace(strftime(l_shipdate, '%m/%d/%Y'), '/', '/ ')
+      |         ELSE strftime(l_shipdate, '%-m/%-d/%Y') END AS sampdate_raw,
+      |    CASE WHEN l_linenumber % 5 = 0 THEN '.'
+      |         ELSE strftime(l_shipdate + INTERVAL 2 DAY, '%m/%d/%Y') END AS analdate_raw,
+      |    CASE WHEN l_linenumber % 2 = 0 THEN 'ENTRY POINT' ELSE 'DISTRIBUTION' END AS sample_type,
+      |    CAST(l_suppkey AS VARCHAR) AS loc_raw,
+      |    l_quantity AS result_down
+      |  FROM lineitem WHERE l_quantity >= 49),
+      |down AS (
+      |  SELECT CAST(trim(pwsid_raw) AS BIGINT) AS pwsid,
+      |    regexp_replace(trim(cont_raw), '\.0$', '') AS cont,
+      |    trim(sysname_raw) AS sysname,
+      |    CAST(try_strptime(replace(trim(sampdate_raw), ' ', ''), '%m/%d/%Y') AS DATE) AS sampdate,
+      |    COALESCE(CAST(try_strptime(replace(trim(
+      |        CASE WHEN analdate_raw IN ('.', '', 'nan', 'NaN') THEN NULL ELSE analdate_raw END
+      |      ), ' ', ''), '%m/%d/%Y') AS DATE), DATE '1999-01-09') AS analdate,
+      |    substring(sample_type, 1, 1) AS samptype,
+      |    'n' || regexp_replace(trim(loc_raw), '\.0$', '') AS loc,
+      |    result_down
+      |  FROM down_raw),
+      |direct AS (
+      |  SELECT l_orderkey AS pwsid,
+      |    CAST(l_partkey AS VARCHAR) AS cont,
+      |    l_returnflag || l_linestatus AS sysname,
+      |    CAST(l_shipdate AS DATE) AS sampdate,
+      |    CASE WHEN l_linenumber % 5 = 0 THEN DATE '1999-01-09'
+      |         ELSE CAST(l_shipdate + INTERVAL 2 DAY AS DATE) END AS analdate,
+      |    CASE WHEN l_linenumber % 2 = 0 THEN 'E' ELSE 'D' END AS samptype,
+      |    'n' || CAST(l_suppkey AS VARCHAR) AS loc,
+      |    l_extendedprice AS result_direct
+      |  FROM lineitem WHERE l_quantity >= 49)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q32_clean_battery" ->
+      s"""WITH $rawsCte
+         |SELECT o_orderkey,
+         |  CASE WHEN raw_val IN ('.', '', 'nan', 'NaN') THEN NULL ELSE raw_val END AS val_clean,
+         |  'n' || regexp_replace(trim(raw_key), '\\.0$$', '') AS key_n,
+         |  trim(regexp_replace(raw_ws, '\\s+', ' ', 'g')) AS ws_clean,
+         |  CAST(try_strptime(replace(trim(raw_date), ' ', ''), '%m/%d/%Y') AS DATE) AS date_clean,
+         |  COALESCE(CAST(try_strptime(replace(trim(
+         |      CASE WHEN raw_date2 IN ('.', '', 'nan', 'NaN') THEN NULL ELSE raw_date2 END
+         |    ), ' ', ''), '%m/%d/%Y') AS DATE), DATE '1999-01-09') AS date_imputed
+         |FROM raw2 ORDER BY o_orderkey""".stripMargin,
+    "q33_reconcile_7key" ->
+      s"""WITH $downSideSql
+         |SELECT pwsid, cont, sysname, sampdate, analdate, samptype, loc,
+         |       result_down, result_direct
+         |FROM down JOIN direct
+         |  USING (pwsid, cont, sysname, sampdate, analdate, samptype, loc)
+         |ORDER BY pwsid, cont, sysname, sampdate, analdate, samptype, loc,
+         |         result_down, result_direct""".stripMargin,
+    "q34_enrich_drop" ->
+      """WITH data AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS custkey,
+        |         CAST(o_orderkey % 25 AS INT) AS nkey
+        |  FROM orders),
+        |d1 AS (SELECT c_custkey AS custkey, c_nationkey AS nkey, c_name, c_acctbal FROM customer),
+        |d2 AS (SELECT c_custkey AS custkey, c_name, c_acctbal FROM customer)
+        |SELECT * FROM (
+        |  SELECT data.o_orderkey, data.custkey, data.nkey,
+        |         CASE WHEN d1.custkey IS NOT NULL THEN d1.c_name ELSE d2.c_name END AS c_name,
+        |         CASE WHEN d1.custkey IS NOT NULL THEN d1.c_acctbal ELSE d2.c_acctbal END AS c_acctbal,
+        |         CASE WHEN d1.custkey IS NOT NULL THEN 1
+        |              WHEN d2.custkey IS NOT NULL THEN 2 END AS match_level
+        |  FROM data
+        |  LEFT JOIN d1 ON data.custkey = d1.custkey AND data.nkey = d1.nkey
+        |  LEFT JOIN d2 ON data.custkey = d2.custkey)
+        |WHERE match_level IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    "q35_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin,
+    "q36_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY custkey""".stripMargin,
+    "q37_multimodal" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::BLOB || encode(text)
+        |      WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+        |      ELSE encode(text) END AS bytes
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(octet_length(bytes) AS BIGINT) AS n_bytes,
+        |  CASE WHEN substring(hex(bytes), 1, 8) = '89504E47' THEN 'image/png'
+        |       WHEN substring(hex(bytes), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+        |       WHEN substring(hex(bytes), 1, 6) = '494433' THEN 'audio/mpeg'
+        |       ELSE 'application/octet-stream' END AS mime,
+        |  sha256(hex(bytes)) AS sha_hex,
+        |  CAST(ceil(octet_length(bytes) / 256.0) AS BIGINT) AS n_chunks
+        |FROM a ORDER BY doc_id""".stripMargin)
+}
