@@ -50,11 +50,15 @@ object Relational {
   }
 
   /** X9 — null-coalescing column repair after an outer join: for each base
-    * column, fill nulls from its suffixed twin, then drop the twin
-    * (`/root/reference/down/down_water_prep.py:307-313`). */
-  def coalesceRepair(df: DataFrame, baseCols: Seq[String], suffix: String = "_y"): DataFrame =
+    * column, fill nulls from its suffixed twin
+    * (`/root/reference/down/down_water_prep.py:307-313`). `dropTwin=false`
+    * keeps the `_y` columns so a post-repair consistency audit (G2,
+    * `down_water_prep.py:324-360`) can still compare against them. */
+  def coalesceRepair(df: DataFrame, baseCols: Seq[String], suffix: String = "_y",
+      dropTwin: Boolean = true): DataFrame =
     baseCols.foldLeft(df) { (d, c) =>
-      d.withColumn(c, coalesce(col(c), col(c + suffix))).drop(c + suffix)
+      val filled = d.withColumn(c, coalesce(col(c), col(c + suffix)))
+      if (dropTwin) filled.drop(c + suffix) else filled
     }
 
   /** P6 — key mirroring: expose a row under several alternative join keys.
@@ -103,6 +107,19 @@ object Relational {
     *        false (the default) to let AQE / autoBroadcastJoinThreshold
     *        choose — a dimension past the 8 GB broadcast limit then falls
     *        back to a shuffle join instead of failing the job.
+    * @param missOn payload column whose null-or-empty value demotes a key
+    *        match to a miss — the reference's cascade detects misses by
+    *        `ZIP_CODE`/`MAIL_ZIP` nullness, not key presence
+    *        (`down_water_prep.py:507-522`, `direct_water_prep.py:149-150`).
+    *        The LAST level is only miss-checked when `dropUnmatched` is
+    *        set: the conserving cascade keeps final-level rows regardless
+    *        (`down_water_prep.py:528-532`) while the dropping variant's
+    *        final filter is exactly the indicator's nullness
+    *        (`direct_water_prep.py:165`).
+    * @param perLevelOrder per-level override of `dimOrder` (the reference
+    *        dedups levels 3/2 by sample location but level 1 by system
+    *        name, `down_water_prep.py:497-501`); must align with
+    *        `keyLevels` when non-empty.
     */
   def hierarchicalEnrich(
       data: DataFrame,
@@ -112,36 +129,52 @@ object Relational {
       dimOrder: Seq[Column],
       dropUnmatched: Boolean = false,
       levelColName: String = "match_level",
-      hintBroadcast: Boolean = false): DataFrame = {
+      hintBroadcast: Boolean = false,
+      missOn: Option[String] = None,
+      perLevelOrder: Seq[Seq[Column]] = Nil): DataFrame = {
 
     require(keyLevels.nonEmpty, "at least one key level")
+    require(perLevelOrder.isEmpty || perLevelOrder.length == keyLevels.length,
+      "perLevelOrder must align with keyLevels")
+    missOn.foreach(m => require(payloadCols.contains(m), s"missOn '$m' must be a payload column"))
 
     // One deduped, suffixed dimension per level: keys + payload_L<i> + marker.
     // keepFirst runs on the full dim so dimOrder may reference non-payload
     // columns; Catalyst's ColumnPruning drops everything the window and the
     // projection don't need.
     val levelDims = keyLevels.zipWithIndex.map { case (keys, i) =>
-      val slim = keepFirst(dim, keys, dimOrder)
+      val order = if (perLevelOrder.nonEmpty) perLevelOrder(i) else dimOrder
+      val slim = keepFirst(dim, keys, order)
         .select((keys ++ payloadCols).distinct.map(col): _*)
       val suffixed = payloadCols.foldLeft(slim)((d, c) => d.withColumnRenamed(c, s"__${c}_L$i"))
       keys -> suffixed.withColumn(s"__hit_L$i", lit(true))
     }
 
     // Single pass: chain of left joins, then per-payload first-hit CASE in
-    // level order (hit markers, not payload nullness, decide the level).
+    // level order. A level "hits" when its key matched AND (for all levels
+    // but the last, when missOn is set) its miss-indicator payload is
+    // non-null and non-empty — the cascade's fall-through rule.
     val joined = levelDims.foldLeft(data) { case (acc, (keys, d)) =>
       acc.join(if (hintBroadcast) broadcast(d) else d, keys, "left")
     }
 
+    val last = keyLevels.length - 1
+    def hit(i: Int): Column = missOn match {
+      case Some(m) if i < last || dropUnmatched =>
+        val ind = col(s"__${m}_L$i")
+        col(s"__hit_L$i") && ind.isNotNull && ind =!= ""
+      case _ => col(s"__hit_L$i")
+    }
+
     val repaired = payloadCols.foldLeft(joined) { (d, c) =>
       val firstHit = keyLevels.indices
-        .map(i => when(col(s"__hit_L$i"), col(s"__${c}_L$i")))
+        .map(i => when(hit(i), col(s"__${c}_L$i")))
         .reduceRight((a, b) => a.otherwise(b))
       d.withColumn(c, firstHit)
     }
 
     val levelExpr = keyLevels.indices.foldRight(lit(null).cast("int")) { (i, rest) =>
-      when(col(s"__hit_L$i"), lit(i + 1)).otherwise(rest)
+      when(hit(i), lit(i + 1)).otherwise(rest)
     }
 
     val out = repaired

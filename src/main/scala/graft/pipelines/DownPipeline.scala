@@ -1,0 +1,154 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.clean.Clean
+import graft.operators.{Quality, Relational}
+import graft.sources.{Csv, Excel, Schemas}
+
+/** The reference's main pipeline (`/root/reference/down/down_water_prep.py`,
+  * stages `csv` + `join`), re-expressed Spark-first.
+  *
+  * Stage `csv` builds the site dimension: SPI ⟗ BI multi-key outer join
+  * with `_y` suffixes (J1), coalesce repair ×7 (X9), consistency gates
+  * (G2), left-join of the eFACTS sites workbook (J2), projection +
+  * geocoding address assembly (X6). Stage `join` enriches every analysis
+  * row through the signature 3→2→1-key hierarchical cascade (J3) with
+  * ZIP-code-based miss detection and the row-conservation gate (G3).
+  *
+  * Scale notes: the dimension build is all broadcast-sized (sites are
+  * thousands of rows); the fact table (`data`, 100 TB posture) is scanned
+  * ONCE — the cascade is a single pass with three dimension hash joins,
+  * not the reference's 3 passes + 2 re-filters. The manual Google-Sheets
+  * geocoding detour (`down_water_prep.py:414-423`) becomes a plain
+  * `Coordinates` column carried through when the source provides it.
+  */
+object DownPipeline {
+
+  /** The 7 columns SPI and BI both carry (X9 repair + G2 gate set,
+    * `down_water_prep.py:307-313,324-360`). */
+  val RepairCols: Seq[String] = Seq(
+    "CLIENT ID", "COUNTY", "DISTRICT", "POPULATION SERVED",
+    "PRIMARY SOURCE", "REGION", "PRIMARY FACILITY ID")
+
+  /** Stage-`csv` output projection (`down_water_prep.py:376-402`). */
+  val SiteFields: Seq[String] = Seq(
+    "PWSID", "SYSTEM NAME", "Sample Location",
+    "SAMPLE POINT AVAILABILITY", "SAMPLE POINT NAME", "CLIENT ID", "SITE_ID",
+    "POPULATION SERVED", "PRIMARY SOURCE", "DISTRICT", "REGION", "COUNTY",
+    "ACTIVITY CODE", "PRIMARY FACILITY ID", "SYSTEM TYPE", "OWNER TYPE",
+    "SITE_NAME", "EPA_SITE_ID", "ADDRESS1", "ADDRESS2", "CITY", "STATE_CODE",
+    "ZIP_CODE")
+
+  /** Payload attached by the join-stage cascade: every site column except
+    * the three cascade keys. */
+  def payloadCols(siteSub: DataFrame): Seq[String] =
+    siteSub.columns.toSeq.filterNot(
+      Seq("PWSID", "SYSTEM NAME", "Sample Location").contains)
+
+  /** Stage `csv`, dimension half: SPI ⟗ BI ⟕ sites → (siteSub, G2 audit).
+    * The audit is computed post-repair, exactly like the reference's
+    * checks at `down_water_prep.py:323-360` — a mismatch means both
+    * sources disagreed on a value they both carried. */
+  def buildSiteDim(spi: DataFrame, bi: DataFrame, sites: DataFrame): (DataFrame, DataFrame) = {
+    val spiRenamed = spi.withColumnRenamed("PRMRY_FAC_ID", "PRIMARY FACILITY ID")
+    val joined = Relational
+      .joinWithSuffixes(spiRenamed, bi, Seq("PWSID", "SYSTEM NAME", "SITE ID"), "full_outer")
+      .withColumnRenamed("SITE ID", "SITE_ID")
+      .join(broadcast(sites), Seq("SITE_ID"), "left")
+      .withColumn("SYSTEM NAME", trim(col("SYSTEM NAME")))
+    val repaired = Relational
+      .coalesceRepair(joined, RepairCols, dropTwin = false)
+      .distinct()
+    val audit = Quality.audit(repaired, RepairCols.map(c =>
+      Quality.Gate(s"mismatch: $c", col(c) =!= col(c + "_y") && col(c + "_y").isNotNull)))
+    val keepCoords = if (repaired.columns.contains("Coordinates")) Seq("Coordinates") else Nil
+    val siteSub = repaired
+      .withColumnRenamed("SAMPLE POINT ID", "Sample Location")
+      .select((SiteFields ++ keepCoords).map(col): _*)
+      .withColumn("Lat_Long_Address",
+        when(col("ADDRESS2").isNull,
+          concat_ws(", ", col("ADDRESS1"), col("CITY"), col("STATE_CODE"), col("ZIP_CODE")))
+          .otherwise(concat_ws(", ",
+            concat_ws(" ", col("ADDRESS1"), col("ADDRESS2")),
+            col("CITY"), col("STATE_CODE"), col("ZIP_CODE"))))
+    (siteSub, audit)
+  }
+
+  /** Stage `csv`, fact half (`down_water_prep.py:316-321`): word-wrap
+    * repair, name trim, date de-spacing. */
+  def prepData(data: DataFrame): DataFrame =
+    data
+      .withColumn("Sample Type",
+        when(col("Sample Type") === "DISTRIBUTIO N", "DISTRIBUTION")
+          .otherwise(col("Sample Type")))
+      .withColumn("SYSTEM NAME", trim(col("SYSTEM NAME")))
+      .withColumn("Sample Date", regexp_replace(col("Sample Date"), " ", ""))
+
+  /** The join-stage key normalization (`down_water_prep.py:456-493`):
+    * null → X/Y markers so null keys never match across tables, `.0`
+    * float-artifact strip, `n`-prefix typing, trims. */
+  private def locKey(c: Column, marker: String): Column =
+    concat(lit("n"), Clean.stripFloatArtifact(trim(
+      when(c.isNull || c.isin("nan", "NaN", ""), lit(marker)).otherwise(c.cast("string")))))
+
+  /** Stage `join`: the 3→2→1-key hierarchical cascade over the site
+    * dimension, ZIP-code miss detection, row conservation enforced.
+    * Set `dropUnmatched=false` semantics: every data row survives. */
+  def enrich(siteSub: DataFrame, data: DataFrame): DataFrame = {
+    val site = siteSub
+      .withColumn("Sample Location", locKey(col("Sample Location"), "X"))
+      .withColumn("SYSTEM NAME", trim(col("SYSTEM NAME")))
+      .withColumn("Latitude", substring_index(col("Coordinates"), ",", 1))
+      .withColumn("Longitude", substring_index(col("Coordinates"), ",", -1))
+      .drop("Coordinates")
+    val fact = data
+      .withColumn("Sample Location", locKey(col("Sample Location"), "Y"))
+      .withColumn("SYSTEM NAME", trim(col("SYSTEM NAME")))
+    val out = Relational.hierarchicalEnrich(
+      fact, site,
+      keyLevels = Seq(
+        Seq("PWSID", "SYSTEM NAME", "Sample Location"),
+        Seq("PWSID", "SYSTEM NAME"),
+        Seq("PWSID")),
+      payloadCols = payloadCols(site),
+      dimOrder = Nil,
+      perLevelOrder = Seq(
+        Seq(col("Sample Location").desc, col("SITE_ID")),
+        Seq(col("Sample Location").desc, col("SITE_ID")),
+        Seq(col("SYSTEM NAME").desc, col("SITE_ID"))),
+      missOn = Some("ZIP_CODE"),
+      hintBroadcast = true)
+    Quality.requireRowConservation(data, out) // G3, down_water_prep.py:540-543
+    out
+  }
+
+  /** Full run: CSV/Excel in, three CSV checkpoints out (site prep, data
+    * prep, final), mirroring the reference's stage files. Returns the
+    * final enriched frame. */
+  def run(
+      spark: SparkSession,
+      spiPaths: Seq[String],
+      biPaths: Seq[String],
+      sitesXlsx: String,
+      sitesSheet: String,
+      dataPaths: Seq[String],
+      outDir: String): DataFrame = {
+    val spi = Csv.scan(spark, Schemas.spi, spiPaths: _*)
+    val bi = Csv.scan(spark, Schemas.bi, biPaths: _*)
+    val sites = Excel.cast(Excel.readSheet(spark, sitesXlsx, sitesSheet), Schemas.sites)
+    val data = prepData(Csv.scan(spark, Schemas.data, dataPaths: _*))
+    val (siteSub, audit) = buildSiteDim(spi, bi, sites)
+    // G2: halt the stage when the sources disagree (reference sets
+    // continue_if_true=False and stops, down_water_prep.py:338-360).
+    val bad = audit.filter(col("violations") > 0).collect()
+    if (bad.nonEmpty) throw new IllegalStateException(
+      "G2 consistency gate failed: " + bad.map(_.getString(0)).mkString(", "))
+    Csv.sink(siteSub, s"$outDir/downprep_site", singleFile = true)
+    Csv.sink(data, s"$outDir/downprep_data", singleFile = true)
+    val out = enrich(siteSub, data)
+    Csv.sink(out, s"$outDir/down_water_data", singleFile = true)
+    out
+  }
+}

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.sources.Csv
+import graft.queries.ParityQueries.Q
+
+/** CSV source/sink queries (S1/S2/S7) under the oracle gate: each query
+  * round-trips star-schema data through the engine's CSV surface — sink
+  * then scan — and aggregates the re-read rows, so header writing,
+  * schema-on-read typing and multi-file union scanning are all on the
+  * hash-checked path (the oracle computes the same aggregate straight
+  * from parquet; any round-trip corruption breaks the match).
+  *
+  * Doubles survive exactly because the sink writes Java's shortest
+  * round-trip decimal repr and the scan parses it back to the identical
+  * bit pattern.
+  */
+object SourceQueries {
+
+  private def tmp(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_srcq/$name"
+
+  private val liSchema = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_returnflag", StringType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType)))
+
+  private val ordSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderpriority", StringType)))
+
+  /** S7+S1 — sink a filtered projection as a MULTI-PART csv directory
+    * (one file per partition, like any distributed write), scan it back
+    * with the explicit schema, aggregate. */
+  val q38CsvRoundtrip: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val out = tmp("rt_lineitem")
+    Csv.sink(
+      t.lineitem.filter(col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_extendedprice")
+        .repartition(4),
+      out)
+    Csv.scan(spark, liSchema, out)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** S2 — the reference's yearly-drop shape
+    * (`/root/reference/down/down_water_prep.py:554-565`): three separate
+    * csv directories written independently, read back as ONE multi-path
+    * scan (a single distributed read — no driver loop, no union nodes). */
+  val q39CsvMultiPath: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val statuses = Seq("O", "F", "P")
+    val paths = statuses.map { s =>
+      val out = tmp(s"mp_orders_$s")
+      Csv.sink(
+        t.orders.filter(col("o_orderstatus") === s)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),
+        out)
+      out
+    }
+    Csv.scan(spark, ordSchema, paths: _*)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q38_csv_roundtrip" -> q38CsvRoundtrip,
+    "q39_csv_multipath" -> q39CsvMultiPath)
+
+  val oracle: Map[String, String] = Map(
+    "q38_csv_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_quantity >= 45
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q39_csv_multipath" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus IN ('O', 'F', 'P')
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+}
