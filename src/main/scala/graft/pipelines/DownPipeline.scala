@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.clean.Clean
 import graft.operators.{Quality, Relational}
-import graft.sources.{Csv, Excel, Schemas}
+import graft.sources.{Csv, Excel, Pdf, Schemas}
 
 /** The reference's main pipeline (`/root/reference/down/down_water_prep.py`,
   * stages `csv` + `join`), re-expressed Spark-first.
@@ -46,6 +46,18 @@ object DownPipeline {
   def payloadCols(siteSub: DataFrame): Seq[String] =
     siteSub.columns.toSeq.filterNot(
       Seq("PWSID", "SYSTEM NAME", "Sample Location").contains)
+
+  /** Stage `pdf` (`down_water_prep.py:230-247`): distributed PDF table
+    * extraction → CSV checkpoint in the catalog `data` schema. The
+    * reference runs this stage once because it is slow (a tabula JVM
+    * subprocess per page); here it is one parallel scan, and the CSV
+    * checkpoint remains the stage contract so `csv`/`join` never re-parse
+    * PDFs. */
+  def runPdfStage(spark: SparkSession, pdfPaths: Seq[String], outDir: String): DataFrame = {
+    val df = Pdf.scan(spark, pdfPaths: _*)
+    Csv.sink(df, s"$outDir/rptinfo", singleFile = true)
+    df
+  }
 
   /** Stage `csv`, dimension half: SPI ⟗ BI ⟕ sites → (siteSub, G2 audit).
     * The audit is computed post-repair, exactly like the reference's
