@@ -42,4 +42,31 @@ object Hashing {
     val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
+
+  // ---------------------------------------------------- affine hash family
+
+  /** Mersenne prime 2^31 − 1: the modulus of the affine family. Products
+    * a·(base mod p) stay under 2^62, so the arithmetic is exact in signed
+    * 64-bit on every engine. */
+  val P31: Long = 2147483647L
+
+  /** Deterministic per-member coefficients (a ∈ [1, p−1], b ∈ [0, p−1]),
+    * derived from md5 so both engines embed identical literals. */
+  def affineParams(i: Int): (Long, Long) =
+    (h60Jvm(s"a:$i") % (P31 - 1) + 1, h60Jvm(s"b:$i") % P31)
+
+  /** Member `i` of a universal hash family over ONE base hash:
+    * h_i(x) = (a_i·(h60(x) mod p) + b_i) mod p. The standard MinHash
+    * construction — k family members cost ONE md5 per element plus k
+    * multiply-adds, not k md5s. */
+  def h31Affine(i: Int, base: Column): Column = {
+    val (a, b) = affineParams(i)
+    (lit(a) * (base % lit(P31)) + lit(b)) % lit(P31)
+  }
+
+  /** DuckDB-SQL twin of [[h31Affine]]. */
+  def h31AffineSql(i: Int, baseExpr: String): String = {
+    val (a, b) = affineParams(i)
+    s"(($a * (($baseExpr) % $P31) + $b) % $P31)"
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hashing.h60
+import graft.functions.Hashing.{h31Affine, h60}
 import graft.functions.TextAnalysis.tokensWs
 
 /** Deduplication operators for large-scale corpus pipelines: exact
@@ -100,13 +100,16 @@ object Dedup {
   // ---------------------------------------------------------------- MinHash
 
   /** Wide MinHash signature: one row per id, columns mh0..mh{k−1} where
-    * mh_i = min over shingles of h60(i, shingle). Single pass over the
-    * exploded shingles (k min-aggregates in one hash aggregation — the
-    * shingle set is NOT replicated k times). */
+    * mh_i = min over shingles of the affine family member
+    * [[graft.functions.Hashing.h31Affine]] applied to ONE md5-base hash
+    * per shingle. Single pass over the exploded shingles: k
+    * min-aggregates in one hash aggregation, one md5 per shingle (not k —
+    * the universal-hash construction cuts the dominant cost k-fold). */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16): DataFrame = {
     val sh = shingled(df, idCol, textCol, n)
-    val mins = (0 until k).map(i => min(h60(i, col("shingle"))).as(s"mh$i"))
+      .withColumn("__base", h60(col("shingle")))
+    val mins = (0 until k).map(i => min(h31Affine(i, col("__base"))).as(s"mh$i"))
     sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
   }
 
@@ -129,6 +132,11 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 4, minAgree: Int = 8): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
+    // The signature relation feeds three consumers (band keys + both
+    // sides of the agreement join); no persist needed — the consumers'
+    // aggregation subplans are identical, so ReuseExchange computes the
+    // shuffle once and shares it (verified faster than an explicit
+    // persist, which only adds store/read overhead).
     val sigs = minhashSignature(df, idCol, textCol, n, k)
     val keys = lshBandKeys(sigs, idCol, bands, k / bands)
     val pairs = keys.toDF(s"a_$idCol", "band", "band_key")

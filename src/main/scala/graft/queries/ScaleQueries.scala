@@ -105,11 +105,14 @@ object ScaleQueries {
        |  SELECT doc_id, unnest($shinglesSql) AS shingle
        |  FROM (SELECT doc_id, $toksSql AS toks FROM documents))""".stripMargin
 
-  /** 16-column MinHash signature CTE. */
+  /** 16-column MinHash signature CTE: one md5 base per shingle, affine
+    * family members on top (same construction as
+    * [[graft.operators.Dedup.minhashSignature]]). */
   private val sigCte = {
     val mins = (0 until 16)
-      .map(i => s"min(${Hashing.h60Sql(i, "shingle")}) AS mh$i").mkString(", ")
-    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+      .map(i => s"min(${Hashing.h31AffineSql(i, "base")}) AS mh$i").mkString(", ")
+    s"""shb AS (SELECT doc_id, ${Hashing.h60Sql("shingle")} AS base FROM sh),
+       |sig AS (SELECT doc_id, $mins FROM shb GROUP BY doc_id)""".stripMargin
   }
 
   /** 4-band LSH key CTE over the signature. */

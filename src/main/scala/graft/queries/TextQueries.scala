@@ -45,14 +45,20 @@ object TextQueries {
   }
 
   /** TX4 — document fingerprint: min-hash over char 8-grams + mod-sampled
-    * gram count (winnowing-style signature). */
+    * gram count (winnowing-style signature). The hash array is
+    * materialized ONCE in its own projection and both outputs derive from
+    * it — the md5-per-gram work is the dominant cost and must not be
+    * duplicated per consumer (CollapseProject leaves the boundary alone
+    * because the shared expression is non-cheap and referenced twice). */
   val q24Fingerprint: Q = (spark, dir) => {
     val t = Tables(spark, dir)
     t.documents
+      .select(col("doc_id"),
+        transform(TA.charKgrams(col("text"), 8), g => Hashing.h60(g)).as("__h"))
       .select(
         col("doc_id"),
-        TA.fingerprint(col("text")).as("fp"),
-        TA.sampledKgramCount(col("text")).as("n_sampled"))
+        array_min(col("__h")).as("fp"),
+        size(filter(col("__h"), h => h % 64 === 0)).cast("long").as("n_sampled"))
       .orderBy("doc_id")
   }
 
