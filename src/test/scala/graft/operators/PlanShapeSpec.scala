@@ -57,6 +57,16 @@ class PlanShapeSpec extends SparkSpec {
       assertNoQuadraticJoin(physicalPlan(df), name)
   }
 
+  test("jaccard doc-frequency cap is a no-op on low-frequency data") {
+    // every shingle here occurs in ≤2 docs, far under the cap — the skew
+    // guard must not change a single pair or similarity value
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text").collect().map(_.toSeq).toSet
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text",
+      maxShingleDocFreq = Some(100)).collect().map(_.toSeq).toSet
+    assert(capped == uncapped)
+    assert(uncapped.nonEmpty) // docs 1 and 2 share most shingles
+  }
+
   test("multi-table LSH recall beats single-table at equal cosine") {
     val single = Similarity.nearDupPairsLsh(vecs, "vec_id", "embedding",
       minMicro = 100000L, planes = 3, dims = 4, tables = 1).count()
