@@ -8,11 +8,13 @@ import graft.functions.Hashing
 
 /** Similarity search over embedding columns (`array<float>`).
   *
-  * Numeric discipline: dot products and norms accumulate in DOUBLE via the
-  * sequential `aggregate` higher-order function (left-to-right IEEE fold —
-  * bit-identical to the oracle's `list_reduce`), and similarities are
-  * compared/ranked as `floor(1e6·cos)` integers so ordering can never
-  * diverge across engines on a last-ulp difference.
+  * Numeric discipline: dot products and norms accumulate in DOUBLE in a
+  * left-to-right IEEE fold (the native codegen'd
+  * [[graft.functions.FloatDotProduct]] — bit-identical to the oracle's
+  * `list_reduce` and to the `aggregate(zip_with(...))` form it replaces,
+  * but a primitive loop instead of interpreted lambda dispatch), and
+  * similarities are compared/ranked as `floor(1e6·cos)` integers so
+  * ordering can never diverge across engines on a last-ulp difference.
   *
   * Scale posture: the brute-force form broadcasts the (small) query set and
   * scans the corpus once — right when queries ≪ corpus. The LSH form maps
@@ -22,10 +24,13 @@ import graft.functions.Hashing
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product in double precision (native codegen'd
+    * expression; see [[graft.functions.FloatDotProduct]]). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.FloatDotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

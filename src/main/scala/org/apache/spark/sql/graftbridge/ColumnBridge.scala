@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Narrow bridge to Spark's `private[sql]` Expression↔Column converters —
+  * the standard pattern for extension libraries shipping native Catalyst
+  * expressions (the only supported alternatives are SQL-registry
+  * round-trips). Keep this object minimal: the engine's own code all
+  * lives under `graft.*`. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
