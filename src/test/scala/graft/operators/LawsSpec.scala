@@ -1,0 +1,107 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.clean.Clean
+
+/** Property-law tests (SURVEY.md §5.2) over seeded random inputs: the
+  * cascade's row-conservation law (G3), keep-first uniqueness, match
+  * monotonicity, drop-unmatched equivalence, union arithmetic, and
+  * cleaning idempotence. Three seeds per law — deterministic, but the
+  * inputs are adversarial (duplicate dim keys, partial coverage, nulls)
+  * rather than hand-picked. */
+class LawsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomWorld(seed: Int): (DataFrame, DataFrame) = {
+    val rnd = new Random(seed)
+    val fact = (0 until 60).map { i =>
+      (i.toLong, rnd.nextInt(12).toLong, rnd.nextInt(4))
+    }.toDF("row_id", "custkey", "nkey")
+    // dimension with deliberate duplicate keys and partial coverage
+    val dim = (0 until 30).map { i =>
+      (rnd.nextInt(16).toLong, rnd.nextInt(4),
+        s"name_${rnd.nextInt(8)}", rnd.nextInt(100).toDouble)
+    }.toDF("custkey", "nkey", "payload_name", "payload_bal")
+    (fact, dim)
+  }
+
+  private def enrich(fact: DataFrame, dim: DataFrame, drop: Boolean) =
+    Relational.hierarchicalEnrich(
+      fact, dim,
+      keyLevels = Seq(Seq("custkey", "nkey"), Seq("custkey")),
+      payloadCols = Seq("payload_name", "payload_bal"),
+      dimOrder = Seq(col("payload_bal").desc, col("payload_name")),
+      dropUnmatched = drop)
+
+  test("G3 law: the conserving cascade emits exactly one row per input row") {
+    for (seed <- Seq(1, 2, 3)) {
+      val (fact, dim) = randomWorld(seed)
+      val out = enrich(fact, dim, drop = false)
+      assert(out.count() == 60, s"seed=$seed")
+      assert(out.select("row_id").distinct().count() == 60, s"seed=$seed")
+    }
+  }
+
+  test("keepFirst law: unique on keys and every survivor is an input row") {
+    for (seed <- Seq(1, 2, 3)) {
+      val (_, dim) = randomWorld(seed)
+      val kept = Relational.keepFirst(dim, Seq("custkey", "nkey"),
+        Seq(col("payload_bal").desc, col("payload_name")))
+      assert(kept.groupBy("custkey", "nkey").count().filter(col("count") > 1).isEmpty,
+        s"seed=$seed: duplicate keys survived")
+      assert(kept.except(dim).isEmpty, s"seed=$seed: fabricated rows")
+    }
+  }
+
+  test("monotonicity law: a level-1 match carries exactly the level-1 survivor's payload") {
+    for (seed <- Seq(1, 2, 3)) {
+      val (fact, dim) = randomWorld(seed)
+      val out = enrich(fact, dim, drop = false)
+      val survivors = Relational.keepFirst(dim, Seq("custkey", "nkey"),
+        Seq(col("payload_bal").desc, col("payload_name")))
+        .withColumnRenamed("payload_name", "exp_name")
+        .withColumnRenamed("payload_bal", "exp_bal")
+      val l1 = out.filter(col("match_level") === 1)
+        .join(survivors, Seq("custkey", "nkey"), "left")
+      assert(l1.filter(col("payload_name") =!= col("exp_name") ||
+        col("payload_bal") =!= col("exp_bal")).isEmpty, s"seed=$seed")
+      // and a level-2 row's (custkey, nkey) must be absent from the dim
+      val l2bad = out.filter(col("match_level") === 2)
+        .join(dim.select("custkey", "nkey").distinct(), Seq("custkey", "nkey"), "left_semi")
+      assert(l2bad.isEmpty, s"seed=$seed: level-2 row had a level-1 key match")
+    }
+  }
+
+  test("drop-unmatched law: equals the conserving cascade filtered to matches") {
+    for (seed <- Seq(1, 2, 3)) {
+      val (fact, dim) = randomWorld(seed)
+      val dropped = enrich(fact, dim, drop = true)
+      val filtered = enrich(fact, dim, drop = false).filter(col("match_level").isNotNull)
+      assertSameRows(dropped, filtered)
+    }
+  }
+
+  test("unionStrata law: row count is the sum, columns are the union") {
+    for (seed <- Seq(1, 2, 3)) {
+      val (fact, dim) = randomWorld(seed)
+      val u = Relational.unionStrata(Seq(fact, dim))
+      assert(u.count() == fact.count() + dim.count(), s"seed=$seed")
+      assert(u.columns.toSet == fact.columns.toSet ++ dim.columns.toSet, s"seed=$seed")
+    }
+  }
+
+  test("normalizeNull is idempotent and only touches sentinels") {
+    val vals = Seq("x", ".", "", "nan", "NaN", null, " .", "n.", "NAN")
+    val df = vals.toDF("v")
+    val once = df.select(Clean.normalizeNull(col("v")).as("v"))
+    val twice = once.select(Clean.normalizeNull(col("v")).as("v"))
+    assertSameRows(once, twice)
+    val got = once.collect().map(r => Option(r.getString(0))).toSeq
+    assert(got == Seq(Some("x"), None, None, None, None, None, Some(" ."), Some("n."), Some("NAN")))
+  }
+}
