@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.FloatDotProduct
+
+/** Session extension entry point: registers the engine's native
+  * expressions with the SQL function registry, so `spark.sql` users get
+  * them without touching the Scala API. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  *
+  * This is the engine's integration rung for custom Catalyst surface —
+  * today one scalar expression; a custom Rule/Strategy would be injected
+  * from the same place if an operator ever outgrew what the DataFrame
+  * primitives express (none has: every graft operator is a composition
+  * of built-ins + this expression).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("float_dot"),
+      new ExpressionInfo(
+        classOf[FloatDotProduct].getCanonicalName,
+        null,
+        "float_dot",
+        "float_dot(a, b) - dot product of two array<float> in sequential double accumulation",
+        ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"float_dot takes 2 arguments, got ${exprs.length}")
+        FloatDotProduct(exprs.head, exprs(1))
+      }))
+  }
+}

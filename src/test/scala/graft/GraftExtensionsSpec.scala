@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.SparkSpec
+
+/** The extensions entry point, exercised through the real injection path
+  * (applied to the shared session's registry — a fresh builder would be
+  * silently reused by getOrCreate): SQL users can call the native
+  * expression without the Scala API. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("float_dot is callable from SQL once the extension's injections apply") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    ColumnBridge.registerInjectedFunctions(ext, spark.sessionState.functionRegistry)
+    val got = spark.sql(
+      """SELECT float_dot(
+        |  CAST(array(1.0, 2.0, 3.0) AS array<float>),
+        |  CAST(array(4.0, 5.0, 6.0) AS array<float>)) AS d""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(got == 32.0)
+    // analyzer-level type check rejects wrong element types
+    val e = intercept[Exception](
+      spark.sql("SELECT float_dot(array(1.0), array(2.0))").collect())
+    assert(e.getMessage.contains("array<float>"))
+  }
+}
