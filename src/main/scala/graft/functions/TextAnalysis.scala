@@ -28,6 +28,21 @@ object TextAnalysis {
   def wordCount(tokens: Column, word: String): Column =
     size(filter(tokens, t => t === lit(word)))
 
+  /** Codegen-friendly token stream for [[wordCountFast]]: tokens joined
+    * by DOUBLE spaces and padded, so the ` word ` patterns of adjacent
+    * identical tokens never overlap and removal-counting is exact. */
+  def paddedTokens(text: Column): Column =
+    concat(lit(" "), regexp_replace(trim(text), "\\s+", "  "), lit(" "))
+
+  /** Exact token-occurrence count over a [[paddedTokens]] stream via
+    * length arithmetic — a pure codegen'd string expression, unlike the
+    * higher-order `filter` (CodegenFallback: interpreted per-element
+    * lambda dispatch), which matters when a classifier probes dozens of
+    * words per document. `word` must be whitespace-free. */
+  def wordCountFast(padded: Column, word: String): Column =
+    ((length(padded) - length(regexp_replace(padded, s" $word ", "")))
+      / lit(word.length + 2)).cast("int")
+
   // ------------------------------------------------------------- language ID
 
   /** Per-language marker-word profiles with integer lift weights (×100),
@@ -43,15 +58,18 @@ object TextAnalysis {
     "fr" -> Seq("query" -> 118, "scan" -> 117, "data" -> 114, "batch" -> 110),
     "zh" -> Seq("dup" -> 151, "the" -> 115, "fast" -> 112, "small" -> 109))
 
-  /** Integer score of one language profile over a token array. */
-  def langScore(tokens: Column, profile: Seq[(String, Int)]): Column =
-    profile.map { case (w, wt) => wordCount(tokens, w) * lit(wt) }
+  /** Integer score of one language profile over a [[paddedTokens]]
+    * stream (all-codegen string counting). */
+  def langScore(padded: Column, profile: Seq[(String, Int)]): Column =
+    profile.map { case (w, wt) => wordCountFast(padded, w) * lit(wt) }
       .reduce(_ + _)
 
-  /** Predicted language: alphabetical-first argmax over profile scores —
-    * deterministic under ties, same CASE cascade as the oracle SQL. */
-  def langId(tokens: Column): Column = {
-    val scores = LangProfiles.map { case (l, p) => l -> langScore(tokens, p) }
+  /** Predicted language from precomputed per-language score COLUMNS:
+    * alphabetical-first argmax — deterministic under ties, same CASE
+    * cascade as the oracle SQL. Callers materialize the scores in their
+    * own projection first (one [[paddedTokens]] pass shared by all
+    * profiles) and pass the attribute references here. */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column =
     scores.zipWithIndex.foldRight(lit(null).cast("string")) {
       case (((lang, score), i), rest) =>
         val remaining = scores.drop(i + 1).map(_._2)
@@ -61,7 +79,6 @@ object TextAnalysis {
           when(score >= best, lit(lang)).otherwise(rest)
         }
     }
-  }
 
   // --------------------------------------------------------- quality scoring
 

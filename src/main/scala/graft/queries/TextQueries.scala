@@ -25,11 +25,19 @@ object TextQueries {
   }
 
   /** TX2 — language ID: unigram-profile classifier vs. the labeled lang,
-    * aggregated to a per-language confusion summary. */
+    * aggregated to a per-language confusion summary. Scores materialize
+    * in their own projection (one shared padded-token pass, 20 codegen'd
+    * substring counts) before the argmax cascade — mirroring the
+    * oracle's scored-CTE shape. */
   val q22LangId: Q = (spark, dir) => {
     val t = Tables(spark, dir)
-    t.documents
-      .withColumn("predicted", TA.langId(TA.tokensWs(col("text"))))
+    val scored = t.documents
+      .select(col("lang"), TA.paddedTokens(col("text")).as("__p"))
+      .select(col("lang") +:
+        TA.LangProfiles.map { case (l, p) => TA.langScore(col("__p"), p).as(s"s_$l") }: _*)
+    scored
+      .withColumn("predicted",
+        TA.langIdFromScores(TA.LangProfiles.map { case (l, _) => l -> col(s"s_$l") }))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
@@ -70,8 +78,10 @@ object TextQueries {
 
   // ------------------------------------------------------------- oracle SQL
 
+  /** Padded-stream occurrence count — same construction as
+    * [[TA.wordCountFast]]: `//` is DuckDB's integer division. */
   private def wcSql(word: String): String =
-    s"len(list_filter(toks, t -> t = '$word'))"
+    s"((length(p) - length(replace(p, ' $word ', ''))) // ${word.length + 2})"
 
   private val langScoreSql: Seq[(String, String)] =
     TA.LangProfiles.map { case (lang, profile) =>
@@ -104,7 +114,9 @@ object TextQueries {
     "q22_lang_id" ->
       s"""WITH scored AS (
          |  SELECT lang, ${langScoreSql.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")}
-         |  FROM (SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)),
+         |  FROM (SELECT lang,
+         |        ' ' || regexp_replace(trim(text), '\\s+', '  ', 'g') || ' ' AS p
+         |        FROM documents)),
          |pred AS (SELECT lang, $predictedSql AS predicted FROM scored)
          |SELECT lang, predicted, COUNT(*) AS n FROM pred
          |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,

@@ -43,6 +43,17 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.count() > 0)
   }
 
+  test("stub features feed the ANN pipeline end to end (binary → features → top-k)") {
+    val feats = assets.select(col("asset_id"),
+      Multimodal.decodeFeaturesStub(col("bytes"), dims = 16).as("feat"))
+    val ann = Similarity.annTopK(feats, "asset_id", "feat",
+      k = 2, planes = 1, dims = 16, queryFilter = col("asset_id") === 1L)
+    val plan = ann.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    val rows = ann.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("query_id") == 1L))
+  }
+
   test("decodeFeaturesStub yields deterministic fixed-width float vectors") {
     val f = assets.select(col("asset_id"),
       Multimodal.decodeFeaturesStub(col("bytes"), dims = 8).as("feat"))
