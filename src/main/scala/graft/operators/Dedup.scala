@@ -154,6 +154,67 @@ object Dedup {
       .select(s"a_$idCol", s"b_$idCol", "sig_agree")
   }
 
+  // ------------------------------------------------------------- clustering
+
+  /** Connected components over near-dup pairs: the last mile of corpus
+    * dedup — pairs say "these two are near-identical", clusters say
+    * "keep one of THESE k". Iterative min-label propagation: every node
+    * starts labeled with its own id; each round every node takes the min
+    * of its label and its neighbors' labels; fixpoint = per-component
+    * min id as `cluster_id`.
+    *
+    * Scale posture: each round is one equi-join + one aggregation on the
+    * edge list — hash shuffles, no driver data. The driver only runs the
+    * convergence loop (count of changed labels per round), standard for
+    * iterative graph algorithms on Spark; rounds needed = graph diameter
+    * (near-dup components are shallow — dup clusters are cliques or
+    * short chains, so 2–4 rounds in practice). `localCheckpoint` per
+    * round truncates the exploding lineage.
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+      idCol: String, maxIter: Int = 20): DataFrame = {
+    val cols = edges.columns
+    require(cols.length == 2, "edges must be (src, dst)-shaped")
+    val sym = edges.toDF("src", "dst")
+      .unionByName(edges.toDF("dst", "src").select("src", "dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val neighborMin = sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src").agg(min("label").as("nmin"))
+        .withColumnRenamed("src", "id")
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = updated.withColumnRenamed("label", "new_label")
+        .join(labels, "id")
+        .filter(col("new_label") =!= col("label"))
+        .count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup clusters from MinHash-LSH pairs, with per-cluster size and
+    * the canonical (min-id) survivor flagged — the materialized form a
+    * dedup pipeline actually writes. */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 4, minAgree: Int = 8): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, k, bands, minAgree)
+      .select(s"a_$idCol", s"b_$idCol")
+    val cc = connectedComponents(pairs, df.select(idCol), idCol)
+    val w = Window.partitionBy("cluster_id")
+    cc.withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 60-bit frequency-weighted SimHash of the whitespace tokens: bit i is

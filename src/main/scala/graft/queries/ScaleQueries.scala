@@ -80,8 +80,20 @@ object ScaleQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** DD5 — near-dup clusters: connected components over the MinHash-LSH
+    * pairs (iterative min-label propagation; the oracle walks the same
+    * graph with a recursive CTE), sized, with the canonical survivor
+    * flagged. */
+  val q40DedupClusters: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    Dedup.nearDupClusters(t.documents, "doc_id", "text",
+      n = 3, k = 16, bands = 4, minAgree = 8)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q25_exact_dedup" -> q25ExactDedup,
+    "q40_dedup_clusters" -> q40DedupClusters,
     "q26_jaccard_pairs" -> q26JaccardPairs,
     "q27_minhash_lsh" -> q27MinhashLsh,
     "q28_simhash" -> q28Simhash,
@@ -227,6 +239,32 @@ object ScaleQueries {
          |WHERE hamming <= 10
          |ORDER BY a_doc_id, b_doc_id""".stripMargin
     },
+    "q40_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingledCte,
+         |$sigCte,
+         |$keysCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+         |  FROM keys a JOIN keys b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT a_doc_id, b_doc_id FROM (
+         |    SELECT a_doc_id, b_doc_id,
+         |      ${(0 until 16).map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS sig_agree
+         |    FROM cand JOIN sig x ON a_doc_id = x.doc_id JOIN sig y ON b_doc_id = y.doc_id)
+         |  WHERE sig_agree >= 8),
+         |sym AS (
+         |  SELECT a_doc_id AS src, b_doc_id AS dst FROM pairs
+         |  UNION SELECT b_doc_id, a_doc_id FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+         |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  doc_id = cluster_id AS is_canonical
+         |FROM cc ORDER BY doc_id""".stripMargin,
     "q29_embedding_neardup" ->
       s"""WITH $normedCte,
          |$multiKeysCte,

@@ -95,6 +95,15 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: chains collapse to min-id clusters, singletons stand alone") {
+    // 1-2, 2-3 (a 3-chain), 5-6, isolated 9 — diameter > 1 forces >1 round
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
+    val cc = Dedup.connectedComponents(edges, nodes, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
   test("normalizeNull is idempotent and only touches sentinels") {
     val vals = Seq("x", ".", "", "nan", "NaN", null, " .", "n.", "NAN")
     val df = vals.toDF("v")
