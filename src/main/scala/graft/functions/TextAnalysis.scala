@@ -116,6 +116,25 @@ object TextAnalysis {
       (scaledRatio(size(array_distinct(toks)), n, 1000) >= 100)
   }
 
+  // --------------------------------------------------------------- PII scrub
+
+  /** RE2-safe patterns (no lookaround/backrefs) so the oracle's regex
+    * engine agrees match-for-match with Java's. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** Mask emails then phone numbers — the standard pre-training scrub
+    * pass, as two codegen'd regexp_replace stages. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Occurrences of `pattern` in `text` (cross-engine: both sides count
+    * via extract-all). */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   // ---------------------------------------------------------- fingerprinting
 
   /** Character k-grams of a string (empty array when shorter than k). */

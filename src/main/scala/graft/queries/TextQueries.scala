@@ -70,11 +70,47 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** TX5 — PII redaction: synthetic contact strings built from customer
+    * rows identically on both engines, then email/phone masking with
+    * per-row match counts (the pre-training scrub pass). */
+  val q41PiiRedact: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val contact = concat(
+      lit("reach "),
+      regexp_replace(lower(col("c_name")), "[^a-z0-9]", "."),
+      lit("@example.com or call 555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit(" segment "), col("c_mktsegment"))
+    t.customer
+      .select(col("c_custkey"), contact.as("contact"))
+      .select(
+        col("c_custkey"),
+        TA.redactPii(col("contact")).as("redacted"),
+        TA.matchCount(col("contact"), TA.EmailPattern).as("n_emails"),
+        TA.matchCount(col("contact"), TA.PhonePattern).as("n_phones"))
+      .orderBy("c_custkey")
+  }
+
+  /** TX6 — corpus vocabulary: global token frequencies, top 50 with a
+    * total tiebreak (the vocabulary-building scan). */
+  val q42VocabTopK: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(explode(TA.tokensWs(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+  }
+
   val all: Map[String, Q] = Map(
     "q21_token_stats" -> q21TokenStats,
     "q22_lang_id" -> q22LangId,
     "q23_quality" -> q23Quality,
-    "q24_fingerprint" -> q24Fingerprint)
+    "q24_fingerprint" -> q24Fingerprint,
+    "q41_pii_redact" -> q41PiiRedact,
+    "q42_vocab_topk" -> q42VocabTopK)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -141,5 +177,29 @@ object TextQueries {
          |  list_min(hashes) AS fp,
          |  CAST(len(list_filter(hashes, h -> h % 64 = 0)) AS BIGINT) AS n_sampled
          |FROM (SELECT doc_id, $kgramHashesSql AS hashes FROM documents)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "q41_pii_redact" -> {
+      // runtime pattern strings embed verbatim into the SQL literal
+      val email = TA.EmailPattern
+      val phone = TA.PhonePattern
+      s"""WITH c AS (
+         |  SELECT c_custkey,
+         |    'reach ' || regexp_replace(lower(c_name), '[^a-z0-9]', '.', 'g')
+         |      || '@example.com or call 555-'
+         |      || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         |      || ' segment ' || c_mktsegment AS contact
+         |  FROM customer)
+         |SELECT c_custkey,
+         |  regexp_replace(regexp_replace(contact, '$email', '<EMAIL>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(contact, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(contact, '$phone')) AS BIGINT) AS n_phones
+         |FROM c ORDER BY c_custkey""".stripMargin
+    },
+    "q42_vocab_topk" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |WHERE token != ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin)
 }
