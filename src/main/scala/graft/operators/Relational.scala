@@ -75,6 +75,34 @@ object Relational {
   def unionStrata(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** Skew-salted left join: when one fact key dominates (the reference's
+    * own data is skewed — one contaminant is 40% of rows, SURVEY.md
+    * §4.2), a plain hash join sends the hot key to one task. Salting
+    * splits it: the fact side gets a deterministic salt in [0, buckets)
+    * from its row content, the (small) dimension side is replicated once
+    * per salt, and the join key becomes (keys, salt) — the hot key now
+    * spreads over `buckets` tasks. Result is row-for-row identical to
+    * the unsalted join (dim replicated, never duplicated per fact row).
+    *
+    * Prefer AQE's skew-join splitting (on by default in
+    * [[graft.GraftSession]]) when it fires; this operator is for the
+    * cases AQE can't fix — e.g. a skewed AGGREGATION feeding the join,
+    * or pre-AQE stage boundaries. Dimension must be small: it is
+    * replicated `buckets`×.
+    */
+  def saltedLeftJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(buckets)).cast("int"))
+    val dimSalted = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(dimSalted, keys :+ "__salt", "left").drop("__salt")
+  }
+
   /** J3/J4 — hierarchical enrichment cascade (the reference's signature
     * operator, `/root/reference/down/down_water_prep.py:428-546` and the
     * 2-level variant `direct/direct_water_prep.py:134-166`).

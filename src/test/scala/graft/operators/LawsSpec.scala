@@ -95,6 +95,20 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("saltedLeftJoin equals the plain left join on skewed random data") {
+    for (seed <- Seq(1, 2)) {
+      val rnd = new Random(seed)
+      // 80% of facts share one hot key — the salting target
+      val fact = (0 until 200).map { i =>
+        (i.toLong, if (rnd.nextDouble() < 0.8) 7L else rnd.nextInt(10).toLong)
+      }.toDF("row_id", "k")
+      val dim = (0 until 10).map(i => (i.toLong, s"payload_$i")).toDF("k", "p")
+      val plain = fact.join(dim, Seq("k"), "left")
+      val salted = Relational.saltedLeftJoin(fact, dim, Seq("k"), buckets = 8)
+      assertSameRows(salted, plain)
+    }
+  }
+
   test("connectedComponents: chains collapse to min-id clusters, singletons stand alone") {
     // 1-2, 2-3 (a 3-chain), 5-6, isolated 9 — diameter > 1 forces >1 round
     val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("a", "b")
