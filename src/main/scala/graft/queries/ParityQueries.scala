@@ -314,8 +314,32 @@ object ParityQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** SESS — gap-based sessionization: a new session starts after 30
+    * minutes of per-user inactivity; session_seq = running count of
+    * session starts. One shuffle on user_id, two window passes over the
+    * same partitioning (Catalyst plans a single sort), no state — the
+    * batch twin of streaming session windows. */
+  val q43Sessionize: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t.events
+      .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts").cast("timestamp")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum("new_sess").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select("user_id", "event_id", "ts", "session_seq")
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pruned_scan" -> q01PrunedScan,
+    "q43_sessionize" -> q43Sessionize,
     "q02_agg_pricing" -> q02AggPricing,
     "q03_region_revenue" -> q03RegionRevenue,
     "q04_outer_suffix_repair" -> q04OuterSuffixRepair,
@@ -493,6 +517,19 @@ object ParityQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "q43_sessionize" ->
+      """SELECT user_id, event_id, ts, session_seq FROM (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM (
+        |    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |      LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |    FROM events))
+        |ORDER BY user_id, event_id""".stripMargin,
     "q20_asof_join" ->
       """SELECT user_id, event_id, ts, last_signup_ts, value FROM (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
