@@ -337,9 +337,37 @@ object ParityQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** X12 — JSON extraction over the events `props` payload: parse the
+    * embedded integer, bucket it, aggregate (codegen'd path — no UDF). */
+  val q44JsonExtract: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    t.events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy((col("k") % 10).as("k_mod"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        sumMoney(col("value")).as("total_value"))
+      .orderBy("k_mod", "event_type")
+  }
+
+  /** A+ — pivot: revenue matrix returnflag × linestatus, the
+    * column-per-group-value reshape (Spark `pivot`; the oracle's
+    * equivalent conditional aggregation names the columns identically). */
+  val q45Pivot: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sumMoney(col("l_extendedprice")))
+      .orderBy("l_returnflag")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pruned_scan" -> q01PrunedScan,
     "q43_sessionize" -> q43Sessionize,
+    "q44_json_extract" -> q44JsonExtract,
+    "q45_pivot" -> q45Pivot,
     "q02_agg_pricing" -> q02AggPricing,
     "q03_region_revenue" -> q03RegionRevenue,
     "q04_outer_suffix_repair" -> q04OuterSuffixRepair,
@@ -517,6 +545,21 @@ object ParityQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "q44_json_extract" ->
+      """SELECT (k % 10) AS k_mod, event_type, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM (SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |             event_type, value
+        |      FROM events)
+        |GROUP BY k_mod, event_type ORDER BY k_mod, event_type""".stripMargin,
+    "q45_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS F,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q43_sessionize" ->
       """SELECT user_id, event_id, ts, session_seq FROM (
         |  SELECT user_id, event_id, ts,
