@@ -363,11 +363,28 @@ object ParityQueries {
       .orderBy("l_returnflag")
   }
 
+  /** A+ — exact interpolated quantiles per group (both engines use the
+    * same linear interpolation between order statistics). */
+  val q46Percentiles: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    t.orders
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.75)).as("p75"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pruned_scan" -> q01PrunedScan,
     "q43_sessionize" -> q43Sessionize,
     "q44_json_extract" -> q44JsonExtract,
     "q45_pivot" -> q45Pivot,
+    "q46_percentiles" -> q46Percentiles,
     "q02_agg_pricing" -> q02AggPricing,
     "q03_region_revenue" -> q03RegionRevenue,
     "q04_outer_suffix_repair" -> q04OuterSuffixRepair,
@@ -545,6 +562,13 @@ object ParityQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "q46_percentiles" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  quantile_cont(o_totalprice, 0.25) AS p25,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.75) AS p75,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q44_json_extract" ->
       """SELECT (k % 10) AS k_mod, event_type, COUNT(*) AS n,
         |  CAST(SUM(k) AS BIGINT) AS sum_k,
