@@ -57,6 +57,31 @@ class StreamingIngestSpec extends SparkSpec {
     assert(got("ZINC") == null) // unmatched PWSID stays (left join)
   }
 
+  test("stateful dedup suppresses replayed keys across separate drains") {
+    val drop = tmp("graft-drop4")
+    val out = tmp("graft-dedup-out")
+    val ckpt = tmp("graft-dedup-ckpt")
+    def drain(): Unit = StreamingIngest.availableNow(
+      StreamingIngest.dedupStream(
+        StreamingIngest.csvStream(spark, Schemas.data, drop), Seq("PWSID", "Contaminant ID")),
+      out, ckpt).start().awaitTermination()
+
+    Files.copy(Paths.get("src/test/resources/fixtures/data_2014.csv"),
+      Paths.get(s"$drop/a.csv"))
+    drain()
+    assert(spark.read.parquet(out).count() == 3) // 3 distinct (PWSID, contaminant)
+
+    // second drop: the same file replayed + the 2015 file (5 new keys)
+    Files.copy(Paths.get("src/test/resources/fixtures/data_2014.csv"),
+      Paths.get(s"$drop/a_replay.csv"))
+    Files.copy(Paths.get("src/test/resources/fixtures/data_2015.csv"),
+      Paths.get(s"$drop/b.csv"))
+    drain()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 3 + 5) // replayed keys suppressed by state
+    assert(got.select("Contaminant ID").distinct().count() == 8)
+  }
+
   test("windowed counts with watermark compile to a streaming plan") {
     val drop = tmp("graft-drop3")
     Files.copy(Paths.get("src/test/resources/fixtures/data_2014.csv"),
