@@ -147,6 +147,48 @@ object Similarity {
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style ANN top-k: a coarse quantizer of `nCells` centroid
+    * vectors (deterministically id-sampled from the corpus — IVF
+    * training samples its centroids anyway, and sampling keeps the
+    * quantizer reproducible on any engine) assigns every vector to its
+    * nearest cell; each query probes its `nProbe` closest cells and
+    * exact-reranks only the vectors assigned there.
+    *
+    * Scale shape: assignment is corpus × nCells scores against a tiny
+    * broadcast centroid table (linear in the corpus), candidate
+    * generation is an equi-join on cell_id (hash shuffle), rerank work is
+    * corpus·nProbe/nCells per query in expectation. Recall comes from
+    * probing multiple cells rather than hashing luck — the
+    * complementary trade to [[nearDupPairsLsh]]'s hyperplane buckets. */
+  def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int, nProbe: Int, queryFilter: Column): DataFrame = {
+    val n = withNorm(vecs, idCol, vecCol)
+    val cents = broadcast(n.filter(col(idCol) < nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"), col("nrm").as("c_nrm")))
+    // corpus × centroids: bounded cross join against the broadcast table
+    val scored = n.crossJoin(cents)
+      .withColumn("cell_cos",
+        cosMicroPre(dot(col(vecCol), col("c_vec")), col("nrm"), col("c_nrm")))
+    val byCloseness = Window.partitionBy(idCol)
+      .orderBy(col("cell_cos").desc, col("cell_id"))
+    val ranked = scored.withColumn("cell_rank", row_number().over(byCloseness))
+    val assignment = ranked.filter(col("cell_rank") === 1)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+        col("nrm").as("n_nrm"), col("cell_id"))
+    val probes = broadcast(ranked.filter(col("cell_rank") <= nProbe && queryFilter)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        col("nrm").as("q_nrm"), col("cell_id")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_micro").desc, col("neighbor_id"))
+    assignment.join(probes, Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_micro",
+        cosMicroPre(dot(col("q_vec"), col("n_vec")), col("q_nrm"), col("n_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_micro", "rank")
+  }
+
   /** ANN top-k: candidates share the query's LSH bucket (equi-join on
     * bucket — no cross product), then exact cosine ranking within the
     * bucket. Approximate: recall is the bucket-collision probability. */

@@ -91,9 +91,20 @@ object ScaleQueries {
       .orderBy("doc_id")
   }
 
+  /** SS4 — IVF ANN top-3: 8 id-sampled centroid cells, queries probe
+    * their 2 closest cells, exact rerank within (the inverted-file scale
+    * path, complementary to q31's hyperplane LSH). */
+  val q47IvfTopK: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    Similarity.ivfTopK(t.embeddings, "vec_id", "embedding",
+      k = 3, nCells = 8, nProbe = 2, queryFilter = col("vec_id") % 50 === 0)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Map[String, Q] = Map(
     "q25_exact_dedup" -> q25ExactDedup,
     "q40_dedup_clusters" -> q40DedupClusters,
+    "q47_ivf_topk" -> q47IvfTopK,
     "q26_jaccard_pairs" -> q26JaccardPairs,
     "q27_minhash_lsh" -> q27MinhashLsh,
     "q28_simhash" -> q28Simhash,
@@ -293,6 +304,36 @@ object ScaleQueries {
          |    PARTITION BY query_id ORDER BY cos_micro DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q47_ivf_topk" ->
+      s"""WITH $normedCte,
+         |cents AS (SELECT vec_id AS cell_id, embedding AS c_vec, nrm AS c_nrm
+         |          FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT e.vec_id, e.embedding, e.nrm, c.cell_id,
+         |    CAST(floor(1e6 * ${dotSql("e.embedding", "c.c_vec")}
+         |      / (e.nrm * c.c_nrm)) AS BIGINT) AS cell_cos
+         |  FROM e CROSS JOIN cents c),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS cell_rank
+         |  FROM scored),
+         |assignment AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS n_vec, nrm AS n_nrm, cell_id
+         |  FROM ranked WHERE cell_rank = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_nrm, cell_id
+         |  FROM ranked WHERE cell_rank <= 2 AND vec_id % 50 = 0),
+         |cand AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(floor(1e6 * ${dotSql("q_vec", "n_vec")}
+         |      / (q_nrm * n_nrm)) AS BIGINT) AS cos_micro
+         |  FROM probes JOIN assignment USING (cell_id)
+         |  WHERE neighbor_id != query_id)
+         |SELECT query_id, neighbor_id, cos_micro, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_micro DESC, neighbor_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q31_ann_lsh" ->
       s"""WITH $normedCte,
          |b AS (SELECT vec_id, embedding, nrm, CAST($bucketSql AS BIGINT) AS bucket FROM e),
