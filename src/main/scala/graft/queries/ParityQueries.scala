@@ -379,12 +379,34 @@ object ParityQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** W/RANGE — sliding 7-day value-based frame per user: RANGE frames
+    * bound by the ORDER-BY value (epoch seconds), not row position —
+    * the rolling-window shape rows-frames can't express. */
+  val q48RangeFrame: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    // exact microseconds on BOTH engines: seconds-granularity epochs
+    // diverge (DuckDB's epoch() keeps the fraction, Spark's truncates)
+    // exactly at frame boundaries
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-604800000000L, 0L)
+    t.events
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("value_7d",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .select("user_id", "event_id", "ts", "n_7d", "value_7d")
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pruned_scan" -> q01PrunedScan,
     "q43_sessionize" -> q43Sessionize,
     "q44_json_extract" -> q44JsonExtract,
     "q45_pivot" -> q45Pivot,
     "q46_percentiles" -> q46Percentiles,
+    "q48_range_frame" -> q48RangeFrame,
     "q02_agg_pricing" -> q02AggPricing,
     "q03_region_revenue" -> q03RegionRevenue,
     "q04_outer_suffix_repair" -> q04OuterSuffixRepair,
@@ -562,6 +584,15 @@ object ParityQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "q48_range_frame" ->
+      """SELECT user_id, event_id, ts, n_7d, value_7d FROM (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    COUNT(*) OVER w AS n_7d,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_7d
+        |  FROM (SELECT *, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW))
+        |ORDER BY user_id, event_id""".stripMargin,
     "q46_percentiles" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  quantile_cont(o_totalprice, 0.25) AS p25,
