@@ -199,6 +199,11 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // a silent partial flood would return wrong cluster ids for every
+    // node past hop `maxIter` — refuse rather than mislabel
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter — raise it)")
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 

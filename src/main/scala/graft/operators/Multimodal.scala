@@ -21,13 +21,17 @@ object Multimodal {
   val JpegMagic: Array[Byte] = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
   val Id3Magic: Array[Byte] = Array(0x49, 0x44, 0x33).map(_.toByte)
 
-  /** Content-sniffed MIME type from magic bytes (hex-prefix compare — a
-    * codegen'd expression, no decoding). */
-  def sniffMime(bin: Column): Column =
-    when(substring(hex(bin), 1, 8) === "89504E47", "image/png")
-      .when(substring(hex(bin), 1, 6) === "FFD8FF", "image/jpeg")
-      .when(substring(hex(bin), 1, 6) === "494433", "audio/mpeg")
+  /** Content-sniffed MIME type from magic bytes (hex of the FIRST 8
+    * BYTES only — hexing a multi-MB payload to read 8 chars would cost
+    * 2× the blob per row; the prefix is constant cost and yields
+    * identical comparisons). */
+  def sniffMime(bin: Column): Column = {
+    val prefix = hex(bin.substr(1, 8))
+    when(substring(prefix, 1, 8) === "89504E47", "image/png")
+      .when(substring(prefix, 1, 6) === "FFD8FF", "image/jpeg")
+      .when(substring(prefix, 1, 6) === "494433", "audio/mpeg")
       .otherwise("application/octet-stream")
+  }
 
   /** Cross-engine content fingerprint: sha256 over the uppercase hex of
     * the payload (hashing the hex, not the raw blob, because engines
@@ -49,7 +53,10 @@ object Multimodal {
   def chunkBytes(df: DataFrame, idCol: String, binCol: String,
       chunkSize: Int): DataFrame = {
     val nChunks = ceil(length(col(binCol)) / lit(chunkSize.toDouble)).cast("int")
-    df.select(col(idCol), col(binCol),
+    // empty payloads produce zero chunk rows — without the filter,
+    // sequence(0, -1) counts DOWN and emits phantom chunk_ids 0 and -1
+    df.filter(length(col(binCol)) > 0)
+      .select(col(idCol), col(binCol),
         explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
       .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
         col(binCol).substr(col("chunk_id") * chunkSize + 1, lit(chunkSize))

@@ -96,8 +96,11 @@ object Relational {
       keys: Seq[String],
       buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // salt from row POSITION, not row content: the worst skew is
+    // bit-identical duplicate rows on the hot key, which a content hash
+    // would send to one salt (and one task) again
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col): _*), lit(buckets)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
     val dimSalted = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(dimSalted, keys :+ "__salt", "left").drop("__salt")
@@ -189,8 +192,11 @@ object Relational {
     val last = keyLevels.length - 1
     def hit(i: Int): Column = missOn match {
       case Some(m) if i < last || dropUnmatched =>
+        // cast to string for the empty-marker test: comparing a numeric
+        // indicator against '' would coerce the literal to null and
+        // silently demote EVERY match to a miss
         val ind = col(s"__${m}_L$i")
-        col(s"__hit_L$i") && ind.isNotNull && ind =!= ""
+        col(s"__hit_L$i") && ind.isNotNull && ind.cast("string") =!= ""
       case _ => col(s"__hit_L$i")
     }
 

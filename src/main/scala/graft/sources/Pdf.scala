@@ -127,12 +127,17 @@ object Pdf {
         val dataRows = g.tail
         val p = prov.copy(top = top)
         if (header.contains(Check1) && header.contains(Check2)) {
-          // condition 1: whole table on the page
+          // condition 1: whole table on the page. A held part-1 fragment
+          // at this point means its part 2 never arrived — losing its
+          // rows silently would corrupt the extract, so fail loudly.
+          if (held.isDefined) throw new IllegalStateException(
+            s"G5: page ${page.index + 1} is a full table but a part-1 split fragment is still held")
           dataRows.foreach(r => out += toRow(align(header, r, TableHeaders), 1, p))
-          held = None
           true
         } else if (header.contains(Check1)) {
           // condition 2: part 1 of a column split — hold for the stitch
+          if (held.isDefined) throw new IllegalStateException(
+            s"G5: page ${page.index + 1} starts a new part-1 split while one is still held")
           held = Some((header, ArrayBuffer(dataRows.map(align(header, _, Part1Headers)): _*), p))
           true
         } else if (header.contains(Check2)) {
@@ -180,7 +185,9 @@ object Pdf {
   /** S5/S6 distributed scan: every `*.pdf` under the paths becomes one
     * executor task; result columns match [[Schemas.data]]. */
   def scan(spark: SparkSession, paths: String*): DataFrame = {
-    val bin = spark.read.format("binaryFile").load(paths: _*)
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf") // drop dirs carry READMEs/temp files
+      .load(paths: _*)
       .select("path", "content")
     val rows = bin.rdd.flatMap(r => extract(r.getAs[Array[Byte]]("content")))
     spark.createDataFrame(rows, Schemas.data)
@@ -237,15 +244,18 @@ object Pdf {
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
-    inf.setInput(data)
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!inf.finished() && !inf.needsInput()) {
-      val n = inf.inflate(buf)
-      if (n > 0) out.write(buf, 0, n) else if (n == 0 && !inf.finished()) return out.toByteArray
-    }
-    inf.end()
-    out.toByteArray
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var stuck = false
+      while (!inf.finished() && !inf.needsInput() && !stuck) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else stuck = true // truncated / dictionary-needing stream: stop with what we have
+      }
+      out.toByteArray
+    } finally inf.end() // native zlib state — never leak it on the early path
   }
 
   /** Interpret the text operators of one content stream: `BT` (resets the
