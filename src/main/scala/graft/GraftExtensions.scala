@@ -24,10 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("float_dot"),
       new ExpressionInfo(
         classOf[FloatDotProduct].getCanonicalName,
-        null,
+        "", // db
         "float_dot",
-        "float_dot(a, b) - dot product of two array<float> in sequential double accumulation",
-        ""),
+        "_FUNC_(a, b) - dot product of two array<float> in sequential double accumulation.",
+        "", "", "", "", "", "", "built-in"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, s"float_dot takes 2 arguments, got ${exprs.length}")
         FloatDotProduct(exprs.head, exprs(1))
