@@ -32,9 +32,6 @@ object Hashing {
   def h60Sql(expr: String): String =
     s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
 
-  def h60Sql(seed: Int, expr: String): String =
-    h60Sql(s"'$seed:' || $expr")
-
   /** Plain-JVM twin of [[h60]] for plan-build-time constants (e.g. LSH
     * hyperplane signs embedded as literals on both engines). */
   def h60Jvm(s: String): Long = {

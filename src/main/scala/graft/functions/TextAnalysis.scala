@@ -24,10 +24,6 @@ object TextAnalysis {
   def tokensBpe(text: Column): Column =
     regexp_extract_all(text, lit(BpePattern), lit(0))
 
-  /** Count of occurrences of `word` in a token array. */
-  def wordCount(tokens: Column, word: String): Column =
-    size(filter(tokens, t => t === lit(word)))
-
   /** Codegen-friendly token stream for [[wordCountFast]]: tokens joined
     * by DOUBLE spaces and padded, so the ` word ` patterns of adjacent
     * identical tokens never overlap and removal-counting is exact. */
@@ -143,17 +139,4 @@ object TextAnalysis {
       transform(sequence(lit(1), length(text) - (k - 1)),
         i => text.substr(i, lit(k))))
       .otherwise(array().cast("array<string>"))
-
-  /** Rolling-hash document fingerprint: min 60-bit hash over character
-    * k-grams (a 1-permutation MinHash over the k-gram set — the winnowing
-    * family's document-level signature), plus the count of mod-sampled
-    * k-grams (0 mod 64) as a size-normalized sketch. */
-  def fingerprint(text: Column, k: Int = 8): Column = {
-    val hashes = transform(charKgrams(text, k), g => Hashing.h60(g))
-    array_min(hashes)
-  }
-
-  def sampledKgramCount(text: Column, k: Int = 8, mod: Int = 64): Column =
-    size(filter(transform(charKgrams(text, k), g => Hashing.h60(g)),
-      h => h % mod === 0)).cast("long")
 }

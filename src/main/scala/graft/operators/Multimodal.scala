@@ -19,7 +19,6 @@ object Multimodal {
   val PngMagic: Array[Byte] =
     Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
   val JpegMagic: Array[Byte] = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
-  val Id3Magic: Array[Byte] = Array(0x49, 0x44, 0x33).map(_.toByte)
 
   /** Content-sniffed MIME type from magic bytes (hex of the FIRST 8
     * BYTES only — hexing a multi-MB payload to read 8 chars would cost

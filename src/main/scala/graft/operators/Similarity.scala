@@ -34,10 +34,6 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** floor(1e6 · cosine) as a long — the engine's canonical similarity. */
-  def cosineMicro(a: Column, b: Column): Column =
-    floor(lit(1e6) * dot(a, b) / (norm(a) * norm(b))).cast("long")
-
   /** floor(1e6 · dot/(na·nb)) with norms precomputed per vector — one dot
     * per pair instead of three. */
   private def cosMicroPre(d: Column, na: Column, nb: Column): Column =
