@@ -36,7 +36,10 @@ object TextAnalysis {
     * lambda dispatch), which matters when a classifier probes dozens of
     * words per document. `word` must be whitespace-free. */
   def wordCountFast(padded: Column, word: String): Column =
-    ((length(padded) - length(regexp_replace(padded, s" $word ", "")))
+    // quote the word: the oracle's replace() is literal, so a regex
+    // metachar here would silently diverge cross-engine
+    ((length(padded) - length(regexp_replace(padded,
+      java.util.regex.Pattern.quote(s" $word "), "")))
       / lit(word.length + 2)).cast("int")
 
   // ------------------------------------------------------------- language ID

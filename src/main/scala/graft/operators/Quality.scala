@@ -29,15 +29,21 @@ object Quality {
       .select(col("g.gate").as("gate"), col("g.violations").as("violations"), col("total_rows"))
   }
 
-  /** Hard gate: throw if any violations (the reference's halt-on-anomaly,
-    * minus the interactive prompt — G5 becomes fail-fast). */
-  def enforce(df: DataFrame, gates: Seq[Gate]): Unit = {
-    val bad = audit(df, gates).filter(col("violations") > 0).collect()
+  /** Throw when an [[audit]] result carries violations — callers that
+    * already hold the audit frame (e.g. for logging) enforce it without
+    * a second aggregation. */
+  def enforceAudit(auditResult: DataFrame): Unit = {
+    val bad = auditResult.filter(col("violations") > 0).collect()
     if (bad.nonEmpty) {
       val detail = bad.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
       throw new IllegalStateException(s"DQ gate failed: $detail")
     }
   }
+
+  /** Hard gate: throw if any violations (the reference's halt-on-anomaly,
+    * minus the interactive prompt — G5 becomes fail-fast). */
+  def enforce(df: DataFrame, gates: Seq[Gate]): Unit =
+    enforceAudit(audit(df, gates))
 
   /** G3 — row conservation between pipeline stages, as a law. */
   def requireRowConservation(in: DataFrame, out: DataFrame): Unit = {

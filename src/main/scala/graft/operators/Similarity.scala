@@ -134,13 +134,15 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: bit p set iff sign-weighted
-    * projection p is positive. */
+    * projection p is positive. Projections run through the codegen'd
+    * [[graft.functions.FloatDotProduct]] (±1 is exactly representable as
+    * float, so values are bit-identical to the double fold) — an
+    * interpreted higher-order fold here would sit in the hottest
+    * candidate-generation scan, planes × tables times per row. */
   def lshBucket(vec: Column, signs: Seq[Seq[Int]]): Column =
     signs.zipWithIndex.map { case (s, p) =>
-      val weights = array(s.map(x => lit(x.toDouble)): _*)
-      val proj = aggregate(zip_with(vec, weights, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+      val weights = array(s.map(x => lit(x.toFloat)): _*)
+      when(dot(vec, weights) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** IVF-style ANN top-k: a coarse quantizer of `nCells` centroid

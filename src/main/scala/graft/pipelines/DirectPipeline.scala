@@ -50,7 +50,10 @@ object DirectPipeline {
       data, sysPrep,
       keyLevels = Seq(Seq("PWSID", "LOC_EPID"), Seq("PWSID")),
       payloadCols = SysInfoSubset.filterNot(Seq("PWSID", "LOC_EPID").contains),
-      dimOrder = Seq(col("LOC_EPID"), col("SYSNAME")),
+      // every subset column: post-distinct rows differ in >=1 column, so
+      // this is a TOTAL order and the survivor is run-deterministic
+      // (keepFirst requires it; a partial order picks by partition luck)
+      dimOrder = SysInfoSubset.filterNot(_ == "PWSID").map(col),
       dropUnmatched = true,
       missOn = Some("MAIL_ZIP"),
       hintBroadcast = true)

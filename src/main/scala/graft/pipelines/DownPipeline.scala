@@ -107,9 +107,18 @@ object DownPipeline {
 
   /** Stage `join`: the 3→2→1-key hierarchical cascade over the site
     * dimension, ZIP-code miss detection, row conservation enforced.
-    * Set `dropUnmatched=false` semantics: every data row survives. */
-  def enrich(siteSub: DataFrame, data: DataFrame): DataFrame = {
-    val site = siteSub
+    * Set `dropUnmatched=false` semantics: every data row survives.
+    * `g3Check=false` skips the eager count-based conservation check —
+    * [[run]] does, verifying G3 with `Observation` metrics collected
+    * during the output write instead of a second full execution of the
+    * cascade plan. */
+  def enrich(siteSub: DataFrame, data: DataFrame, g3Check: Boolean = true): DataFrame = {
+    // Coordinates are optional (the geocode detour may not have run);
+    // a null column keeps Latitude/Longitude present-but-null
+    val withCoords =
+      if (siteSub.columns.contains("Coordinates")) siteSub
+      else siteSub.withColumn("Coordinates", lit(null).cast("string"))
+    val site = withCoords
       .withColumn("Sample Location", locKey(col("Sample Location"), "X"))
       .withColumn("SYSTEM NAME", trim(col("SYSTEM NAME")))
       .withColumn("Latitude", substring_index(col("Coordinates"), ",", 1))
@@ -126,13 +135,19 @@ object DownPipeline {
         Seq("PWSID")),
       payloadCols = payloadCols(site),
       dimOrder = Nil,
-      perLevelOrder = Seq(
-        Seq(col("Sample Location").desc, col("SITE_ID")),
-        Seq(col("Sample Location").desc, col("SITE_ID")),
-        Seq(col("SYSTEM NAME").desc, col("SITE_ID"))),
+      // reference sort keys first, then every remaining column so the
+      // order is TOTAL over distinct rows (run-deterministic survivor)
+      perLevelOrder = {
+        val tail = site.columns.toSeq
+          .filterNot(Seq("Sample Location", "SYSTEM NAME").contains).map(col)
+        Seq(
+          col("Sample Location").desc +: tail,
+          col("Sample Location").desc +: tail,
+          col("SYSTEM NAME").desc +: tail)
+      },
       missOn = Some("ZIP_CODE"),
       hintBroadcast = true)
-    Quality.requireRowConservation(data, out) // G3, down_water_prep.py:540-543
+    if (g3Check) Quality.requireRowConservation(data, out) // G3, down_water_prep.py:540-543
     out
   }
 
@@ -150,17 +165,25 @@ object DownPipeline {
     val spi = Csv.scan(spark, Schemas.spi, spiPaths: _*)
     val bi = Csv.scan(spark, Schemas.bi, biPaths: _*)
     val sites = Excel.cast(Excel.readSheet(spark, sitesXlsx, sitesSheet), Schemas.sites)
-    val data = prepData(Csv.scan(spark, Schemas.data, dataPaths: _*))
     val (siteSub, audit) = buildSiteDim(spi, bi, sites)
     // G2: halt the stage when the sources disagree (reference sets
     // continue_if_true=False and stops, down_water_prep.py:338-360).
-    val bad = audit.filter(col("violations") > 0).collect()
-    if (bad.nonEmpty) throw new IllegalStateException(
-      "G2 consistency gate failed: " + bad.map(_.getString(0)).mkString(", "))
+    Quality.enforceAudit(audit)
     Csv.sink(siteSub, s"$outDir/downprep_site", singleFile = true)
+    // G3 via Observation metrics: both counts ride the writes below, so
+    // the cascade's 3-join plan executes ONCE — a count() action here
+    // would run it a second time over the (100 TB posture) fact table.
+    val obsIn = org.apache.spark.sql.Observation("g3_in")
+    val obsOut = org.apache.spark.sql.Observation("g3_out")
+    val data = prepData(Csv.scan(spark, Schemas.data, dataPaths: _*))
+      .observe(obsIn, count(lit(1)).as("n"))
     Csv.sink(data, s"$outDir/downprep_data", singleFile = true)
-    val out = enrich(siteSub, data)
+    val out = enrich(siteSub, data, g3Check = false)
+      .observe(obsOut, count(lit(1)).as("n"))
     Csv.sink(out, s"$outDir/down_water_data", singleFile = true)
+    val (nIn, nOut) = (obsIn.get("n").asInstanceOf[Long], obsOut.get("n").asInstanceOf[Long])
+    if (nIn != nOut) throw new IllegalStateException(
+      s"row conservation violated: in=$nIn out=$nOut") // G3, down_water_prep.py:540-543
     out
   }
 }

@@ -77,6 +77,14 @@ object Excel {
     Option(zip.getEntry(name)).map { e =>
       val dbf = DocumentBuilderFactory.newInstance()
       dbf.setNamespaceAware(false)
+      // workbooks arrive from outside (the reference's is emailed):
+      // forbid DTDs/external entities so a crafted file can't XXE-read
+      // driver-local files or blow memory via entity expansion
+      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
+      dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+      dbf.setXIncludeAware(false)
+      dbf.setExpandEntityReferences(false)
       val in = zip.getInputStream(e)
       try dbf.newDocumentBuilder().parse(in).getDocumentElement
       finally in.close()

@@ -220,13 +220,24 @@ object Pdf {
 
     val kidsRe = """/Kids\s*\[([^\]]*)\]""".r
     val refRe = """(\d+)\s+0\s+R""".r
-    val pageOrder: Seq[Int] = objs.collectFirst {
-      case (_, body) if body.contains("/Type") && body.contains("/Pages") &&
-        kidsRe.findFirstMatchIn(body).isDefined =>
-        refRe.findAllMatchIn(kidsRe.findFirstMatchIn(body).get.group(1))
-          .map(_.group(1).toInt).toSeq
-    }.getOrElse(
-      // no page tree: fall back to object order of /Type /Page objects
+    def kidsOf(body: String): Seq[Int] =
+      kidsRe.findFirstMatchIn(body).toSeq
+        .flatMap(m => refRe.findAllMatchIn(m.group(1)).map(_.group(1).toInt))
+    // resolve the page tree from the CATALOG's /Pages reference and walk
+    // it recursively — matching any '/Type /Pages' object out of the
+    // unordered map could land on an interior node of a nested tree and
+    // silently drop every page outside that subtree
+    def walk(objNum: Int): Seq[Int] = objs.get(objNum) match {
+      case Some(body) if body.contains("/Pages") => kidsOf(body).flatMap(walk)
+      case Some(_) => Seq(objNum)
+      case None => Nil
+    }
+    val rootPages: Option[Int] = objs.values.collectFirst {
+      case body if body.contains("/Catalog") =>
+        """/Pages\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(body).map(_.group(1).toInt)
+    }.flatten
+    val pageOrder: Seq[Int] = rootPages.map(walk).filter(_.nonEmpty).getOrElse(
+      // no catalog/page tree: fall back to object order of /Type /Page objects
       objs.toSeq.sortBy(_._1).collect {
         case (n, body) if body.contains("/Type") && body.contains("/Page") &&
           !body.contains("/Pages") => n

@@ -65,12 +65,16 @@ object StreamingIngest {
     implicit val boolEnc = Encoders.scalaBoolean
     implicit val keyEnc = Encoders.STRING
     stream
+      // length-prefixed, type-tagged key encoding: injective for ANY
+      // values (a bare separator would conflate ("a|b", "c") with
+      // ("a", "b|c"), and a bare null marker would collide with a real
+      // value equal to the marker)
       .groupByKey(r => keyCols.map { c =>
         r.getAs[Any](c) match {
-          case null => "\u0001" // distinct from any real value, incl. the string "null"
-          case v => v.toString
+          case null => "n"
+          case v => val s = v.toString; s"v${s.length}:$s"
         }
-      }.mkString("\u0000"))
+      }.mkString("|"))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
           if (state.exists) Iterator.empty
