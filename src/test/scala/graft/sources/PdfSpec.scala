@@ -118,6 +118,21 @@ class PdfSpec extends SparkSpec {
     assert(df.filter(col("SPLIT_PAGES") === 2).count() == 5)
   }
 
+  test("DataSource V2: format(graft-pdf) plans per-file partitions, same rows as scan()") {
+    val df = spark.read.format("graft-pdf")
+      .option("path", s"$pdfDir/rpt2014.pdf").load()
+    assert(df.schema == graft.sources.Schemas.data)
+    assert(df.rdd.getNumPartitions == 1) // one partition per pdf file
+    val viaScan = Pdf.scan(spark, s"$pdfDir/rpt2014.pdf")
+    assert(df.count() == 9)
+    assert(df.exceptAll(viaScan).isEmpty && viaScan.exceptAll(df).isEmpty)
+    // pruned read still works through the V2 path
+    import org.apache.spark.sql.functions._
+    assert(df.filter(col("TOP_MARGIN") === Pdf.Top2)
+      .select("Contaminant ID").collect().map(_.getString(0)).toSet ==
+      Set("ARSENIC", "ZINC"))
+  }
+
   test("pdf stage checkpoint round-trips through the CSV catalog schema") {
     val out = Files.createTempDirectory("graft-pdf-stage").toString
     graft.pipelines.DownPipeline.runPdfStage(spark, Seq(s"$pdfDir/rpt2014.pdf"), out)
