@@ -400,6 +400,22 @@ object ParityQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** A+ — HLL sketch distinct vs exact (SURVEY §2.5 extension): the
+    * constant-memory cardinality path for 100 TB group-bys where exact
+    * distinct would shuffle every key. No DuckDB oracle — HLL sketches
+    * are engine-specific, so the driver records the weaker rows-only
+    * check; the exact column rides along as the in-query ground truth. */
+  val q49ApproxDistinct: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pruned_scan" -> q01PrunedScan,
     "q43_sessionize" -> q43Sessionize,
@@ -407,6 +423,7 @@ object ParityQueries {
     "q45_pivot" -> q45Pivot,
     "q46_percentiles" -> q46Percentiles,
     "q48_range_frame" -> q48RangeFrame,
+    "q49_approx_distinct" -> q49ApproxDistinct,
     "q02_agg_pricing" -> q02AggPricing,
     "q03_region_revenue" -> q03RegionRevenue,
     "q04_outer_suffix_repair" -> q04OuterSuffixRepair,
