@@ -53,20 +53,21 @@ object TextQueries {
   }
 
   /** TX4 — document fingerprint: min-hash over char 8-grams + mod-sampled
-    * gram count (winnowing-style signature). The hash array is
-    * materialized ONCE in its own projection and both outputs derive from
-    * it — the md5-per-gram work is the dominant cost and must not be
-    * duplicated per consumer (CollapseProject leaves the boundary alone
-    * because the shared expression is non-cheap and referenced twice). */
+    * gram count (winnowing-style signature), via the single-pass native
+    * [[graft.functions.KgramFingerprint]] expression — value-identical to
+    * the declarative transform+h60 array form (proven in its spec) but
+    * with zero per-gram string/array materialization. */
   val q24Fingerprint: Q = (spark, dir) => {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val t = Tables(spark, dir)
     t.documents
       .select(col("doc_id"),
-        transform(TA.charKgrams(col("text"), 8), g => Hashing.h60(g)).as("__h"))
+        ColumnBridge.column(graft.functions.KgramFingerprint(
+          ColumnBridge.expression(col("text")), k = 8, mod = 64)).as("__s"))
       .select(
         col("doc_id"),
-        array_min(col("__h")).as("fp"),
-        size(filter(col("__h"), h => h % 64 === 0)).cast("long").as("n_sampled"))
+        col("__s.fp").as("fp"),
+        col("__s.n_sampled").as("n_sampled"))
       .orderBy("doc_id")
   }
 
