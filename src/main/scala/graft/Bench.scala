@@ -29,17 +29,24 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       }
-    // untimed warm-up: session/codegen startup and file-index priming
-    // otherwise land entirely on the alphabetically-first query
+    // Untimed warm-up: session/codegen startup and file-index priming
+    // otherwise land entirely on the alphabetically-first query. (A full
+    // warm pass over every query was tried and measured WORSE end-to-end:
+    // each query carries ~2 core-s of one-time planning/codegen cost, so
+    // warming all of them doubles the bench's total CPU, which on a
+    // burst-throttled host starves the timed pass. One representative
+    // warm-up is the best trade.)
     try SparkEntry.queries.get("q01_pruned_scan")
       .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
     catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        errors(name) = e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200)
+        errors.getOrElseUpdate(name,
+          e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
       }
       name -> (System.nanoTime() - t0) / 1e9
     }

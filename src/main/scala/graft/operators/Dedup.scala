@@ -74,6 +74,15 @@ object Dedup {
       n: Int = 3,
       minPermille: Int = 500,
       maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    // The cap is applied with a count-over-window on the shingle key: one
+    // exchange on shingle + per-partition sort, which the self-join below
+    // then REUSES (both join inputs are the same subplan — ReuseExchange
+    // shares the shuffle). A group-join variant (collect_list posting
+    // lists + in-list pair expansion) was tried and measured 2.5× slower
+    // here, and is unsafe at scale: collect_list has no bound until AFTER
+    // the list is built, so one corpus-wide boilerplate shingle would
+    // materialize the whole corpus in a single aggregation buffer. The
+    // window sort spills instead.
     val base = shingled(df, idCol, textCol, n)
     val sh = maxShingleDocFreq match {
       case Some(cap) =>
