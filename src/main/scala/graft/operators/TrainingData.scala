@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing.h60
+import graft.functions.TextAnalysis.tokensWs
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * needs around the dedup/similarity core: deterministic dataset splits,
+  * stratified downsampling, overlapping context-window chunking, and
+  * eval-set decontamination.
+  *
+  * All assignment decisions are *hash-derived, not random*: `rand()` is
+  * neither reproducible across retries/stage-replays (a recomputed
+  * partition would re-roll its rows — silent train/test leakage on
+  * speculative re-execution) nor portable to the verification oracle.
+  * Every operator is pure column expressions — codegen'd, no UDFs, no
+  * shuffles beyond what the semantics require.
+  */
+object TrainingData {
+
+  // ----------------------------------------------------------------- splits
+
+  /** Deterministic train/val/test assignment, keyed on `groupCol`.
+    *
+    * Keying on a GROUP (source/domain/site) rather than the row id is
+    * what makes the split leakage-resistant: near-duplicate rows from
+    * one origin land in the same partition, so the test set is not
+    * contaminated by train-set siblings. Pass the row id column to get
+    * a plain per-row split. The salt versions the split: changing it
+    * re-deals every group.
+    *
+    * Pure projection — no shuffle, no state; any executor computes the
+    * same assignment for the same key, at any scale.
+    */
+  def assignSplit(
+      df: DataFrame,
+      groupCol: String,
+      trainPermille: Int = 800,
+      valPermille: Int = 100,
+      salt: String = "v1",
+      outCol: String = "split"): DataFrame = {
+    require(trainPermille + valPermille <= 1000, "permilles exceed 1000")
+    val bucket = h60(concat_ws(":", lit("split"), lit(salt), col(groupCol))) % 1000
+    df.withColumn(outCol,
+      when(bucket < trainPermille, "train")
+        .when(bucket < trainPermille + valPermille, "val")
+        .otherwise("test"))
+  }
+
+  /** Per-stratum deterministic downsampling: keep a row iff its id-hash
+    * bucket falls under the stratum's keep-rate. The canonical corpus
+    * rebalancing move (e.g. downsample the dominant language to 10%
+    * while keeping the tail at 50%).
+    *
+    * A filter-only plan: the keep decision needs no per-stratum counts,
+    * no shuffle, no sort — it streams at scan speed and pushes down
+    * past column pruning. Rates are exact in expectation, not exact-N
+    * (exact-N would need a global per-stratum sort at 100 TB).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      keepPermille: Map[String, Int],
+      defaultPermille: Int,
+      salt: String = "v1"): DataFrame = {
+    val rate = keepPermille.foldLeft(lit(defaultPermille)) {
+      case (acc, (stratum, p)) => when(col(strataCol) === stratum, p).otherwise(acc)
+    }
+    val bucket = h60(concat_ws(":", lit("sample"), lit(salt), col(idCol))) % 1000
+    df.filter(bucket < rate)
+  }
+
+  // --------------------------------------------------------------- chunking
+
+  /** Overlapping token windows: the batch shape that turns documents
+    * into model-context-sized training rows. Window `w` tokens, stride
+    * `s` (overlap = w − s); the final chunk may be shorter, documents
+    * of ≤ w tokens yield exactly one chunk.
+    *
+    * One `explode` over a per-row `sequence` — chunk count is derived
+    * arithmetically, so the generator never materializes more than the
+    * output, and a document's chunks stay in its partition (no shuffle).
+    */
+  def chunkTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window, "need 0 < stride <= window")
+    val toks = tokensWs(col(textCol))
+    val n = size(toks)
+    // ceil((n - w) / s) + 1, exact: subtract the remainder before the
+    // divide so the double division is of an exact multiple
+    val num = n - window + (stride - 1)
+    val nChunks = when(n <= window, lit(1))
+      .otherwise(((num - num % stride) / stride).cast("int") + 1)
+    df.select(col(idCol), toks.as("__toks"), n.as("__n"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(
+        col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        array_join(slice(col("__toks"), col("chunk_id") * stride + 1, lit(window)), " ")
+          .as("chunk_text"),
+        least(lit(window), col("__n") - col("chunk_id") * stride).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
+  // -------------------------------------------------------- decontamination
+
+  /** Eval-set decontamination score: for every corpus document, the
+    * fraction (permille) of its distinct token `n`-grams that appear
+    * anywhere in the eval set. Training on test-set text is the classic
+    * silent corruption of model evals; this is the standard n-gram
+    * overlap detector.
+    *
+    * Scale shape: the eval side reduces to a DISTINCT set of 60-bit
+    * n-gram hashes — benchmarks are small next to the corpus, so that
+    * set is broadcast and the probe is a map-side BroadcastHashJoin:
+    * the 100 TB corpus is scanned once, never shuffled on shingles.
+    * The per-document aggregation shuffles only (id, counts).
+    *
+    * Documents shorter than `n` tokens have no n-grams and are absent
+    * from the output (nothing to score).
+    */
+  def decontaminationScores(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      flagPermille: Int = 500): DataFrame = {
+    val corpusGrams = Dedup.shingled(corpus, idCol, textCol, n)
+      .select(col(idCol), h60(col("shingle")).as("__g"))
+    val evalGrams = Dedup.shingled(evalSet, idCol, textCol, n)
+      .select(h60(col("shingle")).as("__g")).distinct()
+    corpusGrams
+      .join(broadcast(evalGrams.withColumn("__hit", lit(1))), Seq("__g"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_hit"))
+      .withColumn("contam_permille",
+        floor(lit(1000) * col("n_hit").cast("double") / col("n_grams").cast("double"))
+          .cast("long"))
+      .withColumn("is_contaminated", col("contam_permille") >= flagPermille)
+  }
+}

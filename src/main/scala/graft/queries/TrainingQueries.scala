@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Hashing
+import graft.operators.TrainingData
+import graft.queries.ParityQueries.Q
+
+/** Corpus-preparation queries: deterministic splits, stratified
+  * sampling, context-window chunking, eval-set decontamination. Every
+  * assignment is hash-derived ([[Hashing.h60]]), so the DuckDB oracle
+  * reproduces the exact decisions from the same md5 construction.
+  */
+object TrainingQueries {
+
+  /** TD1 — group-aware train/val/test split keyed on `source`: all
+    * documents from one origin land in the same partition (the
+    * leakage-resistant form of the 80/10/10 split). */
+  val q50SplitAssign: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    TrainingData.assignSplit(t.documents, "source", trainPermille = 800, valPermille = 100)
+      .select("doc_id", "source", "split")
+      .orderBy("doc_id")
+  }
+
+  /** TD2 — stratified downsampling: keep 10% of the dominant language,
+    * 50% of everything else (corpus rebalancing as a filter-only plan). */
+  val q51StratifiedSample: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    TrainingData.stratifiedSample(t.documents, "lang", "doc_id",
+      keepPermille = Map("en" -> 100), defaultPermille = 500)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** TD3 — overlapping context windows: 20-token chunks at stride 15
+    * (5-token overlap), the document→training-row batch shape. */
+  val q52ChunkWindows: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    TrainingData.chunkTokens(t.documents, "doc_id", "text", window = 20, stride = 15)
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** TD4 — eval-set decontamination: docs with `doc_id % 100 = 0` play
+    * the held-out benchmark; every other document is scored by the
+    * permille of its distinct 5-grams that appear anywhere in that set. */
+  val q53Decontaminate: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val eval = t.documents.filter(col("doc_id") % 100 === 0)
+    val corpus = t.documents.filter(col("doc_id") % 100 =!= 0)
+    TrainingData.decontaminationScores(corpus, eval, "doc_id", "text",
+      n = 5, flagPermille = 500)
+      .orderBy("doc_id")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q50_split_assign" -> q50SplitAssign,
+    "q51_stratified_sample" -> q51StratifiedSample,
+    "q52_chunk_windows" -> q52ChunkWindows,
+    "q53_decontaminate" -> q53Decontaminate)
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private def h60(expr: String): String = Hashing.h60Sql(expr)
+
+  val oracle: Map[String, String] = Map(
+    "q50_split_assign" ->
+      s"""SELECT doc_id, source,
+         |  CASE WHEN ${h60("'split:v1:' || source")} % 1000 < 800 THEN 'train'
+         |       WHEN ${h60("'split:v1:' || source")} % 1000 < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q51_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${h60("'sample:v1:' || CAST(doc_id AS VARCHAR)")} % 1000
+         |      < (CASE WHEN lang = 'en' THEN 100 ELSE 500 END)
+         |ORDER BY doc_id""".stripMargin,
+    "q52_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(generate_series(0, CASE WHEN len(toks) <= 20 THEN 0
+        |      ELSE (len(toks) - 20 + 14) // 15 END)) AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(toks[chunk_id * 15 + 1 : chunk_id * 15 + 20], ' ') AS chunk_text,
+        |  least(20, n - chunk_id * 15) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q53_decontaminate" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 5
+         |    THEN list_distinct(list_transform(generate_series(1, len(toks) - 4),
+         |           i -> array_to_string(toks[i:i+4], ' ')))
+         |    ELSE [] END) AS shingle
+         |  FROM tok),
+         |g AS (SELECT doc_id, ${h60("shingle")} AS gh FROM sh),
+         |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 100 = 0),
+         |sc AS (
+         |  SELECT g.doc_id, count(*) AS n_grams, count(ev.gh) AS n_hit
+         |  FROM g LEFT JOIN ev ON g.gh = ev.gh
+         |  WHERE g.doc_id % 100 != 0 GROUP BY 1)
+         |SELECT doc_id, n_grams, n_hit,
+         |  CAST(floor(1000 * CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)) AS BIGINT)
+         |    AS contam_permille,
+         |  CAST(floor(1000 * CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)) AS BIGINT)
+         |    >= 500 AS is_contaminated
+         |FROM sc ORDER BY doc_id""".stripMargin)
+}

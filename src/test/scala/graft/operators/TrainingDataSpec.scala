@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TrainingDataSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "a b c d e f g h i j k l m n o p q r s t u v w x y z", "en", "s0"),
+    (1L, "a b c d e f g h i j k l m n o p q r s t u v w x y z", "en", "s0"),
+    (2L, "one two three four five six", "en", "s1"),
+    (3L, "uno dos tres", "es", "s2"),
+    (4L, "short", "de", "s3"))
+    .toDF("doc_id", "text", "lang", "source")
+
+  test("assignSplit: deterministic, exhaustive, and group-cohesive") {
+    val a = TrainingData.assignSplit(docs, "source")
+    val b = TrainingData.assignSplit(docs, "source")
+    assertSameRows(a, b)
+    val bySource = a.groupBy("source").agg(countDistinct("split").as("k")).collect()
+    assert(bySource.forall(_.getLong(1) == 1L), "a source must land in exactly one split")
+    assert(a.filter(!col("split").isin("train", "val", "test")).isEmpty)
+    // re-salting re-deals: over many synthetic groups some assignment moves
+    val many = spark.range(200).select(concat(lit("g"), col("id")).as("g"))
+    val s1 = TrainingData.assignSplit(many, "g", salt = "v1")
+    val s2 = TrainingData.assignSplit(many, "g", salt = "v2")
+    val moved = s1.withColumnRenamed("split", "x")
+      .join(s2, "g").filter(col("x") =!= col("split")).count()
+    assert(moved > 0)
+  }
+
+  test("stratifiedSample: rates land near the target per stratum") {
+    val rows = spark.range(4000)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
+    val kept = TrainingData.stratifiedSample(rows, "lang", "doc_id",
+      Map("en" -> 100), defaultPermille = 500)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 2000 per stratum; hash buckets are uniform-ish: 10% ±5pp, 50% ±7pp
+    assert(kept("en") > 100 && kept("en") < 300, s"en kept ${kept("en")}")
+    assert(kept("de") > 860 && kept("de") < 1140, s"de kept ${kept("de")}")
+  }
+
+  test("chunkTokens: covers every token at the stride, tail chunk short") {
+    val out = TrainingData.chunkTokens(docs, "doc_id", "text", window = 10, stride = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // 26 tokens, w=10, s=7 -> ceil(16/7)+1 = 4 chunks; starts 0,7,14,21
+    val d0 = out.filter(_._1 == 0L).sortBy(_._2)
+    assert(d0.length == 4)
+    assert(d0.map(_._4).toSeq == Seq(10L, 10L, 10L, 5L))
+    assert(d0.head._3 == "a b c d e f g h i j")
+    assert(d0.last._3 == "v w x y z")
+    // consecutive chunks overlap by window - stride tokens
+    val overlap = d0(0)._3.split(" ").drop(7).toSeq
+    assert(d0(1)._3.split(" ").take(3).toSeq == overlap)
+    // a doc at or under the window is exactly one whole-text chunk
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "uno dos tres", 3L)))
+    assert(out.filter(_._1 == 4L).toSeq == Seq((4L, 0L, "short", 1L)))
+  }
+
+  test("decontaminationScores: a verbatim copy of an eval doc scores 1000") {
+    val eval = docs.filter(col("doc_id") === 0L)
+    val corpus = docs.filter(col("doc_id") =!= 0L)
+    val sc = TrainingData.decontaminationScores(corpus, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(sc(1L) == ((22L, 22L, 1000L, true))) // verbatim dup of the eval doc
+    assert(sc(2L) == ((2L, 0L, 0L, false)))     // disjoint text
+    assert(!sc.contains(3L) && !sc.contains(4L)) // under 5 tokens: no grams
+  }
+
+  test("decontaminationScores: eval probe is a broadcast join, corpus never shuffled on grams") {
+    val sc = TrainingData.decontaminationScores(
+      docs.filter(col("doc_id") =!= 0L), docs.filter(col("doc_id") === 0L),
+      "doc_id", "text", n = 5)
+    sc.collect()
+    val plan = sc.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    assert(collectWithSubqueries(plan) { case b: BroadcastHashJoinExec => b }.nonEmpty)
+    assert(collectWithSubqueries(plan) { case s: SortMergeJoinExec => s }.isEmpty)
+  }
+}
