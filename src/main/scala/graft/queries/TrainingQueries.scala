@@ -42,13 +42,15 @@ object TrainingQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
-  /** TD4 — eval-set decontamination: docs with `doc_id % 100 = 0` play
+  /** TD4 — eval-set decontamination: docs with `doc_id % 10 = 0` play
     * the held-out benchmark; every other document is scored by the
-    * permille of its distinct 5-grams that appear anywhere in that set. */
+    * permille of its distinct 5-grams that appear anywhere in that set.
+    * (10% eval keeps the synthetic corpus's near-dup pairs straddling
+    * the split, so the query demonstrably flags contaminated docs.) */
   val q53Decontaminate: Q = (spark, dir) => {
     val t = Tables(spark, dir)
-    val eval = t.documents.filter(col("doc_id") % 100 === 0)
-    val corpus = t.documents.filter(col("doc_id") % 100 =!= 0)
+    val eval = t.documents.filter(col("doc_id") % 10 === 0)
+    val corpus = t.documents.filter(col("doc_id") % 10 =!= 0)
     TrainingData.decontaminationScores(corpus, eval, "doc_id", "text",
       n = 5, flagPermille = 500)
       .orderBy("doc_id")
@@ -100,11 +102,11 @@ object TrainingQueries {
          |    ELSE [] END) AS shingle
          |  FROM tok),
          |g AS (SELECT doc_id, ${h60("shingle")} AS gh FROM sh),
-         |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 100 = 0),
+         |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 = 0),
          |sc AS (
          |  SELECT g.doc_id, count(*) AS n_grams, count(ev.gh) AS n_hit
          |  FROM g LEFT JOIN ev ON g.gh = ev.gh
-         |  WHERE g.doc_id % 100 != 0 GROUP BY 1)
+         |  WHERE g.doc_id % 10 != 0 GROUP BY 1)
          |SELECT doc_id, n_grams, n_hit,
          |  CAST(floor(1000 * CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)) AS BIGINT)
          |    AS contam_permille,
