@@ -109,6 +109,72 @@ object TrainingData {
           .as("n_chunk_tokens"))
   }
 
+  // ---------------------------------------------------------------- packing
+
+  /** Concat-and-chop sequence packing: the standard pretraining batch
+    * construction — documents are concatenated in a deterministic order
+    * and the token stream is chopped into `capacity`-token context
+    * windows. Emits each document's position in that stream: the pack
+    * (window) its first token lands in, its offset there, and how many
+    * packs it spans.
+    *
+    * Packing is per `groupCol` shard (source/split), so the running sum
+    * is a window partitioned by group — every shard packs in parallel
+    * and no global sort exists at any scale. Deterministic: the order
+    * inside a shard is `orderCol`, not arrival order.
+    */
+  def packSequences(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      nTokensCol: String,
+      capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cumBefore = coalesce(sum(col(nTokensCol)).over(w), lit(0L))
+    val n = col(nTokensCol).cast("long")
+    df.withColumn("__cum", cumBefore)
+      .withColumn("pack_id", floor(col("__cum") / capacity).cast("long"))
+      .withColumn("pack_offset", (col("__cum") % capacity).cast("long"))
+      .withColumn("n_packs_spanned",
+        (floor((col("__cum") + n - 1) / capacity) - floor(col("__cum") / capacity) + 1)
+          .cast("long"))
+      .drop("__cum")
+  }
+
+  // ------------------------------------------------------- repetition score
+
+  /** Intra-document repetition facets — the Gopher/C4-style quality
+    * signals that catch degenerate generated or boilerplate text:
+    *
+    *  - `top_token_permille`: share of the document taken by its single
+    *    most frequent token (mode frequency / n).
+    *  - `dup_bigram_permille`: share of bigram occurrences that are
+    *    repeats of an earlier bigram (1 − distinct/total).
+    *
+    * Both are computed per row from the token array alone — no explode,
+    * no shuffle; a corpus scan stays a scan. The mode count is an
+    * O(distinct·n) in-row array expression: bounded by document length,
+    * independent of corpus size.
+    */
+  def repetitionFacets(text: Column): Seq[(String, Column)] = {
+    val toks = tokensWs(text)
+    val n = size(toks)
+    val topFreq = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    val bigrams = Dedup.tokenShingles(toks, 2)
+    val nBi = n - 1
+    Seq(
+      "n_tokens" -> n.cast("long"),
+      "top_token_permille" ->
+        floor(lit(1000) * topFreq.cast("double") / n.cast("double")).cast("long"),
+      "dup_bigram_permille" ->
+        when(nBi <= 0, lit(0L)).otherwise(lit(1000) -
+          floor(lit(1000) * size(bigrams).cast("double") / nBi.cast("double")).cast("long")))
+  }
+
   // -------------------------------------------------------- decontamination
 
   /** Eval-set decontamination score: for every corpus document, the

@@ -56,7 +56,35 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+  /** TD5 — concat-and-chop sequence packing: per-source token streams
+    * chopped into 256-token context windows; each document reports the
+    * pack its first token lands in, its offset, and its span. */
+  val q54SequencePack: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val withCounts = t.documents
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextAnalysis.tokensWs(col("text"))).cast("long").as("n_tokens"))
+    TrainingData.packSequences(withCounts, "source", "doc_id", "n_tokens", capacity = 256)
+      .select("doc_id", "source", "n_tokens", "pack_id", "pack_offset", "n_packs_spanned")
+      .orderBy("doc_id")
+  }
+
+  /** TD6 — intra-document repetition facets (Gopher/C4-style): mode
+    * token share and duplicate-bigram share, with the degenerate-text
+    * flag. */
+  val q55Repetition: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val facets = TrainingData.repetitionFacets(col("text"))
+    t.documents
+      .select(col("doc_id") +: facets.map { case (name, c) => c.as(name) }: _*)
+      .withColumn("is_repetitive",
+        col("top_token_permille") >= 280 || col("dup_bigram_permille") >= 350)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q54_sequence_pack" -> q54SequencePack,
+    "q55_repetition" -> q55Repetition,
     "q50_split_assign" -> q50SplitAssign,
     "q51_stratified_sample" -> q51StratifiedSample,
     "q52_chunk_windows" -> q52ChunkWindows,
@@ -67,6 +95,48 @@ object TrainingQueries {
   private def h60(expr: String): String = Hashing.h60Sql(expr)
 
   val oracle: Map[String, String] = Map(
+    "q54_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, COALESCE(sum(n_tokens) OVER (
+        |    PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(floor(cum / 256) AS BIGINT) AS pack_id,
+        |  CAST(cum % 256 AS BIGINT) AS pack_offset,
+        |  CAST(floor((cum + n_tokens - 1) / 256) - floor(cum / 256) + 1 AS BIGINT)
+        |    AS n_packs_spanned
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q55_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    list_max(list_transform(list_distinct(toks),
+        |      t -> len(list_filter(toks, x -> x = t)))) AS top_freq,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN len(list_distinct(list_transform(generate_series(1, len(toks) - 1),
+        |             i -> array_to_string(toks[i:i+1], ' '))))
+        |      ELSE 0 END AS n_bi_distinct
+        |  FROM t)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(floor(1000 * CAST(top_freq AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+        |    AS top_token_permille,
+        |  CAST(CASE WHEN n - 1 <= 0 THEN 0
+        |    ELSE 1000 - floor(1000 * CAST(n_bi_distinct AS DOUBLE)
+        |                      / CAST(n - 1 AS DOUBLE)) END AS BIGINT)
+        |    AS dup_bigram_permille,
+        |  (CAST(floor(1000 * CAST(top_freq AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) >= 280
+        |   OR CAST(CASE WHEN n - 1 <= 0 THEN 0
+        |        ELSE 1000 - floor(1000 * CAST(n_bi_distinct AS DOUBLE)
+        |                          / CAST(n - 1 AS DOUBLE)) END AS BIGINT) >= 350)
+        |    AS is_repetitive
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q50_split_assign" ->
       s"""SELECT doc_id, source,
          |  CASE WHEN ${h60("'split:v1:' || source")} % 1000 < 800 THEN 'train'

@@ -62,6 +62,43 @@ class TrainingDataSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out.filter(_._1 == 4L).toSeq == Seq((4L, 0L, "short", 1L)))
   }
 
+  test("packSequences: concat-and-chop positions reconstruct the token stream") {
+    val rows = Seq(
+      (1L, "g1", 100L), (2L, "g1", 200L), (3L, "g1", 30L), (4L, "g1", 300L),
+      (5L, "g2", 600L))
+      .toDF("doc_id", "source", "n_tokens")
+    val out = TrainingData.packSequences(rows, "source", "doc_id", "n_tokens", 256)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) == ((0L, 0L, 1L)))     // tokens 0..99
+    assert(out(2L) == ((0L, 100L, 2L)))   // 100..299 straddles pack 0/1
+    assert(out(3L) == ((1L, 44L, 1L)))    // 300..329
+    assert(out(4L) == ((1L, 74L, 2L)))    // 330..629 straddles 1/2
+    assert(out(5L) == ((0L, 0L, 3L)))     // own group; 600 tokens span 3 packs
+    // offsets are consistent: (pack_id * 256 + offset) is the running sum
+    val cum = TrainingData.packSequences(rows, "source", "doc_id", "n_tokens", 256)
+      .withColumn("reconstructed", col("pack_id") * 256 + col("pack_offset"))
+    val g1 = cum.filter(col("source") === "g1").orderBy("doc_id")
+      .select("reconstructed").as[Long].collect().toSeq
+    assert(g1 == Seq(0L, 100L, 300L, 330L))
+  }
+
+  test("repetitionFacets: degenerate text scores high, varied text low") {
+    val rows = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "a b a b a b a b a b"),
+      (3L, "all twelve of these tokens here are fully distinct from others"),
+      (4L, "one"))
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id") +:
+      TrainingData.repetitionFacets(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((1000L, 858L)))   // one token repeated: fully degenerate
+    assert(out(2L) == ((500L, 778L)))    // alternating pair: 2 distinct of 9 bigrams
+    assert(out(3L)._1 < 150L && out(3L)._2 == 0L)
+    assert(out(4L) == ((1000L, 0L)))     // single token: no bigrams, zero dup share
+  }
+
   test("decontaminationScores: a verbatim copy of an eval doc scores 1000") {
     val eval = docs.filter(col("doc_id") === 0L)
     val corpus = docs.filter(col("doc_id") =!= 0L)
