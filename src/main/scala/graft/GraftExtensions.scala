@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FloatDotProduct
+import graft.functions.{FloatDotProduct, TopKByScore}
 
 /** Session extension entry point: registers the engine's native
   * expressions with the SQL function registry, so `spark.sql` users get
@@ -31,6 +31,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, s"float_dot takes 2 arguments, got ${exprs.length}")
         FloatDotProduct(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_by"),
+      new ExpressionInfo(
+        classOf[TopKByScore].getCanonicalName,
+        "", // db
+        "topk_by",
+        "_FUNC_(score, id, k) - per-group top-k (score desc, id asc) via a k-capped heap; " +
+          "returns array<struct<score,id>> best-first.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, s"topk_by takes 3 arguments, got ${exprs.length}")
+        TopKByScore(exprs.head, exprs(1), exprs(2)).toAggregateExpression()
       }))
   }
 }

@@ -187,6 +187,42 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_micro", "rank")
   }
 
+  /** Per-group top-k via the native [[graft.functions.TopKByScore]]
+    * heap aggregate: (score desc, id asc), k-capped. */
+  def topKBy(score: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.TopKByScore(
+      ColumnBridge.expression(score), ColumnBridge.expression(id),
+      ColumnBridge.expression(lit(k))).toAggregateExpression())
+  }
+
+  /** [[annTopK]] with the rank-within-query step as the k-capped heap
+    * aggregate instead of a `row_number` window: candidates are never
+    * sorted or materialized per group — map-side partial heaps carry at
+    * most k entries per (mapper, query) into the shuffle, where the
+    * window form shuffles and sorts EVERY candidate row. Same output,
+    * same ordering contract (cos desc, id asc). */
+  def annTopKAgg(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, planes: Int, dims: Int, queryFilter: Column): DataFrame = {
+    val signs = hyperplaneSigns(planes, dims)
+    val bucketed = withNorm(vecs, idCol, vecCol)
+      .withColumn("bucket", lshBucket(col(vecCol), signs))
+    val q = broadcast(bucketed.filter(queryFilter)
+      .toDF("query_id", "q_vec", "q_nrm", "bucket"))
+    val c = bucketed.toDF("neighbor_id", "c_vec", "c_nrm", "bucket")
+    c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_micro",
+        cosMicroPre(dot(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
+      .groupBy("query_id")
+      .agg(topKBy(col("cos_micro"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").as("cos_micro"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** ANN top-k: candidates share the query's LSH bucket (equi-join on
     * bucket — no cross product), then exact cosine ranking within the
     * bucket. Approximate: recall is the bucket-collision probability. */

@@ -101,7 +101,19 @@ object ScaleQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** SS5 — q31's ANN search with the per-query ranking as the native
+    * k-capped heap aggregate ([[Similarity.topKBy]]) instead of a
+    * row_number window: no per-group sort, no candidate materialization,
+    * partial heaps merge map-side. Same (cos desc, id asc) contract. */
+  val q56TopkAgg: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    Similarity.annTopKAgg(t.embeddings, "vec_id", "embedding",
+      k = 3, planes = 6, dims = 64, queryFilter = col("vec_id") % 50 === 0)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Map[String, Q] = Map(
+    "q56_topk_agg" -> q56TopkAgg,
     "q25_exact_dedup" -> q25ExactDedup,
     "q40_dedup_clusters" -> q40DedupClusters,
     "q47_ivf_topk" -> q47IvfTopK,
@@ -333,6 +345,21 @@ object ScaleQueries {
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY cos_micro DESC, neighbor_id) AS rank
          |  FROM cand)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q56_topk_agg" ->
+      s"""WITH $normedCte,
+         |b AS (SELECT vec_id, embedding, nrm, CAST($bucketSql AS BIGINT) AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_nrm, bucket
+         |      FROM b WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |    CAST(floor(1e6 * ${dotSql("q_vec", "c.embedding")}
+         |      / (q_nrm * c.nrm)) AS BIGINT) AS cos_micro
+         |  FROM q JOIN b c USING (bucket) WHERE c.vec_id != query_id)
+         |SELECT query_id, neighbor_id, cos_micro, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_micro DESC, neighbor_id) AS rank
+         |  FROM scored)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q31_ann_lsh" ->
       s"""WITH $normedCte,
