@@ -81,6 +81,76 @@ object StreamingIngest {
           else { state.update(true); rows.take(1) })
   }
 
+  /** A closed session: emitted when a gap exceeds the threshold or the
+    * watermark passes the open session's horizon. */
+  case class SessionOut(key: String, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Open-session state (public: the state encoder's generated code
+    * constructs and probes it from Janino-compiled classes). */
+  case class SessionState(startMs: Long, lastMs: Long, n: Long)
+
+  /** Streaming gap-based sessionization — the incremental twin of the
+    * batch sessionize query (q43), with custom event-time state:
+    * one open session per key lives in the state store; an event more
+    * than `gapMs` past the session's last event closes it (emitting the
+    * session row) and opens the next; a key that goes quiet is closed by
+    * an EVENT-TIME TIMEOUT when the watermark passes `last + gap`, so
+    * state cannot accumulate for dead keys and output needs no future
+    * event to flush.
+    *
+    * Out-of-order handling: events within a micro-batch are sorted
+    * before folding (bounded by batch size); events later than the
+    * watermark delay are dropped by the engine — the standard streaming
+    * correctness trade, bounded state for bounded lateness.
+    */
+  def sessionizeStream(stream: DataFrame, keyCol: String, tsCol: String,
+      gapMs: Long, watermark: String): org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val stEnc = Encoders.product[SessionState]
+    implicit val inEnc = Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP)
+    implicit val keyEnc = Encoders.STRING
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    stream
+      // project/cast BEFORE the watermark: a cast afterwards would mint a
+      // fresh attribute without the watermark tag, and event-time timeout
+      // refuses plans whose event column lost it
+      .select(col(keyCol).cast("string").as("__k"), col(tsCol).cast("timestamp").as("__ts"))
+      .withWatermark("__ts", watermark)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(key, ts(s.startMs), ts(s.lastMs), s.n))
+          } else {
+            val times = rows.map(_._2.getTime).toArray
+            java.util.Arrays.sort(times)
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.lastMs > gapMs =>
+                  closed += SessionOut(key, ts(s.startMs), ts(s.lastMs), s.n)
+                  Some(SessionState(t, t, 1))
+                case Some(s) =>
+                  Some(SessionState(s.startMs, math.max(s.lastMs, t), s.n + 1))
+                case None => Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          })
+  }
+
   /** Drain-what's-there runner: processes every pending file, then stops
     * (the scheduled-batch shape of the reference's manual re-runs). */
   def availableNow(df: DataFrame, outDir: String, checkpoint: String): DataStreamWriter[Row] =

@@ -57,6 +57,51 @@ class StreamingIngestSpec extends SparkSpec {
     assert(got("ZINC") == null) // unmatched PWSID stays (left join)
   }
 
+  test("streaming sessionization: gap closes inline, quiet keys close by event-time timeout") {
+    val drop = tmp("graft-sess-drop")
+    val out = tmp("graft-sess-out")
+    val ckpt = tmp("graft-sess-ckpt")
+    def dropFile(name: String, lines: String*): Unit =
+      Files.write(Paths.get(s"$drop/$name"),
+        ("user,ts" +: lines).mkString("\n").getBytes)
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .option("header", "true")
+        .schema("user STRING, ts TIMESTAMP")
+        .csv(drop)
+      val sess = StreamingIngest.sessionizeStream(
+        stream, "user", "ts", gapMs = 10 * 60 * 1000, watermark = "0 seconds")
+      StreamingIngest.availableNow(sess.toDF(), out, ckpt).start().awaitTermination()
+    }
+    def sessions(): Seq[(String, String, String, Long)] =
+      spark.read.parquet(out).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3)))
+        .toSeq.sorted
+
+    // batch 1: a bursts at 10:00-10:05, then an 11:00 event 55min later —
+    // the first session closes INSIDE the batch (gap exceeded inline)
+    dropFile("b1.csv",
+      "a,2024-01-01 10:00:00", "a,2024-01-01 10:05:00", "a,2024-01-01 11:00:00")
+    drain()
+    assert(sessions() == Seq(("a", "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0", 2L)))
+
+    // batch 2: a@12:00 closes the open 11:00 session (gap) and stays open
+    dropFile("b2.csv", "a,2024-01-01 12:00:00")
+    drain()
+    assert(sessions().map(_._2).contains("2024-01-01 11:00:00.0"))
+
+    // batches 3-4: only OTHER keys arrive; the watermark they advance
+    // (to 13:00) passes a's 12:10 horizon and times a's session out —
+    // no further 'a' event was ever needed
+    dropFile("b3.csv", "b,2024-01-01 13:00:00")
+    drain()
+    dropFile("b4.csv", "b,2024-01-01 14:00:00")
+    drain()
+    val a12 = sessions().filter(s => s._1 == "a" && s._2 == "2024-01-01 12:00:00.0")
+    assert(a12 == Seq(("a", "2024-01-01 12:00:00.0", "2024-01-01 12:00:00.0", 1L)))
+  }
+
   test("stateful dedup suppresses replayed keys across separate drains") {
     val drop = tmp("graft-drop4")
     val out = tmp("graft-dedup-out")
