@@ -77,4 +77,72 @@ object Multimodal {
     transform(sequence(lit(1), lit(dims)),
       i => (xxhash64(bin, i) % 1000000L).cast("double") / 1000000.0)
       .cast("array<float>")
+
+  // ------------------------------------------------- partitioned decode path
+
+  /** JVM twin of [[decodeFeaturesStub]] for the partitioned path: the
+    * same xxhash64-derived floats, computed by evaluating the identical
+    * Catalyst expression per payload, so both decode paths are
+    * bit-equal and interchangeable downstream. */
+  def stubDecoder(dims: Int): Seq[Array[Byte]] => Seq[Array[Float]] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, XxHash64}
+    import org.apache.spark.sql.types.BinaryType
+    // the exact expressions the column stub evaluates, bound once
+    val exprs = Array.tabulate(dims)(d =>
+      XxHash64(Seq(BoundReference(0, BinaryType, nullable = false), Literal(d + 1)), 42L))
+    batch => batch.map { bytes =>
+      val row = InternalRow(bytes)
+      Array.tabulate(dims) { d =>
+        val h = exprs(d).eval(row).asInstanceOf[Long]
+        ((h % 1000000L).toDouble / 1000000.0).toFloat
+      }
+    }
+  }
+
+  /** Partition-batched decode harness — the codec integration point.
+    *
+    * Real decoders (image/audio/video libraries) are imperative native
+    * code: they want ONE expensive initialization and then batches of
+    * payloads, which is exactly what `mapPartitions` provides and column
+    * expressions cannot — so this is the one place the multimodal layer
+    * deliberately drops below the DataFrame API (preference (d) of the
+    * custom-operator ladder). `decoderFactory` runs once per partition
+    * (codec init), its function is fed bounded `batchSize` slices of the
+    * partition (decoder batch shape, bounds peak memory at
+    * batchSize × payload), and results stream back row-aligned. The
+    * default factory is the [[stubDecoder]]; swapping in a real codec
+    * changes no plumbing.
+    *
+    * Scale posture: pure narrow transformation — assets stay in their
+    * partitions, nothing shuffles, output carries (id, features) so the
+    * multi-MB payload column is dropped as early as possible.
+    */
+  def decodeFeaturesPartitioned(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      dims: Int,
+      batchSize: Int = 32,
+      decoderFactory: () => Seq[Array[Byte]] => Seq[Array[Float]] = null): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val factory = Option(decoderFactory).getOrElse(() => stubDecoder(dims))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("features",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("long").as("__id"), col(binCol).as("__bin"))
+      .mapPartitions { it =>
+        val decode = factory() // once per partition: the codec init
+        it.grouped(batchSize).flatMap { batch =>
+          val ids = batch.map(_.getLong(0))
+          val features = decode(batch.map(_.getAs[Array[Byte]](1)))
+          require(features.length == ids.length,
+            s"decoder returned ${features.length} results for ${ids.length} inputs")
+          ids.lazyZip(features).map((id, f) => org.apache.spark.sql.Row(id, f.toSeq))
+        }
+      }
+      .withColumnRenamed("__id", idCol)
+  }
 }

@@ -54,6 +54,35 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(_.getAs[Long]("query_id") == 1L))
   }
 
+  test("partitioned decode is bit-equal to the expression stub, any batch size") {
+    val expected = assets.select(col("asset_id"),
+      Multimodal.decodeFeaturesStub(col("bytes"), dims = 8).as("features"))
+    for (bs <- Seq(1, 2, 1000)) {
+      val got = Multimodal.decodeFeaturesPartitioned(
+        assets.repartition(3), "asset_id", "bytes", dims = 8, batchSize = bs)
+      assertSameRows(got, expected)
+    }
+  }
+
+  test("partitioned decode initializes the codec once per partition, feeds bounded batches") {
+    val inits = spark.sparkContext.longAccumulator("codec-inits")
+    val maxBatch = spark.sparkContext.longAccumulator("max-batch")
+    val many = spark.range(100)
+      .select(col("id").as("asset_id"),
+        col("id").cast("string").cast("binary").as("bytes"))
+      .repartition(4)
+    val factory = () => {
+      inits.add(1)
+      val stub = Multimodal.stubDecoder(4)
+      (batch: Seq[Array[Byte]]) => { maxBatch.add(math.max(0, batch.length - 8) * 1000); stub(batch) }
+    }
+    val n = Multimodal.decodeFeaturesPartitioned(
+      many, "asset_id", "bytes", dims = 4, batchSize = 8, decoderFactory = factory).count()
+    assert(n == 100)
+    assert(inits.value == 4, s"expected one codec init per partition, got ${inits.value}")
+    assert(maxBatch.value == 0, "a batch exceeded batchSize")
+  }
+
   test("decodeFeaturesStub yields deterministic fixed-width float vectors") {
     val f = assets.select(col("asset_id"),
       Multimodal.decodeFeaturesStub(col("bytes"), dims = 8).as("feat"))
