@@ -196,15 +196,16 @@ object Dedup {
       val neighborMin = sym.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy("src").agg(min("label").as("nmin"))
         .withColumnRenamed("src", "id")
+      // the change marker rides along into the (eager) checkpoint, so
+      // convergence is a cheap scan of materialized partitions — not a
+      // second labels⋈labels join per round
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin") < col("label")).as("__changed"))
         .localCheckpoint(true)
-      val changed = updated.withColumnRenamed("label", "new_label")
-        .join(labels, "id")
-        .filter(col("new_label") =!= col("label"))
-        .count()
-      labels = updated
+      val changed = updated.filter(col("__changed")).count()
+      labels = updated.drop("__changed")
       converged = changed == 0
       i += 1
     }
