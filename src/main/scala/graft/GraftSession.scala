@@ -21,10 +21,9 @@ object GraftSession {
       // Row-level runtime filtering: on a selective dim⋈fact join, inject
       // a bloom filter of the dim-side keys into the fact scan, so the
       // 100 TB side drops non-joining rows at the scan instead of
-      // shuffling them. Off by default in Spark 4; free to enable (the
-      // optimizer only applies it where the shuffle saving clears the
-      // creation-cost threshold).
-      .config("spark.sql.optimizer.runtimeFilter.bloomFilter.enabled", "true")
+      // shuffling them. Default-on in Spark 4.1 — pinned explicitly so
+      // the engine's scale posture doesn't ride on a default.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -25,8 +25,13 @@ final class TopKHeap(val k: Int) {
 
   def offer(score: Long, id: Long): Unit = {
     if (heap.size < k) heap.add(Array(score, id))
-    else if (ord.compare(heap.peek(), Array(score, id)) < 0) {
-      heap.poll(); heap.add(Array(score, id))
+    else {
+      // allocation-free reject test: this runs once per input row, and
+      // losing to the current worst is the common case
+      val worst = heap.peek()
+      if (score > worst(0) || (score == worst(0) && id < worst(1))) {
+        heap.poll(); heap.add(Array(score, id))
+      }
     }
   }
 

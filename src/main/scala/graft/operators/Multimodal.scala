@@ -90,7 +90,7 @@ object Multimodal {
     import org.apache.spark.sql.types.BinaryType
     // the exact expressions the column stub evaluates, bound once
     val exprs = Array.tabulate(dims)(d =>
-      XxHash64(Seq(BoundReference(0, BinaryType, nullable = false), Literal(d + 1)), 42L))
+      XxHash64(Seq(BoundReference(0, BinaryType, nullable = true), Literal(d + 1)), 42L))
     batch => batch.map { bytes =>
       val row = InternalRow(bytes)
       Array.tabulate(dims) { d =>
@@ -136,7 +136,10 @@ object Multimodal {
       .mapPartitions { it =>
         val decode = factory() // once per partition: the codec init
         it.grouped(batchSize).flatMap { batch =>
-          val ids = batch.map(_.getLong(0))
+          // null-tolerant id read: the expression-stub path passes null
+          // ids through, so this path must too (getLong would throw)
+          val ids = batch.map(r => if (r.isNullAt(0)) null
+            else java.lang.Long.valueOf(r.getLong(0)))
           val features = decode(batch.map(_.getAs[Array[Byte]](1)))
           require(features.length == ids.length,
             s"decoder returned ${features.length} results for ${ids.length} inputs")

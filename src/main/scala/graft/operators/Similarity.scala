@@ -196,6 +196,23 @@ object Similarity {
       ColumnBridge.expression(lit(k))).toAggregateExpression())
   }
 
+  /** Shared ANN candidate generation: LSH-bucket the corpus, broadcast
+    * the (filtered) query side, equi-join on bucket, score each
+    * candidate with the exact cosine. Both rankers consume this. */
+  private def annScoredCandidates(vecs: DataFrame, idCol: String, vecCol: String,
+      planes: Int, dims: Int, queryFilter: Column): DataFrame = {
+    val signs = hyperplaneSigns(planes, dims)
+    val bucketed = withNorm(vecs, idCol, vecCol)
+      .withColumn("bucket", lshBucket(col(vecCol), signs))
+    val q = broadcast(bucketed.filter(queryFilter)
+      .toDF("query_id", "q_vec", "q_nrm", "bucket"))
+    val c = bucketed.toDF("neighbor_id", "c_vec", "c_nrm", "bucket")
+    c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_micro",
+        cosMicroPre(dot(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
+  }
+
   /** [[annTopK]] with the rank-within-query step as the k-capped heap
     * aggregate instead of a `row_number` window: candidates are never
     * sorted or materialized per group — map-side partial heaps carry at
@@ -203,17 +220,8 @@ object Similarity {
     * window form shuffles and sorts EVERY candidate row. Same output,
     * same ordering contract (cos desc, id asc). */
   def annTopKAgg(vecs: DataFrame, idCol: String, vecCol: String,
-      k: Int, planes: Int, dims: Int, queryFilter: Column): DataFrame = {
-    val signs = hyperplaneSigns(planes, dims)
-    val bucketed = withNorm(vecs, idCol, vecCol)
-      .withColumn("bucket", lshBucket(col(vecCol), signs))
-    val q = broadcast(bucketed.filter(queryFilter)
-      .toDF("query_id", "q_vec", "q_nrm", "bucket"))
-    val c = bucketed.toDF("neighbor_id", "c_vec", "c_nrm", "bucket")
-    c.join(q, Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_micro",
-        cosMicroPre(dot(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
+      k: Int, planes: Int, dims: Int, queryFilter: Column): DataFrame =
+    annScoredCandidates(vecs, idCol, vecCol, planes, dims, queryFilter)
       .groupBy("query_id")
       .agg(topKBy(col("cos_micro"), col("neighbor_id"), k).as("topk"))
       .select(col("query_id"), posexplode(col("topk")))
@@ -221,25 +229,15 @@ object Similarity {
         col("col.id").as("neighbor_id"),
         col("col.score").as("cos_micro"),
         (col("pos") + 1).cast("long").as("rank"))
-  }
 
   /** ANN top-k: candidates share the query's LSH bucket (equi-join on
     * bucket — no cross product), then exact cosine ranking within the
     * bucket. Approximate: recall is the bucket-collision probability. */
   def annTopK(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, planes: Int, dims: Int, queryFilter: Column): DataFrame = {
-    val signs = hyperplaneSigns(planes, dims)
-    val bucketed = withNorm(vecs, idCol, vecCol)
-      .withColumn("bucket", lshBucket(col(vecCol), signs))
-    val q = broadcast(bucketed.filter(queryFilter)
-      .toDF("query_id", "q_vec", "q_nrm", "bucket"))
-    val c = bucketed.toDF("neighbor_id", "c_vec", "c_nrm", "bucket")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_micro").desc, col("neighbor_id"))
-    c.join(q, Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_micro",
-        cosMicroPre(dot(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
+    annScoredCandidates(vecs, idCol, vecCol, planes, dims, queryFilter)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "bucket", "neighbor_id", "cos_micro", "rank")

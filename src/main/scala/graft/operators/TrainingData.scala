@@ -42,7 +42,11 @@ object TrainingData {
       salt: String = "v1",
       outCol: String = "split"): DataFrame = {
     require(trainPermille + valPermille <= 1000, "permilles exceed 1000")
-    val bucket = h60(concat_ws(":", lit("split"), lit(salt), col(groupCol))) % 1000
+    // concat, not concat_ws: null keys must POISON the hash (null bucket →
+    // the otherwise-branch) exactly like the oracle's `||`; concat_ws
+    // would silently skip the null and collapse all null groups into one
+    // hash bucket the oracle can't reproduce
+    val bucket = h60(concat(lit(s"split:$salt:"), col(groupCol).cast("string"))) % 1000
     df.withColumn(outCol,
       when(bucket < trainPermille, "train")
         .when(bucket < trainPermille + valPermille, "val")
@@ -69,7 +73,9 @@ object TrainingData {
     val rate = keepPermille.foldLeft(lit(defaultPermille)) {
       case (acc, (stratum, p)) => when(col(strataCol) === stratum, p).otherwise(acc)
     }
-    val bucket = h60(concat_ws(":", lit("sample"), lit(salt), col(idCol))) % 1000
+    // null ids hash to null → filter false → dropped, same as the
+    // oracle's NULL comparison (concat_ws would keep them all)
+    val bucket = h60(concat(lit(s"sample:$salt:"), col(idCol).cast("string"))) % 1000
     df.filter(bucket < rate)
   }
 

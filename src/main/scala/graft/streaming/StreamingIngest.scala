@@ -118,6 +118,9 @@ object StreamingIngest {
       // fresh attribute without the watermark tag, and event-time timeout
       // refuses plans whose event column lost it
       .select(col(keyCol).cast("string").as("__k"), col(tsCol).cast("timestamp").as("__ts"))
+      // a null event time can't be late-filtered by the watermark (NULL
+      // comparison) and would NPE the state fold — drop it explicitly
+      .filter(col("__ts").isNotNull)
       .withWatermark("__ts", watermark)
       .as[(String, java.sql.Timestamp)]
       .groupByKey(_._1)
@@ -129,18 +132,25 @@ object StreamingIngest {
             state.remove()
             Iterator(SessionOut(key, ts(s.startMs), ts(s.lastMs), s.n))
           } else {
+            // Span-merge fold: the open state is one span among the
+            // batch's events, ordered by start — so cross-batch disorder
+            // needs no special cases (a late event inside or before the
+            // open session widens it; one more than a gap earlier forms
+            // its own, immediately-closed session).
             val times = rows.map(_._2.getTime).toArray
             java.util.Arrays.sort(times)
+            val spans = (times.map(t => SessionState(t, t, 1)) ++ state.getOption)
+              .sortBy(s => (s.startMs, s.lastMs))
             val closed = Seq.newBuilder[SessionOut]
-            var cur = state.getOption
-            times.foreach { t =>
+            var cur: Option[SessionState] = None
+            spans.foreach { s =>
               cur = cur match {
-                case Some(s) if t - s.lastMs > gapMs =>
-                  closed += SessionOut(key, ts(s.startMs), ts(s.lastMs), s.n)
-                  Some(SessionState(t, t, 1))
-                case Some(s) =>
-                  Some(SessionState(s.startMs, math.max(s.lastMs, t), s.n + 1))
-                case None => Some(SessionState(t, t, 1))
+                case Some(c) if s.startMs - c.lastMs > gapMs =>
+                  closed += SessionOut(key, ts(c.startMs), ts(c.lastMs), c.n)
+                  Some(s)
+                case Some(c) => Some(SessionState(
+                  c.startMs, math.max(c.lastMs, s.lastMs), c.n + s.n))
+                case None => Some(s)
               }
             }
             cur.foreach { s =>

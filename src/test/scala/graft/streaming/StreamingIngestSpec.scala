@@ -102,6 +102,37 @@ class StreamingIngestSpec extends SparkSpec {
     assert(a12 == Seq(("a", "2024-01-01 12:00:00.0", "2024-01-01 12:00:00.0", 1L)))
   }
 
+  test("sessionization widens the open session for a late in-gap event from an earlier batch") {
+    val drop = tmp("graft-sess2-drop")
+    val out = tmp("graft-sess2-out")
+    val ckpt = tmp("graft-sess2-ckpt")
+    def dropFile(name: String, lines: String*): Unit =
+      Files.write(Paths.get(s"$drop/$name"),
+        ("user,ts" +: lines).mkString("\n").getBytes)
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .option("header", "true")
+        .schema("user STRING, ts TIMESTAMP")
+        .csv(drop)
+      val sess = StreamingIngest.sessionizeStream(
+        stream, "user", "ts", gapMs = 10 * 60 * 1000, watermark = "2 hours")
+      StreamingIngest.availableNow(sess.toDF(), out, ckpt).start().awaitTermination()
+    }
+    dropFile("b1.csv", "a,2024-01-01 10:00:00")
+    drain()
+    // late event 2 min BEFORE the open session's start, within gap +
+    // watermark: must widen the session backwards, not be mis-anchored
+    dropFile("b2.csv", "a,2024-01-01 09:58:00")
+    drain()
+    // a gap-exceeding event closes the widened session
+    dropFile("b3.csv", "a,2024-01-01 13:00:00")
+    drain()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+      .toSeq
+    assert(got == Seq(("2024-01-01 09:58:00.0", "2024-01-01 10:00:00.0", 2L)))
+  }
+
   test("stateful dedup suppresses replayed keys across separate drains") {
     val drop = tmp("graft-drop4")
     val out = tmp("graft-dedup-out")
