@@ -82,7 +82,30 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+  /** TD7 — the end-to-end curation pipeline a corpus user actually
+    * runs, composed from the engine's layers in one declarative plan:
+    * quality gate ([[graft.functions.TextAnalysis.qualityKeep]]) →
+    * repetition gate ([[TrainingData.repetitionFacets]]) → exact-dedup
+    * canonical survivors only ([[graft.operators.Dedup.exactDedup]]) →
+    * leakage-resistant split assignment ([[TrainingData.assignSplit]]).
+    * Everything fuses into scans + one window on the content hash —
+    * no joins, no collects. */
+  val q57CuratePipeline: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val facets = TrainingData.repetitionFacets(col("text"))
+    val gated = t.documents
+      .filter(graft.functions.TextAnalysis.qualityKeep(col("text")))
+      .withColumns(facets.toMap.map { case (n, c) => n -> c })
+      .filter(!(col("top_token_permille") >= 280 || col("dup_bigram_permille") >= 350))
+    val deduped = graft.operators.Dedup.exactDedup(gated, "doc_id", "text")
+      .filter(!col("is_dup"))
+    TrainingData.assignSplit(deduped, "source")
+      .select("doc_id", "lang", "source", "split")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q57_curate_pipeline" -> q57CuratePipeline,
     "q54_sequence_pack" -> q54SequencePack,
     "q55_repetition" -> q55Repetition,
     "q50_split_assign" -> q50SplitAssign,
@@ -95,6 +118,37 @@ object TrainingQueries {
   private def h60(expr: String): String = Hashing.h60Sql(expr)
 
   val oracle: Map[String, String] = Map(
+    "q57_curate_pipeline" ->
+      s"""WITH t AS (
+         |  SELECT *, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |q AS (
+         |  SELECT * FROM t
+         |  WHERE len(toks) >= 10 AND len(toks) <= 10000
+         |    AND floor(1000 * CAST(len(list_filter(toks,
+         |          x -> x IN ('the','a','of','and','in'))) AS DOUBLE)
+         |        / CAST(len(toks) AS DOUBLE)) >= 10
+         |    AND floor(1000 * CAST(len(list_distinct(toks)) AS DOUBLE)
+         |        / CAST(len(toks) AS DOUBLE)) >= 100),
+         |r AS (
+         |  SELECT * FROM q
+         |  WHERE NOT (
+         |    floor(1000 * CAST(list_max(list_transform(list_distinct(toks),
+         |        t2 -> len(list_filter(toks, x -> x = t2)))) AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE)) >= 280
+         |    OR (CASE WHEN len(toks) - 1 <= 0 THEN 0
+         |        ELSE 1000 - floor(1000 * CAST(len(list_distinct(
+         |            list_transform(generate_series(1, len(toks) - 1),
+         |              i -> array_to_string(toks[i:i+1], ' ')))) AS DOUBLE)
+         |          / CAST(len(toks) - 1 AS DOUBLE)) END) >= 350)),
+         |d AS (
+         |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+         |  FROM r)
+         |SELECT doc_id, lang, source,
+         |  CASE WHEN ${h60("'split:v1:' || source")} % 1000 < 800 THEN 'train'
+         |       WHEN ${h60("'split:v1:' || source")} % 1000 < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM d WHERE doc_id = canonical ORDER BY doc_id""".stripMargin,
     "q54_sequence_pack" ->
       """WITH t AS (
         |  SELECT doc_id, source,
