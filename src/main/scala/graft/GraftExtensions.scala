@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, TopKByScore}
+import graft.functions.{FloatDotProduct, TokenModeCount, TopKByScore}
 
 /** Session extension entry point: registers the engine's native
   * expressions with the SQL function registry, so `spark.sql` users get
@@ -44,6 +44,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 3, s"topk_by takes 3 arguments, got ${exprs.length}")
         TopKByScore(exprs.head, exprs(1), exprs(2)).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("token_mode_count"),
+      new ExpressionInfo(
+        classOf[TokenModeCount].getCanonicalName,
+        "", // db
+        "token_mode_count",
+        "_FUNC_(arr) - occurrences of the most frequent element of an array<string> " +
+          "(null for an empty array).",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"token_mode_count takes 1 argument, got ${exprs.length}")
+        TokenModeCount(exprs.head)
       }))
   }
 }

@@ -161,15 +161,16 @@ object TrainingData {
     *    repeats of an earlier bigram (1 − distinct/total).
     *
     * Both are computed per row from the token array alone — no explode,
-    * no shuffle; a corpus scan stays a scan. The mode count is an
-    * O(distinct·n) in-row array expression: bounded by document length,
-    * independent of corpus size.
+    * no shuffle; a corpus scan stays a scan. The mode count is the
+    * native codegen'd [[graft.functions.TokenModeCount]] (sort +
+    * run-scan, O(n log n) per document, no interpreted lambdas).
     */
   def repetitionFacets(text: Column): Seq[(String, Column)] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val toks = tokensWs(text)
     val n = size(toks)
-    val topFreq = array_max(transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t))))
+    val topFreq = ColumnBridge.column(
+      graft.functions.TokenModeCount(ColumnBridge.expression(toks)))
     val bigrams = Dedup.tokenShingles(toks, 2)
     val nBi = n - 1
     Seq(
