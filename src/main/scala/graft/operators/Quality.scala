@@ -45,6 +45,40 @@ object Quality {
   def enforce(df: DataFrame, gates: Seq[Gate]): Unit =
     enforceAudit(audit(df, gates))
 
+  /** Column profile — the data-profiling twin of [[audit]]: per column,
+    * row/null/distinct counts and string-rendered min/max, all from ONE
+    * aggregation over one scan. The shape a DQ dashboard or an ingest
+    * contract check consumes.
+    *
+    * `exactDistinct=false` swaps `count(distinct)` for the one-pass HLL
+    * `approx_count_distinct` — at 100 TB the exact form's Expand
+    * (k× row multiplication for k profiled columns) is the scan cost
+    * times k, while the sketch keeps the single pass. Exact is the
+    * oracle-comparable default; flip it at scale.
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = true): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        (if (exactDistinct) count_distinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val counts = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    val stacked = cols.map(c => struct(
+      lit(c).as("column"),
+      col(s"__nn_$c").as("n_nulls"),
+      col(s"__nd_$c").as("n_distinct"),
+      col(s"__mn_$c").as("min_value"),
+      col(s"__mx_$c").as("max_value")))
+    counts.select(explode(array(stacked: _*)).as("p"), col("__total").as("n_rows"))
+      .select(col("p.column").as("column"), col("n_rows"),
+        col("p.n_nulls").as("n_nulls"), col("p.n_distinct").as("n_distinct"),
+        col("p.min_value").as("min_value"), col("p.max_value").as("max_value"))
+  }
+
   /** G3 — row conservation between pipeline stages, as a law. */
   def requireRowConservation(in: DataFrame, out: DataFrame): Unit = {
     val (i, o) = (in.count(), out.count())

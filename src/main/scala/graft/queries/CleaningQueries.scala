@@ -177,7 +177,18 @@ object CleaningQueries {
       .orderBy("doc_id")
   }
 
+  /** DQ profile — per-column row/null/distinct counts and min/max from
+    * one scan ([[graft.operators.Quality.profile]]), over the orders
+    * table's key and status columns. */
+  val q58Profile: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    graft.operators.Quality.profile(t.orders,
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      .orderBy("column")
+  }
+
   val all: Map[String, Q] = Map(
+    "q58_profile" -> q58Profile,
     "q32_clean_battery" -> q32CleanBattery,
     "q33_reconcile_7key" -> q33Reconcile7Key,
     "q34_enrich_drop" -> q34EnrichDrop,
@@ -244,6 +255,17 @@ object CleaningQueries {
       |  FROM lineitem WHERE l_quantity >= 49)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q58_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
     "q32_clean_battery" ->
       s"""WITH $rawsCte
          |SELECT o_orderkey,

@@ -28,6 +28,25 @@ class QualitySpec extends SparkSpec {
     assert(e.getMessage.contains("neg=1"))
   }
 
+  test("profile: one row per column with null/distinct/min-max, single scan") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Some(1L), "b"), (Some(2L), "a"), (None, "a"), (Some(2L), null))
+      .toDF("num", "txt")
+    val p = profile(df, Seq("num", "txt")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(p("num") == ((4L, 1L, 2L, "1", "2")))
+    assert(p("txt") == ((4L, 1L, 2L, "a", "b")))
+    // single scan: exactly one aggregate source, no join/union in the plan
+    val plan = profile(df, Seq("num", "txt")).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Union"))
+    // the approx variant still produces a sane distinct estimate
+    val ap = profile(df, Seq("txt"), exactDistinct = false)
+      .select(col("n_distinct")).head().getLong(0)
+    assert(ap == 2L)
+  }
+
   test("requireRowConservation is the G3 law") {
     requireRowConservation(fixture, fixture.select("k"))
     intercept[IllegalStateException] {
