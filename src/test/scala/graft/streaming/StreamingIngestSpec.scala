@@ -133,6 +133,43 @@ class StreamingIngestSpec extends SparkSpec {
     assert(got == Seq(("2024-01-01 09:58:00.0", "2024-01-01 10:00:00.0", 2L)))
   }
 
+  test("the hierarchical enrich cascade runs incrementally on a stream, batch-identical") {
+    import graft.operators.Relational
+    val drop = tmp("graft-enrich-drop")
+    val out = tmp("graft-enrich-out")
+    val ckpt = tmp("graft-enrich-ckpt")
+    // static dimension with two key levels: (pws, loc) then (pws)
+    val dim = Seq(
+      ("P1", "L1", "zip-11", 3L), ("P1", "L2", "zip-12", 2L), ("P2", "L9", "zip-29", 1L))
+      .toDF("pws", "loc", "zip", "pref")
+    def cascade(data: org.apache.spark.sql.DataFrame) =
+      Relational.hierarchicalEnrich(
+        data, dim,
+        keyLevels = Seq(Seq("pws", "loc"), Seq("pws")),
+        payloadCols = Seq("zip"),
+        dimOrder = Seq(col("pref").desc))
+    Files.write(Paths.get(s"$drop/f1.csv"),
+      "pws,loc,v\nP1,L1,10\nP1,LX,11\nP3,L1,12\n".getBytes)
+    val stream = spark.readStream
+      .option("header", "true").schema("pws STRING, loc STRING, v INT").csv(drop)
+    StreamingIngest.availableNow(cascade(stream), out, ckpt).start().awaitTermination()
+    val streamed = spark.read.parquet(out)
+    // identical rows to the batch cascade over the same input
+    val batch = cascade(
+      spark.read.option("header", "true").schema("pws STRING, loc STRING, v INT")
+        .csv(s"$drop/f1.csv"))
+    assertSameRows(streamed, batch)
+    // and the semantics are the reference's: exact 2-key hit, 1-key
+    // fallback to the preferred survivor, conserving miss
+    val got = streamed.collect()
+      .map(r => (r.getAs[String]("pws"), r.getAs[String]("loc"),
+        r.getAs[String]("zip"), r.getAs[Any]("match_level"))).toSet
+    assert(got == Set(
+      ("P1", "L1", "zip-11", 1), // exact (pws, loc) match
+      ("P1", "LX", "zip-11", 2), // falls back to pws level, pref-max survivor
+      ("P3", "L1", null, null))) // conserved miss (level null, as in batch)
+  }
+
   test("stateful dedup suppresses replayed keys across separate drains") {
     val drop = tmp("graft-drop4")
     val out = tmp("graft-dedup-out")
