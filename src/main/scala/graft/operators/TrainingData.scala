@@ -182,6 +182,49 @@ object TrainingData {
           floor(lit(1000) * size(bigrams).cast("double") / nBi.cast("double")).cast("long")))
   }
 
+  // ---------------------------------------------------------- rarity scoring
+
+  /** Corpus-relative token-rarity score — the inverse-frequency form of
+    * perplexity-style quality scoring (rare-token-heavy documents score
+    * high; boilerplate scores low), in EXACT integer arithmetic so the
+    * verification oracle matches bit-for-bit (log-based cross-entropy
+    * would ride on libm's last-ulp differences across engines).
+    *
+    * rarity(t) = (1e6 · total_tokens) div count(t) for the top-`topV`
+    * vocabulary tokens (count desc, token asc — deterministic ties);
+    * everything else scores the fixed `oovRarity` ceiling. A document's
+    * score is the integer mean rarity of its token occurrences.
+    *
+    * Scale shape: one shuffle to count tokens; the vocabulary is capped
+    * at topV and BROADCAST (a full token-frequency join would shuffle
+    * the 100 TB token stream — the capped-vocab approximation is what
+    * production quality classifiers use); the corpus pass is then
+    * scan + broadcast probe + one aggregation on the doc id.
+    */
+  def rarityScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topV: Int,
+      oovRarity: Long = 1000000L): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokensWs(col(textCol))).as("__t"))
+    val counts = tok.groupBy("__t").agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c")).as("__n"))
+    val vocab = counts
+      .orderBy(col("__c").desc, col("__t"))
+      .limit(topV)
+      .crossJoin(broadcast(total))
+      .select(col("__t"),
+        // decimal widen: 1e6 × a 100 TB corpus's token count overflows
+        // a raw long multiply (2e13 tokens → 2e19 > Long.Max)
+        expr("(1000000 * CAST(__n AS DECIMAL(38, 0))) div __c").as("__rarity"))
+    tok.join(broadcast(vocab), Seq("__t"), "left")
+      .select(col(idCol), coalesce(col("__rarity"), lit(oovRarity)).as("__r"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum(__r) div count(1)").as("rarity_score"))
+  }
+
   // -------------------------------------------------------- decontamination
 
   /** Eval-set decontamination score: for every corpus document, the

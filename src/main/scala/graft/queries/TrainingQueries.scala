@@ -104,8 +104,18 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+  /** TD8 — corpus-relative rarity scoring with a 50-token broadcast
+    * vocabulary: the integer-exact inverse-frequency form of
+    * perplexity-style quality scoring. */
+  val q59RarityScore: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    TrainingData.rarityScores(t.documents, "doc_id", "text", topV = 50)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q57_curate_pipeline" -> q57CuratePipeline,
+    "q59_rarity_score" -> q59RarityScore,
     "q54_sequence_pack" -> q54SequencePack,
     "q55_repetition" -> q55Repetition,
     "q50_split_assign" -> q50SplitAssign,
@@ -118,6 +128,19 @@ object TrainingQueries {
   private def h60(expr: String): String = Hashing.h60Sql(expr)
 
   val oracle: Map[String, String] = Map(
+    "q59_rarity_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT sum(c) AS n FROM cnt),
+        |vocab AS (
+        |  SELECT t, (1000000 * tot.n) // c AS rarity
+        |  FROM (SELECT * FROM cnt ORDER BY c DESC, t LIMIT 50) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(COALESCE(rarity, 1000000)) // count(*) AS BIGINT) AS rarity_score
+        |FROM tok LEFT JOIN vocab USING (t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q57_curate_pipeline" ->
       s"""WITH t AS (
          |  SELECT *, regexp_split_to_array(trim(text), '\\s+') AS toks

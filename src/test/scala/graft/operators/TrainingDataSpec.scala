@@ -99,6 +99,26 @@ class TrainingDataSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out(4L) == ((1000L, 0L)))     // single token: no bigrams, zero dup share
   }
 
+  test("rarityScores: integer-exact inverse-frequency, capped vocab, OOV constant") {
+    val corpus = (Seq.fill(20)("common words only") :+ "zorp qux flibber")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // 63 total tokens; 'common'/'words'/'only' (count 20 each) are the
+    // top-3 vocabulary: rarity = (1e6 * 63) div 20 = 3150000
+    val scores = TrainingData.rarityScores(corpus, "doc_id", "text", topV = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scores(0L) == 3150000L)
+    // the rare doc's tokens fall outside the top-3 vocab → the fixed
+    // OOV constant, exactly as documented
+    assert(scores(20L) == 1000000L)
+    // with the vocab widened to include them, their count-1 rarity
+    // (1e6 * 63 div 1) dominates and rare text outscores boilerplate
+    val withBigVocab = TrainingData.rarityScores(corpus, "doc_id", "text", topV = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(withBigVocab(20L) == 63000000L)
+    assert(withBigVocab(20L) > withBigVocab(0L))
+  }
+
   test("decontaminationScores: a verbatim copy of an eval doc scores 1000") {
     val eval = docs.filter(col("doc_id") === 0L)
     val corpus = docs.filter(col("doc_id") =!= 0L)
