@@ -38,12 +38,16 @@ object Dedup {
   // --------------------------------------------------------------- shingles
 
   /** Distinct word n-gram shingles of a token array (empty when shorter
-    * than n). */
-  def tokenShingles(tokens: Column, n: Int): Column =
-    when(size(tokens) >= n,
-      array_distinct(transform(sequence(lit(1), size(tokens) - (n - 1)),
-        i => array_join(slice(tokens, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+    * than n), via the native single-pass
+    * [[graft.functions.TokenShingles]] — the
+    * `array_distinct(transform(sequence, slice+join))` composition it
+    * replaces was O(len²) interpreted per document and sat under every
+    * set-similarity operator. */
+  def tokenShingles(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.TokenShingles(ColumnBridge.expression(tokens), n))
+  }
 
   /** (id, shingle) long form — the base relation for set-similarity joins. */
   def shingled(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
