@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, TokenModeCount, TopKByScore}
+import graft.functions.{FloatDotProduct, TokenModeCount, TokenShingles, TopKByScore}
 
 /** Session extension entry point: registers the engine's native
   * expressions with the SQL function registry, so `spark.sql` users get
@@ -57,6 +57,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, s"token_mode_count takes 1 argument, got ${exprs.length}")
         TokenModeCount(exprs.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("token_shingles"),
+      new ExpressionInfo(
+        classOf[TokenShingles].getCanonicalName,
+        "", // db
+        "token_shingles",
+        "_FUNC_(arr, n) - distinct space-joined n-token shingles of an array<string>, " +
+          "first-occurrence order; empty for short or null input.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"token_shingles takes 2 arguments, got ${exprs.length}")
+        val n = exprs(1) match {
+          case lit: org.apache.spark.sql.catalyst.expressions.Literal
+              if lit.dataType == org.apache.spark.sql.types.IntegerType && lit.value != null =>
+            lit.value.asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"token_shingles n must be an int literal, got $other")
+        }
+        TokenShingles(exprs.head, n)
       }))
   }
 }

@@ -45,6 +45,16 @@ class TokenShinglesSpec extends SparkSpec {
     assert(got(4) == List("a c")) // array_join semantics: nulls skipped
   }
 
+  test("registered in SQL as token_shingles") {
+    ColumnBridge.registerInjectedFunctions(
+      { val e = new org.apache.spark.sql.SparkSessionExtensions
+        new graft.GraftExtensions().apply(e); e },
+      spark.sessionState.functionRegistry)
+    val got = spark.sql("SELECT token_shingles(array('a','b','c'), 2) AS s")
+      .head().getSeq[String](0).toList
+    assert(got == List("a b", "b c"))
+  }
+
   test("first-occurrence order and distinctness") {
     val rows = Seq((1, Seq("x", "y", "x", "y", "x"))).toDF("id", "toks")
     val got = rows.select(native(col("toks"), 2)).head().getSeq[String](0).toList
