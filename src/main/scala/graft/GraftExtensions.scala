@@ -69,12 +69,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "", "", "", "", "", "", "built-in"),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, s"token_shingles takes 2 arguments, got ${exprs.length}")
-        val n = exprs(1) match {
-          case lit: org.apache.spark.sql.catalyst.expressions.Literal
-              if lit.dataType == org.apache.spark.sql.types.IntegerType && lit.value != null =>
-            lit.value.asInstanceOf[Int]
-          case other => throw new IllegalArgumentException(
-            s"token_shingles n must be an int literal, got $other")
+        // accept any foldable integral constant (2, 1+1, 2L, ...) — the
+        // builder fires before ConstantFolding, so evaluate it here
+        val nExpr = exprs(1)
+        val n = (if (nExpr.foldable) nExpr.eval() else null) match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long if l >= 1 && l <= Int.MaxValue => l.intValue()
+          case s: java.lang.Short => s.intValue()
+          case _ => throw new IllegalArgumentException(
+            s"token_shingles n must be an integral constant, got $nExpr")
         }
         TokenShingles(exprs.head, n)
       }))

@@ -52,6 +52,15 @@ case class TokenModeCount(child: Expression) extends UnaryExpression {
 }
 
 object TokenModeCount {
+  // hoisted: a per-call closure allocation would run once per row
+  private val NullsFirst = new java.util.Comparator[UTF8String] {
+    override def compare(x: UTF8String, y: UTF8String): Int =
+      if (x eq y) 0
+      else if (x == null) -1
+      else if (y == null) 1
+      else x.compareTo(y)
+  }
+
   /** Max element frequency; 0 for an empty array (mapped to null above). */
   def modeCount(arr: ArrayData): Int = {
     val n = arr.numElements()
@@ -62,11 +71,7 @@ object TokenModeCount {
       a(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
       i += 1
     }
-    java.util.Arrays.sort(a, (x: UTF8String, y: UTF8String) =>
-      if (x eq y) 0
-      else if (x == null) -1
-      else if (y == null) 1
-      else x.compareTo(y))
+    java.util.Arrays.sort(a, NullsFirst)
     var best = 1
     var run = 1
     i = 1

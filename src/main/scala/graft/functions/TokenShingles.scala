@@ -63,6 +63,10 @@ object TokenShingles {
   private val EmptyArray = new GenericArrayData(Array.empty[Any])
   def Empty(): ArrayData = EmptyArray
 
+  // hoisted: allocating the separator per window position would sit in
+  // the very hot loop this expression exists to optimize
+  private val Space = UTF8String.fromString(" ")
+
   /** One pass: a sliding window of joined tokens into an insertion-order
     * set. */
   def distinctShingles(arr: ArrayData, n: Int): ArrayData = {
@@ -79,7 +83,7 @@ object TokenShingles {
         if (e != null) { window(nonNull) = e; nonNull += 1 }
         j += 1
       }
-      seen.add(UTF8String.concatWs(UTF8String.fromString(" "),
+      seen.add(UTF8String.concatWs(Space,
         java.util.Arrays.copyOfRange(window, 0, nonNull): _*))
       i += 1
     }

@@ -18,9 +18,12 @@ object Quality {
 
   /** Evaluate all gates in a single scan; returns (gate, violations) rows. */
   def audit(df: DataFrame, gates: Seq[Gate]): DataFrame = {
+    // count(when), not sum(when): sum over ZERO rows is null, and an
+    // empty input must report 0 violations (as the oracle's
+    // COUNT(*) FILTER does), not null — same discipline in [[profile]]
     val counts = df.agg(
       count(lit(1)).as("__total"),
-      gates.map(g => sum(when(g.violation, 1L).otherwise(0L)).as(g.name)): _*
+      gates.map(g => count(when(g.violation, 1)).as(g.name)): _*
     )
     // pivot to long form: one row per gate
     val stacked = gates.map(g =>
@@ -60,7 +63,7 @@ object Quality {
       exactDistinct: Boolean = true): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        count(when(col(c).isNull, 1)).as(s"__nn_$c"),
         (if (exactDistinct) count_distinct(col(c))
          else approx_count_distinct(col(c))).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),

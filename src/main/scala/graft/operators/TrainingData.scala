@@ -192,8 +192,12 @@ object TrainingData {
     *
     * rarity(t) = (1e6 · total_tokens) div count(t) for the top-`topV`
     * vocabulary tokens (count desc, token asc — deterministic ties);
-    * everything else scores the fixed `oovRarity` ceiling. A document's
-    * score is the integer mean rarity of its token occurrences.
+    * out-of-vocabulary tokens score `oovRarity`, which DEFAULTS to one
+    * more than the rarest vocabulary token's rarity — strictly above
+    * every in-vocab score, since OOV means "rarer than anything we
+    * kept" (a fixed constant here would invert the ordering: in-vocab
+    * rarity is always ≥ 1e6 because count ≤ total). A document's score
+    * is the integer mean rarity of its token occurrences.
     *
     * Scale shape: one shuffle to count tokens; the vocabulary is capped
     * at topV and BROADCAST (a full token-frequency join would shuffle
@@ -206,7 +210,8 @@ object TrainingData {
       idCol: String,
       textCol: String,
       topV: Int,
-      oovRarity: Long = 1000000L): DataFrame = {
+      oovRarity: Option[Long] = None): DataFrame = {
+    require(topV >= 1, "topV must be >= 1")
     val tok = df.select(col(idCol), explode(tokensWs(col(textCol))).as("__t"))
     val counts = tok.groupBy("__t").agg(count(lit(1)).as("__c"))
     val total = counts.agg(sum(col("__c")).as("__n"))
@@ -218,8 +223,13 @@ object TrainingData {
         // decimal widen: 1e6 × a 100 TB corpus's token count overflows
         // a raw long multiply (2e13 tokens → 2e19 > Long.Max)
         expr("(1000000 * CAST(__n AS DECIMAL(38, 0))) div __c").as("__rarity"))
+    val oov = oovRarity match {
+      case Some(v) => broadcast(vocab.agg(lit(v).as("__oov")))
+      case None => broadcast(vocab.agg((max(col("__rarity")) + 1).as("__oov")))
+    }
     tok.join(broadcast(vocab), Seq("__t"), "left")
-      .select(col(idCol), coalesce(col("__rarity"), lit(oovRarity)).as("__r"))
+      .crossJoin(oov)
+      .select(col(idCol), coalesce(col("__rarity"), col("__oov")).as("__r"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
         expr("sum(__r) div count(1)").as("rarity_score"))

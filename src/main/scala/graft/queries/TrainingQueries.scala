@@ -95,7 +95,7 @@ object TrainingQueries {
     val facets = TrainingData.repetitionFacets(col("text"))
     val gated = t.documents
       .filter(graft.functions.TextAnalysis.qualityKeep(col("text")))
-      .withColumns(facets.toMap.map { case (n, c) => n -> c })
+      .withColumns(facets.toMap)
       .filter(!(col("top_token_permille") >= 280 || col("dup_bigram_permille") >= 350))
     val deduped = graft.operators.Dedup.exactDedup(gated, "doc_id", "text")
       .filter(!col("is_dup"))
@@ -138,7 +138,8 @@ object TrainingQueries {
         |  SELECT t, (1000000 * tot.n) // c AS rarity
         |  FROM (SELECT * FROM cnt ORDER BY c DESC, t LIMIT 50) CROSS JOIN tot)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  CAST(sum(COALESCE(rarity, 1000000)) // count(*) AS BIGINT) AS rarity_score
+        |  CAST(sum(COALESCE(rarity, (SELECT max(rarity) + 1 FROM vocab)))
+        |       // count(*) AS BIGINT) AS rarity_score
         |FROM tok LEFT JOIN vocab USING (t)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q57_curate_pipeline" ->

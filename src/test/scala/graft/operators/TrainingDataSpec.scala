@@ -99,7 +99,7 @@ class TrainingDataSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(out(4L) == ((1000L, 0L)))     // single token: no bigrams, zero dup share
   }
 
-  test("rarityScores: integer-exact inverse-frequency, capped vocab, OOV constant") {
+  test("rarityScores: integer-exact inverse-frequency, capped vocab, OOV above vocab") {
     val corpus = (Seq.fill(20)("common words only") :+ "zorp qux flibber")
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
@@ -108,9 +108,11 @@ class TrainingDataSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val scores = TrainingData.rarityScores(corpus, "doc_id", "text", topV = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(scores(0L) == 3150000L)
-    // the rare doc's tokens fall outside the top-3 vocab → the fixed
-    // OOV constant, exactly as documented
-    assert(scores(20L) == 1000000L)
+    // the rare doc's tokens fall outside the top-3 vocab → default OOV
+    // rarity = rarest vocab token + 1, strictly above every in-vocab
+    // score (rare text NEVER ranks below boilerplate)
+    assert(scores(20L) == 3150001L)
+    assert(scores(20L) > scores(0L))
     // with the vocab widened to include them, their count-1 rarity
     // (1e6 * 63 div 1) dominates and rare text outscores boilerplate
     val withBigVocab = TrainingData.rarityScores(corpus, "doc_id", "text", topV = 10)
