@@ -122,6 +122,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_micro", "rank")
   }
 
+  // ----------------------------------------------------------- quantization
+
+  /** Symmetric int8 quantization of an embedding column, long form: one
+    * row per (id, dim) with q = round-half-up(x · 127 / max_abs) ∈
+    * [−127, 127] and the per-vector `scale_micro` needed to
+    * dequantize — the 4×-memory-cut every billion-vector ANN index
+    * takes before sharding.
+    *
+    * Determinism discipline: round-half-up is `floor(x + 0.5)` (exact
+    * IEEE on both engines; `round()` itself differs across engines in
+    * half-case tie-breaking), and the float→double widenings are exact,
+    * so q values verify bit-for-bit. Zero vectors (max_abs = 0) are
+    * excluded, as everywhere in this module. Pure per-row expressions —
+    * a corpus scan stays a scan.
+    */
+  def quantizeInt8(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    vecs
+      .withColumn("__ma", maxAbs)
+      .filter(col("__ma") > 0)
+      .select(col(idCol),
+        floor(lit(1e6) * col("__ma") / 127).cast("long").as("scale_micro"),
+        posexplode(transform(col(vecCol),
+          x => floor(x.cast("double") * 127 / col("__ma") + 0.5).cast("int"))))
+      .select(col(idCol), col("pos").cast("int").as("dim"),
+        col("col").as("q"), col("scale_micro"))
+  }
+
   // ------------------------------------------------------------- LSH / ANN
 
   /** Deterministic ±1 hyperplane components: sign_pi from the portable

@@ -112,8 +112,17 @@ object ScaleQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** SS6 — symmetric int8 quantization of the embedding corpus, long
+    * form (one row per id × dim), with per-vector dequantize scale. */
+  val q60QuantizeInt8: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    Similarity.quantizeInt8(t.embeddings, "vec_id", "embedding")
+      .orderBy("vec_id", "dim")
+  }
+
   val all: Map[String, Q] = Map(
     "q56_topk_agg" -> q56TopkAgg,
+    "q60_quantize_int8" -> q60QuantizeInt8,
     "q25_exact_dedup" -> q25ExactDedup,
     "q40_dedup_clusters" -> q40DedupClusters,
     "q47_ivf_topk" -> q47IvfTopK,
@@ -197,6 +206,18 @@ object ScaleQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q60_quantize_int8" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |  FROM embeddings),
+        |nz AS (SELECT * FROM m WHERE ma > 0)
+        |SELECT vec_id,
+        |  CAST(i - 1 AS INTEGER) AS dim,
+        |  CAST(floor(CAST(embedding[i] AS DOUBLE) * 127 / ma + 0.5) AS INTEGER) AS q,
+        |  CAST(floor(1e6 * ma / 127) AS BIGINT) AS scale_micro
+        |FROM nz, unnest(generate_series(1, len(embedding))) AS u(i)
+        |ORDER BY vec_id, dim""".stripMargin,
     "q25_exact_dedup" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

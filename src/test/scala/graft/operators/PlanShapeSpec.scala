@@ -67,6 +67,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(uncapped.nonEmpty) // docs 1 and 2 share most shingles
   }
 
+  test("quantizeInt8: values bounded, dequantize error within half a step, zero vectors excluded") {
+    val withZero = vecs.unionByName(
+      Seq((9L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val q = Similarity.quantizeInt8(withZero, "vec_id", "embedding")
+    val rows = q.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(!rows.exists(_._1 == 9L), "zero vector must be excluded")
+    assert(rows.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    assert(rows.forall(r => r._3 >= -127 && r._3 <= 127))
+    // the max-abs dim quantizes to exactly +/-127
+    assert(rows.filter(_._1 == 3L).map(_._3).min == -127)
+    // dequantized value stays within half a quantization step of the input
+    val orig = withZero.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.foreach { case (id, dim, qv, scaleMicro) =>
+      val scale = scaleMicro / 1e6
+      val err = math.abs(qv * scale - orig(id)(dim))
+      assert(err <= scale / 2 + 1e-6, s"id=$id dim=$dim err=$err scale=$scale")
+    }
+  }
+
   test("multi-table LSH recall beats single-table at equal cosine") {
     val single = Similarity.nearDupPairsLsh(vecs, "vec_id", "embedding",
       minMicro = 100000L, planes = 3, dims = 4, tables = 1).count()
