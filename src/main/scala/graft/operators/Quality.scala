@@ -82,7 +82,33 @@ object Quality {
         col("p.min_value").as("min_value"), col("p.max_value").as("max_value"))
   }
 
-  /** G3 — row conservation between pipeline stages, as a law. */
+  /** Order-independent table checksum: one row with the row count and
+    * the sum of per-row portable hashes, mod 2^61 — "did ANY row
+    * change?" as a single scan, for pipeline regression gates and
+    * cross-engine migration checks (the DuckDB oracle reproduces the
+    * exact value from the same md5 construction).
+    *
+    * Row encoding is injective for any values: each column contributes
+    * `v<len>:<text>` (or `n` for null) joined by `|`, so a value
+    * containing the separator cannot collide with a column boundary.
+    * Caller chooses columns whose TEXT RENDERING is engine-portable
+    * (strings, integers, dates — not floats, whose formatting differs
+    * across engines). Commutative sum → partition order, shuffle order
+    * and row order all cancel out; the decimal accumulator is exact to
+    * 1e20 rows.
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "checksum needs at least one column")
+    val enc = concat_ws("|", cols.map { c =>
+      val s = col(c).cast("string")
+      when(s.isNull, lit("n"))
+        .otherwise(concat(lit("v"), length(s), lit(":"), s))
+    }: _*)
+    df.select(graft.functions.Hashing.h60(enc)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"CAST(sum(__h) % ${1L << 61} AS BIGINT)").as("checksum"))
+  }
   def requireRowConservation(in: DataFrame, out: DataFrame): Unit = {
     val (i, o) = (in.count(), out.count())
     if (i != o) throw new IllegalStateException(s"row conservation violated: in=$i out=$o")

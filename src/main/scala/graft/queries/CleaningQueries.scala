@@ -187,8 +187,18 @@ object CleaningQueries {
       .orderBy("column")
   }
 
+  /** Order-independent table checksum over lineitem's portable-rendering
+    * columns — the pipeline regression gate / migration check, verified
+    * value-exact against DuckDB's reproduction of the same hash sum. */
+  val q61Checksum: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    graft.operators.Quality.tableChecksum(t.lineitem,
+      Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate"))
+  }
+
   val all: Map[String, Q] = Map(
     "q58_profile" -> q58Profile,
+    "q61_checksum" -> q61Checksum,
     "q32_clean_battery" -> q32CleanBattery,
     "q33_reconcile_7key" -> q33Reconcile7Key,
     "q34_enrich_drop" -> q34EnrichDrop,
@@ -255,6 +265,16 @@ object CleaningQueries {
       |  FROM lineitem WHERE l_quantity >= 49)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q61_checksum" -> {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate")
+      val parts = cols.map { c =>
+        s"CASE WHEN $c IS NULL THEN 'n' ELSE 'v' || length(CAST($c AS VARCHAR)) || ':' || CAST($c AS VARCHAR) END"
+      }.mkString(", ")
+      s"""SELECT count(*) AS n_rows,
+         |  CAST(sum(CAST(${graft.functions.Hashing.h60Sql(s"concat_ws('|', $parts)")} AS HUGEINT))
+         |       % ${1L << 61} AS BIGINT) AS checksum
+         |FROM lineitem""".stripMargin
+    },
     "q58_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
       cols.map { c =>

@@ -47,6 +47,25 @@ class QualitySpec extends SparkSpec {
     assert(ap == 2L)
   }
 
+  test("tableChecksum: row/partition-order independent, any value change detected") {
+    import org.apache.spark.sql.functions.{col, when}
+    val df = Seq((1L, "a", Some("x")), (2L, "b", None), (3L, "a|b", Some("v1:y")))
+      .toDF("k", "s", "t")
+    def sum(d: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = tableChecksum(d, Seq("k", "s", "t")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val base = sum(df)
+    assert(base == sum(df.orderBy(col("k").desc)))     // row order
+    assert(base == sum(df.repartition(7)))             // partitioning
+    // any single value change moves the checksum
+    assert(base != sum(df.withColumn("s",
+      when(col("k") === 2L, "B").otherwise(col("s")))))
+    // null vs the string "n" are distinct under the injective encoding
+    assert(base != sum(df.withColumn("t",
+      when(col("t").isNull, "n").otherwise(col("t")))))
+  }
+
   test("requireRowConservation is the G3 law") {
     requireRowConservation(fixture, fixture.select("k"))
     intercept[IllegalStateException] {
