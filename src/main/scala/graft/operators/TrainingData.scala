@@ -79,6 +79,23 @@ object TrainingData {
     df.filter(bucket < rate)
   }
 
+  /** Deterministic importance sampling: keep a row with probability
+    * `weightPermille`/1000, where the weight is any per-row expression
+    * (quality score, source priority, recency). The hash-bucket
+    * comparison makes the decision reproducible per id across retries
+    * and engines — `rand() < w` is neither. Filter-only plan, same
+    * scale posture as [[stratifiedSample]] (which is the special case
+    * of a per-stratum constant weight).
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightPermille: Column,
+      salt: String = "v1"): DataFrame = {
+    val bucket = h60(concat(lit(s"wsample:$salt:"), col(idCol).cast("string"))) % 1000
+    df.filter(bucket < weightPermille)
+  }
+
   // --------------------------------------------------------------- chunking
 
   /** Overlapping token windows: the batch shape that turns documents

@@ -113,9 +113,23 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+  /** TD9 — quality-weighted importance sampling: each document's keep
+    * probability is its distinct-token permille (higher-diversity text
+    * is kept more often), decided by a reproducible hash bucket. */
+  val q62WeightedSample: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val facets = graft.functions.TextAnalysis.qualityFacets(col("text")).toMap
+    val withW = t.documents
+      .withColumn("keep_permille", facets("distinct_permille"))
+    TrainingData.weightedSample(withW, "doc_id", col("keep_permille"))
+      .select("doc_id", "keep_permille")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q57_curate_pipeline" -> q57CuratePipeline,
     "q59_rarity_score" -> q59RarityScore,
+    "q62_weighted_sample" -> q62WeightedSample,
     "q54_sequence_pack" -> q54SequencePack,
     "q55_repetition" -> q55Repetition,
     "q50_split_assign" -> q50SplitAssign,
@@ -128,6 +142,17 @@ object TrainingQueries {
   private def h60(expr: String): String = Hashing.h60Sql(expr)
 
   val oracle: Map[String, String] = Map(
+    "q62_weighted_sample" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    floor(1000 * CAST(len(list_distinct(toks)) AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE)) AS keep_permille
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |        FROM documents))
+         |SELECT doc_id, CAST(keep_permille AS BIGINT) AS keep_permille
+         |FROM w
+         |WHERE ${h60("'wsample:v1:' || CAST(doc_id AS VARCHAR)")} % 1000 < keep_permille
+         |ORDER BY doc_id""".stripMargin,
     "q59_rarity_score" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t

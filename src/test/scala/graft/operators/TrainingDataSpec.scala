@@ -45,6 +45,18 @@ class TrainingDataSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(kept("de") > 860 && kept("de") < 1140, s"de kept ${kept("de")}")
   }
 
+  test("weightedSample: reproducible, rate-proportional, and nested across weights") {
+    val rows = spark.range(4000).select(col("id").as("doc_id"))
+    def keptAt(w: Int): Set[Long] =
+      TrainingData.weightedSample(rows, "doc_id", lit(w))
+        .select("doc_id").as[Long].collect().toSet
+    val k200 = keptAt(200); val k600 = keptAt(600)
+    assert(k200 == keptAt(200)) // deterministic
+    assert(math.abs(k200.size - 800) < 120 && math.abs(k600.size - 2400) < 180)
+    // the bucket scheme makes samples NESTED: raising the weight only adds
+    assert(k200.subsetOf(k600))
+  }
+
   test("chunkTokens: covers every token at the stride, tail chunk short") {
     val out = TrainingData.chunkTokens(docs, "doc_id", "text", window = 10, stride = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
