@@ -220,7 +220,10 @@ object TrainingData {
     * at topV and BROADCAST (a full token-frequency join would shuffle
     * the 100 TB token stream — the capped-vocab approximation is what
     * production quality classifiers use); the corpus pass is then
-    * scan + broadcast probe + one aggregation on the doc id.
+    * scan + broadcast probe + one aggregation on the doc id. The plan's
+    * two BroadcastNestedLoopJoins are ONE-ROW scalar constants (the
+    * total count and the OOV rarity) crossed into bounded relations —
+    * not data-sized joins.
     */
   def rarityScores(
       df: DataFrame,
