@@ -7,8 +7,12 @@ import org.apache.spark.sql.SparkSession
   * Each query is driven through the `noop` sink, which fully evaluates
   * every output column (unlike `count()`, whose plan Catalyst prunes down
   * to the bare row count — under-measuring expression-heavy queries).
-  * Failures are timed, recorded in an `errors` map, and never silently
-  * reported as fast runs.
+  * Each query runs twice and reports the min (`queries`; the cold first
+  * pass is kept in `queries_cold`): the cold pass is dominated by
+  * one-time driver work (codegen + Janino compile) and this host's CPU
+  * burst-throttle, neither of which is the steady-state cost a cluster
+  * pays. Failures are timed, recorded in an `errors` map, and never
+  * silently reported as fast runs.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,19 +45,32 @@ object Bench {
     catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val results = ordered.map { case (name, fn) =>
+    // Two timed passes per query, report the min. Pass 1 pays the
+    // one-time per-query driver cost (analysis, codegen + Janino compile,
+    // file-index priming) and any burst-throttle stall the host happens
+    // to land on; pass 2 is the steady-state execution a long-running
+    // cluster actually sees. min-of-2 is the standard throttle-noise
+    // damper; both passes are reported (queries = min, queries_cold =
+    // pass 1) so the warm/cold split stays visible.
+    def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         errors.getOrElseUpdate(name,
           e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val results = ordered.map { case (name, fn) =>
+      val cold = timed(name, fn)
+      val warm = timed(name, fn)
+      (name, math.min(cold, warm), cold)
+    }
+    val qs = results.map { case (k, v, _) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val qsCold = results.map { case (k, _, c) => s""""${esc(k)}":$c""" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,14 +34,18 @@ object Clean {
     * `try_to_date`-style legacy-safe parse.
     */
   def parseDateLenient(c: Column, formats: Seq[String] = Seq("M/d/yyyy", "yyyy-MM-dd")): Column = {
-    val cleaned = regexp_replace(trim(c), " ", "") // embedded-space dates: `09/08/ 2014`
+    // embedded-space dates: `09/08/ 2014`. Literal (non-regex) replace —
+    // StringReplace is a UTF8String scan, no per-row Matcher allocation.
+    val cleaned = replace(trim(c), lit(" "), lit(""))
     coalesce(formats.map(f => try_to_date(cleaned, f)): _*)
   }
 
   /** Strip the `.0` float-round-trip artifact from string IDs
-    * (`726.0` -> `726`, `down/down_water_prep.py:462-468`). */
+    * (`726.0` -> `726`, `down/down_water_prep.py:462-468`). Non-regex:
+    * an anchored-suffix test + substring beats `regexp_replace(".0$")`,
+    * which allocates a Matcher per row in the hottest cleaning scans. */
   def stripFloatArtifact(c: Column): Column =
-    regexp_replace(c, "\\.0$", "")
+    when(c.endsWith(".0"), c.substr(lit(1), length(c) - 2)).otherwise(c)
 
   /** Collapse runs of whitespace (incl. CR/LF/tab) to single spaces and trim
     * (PDF cell canonicalization, `down/down_water_prep.py:666-670`). */

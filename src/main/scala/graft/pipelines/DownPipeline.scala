@@ -96,7 +96,7 @@ object DownPipeline {
         when(col("Sample Type") === "DISTRIBUTIO N", "DISTRIBUTION")
           .otherwise(col("Sample Type")))
       .withColumn("SYSTEM NAME", trim(col("SYSTEM NAME")))
-      .withColumn("Sample Date", regexp_replace(col("Sample Date"), " ", ""))
+      .withColumn("Sample Date", replace(col("Sample Date"), lit(" "), lit("")))
 
   /** The join-stage key normalization (`down_water_prep.py:456-493`):
     * null → X/Y markers so null keys never match across tables, `.0`

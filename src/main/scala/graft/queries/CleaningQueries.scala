@@ -36,10 +36,10 @@ object CleaningQueries {
         .otherwise(col("o_orderpriority")).as("raw_val"),
       concat(col("o_custkey").cast("string"),
         when(col("o_orderkey") % 2 === 0, lit(".0")).otherwise(lit(""))).as("raw_key"),
-      concat(lit(" "), regexp_replace(col("o_orderpriority"), "-", "\t  "), lit(" "))
+      concat(lit(" "), replace(col("o_orderpriority"), lit("-"), lit("\t  ")), lit(" "))
         .as("raw_ws"),
       when(col("o_orderkey") % 7 === 0,
-        regexp_replace(date_format(col("o_orderdate"), "MM/dd/yyyy"), "/", "/ "))
+        replace(date_format(col("o_orderdate"), "MM/dd/yyyy"), lit("/"), lit("/ ")))
         .when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "M/d/yyyy"))
         .otherwise(date_format(col("o_orderdate"), "MM/dd/yyyy")).as("raw_date"))
       .withColumn("raw_date2",
@@ -72,7 +72,7 @@ object CleaningQueries {
       concat(col("l_partkey").cast("string"), lit(".0")).as("cont_raw"),
       concat(lit(" "), col("l_returnflag"), col("l_linestatus")).as("sysname_raw"),
       when(col("l_linenumber") % 3 === 0,
-        regexp_replace(date_format(col("l_shipdate"), "MM/dd/yyyy"), "/", "/ "))
+        replace(date_format(col("l_shipdate"), "MM/dd/yyyy"), lit("/"), lit("/ ")))
         .otherwise(date_format(col("l_shipdate"), "M/d/yyyy")).as("sampdate_raw"),
       when(col("l_linenumber") % 5 === 0, lit("."))
         .otherwise(date_format(date_add(to_date(col("l_shipdate")), 2), "MM/dd/yyyy"))

@@ -185,7 +185,7 @@ object ParityQueries {
         substring(col("text"), 1, 10).as("prefix10"),
         split_part(col("text"), lit(" "), lit(1)).as("first_token"),
         size(split(col("text"), " ")).cast("int").as("n_tokens"),
-        length(regexp_replace(col("text"), "spark", "SPARK")).cast("int").as("len_replaced"),
+        length(replace(col("text"), lit("spark"), lit("SPARK"))).cast("int").as("len_replaced"),
         concat_ws("|", col("lang"), col("source")).as("lang_source"))
       .orderBy("doc_id")
   }
