@@ -402,9 +402,14 @@ object ParityQueries {
 
   /** A+ — HLL sketch distinct vs exact (SURVEY §2.5 extension): the
     * constant-memory cardinality path for 100 TB group-bys where exact
-    * distinct would shuffle every key. No DuckDB oracle — HLL sketches
-    * are engine-specific, so the driver records the weaker rows-only
-    * check; the exact column rides along as the in-query ground truth. */
+    * distinct would shuffle every key. The sketch value itself is
+    * engine-specific (DuckDB cannot reproduce Spark's HLL++ registers),
+    * so the estimate enters the oracle hash only through
+    * `approx_within_5pct`: |approx − exact| ≤ 5%·exact per group. Spark's
+    * HLL is deterministic for fixed data (register maxes are
+    * order-independent), the rsd-0.02 sketch's 2σ bound is 4%, and the
+    * DuckDB side asserts the literal TRUE — so a broken or drifting
+    * sketch hash-fails the round instead of passing a rows-only check. */
   val q49ApproxDistinct: Q = (spark, dir) => {
     val t = Tables(spark, dir)
     t.lineitem
@@ -412,12 +417,37 @@ object ParityQueries {
       .agg(
         count(lit(1)).as("n"),
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        approx_count_distinct(col("l_partkey"), 0.02).as("__approx"))
+      .select(col("l_returnflag"), col("n"), col("exact_parts"),
+        (abs(col("__approx") - col("exact_parts")).cast("double")
+          <= lit(0.05) * col("exact_parts").cast("double")).as("approx_within_5pct"))
       .orderBy("l_returnflag")
+  }
+
+  /** Skew-salted join ≡ plain join (output invariance): ~75% of lineitem
+    * rows are forced onto one hot key — the shape of the reference's own
+    * data, where one contaminant is 40% of all rows (BASELINE.md) — and
+    * joined through [[Relational.saltedLeftJoin]] with 8 salt buckets.
+    * The oracle is the UNSALTED left join: salting must only re-shard the
+    * hot key across tasks, never change a row, so the two results
+    * hash-match or the operator is wrong. */
+  val q63SaltedJoin: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val fact = t.lineitem.select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_orderkey") % 4 =!= 0, lit(7L))
+        .otherwise(col("l_partkey") % 25).as("hot_key"),
+      col("l_quantity"))
+    val dim = t.nation.select(
+      col("n_nationkey").cast("long").as("hot_key"), col("n_name").as("dim_name"))
+    saltedLeftJoin(fact, dim, Seq("hot_key"), buckets = 8)
+      .select("l_orderkey", "l_linenumber", "hot_key", "l_quantity", "dim_name")
+      .orderBy("l_orderkey", "l_linenumber")
   }
 
   val all: Map[String, Q] = Map(
     "q01_pruned_scan" -> q01PrunedScan,
+    "q63_salted_join" -> q63SaltedJoin,
     "q43_sessionize" -> q43Sessionize,
     "q44_json_extract" -> q44JsonExtract,
     "q45_pivot" -> q45Pivot,
@@ -610,6 +640,23 @@ object ParityQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW))
         |ORDER BY user_id, event_id""".stripMargin,
+    "q63_salted_join" ->
+      """WITH fact AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 4 <> 0 THEN 7
+        |         ELSE l_partkey % 25 END AS hot_key,
+        |    l_quantity
+        |  FROM lineitem),
+        |dim AS (SELECT CAST(n_nationkey AS BIGINT) AS hot_key, n_name AS dim_name
+        |        FROM nation)
+        |SELECT l_orderkey, l_linenumber, hot_key, l_quantity, dim_name
+        |FROM fact LEFT JOIN dim USING (hot_key)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q49_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS approx_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q46_percentiles" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  quantile_cont(o_totalprice, 0.25) AS p25,
