@@ -185,7 +185,15 @@ object Similarity {
     * generation is an equi-join on cell_id (hash shuffle), rerank work is
     * corpus·nProbe/nCells per query in expectation. Recall comes from
     * probing multiple cells rather than hashing luck — the
-    * complementary trade to [[nearDupPairsLsh]]'s hyperplane buckets. */
+    * complementary trade to [[nearDupPairsLsh]]'s hyperplane buckets.
+    *
+    * The scoring cross runs TWICE at runtime — once per consumer
+    * (assignment, probes) — and that is deliberate: Spark pushes a
+    * per-consumer WindowGroupLimit (1 vs nProbe) below each shuffle, so
+    * each pass moves only its pruned rows, where a shared/persisted
+    * `ranked` would materialize the un-limited corpus × nCells relation.
+    * Two group-limited linear passes beat one quadratic-width
+    * materialization at corpus scale (guarded by PlanShapeSpec). */
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int, nProbe: Int, queryFilter: Column): DataFrame = {
     val n = withNorm(vecs, idCol, vecCol)

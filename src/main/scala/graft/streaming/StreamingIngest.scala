@@ -87,8 +87,12 @@ object StreamingIngest {
       session_end: java.sql.Timestamp, n_events: Long)
 
   /** Open-session state (public: the state encoder's generated code
-    * constructs and probes it from Janino-compiled classes). */
-  case class SessionState(startMs: Long, lastMs: Long, n: Long)
+    * constructs and probes it from Janino-compiled classes). Event times
+    * are epoch MICROSECONDS — Spark's native timestamp precision.
+    * `Timestamp.getTime` (milliseconds) would silently truncate
+    * micro-precision event times and desync session bounds from the
+    * batch sessionize query. */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long)
 
   /** Streaming gap-based sessionization — the incremental twin of the
     * batch sessionize query (q43), with custom event-time state:
@@ -112,7 +116,17 @@ object StreamingIngest {
     implicit val stEnc = Encoders.product[SessionState]
     implicit val inEnc = Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP)
     implicit val keyEnc = Encoders.STRING
-    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val gapUs = gapMs * 1000L
+    // exact micros <-> java.sql.Timestamp (getTime alone is ms-lossy;
+    // the (getTime, getNanos) pair carries the full fraction)
+    def toUs(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def ts(us: Long): java.sql.Timestamp = {
+      val sec = Math.floorDiv(us, 1000000L)
+      val t = new java.sql.Timestamp(sec * 1000L)
+      t.setNanos(((us - sec * 1000000L) * 1000L).toInt)
+      t
+    }
     stream
       // project/cast BEFORE the watermark: a cast afterwards would mint a
       // fresh attribute without the watermark tag, and event-time timeout
@@ -130,32 +144,34 @@ object StreamingIngest {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionOut(key, ts(s.startMs), ts(s.lastMs), s.n))
+            Iterator(SessionOut(key, ts(s.startUs), ts(s.lastUs), s.n))
           } else {
             // Span-merge fold: the open state is one span among the
             // batch's events, ordered by start — so cross-batch disorder
             // needs no special cases (a late event inside or before the
             // open session widens it; one more than a gap earlier forms
             // its own, immediately-closed session).
-            val times = rows.map(_._2.getTime).toArray
+            val times = rows.map(r => toUs(r._2)).toArray
             java.util.Arrays.sort(times)
             val spans = (times.map(t => SessionState(t, t, 1)) ++ state.getOption)
-              .sortBy(s => (s.startMs, s.lastMs))
+              .sortBy(s => (s.startUs, s.lastUs))
             val closed = Seq.newBuilder[SessionOut]
             var cur: Option[SessionState] = None
             spans.foreach { s =>
               cur = cur match {
-                case Some(c) if s.startMs - c.lastMs > gapMs =>
-                  closed += SessionOut(key, ts(c.startMs), ts(c.lastMs), c.n)
+                case Some(c) if s.startUs - c.lastUs > gapUs =>
+                  closed += SessionOut(key, ts(c.startUs), ts(c.lastUs), c.n)
                   Some(s)
                 case Some(c) => Some(SessionState(
-                  c.startMs, math.max(c.lastMs, s.lastMs), c.n + s.n))
+                  c.startUs, math.max(c.lastUs, s.lastUs), c.n + s.n))
                 case None => Some(s)
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
+              // timeout API is ms-granular: round UP so the horizon is
+              // never earlier than last-event + gap
+              state.setTimeoutTimestamp(Math.floorDiv(s.lastUs + gapUs + 999L, 1000L))
             }
             closed.result().iterator
           })

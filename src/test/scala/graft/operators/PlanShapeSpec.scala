@@ -94,4 +94,72 @@ class PlanShapeSpec extends SparkSpec {
       minMicro = 100000L, planes = 3, dims = 4, tables = 8).count()
     assert(multi >= single)
   }
+
+  // ------------------------------------------------- full-query plan guards
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def queryPlan(name: String): String =
+    physicalPlan(graft.SparkEntry.queries(name)(spark, sfDir))
+
+  test("heavy queries stay equi-join-shaped end to end") {
+    for (name <- Seq("q27_minhash_lsh", "q40_dedup_clusters", "q57_curate_pipeline"))
+      assertNoQuadraticJoin(queryPlan(name), name)
+  }
+
+  /** Execute a query and return its FINAL adaptive plan (the section
+    * before AQE's echoed "Initial Plan") — the only view that shows
+    * runtime exchange/stage reuse. */
+  private def executedFinalPlan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // finalizes THIS QueryExecution's adaptive plan
+    df.queryExecution.executedPlan.toString.split("Initial Plan").head
+  }
+
+  test("q47 IVF: only the two group-limited centroid crosses, both bounded") {
+    // corpus × broadcast-centroids is the IVF scoring step — a BOUNDED
+    // nested-loop against an nCells-row build side (documented in
+    // Similarity.ivfTopK). It runs twice BY DESIGN: the assignment
+    // consumer and the probe consumer each get their own copy carrying a
+    // map-side WindowGroupLimit (limit 1 vs limit nProbe) pushed below
+    // the shuffle, so each pass moves only its pruned rows. Forcing the
+    // subtrees to share (persist) would materialize the UN-limited
+    // corpus × nCells relation — strictly worse at scale. The guards:
+    // nothing beyond those two, and both carry their group-limit.
+    val plan = queryPlan("q47_ivf_topk")
+    assert(!plan.contains("CartesianProduct"), "q47 plan contains CartesianProduct")
+    val static = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(static <= 2, s"q47 expected at most the 2 centroid-cross copies, found $static")
+    val finalPlan = executedFinalPlan("q47_ivf_topk")
+    val live = finalPlan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(live <= 2, s"q47 expected at most 2 bounded centroid crosses, found $live")
+    val groupLimits = finalPlan.linesIterator.count(_.contains("WindowGroupLimit"))
+    assert(groupLimits >= 4, // partial+final per consumer
+      s"q47 expected map-side group-limit pruning on both cross consumers, found $groupLimits")
+  }
+
+  test("q03/q16 dimension joins broadcast (no shuffled dim-fact join)") {
+    for (name <- Seq("q03_region_revenue", "q16_rollup")) {
+      val plan = queryPlan(name)
+      assertNoQuadraticJoin(plan, name)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: dimension join is not a broadcast hash join")
+    }
+  }
+
+  test("q27 signature aggregation runs once at runtime (exchange reuse)") {
+    // The minhash signature relation feeds four consumers; Dedup.scala
+    // banks on AQE's runtime exchange reuse instead of an explicit
+    // persist. Execute the query and read the FINAL adaptive plan: the
+    // shingle explode + 16-way min aggregation must appear once, with
+    // every other consumer fed by a ReusedExchange.
+    val finalPlan = executedFinalPlan("q27_minhash_lsh")
+    // one partial-aggregate NODE (its line carries all 16 partial_min
+    // functions — count lines, not matches)
+    val sigAggs = finalPlan.linesIterator.count(_.contains("partial_min"))
+    val reused = finalPlan.linesIterator.count(_.contains("ReusedExchange"))
+    assert(sigAggs == 1,
+      s"expected 1 signature aggregation in the final plan, found $sigAggs")
+    assert(reused >= 2,
+      s"expected the other signature consumers to ReusedExchange, found $reused")
+  }
 }

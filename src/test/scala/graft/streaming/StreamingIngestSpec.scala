@@ -170,6 +170,66 @@ class StreamingIngestSpec extends SparkSpec {
       ("P3", "L1", null, null))) // conserved miss (level null, as in batch)
   }
 
+  test("streaming sessionization matches the batch sessionize query on the real events slice") {
+    // Same equivalence proof the enrich cascade has, at fixture scale on
+    // driver data: q43 (batch window sessionize) and sessionizeStream
+    // must produce identical sessions over the same 1000-event slice.
+    // The stream emits only CLOSED sessions, so a per-user sentinel
+    // event 3 gaps past the global max closes every real session inline;
+    // sentinel-started sessions stay open and are excluded. Events are
+    // split into 4 TIME-CONTIGUOUS csv chunks → multiple micro-batches
+    // in drop order (the yearly-file shape): sessions spanning a chunk
+    // boundary stay open in state and merge with the next batch. (A
+    // random split would NOT match batch: streaming finality means an
+    // already-emitted session cannot be re-opened by an arbitrarily
+    // earlier event in a later batch — that is the documented
+    // bounded-lateness trade, not a bug.)
+    val dir = "/root/testdata/sf0.001"
+    val gapUs = 1800L * 1000000L
+    val drop = tmp("graft-sessq43-drop")
+    val out = tmp("graft-sessq43-out")
+    val ckpt = tmp("graft-sessq43-ckpt")
+
+    val events = graft.Tables(spark, dir).events
+      .select(col("user_id").cast("string").as("user"),
+        col("ts").cast("timestamp").as("ts"))
+    val maxTs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinelUs = maxTs + 3 * gapUs
+    val evCsv = events.select(col("user"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"))
+      .withColumn("chunk", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
+    for (i <- 1 to 4) // written sequentially: mtime order == time order
+      evCsv.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.option("header", "true").csv(s"$drop/c$i")
+    evCsv.select("user").distinct()
+      .withColumn("ts", date_format(timestamp_micros(lit(sentinelUs)),
+        "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .coalesce(1).write.option("header", "true").csv(s"$drop/sentinel")
+
+    val stream = spark.readStream
+      .option("header", "true").option("maxFilesPerTrigger", 1)
+      .schema("user STRING, ts TIMESTAMP").csv(s"$drop/*")
+    val sess = StreamingIngest.sessionizeStream(
+      stream, "user", "ts", gapMs = gapUs / 1000, watermark = "3650 days")
+    StreamingIngest.availableNow(sess.toDF(), out, ckpt).start().awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .filter(unix_micros(col("session_start")) < sentinelUs)
+      .select(col("key").as("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("n_events"))
+    val batchSessions = graft.queries.ParityQueries.q43Sessionize(spark, dir)
+      .groupBy(col("user_id").cast("string").as("user_id"), col("session_seq"))
+      .agg(unix_micros(min(col("ts").cast("timestamp"))).as("start_us"),
+        unix_micros(max(col("ts").cast("timestamp"))).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .drop("session_seq")
+    assert(streamed.count() > 10, "slice should produce a real session population")
+    assertSameRows(streamed, batchSessions)
+  }
+
   test("stateful dedup suppresses replayed keys across separate drains") {
     val drop = tmp("graft-drop4")
     val out = tmp("graft-dedup-out")
