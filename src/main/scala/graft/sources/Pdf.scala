@@ -183,15 +183,13 @@ object Pdf {
   }
 
   /** S5/S6 distributed scan: every `*.pdf` under the paths becomes one
-    * executor task; result columns match [[Schemas.data]]. */
-  def scan(spark: SparkSession, paths: String*): DataFrame = {
-    val bin = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.pdf") // drop dirs carry READMEs/temp files
-      .load(paths: _*)
-      .select("path", "content")
-    val rows = bin.rdd.flatMap(r => extract(r.getAs[Array[Byte]]("content")))
-    spark.createDataFrame(rows, Schemas.data)
-  }
+    * executor task; result columns match [[Schemas.data]]. Thin facade
+    * over the single engine path, the V2 [[PdfDataSource]] — one
+    * partition per file planned by the source, no side binaryFile scan
+    * or RDD hop (an earlier `binaryFile`+`rdd.flatMap` twin of the V2
+    * source was deleted: two scan paths, one bug surface each). */
+  def scan(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.format("graft-pdf").option("path", paths.mkString(",")).load()
 
   // ----------------------------------------------------- minimal PDF reader
 
