@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.clean.Clean
+
+/** Address-keyed coordinate enrichment.
+  *
+  * The reference geocodes by hand: it assembles a `Lat_Long_Address`
+  * column, prints instructions to paste it into a Google-Sheets geocoding
+  * add-on, and expects the coordinates to be copied back into the site CSV
+  * (`/root/reference/down/down_water_prep.py:405-423`). Here the same
+  * enrichment is a first-class operator: the address assembly is the exact
+  * conditional-concat rule the reference uses, and the manual detour
+  * becomes a broadcast left join against a (address → lat/long) lookup
+  * table — resolvable from any source the caller has (a prior geocoding
+  * run, a gazetteer extract).
+  *
+  * Scale posture: the lookup is dimension-sized (one row per distinct
+  * address), so the join is a broadcast hash join and the fact side is
+  * scanned once, shuffle-free. Address matching is on a canonical form
+  * (case-folded, whitespace-collapsed) so cosmetic drift between the data
+  * and the lookup never silently drops coordinates.
+  */
+object Geocode {
+
+  /** The reference's `Lat_Long_Address` assembly
+    * (`down_water_prep.py:405-407`): `addr1[, addr2]` joined with the
+    * city/state/zip tail, where a null `addr2` switches the whole rule —
+    * not a plain concat of nullable parts. `concat_ws` skips nulls on
+    * both Spark and ANSI engines, so missing city/state/zip degrade to a
+    * shorter key instead of a null one. */
+  def addressKey(addr1: Column, addr2: Column, city: Column,
+      state: Column, zip: Column): Column =
+    when(addr2.isNull, concat_ws(", ", addr1, city, state, zip))
+      .otherwise(concat_ws(", ", concat_ws(" ", addr1, addr2), city, state, zip))
+
+  /** Canonical join form of an address: whitespace runs collapsed, outer
+    * trim, case-folded. Matching on this form instead of the raw string
+    * is what the reference's manual copy-paste loop could not guarantee. */
+  def normalizeAddress(c: Column): Column = upper(Clean.normalizeWhitespace(c))
+
+  /** Enrich `data` with coordinates from `lookup`, keyed by normalized
+    * address. Carry-if-present: coordinates already on a row win over the
+    * lookup (the reference keeps hand-found coordinates and only fills
+    * the nulls, `down_water_prep.py:423`). Adds `sourceCol` lineage:
+    * `carried` (both coordinates pre-existing), `lookup` (filled from the
+    * lookup), `missing` (address unknown to the lookup and nothing
+    * carried). When `data` lacks `latCol`/`lonCol` they are created.
+    *
+    * The lookup is deduped to one row per normalized address
+    * ([[Relational.keepFirst]], ordered by coordinates so the survivor is
+    * deterministic) — two raw spellings that canonicalize to the same key
+    * must not fan out the fact side.
+    *
+    * @param hintBroadcast force a broadcast hint on the lookup (default:
+    *        geocode tables are dimension-sized). Pass false for a
+    *        continent-scale gazetteer and let AQE decide.
+    */
+  def enrich(
+      data: DataFrame,
+      lookup: DataFrame,
+      addressCol: String,
+      lookupAddressCol: String = "address",
+      latCol: String = "latitude",
+      lonCol: String = "longitude",
+      lookupLatCol: String = "latitude",
+      lookupLonCol: String = "longitude",
+      sourceCol: String = "geo_source",
+      hintBroadcast: Boolean = true): DataFrame = {
+    val lk0 = lookup.select(
+      normalizeAddress(col(lookupAddressCol)).as("__geo_key"),
+      col(lookupLatCol).as("__geo_lat"),
+      col(lookupLonCol).as("__geo_lon"))
+    val lk = Relational.keepFirst(lk0, Seq("__geo_key"),
+      Seq(col("__geo_lat"), col("__geo_lon")))
+    val carried = Seq(latCol, lonCol).foldLeft(data)((d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("double")))
+    carried
+      .withColumn("__geo_key", normalizeAddress(col(addressCol)))
+      .join(if (hintBroadcast) broadcast(lk) else lk, Seq("__geo_key"), "left")
+      // lineage BEFORE the coalesce overwrites the carried columns
+      .withColumn(sourceCol,
+        when(col(latCol).isNotNull && col(lonCol).isNotNull, lit("carried"))
+          .when(col("__geo_lat").isNotNull, lit("lookup"))
+          .otherwise(lit("missing")))
+      .withColumn(latCol, coalesce(col(latCol), col("__geo_lat")))
+      .withColumn(lonCol, coalesce(col(lonCol), col("__geo_lon")))
+      .drop("__geo_key", "__geo_lat", "__geo_lon")
+  }
+}

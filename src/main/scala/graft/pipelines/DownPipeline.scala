@@ -88,6 +88,30 @@ object DownPipeline {
     (siteSub, audit)
   }
 
+  /** Optional geocoding stage — the reference's manual Google-Sheets
+    * detour (`down_water_prep.py:414-423`) as an in-pipeline enrichment:
+    * fill the site dimension's `Coordinates` from an (address → lat/long)
+    * lookup, keyed on the `Lat_Long_Address` the `csv` stage already
+    * assembles. Carry-if-present: coordinates pasted in by hand (the
+    * reference's workflow) survive; only missing ones are filled. The
+    * lookup is dimension-sized → broadcast join, fact side untouched. */
+  def geocodeSites(siteSub: DataFrame, lookup: DataFrame): DataFrame = {
+    val enriched = graft.operators.Geocode.enrich(
+      siteSub.withColumn("__lat0",
+        when(col("Coordinates").isNotNull,
+          substring_index(col("Coordinates"), ",", 1).cast("double")))
+        .withColumn("__lon0",
+          when(col("Coordinates").isNotNull,
+            substring_index(col("Coordinates"), ",", -1).cast("double"))),
+      lookup, addressCol = "Lat_Long_Address",
+      latCol = "__lat0", lonCol = "__lon0")
+    enriched
+      .withColumn("Coordinates",
+        when(col("geo_source") === "missing", col("Coordinates"))
+          .otherwise(concat_ws(",", col("__lat0"), col("__lon0"))))
+      .drop("__lat0", "__lon0", "geo_source")
+  }
+
   /** Stage `csv`, fact half (`down_water_prep.py:316-321`): word-wrap
     * repair, name trim, date de-spacing. */
   def prepData(data: DataFrame): DataFrame =

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.clean.Clean
-import graft.operators.{Multimodal, Relational}
+import graft.operators.{Geocode, Multimodal, Relational}
 import graft.queries.ParityQueries.Q
 
 /** Oracle coverage for the cleaning layer, the reference's reconciliation
@@ -196,6 +196,50 @@ object CleaningQueries {
       Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate"))
   }
 
+  /** Geocoding enrichment ([[graft.operators.Geocode]]) — the reference's
+    * manual Google-Sheets detour (`down_water_prep.py:405-423`) as an
+    * operator. Customer rows get synthetic messy address parts (padding,
+    * case drift, conditional ADDRESS2); the lookup is the clean-spelled
+    * address → deterministic coordinates for 2/3 of the address space;
+    * 1/7 of rows carry their own coordinates which must win. Exercises
+    * the conditional key assembly, canonical-form matching, broadcast
+    * lookup join, carry-if-present coalesce and the 3-way lineage tag. */
+  val q64Geocode: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val base = t.customer.join(broadcast(t.nation),
+      col("c_nationkey") === col("n_nationkey"))
+    val sites = base.select(
+      col("c_custkey"),
+      concat(lit("  "), (col("c_custkey") % 100).cast("string"), lit("  MAIN st"))
+        .as("addr1"),
+      when(col("c_custkey") % 4 === 0,
+        concat(lit("APT "), (col("c_custkey") % 10).cast("string"))).as("addr2"),
+      col("n_name").as("city"),
+      concat(lit("S"), col("n_regionkey").cast("string")).as("state"),
+      (lit(10000) + col("c_custkey") % 500).cast("string").as("zip"),
+      when(col("c_custkey") % 7 === 0, lit(40.5)).as("latitude"),
+      when(col("c_custkey") % 7 === 0, lit(-75.25)).as("longitude"))
+      .withColumn("lat_long_address", Geocode.addressKey(
+        col("addr1"), col("addr2"), col("city"), col("state"), col("zip")))
+    // curated lookup: clean spelling of the same address space, coords a
+    // pure function of address components (zip → lat, street no. → lon)
+    // so the distinct lookup stays unique per address on both engines
+    val lookup = base.filter(col("c_custkey") % 3 =!= 2).select(
+      Geocode.addressKey(
+        concat((col("c_custkey") % 100).cast("string"), lit(" MAIN ST")),
+        when(col("c_custkey") % 4 === 0,
+          concat(lit("APT "), (col("c_custkey") % 10).cast("string"))),
+        col("n_name"),
+        concat(lit("S"), col("n_regionkey").cast("string")),
+        (lit(10000) + col("c_custkey") % 500).cast("string")).as("address"),
+      ((col("c_custkey") % 500) % 120 - 60 + 0.5).as("latitude"),
+      ((col("c_custkey") % 100) * 3 - 150 + 0.25).as("longitude"))
+      .distinct()
+    Geocode.enrich(sites, lookup, addressCol = "lat_long_address")
+      .select("c_custkey", "lat_long_address", "latitude", "longitude", "geo_source")
+      .orderBy("c_custkey")
+  }
+
   val all: Map[String, Q] = Map(
     "q58_profile" -> q58Profile,
     "q61_checksum" -> q61Checksum,
@@ -204,7 +248,8 @@ object CleaningQueries {
     "q34_enrich_drop" -> q34EnrichDrop,
     "q35_intersect" -> q35Intersect,
     "q36_except" -> q36Except,
-    "q37_multimodal" -> q37Multimodal)
+    "q37_multimodal" -> q37Multimodal,
+    "q64_geocode" -> q64Geocode)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -265,6 +310,50 @@ object CleaningQueries {
       |  FROM lineitem WHERE l_quantity >= 49)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q64_geocode" ->
+      """WITH base AS (
+        |  SELECT c_custkey, n_name, n_regionkey
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        |sites AS (
+        |  SELECT c_custkey,
+        |    '  ' || CAST(c_custkey % 100 AS VARCHAR) || '  MAIN st' AS addr1,
+        |    CASE WHEN c_custkey % 4 = 0
+        |         THEN 'APT ' || CAST(c_custkey % 10 AS VARCHAR) END AS addr2,
+        |    n_name AS city,
+        |    'S' || CAST(n_regionkey AS VARCHAR) AS state,
+        |    CAST(10000 + c_custkey % 500 AS VARCHAR) AS zip,
+        |    CASE WHEN c_custkey % 7 = 0 THEN CAST(40.5 AS DOUBLE) END AS lat0,
+        |    CASE WHEN c_custkey % 7 = 0 THEN CAST(-75.25 AS DOUBLE) END AS lon0
+        |  FROM base),
+        |addr AS (
+        |  SELECT *,
+        |    CASE WHEN addr2 IS NULL
+        |         THEN concat_ws(', ', addr1, city, state, zip)
+        |         ELSE concat_ws(', ', addr1 || ' ' || addr2, city, state, zip)
+        |    END AS lat_long_address
+        |  FROM sites),
+        |lookup AS (
+        |  SELECT DISTINCT
+        |    concat_ws(', ',
+        |      CAST(c_custkey % 100 AS VARCHAR) || ' MAIN ST' ||
+        |        CASE WHEN c_custkey % 4 = 0
+        |             THEN ' APT ' || CAST(c_custkey % 10 AS VARCHAR) ELSE '' END,
+        |      n_name,
+        |      'S' || CAST(n_regionkey AS VARCHAR),
+        |      CAST(10000 + c_custkey % 500 AS VARCHAR)) AS address,
+        |    CAST((c_custkey % 500) % 120 - 60 + 0.5 AS DOUBLE) AS glat,
+        |    CAST((c_custkey % 100) * 3 - 150 + 0.25 AS DOUBLE) AS glon
+        |  FROM base WHERE c_custkey % 3 <> 2)
+        |SELECT a.c_custkey, a.lat_long_address,
+        |  COALESCE(lat0, glat) AS latitude,
+        |  COALESCE(lon0, glon) AS longitude,
+        |  CASE WHEN lat0 IS NOT NULL AND lon0 IS NOT NULL THEN 'carried'
+        |       WHEN glat IS NOT NULL THEN 'lookup'
+        |       ELSE 'missing' END AS geo_source
+        |FROM addr a LEFT JOIN lookup l
+        |  ON upper(trim(regexp_replace(a.lat_long_address, '\s+', ' ', 'g')))
+        |   = upper(trim(regexp_replace(l.address, '\s+', ' ', 'g')))
+        |ORDER BY a.c_custkey""".stripMargin,
     "q61_checksum" -> {
       val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate")
       val parts = cols.map { c =>
