@@ -19,12 +19,15 @@ import org.w3c.dom.Element
   * (`/root/reference/down/down_water_prep.py:257`) and the 3-tab
   * selective read (`/root/reference/direct/direct_water_prep.py:69-74`).
   *
-  * Scale posture: workbooks are driver-parsed then parallelized — the
+  * Scale posture: this entry point driver-parses then parallelizes — the
   * right call because every workbook the reference consumes is a
   * dimension (5,564 sites, hundreds of system-info rows), and xlsx is
   * not a splittable format to begin with. Fact-scale data enters via
   * CSV/Parquet scans; a pipeline ingests a workbook ONCE and checkpoints
   * it columnar (see [[Csv.sink]] / parquet) so executors never touch xlsx.
+  * For directories of MANY workbooks, [[XlsxDataSource]]
+  * (`format("graft-xlsx")`) parses each file executor-side instead —
+  * one partition per workbook, no driver bottleneck.
   */
 object Excel {
 
@@ -68,13 +71,38 @@ object Excel {
 
   // ------------------------------------------------------------- internals
 
-  private def withZip[A](path: String)(f: ZipFile => A): A = {
-    val zip = new ZipFile(path)
-    try f(zip) finally zip.close()
+  /** Zip-part access abstraction: the driver path reads a local file via
+    * random-access [[ZipFile]]; the V2 source ([[XlsxDataSource]]) hands
+    * executors raw bytes fetched through the Hadoop filesystem, scanned
+    * per part with a [[java.util.zip.ZipInputStream]] (workbooks are
+    * dimension-sized — a rescan per part is cheaper than staging a temp
+    * file on every executor). */
+  private[sources] sealed trait Archive {
+    def open(name: String): Option[java.io.InputStream]
   }
 
-  private def parseEntry(zip: ZipFile, name: String): Option[Element] =
-    Option(zip.getEntry(name)).map { e =>
+  private final class ZipArchive(zip: ZipFile) extends Archive {
+    def open(name: String): Option[java.io.InputStream] =
+      Option(zip.getEntry(name)).map(zip.getInputStream)
+  }
+
+  private final class BytesArchive(bytes: Array[Byte]) extends Archive {
+    def open(name: String): Option[java.io.InputStream] = {
+      val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
+      Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+        .collectFirst { case e if e.getName == name => zin: java.io.InputStream }
+    }
+  }
+
+  private[sources] def archive(bytes: Array[Byte]): Archive = new BytesArchive(bytes)
+
+  private def withZip[A](path: String)(f: Archive => A): A = {
+    val zip = new ZipFile(path)
+    try f(new ZipArchive(zip)) finally zip.close()
+  }
+
+  private def parseEntry(ar: Archive, name: String): Option[Element] =
+    ar.open(name).map { in =>
       val dbf = DocumentBuilderFactory.newInstance()
       dbf.setNamespaceAware(false)
       // workbooks arrive from outside (the reference's is emailed):
@@ -85,7 +113,6 @@ object Excel {
       dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
       dbf.setXIncludeAware(false)
       dbf.setExpandEntityReferences(false)
-      val in = zip.getInputStream(e)
       try dbf.newDocumentBuilder().parse(in).getDocumentElement
       finally in.close()
     }
@@ -96,10 +123,10 @@ object Excel {
   }
 
   /** (sheetName, zip entry of the sheet XML), workbook order. */
-  private def sheetTargets(zip: ZipFile): Seq[(String, String)] = {
-    val wb = parseEntry(zip, "xl/workbook.xml")
+  private[sources] def sheetTargets(ar: Archive): Seq[(String, String)] = {
+    val wb = parseEntry(ar, "xl/workbook.xml")
       .getOrElse(throw new IllegalArgumentException("not an xlsx: no xl/workbook.xml"))
-    val rels = parseEntry(zip, "xl/_rels/workbook.xml.rels")
+    val rels = parseEntry(ar, "xl/_rels/workbook.xml.rels")
       .map(children(_, "Relationship")
         .map(r => r.getAttribute("Id") -> r.getAttribute("Target")).toMap)
       .getOrElse(Map.empty)
@@ -114,8 +141,8 @@ object Excel {
     }
   }
 
-  private def sharedStrings(zip: ZipFile): IndexedSeq[String] =
-    parseEntry(zip, "xl/sharedStrings.xml")
+  private def sharedStrings(ar: Archive): IndexedSeq[String] =
+    parseEntry(ar, "xl/sharedStrings.xml")
       .map(root => children(root, "si").map(si =>
         children(si, "t").map(_.getTextContent).mkString).toIndexedSeq)
       .getOrElse(IndexedSeq.empty)
@@ -127,10 +154,10 @@ object Excel {
   }
 
   /** Sheet XML → dense row-major grid of cell strings (null = no cell). */
-  private def readGrid(zip: ZipFile, entry: String): Seq[Array[String]] = {
-    val root = parseEntry(zip, entry)
+  private[sources] def readGrid(ar: Archive, entry: String): Seq[Array[String]] = {
+    val root = parseEntry(ar, entry)
       .getOrElse(throw new IllegalArgumentException(s"missing $entry"))
-    val shared = sharedStrings(zip)
+    val shared = sharedStrings(ar)
     children(root, "row").map { rowEl =>
       val cells = children(rowEl, "c")
       val buf = ArrayBuffer.empty[String]

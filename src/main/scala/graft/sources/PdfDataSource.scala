@@ -60,18 +60,8 @@ private[sources] class PdfScan(pathSpec: String) extends Scan with Batch {
   /** One partition per *.pdf file: listed at plan time on the driver,
     * globs supported, directories expanded one level. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    val conf = spark.sessionState.newHadoopConf()
-    val files = pathSpec.split(",").map(_.trim).filter(_.nonEmpty).flatMap { p =>
-      val path = new HPath(p)
-      val fs: FileSystem = path.getFileSystem(conf)
-      val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Nil)
-      matched.flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
-        else Seq(st)
-      }
-    }.map(_.getPath.toString).filter(_.endsWith(".pdf")).distinct.sorted
-    files.map(f => PdfFilePartition(f): InputPartition)
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    V2Files.list(pathSpec, conf, ".pdf").map(f => PdfFilePartition(f): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -89,16 +79,7 @@ private[sources] class PdfPartitionReaderFactory(conf: SerializableConfiguration
     val file = partition.asInstanceOf[PdfFilePartition].file
     new PartitionReader[InternalRow] {
       private val rows: Iterator[InternalRow] = {
-        val path = new HPath(file)
-        val fs = path.getFileSystem(conf.value)
-        val in = fs.open(path)
-        val bytes =
-          try {
-            val len = fs.getFileStatus(path).getLen.toInt
-            val buf = new Array[Byte](len)
-            in.readFully(0, buf)
-            buf
-          } finally in.close()
+        val bytes = V2Files.readBytes(file, conf.value)
         val toInternal = ExpressionEncoder(RowEncoder.encoderFor(Schemas.data))
           .createSerializer()
         Pdf.extract(bytes).iterator.map(r => toInternal(r).copy())
