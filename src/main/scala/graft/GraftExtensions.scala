@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, TokenModeCount, TokenShingles, TopKByScore}
+import graft.functions.{FloatDotProduct, MinHashSig, SimHash60, TokenModeCount, TokenShingles, TopKByScore}
 
 /** Session extension entry point: registers the engine's native
   * expressions with the SQL function registry, so `spark.sql` users get
@@ -80,6 +80,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"token_shingles n must be an integral constant, got $nExpr")
         }
         TokenShingles(exprs.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(
+        classOf[SimHash60].getCanonicalName,
+        "", // db
+        "simhash60",
+        "_FUNC_(arr) - 60-bit frequency-weighted SimHash of an array<string> " +
+          "(md5-based, engine-portable); null for null/empty input.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"simhash60 takes 1 argument, got ${exprs.length}")
+        SimHash60(exprs.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(
+        classOf[MinHashSig].getCanonicalName,
+        "", // db
+        "minhash_sig",
+        "_FUNC_(arr, k) - k-member MinHash signature (array<bigint>) of an " +
+          "array<string> of shingles; null for null/empty input.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"minhash_sig takes 2 arguments, got ${exprs.length}")
+        val kExpr = exprs(1)
+        val k = (if (kExpr.foldable) kExpr.eval() else null) match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long if l >= 1 && l <= Int.MaxValue => l.intValue()
+          case s: java.lang.Short => s.intValue()
+          case _ => throw new IllegalArgumentException(
+            s"minhash_sig k must be an integral constant, got $kExpr")
+        }
+        MinHashSig(exprs.head, k)
       }))
   }
 }

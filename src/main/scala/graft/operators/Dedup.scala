@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hashing.{h31Affine, h60}
+import graft.functions.Hashing.h60
 import graft.functions.TextAnalysis.tokensWs
 
 /** Deduplication operators for large-scale corpus pipelines: exact
@@ -112,19 +112,34 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
+  /** k-member MinHash signature as ONE per-row array column — the native
+    * [[graft.functions.MinHashSig]] (one md5 per shingle + k multiply-adds,
+    * zero shuffles). Docs with no shingles (shorter than n tokens) are
+    * dropped, exactly as the former explode+groupBy construction did. */
+  private def sigRelation(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sig = ColumnBridge.column(graft.functions.MinHashSig(
+      ColumnBridge.expression(tokenShingles(tokensWs(col(textCol)), n)), k))
+    // drop-parity filter on the CHEAP predicate (a doc has shingles iff it
+    // has ≥ n tokens), not on isnotnull(sig): a filter over the expensive
+    // expression gets pushed below the projection and re-evaluates every
+    // signature twice (once in the Filter, once in the Project)
+    df.filter(size(tokensWs(col(textCol))) >= n)
+      .select(col(idCol), sig.as("__sig"))
+  }
+
   /** Wide MinHash signature: one row per id, columns mh0..mh{k−1} where
     * mh_i = min over shingles of the affine family member
     * [[graft.functions.Hashing.h31Affine]] applied to ONE md5-base hash
-    * per shingle. Single pass over the exploded shingles: k
-    * min-aggregates in one hash aggregation, one md5 per shingle (not k —
-    * the universal-hash construction cuts the dominant cost k-fold). */
+    * per shingle. Computed per-row by [[graft.functions.MinHashSig]] —
+    * a signature is a function of the row's own shingles, so the former
+    * explode + k-min hash aggregation paid a corpus-wide shuffle for
+    * per-partition work. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 16): DataFrame = {
-    val sh = shingled(df, idCol, textCol, n)
-      .withColumn("__base", h60(col("shingle")))
-    val mins = (0 until k).map(i => min(h31Affine(i, col("__base"))).as(s"mh$i"))
-    sh.groupBy(idCol).agg(mins.head, mins.tail: _*)
-  }
+      n: Int = 3, k: Int = 16): DataFrame =
+    sigRelation(df, idCol, textCol, n, k)
+      .select(col(idCol) +: (0 until k).map(i => col("__sig").getItem(i).as(s"mh$i")): _*)
 
   /** LSH banding over a wide signature: `bands` keys per id, each hashing
     * `rowsPerBand` consecutive signature slots. Docs agreeing on any band
@@ -141,28 +156,35 @@ object Dedup {
 
   /** MinHash-LSH near-dup candidate pairs with signature-estimated
     * similarity: join on (band, band_key), dedup pairs, then count
-    * agreeing signature slots (est. Jaccard = agree/k). */
+    * agreeing signature slots (est. Jaccard = agree/k).
+    *
+    * Plan shape: the signature array rides ALONG with the band keys into
+    * the self-join, so the whole operator is scan → per-row signatures →
+    * banded self-join (both sides the same subplan — ReuseExchange
+    * computes the shuffle once) → distinct → per-row agreement. The
+    * former shape re-joined the candidate pairs against the signature
+    * relation twice, re-running the signature aggregation's exchange;
+    * carrying the array eliminates both joins and their shuffles. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 4, minAgree: Int = 8): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
-    // The signature relation feeds three consumers (band keys + both
-    // sides of the agreement join); no persist needed — the consumers'
-    // aggregation subplans are identical, so ReuseExchange computes the
-    // shuffle once and shares it (verified faster than an explicit
-    // persist, which only adds store/read overhead).
-    val sigs = minhashSignature(df, idCol, textCol, n, k)
-    val keys = lshBandKeys(sigs, idCol, bands, k / bands)
-    val pairs = keys.toDF(s"a_$idCol", "band", "band_key")
-      .join(keys.toDF(s"b_$idCol", "band", "band_key"), Seq("band", "band_key"))
+    val r = k / bands
+    val sigs = sigRelation(df, idCol, textCol, n, k)
+    val bandStructs = (0 until bands).map { bnd =>
+      val slots = (0 until r).map(i => col("__sig").getItem(bnd * r + i).cast("string"))
+      struct(lit(bnd).as("band"),
+        h60(concat_ws(",", lit(bnd.toString) +: slots: _*)).as("band_key"))
+    }
+    val keys = sigs.select(col(idCol), col("__sig"), explode(array(bandStructs: _*)).as("b"))
+      .select(col(idCol), col("__sig"), col("b.band").as("band"), col("b.band_key").as("band_key"))
+    val pairs = keys.toDF(s"a_$idCol", "a_sig", "band", "band_key")
+      .join(keys.toDF(s"b_$idCol", "b_sig", "band", "band_key"), Seq("band", "band_key"))
       .filter(col(s"a_$idCol") < col(s"b_$idCol"))
-      .select(s"a_$idCol", s"b_$idCol").distinct()
-    val aSig = sigs.toDF(s"a_$idCol" +: (0 until k).map(i => s"a_mh$i"): _*)
-    val bSig = sigs.toDF(s"b_$idCol" +: (0 until k).map(i => s"b_mh$i"): _*)
+      .select(s"a_$idCol", s"b_$idCol", "a_sig", "b_sig").distinct()
     val agree = (0 until k)
-      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+      .map(i => when(col("a_sig").getItem(i) === col("b_sig").getItem(i), 1).otherwise(0))
       .reduce(_ + _)
-    pairs.join(aSig, s"a_$idCol").join(bSig, s"b_$idCol")
-      .withColumn("sig_agree", agree.cast("long"))
+    pairs.withColumn("sig_agree", agree.cast("long"))
       .filter(col("sig_agree") >= minAgree)
       .select(s"a_$idCol", s"b_$idCol", "sig_agree")
   }
@@ -237,19 +259,22 @@ object Dedup {
   // ---------------------------------------------------------------- SimHash
 
   /** 60-bit frequency-weighted SimHash of the whitespace tokens: bit i is
-    * set when Σ_tokens (2·bit_i(h60(token)) − 1) > 0. One explode + one
-    * 60-column conditional aggregation — a single shuffle on the id. */
+    * set when Σ_tokens (2·bit_i(h60(token)) − 1) > 0. Computed per-row by
+    * the native [[graft.functions.SimHash60]] — the former explode +
+    * 60-column conditional aggregation shuffled every (doc, token) row to
+    * compute a value that is a pure function of the row itself. `bits` is
+    * pinned at 60: the portable-hash construction (15 md5 hex chars) and
+    * the 15-bit chunk blocking both assume it. */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(tokensWs(col(textCol))).as("__t"))
-      .withColumn("__h", h60(col("__t")))
-    val bitSums = (0 until bits).map(i =>
-      sum(when(shiftright(col("__h"), i).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as(s"__b$i"))
-    val grouped = exploded.groupBy(idCol).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until bits)
-      .map(i => when(col(s"__b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    grouped.select(col(idCol), sig.as("simhash"))
+    require(bits == 60, "simhash is pinned to the portable 60-bit construction")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val sig = ColumnBridge.column(graft.functions.SimHash60(
+      ColumnBridge.expression(tokensWs(col(textCol)))))
+    // cheap drop-parity filter (see sigRelation): `split` never returns an
+    // empty array, so this drops nothing in practice but pins the old
+    // explode semantics without re-evaluating the signature in a Filter
+    df.filter(size(tokensWs(col(textCol))) >= 1)
+      .select(col(idCol), sig.as("simhash"))
   }
 
   /** SimHash near-dup pairs: block on equality of any 15-bit signature

@@ -26,4 +26,24 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql("SELECT float_dot(array(1.0), array(2.0))").collect())
     assert(e.getMessage.contains("array<float>"))
   }
+
+  test("simhash60 and minhash_sig are callable from SQL") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    ColumnBridge.registerInjectedFunctions(ext, spark.sessionState.functionRegistry)
+    val row = spark.sql(
+      """SELECT simhash60(array('a', 'b', 'a')) AS s,
+        |       minhash_sig(array('a b c', 'b c d'), 4) AS m,
+        |       simhash60(CAST(array() AS array<string>)) AS s_empty""".stripMargin).collect()(0)
+    // values must equal the Scala-API operators over the same inputs
+    import spark.implicits._
+    val viaApi = graft.operators.Dedup.simhash(
+      Seq((1L, "a b a")).toDF("id", "text"), "id", "text").collect()(0).getLong(1)
+    assert(row.getLong(0) == viaApi)
+    assert(row.getSeq[Long](1).length == 4)
+    assert(row.isNullAt(2))
+    val e = intercept[Exception](
+      spark.sql("SELECT minhash_sig(array('x'), 'k')").collect())
+    assert(e.getMessage.contains("integral constant"))
+  }
 }

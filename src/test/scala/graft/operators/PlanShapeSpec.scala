@@ -146,20 +146,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q27 signature aggregation runs once at runtime (exchange reuse)") {
-    // The minhash signature relation feeds four consumers; Dedup.scala
-    // banks on AQE's runtime exchange reuse instead of an explicit
-    // persist. Execute the query and read the FINAL adaptive plan: the
-    // shingle explode + 16-way min aggregation must appear once, with
-    // every other consumer fed by a ReusedExchange.
+  test("q27 signatures are per-row (no aggregation) and the self-join reuses one exchange") {
+    // Signatures are computed by the native per-row MinHashSig expression
+    // (functions/MinHashSig.scala) — the plan must contain NO signature
+    // aggregation at all (the former explode + 16-way min shape), and the
+    // banded self-join's two identical inputs must share one shuffle via
+    // runtime exchange reuse. The only aggregation left is the pair
+    // distinct.
     val finalPlan = executedFinalPlan("q27_minhash_lsh")
-    // one partial-aggregate NODE (its line carries all 16 partial_min
-    // functions — count lines, not matches)
     val sigAggs = finalPlan.linesIterator.count(_.contains("partial_min"))
+    assert(sigAggs == 0,
+      s"expected no signature aggregation (per-row expression), found $sigAggs")
+    assert(finalPlan.contains("minhash_sig"),
+      "expected the native minhash_sig expression in the plan")
+    // the expensive expression must appear once per join side (Project),
+    // never doubled into a Filter/scan predicate
+    val sigEvals = "minhash_sig".r.findAllIn(finalPlan).size
+    assert(sigEvals <= 2,
+      s"expected ≤2 minhash_sig evaluations (one per join side), found $sigEvals")
+    // small-relation regime: AQE broadcasts one side (no exchange to
+    // share); at scale both sides shuffle and canonicalize to one
+    // reused exchange — accept either, reject a plain two-shuffle join
     val reused = finalPlan.linesIterator.count(_.contains("ReusedExchange"))
-    assert(sigAggs == 1,
-      s"expected 1 signature aggregation in the final plan, found $sigAggs")
-    assert(reused >= 2,
-      s"expected the other signature consumers to ReusedExchange, found $reused")
+    val bcast = finalPlan.contains("BroadcastHashJoin")
+    assert(reused >= 1 || bcast,
+      "expected the banded self-join to broadcast or share one exchange")
   }
 }
