@@ -12,15 +12,20 @@ import org.apache.spark.sql.functions._
   * hash-verified cross-engine instead of "rows-only" checked.
   *
   * 15 hex chars = 60 bits: always positive in a signed 64-bit long, so
-  * `%`, `>>`, `&` behave identically everywhere. All expressions are
-  * Spark built-ins (codegen'd) — no UDFs, nothing leaves whole-stage
-  * codegen.
+  * `%`, `>>`, `&` behave identically everywhere. Everything stays inside
+  * whole-stage codegen: the base hash is the native [[H60]] expression,
+  * the affine family is built-in arithmetic — no UDFs.
   */
 object Hashing {
 
-  /** 60-bit positive hash of a string column. */
-  def h60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+  /** 60-bit positive hash of a string column — the native [[H60]]
+    * expression (digest-direct; value-identical to the former
+    * `conv(substring(md5(s), 1, 15), 16, 10)` composition, minus its
+    * per-row hex render + substring + base-16 parse). */
+  def h60(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(H60(ColumnBridge.expression(c.cast("string"))))
+  }
 
   /** Seeded variant: one independent-ish hash family member per seed
     * (standard MinHash construction: h_i(x) = H(i || x)). */

@@ -80,4 +80,19 @@ class SigExprSpec extends SparkSpec {
     assert(byId(1L) == ((false, false)))
     assert(byId(2L) == ((true, true)))
   }
+
+  test("native H60 equals the conv(substring(md5)) composition it replaced") {
+    val r = new scala.util.Random(11)
+    val strs = (0 until 500).map(_ => r.nextString(r.nextInt(40))) :+ "" :+ "a"
+    val df = strs.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "s")
+      .withColumn("nat", h60(col("s")))
+      .withColumn("old", conv(substring(md5(col("s").cast("string")), 1, 15), 16, 10).cast("long"))
+    assert(df.filter(col("nat") =!= col("old")).count() == 0)
+    // null propagation matches md5(null)
+    val n = Seq((1, Option.empty[String])).toDF("i", "s").select(h60(col("s"))).head()
+    assert(n.isNullAt(0))
+    // and the plan-build-time twin agrees
+    assert(Hashing.h60Jvm("a") ==
+      df.filter(col("s") === "a").select(col("nat")).head().getLong(0))
+  }
 }
