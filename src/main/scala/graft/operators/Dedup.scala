@@ -129,6 +129,40 @@ object Dedup {
       .select(col(idCol), sig.as("__sig"))
   }
 
+  /** (band, band_key) structs over a signature array column — shared by
+    * the batch self-join and the streaming index/probe pair; both sides
+    * of any LSH join MUST build keys from this one definition. */
+  private def bandKeyStructs(sig: Column, k: Int, bands: Int): Seq[Column] = {
+    val r = k / bands
+    (0 until bands).map { bnd =>
+      val slots = (0 until r).map(i => sig.getItem(bnd * r + i).cast("string"))
+      struct(lit(bnd).as("band"),
+        h60(concat_ws(",", lit(bnd.toString) +: slots: _*)).as("band_key"))
+    }
+  }
+
+  /** Per-pair signature agreement count from two array columns. */
+  private[graft] def sigAgree(aSig: Column, bSig: Column, k: Int): Column =
+    (0 until k)
+      .map(i => when(aSig.getItem(i) === bSig.getItem(i), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+
+  /** The LSH index of a corpus: one row per (band, band_key) per doc,
+    * carrying the full signature for agreement rerank. This is the
+    * relation a pipeline PERSISTS (parquet, partitioned by band) so
+    * later batches — or a stream
+    * ([[graft.streaming.StreamingIngest.nearDupScreenStream]]) — can
+    * probe the corpus without recomputing it. */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val sigs = sigRelation(df, idCol, textCol, n, k)
+    sigs.select(col(idCol), col("__sig"),
+        explode(array(bandKeyStructs(col("__sig"), k, bands): _*)).as("b"))
+      .select(col(idCol), col("__sig").as("sig"),
+        col("b.band").as("band"), col("b.band_key").as("band_key"))
+  }
+
   /** Wide MinHash signature: one row per id, columns mh0..mh{k−1} where
     * mh_i = min over shingles of the affine family member
     * [[graft.functions.Hashing.h31Affine]] applied to ONE md5-base hash
@@ -167,26 +201,37 @@ object Dedup {
     * carrying the array eliminates both joins and their shuffles. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 4, minAgree: Int = 8): DataFrame = {
-    require(k % bands == 0, "k must divide into bands")
-    val r = k / bands
-    val sigs = sigRelation(df, idCol, textCol, n, k)
-    val bandStructs = (0 until bands).map { bnd =>
-      val slots = (0 until r).map(i => col("__sig").getItem(bnd * r + i).cast("string"))
-      struct(lit(bnd).as("band"),
-        h60(concat_ws(",", lit(bnd.toString) +: slots: _*)).as("band_key"))
-    }
-    val keys = sigs.select(col(idCol), col("__sig"), explode(array(bandStructs: _*)).as("b"))
-      .select(col(idCol), col("__sig"), col("b.band").as("band"), col("b.band_key").as("band_key"))
+    val keys = minhashIndex(df, idCol, textCol, n, k, bands)
     val pairs = keys.toDF(s"a_$idCol", "a_sig", "band", "band_key")
       .join(keys.toDF(s"b_$idCol", "b_sig", "band", "band_key"), Seq("band", "band_key"))
       .filter(col(s"a_$idCol") < col(s"b_$idCol"))
       .select(s"a_$idCol", s"b_$idCol", "a_sig", "b_sig").distinct()
-    val agree = (0 until k)
-      .map(i => when(col("a_sig").getItem(i) === col("b_sig").getItem(i), 1).otherwise(0))
-      .reduce(_ + _)
-    pairs.withColumn("sig_agree", agree.cast("long"))
+    pairs.withColumn("sig_agree", sigAgree(col("a_sig"), col("b_sig"), k))
       .filter(col("sig_agree") >= minAgree)
       .select(s"a_$idCol", s"b_$idCol", "sig_agree")
+  }
+
+  /** Probe an LSH index ([[minhashIndex]]) with new docs: per probe doc,
+    * every index doc sharing a band key, reranked by exact signature
+    * agreement. The batch form of streaming near-dup screening — and its
+    * correctness oracle. Emits one row per (probe, match) pair. */
+  def minhashProbe(probes: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, k: Int = 16, bands: Int = 4,
+      minAgree: Int = 8): DataFrame =
+    probeJoin(minhashIndex(probes, idCol, textCol, n, k, bands),
+      index, idCol, k, minAgree).distinct()
+
+  /** Band-key equi-join of a probe index against a corpus index with
+    * agreement rerank — shared by [[minhashProbe]] and the streaming
+    * screen (which must skip the stateful `distinct`). */
+  private[graft] def probeJoin(probes: DataFrame, index: DataFrame,
+      idCol: String, k: Int, minAgree: Int): DataFrame = {
+    val p = probes.toDF(s"probe_$idCol", "probe_sig", "band", "band_key")
+    val ix = index.toDF(s"corpus_$idCol", "corpus_sig", "band", "band_key")
+    p.join(ix, Seq("band", "band_key"))
+      .select(col(s"probe_$idCol"), col(s"corpus_$idCol"),
+        sigAgree(col("probe_sig"), col("corpus_sig"), k).as("sig_agree"))
+      .filter(col("sig_agree") >= minAgree)
   }
 
   // ------------------------------------------------------------- clustering

@@ -177,6 +177,35 @@ object StreamingIngest {
           })
   }
 
+  /** Streaming near-dup screening of arriving docs against a corpus LSH
+    * index ([[graft.operators.Dedup.minhashIndex]], typically read back
+    * from its persisted parquet form): each micro-batch computes per-row
+    * MinHash signatures + band keys (native expressions — no
+    * aggregation, so the plan is legal and cheap in a stream), probes
+    * the static index with an equi-join on (band, band_key), and emits
+    * (probe id, corpus id, sig_agree ≥ minAgree) matches. This is the
+    * ingest-time "is this crawl page a near-dup of the training corpus"
+    * gate; stateless by design — dedup memory lives in the index, not
+    * the state store.
+    *
+    * A pair agreeing in several bands is emitted once per band (a
+    * streaming `distinct` would hold unbounded state): downstream sinks
+    * keyed on (probe, corpus) absorb the duplicates idempotently, and
+    * [[graft.operators.Dedup.minhashProbe]] is the batch oracle —
+    * identical rows after dedup, proven in `StreamingIngestSpec`.
+    *
+    * Persist/cache the index side: a stream-static join re-evaluates the
+    * static plan every micro-batch, so hand this method a cached or
+    * parquet-backed relation, not a freshly-derived one. */
+  def nearDupScreenStream(stream: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, k: Int = 16, bands: Int = 4,
+      minAgree: Int = 8): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.probeJoin(
+      Dedup.minhashIndex(stream, idCol, textCol, n, k, bands),
+      index, idCol, k, minAgree)
+  }
+
   /** Drain-what's-there runner: processes every pending file, then stops
     * (the scheduled-batch shape of the reference's manual re-runs). */
   def availableNow(df: DataFrame, outDir: String, checkpoint: String): DataStreamWriter[Row] =

@@ -255,6 +255,37 @@ class StreamingIngestSpec extends SparkSpec {
     assert(got.select("Contaminant ID").distinct().count() == 8)
   }
 
+  test("streaming near-dup screen emits exactly the batch probe's matches") {
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "lorem ipsum dolor sit amet consectetur adipiscing elit")).toDF("doc_id", "text")
+    val probes = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (102L, "one two three four five six seven nine"),        // near dup of 2
+      (103L, "wholly different vocabulary nothing shared with anything else"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text").cache()
+    val batch = Dedup.minhashProbe(probes, index, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val drop = tmp("graft-neardup-drop")
+    probes.write.mode("overwrite").parquet(drop)
+    val stream = spark.readStream.schema(probes.schema).parquet(drop)
+    val screened = StreamingIngest.nearDupScreenStream(stream, index, "doc_id", "text")
+    assert(screened.isStreaming)
+    screened.writeStream.format("memory").queryName("neardup_screen")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // set-compare: the stream may emit a pair once per agreeing band
+    val got = spark.table("neardup_screen")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch)
+    assert(batch.exists(p => p._1 == 101L && p._2 == 1L && p._3 == 16L)) // exact dup, full agreement
+    assert(!batch.exists(_._1 == 103L)) // novel doc passes clean
+    index.unpersist()
+  }
+
   test("windowed counts with watermark compile to a streaming plan") {
     val drop = tmp("graft-drop3")
     Files.copy(Paths.get("src/test/resources/fixtures/data_2014.csv"),
