@@ -49,6 +49,19 @@ object ScaleQueries {
       .orderBy("a_doc_id", "b_doc_id")
   }
 
+  /** DD6 — MinHash index probe: new docs (doc_id % 10 = 0) screened
+    * against the LSH index of the remaining corpus — the batch twin of
+    * [[graft.streaming.StreamingIngest.nearDupScreenStream]] and the
+    * ingest-time "is this a near-dup of the training corpus" gate. */
+  val q65MinhashProbe: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val probes = t.documents.filter(col("doc_id") % 10 === 0)
+    val corpus = t.documents.filter(col("doc_id") % 10 =!= 0)
+    Dedup.minhashProbe(probes, Dedup.minhashIndex(corpus, "doc_id", "text"),
+      "doc_id", "text", n = 3, k = 16, bands = 4, minAgree = 8)
+      .orderBy("probe_doc_id", "corpus_doc_id")
+  }
+
   /** SS1 — embedding near-dup pairs, cosine ≥ 0.4, multi-table LSH:
     * exact cosine runs only on candidate pairs sharing a hyperplane-sign
     * bucket in any of 6 independent 3-plane tables (equi-join on
@@ -131,7 +144,8 @@ object ScaleQueries {
     "q28_simhash" -> q28Simhash,
     "q29_embedding_neardup" -> q29EmbeddingNearDup,
     "q30_cosine_topk" -> q30CosineTopK,
-    "q31_ann_lsh" -> q31AnnLsh)
+    "q31_ann_lsh" -> q31AnnLsh,
+    "q65_minhash_probe" -> q65MinhashProbe)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -157,6 +171,26 @@ object ScaleQueries {
       .map(i => s"min(${Hashing.h31AffineSql(i, "base")}) AS mh$i").mkString(", ")
     s"""shb AS (SELECT doc_id, ${Hashing.h60Sql("shingle")} AS base FROM sh),
        |sig AS (SELECT doc_id, $mins FROM shb GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Predicate-filtered shingle → signature → band-key CTE chain with a
+    * suffix, for split-corpus queries (q65 probe vs corpus). Identical
+    * hash/band construction to [[sigCte]]/[[keysCte]]. */
+  private def sigKeysSql(sfx: String, pred: String): String = {
+    val mins = (0 until 16)
+      .map(i => s"min(${Hashing.h31AffineSql(i, "base")}) AS mh$i").mkString(", ")
+    val bands = (0 until 4).map { b =>
+      val parts = (s"'$b'" +: (0 until 4).map(i => s"CAST(mh${b * 4 + i} AS VARCHAR)"))
+        .mkString(", ")
+      s"SELECT doc_id, $b AS band, ${Hashing.h60Sql(s"concat_ws(',', $parts)")} AS band_key FROM sig$sfx"
+    }.mkString("\n  UNION ALL ")
+    s"""sh$sfx AS (
+       |  SELECT doc_id, unnest($shinglesSql) AS shingle
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents WHERE $pred)),
+       |shb$sfx AS (SELECT doc_id, ${Hashing.h60Sql("shingle")} AS base FROM sh$sfx),
+       |sig$sfx AS (SELECT doc_id, $mins FROM shb$sfx GROUP BY doc_id),
+       |keys$sfx AS (
+       |  $bands)""".stripMargin
   }
 
   /** 4-band LSH key CTE over the signature. */
@@ -255,6 +289,21 @@ object ScaleQueries {
          |  FROM cand JOIN sig x ON a_doc_id = x.doc_id JOIN sig y ON b_doc_id = y.doc_id)
          |WHERE sig_agree >= 8
          |ORDER BY a_doc_id, b_doc_id""".stripMargin,
+    "q65_minhash_probe" -> {
+      val agree = (0 until 16)
+        .map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH ${sigKeysSql("p", "doc_id % 10 = 0")},
+         |${sigKeysSql("c", "doc_id % 10 <> 0")}
+         |SELECT * FROM (
+         |  SELECT DISTINCT p.doc_id AS probe_doc_id, c.doc_id AS corpus_doc_id,
+         |    CAST($agree AS BIGINT) AS sig_agree
+         |  FROM keysp p JOIN keysc c
+         |    ON p.band = c.band AND p.band_key = c.band_key
+         |  JOIN sigp x ON p.doc_id = x.doc_id
+         |  JOIN sigc y ON c.doc_id = y.doc_id)
+         |WHERE sig_agree >= 8
+         |ORDER BY probe_doc_id, corpus_doc_id""".stripMargin
+    },
     "q28_simhash" -> {
       val bitSums = (0 until 60)
         .map(i => s"sum(CASE WHEN (hh >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
