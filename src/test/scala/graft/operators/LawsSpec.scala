@@ -118,6 +118,45 @@ class LawsSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
   }
 
+  test("self-probe law: minhashProbe of a corpus against its own index reproduces minhashLshPairs") {
+    val rnd = new Random(5)
+    val docs = (0 until 80).map { i =>
+      // overlapping vocabulary → genuine near-dups among the 80
+      (i.toLong, (0 until 6 + rnd.nextInt(6)).map(_ => s"w${rnd.nextInt(10)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(docs, "doc_id", "text")
+    val probe = Dedup.minhashProbe(docs, index, "doc_id", "text")
+      .filter(col("probe_doc_id") < col("corpus_doc_id"))
+      .select(col("probe_doc_id").as("a_doc_id"),
+        col("corpus_doc_id").as("b_doc_id"), col("sig_agree"))
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+    assertSameRows(probe, pairs)
+    // and every doc with shingles matches itself at full agreement
+    val selfMatches = Dedup.minhashProbe(docs, index, "doc_id", "text")
+      .filter(col("probe_doc_id") === col("corpus_doc_id"))
+    assert(selfMatches.filter(col("sig_agree") =!= 16).count() == 0)
+    assert(selfMatches.count() == Dedup.minhashSignature(docs, "doc_id", "text").count())
+  }
+
+  test("geocode enrich law: row count conserved; carried coordinates never overwritten") {
+    val rnd = new Random(3)
+    val data = (0 until 100).map { i =>
+      val carried = rnd.nextBoolean()
+      (i.toLong, s"${rnd.nextInt(20)} Main St, City${rnd.nextInt(5)}",
+        if (carried) Some(rnd.nextInt(90).toDouble) else None,
+        if (carried) Some(rnd.nextInt(180).toDouble) else None)
+    }.toDF("id", "addr", "latitude", "longitude")
+    val lookup = (0 until 20).flatMap { s =>
+      (0 until 5).map(c => (s"$s Main St, City$c", s * 1.0, c * 1.0))
+    }.toDF("address", "latitude", "longitude")
+    val out = Geocode.enrich(data, lookup, addressCol = "addr")
+    assert(out.count() == 100) // deduped lookup: no fan-out, no loss
+    val disagree = out.as("o").join(data.as("d"), Seq("id"))
+      .filter(col("d.latitude").isNotNull &&
+        (col("o.latitude") =!= col("d.latitude") || col("o.longitude") =!= col("d.longitude")))
+    assert(disagree.count() == 0)
+  }
+
   test("normalizeNull is idempotent and only touches sentinels") {
     val vals = Seq("x", ".", "", "nan", "NaN", null, " .", "n.", "NAN")
     val df = vals.toDF("v")
