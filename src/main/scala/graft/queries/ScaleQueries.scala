@@ -260,13 +260,14 @@ object ScaleQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q26_jaccard_pairs" ->
       s"""WITH $shingledCte,
-         |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |fdf AS (SELECT shingle, count(*) AS dfreq FROM sh GROUP BY shingle),
-         |shc AS (SELECT sh.doc_id, sh.shingle FROM sh
-         |        JOIN fdf ON sh.shingle = fdf.shingle WHERE dfreq <= 100),
+         |shh AS (SELECT doc_id, ${Hashing.h60Sql("shingle")} AS sh60 FROM sh),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+         |fdf AS (SELECT sh60, count(*) AS dfreq FROM shh GROUP BY sh60),
+         |shc AS (SELECT shh.doc_id, shh.sh60 FROM shh
+         |        JOIN fdf ON shh.sh60 = fdf.sh60 WHERE dfreq <= 100),
          |p AS (
          |  SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, count(*) AS shared
-         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM shc a JOIN shc b ON a.sh60 = b.sh60 AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT * FROM (
          |  SELECT a_doc_id, b_doc_id, shared,
