@@ -26,6 +26,9 @@ object GraftSession {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the engine's native expressions (float_dot, topk_by, simhash60,
+      // minhash_sig, ...) registered for spark.sql users out of the box
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def get(appName: String = "graft"): SparkSession = {
