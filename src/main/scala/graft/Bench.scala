@@ -52,19 +52,26 @@ object Bench {
     // cluster actually sees. min-of-2 is the standard throttle-noise
     // damper; both passes are reported (queries = min, queries_cold =
     // pass 1) so the warm/cold split stays visible.
-    def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // returns (seconds, succeeded): a failed pass keeps its wall time for
+    // the cold report but must never become the min — a fast failure
+    // would otherwise masquerade as a speedup
+    def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        errors.getOrElseUpdate(name,
-          e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
-      }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          errors.getOrElseUpdate(name,
+            e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val results = ordered.map { case (name, fn) =>
-      val cold = timed(name, fn)
-      val warm = timed(name, fn)
-      (name, math.min(cold, warm), cold)
+      val (cold, coldOk) = timed(name, fn)
+      val (warm, warmOk) = timed(name, fn)
+      val best = (Seq((cold, coldOk), (warm, warmOk)).collect { case (t, true) => t }
+        :+ math.max(cold, warm)).min // both failed → report the slower pass
+      (name, best, cold)
     }
     val qs = results.map { case (k, v, _) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val qsCold = results.map { case (k, _, c) => s""""${esc(k)}":$c""" }.mkString("{", ",", "}")

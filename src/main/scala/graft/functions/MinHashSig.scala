@@ -20,7 +20,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * Output: array of the k per-member minima (slot i = old `mh$i`
   * column). Null/empty shingle array → null (the old groupBy simply had
   * no rows for such docs — callers filter nulls to keep row parity);
-  * null shingle elements are skipped (min over null affine hashes).
+  * null shingle elements are skipped (min over null affine hashes), and
+  * an all-null array also yields null.
   */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
@@ -58,9 +59,9 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
       |boolean ${ev.isNull} = true;
       |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
       |if (!${c.isNull} && ${c.value}.numElements() > 0) {
-      |  ${ev.isNull} = false;
       |  ${ev.value} = $cls.compute(${c.value},
       |    (long[]) $co._1(), (long[]) $co._2());
+      |  ${ev.isNull} = ${ev.value} == null;
       |}
       |""".stripMargin)
   }
@@ -99,11 +100,10 @@ object MinHashSig {
       }
       i += 1
     }
-    // all-null shingles: the old groupBy produced a row of k null mins;
-    // impossible from TokenShingles (containsNull=false) — refuse rather
-    // than silently diverge
-    if (!any) throw new IllegalStateException(
-      "minhash_sig over an all-null shingle array")
-    new GenericArrayData(mins)
+    // all-null elements → null signature (impossible from TokenShingles,
+    // whose arrays are containsNull=false, but reachable through the SQL
+    // registration — and the SQL contract is "null for degenerate input",
+    // not a job-killing exception)
+    if (!any) null else new GenericArrayData(mins)
   }
 }

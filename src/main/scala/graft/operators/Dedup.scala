@@ -233,11 +233,18 @@ object Dedup {
 
   /** Band-key equi-join of a probe index against a corpus index with
     * agreement rerank — shared by [[minhashProbe]] and the streaming
-    * screen (which must skip the stateful `distinct`). */
+    * screen (which must skip the stateful `distinct`). Columns are bound
+    * BY NAME, never positionally: the index side is caller-supplied and
+    * a parquet round-trip with `partitionBy("band")` reorders its columns
+    * (partition columns read back last) — a positional rename would
+    * silently relabel band_key as band and empty every probe result. */
   private[graft] def probeJoin(probes: DataFrame, index: DataFrame,
       idCol: String, k: Int, minAgree: Int): DataFrame = {
-    val p = probes.toDF(s"probe_$idCol", "probe_sig", "band", "band_key")
-    val ix = index.toDF(s"corpus_$idCol", "corpus_sig", "band", "band_key")
+    def named(df: DataFrame, side: String) = df.select(
+      col(idCol).as(s"${side}_$idCol"), col("sig").as(s"${side}_sig"),
+      col("band"), col("band_key"))
+    val p = named(probes, "probe")
+    val ix = named(index, "corpus")
     p.join(ix, Seq("band", "band_key"))
       .select(col(s"probe_$idCol"), col(s"corpus_$idCol"),
         sigAgree(col("probe_sig"), col("corpus_sig"), k).as("sig_agree"))
@@ -338,6 +345,11 @@ object Dedup {
     * ≤ `maxHamming` via bit_count(xor). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 10, chunkBits: Int = 15, bits: Int = 60): DataFrame = {
+    // validate at THIS boundary, not in the nested simhash call: the
+    // signature still advertises `bits` but only the portable 60-bit
+    // construction exists since the native-expression rewrite
+    require(bits == 60, "simhashPairs is pinned to the portable 60-bit construction")
+    require(bits % chunkBits == 0, s"chunkBits must divide $bits")
     val nChunks = bits / chunkBits
     val sigs = simhash(df, idCol, textCol, bits)
     val chunks = (0 until nChunks).map(j =>

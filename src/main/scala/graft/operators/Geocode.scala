@@ -73,8 +73,11 @@ object Geocode {
       normalizeAddress(col(lookupAddressCol)).as("__geo_key"),
       col(lookupLatCol).as("__geo_lat"),
       col(lookupLonCol).as("__geo_lon"))
+    // nulls LAST: a lookup row with unresolved (null) coordinates must
+    // never out-rank a real-coordinate spelling of the same canonical
+    // address (Spark's default asc is nulls-first)
     val lk = Relational.keepFirst(lk0, Seq("__geo_key"),
-      Seq(col("__geo_lat"), col("__geo_lon")))
+      Seq(col("__geo_lat").asc_nulls_last, col("__geo_lon").asc_nulls_last))
     val carried = Seq(latCol, lonCol).foldLeft(data)((d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("double")))
     carried

@@ -106,9 +106,13 @@ object DownPipeline {
       lookup, addressCol = "Lat_Long_Address",
       latCol = "__lat0", lonCol = "__lon0")
     enriched
+      // rebuild ONLY lookup-filled rows: a hand-entered string must
+      // survive byte-for-byte (a double round-trip would reformat
+      // '40.2500,-75' and fabricate a pair from a one-component value)
       .withColumn("Coordinates",
-        when(col("geo_source") === "missing", col("Coordinates"))
-          .otherwise(concat_ws(",", col("__lat0"), col("__lon0"))))
+        when(col("geo_source") === "lookup",
+          concat_ws(",", col("__lat0"), col("__lon0")))
+          .otherwise(col("Coordinates")))
       .drop("__lat0", "__lon0", "geo_source")
   }
 

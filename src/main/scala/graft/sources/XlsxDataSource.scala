@@ -33,6 +33,10 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-xlsx"
 
+  /** Header of the FIRST listed file only. The one plan-time parse does
+    * build that file's full sheet DOM (the JDK DOM parser has no early
+    * exit) — bounded by a single workbook, not the directory; acceptable
+    * for the dimension-sized workbooks this format carries. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val pathSpec = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-xlsx requires a path"))

@@ -42,6 +42,10 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getLong(0) == viaApi)
     assert(row.getSeq[Long](1).length == 4)
     assert(row.isNullAt(2))
+    // degenerate SQL inputs return null per the help text, never throw
+    val edge = spark.sql(
+      "SELECT minhash_sig(array(CAST(NULL AS STRING)), 4) AS m").collect()(0)
+    assert(edge.isNullAt(0))
     val e = intercept[Exception](
       spark.sql("SELECT minhash_sig(array('x'), 'k')").collect())
     assert(e.getMessage.contains("integral constant"))

@@ -56,9 +56,11 @@ class GeocodeSpec extends SparkSpec {
     assert((r.getDouble(0), r.getDouble(1), r.getString(2)) == ((1.0, 1.0, "lookup")))
   }
 
-  test("geocodeSites fills missing Coordinates, keeps hand-entered ones") {
+  test("geocodeSites fills missing Coordinates, keeps hand-entered ones byte-for-byte") {
     val siteSub = Seq(
-      ("PWS1", "1 Main St, Springfield, PA, 19000", Option("41.0,-75.0")), // hand-entered
+      // hand-entered, NON-canonical rendering: must survive untouched,
+      // not get double-parsed into '40.25,-75.0'
+      ("PWS1", "1 Main St, Springfield, PA, 19000", Option("40.2500,-75")),
       ("PWS2", "2 Oak Av, Springfield, PA, 19000", Option.empty[String]),  // in lookup
       ("PWS3", "9 Nowhere Rd, X, Y, 0", Option.empty[String]))             // miss
       .toDF("PWSID", "Lat_Long_Address", "Coordinates")
@@ -70,9 +72,20 @@ class GeocodeSpec extends SparkSpec {
       .orderBy("PWSID").select("PWSID", "Coordinates")
       .collect().map(r => r.getString(0) -> Option(r.getString(1)))
     assert(out.toSeq == Seq(
-      "PWS1" -> Some("41.0,-75.0"),
+      "PWS1" -> Some("40.2500,-75"),
       "PWS2" -> Some("40.25,-75.5"),
       "PWS3" -> None))
+  }
+
+  test("a null-coordinate lookup spelling never out-ranks a resolved one") {
+    val data = Seq((1, "1 Main St, X")).toDF("id", "addr")
+    val lookup = Seq(
+      ("1  Main  St, X", Option.empty[Double], Option.empty[Double]), // unresolved gazetteer row
+      ("1 Main St, X", Option(4.5), Option(5.5)))
+      .toDF("address", "latitude", "longitude")
+    val r = enrich(data, lookup, addressCol = "addr")
+      .select("latitude", "longitude", "geo_source").head()
+    assert((r.getDouble(0), r.getDouble(1), r.getString(2)) == ((4.5, 5.5, "lookup")))
   }
 
   test("enrich creates coordinate columns when the data has none") {

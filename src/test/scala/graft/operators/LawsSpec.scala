@@ -138,6 +138,23 @@ class LawsSpec extends SparkSpec {
     assert(selfMatches.count() == Dedup.minhashSignature(docs, "doc_id", "text").count())
   }
 
+  test("probe survives the documented parquet partitionBy(band) round-trip") {
+    // partitioned parquet reads back with partition columns LAST — the
+    // probe must bind index columns by name, or every match silently
+    // vanishes (regression: positional toDF)
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
+    Dedup.minhashIndex(docs, "doc_id", "text")
+      .write.mode("overwrite").partitionBy("band").parquet(dir)
+    val readBack = spark.read.parquet(dir)
+    assert(readBack.columns.last == "band") // precondition: order DID change
+    val probe = Dedup.minhashProbe(docs.filter(col("doc_id") === 1), readBack,
+      "doc_id", "text")
+    val got = probe.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 16L), (1L, 2L, 16L))) // exact dup found, not empty
+  }
+
   test("geocode enrich law: row count conserved; carried coordinates never overwritten") {
     val rnd = new Random(3)
     val data = (0 until 100).map { i =>
