@@ -28,6 +28,26 @@ object Csv {
       .schema(schema)
       .csv(paths: _*)
 
+  /** [[scan]] with corrupt-record capture: a line that fails the schema
+    * (unparseable number, wrong field count) keeps its RAW TEXT in
+    * `corruptCol` instead of dissolving into indistinguishable nulls —
+    * so a DQ gate can count, quarantine, or fail-fast on malformed input
+    * ([[graft.operators.Quality.audit]] with a `corruptCol IS NOT NULL`
+    * gate) and the offending lines are reproducible verbatim.
+    *
+    * Spark refuses plans that reference ONLY the corrupt column
+    * (SPARK-21610: the parser skips non-referenced fields, so such a
+    * query would see nothing to fail) — always select at least one data
+    * column alongside it, as the audit gates naturally do. */
+  def scanAudited(spark: SparkSession, schema: StructType,
+      corruptCol: String, paths: String*): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .csv(paths: _*)
+
   /** S7 — header'd CSV sink. `singleFile=true` coalesces to one partition
     * to match the reference's one-file-per-stage contract
     * (`/root/reference/down/down_water_prep.py:247,408,545`) — correct
