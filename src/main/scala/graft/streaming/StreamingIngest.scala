@@ -177,6 +177,21 @@ object StreamingIngest {
           })
   }
 
+  /** DQ gates as streaming observed metrics — the incremental twin of
+    * [[graft.operators.Quality.audit]]: each gate's violation count (and
+    * the batch row count) rides every micro-batch's
+    * `StreamingQueryProgress.observedMetrics(name)` for free — computed
+    * inline during the batch's one pass, no second scan, no state, no
+    * extra stateful operator in the plan. Alerting/fail-fast lives in a
+    * `StreamingQueryListener` (or a `foreachBatch` check) reading the
+    * metric row; the data flow itself is untouched. */
+  def observedGates(stream: DataFrame, name: String,
+      gates: Seq[graft.operators.Quality.Gate]): DataFrame = {
+    val exprs = count(lit(1)).as("total_rows") +:
+      gates.map(g => count(when(g.violation, 1)).as(g.name))
+    stream.observe(name, exprs.head, exprs.tail: _*)
+  }
+
   /** Streaming near-dup screening of arriving docs against a corpus LSH
     * index ([[graft.operators.Dedup.minhashIndex]], typically read back
     * from its persisted parquet form): each micro-batch computes per-row

@@ -286,6 +286,31 @@ class StreamingIngestSpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("observed DQ gates ride the micro-batch progress metrics, no second scan") {
+    import graft.operators.Quality
+    val drop = tmp("graft-gates-drop")
+    val out = tmp("graft-gates-out")
+    val ckpt = tmp("graft-gates-ckpt")
+    Files.copy(Paths.get("src/test/resources/fixtures/data_2014.csv"),
+      Paths.get(s"$drop/data_2014.csv"))
+    val stream = StreamingIngest.csvStream(spark, Schemas.data, drop)
+    val gated = StreamingIngest.observedGates(stream, "dq", Seq(
+      Quality.Gate("null_pwsid", col("PWSID").isNull),
+      Quality.Gate("distribution_wordwrap", col("Sample Type") === "DISTRIBUTIO N")))
+    val q = StreamingIngest.availableNow(gated, out, ckpt).start()
+    q.awaitTermination()
+    val metrics = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("dq"))).lastOption
+      .getOrElse(fail("no 'dq' observed metrics on any progress event"))
+    val batchRows = spark.read.parquet(out).count()
+    assert(metrics.getAs[Long]("total_rows") == batchRows)
+    assert(metrics.getAs[Long]("null_pwsid") == 0L)
+    // the 2014 fixture carries the reference's word-wrap artifact rows
+    val expectWrap = spark.read.parquet(out)
+      .filter(col("Sample Type") === "DISTRIBUTIO N").count()
+    assert(metrics.getAs[Long]("distribution_wordwrap") == expectWrap)
+  }
+
   test("windowed counts with watermark compile to a streaming plan") {
     val drop = tmp("graft-drop3")
     Files.copy(Paths.get("src/test/resources/fixtures/data_2014.csv"),
