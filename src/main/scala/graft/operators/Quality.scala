@@ -16,15 +16,25 @@ object Quality {
 
   final case class Gate(name: String, violation: Column)
 
+  /** Per-gate violation-count aggregates, `totalName` first. count(when),
+    * not sum(when): sum over ZERO rows is null, and an empty input must
+    * report 0 violations (as the oracle's COUNT(*) FILTER does), not
+    * null — same discipline in [[profile]]. Shared by [[audit]] and the
+    * streaming twin ([[graft.streaming.StreamingIngest.observedGates]])
+    * so the two can never diverge. */
+  def gateCountExprs(gates: Seq[Gate], totalName: String): Seq[Column] = {
+    require(gates.map(_.name).distinct.length == gates.length,
+      "gate names must be unique")
+    require(!gates.exists(_.name == totalName),
+      s"gate name '$totalName' collides with the total-rows metric")
+    count(lit(1)).as(totalName) +:
+      gates.map(g => count(when(g.violation, 1)).as(g.name))
+  }
+
   /** Evaluate all gates in a single scan; returns (gate, violations) rows. */
   def audit(df: DataFrame, gates: Seq[Gate]): DataFrame = {
-    // count(when), not sum(when): sum over ZERO rows is null, and an
-    // empty input must report 0 violations (as the oracle's
-    // COUNT(*) FILTER does), not null — same discipline in [[profile]]
-    val counts = df.agg(
-      count(lit(1)).as("__total"),
-      gates.map(g => count(when(g.violation, 1)).as(g.name)): _*
-    )
+    val exprs = gateCountExprs(gates, "__total")
+    val counts = df.agg(exprs.head, exprs.tail: _*)
     // pivot to long form: one row per gate
     val stacked = gates.map(g =>
       struct(lit(g.name).as("gate"), col(g.name).as("violations")))

@@ -40,13 +40,17 @@ object Csv {
     * query would see nothing to fail) — always select at least one data
     * column alongside it, as the audit gates naturally do. */
   def scanAudited(spark: SparkSession, schema: StructType,
-      corruptCol: String, paths: String*): DataFrame =
+      corruptCol: String, paths: String*): DataFrame = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema already contains '$corruptCol' — pass a data-only schema " +
+        "(a re-scan of an audited frame's schema would duplicate the column)")
     spark.read
       .option("header", "true")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
       .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
       .csv(paths: _*)
+  }
 
   /** S7 — header'd CSV sink. `singleFile=true` coalesces to one partition
     * to match the reference's one-file-per-stage contract

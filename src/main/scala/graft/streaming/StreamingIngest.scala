@@ -187,8 +187,10 @@ object StreamingIngest {
     * metric row; the data flow itself is untouched. */
   def observedGates(stream: DataFrame, name: String,
       gates: Seq[graft.operators.Quality.Gate]): DataFrame = {
-    val exprs = count(lit(1)).as("total_rows") +:
-      gates.map(g => count(when(g.violation, 1)).as(g.name))
+    // the SAME aggregate expressions as the batch audit (shared builder:
+    // unique gate names enforced, count-of-when empty-input discipline,
+    // no collision with the total metric)
+    val exprs = graft.operators.Quality.gateCountExprs(gates, "total_rows")
     stream.observe(name, exprs.head, exprs.tail: _*)
   }
 

@@ -299,16 +299,17 @@ class StreamingIngestSpec extends SparkSpec {
       Quality.Gate("distribution_wordwrap", col("Sample Type") === "DISTRIBUTIO N")))
     val q = StreamingIngest.availableNow(gated, out, ckpt).start()
     q.awaitTermination()
-    val metrics = q.recentProgress.flatMap(p =>
-      Option(p.observedMetrics.get("dq"))).lastOption
-      .getOrElse(fail("no 'dq' observed metrics on any progress event"))
-    val batchRows = spark.read.parquet(out).count()
-    assert(metrics.getAs[Long]("total_rows") == batchRows)
-    assert(metrics.getAs[Long]("null_pwsid") == 0L)
+    // SUM across every micro-batch's metric row — lastOption would break
+    // the moment the drain spans more than one batch (maxFilesPerTrigger)
+    val perBatch = q.recentProgress.flatMap(p => Option(p.observedMetrics.get("dq")))
+    assert(perBatch.nonEmpty, "no 'dq' observed metrics on any progress event")
+    def total(field: String): Long = perBatch.map(_.getAs[Long](field)).sum
+    assert(total("total_rows") == spark.read.parquet(out).count())
+    assert(total("null_pwsid") == 0L)
     // the 2014 fixture carries the reference's word-wrap artifact rows
     val expectWrap = spark.read.parquet(out)
       .filter(col("Sample Type") === "DISTRIBUTIO N").count()
-    assert(metrics.getAs[Long]("distribution_wordwrap") == expectWrap)
+    assert(total("distribution_wordwrap") == expectWrap)
   }
 
   test("windowed counts with watermark compile to a streaming plan") {
