@@ -1,4 +1,7 @@
 package graft
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
@@ -11,8 +14,11 @@ import org.apache.spark.sql.SparkSession
   * pass is kept in `queries_cold`): the cold pass is dominated by
   * one-time driver work (codegen + Janino compile) and this host's CPU
   * burst-throttle, neither of which is the steady-state cost a cluster
-  * pays. Failures are timed, recorded in an `errors` map, and never
-  * silently reported as fast runs.
+  * pays. `queries_cpu`/`cpu_core_s` carry executor task CPU
+  * (core-seconds, min across successful passes) — the throttle-immune
+  * metric for cross-round comparison. Failures are timed, recorded in
+  * an `errors` map, and never silently reported as fast runs (a failed
+  * pass is excluded from the min).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,6 +32,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Task-CPU accounting alongside wall time: this host's CPU-burst
+    // throttling makes single-run wall times noisy, so the stable
+    // cross-round comparison metric is executor CPU (core-seconds).
+    val cpuNs = new LongAdder
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) cpuNs.add(m.executorCpuTime)
+      }
+    })
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""
@@ -55,8 +71,10 @@ object Bench {
     // returns (seconds, succeeded): a failed pass keeps its wall time for
     // the cold report but must never become the min — a fast failure
     // would otherwise masquerade as a speedup
-    def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    // returns (wall seconds, task-CPU core-seconds, succeeded)
+    def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Boolean) = {
       val t0 = System.nanoTime()
+      val c0 = cpuNs.sum()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
@@ -64,20 +82,30 @@ object Bench {
             e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))
           false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener events drain asynchronously; a short untimed quiesce
+      // keeps per-query CPU attribution from bleeding into the next pass
+      Thread.sleep(150)
+      (wall, (cpuNs.sum() - c0) / 1e9, ok)
     }
     val results = ordered.map { case (name, fn) =>
-      val (cold, coldOk) = timed(name, fn)
-      val (warm, warmOk) = timed(name, fn)
-      val best = (Seq((cold, coldOk), (warm, warmOk)).collect { case (t, true) => t }
-        :+ math.max(cold, warm)).min // both failed → report the slower pass
-      (name, best, cold)
+      val (cold, coldCpu, coldOk) = timed(name, fn)
+      val (warm, warmCpu, warmOk) = timed(name, fn)
+      val passes = Seq((cold, coldCpu, coldOk), (warm, warmCpu, warmOk))
+      val okPasses = passes.collect { case (t, c, true) => (t, c) }
+      // both failed → report the slower pass so a fast failure never
+      // masquerades as a speedup
+      val best = (okPasses.map(_._1) :+ math.max(cold, warm)).min
+      val bestCpu = (okPasses.map(_._2) :+ math.max(coldCpu, warmCpu)).min
+      (name, best, cold, bestCpu)
     }
-    val qs = results.map { case (k, v, _) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
-    val qsCold = results.map { case (k, _, c) => s""""${esc(k)}":$c""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+    val qsCold = results.map { case (k, _, c, _) => s""""${esc(k)}":$c""" }.mkString("{", ",", "}")
+    val qsCpu = results.map { case (k, _, _, c) => s""""${esc(k)}":$c""" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"errors":$errJson,"sf":"$sfDir"}""")
+    val totalCpu = results.map(_._4).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpu_core_s":$totalCpu,"queries":$qs,"queries_cold":$qsCold,"queries_cpu":$qsCpu,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
