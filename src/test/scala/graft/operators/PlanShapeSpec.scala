@@ -48,12 +48,14 @@ class PlanShapeSpec extends SparkSpec {
     assertNoQuadraticJoin(physicalPlan(df), "annTopK")
   }
 
-  test("jaccard, minhash and simhash pair generation are equi-join only") {
+  test("jaccard, minhash, simhash and index-probe pair generation are equi-join only") {
     for ((name, df) <- Seq(
         "jaccardPairs" -> Dedup.jaccardPairs(docs, "doc_id", "text",
           maxShingleDocFreq = Some(100)),
         "minhashLshPairs" -> Dedup.minhashLshPairs(docs, "doc_id", "text"),
-        "simhashPairs" -> Dedup.simhashPairs(docs, "doc_id", "text")))
+        "simhashPairs" -> Dedup.simhashPairs(docs, "doc_id", "text"),
+        "minhashProbe" -> Dedup.minhashProbe(docs,
+          Dedup.minhashIndex(docs, "doc_id", "text"), "doc_id", "text")))
       assertNoQuadraticJoin(physicalPlan(df), name)
   }
 
