@@ -42,6 +42,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(df.count() >= 1) // near-identical vectors 1 and 2 found
   }
 
+  test("nearDupPairs (bounded exact variant) scores every a<b pair with the exact cosine") {
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // identical to 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),  // orthogonal
+      (4L, Array(0.0f, 0.0f, 0.0f, 0.0f)))  // zero-norm: excluded
+      .toDF("vec_id", "embedding")
+    val got = Similarity.nearDupPairs(tiny, "vec_id", "embedding", minMicro = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1000000L), (1L, 3L, 0L), (2L, 3L, 0L)))
+  }
+
+  test("lshBandKeys over the wide signature equals minhashIndex's band keys") {
+    val keysFromWide = Dedup.lshBandKeys(
+      Dedup.minhashSignature(docs, "doc_id", "text"), "doc_id", bands = 4, rowsPerBand = 4)
+      .select("doc_id", "band", "band_key")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val keysFromIndex = Dedup.minhashIndex(docs, "doc_id", "text")
+      .select("doc_id", "band", "band_key")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(keysFromWide == keysFromIndex)
+    assert(keysFromWide.nonEmpty)
+  }
+
   test("annTopK candidate generation is equi-join only") {
     val df = Similarity.annTopK(vecs, "vec_id", "embedding",
       k = 2, planes = 2, dims = 4, queryFilter = col("vec_id") === 1L)
