@@ -293,4 +293,43 @@ object TrainingData {
           .cast("long"))
       .withColumn("is_contaminated", col("contam_permille") >= flagPermille)
   }
+
+  // ------------------------------------------------------ bigram familiarity
+
+  /** Bigram-familiarity fluency score — the document-frequency form of
+    * bigram-LM scoring (the KenLM-style fluency filter of production
+    * corpus pipelines), in EXACT integer arithmetic so the oracle
+    * matches bit-for-bit (log-probability cross-entropy would ride on
+    * libm's last-ulp differences across engines).
+    *
+    * familiarity("a b") = (1000 · df("a b")) div df("a"), with df the
+    * number of DOCUMENTS containing the distinct bigram / prefix token
+    * (df(bigram) ≤ df(prefix), so the score is a permille in [0, 1000]:
+    * how often the corpus continues "a" with "b"). A document scores the
+    * integer mean familiarity of its distinct bigrams — low = unusual
+    * word transitions (gibberish, shuffled boilerplate); high =
+    * corpus-typical prose. Documents under 2 tokens have no bigrams and
+    * are absent (nothing to score), like [[decontaminationScores]].
+    *
+    * Scale shape: distinct per-doc bigrams/unigrams come from the native
+    * shingle expression (per-row, no shuffle); the two df counts are the
+    * inherent corpus-stat shuffles on the gram key; then two equi-joins
+    * attach the counts and one aggregation lands on the doc id. Nothing
+    * quadratic, nothing broadcast-unbounded.
+    */
+  def bigramFamiliarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bi = Dedup.shingled(df, idCol, textCol, 2)
+    val uni = Dedup.shingled(df, idCol, textCol, 1)
+    val biDf = bi.groupBy("shingle").agg(count(lit(1)).as("df_bi"))
+    val uniDf = uni.groupBy("shingle").agg(count(lit(1)).as("df_uni"))
+      .withColumnRenamed("shingle", "__prefix")
+    bi.join(biDf, "shingle")
+      .withColumn("__prefix", substring_index(col("shingle"), " ", 1))
+      .join(uniDf, "__prefix")
+      .withColumn("fam", expr("(1000 * df_bi) DIV df_uni"))
+      .groupBy(idCol)
+      .agg(sum(col("fam")).as("__s"), count(lit(1)).as("n_bigrams"))
+      .withColumn("mean_fam_permille", expr("__s DIV n_bigrams"))
+      .select(col(idCol), col("mean_fam_permille"), col("n_bigrams"))
+  }
 }

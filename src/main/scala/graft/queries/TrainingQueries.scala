@@ -126,7 +126,16 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+  /** TD10 — bigram-familiarity fluency scoring: integer-exact
+    * document-frequency bigram LM over the whole corpus. */
+  val q66BigramFamiliarity: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    TrainingData.bigramFamiliarity(t.documents, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q66_bigram_familiarity" -> q66BigramFamiliarity,
     "q57_curate_pipeline" -> q57CuratePipeline,
     "q59_rarity_score" -> q59RarityScore,
     "q62_weighted_sample" -> q62WeightedSample,
@@ -142,6 +151,27 @@ object TrainingQueries {
   private def h60(expr: String): String = Hashing.h60Sql(expr)
 
   val oracle: Map[String, String] = Map(
+    "q66_bigram_familiarity" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |    THEN list_distinct(list_transform(generate_series(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i+1]))
+        |    ELSE [] END) AS bigram
+        |  FROM d),
+        |uni AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM d),
+        |bidf AS (SELECT bigram, count(*) AS df_bi FROM bi GROUP BY bigram),
+        |unidf AS (SELECT tok, count(*) AS df_uni FROM uni GROUP BY tok),
+        |fam AS (
+        |  SELECT bi.doc_id, (1000 * df_bi) // df_uni AS fam
+        |  FROM bi JOIN bidf USING (bigram)
+        |  JOIN unidf ON split_part(bigram, ' ', 1) = unidf.tok)
+        |SELECT doc_id,
+        |  CAST(sum(fam) // count(*) AS BIGINT) AS mean_fam_permille,
+        |  count(*) AS n_bigrams
+        |FROM fam GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q62_weighted_sample" ->
       s"""WITH w AS (
          |  SELECT doc_id,
