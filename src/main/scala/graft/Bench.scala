@@ -59,6 +59,20 @@ object Bench {
     try SparkEntry.queries.get("q01_pruned_scan")
       .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
     catch { case _: Throwable => () }
+    // quiesce: wait until the async listener bus stops delivering task
+    // CPU (stable across two consecutive reads) so events never bleed
+    // into the next pass's attribution window — a fixed sleep is a guess
+    // that loses under bus backlog or a GC pause
+    def quiesce(): Unit = {
+      var prev = -1L
+      var spins = 0
+      while (prev != cpuNs.sum() && spins < 40) { // ≤2s worst case
+        prev = cpuNs.sum()
+        Thread.sleep(50)
+        spins += 1
+      }
+    }
+    quiesce() // drain the warm-up's events before the first timed pass
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // Two timed passes per query, report the min. Pass 1 pays the
@@ -68,10 +82,9 @@ object Bench {
     // cluster actually sees. min-of-2 is the standard throttle-noise
     // damper; both passes are reported (queries = min, queries_cold =
     // pass 1) so the warm/cold split stays visible.
-    // returns (seconds, succeeded): a failed pass keeps its wall time for
-    // the cold report but must never become the min — a fast failure
-    // would otherwise masquerade as a speedup
-    // returns (wall seconds, task-CPU core-seconds, succeeded)
+    // returns (wall seconds, task-CPU core-seconds, succeeded): a failed
+    // pass keeps its wall time for the cold report but must never become
+    // the min — a fast failure would otherwise masquerade as a speedup
     def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Boolean) = {
       val t0 = System.nanoTime()
       val c0 = cpuNs.sum()
@@ -83,9 +96,7 @@ object Bench {
           false
         }
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener events drain asynchronously; a short untimed quiesce
-      // keeps per-query CPU attribution from bleeding into the next pass
-      Thread.sleep(150)
+      quiesce() // untimed: wall is already captured
       (wall, (cpuNs.sum() - c0) / 1e9, ok)
     }
     val results = ordered.map { case (name, fn) =>

@@ -318,14 +318,20 @@ object TrainingData {
     * quadratic, nothing broadcast-unbounded.
     */
   def bigramFamiliarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bi = Dedup.shingled(df, idCol, textCol, 2)
-    val uni = Dedup.shingled(df, idCol, textCol, 1)
-    val biDf = bi.groupBy("shingle").agg(count(lit(1)).as("df_bi"))
-    val uniDf = uni.groupBy("shingle").agg(count(lit(1)).as("df_uni"))
-      .withColumnRenamed("shingle", "__prefix")
-    bi.join(biDf, "shingle")
-      .withColumn("__prefix", substring_index(col("shingle"), " ", 1))
-      .join(uniDf, "__prefix")
+    // every shuffle/join key is an h60 long, not the raw gram string —
+    // the same 8-byte-key discipline as jaccardPairs and
+    // decontaminationScores (measured there: hashing cost < string-key
+    // exchange cost); prefix is derived from the string BEFORE hashing
+    val bi = Dedup.shingled(df, idCol, textCol, 2).select(
+      col(idCol),
+      h60(col("shingle")).as("__bg"),
+      h60(substring_index(col("shingle"), " ", 1)).as("__pf"))
+    val biDf = bi.groupBy("__bg").agg(count(lit(1)).as("df_bi"))
+    val uniDf = Dedup.shingled(df, idCol, textCol, 1)
+      .select(h60(col("shingle")).as("__pf"))
+      .groupBy("__pf").agg(count(lit(1)).as("df_uni"))
+    bi.join(biDf, "__bg")
+      .join(uniDf, "__pf")
       .withColumn("fam", expr("(1000 * df_bi) DIV df_uni"))
       .groupBy(idCol)
       .agg(sum(col("fam")).as("__s"), count(lit(1)).as("n_bigrams"))

@@ -152,8 +152,8 @@ object TrainingQueries {
 
   val oracle: Map[String, String] = Map(
     "q66_bigram_familiarity" ->
-      """WITH d AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      s"""WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
         |  FROM documents),
         |bi AS (
         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
@@ -162,12 +162,14 @@ object TrainingQueries {
         |    ELSE [] END) AS bigram
         |  FROM d),
         |uni AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM d),
-        |bidf AS (SELECT bigram, count(*) AS df_bi FROM bi GROUP BY bigram),
-        |unidf AS (SELECT tok, count(*) AS df_uni FROM uni GROUP BY tok),
+        |bih AS (SELECT doc_id, ${h60("bigram")} AS bg,
+        |               ${h60("split_part(bigram, ' ', 1)")} AS pf FROM bi),
+        |bidf AS (SELECT bg, count(*) AS df_bi FROM bih GROUP BY bg),
+        |unidf AS (SELECT ${h60("tok")} AS pf, count(*) AS df_uni FROM uni GROUP BY 1),
         |fam AS (
-        |  SELECT bi.doc_id, (1000 * df_bi) // df_uni AS fam
-        |  FROM bi JOIN bidf USING (bigram)
-        |  JOIN unidf ON split_part(bigram, ' ', 1) = unidf.tok)
+        |  SELECT bih.doc_id, (1000 * df_bi) // df_uni AS fam
+        |  FROM bih JOIN bidf USING (bg)
+        |  JOIN unidf USING (pf))
         |SELECT doc_id,
         |  CAST(sum(fam) // count(*) AS BIGINT) AS mean_fam_permille,
         |  count(*) AS n_bigrams
