@@ -49,6 +49,15 @@ object Geocode {
     * lookup), `missing` (address unknown to the lookup and nothing
     * carried). When `data` lacks `latCol`/`lonCol` they are created.
     *
+    * Provenance is both-or-neither: a coordinate PAIR is only ever taken
+    * whole from one source. A row carrying a single coordinate (lat xor
+    * lon) is treated as not carried — mixing a carried latitude with a
+    * lookup longitude can produce a point on neither source's map — so
+    * the half value is discarded and the pair comes from the lookup, or
+    * is null-null (`missing`) when the lookup misses too. Likewise a
+    * lookup row resolving only one coordinate never fills anything.
+    * Invariant: `geo_source = 'missing'` ⇔ both outputs null.
+    *
     * The lookup is deduped to one row per normalized address
     * ([[Relational.keepFirst]], ordered by coordinates so the survivor is
     * deterministic) — two raw spellings that canonicalize to the same key
@@ -80,16 +89,25 @@ object Geocode {
       Seq(col("__geo_lat").asc_nulls_last, col("__geo_lon").asc_nulls_last))
     val carried = Seq(latCol, lonCol).foldLeft(data)((d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("double")))
+    val bothCarried = col(latCol).isNotNull && col(lonCol).isNotNull
+    val bothLookup = col("__geo_lat").isNotNull && col("__geo_lon").isNotNull
     carried
       .withColumn("__geo_key", normalizeAddress(col(addressCol)))
       .join(if (hintBroadcast) broadcast(lk) else lk, Seq("__geo_key"), "left")
-      // lineage BEFORE the coalesce overwrites the carried columns
+      // lineage BEFORE the pair selection overwrites the carried columns;
+      // both output columns are derived from the ORIGINAL pair into temps
+      // first (overwriting latCol in place would make lonCol's both-carried
+      // test read the already-rewritten latitude)
       .withColumn(sourceCol,
-        when(col(latCol).isNotNull && col(lonCol).isNotNull, lit("carried"))
-          .when(col("__geo_lat").isNotNull, lit("lookup"))
+        when(bothCarried, lit("carried"))
+          .when(bothLookup, lit("lookup"))
           .otherwise(lit("missing")))
-      .withColumn(latCol, coalesce(col(latCol), col("__geo_lat")))
-      .withColumn(lonCol, coalesce(col(lonCol), col("__geo_lon")))
-      .drop("__geo_key", "__geo_lat", "__geo_lon")
+      .withColumn("__out_lat",
+        when(bothCarried, col(latCol)).when(bothLookup, col("__geo_lat")))
+      .withColumn("__out_lon",
+        when(bothCarried, col(lonCol)).when(bothLookup, col("__geo_lon")))
+      .withColumn(latCol, col("__out_lat"))
+      .withColumn(lonCol, col("__out_lon"))
+      .drop("__geo_key", "__geo_lat", "__geo_lon", "__out_lat", "__out_lon")
   }
 }

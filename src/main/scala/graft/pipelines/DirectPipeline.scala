@@ -61,13 +61,21 @@ object DirectPipeline {
   /** Full run: workbook in, final CSV out. The Violations sheet is read
     * and carried (the reference loads it and never uses it —
     * `direct_water_prep.py:73`; the capability under test is selective
-    * multi-sheet ingest). */
+    * multi-sheet ingest).
+    *
+    * Ingest goes through the `graft-xlsx` V2 source — one scan surface
+    * with the directory-of-workbooks path (executor-side parse, no
+    * driver bottleneck when `workbook` is a glob/directory). The
+    * driver-side [[Excel.readSheet]] remains as the documented
+    * convenience for a single dimension-sized workbook. */
   def run(spark: SparkSession, workbook: String, outDir: String): DataFrame = {
-    val sheets = Excel.readSheets(spark, workbook, Seq("System Info", "Violations", "Data"))
+    def sheet(name: String): DataFrame =
+      spark.read.format("graft-xlsx").option("sheet", name).load(workbook)
     val sysInfo = Excel.cast(
-      sheets("System Info").select(Schemas.systemInfo.fieldNames.map(col).toSeq: _*),
+      sheet("System Info").select(Schemas.systemInfo.fieldNames.map(col).toSeq: _*),
       Schemas.systemInfo)
-    val data = sheets("Data").withColumn("PWSID", col("PWSID").cast("long"))
+    sheet("Violations") // selective ingest: planned (header parsed), never scanned
+    val data = sheet("Data").withColumn("PWSID", col("PWSID").cast("long"))
     Quality.enforce(sysInfo, keyRangeGates) // G1 halt, direct_water_prep.py:91-101
     val out = enrich(data, prepSystemInfo(sysInfo))
     Csv.sink(out, s"$outDir/direct_water_data", singleFile = true)

@@ -203,7 +203,8 @@ object CleaningQueries {
     * address → deterministic coordinates for 2/3 of the address space;
     * 1/7 of rows carry their own coordinates which must win. Exercises
     * the conditional key assembly, canonical-form matching, broadcast
-    * lookup join, carry-if-present coalesce and the 3-way lineage tag. */
+    * lookup join, both-or-neither pair selection and the 3-way lineage
+    * tag. */
   val q64Geocode: Q = (spark, dir) => {
     val t = Tables(spark, dir)
     val base = t.customer.join(broadcast(t.nation),
@@ -345,10 +346,12 @@ object CleaningQueries {
         |    CAST((c_custkey % 100) * 3 - 150 + 0.25 AS DOUBLE) AS glon
         |  FROM base WHERE c_custkey % 3 <> 2)
         |SELECT a.c_custkey, a.lat_long_address,
-        |  COALESCE(lat0, glat) AS latitude,
-        |  COALESCE(lon0, glon) AS longitude,
+        |  CASE WHEN lat0 IS NOT NULL AND lon0 IS NOT NULL THEN lat0
+        |       WHEN glat IS NOT NULL AND glon IS NOT NULL THEN glat END AS latitude,
+        |  CASE WHEN lat0 IS NOT NULL AND lon0 IS NOT NULL THEN lon0
+        |       WHEN glat IS NOT NULL AND glon IS NOT NULL THEN glon END AS longitude,
         |  CASE WHEN lat0 IS NOT NULL AND lon0 IS NOT NULL THEN 'carried'
-        |       WHEN glat IS NOT NULL THEN 'lookup'
+        |       WHEN glat IS NOT NULL AND glon IS NOT NULL THEN 'lookup'
         |       ELSE 'missing' END AS geo_source
         |FROM addr a LEFT JOIN lookup l
         |  ON upper(trim(regexp_replace(a.lat_long_address, '\s+', ' ', 'g')))

@@ -89,8 +89,12 @@ object Excel {
   private final class BytesArchive(bytes: Array[Byte]) extends Archive {
     def open(name: String): Option[java.io.InputStream] = {
       val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
-      Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
-        .collectFirst { case e if e.getName == name => zin: java.io.InputStream }
+      // on a miss, close here — the stream's Inflater holds a native
+      // buffer that would otherwise wait for GC finalization; on a hit
+      // the caller closes (parseEntry's try/finally)
+      val hit = Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+        .exists(_.getName == name)
+      if (hit) Some(zin) else { zin.close(); None }
     }
   }
 

@@ -28,8 +28,11 @@ private[sources] object V2Files {
     val fs = path.getFileSystem(conf)
     val in = fs.open(path)
     try {
-      val len = fs.getFileStatus(path).getLen.toInt
-      val buf = new Array[Byte](len)
+      val len0 = fs.getFileStatus(path).getLen
+      require(len0 <= Int.MaxValue,
+        s"$file is $len0 bytes — too large for a whole-file read " +
+          "(non-splittable formats are read as one in-memory buffer)")
+      val buf = new Array[Byte](len0.toInt)
       in.readFully(0, buf)
       buf
     } finally in.close()

@@ -45,6 +45,16 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
     require(files.nonEmpty, s"graft-xlsx: no .xlsx files match $pathSpec")
     val header = XlsxDataSource.headerOf(
       V2Files.readBytes(files.head, conf), Option(options.get("sheet")), files.head)
+    // fail HERE with the file name, not later with an opaque analyzer
+    // error: empty headers make unreferenceable columns, duplicates make
+    // the by-name reader binding silently pick the first occurrence
+    require(!header.exists(_.isEmpty),
+      s"graft-xlsx: empty header cell(s) at position(s) " +
+        s"${header.zipWithIndex.collect { case ("", i) => i }.mkString(", ")} " +
+        s"in ${files.head}")
+    val dups = header.groupBy(identity).collect { case (h, hs) if hs.size > 1 => h }
+    require(dups.isEmpty,
+      s"graft-xlsx: duplicate header(s) ${dups.mkString("'", "', '", "'")} in ${files.head}")
     StructType(header.map(StructField(_, StringType, nullable = true)))
   }
 

@@ -81,6 +81,77 @@ object StreamingIngest {
           else { state.update(true); rows.take(1) })
   }
 
+  /** [[dedupStream]] with a sliding event-time TTL on per-key state — the
+    * unbounded-key-space variant (crawl URLs, request ids): the plain
+    * dedup's permanent memory is a state-store leak there. A key's first
+    * row passes; replays whose event time lands within `ttlMs` of the
+    * last sighting are dropped AND extend the TTL (sliding window — a key
+    * that keeps replaying never re-emits); once the watermark passes
+    * `last sighting + ttlMs` the state is expired by an event-time
+    * timeout, so a replay after that passes again, as a fresh first
+    * sighting. State is bounded by the number of keys active within one
+    * TTL window, not the key space.
+    *
+    * Rows with a null event time are dropped (they can neither be
+    * late-filtered nor expire). Within a micro-batch the earliest-by-
+    * event-time row of a new key is the one emitted (deterministic,
+    * where [[dedupStream]]'s single-batch pick is arbitrary). Output
+    * carries the input columns (the internal `__ts` column is dropped). */
+  def dedupStreamTtl(stream: DataFrame, keyCols: Seq[String], tsCol: String,
+      ttlMs: Long, watermark: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(ttlMs > 0, "ttlMs must be positive")
+    val input = stream
+      // cast BEFORE the watermark (same attribute-tag rule as
+      // sessionizeStream) and keep the whole row riding along
+      .withColumn("__ts", col(tsCol).cast("timestamp"))
+      .filter(col("__ts").isNotNull)
+      .withWatermark("__ts", watermark)
+    implicit val rowEnc = Encoders.row(input.schema)
+    implicit val lastEnc = Encoders.scalaLong
+    implicit val keyEnc = Encoders.STRING
+    val tsIdx = input.schema.fieldIndex("__ts")
+    def toUs(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val deduped = input
+      .groupByKey(r => keyCols.map { c => // same injective encoding as dedupStream
+        r.getAs[Any](c) match {
+          case null => "n"
+          case v => val s = v.toString; s"v${s.length}:$s"
+        }
+      }.mkString("|"))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: String, rows: Iterator[Row], state: GroupState[Long]) => {
+          // ms-granular timeout API: round UP so expiry is never earlier
+          // than last-sighting + TTL
+          def horizonMs(lastUs: Long): Long =
+            Math.floorDiv(lastUs + ttlMs * 1000L + 999L, 1000L)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // A key receiving data in the very batch whose watermark
+            // passed its horizon is NOT timed out by the engine (timeouts
+            // fire only for data-less keys) — without this check the
+            // stale state would suppress a replay that arrived after the
+            // TTL. Expire it here by the same horizon the timeout uses,
+            // so suppression ends exactly at the TTL either way.
+            val prior = state.getOption
+              .filter(last => horizonMs(last) > state.getCurrentWatermarkMs())
+            val rs = rows.toArray
+            val lastUs = math.max(
+              prior.getOrElse(Long.MinValue),
+              rs.iterator.map(r => toUs(r.getTimestamp(tsIdx))).max)
+            val out =
+              if (prior.isDefined) Iterator.empty
+              else Iterator.single(rs.minBy(r => toUs(r.getTimestamp(tsIdx))))
+            state.update(lastUs)
+            state.setTimeoutTimestamp(horizonMs(lastUs))
+            out
+          }
+        })
+    deduped.drop("__ts")
+  }
+
   /** A closed session: emitted when a gap exceeds the threshold or the
     * watermark passes the open session's horizon. */
   case class SessionOut(key: String, session_start: java.sql.Timestamp,
@@ -221,6 +292,39 @@ object StreamingIngest {
     Dedup.probeJoin(
       Dedup.minhashIndex(stream, idCol, textCol, n, k, bands),
       index, idCol, k, minAgree)
+  }
+
+  /** Sink-boundary dedup for [[nearDupScreenStream]] (or any append
+    * stream whose rows are unique up to `keyCols`): the screen emits one
+    * row per agreeing band — correct and stateless, but a footgun for
+    * non-idempotent sinks. This helper dedups each micro-batch on
+    * `keyCols` with a BATCH `dropDuplicates` inside `foreachBatch`
+    * before appending parquet — the streaming plan stays stateless (the
+    * dedup is per-batch, scoped to the batch's own rows, holding no
+    * cross-batch state), and since the screen computes a pair's matches
+    * from one probe row in one micro-batch, per-batch dedup IS full
+    * dedup for it. Duplicate keys keep their max `aggCol` (sig_agree
+    * ties across bands anyway — every band row carries the same full-
+    * signature rerank; the max makes the pick deterministic regardless).
+    *
+    * Exactly-once caveat: `foreachBatch` is at-least-once on failure
+    * replay (parquet append is not transactional); the checkpoint makes
+    * replays whole-batch, so downstream readers dedup replayed batches
+    * on the same keys — or point this at a transactional sink. */
+  def dedupedPairSink(matches: DataFrame, outDir: String, checkpoint: String,
+      keyCols: Seq[String], aggCol: String = "sig_agree"): DataStreamWriter[Row] = {
+    import org.apache.spark.sql.expressions.Window
+    matches.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        batch
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy(keyCols.map(col): _*)
+              .orderBy(col(aggCol).desc)))
+          .filter(col("__rk") === 1).drop("__rk")
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
   }
 
   /** Drain-what's-there runner: processes every pending file, then stops

@@ -88,6 +88,33 @@ class GeocodeSpec extends SparkSpec {
     assert((r.getDouble(0), r.getDouble(1), r.getString(2)) == ((4.5, 5.5, "lookup")))
   }
 
+  test("half-carried pair is not mixed with lookup values: both-or-neither provenance") {
+    val data = Seq(
+      (1, "1 Main St, X", Option(40.5), Option.empty[Double]), // lat only, lookup hit
+      (2, "9 Lost Rd, Y", Option.empty[Double], Option(-75.25)), // lon only, lookup miss
+      (3, "1 Main St, X", Option(40.5), Option(-75.25))) // full pair, must still win
+      .toDF("id", "addr", "latitude", "longitude")
+    val lookup = Seq(("1 Main St, X", 1.5, 2.5)).toDF("address", "latitude", "longitude")
+    val out = enrich(data, lookup, addressCol = "addr").orderBy("id")
+      .select("id", "latitude", "longitude", "geo_source")
+      .collect().map(r => (r.getInt(0), Option(r.get(1)), Option(r.get(2)), r.getString(3)))
+    assert(out.toSeq == Seq(
+      // carried lat is discarded, whole pair comes from the lookup
+      (1, Some(1.5), Some(2.5), "lookup"),
+      // lookup miss: the orphan lon is dropped, missing ⇒ null-null
+      (2, None, None, "missing"),
+      (3, Some(40.5), Some(-75.25), "carried")))
+  }
+
+  test("a lookup row resolving only one coordinate never fills anything") {
+    val data = Seq((1, "1 Main St, X")).toDF("id", "addr")
+    val lookup = Seq(("1 Main St, X", Option(4.5), Option.empty[Double]))
+      .toDF("address", "latitude", "longitude")
+    val r = enrich(data, lookup, addressCol = "addr")
+      .select("latitude", "longitude", "geo_source").head()
+    assert((Option(r.get(0)), Option(r.get(1)), r.getString(2)) == ((None, None, "missing")))
+  }
+
   test("enrich creates coordinate columns when the data has none") {
     val data = Seq((1, "1 Main St, X"), (2, "2 Oak Av, Y")).toDF("id", "addr")
     val lookup = Seq(("1 Main St, X", 1.5, 2.5)).toDF("address", "latitude", "longitude")

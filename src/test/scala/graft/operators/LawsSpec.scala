@@ -174,6 +174,82 @@ class LawsSpec extends SparkSpec {
     assert(disagree.count() == 0)
   }
 
+  test("hierarchicalEnrich law: the one-pass CASE form equals the sequential join/split/union cascade") {
+    // The equivalence argument in Relational.scala's doc comment, as a
+    // ScalaCheck property: random worlds (duplicate dim keys, partial
+    // coverage, genuinely-null and empty-string payloads), random level
+    // stacks, missOn on/off, dropUnmatched on/off — the single-pass
+    // first-hit-CASE plan must emit exactly the rows of the literal
+    // level-by-level cascade the reference runs (join, split on hit,
+    // carry misses to the next level, union at the end).
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import scala.collection.mutable.ListBuffer
+
+    val payloads = Seq("payload_name", "payload_bal")
+    val order = Seq(col("payload_bal").desc_nulls_last, col("payload_name").asc_nulls_last)
+
+    def sequentialCascade(fact: DataFrame, dim: DataFrame, levels: Seq[Seq[String]],
+        missOn: Option[String], drop: Boolean): DataFrame = {
+      val last = levels.length - 1
+      var rest = fact
+      val pieces = ListBuffer.empty[DataFrame]
+      for ((keys, i) <- levels.zipWithIndex) {
+        val lvl = Relational.keepFirst(dim, keys, order)
+          .select((keys ++ payloads).distinct.map(col): _*)
+          .withColumn("__m", lit(true))
+        val j = rest.join(lvl, keys, "left")
+        val hitC = missOn match {
+          case Some(m) if i < last || drop =>
+            col("__m") && col(m).isNotNull && col(m).cast("string") =!= ""
+          case _ => col("__m")
+        }
+        val hit = coalesce(hitC, lit(false)) // null marker = miss, not filtered-away
+        pieces += j.filter(hit)
+          .withColumn("match_level", lit(i + 1)).drop("__m")
+          .select((fact.columns.toSeq ++ payloads :+ "match_level").map(col): _*)
+        rest = j.filter(!hit).select(fact.columns.toSeq.map(col): _*)
+      }
+      if (!drop) pieces += payloads.foldLeft(rest)((d, c) =>
+          d.withColumn(c, lit(null).cast(dim.schema(c).dataType)))
+        .withColumn("match_level", lit(null).cast("int"))
+        .select((fact.columns.toSeq ++ payloads :+ "match_level").map(col): _*)
+      pieces.reduce(_ union _)
+    }
+
+    val genWorld = for {
+      factRows <- Gen.listOfN(30, Gen.zip(Gen.choose(0L, 11L), Gen.choose(0, 3)))
+      dimRows <- Gen.listOfN(18, for {
+        ck <- Gen.choose(0L, 13L) // duplicates AND uncovered fact keys
+        nk <- Gen.choose(0, 3)
+        name <- Gen.frequency(2 -> Gen.const(null: String), 1 -> Gen.const(""),
+          4 -> Gen.oneOf("n1", "n2", "n3"))
+        bal <- Gen.frequency(1 -> Gen.const(Option.empty[Double]),
+          4 -> Gen.choose(0, 99).map(d => Some(d.toDouble)))
+      } yield (ck, nk, name, bal))
+      levels <- Gen.oneOf(
+        Seq(Seq("custkey", "nkey"), Seq("custkey")),
+        Seq(Seq("custkey", "nkey"), Seq("custkey"), Seq("nkey")),
+        Seq(Seq("custkey", "nkey")),
+        Seq(Seq("custkey")))
+      missOn <- Gen.oneOf(None, Some("payload_name"))
+      drop <- Gen.oneOf(true, false)
+    } yield (factRows, dimRows, levels, missOn, drop)
+
+    val prop = Prop.forAll(genWorld) { case (factRows, dimRows, levels, missOn, drop) =>
+      val fact = factRows.zipWithIndex
+        .map { case ((ck, nk), i) => (i.toLong, ck, nk) }
+        .toDF("row_id", "custkey", "nkey")
+      val dim = dimRows.toDF("custkey", "nkey", "payload_name", "payload_bal")
+      val onePass = Relational.hierarchicalEnrich(
+        fact, dim, levels, payloads, order,
+        dropUnmatched = drop, missOn = missOn)
+      canon(onePass) == canon(sequentialCascade(fact, dim, levels, missOn, drop))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
   test("normalizeNull is idempotent and only touches sentinels") {
     val vals = Seq("x", ".", "", "nan", "NaN", null, " .", "n.", "NAN")
     val df = vals.toDF("v")

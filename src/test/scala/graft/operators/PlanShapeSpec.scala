@@ -35,6 +35,39 @@ class PlanShapeSpec extends SparkSpec {
       s"$what plan contains CartesianProduct")
   }
 
+  test("saltedLeftJoin spreads the hot key over >1 task; the plain shuffle join lands it on 1") {
+    // q63 proves output-invariance; this guards the MECHANISM: after the
+    // join's shuffle, the hot key's rows must occupy more than one
+    // partition (= task) when salted, exactly one when not. AQE and
+    // broadcast are pinned off: a broadcast join would not shuffle the
+    // fact side at all, and AQE's coalescing/skew-split would rewrite the
+    // very partitioning under test.
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    val prevBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 320/400 rows on the hot key 7 — bit-identical duplicates included
+      // (the content-hash failure mode the position salt exists for)
+      val fact = (0 until 400)
+        .map(i => (i.toLong, if (i % 5 != 4) 7L else (i % 10).toLong))
+        .toDF("row_id", "k")
+      val dim = (0 until 10).map(i => (i.toLong, s"p$i")).toDF("k", "p")
+      def hotTaskCount(df: org.apache.spark.sql.DataFrame): Int =
+        df.filter(col("k") === 7).rdd
+          .mapPartitions(it => Iterator.single(it.size))
+          .collect().count(_ > 0)
+      assert(hotTaskCount(fact.join(dim, Seq("k"), "left")) == 1,
+        "unsalted hash join should funnel the hot key to one task")
+      val spread = hotTaskCount(Relational.saltedLeftJoin(fact, dim, Seq("k"), buckets = 16))
+      assert(spread > 1, s"salting left the hot key on $spread task(s)")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("nearDupPairsLsh candidate generation is equi-join only") {
     val df = Similarity.nearDupPairsLsh(vecs, "vec_id", "embedding",
       minMicro = 400000L, planes = 3, dims = 4, tables = 6)

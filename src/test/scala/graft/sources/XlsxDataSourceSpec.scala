@@ -50,6 +50,23 @@ class XlsxDataSourceSpec extends SparkSpec {
     assert(v2.collect().map(_.toSeq).toSet == v1.collect().map(_.toSeq).toSet)
   }
 
+  test("duplicate or empty headers fail at planning with the file name, not downstream") {
+    val d = Files.createTempDirectory("graft-xlsx-badhdr")
+    XlsxGen.write(d.resolve("dup.xlsx").toString, Seq(
+      "S" -> Seq(Seq("A", "B", "A"), Seq(1, 2, 3))))
+    XlsxGen.write(d.resolve("empty.xlsx").toString, Seq(
+      "S" -> Seq(Seq("A", "", "C"), Seq(1, 2, 3))))
+    val dup = intercept[IllegalArgumentException] {
+      spark.read.format("graft-xlsx").load(d.resolve("dup.xlsx").toString)
+    }
+    assert(dup.getMessage.contains("duplicate header") && dup.getMessage.contains("dup.xlsx"))
+    assert(dup.getMessage.contains("'A'"))
+    val empty = intercept[IllegalArgumentException] {
+      spark.read.format("graft-xlsx").load(d.resolve("empty.xlsx").toString)
+    }
+    assert(empty.getMessage.contains("empty header") && empty.getMessage.contains("empty.xlsx"))
+  }
+
   test("missing sheet names the available ones; typed schema is rejected") {
     val e = intercept[Exception] {
       spark.read.format("graft-xlsx").option("sheet", "Nope").load(s"$dir/a.xlsx").collect()

@@ -255,6 +255,118 @@ class StreamingIngestSpec extends SparkSpec {
     assert(got.select("Contaminant ID").distinct().count() == 8)
   }
 
+  test("TTL dedup: replay inside the TTL suppressed, after expiry it passes as fresh") {
+    val drop = tmp("graft-ttl-drop")
+    val out = tmp("graft-ttl-out")
+    val ckpt = tmp("graft-ttl-ckpt")
+    var n = 0
+    def dropFile(lines: String*): Unit = {
+      n += 1
+      Files.write(Paths.get(s"$drop/b$n.csv"),
+        ("k,ts" +: lines).mkString("\n").getBytes)
+    }
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .option("header", "true").schema("k STRING, ts TIMESTAMP").csv(drop)
+      StreamingIngest.availableNow(
+        StreamingIngest.dedupStreamTtl(stream, Seq("k"), "ts",
+          ttlMs = 30 * 60 * 1000, watermark = "0 seconds"),
+        out, ckpt).start().awaitTermination()
+    }
+    def emitted(): Seq[(String, String)] =
+      spark.read.parquet(out).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString)).toSeq.sorted
+
+    // first sighting passes; an in-batch replay is suppressed and the
+    // earliest-by-event-time row is the survivor
+    dropFile("a,2024-01-01 10:05:00", "a,2024-01-01 10:00:00")
+    drain()
+    assert(emitted() == Seq(("a", "2024-01-01 10:00:00.0")))
+
+    // replay within the (sliding) TTL: suppressed, extends the horizon
+    dropFile("a,2024-01-01 10:20:00")
+    drain()
+    assert(emitted() == Seq(("a", "2024-01-01 10:00:00.0")))
+
+    // another key advances the watermark to 12:00 — past a's horizon
+    // (10:20 + 30min); a's state expires even though no 'a' event arrives
+    dropFile("b,2024-01-01 12:00:00")
+    drain()
+    // replay AFTER the TTL: a fresh first sighting, emitted again
+    dropFile("a,2024-01-01 12:30:00")
+    drain()
+    assert(emitted() == Seq(
+      ("a", "2024-01-01 10:00:00.0"), ("a", "2024-01-01 12:30:00.0"),
+      ("b", "2024-01-01 12:00:00.0")))
+  }
+
+  test("TTL dedup expires stale state even when the post-TTL replay and expiry share a batch") {
+    // the engine never times out a key that has data in the batch — the
+    // in-band getCurrentWatermarkMs check must expire it instead
+    val drop = tmp("graft-ttl2-drop")
+    val out = tmp("graft-ttl2-out")
+    val ckpt = tmp("graft-ttl2-ckpt")
+    var n = 0
+    def dropFile(lines: String*): Unit = {
+      n += 1
+      Files.write(Paths.get(s"$drop/b$n.csv"),
+        ("k,ts" +: lines).mkString("\n").getBytes)
+    }
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .option("header", "true").schema("k STRING, ts TIMESTAMP").csv(drop)
+      StreamingIngest.availableNow(
+        StreamingIngest.dedupStreamTtl(stream, Seq("k"), "ts",
+          ttlMs = 30 * 60 * 1000, watermark = "0 seconds"),
+        out, ckpt).start().awaitTermination()
+    }
+    dropFile("a,2024-01-01 10:00:00")
+    drain()
+    // watermark advances to 14:00 at the END of this batch...
+    dropFile("b,2024-01-01 14:00:00")
+    drain()
+    // ...so THIS batch runs with watermark 14:00 ≥ a's 10:30 horizon and
+    // carries a's replay: stale state must not suppress it
+    dropFile("a,2024-01-01 14:10:00")
+    drain()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString)).toSeq.sorted
+    assert(got == Seq(
+      ("a", "2024-01-01 10:00:00.0"), ("a", "2024-01-01 14:10:00.0"),
+      ("b", "2024-01-01 14:00:00.0")))
+  }
+
+  test("dedupedPairSink: the sink holds no duplicate pairs; the plan stays stateless") {
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val probes = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup: agrees in ALL bands
+      (102L, "one two three four five six seven nine"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text").cache()
+    val batch = Dedup.minhashProbe(probes, index, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val drop = tmp("graft-pairsink-drop")
+    val out = tmp("graft-pairsink-out")
+    val ckpt = tmp("graft-pairsink-ckpt")
+    probes.write.mode("overwrite").parquet(drop)
+    val stream = spark.readStream.schema(probes.schema).parquet(drop)
+    val screened = StreamingIngest.nearDupScreenStream(stream, index, "doc_id", "text")
+    // stateless precondition: the raw screen emits 101↔1 once per band (4×)
+    StreamingIngest.dedupedPairSink(screened, out, ckpt,
+      keyCols = Seq("probe_doc_id", "corpus_doc_id")).start().awaitTermination()
+    val sunk = spark.read.parquet(out)
+    assert(sunk.groupBy("probe_doc_id", "corpus_doc_id")
+      .count().filter(col("count") > 1).isEmpty, "sink holds duplicate pairs")
+    val got = sunk.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch)
+    assert(batch.exists(p => p._1 == 101L && p._2 == 1L && p._3 == 16L))
+    index.unpersist()
+  }
+
   test("streaming near-dup screen emits exactly the batch probe's matches") {
     import graft.operators.Dedup
     val corpus = Seq(
