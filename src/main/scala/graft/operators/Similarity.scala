@@ -97,6 +97,38 @@ object Similarity {
       .select("a_id", "b_id", "cos_micro")
   }
 
+  /** Corpus-sized plane count: the number of hyperplanes that keeps the
+    * EXPECTED bucket occupancy at `targetBucketRows` — planes =
+    * ceil(log2(n / target)). This is the knob that keeps
+    * [[nearDupPairsLsh]] linear as the corpus grows: false candidates
+    * (random pairs, cos ≈ 0) collide per table at rate 2^−planes, so
+    * their expected count is n²·tables·2^−planes ≈ n·tables·target —
+    * linear in n once planes tracks log2(n). Recall for genuine
+    * near-dups barely moves (at cos ≥ 0.99, per-plane agreement is
+    * ≈ 0.955, so even 20 planes keep a 6-table OR above 99%); recall
+    * for borderline-threshold pairs does drop — the standard LSH trade,
+    * tables buys it back. Capped at 62 (bucket ids are one long). */
+  def lshAutoPlanes(corpusRows: Long, targetBucketRows: Long = 256): Int = {
+    require(corpusRows > 0 && targetBucketRows > 0,
+      "corpusRows and targetBucketRows must be positive")
+    val p = math.ceil(
+      math.log(corpusRows.toDouble / targetBucketRows) / math.log(2.0)).toInt
+    math.min(62, math.max(1, p))
+  }
+
+  /** [[nearDupPairsLsh]] with `planes` derived from the corpus size via
+    * [[lshAutoPlanes]] — the self-tuning form for pipelines whose corpus
+    * grows release over release. Costs one `count()` job up front
+    * (trivial against the join it right-sizes; pass `knownRows` when the
+    * caller already has the count). */
+  def nearDupPairsLshAuto(vecs: DataFrame, idCol: String, vecCol: String,
+      minMicro: Long, dims: Int, tables: Int = 6,
+      targetBucketRows: Long = 256, knownRows: Option[Long] = None): DataFrame = {
+    val n = knownRows.getOrElse(vecs.count())
+    nearDupPairsLsh(vecs, idCol, vecCol, minMicro,
+      planes = lshAutoPlanes(n, targetBucketRows), dims = dims, tables = tables)
+  }
+
   /** Brute-force top-k: for each query vector, the k nearest corpus vectors
     * by cosine (self excluded), ranked (cos_micro desc, id asc). The query
     * side is broadcast; the corpus is scanned once with no shuffle until

@@ -55,8 +55,10 @@ object ScaleGen {
       (ui(18, 9).cast("double") / 100.0).as("l_tax"),
       pick(19, "A", "N", "R").as("l_returnflag"),
       pick(20, "F", "O").as("l_linestatus"),
+      // timestamp_ntz: the driver's parquet is TIMESTAMP(isAdjustedToUTC
+      // =false, MILLIS), which Spark reads as TIMESTAMP_NTZ — match it
       date_add(to_date(lit("1995-01-02")), ui(21, 2499).cast("int"))
-        .cast("timestamp").as("l_shipdate"))
+        .cast("timestamp_ntz").as("l_shipdate"))
 
   def orders(spark: SparkSession, rows: Long): DataFrame =
     spark.range(rows).select(
@@ -65,7 +67,7 @@ object ScaleGen {
       pick(32, "O", "P", "F").as("o_orderstatus"),
       round(lit(1000.0) + u(33) * 499000.0, 2).as("o_totalprice"),
       date_add(to_date(lit("1995-01-01")), ui(34, 2400).cast("int"))
-        .cast("timestamp").as("o_orderdate"),
+        .cast("timestamp_ntz").as("o_orderdate"),
       pick(35, "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
         .as("o_orderpriority"))
 
@@ -124,9 +126,12 @@ object ScaleGen {
   def events(spark: SparkSession, rows: Long, users: Long): DataFrame =
     spark.range(rows).select(
       id.as("event_id"),
-      timestamp_seconds(
-        lit(java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond) +
-          ui(41, 30L * 86400)).as("ts"),
+      // the driver's events.ts is parquet TIMESTAMP(NANOS), which the
+      // engine reads as BIGINT nanos under `nanosAsLong` — emit the same
+      // engine-visible type (a plain int64 of epoch nanos) so every
+      // events query sees an identical schema at both scale points
+      ((lit(java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond) +
+          ui(41, 30L * 86400)) * lit(1000000000L)).as("ts"),
       ui(42, users).as("user_id"),
       pick(43, "view", "click", "purchase", "signup", "error").as("event_type"),
       round(lit(-50.0) * log(lit(1.0) - u(44)), 2).as("value"),
@@ -138,6 +143,11 @@ object ScaleGen {
     val spark = GraftSession.builder("graft-scale-gen",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // match the driver testdata's physical parquet types: INT64
+    // TIMESTAMP(MILLIS), not Spark's INT96 default (INT96 has no usable
+    // min/max stats — predicate pushdown on dates would silently vanish
+    // at the sf1 point only, skewing the curvature comparison)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
     def write(name: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"wrote $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
