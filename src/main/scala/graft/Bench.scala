@@ -127,6 +127,11 @@ object Bench {
     // cold pass first (recoverable by re-running), then CPU, then the
     // headline wall-min map LAST so it always survives the capture.
     println(s"""{"metric":"total","value":$total,"unit":"sec","cpu_core_s":$totalCpu,"queries_cold":$qsCold,"errors":$errJson,"queries_cpu":$qsCpu,"sf":"$sfDir","total_wall_s":$total,"total_cpu_core_s":$totalCpu,"queries":$qs}""")
+    // Second, COMPACT line: the round driver's tail capture is
+    // bytes-bounded and round 5 still truncated the full line's leading
+    // entries (63/66 retained). This line carries only the headline
+    // wall-min map + totals — small enough to always survive whole.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpu_core_s":$totalCpu,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -60,16 +60,29 @@ object Dedup {
     * `jaccard_permille` ≥ `minPermille` (floor-scaled integer — exact
     * cross-engine).
     *
+    * SCALE CONTRACT — this is the EXACT, small/bounded-corpus tool.
+    * Exact set-intersection via a shared-shingle join inherently costs
+    * Σ_shingle df² candidate rows, and no doc-frequency cap changes that
+    * asymptote without changing the answer: below the cap the cost grows
+    * quadratically as the corpus densifies (measured: 139× CPU at 10×
+    * docs, SCALING.md), and at the cap recall shifts with corpus size
+    * because capped shingles leave candidate generation entirely. Use it
+    * when the input is already bucketed/bounded (a cluster's members, one
+    * partition's worth of candidates, an audit sample) or when EXACT
+    * Jaccard values are the point. The corpus-scale near-dup route is
+    * [[minhashLshPairs]]: banded LSH candidates are linear in the corpus
+    * at fixed banding, with recall set by (bands, rowsPerBand), not by
+    * corpus size — the curation pipeline (q57) routes through it, and
+    * PlanShapeSpec asserts that routing.
+    *
     * `maxShingleDocFreq` drops shingles occurring in more than that many
-    * documents from the JOIN INPUT only — the skew guard at corpus scale,
-    * where a boilerplate shingle shared by millions of docs would
-    * otherwise quadratically explode one join key (the per-key candidate
-    * fanout is bounded by cap²). Set sizes |A|,|B| are always computed
-    * from the uncapped shingle relation, so reported Jaccard values are
-    * never inflated by the cap; `shared` can only undercount, meaning the
-    * cap trades candidate-pair recall (a pair whose every shared shingle
-    * is boilerplate is missed) and never produces false positives at the
-    * threshold.
+    * documents from the JOIN INPUT only — the skew guard, bounding any
+    * one join key's candidate fanout to cap². Set sizes |A|,|B| are
+    * always computed from the uncapped shingle relation, so reported
+    * Jaccard values are never inflated by the cap; `shared` can only
+    * undercount, meaning the cap trades candidate-pair recall (a pair
+    * whose every shared shingle is boilerplate is missed) and never
+    * produces false positives at the threshold.
     */
   def jaccardPairs(
       df: DataFrame,
@@ -316,6 +329,21 @@ object Dedup {
     val w = Window.partitionBy("cluster_id")
     cc.withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+  }
+
+  /** Near-dup SURVIVORS: `df` with every near-dup cluster
+    * ([[nearDupClusters]]) collapsed to its canonical (min-id) member —
+    * the dedup stage a curation pipeline composes between exact dedup
+    * and split assignment. Candidate generation is [[minhashLshPairs]]'
+    * banded LSH (the corpus-scale route; see the scale contract on
+    * [[jaccardPairs]]), clustering is [[connectedComponents]], and the
+    * survivor filter is a semi join on the id — every step a hash
+    * shuffle, nothing pairwise-over-the-corpus. */
+  def nearDupSurvivors(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 16, bands: Int = 4, minAgree: Int = 8): DataFrame = {
+    val canon = nearDupClusters(df, idCol, textCol, n, k, bands, minAgree)
+      .filter(col("is_canonical")).select(idCol)
+    df.join(canon, Seq(idCol), "left_semi")
   }
 
   // ---------------------------------------------------------------- SimHash

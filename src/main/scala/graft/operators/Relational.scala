@@ -106,6 +106,65 @@ object Relational {
     salted.join(dimSalted, keys :+ "__salt", "left").drop("__salt")
   }
 
+  /** W/RANGE at scale — trailing time-window count + sum per key, the
+    * density-robust equivalent of a RANGE frame `[t − width, t]`.
+    *
+    * Spark executes a SLIDING range frame by re-aggregating the entire
+    * frame for every row (aggregate buffers cannot retract), so its cost
+    * is O(rows × rows-per-width) — quadratic in event density: 10× the
+    * events in the same time window is 100× the work (measured ≈49× CPU
+    * at 10× density, SCALING.md). This form is the classic add/remove
+    * LEDGER: each row explodes into an add entry at `t`, an evaluation
+    * entry at `t`, and a remove entry at `t + width`; one shuffle on the
+    * key, one per-partition sort by (time, phase, id), and a running sum
+    * over an UNBOUNDED PRECEDING frame — which Spark aggregates
+    * incrementally — gives every evaluation row its trailing window.
+    * O(rows log rows) regardless of density.
+    *
+    * Equivalence with the RANGE frame (the q67 oracle has DuckDB compute
+    * the actual RANGE window and the results hash-match): phase order
+    * add(0) < eval(1) < remove(2) within a timestamp means an evaluation
+    * at time t has seen every add with u ≤ t — including same-timestamp
+    * PEERS, which RANGE frames include regardless of row order — and no
+    * remove with u + width ≥ t (a row at exactly t − width is still in
+    * frame, so its remove lands strictly after t). Pass `valueCol`
+    * pre-cast to DECIMAL: adds and subtracts then round-trip exactly and
+    * the ledger sum is bit-identical to direct frame aggregation; null
+    * values contribute no delta, matching `sum`'s null-skipping.
+    *
+    * @param timeCol long event time (any unit, consistent with `width`)
+    * @param idCol   per-key tiebreak making the ledger order total
+    */
+  def trailingWindowAgg(
+      df: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      idCol: String,
+      valueCol: Column,
+      width: Long,
+      nOut: String = "n_trail",
+      sumOut: String = "sum_trail"): DataFrame = {
+    require(width > 0, "width must be positive")
+    val ledger = df
+      .withColumn("__e", explode(array(
+        struct(col(timeCol).as("eff"), lit(0).as("phase")),
+        struct(col(timeCol).as("eff"), lit(1).as("phase")),
+        struct((col(timeCol) + width).as("eff"), lit(2).as("phase")))))
+      .withColumn("__dn",
+        when(col("__e.phase") === 0, 1L).when(col("__e.phase") === 2, -1L))
+      .withColumn("__dv",
+        when(col("__e.phase") === 0, valueCol)
+          .when(col("__e.phase") === 2, -valueCol))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__e.eff"), col("__e.phase"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ledger
+      .withColumn(nOut, sum(col("__dn")).over(w))
+      .withColumn(sumOut, sum(col("__dv")).over(w))
+      .filter(col("__e.phase") === 1)
+      .drop("__e", "__dn", "__dv")
+  }
+
   /** J3/J4 — hierarchical enrichment cascade (the reference's signature
     * operator, `/root/reference/down/down_water_prep.py:428-546` and the
     * 2-level variant `direct/direct_water_prep.py:134-166`).

@@ -71,10 +71,12 @@ object Similarity {
     *
     * Tuning: per-table match prob for angle θ is (1−θ/π)^planes; recall is
     * 1−(1−p)^tables. `planes` bounds per-bucket size (n/2^planes expected
-    * — raise it as the corpus grows), `tables` buys recall back at the
-    * cost of `tables`× candidate generation. A pair split across buckets
-    * in every table is missed; every emitted pair carries its exact
-    * cosine. */
+    * — it MUST grow with the corpus or false candidates go quadratic;
+    * prefer [[nearDupPairsLshAuto]], which derives it from the corpus
+    * size, unless the caller has a measured reason to pin it), `tables`
+    * buys recall back at the cost of `tables`× candidate generation. A
+    * pair split across buckets in every table is missed; every emitted
+    * pair carries its exact cosine. */
   def nearDupPairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
       minMicro: Long, planes: Int, dims: Int, tables: Int = 1): DataFrame = {
     val n = withNorm(vecs, idCol, vecCol)
@@ -99,34 +101,45 @@ object Similarity {
 
   /** Corpus-sized plane count: the number of hyperplanes that keeps the
     * EXPECTED bucket occupancy at `targetBucketRows` — planes =
-    * ceil(log2(n / target)). This is the knob that keeps
-    * [[nearDupPairsLsh]] linear as the corpus grows: false candidates
-    * (random pairs, cos ≈ 0) collide per table at rate 2^−planes, so
-    * their expected count is n²·tables·2^−planes ≈ n·tables·target —
-    * linear in n once planes tracks log2(n). Recall for genuine
-    * near-dups barely moves (at cos ≥ 0.99, per-plane agreement is
-    * ≈ 0.955, so even 20 planes keep a 6-table OR above 99%); recall
-    * for borderline-threshold pairs does drop — the standard LSH trade,
-    * tables buys it back. Capped at 62 (bucket ids are one long). */
+    * ceil(log2(ceil(n / target))), in exact integer arithmetic (a float
+    * log can land an ulp above a whole number on power-of-two inputs and
+    * overshoot by one plane — doubling the bucket count — and the DuckDB
+    * oracle recomputes this formula, so both engines must round
+    * identically). This is the knob that keeps [[nearDupPairsLsh]]
+    * linear as the corpus grows: false candidates (random pairs,
+    * cos ≈ 0) collide per table at rate 2^−planes, so their expected
+    * count is n²·tables·2^−planes ≈ n·tables·target — linear in n once
+    * planes tracks log2(n). Recall for high-cosine near-dups degrades
+    * gently but measurably: at cos ≥ 0.99 per-plane agreement is
+    * ≈ 0.955, so 20 planes leave a 6-table OR at ≈ 95% recall (the
+    * above-99% regime only holds near cos 0.999); borderline-threshold
+    * pairs drop faster — the standard LSH trade, `tables` buys it back.
+    * Capped at 62 (bucket ids are one long). */
   def lshAutoPlanes(corpusRows: Long, targetBucketRows: Long = 256): Int = {
     require(corpusRows > 0 && targetBucketRows > 0,
       "corpusRows and targetBucketRows must be positive")
-    val p = math.ceil(
-      math.log(corpusRows.toDouble / targetBucketRows) / math.log(2.0)).toInt
+    // ceil(n / target), then ceil(log2(·)) as the bit length of (buckets−1)
+    val buckets = (corpusRows + targetBucketRows - 1) / targetBucketRows
+    val p = 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
     math.min(62, math.max(1, p))
   }
 
   /** [[nearDupPairsLsh]] with `planes` derived from the corpus size via
-    * [[lshAutoPlanes]] — the self-tuning form for pipelines whose corpus
-    * grows release over release. Costs one `count()` job up front
-    * (trivial against the join it right-sizes; pass `knownRows` when the
-    * caller already has the count). */
+    * [[lshAutoPlanes]] — the DEFAULT near-dup path: a pinned plane count
+    * is only right while the corpus stays near the size it was tuned
+    * for, and a corpus that grows past it goes quadratic in false
+    * candidates (measured: 381× CPU at 10× data with planes pinned at
+    * 3). Costs one `count()` job up front (trivial against the join it
+    * right-sizes; pass `knownRows` when the caller already has the
+    * count). An empty corpus returns the empty pair set rather than
+    * bubbling the positivity require out of [[lshAutoPlanes]]. */
   def nearDupPairsLshAuto(vecs: DataFrame, idCol: String, vecCol: String,
       minMicro: Long, dims: Int, tables: Int = 6,
       targetBucketRows: Long = 256, knownRows: Option[Long] = None): DataFrame = {
     val n = knownRows.getOrElse(vecs.count())
+    val planes = if (n <= 0) 1 else lshAutoPlanes(n, targetBucketRows)
     nearDupPairsLsh(vecs, idCol, vecCol, minMicro,
-      planes = lshAutoPlanes(n, targetBucketRows), dims = dims, tables = tables)
+      planes = planes, dims = dims, tables = tables)
   }
 
   /** Brute-force top-k: for each query vector, the k nearest corpus vectors

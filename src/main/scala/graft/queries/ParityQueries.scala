@@ -400,6 +400,27 @@ object ParityQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** W/RANGE at scale — the SAME 7-day rolling aggregation as q48,
+    * computed by the add/remove ledger
+    * ([[graft.operators.Relational.trailingWindowAgg]]) instead of a
+    * sliding RANGE frame. The oracle is IDENTICAL to q48's (DuckDB
+    * computes the real RANGE window), so the hash match is a
+    * cross-engine proof that the linear ledger plan computes exactly
+    * the quadratic frame's semantics — peers, boundary inclusion,
+    * decimal sums and all. Route density-growing workloads here; q48
+    * remains the frame-semantics demonstrator (its RANGE cost contract
+    * is documented in SCALING.md). */
+  val q67RollingLedger: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val e = t.events.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    trailingWindowAgg(e, Seq("user_id"), "ts_us", "event_id",
+      col("value").cast("decimal(18,2)"), width = 604800000000L,
+      nOut = "n_7d", sumOut = "value_7d")
+      .withColumn("value_7d", col("value_7d").cast("double"))
+      .select("user_id", "event_id", "ts", "n_7d", "value_7d")
+      .orderBy("user_id", "event_id")
+  }
+
   /** A+ — HLL sketch distinct vs exact (SURVEY §2.5 extension): the
     * constant-memory cardinality path for 100 TB group-bys where exact
     * distinct would shuffle every key. The sketch value itself is
@@ -412,11 +433,22 @@ object ParityQueries {
     * sketch hash-fails the round instead of passing a rows-only check. */
   val q49ApproxDistinct: Q = (spark, dir) => {
     val t = Tables(spark, dir)
+    // Two-level distinct instead of countDistinct-next-to-other-aggs: the
+    // single-level form Expands every input row (×2) before the wide
+    // shuffle — measured 82× CPU at 10× data (SCALING.md). Here the first
+    // groupBy's map-side partials collapse the scan to at most
+    // |flags|·|partkeys| rows before the only wide shuffle, and the
+    // second aggregation is over that bounded key-pair relation: n is the
+    // sum of group counts, exact_parts a plain count, and the HLL sketch
+    // is IDENTICAL on deduped input (register updates are idempotent per
+    // value), so the oracle hash is unchanged.
     t.lineitem
+      .groupBy("l_returnflag", "l_partkey")
+      .agg(count(lit(1)).as("__rows"))
       .groupBy("l_returnflag")
       .agg(
-        count(lit(1)).as("n"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
+        sum("__rows").as("n"),
+        count(lit(1)).as("exact_parts"),
         approx_count_distinct(col("l_partkey"), 0.02).as("__approx"))
       .select(col("l_returnflag"), col("n"), col("exact_parts"),
         (abs(col("__approx") - col("exact_parts")).cast("double")
@@ -453,6 +485,7 @@ object ParityQueries {
     "q45_pivot" -> q45Pivot,
     "q46_percentiles" -> q46Percentiles,
     "q48_range_frame" -> q48RangeFrame,
+    "q67_rolling_ledger" -> q67RollingLedger,
     "q49_approx_distinct" -> q49ApproxDistinct,
     "q02_agg_pricing" -> q02AggPricing,
     "q03_region_revenue" -> q03RegionRevenue,
@@ -473,6 +506,19 @@ object ParityQueries {
     "q18_semi_join" -> q18SemiJoin,
     "q19_event_window" -> q19EventWindow,
     "q20_asof_join" -> q20AsOfJoin)
+
+  /** Shared by q48 (RANGE-frame plan) and q67 (ledger plan): DuckDB
+    * computes the genuine RANGE window, both Spark plans must hash-match
+    * it — the cross-engine equivalence proof for the ledger rewrite. */
+  private val rolling7dOracleSql: String =
+    """SELECT user_id, event_id, ts, n_7d, value_7d FROM (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    COUNT(*) OVER w AS n_7d,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_7d
+      |  FROM (SELECT *, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW))
+      |ORDER BY user_id, event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q01_pruned_scan" ->
@@ -631,15 +677,10 @@ object ParityQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
-    "q48_range_frame" ->
-      """SELECT user_id, event_id, ts, n_7d, value_7d FROM (
-        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-        |    COUNT(*) OVER w AS n_7d,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_7d
-        |  FROM (SELECT *, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
-        |               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW))
-        |ORDER BY user_id, event_id""".stripMargin,
+    "q48_range_frame" -> rolling7dOracleSql,
+    // q67 computes the SAME semantics through the ledger plan — one
+    // oracle, two Spark plans, both must hash-match it
+    "q67_rolling_ledger" -> rolling7dOracleSql,
     "q63_salted_join" ->
       """WITH fact AS (
         |  SELECT l_orderkey, l_linenumber,

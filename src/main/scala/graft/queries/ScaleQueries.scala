@@ -62,15 +62,20 @@ object ScaleQueries {
       .orderBy("probe_doc_id", "corpus_doc_id")
   }
 
-  /** SS1 — embedding near-dup pairs, cosine ≥ 0.4, multi-table LSH:
+  /** SS1 — embedding near-dup pairs, cosine ≥ 0.4, multi-table LSH with
+    * CORPUS-DERIVED plane counts ([[Similarity.nearDupPairsLshAuto]]):
     * exact cosine runs only on candidate pairs sharing a hyperplane-sign
-    * bucket in any of 6 independent 3-plane tables (equi-join on
-    * (table, bucket) — no nested-loop all-pairs anywhere in the plan;
-    * expected recall ≈ 0.8 at the 0.4 threshold). */
+    * bucket in any of 6 independent plane families (equi-join on
+    * (table, bucket) — no nested-loop all-pairs anywhere in the plan).
+    * The plane count is ceil(log2(ceil(n/256))) so expected bucket
+    * occupancy stays at 256 rows at ANY corpus size — a pinned plane
+    * count measured 381× CPU at 10× data (SCALING.md); the oracle
+    * re-derives the same count from count(*) so both engines always
+    * bucket identically. */
   val q29EmbeddingNearDup: Q = (spark, dir) => {
     val t = Tables(spark, dir)
-    Similarity.nearDupPairsLsh(t.embeddings, "vec_id", "embedding",
-      minMicro = 400000L, planes = 3, dims = 64, tables = 6)
+    Similarity.nearDupPairsLshAuto(t.embeddings, "vec_id", "embedding",
+      minMicro = 400000L, dims = 64, tables = 6)
       .orderBy("a_id", "b_id")
   }
 
@@ -230,11 +235,36 @@ object ScaleQueries {
 
   private val bucketSql: String = bucketSqlOf(Similarity.hyperplaneSigns(6, 64))
 
-  /** Multi-table (tbl, bucket) keys matching q29's 6×3-plane families. */
+  /** Corpus-derived plane count in DuckDB integer arithmetic, matching
+    * [[Similarity.lshAutoPlanes]] exactly: ceil(log2(ceil(cnt/256))) =
+    * length(bin(ceil(cnt/256) − 1)), clamped to [1, 62] (bin(0) = '0'
+    * already has length 1, the clamp floor). Derived from the RAW
+    * embeddings count — [[Similarity.nearDupPairsLshAuto]] counts before
+    * the zero-norm filter. */
+  private val planesCte =
+    "np AS (SELECT LEAST(62, GREATEST(1, length(bin((count(*) + 255) // 256 - 1)))) AS planes FROM embeddings)"
+
+  /** Upper bound on the derived plane count the oracle can replicate:
+    * 12 planes cover corpora to 256·2^12 ≈ 1.05M vectors — far past any
+    * oracle-checked SF. Plane p's signs depend only on (table, p, dim),
+    * never on the family's total plane count, so the first `planes`
+    * terms of a 12-plane family ARE the `planes`-plane family. */
+  private val MaxAutoPlanes = 12
+
+  /** Multi-table (tbl, bucket) keys matching q29's 6 auto-sized plane
+    * families: every plane term is guarded by `p < planes` so the bucket
+    * id uses exactly the derived plane count. */
   private val multiKeysCte: String = {
     val tables = (0 until 6).map { t =>
-      val b = bucketSqlOf(Similarity.hyperplaneSigns(3, 64, t))
-      s"SELECT vec_id, $t AS tbl, CAST($b AS BIGINT) AS bucket FROM e"
+      val b = Similarity.hyperplaneSigns(MaxAutoPlanes, 64, t).zipWithIndex.map {
+        case (s, p) =>
+          val arr = s.mkString("[", ", ", "]")
+          val proj =
+            s"""list_reduce(list_transform(generate_series(1, 64),
+               |  i -> CAST(embedding[i] AS DOUBLE) * ($arr)[i]), (x, y) -> x + y)""".stripMargin
+          s"(CASE WHEN $p < planes AND $proj > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, CAST($b AS BIGINT) AS bucket FROM e, np"
     }.mkString("\n  UNION ALL ")
     s"mk AS (\n  $tables)"
   }
@@ -361,6 +391,7 @@ object ScaleQueries {
          |FROM cc ORDER BY doc_id""".stripMargin,
     "q29_embedding_neardup" ->
       s"""WITH $normedCte,
+         |$planesCte,
          |$multiKeysCte,
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id

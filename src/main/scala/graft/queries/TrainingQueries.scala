@@ -83,13 +83,18 @@ object TrainingQueries {
   }
 
   /** TD7 — the end-to-end curation pipeline a corpus user actually
-    * runs, composed from the engine's layers in one declarative plan:
+    * runs, composed from the engine's layers:
     * quality gate ([[graft.functions.TextAnalysis.qualityKeep]]) →
     * repetition gate ([[TrainingData.repetitionFacets]]) → exact-dedup
-    * canonical survivors only ([[graft.operators.Dedup.exactDedup]]) →
-    * leakage-resistant split assignment ([[TrainingData.assignSplit]]).
-    * Everything fuses into scans + one window on the content hash —
-    * no joins, no collects. */
+    * canonical survivors ([[graft.operators.Dedup.exactDedup]]) →
+    * NEAR-dup survivors via banded MinHash-LSH clustering
+    * ([[graft.operators.Dedup.nearDupSurvivors]]) → leakage-resistant
+    * split assignment ([[TrainingData.assignSplit]]). The gates and
+    * exact dedup fuse into scans + one window on the content hash; the
+    * near-dup stage deliberately routes through q27's banded LSH — NOT
+    * the exact-Jaccard join, whose cost is quadratic in shingle doc
+    * frequency (scale contract on [[graft.operators.Dedup.jaccardPairs]];
+    * PlanShapeSpec asserts this routing stays equi-join-shaped). */
   val q57CuratePipeline: Q = (spark, dir) => {
     val t = Tables(spark, dir)
     val facets = TrainingData.repetitionFacets(col("text"))
@@ -99,7 +104,8 @@ object TrainingQueries {
       .filter(!(col("top_token_permille") >= 280 || col("dup_bigram_permille") >= 350))
     val deduped = graft.operators.Dedup.exactDedup(gated, "doc_id", "text")
       .filter(!col("is_dup"))
-    TrainingData.assignSplit(deduped, "source")
+    val survivors = graft.operators.Dedup.nearDupSurvivors(deduped, "doc_id", "text")
+    TrainingData.assignSplit(survivors, "source")
       .select("doc_id", "lang", "source", "split")
       .orderBy("doc_id")
   }
@@ -199,8 +205,21 @@ object TrainingQueries {
         |       // count(*) AS BIGINT) AS rarity_score
         |FROM tok LEFT JOIN vocab USING (t)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q57_curate_pipeline" ->
-      s"""WITH t AS (
+    "q57_curate_pipeline" -> {
+      // MinHash(16) + LSH(4×4) construction identical to the q27/q40
+      // oracles: one md5-base per 3-shingle, affine family minimums,
+      // banded keys, candidate join, agreement ≥ 8, then connected
+      // components (recursive CTE) over the exact-dedup survivors
+      val mins = (0 until 16)
+        .map(i => s"min(${Hashing.h31AffineSql(i, "base")}) AS mh$i").mkString(", ")
+      val bands = (0 until 4).map { b =>
+        val parts = (s"'$b'" +: (0 until 4).map(i => s"CAST(mh${b * 4 + i} AS VARCHAR)"))
+          .mkString(", ")
+        s"SELECT doc_id, $b AS band, ${h60(s"concat_ws(',', $parts)")} AS band_key FROM sig"
+      }.mkString("\n  UNION ALL ")
+      val agree = (0 until 16)
+        .map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH RECURSIVE t AS (
          |  SELECT *, regexp_split_to_array(trim(text), '\\s+') AS toks
          |  FROM documents),
          |q AS (
@@ -224,12 +243,42 @@ object TrainingQueries {
          |          / CAST(len(toks) - 1 AS DOUBLE)) END) >= 350)),
          |d AS (
          |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
-         |  FROM r)
+         |  FROM r),
+         |s AS (SELECT * FROM d WHERE doc_id = canonical),
+         |shn AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+         |    THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |           i -> array_to_string(toks[i:i+2], ' ')))
+         |    ELSE [] END) AS shingle
+         |  FROM s),
+         |shb AS (SELECT doc_id, ${h60("shingle")} AS base FROM shn),
+         |sig AS (SELECT doc_id, $mins FROM shb GROUP BY doc_id),
+         |keys AS (
+         |  $bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+         |  FROM keys a JOIN keys b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |prs AS (
+         |  SELECT a_doc_id, b_doc_id FROM (
+         |    SELECT a_doc_id, b_doc_id, $agree AS sig_agree
+         |    FROM cand JOIN sig x ON a_doc_id = x.doc_id JOIN sig y ON b_doc_id = y.doc_id)
+         |  WHERE sig_agree >= 8),
+         |sym AS (
+         |  SELECT a_doc_id AS src, b_doc_id AS dst FROM prs
+         |  UNION SELECT b_doc_id, a_doc_id FROM prs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM s
+         |  UNION
+         |  SELECT rr.a, sy.dst FROM reach rr JOIN sym sy ON rr.b = sy.src),
+         |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
          |SELECT doc_id, lang, source,
          |  CASE WHEN ${h60("'split:v1:' || source")} % 1000 < 800 THEN 'train'
          |       WHEN ${h60("'split:v1:' || source")} % 1000 < 900 THEN 'val'
          |       ELSE 'test' END AS split
-         |FROM d WHERE doc_id = canonical ORDER BY doc_id""".stripMargin,
+         |FROM s JOIN cc USING (doc_id) WHERE doc_id = cluster_id
+         |ORDER BY doc_id""".stripMargin
+    },
     "q54_sequence_pack" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -26,8 +26,14 @@ import org.apache.spark.sql.functions._
   * 10×, dims stay broadcast-sized — and it keeps every dim join's match
   * rate identical across the two measured points.
   *
-  * Usage: sbt "Test/runMain graft.ScaleGen [outDir] [srcDimDir]"
-  * (defaults: /root/repo/scaledata/sf1, /root/testdata/sf0.1)
+  * Usage: sbt "Test/runMain graft.ScaleGen [outDir] [srcDimDir] [factor]"
+  * (defaults: /root/repo/scaledata/sf1, /root/testdata/sf0.1, 1.0).
+  * `factor` scales the sf1 fact row counts: 0.1 regenerates the sf0.1
+  * point THROUGH THIS GENERATOR, so both ends of the curvature pair
+  * share parquet encoding (encoder, page layout, value distributions)
+  * and the measured ratio isolates data volume — the driver-written
+  * sf0.1 dir differs enough in encoding to loosen the linear floor to
+  * ~11–15× (VERDICT r5).
   */
 object ScaleGen {
 
@@ -140,23 +146,29 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/scaledata/sf1")
     val srcDims = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 2) args(2).toDouble else 1.0
+    require(factor > 0, "factor must be positive")
+    def n(sf1Rows: Long): Long = math.max(1L, math.round(sf1Rows * factor))
     val spark = GraftSession.builder("graft-scale-gen",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // match the driver testdata's physical parquet types: INT64
-    // TIMESTAMP(MILLIS), not Spark's INT96 default (INT96 has no usable
-    // min/max stats — predicate pushdown on dates would silently vanish
-    // at the sf1 point only, skewing the curvature comparison)
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    // All timestamp columns here are TIMESTAMP_NTZ, which Spark 4.1
+    // always writes as parquet INT64 TIMESTAMP(MICROS, utc=false)
+    // regardless of spark.sql.parquet.outputTimestampType — no config
+    // needed. The driver's testdata uses MILLIS, but the engine-visible
+    // schema (TIMESTAMP_NTZ) and the INT64 min/max stats feeding
+    // predicate pushdown are identical, which is what the curvature
+    // comparison needs; and since BOTH scale points come from this
+    // generator, the two measured ends share encoding exactly.
     def write(name: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"wrote $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
-    write("lineitem", lineitem(spark, 6000000L, 1500000L))
-    write("orders", orders(spark, 1500000L))
-    write("documents", documents(spark, 50000L))
-    write("embeddings", embeddings(spark, 20000L))
-    write("events", events(spark, 1000000L, 15000L))
+    write("lineitem", lineitem(spark, n(6000000L), n(1500000L)))
+    write("orders", orders(spark, n(1500000L)))
+    write("documents", documents(spark, n(50000L)))
+    write("embeddings", embeddings(spark, n(20000L)))
+    write("events", events(spark, n(1000000L), 15000L))
     for (dim <- Seq("region", "nation", "customer", "supplier", "part"))
       write(dim, spark.read.parquet(s"$srcDims/$dim.parquet"))
     spark.stop()

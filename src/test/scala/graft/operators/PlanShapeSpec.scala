@@ -146,6 +146,74 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("lshAutoPlanes: boundaries exact in integer arithmetic") {
+    // corpus at or under the target → 1 plane (bucket count floor)
+    assert(Similarity.lshAutoPlanes(1L) == 1)
+    assert(Similarity.lshAutoPlanes(256L) == 1)
+    // one past a bucket boundary bumps the count; exact powers of two
+    // must NOT overshoot (the float-log failure mode this formula avoids)
+    assert(Similarity.lshAutoPlanes(512L) == 1)   // ceil(512/256)=2 → 1 plane
+    assert(Similarity.lshAutoPlanes(513L) == 2)
+    assert(Similarity.lshAutoPlanes(2000L) == 3)  // the sf0.1 embeddings point
+    assert(Similarity.lshAutoPlanes(2048L) == 3)
+    assert(Similarity.lshAutoPlanes(20000L) == 7) // the sf1 point
+    // cap at 62: bucket ids are one long
+    assert(Similarity.lshAutoPlanes(Long.MaxValue, 1L) == 62)
+    // custom target
+    assert(Similarity.lshAutoPlanes(1000L, 100L) == 4) // ceil(1000/100)=10 → 4
+    // positivity requires
+    intercept[IllegalArgumentException](Similarity.lshAutoPlanes(0L))
+    intercept[IllegalArgumentException](Similarity.lshAutoPlanes(-5L))
+    intercept[IllegalArgumentException](Similarity.lshAutoPlanes(10L, 0L))
+  }
+
+  test("nearDupPairsLshAuto: knownRows sizing, empty corpus, equi-join shape") {
+    // auto with knownRows must equal the pinned form at the derived count
+    val auto = Similarity.nearDupPairsLshAuto(vecs, "vec_id", "embedding",
+      minMicro = 100000L, dims = 4, tables = 6, targetBucketRows = 2,
+      knownRows = Some(4L))
+    val pinned = Similarity.nearDupPairsLsh(vecs, "vec_id", "embedding",
+      minMicro = 100000L, planes = Similarity.lshAutoPlanes(4L, 2L),
+      dims = 4, tables = 6)
+    assert(auto.collect().map(_.toSeq).toSet == pinned.collect().map(_.toSeq).toSet)
+    assertNoQuadraticJoin(physicalPlan(auto), "nearDupPairsLshAuto")
+    assert(auto.count() >= 1) // vectors 1 and 2 are near-identical
+    // empty corpus (knownRows = Some(0) and a genuinely empty frame):
+    // empty result, no positivity require bubbling out of lshAutoPlanes
+    val empty = vecs.filter(col("vec_id") < 0)
+    assert(Similarity.nearDupPairsLshAuto(empty, "vec_id", "embedding",
+      minMicro = 0L, dims = 4, knownRows = Some(0L)).count() == 0)
+    assert(Similarity.nearDupPairsLshAuto(empty, "vec_id", "embedding",
+      minMicro = 0L, dims = 4).count() == 0)
+  }
+
+  test("curation near-dup stage routes through banded LSH, not the exact-Jaccard join") {
+    // q57's near-dup stage is Dedup.nearDupSurvivors, whose candidate
+    // generation is minhashLshPairs' banded equi-join (linear in the
+    // corpus at fixed banding) — NOT jaccardPairs' shared-shingle join
+    // (quadratic in shingle doc frequency; scale contract on
+    // jaccardPairs). The survivors themselves can't expose the pair
+    // plan (connected components checkpoints per round), so assert the
+    // routing on the pair generator the stage composes, plus the
+    // survivor output itself.
+    val pairPlan = physicalPlan(Dedup.minhashLshPairs(docs, "doc_id", "text"))
+    assertNoQuadraticJoin(pairPlan, "curation pair generation")
+    assert(pairPlan.contains("band_key"),
+      "curation candidate generation must join on LSH band keys")
+    assert(!pairPlan.contains("__sh"),
+      "curation candidate generation must not use the raw-shingle self-join")
+    // signature-identical copy → guaranteed candidate pair → one cluster
+    // with the min id surviving; doc 3 is its own singleton cluster
+    val ndDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different text body here now")).toDF("doc_id", "text")
+    val survivors = Dedup.nearDupSurvivors(ndDocs, "doc_id", "text")
+    assertNoQuadraticJoin(physicalPlan(survivors), "nearDupSurvivors")
+    assert(survivors.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 3L)))
+  }
+
   test("multi-table LSH recall beats single-table at equal cosine") {
     val single = Similarity.nearDupPairsLsh(vecs, "vec_id", "embedding",
       minMicro = 100000L, planes = 3, dims = 4, tables = 1).count()

@@ -110,4 +110,35 @@ class RelationalSpec extends SparkSpec {
 
     assertSameRows(fast, slow)
   }
+
+  test("trailingWindowAgg (add/remove ledger) equals the sliding RANGE frame exactly") {
+    // adversarial fixture: duplicate timestamps (peers), a row landing
+    // EXACTLY width before another (boundary must stay inclusive), a
+    // null value (counts in n, skipped by sum), and a second key
+    val rows = Seq(
+      ("u1", 1L, 0L, Some(10.0)),
+      ("u1", 2L, 0L, Some(5.0)),    // peer at t=0
+      ("u1", 3L, 40L, None),        // null value
+      ("u1", 4L, 100L, Some(2.5)),  // exactly width after t=0
+      ("u1", 5L, 101L, Some(1.0)),  // the t=0 rows just expired
+      ("u1", 6L, 240L, Some(7.0)),
+      ("u2", 7L, 50L, Some(3.0)),
+      ("u2", 8L, 150L, Some(4.0)))  // exactly width after t=50
+      .toDF("user_id", "event_id", "t", "v0")
+      .withColumn("v", $"v0".cast("decimal(18,2)")).drop("v0")
+    val ledger = trailingWindowAgg(rows, Seq("user_id"), "t", "event_id",
+      $"v", width = 100L).select("user_id", "event_id", "n_trail", "sum_trail")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"t").rangeBetween(-100L, 0L)
+    val frame = rows
+      .withColumn("n_trail", count(lit(1)).over(w))
+      .withColumn("sum_trail", sum($"v").over(w))
+      .select("user_id", "event_id", "n_trail", "sum_trail")
+    assertSameRows(ledger, frame)
+    // boundary inclusion: event 4's frame [0, 100] holds both t=0 peers
+    val e4 = ledger.filter($"event_id" === 4).collect().head
+    assert(e4.getLong(2) == 4 && e4.getDecimal(3).doubleValue() == 17.5)
+    // one tick later the peers are gone
+    assert(ledger.filter($"event_id" === 5).collect().head.getLong(2) == 3)
+  }
 }
