@@ -368,11 +368,30 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: block on equality of any 15-bit signature
-    * chunk (4 blocking keys per doc — random pairs collide with prob
-    * ≈ 4·2^−15, so candidates stay linear), then exact Hamming distance
-    * ≤ `maxHamming` via bit_count(xor). */
+    * chunk (4 blocking keys per doc), then exact Hamming distance
+    * ≤ `maxHamming` via bit_count(xor).
+    *
+    * SCALE CONTRACT — chunk-key collisions are 4·2^−15 only when the
+    * corpus's signatures are high-entropy. On a low-entropy corpus
+    * (template-heavy text, small vocabulary) many documents share chunk
+    * values, the per-key document frequency grows LINEARLY with the
+    * corpus, and candidate pairs grow quadratically (measured: chunk-key
+    * max df 279 → 2805 → 8344 at 1×/10×/30× docs; candidates 0.3M →
+    * 28.7M → 257M; SCALING.md). `maxChunkDocFreq` is the skew guard —
+    * blocking keys in more than that many docs leave candidate
+    * generation, bounding any one key's fanout to cap² and the total to
+    * keys·cap²/2. Recall contract: a pair is missed only when EVERY
+    * chunk it agrees on is over-cap; exact Hamming still reranks every
+    * surviving candidate, so there are no false positives. Note also
+    * that on such corpora the OUTPUT relation itself can be Θ(n²)
+    * (at 10× docs, 8.9M pairs genuinely sit within Hamming 10 — the
+    * threshold saturates against low signature entropy): the cap bounds
+    * what this operator emits, and corpus-scale routing belongs to
+    * [[minhashLshPairs]], whose banded keys draw on full shingle
+    * entropy. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 10, chunkBits: Int = 15, bits: Int = 60): DataFrame = {
+      maxHamming: Int = 10, chunkBits: Int = 15, bits: Int = 60,
+      maxChunkDocFreq: Option[Int] = None): DataFrame = {
     // validate at THIS boundary, not in the nested simhash call: the
     // signature still advertises `bits` but only the portable 60-bit
     // construction exists since the native-expression rewrite
@@ -384,8 +403,17 @@ object Dedup {
       struct(lit(j).as("chunk_id"),
         shiftright(col("simhash"), j * chunkBits)
           .bitwiseAND(lit((1L << chunkBits) - 1)).as("chunk")))
-    val keyed = sigs.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("c"))
+    val keyedAll = sigs.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("c"))
       .select(col(idCol), col("simhash"), col("c.chunk_id").as("chunk_id"), col("c.chunk").as("chunk"))
+    // same one-exchange window cap as jaccardPairs: the self-join below
+    // reuses the (chunk_id, chunk) shuffle this window creates
+    val keyed = maxChunkDocFreq match {
+      case Some(cap) =>
+        keyedAll.withColumn("__df",
+            count(lit(1)).over(Window.partitionBy("chunk_id", "chunk")))
+          .filter(col("__df") <= cap).drop("__df")
+      case None => keyedAll
+    }
     keyed.toDF(s"a_$idCol", "a_sim", "chunk_id", "chunk")
       .join(keyed.toDF(s"b_$idCol", "b_sim", "chunk_id", "chunk"), Seq("chunk_id", "chunk"))
       .filter(col(s"a_$idCol") < col(s"b_$idCol"))

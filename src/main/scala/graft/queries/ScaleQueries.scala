@@ -42,10 +42,16 @@ object ScaleQueries {
   }
 
   /** DD4 — SimHash(60-bit) near-dup pairs, 15-bit-chunk blocking,
-    * Hamming ≤ 10. */
+    * Hamming ≤ 10, chunk-key doc-frequency cap 200 (the skew guard: on
+    * low-entropy corpora chunk-key df grows with the corpus and
+    * candidates quadratically — measured 10.5× CPU at 3× docs uncapped;
+    * see the scale contract on [[Dedup.simhashPairs]]). The cap is a
+    * no-op at the verify SF (max chunk df 27 at sf0.01) and bounds
+    * candidate generation at every larger one. */
   val q28Simhash: Q = (spark, dir) => {
     val t = Tables(spark, dir)
-    Dedup.simhashPairs(t.documents, "doc_id", "text", maxHamming = 10)
+    Dedup.simhashPairs(t.documents, "doc_id", "text", maxHamming = 10,
+      maxChunkDocFreq = Some(200))
       .orderBy("a_doc_id", "b_doc_id")
   }
 
@@ -351,10 +357,12 @@ object ScaleQueries {
          |  ${(0 until 4).map(j =>
                 s"SELECT doc_id, simhash, $j AS chunk_id, (simhash >> ${j * 15}) & 32767 AS chunk FROM sig")
               .mkString("\n  UNION ALL ")}),
+         |cdf AS (SELECT chunk_id, chunk, count(*) AS d FROM chunks GROUP BY chunk_id, chunk),
+         |keep AS (SELECT c.* FROM chunks c JOIN cdf USING (chunk_id, chunk) WHERE d <= 200),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
          |         a.simhash AS a_sim, b.simhash AS b_sim
-         |  FROM chunks a JOIN chunks b
+         |  FROM keep a JOIN keep b
          |    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
          |SELECT * FROM (
          |  SELECT a_doc_id, b_doc_id,

@@ -9,9 +9,10 @@ object PlanDump {
       case "-exec" :: rest => (true, rest)
       case rest => (false, rest)
     }
-    val spark = GraftSession.builder("plandump", "4").getOrCreate()
+    val spark = GraftSession.builder("plandump",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     for (name <- names) {
       println(s"===== $name =====")
       val df = SparkEntry.queries(name)(spark, dir)

@@ -116,6 +116,15 @@ class PlanShapeSpec extends SparkSpec {
       assertNoQuadraticJoin(physicalPlan(df), name)
   }
 
+  test("simhash chunk-frequency cap is a no-op on low-frequency data") {
+    // every chunk key here occurs in ≤2 docs, far under the cap — the
+    // skew guard must not change a single pair or hamming value
+    val uncapped = Dedup.simhashPairs(docs, "doc_id", "text").collect().map(_.toSeq).toSet
+    val capped = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxChunkDocFreq = Some(200)).collect().map(_.toSeq).toSet
+    assert(capped == uncapped)
+  }
+
   test("jaccard doc-frequency cap is a no-op on low-frequency data") {
     // every shingle here occurs in ≤2 docs, far under the cap — the skew
     // guard must not change a single pair or similarity value
