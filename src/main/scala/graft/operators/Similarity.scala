@@ -80,23 +80,44 @@ object Similarity {
   def nearDupPairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
       minMicro: Long, planes: Int, dims: Int, tables: Int = 1): DataFrame = {
     val n = withNorm(vecs, idCol, vecCol)
-    val keyStructs = (0 until tables).map { t =>
-      val signs = hyperplaneSigns(planes, dims, t)
-      struct(lit(t).as("tbl"), lshBucket(col(vecCol), signs).as("bucket"))
-    }
-    val keyed = n.select(col(idCol), explode(array(keyStructs: _*)).as("k"))
-      .select(col(idCol), col("k.tbl").as("tbl"), col("k.bucket").as("bucket"))
-    val pairs = keyed.toDF("a_id", "tbl", "bucket")
-      .join(keyed.toDF("b_id", "tbl", "bucket"), Seq("tbl", "bucket"))
+    val allSigns = (0 until tables).map(t => hyperplaneSigns(planes, dims, t))
+    // Vectors+norms RIDE ALONG into the bucket join (the minhashLshPairs
+    // pattern), the exact cosine runs on every candidate row, and the
+    // pair-dedup happens AFTER the threshold filter. The former shape —
+    // id-only join → distinct over ALL candidates → two rehydration
+    // joins — shuffled and hash-aggregated the full candidate relation
+    // (42M rows at the sf3 study point) to dedup pairs that were about
+    // to be discarded anyway; here the distinct sees only PASSING pairs
+    // (output-sized), and the rehydration joins vanish. A pair colliding
+    // in k tables pays k dots instead of 1 — false candidates collide in
+    // ~1 table, so the duplicated work is a few percent, bought against
+    // the dominant exchange. cos_micro is deterministic per pair, so
+    // distinct on (a, b, cos) equals distinct on (a, b).
+    //
+    // The keyed relation is locally CHECKPOINTED before the self-join.
+    // Without a materialization boundary here, the join's per-MATCH code
+    // path re-evaluates the stream side's bucket expressions — all
+    // planes × tables float_dot projections — once per candidate pair
+    // instead of once per row (measured on the sf1 study point: 246 CPU
+    // core-s for the bare candidate join vs 8 when the same relation is
+    // pre-materialized; the full operator drops 270 → 20 CPU core-s,
+    // 13.5×). A plain repartition-on-key boundary was tried and is NOT
+    // enough: AQE plans a SortMergeJoin whose per-match buffered-group
+    // iteration with the pushed-down cosine condition still measured
+    // 168 core-s. Same fault-tolerance trade, same justification, as
+    // connectedComponents' per-round checkpoint. Eager: construction
+    // already runs jobs in the auto form (the sizing count), and the
+    // checkpoint job is one linear pass over corpus × tables rows.
+    val keyed = n.select(col(idCol), col(vecCol), col("nrm"),
+        posexplode(lshBucketsAll(col(vecCol), allSigns)).as(Seq("tbl", "bucket")))
+      .localCheckpoint(true)
+    keyed.toDF("a_id", "a_vec", "a_nrm", "tbl", "bucket")
+      .join(keyed.toDF("b_id", "b_vec", "b_nrm", "tbl", "bucket"), Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    val aSide = n.toDF("a_id", "a_vec", "a_nrm")
-    val bSide = n.toDF("b_id", "b_vec", "b_nrm")
-    pairs.join(aSide, "a_id").join(bSide, "b_id")
       .withColumn("cos_micro",
         cosMicroPre(dot(col("a_vec"), col("b_vec")), col("a_nrm"), col("b_nrm")))
       .filter(col("cos_micro") >= minMicro)
-      .select("a_id", "b_id", "cos_micro")
+      .select("a_id", "b_id", "cos_micro").distinct()
   }
 
   /** Corpus-sized plane count: the number of hyperplanes that keeps the
@@ -206,17 +227,27 @@ object Similarity {
       (0 until dims).map(i => if (Hashing.h60Jvm(key(p, i)) % 2 == 0) 1 else -1))
   }
 
-  /** Random-hyperplane LSH bucket id: bit p set iff sign-weighted
-    * projection p is positive. Projections run through the codegen'd
-    * [[graft.functions.FloatDotProduct]] (±1 is exactly representable as
-    * float, so values are bit-identical to the double fold) — an
-    * interpreted higher-order fold here would sit in the hottest
-    * candidate-generation scan, planes × tables times per row. */
+  /** ALL multi-table bucket ids at once — `array<long>`, index = table —
+    * via the native [[graft.functions.LshBuckets]]: one JIT-compiled
+    * loop over a reference-held sign matrix. The composed form (CASE
+    * WHEN float_dot(vec, literal-array) per plane per table, summed)
+    * inlines thousands of generated-code ops into one method; past the
+    * JVM's JIT bytecode limit the whole projection drops to the
+    * bytecode interpreter (~180 µs/dot measured — 134 CPU core-s to
+    * bucket 20k×6 at sf1, ~50× this form). Values are bit-identical:
+    * same double fold, same (±1.0f) weights, same null semantics. */
+  def lshBucketsAll(vec: Column, signFamilies: Seq[Seq[Seq[Int]]]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.LshBuckets(
+      ColumnBridge.expression(vec),
+      signFamilies.map(_.map(_.map(_.toFloat)))))
+  }
+
+  /** Random-hyperplane LSH bucket id of ONE sign family: bit p set iff
+    * sign-weighted projection p is positive ([[lshBucketsAll]] with a
+    * single table). */
   def lshBucket(vec: Column, signs: Seq[Seq[Int]]): Column =
-    signs.zipWithIndex.map { case (s, p) =>
-      val weights = array(s.map(x => lit(x.toFloat)): _*)
-      when(dot(vec, weights) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    element_at(lshBucketsAll(vec, Seq(signs)), 1)
 
   /** IVF-style ANN top-k: a coarse quantizer of `nCells` centroid
     * vectors (deterministically id-sampled from the corpus — IVF

@@ -18,11 +18,9 @@ object CpuProfile {
       case d :: rest if d.startsWith("/") => (d, rest)
       case rest => ("/root/testdata/sf0.1", rest)
     }
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // the engine's session posture (GraftSession), so CPU numbers are
+    // comparable with Bench and with the plans users actually get
+    val spark = GraftSession.builder("cpuprofile", "32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cpu = new LongAdder; val run = new LongAdder
     spark.sparkContext.addSparkListener(new SparkListener {
