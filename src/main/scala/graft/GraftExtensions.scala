@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, MinHashSig, SimHash60, TokenModeCount, TokenShingles, TopKByScore}
+import graft.functions.{FloatDotProduct, LshBuckets, MinHashSig, SimHash60, TokenModeCount, TokenShingles, TopKByScore}
 
 /** Session extension entry point: registers the engine's native
   * expressions with the SQL function registry, so `spark.sql` users get
@@ -114,6 +114,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_sig k must be an integral constant, got $kExpr")
         }
         MinHashSig(exprs.head, k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(
+        classOf[LshBuckets].getCanonicalName,
+        "", // db
+        "lsh_buckets",
+        "_FUNC_(vec, planes, dims, tables) - hyperplane-LSH bucket ids of an " +
+          "array<float> vector under the engine's deterministic md5 sign " +
+          "families: array<bigint> of length `tables` (index = table id).",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4, s"lsh_buckets takes 4 arguments, got ${exprs.length}")
+        def intConst(e: Expression, name: String): Int =
+          (if (e.foldable) e.eval() else null) match {
+            case i: java.lang.Integer => i.intValue()
+            case l: java.lang.Long if l >= 1 && l <= Int.MaxValue => l.intValue()
+            case s: java.lang.Short => s.intValue()
+            case _ => throw new IllegalArgumentException(
+              s"lsh_buckets $name must be an integral constant, got $e")
+          }
+        val planes = intConst(exprs(1), "planes")
+        val dims = intConst(exprs(2), "dims")
+        val tables = intConst(exprs(3), "tables")
+        require(planes >= 1 && planes <= 62, "planes must be in [1, 62]")
+        val fams = (0 until tables).map(t =>
+          graft.operators.Similarity.hyperplaneSigns(planes, dims, t)
+            .map(_.map(_.toFloat)))
+        LshBuckets(exprs.head, fams)
       }))
   }
 }

@@ -50,4 +50,31 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql("SELECT minhash_sig(array('x'), 'k')").collect())
     assert(e.getMessage.contains("integral constant"))
   }
+
+  test("lsh_buckets is callable from SQL and matches the Scala-API bucket values") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    ColumnBridge.registerInjectedFunctions(ext, spark.sessionState.functionRegistry)
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, -0.5f, 0.25f, 0.8f))).toDF("id", "v")
+    df.createOrReplaceTempView("lshb_probe")
+    val sqlRow = spark.sql(
+      "SELECT lsh_buckets(v, 3, 4, 2) AS b FROM lshb_probe").collect()(0)
+    val got = sqlRow.getSeq[Long](0)
+    val viaApi = (0 until 2).map { t =>
+      df.select(graft.operators.Similarity.lshBucket($"v",
+        graft.operators.Similarity.hyperplaneSigns(3, 4, t)).as("b"))
+        .collect()(0).getLong(0)
+    }
+    assert(got == viaApi)
+    assert(got.length == 2)
+    // null vector → null; wrong-length vector → every bucket 0 (null
+    // projections fire no plane — the composed form's semantics)
+    val edge = spark.sql(
+      """SELECT lsh_buckets(CAST(NULL AS array<float>), 3, 4, 2) AS n,
+        |       lsh_buckets(CAST(array(1.0) AS array<float>), 3, 4, 2) AS short""".stripMargin)
+      .collect()(0)
+    assert(edge.isNullAt(0))
+    assert(edge.getSeq[Long](1) == Seq(0L, 0L))
+  }
 }
