@@ -250,6 +250,61 @@ class LawsSpec extends SparkSpec {
     assert(res.passed, s"property failed: ${res.status}")
   }
 
+  test("LshBuckets law: native multi-table buckets equal the composed CASE WHEN float_dot form") {
+    // the native expression replaced the per-plane composition for JIT
+    // reasons (SCALING.md q29 note); this law pins value equality on
+    // seeded random vectors, including short and zero vectors
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new Random(seed)
+      val planes = 2 + rnd.nextInt(6)
+      val dims = 4 + rnd.nextInt(12)
+      val tables = 1 + rnd.nextInt(5)
+      val vecs = ((0 until 40).map { i =>
+        val d = if (i % 13 == 0) dims - 1 else dims // occasional short vector
+        (i.toLong, Array.fill(d)((rnd.nextDouble() * 2 - 1).toFloat))
+      } :+ (99L, Array.fill(dims)(0.0f))).toDF("id", "v")
+      val composed = (0 until tables).map { t =>
+        Similarity.hyperplaneSigns(planes, dims, t).zipWithIndex.map { case (s, p) =>
+          val weights = array(s.map(x => lit(x.toFloat)): _*)
+          when(Similarity.dot(col("v"), weights) > 0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _).as(s"c$t")
+      }
+      val fams = (0 until tables).map(t => Similarity.hyperplaneSigns(planes, dims, t))
+      val rows = vecs.select(
+        (col("id") +: Similarity.lshBucketsAll(col("v"), fams).as("n") +: composed): _*)
+        .collect()
+      rows.foreach { r =>
+        val native = r.getSeq[Long](1)
+        val comp = (0 until tables).map(t => r.getLong(2 + t))
+        assert(native == comp,
+          s"seed=$seed id=${r.getLong(0)} native=$native composed=$comp")
+      }
+    }
+  }
+
+  test("trailingWindowAgg law: ledger equals the RANGE frame on seeded random event sets") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new Random(seed)
+      // small time range forces peers and exact-boundary collisions;
+      // ~10% null values exercise sum's null-skipping
+      val width = 10L
+      val events = (0 until 300).map { i =>
+        (s"u${rnd.nextInt(5)}", i.toLong, rnd.nextInt(40).toLong,
+          if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(1000) / 100.0))
+      }.toDF("user_id", "event_id", "t", "v0")
+        .withColumn("v", $"v0".cast("decimal(18,2)")).drop("v0")
+      val ledger = Relational.trailingWindowAgg(events, Seq("user_id"), "t",
+        "event_id", $"v", width).select("user_id", "event_id", "n_trail", "sum_trail")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"t").rangeBetween(-width, 0L)
+      val frame = events
+        .withColumn("n_trail", count(lit(1)).over(w))
+        .withColumn("sum_trail", sum($"v").over(w))
+        .select("user_id", "event_id", "n_trail", "sum_trail")
+      assertSameRows(ledger, frame)
+    }
+  }
+
   test("normalizeNull is idempotent and only touches sentinels") {
     val vals = Seq("x", ".", "", "nan", "NaN", null, " .", "n.", "NAN")
     val df = vals.toDF("v")
