@@ -364,7 +364,17 @@ object ParityQueries {
   }
 
   /** A+ — exact interpolated quantiles per group (both engines use the
-    * same linear interpolation between order statistics). */
+    * same linear interpolation between order statistics).
+    *
+    * Scale note: Spark's exact `percentile` buffers each group's value
+    * multiset in the aggregation state — per-group memory grows with
+    * distinct values, the price of exactness (it is what makes this
+    * oracle-comparable). At 100 TB swap in `approx_percentile`
+    * (t-digest, constant memory, rank error ≤ accuracy⁻¹) — same call
+    * shape; measured here the exact form's CPU is still linear
+    * (SCALING.md: 3.0× at 3× data — buffering + merge is ~linear in
+    * group width), but its MEMORY grows with the widest group, which
+    * is what kills it first at cluster scale. */
   val q46Percentiles: Q = (spark, dir) => {
     val t = Tables(spark, dir)
     t.orders
