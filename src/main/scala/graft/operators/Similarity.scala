@@ -79,8 +79,6 @@ object Similarity {
     * pair carries its exact cosine. */
   def nearDupPairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
       minMicro: Long, planes: Int, dims: Int, tables: Int = 1): DataFrame = {
-    val n = withNorm(vecs, idCol, vecCol)
-    val allSigns = (0 until tables).map(t => hyperplaneSigns(planes, dims, t))
     // Vectors+norms RIDE ALONG into the bucket join (the minhashLshPairs
     // pattern), the exact cosine runs on every candidate row, and the
     // pair-dedup happens AFTER the threshold filter. The former shape —
@@ -108,8 +106,7 @@ object Similarity {
     // connectedComponents' per-round checkpoint. Eager: construction
     // already runs jobs in the auto form (the sizing count), and the
     // checkpoint job is one linear pass over corpus × tables rows.
-    val keyed = n.select(col(idCol), col(vecCol), col("nrm"),
-        posexplode(lshBucketsAll(col(vecCol), allSigns)).as(Seq("tbl", "bucket")))
+    val keyed = lshIndex(vecs, idCol, vecCol, planes, dims, tables)
       .localCheckpoint(true)
     keyed.toDF("a_id", "a_vec", "a_nrm", "tbl", "bucket")
       .join(keyed.toDF("b_id", "b_vec", "b_nrm", "tbl", "bucket"), Seq("tbl", "bucket"))
@@ -162,6 +159,58 @@ object Similarity {
     nearDupPairsLsh(vecs, idCol, vecCol, minMicro,
       planes = planes, dims = dims, tables = tables)
   }
+
+  /** The persistable LSH index of an embedding corpus: one row per
+    * (table, bucket) per vector, carrying the vector and its norm for
+    * exact cosine rerank — the relation a pipeline WRITES (parquet,
+    * `partitionBy("tbl")`) so later batches or a stream
+    * ([[graft.streaming.StreamingIngest.embeddingScreenStream]]) can
+    * probe the corpus without recomputing it. The embedding twin of
+    * [[Dedup.minhashIndex]].
+    *
+    * The plane count is FIXED at index-build time by definition (a
+    * persisted index cannot re-bucket without a rebuild) — derive it
+    * from the corpus via [[lshAutoPlanes]] at build, and rebuild when
+    * the corpus outgrows it (expected occupancy doubles per factor-2
+    * growth past the build point). */
+  def lshIndex(vecs: DataFrame, idCol: String, vecCol: String,
+      planes: Int, dims: Int, tables: Int = 6): DataFrame = {
+    val allSigns = (0 until tables).map(t => hyperplaneSigns(planes, dims, t))
+    withNorm(vecs, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("nrm"),
+        posexplode(lshBucketsAll(col(vecCol), allSigns)).as(Seq("tbl", "bucket")))
+  }
+
+  /** Bucket-join of a probe-side index against a corpus index with exact
+    * cosine rerank — shared by [[lshIndexProbe]] and the streaming
+    * screen (which must skip the stateful `distinct`). Columns bind BY
+    * NAME: a parquet round-trip with `partitionBy("tbl")` reorders the
+    * corpus side's columns (partition columns read back last), so a
+    * positional rename would silently mislabel them (the same lesson as
+    * [[Dedup.probeJoin]]). */
+  private[graft] def indexProbeJoin(probes: DataFrame, index: DataFrame,
+      idCol: String, vecCol: String, minMicro: Long): DataFrame = {
+    def named(df: DataFrame, side: String) = df.select(
+      col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
+      col("nrm").as(s"${side}_nrm"), col("tbl"), col("bucket"))
+    named(probes, "probe").join(named(index, "corpus"), Seq("tbl", "bucket"))
+      .filter(col("probe_id") =!= col("corpus_id"))
+      .withColumn("cos_micro",
+        cosMicroPre(dot(col("probe_vec"), col("corpus_vec")),
+          col("probe_nrm"), col("corpus_nrm")))
+      .filter(col("cos_micro") >= minMicro)
+      .select("probe_id", "corpus_id", "cos_micro")
+  }
+
+  /** Probe an LSH index ([[lshIndex]]) with new vectors: per probe, every
+    * corpus vector sharing a bucket in any table, exact-cosine-reranked
+    * at `minMicro`. The batch form of streaming embedding screening —
+    * and its correctness oracle. One row per (probe, match) pair. */
+  def lshIndexProbe(probes: DataFrame, index: DataFrame, idCol: String,
+      vecCol: String, minMicro: Long, planes: Int, dims: Int,
+      tables: Int = 6): DataFrame =
+    indexProbeJoin(lshIndex(probes, idCol, vecCol, planes, dims, tables),
+      index, idCol, vecCol, minMicro).distinct()
 
   /** Brute-force top-k: for each query vector, the k nearest corpus vectors
     * by cosine (self excluded), ranked (cos_micro desc, id asc). The query

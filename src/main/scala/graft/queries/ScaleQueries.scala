@@ -144,8 +144,29 @@ object ScaleQueries {
       .orderBy("vec_id", "dim")
   }
 
+  /** SS7 — embedding index probe: new vectors (vec_id % 10 = 0) screened
+    * against the LSH index of the remaining corpus, plane count derived
+    * from the CORPUS size at build time (as a real index build would —
+    * a persisted index's bucketing is fixed until rebuilt). The batch
+    * twin of
+    * [[graft.streaming.StreamingIngest.embeddingScreenStream]] and the
+    * embedding counterpart of q65's MinHash probe: candidate generation
+    * is an equi-join on (tbl, bucket) against the index relation a
+    * pipeline would persist partitioned by `tbl`. */
+  val q68EmbeddingProbe: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val probes = t.embeddings.filter(col("vec_id") % 10 === 0)
+    val corpus = t.embeddings.filter(col("vec_id") % 10 =!= 0)
+    val planes = Similarity.lshAutoPlanes(corpus.count())
+    Similarity.lshIndexProbe(probes,
+      Similarity.lshIndex(corpus, "vec_id", "embedding", planes, dims = 64),
+      "vec_id", "embedding", minMicro = 250000L, planes = planes, dims = 64)
+      .orderBy("probe_id", "corpus_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q56_topk_agg" -> q56TopkAgg,
+    "q68_embedding_probe" -> q68EmbeddingProbe,
     "q60_quantize_int8" -> q60QuantizeInt8,
     "q25_exact_dedup" -> q25ExactDedup,
     "q40_dedup_clusters" -> q40DedupClusters,
@@ -257,21 +278,25 @@ object ScaleQueries {
     * terms of a 12-plane family ARE the `planes`-plane family. */
   private val MaxAutoPlanes = 12
 
+  /** Plane-guarded bucket expression for table family `t`: every plane
+    * term is gated by `p < planes` so the bucket id uses exactly the
+    * derived plane count (np CTE in scope). */
+  private def guardedBucketSql(t: Int): String =
+    Similarity.hyperplaneSigns(MaxAutoPlanes, 64, t).zipWithIndex.map {
+      case (s, p) =>
+        val arr = s.mkString("[", ", ", "]")
+        val proj =
+          s"""list_reduce(list_transform(generate_series(1, 64),
+             |  i -> CAST(embedding[i] AS DOUBLE) * ($arr)[i]), (x, y) -> x + y)""".stripMargin
+        s"(CASE WHEN $p < planes AND $proj > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+
   /** Multi-table (tbl, bucket) keys matching q29's 6 auto-sized plane
-    * families: every plane term is guarded by `p < planes` so the bucket
-    * id uses exactly the derived plane count. */
+    * families. */
   private val multiKeysCte: String = {
-    val tables = (0 until 6).map { t =>
-      val b = Similarity.hyperplaneSigns(MaxAutoPlanes, 64, t).zipWithIndex.map {
-        case (s, p) =>
-          val arr = s.mkString("[", ", ", "]")
-          val proj =
-            s"""list_reduce(list_transform(generate_series(1, 64),
-               |  i -> CAST(embedding[i] AS DOUBLE) * ($arr)[i]), (x, y) -> x + y)""".stripMargin
-          s"(CASE WHEN $p < planes AND $proj > 0 THEN ${1L << p} ELSE 0 END)"
-      }.mkString(" + ")
-      s"SELECT vec_id, $t AS tbl, CAST($b AS BIGINT) AS bucket FROM e, np"
-    }.mkString("\n  UNION ALL ")
+    val tables = (0 until 6).map(t =>
+      s"SELECT vec_id, $t AS tbl, CAST(${guardedBucketSql(t)} AS BIGINT) AS bucket FROM e, np")
+      .mkString("\n  UNION ALL ")
     s"mk AS (\n  $tables)"
   }
 
@@ -412,6 +437,29 @@ object ScaleQueries {
          |  FROM cand JOIN e x ON a_id = x.vec_id JOIN e y ON b_id = y.vec_id)
          |WHERE cos_micro >= 400000
          |ORDER BY a_id, b_id""".stripMargin,
+    "q68_embedding_probe" -> {
+      def mkSide(name: String, pred: String) =
+        (0 until 6).map(t =>
+          s"SELECT vec_id, $t AS tbl, CAST(${guardedBucketSql(t)} AS BIGINT) AS bucket " +
+            s"FROM e, np WHERE $pred")
+          .mkString(s"$name AS (\n  ", "\n  UNION ALL ", ")")
+      s"""WITH $normedCte,
+         |np AS (SELECT LEAST(62, GREATEST(1, length(bin((count(*) + 255) // 256 - 1)))) AS planes
+         |       FROM embeddings WHERE vec_id % 10 <> 0),
+         |${mkSide("mkp", "vec_id % 10 = 0")},
+         |${mkSide("mkc", "vec_id % 10 <> 0")},
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS corpus_id
+         |  FROM mkp p JOIN mkc c ON p.tbl = c.tbl AND p.bucket = c.bucket
+         |  WHERE p.vec_id <> c.vec_id)
+         |SELECT * FROM (
+         |  SELECT probe_id, corpus_id,
+         |    CAST(floor(1e6 * ${dotSql("x.embedding", "y.embedding")}
+         |      / (x.nrm * y.nrm)) AS BIGINT) AS cos_micro
+         |  FROM cand JOIN e x ON probe_id = x.vec_id JOIN e y ON corpus_id = y.vec_id)
+         |WHERE cos_micro >= 250000
+         |ORDER BY probe_id, corpus_id""".stripMargin
+    },
     "q30_cosine_topk" ->
       s"""WITH $normedCte,
          |q AS (SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_nrm

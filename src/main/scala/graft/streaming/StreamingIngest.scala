@@ -294,6 +294,38 @@ object StreamingIngest {
       index, idCol, k, minAgree)
   }
 
+  /** Streaming EMBEDDING near-dup screening — the vector twin of
+    * [[nearDupScreenStream]]: each micro-batch LSH-buckets arriving
+    * vectors per row (the native
+    * [[graft.functions.LshBuckets]] — no aggregation, legal and cheap
+    * in a stream), probes a static corpus index
+    * ([[graft.operators.Similarity.lshIndex]], typically read back from
+    * its persisted parquet form) with an equi-join on (tbl, bucket),
+    * and emits (probe id, corpus id, exact cos_micro ≥ minMicro)
+    * matches. The ingest-time "is this embedding a near-dup of the
+    * training corpus" gate; stateless — dedup memory lives in the
+    * index, not the state store.
+    *
+    * A pair sharing buckets in several tables is emitted once per table
+    * (a streaming `distinct` would hold unbounded state): sinks keyed
+    * on (probe, corpus) absorb duplicates idempotently — or compose
+    * with [[dedupedPairSink]] — and
+    * [[graft.operators.Similarity.lshIndexProbe]] is the batch oracle:
+    * identical rows after dedup, proven in `StreamingIngestSpec`.
+    *
+    * `planes`/`dims`/`tables` MUST match the values the index was built
+    * with — the bucket ids are meaningless across mismatched families.
+    * Persist/cache the index side: a stream-static join re-evaluates
+    * the static plan every micro-batch. */
+  def embeddingScreenStream(stream: DataFrame, index: DataFrame,
+      idCol: String, vecCol: String, minMicro: Long,
+      planes: Int, dims: Int, tables: Int = 6): DataFrame = {
+    import graft.operators.Similarity
+    Similarity.indexProbeJoin(
+      Similarity.lshIndex(stream, idCol, vecCol, planes, dims, tables),
+      index, idCol, vecCol, minMicro)
+  }
+
   /** Sink-boundary dedup for [[nearDupScreenStream]] (or any append
     * stream whose rows are unique up to `keyCols`): the screen emits one
     * row per agreeing band — correct and stateless, but a footgun for

@@ -238,7 +238,8 @@ class PlanShapeSpec extends SparkSpec {
     physicalPlan(graft.SparkEntry.queries(name)(spark, sfDir))
 
   test("heavy queries stay equi-join-shaped end to end") {
-    for (name <- Seq("q27_minhash_lsh", "q40_dedup_clusters", "q57_curate_pipeline"))
+    for (name <- Seq("q27_minhash_lsh", "q40_dedup_clusters", "q57_curate_pipeline",
+        "q68_embedding_probe"))
       assertNoQuadraticJoin(queryPlan(name), name)
   }
 

@@ -398,6 +398,40 @@ class StreamingIngestSpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("streaming embedding screen emits exactly the batch index probe's matches") {
+    import graft.operators.Similarity
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(-0.8f, 0.3f, 0.1f, -0.6f)),
+      (3L, Array(0.0f, 1.0f, -0.4f, 0.3f))).toDF("vec_id", "embedding")
+    val probes = Seq(
+      (101L, Array(0.99f, 0.01f, 0.5f, 0.2f)),  // near-dup of 1
+      (102L, Array(0.0f, 0.0f, 0.0f, 0.0f)),    // zero vector: excluded
+      (103L, Array(0.5f, -0.9f, 0.2f, -0.1f)))  // unrelated direction
+      .toDF("vec_id", "embedding")
+    val index = Similarity.lshIndex(corpus, "vec_id", "embedding",
+      planes = 2, dims = 4, tables = 4).cache()
+    val batch = Similarity.lshIndexProbe(probes, index, "vec_id", "embedding",
+      minMicro = 900000L, planes = 2, dims = 4, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val drop = tmp("graft-embed-drop")
+    probes.write.mode("overwrite").parquet(drop)
+    val stream = spark.readStream.schema(probes.schema).parquet(drop)
+    val screened = StreamingIngest.embeddingScreenStream(stream, index,
+      "vec_id", "embedding", minMicro = 900000L, planes = 2, dims = 4, tables = 4)
+    assert(screened.isStreaming)
+    screened.writeStream.format("memory").queryName("embed_screen")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // set-compare: the stream may emit a pair once per agreeing table
+    val got = spark.table("embed_screen")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch)
+    assert(batch.exists(p => p._1 == 101L && p._2 == 1L && p._3 >= 900000L)) // near-dup found
+    assert(!batch.exists(_._1 == 102L)) // zero vector excluded (cosine undefined)
+    index.unpersist()
+  }
+
   test("observed DQ gates ride the micro-batch progress metrics, no second scan") {
     import graft.operators.Quality
     val drop = tmp("graft-gates-drop")
