@@ -326,9 +326,11 @@ object StreamingIngest {
       index, idCol, vecCol, minMicro)
   }
 
-  /** Sink-boundary dedup for [[nearDupScreenStream]] (or any append
-    * stream whose rows are unique up to `keyCols`): the screen emits one
-    * row per agreeing band — correct and stateless, but a footgun for
+  /** Sink-boundary dedup for [[nearDupScreenStream]] /
+    * [[embeddingScreenStream]] (pass `aggCol = "cos_micro"` — every
+    * agreeing-table row carries the same exact cosine) or any append
+    * stream whose rows are unique up to `keyCols`: the screens emit one
+    * row per agreeing band/table — correct and stateless, but a footgun for
     * non-idempotent sinks. This helper dedups each micro-batch on
     * `keyCols` with a BATCH `dropDuplicates` inside `foreachBatch`
     * before appending parquet — the streaming plan stays stateless (the
