@@ -133,6 +133,95 @@ object Dedup {
       .select(s"a_$idCol", s"b_$idCol", "shared", "jaccard_permille")
   }
 
+  /** Exact n-gram Jaccard pairs via AllPairs/PPJoin-style PREFIX
+    * FILTERING — the lossless replacement for [[jaccardPairs]]' shared-
+    * shingle join at corpus scale (same output, fewer candidates; no
+    * doc-frequency cap, so none of the cap's recall shift).
+    *
+    * The two classic exact prunes (Bayardo et al. "Scaling Up All
+    * Pairs", WWW'07; Xiao et al. PPJoin):
+    *  - LENGTH filter: J(A,B) ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|) —
+    *    checked in exact integer arithmetic on the join output;
+    *  - PREFIX filter: under ANY global token order, a pair with
+    *    J ≥ t shares at least one token among the first
+    *    |X| − ceil(t·|X|) + 1 tokens of each side, so only those
+    *    PREFIX tokens enter the join index. Ordering by ascending
+    *    document frequency (rarest first) makes prefix tokens the
+    *    least-shared ones, which is what shrinks the join fanout on
+    *    skewed real-world corpora.
+    * Every candidate is then verified with the EXACT shared count
+    * (`array_intersect` of the full shingle-hash arrays — order-
+    * agnostic, so the df-sorted array needs no second representation)
+    * and the exact floor-scaled Jaccard; the pair-dedup runs AFTER the
+    * threshold filter so the distinct only sees output-sized data.
+    *
+    * Worst-case cost is still Σ_prefix-token df² (all-identical docs
+    * have quadratic OUTPUT — no exact algorithm escapes that), but on
+    * df-skewed corpora the prefix index prunes most of the fanout the
+    * raw join pays, and unlike the cap it never changes the answer.
+    *
+    * WHEN TO USE WHICH exact form (measured, SCALING.md r6): prefix
+    * filtering's prune power IS the corpus's df skew. On a
+    * uniform-df corpus (the synthetic 30-word-vocab fixture is exactly
+    * that) prefix tokens are no rarer than any others, candidates only
+    * halve, and each candidate carries two full hash arrays — the
+    * skinny raw join ([[jaccardPairs]]) wins there. On the power-law
+    * df distributions of real text, rare-token prefixes collapse the
+    * fanout and THIS form wins — and it is always lossless, where the
+    * raw join at scale needs its recall-shifting df cap.
+    *
+    * The prefix relation is locally checkpointed before the self-join
+    * (the materialization boundary [[Similarity.nearDupPairsLsh]] also
+    * needs — without it the join re-evaluates the agg→slice→explode
+    * chain per match), and the join carries an explicit SHUFFLE_HASH
+    * hint: Catalyst under-estimates the exploded prefix index below
+    * the broadcast threshold and the resulting driver broadcast of a
+    * corpus-sized relation OOMs at scale (observed at the 150k-doc
+    * study point). A corpus-sized self-join must shuffle on its key —
+    * the hint states what the statistics cannot. */
+  def jaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minPermille: Int = 500): DataFrame = {
+    require(minPermille >= 1 && minPermille <= 1000,
+      "minPermille must be in [1, 1000]")
+    val sh = shingled(df, idCol, textCol, n)
+      .select(col(idCol), h60(col("shingle")).as("__sh"))
+    // global df per shingle (one exchange on the shingle hash), then one
+    // df-sorted hash array + size per doc (one exchange on the id)
+    val wdf = sh.withColumn("__df",
+      count(lit(1)).over(Window.partitionBy("__sh")))
+    val docs = wdf.groupBy(idCol).agg(
+        sort_array(collect_list(struct(col("__df"), col("__sh")))).as("__s"),
+        count(lit(1)).as("__sz"))
+      .select(col(idCol),
+        transform(col("__s"), s => s.getField("__sh")).as("__arr"),
+        col("__sz"))
+    // prefix length |X| − ceil(t·|X|) + 1; the product stays ≤ ~2^40 so
+    // the double floor-division is exact
+    val ceilT = floor((col("__sz") * minPermille + 999) / 1000)
+    val prefLen = (col("__sz") - ceilT + 1).cast("int")
+    val pref = docs.select(col(idCol), col("__arr"), col("__sz"),
+      explode(slice(col("__arr"), lit(1), prefLen)).as("__psh"))
+      .localCheckpoint(true)
+    val a = pref.toDF(s"a_$idCol", "a_arr", "a_sz", "__psh")
+    val b = pref.toDF(s"b_$idCol", "b_arr", "b_sz", "__psh")
+    a.join(b.hint("shuffle_hash"), Seq("__psh"))
+      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
+      .filter(least(col("a_sz"), col("b_sz")) * 1000
+        >= greatest(col("a_sz"), col("b_sz")) * minPermille)
+      .withColumn("shared",
+        size(array_intersect(col("a_arr"), col("b_arr"))).cast("long"))
+      .withColumn("jaccard_permille",
+        floor(lit(1000) * col("shared").cast("double")
+          / (col("a_sz") + col("b_sz") - col("shared")).cast("double")).cast("long"))
+      .filter(col("jaccard_permille") >= minPermille)
+      .select(s"a_$idCol", s"b_$idCol", "shared", "jaccard_permille")
+      .distinct()
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** k-member MinHash signature as ONE per-row array column — the native

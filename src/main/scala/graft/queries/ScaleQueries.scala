@@ -24,7 +24,12 @@ object ScaleQueries {
   /** DD2 — exact 3-gram Jaccard near-dup pairs via shared-shingle join.
     * The doc-frequency cap bounds any one shingle's join fanout to 100²
     * candidate pairs — the skew guard that keeps this plan alive when one
-    * boilerplate shingle is shared by millions of documents. */
+    * boilerplate shingle is shared by millions of documents. The raw
+    * join is the RIGHT exact form for THIS corpus: its df distribution
+    * is uniform, which defeats [[Dedup.jaccardPairsPrefix]]'s prefix
+    * selection (measured r6 — the prefix form's array-carrying
+    * candidates cost 6× the skinny join here; on df-skewed real text
+    * the preference flips, see the operator's scaladoc). */
   val q26JaccardPairs: Q = (spark, dir) => {
     val t = Tables(spark, dir)
     Dedup.jaccardPairs(t.documents, "doc_id", "text", n = 3, minPermille = 500,

@@ -250,6 +250,26 @@ class LawsSpec extends SparkSpec {
     assert(res.passed, s"property failed: ${res.status}")
   }
 
+  test("jaccardPairsPrefix law: prefix+length filtering is LOSSLESS vs the raw shared-shingle join") {
+    // AllPairs/PPJoin prunes must never change the answer — compare full
+    // outputs against the uncapped raw-join form on seeded random docs
+    // (shared vocabulary → dense shingle overlap → prunes genuinely fire)
+    val vocab = Seq("the", "data", "spark", "row", "join", "scan", "key", "hash", "sort", "agg")
+    for (seed <- Seq(1, 2, 3); threshold <- Seq(500, 300)) {
+      val rnd = new Random(seed)
+      val docs = (0 until 40).map { i =>
+        val len = 5 + rnd.nextInt(25)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val raw = Dedup.jaccardPairs(docs, "doc_id", "text", minPermille = threshold)
+        .collect().map(_.toSeq).toSet
+      val pref = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", minPermille = threshold)
+        .collect().map(_.toSeq).toSet
+      assert(pref == raw, s"seed=$seed threshold=$threshold: " +
+        s"missing=${(raw -- pref).take(3)} extra=${(pref -- raw).take(3)}")
+    }
+  }
+
   test("LshBuckets law: native multi-table buckets equal the composed CASE WHEN float_dot form") {
     // the native expression replaced the per-plane composition for JIT
     // reasons (SCALING.md q29 note); this law pins value equality on

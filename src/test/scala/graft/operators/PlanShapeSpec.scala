@@ -109,6 +109,7 @@ class PlanShapeSpec extends SparkSpec {
     for ((name, df) <- Seq(
         "jaccardPairs" -> Dedup.jaccardPairs(docs, "doc_id", "text",
           maxShingleDocFreq = Some(100)),
+        "jaccardPairsPrefix" -> Dedup.jaccardPairsPrefix(docs, "doc_id", "text"),
         "minhashLshPairs" -> Dedup.minhashLshPairs(docs, "doc_id", "text"),
         "simhashPairs" -> Dedup.simhashPairs(docs, "doc_id", "text"),
         "minhashProbe" -> Dedup.minhashProbe(docs,
