@@ -162,7 +162,10 @@ object ScaleQueries {
     val t = Tables(spark, dir)
     val probes = t.embeddings.filter(col("vec_id") % 10 === 0)
     val corpus = t.embeddings.filter(col("vec_id") % 10 =!= 0)
-    val planes = Similarity.lshAutoPlanes(corpus.count())
+    // empty-corpus guard mirrors nearDupPairsLshAuto: 1 plane keeps the
+    // plan well-formed and the result is empty regardless
+    val corpusRows = corpus.count()
+    val planes = if (corpusRows <= 0) 1 else Similarity.lshAutoPlanes(corpusRows)
     Similarity.lshIndexProbe(probes,
       Similarity.lshIndex(corpus, "vec_id", "embedding", planes, dims = 64),
       "vec_id", "embedding", minMicro = 250000L, planes = planes, dims = 64)
