@@ -224,6 +224,29 @@ class PlanShapeSpec extends SparkSpec {
       .sameElements(Array(1L, 3L)))
   }
 
+  test("lshIndex survives a partitioned parquet round-trip (by-name probe binding)") {
+    // partitionBy("tbl") reorders columns on read-back (partition column
+    // last) — indexProbeJoin must bind by name, or bucket ids silently
+    // relabel and every probe result empties (the probeJoin lesson)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+    val index = Similarity.lshIndex(vecs, "vec_id", "embedding",
+      planes = 2, dims = 4, tables = 4)
+    index.write.mode("overwrite").partitionBy("tbl").parquet(dir)
+    val readBack = spark.read.parquet(dir)
+    assert(readBack.columns.toSeq != index.columns.toSeq,
+      "fixture should exercise the reordered-columns case")
+    val probes = Seq((101L, Array(1.0f, 0.01f, 0.5f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    def probe(ix: org.apache.spark.sql.DataFrame) =
+      Similarity.lshIndexProbe(probes, ix, "vec_id", "embedding",
+        minMicro = 900000L, planes = 2, dims = 4, tables = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fromDisk = probe(readBack)
+    assert(fromDisk == probe(index))
+    assert(fromDisk.exists(p => p._1 == 101L && p._2 == 1L),
+      "near-identical corpus vector must be found through the persisted index")
+  }
+
   test("multi-table LSH recall beats single-table at equal cosine") {
     val single = Similarity.nearDupPairsLsh(vecs, "vec_id", "embedding",
       minMicro = 100000L, planes = 3, dims = 4, tables = 1).count()
