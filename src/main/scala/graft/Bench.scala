@@ -115,9 +115,20 @@ object Bench {
       val bestCpu = (okPasses.map(_._2) :+ math.max(coldCpu, warmCpu)).min
       (name, best, cold, bestCpu)
     }
-    val qs = results.map { case (k, v, _, _) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
-    val qsCold = results.map { case (k, _, c, _) => s""""${esc(k)}":$c""" }.mkString("{", ",", "}")
-    val qsCpu = results.map { case (k, _, _, c) => s""""${esc(k)}":$c""" }.mkString("{", ",", "}")
+    // All reported numbers are rounded to 3 decimals: millisecond wall /
+    // CPU precision is far inside this host's burst-throttle noise band,
+    // and 9-decimal doubles are what pushed a 68-query map past the
+    // driver's bytes-bounded tail window (rounds 4–6 each lost leading
+    // entries to truncation). Locale-pinned so the decimal point can
+    // never become a comma.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jmap(f: ((String, Double, Double, Double)) => (String, Double)): String =
+      results.map { r => val (k, v) = f(r); s""""${esc(k)}":${r3(v)}""" }
+        .mkString("{", ",", "}")
+    val qs = jmap { case (k, v, _, _) => (k, v) }
+    val qsCold = jmap { case (k, _, c, _) => (k, c) }
+    val qsCpu = jmap { case (k, _, _, c) => (k, c) }
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalCpu = results.map(_._4).sum
@@ -126,12 +137,12 @@ object Bench {
     // lost the wall map exactly this way). Print in ascending importance —
     // cold pass first (recoverable by re-running), then CPU, then the
     // headline wall-min map LAST so it always survives the capture.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cpu_core_s":$totalCpu,"queries_cold":$qsCold,"errors":$errJson,"queries_cpu":$qsCpu,"sf":"$sfDir","total_wall_s":$total,"total_cpu_core_s":$totalCpu,"queries":$qs}""")
-    // Second, COMPACT line: the round driver's tail capture is
-    // bytes-bounded and round 5 still truncated the full line's leading
-    // entries (63/66 retained). This line carries only the headline
-    // wall-min map + totals — small enough to always survive whole.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpu_core_s":$totalCpu,"queries":$qs}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_core_s":${r3(totalCpu)},"queries_cold":$qsCold,"errors":$errJson,"queries_cpu":$qsCpu,"sf":"$sfDir","queries":$qs}""")
+    // Second, COMPACT line under its own metric name (a consumer parsing
+    // every "total" line would double-count): only the headline wall-min
+    // map + total — ~1.5 KB at 3 decimals, small enough to always
+    // survive the tail capture whole.
+    println(s"""{"metric":"total_compact","value":${r3(total)},"unit":"sec","sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }

@@ -264,9 +264,25 @@ object Dedup {
     * relation a pipeline PERSISTS (parquet, partitioned by band) so
     * later batches — or a stream
     * ([[graft.streaming.StreamingIngest.nearDupScreenStream]]) — can
-    * probe the corpus without recomputing it. */
+    * probe the corpus without recomputing it.
+    *
+    * The index is SELF-DESCRIBING: `ix_n`/`ix_k`/`ix_bands` ride along
+    * as constant columns (free under parquet dictionary encoding) and
+    * [[minhashProbe]] / the streaming screen validate them against the
+    * probe's parameters — a mismatched probe RAISES instead of silently
+    * equi-joining into the wrong band-key space and returning
+    * near-empty matches (see [[IndexStamp]]). */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+      n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame =
+    IndexStamp.stamp(minhashKeyed(df, idCol, textCol, n, k, bands),
+      minhashStampParams(n, k, bands))
+
+  /** The (band, band_key)-keyed relation WITHOUT the parameter stamp —
+    * the internal form the self-join ([[minhashLshPairs]]) and the
+    * probe side of [[probeJoin]] consume, where the stamp would only
+    * widen positional renames. */
+  private def minhashKeyed(df: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val sigs = sigRelation(df, idCol, textCol, n, k)
     sigs.select(col(idCol), col("__sig"),
@@ -274,6 +290,17 @@ object Dedup {
       .select(col(idCol), col("__sig").as("sig"),
         col("b.band").as("band"), col("b.band_key").as("band_key"))
   }
+
+  private def minhashStampParams(n: Int, k: Int, bands: Int): Seq[(String, Int)] =
+    Seq("ix_n" -> n, "ix_k" -> k, "ix_bands" -> bands)
+
+  /** `index` validated against the probe-side build parameters — any
+    * index row stamped differently raises; an unstamped relation is
+    * rejected at plan construction. Shared by [[minhashProbe]] and
+    * [[graft.streaming.StreamingIngest.nearDupScreenStream]]. */
+  private[graft] def validatedMinhashIndex(index: DataFrame, n: Int, k: Int,
+      bands: Int, what: String): DataFrame =
+    IndexStamp.validated(index, minhashStampParams(n, k, bands), what)
 
   /** Wide MinHash signature: one row per id, columns mh0..mh{k−1} where
     * mh_i = min over shingles of the affine family member
@@ -313,7 +340,7 @@ object Dedup {
     * carrying the array eliminates both joins and their shuffles. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 4, minAgree: Int = 8): DataFrame = {
-    val keys = minhashIndex(df, idCol, textCol, n, k, bands)
+    val keys = minhashKeyed(df, idCol, textCol, n, k, bands)
     val pairs = keys.toDF(s"a_$idCol", "a_sig", "band", "band_key")
       .join(keys.toDF(s"b_$idCol", "b_sig", "band", "band_key"), Seq("band", "band_key"))
       .filter(col(s"a_$idCol") < col(s"b_$idCol"))
@@ -326,12 +353,17 @@ object Dedup {
   /** Probe an LSH index ([[minhashIndex]]) with new docs: per probe doc,
     * every index doc sharing a band key, reranked by exact signature
     * agreement. The batch form of streaming near-dup screening — and its
-    * correctness oracle. Emits one row per (probe, match) pair. */
+    * correctness oracle. Emits one row per (probe, match) pair.
+    *
+    * `n`/`k`/`bands` are validated against the index's stamp
+    * ([[IndexStamp]]): a mismatch RAISES rather than returning the
+    * near-empty match set mismatched band-key spaces produce. */
   def minhashProbe(probes: DataFrame, index: DataFrame, idCol: String,
       textCol: String, n: Int = 3, k: Int = 16, bands: Int = 4,
       minAgree: Int = 8): DataFrame =
-    probeJoin(minhashIndex(probes, idCol, textCol, n, k, bands),
-      index, idCol, k, minAgree).distinct()
+    probeJoin(minhashKeyed(probes, idCol, textCol, n, k, bands),
+      validatedMinhashIndex(index, n, k, bands, "minhashProbe"),
+      idCol, k, minAgree).distinct()
 
   /** Band-key equi-join of a probe index against a corpus index with
     * agreement rerank — shared by [[minhashProbe]] and the streaming

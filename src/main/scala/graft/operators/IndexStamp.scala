@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Build-parameter stamping for persisted index relations
+  * ([[Dedup.minhashIndex]], [[Similarity.lshIndex]]).
+  *
+  * A probe against an index built under DIFFERENT parameters (plane
+  * count, signature length, banding) does not error — the derived keys
+  * simply live in different key spaces, the equi-join matches almost
+  * nothing, and the caller gets a plausible-looking near-empty match
+  * set. That silent-wrong-answer path is closed by making every index
+  * relation self-describing: the builder stamps its parameters as
+  * constant columns (free under parquet dictionary/RLE encoding, and
+  * they survive the partitioned round-trip the probes are designed
+  * for), and every probe validates them against its own parameters.
+  *
+  * Validation is DISTRIBUTED, not a driver action: a missing stamp
+  * column fails fast at plan-construction time (`require`), while a
+  * value mismatch raises from a per-row `assert_true` guard the first
+  * time any index row is actually read — no extra Spark job, no corpus
+  * scan, just a constant-vs-constant comparison inside the existing
+  * scan (and pennies under codegen). The one vacuous case is an EMPTY
+  * index: zero rows means zero checks, and the probe returns the empty
+  * match set it would return under any parameters — harmless.
+  */
+private[graft] object IndexStamp {
+
+  /** `df` with each `(column, value)` parameter appended as a constant
+    * column — the self-describing form every index builder returns. */
+  def stamp(df: DataFrame, params: Seq[(String, Int)]): DataFrame =
+    params.foldLeft(df) { case (d, (c, v)) => d.withColumn(c, lit(v)) }
+
+  /** `index` guarded so that any row whose stamp disagrees with
+    * `params` raises (with both sides in the message) instead of
+    * joining into the wrong key space. Missing stamp columns — an
+    * index relation not built by the current builders — fail
+    * immediately. `what` names the probe operator in messages. */
+  def validated(index: DataFrame, params: Seq[(String, Int)], what: String): DataFrame = {
+    val missing = params.map(_._1).filterNot(index.columns.contains)
+    require(missing.isEmpty,
+      s"$what: index relation carries no build-parameter stamp (missing " +
+        s"column(s) ${missing.mkString(", ")}) — rebuild the index with the " +
+        "current index builder so probes can validate their parameters")
+    val expect = params.map { case (c, v) => s"$c=$v" }.mkString(", ")
+    val agree = params.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+    val found = concat_ws(", ",
+      params.map { case (c, _) => concat(lit(c + "="), col(c).cast("string")) }: _*)
+    val msg = concat(
+      lit(s"$what: build-parameter mismatch — probe expects $expect but the " +
+        "index was built with "), found,
+      lit(". Probing across mismatched parameters silently returns " +
+        "near-empty matches; rebuild the index or fix the probe parameters."))
+    // assert_true is null for every agreeing row, so the filter passes the
+    // whole index through untouched; the first disagreeing row raises
+    index.filter(assert_true(agree, msg).isNull)
+  }
+}

@@ -106,7 +106,7 @@ object Similarity {
     // connectedComponents' per-round checkpoint. Eager: construction
     // already runs jobs in the auto form (the sizing count), and the
     // checkpoint job is one linear pass over corpus × tables rows.
-    val keyed = lshIndex(vecs, idCol, vecCol, planes, dims, tables)
+    val keyed = lshKeyed(vecs, idCol, vecCol, planes, dims, tables)
       .localCheckpoint(true)
     keyed.toDF("a_id", "a_vec", "a_nrm", "tbl", "bucket")
       .join(keyed.toDF("b_id", "b_vec", "b_nrm", "tbl", "bucket"), Seq("tbl", "bucket"))
@@ -172,14 +172,41 @@ object Similarity {
     * persisted index cannot re-bucket without a rebuild) — derive it
     * from the corpus via [[lshAutoPlanes]] at build, and rebuild when
     * the corpus outgrows it (expected occupancy doubles per factor-2
-    * growth past the build point). */
+    * growth past the build point).
+    *
+    * The index is SELF-DESCRIBING: `ix_planes`/`ix_dims`/`ix_tables`
+    * ride along as constant columns (free under parquet dictionary
+    * encoding) and [[lshIndexProbe]] / the streaming screen validate
+    * them against the probe's parameters — a mismatched probe RAISES
+    * instead of silently equi-joining into the wrong bucket space and
+    * returning near-empty matches (see [[IndexStamp]]). */
   def lshIndex(vecs: DataFrame, idCol: String, vecCol: String,
-      planes: Int, dims: Int, tables: Int = 6): DataFrame = {
+      planes: Int, dims: Int, tables: Int = 6): DataFrame =
+    IndexStamp.stamp(lshKeyed(vecs, idCol, vecCol, planes, dims, tables),
+      lshStampParams(planes, dims, tables))
+
+  /** The (table, bucket)-keyed relation WITHOUT the parameter stamp —
+    * the internal form the self-join ([[nearDupPairsLsh]]) and the
+    * probe side of [[indexProbeJoin]] consume, where the stamp would
+    * only widen positional renames. */
+  private def lshKeyed(vecs: DataFrame, idCol: String, vecCol: String,
+      planes: Int, dims: Int, tables: Int): DataFrame = {
     val allSigns = (0 until tables).map(t => hyperplaneSigns(planes, dims, t))
     withNorm(vecs, idCol, vecCol)
       .select(col(idCol), col(vecCol), col("nrm"),
         posexplode(lshBucketsAll(col(vecCol), allSigns)).as(Seq("tbl", "bucket")))
   }
+
+  private def lshStampParams(planes: Int, dims: Int, tables: Int): Seq[(String, Int)] =
+    Seq("ix_planes" -> planes, "ix_dims" -> dims, "ix_tables" -> tables)
+
+  /** `index` validated against the probe-side build parameters — any
+    * index row stamped differently raises; an unstamped relation is
+    * rejected at plan construction. Shared by [[lshIndexProbe]] and
+    * [[graft.streaming.StreamingIngest.embeddingScreenStream]]. */
+  private[graft] def validatedLshIndex(index: DataFrame, planes: Int,
+      dims: Int, tables: Int, what: String): DataFrame =
+    IndexStamp.validated(index, lshStampParams(planes, dims, tables), what)
 
   /** Bucket-join of a probe-side index against a corpus index with exact
     * cosine rerank — shared by [[lshIndexProbe]] and the streaming
@@ -205,12 +232,17 @@ object Similarity {
   /** Probe an LSH index ([[lshIndex]]) with new vectors: per probe, every
     * corpus vector sharing a bucket in any table, exact-cosine-reranked
     * at `minMicro`. The batch form of streaming embedding screening —
-    * and its correctness oracle. One row per (probe, match) pair. */
+    * and its correctness oracle. One row per (probe, match) pair.
+    *
+    * `planes`/`dims`/`tables` are validated against the index's stamp
+    * ([[IndexStamp]]): a mismatch RAISES rather than returning the
+    * near-empty match set mismatched bucket spaces produce. */
   def lshIndexProbe(probes: DataFrame, index: DataFrame, idCol: String,
       vecCol: String, minMicro: Long, planes: Int, dims: Int,
       tables: Int = 6): DataFrame =
-    indexProbeJoin(lshIndex(probes, idCol, vecCol, planes, dims, tables),
-      index, idCol, vecCol, minMicro).distinct()
+    indexProbeJoin(lshKeyed(probes, idCol, vecCol, planes, dims, tables),
+      validatedLshIndex(index, planes, dims, tables, "lshIndexProbe"),
+      idCol, vecCol, minMicro).distinct()
 
   /** Brute-force top-k: for each query vector, the k nearest corpus vectors
     * by cosine (self excluded), ranked (cos_micro desc, id asc). The query

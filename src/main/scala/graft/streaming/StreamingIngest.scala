@@ -282,6 +282,11 @@ object StreamingIngest {
     * [[graft.operators.Dedup.minhashProbe]] is the batch oracle —
     * identical rows after dedup, proven in `StreamingIngestSpec`.
     *
+    * `n`/`k`/`bands` are validated against the index's build-parameter
+    * stamp ([[graft.operators.IndexStamp]]) — a mismatch raises on the
+    * first micro-batch that reads an index row, instead of screening
+    * every batch against the wrong band-key space.
+    *
     * Persist/cache the index side: a stream-static join re-evaluates the
     * static plan every micro-batch, so hand this method a cached or
     * parquet-backed relation, not a freshly-derived one. */
@@ -291,7 +296,8 @@ object StreamingIngest {
     import graft.operators.Dedup
     Dedup.probeJoin(
       Dedup.minhashIndex(stream, idCol, textCol, n, k, bands),
-      index, idCol, k, minAgree)
+      Dedup.validatedMinhashIndex(index, n, k, bands, "nearDupScreenStream"),
+      idCol, k, minAgree)
   }
 
   /** Streaming EMBEDDING near-dup screening — the vector twin of
@@ -314,7 +320,11 @@ object StreamingIngest {
     * identical rows after dedup, proven in `StreamingIngestSpec`.
     *
     * `planes`/`dims`/`tables` MUST match the values the index was built
-    * with — the bucket ids are meaningless across mismatched families.
+    * with — the bucket ids are meaningless across mismatched families —
+    * and are validated against the index's build-parameter stamp
+    * ([[graft.operators.IndexStamp]]): a mismatch raises on the first
+    * micro-batch that reads an index row, instead of screening every
+    * batch against the wrong bucket space.
     * Persist/cache the index side: a stream-static join re-evaluates
     * the static plan every micro-batch. */
   def embeddingScreenStream(stream: DataFrame, index: DataFrame,
@@ -323,7 +333,9 @@ object StreamingIngest {
     import graft.operators.Similarity
     Similarity.indexProbeJoin(
       Similarity.lshIndex(stream, idCol, vecCol, planes, dims, tables),
-      index, idCol, vecCol, minMicro)
+      Similarity.validatedLshIndex(index, planes, dims, tables,
+        "embeddingScreenStream"),
+      idCol, vecCol, minMicro)
   }
 
   /** Sink-boundary dedup for [[nearDupScreenStream]] /
