@@ -165,6 +165,91 @@ object Relational {
       .drop("__e", "__dn", "__dv")
   }
 
+  /** W/RANGE — trailing time-window count + sum per key as a sliding
+    * RANGE frame `[t − width, t]` — the direct window form of the same
+    * semantics [[trailingWindowAgg]] computes by ledger. Cheaper than
+    * the ledger at BOUNDED frame occupancy (no 3× row explosion), but
+    * Spark re-aggregates the whole frame per row, so cost is
+    * O(rows × rows-per-frame) — quadratic in event density. Prefer
+    * [[rollingAgg]], which routes between the two forms on a density
+    * estimate (measured crossover in SCALING.md). */
+  def rangeFrameAgg(
+      df: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      valueCol: Column,
+      width: Long,
+      nOut: String = "n_trail",
+      sumOut: String = "sum_trail"): DataFrame = {
+    require(width > 0, "width must be positive")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol))
+      .rangeBetween(-width, 0)
+    df.withColumn(nOut, count(lit(1)).over(w))
+      .withColumn(sumOut, sum(valueCol).over(w))
+  }
+
+  /** W/RANGE front door — trailing time-window count + sum per key,
+    * ROUTED between the two plans that compute it:
+    *
+    *  - [[rangeFrameAgg]] (sliding RANGE frame): no row explosion, but
+    *    Spark re-aggregates the full frame per row — O(rows ×
+    *    rows-per-frame), quadratic in event density;
+    *  - [[trailingWindowAgg]] (add/remove ledger): a fixed ~3×
+    *    row-explosion constant, then one incremental running sum —
+    *    O(rows log rows) at ANY density.
+    *
+    * The routing rule encodes SCALING.md's measured crossover instead
+    * of leaving it as prose: at ~140 events per (key, width) frame the
+    * frame was 1.26× cheaper than the ledger (48.8 vs 61.7 CPU-s), at
+    * ~470 it was 1.65× more expensive (305.6 vs 184.6) — the measured
+    * pair puts break-even near 200 expected rows per frame, the
+    * `crossover` default. Both plans are hash-verified against the
+    * same DuckDB RANGE oracle (q48/q67/q69), so routing can never
+    * change the answer — only the cost.
+    *
+    * Density = mean trailing-frame occupancy, estimated as the per-key
+    * mean of `count · width / (span + width)`. Estimating it costs one
+    * small aggregation job at PLAN CONSTRUCTION time (the
+    * `nearDupPairsLshAuto` pattern — trivial against the window it
+    * right-sizes, but a per-batch caller should pass
+    * `eventsPerFrameHint` and skip it; the hint also serves workloads
+    * whose future density the caller knows better than the sample,
+    * e.g. a backfill growing 10× next month — route by where the
+    * density is GOING, not where it is).
+    *
+    * Output matches [[trailingWindowAgg]]: every input column plus
+    * `nOut`/`sumOut`, one row per input row. Pass `valueCol` pre-cast
+    * to DECIMAL for cross-engine-exact sums (see
+    * [[trailingWindowAgg]]'s equivalence note).
+    */
+  def rollingAgg(
+      df: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      idCol: String,
+      valueCol: Column,
+      width: Long,
+      nOut: String = "n_trail",
+      sumOut: String = "sum_trail",
+      eventsPerFrameHint: Option[Double] = None,
+      crossover: Double = 200.0): DataFrame = {
+    require(width > 0, "width must be positive")
+    val density = eventsPerFrameHint.getOrElse {
+      val occ = df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n"),
+          (max(col(timeCol)) - min(col(timeCol))).as("__span"))
+        .agg(avg(col("__n").cast("double") * width
+          / (col("__span").cast("double") + width)))
+        .head()
+      if (occ.isNullAt(0)) 0.0 else occ.getDouble(0) // empty input → either route
+    }
+    if (density <= crossover)
+      rangeFrameAgg(df, keyCols, timeCol, valueCol, width, nOut, sumOut)
+    else
+      trailingWindowAgg(df, keyCols, timeCol, idCol, valueCol, width, nOut, sumOut)
+  }
+
   /** J3/J4 — hierarchical enrichment cascade (the reference's signature
     * operator, `/root/reference/down/down_water_prep.py:428-546` and the
     * 2-level variant `direct/direct_water_prep.py:134-166`).

@@ -431,6 +431,24 @@ object ParityQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** W/RANGE routed — the SAME 7-day rolling aggregation through the
+    * [[graft.operators.Relational.rollingAgg]] front door, which picks
+    * q48's RANGE frame or q67's ledger from a one-agg density estimate
+    * (SCALING.md's measured crossover, encoded instead of prose). The
+    * oracle is the same DuckDB RANGE window as q48/q67 — whichever
+    * plan the router picks must hash-match it, so routing is proven
+    * answer-invariant on real data, not just in the spec fixture. */
+  val q69RollingRouted: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val e = t.events.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    rollingAgg(e, Seq("user_id"), "ts_us", "event_id",
+      col("value").cast("decimal(18,2)"), width = 604800000000L,
+      nOut = "n_7d", sumOut = "value_7d")
+      .withColumn("value_7d", col("value_7d").cast("double"))
+      .select("user_id", "event_id", "ts", "n_7d", "value_7d")
+      .orderBy("user_id", "event_id")
+  }
+
   /** A+ — HLL sketch distinct vs exact (SURVEY §2.5 extension): the
     * constant-memory cardinality path for 100 TB group-bys where exact
     * distinct would shuffle every key. The sketch value itself is
@@ -496,6 +514,7 @@ object ParityQueries {
     "q46_percentiles" -> q46Percentiles,
     "q48_range_frame" -> q48RangeFrame,
     "q67_rolling_ledger" -> q67RollingLedger,
+    "q69_rolling_routed" -> q69RollingRouted,
     "q49_approx_distinct" -> q49ApproxDistinct,
     "q02_agg_pricing" -> q02AggPricing,
     "q03_region_revenue" -> q03RegionRevenue,
@@ -691,6 +710,9 @@ object ParityQueries {
     // q67 computes the SAME semantics through the ledger plan — one
     // oracle, two Spark plans, both must hash-match it
     "q67_rolling_ledger" -> rolling7dOracleSql,
+    // q69 routes between the two plans at runtime; whichever it picks
+    // must still hash-match the same RANGE oracle
+    "q69_rolling_routed" -> rolling7dOracleSql,
     "q63_salted_join" ->
       """WITH fact AS (
         |  SELECT l_orderkey, l_linenumber,

@@ -255,6 +255,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(multi >= single)
   }
 
+  test("rollingAgg routes frame vs ledger by density, answer-invariant") {
+    // one key, 40 events, value = event id; width chosen so the whole
+    // series sits inside ~2 frame widths (dense) — the auto estimate
+    // must then route to the ledger at a low crossover, and to the
+    // frame when the caller hints sparse density
+    val events = (1 to 40).map(i => (1L, i.toLong, i.toLong * 10, i.toLong))
+      .toDF("user_id", "event_id", "ts_us", "value")
+    def run(hint: Option[Double], crossover: Double = 200.0) =
+      Relational.rollingAgg(events, Seq("user_id"), "ts_us", "event_id",
+        col("value").cast("decimal(18,2)"), width = 200L,
+        eventsPerFrameHint = hint, crossover = crossover)
+    // route choice shows in the window frame type: RANGE frame vs the
+    // ledger's explode (Generate) + running-sum ROWS frame
+    val framePlan = physicalPlan(run(hint = Some(5.0)))
+    assert(framePlan.contains("RangeFrame") && !framePlan.contains("Generate"),
+      "sparse hint must route to the RANGE frame")
+    val ledgerPlan = physicalPlan(run(hint = Some(500.0)))
+    assert(ledgerPlan.contains("Generate") && !ledgerPlan.contains("RangeFrame"),
+      "dense hint must route to the add/remove ledger")
+    // auto estimate: 40 events spanning 390 time units with width 200 →
+    // mean frame occupancy ≈ 40·200/590 ≈ 13.6 — ledger above a
+    // crossover of 10, frame at the default 200
+    assert(physicalPlan(run(hint = None, crossover = 10.0)).contains("Generate"),
+      "auto estimate must route dense data to the ledger")
+    assert(physicalPlan(run(hint = None)).contains("RangeFrame"),
+      "auto estimate must route bounded-density data to the frame")
+    // routing never changes the answer: both plans, same rows
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_id"), col("n_trail"),
+        col("sum_trail").cast("double")).collect().map(_.toSeq).toSet
+    assert(rows(run(hint = Some(5.0))) == rows(run(hint = Some(500.0))))
+    // spot-check one frame: event 10 at t=100, frame [−100, 100] holds
+    // events 1..10 → n=10, sum=55
+    val e10 = run(hint = Some(500.0)).filter(col("event_id") === 10).head()
+    assert(e10.getAs[Long]("n_trail") == 10L)
+    assert(e10.getAs[java.math.BigDecimal]("sum_trail").doubleValue() == 55.0)
+  }
+
   // ------------------------------------------------- full-query plan guards
 
   private val sfDir = "/root/testdata/sf0.001"
