@@ -334,20 +334,27 @@ object Dedup {
     * Plan shape: the signature array rides ALONG with the band keys into
     * the self-join, so the whole operator is scan → per-row signatures →
     * banded self-join (both sides the same subplan — ReuseExchange
-    * computes the shuffle once) → distinct → per-row agreement. The
+    * computes the shuffle once) → per-row agreement → distinct. The
     * former shape re-joined the candidate pairs against the signature
     * relation twice, re-running the signature aggregation's exchange;
-    * carrying the array eliminates both joins and their shuffles. */
+    * carrying the array eliminates both joins and their shuffles. The
+    * agreement rerank runs BEFORE the pair-distinct (the
+    * [[Similarity.nearDupPairsLsh]] lesson): sig_agree is deterministic
+    * per pair, so deduping (a, b, agree) after the threshold equals
+    * deduping (a, b, sigs) before it — but the distinct then
+    * hash-aggregates only PASSING pairs keyed by three scalars, instead
+    * of every banded candidate carrying two k-slot arrays. A pair
+    * colliding in several bands pays the 16-comparison rerank once per
+    * band — pennies against the exchange the old shape saved. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 4, minAgree: Int = 8): DataFrame = {
     val keys = minhashKeyed(df, idCol, textCol, n, k, bands)
-    val pairs = keys.toDF(s"a_$idCol", "a_sig", "band", "band_key")
+    keys.toDF(s"a_$idCol", "a_sig", "band", "band_key")
       .join(keys.toDF(s"b_$idCol", "b_sig", "band", "band_key"), Seq("band", "band_key"))
       .filter(col(s"a_$idCol") < col(s"b_$idCol"))
-      .select(s"a_$idCol", s"b_$idCol", "a_sig", "b_sig").distinct()
-    pairs.withColumn("sig_agree", sigAgree(col("a_sig"), col("b_sig"), k))
+      .withColumn("sig_agree", sigAgree(col("a_sig"), col("b_sig"), k))
       .filter(col("sig_agree") >= minAgree)
-      .select(s"a_$idCol", s"b_$idCol", "sig_agree")
+      .select(s"a_$idCol", s"b_$idCol", "sig_agree").distinct()
   }
 
   /** Probe an LSH index ([[minhashIndex]]) with new docs: per probe doc,
@@ -399,22 +406,78 @@ object Dedup {
     * convergence loop (count of changed labels per round), standard for
     * iterative graph algorithms on Spark; rounds needed = graph diameter
     * (near-dup components are shallow — dup clusters are cliques or
-    * short chains, so 2–4 rounds in practice). `localCheckpoint` per
+    * short chains, so 1–3 rounds in practice). `localCheckpoint` per
     * round truncates the exploding lineage.
+    *
+    * Only nodes that TOUCH AN EDGE enter the propagation loop: a node
+    * with no edges is its own singleton component by definition, and is
+    * re-attached with `cluster_id = id` by one left join at the end.
+    * This matters at every scale — near-dup edge sets are output-sized
+    * while the node set is the corpus (411 vs 4,538 at the sf0.1 study
+    * point, and the gap widens with corpus size), so the per-round join
+    * now moves edge-participant rows only, never the corpus. Labels
+    * initialize to min(id, min neighbor) — the first propagation round
+    * folded into initialization as one aggregation over the symmetric
+    * edge list (no join), so cliques converge in a single confirming
+    * round.
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
-      idCol: String, maxIter: Int = 20): DataFrame = {
+      idCol: String, maxIter: Int = 20,
+      maxDriverEdges: Int = DefaultMaxDriverEdges): DataFrame = {
     val cols = edges.columns
     require(cols.length == 2, "edges must be (src, dst)-shaped")
-    val sym = edges.toDF("src", "dst")
-      .unionByName(edges.toDF("dst", "src").select("src", "dst"))
+    val e0 = edges.toDF("src", "dst")
+    val idType = e0.schema.fields.head.dataType
+    val integralIds = idType match {
+      case org.apache.spark.sql.types.LongType
+         | org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    // DRIVER FAST PATH — the broadcast-join trade applied to graph
+    // labeling: a near-dup edge set is OUTPUT-sized (pairs that passed
+    // a similarity threshold), typically orders of magnitude below the
+    // corpus, while the iterative loop below costs ~2 driver-synchronous
+    // jobs per round REGARDLESS of data size (measured: 16+ jobs and
+    // ~1 s of pure scheduling at a 211-edge study point). Up to
+    // `maxDriverEdges` (~80 MB of collected rows at the default — the
+    // same order as an autoBroadcastJoinThreshold build side) the edge
+    // list is fetched in ONE head() job and labeled with union-find in
+    // O(E α(E)); labels join back as a broadcast. Components and
+    // representatives (min id) are identical to the loop's fixpoint.
+    // Above the threshold — or for non-integral id types — the
+    // distributed loop runs instead, so scale is never capped by the
+    // fast path (above-threshold callers re-evaluate the edge plan
+    // once more; pass a checkpointed relation if that matters).
+    driverUnionFind(e0, maxDriverEdges) match {
+      case Some(labels) =>
+        val session = e0.sparkSession
+        import session.implicits._
+        val labelDf = broadcast(labels.toDF("id", "label"))
+        return nodes.select(col(idCol).as("id"))
+          .join(labelDf, Seq("id"), "left")
+          .select(col("id").as(idCol),
+            coalesce(col("label"), col("id")).cast(idType).as("cluster_id"))
+      case None => () // over-threshold or non-integral ids: distributed loop
+    }
+    // materialize the edge list once for the loop — sym and every round
+    // read these blocks instead of re-evaluating the candidate-pair plan
+    val e = e0.localCheckpoint(true)
+    val sym = e
+      .unionByName(e.toDF("dst", "src").select("src", "dst"))
       .distinct()
       .localCheckpoint(true)
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+    // active nodes only, with round 1 built into the init: every src in
+    // the symmetric edge list IS every edge-participant node, and its
+    // neighbor-min comes from the same aggregation that enumerates it
+    var labels = sym.groupBy("src").agg(min("dst").as("nmin"))
+      .select(col("src").as("id"),
+        least(col("src"), col("nmin")).as("label"))
       .localCheckpoint(true)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
+      // every dst is itself an edge participant, so the inner join
+      // covers all neighbors — no label can be missed
       val neighborMin = sym.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy("src").agg(min("label").as("nmin"))
         .withColumnRenamed("src", "id")
@@ -436,7 +499,51 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds " +
         "(component diameter exceeds maxIter — raise it)")
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    // singleton components (no edges) rejoin as their own cluster
+    nodes.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("label"), col("id")).as("cluster_id"))
+  }
+
+  /** How many edges [[connectedComponents]] and [[nearDupSurvivors]]
+    * will pull to the driver before falling back to the distributed
+    * label-propagation loop (~80 MB of collected rows — the same order
+    * as an autoBroadcastJoinThreshold build side). */
+  val DefaultMaxDriverEdges: Int = 1000000
+
+  /** Driver-side union-find over a (src, dst) edge DataFrame: `Some` of
+    * the non-root labels — every (id, component-min) pair where id is
+    * NOT its component's minimum — when the ids are integral and the
+    * edge list fits in `cap` rows (fetched with ONE head() job); `None`
+    * otherwise. Union is by MIN id with path compression, so the
+    * representative is exactly the distributed loop's fixpoint label. */
+  private def driverUnionFind(edges: DataFrame, cap: Int): Option[Seq[(Long, Long)]] = {
+    val integralIds = edges.schema.fields.head.dataType match {
+      case org.apache.spark.sql.types.LongType
+         | org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    if (!integralIds || cap <= 0) return None
+    val sample = edges.head(cap + 1)
+    if (sample.length > cap) return None
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent.update(c, r); c = n }
+      r
+    }
+    sample.foreach { row =>
+      val (a, b) = (row.getAs[Number](0).longValue(), row.getAs[Number](1).longValue())
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent.update(rb, ra)
+      else if (rb < ra) parent.update(ra, rb)
+    }
+    // parent's keys are exactly the ids that were ever attached under a
+    // smaller root — the non-canonical members; roots label themselves
+    Some(parent.keys.toSeq.map(id => (id, find(id))))
   }
 
   /** Near-dup clusters from MinHash-LSH pairs, with per-cluster size and
@@ -457,14 +564,39 @@ object Dedup {
     * the dedup stage a curation pipeline composes between exact dedup
     * and split assignment. Candidate generation is [[minhashLshPairs]]'
     * banded LSH (the corpus-scale route; see the scale contract on
-    * [[jaccardPairs]]), clustering is [[connectedComponents]], and the
-    * survivor filter is a semi join on the id — every step a hash
-    * shuffle, nothing pairwise-over-the-corpus. */
+    * [[jaccardPairs]]), clustering is [[connectedComponents]].
+    *
+    * Unlike [[nearDupClusters]] — whose contract is a per-doc cluster
+    * report and therefore pays a corpus-wide window — survivors only
+    * need the NON-canonical ids, and those are output-sized: every
+    * loser touches at least one near-dup pair. So clustering runs over
+    * the edge-participant nodes only (checkpointed once; both the CC
+    * input and the node set read the same blocks) and the survivor
+    * filter is one anti join of the corpus against the loser ids —
+    * no corpus-sized shuffle anywhere but the pair generation itself. */
   def nearDupSurvivors(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 16, bands: Int = 4, minAgree: Int = 8): DataFrame = {
-    val canon = nearDupClusters(df, idCol, textCol, n, k, bands, minAgree)
-      .filter(col("is_canonical")).select(idCol)
-    df.join(canon, Seq(idCol), "left_semi")
+    val pairs = minhashLshPairs(df, idCol, textCol, n, k, bands, minAgree)
+      .select(col(s"a_$idCol").as("src"), col(s"b_$idCol").as("dst"))
+    driverUnionFind(pairs, DefaultMaxDriverEdges) match {
+      case Some(labels) =>
+        // the non-root side of every label IS the loser list — no
+        // cluster join needed at all, just one broadcast anti join
+        val session = df.sparkSession
+        import session.implicits._
+        val losers = broadcast(labels.map(_._1).toDF("__loser")
+          .select(col("__loser").cast(df.schema(idCol).dataType).as(idCol)))
+        df.join(losers, Seq(idCol), "left_anti")
+      case None =>
+        val pc = pairs.localCheckpoint(true)
+        val paired = pc.select(col("src").as(idCol))
+          .unionByName(pc.select(col("dst").as(idCol)))
+          .distinct()
+        val losers = connectedComponents(pc, paired, idCol)
+          .filter(col(idCol) =!= col("cluster_id"))
+          .select(idCol)
+        df.join(losers, Seq(idCol), "left_anti")
+    }
   }
 
   // ---------------------------------------------------------------- SimHash

@@ -102,8 +102,14 @@ object TrainingQueries {
       .filter(graft.functions.TextAnalysis.qualityKeep(col("text")))
       .withColumns(facets.toMap)
       .filter(!(col("top_token_permille") >= 280 || col("dup_bigram_permille") >= 350))
+    // one materialization boundary after the gates+exact-dedup prefix:
+    // the near-dup stage consumes it twice (candidate generation and
+    // the survivor base), and without the boundary Spark re-runs the
+    // text-expression gates and the content-hash window per consumer —
+    // the same localCheckpoint trade as nearDupPairsLsh's keyed relation
     val deduped = graft.operators.Dedup.exactDedup(gated, "doc_id", "text")
       .filter(!col("is_dup"))
+      .localCheckpoint(true)
     val survivors = graft.operators.Dedup.nearDupSurvivors(deduped, "doc_id", "text")
     TrainingData.assignSplit(survivors, "source")
       .select("doc_id", "lang", "source", "split")
