@@ -130,7 +130,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         def intConst(e: Expression, name: String): Int =
           (if (e.foldable) e.eval() else null) match {
             case i: java.lang.Integer => i.intValue()
-            case l: java.lang.Long if l >= 1 && l <= Int.MaxValue => l.intValue()
+            case l: java.lang.Long if l >= Int.MinValue && l <= Int.MaxValue =>
+              l.intValue()
+            case l: java.lang.Long => throw new IllegalArgumentException(
+              s"lsh_buckets $name is out of int range: $l")
             case s: java.lang.Short => s.intValue()
             case _ => throw new IllegalArgumentException(
               s"lsh_buckets $name must be an integral constant, got $e")
@@ -138,7 +141,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val planes = intConst(exprs(1), "planes")
         val dims = intConst(exprs(2), "dims")
         val tables = intConst(exprs(3), "tables")
+        // dims/tables <= 0 would not error downstream — they yield all-zero
+        // buckets resp. an empty bucket array, a silent wrong answer
         require(planes >= 1 && planes <= 62, "planes must be in [1, 62]")
+        require(dims >= 1, "dims must be >= 1")
+        require(tables >= 1, "tables must be >= 1")
         val fams = (0 until tables).map(t =>
           graft.operators.Similarity.hyperplaneSigns(planes, dims, t)
             .map(_.map(_.toFloat)))

@@ -178,7 +178,16 @@ object Dedup {
     * the broadcast threshold and the resulting driver broadcast of a
     * corpus-sized relation OOMs at scale (observed at the 150k-doc
     * study point). A corpus-sized self-join must shuffle on its key —
-    * the hint states what the statistics cannot. */
+    * the hint states what the statistics cannot.
+    *
+    * CONSTRUCTION SIDE EFFECT: building this DataFrame already runs
+    * Spark jobs (the eager checkpoint) and pins the checkpointed blocks
+    * in executor storage for the session's lifetime. A long-lived
+    * session composing many instances should release them after the
+    * action completes — the blocks are reachable via
+    * `spark.sparkContext.getPersistentRDDs` — or scope the work to a
+    * job group. The same applies to [[Similarity.nearDupPairsLsh]] and
+    * [[nearDupSurvivors]]'s over-threshold path. */
   def jaccardPairsPrefix(
       df: DataFrame,
       idCol: String,

@@ -76,7 +76,13 @@ object Similarity {
     * size, unless the caller has a measured reason to pin it), `tables`
     * buys recall back at the cost of `tables`× candidate generation. A
     * pair split across buckets in every table is missed; every emitted
-    * pair carries its exact cosine. */
+    * pair carries its exact cosine.
+    *
+    * CONSTRUCTION SIDE EFFECT: building this DataFrame already runs
+    * Spark jobs (the eager checkpoint below) and pins the checkpointed
+    * blocks in executor storage for the session's lifetime; long-lived
+    * sessions composing many instances should release them
+    * (`spark.sparkContext.getPersistentRDDs`) after the action runs. */
   def nearDupPairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
       minMicro: Long, planes: Int, dims: Int, tables: Int = 1): DataFrame = {
     // Vectors+norms RIDE ALONG into the bucket join (the minhashLshPairs

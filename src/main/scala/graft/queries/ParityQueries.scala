@@ -470,6 +470,10 @@ object ParityQueries {
     // sum of group counts, exact_parts a plain count, and the HLL sketch
     // is IDENTICAL on deduped input (register updates are idempotent per
     // value), so the oracle hash is unchanged.
+    // PRECONDITION: the distinct key must be NON-NULL (l_partkey is, per
+    // TPC-H). countDistinct skips nulls; this rewrite counts a null-key
+    // GROUP as one distinct value. On a nullable key, filter the null
+    // group between the two aggregations before reusing this pattern.
     t.lineitem
       .groupBy("l_returnflag", "l_partkey")
       .agg(count(lit(1)).as("__rows"))

@@ -101,9 +101,15 @@ object ScaleQueries {
   val q29EmbeddingNearDup: Q = (spark, dir) => {
     val t = Tables(spark, dir)
     val e = t.embeddings
+    val n = CorpusCounts.of(e, s"$dir#embeddings")
+    // the oracle replicates the derived plane count only up to
+    // MaxAutoPlanes (12 planes ≈ 1.05M vectors) — past that the two
+    // engines would bucket differently and the hash compare would fail
+    // for a reason that is about the HARNESS, not the operator
+    require(n <= 0 || Similarity.lshAutoPlanes(n) <= MaxAutoPlanes,
+      s"q29 corpus ($n rows) derives more planes than the oracle replicates")
     Similarity.nearDupPairsLshAuto(e, "vec_id", "embedding",
-      minMicro = 400000L, dims = 64, tables = 6,
-      knownRows = Some(CorpusCounts.of(e, s"$dir#embeddings")))
+      minMicro = 400000L, dims = 64, tables = 6, knownRows = Some(n))
       .orderBy("a_id", "b_id")
   }
 
@@ -183,6 +189,8 @@ object ScaleQueries {
     // plan well-formed and the result is empty regardless
     val corpusRows = CorpusCounts.of(corpus, s"$dir#embeddings_corpus90")
     val planes = if (corpusRows <= 0) 1 else Similarity.lshAutoPlanes(corpusRows)
+    require(planes <= MaxAutoPlanes,
+      s"q68 corpus ($corpusRows rows) derives more planes than the oracle replicates")
     Similarity.lshIndexProbe(probes,
       Similarity.lshIndex(corpus, "vec_id", "embedding", planes, dims = 64),
       "vec_id", "embedding", minMicro = 250000L, planes = planes, dims = 64)
@@ -294,7 +302,7 @@ object ScaleQueries {
     * embeddings count — [[Similarity.nearDupPairsLshAuto]] counts before
     * the zero-norm filter. */
   private val planesCte =
-    "np AS (SELECT LEAST(62, GREATEST(1, length(bin((count(*) + 255) // 256 - 1)))) AS planes FROM embeddings)"
+    "np AS (SELECT LEAST(62, GREATEST(1, length(bin(GREATEST((count(*) + 255) // 256, 1) - 1)))) AS planes FROM embeddings)"
 
   /** Upper bound on the derived plane count the oracle can replicate:
     * 12 planes cover corpora to 256·2^12 ≈ 1.05M vectors — far past any
@@ -469,7 +477,7 @@ object ScaleQueries {
             s"FROM e, np WHERE $pred")
           .mkString(s"$name AS (\n  ", "\n  UNION ALL ", ")")
       s"""WITH $normedCte,
-         |np AS (SELECT LEAST(62, GREATEST(1, length(bin((count(*) + 255) // 256 - 1)))) AS planes
+         |np AS (SELECT LEAST(62, GREATEST(1, length(bin(GREATEST((count(*) + 255) // 256, 1) - 1)))) AS planes
          |       FROM embeddings WHERE vec_id % 10 <> 0),
          |${mkSide("mkp", "vec_id % 10 = 0")},
          |${mkSide("mkc", "vec_id % 10 <> 0")},
