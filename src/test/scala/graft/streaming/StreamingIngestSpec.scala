@@ -468,4 +468,84 @@ class StreamingIngestSpec extends SparkSpec {
     assert(agg.isStreaming)
     assert(agg.columns.toSeq == Seq("ws", "PWSID", "n"))
   }
+
+  test("composed golden: drop → DQ observe → TTL dedup → embedding screen → deduped pair sink, batch-identical") {
+    // every stage is specced in isolation above; this is the claimed
+    // COMPOSITION — one ingest pipeline wiring all four together across
+    // two drains, with an in-batch duplicate (TTL dedup picks the
+    // earliest), a cross-drain replay inside the TTL (suppressed by
+    // state), and a genuinely new probe in the second drain. The oracle
+    // is the batch index probe over exactly the probes that survive the
+    // TTL dedup — composition must change nothing.
+    import graft.operators.{Quality, Similarity}
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(-0.8f, 0.3f, 0.1f, -0.6f)),
+      (3L, Array(0.0f, 1.0f, -0.4f, 0.3f))).toDF("vec_id", "embedding")
+    val index = Similarity.lshIndex(corpus, "vec_id", "embedding",
+      planes = 2, dims = 4, tables = 4).cache()
+
+    val drop = tmp("graft-golden-drop")
+    val out = tmp("graft-golden-out")
+    val ckpt = tmp("graft-golden-ckpt")
+    val schema = "vec_id LONG, embedding ARRAY<FLOAT>, ts TIMESTAMP"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val stream = spark.readStream.schema(schema).parquet(drop)
+      val gated = StreamingIngest.observedGates(stream, "dq",
+        Seq(Quality.Gate("null_vec", col("vec_id").isNull)))
+      val fresh = StreamingIngest.dedupStreamTtl(gated, Seq("vec_id"), "ts",
+        ttlMs = 60 * 60 * 1000L, watermark = "0 seconds")
+      val screened = StreamingIngest.embeddingScreenStream(fresh, index,
+        "vec_id", "embedding", minMicro = 900000L, planes = 2, dims = 4, tables = 4)
+      val q = StreamingIngest.dedupedPairSink(screened, out, ckpt,
+        keyCols = Seq("probe_id", "corpus_id"), aggCol = "cos_micro").start()
+      q.awaitTermination()
+      q
+    }
+
+    // drain 1: 101 arrives twice in-batch (near-dup of corpus 1),
+    // 103 is an unrelated direction (screens clean)
+    Seq(
+      (101L, Array(0.99f, 0.01f, 0.5f, 0.2f), ts("2024-01-01 10:00:00")),
+      (101L, Array(0.99f, 0.01f, 0.5f, 0.2f), ts("2024-01-01 10:00:05")),
+      (103L, Array(0.5f, -0.9f, 0.2f, -0.1f), ts("2024-01-01 10:00:10")))
+      .toDF("vec_id", "embedding", "ts")
+      .write.mode("append").parquet(drop)
+    val q1 = drain()
+    // the DQ observe stage is live in the composed plan
+    val perBatch = q1.recentProgress.flatMap(p => Option(p.observedMetrics.get("dq")))
+    assert(perBatch.nonEmpty, "no 'dq' observed metrics in the composed pipeline")
+    assert(perBatch.map(_.getAs[Long]("total_rows")).sum == 3L)
+    assert(perBatch.map(_.getAs[Long]("null_vec")).sum == 0L)
+
+    // drain 2: 101 replays INSIDE the TTL (state suppresses it — its
+    // matches must not re-enter the sink), 104 is new (near-dup of 1)
+    Seq(
+      (101L, Array(0.99f, 0.01f, 0.5f, 0.2f), ts("2024-01-01 10:20:00")),
+      (104L, Array(1.0f, 0.02f, 0.49f, 0.21f), ts("2024-01-01 10:30:00")))
+      .toDF("vec_id", "embedding", "ts")
+      .write.mode("append").parquet(drop)
+    drain()
+
+    // batch oracle: the TTL-dedup survivor set, screened in one batch
+    val survivors = Seq(
+      (101L, Array(0.99f, 0.01f, 0.5f, 0.2f)),
+      (103L, Array(0.5f, -0.9f, 0.2f, -0.1f)),
+      (104L, Array(1.0f, 0.02f, 0.49f, 0.21f))).toDF("vec_id", "embedding")
+    val expected = Similarity.lshIndexProbe(survivors, index, "vec_id", "embedding",
+      minMicro = 900000L, planes = 2, dims = 4, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val sunk = spark.read.parquet(out)
+    assert(sunk.groupBy("probe_id", "corpus_id").count()
+      .filter(col("count") > 1).isEmpty, "sink holds duplicate pairs")
+    val got = sunk.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.exists(p => p._1 == 101L && p._2 == 1L), "near-dup probe must match")
+    assert(got.exists(p => p._1 == 104L && p._2 == 1L), "second-drain probe must match")
+    assert(!got.exists(_._1 == 103L), "unrelated probe must screen clean")
+    index.unpersist()
+  }
 }
