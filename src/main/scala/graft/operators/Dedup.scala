@@ -160,15 +160,20 @@ object Dedup {
     * df-skewed corpora the prefix index prunes most of the fanout the
     * raw join pays, and unlike the cap it never changes the answer.
     *
-    * WHEN TO USE WHICH exact form (measured, SCALING.md r6): prefix
-    * filtering's prune power IS the corpus's df skew. On a
-    * uniform-df corpus (the synthetic 30-word-vocab fixture is exactly
-    * that) prefix tokens are no rarer than any others, candidates only
-    * halve, and each candidate carries two full hash arrays — the
-    * skinny raw join ([[jaccardPairs]]) wins there. On the power-law
-    * df distributions of real text, rare-token prefixes collapse the
-    * fanout and THIS form wins — and it is always lossless, where the
-    * raw join at scale needs its recall-shifting df cap.
+    * WHEN TO USE WHICH exact form (measured, SCALING.md r6+r7): prefix
+    * filtering's prune power is concentrated SHINGLE-df mass, not word
+    * skew per se. Measured on Zipf(s≈1) free text, 3-gram shingles are
+    * mostly globally unique, the raw join ([[jaccardPairs]]) stays
+    * near-linear and wins at every size (prefix costs 1.6–3.1× more —
+    * each candidate carries two full hash arrays). Add verbatim
+    * boilerplate (30% of docs sharing template sentences) and the
+    * picture inverts at scale: template-shingle df ≈ 750 sends the raw
+    * join's Σdf² fanout quadratic (10.4× CPU at 3.3× docs) while the
+    * rarest-first prefix never indexes the boilerplate tokens and
+    * holds linear — 3.1× cheaper at the 50k-doc point and compounding.
+    * ROUTE: corpora with repeated verbatim blocks (crawl headers,
+    * licenses, templates) → THIS form, always lossless; high-entropy /
+    * unique-text corpora → the raw join (with its df cap at scale).
     *
     * The prefix relation is locally checkpointed before the self-join
     * (the materialization boundary [[Similarity.nearDupPairsLsh]] also

@@ -112,6 +112,52 @@ object ScaleGen {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** Power-law (Zipf s≈1) document corpus — the df distribution of real
+    * text, which the uniform 30-word `documents` table deliberately
+    * lacks: word rank r is drawn by inverse CDF as floor(V^u) over a
+    * 10,000-word vocabulary, giving P(rank = r) ∝ 1/r — a handful of
+    * stopword-like tokens in almost every doc and a long rare tail.
+    * This is the corpus [[graft.operators.Dedup.jaccardPairsPrefix]]'s
+    * prefix filter is built for (rare-token prefixes prune the join);
+    * measured against [[graft.operators.Dedup.jaccardPairs]] in
+    * SCALING.md's power-law addendum. Same near-dup population (~5.1%
+    * append-marker copies) and length distribution as `documents`, so
+    * the two corpora differ ONLY in df shape. */
+  def documentsPowerLaw(spark: SparkSession, rows: Long, vocab: Long = 10000L,
+      boilerplate: Double = 0.0): DataFrame = {
+    val words = array((0 until 100).map { slot =>
+      // rank in [1, vocab]: floor(vocab^u) + 1 clamped — u from the
+      // (id, slot)-salted hash, so every slot draws independently
+      val u = pmod(xxhash64(id, lit(500 + slot)), lit(1000000L)).cast("double") / 1e6
+      concat(lit("w"), least(pow(lit(vocab.toDouble), u).cast("long") + 1, lit(vocab)))
+    }: _*)
+    // boilerplate fraction: docs carrying one of 20 verbatim 12-word
+    // template sentences — the repeated-header/footer df mass of real
+    // crawl text. Template shingles reach df ≈ rows·boilerplate/20,
+    // exactly the fanout the raw shared-shingle join pays df² for and
+    // a rarest-first prefix never indexes.
+    val freeText = concat_ws(" ", slice(words, lit(1), (ui(60, 91) + 10).cast("int")))
+    val templates = array((0 until 20).map(t =>
+      lit((0 until 12).map(i => s"bp${t}_$i").mkString(" "))): _*)
+    val text =
+      if (boilerplate <= 0) freeText
+      else when(u(66) < boilerplate,
+        concat(freeText, lit(" "), element_at(templates, ui(67, 20).cast("int") + 1)))
+        .otherwise(freeText)
+    val base = spark.range(rows).select(id, text.as("btext"))
+    val withSrc = base
+      .withColumn("is_dup", (u(61) < 0.051) && (id > 0))
+      .withColumn("src",
+        when(col("is_dup"), pmod(xxhash64(id, lit(62L)), greatest(id, lit(1L))))
+          .otherwise(id))
+    withSrc
+      .join(base.select(id.as("src"), col("btext").as("srctext")), Seq("src"))
+      .select(
+        id.as("doc_id"),
+        when(col("is_dup"), concat(col("srctext"), lit(" dup")))
+          .otherwise(col("btext")).as("text"))
+  }
+
   def embeddings(spark: SparkSession, rows: Long): DataFrame = {
     // ~1% near-copies of the previous vector (perturbed ±0.02/dim before
     // normalization) — the high-cosine population the near-dup query finds
