@@ -118,6 +118,30 @@ class LawsSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
   }
 
+  test("connectedComponents: driver union-find and the distributed loop agree (seeded graphs)") {
+    // the driver fast path handles every test-sized corpus, which would
+    // leave the over-threshold distributed loop DEAD in the suite —
+    // force it with maxDriverEdges = 0 and prove the two paths compute
+    // identical labels on random graphs (chains, cliques, singletons)
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val n = 60
+      val edges = (0 until 50)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("a", "b")
+      val nodes = (0 until n).map(_.toLong).toDF("doc_id")
+      val fast = Dedup.connectedComponents(edges, nodes, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val loop = Dedup.connectedComponents(edges, nodes, "doc_id",
+        maxDriverEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == loop, s"paths disagree at seed $seed")
+      // labels are component minima: every label labels itself
+      assert(fast.values.forall(v => fast(v) == v))
+    }
+  }
+
   test("self-probe law: minhashProbe of a corpus against its own index reproduces minhashLshPairs") {
     val rnd = new Random(5)
     val docs = (0 until 80).map { i =>
