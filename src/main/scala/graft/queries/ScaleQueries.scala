@@ -43,8 +43,10 @@ object ScaleQueries {
     * join is the RIGHT exact form for THIS corpus: its df distribution
     * is uniform, which defeats [[Dedup.jaccardPairsPrefix]]'s prefix
     * selection (measured r6 — the prefix form's array-carrying
-    * candidates cost 6× the skinny join here; on df-skewed real text
-    * the preference flips, see the operator's scaladoc). */
+    * candidates cost 6× the skinny join here; the r7 power-law study
+    * sharpened the rule: the preference flips only under concentrated
+    * shingle-df mass, i.e. verbatim boilerplate — see the operator's
+    * scaladoc and SCALING.md). */
   val q26JaccardPairs: Q = (spark, dir) => {
     val t = Tables(spark, dir)
     Dedup.jaccardPairs(t.documents, "doc_id", "text", n = 3, minPermille = 500,
