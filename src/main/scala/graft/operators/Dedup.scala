@@ -386,6 +386,40 @@ object Dedup {
       validatedMinhashIndex(index, n, k, bands, "minhashProbe"),
       idCol, k, minAgree).distinct()
 
+  /** [[minhashProbe]] with `n`/`k`/`bands` read FROM the index's own
+    * stamp (one tiny head() job) — the closed form of the
+    * self-describing-index contract: nothing to re-supply, nothing to
+    * mismatch. `minAgree` stays caller-side (a probe-time threshold,
+    * not a build parameter). An empty index returns the empty match
+    * set with the contract schema. Prefer this for persisted indexes;
+    * the explicit form remains for streaming plans. */
+  def minhashProbeAuto(probes: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, minAgree: Int = 8): DataFrame =
+    IndexStamp.read(index, Seq("ix_n", "ix_k", "ix_bands"),
+        "minhashProbeAuto") match {
+      case Some(Seq(n, k, bands)) =>
+        minhashProbe(probes, index, idCol, textCol, n, k, bands, minAgree)
+      case _ =>
+        probeJoin(minhashKeyed(probes.limit(0), idCol, textCol, 3, 16, 4),
+          index, idCol, 16, minAgree).distinct()
+    }
+
+  /** The index rows for NEW documents under an existing index's build
+    * parameters (read from its stamp): append these to the persisted
+    * relation (`write.mode("append").partitionBy("band")`) to grow the
+    * index without recomputing the corpus. Extending an EMPTY relation
+    * is refused — there is no stamp to inherit; build instead. */
+  def minhashIndexExtend(index: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    IndexStamp.read(index, Seq("ix_n", "ix_k", "ix_bands"),
+        "minhashIndexExtend") match {
+      case Some(Seq(n, k, bands)) =>
+        minhashIndex(newDocs, idCol, textCol, n, k, bands)
+      case _ => throw new IllegalArgumentException(
+        "minhashIndexExtend: cannot extend an empty index relation (no " +
+          "stamp to inherit) — build it with minhashIndex instead")
+    }
+
   /** Band-key equi-join of a probe index against a corpus index with
     * agreement rerank — shared by [[minhashProbe]] and the streaming
     * screen (which must skip the stateful `distinct`). Columns are bound

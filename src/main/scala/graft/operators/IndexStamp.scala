@@ -56,4 +56,18 @@ private[graft] object IndexStamp {
     // whole index through untouched; the first disagreeing row raises
     index.filter(assert_true(agree, msg).isNull)
   }
+
+  /** The build parameters read back FROM the stamp — one tiny head()
+    * job (stamps are constant, any row serves). `None` for an empty
+    * index (nothing to read — and nothing to probe). Missing stamp
+    * columns fail fast as in [[validated]]. */
+  def read(index: DataFrame, cols: Seq[String], what: String): Option[Seq[Int]] = {
+    val missing = cols.filterNot(index.columns.contains)
+    require(missing.isEmpty,
+      s"$what: index relation carries no build-parameter stamp (missing " +
+        s"column(s) ${missing.mkString(", ")}) — rebuild the index with the " +
+        "current index builder")
+    index.select(cols.map(c => col(c).cast("int")): _*).head(1).headOption
+      .map(r => cols.indices.map(r.getInt))
+  }
 }

@@ -250,6 +250,48 @@ object Similarity {
       validatedLshIndex(index, planes, dims, tables, "lshIndexProbe"),
       idCol, vecCol, minMicro).distinct()
 
+  /** [[lshIndexProbe]] with the build parameters read FROM the index's
+    * own stamp (one tiny head() job) — the closed form of the
+    * self-describing-index contract: the caller CANNOT mismatch,
+    * because there is nothing to re-supply. An empty index returns the
+    * empty match set with the contract schema. Prefer this for
+    * persisted indexes; the explicit-parameter form remains for
+    * streaming plans (building the probe side needs the parameters
+    * before any action may run). */
+  def lshIndexProbeAuto(probes: DataFrame, index: DataFrame, idCol: String,
+      vecCol: String, minMicro: Long): DataFrame =
+    IndexStamp.read(index, Seq("ix_planes", "ix_dims", "ix_tables"),
+        "lshIndexProbeAuto") match {
+      case Some(Seq(planes, dims, tables)) =>
+        lshIndexProbe(probes, index, idCol, vecCol, minMicro, planes, dims, tables)
+      case _ =>
+        // empty index: schema-correct empty result — limit(0) on the
+        // probe side so no bucket expression ever evaluates
+        indexProbeJoin(lshKeyed(probes.limit(0), idCol, vecCol, 1, 1, 1),
+          index, idCol, vecCol, minMicro).distinct()
+    }
+
+  /** The index rows for NEW vectors under an existing index's build
+    * parameters (read from its stamp): append these to the persisted
+    * relation (`write.mode("append").partitionBy("tbl")`) to grow the
+    * index without recomputing the corpus. The plane count stays the
+    * BUILD-time one by definition — expected bucket occupancy grows
+    * with the appended volume, so rebuild via [[lshIndex]] +
+    * [[lshAutoPlanes]] when the corpus outgrows the build point
+    * (occupancy doubles per factor-2 growth). Extending an EMPTY
+    * relation is refused: there is no stamp to inherit — build
+    * instead. */
+  def lshIndexExtend(index: DataFrame, newVecs: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    IndexStamp.read(index, Seq("ix_planes", "ix_dims", "ix_tables"),
+        "lshIndexExtend") match {
+      case Some(Seq(planes, dims, tables)) =>
+        lshIndex(newVecs, idCol, vecCol, planes, dims, tables)
+      case _ => throw new IllegalArgumentException(
+        "lshIndexExtend: cannot extend an empty index relation (no stamp " +
+          "to inherit) — build it with lshIndex instead")
+    }
+
   /** Brute-force top-k: for each query vector, the k nearest corpus vectors
     * by cosine (self excluded), ranked (cos_micro desc, id asc). The query
     * side is broadcast; the corpus is scanned once with no shuffle until

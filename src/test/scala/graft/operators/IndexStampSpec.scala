@@ -88,6 +88,69 @@ class IndexStampSpec extends SparkSpec {
         "embedding", minMicro = 0L, planes = 2, dims = 4))
   }
 
+  test("probeAuto reads parameters from the stamp: equals the explicit probe, never mismatches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-auto").toString
+    // non-default parameters, persisted — the auto probe must recover
+    // them from the stamp alone
+    Dedup.minhashIndex(docs, "doc_id", "text", n = 2, k = 8, bands = 2)
+      .write.mode("overwrite").partitionBy("band").parquet(dir)
+    val readBack = spark.read.parquet(dir)
+    val explicit = Dedup.minhashProbe(docs, readBack, "doc_id", "text",
+      n = 2, k = 8, bands = 2, minAgree = 4).collect().map(_.toSeq).toSet
+    val auto = Dedup.minhashProbeAuto(docs, readBack, "doc_id", "text",
+      minAgree = 4).collect().map(_.toSeq).toSet
+    assert(auto == explicit && auto.nonEmpty)
+    // embedding twin
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-auto-lsh").toString
+    Similarity.lshIndex(vecs, "vec_id", "embedding", planes = 3, dims = 4, tables = 2)
+      .write.mode("overwrite").partitionBy("tbl").parquet(ixDir)
+    val lshBack = spark.read.parquet(ixDir)
+    val lshExplicit = Similarity.lshIndexProbe(vecs, lshBack, "vec_id", "embedding",
+      minMicro = 0L, planes = 3, dims = 4, tables = 2).collect().map(_.toSeq).toSet
+    val lshAuto = Similarity.lshIndexProbeAuto(vecs, lshBack, "vec_id", "embedding",
+      minMicro = 0L).collect().map(_.toSeq).toSet
+    assert(lshAuto == lshExplicit && lshAuto.nonEmpty)
+  }
+
+  test("probeAuto on an empty index: empty result, contract schema; extend refuses") {
+    val emptyMh = Dedup.minhashIndex(docs.limit(0), "doc_id", "text")
+    val r = Dedup.minhashProbeAuto(docs, emptyMh, "doc_id", "text")
+    assert(r.columns.toSeq == Seq("probe_doc_id", "corpus_doc_id", "sig_agree"))
+    assert(r.count() == 0)
+    val emptyLsh = Similarity.lshIndex(vecs.limit(0), "vec_id", "embedding",
+      planes = 2, dims = 4)
+    val r2 = Similarity.lshIndexProbeAuto(vecs, emptyLsh, "vec_id", "embedding", 0L)
+    assert(r2.columns.toSeq == Seq("probe_id", "corpus_id", "cos_micro"))
+    assert(r2.count() == 0)
+    intercept[IllegalArgumentException](
+      Dedup.minhashIndexExtend(emptyMh, docs, "doc_id", "text").collect())
+    intercept[IllegalArgumentException](
+      Similarity.lshIndexExtend(emptyLsh, vecs, "vec_id", "embedding").collect())
+  }
+
+  test("indexExtend inherits the stamp: appended rows probe identically to a full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-extend").toString
+    val first = docs.filter(col("doc_id") <= 2)
+    val late = Seq((4L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    Dedup.minhashIndex(first, "doc_id", "text", n = 3, k = 16, bands = 4)
+      .write.mode("overwrite").parquet(dir)
+    Dedup.minhashIndexExtend(spark.read.parquet(dir), late, "doc_id", "text")
+      .write.mode("append").parquet(dir)
+    val extended = spark.read.parquet(dir)
+    // one stamp combination across original + appended rows
+    assert(extended.select("ix_n", "ix_k", "ix_bands").distinct().count() == 1)
+    val probe = Seq((10L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val viaExtended = Dedup.minhashProbeAuto(probe, extended, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val viaRebuild = Dedup.minhashProbeAuto(probe,
+      Dedup.minhashIndex(first.unionByName(late), "doc_id", "text"),
+      "doc_id", "text").collect().map(_.toSeq).toSet
+    assert(viaExtended == viaRebuild)
+    assert(viaExtended.exists(r => r(1) == 4L), "appended doc must be probeable")
+  }
+
   test("stamp survives the partitioned parquet round-trip and a matched probe is unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stamp").toString
     val index = Dedup.minhashIndex(docs, "doc_id", "text")
