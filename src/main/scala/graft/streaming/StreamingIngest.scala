@@ -300,6 +300,25 @@ object StreamingIngest {
       idCol, k, minAgree)
   }
 
+  /** [[nearDupScreenStream]] with `n`/`k`/`bands` read FROM the static
+    * index's build-parameter stamp — legal even though the screen is a
+    * streaming plan, because the index side is a batch relation and the
+    * one-row stamp read runs before the stream is wired. Nothing to
+    * re-supply, nothing to mismatch. `minAgree` stays caller-side (a
+    * probe-time threshold, not a build parameter). An EMPTY index is
+    * refused: a screen that can never match is a misconfiguration, not
+    * a degenerate success. */
+  def nearDupScreenStreamAuto(stream: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, minAgree: Int = 8): DataFrame =
+    graft.operators.IndexStamp.read(index, Seq("ix_n", "ix_k", "ix_bands"),
+        "nearDupScreenStreamAuto") match {
+      case Some(Seq(n, k, bands)) =>
+        nearDupScreenStream(stream, index, idCol, textCol, n, k, bands, minAgree)
+      case _ => throw new IllegalArgumentException(
+        "nearDupScreenStreamAuto: the index relation is empty — screening " +
+          "against nothing would emit nothing forever; build the index first")
+    }
+
   /** Streaming EMBEDDING near-dup screening — the vector twin of
     * [[nearDupScreenStream]]: each micro-batch LSH-buckets arriving
     * vectors per row (the native
@@ -337,6 +356,21 @@ object StreamingIngest {
         "embeddingScreenStream"),
       idCol, vecCol, minMicro)
   }
+
+  /** [[embeddingScreenStream]] with `planes`/`dims`/`tables` read FROM
+    * the static index's stamp (see [[nearDupScreenStreamAuto]] — same
+    * contract, same empty-index refusal). */
+  def embeddingScreenStreamAuto(stream: DataFrame, index: DataFrame,
+      idCol: String, vecCol: String, minMicro: Long): DataFrame =
+    graft.operators.IndexStamp.read(index,
+        Seq("ix_planes", "ix_dims", "ix_tables"), "embeddingScreenStreamAuto") match {
+      case Some(Seq(planes, dims, tables)) =>
+        embeddingScreenStream(stream, index, idCol, vecCol, minMicro,
+          planes, dims, tables)
+      case _ => throw new IllegalArgumentException(
+        "embeddingScreenStreamAuto: the index relation is empty — screening " +
+          "against nothing would emit nothing forever; build the index first")
+    }
 
   /** Sink-boundary dedup for [[nearDupScreenStream]] /
     * [[embeddingScreenStream]] (pass `aggCol = "cos_micro"` — every

@@ -432,6 +432,43 @@ class StreamingIngestSpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("auto screens read build parameters from the static index's stamp") {
+    import graft.operators.{Dedup, Similarity}
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    // non-default banding, persisted: the auto screen must recover it
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text", n = 2, k = 8, bands = 2).cache()
+    val probes = Seq((101L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val drop = tmp("graft-autoscreen-drop")
+    probes.write.mode("overwrite").parquet(drop)
+    val stream = spark.readStream.schema(probes.schema).parquet(drop)
+    val screened = StreamingIngest.nearDupScreenStreamAuto(stream, index,
+      "doc_id", "text", minAgree = 4)
+    assert(screened.isStreaming)
+    screened.writeStream.format("memory").queryName("auto_screen")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val got = spark.table("auto_screen")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Dedup.minhashProbe(probes, index, "doc_id", "text",
+      n = 2, k = 8, bands = 2, minAgree = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch && got.nonEmpty)
+    index.unpersist()
+    // empty index: refused at construction — for BOTH auto screens
+    intercept[IllegalArgumentException](
+      StreamingIngest.nearDupScreenStreamAuto(stream,
+        Dedup.minhashIndex(corpus.limit(0), "doc_id", "text"), "doc_id", "text"))
+    val vecs = Seq((1L, Array(1.0f, 0.0f, 0.5f, 0.2f))).toDF("vec_id", "embedding")
+    val vecStream = spark.readStream.schema(vecs.schema)
+      .parquet(tmp("graft-autoscreen-vec"))
+    intercept[IllegalArgumentException](
+      StreamingIngest.embeddingScreenStreamAuto(vecStream,
+        Similarity.lshIndex(vecs.limit(0), "vec_id", "embedding", planes = 2, dims = 4),
+        "vec_id", "embedding", minMicro = 0L))
+  }
+
   test("observed DQ gates ride the micro-batch progress metrics, no second scan") {
     import graft.operators.Quality
     val drop = tmp("graft-gates-drop")
