@@ -647,6 +647,42 @@ object Dedup {
     }
   }
 
+  /** One BATCH-INCREMENTAL ingest step against a persisted MinHash
+    * index — the production composition of this module: `newDocs` are
+    * screened against the indexed corpus ([[minhashProbe]], parameters
+    * from the index's stamp), the screen's survivors are collapsed to
+    * one representative per intra-batch near-dup cluster
+    * ([[nearDupSurvivors]]), and the final survivors come back with
+    * the index rows to append for them
+    * (`write.mode("append").partitionBy("band")`) so the NEXT batch
+    * screens against corpus + this batch.
+    *
+    * Semantics, precisely: a new doc survives iff it is NOT a near-dup
+    * of any indexed doc, and it is the minimum-id member of its
+    * intra-batch near-dup cluster AFTER corpus-matched docs are
+    * removed. (Corpus screening runs first, so a batch cluster whose
+    * min-id member was corpus-matched is represented by its smallest
+    * surviving member rather than dropped wholesale — the conservative
+    * choice: content is kept unless something indexed already covers
+    * it.) Oracle-checked end to end as q70.
+    *
+    * @return (survivors, appendRows) — appendRows carry the inherited
+    *         stamp, so future probes validate against the same family
+    */
+  def minhashIncrementalIngest(index: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, minAgree: Int = 8): (DataFrame, DataFrame) = {
+    val params = IndexStamp.read(index, Seq("ix_n", "ix_k", "ix_bands"),
+      "minhashIncrementalIngest").getOrElse(throw new IllegalArgumentException(
+        "minhashIncrementalIngest: the index relation is empty — build it " +
+          "with minhashIndex first"))
+    val Seq(n, k, bands) = params: @unchecked
+    val matched = minhashProbe(newDocs, index, idCol, textCol, n, k, bands, minAgree)
+      .select(col(s"probe_$idCol").as(idCol)).distinct()
+    val screened = newDocs.join(matched, Seq(idCol), "left_anti")
+    val survivors = nearDupSurvivors(screened, idCol, textCol, n, k, bands, minAgree)
+    (survivors, minhashIndex(survivors, idCol, textCol, n, k, bands))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 60-bit frequency-weighted SimHash of the whitespace tokens: bit i is

@@ -292,6 +292,38 @@ object Similarity {
           "to inherit) — build it with lshIndex instead")
     }
 
+  /** One BATCH-INCREMENTAL ingest step against a persisted embedding
+    * LSH index — the vector twin of
+    * [[Dedup.minhashIncrementalIngest]], same contract: screen
+    * `newVecs` against the indexed corpus (parameters from the stamp),
+    * collapse intra-batch near-dup clusters to their min-id
+    * representative (corpus screening first — the conservative
+    * member-substitution semantics documented there), and return the
+    * survivors with their stamped index rows to append
+    * (`write.mode("append").partitionBy("tbl")`). */
+  def lshIncrementalIngest(index: DataFrame, newVecs: DataFrame,
+      idCol: String, vecCol: String, minMicro: Long): (DataFrame, DataFrame) = {
+    val params = IndexStamp.read(index, Seq("ix_planes", "ix_dims", "ix_tables"),
+      "lshIncrementalIngest").getOrElse(throw new IllegalArgumentException(
+        "lshIncrementalIngest: the index relation is empty — build it with " +
+          "lshIndex first"))
+    val Seq(planes, dims, tables) = params: @unchecked
+    val matched = lshIndexProbe(newVecs, index, idCol, vecCol, minMicro,
+        planes, dims, tables)
+      .select(col("probe_id").as(idCol)).distinct()
+    val screened = newVecs.join(matched, Seq(idCol), "left_anti")
+    val pairs = nearDupPairsLsh(screened, idCol, vecCol, minMicro,
+        planes, dims, tables)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .localCheckpoint(true)
+    val paired = pairs.select(col("src").as(idCol))
+      .unionByName(pairs.select(col("dst").as(idCol))).distinct()
+    val losers = Dedup.connectedComponents(pairs, paired, idCol)
+      .filter(col(idCol) =!= col("cluster_id")).select(idCol)
+    val survivors = screened.join(losers, Seq(idCol), "left_anti")
+    (survivors, lshIndex(survivors, idCol, vecCol, planes, dims, tables))
+  }
+
   /** Brute-force top-k: for each query vector, the k nearest corpus vectors
     * by cosine (self excluded), ranked (cos_micro desc, id asc). The query
     * side is broadcast; the corpus is scanned once with no shuffle until

@@ -199,8 +199,33 @@ object ScaleQueries {
       .orderBy("probe_id", "corpus_id")
   }
 
+  /** DD7 — batch-incremental ingest: the new-docs slice (doc_id % 10 =
+    * 0) screened against the index of the remaining corpus, intra-batch
+    * near-dup clusters collapsed to their min-id representative, and
+    * the SURVIVORS emitted — the end-to-end operator a nightly crawl
+    * ingest runs ([[Dedup.minhashIncrementalIngest]]). The oracle
+    * recomputes the whole composition in SQL: band-key probe join,
+    * anti-join screen, intra-batch banded pairs, recursive-CTE
+    * clustering, min-id survivors. */
+  val q70IncrementalIngest: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val newDocs = t.documents.filter(col("doc_id") % 10 === 0)
+    val corpus = t.documents.filter(col("doc_id") % 10 =!= 0)
+    // first-run bootstrap: with no corpus there is no index to screen
+    // against (the operator refuses an empty index — a misconfiguration
+    // in steady state), and ingest degenerates to intra-batch collapse;
+    // the cheap limit-1 probe keeps the steady-state path job-free
+    val survivors =
+      if (corpus.isEmpty) Dedup.nearDupSurvivors(newDocs, "doc_id", "text")
+      else Dedup.minhashIncrementalIngest(
+        Dedup.minhashIndex(corpus, "doc_id", "text"), newDocs, "doc_id", "text",
+        minAgree = 8)._1
+    survivors.select("doc_id", "source", "n_chars").orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q56_topk_agg" -> q56TopkAgg,
+    "q70_incremental_ingest" -> q70IncrementalIngest,
     "q68_embedding_probe" -> q68EmbeddingProbe,
     "q60_quantize_int8" -> q60QuantizeInt8,
     "q25_exact_dedup" -> q25ExactDedup,
@@ -400,6 +425,43 @@ object ScaleQueries {
          |  JOIN sigc y ON c.doc_id = y.doc_id)
          |WHERE sig_agree >= 8
          |ORDER BY probe_doc_id, corpus_doc_id""".stripMargin
+    },
+    "q70_incremental_ingest" -> {
+      val agree = (0 until 16)
+        .map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH RECURSIVE ${sigKeysSql("p", "doc_id % 10 = 0")},
+         |${sigKeysSql("c", "doc_id % 10 <> 0")},
+         |matched AS (
+         |  SELECT DISTINCT p.doc_id
+         |  FROM keysp p JOIN keysc c ON p.band = c.band AND p.band_key = c.band_key
+         |  JOIN sigp x ON p.doc_id = x.doc_id
+         |  JOIN sigc y ON c.doc_id = y.doc_id
+         |  WHERE $agree >= 8),
+         |scr AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT doc_id FROM matched)),
+         |kp AS (SELECT k.* FROM keysp k JOIN scr USING (doc_id)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM kp a JOIN kp b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a_id, b_id, $agree AS sig_agree
+         |    FROM cand JOIN sigp x ON a_id = x.doc_id JOIN sigp y ON b_id = y.doc_id)
+         |  WHERE sig_agree >= 8),
+         |sym AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM scr
+         |  UNION
+         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+         |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d JOIN cc USING (doc_id)
+         |WHERE cc.doc_id = cc.cluster_id
+         |ORDER BY doc_id""".stripMargin
     },
     "q28_simhash" -> {
       val bitSums = (0 until 60)

@@ -151,6 +151,58 @@ class IndexStampSpec extends SparkSpec {
     assert(viaExtended.exists(r => r(1) == 4L), "appended doc must be probeable")
   }
 
+  test("incremental ingest: corpus dups dropped, intra-batch clusters collapse, append rows inherit the stamp") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val batch = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of corpus 1
+      (102L, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+      (103L, "lorem ipsum dolor sit amet consectetur adipiscing elit"), // intra dup of 102
+      (104L, "wholly different vocabulary nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val (survivors, appendRows) = Dedup.minhashIncrementalIngest(
+      index, batch, "doc_id", "text")
+    assert(survivors.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(102L, 104L)))
+    // append rows carry the same stamp and make the NEXT batch screen
+    // against corpus + this batch — a replay of 102's text now matches
+    assert(appendRows.select("ix_n", "ix_k", "ix_bands").distinct().count() == 1)
+    val grown = index.unionByName(appendRows)
+    val next = Seq((201L, "lorem ipsum dolor sit amet consectetur adipiscing elit"))
+      .toDF("doc_id", "text")
+    val (nextSurvivors, _) = Dedup.minhashIncrementalIngest(grown, next, "doc_id", "text")
+    assert(nextSurvivors.count() == 0, "grown index must catch the replay")
+    // empty index refused
+    intercept[IllegalArgumentException](
+      Dedup.minhashIncrementalIngest(
+        Dedup.minhashIndex(corpus.limit(0), "doc_id", "text"), batch, "doc_id", "text"))
+  }
+
+  test("embedding incremental ingest mirrors the text contract") {
+    val corpus = Seq((1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(-0.8f, 0.3f, 0.1f, -0.6f))).toDF("vec_id", "embedding")
+    val index = Similarity.lshIndex(corpus, "vec_id", "embedding",
+      planes = 2, dims = 4, tables = 4)
+    val batch = Seq(
+      (101L, Array(0.99f, 0.01f, 0.5f, 0.2f)),   // near-dup of corpus 1
+      (102L, Array(0.0f, 1.0f, -0.4f, 0.3f)),
+      (103L, Array(0.01f, 0.99f, -0.4f, 0.3f)),  // near-dup of 102
+      (104L, Array(0.3f, -0.2f, -0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val (survivors, appendRows) = Similarity.lshIncrementalIngest(
+      index, batch, "vec_id", "embedding", minMicro = 900000L)
+    assert(survivors.select("vec_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(102L, 104L)))
+    assert(appendRows.select("ix_planes", "ix_dims", "ix_tables").distinct().count() == 1)
+    val (nextSurvivors, _) = Similarity.lshIncrementalIngest(
+      index.unionByName(appendRows),
+      Seq((201L, Array(0.0f, 1.0f, -0.4f, 0.3f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", minMicro = 900000L)
+    assert(nextSurvivors.count() == 0, "grown index must catch the replay")
+  }
+
   test("stamp survives the partitioned parquet round-trip and a matched probe is unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stamp").toString
     val index = Dedup.minhashIndex(docs, "doc_id", "text")
