@@ -457,6 +457,14 @@ object Dedup {
     * short chains, so 1–3 rounds in practice). `localCheckpoint` per
     * round truncates the exploding lineage.
     *
+    * PRECONDITION: every edge endpoint must be a member of `nodes`
+    * (every in-repo caller derives edges and nodes from the same
+    * relation, so this holds by construction). Components are computed
+    * over the EDGE graph — an endpoint missing from `nodes` still
+    * propagates connectivity and can be a component's minimum; it is
+    * only excluded from the OUTPUT rows. Callers wanting components of
+    * an induced subgraph must filter the edge list themselves.
+    *
     * Only nodes that TOUCH AN EDGE enter the propagation loop: a node
     * with no edges is its own singleton component by definition, and is
     * re-attached with `cluster_id = id` by one left join at the end.
@@ -476,11 +484,6 @@ object Dedup {
     require(cols.length == 2, "edges must be (src, dst)-shaped")
     val e0 = edges.toDF("src", "dst")
     val idType = e0.schema.fields.head.dataType
-    val integralIds = idType match {
-      case org.apache.spark.sql.types.LongType
-         | org.apache.spark.sql.types.IntegerType => true
-      case _ => false
-    }
     // DRIVER FAST PATH — the broadcast-join trade applied to graph
     // labeling: a near-dup edge set is OUTPUT-sized (pairs that passed
     // a similarity threshold), typically orders of magnitude below the
@@ -509,7 +512,11 @@ object Dedup {
     }
     // materialize the edge list once for the loop — sym and every round
     // read these blocks instead of re-evaluating the candidate-pair plan
-    val e = e0.localCheckpoint(true)
+    // (skipped when the caller already handed us materialized blocks:
+    // a second checkpoint would duplicate them in executor storage)
+    val alreadyMaterialized = e0.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    val e = if (alreadyMaterialized) e0 else e0.localCheckpoint(true)
     val sym = e
       .unionByName(e.toDF("dst", "src").select("src", "dst"))
       .distinct()
@@ -623,10 +630,25 @@ object Dedup {
     * filter is one anti join of the corpus against the loser ids —
     * no corpus-sized shuffle anywhere but the pair generation itself. */
   def nearDupSurvivors(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 16, bands: Int = 4, minAgree: Int = 8): DataFrame = {
-    val pairs = minhashLshPairs(df, idCol, textCol, n, k, bands, minAgree)
-      .select(col(s"a_$idCol").as("src"), col(s"b_$idCol").as("dst"))
-    driverUnionFind(pairs, DefaultMaxDriverEdges) match {
+      n: Int = 3, k: Int = 16, bands: Int = 4, minAgree: Int = 8): DataFrame =
+    collapseToSurvivors(df,
+      minhashLshPairs(df, idCol, textCol, n, k, bands, minAgree)
+        .select(col(s"a_$idCol").as("src"), col(s"b_$idCol").as("dst")),
+      idCol)
+
+  /** `df` minus the non-canonical members of the near-dup clusters the
+    * (src, dst) `pairs` describe — the collapse stage shared by
+    * [[nearDupSurvivors]], [[minhashIncrementalIngest]] and
+    * [[Similarity.lshIncrementalIngest]], so the text and vector paths
+    * cannot drift apart. The pair relation is checkpointed ONCE up
+    * front: the driver union-find probe, the fallback loop and its
+    * node derivation all read the same blocks instead of re-running
+    * the candidate-pair join per consumer (eager — the documented
+    * construction side effect). */
+  private[graft] def collapseToSurvivors(df: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val pc = pairs.localCheckpoint(true)
+    driverUnionFind(pc, DefaultMaxDriverEdges) match {
       case Some(labels) =>
         // the non-root side of every label IS the loser list — no
         // cluster join needed at all, just one broadcast anti join
@@ -636,11 +658,13 @@ object Dedup {
           .select(col("__loser").cast(df.schema(idCol).dataType).as(idCol)))
         df.join(losers, Seq(idCol), "left_anti")
       case None =>
-        val pc = pairs.localCheckpoint(true)
         val paired = pc.select(col("src").as(idCol))
           .unionByName(pc.select(col("dst").as(idCol)))
           .distinct()
-        val losers = connectedComponents(pc, paired, idCol)
+        // maxDriverEdges = 0: the union-find probe above already said
+        // the edge list is over threshold — a second 1M-row head()
+        // inside connectedComponents would collect just to fail again
+        val losers = connectedComponents(pc, paired, idCol, maxDriverEdges = 0)
           .filter(col(idCol) =!= col("cluster_id"))
           .select(idCol)
         df.join(losers, Seq(idCol), "left_anti")
@@ -678,7 +702,12 @@ object Dedup {
     val Seq(n, k, bands) = params: @unchecked
     val matched = minhashProbe(newDocs, index, idCol, textCol, n, k, bands, minAgree)
       .select(col(s"probe_$idCol").as(idCol)).distinct()
+    // one materialization of the corpus screen: both returned frames
+    // (and the pair head() inside the collapse) derive from it, and
+    // without the boundary each action re-runs the full index probe
+    // join (eager — the documented construction side effect)
     val screened = newDocs.join(matched, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
     val survivors = nearDupSurvivors(screened, idCol, textCol, n, k, bands, minAgree)
     (survivors, minhashIndex(survivors, idCol, textCol, n, k, bands))
   }

@@ -208,9 +208,15 @@ object Relational {
     * same DuckDB RANGE oracle (q48/q67/q69), so routing can never
     * change the answer — only the cost.
     *
-    * Density = mean trailing-frame occupancy, estimated as the per-key
-    * mean of `count · width / (span + width)`. Estimating it costs one
-    * small aggregation job at PLAN CONSTRUCTION time (the
+    * Density = mean trailing-frame occupancy, ROW-weighted: the frame
+    * cost is Σ_k n_k · occ_k (every row re-aggregates its own frame),
+    * so the estimate is Σ n_k · occ_k / Σ n_k with occ_k =
+    * n_k · width / (span_k + width). A per-KEY mean would let one
+    * dense key hide behind thousands of sparse ones and misroute the
+    * workload onto the quadratic frame plan — the row weighting makes
+    * the hot key dominate the estimate exactly as it dominates the
+    * cost. Estimating costs one small aggregation job at PLAN
+    * CONSTRUCTION time (the
     * `nearDupPairsLshAuto` pattern — trivial against the window it
     * right-sizes, but a per-batch caller should pass
     * `eventsPerFrameHint` and skip it; the hint also serves workloads
@@ -239,8 +245,10 @@ object Relational {
       val occ = df.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__n"),
           (max(col(timeCol)) - min(col(timeCol))).as("__span"))
-        .agg(avg(col("__n").cast("double") * width
-          / (col("__span").cast("double") + width)))
+        .select(col("__n").cast("double").as("__n"),
+          (col("__n").cast("double") * width
+            / (col("__span").cast("double") + width)).as("__occ"))
+        .agg((sum(col("__n") * col("__occ")) / sum(col("__n"))).as("__d"))
         .head()
       if (occ.isNullAt(0)) 0.0 else occ.getDouble(0) // empty input → either route
     }

@@ -311,16 +311,16 @@ object Similarity {
     val matched = lshIndexProbe(newVecs, index, idCol, vecCol, minMicro,
         planes, dims, tables)
       .select(col("probe_id").as(idCol)).distinct()
+    // one materialization of the corpus screen — same boundary and
+    // same reason as minhashIncrementalIngest (eager)
     val screened = newVecs.join(matched, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
     val pairs = nearDupPairsLsh(screened, idCol, vecCol, minMicro,
         planes, dims, tables)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .localCheckpoint(true)
-    val paired = pairs.select(col("src").as(idCol))
-      .unionByName(pairs.select(col("dst").as(idCol))).distinct()
-    val losers = Dedup.connectedComponents(pairs, paired, idCol)
-      .filter(col(idCol) =!= col("cluster_id")).select(idCol)
-    val survivors = screened.join(losers, Seq(idCol), "left_anti")
+    // the collapse stage is SHARED with the text path (one definition,
+    // both families) — see Dedup.collapseToSurvivors
+    val survivors = Dedup.collapseToSurvivors(screened, pairs, idCol)
     (survivors, lshIndex(survivors, idCol, vecCol, planes, dims, tables))
   }
 

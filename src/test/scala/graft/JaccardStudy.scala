@@ -67,7 +67,9 @@ object JaccardStudy {
       println(f"STUDY $label%-12s rows=$rows%-7d pairs=$rawPairs%-6d " +
         f"raw_cpu=$rawCpu%8.2f core-s  prefix_cpu=$prefCpu%8.2f core-s  " +
         f"prefix/raw=${prefCpu / rawCpu}%5.2f")
-      docs.unpersist()
+      // NOTE: localCheckpoint blocks are not released by unpersist();
+      // the six corpora total well under 100 MB, so they simply ride
+      // out the run (measured numbers are CPU, unaffected by storage)
     }
     spark.stop()
   }

@@ -126,8 +126,11 @@ object ScaleGen {
   def documentsPowerLaw(spark: SparkSession, rows: Long, vocab: Long = 10000L,
       boilerplate: Double = 0.0): DataFrame = {
     val words = array((0 until 100).map { slot =>
-      // rank in [1, vocab]: floor(vocab^u) + 1 clamped — u from the
-      // (id, slot)-salted hash, so every slot draws independently
+      // inverse-CDF Zipf draw: rank = floor(vocab^u) + 1 with u uniform
+      // over [0, 1) from the (id, slot)-salted hash — support is
+      // [2, vocab] (rank 1 unreachable; the labels are shifted by one
+      // but the 1/r frequency SHAPE, which is all the study measures,
+      // is exact). The least() clamp is belt-and-braces for u → 1.
       val u = pmod(xxhash64(id, lit(500 + slot)), lit(1000000L)).cast("double") / 1e6
       concat(lit("w"), least(pow(lit(vocab.toDouble), u).cast("long") + 1, lit(vocab)))
     }: _*)
