@@ -293,6 +293,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(e10.getAs[java.math.BigDecimal]("sum_trail").doubleValue() == 55.0)
   }
 
+  test("rollingAgg: row-weighted density estimate routes a hidden dense key to the ledger") {
+    // 1,000 sparse keys (one event each, occupancy 1) hiding one dense
+    // key with 5,000 events inside a single frame width. A per-KEY mean
+    // reads ~5.8 (sparse keys dominate the key count) and would pick
+    // the RANGE frame — whose cost on the dense key is 5,000 × ~5,000
+    // re-aggregated frame rows, the exact quadratic cliff the router
+    // exists to avoid. The ROW-weighted mean reads ~4,000 (the dense
+    // key dominates the row count exactly as it dominates the cost)
+    // and must route to the ledger.
+    val sparse = (1 to 1000).map(k => (k.toLong, 1L, k.toLong * 10000, 1L))
+    val dense = (1 to 5000).map(i => (0L, i.toLong + 1, i.toLong, 1L))
+    val events = (sparse ++ dense).toDF("user_id", "event_id", "ts_us", "value")
+    val routed = Relational.rollingAgg(events, Seq("user_id"), "ts_us", "event_id",
+      col("value").cast("decimal(18,2)"), width = 10000L)
+    assert(physicalPlan(routed).contains("Generate"),
+      "row-weighted estimate must surface the hidden dense key and pick the ledger")
+  }
+
   // ------------------------------------------------- full-query plan guards
 
   private val sfDir = "/root/testdata/sf0.001"
