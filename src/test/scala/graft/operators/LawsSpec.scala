@@ -142,6 +142,17 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: non-integral ids take the distributed loop and still collapse") {
+    // string ids can't enter the driver union-find (LongMap keys) — the
+    // loop must handle them end to end, min by string ordering
+    val edges = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("s", "d")
+    val nodes = Seq("a", "b", "c", "x", "y", "lone").toDF("doc_id")
+    val cc = Dedup.connectedComponents(edges, nodes, "doc_id")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x", "lone" -> "lone"))
+  }
+
   test("self-probe law: minhashProbe of a corpus against its own index reproduces minhashLshPairs") {
     val rnd = new Random(5)
     val docs = (0 until 80).map { i =>
