@@ -223,9 +223,42 @@ object ScaleQueries {
     survivors.select("doc_id", "source", "n_chars").orderBy("doc_id")
   }
 
+  /** SS8 — the EMBEDDING twin of q70: new vectors (vec_id % 10 = 0)
+    * screened against the index of the remaining corpus (plane count
+    * corpus-derived at build, read back from the stamp by the ingest
+    * operator), intra-batch near-dup clusters collapsed to their
+    * min-id representative, survivors emitted
+    * ([[Similarity.lshIncrementalIngest]]). */
+  val q71EmbeddingIngest: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val newVecs = t.embeddings.filter(col("vec_id") % 10 === 0)
+    val corpus = t.embeddings.filter(col("vec_id") % 10 =!= 0)
+    // first-run bootstrap mirrors q70: no corpus → intra-batch collapse
+    // only (the all-empty sweep is the only reachable instance — a
+    // non-empty batch with an empty corpus slice cannot arise from the
+    // % 10 split)
+    val survivors =
+      if (corpus.isEmpty) {
+        val pairs = Similarity.nearDupPairsLshAuto(newVecs, "vec_id", "embedding",
+          minMicro = 400000L, dims = 64, tables = 6)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        Dedup.collapseToSurvivors(newVecs, pairs, "vec_id")
+      } else {
+        val corpusRows = CorpusCounts.of(corpus, s"$dir#embeddings_corpus90")
+        val planes = Similarity.lshAutoPlanes(corpusRows)
+        require(planes <= MaxAutoPlanes,
+          s"q71 corpus ($corpusRows rows) derives more planes than the oracle replicates")
+        Similarity.lshIncrementalIngest(
+          Similarity.lshIndex(corpus, "vec_id", "embedding", planes, dims = 64),
+          newVecs, "vec_id", "embedding", minMicro = 400000L)._1
+      }
+    survivors.select("vec_id", "label").orderBy("vec_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q56_topk_agg" -> q56TopkAgg,
     "q70_incremental_ingest" -> q70IncrementalIngest,
+    "q71_embedding_ingest" -> q71EmbeddingIngest,
     "q68_embedding_probe" -> q68EmbeddingProbe,
     "q60_quantize_int8" -> q60QuantizeInt8,
     "q25_exact_dedup" -> q25ExactDedup,
@@ -462,6 +495,51 @@ object ScaleQueries {
          |FROM documents d JOIN cc USING (doc_id)
          |WHERE cc.doc_id = cc.cluster_id
          |ORDER BY doc_id""".stripMargin
+    },
+    "q71_embedding_ingest" -> {
+      def mkSide(name: String, pred: String) =
+        (0 until 6).map(t =>
+          s"SELECT vec_id, $t AS tbl, CAST(${guardedBucketSql(t)} AS BIGINT) AS bucket " +
+            s"FROM e, np WHERE $pred")
+          .mkString(s"$name AS (\n  ", "\n  UNION ALL ", ")")
+      def cosMicro(x: String, y: String) =
+        s"CAST(floor(1e6 * ${dotSql(s"$x.embedding", s"$y.embedding")} / ($x.nrm * $y.nrm)) AS BIGINT)"
+      s"""WITH RECURSIVE $normedCte,
+         |np AS (SELECT LEAST(62, GREATEST(1, length(bin(GREATEST((count(*) + 255) // 256, 1) - 1)))) AS planes
+         |       FROM embeddings WHERE vec_id % 10 <> 0),
+         |${mkSide("mkp", "vec_id % 10 = 0")},
+         |${mkSide("mkc", "vec_id % 10 <> 0")},
+         |matched AS (
+         |  SELECT DISTINCT p.vec_id FROM (
+         |    SELECT DISTINCT p.vec_id, c.vec_id AS cid
+         |    FROM mkp p JOIN mkc c ON p.tbl = c.tbl AND p.bucket = c.bucket
+         |    WHERE p.vec_id <> c.vec_id) p
+         |  JOIN e x ON p.vec_id = x.vec_id JOIN e y ON p.cid = y.vec_id
+         |  WHERE ${cosMicro("x", "y")} >= 400000),
+         |scr AS (
+         |  SELECT vec_id FROM embeddings
+         |  WHERE vec_id % 10 = 0 AND vec_id NOT IN (SELECT vec_id FROM matched)),
+         |kp AS (SELECT k.* FROM mkp k JOIN scr USING (vec_id)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM kp a JOIN kp b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM cand
+         |  JOIN e x ON a_id = x.vec_id JOIN e y ON b_id = y.vec_id
+         |  WHERE ${cosMicro("x", "y")} >= 400000),
+         |sym AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT vec_id, vec_id FROM scr
+         |  UNION
+         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+         |cc AS (SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT emb.vec_id, emb.label
+         |FROM embeddings emb JOIN cc USING (vec_id)
+         |WHERE cc.vec_id = cc.cluster_id
+         |ORDER BY vec_id""".stripMargin
     },
     "q28_simhash" -> {
       val bitSums = (0 until 60)
