@@ -116,6 +116,51 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+  /** TD11 — the INCREMENTAL twin of q57: the steady-state store is the
+    * q57 pipeline's output on the 90% slice (gates → exact dedup →
+    * near-dup survivor collapse), and the 10% batch then flows the
+    * incremental path a production ingest would run — the same gates,
+    * in-batch exact dedup, an exact-content screen against the store's
+    * hashes, the stamped-index near-dup screen with intra-batch
+    * collapse ([[graft.operators.Dedup.minhashIncrementalIngest]]) —
+    * before split assignment on what survives. Checkpoint boundaries
+    * sit exactly where a relation is consumed twice (the q57 trade):
+    * the store feeds the hash screen AND the index build; the fresh
+    * batch feeds the probe AND the post-screen survivor base. */
+  val q72IncrementalCurate: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    def gated(df: org.apache.spark.sql.DataFrame) = {
+      val facets = TrainingData.repetitionFacets(col("text"))
+      df.filter(graft.functions.TextAnalysis.qualityKeep(col("text")))
+        .withColumns(facets.toMap)
+        .filter(!(col("top_token_permille") >= 280 || col("dup_bigram_permille") >= 350))
+    }
+    val corpusDeduped = graft.operators.Dedup
+      .exactDedup(gated(t.documents.filter(col("doc_id") % 10 =!= 0)), "doc_id", "text")
+      .filter(!col("is_dup"))
+      .localCheckpoint(true)
+    val corpus = graft.operators.Dedup.nearDupSurvivors(corpusDeduped, "doc_id", "text")
+      .localCheckpoint(true)
+    val batch = graft.operators.Dedup
+      .exactDedup(gated(t.documents.filter(col("doc_id") % 10 === 0)), "doc_id", "text")
+      .filter(!col("is_dup"))
+    // exact-content screen: batch docs whose text the store already holds
+    // (content_hash carried from exactDedup on both sides)
+    val fresh = batch
+      .join(corpus.select("content_hash").distinct(), Seq("content_hash"), "left_anti")
+      .localCheckpoint(true)
+    // first-run bootstrap mirrors q70/q71: an empty store means nothing
+    // to screen against, and ingest degenerates to intra-batch collapse
+    val survivors =
+      if (corpus.isEmpty) graft.operators.Dedup.nearDupSurvivors(fresh, "doc_id", "text")
+      else graft.operators.Dedup.minhashIncrementalIngest(
+        graft.operators.Dedup.minhashIndex(corpus, "doc_id", "text"),
+        fresh, "doc_id", "text")._1
+    TrainingData.assignSplit(survivors, "source")
+      .select("doc_id", "lang", "source", "split")
+      .orderBy("doc_id")
+  }
+
   /** TD8 — corpus-relative rarity scoring with a 50-token broadcast
     * vocabulary: the integer-exact inverse-frequency form of
     * perplexity-style quality scoring. */
@@ -149,6 +194,7 @@ object TrainingQueries {
   val all: Map[String, Q] = Map(
     "q66_bigram_familiarity" -> q66BigramFamiliarity,
     "q57_curate_pipeline" -> q57CuratePipeline,
+    "q72_incremental_curate" -> q72IncrementalCurate,
     "q59_rarity_score" -> q59RarityScore,
     "q62_weighted_sample" -> q62WeightedSample,
     "q54_sequence_pack" -> q54SequencePack,
@@ -284,6 +330,122 @@ object TrainingQueries {
          |       ELSE 'test' END AS split
          |FROM s JOIN cc USING (doc_id) WHERE doc_id = cluster_id
          |ORDER BY doc_id""".stripMargin
+    },
+    "q72_incremental_curate" -> {
+      // Same gate/hash/band construction as the q57 oracle, suffixed so
+      // the corpus (c) and batch (p) slices each get their own chain;
+      // sig/keys are then rebuilt on the corpus SURVIVORS (i) and the
+      // exact-screened fresh batch (f) for the incremental probe.
+      val mins = (0 until 16)
+        .map(i => s"min(${Hashing.h31AffineSql(i, "base")}) AS mh$i").mkString(", ")
+      val agree = (0 until 16)
+        .map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      def gatesCtes(sfx: String, pred: String) =
+        s"""t$sfx AS (
+           |  SELECT *, regexp_split_to_array(trim(text), '\\s+') AS toks
+           |  FROM documents WHERE $pred),
+           |q$sfx AS (
+           |  SELECT * FROM t$sfx
+           |  WHERE len(toks) >= 10 AND len(toks) <= 10000
+           |    AND floor(1000 * CAST(len(list_filter(toks,
+           |          x -> x IN ('the','a','of','and','in'))) AS DOUBLE)
+           |        / CAST(len(toks) AS DOUBLE)) >= 10
+           |    AND floor(1000 * CAST(len(list_distinct(toks)) AS DOUBLE)
+           |        / CAST(len(toks) AS DOUBLE)) >= 100),
+           |r$sfx AS (
+           |  SELECT * FROM q$sfx
+           |  WHERE NOT (
+           |    floor(1000 * CAST(list_max(list_transform(list_distinct(toks),
+           |        t2 -> len(list_filter(toks, x -> x = t2)))) AS DOUBLE)
+           |      / CAST(len(toks) AS DOUBLE)) >= 280
+           |    OR (CASE WHEN len(toks) - 1 <= 0 THEN 0
+           |        ELSE 1000 - floor(1000 * CAST(len(list_distinct(
+           |            list_transform(generate_series(1, len(toks) - 1),
+           |              i -> array_to_string(toks[i:i+1], ' ')))) AS DOUBLE)
+           |          / CAST(len(toks) - 1 AS DOUBLE)) END) >= 350)),
+           |d$sfx AS (
+           |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+           |  FROM r$sfx),
+           |s$sfx AS (SELECT * FROM d$sfx WHERE doc_id = canonical)""".stripMargin
+      def sigKeys(sfx: String, src: String) = {
+        val bands = (0 until 4).map { b =>
+          val parts = (s"'$b'" +: (0 until 4).map(i => s"CAST(mh${b * 4 + i} AS VARCHAR)"))
+            .mkString(", ")
+          s"SELECT doc_id, $b AS band, ${h60(s"concat_ws(',', $parts)")} AS band_key FROM sig$sfx"
+        }.mkString("\n  UNION ALL ")
+        s"""sh$sfx AS (
+           |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+           |    THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+           |           i -> array_to_string(toks[i:i+2], ' ')))
+           |    ELSE [] END) AS shingle
+           |  FROM $src),
+           |shb$sfx AS (SELECT doc_id, ${h60("shingle")} AS base FROM sh$sfx),
+           |sig$sfx AS (SELECT doc_id, $mins FROM shb$sfx GROUP BY doc_id),
+           |keys$sfx AS (
+           |  $bands)""".stripMargin
+      }
+      s"""WITH RECURSIVE ${gatesCtes("c", "doc_id % 10 <> 0")},
+         |${sigKeys("c", "sc")},
+         |candc AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM keysc a JOIN keysc b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |prsc AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a_id, b_id, $agree AS sig_agree
+         |    FROM candc JOIN sigc x ON a_id = x.doc_id JOIN sigc y ON b_id = y.doc_id)
+         |  WHERE sig_agree >= 8),
+         |symc AS (
+         |  SELECT a_id AS src, b_id AS dst FROM prsc
+         |  UNION SELECT b_id, a_id FROM prsc),
+         |reachc(a, b) AS (
+         |  SELECT doc_id, doc_id FROM sc
+         |  UNION
+         |  SELECT r.a, s.dst FROM reachc r JOIN symc s ON r.b = s.src),
+         |ccc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reachc GROUP BY a),
+         |corp AS (
+         |  SELECT sc.* FROM sc JOIN ccc ON sc.doc_id = ccc.doc_id
+         |  WHERE ccc.doc_id = ccc.cluster_id),
+         |${gatesCtes("p", "doc_id % 10 = 0")},
+         |fresh AS (
+         |  SELECT * FROM sp
+         |  WHERE md5(text) NOT IN (SELECT md5(text) FROM corp)),
+         |${sigKeys("f", "fresh")},
+         |${sigKeys("i", "corp")},
+         |matched AS (
+         |  SELECT DISTINCT p.doc_id
+         |  FROM keysf p JOIN keysi c ON p.band = c.band AND p.band_key = c.band_key
+         |  JOIN sigf x ON p.doc_id = x.doc_id
+         |  JOIN sigi y ON c.doc_id = y.doc_id
+         |  WHERE $agree >= 8),
+         |scr AS (
+         |  SELECT doc_id FROM fresh
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM matched)),
+         |kp AS (SELECT k.* FROM keysf k JOIN scr USING (doc_id)),
+         |candp AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM kp a JOIN kp b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |prsp AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT a_id, b_id, $agree AS sig_agree
+         |    FROM candp JOIN sigf x ON a_id = x.doc_id JOIN sigf y ON b_id = y.doc_id)
+         |  WHERE sig_agree >= 8),
+         |symp AS (
+         |  SELECT a_id AS src, b_id AS dst FROM prsp
+         |  UNION SELECT b_id, a_id FROM prsp),
+         |reachp(a, b) AS (
+         |  SELECT doc_id, doc_id FROM scr
+         |  UNION
+         |  SELECT r.a, s.dst FROM reachp r JOIN symp s ON r.b = s.src),
+         |ccp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reachp GROUP BY a)
+         |SELECT f.doc_id, f.lang, f.source,
+         |  CASE WHEN ${h60("'split:v1:' || source")} % 1000 < 800 THEN 'train'
+         |       WHEN ${h60("'split:v1:' || source")} % 1000 < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM fresh f JOIN ccp ON f.doc_id = ccp.doc_id
+         |WHERE ccp.doc_id = ccp.cluster_id
+         |ORDER BY f.doc_id""".stripMargin
     },
     "q54_sequence_pack" ->
       """WITH t AS (

@@ -319,7 +319,8 @@ class PlanShapeSpec extends SparkSpec {
 
   test("heavy queries stay equi-join-shaped end to end") {
     for (name <- Seq("q27_minhash_lsh", "q40_dedup_clusters", "q57_curate_pipeline",
-        "q68_embedding_probe", "q70_incremental_ingest", "q71_embedding_ingest"))
+        "q68_embedding_probe", "q70_incremental_ingest", "q71_embedding_ingest",
+        "q72_incremental_curate"))
       assertNoQuadraticJoin(queryPlan(name), name)
   }
 
