@@ -690,6 +690,17 @@ object Dedup {
     * choice: content is kept unless something indexed already covers
     * it.) Oracle-checked end to end as q70.
     *
+    * Contract vs GLOBAL curation: near-dup is not transitive, so
+    * incremental screening approximates a whole-corpus collapse. A
+    * batch doc that near-matches only a doc the store's own curation
+    * DROPPED (a collapsed cluster loser) is admitted unless it also
+    * matches that cluster's surviving representative — re-running the
+    * global pipeline (q57) over store ∪ batch can therefore collapse
+    * strictly more than the incremental path (q72). This is inherent
+    * to any index-screened ingest, not a defect of this one; the
+    * conservative direction (admitting, never over-dropping) is the
+    * safe side for training data.
+    *
     * @return (survivors, appendRows) — appendRows carry the inherited
     *         stamp, so future probes validate against the same family
     */
