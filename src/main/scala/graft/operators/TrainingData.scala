@@ -338,4 +338,41 @@ object TrainingData {
       .withColumn("mean_fam_permille", expr("__s DIV n_bigrams"))
       .select(col(idCol), col("mean_fam_permille"), col("n_bigrams"))
   }
+
+  // ------------------------------------------------- incremental curation
+
+  /** The per-batch step of incremental corpus curation — the reusable
+    * core of q72 and the foreachBatch body of its streaming twin:
+    * caller-policy quality `gate` → in-batch exact dedup → exact-content
+    * screen against the store's hashes → stamped-index near-dup screen
+    * with intra-batch collapse
+    * ([[graft.operators.Dedup.minhashIncrementalIngest]]).
+    *
+    * `storeHashes` is a one-column `content_hash` relation of the
+    * curated store's md5 text hashes (e.g.
+    * `store.select(md5(col(textCol)).as("content_hash"))` or the
+    * `content_hash` column its own curation already carried) — passing
+    * hashes rather than documents keeps the steady-state contract
+    * index-shaped: a production ingest holds the persisted LSH index
+    * and a persisted hash set, never the store's text. The exact screen
+    * is semantically subsumed by the index screen for gate-passing text
+    * (identical text ⇒ identical signature ⇒ all bands match) but runs
+    * first because a hash anti-join is a fraction of the probe's cost.
+    *
+    * One checkpoint boundary, same trade as q57/q72: the screened batch
+    * feeds both the probe and the survivor base. The index must be
+    * non-empty (the ingest contract); bootstrap an empty store with
+    * [[graft.operators.Dedup.nearDupSurvivors]] on the gated batch.
+    */
+  def curateIncrement(batch: DataFrame, storeHashes: DataFrame,
+      index: DataFrame, idCol: String, textCol: String,
+      gate: DataFrame => DataFrame, minAgree: Int = 8): DataFrame = {
+    val deduped = Dedup.exactDedup(gate(batch), idCol, textCol)
+      .filter(!col("is_dup"))
+    val fresh = deduped
+      .join(storeHashes.select("content_hash").distinct(),
+        Seq("content_hash"), "left_anti")
+      .localCheckpoint(true)
+    Dedup.minhashIncrementalIngest(index, fresh, idCol, textCol, minAgree)._1
+  }
 }

@@ -141,21 +141,19 @@ object TrainingQueries {
       .localCheckpoint(true)
     val corpus = graft.operators.Dedup.nearDupSurvivors(corpusDeduped, "doc_id", "text")
       .localCheckpoint(true)
-    val batch = graft.operators.Dedup
-      .exactDedup(gated(t.documents.filter(col("doc_id") % 10 === 0)), "doc_id", "text")
-      .filter(!col("is_dup"))
-    // exact-content screen: batch docs whose text the store already holds
-    // (content_hash carried from exactDedup on both sides)
-    val fresh = batch
-      .join(corpus.select("content_hash").distinct(), Seq("content_hash"), "left_anti")
-      .localCheckpoint(true)
+    val batch = t.documents.filter(col("doc_id") % 10 === 0)
     // first-run bootstrap mirrors q70/q71: an empty store means nothing
     // to screen against, and ingest degenerates to intra-batch collapse
     val survivors =
-      if (corpus.isEmpty) graft.operators.Dedup.nearDupSurvivors(fresh, "doc_id", "text")
-      else graft.operators.Dedup.minhashIncrementalIngest(
+      if (corpus.isEmpty)
+        graft.operators.Dedup.nearDupSurvivors(
+          graft.operators.Dedup.exactDedup(gated(batch), "doc_id", "text")
+            .filter(!col("is_dup")),
+          "doc_id", "text")
+      else TrainingData.curateIncrement(batch,
+        corpus.select("content_hash"),
         graft.operators.Dedup.minhashIndex(corpus, "doc_id", "text"),
-        fresh, "doc_id", "text")._1
+        "doc_id", "text", gated)
     TrainingData.assignSplit(survivors, "source")
       .select("doc_id", "lang", "source", "split")
       .orderBy("doc_id")

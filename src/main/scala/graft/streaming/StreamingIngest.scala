@@ -407,6 +407,57 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** Streaming incremental curation with a SELF-GROWING persisted
+    * index — the q70/q72 nightly-ingest loop run as a stream. Each
+    * micro-batch: caller-policy quality `gate` → in-batch exact dedup →
+    * near-dup screen against the index read fresh from `indexDir` →
+    * intra-batch collapse
+    * ([[graft.operators.Dedup.minhashIncrementalIngest]]); survivors
+    * append to `outDir` and their index rows append to `indexDir`, so
+    * the NEXT micro-batch screens against corpus + everything admitted
+    * before it. Dedup memory lives entirely in the persisted index —
+    * no state store, no TTL, unbounded corpus memory at parquet cost.
+    *
+    * `indexDir` must hold a non-empty stamped index
+    * ([[graft.operators.Dedup.minhashIndex]],
+    * `write.partitionBy("band")`) before the stream starts — bootstrap
+    * the first corpus with the batch path (q57/q72), the same contract
+    * as the ingest operator itself. The exact-content screen of
+    * [[graft.operators.TrainingData.curateIncrement]] is intentionally
+    * absent: for gate-passing text, identical content implies identical
+    * signature, so the index screen subsumes it and the store contract
+    * stays index-only.
+    *
+    * Failure semantics: survivors are written BEFORE the index grows. A
+    * crash between the two writes replays the whole batch against the
+    * un-grown index — duplicate survivor rows in `outDir` (the
+    * dedupedPairSink at-least-once caveat) but a correct index. The
+    * reverse order would be data LOSS: a replay against an index
+    * already holding the batch's own rows matches every doc to itself
+    * and drops the entire batch. A replay after BOTH writes commit is
+    * self-healing for the same reason — every doc self-matches, so the
+    * replay appends nothing anywhere. */
+  def curateIngestStream(stream: DataFrame, indexDir: String, outDir: String,
+      checkpoint: String, idCol: String, textCol: String,
+      gate: DataFrame => DataFrame, minAgree: Int = 8): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        import graft.operators.Dedup
+        val outCols = batch.columns.map(col)
+        val index = batch.sparkSession.read.parquet(indexDir)
+        // one boundary, the q57/q72 trade: the gated batch feeds both
+        // the probe and the post-screen survivor base
+        val gated = Dedup.exactDedup(gate(batch.toDF()), idCol, textCol)
+          .filter(!col("is_dup"))
+          .localCheckpoint(true)
+        val (survivors, appendRows) =
+          Dedup.minhashIncrementalIngest(index, gated, idCol, textCol, minAgree)
+        survivors.select(outCols: _*).write.mode("append").parquet(outDir)
+        appendRows.write.mode("append").partitionBy("band").parquet(indexDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   /** Drain-what's-there runner: processes every pending file, then stops
     * (the scheduled-batch shape of the reference's manual re-runs). */
   def availableNow(df: DataFrame, outDir: String, checkpoint: String): DataStreamWriter[Row] =

@@ -585,4 +585,60 @@ class StreamingIngestSpec extends SparkSpec {
     assert(!got.exists(_._1 == 103L), "unrelated probe must screen clean")
     index.unpersist()
   }
+
+  test("streaming curate: the index grows across drains, first drop batch-identical") {
+    import graft.operators.Dedup
+    // gate-passing texts: >= 10 tokens with stopwords and diversity
+    val storeA = "the quick brown fox jumps over a lazy dog near the river bank"
+    val storeB = "a merchant of venice sailed in the morning tide carrying spice and silk"
+    val novelC = "seven engineers of the valley debugged a streaming pipeline in the night"
+    val novelD = "nine ravens of the tower guarded a rusty crown in the rain"
+    val store = Seq((1L, storeA), (2L, storeB)).toDF("doc_id", "text")
+
+    val indexDir = tmp("graft-curate-index")
+    val outDir = tmp("graft-curate-out")
+    val drop = tmp("graft-curate-drop")
+    val ckpt = tmp("graft-curate-ckpt")
+    Dedup.minhashIndex(store, "doc_id", "text")
+      .write.mode("overwrite").partitionBy("band").parquet(indexDir)
+
+    val gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.filter(graft.functions.TextAnalysis.qualityKeep(col("text")))
+    def drain(): Unit = {
+      val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(drop)
+      StreamingIngest.curateIngestStream(stream, indexDir, outDir, ckpt,
+        "doc_id", "text", gate).start().awaitTermination()
+    }
+
+    // drop 1: exact dup of store A, novel C twice (in-batch dup), a
+    // gate-failing fragment — only C's min-id copy survives
+    val drop1 = Seq((101L, storeA), (102L, novelC), (103L, novelC), (104L, "tiny"))
+      .toDF("doc_id", "text")
+    drop1.write.mode("append").parquet(drop)
+    drain()
+    val after1 = spark.read.parquet(outDir).collect()
+    assert(after1.map(_.getLong(0)).toSeq == Seq(102L))
+    assert(after1.head.schema.fieldNames.toSeq == Seq("doc_id", "text"),
+      "survivors must keep the stream schema, not the dedup bookkeeping")
+    // batch-identical: the direct ingest call on the same drop agrees
+    val direct = Dedup.minhashIncrementalIngest(
+      Dedup.minhashIndex(store, "doc_id", "text"),
+      Dedup.exactDedup(gate(drop1), "doc_id", "text").filter(!col("is_dup")),
+      "doc_id", "text")._1
+    assert(direct.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(102L))
+
+    // drop 2: a replay of C's text must be caught by the GROWN index
+    // (cross-drain memory lives in indexDir, not the state store);
+    // novel D survives
+    Seq((201L, novelC), (202L, novelD)).toDF("doc_id", "text")
+      .write.mode("append").parquet(drop)
+    drain()
+    assert(spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(102L, 202L))
+    // the index holds rows for both admitted docs under one stamp
+    val grown = spark.read.parquet(indexDir)
+    assert(grown.select("doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 102L, 202L))
+    assert(grown.select("ix_n", "ix_k", "ix_bands").distinct().count() == 1)
+  }
 }
