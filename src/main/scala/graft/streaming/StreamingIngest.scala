@@ -458,6 +458,33 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** The EMBEDDING twin of [[curateIngestStream]] — the same
+    * self-growing-index loop over vectors
+    * ([[graft.operators.Similarity.lshIncrementalIngest]],
+    * `partitionBy("tbl")`). No exact-dedup stage: md5 content hashing
+    * is a text-side notion, and identical vectors are cos 1.0 — the
+    * intra-batch collapse subsumes them. `gate` is caller policy
+    * (norm/dimension screens); default passthrough. Same write-order
+    * failure contract as the text form: survivors before index growth,
+    * replay after both writes self-heals via self-matching. */
+  def curateEmbeddingIngestStream(stream: DataFrame, indexDir: String,
+      outDir: String, checkpoint: String, idCol: String, vecCol: String,
+      minMicro: Long,
+      gate: DataFrame => DataFrame = df => df): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        import graft.operators.Similarity
+        val outCols = batch.columns.map(col)
+        val index = batch.sparkSession.read.parquet(indexDir)
+        val gated = gate(batch.toDF()).localCheckpoint(true)
+        val (survivors, appendRows) =
+          Similarity.lshIncrementalIngest(index, gated, idCol, vecCol, minMicro)
+        survivors.select(outCols: _*).write.mode("append").parquet(outDir)
+        appendRows.write.mode("append").partitionBy("tbl").parquet(indexDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   /** Drain-what's-there runner: processes every pending file, then stops
     * (the scheduled-batch shape of the reference's manual re-runs). */
   def availableNow(df: DataFrame, outDir: String, checkpoint: String): DataStreamWriter[Row] =

@@ -641,4 +641,49 @@ class StreamingIngestSpec extends SparkSpec {
       == Seq(1L, 2L, 102L, 202L))
     assert(grown.select("ix_n", "ix_k", "ix_bands").distinct().count() == 1)
   }
+
+  test("streaming embedding curate mirrors the text contract across drains") {
+    import graft.operators.Similarity
+    val store = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(-0.8f, 0.3f, 0.1f, -0.6f))).toDF("vec_id", "embedding")
+    val indexDir = tmp("graft-ecurate-index")
+    val outDir = tmp("graft-ecurate-out")
+    val drop = tmp("graft-ecurate-drop")
+    val ckpt = tmp("graft-ecurate-ckpt")
+    Similarity.lshIndex(store, "vec_id", "embedding", planes = 2, dims = 4, tables = 4)
+      .write.mode("overwrite").partitionBy("tbl").parquet(indexDir)
+
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(drop)
+      StreamingIngest.curateEmbeddingIngestStream(stream, indexDir, outDir, ckpt,
+        "vec_id", "embedding", minMicro = 900000L).start().awaitTermination()
+    }
+
+    // drop 1: near-dup of store 1, a novel direction twice (in-batch pair)
+    Seq(
+      (101L, Array(0.99f, 0.01f, 0.5f, 0.2f)),
+      (102L, Array(0.0f, 1.0f, -0.4f, 0.3f)),
+      (103L, Array(0.01f, 0.99f, -0.4f, 0.3f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("append").parquet(drop)
+    drain()
+    assert(spark.read.parquet(outDir).collect().map(_.getLong(0)).toSeq == Seq(102L))
+
+    // drop 2: a replay of 102's direction is caught by the GROWN index;
+    // an orthogonal vector survives
+    Seq(
+      (201L, Array(0.0f, 1.0f, -0.4f, 0.3f)),
+      (202L, Array(0.3f, -0.2f, -0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("append").parquet(drop)
+    drain()
+    assert(spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(102L, 202L))
+    val grown = spark.read.parquet(indexDir)
+    assert(grown.select("vec_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 102L, 202L))
+    assert(grown.select("ix_planes", "ix_dims", "ix_tables").distinct().count() == 1)
+  }
 }
