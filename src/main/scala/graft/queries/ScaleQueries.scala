@@ -234,13 +234,18 @@ object ScaleQueries {
     val newVecs = t.embeddings.filter(col("vec_id") % 10 === 0)
     val corpus = t.embeddings.filter(col("vec_id") % 10 =!= 0)
     // first-run bootstrap mirrors q70: no corpus → intra-batch collapse
-    // only (the all-empty sweep is the only reachable instance — a
-    // non-empty batch with an empty corpus slice cannot arise from the
-    // % 10 split)
+    // only, with planes derived from the BATCH count (reachable whenever
+    // every vec_id ≡ 0 mod 10 — e.g. a 1-row table; the oracle's np CTE
+    // falls back to the batch count in exactly that case, so both
+    // engines bucket identically)
     val survivors =
       if (corpus.isEmpty) {
-        val pairs = Similarity.nearDupPairsLshAuto(newVecs, "vec_id", "embedding",
-          minMicro = 400000L, dims = 64, tables = 6)
+        val batchRows = CorpusCounts.of(newVecs, s"$dir#embeddings_batch10")
+        val planes = if (batchRows <= 0) 1 else Similarity.lshAutoPlanes(batchRows)
+        require(planes <= MaxAutoPlanes,
+          s"q71 batch ($batchRows rows) derives more planes than the oracle replicates")
+        val pairs = Similarity.nearDupPairsLsh(newVecs, "vec_id", "embedding",
+          minMicro = 400000L, planes = planes, dims = 64, tables = 6)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
         Dedup.collapseToSurvivors(newVecs, pairs, "vec_id")
       } else {
@@ -361,8 +366,7 @@ object ScaleQueries {
     * already has length 1, the clamp floor). Derived from the RAW
     * embeddings count — [[Similarity.nearDupPairsLshAuto]] counts before
     * the zero-norm filter. */
-  private val planesCte =
-    "np AS (SELECT LEAST(62, GREATEST(1, length(bin(GREATEST((count(*) + 255) // 256, 1) - 1)))) AS planes FROM embeddings)"
+  private def planesCte = planesNpCte("TRUE", "TRUE")
 
   /** Upper bound on the derived plane count the oracle can replicate:
     * 12 planes cover corpora to 256·2^12 ≈ 1.05M vectors — far past any
@@ -374,6 +378,29 @@ object ScaleQueries {
   /** Plane-guarded bucket expression for table family `t`: every plane
     * term is gated by `p < planes` so the bucket id uses exactly the
     * derived plane count (np CTE in scope). */
+  /** Six-table (vec_id, tbl, bucket) side CTE for a vec_id predicate,
+    * plane count from the shared `np` CTE — one definition for every
+    * split-corpus embedding oracle (q68 probe, q71 ingest). */
+  private def bucketSideCte(name: String, pred: String): String =
+    (0 until 6).map(t =>
+      s"SELECT vec_id, $t AS tbl, CAST(${guardedBucketSql(t)} AS BIGINT) AS bucket " +
+        s"FROM e, np WHERE $pred")
+      .mkString(s"$name AS (\n  ", "\n  UNION ALL ", ")")
+
+  /** Corpus-derived auto plane count — the bit-length construction of
+    * [[Similarity.lshAutoPlanes]] in SQL — falling back to the PROBE
+    * slice's count when the corpus slice is empty: the engine's
+    * bootstrap branch derives planes from the batch in exactly that
+    * case (q71), and for probes against an empty corpus the output is
+    * empty under any plane count (q68), so one shared form serves
+    * both. */
+  private def planesNpCte(corpusPred: String, probePred: String): String =
+    s"""np AS (
+       |  SELECT LEAST(62, GREATEST(1, length(bin(GREATEST(
+       |    (CASE WHEN c.n = 0 THEN p.n ELSE c.n END + 255) // 256, 1) - 1)))) AS planes
+       |  FROM (SELECT count(*) AS n FROM embeddings WHERE $corpusPred) c,
+       |       (SELECT count(*) AS n FROM embeddings WHERE $probePred) p)""".stripMargin
+
   private def guardedBucketSql(t: Int): String =
     Similarity.hyperplaneSigns(MaxAutoPlanes, 64, t).zipWithIndex.map {
       case (s, p) =>
@@ -497,18 +524,12 @@ object ScaleQueries {
          |ORDER BY doc_id""".stripMargin
     },
     "q71_embedding_ingest" -> {
-      def mkSide(name: String, pred: String) =
-        (0 until 6).map(t =>
-          s"SELECT vec_id, $t AS tbl, CAST(${guardedBucketSql(t)} AS BIGINT) AS bucket " +
-            s"FROM e, np WHERE $pred")
-          .mkString(s"$name AS (\n  ", "\n  UNION ALL ", ")")
       def cosMicro(x: String, y: String) =
         s"CAST(floor(1e6 * ${dotSql(s"$x.embedding", s"$y.embedding")} / ($x.nrm * $y.nrm)) AS BIGINT)"
       s"""WITH RECURSIVE $normedCte,
-         |np AS (SELECT LEAST(62, GREATEST(1, length(bin(GREATEST((count(*) + 255) // 256, 1) - 1)))) AS planes
-         |       FROM embeddings WHERE vec_id % 10 <> 0),
-         |${mkSide("mkp", "vec_id % 10 = 0")},
-         |${mkSide("mkc", "vec_id % 10 <> 0")},
+         |${planesNpCte("vec_id % 10 <> 0", "vec_id % 10 = 0")},
+         |${bucketSideCte("mkp", "vec_id % 10 = 0")},
+         |${bucketSideCte("mkc", "vec_id % 10 <> 0")},
          |matched AS (
          |  SELECT DISTINCT p.vec_id FROM (
          |    SELECT DISTINCT p.vec_id, c.vec_id AS cid
@@ -613,16 +634,10 @@ object ScaleQueries {
          |WHERE cos_micro >= 400000
          |ORDER BY a_id, b_id""".stripMargin,
     "q68_embedding_probe" -> {
-      def mkSide(name: String, pred: String) =
-        (0 until 6).map(t =>
-          s"SELECT vec_id, $t AS tbl, CAST(${guardedBucketSql(t)} AS BIGINT) AS bucket " +
-            s"FROM e, np WHERE $pred")
-          .mkString(s"$name AS (\n  ", "\n  UNION ALL ", ")")
       s"""WITH $normedCte,
-         |np AS (SELECT LEAST(62, GREATEST(1, length(bin(GREATEST((count(*) + 255) // 256, 1) - 1)))) AS planes
-         |       FROM embeddings WHERE vec_id % 10 <> 0),
-         |${mkSide("mkp", "vec_id % 10 = 0")},
-         |${mkSide("mkc", "vec_id % 10 <> 0")},
+         |${planesNpCte("vec_id % 10 <> 0", "vec_id % 10 = 0")},
+         |${bucketSideCte("mkp", "vec_id % 10 = 0")},
+         |${bucketSideCte("mkc", "vec_id % 10 <> 0")},
          |cand AS (
          |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS corpus_id
          |  FROM mkp p JOIN mkc c ON p.tbl = c.tbl AND p.bucket = c.bucket

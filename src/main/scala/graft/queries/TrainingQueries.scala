@@ -206,6 +206,69 @@ object TrainingQueries {
 
   private def h60(expr: String): String = Hashing.h60Sql(expr)
 
+  /** 16-column MinHash minimum list and signature-agreement sum — the
+    * q27/q40 construction, shared by the q57 and q72 oracles. */
+  private val minsSql = (0 until 16)
+    .map(i => s"min(${Hashing.h31AffineSql(i, "base")}) AS mh$i").mkString(", ")
+  private val agreeSql = (0 until 16)
+    .map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+
+  /** The curation gate chain with a CTE suffix — tokenize, quality
+    * gates, repetition gates, md5 exact-dedup window, canonical
+    * survivors (t→q→r→d→s). ONE definition: q57 instantiates it with
+    * an empty suffix over the whole table, q72 once per slice, so "the
+    * same gates" cannot drift between the batch and incremental
+    * oracles. */
+  private def gatesCtes(sfx: String, pred: String) =
+    s"""t$sfx AS (
+       |  SELECT *, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents WHERE $pred),
+       |q$sfx AS (
+       |  SELECT * FROM t$sfx
+       |  WHERE len(toks) >= 10 AND len(toks) <= 10000
+       |    AND floor(1000 * CAST(len(list_filter(toks,
+       |          x -> x IN ('the','a','of','and','in'))) AS DOUBLE)
+       |        / CAST(len(toks) AS DOUBLE)) >= 10
+       |    AND floor(1000 * CAST(len(list_distinct(toks)) AS DOUBLE)
+       |        / CAST(len(toks) AS DOUBLE)) >= 100),
+       |r$sfx AS (
+       |  SELECT * FROM q$sfx
+       |  WHERE NOT (
+       |    floor(1000 * CAST(list_max(list_transform(list_distinct(toks),
+       |        t2 -> len(list_filter(toks, x -> x = t2)))) AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE)) >= 280
+       |    OR (CASE WHEN len(toks) - 1 <= 0 THEN 0
+       |        ELSE 1000 - floor(1000 * CAST(len(list_distinct(
+       |            list_transform(generate_series(1, len(toks) - 1),
+       |              i -> array_to_string(toks[i:i+1], ' ')))) AS DOUBLE)
+       |          / CAST(len(toks) - 1 AS DOUBLE)) END) >= 350)),
+       |d$sfx AS (
+       |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+       |  FROM r$sfx),
+       |s$sfx AS (SELECT * FROM d$sfx WHERE doc_id = canonical)""".stripMargin
+
+  /** Shingle → MinHash signature → 4-band key CTE chain with a suffix,
+    * over any (doc_id, toks) source — shared by the q57 and q72
+    * oracles (same hash/band construction as the q27/q40/q65 family).
+    */
+  private def sigKeysCtes(sfx: String, src: String) = {
+    val bands = (0 until 4).map { b =>
+      val parts = (s"'$b'" +: (0 until 4).map(i => s"CAST(mh${b * 4 + i} AS VARCHAR)"))
+        .mkString(", ")
+      s"SELECT doc_id, $b AS band, ${h60(s"concat_ws(',', $parts)")} AS band_key FROM sig$sfx"
+    }.mkString("\n  UNION ALL ")
+    s"""sh$sfx AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+       |    THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |           i -> array_to_string(toks[i:i+2], ' ')))
+       |    ELSE [] END) AS shingle
+       |  FROM $src),
+       |shb$sfx AS (SELECT doc_id, ${h60("shingle")} AS base FROM sh$sfx),
+       |sig$sfx AS (SELECT doc_id, $minsSql FROM shb$sfx GROUP BY doc_id),
+       |keys$sfx AS (
+       |  $bands)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q66_bigram_familiarity" ->
       s"""WITH d AS (
@@ -256,62 +319,18 @@ object TrainingQueries {
         |FROM tok LEFT JOIN vocab USING (t)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q57_curate_pipeline" -> {
-      // MinHash(16) + LSH(4×4) construction identical to the q27/q40
-      // oracles: one md5-base per 3-shingle, affine family minimums,
-      // banded keys, candidate join, agreement ≥ 8, then connected
-      // components (recursive CTE) over the exact-dedup survivors
-      val mins = (0 until 16)
-        .map(i => s"min(${Hashing.h31AffineSql(i, "base")}) AS mh$i").mkString(", ")
-      val bands = (0 until 4).map { b =>
-        val parts = (s"'$b'" +: (0 until 4).map(i => s"CAST(mh${b * 4 + i} AS VARCHAR)"))
-          .mkString(", ")
-        s"SELECT doc_id, $b AS band, ${h60(s"concat_ws(',', $parts)")} AS band_key FROM sig"
-      }.mkString("\n  UNION ALL ")
-      val agree = (0 until 16)
-        .map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH RECURSIVE t AS (
-         |  SELECT *, regexp_split_to_array(trim(text), '\\s+') AS toks
-         |  FROM documents),
-         |q AS (
-         |  SELECT * FROM t
-         |  WHERE len(toks) >= 10 AND len(toks) <= 10000
-         |    AND floor(1000 * CAST(len(list_filter(toks,
-         |          x -> x IN ('the','a','of','and','in'))) AS DOUBLE)
-         |        / CAST(len(toks) AS DOUBLE)) >= 10
-         |    AND floor(1000 * CAST(len(list_distinct(toks)) AS DOUBLE)
-         |        / CAST(len(toks) AS DOUBLE)) >= 100),
-         |r AS (
-         |  SELECT * FROM q
-         |  WHERE NOT (
-         |    floor(1000 * CAST(list_max(list_transform(list_distinct(toks),
-         |        t2 -> len(list_filter(toks, x -> x = t2)))) AS DOUBLE)
-         |      / CAST(len(toks) AS DOUBLE)) >= 280
-         |    OR (CASE WHEN len(toks) - 1 <= 0 THEN 0
-         |        ELSE 1000 - floor(1000 * CAST(len(list_distinct(
-         |            list_transform(generate_series(1, len(toks) - 1),
-         |              i -> array_to_string(toks[i:i+1], ' ')))) AS DOUBLE)
-         |          / CAST(len(toks) - 1 AS DOUBLE)) END) >= 350)),
-         |d AS (
-         |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
-         |  FROM r),
-         |s AS (SELECT * FROM d WHERE doc_id = canonical),
-         |shn AS (
-         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
-         |    THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
-         |           i -> array_to_string(toks[i:i+2], ' ')))
-         |    ELSE [] END) AS shingle
-         |  FROM s),
-         |shb AS (SELECT doc_id, ${h60("shingle")} AS base FROM shn),
-         |sig AS (SELECT doc_id, $mins FROM shb GROUP BY doc_id),
-         |keys AS (
-         |  $bands),
+      // gates + MinHash(16)/LSH(4×4) from the SHARED builders (empty
+      // suffix, whole table), then candidate join, agreement ≥ 8, and
+      // connected components (recursive CTE) over the survivors
+      s"""WITH RECURSIVE ${gatesCtes("", "TRUE")},
+         |${sigKeysCtes("", "s")},
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
          |  FROM keys a JOIN keys b
          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
          |prs AS (
          |  SELECT a_doc_id, b_doc_id FROM (
-         |    SELECT a_doc_id, b_doc_id, $agree AS sig_agree
+         |    SELECT a_doc_id, b_doc_id, $agreeSql AS sig_agree
          |    FROM cand JOIN sig x ON a_doc_id = x.doc_id JOIN sig y ON b_doc_id = y.doc_id)
          |  WHERE sig_agree >= 8),
          |sym AS (
@@ -330,67 +349,19 @@ object TrainingQueries {
          |ORDER BY doc_id""".stripMargin
     },
     "q72_incremental_curate" -> {
-      // Same gate/hash/band construction as the q57 oracle, suffixed so
-      // the corpus (c) and batch (p) slices each get their own chain;
-      // sig/keys are then rebuilt on the corpus SURVIVORS (i) and the
-      // exact-screened fresh batch (f) for the incremental probe.
-      val mins = (0 until 16)
-        .map(i => s"min(${Hashing.h31AffineSql(i, "base")}) AS mh$i").mkString(", ")
-      val agree = (0 until 16)
-        .map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
-      def gatesCtes(sfx: String, pred: String) =
-        s"""t$sfx AS (
-           |  SELECT *, regexp_split_to_array(trim(text), '\\s+') AS toks
-           |  FROM documents WHERE $pred),
-           |q$sfx AS (
-           |  SELECT * FROM t$sfx
-           |  WHERE len(toks) >= 10 AND len(toks) <= 10000
-           |    AND floor(1000 * CAST(len(list_filter(toks,
-           |          x -> x IN ('the','a','of','and','in'))) AS DOUBLE)
-           |        / CAST(len(toks) AS DOUBLE)) >= 10
-           |    AND floor(1000 * CAST(len(list_distinct(toks)) AS DOUBLE)
-           |        / CAST(len(toks) AS DOUBLE)) >= 100),
-           |r$sfx AS (
-           |  SELECT * FROM q$sfx
-           |  WHERE NOT (
-           |    floor(1000 * CAST(list_max(list_transform(list_distinct(toks),
-           |        t2 -> len(list_filter(toks, x -> x = t2)))) AS DOUBLE)
-           |      / CAST(len(toks) AS DOUBLE)) >= 280
-           |    OR (CASE WHEN len(toks) - 1 <= 0 THEN 0
-           |        ELSE 1000 - floor(1000 * CAST(len(list_distinct(
-           |            list_transform(generate_series(1, len(toks) - 1),
-           |              i -> array_to_string(toks[i:i+1], ' ')))) AS DOUBLE)
-           |          / CAST(len(toks) - 1 AS DOUBLE)) END) >= 350)),
-           |d$sfx AS (
-           |  SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
-           |  FROM r$sfx),
-           |s$sfx AS (SELECT * FROM d$sfx WHERE doc_id = canonical)""".stripMargin
-      def sigKeys(sfx: String, src: String) = {
-        val bands = (0 until 4).map { b =>
-          val parts = (s"'$b'" +: (0 until 4).map(i => s"CAST(mh${b * 4 + i} AS VARCHAR)"))
-            .mkString(", ")
-          s"SELECT doc_id, $b AS band, ${h60(s"concat_ws(',', $parts)")} AS band_key FROM sig$sfx"
-        }.mkString("\n  UNION ALL ")
-        s"""sh$sfx AS (
-           |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
-           |    THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
-           |           i -> array_to_string(toks[i:i+2], ' ')))
-           |    ELSE [] END) AS shingle
-           |  FROM $src),
-           |shb$sfx AS (SELECT doc_id, ${h60("shingle")} AS base FROM sh$sfx),
-           |sig$sfx AS (SELECT doc_id, $mins FROM shb$sfx GROUP BY doc_id),
-           |keys$sfx AS (
-           |  $bands)""".stripMargin
-      }
+      // The SHARED gate/hash/band builders, suffixed so the corpus (c)
+      // and batch (p) slices each get their own chain; sig/keys are
+      // then rebuilt on the corpus SURVIVORS (i) and the exact-screened
+      // fresh batch (f) for the incremental probe.
       s"""WITH RECURSIVE ${gatesCtes("c", "doc_id % 10 <> 0")},
-         |${sigKeys("c", "sc")},
+         |${sigKeysCtes("c", "sc")},
          |candc AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM keysc a JOIN keysc b
          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
          |prsc AS (
          |  SELECT a_id, b_id FROM (
-         |    SELECT a_id, b_id, $agree AS sig_agree
+         |    SELECT a_id, b_id, $agreeSql AS sig_agree
          |    FROM candc JOIN sigc x ON a_id = x.doc_id JOIN sigc y ON b_id = y.doc_id)
          |  WHERE sig_agree >= 8),
          |symc AS (
@@ -408,14 +379,14 @@ object TrainingQueries {
          |fresh AS (
          |  SELECT * FROM sp
          |  WHERE md5(text) NOT IN (SELECT md5(text) FROM corp)),
-         |${sigKeys("f", "fresh")},
-         |${sigKeys("i", "corp")},
+         |${sigKeysCtes("f", "fresh")},
+         |${sigKeysCtes("i", "corp")},
          |matched AS (
          |  SELECT DISTINCT p.doc_id
          |  FROM keysf p JOIN keysi c ON p.band = c.band AND p.band_key = c.band_key
          |  JOIN sigf x ON p.doc_id = x.doc_id
          |  JOIN sigi y ON c.doc_id = y.doc_id
-         |  WHERE $agree >= 8),
+         |  WHERE $agreeSql >= 8),
          |scr AS (
          |  SELECT doc_id FROM fresh
          |  WHERE doc_id NOT IN (SELECT doc_id FROM matched)),
@@ -426,7 +397,7 @@ object TrainingQueries {
          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
          |prsp AS (
          |  SELECT a_id, b_id FROM (
-         |    SELECT a_id, b_id, $agree AS sig_agree
+         |    SELECT a_id, b_id, $agreeSql AS sig_agree
          |    FROM candp JOIN sigf x ON a_id = x.doc_id JOIN sigf y ON b_id = y.doc_id)
          |  WHERE sig_agree >= 8),
          |symp AS (

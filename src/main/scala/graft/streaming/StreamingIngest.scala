@@ -428,15 +428,17 @@ object StreamingIngest {
     * signature, so the index screen subsumes it and the store contract
     * stays index-only.
     *
-    * Failure semantics: survivors are written BEFORE the index grows. A
-    * crash between the two writes replays the whole batch against the
-    * un-grown index — duplicate survivor rows in `outDir` (the
-    * dedupedPairSink at-least-once caveat) but a correct index. The
-    * reverse order would be data LOSS: a replay against an index
-    * already holding the batch's own rows matches every doc to itself
-    * and drops the entire batch. A replay after BOTH writes commit is
-    * self-healing for the same reason — every doc self-matches, so the
-    * replay appends nothing anywhere. */
+    * Failure semantics (ids must be unique across the stream's
+    * lifetime — the standard ingest contract): an ID-replay screen
+    * anti-joins each batch against the index's own ids first, so a
+    * batch replayed after BOTH writes committed (crash before the
+    * checkpoint advanced) finds its admitted ids already indexed and
+    * appends nothing anywhere — self-healing. Survivors are still
+    * written BEFORE the index grows: a crash BETWEEN the two writes
+    * replays against the un-grown index and duplicates survivor rows
+    * in `outDir` only (the dedupedPairSink at-least-once caveat) —
+    * the reverse order would replay against an index holding the
+    * batch's ids and silently drop the entire batch. */
   def curateIngestStream(stream: DataFrame, indexDir: String, outDir: String,
       checkpoint: String, idCol: String, textCol: String,
       gate: DataFrame => DataFrame, minAgree: Int = 8): DataStreamWriter[Row] =
@@ -445,15 +447,22 @@ object StreamingIngest {
         import graft.operators.Dedup
         val outCols = batch.columns.map(col)
         val index = batch.sparkSession.read.parquet(indexDir)
+        val fresh = batch.toDF()
+          .join(index.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
         // one boundary, the q57/q72 trade: the gated batch feeds both
         // the probe and the post-screen survivor base
-        val gated = Dedup.exactDedup(gate(batch.toDF()), idCol, textCol)
+        val gated = Dedup.exactDedup(gate(fresh), idCol, textCol)
           .filter(!col("is_dup"))
           .localCheckpoint(true)
-        val (survivors, appendRows) =
+        val (survivors, _) =
           Dedup.minhashIncrementalIngest(index, gated, idCol, textCol, minAgree)
-        survivors.select(outCols: _*).write.mode("append").parquet(outDir)
-        appendRows.write.mode("append").partitionBy("band").parquet(indexDir)
+        // materialize once: the outDir write and the index rows both
+        // consume it (index rows via the stamp-inheriting extend, so
+        // the survivor plan is not re-executed for the second write)
+        val admitted = survivors.localCheckpoint(true)
+        admitted.select(outCols: _*).write.mode("append").parquet(outDir)
+        Dedup.minhashIndexExtend(index, admitted, idCol, textCol)
+          .write.mode("append").partitionBy("band").parquet(indexDir)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -462,11 +471,18 @@ object StreamingIngest {
     * self-growing-index loop over vectors
     * ([[graft.operators.Similarity.lshIncrementalIngest]],
     * `partitionBy("tbl")`). No exact-dedup stage: md5 content hashing
-    * is a text-side notion, and identical vectors are cos 1.0 — the
-    * intra-batch collapse subsumes them. `gate` is caller policy
-    * (norm/dimension screens); default passthrough. Same write-order
-    * failure contract as the text form: survivors before index growth,
-    * replay after both writes self-heals via self-matching. */
+    * is a text-side notion, and identical NONZERO vectors are cos 1.0 —
+    * the intra-batch collapse subsumes them. Zero-norm vectors are
+    * REJECTED at the door (dropped, not admitted): cosine is undefined
+    * there, so they would bypass the probe, the collapse, and index
+    * growth entirely and accumulate as unscreenable duplicates. `gate`
+    * is further caller policy (dimension screens etc.); default
+    * passthrough. Same id-screen failure contract as the text form:
+    * a replay after both writes finds its ids indexed and appends
+    * nothing; a crash between the writes duplicates `outDir` rows only.
+    * (The id screen is load-bearing here — the probe join excludes
+    * probe_id = corpus_id by design, so unlike the text form a
+    * replayed vector would NOT match its own index rows.) */
   def curateEmbeddingIngestStream(stream: DataFrame, indexDir: String,
       outDir: String, checkpoint: String, idCol: String, vecCol: String,
       minMicro: Long,
@@ -476,11 +492,16 @@ object StreamingIngest {
         import graft.operators.Similarity
         val outCols = batch.columns.map(col)
         val index = batch.sparkSession.read.parquet(indexDir)
-        val gated = gate(batch.toDF()).localCheckpoint(true)
-        val (survivors, appendRows) =
-          Similarity.lshIncrementalIngest(index, gated, idCol, vecCol, minMicro)
-        survivors.select(outCols: _*).write.mode("append").parquet(outDir)
-        appendRows.write.mode("append").partitionBy("tbl").parquet(indexDir)
+        val fresh = gate(batch.toDF())
+          .filter(Similarity.norm(col(vecCol)) > 0)
+          .join(index.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+        val (survivors, _) =
+          Similarity.lshIncrementalIngest(index, fresh, idCol, vecCol, minMicro)
+        val admitted = survivors.localCheckpoint(true)
+        admitted.select(outCols: _*).write.mode("append").parquet(outDir)
+        Similarity.lshIndexExtend(index, admitted, idCol, vecCol)
+          .write.mode("append").partitionBy("tbl").parquet(indexDir)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

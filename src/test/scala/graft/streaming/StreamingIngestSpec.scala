@@ -640,6 +640,16 @@ class StreamingIngestSpec extends SparkSpec {
     assert(grown.select("doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
       == Seq(1L, 2L, 102L, 202L))
     assert(grown.select("ix_n", "ix_k", "ix_bands").distinct().count() == 1)
+
+    // drop 3: a full re-arrival of drop 1's exact (id, text) rows — the
+    // replayed-batch shape — appends nothing: admitted ids hit the id
+    // screen, the rest re-screen out
+    drop1.write.mode("append").parquet(drop)
+    drain()
+    assert(spark.read.parquet(outDir).count() == 2,
+      "re-arrival of already-processed rows must append nothing")
+    assert(spark.read.parquet(indexDir).count() == grown.count(),
+      "re-arrival must not grow the index")
   }
 
   test("streaming embedding curate mirrors the text contract across drains") {
@@ -685,5 +695,19 @@ class StreamingIngestSpec extends SparkSpec {
     assert(grown.select("vec_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
       == Seq(1L, 2L, 102L, 202L))
     assert(grown.select("ix_planes", "ix_dims", "ix_tables").distinct().count() == 1)
+
+    // drop 3: re-arrival of an admitted id (the replayed-batch shape —
+    // the probe would NOT self-match, the id screen is load-bearing)
+    // plus a zero-norm vector (rejected at the door, not admitted)
+    Seq(
+      (102L, Array(0.0f, 1.0f, -0.4f, 0.3f)),
+      (301L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("append").parquet(drop)
+    drain()
+    assert(spark.read.parquet(outDir).count() == 2,
+      "replayed id and zero-norm vector must both be rejected")
+    assert(spark.read.parquet(indexDir).count() == grown.count(),
+      "re-arrival must not grow the index")
   }
 }
