@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lifecycle operations on the persisted LSH index relations
+  * ([[Dedup.minhashIndex]] partitioned by `band`,
+  * [[Similarity.lshIndex]] partitioned by `tbl`) beyond build / probe /
+  * extend: compaction and skew profiling.
+  *
+  * Both exist because the indexes are append-GROWN: every
+  * [[Dedup.minhashIndexExtend]] / [[Similarity.lshIndexExtend]] batch —
+  * and every micro-batch of the streaming curate loops
+  * ([[graft.streaming.StreamingIngest.curateIngestStream]]) — adds one
+  * more small parquet file per partition directory. At 100 TB that is
+  * the classic object-store small-files failure mode (probe-side scan
+  * cost becomes per-FILE, not per-byte: open/footer/seek per fragment),
+  * and bucket skew is the probe-side cost model (a probe's candidate
+  * set is the size of the buckets it lands in, so the hottest bucket
+  * bounds the worst probe).
+  */
+object IndexOps {
+
+  /** Exact bucket-size histogram of an index relation: for each
+    * partition value of `dirCol` (band / table family), how many
+    * buckets hold exactly `bucket_rows` rows. The complete, exact skew
+    * profile — p99 / max / mean are all derivable from it — in two
+    * map-side-combined hash aggregations (no window, no sort, no
+    * collect; output is at most #distinct-bucket-sizes rows per
+    * family, which is tiny by construction).
+    *
+    * Operational use at scale: a near-dup index over a corpus with
+    * boilerplate (empty docs, templated pages) develops mega-buckets —
+    * every probe landing there reranks the whole bucket, so the
+    * histogram's tail IS the probe latency model. Feed the hot keys to
+    * a df-cap or drop list (the [[Dedup.simhashPairs]] chunk-cap
+    * lesson, measured in SCALING.md). */
+  def bucketHistogram(index: DataFrame, dirCol: String, keyCol: String): DataFrame =
+    index.groupBy(col(dirCol), col(keyCol))
+      .agg(count(lit(1)).as("bucket_rows"))
+      .groupBy(col(dirCol), col("bucket_rows"))
+      .agg(count(lit(1)).as("n_buckets"))
+
+  /** Rewrite the append-grown index at `srcDir` into `dstDir` as few
+    * large, key-clustered files: range-repartitioned on
+    * (`dirCol`, `clusterCols`) into `ceil(rows / targetRowsPerFile)`
+    * output tasks, sorted within partitions so each file covers a
+    * contiguous key range (parquet row-group min/max stats then prune
+    * selective probes), and written `partitionBy(dirCol)` — the exact
+    * layout the builders/extends write, so probes bind by name
+    * identically against the compacted copy.
+    *
+    * Validates BEFORE rewriting that every row carries the same build
+    * stamp: an index directory polluted by appends from a different
+    * build (the one corruption the per-probe stamp check only catches
+    * at read time, one probe too late) fails compaction with both
+    * stamps in the message instead of being silently fused into one
+    * relation.
+    *
+    * Deliberately writes to a NEW directory rather than in place: on
+    * an object store the swap is a pointer flip (rename / catalog
+    * update) by the caller, and a crash mid-compaction leaves the live
+    * index untouched. Runs jobs at call time (a stamp scan, a count,
+    * the rewrite) — this is a maintenance ACTION, not a transform.
+    *
+    * Returns the compacted row count (callers log it against the
+    * source count; equality is asserted by the spec, not re-checked
+    * per run). */
+  def compactTo(spark: SparkSession, srcDir: String, dstDir: String,
+      dirCol: String, clusterCols: Seq[String],
+      targetRowsPerFile: Long = 4L * 1000 * 1000): Long = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val src = spark.read.parquet(srcDir)
+    val stampCols = src.columns.filter(_.startsWith("ix_")).sorted.toSeq
+    require(stampCols.nonEmpty,
+      s"compactTo: $srcDir carries no ix_* build-parameter stamp — not an " +
+        "index relation built by the current builders")
+    val stamps = src.select(stampCols.map(col): _*).distinct().limit(3).collect()
+    require(stamps.length <= 1,
+      s"compactTo: $srcDir holds rows from ${stamps.length}+ different builds (" +
+        stamps.map(r => stampCols.zip(r.toSeq).map { case (c, v) => s"$c=$v" }
+          .mkString(", ")).mkString(" vs ") +
+        ") — an appended batch was stamped differently; rebuild instead of compacting")
+    val rows = src.count()
+    val numFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val keys = (dirCol +: clusterCols).map(col)
+    src.repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").partitionBy(dirCol).parquet(dstDir)
+    rows
+  }
+
+  /** [[compactTo]] with the [[Dedup.minhashIndex]] layout
+    * (`partitionBy("band")`, clustered on `band_key`). */
+  def compactMinhashTo(spark: SparkSession, srcDir: String, dstDir: String,
+      targetRowsPerFile: Long = 4L * 1000 * 1000): Long =
+    compactTo(spark, srcDir, dstDir, "band", Seq("band_key"), targetRowsPerFile)
+
+  /** [[compactTo]] with the [[Similarity.lshIndex]] layout
+    * (`partitionBy("tbl")`, clustered on `bucket`). */
+  def compactLshTo(spark: SparkSession, srcDir: String, dstDir: String,
+      targetRowsPerFile: Long = 4L * 1000 * 1000): Long =
+    compactTo(spark, srcDir, dstDir, "tbl", Seq("bucket"), targetRowsPerFile)
+}

@@ -260,8 +260,40 @@ object ScaleQueries {
     survivors.select("vec_id", "label").orderBy("vec_id")
   }
 
+  /** DD8 — exact bucket-skew profile of the MinHash index over the
+    * whole corpus ([[graft.operators.IndexOps.bucketHistogram]]): per
+    * band, how many band-key buckets hold exactly `bucket_rows` docs.
+    * The probe-latency model of every index consumer (q65, q70, the
+    * streaming screens): a probe's candidate set is the size of the
+    * buckets it lands in, so this histogram's tail bounds the worst
+    * probe. Two hash aggregations, no window, no collect. */
+  val q73MinhashIndexSkew: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    graft.operators.IndexOps.bucketHistogram(
+        Dedup.minhashIndex(t.documents, "doc_id", "text"), "band", "band_key")
+      .orderBy("band", "bucket_rows")
+  }
+
+  /** SS9 — the embedding twin of q73: bucket-skew profile of the
+    * hyperplane LSH index (plane count corpus-derived exactly as q29 /
+    * q68 build it, so the profile describes the index those queries
+    * probe). */
+  val q74EmbeddingIndexSkew: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val e = t.embeddings
+    val n = CorpusCounts.of(e, s"$dir#embeddings")
+    val planes = if (n <= 0) 1 else Similarity.lshAutoPlanes(n)
+    require(planes <= MaxAutoPlanes,
+      s"q74 corpus ($n rows) derives more planes than the oracle replicates")
+    graft.operators.IndexOps.bucketHistogram(
+        Similarity.lshIndex(e, "vec_id", "embedding", planes, dims = 64), "tbl", "bucket")
+      .orderBy("tbl", "bucket_rows")
+  }
+
   val all: Map[String, Q] = Map(
     "q56_topk_agg" -> q56TopkAgg,
+    "q73_minhash_index_skew" -> q73MinhashIndexSkew,
+    "q74_embedding_index_skew" -> q74EmbeddingIndexSkew,
     "q70_incremental_ingest" -> q70IncrementalIngest,
     "q71_embedding_ingest" -> q71EmbeddingIngest,
     "q68_embedding_probe" -> q68EmbeddingProbe,
@@ -421,6 +453,24 @@ object ScaleQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q73_minhash_index_skew" ->
+      s"""WITH ${sigKeysSql("", "TRUE")},
+         |bs AS (
+         |  SELECT band, band_key, CAST(count(*) AS BIGINT) AS bucket_rows
+         |  FROM keys GROUP BY band, band_key)
+         |SELECT band, bucket_rows, CAST(count(*) AS BIGINT) AS n_buckets
+         |FROM bs GROUP BY band, bucket_rows
+         |ORDER BY band, bucket_rows""".stripMargin,
+    "q74_embedding_index_skew" ->
+      s"""WITH $normedCte,
+         |$planesCte,
+         |${bucketSideCte("mk", "TRUE")},
+         |bs AS (
+         |  SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS bucket_rows
+         |  FROM mk GROUP BY tbl, bucket)
+         |SELECT tbl, bucket_rows, CAST(count(*) AS BIGINT) AS n_buckets
+         |FROM bs GROUP BY tbl, bucket_rows
+         |ORDER BY tbl, bucket_rows""".stripMargin,
     "q60_quantize_int8" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,

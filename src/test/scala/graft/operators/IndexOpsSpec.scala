@@ -1,0 +1,133 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Index lifecycle: compaction of append-grown persisted indexes and
+  * the bucket-skew histogram.
+  *
+  * The compaction contract under test: the compacted copy is the SAME
+  * RELATION (probes bind by name and return byte-identical matches),
+  * in strictly fewer files, and compaction refuses both an unstamped
+  * directory and one polluted by appends from a different build — the
+  * whole-relation form of the per-probe stamp check.
+  */
+class IndexOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def parquetFiles(dir: String): Seq[String] = {
+    val s = Files.walk(java.nio.file.Paths.get(dir))
+    try s.iterator().asScala.map(_.toString).filter(_.endsWith(".parquet")).toVector
+    finally s.close()
+  }
+
+  private def docs(ids: Long*) = ids.map { i =>
+    (i, s"the quick brown fox number $i jumps over the lazy dog again and again")
+  }.toDF("doc_id", "text")
+
+  private def vecs(ids: Long*) = ids.map { i =>
+    (i, Array(1.0f + i * 0.01f, -0.5f, 0.25f * (i % 4), 0.7f))
+  }.toDF("vec_id", "embedding")
+
+  test("minhash index compaction: fewer files, identical probes, stamp intact") {
+    val dir = tmp("ixops_mh")
+    Dedup.minhashIndex(docs(1L to 20L: _*), "doc_id", "text")
+      .write.mode("append").partitionBy("band").parquet(dir)
+    // three append-grown extends — the streaming curate loop's file pattern
+    Seq(21L to 30L, 31L to 40L, 41L to 50L).foreach { ids =>
+      val index = spark.read.parquet(dir)
+      Dedup.minhashIndexExtend(index, docs(ids: _*), "doc_id", "text")
+        .write.mode("append").partitionBy("band").parquet(dir)
+    }
+    val before = parquetFiles(dir)
+    val probes = docs(5L, 25L, 45L, 999L)
+    val beforeMatches = canon(Dedup.minhashProbeAuto(
+      probes, spark.read.parquet(dir), "doc_id", "text", minAgree = 1))
+
+    val dst = tmp("ixops_mh_compact")
+    val rows = IndexOps.compactMinhashTo(spark, dir, dst)
+    assert(rows == spark.read.parquet(dir).count())
+    val after = parquetFiles(dst)
+    assert(after.size < before.size,
+      s"compaction must shrink the file count (${before.size} -> ${after.size})")
+    // at the default target one range partition covers everything: one
+    // file per band directory
+    assert(after.size == spark.read.parquet(dst).select("band").distinct().count())
+
+    val compacted = spark.read.parquet(dst)
+    assert(canon(Dedup.minhashProbeAuto(probes, compacted, "doc_id", "text",
+      minAgree = 1)) == beforeMatches)
+    assert(compacted.select("ix_n", "ix_k", "ix_bands").distinct().count() == 1)
+  }
+
+  test("embedding index compaction mirrors the text contract") {
+    val dir = tmp("ixops_lsh")
+    Similarity.lshIndex(vecs(1L to 20L: _*), "vec_id", "embedding",
+        planes = 2, dims = 4, tables = 3)
+      .write.mode("append").partitionBy("tbl").parquet(dir)
+    Seq(21L to 30L, 31L to 40L).foreach { ids =>
+      val index = spark.read.parquet(dir)
+      Similarity.lshIndexExtend(index, vecs(ids: _*), "vec_id", "embedding")
+        .write.mode("append").partitionBy("tbl").parquet(dir)
+    }
+    val before = parquetFiles(dir)
+    val probes = vecs(7L, 33L)
+    val beforeMatches = canon(Similarity.lshIndexProbeAuto(
+      probes, spark.read.parquet(dir), "vec_id", "embedding", minMicro = 0L))
+
+    val dst = tmp("ixops_lsh_compact")
+    val rows = IndexOps.compactLshTo(spark, dir, dst)
+    assert(rows == spark.read.parquet(dir).count())
+    assert(parquetFiles(dst).size < before.size)
+    val compacted = spark.read.parquet(dst)
+    assert(canon(Similarity.lshIndexProbeAuto(probes, compacted, "vec_id",
+      "embedding", minMicro = 0L)) == beforeMatches)
+    assert(compacted.select("ix_planes", "ix_dims", "ix_tables").distinct().count() == 1)
+  }
+
+  test("compaction refuses a mixed-build directory and an unstamped one") {
+    val dir = tmp("ixops_mixed")
+    Dedup.minhashIndex(docs(1L to 10L: _*), "doc_id", "text", n = 3, k = 16, bands = 4)
+      .write.mode("append").partitionBy("band").parquet(dir)
+    // a batch stamped under DIFFERENT banding lands in the same directory
+    Dedup.minhashIndex(docs(11L to 20L: _*), "doc_id", "text", n = 3, k = 16, bands = 2)
+      .write.mode("append").partitionBy("band").parquet(dir)
+    val e = intercept[IllegalArgumentException](
+      IndexOps.compactMinhashTo(spark, dir, tmp("ixops_mixed_out")))
+    assert(e.getMessage.contains("different builds"))
+
+    val plain = tmp("ixops_plain")
+    docs(1L to 5L: _*).withColumn("band", lit(0))
+      .write.mode("overwrite").partitionBy("band").parquet(plain)
+    val e2 = intercept[IllegalArgumentException](
+      IndexOps.compactMinhashTo(spark, plain, tmp("ixops_plain_out")))
+    assert(e2.getMessage.contains("no ix_"))
+  }
+
+  test("bucketHistogram is the exact bucket-size distribution") {
+    val index = Dedup.minhashIndex(docs(1L to 30L: _*), "doc_id", "text")
+    val hist = IndexOps.bucketHistogram(index, "band", "band_key")
+    // mass conservation: sum(bucket_rows * n_buckets) per band == index
+    // rows per band
+    val mass = hist.groupBy("band")
+      .agg(sum(col("bucket_rows") * col("n_buckets")).as("rows")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = index.groupBy("band").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(mass == rows)
+    // cross-check one band against a hand-computed distribution
+    val sizes = index.filter(col("band") === 0)
+      .groupBy("band_key").count().collect().map(_.getLong(1))
+    val want = sizes.groupBy(identity).map { case (sz, xs) => (sz, xs.length.toLong) }
+    val got = hist.filter(col("band") === 0).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+}
