@@ -96,6 +96,98 @@ object TrainingData {
     df.filter(bucket < weightPermille)
   }
 
+  // ---------------------------------------------------------- domain mixture
+
+  /** Per-source keep-rates that hit a target domain MIXTURE under a row
+    * budget — the rate derivation behind [[mixtureResample]] /
+    * [[mixtureReport]], exposed separately so both read one definition:
+    * `rate_s = min(1000, 1000 · need_s ÷ supply_s)` permille, where
+    * `need_s = budget · w_s ÷ 1000` (every ÷ a floor division — the
+    * whole derivation is integer-exact, so the oracle reproduces it
+    * bit-for-bit).
+    *
+    * Sources listed in the target but ABSENT from the corpus come back
+    * with `supply = 0, rate_permille = 0` instead of vanishing — a
+    * missing domain is precisely what the report must surface. An
+    * UNDER-supplied source (supply below its budget share) caps at
+    * keep-everything (rate 1000) and the mixture undershoots its
+    * target there; the other domains are deliberately NOT re-weighted
+    * up to compensate — that would silently change their sampling
+    * rates, and the right response (source more data, or re-weight on
+    * purpose) is the caller's call, made visible by [[mixtureReport]].
+    *
+    * One aggregation over the (dictionary-encoded) source column —
+    * map-side combined, output is `|target|` rows. */
+  def mixtureRates(df: DataFrame, sourceCol: String,
+      targetPermille: Map[String, Int], budgetRows: Long): DataFrame = {
+    require(targetPermille.nonEmpty, "targetPermille must list at least one source")
+    require(targetPermille.values.forall(w => w >= 0 && w <= 1000),
+      "per-source target weights are permille values in [0, 1000]")
+    require(targetPermille.values.sum <= 1000,
+      s"target weights sum to ${targetPermille.values.sum} permille (> 1000)")
+    require(budgetRows >= 0 && budgetRows <= Long.MaxValue / 1000,
+      "budgetRows must be in [0, Long.MaxValue/1000]")
+    val session = df.sparkSession
+    import session.implicits._
+    // per-source budget share: driver-side exact integer arithmetic
+    // (budget and the weights are both plan-time constants)
+    val want = targetPermille.toSeq.sortBy(_._1)
+      .map { case (s, w) => (s, w.toLong, budgetRows * w / 1000) }
+      .toDF(sourceCol, "target_permille", "__need")
+    val supply = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("supply"))
+    want.join(supply, Seq(sourceCol), "left")
+      .withColumn("supply", coalesce(col("supply"), lit(0L)))
+      .withColumn("rate_permille",
+        when(col("supply") === 0, lit(0L))
+          .otherwise(least(lit(1000L), expr("(1000 * __need) div supply"))))
+      .select(col(sourceCol), col("target_permille"), col("supply"),
+        col("rate_permille"))
+  }
+
+  /** Domain-mixture resampling: downsample each source to its share of
+    * a row budget under target permille weights ([[mixtureRates]]) —
+    * the corpus-mixing step of a training-data pipeline (web-heavy raw
+    * crawl in, balanced web/code/reference mix out). Sources not
+    * listed in the target are dropped (weight zero).
+    *
+    * The keep decision is the same hash-bucket construction as
+    * [[stratifiedSample]] — deterministic per id across retries, stage
+    * replays and engines. Plan shape: one single-column aggregation
+    * for the rates, broadcast back onto the scan, then a filter — the
+    * corpus itself is never shuffled, and the second pass reads only
+    * `sourceCol` + `idCol` + the output columns. */
+  def mixtureResample(df: DataFrame, sourceCol: String, idCol: String,
+      targetPermille: Map[String, Int], budgetRows: Long,
+      salt: String = "v1"): DataFrame = {
+    val rates = mixtureRates(df, sourceCol, targetPermille, budgetRows)
+      .select(col(sourceCol), col("rate_permille"))
+    val bucket = h60(concat(lit(s"mix:$salt:"), col(idCol).cast("string"))) % 1000
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(bucket < col("rate_permille"))
+      .select(df.columns.map(col): _*)
+  }
+
+  /** The audit row per TARGETED source behind a [[mixtureResample]]
+    * run: target weight, measured supply, derived keep-rate, and the
+    * exact achieved row count — `supply = 0` flags a missing domain,
+    * `rate_permille = 1000` an under-supplied one (target unreachable,
+    * everything kept). A production pipeline computes `achieved` from
+    * the resampled output it writes anyway; this form re-derives it
+    * in-query so one relation carries the whole audit. */
+  def mixtureReport(df: DataFrame, sourceCol: String, idCol: String,
+      targetPermille: Map[String, Int], budgetRows: Long,
+      salt: String = "v1"): DataFrame = {
+    val rates = mixtureRates(df, sourceCol, targetPermille, budgetRows)
+    val bucket = h60(concat(lit(s"mix:$salt:"), col(idCol).cast("string"))) % 1000
+    val achieved = df
+      .join(broadcast(rates.select(col(sourceCol), col("rate_permille"))),
+        Seq(sourceCol))
+      .filter(bucket < col("rate_permille"))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("achieved"))
+    rates.join(achieved, Seq(sourceCol), "left")
+      .withColumn("achieved", coalesce(col("achieved"), lit(0L)))
+  }
+
   // --------------------------------------------------------------- chunking
 
   /** Overlapping token windows: the batch shape that turns documents

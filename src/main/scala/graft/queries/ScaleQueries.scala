@@ -22,7 +22,7 @@ object ScaleQueries {
     * operators: only the caller knows its input relation is immutable
     * (the operators keep their explicit `knownRows` escape hatch for
     * callers that already counted). */
-  private object CorpusCounts {
+  private[queries] object CorpusCounts {
     private val cache = scala.collection.concurrent.TrieMap.empty[String, Long]
     def of(df: org.apache.spark.sql.DataFrame, key: String): Long =
       cache.getOrElseUpdate(key, df.count())

@@ -189,7 +189,37 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+  /** TD12 targets — chosen to span every branch of the rate
+    * derivation at the test SFs (uniform 50‰-of-corpus supply per
+    * source, budget = 40% of corpus): src0/src1 are under-supplied
+    * (need > supply → rate caps at 1000, mixture undershoots), src2
+    * lands at a fractional 800‰, the mid/tail weights exercise small
+    * fractional rates, and `src_absent` is in the target but not the
+    * corpus (supply 0 → rate 0 — the missing-domain alarm). Unlisted
+    * src8–src19 are dropped by [[TrainingData.mixtureResample]]
+    * (covered in `TrainingDataSpec`; this report shows targeted
+    * sources only, like the production audit would). */
+  private val MixtureTargets: Seq[(String, Int)] = Seq(
+    "src0" -> 300, "src1" -> 150, "src2" -> 100, "src3" -> 50,
+    "src4" -> 50, "src5" -> 25, "src6" -> 10, "src7" -> 5,
+    "src_absent" -> 100)
+
+  /** TD12 — the domain-mixture audit: target weight vs measured
+    * supply vs derived keep-rate vs exact achieved rows, per targeted
+    * source, for a budget of 40% of the corpus
+    * ([[TrainingData.mixtureReport]]). Integer-exact end to end, so
+    * the oracle reproduces every rate and every sampled row. */
+  val q75MixtureReport: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val budget =
+      ScaleQueries.CorpusCounts.of(t.documents, s"$dir#documents") * 2 / 5
+    TrainingData.mixtureReport(t.documents, "source", "doc_id",
+        MixtureTargets.toMap, budget)
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
+    "q75_mixture_report" -> q75MixtureReport,
     "q66_bigram_familiarity" -> q66BigramFamiliarity,
     "q57_curate_pipeline" -> q57CuratePipeline,
     "q72_incremental_curate" -> q72IncrementalCurate,
@@ -270,6 +300,32 @@ object TrainingQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q75_mixture_report" ->
+      s"""WITH b AS (
+         |  SELECT CAST(count(*) * 2 // 5 AS BIGINT) AS budget FROM documents),
+         |w(source, target_permille) AS (VALUES ${MixtureTargets
+               .map { case (s, p) => s"('$s', CAST($p AS BIGINT))" }
+               .mkString(", ")}),
+         |c AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS supply
+         |  FROM documents GROUP BY source),
+         |r AS (
+         |  SELECT w.source, w.target_permille, COALESCE(c.supply, 0) AS supply,
+         |    CAST(CASE WHEN COALESCE(c.supply, 0) = 0 THEN 0
+         |      ELSE LEAST(1000,
+         |        (1000 * ((b.budget * w.target_permille) // 1000)) // c.supply)
+         |      END AS BIGINT) AS rate_permille
+         |  FROM w CROSS JOIN b LEFT JOIN c ON w.source = c.source),
+         |a AS (
+         |  SELECT d.source, CAST(count(*) AS BIGINT) AS achieved
+         |  FROM documents d JOIN r ON d.source = r.source
+         |  WHERE ${h60("'mix:v1:' || CAST(d.doc_id AS VARCHAR)")} % 1000
+         |        < r.rate_permille
+         |  GROUP BY d.source)
+         |SELECT r.source, r.target_permille, r.supply, r.rate_permille,
+         |  COALESCE(a.achieved, 0) AS achieved
+         |FROM r LEFT JOIN a ON r.source = a.source
+         |ORDER BY r.source""".stripMargin,
     "q66_bigram_familiarity" ->
       s"""WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks

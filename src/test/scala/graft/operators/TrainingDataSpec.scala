@@ -57,6 +57,46 @@ class TrainingDataSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(k200.subsetOf(k600))
   }
 
+  test("mixture: rates integer-exact, resample deterministic + subset, report consistent") {
+    // 3 sources of 100 each; budget 60, weights: s0 under-supplied
+    // (need 30·2=... no: need = 60·600/1000 = 36 < 100 → rate 360),
+    // s1 capped (w=400 → need 24, supply 10 → rate 1000), s2 unlisted,
+    // sX absent from the corpus
+    val rows = spark.range(210).select(col("id").as("doc_id"),
+      when(col("id") < 100, "s0").when(col("id") < 110, "s1")
+        .otherwise("s2").as("source"))
+    val weights = Map("s0" -> 600, "s1" -> 400, "sX" -> 0)
+    val rates = TrainingData.mixtureRates(rows, "source", weights, budgetRows = 60L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rates("s0") == ((600L, 100L, 360L)))  // 1000·36/100
+    assert(rates("s1") == ((400L, 10L, 1000L)))  // need 24 > supply → capped
+    assert(rates("sX") == ((0L, 0L, 0L)))        // absent: supply 0, rate 0
+    val sampled = TrainingData.mixtureResample(rows, "source", "doc_id", weights, 60L)
+    assertSameRows(sampled,
+      TrainingData.mixtureResample(rows, "source", "doc_id", weights, 60L))
+    assert(sampled.columns.toSeq == rows.columns.toSeq, "original schema back")
+    assert(sampled.join(rows, Seq("doc_id"), "left_anti").isEmpty, "subset of input")
+    assert(sampled.filter(col("source") === "s2").isEmpty, "unlisted source dropped")
+    assert(sampled.filter(col("source") === "s1").count() == 10L,
+      "capped source keeps everything")
+    // report's achieved == the resample's actual per-source counts
+    val report = TrainingData.mixtureReport(rows, "source", "doc_id", weights, 60L)
+    val achieved = report.collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val actual = sampled.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(achieved("s0") == actual("s0") && achieved("s1") == 10L && achieved("sX") == 0L)
+    // rate derivation guards
+    intercept[IllegalArgumentException](
+      TrainingData.mixtureRates(rows, "source", Map("s0" -> 700, "s1" -> 400), 60L))
+    intercept[IllegalArgumentException](
+      TrainingData.mixtureRates(rows, "source", Map("s0" -> 1200), 60L))
+    // plan shape: the corpus is filtered against a BROADCAST of the tiny
+    // rate relation — no sort-merge join, no shuffle of the corpus side
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge join:\n$plan")
+  }
+
   test("chunkTokens: covers every token at the stride, tail chunk short") {
     val out = TrainingData.chunkTokens(docs, "doc_id", "text", window = 10, stride = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
