@@ -159,11 +159,13 @@ object TrainingData {
   def mixtureResample(df: DataFrame, sourceCol: String, idCol: String,
       targetPermille: Map[String, Int], budgetRows: Long,
       salt: String = "v1"): DataFrame = {
+    // "__"-prefixed join-internal name: the input frame may itself carry
+    // a rate_permille column (resampling a report-derived relation)
     val rates = mixtureRates(df, sourceCol, targetPermille, budgetRows)
-      .select(col(sourceCol), col("rate_permille"))
+      .select(col(sourceCol), col("rate_permille").as("__mix_rate"))
     val bucket = h60(concat(lit(s"mix:$salt:"), col(idCol).cast("string"))) % 1000
     df.join(broadcast(rates), Seq(sourceCol))
-      .filter(bucket < col("rate_permille"))
+      .filter(bucket < col("__mix_rate"))
       .select(df.columns.map(col): _*)
   }
 
@@ -180,9 +182,10 @@ object TrainingData {
     val rates = mixtureRates(df, sourceCol, targetPermille, budgetRows)
     val bucket = h60(concat(lit(s"mix:$salt:"), col(idCol).cast("string"))) % 1000
     val achieved = df
-      .join(broadcast(rates.select(col(sourceCol), col("rate_permille"))),
+      .join(broadcast(rates
+          .select(col(sourceCol), col("rate_permille").as("__mix_rate"))),
         Seq(sourceCol))
-      .filter(bucket < col("rate_permille"))
+      .filter(bucket < col("__mix_rate"))
       .groupBy(col(sourceCol)).agg(count(lit(1)).as("achieved"))
     rates.join(achieved, Seq(sourceCol), "left")
       .withColumn("achieved", coalesce(col("achieved"), lit(0L)))

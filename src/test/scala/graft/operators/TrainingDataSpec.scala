@@ -86,6 +86,11 @@ class TrainingDataSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val actual = sampled.groupBy("source").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(achieved("s0") == actual("s0") && achieved("s1") == 10L && achieved("sX") == 0L)
+    // an input that already carries a rate_permille column resamples fine
+    // (the join-internal rate name is "__"-prefixed, no ambiguity)
+    val preRated = rows.withColumn("rate_permille", lit(7L))
+    assert(TrainingData.mixtureResample(preRated, "source", "doc_id", weights, 60L)
+      .columns.toSeq == preRated.columns.toSeq)
     // rate derivation guards
     intercept[IllegalArgumentException](
       TrainingData.mixtureRates(rows, "source", Map("s0" -> 700, "s1" -> 400), 60L))
