@@ -137,12 +137,23 @@ object Bench {
     // lost the wall map exactly this way). Print in ascending importance —
     // cold pass first (recoverable by re-running), then CPU, then the
     // headline wall-min map LAST so it always survives the capture.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpu_core_s":${r3(totalCpu)},"queries_cold":$qsCold,"errors":$errJson,"queries_cpu":$qsCpu,"sf":"$sfDir","queries":$qs}""")
+    // total_wall_s/total_cpu_core_s duplicate value/cpu_core_s under the
+    // r6-era field names so older consumers keep parsing (bench_schema
+    // versions the shape explicitly from here on).
+    println(s"""{"metric":"total","bench_schema":2,"value":${r3(total)},"unit":"sec","total_wall_s":${r3(total)},"cpu_core_s":${r3(totalCpu)},"total_cpu_core_s":${r3(totalCpu)},"queries_cold":$qsCold,"errors":$errJson,"queries_cpu":$qsCpu,"sf":"$sfDir","queries":$qs}""")
     // Second, COMPACT line under its own metric name (a consumer parsing
     // every "total" line would double-count): only the headline wall-min
-    // map + total — ~1.5 KB at 3 decimals, small enough to always
-    // survive the tail capture whole.
-    println(s"""{"metric":"total_compact","value":${r3(total)},"unit":"sec","sf":"$sfDir","queries":$qs}""")
+    // map + total. SIZE BUDGET: the round driver's tail capture is 2000
+    // bytes and sbt appends a ~75-byte "[success]" trailer after this
+    // line, so the whole line must stay under ~1900 bytes — r7's 1952-byte
+    // line (75 queries, 3-decimal walls, sf path) lost its head exactly
+    // this way ("parsed": null). Hence 2-decimal walls and no sf here;
+    // full precision and the sf path live on the first line.
+    def r2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs2 = results.map { case (k, v, _, _) => s""""${esc(k)}":${r2(v)}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total_compact","value":${r2(total)},"unit":"sec","queries":$qs2}""")
     spark.stop()
   }
 }

@@ -408,10 +408,13 @@ object Dedup {
     * parameters (read from its stamp): append these to the persisted
     * relation (`write.mode("append").partitionBy("band")`) to grow the
     * index without recomputing the corpus. Extending an EMPTY relation
-    * is refused — there is no stamp to inherit; build instead. */
+    * is refused — there is no stamp to inherit; build instead. The
+    * stamp is read with the UNIQUENESS guard ([[IndexStamp.readUnique]]):
+    * a directory already polluted by a differently-stamped append is
+    * refused instead of nondeterministically deepening the mix. */
   def minhashIndexExtend(index: DataFrame, newDocs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    IndexStamp.read(index, Seq("ix_n", "ix_k", "ix_bands"),
+    IndexStamp.readUnique(index, Seq("ix_n", "ix_k", "ix_bands"),
         "minhashIndexExtend") match {
       case Some(Seq(n, k, bands)) =>
         minhashIndex(newDocs, idCol, textCol, n, k, bands)
@@ -490,9 +493,9 @@ object Dedup {
     // corpus, while the iterative loop below costs ~2 driver-synchronous
     // jobs per round REGARDLESS of data size (measured: 16+ jobs and
     // ~1 s of pure scheduling at a 211-edge study point). Up to
-    // `maxDriverEdges` (~80 MB of collected rows at the default — the
-    // same order as an autoBroadcastJoinThreshold build side) the edge
-    // list is fetched in ONE head() job and labeled with union-find in
+    // `maxDriverEdges` (~40 MB of primitive (Long, Long) tuples at the
+    // default — the same order as an autoBroadcastJoinThreshold build
+    // side) the edge list is fetched in ONE head() job and labeled with union-find in
     // O(E α(E)); labels join back as a broadcast. Components and
     // representatives (min id) are identical to the loop's fixpoint.
     // Above the threshold — or for non-integral id types — the
@@ -563,16 +566,22 @@ object Dedup {
 
   /** How many edges [[connectedComponents]] and [[nearDupSurvivors]]
     * will pull to the driver before falling back to the distributed
-    * label-propagation loop (~80 MB of collected rows — the same order
-    * as an autoBroadcastJoinThreshold build side). */
+    * label-propagation loop. Edges are collected as specialized
+    * (Long, Long) tuples — 32 bytes each plus array slack, so the
+    * default caps the fetch at ~40 MB (plus the LongMap, bounded by
+    * the same count) — the same order as an autoBroadcastJoinThreshold
+    * build side, and safely inside any reasonable driver heap. */
   val DefaultMaxDriverEdges: Int = 1000000
 
   /** Driver-side union-find over a (src, dst) edge DataFrame: `Some` of
     * the non-root labels — every (id, component-min) pair where id is
     * NOT its component's minimum — when the ids are integral and the
     * edge list fits in `cap` rows (fetched with ONE head() job); `None`
-    * otherwise. Union is by MIN id with path compression, so the
-    * representative is exactly the distributed loop's fixpoint label. */
+    * otherwise. The fetch deserializes straight to primitive-field
+    * (Long, Long) tuples — a boxed-Row collect measured ~3× the
+    * footprint and made the documented cap estimate a lie. Union is by
+    * MIN id with path compression, so the representative is exactly the
+    * distributed loop's fixpoint label. */
   private def driverUnionFind(edges: DataFrame, cap: Int): Option[Seq[(Long, Long)]] = {
     val integralIds = edges.schema.fields.head.dataType match {
       case org.apache.spark.sql.types.LongType
@@ -580,7 +589,11 @@ object Dedup {
       case _ => false
     }
     if (!integralIds || cap <= 0) return None
-    val sample = edges.head(cap + 1)
+    import org.apache.spark.sql.Encoders
+    val sample = edges
+      .select(col(edges.columns(0)).cast("long"), col(edges.columns(1)).cast("long"))
+      .as[(Long, Long)](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .head(cap + 1)
     if (sample.length > cap) return None
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
@@ -590,8 +603,7 @@ object Dedup {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent.update(c, r); c = n }
       r
     }
-    sample.foreach { row =>
-      val (a, b) = (row.getAs[Number](0).longValue(), row.getAs[Number](1).longValue())
+    sample.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
       if (ra < rb) parent.update(rb, ra)
       else if (rb < ra) parent.update(ra, rb)
@@ -706,7 +718,9 @@ object Dedup {
     */
   def minhashIncrementalIngest(index: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String, minAgree: Int = 8): (DataFrame, DataFrame) = {
-    val params = IndexStamp.read(index, Seq("ix_n", "ix_k", "ix_bands"),
+    // uniqueness-guarded read: the ingest APPENDS under these parameters,
+    // so a mixed directory must be refused here, not probed into
+    val params = IndexStamp.readUnique(index, Seq("ix_n", "ix_k", "ix_bands"),
       "minhashIncrementalIngest").getOrElse(throw new IllegalArgumentException(
         "minhashIncrementalIngest: the index relation is empty — build it " +
           "with minhashIndex first"))

@@ -63,9 +63,11 @@ object IndexOps {
     * index untouched. Runs jobs at call time (a stamp scan, a count,
     * the rewrite) — this is a maintenance ACTION, not a transform.
     *
-    * Returns the compacted row count (callers log it against the
-    * source count; equality is asserted by the spec, not re-checked
-    * per run). */
+    * Returns the compacted row count, COUNTED FROM `dstDir` after the
+    * write and required equal to the source count — a lossy rewrite
+    * fails here, loudly, before any caller swaps the compacted copy in
+    * (counting the source relation again would be a tautology: the
+    * same number both sides). */
   def compactTo(spark: SparkSession, srcDir: String, dstDir: String,
       dirCol: String, clusterCols: Seq[String],
       targetRowsPerFile: Long = 4L * 1000 * 1000): Long = {
@@ -87,7 +89,11 @@ object IndexOps {
     src.repartitionByRange(numFiles, keys: _*)
       .sortWithinPartitions(keys: _*)
       .write.mode("overwrite").partitionBy(dirCol).parquet(dstDir)
-    rows
+    val dstRows = spark.read.parquet(dstDir).count()
+    require(dstRows == rows,
+      s"compactTo: rewrite of $srcDir into $dstDir lost rows ($rows source " +
+        s"vs $dstRows compacted) — do NOT swap the compacted copy in")
+    dstRows
   }
 
   /** [[compactTo]] with the [[Dedup.minhashIndex]] layout

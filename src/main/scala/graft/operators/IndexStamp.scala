@@ -62,12 +62,40 @@ private[graft] object IndexStamp {
     * index (nothing to read — and nothing to probe). Missing stamp
     * columns fail fast as in [[validated]]. */
   def read(index: DataFrame, cols: Seq[String], what: String): Option[Seq[Int]] = {
+    requireStamped(index, cols, what)
+    index.select(cols.map(c => col(c).cast("int")): _*).head(1).headOption
+      .map(r => cols.indices.map(r.getInt))
+  }
+
+  /** [[read]] plus a UNIQUENESS guard — the form the extend/ingest
+    * paths use. [[read]] trusts one arbitrary row, which on a directory
+    * already polluted by a differently-stamped append would
+    * nondeterministically inherit ONE of the two families and append
+    * further rows under it without error — deepening exactly the mix
+    * the probes (and [[IndexOps.compactTo]]) exist to catch. Extending
+    * is the one operation that makes a mixed directory WORSE, so it
+    * pays one distinct-limit-2 aggregate over the stamp columns —
+    * constant, dictionary-encoded, a skim of parquet column chunks —
+    * that the read-only probes skip. */
+  def readUnique(index: DataFrame, cols: Seq[String], what: String): Option[Seq[Int]] = {
+    requireStamped(index, cols, what)
+    val stamps = index.select(cols.map(c => col(c).cast("int")): _*)
+      .distinct().limit(2).collect()
+    require(stamps.length <= 1,
+      s"$what: the index relation holds rows from ${stamps.length}+ different " +
+        "builds (" +
+        stamps.map(r => cols.indices.map(i => s"${cols(i)}=${r.getInt(i)}")
+          .mkString(", ")).mkString(" vs ") +
+        ") — a prior append was stamped differently; extending would deepen " +
+        "the mix. Rebuild the index instead.")
+    stamps.headOption.map(r => cols.indices.map(r.getInt))
+  }
+
+  private def requireStamped(index: DataFrame, cols: Seq[String], what: String): Unit = {
     val missing = cols.filterNot(index.columns.contains)
     require(missing.isEmpty,
       s"$what: index relation carries no build-parameter stamp (missing " +
         s"column(s) ${missing.mkString(", ")}) — rebuild the index with the " +
         "current index builder")
-    index.select(cols.map(c => col(c).cast("int")): _*).head(1).headOption
-      .map(r => cols.indices.map(r.getInt))
   }
 }

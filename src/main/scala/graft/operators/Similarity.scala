@@ -280,10 +280,12 @@ object Similarity {
     * [[lshAutoPlanes]] when the corpus outgrows the build point
     * (occupancy doubles per factor-2 growth). Extending an EMPTY
     * relation is refused: there is no stamp to inherit — build
-    * instead. */
+    * instead. The stamp is read with the uniqueness guard
+    * ([[IndexStamp.readUnique]]): a polluted mixed-stamp directory is
+    * refused instead of nondeterministically deepened. */
   def lshIndexExtend(index: DataFrame, newVecs: DataFrame, idCol: String,
       vecCol: String): DataFrame =
-    IndexStamp.read(index, Seq("ix_planes", "ix_dims", "ix_tables"),
+    IndexStamp.readUnique(index, Seq("ix_planes", "ix_dims", "ix_tables"),
         "lshIndexExtend") match {
       case Some(Seq(planes, dims, tables)) =>
         lshIndex(newVecs, idCol, vecCol, planes, dims, tables)
@@ -303,7 +305,8 @@ object Similarity {
     * (`write.mode("append").partitionBy("tbl")`). */
   def lshIncrementalIngest(index: DataFrame, newVecs: DataFrame,
       idCol: String, vecCol: String, minMicro: Long): (DataFrame, DataFrame) = {
-    val params = IndexStamp.read(index, Seq("ix_planes", "ix_dims", "ix_tables"),
+    // uniqueness-guarded read — the ingest appends under these parameters
+    val params = IndexStamp.readUnique(index, Seq("ix_planes", "ix_dims", "ix_tables"),
       "lshIncrementalIngest").getOrElse(throw new IllegalArgumentException(
         "lshIncrementalIngest: the index relation is empty — build it with " +
           "lshIndex first"))

@@ -23,9 +23,24 @@ object ScaleQueries {
     * (the operators keep their explicit `knownRows` escape hatch for
     * callers that already counted). */
   private[queries] object CorpusCounts {
-    private val cache = scala.collection.concurrent.TrieMap.empty[String, Long]
+    private val cache = scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+    /** Freshness token: the relation's input directories with their
+      * modification times. Regenerating a data directory in-session
+      * (ScaleGen rerun, a test reusing a path) rewrites its files and
+      * bumps the parent-directory mtime, so the regenerated directory
+      * MISSES the memo and is recounted — a stale count would silently
+      * mis-size q29/q68's plane derivation and q75's budget. One
+      * getFileStatus per input DIRECTORY (not per file) — a few driver
+      * RPCs, nothing at scale. */
+    private def token(df: org.apache.spark.sql.DataFrame): String = {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      df.inputFiles.map(f => new org.apache.hadoop.fs.Path(f).getParent)
+        .distinct
+        .map(d => s"$d@${d.getFileSystem(conf).getFileStatus(d).getModificationTime}")
+        .sorted.mkString("|")
+    }
     def of(df: org.apache.spark.sql.DataFrame, key: String): Long =
-      cache.getOrElseUpdate(key, df.count())
+      cache.getOrElseUpdate((key, token(df)), df.count())
   }
 
   /** DD1 — exact dedup lineage by content hash. */

@@ -203,6 +203,38 @@ class IndexStampSpec extends SparkSpec {
     assert(nextSurvivors.count() == 0, "grown index must catch the replay")
   }
 
+  test("extend and ingest refuse a mixed-stamp directory instead of inheriting one family") {
+    // a directory polluted by an append stamped under different banding:
+    // IndexStamp.read would trust whichever row head() happens to return
+    // and deepen the mix — the extend/ingest paths must refuse instead
+    val dir = java.nio.file.Files.createTempDirectory("graft-mixed-extend").toString
+    Dedup.minhashIndex(docs, "doc_id", "text", n = 3, k = 16, bands = 4)
+      .write.mode("append").partitionBy("band").parquet(dir)
+    Dedup.minhashIndex(docs, "doc_id", "text", n = 3, k = 16, bands = 2)
+      .write.mode("append").partitionBy("band").parquet(dir)
+    val mixed = spark.read.parquet(dir)
+    val late = Seq((9L, "a fresh never seen before document body")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.minhashIndexExtend(mixed, late, "doc_id", "text"))
+    assert(e1.getMessage.contains("different builds"))
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.minhashIncrementalIngest(mixed, late, "doc_id", "text"))
+    assert(e2.getMessage.contains("different builds"))
+    // embedding twin
+    val lshDir = java.nio.file.Files.createTempDirectory("graft-mixed-lsh").toString
+    Similarity.lshIndex(vecs, "vec_id", "embedding", planes = 2, dims = 4, tables = 2)
+      .write.mode("append").partitionBy("tbl").parquet(lshDir)
+    Similarity.lshIndex(vecs, "vec_id", "embedding", planes = 3, dims = 4, tables = 2)
+      .write.mode("append").partitionBy("tbl").parquet(lshDir)
+    val mixedLsh = spark.read.parquet(lshDir)
+    val e3 = intercept[IllegalArgumentException](
+      Similarity.lshIndexExtend(mixedLsh, vecs, "vec_id", "embedding"))
+    assert(e3.getMessage.contains("different builds"))
+    val e4 = intercept[IllegalArgumentException](
+      Similarity.lshIncrementalIngest(mixedLsh, vecs, "vec_id", "embedding", 0L))
+    assert(e4.getMessage.contains("different builds"))
+  }
+
   test("stamp survives the partitioned parquet round-trip and a matched probe is unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stamp").toString
     val index = Dedup.minhashIndex(docs, "doc_id", "text")
