@@ -378,12 +378,19 @@ object Dedup {
     *
     * `n`/`k`/`bands` are validated against the index's stamp
     * ([[IndexStamp]]): a mismatch RAISES rather than returning the
-    * near-empty match set mismatched band-key spaces produce. */
+    * near-empty match set mismatched band-key spaces produce.
+    *
+    * `maxBucketRows` is the probe-side skew guard
+    * ([[IndexOps.capHotBuckets]]): index buckets above the cap leave
+    * candidate generation, bounding the worst probe's rerank. Off by
+    * default; pick the cap from [[IndexOps.bucketHistogram]]'s tail. */
   def minhashProbe(probes: DataFrame, index: DataFrame, idCol: String,
       textCol: String, n: Int = 3, k: Int = 16, bands: Int = 4,
-      minAgree: Int = 8): DataFrame =
+      minAgree: Int = 8, maxBucketRows: Option[Int] = None): DataFrame =
     probeJoin(minhashKeyed(probes, idCol, textCol, n, k, bands),
-      validatedMinhashIndex(index, n, k, bands, "minhashProbe"),
+      IndexOps.capHotBuckets(
+        validatedMinhashIndex(index, n, k, bands, "minhashProbe"),
+        Seq("band", "band_key"), maxBucketRows),
       idCol, k, minAgree).distinct()
 
   /** [[minhashProbe]] with `n`/`k`/`bands` read FROM the index's own
@@ -394,11 +401,13 @@ object Dedup {
     * set with the contract schema. Prefer this for persisted indexes;
     * the explicit form remains for streaming plans. */
   def minhashProbeAuto(probes: DataFrame, index: DataFrame, idCol: String,
-      textCol: String, minAgree: Int = 8): DataFrame =
+      textCol: String, minAgree: Int = 8,
+      maxBucketRows: Option[Int] = None): DataFrame =
     IndexStamp.read(index, Seq("ix_n", "ix_k", "ix_bands"),
         "minhashProbeAuto") match {
       case Some(Seq(n, k, bands)) =>
-        minhashProbe(probes, index, idCol, textCol, n, k, bands, minAgree)
+        minhashProbe(probes, index, idCol, textCol, n, k, bands, minAgree,
+          maxBucketRows)
       case _ =>
         probeJoin(minhashKeyed(probes.limit(0), idCol, textCol, 3, 16, 4),
           index, idCol, 16, minAgree).distinct()

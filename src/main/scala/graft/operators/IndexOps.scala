@@ -96,6 +96,37 @@ object IndexOps {
     dstRows
   }
 
+  /** The probe-side skew guard [[bucketHistogram]]'s tail feeds: `index`
+    * with every bucket (group of `keys`) larger than `cap` rows removed
+    * from candidate generation — the [[Dedup.simhashPairs]] chunk-cap
+    * lesson applied to the persisted-index path. A boilerplate
+    * mega-bucket (empty docs, templated pages) otherwise makes ONE probe
+    * landing there rerank a whole corpus slice: bucket size IS the
+    * per-probe cost model, so the cap bounds the worst probe at
+    * `cap × buckets-per-probe` candidates.
+    *
+    * RECALL CONTRACT (the q28 shape): a true match is missed only when
+    * EVERY bucket the pair shares is over-cap — for near-dup work that
+    * is precisely the boilerplate content a curation pipeline wants
+    * flagged by other means; there are never false positives, because
+    * the exact rerank still scores every surviving candidate. Pick the
+    * cap from [[bucketHistogram]]'s tail (e.g. the smallest size whose
+    * n_buckets tail you are willing to rerank).
+    *
+    * Cost shape: one count-over-window on the bucket keys — an exchange
+    * the probe join immediately REUSES (both consume the same
+    * partitioning), so the guard adds a per-partition sort, not a
+    * second shuffle. */
+  private[graft] def capHotBuckets(index: DataFrame, keys: Seq[String],
+      cap: Option[Int]): DataFrame = cap match {
+    case Some(c) =>
+      require(c > 0, "maxBucketRows must be positive")
+      index.withColumn("__bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)))
+        .filter(col("__bsz") <= c).drop("__bsz")
+    case None => index
+  }
+
   /** [[compactTo]] with the [[Dedup.minhashIndex]] layout
     * (`partitionBy("band")`, clustered on `band_key`). */
   def compactMinhashTo(spark: SparkSession, srcDir: String, dstDir: String,

@@ -242,12 +242,21 @@ object Similarity {
     *
     * `planes`/`dims`/`tables` are validated against the index's stamp
     * ([[IndexStamp]]): a mismatch RAISES rather than returning the
-    * near-empty match set mismatched bucket spaces produce. */
+    * near-empty match set mismatched bucket spaces produce.
+    *
+    * `maxBucketRows` is the probe-side skew guard
+    * ([[IndexOps.capHotBuckets]]): index buckets above the cap leave
+    * candidate generation (a degenerate direction shared by a corpus
+    * slice — zero-ish embeddings, templated content — otherwise makes
+    * one probe rerank the whole slice). Off by default; pick the cap
+    * from [[IndexOps.bucketHistogram]]'s tail. */
   def lshIndexProbe(probes: DataFrame, index: DataFrame, idCol: String,
       vecCol: String, minMicro: Long, planes: Int, dims: Int,
-      tables: Int = 6): DataFrame =
+      tables: Int = 6, maxBucketRows: Option[Int] = None): DataFrame =
     indexProbeJoin(lshKeyed(probes, idCol, vecCol, planes, dims, tables),
-      validatedLshIndex(index, planes, dims, tables, "lshIndexProbe"),
+      IndexOps.capHotBuckets(
+        validatedLshIndex(index, planes, dims, tables, "lshIndexProbe"),
+        Seq("tbl", "bucket"), maxBucketRows),
       idCol, vecCol, minMicro).distinct()
 
   /** [[lshIndexProbe]] with the build parameters read FROM the index's
@@ -259,11 +268,13 @@ object Similarity {
     * streaming plans (building the probe side needs the parameters
     * before any action may run). */
   def lshIndexProbeAuto(probes: DataFrame, index: DataFrame, idCol: String,
-      vecCol: String, minMicro: Long): DataFrame =
+      vecCol: String, minMicro: Long,
+      maxBucketRows: Option[Int] = None): DataFrame =
     IndexStamp.read(index, Seq("ix_planes", "ix_dims", "ix_tables"),
         "lshIndexProbeAuto") match {
       case Some(Seq(planes, dims, tables)) =>
-        lshIndexProbe(probes, index, idCol, vecCol, minMicro, planes, dims, tables)
+        lshIndexProbe(probes, index, idCol, vecCol, minMicro, planes, dims,
+          tables, maxBucketRows)
       case _ =>
         // empty index: schema-correct empty result — limit(0) on the
         // probe side so no bucket expression ever evaluates

@@ -111,6 +111,56 @@ class IndexOpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("no ix_"))
   }
 
+  test("probe bucket cap: a boilerplate mega-bucket leaves candidate generation; default unchanged") {
+    val template = "all work and no play makes jack a dull boy forever and ever again"
+    val unique1 = "a genuinely singular document about rivers and mountains flowing east"
+    val boiler = (1L to 60L).map(i => (i, template)).toDF("doc_id", "text")
+    val normal = Seq((1001L, unique1),
+      (1002L, "another singular text regarding compilers and type systems design"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(boiler.unionByName(normal), "doc_id", "text")
+    val probes = Seq((2001L, template), (2002L, unique1)).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashProbe(probes, index, "doc_id", "text")
+    // identical docs share every band key: the boilerplate probe reranks
+    // the entire 60-doc bucket — the failure mode the cap exists for
+    assert(uncapped.filter(col("probe_doc_id") === 2001L).count() == 60)
+    val capped = Dedup.minhashProbe(probes, index, "doc_id", "text",
+      maxBucketRows = Some(50))
+    assert(capped.filter(col("probe_doc_id") === 2001L).count() == 0,
+      "every bucket the boilerplate pair shares is over-cap: missed by contract")
+    // the recall contract's other half: a probe whose buckets are cold
+    // keeps exactly its uncapped matches (no false negatives elsewhere)
+    assert(canon(capped.filter(col("probe_doc_id") === 2002L))
+      == canon(uncapped.filter(col("probe_doc_id") === 2002L)))
+    assert(uncapped.filter(col("probe_doc_id") === 2002L).count() >= 1)
+    // the auto probe threads the cap through the stamp read
+    assert(canon(Dedup.minhashProbeAuto(probes, index, "doc_id", "text",
+      maxBucketRows = Some(50))) == canon(capped))
+  }
+
+  test("embedding probe bucket cap mirrors the text contract") {
+    val hot = (1L to 40L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cold = Seq((1001L, Array(0.0f, 1.0f, 0.2f, 0.1f))).toDF("vec_id", "embedding")
+    val index = Similarity.lshIndex(hot.unionByName(cold), "vec_id", "embedding",
+      planes = 2, dims = 4, tables = 3)
+    val probes = Seq(
+      (2001L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2002L, Array(0.01f, 1.0f, 0.2f, 0.1f))).toDF("vec_id", "embedding")
+    val uncapped = Similarity.lshIndexProbe(probes, index, "vec_id", "embedding",
+      minMicro = 900000L, planes = 2, dims = 4, tables = 3)
+    assert(uncapped.filter(col("probe_id") === 2001L).count() == 40)
+    val capped = Similarity.lshIndexProbe(probes, index, "vec_id", "embedding",
+      minMicro = 900000L, planes = 2, dims = 4, tables = 3,
+      maxBucketRows = Some(30))
+    assert(capped.filter(col("probe_id") === 2001L).count() == 0)
+    assert(canon(capped.filter(col("probe_id") === 2002L))
+      == canon(uncapped.filter(col("probe_id") === 2002L)))
+    assert(uncapped.filter(col("probe_id") === 2002L).count() == 1)
+    assert(canon(Similarity.lshIndexProbeAuto(probes, index, "vec_id", "embedding",
+      minMicro = 900000L, maxBucketRows = Some(30))) == canon(capped))
+  }
+
   test("bucketHistogram is the exact bucket-size distribution") {
     val index = Dedup.minhashIndex(docs(1L to 30L: _*), "doc_id", "text")
     val hist = IndexOps.bucketHistogram(index, "band", "band_key")
