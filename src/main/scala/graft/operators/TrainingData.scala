@@ -119,7 +119,8 @@ object TrainingData {
     * One aggregation over the (dictionary-encoded) source column —
     * map-side combined, output is `|target|` rows. */
   def mixtureRates(df: DataFrame, sourceCol: String,
-      targetPermille: Map[String, Int], budgetRows: Long): DataFrame = {
+      targetPermille: Map[String, Int], budgetRows: Long,
+      allowRepetition: Boolean = false): DataFrame = {
     require(targetPermille.nonEmpty, "targetPermille must list at least one source")
     require(targetPermille.values.forall(w => w >= 0 && w <= 1000),
       "per-source target weights are permille values in [0, 1000]")
@@ -135,11 +136,16 @@ object TrainingData {
       .map { case (s, w) => (s, w.toLong, budgetRows * w / 1000) }
       .toDF(sourceCol, "target_permille", "__need")
     val supply = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("supply"))
+    // allowRepetition lifts the keep-everything cap: rate 2400 means
+    // "repeat each row twice, and a hash-selected 400‰ a third time" —
+    // the epoch semantics [[mixtureUpsample]] materializes. The capped
+    // default stays the safe form: undershoot visibly, never re-weight.
+    val raw = expr("(1000 * __need) div supply")
     want.join(supply, Seq(sourceCol), "left")
       .withColumn("supply", coalesce(col("supply"), lit(0L)))
       .withColumn("rate_permille",
         when(col("supply") === 0, lit(0L))
-          .otherwise(least(lit(1000L), expr("(1000 * __need) div supply"))))
+          .otherwise(if (allowRepetition) raw else least(lit(1000L), raw)))
       .select(col(sourceCol), col("target_permille"), col("supply"),
         col("rate_permille"))
   }
@@ -167,6 +173,39 @@ object TrainingData {
     df.join(broadcast(rates), Seq(sourceCol))
       .filter(bucket < col("__mix_rate"))
       .select(df.columns.map(col): _*)
+  }
+
+  /** [[mixtureResample]] with EXPLICIT repetition for under-supplied
+    * domains — the standard practice when a domain's supply sits below
+    * its budget share (a small high-quality corpus is repeated for
+    * several epochs rather than silently diluted). Rates derive from
+    * [[mixtureRates]] with `allowRepetition = true`, so `rate_permille`
+    * is uncapped: rate 2400 keeps every row twice (epochs 0 and 1) and
+    * a hash-selected 400‰ of rows a third time (epoch 2) — expected
+    * output per source is exactly its budget share, integer-exact. The
+    * output carries the input columns plus `epoch` (0-based copy
+    * number): epoch 0 is the base copy, so filtering `epoch = 0`
+    * recovers a no-repetition sample, and downstream shuffling by
+    * (id, epoch) spreads the copies across shards.
+    *
+    * For a source whose rate lands at or below 1000 the semantics are
+    * [[mixtureResample]]'s exactly (same salt, same hash buckets —
+    * identical kept rows, all at epoch 0). Same plan shape too: one
+    * rates aggregation broadcast back onto the scan, a filter, and a
+    * per-row `sequence` explode — the corpus is never shuffled. */
+  def mixtureUpsample(df: DataFrame, sourceCol: String, idCol: String,
+      targetPermille: Map[String, Int], budgetRows: Long,
+      salt: String = "v1"): DataFrame = {
+    val rates = mixtureRates(df, sourceCol, targetPermille, budgetRows,
+        allowRepetition = true)
+      .select(col(sourceCol), col("rate_permille").as("__mix_rate"))
+    val bucket = h60(concat(lit(s"mix:$salt:"), col(idCol).cast("string"))) % 1000
+    df.join(broadcast(rates), Seq(sourceCol))
+      .withColumn("__rep", expr("__mix_rate div 1000") +
+        when(bucket < col("__mix_rate") % 1000, 1L).otherwise(0L))
+      .filter(col("__rep") > 0)
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(0L), col("__rep") - 1)).as("epoch"): _*)
   }
 
   /** The audit row per TARGETED source behind a [[mixtureResample]]

@@ -218,7 +218,25 @@ object TrainingQueries {
       .orderBy("source")
   }
 
+  /** TD13 — the explicit-upsampling mixture ([[TrainingData
+    * .mixtureUpsample]]): the same targets/budget as q75, with the
+    * keep-everything cap lifted — src0 (rate 2400‰ at these targets)
+    * keeps every row at epochs 0–1 plus a hash-selected 400‰ at epoch
+    * 2, src2's fractional 800‰ stays a plain downsample at epoch 0, so
+    * one oracle exercises the whole-epoch, remainder and sub-1000
+    * branches bit-for-bit. */
+  val q76MixtureUpsample: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val budget =
+      ScaleQueries.CorpusCounts.of(t.documents, s"$dir#documents") * 2 / 5
+    TrainingData.mixtureUpsample(t.documents, "source", "doc_id",
+        MixtureTargets.toMap, budget)
+      .select("doc_id", "source", "epoch")
+      .orderBy("doc_id", "epoch")
+  }
+
   val all: Map[String, Q] = Map(
+    "q76_mixture_upsample" -> q76MixtureUpsample,
     "q75_mixture_report" -> q75MixtureReport,
     "q66_bigram_familiarity" -> q66BigramFamiliarity,
     "q57_curate_pipeline" -> q57CuratePipeline,
@@ -300,6 +318,30 @@ object TrainingQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q76_mixture_upsample" ->
+      s"""WITH b AS (
+         |  SELECT CAST(count(*) * 2 // 5 AS BIGINT) AS budget FROM documents),
+         |w(source, target_permille) AS (VALUES ${MixtureTargets
+               .map { case (s, p) => s"('$s', CAST($p AS BIGINT))" }
+               .mkString(", ")}),
+         |c AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS supply
+         |  FROM documents GROUP BY source),
+         |r AS (
+         |  SELECT w.source,
+         |    CAST(CASE WHEN COALESCE(c.supply, 0) = 0 THEN 0
+         |      ELSE (1000 * ((b.budget * w.target_permille) // 1000)) // c.supply
+         |      END AS BIGINT) AS rate
+         |  FROM w CROSS JOIN b LEFT JOIN c ON w.source = c.source),
+         |k AS (
+         |  SELECT d.doc_id, d.source,
+         |    r.rate // 1000
+         |      + (CASE WHEN ${h60("'mix:v1:' || CAST(d.doc_id AS VARCHAR)")} % 1000
+         |               < r.rate % 1000 THEN 1 ELSE 0 END) AS rep
+         |  FROM documents d JOIN r ON d.source = r.source)
+         |SELECT doc_id, source, CAST(unnest(range(rep)) AS BIGINT) AS epoch
+         |FROM k WHERE rep > 0
+         |ORDER BY doc_id, epoch""".stripMargin,
     "q75_mixture_report" ->
       s"""WITH b AS (
          |  SELECT CAST(count(*) * 2 // 5 AS BIGINT) AS budget FROM documents),

@@ -102,6 +102,48 @@ class TrainingDataSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge join:\n$plan")
   }
 
+  test("mixture upsampling: under-supplied domains repeat by integer epochs, sub-1000 rates unchanged") {
+    // s1 under-supplied: need = 60·400/1000 = 24, supply 10 → uncapped
+    // rate 2400 → every row at epochs 0–1 plus a hash-selected 400‰ at
+    // epoch 2. s0 over-supplied: rate 360 → plain downsample at epoch 0.
+    val rows = spark.range(210).select(col("id").as("doc_id"),
+      when(col("id") < 100, "s0").when(col("id") < 110, "s1")
+        .otherwise("s2").as("source"))
+    val weights = Map("s0" -> 600, "s1" -> 400, "sX" -> 0)
+    val uncapped = TrainingData.mixtureRates(rows, "source", weights, 60L,
+        allowRepetition = true)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(uncapped("s1") == 2400L && uncapped("s0") == 360L && uncapped("sX") == 0L)
+    // the default stays capped: q75's contract is untouched by the flag
+    assert(TrainingData.mixtureRates(rows, "source", weights, 60L)
+      .filter(col("source") === "s1").head().getLong(3) == 1000L)
+
+    val up = TrainingData.mixtureUpsample(rows, "source", "doc_id", weights, 60L)
+    assert(up.columns.toSeq == rows.columns.toSeq :+ "epoch")
+    // every s1 row appears at epochs 0 and 1; the epoch-2 slice is the
+    // hash-selected remainder (0 < slice < all 10 at bucket rate 400‰)
+    val s1 = up.filter(col("source") === "s1")
+    assert(s1.filter(col("epoch") === 0).count() == 10L)
+    assert(s1.filter(col("epoch") === 1).count() == 10L)
+    val extra = s1.filter(col("epoch") === 2).count()
+    assert(extra > 0 && extra < 10, s"remainder slice must be partial, got $extra")
+    assert(s1.filter(col("epoch") > 2).isEmpty)
+    // per-row epochs are consecutive 0..rep-1
+    assert(s1.groupBy("doc_id").agg(count(lit(1)).as("n"), max("epoch").as("m"))
+      .filter(col("n") =!= col("m") + 1).isEmpty)
+    // a sub-1000 source degenerates to mixtureResample exactly (same salt)
+    val s0up = up.filter(col("source") === "s0").drop("epoch")
+    assertSameRows(s0up,
+      TrainingData.mixtureResample(rows, "source", "doc_id", weights, 60L)
+        .filter(col("source") === "s0"))
+    assert(up.filter(col("source") === "s0" && col("epoch") > 0).isEmpty)
+    // deterministic + corpus never shuffled (broadcast rates, no SMJ)
+    assertSameRows(up,
+      TrainingData.mixtureUpsample(rows, "source", "doc_id", weights, 60L))
+    val plan = up.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge join:\n$plan")
+  }
+
   test("chunkTokens: covers every token at the stride, tail chunk short") {
     val out = TrainingData.chunkTokens(docs, "doc_id", "text", window = 10, stride = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
