@@ -138,4 +138,94 @@ object IndexOps {
   def compactLshTo(spark: SparkSession, srcDir: String, dstDir: String,
       targetRowsPerFile: Long = 4L * 1000 * 1000): Long =
     compactTo(spark, srcDir, dstDir, "tbl", Seq("bucket"), targetRowsPerFile)
+
+  // ---------------------------------------------------- in-place compaction
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Number of DATA files under `dir`, recursive, hidden (`_`/`.`
+    * prefixed) entries excluded — the compaction trigger's signal: an
+    * append-grown index adds one file per partition directory per
+    * extend, and probe-side scan cost is per-file before it is
+    * per-byte. A driver-side listing, same cost class as the file
+    * index every Spark read of the directory already performs. */
+  def dataFileCount(spark: SparkSession, dir: String): Int = {
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(p)) return 0
+    var n = 0
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+
+  /** Swap `freshDir` into `liveDir`'s place: live → live.old, fresh →
+    * live, delete live.old. NOT atomic across the two renames — run
+    * [[recoverSwap]] before reading `liveDir` in any process that may
+    * have crashed mid-swap (the streaming curate loops do, every
+    * batch); each individual rename is atomic on HDFS-like stores.
+    * On a pure object store without atomic rename, point the caller at
+    * a catalog/pointer flip instead. */
+  private[graft] def swapDirs(spark: SparkSession, liveDir: String,
+      freshDir: String): Unit = {
+    val (fs, live) = fsOf(spark, liveDir)
+    val old = new org.apache.hadoop.fs.Path(liveDir + ".old")
+    fs.delete(old, true)
+    require(fs.rename(live, old), s"swapDirs: rename $live -> $old failed")
+    require(fs.rename(new org.apache.hadoop.fs.Path(freshDir), live),
+      s"swapDirs: rename $freshDir -> $live failed")
+    fs.delete(old, true)
+  }
+
+  /** Finish or roll back a [[swapDirs]] a crash interrupted: a missing
+    * live dir with a surviving `.old` is rolled back (the old copy is
+    * the source of truth — the fresh one may be incomplete); a
+    * leftover `.old` beside a live dir is deleted (swap completed);
+    * a leftover `.compact.tmp` is deleted (compaction never finished).
+    * Idempotent, cheap (three existence probes) when there is nothing
+    * to do. */
+  private[graft] def recoverSwap(spark: SparkSession, liveDir: String): Unit = {
+    val (fs, live) = fsOf(spark, liveDir)
+    val old = new org.apache.hadoop.fs.Path(liveDir + ".old")
+    val tmp = new org.apache.hadoop.fs.Path(liveDir + ".compact.tmp")
+    if (fs.exists(old)) {
+      if (fs.exists(live)) fs.delete(old, true)
+      else require(fs.rename(old, live),
+        s"recoverSwap: rollback rename $old -> $live failed")
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+  }
+
+  /** [[compactTo]] + [[swapDirs]] as one maintenance action: rewrite
+    * the live index at `dir` into `<dir>.compact.tmp` and swap it in.
+    * A crash at ANY point leaves a state [[recoverSwap]] restores: the
+    * tmp is disposable until the swap starts, and the `.old` copy is
+    * authoritative until the swap completes. Returns the compacted
+    * (dst-counted, equality-required) row count. */
+  def compactSwap(spark: SparkSession, dir: String, dirCol: String,
+      clusterCols: Seq[String],
+      targetRowsPerFile: Long = 4L * 1000 * 1000): Long = {
+    val tmpDir = dir + ".compact.tmp"
+    val (fs, _) = fsOf(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+    val rows = compactTo(spark, dir, tmpDir, dirCol, clusterCols, targetRowsPerFile)
+    swapDirs(spark, dir, tmpDir)
+    rows
+  }
+
+  /** [[compactSwap]] with the [[Dedup.minhashIndex]] layout. */
+  def compactSwapMinhash(spark: SparkSession, dir: String,
+      targetRowsPerFile: Long = 4L * 1000 * 1000): Long =
+    compactSwap(spark, dir, "band", Seq("band_key"), targetRowsPerFile)
+
+  /** [[compactSwap]] with the [[Similarity.lshIndex]] layout. */
+  def compactSwapLsh(spark: SparkSession, dir: String,
+      targetRowsPerFile: Long = 4L * 1000 * 1000): Long =
+    compactSwap(spark, dir, "tbl", Seq("bucket"), targetRowsPerFile)
 }

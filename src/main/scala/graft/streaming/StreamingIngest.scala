@@ -409,14 +409,15 @@ object StreamingIngest {
 
   /** Streaming incremental curation with a SELF-GROWING persisted
     * index — the q70/q72 nightly-ingest loop run as a stream. Each
-    * micro-batch: caller-policy quality `gate` → in-batch exact dedup →
-    * near-dup screen against the index read fresh from `indexDir` →
-    * intra-batch collapse
-    * ([[graft.operators.Dedup.minhashIncrementalIngest]]); survivors
-    * append to `outDir` and their index rows append to `indexDir`, so
-    * the NEXT micro-batch screens against corpus + everything admitted
-    * before it. Dedup memory lives entirely in the persisted index —
-    * no state store, no TTL, unbounded corpus memory at parquet cost.
+    * micro-batch: ID-replay screen against the id sidecar →
+    * caller-policy quality `gate` → in-batch exact dedup → near-dup
+    * screen against the index read fresh from `indexDir` → intra-batch
+    * collapse ([[graft.operators.Dedup.minhashIncrementalIngest]]);
+    * survivors publish to `outDir` and their index rows to `indexDir`,
+    * so the NEXT micro-batch screens against corpus + everything
+    * admitted before it. Dedup memory lives entirely in the persisted
+    * index — no state store, no TTL, unbounded corpus memory at
+    * parquet cost.
     *
     * `indexDir` must hold a non-empty stamped index
     * ([[graft.operators.Dedup.minhashIndex]],
@@ -428,41 +429,54 @@ object StreamingIngest {
     * signature, so the index screen subsumes it and the store contract
     * stays index-only.
     *
-    * Failure semantics (ids must be unique across the stream's
-    * lifetime — the standard ingest contract): an ID-replay screen
-    * anti-joins each batch against the index's own ids first, so a
-    * batch replayed after BOTH writes committed (crash before the
-    * checkpoint advanced) finds its admitted ids already indexed and
-    * appends nothing anywhere — self-healing. Survivors are still
-    * written BEFORE the index grows: a crash BETWEEN the two writes
-    * replays against the un-grown index and duplicates survivor rows
-    * in `outDir` only (the dedupedPairSink at-least-once caveat) —
-    * the reverse order would replay against an index holding the
-    * batch's ids and silently drop the entire batch. */
+    * THE ID SIDECAR (`<indexDir>__ids`, bootstrapped from the index on
+    * first use): a skinny (id, batch_id) relation the per-batch
+    * ID-replay screen anti-joins against, RANGE-PRUNED to the batch's
+    * own id span — with batch-clustered ids (the monotone-id shape of
+    * real ingest) the screen reads only the sidecar files overlapping
+    * the batch, O(batch) instead of the O(index·bands) distinct a scan
+    * of the fat index would cost, and it never touches signature
+    * arrays at all. Ids must be unique across the stream's lifetime —
+    * the standard ingest contract.
+    *
+    * EXACTLY-ONCE OUTPUT (the committed-batch protocol, proven in
+    * `StreamingIngestSpec` by replaying after every write):
+    *  1. survivors → `outDir` under deterministic batch-keyed file
+    *     names (`b<batchId>-<i>.parquet`, staged then renamed — a
+    *     replayed attempt OVERWRITES its own files, never appends
+    *     beside them);
+    *  2. admitted ids → the sidecar, same naming;
+    *  3. index rows → `indexDir`, same naming inside the band
+    *     partition directories;
+    *  4. a commit marker (`outDir/_graft_commits/b<batchId>`) —
+    *     a replay of a marked batch is skipped outright.
+    * A crash between ANY two steps replays the whole batch, and the
+    * screens are REPLAY-AWARE — rows this batch admitted in a crashed
+    * attempt (known from the sidecar's batch_id) are excluded from
+    * both the id screen and the probe-side index, so the replay
+    * recomputes the identical survivor set and republishes the same
+    * files. No crash point duplicates or loses a row in any of the
+    * three destinations.
+    *
+    * MAINTENANCE: with `compactAtFiles > 0`, after a committed batch
+    * leaves `indexDir` holding at least that many data files, the loop
+    * runs [[graft.operators.IndexOps.compactSwapMinhash]] (rewrite to
+    * `<dir>.compact.tmp`, swap, crash-recovered on the next batch via
+    * [[graft.operators.IndexOps.recoverSwap]]) and rewrites the
+    * sidecar id-sorted — closing the append-grown small-files
+    * degradation (measured 2.8–3.9× probe CPU, SCALING.md) from inside
+    * the loop, between micro-batches. Each batch also runs inside
+    * [[graft.operators.Checkpoints.scoped]], so the eager checkpoint
+    * blocks the curate operators pin are released when the batch
+    * commits — storage stays flat across an unbounded run. */
   def curateIngestStream(stream: DataFrame, indexDir: String, outDir: String,
       checkpoint: String, idCol: String, textCol: String,
-      gate: DataFrame => DataFrame, minAgree: Int = 8): DataStreamWriter[Row] =
+      gate: DataFrame => DataFrame, minAgree: Int = 8,
+      compactAtFiles: Int = 0): DataStreamWriter[Row] =
     stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        import graft.operators.Dedup
-        val outCols = batch.columns.map(col)
-        val index = batch.sparkSession.read.parquet(indexDir)
-        val fresh = batch.toDF()
-          .join(index.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
-        // one boundary, the q57/q72 trade: the gated batch feeds both
-        // the probe and the post-screen survivor base
-        val gated = Dedup.exactDedup(gate(fresh), idCol, textCol)
-          .filter(!col("is_dup"))
-          .localCheckpoint(true)
-        val (survivors, _) =
-          Dedup.minhashIncrementalIngest(index, gated, idCol, textCol, minAgree)
-        // materialize once: the outDir write and the index rows both
-        // consume it (index rows via the stamp-inheriting extend, so
-        // the survivor plan is not re-executed for the second write)
-        val admitted = survivors.localCheckpoint(true)
-        admitted.select(outCols: _*).write.mode("append").parquet(outDir)
-        Dedup.minhashIndexExtend(index, admitted, idCol, textCol)
-          .write.mode("append").partitionBy("band").parquet(indexDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        curateTextBatch(batch.toDF(), batchId, indexDir, outDir, idCol,
+          textCol, gate, minAgree, compactAtFiles)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -470,41 +484,278 @@ object StreamingIngest {
   /** The EMBEDDING twin of [[curateIngestStream]] — the same
     * self-growing-index loop over vectors
     * ([[graft.operators.Similarity.lshIncrementalIngest]],
-    * `partitionBy("tbl")`). No exact-dedup stage: md5 content hashing
+    * `partitionBy("tbl")`), with the same id sidecar, committed-batch
+    * protocol, replay-aware screens, compaction trigger
+    * ([[graft.operators.IndexOps.compactSwapLsh]]) and scoped
+    * checkpoint release. No exact-dedup stage: md5 content hashing
     * is a text-side notion, and identical NONZERO vectors are cos 1.0 —
     * the intra-batch collapse subsumes them. Zero-norm vectors are
     * REJECTED at the door (dropped, not admitted): cosine is undefined
     * there, so they would bypass the probe, the collapse, and index
     * growth entirely and accumulate as unscreenable duplicates. `gate`
     * is further caller policy (dimension screens etc.); default
-    * passthrough. Same id-screen failure contract as the text form:
-    * a replay after both writes finds its ids indexed and appends
-    * nothing; a crash between the writes duplicates `outDir` rows only.
-    * (The id screen is load-bearing here — the probe join excludes
-    * probe_id = corpus_id by design, so unlike the text form a
-    * replayed vector would NOT match its own index rows.) */
+    * passthrough. The id screen is load-bearing here — the probe join
+    * excludes probe_id = corpus_id by design, so unlike the text form
+    * a replayed vector would NOT match its own index rows. */
   def curateEmbeddingIngestStream(stream: DataFrame, indexDir: String,
       outDir: String, checkpoint: String, idCol: String, vecCol: String,
       minMicro: Long,
-      gate: DataFrame => DataFrame = df => df): DataStreamWriter[Row] =
+      gate: DataFrame => DataFrame = df => df,
+      compactAtFiles: Int = 0): DataStreamWriter[Row] =
     stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        import graft.operators.Similarity
-        val outCols = batch.columns.map(col)
-        val index = batch.sparkSession.read.parquet(indexDir)
-        val fresh = gate(batch.toDF())
-          .filter(Similarity.norm(col(vecCol)) > 0)
-          .join(index.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
-          .localCheckpoint(true)
-        val (survivors, _) =
-          Similarity.lshIncrementalIngest(index, fresh, idCol, vecCol, minMicro)
-        val admitted = survivors.localCheckpoint(true)
-        admitted.select(outCols: _*).write.mode("append").parquet(outDir)
-        Similarity.lshIndexExtend(index, admitted, idCol, vecCol)
-          .write.mode("append").partitionBy("tbl").parquet(indexDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        curateEmbeddingBatch(batch.toDF(), batchId, indexDir, outDir, idCol,
+          vecCol, minMicro, gate, compactAtFiles)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
+
+  // ----------------------------------------------- curate batch internals
+
+  /** The id sidecar of a persisted index directory: a skinny
+    * (id, batch_id) parquet relation recording every id the index
+    * holds and which micro-batch admitted it (−1 = bootstrapped from
+    * the index itself). Lives beside the index so the two are moved /
+    * retired together. */
+  private[graft] def idSidecarDir(indexDir: String): String = indexDir + "__ids"
+
+  private def fsPath(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Bootstrap the sidecar from the index's own ids if it does not
+    * exist yet — one O(index) distinct, paid ONCE per index lifetime
+    * (the per-batch screens then read the sidecar only). Written to a
+    * tmp dir and renamed in, so a crashed bootstrap redoes cleanly.
+    * Do not delete the sidecar while a crashed batch may replay: a
+    * re-bootstrap after that batch's index rows were published would
+    * stamp them batch_id −1 and the replay would wrongly self-screen. */
+  private def ensureSidecar(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String): Unit = {
+    val dir = idSidecarDir(indexDir)
+    val (fs, p) = fsPath(spark, dir)
+    if (fs.exists(p)) return
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".bootstrap.tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(indexDir).select(col(idCol)).distinct()
+      .withColumn("batch_id", lit(-1L))
+      .sort(idCol)
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(tmp, p), s"ensureSidecar: rename $tmp -> $p failed")
+  }
+
+  /** The O(batch) ID-replay screen: drop batch rows whose id a PRIOR
+    * batch already admitted. The sidecar scan is pre-filtered to the
+    * batch's own [min, max] id span, so parquet row-group pruning on
+    * the id-sorted sidecar files skips everything a batch-clustered id
+    * space doesn't touch; rows from THIS batch's own crashed attempt
+    * are excluded so a replay cannot self-screen. */
+  private def idScreen(batch: DataFrame, sidecar: DataFrame, idCol: String,
+      batchId: Long): DataFrame = {
+    val rng = batch.agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx")).head()
+    if (rng.isNullAt(0)) batch
+    else batch.join(
+      sidecar.filter(col("batch_id") =!= batchId)
+        .filter(col(idCol).between(lit(rng.get(0)), lit(rng.get(1))))
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Publish `df` into `dstDir` under deterministic batch-keyed file
+    * names: stage a normal parquet write inside the destination
+    * (hidden `.staging-b<id>` dir), delete any `b<id>-*` files a
+    * previous attempt left, rename the staged files in as
+    * `b<id>-<i>.parquet` (preserving partition subdirectories), drop
+    * the staging dir. Re-running the same batch converges on the same
+    * file set instead of appending a second copy — the idempotence the
+    * curate loops' whole-batch replays rely on. Readers are never
+    * broken mid-publish: they see the old files, a mix, or the new
+    * files — all row-identical under the loops' deterministic
+    * recompute. */
+  private[graft] def publishBatch(df: DataFrame, dstDir: String, batchId: Long,
+      partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val (fs, dst) = fsPath(spark, dstDir)
+    val staging = new org.apache.hadoop.fs.Path(dstDir + s"/.staging-b$batchId")
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(staging.toString)
+    def files(root: org.apache.hadoop.fs.Path)(
+        keep: String => Boolean): Seq[org.apache.hadoop.fs.Path] = {
+      val out = Seq.newBuilder[org.apache.hadoop.fs.Path]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (keep(f.getName)) out += f
+      }
+      out.result()
+    }
+    files(dst)(_.startsWith(s"b$batchId-")).foreach(fs.delete(_, false))
+    val staged = files(staging)(n => !n.startsWith("_") && !n.startsWith("."))
+      .sortBy(_.toString)
+    // compare FULLY-QUALIFIED strings: listFiles returns scheme-qualified
+    // paths (file:/...), so stripping the raw caller-supplied prefix
+    // would silently miss and re-root the rename inside the staging dir
+    val stagingQ = fs.makeQualified(staging).toString
+    staged.zipWithIndex.foreach { case (src, i) =>
+      require(src.toString.startsWith(stagingQ + "/"),
+        s"publishBatch: staged file $src outside $stagingQ")
+      val rel = src.toString.stripPrefix(stagingQ).stripPrefix("/")
+      val cut = rel.lastIndexOf('/')
+      val targetDir =
+        if (cut < 0) dst
+        else new org.apache.hadoop.fs.Path(dst, rel.substring(0, cut))
+      fs.mkdirs(targetDir)
+      val target = new org.apache.hadoop.fs.Path(targetDir, s"b$batchId-$i.parquet")
+      require(fs.rename(src, target), s"publishBatch: rename $src -> $target failed")
+    }
+    fs.delete(staging, true)
+  }
+
+  private def markerPath(outDir: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(outDir + "/_graft_commits", s"b$batchId")
+
+  private def isCommitted(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, batchId: Long): Boolean = {
+    val (fs, _) = fsPath(spark, outDir)
+    fs.exists(markerPath(outDir, batchId))
+  }
+
+  private def commitBatch(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, batchId: Long): Unit = {
+    val (fs, _) = fsPath(spark, outDir)
+    val m = markerPath(outDir, batchId)
+    fs.mkdirs(m.getParent)
+    fs.create(m, true).close()
+  }
+
+  /** Post-commit index maintenance: when the append-grown index holds
+    * at least `compactAtFiles` data files, compact-and-swap it and
+    * rewrite the sidecar id-sorted. Runs strictly AFTER the batch's
+    * commit marker, so a crash anywhere inside is recovered by
+    * [[graft.operators.IndexOps.recoverSwap]] at the next batch with
+    * no data at risk. */
+  private def maintainIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, compactAtFiles: Int, minhashLayout: Boolean): Unit = {
+    import graft.operators.IndexOps
+    if (compactAtFiles <= 0) return
+    if (IndexOps.dataFileCount(spark, indexDir) < compactAtFiles) return
+    if (minhashLayout) IndexOps.compactSwapMinhash(spark, indexDir)
+    else IndexOps.compactSwapLsh(spark, indexDir)
+    compactSidecar(spark, indexDir)
+  }
+
+  /** Rewrite the sidecar as few id-sorted files (range-partitioned on
+    * the id, dst-counted like compactTo) and swap — keeps the id
+    * screen's row-group pruning sharp as batches accumulate. */
+  private def compactSidecar(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, targetRowsPerFile: Long = 64L * 1000 * 1000): Unit = {
+    import graft.operators.IndexOps
+    val dir = idSidecarDir(indexDir)
+    val (fs, p) = fsPath(spark, dir)
+    if (!fs.exists(p)) return
+    val tmp = dir + ".compact.tmp"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val sc = spark.read.parquet(dir)
+    val id = sc.columns.filter(_ != "batch_id").head
+    val rows = sc.count()
+    val nFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    sc.repartitionByRange(nFiles, col(id)).sortWithinPartitions(col(id))
+      .write.mode("overwrite").parquet(tmp)
+    require(spark.read.parquet(tmp).count() == rows,
+      s"compactSidecar: rewrite of $dir lost rows — not swapping in")
+    IndexOps.swapDirs(spark, dir, tmp)
+  }
+
+  /** One micro-batch of [[curateIngestStream]] — exposed for the spec's
+    * crash-window replays. `failAfterStep` (1 = after the outDir
+    * publish, 2 = after the sidecar publish, 3 = after the index
+    * publish) is a test seam simulating a crash between the protocol's
+    * writes; production passes no value and never throws from it. */
+  private[graft] def curateTextBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, outDir: String, idCol: String, textCol: String,
+      gate: DataFrame => DataFrame, minAgree: Int, compactAtFiles: Int,
+      failAfterStep: Int = Int.MaxValue): Unit = {
+    import graft.operators.{Checkpoints, Dedup, IndexOps}
+    val spark = batch.sparkSession
+    IndexOps.recoverSwap(spark, indexDir)
+    IndexOps.recoverSwap(spark, idSidecarDir(indexDir))
+    if (isCommitted(spark, outDir, batchId)) return
+    ensureSidecar(spark, indexDir, idCol)
+    def failpoint(n: Int): Unit = if (failAfterStep == n)
+      throw new IllegalStateException(s"curateTextBatch: test failpoint after step $n")
+    Checkpoints.scoped(spark) {
+      val outCols = batch.columns.map(col).toIndexedSeq
+      val index = spark.read.parquet(indexDir)
+      val sidecar = spark.read.parquet(idSidecarDir(indexDir))
+      // replay awareness: ids THIS batch admitted in a crashed attempt
+      // leave both screens, so the recompute equals the first attempt
+      val own = sidecar.filter(col("batch_id") === batchId).select(col(idCol))
+      val screenIndex = index.join(own, Seq(idCol), "left_anti")
+      val fresh = idScreen(batch, sidecar, idCol, batchId)
+      // one boundary, the q57/q72 trade: the gated batch feeds both
+      // the probe and the post-screen survivor base
+      val gated = Dedup.exactDedup(gate(fresh), idCol, textCol)
+        .filter(!col("is_dup"))
+        .localCheckpoint(true)
+      val (survivors, _) =
+        Dedup.minhashIncrementalIngest(screenIndex, gated, idCol, textCol, minAgree)
+      // materialize once: all three publishes consume it
+      val admitted = survivors.localCheckpoint(true)
+      publishBatch(admitted.select(outCols: _*), outDir, batchId, Nil)
+      failpoint(1)
+      publishBatch(admitted.select(col(idCol))
+        .withColumn("batch_id", lit(batchId)).sort(idCol),
+        idSidecarDir(indexDir), batchId, Nil)
+      failpoint(2)
+      publishBatch(Dedup.minhashIndexExtend(screenIndex, admitted, idCol, textCol),
+        indexDir, batchId, Seq("band"))
+      failpoint(3)
+      commitBatch(spark, outDir, batchId)
+    }
+    maintainIndex(spark, indexDir, compactAtFiles, minhashLayout = true)
+  }
+
+  /** One micro-batch of [[curateEmbeddingIngestStream]] — same
+    * protocol, same test seam, vector screens. */
+  private[graft] def curateEmbeddingBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, outDir: String, idCol: String, vecCol: String,
+      minMicro: Long, gate: DataFrame => DataFrame, compactAtFiles: Int,
+      failAfterStep: Int = Int.MaxValue): Unit = {
+    import graft.operators.{Checkpoints, IndexOps, Similarity}
+    val spark = batch.sparkSession
+    IndexOps.recoverSwap(spark, indexDir)
+    IndexOps.recoverSwap(spark, idSidecarDir(indexDir))
+    if (isCommitted(spark, outDir, batchId)) return
+    ensureSidecar(spark, indexDir, idCol)
+    def failpoint(n: Int): Unit = if (failAfterStep == n)
+      throw new IllegalStateException(s"curateEmbeddingBatch: test failpoint after step $n")
+    Checkpoints.scoped(spark) {
+      val outCols = batch.columns.map(col).toIndexedSeq
+      val index = spark.read.parquet(indexDir)
+      val sidecar = spark.read.parquet(idSidecarDir(indexDir))
+      val own = sidecar.filter(col("batch_id") === batchId).select(col(idCol))
+      val screenIndex = index.join(own, Seq(idCol), "left_anti")
+      val fresh = idScreen(
+        gate(batch).filter(Similarity.norm(col(vecCol)) > 0),
+        sidecar, idCol, batchId).localCheckpoint(true)
+      val (survivors, _) =
+        Similarity.lshIncrementalIngest(screenIndex, fresh, idCol, vecCol, minMicro)
+      val admitted = survivors.localCheckpoint(true)
+      publishBatch(admitted.select(outCols: _*), outDir, batchId, Nil)
+      failpoint(1)
+      publishBatch(admitted.select(col(idCol))
+        .withColumn("batch_id", lit(batchId)).sort(idCol),
+        idSidecarDir(indexDir), batchId, Nil)
+      failpoint(2)
+      publishBatch(Similarity.lshIndexExtend(screenIndex, admitted, idCol, vecCol),
+        indexDir, batchId, Seq("tbl"))
+      failpoint(3)
+      commitBatch(spark, outDir, batchId)
+    }
+    maintainIndex(spark, indexDir, compactAtFiles, minhashLayout = false)
+  }
 
   /** Drain-what's-there runner: processes every pending file, then stops
     * (the scheduled-batch shape of the reference's manual re-runs). */

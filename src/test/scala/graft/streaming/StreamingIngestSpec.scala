@@ -652,6 +652,156 @@ class StreamingIngestSpec extends SparkSpec {
       "re-arrival must not grow the index")
   }
 
+  test("curate batch protocol: a replay after EVERY write converges — no duplicate, no loss") {
+    import graft.operators.Dedup
+    val storeA = "the quick brown fox jumps over a lazy dog near the river bank"
+    val novel = "seven engineers of the valley debugged a streaming pipeline in the night"
+    val store = Seq((1L, storeA), (2L, "a merchant of venice sailed in the morning tide"))
+      .toDF("doc_id", "text")
+    val indexDir = tmp("graft-proto-index")
+    val outDir = tmp("graft-proto-out")
+    Dedup.minhashIndex(store, "doc_id", "text")
+      .write.mode("overwrite").partitionBy("band").parquet(indexDir)
+    // batch: an intra-batch dup pair (101 survives), a corpus dup (103)
+    val batch = Seq((101L, novel), (102L, novel), (103L, storeA)).toDF("doc_id", "text")
+    val noGate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df => df
+    def run(failAfter: Int): Unit =
+      StreamingIngest.curateTextBatch(batch, 7L, indexDir, outDir,
+        "doc_id", "text", noGate, 8, 0, failAfterStep = failAfter)
+    def assertConverged(): Unit = {
+      val out = spark.read.parquet(outDir)
+      assert(out.collect().map(_.getLong(0)).toSeq == Seq(101L), "outDir = the survivor, once")
+      val ix = spark.read.parquet(indexDir)
+      assert(ix.count() == 12L, "4 band rows per doc x {1, 2, 101}, no duplicates")
+      val sc = spark.read.parquet(StreamingIngest.idSidecarDir(indexDir))
+      assert(sc.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 2L, 101L), "sidecar = admitted ids, once each")
+    }
+    // crash after the outDir publish, then after the sidecar publish,
+    // then after the index publish — each replay must recompute the
+    // identical survivor set and overwrite its own files
+    intercept[IllegalStateException](run(failAfter = 1))
+    intercept[IllegalStateException](run(failAfter = 2))
+    intercept[IllegalStateException](run(failAfter = 3))
+    run(failAfter = Int.MaxValue) // the attempt that commits
+    assertConverged()
+    run(failAfter = Int.MaxValue) // replay of a COMMITTED batch: marker-skipped
+    assertConverged()
+    // embedding twin through its own riskiest window (index published,
+    // marker not written — the probe cannot self-match, so only the
+    // replay-aware screens prevent duplicate admission)
+    val vstore = Seq((1L, Array(1.0f, 0.0f, 0.5f, 0.2f))).toDF("vec_id", "embedding")
+    val vIndexDir = tmp("graft-proto-vindex")
+    val vOutDir = tmp("graft-proto-vout")
+    graft.operators.Similarity.lshIndex(vstore, "vec_id", "embedding",
+        planes = 2, dims = 4, tables = 4)
+      .write.mode("overwrite").partitionBy("tbl").parquet(vIndexDir)
+    val vbatch = Seq((201L, Array(0.0f, 1.0f, -0.4f, 0.3f))).toDF("vec_id", "embedding")
+    def vrun(failAfter: Int): Unit =
+      StreamingIngest.curateEmbeddingBatch(vbatch, 3L, vIndexDir, vOutDir,
+        "vec_id", "embedding", 900000L, df => df, 0, failAfterStep = failAfter)
+    intercept[IllegalStateException](vrun(failAfter = 3))
+    vrun(failAfter = Int.MaxValue)
+    assert(spark.read.parquet(vOutDir).collect().map(_.getLong(0)).toSeq == Seq(201L))
+    assert(spark.read.parquet(vIndexDir)
+      .filter(col("vec_id") === 201L).count() == 4L, "4 table rows, not 8")
+  }
+
+  test("curate stream compaction trigger: mid-stream compaction preserves results, shrinks files") {
+    import graft.operators.{Dedup, IndexOps}
+    val store = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near the river bank"),
+      (2L, "a merchant of venice sailed in the morning tide carrying spice"))
+      .toDF("doc_id", "text")
+    // six pairwise-disjoint-vocabulary novel docs across three drops
+    val novels = Seq(
+      "seven engineers of the valley debugged a streaming pipeline in the night",
+      "nine ravens guarded a rusty crown beneath the tower in cold rain",
+      "two violinists rehearsed an intricate sonata backstage before the grand premiere",
+      "five geologists mapped basalt columns along the fjord during brief daylight",
+      "three bakers proofed sourdough loaves while the village market slowly opened",
+      "eight swimmers crossed the strait at dawn guided by small escort boats")
+    def pipeline(compactAt: Int) = {
+      val indexDir = tmp(s"graft-cmp$compactAt-index")
+      val outDir = tmp(s"graft-cmp$compactAt-out")
+      val drop = tmp(s"graft-cmp$compactAt-drop")
+      val ckpt = tmp(s"graft-cmp$compactAt-ckpt")
+      Dedup.minhashIndex(store, "doc_id", "text")
+        .write.mode("overwrite").partitionBy("band").parquet(indexDir)
+      def drain(): Unit = {
+        val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(drop)
+        StreamingIngest.curateIngestStream(stream, indexDir, outDir, ckpt,
+          "doc_id", "text", df => df, compactAtFiles = compactAt)
+          .start().awaitTermination()
+      }
+      novels.grouped(2).zipWithIndex.foreach { case (pair, i) =>
+        pair.zipWithIndex.map { case (text, j) => (100L * (i + 1) + j, text) }
+          .toDF("doc_id", "text").write.mode("append").parquet(drop)
+        drain()
+      }
+      (indexDir, outDir)
+    }
+    val (plainIx, plainOut) = pipeline(compactAt = 0)
+    val (compIx, compOut) = pipeline(compactAt = 4) // fires every drain
+    // identical admissions, identical index CONTENT under both regimes
+    assert(spark.read.parquet(compOut).collect().map(_.getLong(0)).sorted.toSeq
+      == spark.read.parquet(plainOut).collect().map(_.getLong(0)).sorted.toSeq)
+    val probes = (Seq((900L, novels(3))) ++ Seq((901L, "an entirely novel probe document about glacier caves and echoes")))
+      .toDF("doc_id", "text")
+    assert(canon(Dedup.minhashProbeAuto(probes, spark.read.parquet(compIx),
+        "doc_id", "text", minAgree = 1))
+      == canon(Dedup.minhashProbeAuto(probes, spark.read.parquet(plainIx),
+        "doc_id", "text", minAgree = 1)))
+    // and the compacted loop holds strictly fewer index files
+    val nPlain = IndexOps.dataFileCount(spark, plainIx)
+    val nComp = IndexOps.dataFileCount(spark, compIx)
+    assert(nComp < nPlain, s"compaction must shrink the live index ($nComp vs $nPlain)")
+    // the id sidecar was compacted with it — the screen stays correct:
+    // replaying all six texts under fresh ids admits nothing
+    val replayDrop = tmp("graft-cmp-replay")
+    val replayCkpt = tmp("graft-cmp-replay-ckpt")
+    novels.zipWithIndex.map { case (t, i) => (990L + i, t) }.toDF("doc_id", "text")
+      .write.mode("append").parquet(replayDrop)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(replayDrop)
+    StreamingIngest.curateIngestStream(stream, compIx, compOut, replayCkpt,
+      "doc_id", "text", df => df, compactAtFiles = 4).start().awaitTermination()
+    assert(spark.read.parquet(compOut).count() == 6L,
+      "re-sent content under fresh ids must be screened by the compacted index")
+  }
+
+  test("curate loops release their checkpoint blocks: storage flat across drains") {
+    import graft.operators.Dedup
+    val store = Seq((1L, "the quick brown fox jumps over a lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    val indexDir = tmp("graft-flat-index")
+    val outDir = tmp("graft-flat-out")
+    val drop = tmp("graft-flat-drop")
+    val ckpt = tmp("graft-flat-ckpt")
+    Dedup.minhashIndex(store, "doc_id", "text")
+      .write.mode("overwrite").partitionBy("band").parquet(indexDir)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val texts = Seq(
+      "nine ravens guarded a rusty crown beneath the tower in cold rain",
+      "two violinists rehearsed an intricate sonata backstage before the grand premiere",
+      "five geologists mapped basalt columns along the fjord during brief daylight",
+      "three bakers proofed sourdough loaves while the village market slowly opened",
+      "eight swimmers crossed the strait at dawn guided by small escort boats",
+      "seven engineers of the valley debugged a streaming pipeline in the night")
+    texts.zipWithIndex.foreach { case (text, i) =>
+      Seq((500L + i, text)).toDF("doc_id", "text")
+        .write.mode("append").parquet(drop)
+      val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(drop)
+      StreamingIngest.curateIngestStream(stream, indexDir, outDir, ckpt,
+        "doc_id", "text", df => df).start().awaitTermination()
+      // every batch's eager checkpoints (gated, admitted, the collapse
+      // internals) must be gone the moment the drain returns — six
+      // batches, zero accumulation, not "eventually collected"
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"batch $i leaked persisted RDDs: $leaked")
+    }
+    assert(spark.read.parquet(outDir).count() == 6L)
+  }
+
   test("streaming embedding curate mirrors the text contract across drains") {
     import graft.operators.Similarity
     val store = Seq(
