@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, IndexOps}
+import graft.streaming.StreamingIngest
+
+/** Measures the two steady-state costs of the streaming curate loop
+  * that VERDICT r7 flagged:
+  *
+  *  1. the per-batch cost against a FRAGMENT-GROWN index vs one the
+  *     in-loop compaction trigger maintains (`compactAtFiles`) — the
+  *     "inside the loop" twin of [[CompactionStudy]];
+  *  2. the ID-replay screen's cost: legacy full-index `distinct` vs
+  *     the skinny id sidecar, full-scan and range-pruned.
+  *
+  * Model: the first 90% of documents (by id) bootstrap the index; the
+  * last 10% arrives as `batches` ID-CONTIGUOUS slices — the monotone-id
+  * shape of real ingest, which is what lets sidecar range pruning skip
+  * non-overlapping row groups. Each batch runs the REAL loop body
+  * ([[StreamingIngest.curateTextBatch]]), so the measured number is
+  * the cost a drain actually pays, publishes included.
+  *
+  * Usage: Test/runMain graft.CurateLoopStudy [sfDir] [batches] [compactAt]
+  */
+object CurateLoopStudy {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("scaledata/sf1")
+    val batches = args.drop(1).headOption.map(_.toInt).getOrElse(12)
+    val compactAt = args.drop(2).headOption.map(_.toInt).getOrElse(24)
+    val spark = GraftSession.builder("curate-loop-study", "32").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cpu = new java.util.concurrent.atomic.LongAdder
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) cpu.add(m.executorCpuTime)
+        }
+      })
+    def quiesce(): Unit = {
+      var prev = -1L; var spins = 0
+      while (prev != cpu.sum() && spins < 40) { prev = cpu.sum(); Thread.sleep(50); spins += 1 }
+    }
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val n = docs.count()
+    val corpusMax = n * 9 / 10
+    val corpus = docs.filter(col("doc_id") < corpusMax).localCheckpoint(true)
+    val sliceW = (n - corpusMax + batches - 1) / batches
+    def slice(b: Int) = docs
+      .filter(col("doc_id") >= corpusMax + b * sliceW &&
+        col("doc_id") < corpusMax + (b + 1) * sliceW)
+      .localCheckpoint(true)
+    val arrivals = (0 until batches).map(slice)
+
+    def runLoop(compact: Int): (String, Double, Double, Int) = {
+      val indexDir = Files.createTempDirectory(s"clstudy_ix$compact").toString + "/ix"
+      val outDir = Files.createTempDirectory(s"clstudy_out$compact").toString
+      Dedup.minhashIndex(corpus, "doc_id", "text")
+        .write.mode("overwrite").partitionBy("band").parquet(indexDir)
+      var lastWall = 0.0; var lastCpu = 0.0
+      (0 until batches).foreach { b =>
+        quiesce(); cpu.reset()
+        val w0 = System.nanoTime()
+        StreamingIngest.curateTextBatch(arrivals(b), b.toLong, indexDir, outDir,
+          "doc_id", "text", df => df, 8, compact)
+        quiesce()
+        lastWall = (System.nanoTime() - w0) / 1e9
+        lastCpu = cpu.sum / 1e9
+      }
+      (indexDir, lastWall, lastCpu, IndexOps.dataFileCount(spark, indexDir))
+    }
+
+    val (fragIx, fw, fc, ff) = runLoop(0)
+    val (compIx, cw, cc, cf) = runLoop(compactAt)
+    println(f"[study] last-batch FRAGMENTED  wall=$fw%.2f s cpu=$fc%.2f core-s files=$ff")
+    println(f"[study] last-batch COMPACTED   wall=$cw%.2f s cpu=$cc%.2f core-s files=$cf (compactAt=$compactAt)")
+
+    // --- id-screen variants at the final (fragment-grown) index state ---
+    val index = spark.read.parquet(fragIx)
+    val sidecar = spark.read.parquet(StreamingIngest.idSidecarDir(fragIx))
+    val probe = arrivals.last
+    def timed(what: String)(body: => Long): Unit = {
+      val runs = (1 to 3).map { _ =>
+        spark.catalog.clearCache()
+        quiesce(); cpu.reset()
+        val w0 = System.nanoTime()
+        val rows = body
+        quiesce()
+        ((System.nanoTime() - w0) / 1e9, cpu.sum / 1e9, rows)
+      }
+      println(f"[study] screen $what%-22s wall=${runs.map(_._1).min}%.3f s " +
+        f"cpu=${runs.map(_._2).min}%.3f core-s rows=${runs.head._3}")
+    }
+    timed("index-distinct (old)") {
+      probe.join(index.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti").count()
+    }
+    timed("sidecar-full") {
+      probe.join(sidecar.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
+    }
+    timed("sidecar-range-pruned") {
+      val rng = probe.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx")).head()
+      probe.join(
+        sidecar.filter(col("doc_id").between(lit(rng.get(0)), lit(rng.get(1))))
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti").count()
+    }
+    println("[study] sidecar files=" +
+      IndexOps.dataFileCount(spark, StreamingIngest.idSidecarDir(fragIx)) +
+      " rows=" + sidecar.count() + " | index rows=" + index.count())
+    spark.stop()
+  }
+}
