@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+
+/** Bucketed physical layout: pay a key's shuffle ONCE at write time,
+  * then join and aggregate on that key shuffle-free forever after.
+  *
+  * The reference re-merges the same site-keyed tables in every run
+  * (`/root/reference/down/down_water_prep.py:296,307` and the 7-key
+  * reconciliation at `compare.py:24`) — each merge re-partitions both
+  * sides from scratch. At 100 TB that repartition IS the job: a
+  * fact⋈fact join shuffles both full tables across the cluster every
+  * time the pipeline runs. Bucketing inverts the cost: `bucketedTable`
+  * hash-partitions the data into a fixed number of buckets ON DISK
+  * (Spark's `bucketBy`, murmur3 on the key — the same hash
+  * `HashPartitioning` uses at runtime), so every later equi-join or
+  * aggregation on the bucket key reads each bucket as an
+  * already-correctly-partitioned task: `SortMergeJoin` with ZERO
+  * `Exchange` on either side, and a same-key `groupBy` downstream of
+  * the join needs no exchange either (`HashPartitioning(key)` satisfies
+  * any clustering that contains the key). `PlanShapeSpec` asserts both.
+  *
+  * Scale posture:
+  *  - `buckets` is the layout's permanent parallelism on this key —
+  *    size it like you'd size shuffle partitions for the table's full
+  *    volume (100 TB / target ~256 MB per bucket-split ⇒ O(100k)
+  *    buckets on a real cluster; 8–32 in the local harness). Both
+  *    sides of a co-located join must agree on the bucket count
+  *    (Spark joins bucketed tables exchange-free only when counts
+  *    match — mismatched counts shuffle the smaller-bucketed side).
+  *  - The write `repartition`s by the bucket key first, so each task
+  *    writes exactly one file per bucket — without it every write task
+  *    spills a file into every bucket (task×bucket small files, the
+  *    failure mode `IndexOps.compactTo` exists for) and the per-bucket
+  *    `sortBy` metadata becomes unusable (Spark trusts bucket-sortedness
+  *    only for single-file buckets; multi-file buckets force a runtime
+  *    re-sort under the join).
+  *  - In-bucket `sortBy(key)` makes the sort side of every later
+  *    SortMergeJoin free as well: the scan emits rows already in key
+  *    order, so the join's required ordering is satisfied from disk.
+  */
+object Layout {
+
+  /** Catalog-safe deterministic table name for a dataset rooted at
+    * `srcDir` — re-running a query against the same directory reuses
+    * (overwrites) its own table instead of colliding with other SFs'.
+    */
+  def tableName(prefix: String, srcDir: String): String =
+    "graft_" + prefix + "_" +
+      srcDir.toLowerCase.replaceAll("[^a-z0-9]+", "_").replaceAll("^_+|_+$", "")
+
+  /** Write `df` as a managed parquet table bucketed (and in-bucket
+    * sorted) by `bucketCols`, replacing any previous incarnation, and
+    * return the table name. The leftover warehouse directory of a
+    * PREVIOUS session's table is deleted explicitly: the in-memory
+    * catalog forgets tables across sessions but their files persist,
+    * and a create-over-leftovers would union stale buckets into reads.
+    */
+  def bucketedTable(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      buckets: Int,
+      sortCols: Seq[String] = Nil): String = {
+    require(bucketCols.nonEmpty, "bucketedTable needs at least one bucket column")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val sorts = if (sortCols.nonEmpty) sortCols else bucketCols
+    import org.apache.spark.sql.functions.col
+    df.repartition(buckets, bucketCols.map(col): _*)
+      .write
+      .format("parquet")
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sorts.head, sorts.tail: _*)
+      .saveAsTable(table)
+    table
+  }
+
+  /** Equi-join two co-bucketed tables exchange-free. The `merge` hint
+    * pins SortMergeJoin — without it the planner may pick a broadcast
+    * join at test SF, which is exactly the plan that does NOT survive a
+    * fact⋈fact 100 TB scale-up; with it, the bucketed scans' matching
+    * `HashPartitioning` satisfies the join's distribution on both sides
+    * and no Exchange is planned. (AQE preserves user join hints, so the
+    * runtime re-plan cannot demote the co-located join either.)
+    */
+  def coLocatedJoin(
+      spark: SparkSession,
+      leftTable: String,
+      rightTable: String,
+      condition: Column,
+      joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).hint("merge")
+      .join(spark.table(rightTable).hint("merge"), condition, joinType)
+}

@@ -509,9 +509,35 @@ object ParityQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Bucketed co-located join ≡ plain join (output invariance): customer
+    * and orders are laid out bucketed by customer key
+    * ([[graft.operators.Layout.bucketedTable]], 8 buckets, in-bucket
+    * sorted), then joined and aggregated THROUGH the layout — the
+    * write-once-shuffle-once plan whose join and same-key groupBy carry
+    * zero Exchange (asserted in `PlanShapeSpec`; `explain` shows
+    * SortMergeJoin directly over the two bucketed scans). The oracle is
+    * the plain join: the layout must only move WHERE rows sit, never
+    * change one, so the results hash-match or the layout is wrong. */
+  val q77BucketedJoin: Q = (spark, dir) => {
+    import graft.operators.Layout
+    val t = Tables(spark, dir)
+    val cTbl = Layout.bucketedTable(spark,
+      t.customer.select("c_custkey", "c_mktsegment"),
+      Layout.tableName("cust", dir), Seq("c_custkey"), buckets = 8)
+    val oTbl = Layout.bucketedTable(spark,
+      t.orders.select("o_custkey", "o_totalprice"),
+      Layout.tableName("ord", dir), Seq("o_custkey"), buckets = 8)
+    Layout.coLocatedJoin(spark, cTbl, oTbl, col("c_custkey") === col("o_custkey"))
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(count(lit(1)).as("order_cnt"),
+        sumMoney(col("o_totalprice")).as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
   val all: Map[String, Q] = Map(
     "q01_pruned_scan" -> q01PrunedScan,
     "q63_salted_join" -> q63SaltedJoin,
+    "q77_bucketed_join" -> q77BucketedJoin,
     "q43_sessionize" -> q43Sessionize,
     "q44_json_extract" -> q44JsonExtract,
     "q45_pivot" -> q45Pivot,
@@ -729,6 +755,12 @@ object ParityQueries {
         |SELECT l_orderkey, l_linenumber, hot_key, l_quantity, dim_name
         |FROM fact LEFT JOIN dim USING (hot_key)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q77_bucketed_join" ->
+      """SELECT c_custkey, c_mktsegment, COUNT(*) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
     "q49_approx_distinct" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  COUNT(DISTINCT l_partkey) AS exact_parts,
