@@ -153,7 +153,10 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs2 = results.map { case (k, v, _, _) => s""""${esc(k)}":${r2(v)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_compact","value":${r2(total)},"unit":"sec","queries":$qs2}""")
+    // "n_err" rides the truncation-surviving compact line (7 bytes) so a
+    // fast failure can never read as a speedup in a round-over-round diff
+    // even when the full first line (with the errors map) is cut.
+    println(s"""{"metric":"total_compact","value":${r2(total)},"unit":"sec","n_err":${errors.size},"queries":$qs2}""")
     spark.stop()
   }
 }

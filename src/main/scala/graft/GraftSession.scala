@@ -55,21 +55,33 @@ final class Tables(spark: SparkSession, sfDir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark refuses by
-    * default (PARQUET_TYPE_ILLEGAL). The session must be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-    * [[GraftSession.builder]] and the Verify/Bench mains — NOT mutated
-    * here, so reading `events` has no side effect on unrelated reads).
-    * The raw nanos become a TIMESTAMP_NTZ: integer `DIV 1000` (never a
-    * double divide — 1.7e18 ns exceeds 2^53) truncates toward zero exactly
-    * like DuckDB's ns→µs read, and the NTZ cast keeps wall-clock semantics
-    * aligned with the oracle.
+  /** `events.ts` has shipped in two parquet layouts across testdata
+    * generations, so the read path branches on the ACTUAL field type
+    * rather than assuming either:
+    *
+    *  - TIMESTAMP(NANOS): Spark refuses it by default
+    *    (PARQUET_TYPE_ILLEGAL); under `spark.sql.legacy.parquet.
+    *    nanosAsLong=true` (set in [[GraftSession.builder]] and the
+    *    Verify/Bench mains — NOT mutated here, so reading `events` has
+    *    no side effect on unrelated reads) it reads as BIGINT nanos.
+    *    Integer `DIV 1000` (never a double divide — 1.7e18 ns exceeds
+    *    2^53) truncates toward zero exactly like DuckDB's ns→µs read.
+    *  - timestamp[us] (current testdata): reads natively as
+    *    TIMESTAMP / TIMESTAMP_NTZ — no arithmetic needed.
+    *
+    * Both paths land on TIMESTAMP_NTZ so downstream wall-clock
+    * semantics match the DuckDB oracle regardless of the file layout.
     */
-  def events: DataFrame =
-    t("events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")).cast("timestamp_ntz"))
+  def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
+    val raw = t("events")
+    val ts = raw.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz")
+      case _        => col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts", ts)
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
