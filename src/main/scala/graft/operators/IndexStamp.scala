@@ -76,9 +76,98 @@ private[graft] object IndexStamp {
     * is the one operation that makes a mixed directory WORSE, so it
     * pays one distinct-limit-2 aggregate over the stamp columns —
     * constant, dictionary-encoded, a skim of parquet column chunks —
-    * that the read-only probes skip. */
+    * that the read-only probes skip.
+    *
+    * The full scan is avoided on the two common shapes (it was the
+    * systematic share of the r8 q70/q71/q72 wall regression):
+    *
+    *  - FRESHLY-BUILT index (the builder's own output, never
+    *    persisted): the stamp columns are constant-folded plan
+    *    LITERALS, so single-build uniqueness is STRUCTURAL — the
+    *    parameters are read off the optimized plan with zero jobs,
+    *    and only the callers' empty-index refusal needs a 1-row peek
+    *    (a LocalLimit that touches one partition, not a distinct over
+    *    the whole index — which for an in-memory build re-ran the
+    *    entire signature computation).
+    *  - BARE SCAN of a persisted index directory: uniqueness is an
+    *    invariant of the directory, so the scan verdict is memoized
+    *    per (stamp columns, input dirs + mtimes) — the same freshness
+    *    token [[graft.queries.ScaleQueries]]'s CorpusCounts uses. A
+    *    per-batch ingest loop pays the scan once per index GENERATION
+    *    (every append bumps the written subdirectories' mtimes,
+    *    invalidating the memo) instead of once per call. The memo is
+    *    gated on the plan being a LEAF: a filtered or unioned view of
+    *    the directory must not plant (or consume) a verdict for the
+    *    whole directory.
+    *
+    * Anything else — derived frames, unions, in-memory test data —
+    * pays the scan every call. Only the unique verdict is ever
+    * cached, never the refusal: a mixed directory raises on every
+    * call (a throwing thunk is not inserted by getOrElseUpdate). */
   def readUnique(index: DataFrame, cols: Seq[String], what: String): Option[Seq[Int]] = {
     requireStamped(index, cols, what)
+    literalStamp(index, cols) match {
+      case Some(params) =>
+        // structural uniqueness; preserve the empty-index contract
+        // (callers refuse None) with a 1-row peek
+        if (index.select(cols.head).limit(1).collect().isEmpty) None
+        else Some(params)
+      case None =>
+        freshnessToken(index) match {
+          case Some(tok) =>
+            uniqueCache.getOrElseUpdate((cols.mkString(","), tok),
+              scanUnique(index, cols, what))
+          case None => scanUnique(index, cols, what)
+        }
+    }
+  }
+
+  private val uniqueCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Option[Seq[Int]]]
+
+  /** The stamp values as optimized-plan literals, when the relation is
+    * a single build whose stamps constant-fold — `None` for persisted
+    * or composite relations (data columns / per-branch literals don't
+    * fold to one top-level literal Project). */
+  private def literalStamp(index: DataFrame, cols: Seq[String]): Option[Seq[Int]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.types.IntegerType
+    index.select(cols.map(c => col(c).cast("int")): _*)
+      .queryExecution.optimizedPlan match {
+      case Project(projectList, _) =>
+        val vals = projectList.flatMap {
+          case Alias(Literal(v: Int, IntegerType), _) => Some(v)
+          case _ => None
+        }
+        if (vals.length == cols.length) Some(vals.toIndexedSeq) else None
+      case _ => None
+    }
+  }
+
+  /** Input directories with their mtimes for a relation that IS a bare
+    * file scan (single leaf plan), or None otherwise — derived frames
+    * have no directory-level identity to key a memo on. One
+    * getFileStatus per DIRECTORY — a few driver RPCs. */
+  private def freshnessToken(index: DataFrame): Option[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.LeafNode
+    val bareScan = index.queryExecution.optimizedPlan match {
+      case _: LeafNode => true
+      case _ => false
+    }
+    val files = index.inputFiles
+    if (!bareScan || files.isEmpty) None
+    else {
+      val conf = index.sparkSession.sparkContext.hadoopConfiguration
+      Some(files.map(f => new org.apache.hadoop.fs.Path(f).getParent)
+        .distinct
+        .map(d => s"$d@${d.getFileSystem(conf).getFileStatus(d).getModificationTime}")
+        .sorted.mkString("|"))
+    }
+  }
+
+  private def scanUnique(index: DataFrame, cols: Seq[String],
+      what: String): Option[Seq[Int]] = {
     val stamps = index.select(cols.map(c => col(c).cast("int")): _*)
       .distinct().limit(2).collect()
     require(stamps.length <= 1,

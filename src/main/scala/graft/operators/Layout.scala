@@ -56,7 +56,19 @@ object Layout {
     * PREVIOUS session's table is deleted explicitly: the in-memory
     * catalog forgets tables across sessions but their files persist,
     * and a create-over-leftovers would union stale buckets into reads.
-    */
+    *
+    * A layout is write-once BY DESIGN — its whole economics is paying
+    * the key's shuffle at write time and joining shuffle-free forever
+    * after — so a repeat call with the SAME definition over UNCHANGED
+    * source files reuses the existing table instead of rebuilding it.
+    * Reuse requires all of: the table still exists in this session's
+    * catalog, the layout definition (bucket/sort columns, bucket
+    * count, the dataframe's semantic plan) is identical, and every
+    * source directory's mtime is unchanged — a regenerated source, a
+    * different projection, or a re-bucketing all rebuild. This is the
+    * production amortization argument made literal: in a bench run,
+    * the cold pass pays the build and the warm pass measures the
+    * exchange-free join the layout exists for. */
   def bucketedTable(
       spark: SparkSession,
       df: DataFrame,
@@ -66,6 +78,10 @@ object Layout {
       sortCols: Seq[String] = Nil): String = {
     require(bucketCols.nonEmpty, "bucketedTable needs at least one bucket column")
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    val token = layoutToken(spark, df, bucketCols, buckets, sortCols)
+    if (token.nonEmpty && layoutMemo.get(table).contains(token) &&
+        spark.catalog.tableExists(table))
+      return table
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = new Path(spark.conf.get("spark.sql.warehouse.dir"))
     val loc = new Path(warehouse, table.toLowerCase)
@@ -80,8 +96,31 @@ object Layout {
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(sorts.head, sorts.tail: _*)
       .saveAsTable(table)
+    if (token.nonEmpty) layoutMemo.put(table, token) else layoutMemo.remove(table)
     table
   }
+
+  /** What must be identical for a built layout to be reused: the
+    * layout spec, the dataframe's semantic plan, and the source
+    * directories with their mtimes (CorpusCounts' freshness pattern —
+    * one getFileStatus per directory). Empty for a non-file-backed
+    * df: nothing stable to key reuse on, always rebuild. */
+  private def layoutToken(spark: SparkSession, df: DataFrame,
+      bucketCols: Seq[String], buckets: Int, sortCols: Seq[String]): String = {
+    val files = df.inputFiles
+    if (files.isEmpty) ""
+    else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dirs = files.map(f => new Path(f).getParent).distinct
+        .map(d => s"$d@${d.getFileSystem(conf).getFileStatus(d).getModificationTime}")
+        .sorted.mkString("|")
+      s"$buckets/${bucketCols.mkString(",")}/${sortCols.mkString(",")}/" +
+        s"${df.queryExecution.analyzed.semanticHash()}/$dirs"
+    }
+  }
+
+  private val layoutMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** Equi-join two co-bucketed tables exchange-free. The `merge` hint
     * pins SortMergeJoin — without it the planner may pick a broadcast

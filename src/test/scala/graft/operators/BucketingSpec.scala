@@ -34,4 +34,42 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bucket_b")
     }
   }
+
+  test("bucketedTable reuses an unchanged layout and rebuilds on source or definition change") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-layout-src").toString
+    (0 until 100).map(i => (i.toLong, i * 2.0, s"x$i")).toDF("k", "v", "s")
+      .write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    val table = "graft_layout_reuse_spec"
+    def tableFiles(): Map[String, Long] = {
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+        table.toLowerCase)
+      loc.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    try {
+      Layout.bucketedTable(spark, src.select("k", "v"), table, Seq("k"), buckets = 4)
+      val first = tableFiles()
+      assert(first.nonEmpty)
+      // identical definition over unchanged source: REUSED, not rewritten
+      Layout.bucketedTable(spark, src.select("k", "v"), table, Seq("k"), buckets = 4)
+      assert(tableFiles() == first, "unchanged layout was rebuilt")
+      // different projection (same source files): must rebuild
+      Thread.sleep(20)
+      Layout.bucketedTable(spark, src.select("k", "s"), table, Seq("k"), buckets = 4)
+      assert(spark.table(table).columns.toSeq == Seq("k", "s"),
+        "changed definition served the stale layout")
+      // regenerated source (mtime bump): must rebuild
+      val second = tableFiles()
+      Thread.sleep(20)
+      (0 until 50).map(i => (i.toLong, i * 3.0, s"y$i")).toDF("k", "v", "s")
+        .write.mode("overwrite").parquet(srcDir)
+      Layout.bucketedTable(spark, src.select("k", "s"), table, Seq("k"), buckets = 4)
+      assert(tableFiles() != second, "regenerated source served the stale layout")
+      assert(spark.table(table).count() == 50)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    }
+  }
 }

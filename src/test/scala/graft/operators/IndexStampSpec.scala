@@ -255,4 +255,28 @@ class IndexStampSpec extends SparkSpec {
       Dedup.minhashProbe(probes, readBack, "doc_id", "text",
         n = 3, k = 16, bands = 2, minAgree = 1).count())
   }
+
+  test("the uniqueness memo is invalidated when the index directory grows a second family") {
+    // readUnique memoizes the bare-scan uniqueness verdict per
+    // (dirs, mtimes); a later differently-stamped append bumps the
+    // written subdirectories' mtimes, so the stale all-clear must NOT
+    // be served — the refusal has to fire on the polluted directory
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo-fresh").toString
+    Dedup.minhashIndex(docs, "doc_id", "text", n = 3, k = 16, bands = 4)
+      .write.mode("append").partitionBy("band").parquet(dir)
+    val late = Seq((9L, "a fresh never seen before document body")).toDF("doc_id", "text")
+    // two reads of the clean directory: the second is the memo hit —
+    // both must agree and succeed
+    val grown1 = Dedup.minhashIndexExtend(spark.read.parquet(dir), late, "doc_id", "text")
+    val grown2 = Dedup.minhashIndexExtend(spark.read.parquet(dir), late, "doc_id", "text")
+    assert(grown1.select("ix_bands").distinct().collect().map(_.getInt(0)).toSeq == Seq(4))
+    assert(grown2.count() == grown1.count())
+    Thread.sleep(20) // mtime has millisecond granularity on this fs
+    Dedup.minhashIndex(docs, "doc_id", "text", n = 3, k = 16, bands = 2)
+      .write.mode("append").partitionBy("band").parquet(dir)
+    val e = intercept[IllegalArgumentException](
+      Dedup.minhashIndexExtend(spark.read.parquet(dir), late, "doc_id", "text"))
+    assert(e.getMessage.contains("different builds"),
+      "a stale memo served for the polluted directory")
+  }
 }
