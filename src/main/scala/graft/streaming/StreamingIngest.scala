@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -246,6 +246,92 @@ object StreamingIngest {
             }
             closed.result().iterator
           })
+  }
+
+  /** One emitted probe row of [[asOfStream]]: the probe event with the
+    * most recent prior anchor's event time (`asof_ts`, null when no
+    * anchor preceded it). */
+  case class AsOfOut(key: String, id: Long, event_ts: java.sql.Timestamp,
+      asof_ts: java.sql.Timestamp)
+
+  /** Projected input row (public for the state encoder's generated
+    * code, as [[SessionState]]). */
+  case class AsOfIn(k: String, id: Long, ts: java.sql.Timestamp,
+      anchor: Boolean, probe: Boolean)
+
+  /** Latest-anchor state: epoch MICROSECONDS + the tiebreak id (the
+    * same (ts, id) total order the batch as-of query sorts by). */
+  case class AsOfState(tsUs: Long, id: Long)
+
+  /** Streaming as-of enrich — the incremental twin of the batch as-of
+    * join (q20): for each arriving PROBE event (e.g. a purchase), emit
+    * the event time of the most recent strictly-prior ANCHOR event
+    * (e.g. the user's last signup) of the same key, in the (ts, id)
+    * total order the batch window uses. The state store holds ONE
+    * (tsUs, id) pair per key — the streaming form of a keyed
+    * most-recent-dimension lookup. State is never timed out BY DESIGN:
+    * an anchor remains the valid as-of match for every later probe
+    * indefinitely, so expiring it would change answers, not reclaim
+    * garbage — O(distinct keys) state is the operator's honest floor
+    * (the same bound as any keyed dimension).
+    *
+    * Out-of-order handling matches [[sessionizeStream]]'s trade:
+    * events within a micro-batch are sorted before folding, and an
+    * anchor never regresses the state (a cross-batch straggler anchor
+    * older than the stored one is ignored). A straggler PROBE that
+    * arrives after a newer anchor was absorbed sees the newer anchor —
+    * exact batch equivalence requires time-contiguous feeding, the
+    * documented streaming-finality bound (proven on the real events
+    * slice in `StreamingIngestSpec`).
+    *
+    * `anchorPred`/`probePred` are evaluated BEFORE the stateful fold
+    * (plain Catalyst expressions over the input row — codegen'd, never
+    * shipped into the state function); a row may be both. */
+  def asOfStream(stream: DataFrame, keyCol: String, idCol: String,
+      tsCol: String, anchorPred: Column, probePred: Column):
+      org.apache.spark.sql.Dataset[AsOfOut] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val outEnc = Encoders.product[AsOfOut]
+    implicit val stEnc = Encoders.product[AsOfState]
+    implicit val inEnc = Encoders.product[AsOfIn]
+    implicit val keyEnc = Encoders.STRING
+    def toUs(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def ts(us: Long): java.sql.Timestamp = {
+      val sec = Math.floorDiv(us, 1000000L)
+      val t = new java.sql.Timestamp(sec * 1000L)
+      t.setNanos(((us - sec * 1000000L) * 1000L).toInt)
+      t
+    }
+    stream
+      .select(col(keyCol).cast("string").as("k"),
+        col(idCol).cast("long").as("id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        anchorPred.cast("boolean").as("anchor"),
+        probePred.cast("boolean").as("probe"))
+      .filter(col("ts").isNotNull && (col("anchor") || col("probe")))
+      .as[AsOfIn]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[AsOfIn], state: GroupState[AsOfState]) => {
+          val evs = rows.toArray
+          java.util.Arrays.sort(evs, Ordering.by((e: AsOfIn) => (toUs(e.ts), e.id)))
+          val out = Seq.newBuilder[AsOfOut]
+          var st = state.getOption
+          evs.foreach { e =>
+            val us = toUs(e.ts)
+            // probe BEFORE absorbing this row's anchor: the batch frame
+            // is strictly preceding (rowsBetween ... -1)
+            if (e.probe)
+              out += AsOfOut(key, e.id, e.ts, st.map(s => ts(s.tsUs)).orNull)
+            if (e.anchor && st.forall(s =>
+                s.tsUs < us || (s.tsUs == us && s.id < e.id)))
+              st = Some(AsOfState(us, e.id))
+          }
+          st.foreach(state.update)
+          out.result().iterator
+        })
   }
 
   /** DQ gates as streaming observed metrics — the incremental twin of

@@ -230,6 +230,53 @@ class StreamingIngestSpec extends SparkSpec {
     assertSameRows(streamed, batchSessions)
   }
 
+  test("streaming as-of enrich matches the batch as-of join on the real events slice") {
+    // q20's equivalence proof on driver data: each purchase's
+    // last_signup_ts from asOfStream must equal the batch window
+    // computation over the same events. Chunks are TIME-CONTIGUOUS for
+    // the same finality reason as the sessionize test; every probe emits
+    // immediately, so no sentinel is needed.
+    val dir = "/root/testdata/sf0.001"
+    val drop = tmp("graft-asof-drop")
+    val out = tmp("graft-asof-out")
+    val ckpt = tmp("graft-asof-ckpt")
+
+    val events = graft.Tables(spark, dir).events
+      .select(col("user_id").cast("string").as("user_id"), col("event_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_type"))
+    val evCsv = events
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("event_type"))
+      .withColumn("chunk", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    for (i <- 1 to 4)
+      evCsv.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.option("header", "true").csv(s"$drop/c$i")
+
+    val stream = spark.readStream
+      .option("header", "true").option("maxFilesPerTrigger", 1)
+      .schema("user_id STRING, event_id LONG, ts TIMESTAMP, event_type STRING")
+      .csv(s"$drop/*")
+    val enriched = StreamingIngest.asOfStream(stream, "user_id", "event_id", "ts",
+      anchorPred = col("event_type") === "signup",
+      probePred = col("event_type") === "purchase")
+    StreamingIngest.availableNow(enriched.toDF(), out, ckpt).start().awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .select(col("key").as("user_id"), col("id").as("event_id"),
+        unix_micros(col("event_ts")).as("ts_us"),
+        unix_micros(col("asof_ts")).as("last_signup_us"))
+    val batch = graft.queries.ParityQueries.q20AsOfJoin(spark, dir)
+      .select(col("user_id").cast("string").as("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        unix_micros(col("last_signup_ts").cast("timestamp")).as("last_signup_us"))
+    assert(streamed.count() > 10, "slice should produce a real purchase population")
+    assert(streamed.filter(col("last_signup_us").isNotNull).count() > 0,
+      "slice should contain purchases with a prior signup")
+    assertSameRows(streamed, batch)
+  }
+
   test("stateful dedup suppresses replayed keys across separate drains") {
     val drop = tmp("graft-drop4")
     val out = tmp("graft-dedup-out")
