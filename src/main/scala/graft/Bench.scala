@@ -140,7 +140,16 @@ object Bench {
     // total_wall_s/total_cpu_core_s duplicate value/cpu_core_s under the
     // r6-era field names so older consumers keep parsing (bench_schema
     // versions the shape explicitly from here on).
-    println(s"""{"metric":"total","bench_schema":2,"value":${r3(total)},"unit":"sec","total_wall_s":${r3(total)},"cpu_core_s":${r3(totalCpu)},"total_cpu_core_s":${r3(totalCpu)},"queries_cold":$qsCold,"errors":$errJson,"queries_cpu":$qsCpu,"sf":"$sfDir","queries":$qs}""")
+    val fullLine = s"""{"metric":"total","bench_schema":2,"value":${r3(total)},"unit":"sec","total_wall_s":${r3(total)},"cpu_core_s":${r3(totalCpu)},"total_cpu_core_s":${r3(totalCpu)},"queries_cold":$qsCold,"errors":$errJson,"queries_cpu":$qsCpu,"sf":"$sfDir","queries":$qs}"""
+    println(fullLine)
+    // The driver keeps only a bytes-bounded TAIL of stdout, which cuts
+    // the full line (r4–r8 all lost queries_cpu this way) — so the full
+    // record is ALSO written to a file in the repo, where it survives
+    // for round-over-round CPU comparison (SCALING.md's BENCH_CPU rows).
+    // Best-effort: a read-only cwd must not fail the bench.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL_latest.json"), fullLine + "\n")
+    catch { case _: Throwable => () }
     // Second, COMPACT line under its own metric name (a consumer parsing
     // every "total" line would double-count): only the headline wall-min
     // map + total. SIZE BUDGET: the round driver's tail capture is 2000

@@ -23,13 +23,20 @@ import graft.streaming.StreamingIngest
   * ([[StreamingIngest.curateTextBatch]]), so the measured number is
   * the cost a drain actually pays, publishes included.
   *
-  * Usage: Test/runMain graft.CurateLoopStudy [sfDir] [batches] [compactAt]
+  * Mode `embedding` runs the vector twin
+  * ([[StreamingIngest.curateEmbeddingBatch]] over `embeddings.parquet`,
+  * LSH index bootstrapped with the corpus-derived plane count) so BOTH
+  * curate loops carry the same steady-state evidence.
+  *
+  * Usage: Test/runMain graft.CurateLoopStudy [sfDir] [batches] [compactAt] [mode]
   */
 object CurateLoopStudy {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("scaledata/sf1")
     val batches = args.drop(1).headOption.map(_.toInt).getOrElse(12)
     val compactAt = args.drop(2).headOption.map(_.toInt).getOrElse(24)
+    val mode = args.drop(3).headOption.getOrElse("text")
+    require(mode == "text" || mode == "embedding", s"unknown mode $mode")
     val spark = GraftSession.builder("curate-loop-study", "32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -47,28 +54,48 @@ object CurateLoopStudy {
       while (prev != cpu.sum() && spins < 40) { prev = cpu.sum(); Thread.sleep(50); spins += 1 }
     }
 
-    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val (table, idCol, payloadCol) =
+      if (mode == "text") ("documents", "doc_id", "text")
+      else ("embeddings", "vec_id", "embedding")
+    val docs = spark.read.parquet(s"$dir/$table.parquet").select(idCol, payloadCol)
     val n = docs.count()
     val corpusMax = n * 9 / 10
-    val corpus = docs.filter(col("doc_id") < corpusMax).localCheckpoint(true)
+    val corpus = docs.filter(col(idCol) < corpusMax).localCheckpoint(true)
     val sliceW = (n - corpusMax + batches - 1) / batches
     def slice(b: Int) = docs
-      .filter(col("doc_id") >= corpusMax + b * sliceW &&
-        col("doc_id") < corpusMax + (b + 1) * sliceW)
+      .filter(col(idCol) >= corpusMax + b * sliceW &&
+        col(idCol) < corpusMax + (b + 1) * sliceW)
       .localCheckpoint(true)
     val arrivals = (0 until batches).map(slice)
+    // embedding mode: plane count derived from the bootstrap corpus the
+    // way q71/the loop's own consumers derive it
+    lazy val planes = graft.operators.Similarity.lshAutoPlanes(corpusMax)
+
+    def bootstrapIndex(indexDir: String): Unit =
+      if (mode == "text")
+        Dedup.minhashIndex(corpus, idCol, payloadCol)
+          .write.mode("overwrite").partitionBy("band").parquet(indexDir)
+      else
+        graft.operators.Similarity.lshIndex(corpus, idCol, payloadCol, planes, dims = 64)
+          .write.mode("overwrite").partitionBy("tbl").parquet(indexDir)
+
+    def runBatch(b: Int, indexDir: String, outDir: String, compact: Int): Unit =
+      if (mode == "text")
+        StreamingIngest.curateTextBatch(arrivals(b), b.toLong, indexDir, outDir,
+          idCol, payloadCol, df => df, 8, compact)
+      else
+        StreamingIngest.curateEmbeddingBatch(arrivals(b), b.toLong, indexDir, outDir,
+          idCol, payloadCol, minMicro = 400000L, df => df, compact)
 
     def runLoop(compact: Int): (String, Double, Double, Int) = {
       val indexDir = Files.createTempDirectory(s"clstudy_ix$compact").toString + "/ix"
       val outDir = Files.createTempDirectory(s"clstudy_out$compact").toString
-      Dedup.minhashIndex(corpus, "doc_id", "text")
-        .write.mode("overwrite").partitionBy("band").parquet(indexDir)
+      bootstrapIndex(indexDir)
       var lastWall = 0.0; var lastCpu = 0.0
       (0 until batches).foreach { b =>
         quiesce(); cpu.reset()
         val w0 = System.nanoTime()
-        StreamingIngest.curateTextBatch(arrivals(b), b.toLong, indexDir, outDir,
-          "doc_id", "text", df => df, 8, compact)
+        runBatch(b, indexDir, outDir, compact)
         quiesce()
         lastWall = (System.nanoTime() - w0) / 1e9
         lastCpu = cpu.sum / 1e9
@@ -98,17 +125,17 @@ object CurateLoopStudy {
         f"cpu=${runs.map(_._2).min}%.3f core-s rows=${runs.head._3}")
     }
     timed("index-distinct (old)") {
-      probe.join(index.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti").count()
+      probe.join(index.select(col(idCol)).distinct(), Seq(idCol), "left_anti").count()
     }
     timed("sidecar-full") {
-      probe.join(sidecar.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
+      probe.join(sidecar.select(col(idCol)), Seq(idCol), "left_anti").count()
     }
     timed("sidecar-range-pruned") {
-      val rng = probe.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx")).head()
+      val rng = probe.agg(min(col(idCol)).as("mn"), max(col(idCol)).as("mx")).head()
       probe.join(
-        sidecar.filter(col("doc_id").between(lit(rng.get(0)), lit(rng.get(1))))
-          .select(col("doc_id")),
-        Seq("doc_id"), "left_anti").count()
+        sidecar.filter(col(idCol).between(lit(rng.get(0)), lit(rng.get(1))))
+          .select(col(idCol)),
+        Seq(idCol), "left_anti").count()
     }
     println("[study] sidecar files=" +
       IndexOps.dataFileCount(spark, StreamingIngest.idSidecarDir(fragIx)) +

@@ -209,10 +209,15 @@ object ScaleGen {
     // predicate pushdown are identical, which is what the curvature
     // comparison needs; and since BOTH scale points come from this
     // generator, the two measured ends share encoding exactly.
-    def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"wrote $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
-    }
+    // optional 4th arg: comma-separated table subset (a study that only
+    // needs embeddings shouldn't pay the 60M-row lineitem write)
+    val only = if (args.length > 3)
+      Some(args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet) else None
+    def write(name: String, df: => DataFrame): Unit =
+      if (only.forall(_.contains(name))) {
+        df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+        println(s"wrote $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+      }
     write("lineitem", lineitem(spark, n(6000000L), n(1500000L)))
     write("orders", orders(spark, n(1500000L)))
     write("documents", documents(spark, n(50000L)))
