@@ -308,8 +308,10 @@ object StreamingIngest {
       .select(col(keyCol).cast("string").as("k"),
         col(idCol).cast("long").as("id"),
         col(tsCol).cast("timestamp").as("ts"),
-        anchorPred.cast("boolean").as("anchor"),
-        probePred.cast("boolean").as("probe"))
+        // null predicate results (e.g. a null event_type under ===) are
+        // neither-role, not an encoder NPE on the non-nullable field
+        coalesce(anchorPred.cast("boolean"), lit(false)).as("anchor"),
+        coalesce(probePred.cast("boolean"), lit(false)).as("probe"))
       .filter(col("ts").isNotNull && (col("anchor") || col("probe")))
       .as[AsOfIn]
       .groupByKey(_.k)
