@@ -474,6 +474,102 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_micro", "rank")
   }
 
+  /** PERSISTED IVF index: the write-once form of [[ivfTopK]]'s
+    * assignment stage, for the corpus you cannot afford to re-assign
+    * per query batch. Centroids are the `nCells` smallest-id vectors
+    * (deterministic, cross-engine reproducible — IVF training samples
+    * its centroids anyway); every vector row carries its nearest
+    * centroid's id as `cell`, its precomputed norm, an `is_cent`
+    * marker (centroid reconstruction at probe time must survive
+    * appends of smaller ids — a positional rule would not), and the
+    * build-parameter stamp (`ix_cells`, `ix_dims`,
+    * [[IndexStamp]]).
+    *
+    * Persist `partitionBy("cell")`: the probe filters to its probed
+    * cells BEFORE the scan, so a `nProbe`-cell probe reads only those
+    * partition directories — at 100 TB that is the difference between
+    * scanning nProbe/nCells of the corpus and all of it. The one
+    * driver materialization at build is the `nCells` centroid ids
+    * (user-chosen constant, the same bound as the centroid
+    * broadcast). */
+  def ivfIndex(vecs: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, dims: Int): DataFrame = {
+    require(nCells > 0, s"nCells must be positive, got $nCells")
+    val n = withNorm(vecs, idCol, vecCol)
+    val centIds = n.select(col(idCol)).orderBy(col(idCol)).limit(nCells)
+      .collect().map(_.getLong(0)).toSeq
+    val cents = broadcast(n.filter(col(idCol).isin(centIds: _*))
+      .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"),
+        col("nrm").as("c_nrm")))
+    val byCloseness = Window.partitionBy(idCol)
+      .orderBy(col("cell_cos").desc, col("cell_id"))
+    val assigned = n.crossJoin(cents)
+      .withColumn("cell_cos",
+        cosMicroPre(dot(col(vecCol), col("c_vec")), col("nrm"), col("c_nrm")))
+      .withColumn("cell_rank", row_number().over(byCloseness))
+      .filter(col("cell_rank") === 1)
+      .select(col(idCol), col(vecCol), col("nrm"),
+        col("cell_id").as("cell"), col(idCol).isin(centIds: _*).as("is_cent"))
+    IndexStamp.stamp(assigned, ivfStampParams(nCells, dims))
+  }
+
+  private def ivfStampParams(nCells: Int, dims: Int): Seq[(String, Int)] =
+    Seq("ix_cells" -> nCells, "ix_dims" -> dims)
+
+  /** Probe a persisted IVF index: each query scores the reconstructed
+    * centroid table (broadcast, `nCells` rows — read via the `is_cent`
+    * marker), probes its `nProbe` closest cells, and exact-reranks
+    * only the vectors assigned there, k-capped by the
+    * [[graft.functions.TopKByScore]] heap (map-side partial heaps, no
+    * per-group sort). The distinct probed-cell set — AT MOST `nCells`
+    * values regardless of query count — is collected and pushed as an
+    * `isin` filter so a cell-partitioned index scan prunes to the
+    * probed partition directories (`PlanShapeSpec` asserts the
+    * PartitionFilters). The centroid reconstruction reads the SAME
+    * relation filtered on `is_cent` — that filter pushes to parquet,
+    * so row groups holding no centroid skip on boolean min/max stats
+    * (footers only, no data pages; for a truly huge index, persist
+    * `index.filter(col("is_cent"))` once and the filter costs
+    * nothing). Build parameters are validated against the stamp; a
+    * mismatch raises instead of probing the wrong cell space. */
+  def ivfIndexProbe(probes: DataFrame, index: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int, nCells: Int, dims: Int): DataFrame = {
+    val validated = IndexStamp.validated(index, ivfStampParams(nCells, dims),
+      "ivfIndexProbe")
+    val cents = broadcast(validated.filter(col("is_cent"))
+      .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"),
+        col("nrm").as("c_nrm")))
+    val q = withNorm(probes, idCol, vecCol)
+    val byCloseness = Window.partitionBy(idCol)
+      .orderBy(col("cell_cos").desc, col("cell_id"))
+    val probeCells = q.crossJoin(cents)
+      .withColumn("cell_cos",
+        cosMicroPre(dot(col(vecCol), col("c_vec")), col("nrm"), col("c_nrm")))
+      .withColumn("cell_rank", row_number().over(byCloseness))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        col("nrm").as("q_nrm"), col("cell_id").as("cell"))
+    // bounded driver materialization: ≤ nCells distinct values
+    val cells = probeCells.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    validated
+      .filter(col("cell").isin(cells: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+        col("nrm").as("n_nrm"), col("cell").cast("long").as("cell"))
+      .join(broadcast(probeCells.withColumn("cell", col("cell").cast("long"))),
+        Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_micro",
+        cosMicroPre(dot(col("q_vec"), col("n_vec")), col("q_nrm"), col("n_nrm")))
+      .groupBy("query_id")
+      .agg(topKBy(col("cos_micro"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").as("cos_micro"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Per-group top-k via the native [[graft.functions.TopKByScore]]
     * heap aggregate: (score desc, id asc), k-capped. */
   def topKBy(score: Column, id: Column, k: Int): Column = {

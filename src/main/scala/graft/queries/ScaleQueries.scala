@@ -305,7 +305,35 @@ object ScaleQueries {
       .orderBy("tbl", "bucket_rows")
   }
 
+  /** SS9 — PERSISTED IVF probe: the write-once scale path of q47's IVF.
+    * The corpus (vec_id % 10 ≠ 0) is assigned once into 8 cells and
+    * persisted `partitionBy("cell")`; external queries (vec_id % 10 = 0)
+    * probe their 2 closest cells THROUGH the persisted, stamped relation
+    * ([[Similarity.ivfIndex]]/[[Similarity.ivfIndexProbe]]), so the scan
+    * reads only the probed partition directories. Empty-corpus bootstrap
+    * probes the in-memory (empty) index — a zero-row partitioned write
+    * has no readable schema. */
+  val q78IvfIndexProbe: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val probes = t.embeddings.filter(col("vec_id") % 10 === 0)
+    val corpus = t.embeddings.filter(col("vec_id") % 10 =!= 0)
+    val built = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      nCells = 8, dims = 64)
+    val index =
+      if (corpus.isEmpty) built
+      else {
+        val ixDir = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_ivf_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")).toString
+        built.write.mode("overwrite").partitionBy("cell").parquet(ixDir)
+        spark.read.parquet(ixDir)
+      }
+    Similarity.ivfIndexProbe(probes, index, "vec_id", "embedding",
+      k = 3, nProbe = 2, nCells = 8, dims = 64)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Map[String, Q] = Map(
+    "q78_ivf_index_probe" -> q78IvfIndexProbe,
     "q56_topk_agg" -> q56TopkAgg,
     "q73_minhash_index_skew" -> q73MinhashIndexSkew,
     "q74_embedding_index_skew" -> q74EmbeddingIndexSkew,
@@ -729,6 +757,45 @@ object ScaleQueries {
          |    PARTITION BY query_id ORDER BY cos_micro DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q78_ivf_index_probe" ->
+      s"""WITH $normedCte,
+         |corpus AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+         |cents AS (SELECT vec_id AS cell_id, embedding AS c_vec, nrm AS c_nrm
+         |          FROM corpus ORDER BY vec_id LIMIT 8),
+         |cscored AS (
+         |  SELECT corpus.vec_id, corpus.embedding, corpus.nrm, c.cell_id,
+         |    CAST(floor(1e6 * ${dotSql("corpus.embedding", "c.c_vec")}
+         |      / (corpus.nrm * c.c_nrm)) AS BIGINT) AS cell_cos
+         |  FROM corpus CROSS JOIN cents c),
+         |assignment AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS n_vec, nrm AS n_nrm, cell_id
+         |  FROM (SELECT *, ROW_NUMBER() OVER (
+         |          PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS cell_rank
+         |        FROM cscored)
+         |  WHERE cell_rank = 1),
+         |q AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+         |qscored AS (
+         |  SELECT q.vec_id, q.embedding, q.nrm, c.cell_id,
+         |    CAST(floor(1e6 * ${dotSql("q.embedding", "c.c_vec")}
+         |      / (q.nrm * c.c_nrm)) AS BIGINT) AS cell_cos
+         |  FROM q CROSS JOIN cents c),
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_nrm, cell_id
+         |  FROM (SELECT *, ROW_NUMBER() OVER (
+         |          PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS cell_rank
+         |        FROM qscored)
+         |  WHERE cell_rank <= 2),
+         |cand AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(floor(1e6 * ${dotSql("q_vec", "n_vec")}
+         |      / (q_nrm * n_nrm)) AS BIGINT) AS cos_micro
+         |  FROM probes JOIN assignment USING (cell_id)
+         |  WHERE neighbor_id != query_id)
+         |SELECT query_id, neighbor_id, cos_micro, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_micro DESC, neighbor_id) AS rank
+         |  FROM cand)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q47_ivf_topk" ->
       s"""WITH $normedCte,
          |cents AS (SELECT vec_id AS cell_id, embedding AS c_vec, nrm AS c_nrm

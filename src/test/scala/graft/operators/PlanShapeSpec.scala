@@ -390,4 +390,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(reused >= 1 || bcast,
       "expected the banded self-join to broadcast or share one exchange")
   }
+
+  test("persisted IVF probe prunes the scan to the probed cell partitions") {
+    // the point of partitionBy("cell") + the isin pushdown: a probe of
+    // nProbe cells must read ONLY those partition directories. Asserted
+    // on the scan's PartitionFilters, plus matched/mismatched stamps.
+    val corpus = (0L until 64L).map { i =>
+      (i, Array(math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat,
+        math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/ix"
+    Similarity.ivfIndex(corpus, "vec_id", "embedding", nCells = 4, dims = 4)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val probes = Seq((100L, Array(1.0f, 0.05f, 1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val result = Similarity.ivfIndexProbe(probes, index, "vec_id", "embedding",
+      k = 3, nProbe = 2, nCells = 4, dims = 4)
+    // the CANDIDATE scan (the heavy one) must carry the probed-cell
+    // partition filter; the two tiny centroid-reconstruction scans
+    // legitimately carry none (they are row-group-pruned by the pushed
+    // is_cent filter instead — also asserted)
+    val plan = physicalPlan(result).replaceAll("\\s", "")
+    assert(plan.contains("PartitionFilters:[cell"),
+      s"expected a probed-cell partition filter on the candidate scan:\n$plan")
+    assert(plan.contains("EqualTo(is_cent,true)"),
+      s"expected the centroid scan's is_cent filter pushed to parquet:\n$plan")
+    val rows = result.collect()
+    assert(rows.length == 3, s"expected k=3 neighbors, got ${rows.length}")
+    assert(rows.map(_.getAs[Long]("rank")).sorted.sameElements(Array(1L, 2L, 3L)))
+    // stamp mismatch (different cell count) raises instead of probing
+    // the wrong cell space
+    val t = intercept[Throwable](
+      Similarity.ivfIndexProbe(probes, index, "vec_id", "embedding",
+        k = 3, nProbe = 2, nCells = 8, dims = 4).count())
+    val messages = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("build-parameter mismatch"), messages)
+  }
 }
