@@ -531,7 +531,18 @@ object Similarity {
     * (footers only, no data pages; for a truly huge index, persist
     * `index.filter(col("is_cent"))` once and the filter costs
     * nothing). Build parameters are validated against the stamp; a
-    * mismatch raises instead of probing the wrong cell space. */
+    * mismatch raises instead of probing the wrong cell space.
+    *
+    * COST CONTRACT: rerank work is
+    * `probes × corpus × nProbe / nCells` exact dots. With nCells
+    * FIXED, a probe batch proportional to the corpus is quadratic
+    * (measured: 119× CPU at 10× data when both sides grew 10×,
+    * SCALING.md) — this probe is for BOUNDED batches (the
+    * ingest-screen shape, like [[bruteForceTopK]]'s query contract).
+    * Corpus-scale query sets must grow nCells with the corpus
+    * (constant expected cell occupancy, the same law as
+    * [[lshAutoPlanes]]) and rebuild the index at the new cell
+    * count. */
   def ivfIndexProbe(probes: DataFrame, index: DataFrame, idCol: String,
       vecCol: String, k: Int, nProbe: Int, nCells: Int, dims: Int): DataFrame = {
     val validated = IndexStamp.validated(index, ivfStampParams(nCells, dims),

@@ -16,10 +16,23 @@ import org.apache.spark.sql.types._
   * timestamp family — the engine's read path branches on the actual
   * type, see [[Tables.events]]) list every accepted type; a NEW third
   * layout still trips the wire.
+  *
+  * Mutation drill (negative-tests the tripwire itself, run r9 — both
+  * mutations failed naming their table.column): copy a testdata dir,
+  * retype a column (e.g. DuckDB `CAST(c_custkey AS INT)` /
+  * `CAST(ts AS VARCHAR)` → COPY TO parquet), then
+  * {{{
+  * sbt 'set Test/javaOptions += "-Dgraft.testdata.dir=/tmp/mutated"' \
+  *     'testOnly graft.TestdataSchemaSpec'
+  * }}}
   */
 class TestdataSchemaSpec extends SparkSpec {
 
-  private val sfDir = "/root/testdata/sf0.01"
+  // overridable so the tripwire itself can be negative-tested against a
+  // deliberately mutated copy (see the mutation drill in the scaladoc of
+  // the first test) without touching the read-only driver testdata
+  private val sfDir =
+    sys.props.getOrElse("graft.testdata.dir", "/root/testdata/sf0.01")
 
   // Accepted Spark read types per (table, column). Timestamp columns
   // accept the three layouts the read path handles: BIGINT (legacy
