@@ -181,10 +181,13 @@ object ScaleGen {
   def events(spark: SparkSession, rows: Long, users: Long): DataFrame =
     spark.range(rows).select(
       id.as("event_id"),
-      // the driver's events.ts is parquet TIMESTAMP(NANOS), which the
-      // engine reads as BIGINT nanos under `nanosAsLong` — emit the same
-      // engine-visible type (a plain int64 of epoch nanos) so every
-      // events query sees an identical schema at both scale points
+      // DELIBERATELY the legacy layout: a plain int64 of epoch nanos,
+      // the engine-visible shape of the original TIMESTAMP(NANOS)
+      // testdata under `nanosAsLong`. The driver's testdata moved to
+      // timestamp[us] in r8; Tables.events branches on the actual type,
+      // so scaledata keeps exercising the LongType branch (and stays
+      // encoding-comparable with the r6/r7 events SCALING rows) while
+      // the driver data exercises the native-timestamp branch
       ((lit(java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond) +
           ui(41, 30L * 86400)) * lit(1000000000L)).as("ts"),
       ui(42, users).as("user_id"),
