@@ -181,6 +181,12 @@ object IndexOps {
     require(fs.rename(new org.apache.hadoop.fs.Path(freshDir), live),
       s"swapDirs: rename $freshDir -> $live failed")
     fs.delete(old, true)
+    // the swap bypasses Spark's write path, so the session's cached
+    // file listing for the live dir still names the pre-swap files — a
+    // same-session read after the swap would chase ghost files
+    // (FAILED_READ_FILE.FILE_NOT_EXIST). Spark's own writes refresh
+    // their output path; a raw-rename maintenance action must too.
+    spark.catalog.refreshByPath(liveDir)
   }
 
   /** Finish or roll back a [[swapDirs]] a crash interrupted: a missing
@@ -196,8 +202,13 @@ object IndexOps {
     val tmp = new org.apache.hadoop.fs.Path(liveDir + ".compact.tmp")
     if (fs.exists(old)) {
       if (fs.exists(live)) fs.delete(old, true)
-      else require(fs.rename(old, live),
-        s"recoverSwap: rollback rename $old -> $live failed")
+      else {
+        require(fs.rename(old, live),
+          s"recoverSwap: rollback rename $old -> $live failed")
+        // same ghost-file hazard as swapDirs: the rollback re-materializes
+        // the live dir behind Spark's back
+        spark.catalog.refreshByPath(liveDir)
+      }
     }
     if (fs.exists(tmp)) fs.delete(tmp, true)
   }
@@ -228,4 +239,11 @@ object IndexOps {
   def compactSwapLsh(spark: SparkSession, dir: String,
       targetRowsPerFile: Long = 4L * 1000 * 1000): Long =
     compactSwap(spark, dir, "tbl", Seq("bucket"), targetRowsPerFile)
+
+  /** [[compactSwap]] with the [[Similarity.ivfIndex]] layout:
+    * partitioned by cell, in-cell clustered by id so the rewritten
+    * files carry id min/max stats for range pruning. */
+  def compactSwapIvf(spark: SparkSession, dir: String, idCol: String,
+      targetRowsPerFile: Long = 4L * 1000 * 1000): Long =
+    compactSwap(spark, dir, "cell", Seq(idCol), targetRowsPerFile)
 }

@@ -501,15 +501,48 @@ object Similarity {
     val cents = broadcast(n.filter(col(idCol).isin(centIds: _*))
       .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"),
         col("nrm").as("c_nrm")))
+    val assigned = ivfAssign(n, cents, idCol, vecCol)
+      .withColumn("is_cent", col(idCol).isin(centIds: _*))
+    IndexStamp.stamp(assigned, ivfStampParams(nCells, dims))
+  }
+
+  /** Nearest-centroid assignment (cell_cos desc, cell_id tiebreak) —
+    * shared by [[ivfIndex]] and [[ivfIndexExtend]]. */
+  private def ivfAssign(n: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
     val byCloseness = Window.partitionBy(idCol)
       .orderBy(col("cell_cos").desc, col("cell_id"))
-    val assigned = n.crossJoin(cents)
+    n.crossJoin(cents)
       .withColumn("cell_cos",
         cosMicroPre(dot(col(vecCol), col("c_vec")), col("nrm"), col("c_nrm")))
       .withColumn("cell_rank", row_number().over(byCloseness))
       .filter(col("cell_rank") === 1)
-      .select(col(idCol), col(vecCol), col("nrm"),
-        col("cell_id").as("cell"), col(idCol).isin(centIds: _*).as("is_cent"))
+      .select(col(idCol), col(vecCol), col("nrm"), col("cell_id").as("cell"))
+  }
+
+  /** The index rows for NEW vectors under an existing IVF index's
+    * centroids (reconstructed via `is_cent`, parameters from the
+    * stamp with the uniqueness guard — a mixed-stamp directory is
+    * refused, as in [[lshIndexExtend]]): append these
+    * (`write.mode("append").partitionBy("cell")`) to grow the index
+    * without re-assigning the corpus. The centroid set stays the
+    * BUILD-time one by definition — cell occupancy grows with the
+    * appended volume, so rebuild via [[ivfIndex]] at a larger nCells
+    * when the corpus outgrows the build point. Extending an empty
+    * relation is refused: no stamp (and no centroids) to inherit. */
+  def ivfIndexExtend(index: DataFrame, newVecs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val params = IndexStamp.readUnique(index, Seq("ix_cells", "ix_dims"),
+      "ivfIndexExtend").getOrElse(throw new IllegalArgumentException(
+        "ivfIndexExtend: cannot extend an empty index relation (no stamp " +
+          "to inherit) — build it with ivfIndex instead"))
+    val Seq(nCells, dims) = params: @unchecked
+    val cents = broadcast(index.filter(col("is_cent"))
+      .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"),
+        col("nrm").as("c_nrm")))
+    val assigned = ivfAssign(withNorm(newVecs, idCol, vecCol), cents,
+        idCol, vecCol)
+      .withColumn("is_cent", lit(false))
     IndexStamp.stamp(assigned, ivfStampParams(nCells, dims))
   }
 

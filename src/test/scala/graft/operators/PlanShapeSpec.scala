@@ -426,5 +426,36 @@ class PlanShapeSpec extends SparkSpec {
     val messages = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
       .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
     assert(messages.contains("build-parameter mismatch"), messages)
+
+    // extend: new vectors land under the inherited stamp and centroids,
+    // a probe through the grown + COMPACTED index finds them, and the
+    // swap-compaction preserves probe results exactly
+    val extra = Seq((200L, Array(1.0f, 0.04f, 1.0f, 0.06f)))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfIndexExtend(index, extra, "vec_id", "embedding")
+      .write.mode("append").partitionBy("cell").parquet(dir)
+    val grown = spark.read.parquet(dir)
+    assert(grown.count() == 65 &&
+      grown.filter(col("is_cent")).count() == 4,
+      "extend must append exactly the new rows, none as centroids")
+    def probeIds(ix: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfIndexProbe(probes, ix, "vec_id", "embedding",
+        k = 3, nProbe = 2, nCells = 4, dims = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val beforeCompact = probeIds(grown)
+    assert(beforeCompact.exists(_._2 == 200L),
+      "probe near the appended vector must surface it")
+    IndexOps.compactSwapIvf(spark, dir, "vec_id")
+    assert(probeIds(spark.read.parquet(dir)) == beforeCompact,
+      "compaction changed probe results")
+    // extending a mixed-stamp directory refuses
+    Thread.sleep(20)
+    IndexStamp.stamp(
+        spark.read.parquet(dir).drop("ix_cells", "ix_dims").limit(1),
+        Seq("ix_cells" -> 9, "ix_dims" -> 4))
+      .write.mode("append").partitionBy("cell").parquet(dir)
+    val e = intercept[IllegalArgumentException](
+      Similarity.ivfIndexExtend(spark.read.parquet(dir), extra, "vec_id", "embedding"))
+    assert(e.getMessage.contains("different builds"), e.getMessage)
   }
 }
