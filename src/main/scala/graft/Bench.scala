@@ -146,10 +146,13 @@ object Bench {
     // the full line (r4–r8 all lost queries_cpu this way) — so the full
     // record is ALSO written to a file in the repo, where it survives
     // for round-over-round CPU comparison (SCALING.md's BENCH_CPU rows).
+    // FULL-SUITE runs only: a SPARK_GRAFT_QUERIES subset run must not
+    // replace the committed 78-query record with a partial map.
     // Best-effort: a read-only cwd must not fail the bench.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL_latest.json"), fullLine + "\n")
-    catch { case _: Throwable => () }
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL_latest.json"), fullLine + "\n")
+      catch { case _: Throwable => () }
     // Second, COMPACT line under its own metric name (a consumer parsing
     // every "total" line would double-count): only the headline wall-min
     // map + total. SIZE BUDGET: the round driver's tail capture is 2000
