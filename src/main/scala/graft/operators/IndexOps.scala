@@ -41,6 +41,22 @@ object IndexOps {
       .groupBy(col(dirCol), col("bucket_rows"))
       .agg(count(lit(1)).as("n_buckets"))
 
+  /** The IVF analogue of [[bucketHistogram]], over
+    * [[Similarity.ivfIndex]]'s single-level `cell` key: how many cells
+    * hold exactly `cell_rows` vectors. The probe-side cost model of
+    * the IVF family — a probe exact-reranks the cells it lands in, so
+    * the histogram's tail IS the worst-probe bound (and the direct
+    * measure of centroid-sample quality: correlated centroids show up
+    * here as a fat tail). Feed the tail to `ivfIndexProbe`'s
+    * `maxCellRows` cap — the [[capHotBuckets]] recall contract applied
+    * to cells. Two map-side-combined hash aggregations; output is at
+    * most nCells rows. */
+  def cellHistogram(index: DataFrame): DataFrame =
+    index.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cell_rows"))
+      .groupBy(col("cell_rows"))
+      .agg(count(lit(1)).as("n_cells"))
+
   /** Rewrite the append-grown index at `srcDir` into `dstDir` as few
     * large, key-clustered files: range-repartitioned on
     * (`dirCol`, `clusterCols`) into `ceil(rows / targetRowsPerFile)`

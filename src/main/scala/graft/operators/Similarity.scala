@@ -476,13 +476,22 @@ object Similarity {
 
   /** PERSISTED IVF index: the write-once form of [[ivfTopK]]'s
     * assignment stage, for the corpus you cannot afford to re-assign
-    * per query batch. Centroids are the `nCells` smallest-id vectors
-    * (deterministic, cross-engine reproducible — IVF training samples
-    * its centroids anyway); every vector row carries its nearest
+    * per query batch. Centroids are an `nCells`-sized HASH-ORDERED
+    * sample of the corpus — the first `nCells` ids by
+    * `h60("ivfcent:" || id)` (id tiebreak) — not the smallest ids:
+    * low ids are typically one ingest epoch / one domain, and
+    * correlated centroids mean skewed cells where a probe landing in
+    * a mega-cell reranks a corpus-sized slice. Hash order is equally
+    * deterministic (the md5-based [[graft.functions.Hashing.h60]] is
+    * reproducible literally on any engine, where e.g. `xxhash64` is
+    * Spark-private) but decorrelated from ingest order, domain, and
+    * time — the property IVF's random centroid sampling exists for.
+    * Measure the resulting cell balance with
+    * [[IndexOps.cellHistogram]]; every vector row carries its nearest
     * centroid's id as `cell`, its precomputed norm, an `is_cent`
     * marker (centroid reconstruction at probe time must survive
-    * appends of smaller ids — a positional rule would not), and the
-    * build-parameter stamp (`ix_cells`, `ix_dims`,
+    * appends of hash-earlier ids — a positional rule would not), and
+    * the build-parameter stamp (`ix_cells`, `ix_dims`,
     * [[IndexStamp]]).
     *
     * Persist `partitionBy("cell")`: the probe filters to its probed
@@ -496,7 +505,11 @@ object Similarity {
       nCells: Int, dims: Int): DataFrame = {
     require(nCells > 0, s"nCells must be positive, got $nCells")
     val n = withNorm(vecs, idCol, vecCol)
-    val centIds = n.select(col(idCol)).orderBy(col(idCol)).limit(nCells)
+    // cast to long BEFORE collect: getLong on a physically-int id column
+    // throws ClassCastException; every other operator casts defensively
+    val centIds = n.select(col(idCol).cast("long").as("__cid"))
+      .orderBy(centroidHashOrder(col("__cid")), col("__cid"))
+      .limit(nCells)
       .collect().map(_.getLong(0)).toSeq
     val cents = broadcast(n.filter(col(idCol).isin(centIds: _*))
       .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"),
@@ -549,6 +562,17 @@ object Similarity {
   private def ivfStampParams(nCells: Int, dims: Int): Seq[(String, Int)] =
     Seq("ix_cells" -> nCells, "ix_dims" -> dims)
 
+  /** The centroid-sample sort key: portable 60-bit hash of
+    * `"ivfcent:" || id` — the oracle replicates it literally via
+    * [[graft.functions.Hashing.h60Sql]]. */
+  private def centroidHashOrder(id: Column): Column =
+    Hashing.h60(concat(lit("ivfcent:"), id.cast("string")))
+
+  /** [[centroidHashOrder]] as DuckDB SQL over an id expression — for
+    * oracle construction (one definition, both engines). */
+  def centroidHashOrderSql(idExpr: String): String =
+    Hashing.h60Sql(s"'ivfcent:' || CAST($idExpr AS VARCHAR)")
+
   /** Probe a persisted IVF index: each query scores the reconstructed
     * centroid table (broadcast, `nCells` rows — read via the `is_cent`
     * marker), probes its `nProbe` closest cells, and exact-reranks
@@ -575,9 +599,23 @@ object Similarity {
     * Corpus-scale query sets must grow nCells with the corpus
     * (constant expected cell occupancy, the same law as
     * [[lshAutoPlanes]]) and rebuild the index at the new cell
-    * count. */
+    * count.
+    *
+    * `maxCellRows` is the probe-side skew guard — the IVF analogue of
+    * [[lshIndexProbe]]'s `maxBucketRows` ([[IndexOps.capHotBuckets]]
+    * over `cell`): candidate rows from any cell larger than the cap
+    * leave candidate generation, bounding the worst probe at
+    * `cap × nProbe` rerank dots even against a mega-cell (partition
+    * pruning prunes DIRECTORIES; it cannot shrink a fat directory's
+    * contents). Same recall contract as the hash families: a true
+    * neighbor is missed only when every cell it shares with the probe
+    * is over-cap, and there are never false positives. Centroid
+    * reconstruction is NOT capped — the probe still ranks all nCells
+    * cells. Pick the cap from [[IndexOps.cellHistogram]]'s tail; off
+    * by default. */
   def ivfIndexProbe(probes: DataFrame, index: DataFrame, idCol: String,
-      vecCol: String, k: Int, nProbe: Int, nCells: Int, dims: Int): DataFrame = {
+      vecCol: String, k: Int, nProbe: Int, nCells: Int, dims: Int,
+      maxCellRows: Option[Int] = None): DataFrame = {
     val validated = IndexStamp.validated(index, ivfStampParams(nCells, dims),
       "ivfIndexProbe")
     val cents = broadcast(validated.filter(col("is_cent"))
@@ -596,8 +634,8 @@ object Similarity {
     // bounded driver materialization: ≤ nCells distinct values
     val cells = probeCells.select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    validated
-      .filter(col("cell").isin(cells: _*))
+    IndexOps.capHotBuckets(
+        validated.filter(col("cell").isin(cells: _*)), Seq("cell"), maxCellRows)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
         col("nrm").as("n_nrm"), col("cell").cast("long").as("cell"))
       .join(broadcast(probeCells.withColumn("cell", col("cell").cast("long"))),
@@ -612,6 +650,100 @@ object Similarity {
         col("col.id").as("neighbor_id"),
         col("col.score").as("cos_micro"),
         (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** [[ivfIndexProbe]] with `nCells`/`dims` read FROM the index's own
+    * stamp (one tiny head() job) — the closed form of the
+    * self-describing-index contract, matching [[lshIndexProbeAuto]] /
+    * [[Dedup.minhashProbeAuto]]: the caller CANNOT mismatch, because
+    * there is nothing to re-supply. `k`/`nProbe`/`maxCellRows` stay
+    * caller-side (probe-time knobs, not build parameters). An empty
+    * index returns the empty match set with the contract schema. */
+  def ivfIndexProbeAuto(probes: DataFrame, index: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int,
+      maxCellRows: Option[Int] = None): DataFrame =
+    IndexStamp.read(index, Seq("ix_cells", "ix_dims"),
+        "ivfIndexProbeAuto") match {
+      case Some(Seq(nCells, dims)) =>
+        ivfIndexProbe(probes, index, idCol, vecCol, k, nProbe, nCells, dims,
+          maxCellRows)
+      case _ =>
+        // empty index (stamp columns present, zero rows): schema-correct
+        // empty result — limit(0) on the probe side so no probe norm or
+        // centroid score ever evaluates
+        ivfIndexProbe(probes.limit(0), index, idCol, vecCol, k, nProbe,
+          nCells = 1, dims = 1)
+    }
+
+  /** One BATCH-INCREMENTAL ingest step against a persisted IVF index —
+    * the IVF form of [[lshIncrementalIngest]] /
+    * [[Dedup.minhashIncrementalIngest]], same contract: screen
+    * `newVecs` against the indexed corpus (parameters from the stamp
+    * with the uniqueness guard), collapse intra-batch near-dup
+    * clusters to their min-id representative (corpus screening first —
+    * the conservative member-substitution semantics documented on the
+    * text path), and return `(survivors, index rows to append)`
+    * (`write.mode("append").partitionBy("cell")`).
+    *
+    * Corpus screening is the k=1 probe: a new vector is a near-dup iff
+    * its single BEST candidate among its `nProbe` probed cells clears
+    * `minMicro` (max ≥ t ⟺ ∃ candidate ≥ t — one heap row per query
+    * instead of the full match set the LSH screen emits). Intra-batch
+    * candidates share a probed cell under the index's OWN centroids —
+    * the same candidate model the corpus screen uses, so batch
+    * admission and corpus screening agree on what "near" can mean.
+    * Probe cost follows [[ivfIndexProbe]]'s bounded-batch contract:
+    * this is the nightly-ingest shape, not a corpus×corpus join. */
+  def ivfIncrementalIngest(index: DataFrame, newVecs: DataFrame,
+      idCol: String, vecCol: String, minMicro: Long,
+      nProbe: Int): (DataFrame, DataFrame) = {
+    val params = IndexStamp.readUnique(index, Seq("ix_cells", "ix_dims"),
+      "ivfIncrementalIngest").getOrElse(throw new IllegalArgumentException(
+        "ivfIncrementalIngest: the index relation is empty — build it with " +
+          "ivfIndex first"))
+    val Seq(nCells, dims) = params: @unchecked
+    val matched = ivfIndexProbe(newVecs, index, idCol, vecCol,
+        k = 1, nProbe = nProbe, nCells = nCells, dims = dims)
+      .filter(col("cos_micro") >= minMicro)
+      .select(col("query_id").as(idCol)).distinct()
+    // one materialization of the corpus screen — same boundary and same
+    // reason as lshIncrementalIngest (eager)
+    val screened = newVecs.join(matched, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val cents = broadcast(index.filter(col("is_cent"))
+      .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"),
+        col("nrm").as("c_nrm")))
+    val pairs = ivfBatchPairs(cents, screened, idCol, vecCol, minMicro, nProbe)
+    val survivors = Dedup.collapseToSurvivors(screened, pairs, idCol)
+    (survivors, ivfIndexExtend(index, survivors, idCol, vecCol))
+  }
+
+  /** Intra-batch near-dup pairs under an existing index's cell
+    * structure: each batch vector keyed by its `nProbe` closest cells
+    * (broadcast centroid cross, group-limited), candidate pairs share
+    * a cell, every candidate exact-cosine-scored. The keyed relation
+    * is locally checkpointed before the self-join — the
+    * [[nearDupPairsLsh]] boundary, same reason (the join's per-match
+    * path would re-evaluate the centroid scoring cross per candidate
+    * pair). */
+  private def ivfBatchPairs(cents: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, minMicro: Long, nProbe: Int): DataFrame = {
+    val byCloseness = Window.partitionBy(idCol)
+      .orderBy(col("cell_cos").desc, col("cell_id"))
+    val keyed = withNorm(batch, idCol, vecCol).crossJoin(cents)
+      .withColumn("cell_cos",
+        cosMicroPre(dot(col(vecCol), col("c_vec")), col("nrm"), col("c_nrm")))
+      .withColumn("cell_rank", row_number().over(byCloseness))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col(idCol), col(vecCol), col("nrm"), col("cell_id"))
+      .localCheckpoint(true)
+    keyed.toDF("a_id", "a_vec", "a_nrm", "cell_id")
+      .join(keyed.toDF("b_id", "b_vec", "b_nrm", "cell_id"), Seq("cell_id"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_micro",
+        cosMicroPre(dot(col("a_vec"), col("b_vec")), col("a_nrm"), col("b_nrm")))
+      .filter(col("cos_micro") >= minMicro)
+      .select(col("a_id").as("src"), col("b_id").as("dst")).distinct()
   }
 
   /** Per-group top-k via the native [[graft.functions.TopKByScore]]

@@ -330,15 +330,17 @@ object ScaleQueries {
     val index =
       if (corpus.isEmpty) built
       else {
-        val ixDir = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft_ivf_" + dir.toLowerCase.replaceAll("[^a-z0-9]+", "_")).toString
         // write-once reuse, Layout.bucketedTable's argument: the index is
         // the amortized artifact, the probe is the recurring cost. The
-        // source-mtime token rides a marker file so an unchanged source
-        // reuses the persisted index (bench warm pass times the probe);
-        // a regenerated source rebuilds.
-        val token = java.nio.file.Files.getLastModifiedTime(
-          java.nio.file.Paths.get(s"$dir/embeddings.parquet")).toMillis.toString
+        // source token rides a marker file so an unchanged source reuses
+        // the persisted index (bench warm pass times the probe); a
+        // regenerated source rebuilds. The directory is PER-PROCESS
+        // (pid suffix): concurrent verify+bench runs on one tmpdir would
+        // otherwise race the marker/write; within a process — the reuse
+        // the cache exists for — there is no concurrency (one query at a
+        // time), and the dir is removed on JVM exit.
+        val ixDir = perProcessIvfDir(dir)
+        val token = srcToken(s"$dir/embeddings.parquet")
         val marker = java.nio.file.Paths.get(ixDir, "_graft_src_token")
         val fresh = java.nio.file.Files.exists(marker) &&
           java.nio.file.Files.readString(marker) == token
@@ -348,13 +350,92 @@ object ScaleQueries {
         }
         spark.read.parquet(ixDir)
       }
-    Similarity.ivfIndexProbe(probes, index, "vec_id", "embedding",
-      k = 3, nProbe = 2, nCells = 8, dims = 64)
+    // probeAuto: nCells/dims come from the index's own stamp — the
+    // oracle-checked proof the auto path forwards them faithfully
+    Similarity.ivfIndexProbeAuto(probes, index, "vec_id", "embedding",
+      k = 3, nProbe = 2)
       .orderBy("query_id", "rank")
+  }
+
+  /** Per-process tmpdir for q78's persisted index, removed on JVM
+    * exit (best-effort — tmpdir hygiene, not correctness). */
+  private def perProcessIvfDir(dir: String): String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivf_p" + ProcessHandle.current().pid() + "_" +
+        dir.toLowerCase.replaceAll("[^a-z0-9]+", "_"))
+    ivfDirsToClean.add(f)
+    f.toString
+  }
+
+  private lazy val ivfDirsToClean: java.util.Set[java.io.File] = {
+    val s = java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      s.forEach { d =>
+        try {
+          import java.nio.file.{Files, Path}
+          import scala.jdk.CollectionConverters._
+          if (d.exists()) Files.walk(d.toPath).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_: Path))
+        } catch { case _: Throwable => () }
+      }))
+    s
+  }
+
+  /** Freshness token of a source file/directory: latest mtime + file
+    * count + total bytes — an append landing inside the same mtime
+    * tick (coarse-granularity filesystems) still changes count or
+    * bytes, so a stale index can never be served off a bare-mtime
+    * collision (the IndexStamp.freshnessToken discipline). */
+  private def srcToken(path: String): String = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    val files = java.nio.file.Files.walk(p).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+    val mtime = (p +: files).map(java.nio.file.Files.getLastModifiedTime(_).toMillis).max
+    s"$mtime#${files.size}#${files.map(java.nio.file.Files.size).sum}"
+  }
+
+  /** SS10 — IVF batch-incremental ingest, the IVF twin of q71: new
+    * vectors (vec_id % 10 = 0) screened against the IVF index of the
+    * remaining corpus (k=1 probe ≥ minMicro — parameters read from the
+    * stamp by the ingest operator), intra-batch near-dup clusters
+    * (pairs sharing a probed cell) collapsed to their min-id
+    * representative, survivors emitted
+    * ([[Similarity.ivfIncrementalIngest]]). Empty-corpus bootstrap:
+    * with no index there are no centroids and therefore no IVF
+    * candidate structure — the batch passes through unscreened (the
+    * real bootstrap is a batch [[Similarity.ivfIndex]] build; the
+    * oracle's empty `cents` CTE degenerates to the same answer). */
+  val q79IvfIngest: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val newVecs = t.embeddings.filter(col("vec_id") % 10 === 0)
+    val corpus = t.embeddings.filter(col("vec_id") % 10 =!= 0)
+    val survivors =
+      if (corpus.isEmpty) newVecs
+      else Similarity.ivfIncrementalIngest(
+        Similarity.ivfIndex(corpus, "vec_id", "embedding", nCells = 8, dims = 64),
+        newVecs, "vec_id", "embedding", minMicro = 400000L, nProbe = 2)._1
+    survivors.select("vec_id", "label").orderBy("vec_id")
+  }
+
+  /** SS11 — exact cell-occupancy histogram of the IVF index
+    * ([[graft.operators.IndexOps.cellHistogram]]): how many cells hold
+    * exactly `cell_rows` vectors. The IVF probe's cost model (a probe
+    * reranks the cells it lands in) and the direct measure of the
+    * hash-ordered centroid sample's balance — the skew evidence the
+    * LSH families carry via q73/q74. */
+  val q80IvfCellSkew: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val corpus = t.embeddings.filter(col("vec_id") % 10 =!= 0)
+    graft.operators.IndexOps.cellHistogram(
+        Similarity.ivfIndex(corpus, "vec_id", "embedding", nCells = 8, dims = 64))
+      .orderBy("cell_rows")
   }
 
   val all: Map[String, Q] = Map(
     "q78_ivf_index_probe" -> q78IvfIndexProbe,
+    "q79_ivf_ingest" -> q79IvfIngest,
+    "q80_ivf_cell_skew" -> q80IvfCellSkew,
     "q56_topk_agg" -> q56TopkAgg,
     "q73_minhash_index_skew" -> q73MinhashIndexSkew,
     "q74_embedding_index_skew" -> q74EmbeddingIndexSkew,
@@ -782,7 +863,9 @@ object ScaleQueries {
       s"""WITH $normedCte,
          |corpus AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
          |cents AS (SELECT vec_id AS cell_id, embedding AS c_vec, nrm AS c_nrm
-         |          FROM corpus ORDER BY vec_id LIMIT 8),
+         |          FROM corpus
+         |          ORDER BY ${Similarity.centroidHashOrderSql("vec_id")}, vec_id
+         |          LIMIT 8),
          |cscored AS (
          |  SELECT corpus.vec_id, corpus.embedding, corpus.nrm, c.cell_id,
          |    CAST(floor(1e6 * ${dotSql("corpus.embedding", "c.c_vec")}
@@ -817,6 +900,90 @@ object ScaleQueries {
          |    PARTITION BY query_id ORDER BY cos_micro DESC, neighbor_id) AS rank
          |  FROM cand)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q79_ivf_ingest" -> {
+      def cosMicro(x: String, y: String) =
+        s"CAST(floor(1e6 * ${dotSql(s"$x.embedding", s"$y.embedding")} / ($x.nrm * $y.nrm)) AS BIGINT)"
+      s"""WITH RECURSIVE $normedCte,
+         |corpus AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+         |cents AS (SELECT vec_id AS cell_id, embedding AS c_vec, nrm AS c_nrm
+         |          FROM corpus
+         |          ORDER BY ${Similarity.centroidHashOrderSql("vec_id")}, vec_id
+         |          LIMIT 8),
+         |cscored AS (
+         |  SELECT corpus.vec_id, c.cell_id,
+         |    CAST(floor(1e6 * ${dotSql("corpus.embedding", "c.c_vec")}
+         |      / (corpus.nrm * c.c_nrm)) AS BIGINT) AS cell_cos
+         |  FROM corpus CROSS JOIN cents c),
+         |assignment AS (
+         |  SELECT vec_id AS neighbor_id, cell_id
+         |  FROM (SELECT *, ROW_NUMBER() OVER (
+         |          PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS cell_rank
+         |        FROM cscored)
+         |  WHERE cell_rank = 1),
+         |b AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+         |bscored AS (
+         |  SELECT b.vec_id, c.cell_id,
+         |    CAST(floor(1e6 * ${dotSql("b.embedding", "c.c_vec")}
+         |      / (b.nrm * c.c_nrm)) AS BIGINT) AS cell_cos
+         |  FROM b CROSS JOIN cents c),
+         |bprobes AS (
+         |  SELECT vec_id, cell_id
+         |  FROM (SELECT *, ROW_NUMBER() OVER (
+         |          PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS cell_rank
+         |        FROM bscored)
+         |  WHERE cell_rank <= 2),
+         |matched AS (
+         |  SELECT DISTINCT p.vec_id
+         |  FROM bprobes p JOIN assignment a USING (cell_id)
+         |  JOIN e x ON p.vec_id = x.vec_id JOIN e y ON a.neighbor_id = y.vec_id
+         |  WHERE p.vec_id <> a.neighbor_id AND ${cosMicro("x", "y")} >= 400000),
+         |scr AS (
+         |  SELECT vec_id FROM embeddings
+         |  WHERE vec_id % 10 = 0 AND vec_id NOT IN (SELECT vec_id FROM matched)),
+         |kp AS (SELECT k.* FROM bprobes k JOIN scr USING (vec_id)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM kp a JOIN kp b
+         |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT a_id, b_id FROM cand
+         |  JOIN e x ON a_id = x.vec_id JOIN e y ON b_id = y.vec_id
+         |  WHERE ${cosMicro("x", "y")} >= 400000),
+         |sym AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT vec_id, vec_id FROM scr
+         |  UNION
+         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+         |cc AS (SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT emb.vec_id, emb.label
+         |FROM embeddings emb JOIN cc USING (vec_id)
+         |WHERE cc.vec_id = cc.cluster_id
+         |ORDER BY vec_id""".stripMargin
+    },
+    "q80_ivf_cell_skew" ->
+      s"""WITH $normedCte,
+         |corpus AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+         |cents AS (SELECT vec_id AS cell_id, embedding AS c_vec, nrm AS c_nrm
+         |          FROM corpus
+         |          ORDER BY ${Similarity.centroidHashOrderSql("vec_id")}, vec_id
+         |          LIMIT 8),
+         |cscored AS (
+         |  SELECT corpus.vec_id, c.cell_id,
+         |    CAST(floor(1e6 * ${dotSql("corpus.embedding", "c.c_vec")}
+         |      / (corpus.nrm * c.c_nrm)) AS BIGINT) AS cell_cos
+         |  FROM corpus CROSS JOIN cents c),
+         |assignment AS (
+         |  SELECT vec_id, cell_id
+         |  FROM (SELECT *, ROW_NUMBER() OVER (
+         |          PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS cell_rank
+         |        FROM cscored)
+         |  WHERE cell_rank = 1),
+         |cs AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS cell_rows
+         |       FROM assignment GROUP BY cell_id)
+         |SELECT cell_rows, CAST(count(*) AS BIGINT) AS n_cells
+         |FROM cs GROUP BY cell_rows ORDER BY cell_rows""".stripMargin,
     "q47_ivf_topk" ->
       s"""WITH $normedCte,
          |cents AS (SELECT vec_id AS cell_id, embedding AS c_vec, nrm AS c_nrm
