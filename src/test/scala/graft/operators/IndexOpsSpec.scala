@@ -161,6 +161,48 @@ class IndexOpsSpec extends SparkSpec {
       minMicro = 900000L, maxBucketRows = Some(30))) == canon(capped))
   }
 
+  test("IVF cell cap: a mega-cell leaves candidate generation; cellHistogram is exact") {
+    import graft.functions.Hashing
+    // choose ids so the hash-ordered centroid sample picks one id per
+    // cluster: rank candidate ids by the centroid hash and hand the
+    // first to the hot cluster, the second to the cold one — the same
+    // construction ivfIndex uses, evaluated JVM-side
+    val ranked = (1L to 60L).sortBy(i => (Hashing.h60Jvm(s"ivfcent:$i"), i))
+    val hotIds = ranked.head +: ranked.drop(2).take(39)
+    val coldIds = ranked(1) +: ranked.drop(41).take(5)
+    val hot = hotIds.map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+    val cold = coldIds.map(i => (i, Array(0.0f, 1.0f, 0.2f, 0.1f)))
+    val corpus = (hot ++ cold).toDF("vec_id", "embedding")
+    val index = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      nCells = 2, dims = 4)
+    // the histogram is the exact occupancy distribution: one 40-row hot
+    // cell, one 6-row cold cell
+    val hist = IndexOps.cellHistogram(index).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hist == Map(40L -> 1L, 6L -> 1L), s"unexpected cell histogram $hist")
+    val probes = Seq(
+      (2001L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2002L, Array(0.01f, 1.0f, 0.2f, 0.1f))).toDF("vec_id", "embedding")
+    // nProbe=2 probes both cells; k covers the whole hot cell so the cap
+    // is what removes candidates, not the top-k heap
+    val uncapped = Similarity.ivfIndexProbe(probes, index, "vec_id", "embedding",
+      k = 50, nProbe = 2, nCells = 2, dims = 4)
+      .filter(col("cos_micro") >= 900000L)
+    assert(uncapped.filter(col("query_id") === 2001L).count() == 40)
+    assert(uncapped.filter(col("query_id") === 2002L).count() == 6)
+    val capped = Similarity.ivfIndexProbe(probes, index, "vec_id", "embedding",
+      k = 50, nProbe = 2, nCells = 2, dims = 4, maxCellRows = Some(30))
+      .filter(col("cos_micro") >= 900000L)
+    assert(capped.filter(col("query_id") === 2001L).count() == 0,
+      "the 40-row mega-cell must leave candidate generation under cap 30")
+    assert(canon(capped.filter(col("query_id") === 2002L))
+      == canon(uncapped.filter(col("query_id") === 2002L)),
+      "an under-cap cell must be untouched by the cap")
+    assert(canon(Similarity.ivfIndexProbeAuto(probes, index, "vec_id", "embedding",
+        k = 50, nProbe = 2, maxCellRows = Some(30))
+      .filter(col("cos_micro") >= 900000L)) == canon(capped))
+  }
+
   test("bucketHistogram is the exact bucket-size distribution") {
     val index = Dedup.minhashIndex(docs(1L to 30L: _*), "doc_id", "text")
     val hist = IndexOps.bucketHistogram(index, "band", "band_key")

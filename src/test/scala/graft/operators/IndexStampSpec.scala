@@ -203,6 +203,64 @@ class IndexStampSpec extends SparkSpec {
     assert(nextSurvivors.count() == 0, "grown index must catch the replay")
   }
 
+  test("IVF probeAuto reads the stamp: equals the explicit probe; empty index contract") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-auto-ivf").toString
+    Similarity.ivfIndex(vecs, "vec_id", "embedding", nCells = 2, dims = 4)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val readBack = spark.read.parquet(dir)
+    val explicit = Similarity.ivfIndexProbe(vecs, readBack, "vec_id", "embedding",
+      k = 2, nProbe = 2, nCells = 2, dims = 4).collect().map(_.toSeq).toSet
+    val auto = Similarity.ivfIndexProbeAuto(vecs, readBack, "vec_id", "embedding",
+      k = 2, nProbe = 2).collect().map(_.toSeq).toSet
+    assert(auto == explicit && auto.nonEmpty)
+    // empty index: schema-correct empty result; extend/ingest refuse
+    val emptyIvf = Similarity.ivfIndex(vecs.limit(0), "vec_id", "embedding",
+      nCells = 2, dims = 4)
+    val r = Similarity.ivfIndexProbeAuto(vecs, emptyIvf, "vec_id", "embedding",
+      k = 2, nProbe = 2)
+    assert(r.columns.toSeq == Seq("query_id", "neighbor_id", "cos_micro", "rank"))
+    assert(r.count() == 0)
+    intercept[IllegalArgumentException](
+      Similarity.ivfIndexExtend(emptyIvf, vecs, "vec_id", "embedding"))
+    intercept[IllegalArgumentException](
+      Similarity.ivfIncrementalIngest(emptyIvf, vecs, "vec_id", "embedding",
+        minMicro = 0L, nProbe = 1))
+  }
+
+  test("IVF index builds on an int id column (defensive long cast at centroid collect)") {
+    val intIds = Seq((1, Array(1.0f, 0.0f)), (2, Array(0.0f, 1.0f)),
+      (3, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val ix = Similarity.ivfIndex(intIds, "vec_id", "embedding", nCells = 2, dims = 2)
+    assert(ix.count() == 3 && ix.filter(col("is_cent")).count() == 2)
+  }
+
+  test("IVF incremental ingest mirrors the text/LSH contract") {
+    val corpus = Seq((1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(-0.8f, 0.3f, 0.1f, -0.6f))).toDF("vec_id", "embedding")
+    val index = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      nCells = 2, dims = 4)
+    val batch = Seq(
+      (101L, Array(0.99f, 0.01f, 0.5f, 0.2f)),   // near-dup of corpus 1
+      (102L, Array(0.0f, 1.0f, -0.4f, 0.3f)),
+      (103L, Array(0.01f, 0.99f, -0.4f, 0.3f)),  // near-dup of 102
+      (104L, Array(0.3f, -0.2f, -0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    // nProbe = nCells: the screen is exhaustive, so the expectations are
+    // exact, not recall-dependent
+    val (survivors, appendRows) = Similarity.ivfIncrementalIngest(
+      index, batch, "vec_id", "embedding", minMicro = 900000L, nProbe = 2)
+    assert(survivors.select("vec_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(102L, 104L)))
+    assert(appendRows.select("ix_cells", "ix_dims").distinct().count() == 1)
+    assert(appendRows.filter(col("is_cent")).count() == 0,
+      "appended rows must never become centroids")
+    val (nextSurvivors, _) = Similarity.ivfIncrementalIngest(
+      index.unionByName(appendRows),
+      Seq((201L, Array(0.0f, 1.0f, -0.4f, 0.3f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", minMicro = 900000L, nProbe = 2)
+    assert(nextSurvivors.count() == 0, "grown index must catch the replay")
+  }
+
   test("extend and ingest refuse a mixed-stamp directory instead of inheriting one family") {
     // a directory polluted by an append stamped under different banding:
     // IndexStamp.read would trust whichever row head() happens to return
@@ -233,6 +291,20 @@ class IndexStampSpec extends SparkSpec {
     val e4 = intercept[IllegalArgumentException](
       Similarity.lshIncrementalIngest(mixedLsh, vecs, "vec_id", "embedding", 0L))
     assert(e4.getMessage.contains("different builds"))
+    // IVF twin
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft-mixed-ivf").toString
+    Similarity.ivfIndex(vecs, "vec_id", "embedding", nCells = 2, dims = 4)
+      .write.mode("append").partitionBy("cell").parquet(ivfDir)
+    Similarity.ivfIndex(vecs, "vec_id", "embedding", nCells = 3, dims = 4)
+      .write.mode("append").partitionBy("cell").parquet(ivfDir)
+    val mixedIvf = spark.read.parquet(ivfDir)
+    val e5 = intercept[IllegalArgumentException](
+      Similarity.ivfIndexExtend(mixedIvf, vecs, "vec_id", "embedding"))
+    assert(e5.getMessage.contains("different builds"))
+    val e6 = intercept[IllegalArgumentException](
+      Similarity.ivfIncrementalIngest(mixedIvf, vecs, "vec_id", "embedding",
+        0L, nProbe = 1))
+    assert(e6.getMessage.contains("different builds"))
   }
 
   test("stamp survives the partitioned parquet round-trip and a matched probe is unchanged") {
