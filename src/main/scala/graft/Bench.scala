@@ -140,7 +140,10 @@ object Bench {
     // total_wall_s/total_cpu_core_s duplicate value/cpu_core_s under the
     // r6-era field names so older consumers keep parsing (bench_schema
     // versions the shape explicitly from here on).
-    val fullLine = s"""{"metric":"total","bench_schema":2,"value":${r3(total)},"unit":"sec","total_wall_s":${r3(total)},"cpu_core_s":${r3(totalCpu)},"total_cpu_core_s":${r3(totalCpu)},"queries_cold":$qsCold,"errors":$errJson,"queries_cpu":$qsCpu,"sf":"$sfDir","queries":$qs}"""
+    // bench_schema 3: the full line's shape is unchanged from 2; the
+    // version bump marks the compact line's reorder + versioning below
+    // (one number for the pair — the two lines are one record).
+    val fullLine = s"""{"metric":"total","bench_schema":3,"value":${r3(total)},"unit":"sec","total_wall_s":${r3(total)},"cpu_core_s":${r3(totalCpu)},"total_cpu_core_s":${r3(totalCpu)},"queries_cold":$qsCold,"errors":$errJson,"queries_cpu":$qsCpu,"sf":"$sfDir","queries":$qs}"""
     println(fullLine)
     // The driver keeps only a bytes-bounded TAIL of stdout, which cuts
     // the full line (r4–r8 all lost queries_cpu this way) — so the full
@@ -168,7 +171,19 @@ object Bench {
     // "n_err" rides the truncation-surviving compact line (7 bytes) so a
     // fast failure can never read as a speedup in a round-over-round diff
     // even when the full first line (with the errors map) is cut.
-    println(s"""{"metric":"total_compact","value":${r2(total)},"unit":"sec","n_err":${errors.size},"queries":$qs2}""")
+    // "bench_schema" versions the COMPACT shape too (the full line alone
+    // carrying it left strict consumers of this line nothing to key the
+    // n_err addition on).
+    // FIELD ORDER IS THE TRUNCATION CONTRACT (schema 3): the driver
+    // keeps the last ~1923 bytes of stdout, and the r9 compact line
+    // (78 queries) already measured ~1934 bytes — its HEAD was cut and
+    // the capture stopped parsing as JSON. The headline scalars
+    // (n_err, value) therefore move to the END of the line, after the
+    // per-query map: under any truncation the surviving tail still
+    // shows every late-alphabet query, n_err, and the total; the
+    // clipped head costs only early-alphabet entries, which live on in
+    // the committed BENCH_FULL_latest.json.
+    println(s"""{"metric":"total_compact","bench_schema":3,"unit":"sec","queries":$qs2,"n_err":${errors.size},"value":${r2(total)}}""")
     spark.stop()
   }
 }

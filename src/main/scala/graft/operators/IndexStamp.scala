@@ -91,19 +91,20 @@ private[graft] object IndexStamp {
     *    entire signature computation).
     *  - BARE SCAN of a persisted index directory: uniqueness is an
     *    invariant of the directory, so the scan verdict is memoized
-    *    per (stamp columns, input dirs + mtimes) — the same freshness
-    *    token [[graft.queries.ScaleQueries]]'s CorpusCounts uses. A
+    *    per (stamp columns, input dirs) with a freshness token of
+    *    per-directory mtime + file count + total bytes (mtime alone
+    *    has a same-tick append hole; see [[freshnessToken]]). A
     *    per-batch ingest loop pays the scan once per index GENERATION
-    *    (every append bumps the written subdirectories' mtimes,
-    *    invalidating the memo) instead of once per call. The memo is
-    *    gated on the plan being a LEAF: a filtered or unioned view of
-    *    the directory must not plant (or consume) a verdict for the
-    *    whole directory.
+    *    (every append changes the written subdirectories' token,
+    *    replacing the memo entry — one live entry per index, bounded)
+    *    instead of once per call. The memo is gated on the plan being
+    *    a LEAF: a filtered or unioned view of the directory must not
+    *    plant (or consume) a verdict for the whole directory.
     *
     * Anything else — derived frames, unions, in-memory test data —
     * pays the scan every call. Only the unique verdict is ever
-    * cached, never the refusal: a mixed directory raises on every
-    * call (a throwing thunk is not inserted by getOrElseUpdate). */
+    * cached, never the refusal: scanUnique throws before the put, so
+    * a mixed directory raises on every call. */
   def readUnique(index: DataFrame, cols: Seq[String], what: String): Option[Seq[Int]] = {
     requireStamped(index, cols, what)
     literalStamp(index, cols) match {
@@ -114,16 +115,26 @@ private[graft] object IndexStamp {
         else Some(params)
       case None =>
         freshnessToken(index) match {
-          case Some(tok) =>
-            uniqueCache.getOrElseUpdate((cols.mkString(","), tok),
-              scanUnique(index, cols, what))
+          case Some((dirs, tok)) =>
+            // keyed by (stamp cols, directory set), valued (token,
+            // verdict): a new generation REPLACES the entry rather than
+            // accumulating beside it, so a long-running per-batch ingest
+            // loop holds one live entry per index, not one per append
+            val key = (cols.mkString(","), dirs)
+            uniqueCache.get(key) match {
+              case Some((t, verdict)) if t == tok => verdict
+              case _ =>
+                val verdict = scanUnique(index, cols, what)
+                uniqueCache.put(key, (tok, verdict))
+                verdict
+            }
           case None => scanUnique(index, cols, what)
         }
     }
   }
 
-  private val uniqueCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Option[Seq[Int]]]
+  private val uniqueCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (String, Option[Seq[Int]])]
 
   /** The stamp values as optimized-plan literals, when the relation is
     * a single build whose stamps constant-fold — `None` for persisted
@@ -145,11 +156,18 @@ private[graft] object IndexStamp {
     }
   }
 
-  /** Input directories with their mtimes for a relation that IS a bare
-    * file scan (single leaf plan), or None otherwise — derived frames
-    * have no directory-level identity to key a memo on. One
-    * getFileStatus per DIRECTORY — a few driver RPCs. */
-  private def freshnessToken(index: DataFrame): Option[String] = {
+  /** `(directory-set key, freshness token)` for a relation that IS a
+    * bare file scan (single leaf plan), or None otherwise — derived
+    * frames have no directory-level identity to key a memo on. The
+    * token is per-directory mtime + direct-child count + total child
+    * bytes: mtime ALONE is not enough — an append landing inside the
+    * same mtime tick as the memoized scan (or any store with coarse,
+    * e.g. 1 s, mtime granularity) would serve a stale verdict to the
+    * extend paths, the exact hazard readUnique exists to close; the
+    * count/bytes components change on any append regardless of clock
+    * resolution. One listStatus per DIRECTORY — the same driver-RPC
+    * budget as the former getFileStatus. */
+  private def freshnessToken(index: DataFrame): Option[(String, String)] = {
     import org.apache.spark.sql.catalyst.plans.logical.LeafNode
     val bareScan = index.queryExecution.optimizedPlan match {
       case _: LeafNode => true
@@ -159,10 +177,15 @@ private[graft] object IndexStamp {
     if (!bareScan || files.isEmpty) None
     else {
       val conf = index.sparkSession.sparkContext.hadoopConfiguration
-      Some(files.map(f => new org.apache.hadoop.fs.Path(f).getParent)
-        .distinct
-        .map(d => s"$d@${d.getFileSystem(conf).getFileStatus(d).getModificationTime}")
-        .sorted.mkString("|"))
+      val dirs = files.map(f => new org.apache.hadoop.fs.Path(f).getParent)
+        .distinct.sortBy(_.toString)
+      val token = dirs.map { d =>
+        val fs = d.getFileSystem(conf)
+        val mtime = fs.getFileStatus(d).getModificationTime
+        val kids = fs.listStatus(d)
+        s"$d@$mtime#${kids.length}#${kids.map(_.getLen).sum}"
+      }.mkString("|")
+      Some((dirs.mkString("|"), token))
     }
   }
 

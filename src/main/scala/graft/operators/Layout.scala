@@ -78,16 +78,16 @@ object Layout {
       sortCols: Seq[String] = Nil): String = {
     require(bucketCols.nonEmpty, "bucketedTable needs at least one bucket column")
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    val sorts = if (sortCols.nonEmpty) sortCols else bucketCols
     val token = layoutToken(spark, df, bucketCols, buckets, sortCols)
     if (token.nonEmpty && layoutMemo.get(table).contains(token) &&
-        spark.catalog.tableExists(table))
+        catalogLayoutMatches(spark, table, bucketCols, buckets, sorts))
       return table
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = new Path(spark.conf.get("spark.sql.warehouse.dir"))
     val loc = new Path(warehouse, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    val sorts = if (sortCols.nonEmpty) sortCols else bucketCols
     import org.apache.spark.sql.functions.col
     df.repartition(buckets, bucketCols.map(col): _*)
       .write
@@ -100,11 +100,35 @@ object Layout {
     table
   }
 
+  /** The memo's reuse fast path must not trust bare catalog existence:
+    * a table dropped and recreated OUTSIDE bucketedTable (direct SQL,
+    * or another session in the same JVM pointing at a different
+    * warehouse) leaves the process-global memo entry stale while
+    * `tableExists` stays true — the reused table's actual bucket spec
+    * would then silently mismatch the requested layout (and the
+    * exchange-free join it promises). Validate the catalog's REAL
+    * bucket spec against the request before reusing; any metadata
+    * hiccup falls through to a rebuild, never a blind reuse. */
+  private def catalogLayoutMatches(spark: SparkSession, table: String,
+      bucketCols: Seq[String], buckets: Int, sorts: Seq[String]): Boolean =
+    spark.catalog.tableExists(table) && {
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      try {
+        val meta = spark.sessionState.catalog.getTableMetadata(TableIdentifier(table))
+        meta.bucketSpec.exists(bs =>
+          bs.numBuckets == buckets &&
+            bs.bucketColumnNames.map(_.toLowerCase) == bucketCols.map(_.toLowerCase) &&
+            bs.sortColumnNames.map(_.toLowerCase) == sorts.map(_.toLowerCase))
+      } catch { case _: Throwable => false }
+    }
+
   /** What must be identical for a built layout to be reused: the
     * layout spec, the dataframe's semantic plan, and the source
-    * directories with their mtimes (CorpusCounts' freshness pattern —
-    * one getFileStatus per directory). Empty for a non-file-backed
-    * df: nothing stable to key reuse on, always rebuild. */
+    * directories with their mtime + file count + total bytes (the
+    * [[IndexStamp]] freshness discipline — mtime alone misses a
+    * same-tick rewrite; one listStatus per directory). Empty for a
+    * non-file-backed df: nothing stable to key reuse on, always
+    * rebuild. */
   private def layoutToken(spark: SparkSession, df: DataFrame,
       bucketCols: Seq[String], buckets: Int, sortCols: Seq[String]): String = {
     val files = df.inputFiles
@@ -112,7 +136,12 @@ object Layout {
     else {
       val conf = spark.sparkContext.hadoopConfiguration
       val dirs = files.map(f => new Path(f).getParent).distinct
-        .map(d => s"$d@${d.getFileSystem(conf).getFileStatus(d).getModificationTime}")
+        .map { d =>
+          val fs = d.getFileSystem(conf)
+          val mtime = fs.getFileStatus(d).getModificationTime
+          val kids = fs.listStatus(d)
+          s"$d@$mtime#${kids.length}#${kids.map(_.getLen).sum}"
+        }
         .sorted.mkString("|")
       s"$buckets/${bucketCols.mkString(",")}/${sortCols.mkString(",")}/" +
         s"${df.queryExecution.analyzed.semanticHash()}/$dirs"

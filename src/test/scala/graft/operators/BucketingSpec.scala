@@ -72,4 +72,34 @@ class BucketingSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
     }
   }
+
+  test("bucketedTable rebuilds when the catalog table was replaced outside it") {
+    // the memo+tableExists fast path must not trust a same-named table
+    // recreated OUTSIDE bucketedTable: its bucket spec no longer matches
+    // the request, so reuse would hand back a layout whose exchange-free
+    // join promise is false
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-layout-ext").toString
+    (0 until 20).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .write.mode("overwrite").parquet(srcDir)
+    def src = spark.read.parquet(srcDir)
+    val table = "graft_layout_external_spec"
+    try {
+      Layout.bucketedTable(spark, src, table, Seq("k"), buckets = 4)
+      // replace behind Layout's back: same name, NO bucketing
+      spark.sql(s"DROP TABLE `$table`")
+      src.write.format("parquet").saveAsTable(table)
+      // same definition over unchanged source: the memo token matches,
+      // tableExists is true — only the catalog bucket-spec validation
+      // can catch the swap. Must rebuild as a bucketed table.
+      Layout.bucketedTable(spark, src, table, Seq("k"), buckets = 4)
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(table)).bucketSpec
+      assert(spec.exists(bs => bs.numBuckets == 4 &&
+        bs.bucketColumnNames == Seq("k")),
+        s"externally-replaced table was served stale (spec: $spec)")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    }
+  }
 }

@@ -343,7 +343,10 @@ class IndexStampSpec extends SparkSpec {
     val grown2 = Dedup.minhashIndexExtend(spark.read.parquet(dir), late, "doc_id", "text")
     assert(grown1.select("ix_bands").distinct().collect().map(_.getInt(0)).toSeq == Seq(4))
     assert(grown2.count() == grown1.count())
-    Thread.sleep(20) // mtime has millisecond granularity on this fs
+    // deliberately NO sleep before the polluting append: the freshness
+    // token is mtime + file count + bytes, so an append landing inside
+    // the same mtime tick still invalidates the memo (the r9 advice
+    // hole — mtime alone needed a sleep here to pass)
     Dedup.minhashIndex(docs, "doc_id", "text", n = 3, k = 16, bands = 2)
       .write.mode("append").partitionBy("band").parquet(dir)
     val e = intercept[IllegalArgumentException](

@@ -448,8 +448,9 @@ class PlanShapeSpec extends SparkSpec {
     IndexOps.compactSwapIvf(spark, dir, "vec_id")
     assert(probeIds(spark.read.parquet(dir)) == beforeCompact,
       "compaction changed probe results")
-    // extending a mixed-stamp directory refuses
-    Thread.sleep(20)
+    // extending a mixed-stamp directory refuses (no sleep needed: the
+    // freshness token's file-count/bytes components catch a same-tick
+    // append)
     IndexStamp.stamp(
         spark.read.parquet(dir).drop("ix_cells", "ix_dims").limit(1),
         Seq("ix_cells" -> 9, "ix_dims" -> 4))
