@@ -336,6 +336,106 @@ object StreamingIngest {
         })
   }
 
+  /** [[asOfStream]] with an event-time TTL on the anchor state — the
+    * bounded-state variant for unbounded key spaces (session tokens,
+    * request ids), where the plain as-of's O(distinct keys) state is a
+    * store leak. The enrichment contract narrows to the TOLERANCE form
+    * of an as-of join (pandas `merge_asof(tolerance=...)`): a probe
+    * matches the most recent strictly-prior anchor only if
+    * `probe.ts − anchor.ts ≤ ttlMs`; an older anchor yields a null
+    * `asof_ts`, exactly as no anchor would. That semantic bound is what
+    * MAKES the state expirable: once the watermark passes
+    * `anchor.ts + ttlMs`, every future probe the engine will still
+    * accept (event time ≥ watermark) is out of tolerance for that
+    * anchor, so dropping it by event-time timeout reclaims garbage
+    * without changing any answer — state is bounded by the keys with an
+    * anchor inside one TTL window, not the key space.
+    *
+    * Two expiry paths, same horizon: quiet keys are removed by the
+    * engine's event-time timeout; a key whose stale anchor is past the
+    * horizon but which receives data in that very batch (timeouts fire
+    * only for data-less keys) drops the anchor in-fold before probing.
+    * The timeout is only ever (re)set from a live anchor, whose horizon
+    * is provably past the current watermark — the engine rejects
+    * timestamps at or before it.
+    *
+    * Rows with a null event time are dropped (they can neither be
+    * late-filtered nor expire) — the [[dedupStreamTtl]] rule; late rows
+    * beyond the watermark delay are dropped by the engine, the standard
+    * bounded-state/bounded-lateness trade. Batch equivalence on the
+    * real events slice (the q20 window computation with the tolerance
+    * predicate applied) is proven in `StreamingIngestSpec`. */
+  def asOfStreamTtl(stream: DataFrame, keyCol: String, idCol: String,
+      tsCol: String, anchorPred: Column, probePred: Column,
+      ttlMs: Long, watermark: String): org.apache.spark.sql.Dataset[AsOfOut] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(ttlMs > 0, "ttlMs must be positive")
+    implicit val outEnc = Encoders.product[AsOfOut]
+    implicit val stEnc = Encoders.product[AsOfState]
+    implicit val inEnc = Encoders.product[AsOfIn]
+    implicit val keyEnc = Encoders.STRING
+    val ttlUs = ttlMs * 1000L
+    def toUs(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def ts(us: Long): java.sql.Timestamp = {
+      val sec = Math.floorDiv(us, 1000000L)
+      val t = new java.sql.Timestamp(sec * 1000L)
+      t.setNanos(((us - sec * 1000000L) * 1000L).toInt)
+      t
+    }
+    stream
+      // project/cast BEFORE the watermark (the sessionizeStream
+      // attribute-tag rule: a later cast would mint an attribute without
+      // the watermark tag, and event-time timeout refuses such plans)
+      .select(col(keyCol).cast("string").as("k"),
+        col(idCol).cast("long").as("id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        coalesce(anchorPred.cast("boolean"), lit(false)).as("anchor"),
+        coalesce(probePred.cast("boolean"), lit(false)).as("probe"))
+      .filter(col("ts").isNotNull && (col("anchor") || col("probe")))
+      .withWatermark("ts", watermark)
+      .as[AsOfIn]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[AsOfIn], state: GroupState[AsOfState]) => {
+          // ms-granular timeout API: round UP so expiry is never earlier
+          // than anchor + TTL
+          def horizonMs(anchorUs: Long): Long =
+            Math.floorDiv(anchorUs + ttlUs + 999L, 1000L)
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val evs = rows.toArray
+            java.util.Arrays.sort(evs, Ordering.by((e: AsOfIn) => (toUs(e.ts), e.id)))
+            val out = Seq.newBuilder[AsOfOut]
+            // in-fold expiry by the same horizon the timeout uses (a key
+            // with data in the expiry batch is never timed out by the
+            // engine) — also what keeps setTimeoutTimestamp legal below
+            var st = state.getOption
+              .filter(s => horizonMs(s.tsUs) > state.getCurrentWatermarkMs())
+            evs.foreach { e =>
+              val us = toUs(e.ts)
+              // probe BEFORE absorbing this row's anchor (strictly-prior
+              // frame), and only within tolerance — an out-of-TTL anchor
+              // answers null exactly as no anchor would
+              if (e.probe)
+                out += AsOfOut(key, e.id, e.ts,
+                  st.filter(s => us - s.tsUs <= ttlUs).map(s => ts(s.tsUs)).orNull)
+              if (e.anchor && st.forall(s =>
+                  s.tsUs < us || (s.tsUs == us && s.id < e.id)))
+                st = Some(AsOfState(us, e.id))
+            }
+            st match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(horizonMs(s.tsUs))
+              case None => if (state.exists) state.remove()
+            }
+            out.result().iterator
+          }
+        })
+  }
+
   /** DQ gates as streaming observed metrics — the incremental twin of
     * [[graft.operators.Quality.audit]]: each gate's violation count (and
     * the batch row count) rides every micro-batch's
@@ -719,18 +819,19 @@ object StreamingIngest {
   }
 
   /** Post-commit index maintenance: when the append-grown index holds
-    * at least `compactAtFiles` data files, compact-and-swap it and
-    * rewrite the sidecar id-sorted. Runs strictly AFTER the batch's
-    * commit marker, so a crash anywhere inside is recovered by
+    * at least `compactAtFiles` data files, compact-and-swap it
+    * (`compact` — the layout-specific
+    * [[graft.operators.IndexOps.compactSwap]] form) and rewrite the
+    * sidecar id-sorted. Runs strictly AFTER the batch's commit marker,
+    * so a crash anywhere inside is recovered by
     * [[graft.operators.IndexOps.recoverSwap]] at the next batch with
     * no data at risk. */
   private def maintainIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, compactAtFiles: Int, minhashLayout: Boolean): Unit = {
+      indexDir: String, compactAtFiles: Int, compact: String => Unit): Unit = {
     import graft.operators.IndexOps
     if (compactAtFiles <= 0) return
     if (IndexOps.dataFileCount(spark, indexDir) < compactAtFiles) return
-    if (minhashLayout) IndexOps.compactSwapMinhash(spark, indexDir)
-    else IndexOps.compactSwapLsh(spark, indexDir)
+    compact(indexDir)
     compactSidecar(spark, indexDir)
   }
 
@@ -802,7 +903,8 @@ object StreamingIngest {
       failpoint(3)
       commitBatch(spark, outDir, batchId)
     }
-    maintainIndex(spark, indexDir, compactAtFiles, minhashLayout = true)
+    maintainIndex(spark, indexDir, compactAtFiles,
+      graft.operators.IndexOps.compactSwapMinhash(spark, _))
   }
 
   /** One micro-batch of [[curateEmbeddingIngestStream]] — same
@@ -842,8 +944,100 @@ object StreamingIngest {
       failpoint(3)
       commitBatch(spark, outDir, batchId)
     }
-    maintainIndex(spark, indexDir, compactAtFiles, minhashLayout = false)
+    maintainIndex(spark, indexDir, compactAtFiles,
+      graft.operators.IndexOps.compactSwapLsh(spark, _))
   }
+
+  /** One micro-batch of [[curateIvfIngestStream]] — same protocol,
+    * same test seam, the IVF screen. The replay-aware anti-join on the
+    * crashed attempt's own ids composes with the probe's cell
+    * partition-pruning (the `cell isin` filter pushes below the join
+    * to the parquet scan); the centroid reconstruction (`is_cent`
+    * rows) is untouched by it — batch rows are never centroids. */
+  private[graft] def curateIvfBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, outDir: String, idCol: String, vecCol: String,
+      minMicro: Long, nProbe: Int, gate: DataFrame => DataFrame,
+      compactAtFiles: Int, failAfterStep: Int = Int.MaxValue): Unit = {
+    import graft.operators.{Checkpoints, IndexOps, Similarity}
+    val spark = batch.sparkSession
+    IndexOps.recoverSwap(spark, indexDir)
+    IndexOps.recoverSwap(spark, idSidecarDir(indexDir))
+    if (isCommitted(spark, outDir, batchId)) return
+    ensureSidecar(spark, indexDir, idCol)
+    def failpoint(n: Int): Unit = if (failAfterStep == n)
+      throw new IllegalStateException(s"curateIvfBatch: test failpoint after step $n")
+    Checkpoints.scoped(spark) {
+      val outCols = batch.columns.map(col).toIndexedSeq
+      val index = spark.read.parquet(indexDir)
+      val sidecar = spark.read.parquet(idSidecarDir(indexDir))
+      val own = sidecar.filter(col("batch_id") === batchId).select(col(idCol))
+      val screenIndex = index.join(own, Seq(idCol), "left_anti")
+      val fresh = idScreen(
+        gate(batch).filter(Similarity.norm(col(vecCol)) > 0),
+        sidecar, idCol, batchId).localCheckpoint(true)
+      val (survivors, _) = Similarity.ivfIncrementalIngest(
+        screenIndex, fresh, idCol, vecCol, minMicro, nProbe)
+      val admitted = survivors.localCheckpoint(true)
+      publishBatch(admitted.select(outCols: _*), outDir, batchId, Nil)
+      failpoint(1)
+      publishBatch(admitted.select(col(idCol))
+        .withColumn("batch_id", lit(batchId)).sort(idCol),
+        idSidecarDir(indexDir), batchId, Nil)
+      failpoint(2)
+      publishBatch(Similarity.ivfIndexExtend(screenIndex, admitted, idCol, vecCol),
+        indexDir, batchId, Seq("cell"))
+      failpoint(3)
+      commitBatch(spark, outDir, batchId)
+    }
+    maintainIndex(spark, indexDir, compactAtFiles,
+      IndexOps.compactSwapIvf(spark, _, idCol))
+  }
+
+  /** The IVF twin of [[curateEmbeddingIngestStream]] — the same
+    * self-growing-index loop over vectors with the PERSISTED IVF
+    * family as the near-dup screen
+    * ([[graft.operators.Similarity.ivfIncrementalIngest]]: k=1 probe
+    * of each vector's `nProbe` closest cells, ≥ `minMicro` ⇒
+    * near-dup; intra-batch collapse under the index's own cell
+    * structure), index rows appended `partitionBy("cell")` via
+    * [[graft.operators.Similarity.ivfIndexExtend]], compaction via
+    * [[graft.operators.IndexOps.compactSwapIvf]] (cells re-clustered
+    * by id so the sidecar screen's range pruning stays sharp). Same
+    * id sidecar, committed-batch protocol, replay-aware screens, and
+    * scoped checkpoint release as the LSH loop — proven by the same
+    * after-every-write replay spec.
+    *
+    * WHEN TO PICK WHICH SCREEN: the LSH loop's probe is a pure
+    * equi-join — stateless per batch, no driver materialization — and
+    * its bucket count GROWS with the corpus via the planes parameter;
+    * the IVF loop's probe reads only the probed cell DIRECTORIES
+    * (partition pruning the LSH probe cannot do) but its centroid
+    * set is frozen at bootstrap, so cell occupancy — and per-probe
+    * rerank cost — grows linearly with everything admitted since.
+    * IVF is therefore the screen for ingest between PERIODIC REBUILDS
+    * (the nCells-growth law on [[graft.operators.Similarity.ivfIndexProbe]]);
+    * for an indefinitely-running loop with no rebuild window, LSH's
+    * self-scaling bucket space is the safer default (the measured
+    * comparison is in SCALING.md).
+    *
+    * `indexDir` must hold a non-empty stamped IVF index
+    * ([[graft.operators.Similarity.ivfIndex]],
+    * `write.partitionBy("cell")`) before the stream starts — the
+    * centroids ARE the bootstrap corpus's; there is no empty-index
+    * form (no centroids, no candidate structure). Zero-norm vectors
+    * are rejected at the door for the same reason as the LSH loop. */
+  def curateIvfIngestStream(stream: DataFrame, indexDir: String,
+      outDir: String, checkpoint: String, idCol: String, vecCol: String,
+      minMicro: Long, nProbe: Int = 2,
+      gate: DataFrame => DataFrame = df => df,
+      compactAtFiles: Int = 0): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        curateIvfBatch(batch.toDF(), batchId, indexDir, outDir, idCol,
+          vecCol, minMicro, nProbe, gate, compactAtFiles)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
 
   /** Drain-what's-there runner: processes every pending file, then stops
     * (the scheduled-batch shape of the reference's manual re-runs). */

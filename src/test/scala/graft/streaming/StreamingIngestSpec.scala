@@ -277,6 +277,111 @@ class StreamingIngestSpec extends SparkSpec {
     assertSameRows(streamed, batch)
   }
 
+  test("TTL as-of enrich matches the batch as-of join with the tolerance predicate on the real events slice") {
+    // asOfStreamTtl's contract is the TOLERANCE form of q20: the batch
+    // oracle is the same window computation with matches older than the
+    // TTL nulled. Same time-contiguous chunked feeding as the plain
+    // as-of proof; the TTL (~27.8h) is chosen to split the slice's real
+    // delta distribution so both populations (within / beyond) are
+    // exercised, asserted below.
+    val dir = "/root/testdata/sf0.001"
+    val drop = tmp("graft-asofttl-drop")
+    val out = tmp("graft-asofttl-out")
+    val ckpt = tmp("graft-asofttl-ckpt")
+    val ttlMs = 100000000L
+
+    val events = graft.Tables(spark, dir).events
+      .select(col("user_id").cast("string").as("user_id"), col("event_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_type"))
+    val evCsv = events
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("event_type"))
+      .withColumn("chunk", ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))))
+    for (i <- 1 to 4)
+      evCsv.filter(col("chunk") === i).drop("chunk")
+        .coalesce(1).write.option("header", "true").csv(s"$drop/c$i")
+
+    val stream = spark.readStream
+      .option("header", "true").option("maxFilesPerTrigger", 1)
+      .schema("user_id STRING, event_id LONG, ts TIMESTAMP, event_type STRING")
+      .csv(s"$drop/*")
+    val enriched = StreamingIngest.asOfStreamTtl(stream, "user_id", "event_id", "ts",
+      anchorPred = col("event_type") === "signup",
+      probePred = col("event_type") === "purchase",
+      ttlMs = ttlMs, watermark = "0 seconds")
+    StreamingIngest.availableNow(enriched.toDF(), out, ckpt).start().awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .select(col("key").as("user_id"), col("id").as("event_id"),
+        unix_micros(col("event_ts")).as("ts_us"),
+        unix_micros(col("asof_ts")).as("last_signup_us"))
+    val batch = graft.queries.ParityQueries.q20AsOfJoin(spark, dir)
+      .select(col("user_id").cast("string").as("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        unix_micros(col("last_signup_ts").cast("timestamp")).as("last_signup_us"))
+      // the tolerance predicate: an anchor older than the TTL answers
+      // null exactly as no anchor would
+      .withColumn("last_signup_us",
+        when(col("ts_us") - col("last_signup_us") <= ttlMs * 1000L,
+          col("last_signup_us")))
+    assert(streamed.filter(col("last_signup_us").isNotNull).count() > 10,
+      "TTL should leave a real within-tolerance population")
+    assert(batch.filter(col("last_signup_us").isNull).count() >
+      graft.queries.ParityQueries.q20AsOfJoin(spark, dir)
+        .filter(col("last_signup_ts").isNull).count(),
+      "TTL should expire a real beyond-tolerance population")
+    assertSameRows(streamed, batch)
+  }
+
+  test("TTL as-of enrich expires quiet keys' anchors by event-time timeout") {
+    // the state-bound proof: an anchor whose TTL horizon the watermark
+    // passes (advanced by OTHER keys only) stops matching — a later
+    // probe of the same key answers null; a FRESH anchor after that
+    // re-arms the key.
+    val drop = tmp("graft-asofttl2-drop")
+    val out = tmp("graft-asofttl2-out")
+    val ckpt = tmp("graft-asofttl2-ckpt")
+    var n = 0
+    def dropFile(lines: String*): Unit = {
+      n += 1
+      Files.write(Paths.get(s"$drop/b$n.csv"),
+        ("k,id,ts,et" +: lines).mkString("\n").getBytes)
+    }
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .option("header", "true")
+        .schema("k STRING, id LONG, ts TIMESTAMP, et STRING").csv(drop)
+      StreamingIngest.availableNow(
+        StreamingIngest.asOfStreamTtl(stream, "k", "id", "ts",
+          anchorPred = col("et") === "a", probePred = col("et") === "p",
+          ttlMs = 30 * 60 * 1000, watermark = "0 seconds").toDF(),
+        out, ckpt).start().awaitTermination()
+    }
+    def probes(): Seq[(Long, String)] =
+      spark.read.parquet(out).collect()
+        .map(r => (r.getLong(1), Option(r.getTimestamp(3)).map(_.toString).orNull))
+        .toSeq.sortBy(_._1)
+
+    // anchor at 10:00; an in-TTL probe at 10:20 matches it
+    dropFile("x,1,2024-01-01 10:00:00,a", "x,2,2024-01-01 10:20:00,p")
+    drain()
+    assert(probes() == Seq((2L, "2024-01-01 10:00:00.0")))
+
+    // another key advances the watermark past x's 10:30 horizon —
+    // x's anchor state is expired with no x event at all
+    dropFile("y,3,2024-01-01 12:00:00,a")
+    drain()
+    // a later x probe answers null (its anchor is beyond the TTL);
+    // a fresh anchor at 12:30 re-arms the key for the 12:40 probe
+    dropFile("x,4,2024-01-01 12:10:00,p",
+      "x,5,2024-01-01 12:30:00,a", "x,6,2024-01-01 12:40:00,p")
+    drain()
+    assert(probes() == Seq(
+      (2L, "2024-01-01 10:00:00.0"), (4L, null), (6L, "2024-01-01 12:30:00.0")))
+  }
+
   test("stateful dedup suppresses replayed keys across separate drains") {
     val drop = tmp("graft-drop4")
     val out = tmp("graft-dedup-out")
@@ -906,5 +1011,125 @@ class StreamingIngestSpec extends SparkSpec {
       "replayed id and zero-norm vector must both be rejected")
     assert(spark.read.parquet(indexDir).count() == grown.count(),
       "re-arrival must not grow the index")
+  }
+
+  test("streaming IVF curate mirrors the embedding contract across drains") {
+    import graft.operators.Similarity
+    val store = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(-0.8f, 0.3f, 0.1f, -0.6f))).toDF("vec_id", "embedding")
+    val indexDir = tmp("graft-ivfcurate-index")
+    val outDir = tmp("graft-ivfcurate-out")
+    val drop = tmp("graft-ivfcurate-drop")
+    val ckpt = tmp("graft-ivfcurate-ckpt")
+    // nCells=2, nProbe=2: every vector probes both cells, so the screen
+    // is exhaustive and the assertions are exact-cosine facts
+    Similarity.ivfIndex(store, "vec_id", "embedding", nCells = 2, dims = 4)
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(drop)
+      StreamingIngest.curateIvfIngestStream(stream, indexDir, outDir, ckpt,
+        "vec_id", "embedding", minMicro = 900000L, nProbe = 2)
+        .start().awaitTermination()
+    }
+
+    // drop 1: near-dup of store 1, a novel direction twice (in-batch pair)
+    Seq(
+      (101L, Array(0.99f, 0.01f, 0.5f, 0.2f)),
+      (102L, Array(0.0f, 1.0f, -0.4f, 0.3f)),
+      (103L, Array(0.01f, 0.99f, -0.4f, 0.3f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("append").parquet(drop)
+    drain()
+    assert(spark.read.parquet(outDir).collect().map(_.getLong(0)).toSeq == Seq(102L))
+
+    // drop 2: a replay of 102's direction is caught by the GROWN index;
+    // an orthogonal vector survives
+    Seq(
+      (201L, Array(0.0f, 1.0f, -0.4f, 0.3f)),
+      (202L, Array(0.3f, -0.2f, -0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("append").parquet(drop)
+    drain()
+    assert(spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(102L, 202L))
+    val grown = spark.read.parquet(indexDir)
+    assert(grown.select("vec_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 102L, 202L))
+    assert(grown.select("ix_cells", "ix_dims").distinct().count() == 1)
+    // appended rows are assigned under the BOOTSTRAP centroids — is_cent
+    // marks exactly the two store vectors, before and after growth
+    assert(grown.filter(col("is_cent")).select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+
+    // drop 3: re-arrival of an admitted id (id screen — the IVF probe
+    // would not self-match either) plus a zero-norm vector
+    Seq(
+      (102L, Array(0.0f, 1.0f, -0.4f, 0.3f)),
+      (301L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("append").parquet(drop)
+    drain()
+    assert(spark.read.parquet(outDir).count() == 2,
+      "replayed id and zero-norm vector must both be rejected")
+    assert(spark.read.parquet(indexDir).count() == grown.count(),
+      "re-arrival must not grow the index")
+  }
+
+  test("IVF curate batch protocol: replay after every write converges; compaction preserves the screen") {
+    import graft.operators.{IndexOps, Similarity}
+    val store = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(-0.8f, 0.3f, 0.1f, -0.6f))).toDF("vec_id", "embedding")
+    val indexDir = tmp("graft-ivfproto-index")
+    val outDir = tmp("graft-ivfproto-out")
+    Similarity.ivfIndex(store, "vec_id", "embedding", nCells = 2, dims = 4)
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+    // an intra-batch dup pair (201 survives), a corpus dup of store 1
+    val batch = Seq(
+      (201L, Array(0.0f, 1.0f, -0.4f, 0.3f)),
+      (202L, Array(0.01f, 0.99f, -0.4f, 0.3f)),
+      (203L, Array(0.99f, 0.01f, 0.5f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    def run(failAfter: Int): Unit =
+      StreamingIngest.curateIvfBatch(batch, 7L, indexDir, outDir,
+        "vec_id", "embedding", 900000L, 2, df => df, 0, failAfterStep = failAfter)
+    def assertConverged(): Unit = {
+      assert(spark.read.parquet(outDir).collect().map(_.getLong(0)).toSeq
+        == Seq(201L), "outDir = the survivor, once")
+      val ix = spark.read.parquet(indexDir)
+      assert(ix.count() == 3L, "one cell row per vector x {1, 2, 201}")
+      assert(spark.read.parquet(StreamingIngest.idSidecarDir(indexDir))
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 2L, 201L), "sidecar = admitted ids, once each")
+    }
+    // crash after the outDir publish, the sidecar publish, the index
+    // publish — each replay recomputes the identical survivor set (the
+    // riskiest window is after step 3: the index holds 201's row but
+    // the probe cannot self-match, so only the replay-aware screens
+    // prevent duplicate admission)
+    intercept[IllegalStateException](run(failAfter = 1))
+    intercept[IllegalStateException](run(failAfter = 2))
+    intercept[IllegalStateException](run(failAfter = 3))
+    run(failAfter = Int.MaxValue)
+    assertConverged()
+    run(failAfter = Int.MaxValue) // replay of a COMMITTED batch: marker-skipped
+    assertConverged()
+    // post-commit compaction (threshold 1 file — fires): identical
+    // screen behavior through the compacted index, fewer files
+    val before = IndexOps.dataFileCount(spark, indexDir)
+    StreamingIngest.curateIvfBatch(
+      Seq((301L, Array(0.3f, -0.2f, -0.9f, 0.1f))).toDF("vec_id", "embedding"),
+      8L, indexDir, outDir, "vec_id", "embedding", 900000L, 2, df => df,
+      compactAtFiles = 1)
+    assert(IndexOps.dataFileCount(spark, indexDir) < before + 2,
+      "compaction must fold the appended files back in")
+    val probe = Similarity.ivfIndexProbeAuto(
+      Seq((900L, Array(0.0f, 1.0f, -0.4f, 0.3f))).toDF("vec_id", "embedding"),
+      spark.read.parquet(indexDir), "vec_id", "embedding", k = 1, nProbe = 2)
+    assert(probe.select("neighbor_id").collect().map(_.getLong(0)).toSeq
+      == Seq(201L), "the compacted index still answers the screen probe")
   }
 }
