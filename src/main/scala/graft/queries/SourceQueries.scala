@@ -79,9 +79,42 @@ object SourceQueries {
       .orderBy("o_orderstatus", "o_orderpriority")
   }
 
+  /** S3+new sink — the xlsx surface under the oracle gate (VERDICT r9
+    * #8: S3/S4 were spec-only because DuckDB has no xlsx reader; the
+    * round-trip closes that — the oracle computes the same aggregate
+    * straight from parquet, so sharedStrings/numeric-cell writing, zip
+    * part layout, sheet lookup, all-string reading, and the
+    * cast-at-the-edge typing are all on the hash-checked path). The
+    * supplier DIM is the right payload: xlsx is a dimension-sized
+    * format by its own 2^20-row limit ([[graft.sources.XlsxSink]]
+    * refuses more — the bounded driver materialization is the format's
+    * contract, not a scale hazard). Doubles survive exactly for the
+    * same shortest-round-trip-repr reason as the CSV sink. */
+  val q81XlsxRoundtrip: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val out = tmp("rt_supplier/book.xlsx")
+    graft.sources.XlsxSink.sink(
+      t.supplier.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      out, "Supplier")
+    val typed = graft.sources.Excel.cast(
+      graft.sources.Excel.readSheet(spark, out, "Supplier"),
+      StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType))))
+    typed.groupBy("s_nationkey")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"),
+        max(col("s_name")).as("max_name"))
+      .orderBy("s_nationkey")
+  }
+
   val all: Map[String, Q] = Map(
     "q38_csv_roundtrip" -> q38CsvRoundtrip,
-    "q39_csv_multipath" -> q39CsvMultiPath)
+    "q39_csv_multipath" -> q39CsvMultiPath,
+    "q81_xlsx_roundtrip" -> q81XlsxRoundtrip)
 
   val oracle: Map[String, String] = Map(
     "q38_csv_roundtrip" ->
@@ -95,5 +128,11 @@ object SourceQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus IN ('O', 'F', 'P')
         |GROUP BY o_orderstatus, o_orderpriority
-        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q81_xlsx_roundtrip" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |  MAX(s_name) AS max_name
+        |FROM supplier
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
 }
