@@ -516,7 +516,17 @@ object Similarity {
         col("nrm").as("c_nrm")))
     val assigned = ivfAssign(n, cents, idCol, vecCol)
       .withColumn("is_cent", col(idCol).isin(centIds: _*))
+    // cluster by (cell, id) BEFORE returning: without this, the
+    // prescribed partitionBy("cell") persist fans every write task
+    // across every cell directory — up to nCells × tasks tiny files
+    // (measured: 22,487 files at 703 cells / 180k rows, and a probe
+    // paying 13× CPU in scan overhead; ~nCells id-clustered files and
+    // the probe cost returns to the rerank model, SCALING.md). One
+    // corpus shuffle at build time — the write-once artifact's price,
+    // and the same (cell, id) layout compactSwapIvf maintains later.
     IndexStamp.stamp(assigned, ivfStampParams(nCells, dims))
+      .repartitionByRange(col("cell"), col(idCol))
+      .sortWithinPartitions(col("cell"), col(idCol))
   }
 
   /** Nearest-centroid assignment (cell_cos desc, cell_id tiebreak) —
