@@ -516,16 +516,20 @@ object Similarity {
         col("nrm").as("c_nrm")))
     val assigned = ivfAssign(n, cents, idCol, vecCol)
       .withColumn("is_cent", col(idCol).isin(centIds: _*))
-    // cluster by (cell, id) BEFORE returning: without this, the
-    // prescribed partitionBy("cell") persist fans every write task
-    // across every cell directory — up to nCells × tasks tiny files
-    // (measured: 22,487 files at 703 cells / 180k rows, and a probe
-    // paying 13× CPU in scan overhead; ~nCells id-clustered files and
-    // the probe cost returns to the rerank model, SCALING.md). One
-    // corpus shuffle at build time — the write-once artifact's price,
-    // and the same (cell, id) layout compactSwapIvf maintains later.
+    // cluster by cell BEFORE returning: without this, the prescribed
+    // partitionBy("cell") persist fans every write task across every
+    // cell directory — up to nCells × tasks tiny files (measured:
+    // 22,487 files at 703 cells / 180k rows, and a probe paying 13×
+    // CPU in scan overhead; at ~one id-clustered file per cell the
+    // probe cost returns to the rerank model, SCALING.md). HASH
+    // repartition, not repartitionByRange: range sampling is an extra
+    // job that re-executes the assignment per consumer — hash is a
+    // plain exchange in the same pipeline, and partitionBy directories
+    // make cross-file cell order irrelevant. The in-file (cell, id)
+    // sort is the layout compactSwapIvf maintains later (id row-group
+    // stats for the sidecar screens' range pruning).
     IndexStamp.stamp(assigned, ivfStampParams(nCells, dims))
-      .repartitionByRange(col("cell"), col(idCol))
+      .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col(idCol))
   }
 

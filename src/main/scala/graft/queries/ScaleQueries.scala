@@ -413,7 +413,13 @@ object ScaleQueries {
     val survivors =
       if (corpus.isEmpty) newVecs
       else Similarity.ivfIncrementalIngest(
-        Similarity.ivfIndex(corpus, "vec_id", "embedding", nCells = 8, dims = 64),
+        // eager checkpoint = the persisted-index read the operator's
+        // contract prescribes (the ingest consumes the index relation
+        // ~7 times — stamp reads, probe, pairs, extend; an
+        // un-materialized build would re-run the assignment cross per
+        // consumer, measured ~2× the whole query's wall)
+        Similarity.ivfIndex(corpus, "vec_id", "embedding", nCells = 8, dims = 64)
+          .localCheckpoint(true),
         newVecs, "vec_id", "embedding", minMicro = 400000L, nProbe = 2)._1
     survivors.select("vec_id", "label").orderBy("vec_id")
   }
