@@ -39,7 +39,7 @@ case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) TokenShingles.Empty
+    if (v == null) TokenShingles.Empty()
     else TokenShingles.distinctShingles(v.asInstanceOf[ArrayData], n)
   }
 

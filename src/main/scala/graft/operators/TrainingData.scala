@@ -172,7 +172,7 @@ object TrainingData {
     val bucket = h60(concat(lit(s"mix:$salt:"), col(idCol).cast("string"))) % 1000
     df.join(broadcast(rates), Seq(sourceCol))
       .filter(bucket < col("__mix_rate"))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** [[mixtureResample]] with EXPLICIT repetition for under-supplied
@@ -204,7 +204,7 @@ object TrainingData {
       .withColumn("__rep", expr("__mix_rate div 1000") +
         when(bucket < col("__mix_rate") % 1000, 1L).otherwise(0L))
       .filter(col("__rep") > 0)
-      .select(df.columns.map(col) :+
+      .select(df.columns.map(col).toIndexedSeq :+
         explode(sequence(lit(0L), col("__rep") - 1)).as("epoch"): _*)
   }
 
