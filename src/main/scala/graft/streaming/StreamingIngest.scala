@@ -1025,7 +1025,15 @@ object StreamingIngest {
     * `write.partitionBy("cell")`) before the stream starts — the
     * centroids ARE the bootstrap corpus's; there is no empty-index
     * form (no centroids, no candidate structure). Zero-norm vectors
-    * are rejected at the door for the same reason as the LSH loop. */
+    * are rejected at the door for the same reason as the LSH loop.
+    *
+    * `compactAtFiles` must sit WELL ABOVE nCells: the cell-clustered
+    * layout's file FLOOR is ~one file per cell (the band/tbl loops'
+    * floor is their handful of directories), so a threshold below
+    * nCells re-compacts the whole index after every batch — measured
+    * 2× the maintained loop's total CPU (`CurateLoopStudy` ivf mode).
+    * nCells + a few batches' worth of appended files is the sane
+    * shape. */
   def curateIvfIngestStream(stream: DataFrame, indexDir: String,
       outDir: String, checkpoint: String, idCol: String, vecCol: String,
       minMicro: Long, nProbe: Int = 2,

@@ -36,7 +36,8 @@ object CurateLoopStudy {
     val batches = args.drop(1).headOption.map(_.toInt).getOrElse(12)
     val compactAt = args.drop(2).headOption.map(_.toInt).getOrElse(24)
     val mode = args.drop(3).headOption.getOrElse("text")
-    require(mode == "text" || mode == "embedding", s"unknown mode $mode")
+    require(mode == "text" || mode == "embedding" || mode == "ivf",
+      s"unknown mode $mode")
     val spark = GraftSession.builder("curate-loop-study", "32").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -57,6 +58,7 @@ object CurateLoopStudy {
     val (table, idCol, payloadCol) =
       if (mode == "text") ("documents", "doc_id", "text")
       else ("embeddings", "vec_id", "embedding")
+    // ivf mode: cells from the growth law (256 rows/cell), probes 2
     val docs = spark.read.parquet(s"$dir/$table.parquet").select(idCol, payloadCol)
     val n = docs.count()
     val corpusMax = n * 9 / 10
@@ -71,27 +73,38 @@ object CurateLoopStudy {
     // way q71/the loop's own consumers derive it
     lazy val planes = graft.operators.Similarity.lshAutoPlanes(corpusMax)
 
-    def bootstrapIndex(indexDir: String): Unit =
-      if (mode == "text")
+    lazy val nCells = math.max(1L, corpusMax / 256).toInt
+
+    def bootstrapIndex(indexDir: String): Unit = mode match {
+      case "text" =>
         Dedup.minhashIndex(corpus, idCol, payloadCol)
           .write.mode("overwrite").partitionBy("band").parquet(indexDir)
-      else
+      case "embedding" =>
         graft.operators.Similarity.lshIndex(corpus, idCol, payloadCol, planes, dims = 64)
           .write.mode("overwrite").partitionBy("tbl").parquet(indexDir)
+      case _ =>
+        graft.operators.Similarity.ivfIndex(corpus, idCol, payloadCol, nCells, dims = 64)
+          .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+    }
 
-    def runBatch(b: Int, indexDir: String, outDir: String, compact: Int): Unit =
-      if (mode == "text")
+    def runBatch(b: Int, indexDir: String, outDir: String, compact: Int): Unit = mode match {
+      case "text" =>
         StreamingIngest.curateTextBatch(arrivals(b), b.toLong, indexDir, outDir,
           idCol, payloadCol, df => df, 8, compact)
-      else
+      case "embedding" =>
         StreamingIngest.curateEmbeddingBatch(arrivals(b), b.toLong, indexDir, outDir,
           idCol, payloadCol, minMicro = 400000L, df => df, compact)
+      case _ =>
+        StreamingIngest.curateIvfBatch(arrivals(b), b.toLong, indexDir, outDir,
+          idCol, payloadCol, minMicro = 400000L, nProbe = 2, df => df, compact)
+    }
 
-    def runLoop(compact: Int): (String, Double, Double, Int) = {
+    def runLoop(compact: Int): (String, Double, Double, Double, Double, Int) = {
       val indexDir = Files.createTempDirectory(s"clstudy_ix$compact").toString + "/ix"
       val outDir = Files.createTempDirectory(s"clstudy_out$compact").toString
       bootstrapIndex(indexDir)
       var lastWall = 0.0; var lastCpu = 0.0
+      var totWall = 0.0; var totCpu = 0.0
       (0 until batches).foreach { b =>
         quiesce(); cpu.reset()
         val w0 = System.nanoTime()
@@ -99,14 +112,18 @@ object CurateLoopStudy {
         quiesce()
         lastWall = (System.nanoTime() - w0) / 1e9
         lastCpu = cpu.sum / 1e9
+        totWall += lastWall; totCpu += lastCpu
       }
-      (indexDir, lastWall, lastCpu, IndexOps.dataFileCount(spark, indexDir))
+      (indexDir, lastWall, lastCpu, totWall, totCpu,
+        IndexOps.dataFileCount(spark, indexDir))
     }
 
-    val (fragIx, fw, fc, ff) = runLoop(0)
-    val (compIx, cw, cc, cf) = runLoop(compactAt)
+    val (fragIx, fw, fc, ftw, ftc, ff) = runLoop(0)
+    val (compIx, cw, cc, ctw, ctc, cf) = runLoop(compactAt)
     println(f"[study] last-batch FRAGMENTED  wall=$fw%.2f s cpu=$fc%.2f core-s files=$ff")
     println(f"[study] last-batch COMPACTED   wall=$cw%.2f s cpu=$cc%.2f core-s files=$cf (compactAt=$compactAt)")
+    println(f"[study] loop-total FRAGMENTED  wall=$ftw%.1f s cpu=$ftc%.1f core-s")
+    println(f"[study] loop-total COMPACTED   wall=$ctw%.1f s cpu=$ctc%.1f core-s")
 
     // --- id-screen variants at the final (fragment-grown) index state ---
     val index = spark.read.parquet(fragIx)
