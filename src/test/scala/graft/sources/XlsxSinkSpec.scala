@@ -37,6 +37,54 @@ class XlsxSinkSpec extends SparkSpec {
       (3L, "gamma", Some(-104100.13))))
   }
 
+  test("round-trip law: seeded random typed rows survive sink → scan → cast bit-exactly") {
+    // the CSV sink's exactness argument, fuzzed: shortest-round-trip
+    // decimal reprs (including extreme exponents), XML-special and
+    // unicode text, and boundary longs all parse back identically.
+    // Empty strings are EXCLUDED by generation: cast-at-the-edge maps
+    // them to NULL (the CSV discipline), asserted separately below.
+    for (seed <- Seq(1, 7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val specials = Seq("a&b", "<tag>", "\"q\"", "naïve π", "line one", "&amp;")
+      def str(): String = {
+        val s = if (rnd.nextBoolean()) specials(rnd.nextInt(specials.size))
+          else rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString
+        s
+      }
+      def dbl(): Double = rnd.nextInt(5) match {
+        case 0 => rnd.nextDouble() * 2e300
+        case 1 => java.lang.Double.MIN_VALUE
+        case 2 => -rnd.nextDouble()
+        case _ => rnd.nextDouble() * 1e6 - 5e5
+      }
+      def lng(): Long = rnd.nextInt(4) match {
+        case 0 => Long.MaxValue - rnd.nextInt(1000)
+        case 1 => Long.MinValue + rnd.nextInt(1000)
+        case _ => rnd.nextLong() % 1000000
+      }
+      val rows = (0 until 40).map(i => (i.toLong, lng(), str(), dbl()))
+      val p = Files.createTempDirectory(s"graft-xlsxfuzz$seed")
+        .resolve("fuzz.xlsx").toString
+      XlsxSink.sink(rows.toDF("rid", "lval", "sval", "dval"), p, "F")
+      val back = Excel.cast(Excel.readSheet(spark, p, "F"),
+        StructType(Seq(
+          StructField("rid", LongType), StructField("lval", LongType),
+          StructField("sval", StringType), StructField("dval", DoubleType))))
+        .orderBy("rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .toSeq
+      assert(back == rows, s"seed $seed round-trip mismatch")
+    }
+    // the one deliberate non-identity: an empty string cell reads back
+    // as NULL through the cast (empty-field discipline shared with CSV)
+    val p = Files.createTempDirectory("graft-xlsxempty").resolve("e.xlsx").toString
+    XlsxSink.sink(Seq((1L, "")).toDF("id", "s"), p, "E")
+    val r = Excel.cast(Excel.readSheet(spark, p, "E"),
+      StructType(Seq(StructField("id", LongType), StructField("s", StringType))))
+      .collect()(0)
+    assert(r.isNullAt(1))
+  }
+
   test("sink refuses fact-sized input instead of silently truncating") {
     val p = Files.createTempDirectory("graft-xlsxsink2").resolve("big.xlsx").toString
     val big = spark.range(10).select(col("id"))

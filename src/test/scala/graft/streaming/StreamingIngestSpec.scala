@@ -335,6 +335,31 @@ class StreamingIngestSpec extends SparkSpec {
     assertSameRows(streamed, batch)
   }
 
+  test("TTL as-of tolerance is inclusive at exactly anchor + TTL") {
+    val drop = tmp("graft-asofttl3-drop")
+    val out = tmp("graft-asofttl3-out")
+    val ckpt = tmp("graft-asofttl3-ckpt")
+    // one batch, 30-min TTL: probes at exactly +30:00 (match, <= is
+    // inclusive) and +30:00.000001 (null)
+    Files.write(Paths.get(s"$drop/b1.csv"), Seq(
+      "k,id,ts,et",
+      "x,1,2024-01-01 10:00:00,a",
+      "x,2,2024-01-01 10:30:00,p",
+      "x,3,2024-01-01 10:30:00.000001,p").mkString("\n").getBytes)
+    val stream = spark.readStream
+      .option("header", "true")
+      .schema("k STRING, id LONG, ts TIMESTAMP, et STRING").csv(drop)
+    StreamingIngest.availableNow(
+      StreamingIngest.asOfStreamTtl(stream, "k", "id", "ts",
+        anchorPred = col("et") === "a", probePred = col("et") === "p",
+        ttlMs = 30 * 60 * 1000, watermark = "0 seconds").toDF(),
+      out, ckpt).start().awaitTermination()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(1), Option(r.getTimestamp(3)).map(_.toString).orNull))
+      .toSeq.sortBy(_._1)
+    assert(got == Seq((2L, "2024-01-01 10:00:00.0"), (3L, null)))
+  }
+
   test("TTL as-of enrich expires quiet keys' anchors by event-time timeout") {
     // the state-bound proof: an anchor whose TTL horizon the watermark
     // passes (advanced by OTHER keys only) stops matching — a later
