@@ -67,6 +67,33 @@ object Multimodal {
   def frameSample(chunks: DataFrame, stride: Int): DataFrame =
     chunks.filter(col("chunk_id") % stride === 0)
 
+  /** STUB — deterministic "resize" of an opaque payload to `targetBytes`
+    * by nearest-neighbor byte sampling (out[i] = in[⌊i·len/target⌋] — the
+    * byte-level analog of nearest-neighbor image scaling; a payload
+    * already at or under the target passes through). Pure column
+    * expression, so it partitions/prunes like everything else here; a
+    * real deployment swaps in a codec via
+    * [[decodeFeaturesPartitioned]]'s harness instead.
+    *
+    * Contract: THUMBNAIL-sized targets (≤ a few KB). The `aggregate`
+    * re-concatenation is quadratic in `targetBytes` (immutable
+    * accumulator), which is irrelevant at thumbnail size and wrong for
+    * megabyte targets — enforced, not documented-only. */
+  def resizeStub(bin: Column, targetBytes: Int): Column = {
+    require(targetBytes > 0 && targetBytes <= 4096,
+      s"resizeStub targets thumbnails (1..4096 bytes), got $targetBytes")
+    val len = length(bin)
+    val sampled = aggregate(
+      sequence(lit(0), lit(targetBytes - 1)),
+      lit(Array.empty[Byte]),
+      // explicit floor: Column `/` is double division, and the byte pick
+      // must be ⌊i·len/target⌋ exactly (the oracle replicates it in
+      // integer arithmetic)
+      (acc, i) => concat(acc,
+        bin.substr((floor(i * len / targetBytes) + 1).cast("int"), lit(1))))
+    when(len <= targetBytes, bin).otherwise(sampled)
+  }
+
   /** STUB — deterministic fake feature extraction. A real deployment
     * replaces this with an actual image/audio decoder feeding a model;
     * the container has no codecs, so features are hash-derived floats in

@@ -157,8 +157,11 @@ object CleaningQueries {
   }
 
   /** MM — multimodal asset columns: binary payloads with magic-byte MIME
-    * sniffing, byte length, cross-engine sha256 fingerprint and chunk
-    * counts, all as pure column expressions over `binary`. */
+    * sniffing, byte length, cross-engine sha256 fingerprint, chunk
+    * counts, and the nearest-neighbor thumbnail resample
+    * ([[Multimodal.resizeStub]], hex-rendered so the oracle replicates
+    * the exact byte picks in hex space), all as pure column expressions
+    * over `binary`. */
   val q37Multimodal: Q = (spark, dir) => {
     val t = Tables(spark, dir)
     val assets = t.documents.select(
@@ -173,7 +176,8 @@ object CleaningQueries {
       col("meta.n_bytes").as("n_bytes"),
       col("meta.mime").as("mime"),
       col("meta.sha256").as("sha_hex"),
-      ceil(col("meta.n_bytes") / 256.0).cast("long").as("n_chunks"))
+      ceil(col("meta.n_bytes") / 256.0).cast("long").as("n_chunks"),
+      hex(Multimodal.resizeStub(col("bytes"), 16)).as("thumb_hex"))
       .orderBy("doc_id")
   }
 
@@ -442,6 +446,11 @@ object CleaningQueries {
         |       WHEN substring(hex(bytes), 1, 6) = '494433' THEN 'audio/mpeg'
         |       ELSE 'application/octet-stream' END AS mime,
         |  sha256(hex(bytes)) AS sha_hex,
-        |  CAST(ceil(octet_length(bytes) / 256.0) AS BIGINT) AS n_chunks
+        |  CAST(ceil(octet_length(bytes) / 256.0) AS BIGINT) AS n_chunks,
+        |  CASE WHEN octet_length(bytes) <= 16 THEN hex(bytes) ELSE (
+        |    SELECT string_agg(
+        |      substring(hex(a.bytes), CAST(i * octet_length(a.bytes) // 16 AS BIGINT) * 2 + 1, 2),
+        |      '' ORDER BY i)
+        |    FROM generate_series(0, 15) AS t(i)) END AS thumb_hex
         |FROM a ORDER BY doc_id""".stripMargin)
 }

@@ -36,6 +36,27 @@ class MultimodalSpec extends SparkSpec {
     assert(counts == orig.map { case (k, v) => k -> ((v.length + 3) / 4).toLong })
   }
 
+  test("resizeStub nearest-neighbor-samples to the target; small payloads pass through") {
+    val big = Array.tabulate(100)(_.toByte)
+    val small = Array[Byte](1, 2, 3)
+    val df = Seq((1L, big), (2L, small)).toDF("id", "payload")
+      .withColumn("thumb", Multimodal.resizeStub(col("payload"), 10))
+    val out = df.orderBy("id").collect()
+      .map(r => r.getAs[Array[Byte]]("thumb").toSeq)
+    // out[i] = in[i * 100 / 10] — deterministic nearest-neighbor picks
+    assert(out(0) == (0 until 10).map(i => (i * 10).toByte))
+    assert(out(1) == small.toSeq) // at/under target: pass-through
+    // non-divisible length: ⌊i·len/target⌋ floors, never rounds
+    val ten = Array.tabulate(10)(_.toByte)
+    val odd = Seq((1L, ten)).toDF("id", "payload")
+      .select(Multimodal.resizeStub(col("payload"), 3).as("t"))
+      .head().getAs[Array[Byte]]("t").toSeq
+    assert(odd == Seq[Byte](0, 3, 6))
+    val e = intercept[IllegalArgumentException](
+      Multimodal.resizeStub(col("payload"), 1 << 20))
+    assert(e.getMessage.contains("thumbnails"))
+  }
+
   test("frameSample keeps every Nth chunk only") {
     val chunks = Multimodal.chunkBytes(assets, "asset_id", "bytes", chunkSize = 2)
     val sampled = Multimodal.frameSample(chunks, stride = 3)
