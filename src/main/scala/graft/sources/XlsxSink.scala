@@ -97,7 +97,28 @@ object XlsxSink {
       zos.write(content.getBytes("UTF-8"))
       zos.closeEntry()
     }
+    // package-level boilerplate so external consumers (Excel,
+    // LibreOffice) can locate the workbook part — [[Excel]]'s own reader
+    // goes straight to xl/workbook.xml and does not need either
+    val contentTypes = {
+      val overrides = sheets.indices.map(i =>
+        s"""<Override PartName="/xl/worksheets/sheet${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""").mkString
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+         |<Default Extension="xml" ContentType="application/xml"/>
+         |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+         |<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
+         |$overrides</Types>""".stripMargin
+    }
+    val pkgRels =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+         |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+         |</Relationships>""".stripMargin
+
     try {
+      put("[Content_Types].xml", contentTypes)
+      put("_rels/.rels", pkgRels)
       put("xl/workbook.xml", workbook)
       put("xl/_rels/workbook.xml.rels", rels)
       put("xl/sharedStrings.xml", sst)
