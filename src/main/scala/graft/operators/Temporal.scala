@@ -1,0 +1,323 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Temporal joins: batch as-of enrichment, point-into-interval range
+  * join, and interval-overlap join.
+  *
+  * The reference's event-time processing is the pandas as-of pattern
+  * (latest anchor per key at or before each row's time); the streaming
+  * twin lives in [[graft.streaming.StreamingIngest.asOfStream]]. These
+  * are the batch forms, built so that none of them ever expands to a
+  * per-key cross product:
+  *
+  *  - [[asOfJoin]] is ONE shuffle (union both sides, hash-partition by
+  *    key, one per-partition sort, a window `last`) — the classic
+  *    union-window as-of. A join-based phrasing (`l.key = r.key AND
+  *    r.ts <= l.ts` + keep-latest) explodes to |matches| rows per left
+  *    row before pruning; this never materializes more than |L|+|R|.
+  *  - [[rangeJoin]] / [[intervalOverlapJoin]] bucketize event time so
+  *    the match becomes an equi-join on (keys, bucket) — Spark plans a
+  *    shuffled hash/sort-merge join, AQE handles skew — instead of the
+  *    inequality-only join Spark would otherwise execute as a
+  *    broadcast-nested-loop (quadratic per key pair).
+  *
+  * All three mirror SQL inner/left-join null semantics: null keys and
+  * null event times never match.
+  */
+object Temporal {
+
+  /** Event time as comparable long microseconds. Timestamps go through
+    * the same `unix_micros(cast timestamp)` path as the sessionize
+    * query family (UTC session, so NTZ wall-clock micros match the
+    * DuckDB oracle's `epoch_us`); numeric columns are taken as-is. */
+  private def micros(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case TimestampType | TimestampNTZType => unix_micros(col(c).cast("timestamp"))
+      case _                                => col(c).cast("long")
+    }
+
+  /** Exact floor-division of a long column by a positive width:
+    * `v - pmod(v, w)` is exactly divisible, stays under 2^53, so the
+    * double division is exact and the cast back to long loses nothing
+    * (a bare `floor(v / w)` can misround at bucket boundaries). */
+  private def floorDiv(v: Column, w: Long): Column =
+    ((v - pmod(v, lit(w))) / lit(w)).cast("long")
+
+  private def requireCols(df: DataFrame, cols: Seq[String], side: String): Unit = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"$side side is missing columns: ${missing.mkString(", ")}")
+  }
+
+  /** Batch as-of join: for each `left` row, attach the `rightVals`
+    * columns of the latest `right` row with equal `keys` and
+    * `right.rightTs <= left.leftTs` (strict `<` when
+    * `inclusive=false`); unmatched left rows keep nulls.
+    *
+    * Union-window plan: both sides are unioned (right payload packed
+    * into ONE struct column so a right row whose payload value is
+    * genuinely null is still "seen" — a bare `last(col, ignoreNulls)`
+    * per column would skip it and resurrect an older row's value),
+    * hash-partitioned by `keys`, sorted once per partition by
+    * (time, side, tieBreak), and resolved with a single running
+    * `last(pack, ignoreNulls)`. One shuffle, no join explosion, whole
+    * plan stays inside whole-stage codegen.
+    *
+    * Determinism: among right rows with identical event time, the
+    * greatest `tieBreak` tuple wins (pass a unique column, e.g. the
+    * event id). `toleranceMicros` nulls out matches older than the
+    * given horizon — the batch twin of
+    * [[graft.streaming.StreamingIngest.asOfStreamTtl]]'s TTL.
+    *
+    * At 100 TB: cost is a shuffle of |L|+|R| rows on `keys` plus a
+    * per-key sort — the same shape as any windowed aggregation; a hot
+    * key sorts inside one task (spill-backed), never cross-joins.
+    * `rightVals` names that collide with left columns are suffixed
+    * with `suffix` in the output.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[String],
+      tieBreak: Seq[String] = Nil,
+      inclusive: Boolean = true,
+      toleranceMicros: Option[Long] = None,
+      suffix: String = "_r"): DataFrame = {
+    require(keys.nonEmpty, "asOfJoin needs at least one key column")
+    requireCols(left, keys :+ leftTs, "left")
+    requireCols(right, (keys :+ rightTs) ++ rightVals ++ tieBreak, "right")
+
+    // SQL join null semantics: a right row with a null key or null time
+    // can never be anybody's match — drop before the union.
+    val rightLive = (keys :+ rightTs)
+      .foldLeft(right)((d, c) => d.filter(col(c).isNotNull))
+
+    // Right payload packed atomically; __rts rides along for tolerance.
+    val pack = struct(rightVals.map(col) :+ micros(right, rightTs).as("__rts"): _*)
+    val tbCols = tieBreak.zipWithIndex.map { case (c, i) => s"__tb_$i" }
+    val rightPart = rightLive.select(
+      keys.map(col) ++
+        Seq(micros(right, rightTs).as("__ts"),
+          lit(if (inclusive) 0 else 1).as("__side"),
+          pack.as("__pack")) ++
+        tieBreak.zip(tbCols).map { case (c, a) => col(c).as(a) }: _*)
+    val packType = rightPart.schema("__pack").dataType
+    val tbTypes = tbCols.map(rightPart.schema(_).dataType)
+
+    val leftPayload = left.columns.filterNot(keys.contains).toSeq
+    val leftPart = left.select(
+      keys.map(col) ++
+        Seq(micros(left, leftTs).as("__ts"),
+          lit(if (inclusive) 1 else 0).as("__side"),
+          lit(null).cast(packType).as("__pack")) ++
+        tbCols.zip(tbTypes).map { case (a, t) => lit(null).cast(t).as(a) } ++
+        leftPayload.map(col): _*)
+    val rightFull = leftPayload.foldLeft(rightPart)((d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+
+    val unioned = leftPart.unionByName(rightFull)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc +: col("__side").asc +: tbCols.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val leftSide = lit(if (inclusive) 1 else 0)
+    val matchedRaw = last(col("__pack"), ignoreNulls = true).over(w)
+    val matched = toleranceMicros match {
+      case Some(tol) =>
+        when(matchedRaw.isNotNull && col("__ts") - matchedRaw("__rts") <= tol, matchedRaw)
+      case None => matchedRaw
+    }
+
+    val taken = left.columns.toSet
+    val outNames = rightVals.map(v => if (taken(v)) v + suffix else v)
+    unioned
+      .withColumn("__m", matched)
+      .filter(col("__side") === leftSide)
+      .select(left.columns.toSeq.map(col) ++
+        rightVals.zip(outNames).map { case (v, o) => col("__m")(v).as(o) }: _*)
+  }
+
+  /** Gap-based sessionization to intervals: per `keys` group, a new
+    * session opens after `gapMicros` of inactivity; returns one row per
+    * session with `session_seq` (1-based per key), `session_start`,
+    * `session_end` (original time type) and `n_events`.
+    *
+    * Plan: one shuffle on `keys`; the lag + running-sum windows and the
+    * closing groupBy on (keys, session_seq) all reuse that same hash
+    * partitioning (keys determine the partition, so clustering on the
+    * superset is already satisfied — Catalyst plans no second
+    * exchange). Rows with null key or time are dropped (they belong to
+    * no session, matching the SQL-oracle phrasing). */
+  def sessionIntervals(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      gapMicros: Long,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "sessionIntervals needs at least one key column")
+    requireCols(df, (keys :+ tsCol) ++ tieBreak, "input")
+    val live = (keys :+ tsCol).foldLeft(df)((d, c) => d.filter(col(c).isNotNull))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc +: tieBreak.map(col(_).asc): _*)
+    live
+      .withColumn("__us", micros(df, tsCol))
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__us") - col("__prev") > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(keys.map(col) :+ col("session_seq"): _*)
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Point-into-interval range join: inner-join each `points` row to
+    * every `intervals` row with equal `keys` and
+    * `lo <= point <= hi` (`point < hi` when `inclusiveHi=false`).
+    *
+    * Spark executes a bare inequality join as a broadcast-nested-loop —
+    * quadratic per key. Here event time is bucketized into
+    * `bucketWidth`-sized cells: a point lands in exactly one bucket, an
+    * interval is exploded to the buckets it covers, and the match
+    * becomes an equi-join on (keys, bucket) + an exact range filter.
+    * Because the point's bucket is unique, no pair is emitted twice —
+    * no dedup pass. One shuffle each side, AQE skew-split applies.
+    *
+    * Skew/width guard: an interval covering more than
+    * `maxBucketsPerInterval` buckets would fan out too far, so wide
+    * intervals are routed to a separate relation joined by key + range
+    * filter only, under a broadcast hint — the wide stratum is
+    * expected to be rare and small (the same routing-by-shape idea as
+    * the Jaccard prefix/raw rule). Row multiplication of the narrow
+    * side is bounded by `maxBucketsPerInterval`; pick `bucketWidth`
+    * near the typical interval length so the explode factor stays
+    * small (1–3 buckets per interval).
+    *
+    * Interval columns colliding with point columns are suffixed with
+    * `suffix`. Malformed intervals (`lo > hi`, nulls) and null-key or
+    * null-time rows match nothing, exactly as the SQL phrasing would.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      pointCol: String,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Long,
+      maxBucketsPerInterval: Int = 256,
+      inclusiveHi: Boolean = true,
+      suffix: String = "_i"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
+    requireCols(points, keys :+ pointCol, "points")
+    requireCols(intervals, (keys :+ loCol) :+ hiCol, "intervals")
+
+    // Suffix interval columns that collide with point columns (keys
+    // stay shared — the equi-join uses them as using-columns).
+    val collide = intervals.columns.toSet.intersect(points.columns.toSet) -- keys
+    val ivRenamed = collide.foldLeft(intervals)((d, c) => d.withColumnRenamed(c, c + suffix))
+    val loC = if (collide(loCol)) loCol + suffix else loCol
+    val hiC = if (collide(hiCol)) hiCol + suffix else hiCol
+
+    val iv = ivRenamed
+      .withColumn("__b0", floorDiv(micros(ivRenamed, loC), bucketWidth))
+      .withColumn("__b1", floorDiv(micros(ivRenamed, hiC), bucketWidth))
+      .filter(col("__b0") <= col("__b1")) // drops lo>hi and null bounds
+    val narrow = iv.filter(col("__b1") - col("__b0") < maxBucketsPerInterval.toLong)
+      .withColumn("__bkt", explode(sequence(col("__b0"), col("__b1"))))
+      .drop("__b0", "__b1")
+    val wide = iv.filter(col("__b1") - col("__b0") >= maxBucketsPerInterval.toLong)
+      .drop("__b0", "__b1")
+
+    val pts = points.withColumn("__bkt", floorDiv(micros(points, pointCol), bucketWidth))
+    val rangeCond: Column = col(loC) <= col(pointCol) &&
+      (if (inclusiveHi) col(pointCol) <= col(hiC) else col(pointCol) < col(hiC))
+    val outCols = (points.columns ++ ivRenamed.columns.filterNot(keys.contains)).map(col).toSeq
+
+    val narrowHit = pts.join(narrow, keys :+ "__bkt")
+      .filter(rangeCond).select(outCols: _*)
+    // Wide stratum: rare by contract; broadcast + per-key range filter.
+    // Keys are renamed on the wide side so the condition join stays
+    // unambiguous; the equi-condition makes them redundant in output.
+    val wideKeyed = keys.foldLeft(wide)((d, k) => d.withColumnRenamed(k, "__ik_" + k))
+    val wideCond = keys.map(k => points(k) === wideKeyed("__ik_" + k))
+      .foldLeft(rangeCond)(_ && _)
+    val wideHit = points.join(broadcast(wideKeyed), wideCond, "inner")
+      .select(outCols: _*)
+
+    narrowHit.unionByName(wideHit)
+  }
+
+  /** Interval-overlap join: inner-join each `a` interval to every `b`
+    * interval with equal `keys` that overlaps it
+    * (`aLo <= bHi AND bLo <= aHi`, boundaries inclusive).
+    *
+    * Both sides are exploded to their covering buckets; a pair shares
+    * the bucket range [max(a0,b0), min(a1,b1)] whenever it overlaps, so
+    * requiring `bucket == greatest(a0, b0)` emits each overlapping pair
+    * in EXACTLY one bucket — the first shared one — with no distinct
+    * pass afterwards (a dedup would cost the shuffle the bucketing just
+    * saved). Equi-join on (keys, bucket), exact overlap filter on top.
+    *
+    * Unlike [[rangeJoin]] there is no wide-interval detour: the claim
+    * trick needs full bucket coverage on both sides, so an interval
+    * covering more than `maxBucketsPerInterval` buckets raises —
+    * re-run with a coarser `bucketWidth` (the error says so). `b`
+    * columns colliding with `a` columns are suffixed with `suffix`.
+    */
+  def intervalOverlapJoin(
+      a: DataFrame,
+      b: DataFrame,
+      keys: Seq[String],
+      aLo: String,
+      aHi: String,
+      bLo: String,
+      bHi: String,
+      bucketWidth: Long,
+      maxBucketsPerInterval: Int = 256,
+      suffix: String = "_b"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    requireCols(a, (keys :+ aLo) :+ aHi, "a")
+    requireCols(b, (keys :+ bLo) :+ bHi, "b")
+
+    val collide = b.columns.toSet.intersect(a.columns.toSet) -- keys
+    val bRen = collide.foldLeft(b)((d, c) => d.withColumnRenamed(c, c + suffix))
+    val bLoC = if (collide(bLo)) bLo + suffix else bLo
+    val bHiC = if (collide(bHi)) bHi + suffix else bHi
+
+    def burst(df: DataFrame, lo: String, hi: String, b0: String): DataFrame = {
+      val withB = df
+        .withColumn(b0, floorDiv(micros(df, lo), bucketWidth))
+        .withColumn("__bN", floorDiv(micros(df, hi), bucketWidth))
+        .filter(col(b0) <= col("__bN"))
+      // Loud contract: the exactly-once claim needs full coverage.
+      val tooWide = col("__bN") - col(b0) >= maxBucketsPerInterval.toLong
+      withB
+        .withColumn("__bkt", explode(sequence(col(b0),
+          when(tooWide, raise_error(lit(
+            s"intervalOverlapJoin: an interval covers more than " +
+              s"$maxBucketsPerInterval buckets of width $bucketWidth — " +
+              "use a coarser bucketWidth")).cast("long"))
+            .otherwise(col("__bN")))))
+        .drop("__bN")
+    }
+
+    val aB = burst(a, aLo, aHi, "__a0")
+    val bB = burst(bRen, bLoC, bHiC, "__b0")
+    val outCols = (a.columns ++ bRen.columns.filterNot(keys.contains)).map(col).toSeq
+    aB.join(bB, keys :+ "__bkt")
+      .filter(col("__bkt") === greatest(col("__a0"), col("__b0")) &&
+        col(aLo) <= col(bHiC) && col(bLoC) <= col(aHi))
+      .select(outCols: _*)
+  }
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Temporal
+
+/** Temporal-join queries over the `events` stream table, each with a
+  * DuckDB oracle. These exercise [[graft.operators.Temporal]]'s three
+  * join shapes on real event-time data:
+  *
+  *  - q82: two-relation batch as-of (the general form of q20's
+  *    single-table window phrasing — left and right are distinct
+  *    relations with distinct schemas, the shape the reference's
+  *    pandas `merge_asof` idiom covers);
+  *  - q83: point-into-interval range join (purchases into browse
+  *    sessions) — bucketized equi-join, never a nested-loop;
+  *  - q84: interval-overlap join (view-sessions × click-sessions).
+  */
+object TemporalQueries {
+
+  type Q = ParityQueries.Q
+
+  /** 8-hour session gap: the fixture's per-user event density (~2
+    * events/day) makes 30-minute sessions nearly all single-event
+    * (span 0 — nothing can fall inside); 8 hours yields multi-event
+    * sessions with real spans at every SF. */
+  private val GAP_US = 28800L * 1000000L
+
+  /** AS-OF (two-relation) — for each purchase, the latest view at or
+    * before it by the same user: id, time and value of that view.
+    * One shuffle on user_id (union-window), no join explosion. */
+  val q82AsofEnrich: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val ev = t.events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "value")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"), col("value").as("view_value"))
+    Temporal.asOfJoin(purchases, views, Seq("user_id"), "ts", "view_ts",
+        rightVals = Seq("view_id", "view_ts", "view_value"),
+        tieBreak = Seq("view_id"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** RANGE JOIN — assign each purchase to the browse session (gap-based
+    * over view+click events) it falls inside. Bucket width = the
+    * session gap, so a session of n events bursts to only a handful of
+    * buckets; wider-than-1024-bucket sessions would route to the
+    * broadcast stratum (none exist in this data — the guard is for
+    * scale, not the fixture). */
+  val q83SessionRange: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val ev = t.events
+    val nav = ev.filter(col("event_type").isin("view", "click"))
+    val sessions = Temporal.sessionIntervals(nav, Seq("user_id"), "ts", GAP_US,
+      tieBreak = Seq("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    Temporal.rangeJoin(purchases, sessions, Seq("user_id"), "ts",
+        "session_start", "session_end",
+        bucketWidth = GAP_US, maxBucketsPerInterval = 1024)
+      .select("user_id", "event_id", "ts", "session_seq",
+        "session_start", "session_end", "n_events")
+      .orderBy("user_id", "event_id", "session_seq")
+  }
+
+  /** OVERLAP JOIN — which view-sessions and click-sessions of a user
+    * overlap, and by how much. Each overlapping pair is emitted in
+    * exactly one shared bucket (claim trick) — no dedup shuffle. */
+  val q84OverlapPairs: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val ev = t.events
+    def sessionsOf(kind: String, p: String) =
+      Temporal.sessionIntervals(ev.filter(col("event_type") === kind),
+          Seq("user_id"), "ts", GAP_US, tieBreak = Seq("event_id"))
+        .select(col("user_id"), col("session_seq").as(s"${p}_seq"),
+          col("session_start").as(s"${p}_start"), col("session_end").as(s"${p}_end"))
+    val vs = sessionsOf("view", "v")
+    val cs = sessionsOf("click", "c")
+    Temporal.intervalOverlapJoin(vs, cs, Seq("user_id"),
+        "v_start", "v_end", "c_start", "c_end",
+        bucketWidth = GAP_US, maxBucketsPerInterval = 2048)
+      .select(col("user_id"), col("v_seq"), col("c_seq"),
+        (unix_micros(least(col("v_end"), col("c_end")).cast("timestamp")) -
+          unix_micros(greatest(col("v_start"), col("c_start")).cast("timestamp")))
+          .as("overlap_us"))
+      .orderBy("user_id", "v_seq", "c_seq")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q82_asof_enrich" -> q82AsofEnrich,
+    "q83_session_range" -> q83SessionRange,
+    "q84_overlap_pairs" -> q84OverlapPairs)
+
+  /** Shared oracle CTE: gap-sessionization of one event_type stratum
+    * (the SQL twin of [[Temporal.sessionIntervals]]). */
+  private def sessSql(types: String): String =
+    s"""SELECT user_id, session_seq, MIN(ts) AS session_start,
+       |    MAX(ts) AS session_end, COUNT(*) AS n_events
+       |  FROM (
+       |    SELECT user_id, ts,
+       |      CAST(SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 28800000000
+       |               THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+       |    FROM (
+       |      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       |        LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+       |          PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       |      FROM events WHERE event_type IN ($types)))
+       |  GROUP BY user_id, session_seq""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q82_asof_enrich" ->
+      """SELECT p.user_id, p.event_id, p.ts, p.value,
+        |  v.view_id, v.view_ts, v.view_value
+        |FROM (SELECT user_id, event_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN LATERAL (
+        |  SELECT e.event_id AS view_id, e.ts AS view_ts, e.value AS view_value
+        |  FROM events e
+        |  WHERE e.event_type = 'view' AND e.user_id = p.user_id AND e.ts <= p.ts
+        |  ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) v ON TRUE
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+    "q83_session_range" ->
+      s"""WITH sess AS (
+         |${sessSql("'view', 'click'")})
+         |SELECT p.user_id, p.event_id, p.ts, s.session_seq,
+         |  s.session_start, s.session_end, s.n_events
+         |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+         |      WHERE event_type = 'purchase') p
+         |JOIN sess s ON s.user_id = p.user_id
+         |  AND s.session_start <= p.ts AND p.ts <= s.session_end
+         |ORDER BY p.user_id, p.event_id, s.session_seq""".stripMargin,
+    "q84_overlap_pairs" ->
+      s"""WITH vs AS (
+         |${sessSql("'view'")}),
+         |cs AS (
+         |${sessSql("'click'")})
+         |SELECT v.user_id, v.session_seq AS v_seq, c.session_seq AS c_seq,
+         |  epoch_us(LEAST(v.session_end, c.session_end)) -
+         |    epoch_us(GREATEST(v.session_start, c.session_start)) AS overlap_us
+         |FROM vs v JOIN cs c ON v.user_id = c.user_id
+         |  AND v.session_start <= c.session_end AND c.session_start <= v.session_end
+         |ORDER BY 1, 2, 3""".stripMargin)
+}

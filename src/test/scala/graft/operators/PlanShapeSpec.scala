@@ -459,4 +459,31 @@ class PlanShapeSpec extends SparkSpec {
       Similarity.ivfIndexExtend(spark.read.parquet(dir), extra, "vec_id", "embedding"))
     assert(e.getMessage.contains("different builds"), e.getMessage)
   }
+
+  test("asOfJoin is one shuffle — a single hash exchange on the key, no join node") {
+    val left = Seq((1L, 100L, "p")).toDF("k", "lts", "pay")
+    val right = Seq((1L, 50L, 0.5)).toDF("k", "rts", "v")
+    val plan = physicalPlan(Temporal.asOfJoin(
+      left, right, Seq("k"), "lts", "rts", rightVals = Seq("v")))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"union-window as-of must not plan a join:\n$plan")
+  }
+
+  test("keyed rangeJoin and intervalOverlapJoin stay equi-join-shaped") {
+    val points = Seq((1L, 5L)).toDF("k", "p")
+    val iv = Seq((1L, 0L, 10L, "a")).toDF("k", "lo", "hi", "tag")
+    // With keys, even the wide-interval stratum joins on the key
+    // equi-condition (broadcast hash), so NOTHING in the plan is a
+    // nested loop. (Keyless rangeJoin's wide stratum is the documented
+    // broadcast-loop exception — bounded by the routing contract.)
+    val rj = physicalPlan(Temporal.rangeJoin(
+      points, iv, Seq("k"), "p", "lo", "hi", bucketWidth = 4L))
+    assertNoQuadraticJoin(rj, "keyed rangeJoin")
+
+    val b = Seq((1L, 3L, 7L, "b")).toDF("k", "lo", "hi", "tag")
+    val oj = physicalPlan(Temporal.intervalOverlapJoin(
+      iv, b, Seq("k"), "lo", "hi", "lo", "hi", bucketWidth = 4L))
+    assertNoQuadraticJoin(oj, "intervalOverlapJoin")
+  }
 }

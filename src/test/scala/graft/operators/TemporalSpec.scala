@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Temporal joins: asOfJoin / sessionIntervals / rangeJoin /
+  * intervalOverlapJoin — each checked against a naive join/window
+  * phrasing on data small enough for the quadratic form. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val MIN = 60L * 1000000L // one minute in micros
+
+  // (key, ts-micros, payload) fixtures built as plain longs so the
+  // naive oracle is trivially expressible.
+  private def L(rows: (Long, Long)*): DataFrame =
+    rows.toSeq.toDF("k", "lts")
+  private def R(rows: (Long, Long, String)*): DataFrame =
+    rows.toSeq.toDF("k", "rts", "v")
+
+  /** Naive as-of: inequality join + keep latest (rts, v) per left row. */
+  private def naiveAsOf(left: DataFrame, right: DataFrame, inclusive: Boolean,
+      tol: Option[Long] = None): DataFrame = {
+    val cond = left("k") === right("k") &&
+      (if (inclusive) right("rts") <= left("lts") else right("rts") < left("lts")) &&
+      tol.map(t => left("lts") - right("rts") <= t).getOrElse(lit(true))
+    val joined = left.join(right, cond, "left")
+      .select(left("k"), left("lts"), right("rts"), right("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k", "lts")
+      .orderBy(col("rts").desc_nulls_last, col("v").desc_nulls_last)
+    joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("k"), col("lts"), col("rts").as("m_rts"), col("v").as("m_v"))
+  }
+
+  test("asOfJoin matches the naive inequality join (inclusive and exclusive)") {
+    val left = L((1L, 100L), (1L, 200L), (1L, 300L), (2L, 150L), (3L, 10L))
+    val right = R((1L, 100L, "a"), (1L, 250L, "b"), (2L, 150L, "c"), (2L, 149L, "d"))
+    for (inc <- Seq(true, false)) {
+      val got = Temporal.asOfJoin(left, right, Seq("k"), "lts", "rts",
+        rightVals = Seq("rts", "v"), tieBreak = Seq("v"), inclusive = inc)
+        .withColumnRenamed("rts", "m_rts").withColumnRenamed("v", "m_v")
+      assertSameRows(got, naiveAsOf(left, right, inc))
+    }
+  }
+
+  test("asOfJoin: equal-time right rows break ties by the greatest tieBreak") {
+    val left = L((1L, 100L))
+    val right = R((1L, 100L, "a"), (1L, 100L, "z"), (1L, 100L, "m"))
+    val got = Temporal.asOfJoin(left, right, Seq("k"), "lts", "rts",
+      rightVals = Seq("v"), tieBreak = Seq("v")).collect()
+    assert(got.map(_.getString(2)).toSeq == Seq("z"))
+  }
+
+  test("asOfJoin: a right row with a genuinely-null payload is still the match") {
+    // The struct pack must win here; per-column last(ignoreNulls) would
+    // skip the null and resurrect "old".
+    val left = L((1L, 300L))
+    val right = Seq((1L, 100L, Some("old")), (1L, 200L, Option.empty[String]))
+      .toDF("k", "rts", "v")
+    val got = Temporal.asOfJoin(left, right, Seq("k"), "lts", "rts",
+      rightVals = Seq("rts", "v"), tieBreak = Seq("rts"))
+    val row = got.collect().head
+    assert(row.getLong(2) == 200L && row.isNullAt(3))
+  }
+
+  test("asOfJoin: tolerance nulls out stale matches; null keys/ts never match") {
+    val left = L((1L, 1000L), (1L, 5000L))
+    val right = R((1L, 900L, "x"))
+    val got = Temporal.asOfJoin(left, right, Seq("k"), "lts", "rts",
+      rightVals = Seq("v"), toleranceMicros = Some(500L))
+      .orderBy("lts").collect()
+    assert(got(0).getString(2) == "x" && got(1).isNullAt(2))
+
+    val nullRight = Seq((Option.empty[java.lang.Long], Option(50L), "n"))
+      .toDF("k", "rts", "v")
+      .select(col("k").cast("long"), col("rts").cast("long").as("rts"), col("v"))
+    val got2 = Temporal.asOfJoin(L((1L, 100L)), nullRight, Seq("k"), "lts", "rts",
+      rightVals = Seq("v"))
+    assert(got2.collect().head.isNullAt(2))
+  }
+
+  test("asOfJoin: colliding right value names take the suffix") {
+    val left = Seq((1L, 100L, "mine")).toDF("k", "lts", "v")
+    val right = R((1L, 50L, "theirs"))
+    val got = Temporal.asOfJoin(left, right, Seq("k"), "lts", "rts", rightVals = Seq("v"))
+    assert(got.columns.toSeq == Seq("k", "lts", "v", "v_r"))
+    val row = got.collect().head
+    assert(row.getString(2) == "mine" && row.getString(3) == "theirs")
+  }
+
+  test("sessionIntervals: gap splits, bounds and counts") {
+    val df = Seq(
+      (1L, 0L), (1L, 10L * MIN), (1L, 50L * MIN), // gap 40min splits
+      (2L, 5L * MIN)
+    ).toDF("k", "ts")
+    val got = Temporal.sessionIntervals(df, Seq("k"), "ts", 30L * MIN)
+      .orderBy("k", "session_seq").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((1L, 1L, 0L, 10L * MIN, 2L), (1L, 2L, 50L * MIN, 50L * MIN, 1L),
+        (2L, 1L, 5L * MIN, 5L * MIN, 1L)))
+  }
+
+  private def naiveRange(points: DataFrame, iv: DataFrame, inclusiveHi: Boolean): DataFrame = {
+    val cond = points("k") === iv("k") && iv("lo") <= points("p") &&
+      (if (inclusiveHi) points("p") <= iv("hi") else points("p") < iv("hi"))
+    points.join(iv, cond, "inner")
+      .select(points("k"), points("p"), iv("lo"), iv("hi"), iv("tag"))
+  }
+
+  test("rangeJoin matches the naive inequality join, both boundary modes") {
+    val points = Seq((1L, 5L), (1L, 100L), (1L, 250L), (2L, 5L), (1L, -7L))
+      .toDF("k", "p")
+    val iv = Seq((1L, 0L, 10L, "a"), (1L, 10L, 300L, "b"), (1L, -20L, -5L, "neg"),
+      (2L, 100L, 200L, "far"), (1L, 30L, 20L, "malformed"))
+      .toDF("k", "lo", "hi", "tag")
+    for (inc <- Seq(true, false)) {
+      val got = Temporal.rangeJoin(points, iv, Seq("k"), "p", "lo", "hi",
+        bucketWidth = 16L, inclusiveHi = inc)
+      assertSameRows(got, naiveRange(points, iv, inc))
+    }
+  }
+
+  test("rangeJoin: wide intervals route through the broadcast stratum, same result") {
+    val points = Seq((1L, 5L), (1L, 5000L), (1L, 999999L)).toDF("k", "p")
+    val iv = Seq((1L, 0L, 1000000L, "wide"), (1L, 4990L, 5010L, "narrow"))
+      .toDF("k", "lo", "hi", "tag")
+    // width 16 → the "wide" interval covers 62k buckets >> 256 cap.
+    val got = Temporal.rangeJoin(points, iv, Seq("k"), "p", "lo", "hi", bucketWidth = 16L)
+    assertSameRows(got, naiveRange(points, iv, inclusiveHi = true))
+  }
+
+  test("rangeJoin: keyless form works (single shared bucket axis)") {
+    val points = Seq(Tuple1(5L), Tuple1(42L)).toDF("p")
+    val iv = Seq((0L, 10L, "a"), (40L, 50L, "b"), (100L, 110L, "c")).toDF("lo", "hi", "tag")
+    val got = Temporal.rangeJoin(points, iv, Nil, "p", "lo", "hi", bucketWidth = 8L)
+      .orderBy("p").collect()
+    assert(got.map(_.getString(3)).toSeq == Seq("a", "b"))
+  }
+
+  test("intervalOverlapJoin: each overlapping pair exactly once, matches naive") {
+    val a = Seq((1L, 0L, 100L, "a1"), (1L, 200L, 300L, "a2"), (2L, 0L, 10L, "a3"))
+      .toDF("k", "lo", "hi", "tag")
+    val b = Seq((1L, 50L, 250L, "b1"), (1L, 90L, 95L, "b2"), (2L, 11L, 20L, "b3"))
+      .toDF("k", "lo", "hi", "tag")
+    val got = Temporal.intervalOverlapJoin(a, b, Seq("k"), "lo", "hi", "lo", "hi",
+      bucketWidth = 16L, maxBucketsPerInterval = 64)
+    val naive = a.join(b.withColumnRenamed("lo", "lo_b").withColumnRenamed("hi", "hi_b")
+        .withColumnRenamed("tag", "tag_b"), Seq("k"))
+      .filter(col("lo") <= col("hi_b") && col("lo_b") <= col("hi"))
+    assertSameRows(got, naive.select(got.columns.map(col).toSeq: _*))
+    // a1×b1 share many buckets — exactly-once is the point:
+    assert(got.filter(col("tag") === "a1" && col("tag_b") === "b1").count() == 1L)
+  }
+
+  test("intervalOverlapJoin raises loudly on an over-wide interval") {
+    val a = Seq((1L, 0L, 100000L, "wide")).toDF("k", "lo", "hi", "tag")
+    val b = Seq((1L, 5L, 6L, "b")).toDF("k", "lo", "hi", "tag")
+    val e = intercept[Exception] {
+      Temporal.intervalOverlapJoin(a, b, Seq("k"), "lo", "hi", "lo", "hi",
+        bucketWidth = 16L, maxBucketsPerInterval = 8).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("asOfJoin is the batch twin of the q20 window phrasing on real events") {
+    val t = graft.Tables(spark, "/root/testdata/sf0.001")
+    val ev = t.events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"), col("event_id").as("signup_id"))
+    val got = Temporal.asOfJoin(purchases, signups, Seq("user_id"), "ts", "signup_ts",
+      rightVals = Seq("signup_ts"), tieBreak = Seq("signup_id"))
+      .select(col("user_id"), col("event_id"), col("signup_ts").as("last_signup_ts"))
+    // q20's phrasing: strict window max over prior rows. q20 uses
+    // rowsBetween(..., -1) with (ts, event_id) ordering — at distinct
+    // microsecond timestamps that equals inclusive-as-of semantics
+    // minus self-matches; signups≠purchases so no self rows exist.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = ev
+      .withColumn("last_signup_ts",
+        max(when(col("event_type") === "signup", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "last_signup_ts")
+    assertSameRows(got, want)
+  }
+}
