@@ -53,23 +53,33 @@ object Temporal {
   }
 
   /** Batch as-of join: for each `left` row, attach the `rightVals`
-    * columns of the latest `right` row with equal `keys` and
-    * `right.rightTs <= left.leftTs` (strict `<` when
-    * `inclusive=false`); unmatched left rows keep nulls.
+    * columns of the closest `right` row with equal `keys`, on the side
+    * `direction` selects (the pandas `merge_asof` surface):
+    *
+    *  - `"backward"` (default): latest right with `rightTs <= leftTs`;
+    *  - `"forward"`: earliest right with `rightTs >= leftTs`;
+    *  - `"nearest"`: whichever of those two is closer in time (an exact
+    *    distance tie prefers the backward match).
+    *
+    * `inclusive=false` makes the boundary strict on both directions.
+    * Unmatched left rows keep nulls.
     *
     * Union-window plan: both sides are unioned (right payload packed
     * into ONE struct column so a right row whose payload value is
     * genuinely null is still "seen" — a bare `last(col, ignoreNulls)`
     * per column would skip it and resurrect an older row's value),
-    * hash-partitioned by `keys`, sorted once per partition by
+    * hash-partitioned by `keys`, sorted per partition by
     * (time, side, tieBreak), and resolved with a single running
-    * `last(pack, ignoreNulls)`. One shuffle, no join explosion, whole
-    * plan stays inside whole-stage codegen.
+    * `last(pack, ignoreNulls)` — forward is the same pass over the
+    * descending sort; nearest computes both windows over the SAME
+    * exchange (two in-partition sorts, still one shuffle) and picks
+    * per row. No join explosion; the plan stays inside whole-stage
+    * codegen.
     *
     * Determinism: among right rows with identical event time, the
-    * greatest `tieBreak` tuple wins (pass a unique column, e.g. the
-    * event id). `toleranceMicros` nulls out matches older than the
-    * given horizon — the batch twin of
+    * greatest `tieBreak` tuple wins in every direction (pass a unique
+    * column, e.g. the event id). `toleranceMicros` nulls out matches
+    * farther than the given horizon — the batch twin of
     * [[graft.streaming.StreamingIngest.asOfStreamTtl]]'s TTL.
     *
     * At 100 TB: cost is a shuffle of |L|+|R| rows on `keys` plus a
@@ -88,8 +98,11 @@ object Temporal {
       tieBreak: Seq[String] = Nil,
       inclusive: Boolean = true,
       toleranceMicros: Option[Long] = None,
-      suffix: String = "_r"): DataFrame = {
+      suffix: String = "_r",
+      direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asOfJoin needs at least one key column")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asOfJoin direction must be backward|forward|nearest, got '$direction'")
     requireCols(left, keys :+ leftTs, "left")
     requireCols(right, (keys :+ rightTs) ++ rightVals ++ tieBreak, "right")
 
@@ -122,16 +135,37 @@ object Temporal {
       d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
     val unioned = leftPart.unionByName(rightFull)
-    val w = Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc +: col("__side").asc +: tbCols.map(col(_).asc): _*)
-      .rowsBetween(Window.unboundedPreceding, 0)
+    // Backward pass: ascending time; at equal time the side tag places
+    // right rows before (inclusive) or after (strict) the left row, and
+    // tieBreak asc leaves the greatest tuple closest to the running
+    // `last`. The forward pass is the mirror image on descending time —
+    // its closest at-or-after right row is the last non-null there.
+    def pass(ascending: Boolean): Column = {
+      def dir(c: Column) = if (ascending) c.asc else c.desc
+      val w = Window
+        .partitionBy(keys.map(col): _*)
+        // tieBreak stays ASC in both passes: it only orders rows within
+        // an equal (__ts, __side) group, where "greatest tuple wins"
+        // means it must sit last under the running `last` either way.
+        .orderBy(dir(col("__ts")) +: col("__side").asc +: tbCols.map(col(_).asc): _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val raw = last(col("__pack"), ignoreNulls = true).over(w)
+      val dist = if (ascending) col("__ts") - raw("__rts") else raw("__rts") - col("__ts")
+      toleranceMicros match {
+        case Some(tol) => when(raw.isNotNull && dist <= tol, raw)
+        case None      => raw
+      }
+    }
     val leftSide = lit(if (inclusive) 1 else 0)
-    val matchedRaw = last(col("__pack"), ignoreNulls = true).over(w)
-    val matched = toleranceMicros match {
-      case Some(tol) =>
-        when(matchedRaw.isNotNull && col("__ts") - matchedRaw("__rts") <= tol, matchedRaw)
-      case None => matchedRaw
+    val matched = direction match {
+      case "backward" => pass(ascending = true)
+      case "forward"  => pass(ascending = false)
+      case "nearest"  =>
+        val b = pass(ascending = true)
+        val f = pass(ascending = false)
+        when(b.isNull, f).when(f.isNull, b)
+          .when(col("__ts") - b("__rts") <= f("__rts") - col("__ts"), b)
+          .otherwise(f)
     }
 
     val taken = left.columns.toSet
@@ -184,23 +218,34 @@ object Temporal {
     * every `intervals` row with equal `keys` and
     * `lo <= point <= hi` (`point < hi` when `inclusiveHi=false`).
     *
-    * Spark executes a bare inequality join as a broadcast-nested-loop —
-    * quadratic per key. Here event time is bucketized into
-    * `bucketWidth`-sized cells: a point lands in exactly one bucket, an
-    * interval is exploded to the buckets it covers, and the match
-    * becomes an equi-join on (keys, bucket) + an exact range filter.
-    * Because the point's bucket is unique, no pair is emitted twice —
-    * no dedup pass. One shuffle each side, AQE skew-split applies.
+    * WHY a rewrite, and WHEN — the measured routing rule (TemporalStudy,
+    * SCALING.md r10). On a bare `p.key = i.key AND lo <= p < hi` join
+    * Spark extracts the equi-part and leaves the range as a residual:
+    * a sort-merge join that evaluates |points_k|·|intervals_k| residual
+    * pairs inside every key group, and — when one side shrinks under
+    * the broadcast threshold — an AQE plan flip whose outer-join form
+    * can degrade to a nested loop. That per-key product is fine at low
+    * key density and QUADRATIC at high density (few/hot keys), and for
+    * keyless inputs the join is a full nested loop from the start.
+    * This operator bucketizes event time into `bucketWidth` cells: a
+    * point lands in exactly ONE bucket, an interval explodes to the
+    * buckets it covers, and the match becomes an equi-join on
+    * (keys, bucket) + exact filter — per-pair work bounded by bucket
+    * occupancy, plan shape stable, AQE skew-split applies. Because the
+    * point's bucket is unique, no pair is emitted twice — no dedup
+    * pass. Route: naive join for well-spread keys with small per-key
+    * products; THIS for dense/hot/keyless axes — the crossover is
+    * measured in SCALING.md.
     *
-    * Skew/width guard: an interval covering more than
-    * `maxBucketsPerInterval` buckets would fan out too far, so wide
-    * intervals are routed to a separate relation joined by key + range
-    * filter only, under a broadcast hint — the wide stratum is
-    * expected to be rare and small (the same routing-by-shape idea as
-    * the Jaccard prefix/raw rule). Row multiplication of the narrow
-    * side is bounded by `maxBucketsPerInterval`; pick `bucketWidth`
-    * near the typical interval length so the explode factor stays
-    * small (1–3 buckets per interval).
+    * Pick `bucketWidth` near the typical interval length so intervals
+    * explode to 1–3 buckets. `maxBucketsPerInterval = Some(n)` adds a
+    * wide-interval detour — intervals covering more than n buckets
+    * join by key + range filter only, under a broadcast hint — for
+    * datasets whose interval widths are unbounded. It costs a second
+    * evaluation of the `intervals` subtree (the two strata share only
+    * the exchange, not the operators above it), so it is OFF by
+    * default; enable it when width outliers are real, or
+    * pre-materialize `intervals` first.
     *
     * Interval columns colliding with point columns are suffixed with
     * `suffix`. Malformed intervals (`lo > hi`, nulls) and null-key or
@@ -214,11 +259,11 @@ object Temporal {
       loCol: String,
       hiCol: String,
       bucketWidth: Long,
-      maxBucketsPerInterval: Int = 256,
+      maxBucketsPerInterval: Option[Int] = None,
       inclusiveHi: Boolean = true,
       suffix: String = "_i"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
+    require(maxBucketsPerInterval.forall(_ > 0), "maxBucketsPerInterval must be positive")
     requireCols(points, keys :+ pointCol, "points")
     requireCols(intervals, (keys :+ loCol) :+ hiCol, "intervals")
 
@@ -233,41 +278,53 @@ object Temporal {
       .withColumn("__b0", floorDiv(micros(ivRenamed, loC), bucketWidth))
       .withColumn("__b1", floorDiv(micros(ivRenamed, hiC), bucketWidth))
       .filter(col("__b0") <= col("__b1")) // drops lo>hi and null bounds
-    val narrow = iv.filter(col("__b1") - col("__b0") < maxBucketsPerInterval.toLong)
-      .withColumn("__bkt", explode(sequence(col("__b0"), col("__b1"))))
-      .drop("__b0", "__b1")
-    val wide = iv.filter(col("__b1") - col("__b0") >= maxBucketsPerInterval.toLong)
-      .drop("__b0", "__b1")
 
     val pts = points.withColumn("__bkt", floorDiv(micros(points, pointCol), bucketWidth))
     val rangeCond: Column = col(loC) <= col(pointCol) &&
       (if (inclusiveHi) col(pointCol) <= col(hiC) else col(pointCol) < col(hiC))
     val outCols = (points.columns ++ ivRenamed.columns.filterNot(keys.contains)).map(col).toSeq
 
-    val narrowHit = pts.join(narrow, keys :+ "__bkt")
-      .filter(rangeCond).select(outCols: _*)
-    // Wide stratum: rare by contract; broadcast + per-key range filter.
-    // Keys are renamed on the wide side so the condition join stays
-    // unambiguous; the equi-condition makes them redundant in output.
-    val wideKeyed = keys.foldLeft(wide)((d, k) => d.withColumnRenamed(k, "__ik_" + k))
-    val wideCond = keys.map(k => points(k) === wideKeyed("__ik_" + k))
-      .foldLeft(rangeCond)(_ && _)
-    val wideHit = points.join(broadcast(wideKeyed), wideCond, "inner")
-      .select(outCols: _*)
+    def burstJoin(ivPart: DataFrame): DataFrame = {
+      val exploded = ivPart
+        .withColumn("__bkt", explode(sequence(col("__b0"), col("__b1"))))
+        .drop("__b0", "__b1")
+      pts.join(exploded, keys :+ "__bkt").filter(rangeCond).select(outCols: _*)
+    }
 
-    narrowHit.unionByName(wideHit)
+    maxBucketsPerInterval match {
+      case None => burstJoin(iv)
+      case Some(maxB) =>
+        val narrowHit = burstJoin(iv.filter(col("__b1") - col("__b0") < maxB.toLong))
+        // Wide stratum: rare by contract; broadcast + per-key range
+        // filter. Keys are renamed on the wide side so the condition
+        // join stays unambiguous; the equi-condition makes them
+        // redundant in output.
+        val wide = iv.filter(col("__b1") - col("__b0") >= maxB.toLong)
+          .drop("__b0", "__b1")
+        val wideKeyed = keys.foldLeft(wide)((d, k) => d.withColumnRenamed(k, "__ik_" + k))
+        val wideCond = keys.map(k => points(k) === wideKeyed("__ik_" + k))
+          .foldLeft(rangeCond)(_ && _)
+        val wideHit = points.join(broadcast(wideKeyed), wideCond, "inner")
+          .select(outCols: _*)
+        narrowHit.unionByName(wideHit)
+    }
   }
 
   /** Interval-overlap join: inner-join each `a` interval to every `b`
     * interval with equal `keys` that overlaps it
     * (`aLo <= bHi AND bLo <= aHi`, boundaries inclusive).
     *
-    * Both sides are exploded to their covering buckets; a pair shares
-    * the bucket range [max(a0,b0), min(a1,b1)] whenever it overlaps, so
-    * requiring `bucket == greatest(a0, b0)` emits each overlapping pair
-    * in EXACTLY one bucket — the first shared one — with no distinct
-    * pass afterwards (a dedup would cost the shuffle the bucketing just
-    * saved). Equi-join on (keys, bucket), exact overlap filter on top.
+    * Same routing rule as [[rangeJoin]]: the naive keyed phrasing is a
+    * sort-merge join evaluating the full |a_k|·|b_k| product per key —
+    * fine for well-spread keys, quadratic for dense/hot ones, a
+    * nested loop keyless. Here both sides are exploded to their
+    * covering buckets; a pair shares the bucket range
+    * [max(a0,b0), min(a1,b1)] whenever it overlaps, so requiring
+    * `bucket == greatest(a0, b0)` emits each overlapping pair in
+    * EXACTLY one bucket — the first shared one — with no distinct
+    * pass afterwards (a dedup would cost the shuffle the bucketing
+    * just saved). Equi-join on (keys, bucket), exact overlap filter on
+    * top.
     *
     * Unlike [[rangeJoin]] there is no wide-interval detour: the claim
     * trick needs full bucket coverage on both sides, so an interval

@@ -46,10 +46,9 @@ object TemporalQueries {
 
   /** RANGE JOIN — assign each purchase to the browse session (gap-based
     * over view+click events) it falls inside. Bucket width = the
-    * session gap, so a session of n events bursts to only a handful of
-    * buckets; wider-than-1024-bucket sessions would route to the
-    * broadcast stratum (none exist in this data — the guard is for
-    * scale, not the fixture). */
+    * session gap, so a session bursts to only a handful of buckets and
+    * a 30-day session span stays well under 100 buckets — no
+    * wide-interval stratum needed (single-subtree plan). */
   val q83SessionRange: Q = (spark, dir) => {
     val t = Tables(spark, dir)
     val ev = t.events
@@ -59,8 +58,7 @@ object TemporalQueries {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select("user_id", "event_id", "ts")
     Temporal.rangeJoin(purchases, sessions, Seq("user_id"), "ts",
-        "session_start", "session_end",
-        bucketWidth = GAP_US, maxBucketsPerInterval = 1024)
+        "session_start", "session_end", bucketWidth = GAP_US)
       .select("user_id", "event_id", "ts", "session_seq",
         "session_start", "session_end", "n_events")
       .orderBy("user_id", "event_id", "session_seq")
@@ -89,10 +87,30 @@ object TemporalQueries {
       .orderBy("user_id", "v_seq", "c_seq")
   }
 
+  /** AS-OF, nearest direction — for each signup, the closest error
+    * event of the same user on EITHER side of it (pandas
+    * `merge_asof(direction='nearest')`), within a 24-hour horizon.
+    * Both window passes share one exchange; a distance tie prefers the
+    * backward match (none exist at microsecond resolution — the
+    * contract is pinned by `TemporalSpec`, not the fixture). */
+  val q85AsofNearest: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val ev = t.events
+    val signups = ev.filter(col("event_type") === "signup")
+      .select("user_id", "event_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_ts"), col("event_id").as("err_id"))
+    Temporal.asOfJoin(signups, errors, Seq("user_id"), "ts", "err_ts",
+        rightVals = Seq("err_id", "err_ts"), tieBreak = Seq("err_id"),
+        direction = "nearest", toleranceMicros = Some(86400L * 1000000L))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q82_asof_enrich" -> q82AsofEnrich,
     "q83_session_range" -> q83SessionRange,
-    "q84_overlap_pairs" -> q84OverlapPairs)
+    "q84_overlap_pairs" -> q84OverlapPairs,
+    "q85_asof_nearest" -> q85AsofNearest)
 
   /** Shared oracle CTE: gap-sessionization of one event_type stratum
     * (the SQL twin of [[Temporal.sessionIntervals]]). */
@@ -124,6 +142,19 @@ object TemporalQueries {
         |  WHERE e.event_type = 'view' AND e.user_id = p.user_id AND e.ts <= p.ts
         |  ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) v ON TRUE
         |ORDER BY p.user_id, p.event_id""".stripMargin,
+    "q85_asof_nearest" ->
+      """SELECT s.user_id, s.event_id, s.ts, e.err_id, e.err_ts
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'signup') s
+        |LEFT JOIN LATERAL (
+        |  SELECT ee.event_id AS err_id, ee.ts AS err_ts
+        |  FROM events ee
+        |  WHERE ee.event_type = 'error' AND ee.user_id = s.user_id
+        |    AND abs(epoch_us(ee.ts) - epoch_us(s.ts)) <= 86400000000
+        |  ORDER BY abs(epoch_us(ee.ts) - epoch_us(s.ts)) ASC,
+        |           (ee.ts <= s.ts) DESC, ee.event_id DESC
+        |  LIMIT 1) e ON TRUE
+        |ORDER BY s.user_id, s.event_id""".stripMargin,
     "q83_session_range" ->
       s"""WITH sess AS (
          |${sessSql("'view', 'click'")})

@@ -5,22 +5,29 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Temporal
 
-/** Measures the temporal joins' scale posture (SCALING.md, r10):
+/** Measures the temporal joins' scale posture (SCALING.md, r10) and the
+  * ROUTING RULE for the bucketized forms.
   *
-  *  1. AS-OF: `Temporal.asOfJoin` (union-window, |L|+|R| rows through
-  *     one shuffle) vs the naive phrasing (per-key inequality join,
-  *     |L_k|·|R_k| intermediate rows per key, then keep-latest). The
-  *     gap must WIDEN with per-key density — events' user space is
-  *     fixed across scale points, so density grows with the factor.
-  *  2. RANGE: `Temporal.rangeJoin` (bucketized equi-join) vs the naive
-  *     keyed inequality join (Spark extracts the key equi-part and
-  *     leaves the range as a residual — per-key points×intervals
-  *     explosion before the filter).
-  *  3. OVERLAP: `Temporal.intervalOverlapJoin` (claim trick) vs the
-  *     naive per-key session×session cross.
+  * Two regimes per scale point, because the naive phrasings' cost is a
+  * per-key product, not a row count:
   *
-  * Every pair also cross-checks row count + a value hash so the cheap
-  * plan is proven answer-identical to the naive one at each point.
+  *  - `spread`: the natural user axis (15,000 keys). Per-key products
+  *    are small, so Spark's own plan for the naive inequality join — a
+  *    sort-merge join with the range as residual (plus AQE flips to
+  *    broadcast forms at small sizes) — is competitive or better; the
+  *    bucketized rewrite pays explode+shuffle for nothing.
+  *  - `dense50`: the same data on `user_id % 50` (50 hot keys, the
+  *    few-hot-keys / keyless end of the spectrum). Per-key products
+  *    explode quadratically and the bucketized equi-join's bounded
+  *    per-bucket work must win — this is the regime the operators
+  *    exist for.
+  *
+  * AS-OF has no regime split: the union-window form is one shuffle of
+  * |L|+|R| rows regardless of key density, while the naive join
+  * explodes with density — the gap must widen with the factor.
+  *
+  * Every pair cross-checks row count + a value hash so the cheap plan
+  * is proven answer-identical to the naive one at each point.
   * 30-minute sessions (not q83's 8h) so interval COUNT per key grows
   * with density — the regime the bucketing exists for.
   *
@@ -32,7 +39,7 @@ object TemporalStudy {
       else Seq("scaledata/sf0.1", "scaledata/sf1", "scaledata/sf3")
     val spark = GraftSession.builder("temporal-study",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     val cpu = new java.util.concurrent.atomic.LongAdder
     spark.sparkContext.addSparkListener(
@@ -54,7 +61,9 @@ object TemporalStudy {
       var out: (Long, Long) = (0L, 0L)
       for (_ <- 1 to 2) {
         quiesce(); val c0 = cpu.sum()
-        val r = df.agg(count(lit(1)), sum(xxhash64(col(hashCol)))).collect()(0)
+        // modular hash so the ANSI-mode sum can't overflow long
+        val r = df.agg(count(lit(1)),
+          sum(pmod(xxhash64(col(hashCol)), lit(1000000007L)))).collect()(0)
         quiesce(); val c1 = cpu.sum()
         best = math.min(best, (c1 - c0) / 1e9)
         out = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -63,10 +72,26 @@ object TemporalStudy {
     }
 
     val GAP = 1800L * 1000000L
-    println(f"${"point"}%-14s ${"pair"}%-10s ${"operator"}%9s ${"naive"}%9s  rows      agree")
+    println(f"${"point"}%-10s ${"pair"}%-16s ${"operator"}%9s ${"naive"}%9s  rows      agree")
+
+    def row(point: String, pair: String, op: (Double, (Long, Long)),
+        naive: (Double, (Long, Long))): Unit =
+      println(f"$point%-10s $pair%-16s ${op._1}%8.2fs ${naive._1}%8.2fs  ${op._2._1}%-9d ${op._2 == naive._2}")
+
+    // JIT/codegen warm-up so the first measured pair isn't inflated.
+    spark.range(1000000).agg(sum(pmod(xxhash64(col("id")), lit(97L)))).collect()
+
     for (dir <- dirs) {
-      val ev = spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      val point = dir.split('/').last
+      // Same ts branching as Tables.events: scaledata stores BIGINT nanos.
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ev = raw.withColumn("ts",
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz")
+          case _ => col("ts").cast("timestamp_ntz")
+        })
+
       val purchases = ev.filter(col("event_type") === "purchase")
         .select("user_id", "event_id", "ts")
       val views = ev.filter(col("event_type") === "view")
@@ -74,10 +99,10 @@ object TemporalStudy {
           col("event_id").as("view_id"))
 
       // -- as-of ------------------------------------------------------
-      val (aCpu, aOut) = measure(
+      val asofOp = measure(
         Temporal.asOfJoin(purchases, views, Seq("user_id"), "ts", "view_ts",
           rightVals = Seq("view_id"), tieBreak = Seq("view_id")), "view_id")
-      val (nCpu, nOut) = measure({
+      val asofNv = measure({
         val j = purchases.join(views,
           purchases("user_id") === views("user_id") && views("view_ts") <= purchases("ts"),
           "left")
@@ -87,45 +112,50 @@ object TemporalStudy {
         j.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
           .select(purchases("user_id"), col("event_id"), col("view_id"))
       }, "view_id")
-      println(f"${dir.split('/').last}%-14s ${"asof"}%-10s $aCpu%8.2fs $nCpu%8.2fs  ${aOut._1}%-9d ${aOut == nOut}")
+      row(point, "asof", asofOp, asofNv)
 
-      // -- range ------------------------------------------------------
-      val nav = ev.filter(col("event_type").isin("view", "click"))
-      val sessions = Temporal.sessionIntervals(nav, Seq("user_id"), "ts", GAP,
-        tieBreak = Seq("event_id"))
-      val (rCpu, rOut) = measure(
-        Temporal.rangeJoin(purchases, sessions, Seq("user_id"), "ts",
-          "session_start", "session_end", bucketWidth = GAP,
-          maxBucketsPerInterval = 4096), "session_seq")
-      val (rnCpu, rnOut) = measure({
-        val s = sessions.withColumnRenamed("user_id", "s_uid")
-        purchases.join(s,
-          purchases("user_id") === s("s_uid") &&
-            s("session_start") <= purchases("ts") &&
-            purchases("ts") <= s("session_end"), "inner")
-          .select(purchases("user_id"), col("event_id"), col("session_seq"))
-      }, "session_seq")
-      println(f"${dir.split('/').last}%-14s ${"range"}%-10s $rCpu%8.2fs $rnCpu%8.2fs  ${rOut._1}%-9d ${rOut == rnOut}")
+      // -- range + overlap, both regimes ------------------------------
+      for (dense <- Seq(false, true)) {
+        val tag = if (dense) "dense50" else "spread"
+        def rekey(df: DataFrame): DataFrame =
+          if (dense) df.withColumn("user_id", pmod(col("user_id"), lit(50L))) else df
 
-      // -- overlap ----------------------------------------------------
-      def sess(kind: String, p: String) =
-        Temporal.sessionIntervals(ev.filter(col("event_type") === kind),
-            Seq("user_id"), "ts", GAP, tieBreak = Seq("event_id"))
-          .select(col("user_id"), col("session_seq").as(s"${p}_seq"),
-            col("session_start").as(s"${p}_start"), col("session_end").as(s"${p}_end"))
-      val vs = sess("view", "v")
-      val cs = sess("click", "c")
-      val (oCpu, oOut) = measure(
-        Temporal.intervalOverlapJoin(vs, cs, Seq("user_id"),
-          "v_start", "v_end", "c_start", "c_end",
-          bucketWidth = GAP, maxBucketsPerInterval = 4096), "c_seq")
-      val (onCpu, onOut) = measure({
-        val c2 = cs.withColumnRenamed("user_id", "c_uid")
-        vs.join(c2, vs("user_id") === c2("c_uid") &&
-            vs("v_start") <= c2("c_end") && c2("c_start") <= vs("v_end"), "inner")
-          .select(vs("user_id"), col("v_seq"), col("c_seq"))
-      }, "c_seq")
-      println(f"${dir.split('/').last}%-14s ${"overlap"}%-10s $oCpu%8.2fs $onCpu%8.2fs  ${oOut._1}%-9d ${oOut == onOut}")
+        val nav = rekey(ev.filter(col("event_type").isin("view", "click")))
+        val sessions = Temporal.sessionIntervals(nav, Seq("user_id"), "ts", GAP,
+          tieBreak = Seq("event_id"))
+        val pts = rekey(purchases)
+        val rangeOp = measure(
+          Temporal.rangeJoin(pts, sessions, Seq("user_id"), "ts",
+            "session_start", "session_end", bucketWidth = GAP), "session_seq")
+        val rangeNv = measure({
+          val s = sessions.withColumnRenamed("user_id", "s_uid")
+          pts.join(s,
+            pts("user_id") === s("s_uid") &&
+              s("session_start") <= pts("ts") &&
+              pts("ts") <= s("session_end"), "inner")
+            .select(pts("user_id"), col("event_id"), col("session_seq"))
+        }, "session_seq")
+        row(point, s"range/$tag", rangeOp, rangeNv)
+
+        def sess(kind: String, p: String) =
+          Temporal.sessionIntervals(rekey(ev.filter(col("event_type") === kind)),
+              Seq("user_id"), "ts", GAP, tieBreak = Seq("event_id"))
+            .select(col("user_id"), col("session_seq").as(s"${p}_seq"),
+              col("session_start").as(s"${p}_start"), col("session_end").as(s"${p}_end"))
+        val vs = sess("view", "v")
+        val cs = sess("click", "c")
+        val ovOp = measure(
+          Temporal.intervalOverlapJoin(vs, cs, Seq("user_id"),
+            "v_start", "v_end", "c_start", "c_end",
+            bucketWidth = GAP, maxBucketsPerInterval = 4096), "c_seq")
+        val ovNv = measure({
+          val c2 = cs.withColumnRenamed("user_id", "c_uid")
+          vs.join(c2, vs("user_id") === c2("c_uid") &&
+              vs("v_start") <= c2("c_end") && c2("c_start") <= vs("v_end"), "inner")
+            .select(vs("user_id"), col("v_seq"), col("c_seq"))
+        }, "c_seq")
+        row(point, s"overlap/$tag", ovOp, ovNv)
+      }
     }
     spark.stop()
   }

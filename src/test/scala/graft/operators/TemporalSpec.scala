@@ -82,6 +82,59 @@ class TemporalSpec extends SparkSpec {
     assert(got2.collect().head.isNullAt(2))
   }
 
+  test("asOfJoin forward/nearest match their naive phrasings") {
+    val left = L((1L, 100L), (1L, 200L), (1L, 300L), (2L, 150L), (3L, 10L))
+    val right = R((1L, 100L, "a"), (1L, 250L, "b"), (1L, 120L, "c"),
+      (2L, 150L, "d"), (2L, 90L, "e"))
+
+    def naive(dirn: String, inc: Boolean): DataFrame = {
+      val fits = dirn match {
+        case "forward" => if (inc) right("rts") >= left("lts") else right("rts") > left("lts")
+        case _ => lit(true) // nearest: any side (strictness below)
+      }
+      val strictOk = if (inc) lit(true) else right("rts") =!= left("lts")
+      val j = left.join(right, left("k") === right("k") && fits && strictOk, "left")
+        .select(left("k"), left("lts"), right("rts"), right("v"))
+      val dist = abs(col("rts") - col("lts"))
+      val backPref = when(col("rts") <= col("lts"), 0).otherwise(1)
+      val order = dirn match {
+        case "forward" => Seq(col("rts").asc_nulls_last, col("v").desc_nulls_last)
+        case "nearest" => Seq(dist.asc_nulls_last, backPref.asc, col("v").desc_nulls_last)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k", "lts").orderBy(order: _*)
+      j.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("k"), col("lts"), col("rts").as("m_rts"), col("v").as("m_v"))
+    }
+    for (dirn <- Seq("forward", "nearest"); inc <- Seq(true, false)) {
+      val got = Temporal.asOfJoin(left, right, Seq("k"), "lts", "rts",
+        rightVals = Seq("rts", "v"), tieBreak = Seq("v"), inclusive = inc,
+        direction = dirn)
+        .withColumnRenamed("rts", "m_rts").withColumnRenamed("v", "m_v")
+      assertSameRows(got, naive(dirn, inc))
+    }
+  }
+
+  test("asOfJoin nearest: exact distance tie prefers the backward match") {
+    val left = L((1L, 100L))
+    val right = R((1L, 90L, "back"), (1L, 110L, "fwd"))
+    val got = Temporal.asOfJoin(left, right, Seq("k"), "lts", "rts",
+      rightVals = Seq("v"), direction = "nearest").collect()
+    assert(got.head.getString(2) == "back")
+  }
+
+  test("asOfJoin forward: tolerance bounds the look-ahead") {
+    val left = L((1L, 1000L))
+    val right = R((1L, 1400L, "near"), (1L, 9000L, "far"))
+    val got = Temporal.asOfJoin(left, right, Seq("k"), "lts", "rts",
+      rightVals = Seq("v"), direction = "forward", toleranceMicros = Some(500L))
+    assert(got.collect().head.getString(2) == "near")
+    val none = Temporal.asOfJoin(left,
+      right.filter(col("v") === "far"), Seq("k"), "lts", "rts",
+      rightVals = Seq("v"), direction = "forward", toleranceMicros = Some(500L))
+    assert(none.collect().head.isNullAt(2))
+  }
+
   test("asOfJoin: colliding right value names take the suffix") {
     val left = Seq((1L, 100L, "mine")).toDF("k", "lts", "v")
     val right = R((1L, 50L, "theirs"))
@@ -128,7 +181,8 @@ class TemporalSpec extends SparkSpec {
     val iv = Seq((1L, 0L, 1000000L, "wide"), (1L, 4990L, 5010L, "narrow"))
       .toDF("k", "lo", "hi", "tag")
     // width 16 → the "wide" interval covers 62k buckets >> 256 cap.
-    val got = Temporal.rangeJoin(points, iv, Seq("k"), "p", "lo", "hi", bucketWidth = 16L)
+    val got = Temporal.rangeJoin(points, iv, Seq("k"), "p", "lo", "hi",
+      bucketWidth = 16L, maxBucketsPerInterval = Some(256))
     assertSameRows(got, naiveRange(points, iv, inclusiveHi = true))
   }
 
