@@ -50,16 +50,25 @@ object TemporalStudy {
           if (m != null) cpu.add(m.executorCpuTime)
         }
       })
+    // The listener bus delivers task-end events in bursts with pauses
+    // between flushes; breaking on the FIRST quiet 50 ms interval lets a
+    // big cell's tail CPU bleed into the next cell (measured: adjacent
+    // cells swapping 10× values between idle runs). Require sustained
+    // silence instead.
     def quiesce(): Unit = {
-      var prev = -1L; var spins = 0
-      while (prev != cpu.sum() && spins < 40) { prev = cpu.sum(); Thread.sleep(50); spins += 1 }
+      var prev = cpu.sum(); var quiet = 0; var spins = 0
+      while (quiet < 20 && spins < 1200) {
+        Thread.sleep(100); spins += 1
+        val now = cpu.sum()
+        if (now == prev) quiet += 1 else { quiet = 0; prev = now }
+      }
     }
     /** min-of-2 CPU core-seconds for one consuming action; returns
       * (cpuS, (rows, hash)) so callers can assert answer equality. */
     def measure(df: => DataFrame, hashCol: String): (Double, (Long, Long)) = {
       var best = Double.MaxValue
       var out: (Long, Long) = (0L, 0L)
-      for (_ <- 1 to 2) {
+      for (_ <- 1 to 3) {
         quiesce(); val c0 = cpu.sum()
         // modular hash so the ANSI-mode sum can't overflow long
         val r = df.agg(count(lit(1)),
@@ -114,15 +123,41 @@ object TemporalStudy {
       }, "view_id")
       row(point, "asof", asofOp, asofNv)
 
+      // -- keyless range (sf0.1 only): naive = true nested loop -------
+      if (point == "sf0.1") {
+        val nav0 = ev.filter(col("event_type").isin("view", "click"))
+        val sess0 = Temporal.sessionIntervals(nav0, Seq("user_id"), "ts", GAP,
+            tieBreak = Seq("event_id"))
+          .select("session_start", "session_end", "n_events")
+        val pts0 = purchases.select("event_id", "ts")
+        val klOp = measure(
+          Temporal.rangeJoin(pts0, sess0, Nil, "ts",
+            "session_start", "session_end", bucketWidth = GAP), "event_id")
+        val klNv = measure(
+          pts0.join(sess0,
+            sess0("session_start") <= pts0("ts") &&
+              pts0("ts") <= sess0("session_end"), "inner")
+            .select(pts0("event_id"), col("n_events")), "event_id")
+        row(point, "range/keyless", klOp, klNv)
+      }
+
       // -- range + overlap, both regimes ------------------------------
-      for (dense <- Seq(false, true)) {
+      // Dense regime stops at sf1: its naive arm is ~2e10 residual pairs
+      // at sf3 (hours of CPU to measure a foregone conclusion).
+      for (dense <- Seq(false, true) if !dense || point != "sf3") {
         val tag = if (dense) "dense50" else "spread"
+        // Dense regime: sessions are built PER USER and only the join
+        // key is coarsened afterwards — the realistic "many overlapping
+        // windows share one key-class" shape. (Coarsening before
+        // sessionization would interleave 300 users' events into one
+        // giant merged session per key and collapse the very per-key
+        // interval count the regime exists to inflate.)
         def rekey(df: DataFrame): DataFrame =
           if (dense) df.withColumn("user_id", pmod(col("user_id"), lit(50L))) else df
 
-        val nav = rekey(ev.filter(col("event_type").isin("view", "click")))
-        val sessions = Temporal.sessionIntervals(nav, Seq("user_id"), "ts", GAP,
-          tieBreak = Seq("event_id"))
+        val nav = ev.filter(col("event_type").isin("view", "click"))
+        val sessions = rekey(Temporal.sessionIntervals(nav, Seq("user_id"), "ts", GAP,
+          tieBreak = Seq("event_id")))
         val pts = rekey(purchases)
         val rangeOp = measure(
           Temporal.rangeJoin(pts, sessions, Seq("user_id"), "ts",
@@ -138,8 +173,8 @@ object TemporalStudy {
         row(point, s"range/$tag", rangeOp, rangeNv)
 
         def sess(kind: String, p: String) =
-          Temporal.sessionIntervals(rekey(ev.filter(col("event_type") === kind)),
-              Seq("user_id"), "ts", GAP, tieBreak = Seq("event_id"))
+          rekey(Temporal.sessionIntervals(ev.filter(col("event_type") === kind),
+              Seq("user_id"), "ts", GAP, tieBreak = Seq("event_id")))
             .select(col("user_id"), col("session_seq").as(s"${p}_seq"),
               col("session_start").as(s"${p}_start"), col("session_end").as(s"${p}_end"))
         val vs = sess("view", "v")

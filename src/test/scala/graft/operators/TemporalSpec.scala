@@ -194,6 +194,45 @@ class TemporalSpec extends SparkSpec {
     assert(got.map(_.getString(3)).toSeq == Seq("a", "b"))
   }
 
+  test("rangeJoinAuto routes by per-key product and is answer-invariant") {
+    val points = Seq((1L, 5L), (1L, 100L), (2L, 5L)).toDF("k", "p")
+    val iv = Seq((1L, 0L, 10L, "a"), (1L, 90L, 300L, "b"), (2L, 0L, 10L, "c"))
+      .toDF("k", "lo", "hi", "tag")
+    def hasExplode(df: DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("Generate")
+    // spread fixture: per-key product ~2 < default 1e5 → naive route
+    val spread = Temporal.rangeJoinAuto(points, iv, Seq("k"), "p", "lo", "hi",
+      bucketWidth = 16L)
+    assert(!hasExplode(spread), "spread keys must route to the naive join")
+    // forced-dense: threshold 1 → bucketized route
+    val densed = Temporal.rangeJoinAuto(points, iv, Seq("k"), "p", "lo", "hi",
+      bucketWidth = 16L, perKeyProductThreshold = 1L)
+    assert(hasExplode(densed), "above-threshold input must route to the bucketized join")
+    assertSameRows(spread, densed)
+    assertSameRows(spread,
+      Temporal.rangeJoinNaive(points, iv, Seq("k"), "p", "lo", "hi"))
+    // keyless always bucketizes (naive would be a nested loop)
+    val kl = Temporal.rangeJoinAuto(points.select("p"), iv.select("lo", "hi", "tag"),
+      Nil, "p", "lo", "hi", bucketWidth = 16L)
+    assert(hasExplode(kl), "keyless must route to the bucketized join")
+  }
+
+  test("intervalOverlapJoinAuto routes and agrees with both phrasings") {
+    val a = Seq((1L, 0L, 100L, "a1"), (2L, 0L, 10L, "a2")).toDF("k", "lo", "hi", "tag")
+    val b = Seq((1L, 50L, 250L, "b1"), (2L, 5L, 20L, "b2")).toDF("k", "lo", "hi", "tag")
+    def hasExplode(df: DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("Generate")
+    val spread = Temporal.intervalOverlapJoinAuto(a, b, Seq("k"),
+      "lo", "hi", "lo", "hi", bucketWidth = 64L)
+    assert(!hasExplode(spread))
+    val densed = Temporal.intervalOverlapJoinAuto(a, b, Seq("k"),
+      "lo", "hi", "lo", "hi", bucketWidth = 64L, perKeyProductThreshold = 1L)
+    assert(hasExplode(densed))
+    assertSameRows(spread, densed)
+    assertSameRows(spread,
+      Temporal.intervalOverlapJoinNaive(a, b, Seq("k"), "lo", "hi", "lo", "hi"))
+  }
+
   test("intervalOverlapJoin: each overlapping pair exactly once, matches naive") {
     val a = Seq((1L, 0L, 100L, "a1"), (1L, 200L, 300L, "a2"), (2L, 0L, 10L, "a3"))
       .toDF("k", "lo", "hi", "tag")
