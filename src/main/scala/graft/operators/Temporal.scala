@@ -378,6 +378,63 @@ object Temporal {
       .select(outCols: _*)
   }
 
+  /** Downsample to a fixed time grid with forward-fill: per `keys`
+    * group, aggregate `valueCol` into `gridMicros`-wide cells (mean of
+    * observations in the cell, plus their count), emit EVERY grid cell
+    * between the key's first and last observation, and fill empty
+    * cells with the last observed cell's mean (LOCF — the standard
+    * resample→ffill time-series idiom; `n_obs = 0` marks filled rows).
+    *
+    * Output: keys, `grid_ts` (cell start as long micros), `value`
+    * (cell mean, forward-filled), `n_obs`.
+    *
+    * Plan: one groupBy on (keys, cell) — a single shuffle; the dense
+    * grid is an `explode(sequence(cell, next_cell_before_gap))` over
+    * the AGGREGATED rows (one row per observed cell, so the explode
+    * input is already small), and the fill is algebraic — each
+    * observed cell carries its own value forward to the cells it
+    * generates, so no second window pass and no second shuffle for the
+    * LOCF itself. Explode fan-out equals the gap length in cells; a
+    * corpus with month-long per-key silences at second-level grids
+    * should pick a coarser grid (same contract as [[rangeJoin]]'s
+    * bucket width). Null keys/times/values drop, as in the SQL oracle
+    * phrasing.
+    */
+  def resampleLocf(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      gridMicros: Long,
+      cellAgg: Option[Column] = None): DataFrame = {
+    require(keys.nonEmpty, "resampleLocf needs at least one key column")
+    require(gridMicros > 0, "gridMicros must be positive")
+    requireCols(df, (keys :+ tsCol) :+ valueCol, "input")
+    val live = ((keys :+ tsCol) :+ valueCol).foldLeft(df)((d, c) => d.filter(col(c).isNotNull))
+    // Partition by KEYS (not the groupBy's (keys, cell)): hash on keys
+    // satisfies the agg's clustering (subset rule) AND the LOCF
+    // window's, so the whole operator runs on one exchange.
+    val cells = live
+      .withColumn("__cell", floorDiv(micros(df, tsCol), gridMicros))
+      .repartition(keys.map(col): _*)
+      .groupBy(keys.map(col) :+ col("__cell"): _*)
+      // default mean; oracle-exact callers pass a decimal-accumulated
+      // form (the q86 phrasing) so Spark and DuckDB agree bitwise
+      .agg(cellAgg.getOrElse(avg(col(valueCol))).as("__mean"),
+        count(lit(1)).as("__n"))
+    // Each observed cell owns the grid span up to (not including) the
+    // next observed cell: emit itself plus its forward-filled shadow.
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__cell"))
+    cells
+      .withColumn("__next", lead(col("__cell"), 1).over(w))
+      .withColumn("__g", explode(sequence(col("__cell"),
+        coalesce(col("__next") - 1, col("__cell")))))
+      .select(keys.map(col) ++ Seq(
+        (col("__g") * gridMicros).as("grid_ts"),
+        col("__mean").as("value"),
+        when(col("__g") === col("__cell"), col("__n")).otherwise(lit(0L)).as("n_obs")): _*)
+  }
+
   /** The plain inequality-join phrasing of [[rangeJoin]] — the route
     * for WELL-SPREAD keys (measured 2–3× cheaper than bucketizing
     * there, SCALING.md r10): an equi-join on `keys` with the range as

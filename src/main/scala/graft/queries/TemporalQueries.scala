@@ -106,11 +106,27 @@ object TemporalQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** RESAMPLE + LOCF — per-user daily mean of event `value`, every day
+    * between a user's first and last event, gaps forward-filled
+    * (`n_obs = 0` marks the filled days). The mean is
+    * decimal-accumulated then divided as double so Spark and DuckDB
+    * agree bitwise (ParityQueries' determinism rule). */
+  val q86ResampleLocf: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val day = 86400L * 1000000L
+    val exactMean = sum(col("value").cast("decimal(18,6)")).cast("double") /
+      count(lit(1)).cast("double")
+    Temporal.resampleLocf(t.events, Seq("user_id"), "ts", "value", day,
+        cellAgg = Some(exactMean))
+      .orderBy("user_id", "grid_ts")
+  }
+
   val all: Map[String, Q] = Map(
     "q82_asof_enrich" -> q82AsofEnrich,
     "q83_session_range" -> q83SessionRange,
     "q84_overlap_pairs" -> q84OverlapPairs,
-    "q85_asof_nearest" -> q85AsofNearest)
+    "q85_asof_nearest" -> q85AsofNearest,
+    "q86_resample_locf" -> q86ResampleLocf)
 
   /** Shared oracle CTE: gap-sessionization of one event_type stratum
     * (the SQL twin of [[Temporal.sessionIntervals]]). */
@@ -175,5 +191,25 @@ object TemporalQueries {
          |    epoch_us(GREATEST(v.session_start, c.session_start)) AS overlap_us
          |FROM vs v JOIN cs c ON v.user_id = c.user_id
          |  AND v.session_start <= c.session_end AND c.session_start <= v.session_end
-         |ORDER BY 1, 2, 3""".stripMargin)
+         |ORDER BY 1, 2, 3""".stripMargin,
+    "q86_resample_locf" ->
+      """WITH cells AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS cell,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_v,
+        |    COUNT(*) AS n
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT user_id, cell, mean_v, n,
+        |    LEAD(cell) OVER (PARTITION BY user_id ORDER BY cell) AS next_cell
+        |  FROM cells),
+        |series AS (
+        |  SELECT UNNEST(generate_series((SELECT MIN(cell) FROM cells),
+        |                                (SELECT MAX(cell) FROM cells))) AS g)
+        |SELECT user_id, g * 86400000000 AS grid_ts, mean_v AS value,
+        |  CASE WHEN g = cell THEN n ELSE CAST(0 AS BIGINT) END AS n_obs
+        |FROM spans JOIN series
+        |  ON g BETWEEN cell AND COALESCE(next_cell - 1, cell)
+        |ORDER BY user_id, grid_ts""".stripMargin)
 }

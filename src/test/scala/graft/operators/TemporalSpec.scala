@@ -258,6 +258,40 @@ class TemporalSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("resampleLocf: grid coverage, cell means, forward-fill, one exchange") {
+    // key 1: cells 0 (two obs) and 3 (one obs) → grid rows 0,1,2,3 with
+    // LOCF from cell 0 over the 1,2 gap; key 2: a single cell.
+    val df = Seq(
+      (1L, 5L, 10.0), (1L, 9L, 30.0), (1L, 35L, 7.0),
+      (2L, 12L, 1.0)
+    ).toDF("k", "ts", "v")
+    val got = Temporal.resampleLocf(df, Seq("k"), "ts", "v", gridMicros = 10L)
+      .orderBy("k", "grid_ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 20.0, 2L), (1L, 10L, 20.0, 0L), (1L, 20L, 20.0, 0L),
+      (1L, 30L, 7.0, 1L), (2L, 10L, 1.0, 1L)))
+
+    val plan = Temporal.resampleLocf(df, Seq("k"), "ts", "v", 10L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"resampleLocf must be one shuffle, got $exchanges:\n$plan")
+  }
+
+  test("resampleLocf: null keys/ts/values drop; custom cell aggregate applies") {
+    val df = Seq(
+      (Option(1L), Option(5L), Option(2.0)),
+      (Option(1L), Option(6L), Option(4.0)),
+      (Option.empty[Long], Option(7L), Option(9.0)),
+      (Option(1L), Option.empty[Long], Option(9.0)),
+      (Option(1L), Option(8L), Option.empty[Double])
+    ).toDF("k", "ts", "v")
+    val got = Temporal.resampleLocf(df, Seq("k"), "ts", "v", 10L,
+      cellAgg = Some(max(col("v")))).collect()
+    assert(got.length == 1)
+    assert(got.head.getDouble(2) == 4.0 && got.head.getLong(3) == 2L)
+  }
+
   test("asOfJoin is the batch twin of the q20 window phrasing on real events") {
     val t = graft.Tables(spark, "/root/testdata/sf0.001")
     val ev = t.events
