@@ -106,6 +106,28 @@ object TemporalQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** RANGE JOIN, routed front door — same answer as q83 by
+    * construction, but through [[Temporal.rangeJoinAuto]]: the events
+    * fixture's per-key pair product (~10²) sits far below the routing
+    * threshold, so this exercises the estimator + the NAIVE route
+    * end-to-end under the oracle (q83 keeps the explicit bucketized
+    * route; `TemporalSpec` pins that both routes agree and when each
+    * fires). */
+  val q87RangeAuto: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val ev = t.events
+    val nav = ev.filter(col("event_type").isin("view", "click"))
+    val sessions = Temporal.sessionIntervals(nav, Seq("user_id"), "ts", GAP_US,
+      tieBreak = Seq("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    Temporal.rangeJoinAuto(purchases, sessions, Seq("user_id"), "ts",
+        "session_start", "session_end", bucketWidth = GAP_US)
+      .select("user_id", "event_id", "ts", "session_seq",
+        "session_start", "session_end", "n_events")
+      .orderBy("user_id", "event_id", "session_seq")
+  }
+
   /** RESAMPLE + LOCF — per-user daily mean of event `value`, every day
     * between a user's first and last event, gaps forward-filled
     * (`n_obs = 0` marks the filled days). The mean is
@@ -126,7 +148,8 @@ object TemporalQueries {
     "q83_session_range" -> q83SessionRange,
     "q84_overlap_pairs" -> q84OverlapPairs,
     "q85_asof_nearest" -> q85AsofNearest,
-    "q86_resample_locf" -> q86ResampleLocf)
+    "q86_resample_locf" -> q86ResampleLocf,
+    "q87_range_auto" -> q87RangeAuto)
 
   /** Shared oracle CTE: gap-sessionization of one event_type stratum
     * (the SQL twin of [[Temporal.sessionIntervals]]). */
@@ -145,6 +168,17 @@ object TemporalQueries {
        |          PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
        |      FROM events WHERE event_type IN ($types)))
        |  GROUP BY user_id, session_seq""".stripMargin
+
+  private lazy val sessionRangeSql: String =
+    s"""WITH sess AS (
+       |${sessSql("'view', 'click'")})
+       |SELECT p.user_id, p.event_id, p.ts, s.session_seq,
+       |  s.session_start, s.session_end, s.n_events
+       |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+       |      WHERE event_type = 'purchase') p
+       |JOIN sess s ON s.user_id = p.user_id
+       |  AND s.session_start <= p.ts AND p.ts <= s.session_end
+       |ORDER BY p.user_id, p.event_id, s.session_seq""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q82_asof_enrich" ->
@@ -171,16 +205,10 @@ object TemporalQueries {
         |           (ee.ts <= s.ts) DESC, ee.event_id DESC
         |  LIMIT 1) e ON TRUE
         |ORDER BY s.user_id, s.event_id""".stripMargin,
-    "q83_session_range" ->
-      s"""WITH sess AS (
-         |${sessSql("'view', 'click'")})
-         |SELECT p.user_id, p.event_id, p.ts, s.session_seq,
-         |  s.session_start, s.session_end, s.n_events
-         |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
-         |      WHERE event_type = 'purchase') p
-         |JOIN sess s ON s.user_id = p.user_id
-         |  AND s.session_start <= p.ts AND p.ts <= s.session_end
-         |ORDER BY p.user_id, p.event_id, s.session_seq""".stripMargin,
+    "q83_session_range" -> sessionRangeSql,
+    // q87 routes the same join through the auto front door — the SQL
+    // contract is identical by construction.
+    "q87_range_auto" -> sessionRangeSql,
     "q84_overlap_pairs" ->
       s"""WITH vs AS (
          |${sessSql("'view'")}),
