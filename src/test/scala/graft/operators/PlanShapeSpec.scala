@@ -463,11 +463,15 @@ class PlanShapeSpec extends SparkSpec {
   test("asOfJoin is one shuffle — a single hash exchange on the key, no join node") {
     val left = Seq((1L, 100L, "p")).toDF("k", "lts", "pay")
     val right = Seq((1L, 50L, 0.5)).toDF("k", "rts", "v")
-    val plan = physicalPlan(Temporal.asOfJoin(
-      left, right, Seq("k"), "lts", "rts", rightVals = Seq("v")))
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$plan")
-    assert(!plan.contains("Join"), s"union-window as-of must not plan a join:\n$plan")
+    for (dirn <- Seq("backward", "forward", "nearest")) {
+      val plan = physicalPlan(Temporal.asOfJoin(
+        left, right, Seq("k"), "lts", "rts", rightVals = Seq("v"),
+        direction = dirn))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"$dirn: expected exactly 1 hash exchange, got $exchanges:\n$plan")
+      assert(!plan.contains("Join"), s"$dirn: union-window as-of must not plan a join:\n$plan")
+    }
   }
 
   test("keyed rangeJoin and intervalOverlapJoin stay equi-join-shaped") {
