@@ -107,7 +107,51 @@ object TemporalStudy {
         .select(col("user_id"), col("ts").as("view_ts"),
           col("event_id").as("view_id"))
 
+      // Optional cell filter for targeted reruns:
+      //   TEMPORAL_STUDY_CELLS=resample Test/runMain graft.TemporalStudy
+      val cellFilter = sys.env.get("TEMPORAL_STUDY_CELLS").map(_.split(",").toSet)
+      def want(name: String): Boolean = cellFilter.forall(_.exists(name.startsWith))
+
+      // -- resample + LOCF -------------------------------------------
+      // Operator (algebraic fill: observed cells explode over the span
+      // they own — one exchange, no LOCF window) vs the textbook
+      // phrasing (dense grid per key, left-join observed cells, then a
+      // last(ignoreNulls) window — an extra join + window pass).
+      // Cross-check hashes n_obs (exact long), not the mean: double avg
+      // is not associative and the two arms aggregate under different
+      // partitionings, so means differ in the last ULP (the reason q86
+      // uses a decimal-exact mean); value equality is TemporalSpec's
+      // job on exact fixtures.
+      if (want("resample")) {
+        val day = 86400L * 1000000L
+        val rsOp = measure(
+          Temporal.resampleLocf(ev, Seq("user_id"), "ts", "value", day), "n_obs")
+        val rsNv = measure({
+          val live = ev.filter(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("value").isNotNull)
+          val cells = live
+            .withColumn("cell", (unix_micros(col("ts").cast("timestamp")) / day).cast("long"))
+            .groupBy("user_id", "cell")
+            .agg(avg(col("value")).as("mean_v"), count(lit(1)).as("n"))
+          val grid = cells.groupBy("user_id")
+            .agg(min(col("cell")).as("c0"), max(col("cell")).as("c1"))
+            .withColumn("g", explode(sequence(col("c0"), col("c1"))))
+            .select("user_id", "g")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("g")
+          grid.join(cells, grid("user_id") === cells("user_id") && col("g") === col("cell"),
+              "left")
+            .select(grid("user_id"), col("g"), col("mean_v"), col("n"))
+            .withColumn("value", last(col("mean_v"), ignoreNulls = true).over(w))
+            .withColumn("n_obs", coalesce(col("n"), lit(0L)))
+            .select(col("user_id"), (col("g") * day).as("grid_ts"), col("value"),
+              col("n_obs"))
+        }, "n_obs")
+        row(point, "resample", rsOp, rsNv)
+      }
+
       // -- as-of ------------------------------------------------------
+      if (want("asof")) {
       val asofOp = measure(
         Temporal.asOfJoin(purchases, views, Seq("user_id"), "ts", "view_ts",
           rightVals = Seq("view_id"), tieBreak = Seq("view_id")), "view_id")
@@ -122,9 +166,10 @@ object TemporalStudy {
           .select(purchases("user_id"), col("event_id"), col("view_id"))
       }, "view_id")
       row(point, "asof", asofOp, asofNv)
+      }
 
       // -- keyless range (sf0.1 only): naive = true nested loop -------
-      if (point == "sf0.1") {
+      if (want("range") && point == "sf0.1") {
         val nav0 = ev.filter(col("event_type").isin("view", "click"))
         val sess0 = Temporal.sessionIntervals(nav0, Seq("user_id"), "ts", GAP,
             tieBreak = Seq("event_id"))
@@ -159,6 +204,7 @@ object TemporalStudy {
         val sessions = rekey(Temporal.sessionIntervals(nav, Seq("user_id"), "ts", GAP,
           tieBreak = Seq("event_id")))
         val pts = rekey(purchases)
+        if (want("range")) {
         val rangeOp = measure(
           Temporal.rangeJoin(pts, sessions, Seq("user_id"), "ts",
             "session_start", "session_end", bucketWidth = GAP), "session_seq")
@@ -171,7 +217,9 @@ object TemporalStudy {
             .select(pts("user_id"), col("event_id"), col("session_seq"))
         }, "session_seq")
         row(point, s"range/$tag", rangeOp, rangeNv)
+        }
 
+        if (!want("overlap")) () else {
         def sess(kind: String, p: String) =
           rekey(Temporal.sessionIntervals(ev.filter(col("event_type") === kind),
               Seq("user_id"), "ts", GAP, tieBreak = Seq("event_id")))
@@ -190,6 +238,7 @@ object TemporalStudy {
             .select(vs("user_id"), col("v_seq"), col("c_seq"))
         }, "c_seq")
         row(point, s"overlap/$tag", ovOp, ovNv)
+        }
       }
     }
     spark.stop()
