@@ -38,6 +38,31 @@ object StreamingIngest {
   def enrichStream(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Stream-static RANGE enrich: assign each streaming point row to the
+    * static interval(s) containing it — the streaming twin of
+    * [[graft.operators.Temporal.rangeJoin]], and it IS that operator:
+    * the bucketized rewrite is stateless on the points side (one
+    * derived bucket column, then a stream-static equi-join on
+    * (keys, bucket) + an exact filter), so the batch plan runs
+    * unchanged on an unbounded stream — no watermark, no state store,
+    * exact batch equivalence regardless of micro-batch chunking
+    * (proven on the real events slice in `StreamingIngestSpec`). The
+    * naive inequality phrasing would instead be rejected or forced
+    * stateful by structured streaming — the bucketization is what
+    * makes the operator streamable at all.
+    *
+    * Persist/cache `intervals`: a stream-static join re-evaluates the
+    * static plan every micro-batch, so hand this method a parquet- or
+    * cache-backed relation, not a freshly-derived one (same contract
+    * as the screen streams). */
+  def rangeEnrichStream(stream: DataFrame, intervals: DataFrame,
+      keys: Seq[String], pointCol: String, loCol: String, hiCol: String,
+      bucketWidth: Long, inclusiveHi: Boolean = true,
+      suffix: String = "_i"): DataFrame =
+    graft.operators.Temporal.rangeJoin(stream, intervals, keys, pointCol,
+      loCol, hiCol, bucketWidth, maxBucketsPerInterval = None,
+      inclusiveHi = inclusiveHi, suffix = suffix)
+
   /** Windowed per-key counts with a watermark: the streaming form of the
     * engine's event-window aggregation (q19); state for a window is
     * dropped once the watermark passes its end. */

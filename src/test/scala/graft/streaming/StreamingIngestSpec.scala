@@ -1157,4 +1157,56 @@ class StreamingIngestSpec extends SparkSpec {
     assert(probe.select("neighbor_id").collect().map(_.getLong(0)).toSeq
       == Seq(201L), "the compacted index still answers the screen probe")
   }
+
+  test("streaming range enrich matches the batch range join on the real events slice") {
+    // The q83 shape with the points side streamed: purchases dropped as
+    // csv chunks, statically range-joined into the browse sessions of
+    // the same slice. rangeEnrichStream is stateless per point row, so
+    // — unlike sessionization — ANY chunking must match batch exactly,
+    // with no finality caveat; the chunks here are deliberately split
+    // round-robin (NOT time-contiguous) to prove order independence.
+    val dir = "/root/testdata/sf0.001"
+    val gapUs = 28800L * 1000000L
+    val drop = tmp("graft-rangeq83-drop")
+    val out = tmp("graft-rangeq83-out")
+    val ckpt = tmp("graft-rangeq83-ckpt")
+
+    val ev = graft.Tables(spark, dir).events
+    val sessions = graft.operators.Temporal.sessionIntervals(
+        ev.filter(col("event_type").isin("view", "click")),
+        Seq("user_id"), "ts", gapUs, tieBreak = Seq("event_id"))
+      .cache() // stream-static contract: cache the static side
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+
+    purchases
+      .withColumn("ts", date_format(col("ts").cast("timestamp"),
+        "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .withColumn("chunk", pmod(col("event_id"), lit(3L))) // round-robin
+      .repartition(1)
+      .write.partitionBy("chunk").option("header", "true").csv(s"$drop/files")
+
+    val stream = spark.readStream
+      .option("header", "true").option("maxFilesPerTrigger", 1)
+      .schema("user_id LONG, event_id LONG, ts TIMESTAMP")
+      .csv(s"$drop/files/chunk=*")
+    val enriched = StreamingIngest.rangeEnrichStream(stream, sessions,
+      Seq("user_id"), "ts", "session_start", "session_end", bucketWidth = gapUs)
+    assert(enriched.isStreaming)
+    StreamingIngest.availableNow(enriched, out, ckpt).start().awaitTermination()
+
+    def comparable(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+      col("session_seq"),
+      unix_micros(col("session_start").cast("timestamp")).as("start_us"),
+      col("n_events"))
+    val streamed = comparable(spark.read.parquet(out))
+    val batch = comparable(graft.operators.Temporal.rangeJoin(
+      purchases, sessions, Seq("user_id"), "ts",
+      "session_start", "session_end", bucketWidth = gapUs))
+    assert(batch.count() > 0, "slice must produce real matches")
+    assertSameRows(streamed, batch)
+    sessions.unpersist()
+  }
 }
