@@ -157,7 +157,11 @@ object Temporal {
       }
     }
     val leftSide = lit(if (inclusive) 1 else 0)
-    val matched = direction match {
+    // A left row with a NULL time matches nothing in any direction.
+    // This must be explicit: under the forward pass's descending sort
+    // Spark places nulls last, so a null-time left row would otherwise
+    // see every right row as "preceding" and match the earliest one.
+    val matchedDir = direction match {
       case "backward" => pass(ascending = true)
       case "forward"  => pass(ascending = false)
       case "nearest"  =>
@@ -167,6 +171,7 @@ object Temporal {
           .when(col("__ts") - b("__rts") <= f("__rts") - col("__ts"), b)
           .otherwise(f)
     }
+    val matched = when(col("__ts").isNotNull, matchedDir)
 
     val taken = left.columns.toSet
     val outNames = rightVals.map(v => if (taken(v)) v + suffix else v)

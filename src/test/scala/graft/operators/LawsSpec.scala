@@ -360,6 +360,59 @@ class LawsSpec extends SparkSpec {
     }
   }
 
+  test("as-of law: union-window equals the naive join, all directions, adversarial inputs") {
+    // Tiny key space + tiny time range force per-key pile-ups, repeated
+    // (key, ts) left rows, equal-time right ties, and null keys/times —
+    // every edge the union-window resolution must get right. tieBreak
+    // v is unique per right row (zero-padded index) so both phrasings
+    // have a total order.
+    def world(seed: Int): (DataFrame, DataFrame) = {
+      val rnd = new Random(seed)
+      def mayNull(v: Long, p: Double): Option[Long] =
+        if (rnd.nextDouble() < p) None else Some(v)
+      val left = (0 until 40).map { i =>
+        (i.toLong, mayNull(rnd.nextInt(6).toLong, 0.05), mayNull(rnd.nextInt(30).toLong, 0.05))
+      }.toDF("lid", "k", "lts")
+      val right = (0 until 40).map { i =>
+        (mayNull(rnd.nextInt(6).toLong, 0.1), mayNull(rnd.nextInt(30).toLong, 0.1),
+          f"v$i%03d")
+      }.toDF("k", "rts", "v")
+      (left, right)
+    }
+    def naive(left: DataFrame, right: DataFrame, dirn: String, inc: Boolean,
+        tol: Option[Long]): DataFrame = {
+      val fits = dirn match {
+        case "backward" => if (inc) right("rts") <= left("lts") else right("rts") < left("lts")
+        case "forward"  => if (inc) right("rts") >= left("lts") else right("rts") > left("lts")
+        // null left time matches nothing (the strict branch's =!= gives
+        // null → excluded already; the inclusive branch must say so)
+        case "nearest"  => if (inc) left("lts").isNotNull else right("rts") =!= left("lts")
+      }
+      val dist = abs(right("rts") - left("lts"))
+      val inTol = tol.map(t => dist <= t).getOrElse(lit(true))
+      val j = left.join(right, left("k") === right("k") && fits && inTol, "left")
+        .select(left("lid"), left("k"), left("lts"), right("rts"), right("v"))
+      val order = dirn match {
+        case "backward" => Seq(col("rts").desc_nulls_last, col("v").desc_nulls_last)
+        case "forward"  => Seq(col("rts").asc_nulls_last, col("v").desc_nulls_last)
+        case "nearest"  => Seq(abs(col("rts") - col("lts")).asc_nulls_last,
+          when(col("rts") <= col("lts"), 0).otherwise(1).asc, col("v").desc_nulls_last)
+      }
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lid").orderBy(order: _*)
+      j.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("lid"), col("k"), col("lts"), col("rts").as("m_rts"), col("v").as("m_v"))
+    }
+    for (seed <- Seq(11, 12, 13); dirn <- Seq("backward", "forward", "nearest");
+        inc <- Seq(true, false); tol <- Seq(None, Some(5L))) {
+      val (left, right) = world(seed)
+      val got = Temporal.asOfJoin(left, right, Seq("k"), "lts", "rts",
+        rightVals = Seq("rts", "v"), tieBreak = Seq("v"), inclusive = inc,
+        toleranceMicros = tol, direction = dirn)
+        .withColumnRenamed("rts", "m_rts").withColumnRenamed("v", "m_v")
+      assertSameRows(got, naive(left, right, dirn, inc, tol))
+    }
+  }
+
   test("normalizeNull is idempotent and only touches sentinels") {
     val vals = Seq("x", ".", "", "nan", "NaN", null, " .", "n.", "NAN")
     val df = vals.toDF("v")
