@@ -1,0 +1,274 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Hashing
+
+/** Sharded training-data export: the last stage of a curation pipeline,
+  * where a cleaned corpus becomes the N fixed shards a training job
+  * streams (SURVEY.md §2.14 extension surface; the reference stops at
+  * single-file CSV sinks — `down/down_water_prep.py:1020` writes one
+  * `to_csv` — which does not survive a corpus that no single writer can
+  * hold).
+  *
+  * Design for 100 TB:
+  *
+  *  - **Deterministic, engine-portable placement.** Shard and order are
+  *    pure functions of the row's id via the portable
+  *    [[graft.functions.Hashing.h60]] (md5-based): any engine — and the
+  *    DuckDB oracle — can recompute which shard a document belongs to
+  *    and in what position, with no reliance on Spark's task layout,
+  *    sampling, or `xxhash64`. Re-running the export on the same corpus
+  *    bit-reproduces every shard.
+  *  - **The shuffle IS the shuffle.** Training wants shards that are
+  *    unbiased samples of the whole corpus (no ingest-order/domain
+  *    correlation within a shard), normally bought with a separate
+  *    global-shuffle pass. Hash placement gives it for free: `shard`
+  *    decorrelates across shards and `ord` (an independent hash)
+  *    decorrelates within a shard, so the export's ONE exchange is also
+  *    the training-data shuffle.
+  *  - **Self-verifying.** The manifest carries per-shard row counts and
+  *    order-independent checksums (the [[Quality.tableChecksum]]
+  *    construction, grouped by shard), computed by RE-SCANNING what was
+  *    written — it attests to the bytes on disk, not to the plan that
+  *    produced them. [[verifyShards]] replays the scan and raises on any
+  *    divergence (partial write, manual tampering, bit rot with parquet
+  *    checksumming off).
+  *  - **Atomic publish.** Data and manifest are staged under
+  *    `<dir>.export.tmp` and swapped in with [[IndexOps.swapDirs]]
+  *    (rename-based; pointer-flip on object stores) — a reader never
+  *    observes a half-written export, and a crashed export leaves the
+  *    previous generation live ([[IndexOps.recoverSwap]] semantics).
+  *  - **Pruned consumption.** Shards are parquet partition directories
+  *    (`shard=K`), so a trainer reading its slice
+  *    ([[readShardSlice]]: `shard % nWorkers = worker`) scans only its
+  *    own directories — partition pruning, not a full scan + filter.
+  */
+object Export {
+
+  /** Data subdirectory inside a published export. */
+  private[graft] def dataDir(dir: String): String = dir + "/data"
+
+  /** Manifest subdirectory inside a published export. */
+  private[graft] def manifestDir(dir: String): String = dir + "/manifest"
+
+  /** Portable shard assignment and within-shard order for `idCol`:
+    * `shard = h60("shard:" || id) % nShards` (h60 is positive, so `%`
+    * is a true mod on every engine), `ord = h60("ord:" || id)` — two
+    * independent family members, so shard membership carries no
+    * information about within-shard position. Pure projection: no
+    * shuffle, no action. */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    df.withColumn("shard",
+        (Hashing.h60(concat(lit("shard:"), col(idCol).cast("string")))
+          % nShards).cast("int"))
+      .withColumn("ord",
+        Hashing.h60(concat(lit("ord:"), col(idCol).cast("string"))))
+  }
+
+  /** DuckDB-SQL twin of [[shardAssign]]'s shard expression. */
+  def shardSql(idExpr: String, nShards: Int): String =
+    s"CAST(${Hashing.h60Sql(s"'shard:' || CAST($idExpr AS VARCHAR)")} % $nShards AS INT)"
+
+  /** DuckDB-SQL twin of [[shardAssign]]'s order expression. */
+  def ordSql(idExpr: String): String =
+    Hashing.h60Sql(s"'ord:' || CAST($idExpr AS VARCHAR)")
+
+  /** 2^61 — the checksum modulus shared with [[Quality.tableChecksum]]. */
+  private val ChecksumMod: Long = 1L << 61
+
+  /** Per-shard manifest of an assigned frame: row count, min/max of the
+    * portable order key, and the order-independent checksum of
+    * `checksumCols` — one aggregation pass, partial map-side combine,
+    * `nShards` output rows. */
+  private def manifestOf(assigned: DataFrame, checksumCols: Seq[String]): DataFrame =
+    assigned
+      .select(col("shard"), col("ord"),
+        Hashing.h60(Quality.rowEncoding(checksumCols))
+          .cast(DecimalType(38, 0)).as("__h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min("ord").as("min_ord"),
+        max("ord").as("max_ord"),
+        expr(s"CAST(sum(__h) % ${ChecksumMod}L AS BIGINT)").as("checksum"))
+
+  /** Export `df` as `nShards` parquet shard directories under
+    * `dir/data/shard=K`, each internally sorted by the portable order
+    * key, plus a per-shard manifest under `dir/manifest`; returns the
+    * manifest. ONE exchange over the corpus (hash repartition on
+    * `shard` — same argument as the IVF build: range repartition would
+    * add a sampling job, and `partitionBy` directories make cross-file
+    * order irrelevant), then one re-scan of the written bytes for the
+    * manifest. Columns `shard`/`ord` are materialized in the output —
+    * `ord` so consumers can merge or resume deterministically, `shard`
+    * as the partition directory.
+    *
+    * Staged under `<dir>.export.tmp` and swapped in atomically; the
+    * previous export (if any) stays live until the swap and is the
+    * rollback target if the writer crashes mid-swap. */
+  def shardedWrite(spark: SparkSession, df: DataFrame, idCol: String,
+      checksumCols: Seq[String], nShards: Int, dir: String): DataFrame = {
+    require(checksumCols.nonEmpty, "shardedWrite needs checksum columns")
+    val tmp = dir + ".export.tmp"
+    val (fs, livePath) = fsPath(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+
+    val assigned = shardAssign(df, idCol, nShards)
+    assigned
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(dataDir(tmp))
+
+    // manifest from the WRITTEN bytes, not the input plan: it must
+    // attest to what a consumer will read
+    val written = spark.read.parquet(dataDir(tmp))
+    manifestOf(written, checksumCols)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(manifestDir(tmp))
+
+    if (fs.exists(livePath)) IndexOps.swapDirs(spark, dir, tmp)
+    else {
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), livePath),
+        s"shardedWrite: rename $tmp -> $dir failed")
+      spark.catalog.refreshByPath(dir)
+    }
+    readManifest(spark, dir)
+  }
+
+  /** The published manifest: one row per shard. */
+  def readManifest(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(manifestDir(dir))
+
+  /** The published shard data (all shards). */
+  def readShards(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dataDir(dir))
+
+  /** Worker `worker`-of-`nWorkers`'s slice: shards where
+    * `shard % nWorkers = worker`. The predicate is on the partition
+    * column, so the scan prunes to this worker's directories — each
+    * trainer reads 1/nWorkers of the files, not a filtered full scan. */
+  def readShardSlice(spark: SparkSession, dir: String,
+      worker: Int, nWorkers: Int): DataFrame = {
+    require(nWorkers > 0 && worker >= 0 && worker < nWorkers,
+      s"worker must be in [0, $nWorkers), got $worker")
+    readShards(spark, dir).filter(col("shard") % nWorkers === worker)
+  }
+
+  /** Re-scan a published export and compare per-shard stats against its
+    * manifest; RAISES on any divergence, listing the offending shards.
+    * Returns the nShards-row comparison frame (one bounded driver
+    * materialization of nShards rows — the same bound as the manifest
+    * itself). The check is one aggregation scan of the export — the
+    * cost of reading it once, which is what makes it runnable as a
+    * routine post-publish gate. */
+  def verifyShards(spark: SparkSession, dir: String,
+      checksumCols: Seq[String]): DataFrame = {
+    val expected = readManifest(spark, dir).select(
+      col("shard"), col("n_rows").as("m_rows"), col("min_ord").as("m_min"),
+      col("max_ord").as("m_max"), col("checksum").as("m_sum"))
+    val actual = manifestOf(readShards(spark, dir), checksumCols)
+    val cmp = actual.join(expected, Seq("shard"), "full_outer")
+      .withColumn("ok",
+        col("n_rows") <=> col("m_rows") && col("min_ord") <=> col("m_min") &&
+          col("max_ord") <=> col("m_max") && col("checksum") <=> col("m_sum"))
+    val bad = cmp.filter(!col("ok")).select("shard").collect().map(_.get(0))
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"export at $dir diverges from its manifest in shards ${bad.mkString(", ")}")
+    cmp
+  }
+
+  // ------------------------------------------------- token-balanced shards
+
+  /** Shards balanced by a WEIGHT (token count, byte length) instead of
+    * row count: shard `k` owns the rows whose exclusive prefix-sum of
+    * weight — over the portable global order `(ord, id)` — falls in
+    * `[k·total/nShards, (k+1)·total/nShards)`. Equal-token shards are
+    * what a training job actually wants; equal-row shards skew badly
+    * when document lengths do.
+    *
+    * The global prefix sum is the scalable two-pass form, NOT a global
+    * window (`Window.orderBy` with no partition funnels the corpus
+    * through ONE task — the exact trap this operator exists to avoid):
+    *
+    *  1. a deterministic range partition with NO sampling job:
+    *     `ord` = h60 is uniform on [0, 2^60), so `part =
+    *     ord · nParts / 2^60` is an equi-width range partitioning that
+    *     is already balanced — where `repartitionByRange` pays a
+    *     sampling pass whose boundaries can differ between the two
+    *     jobs below, this is a pure projection, identical in both;
+    *  2. per-partition weight totals (one partial-agg shuffle of
+    *     `nParts` rows), cumulated into exclusive offsets on the
+    *     driver — the ONE bounded materialization, `nParts` rows;
+    *  3. within-partition exclusive prefix via a PARTITIONED window
+    *     (`partitionBy(part) orderBy(ord, id)`) — every partition in
+    *     parallel — plus the broadcast offset.
+    *
+    * Two scans of the corpus (the totals pass and the window pass) —
+    * the classic distributed prefix-sum trade. Arithmetic is decimal
+    * (exact): `shard = prefix · nShards / total` floored, so the result
+    * is reproducible on any engine from the row set alone — the DuckDB
+    * oracle recomputes it with a true global window. Weights must be
+    * non-negative integers; null weighs 0. */
+  def balancedShards(df: DataFrame, idCol: String, weightCol: String,
+      nShards: Int, nParts: Int = 32): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(nParts > 0, s"nParts must be positive, got $nParts")
+    import org.apache.spark.sql.expressions.Window
+    val w = coalesce(col(weightCol).cast(DecimalType(38, 0)), lit(0).cast(DecimalType(38, 0)))
+    val assigned = df
+      .withColumn("ord", Hashing.h60(concat(lit("ord:"), col(idCol).cast("string"))))
+      .withColumn("__w", w)
+      // equi-width bucket of the 60-bit ord, in exact long arithmetic
+      // (ord * nParts would overflow a long): width = ceil(2^60/nParts),
+      // part = ord / width — monotone in ord (so partitions are ranges,
+      // which is what makes the offsets correct) and < nParts always
+      .withColumn("__part",
+        expr(s"ord div ${(1152921504606846976L + nParts - 1) / nParts}L")
+          .cast("int"))
+    // pass 1: per-partition totals -> exclusive offsets (nParts rows)
+    val totals = assigned.groupBy("__part").agg(sum("__w").as("__t"))
+      .orderBy("__part").collect()
+    val offsets = {
+      var acc = BigDecimal(0)
+      totals.map { r =>
+        val part = r.getInt(0)
+        val t = BigDecimal(r.getDecimal(1))
+        val off = acc; acc += t; (part, off)
+      }.toMap
+    }
+    val grandTotal = totals.map(r => BigDecimal(r.getDecimal(1))).sum
+    require(grandTotal > 0, "balancedShards needs positive total weight")
+    // encode the nParts offsets as a literal CASE chain (bounded: nParts)
+    val offsetExpr = offsets.foldLeft(lit(null).cast(DecimalType(38, 0))) {
+      case (acc, (part, off)) =>
+        when(col("__part") === part, lit(off.bigDecimal).cast(DecimalType(38, 0))).otherwise(acc)
+    }
+    val inPart = Window.partitionBy("__part")
+      .orderBy(col("ord"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    assigned
+      .withColumn("__prefix",
+        coalesce(sum("__w").over(inPart), lit(0).cast(DecimalType(38, 0)))
+          + offsetExpr)
+      // integral division (div), NOT decimal `/`: decimal division
+      // rounds at its result scale before the floor, which can lift a
+      // quotient epsilon-below an integer ONTO it — div is the exact
+      // floor both engines compute (DuckDB `//` on HUGEINT)
+      .withColumn("shard",
+        least(expr(s"(__prefix * $nShards) div ${grandTotal.toBigInt}"),
+          lit(nShards - 1)).cast("int"))
+      .drop("__w", "__part", "__prefix")
+  }
+
+  private def fsPath(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+}

@@ -109,16 +109,33 @@ object Quality {
     */
   def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "checksum needs at least one column")
-    val enc = concat_ws("|", cols.map { c =>
-      val s = col(c).cast("string")
-      when(s.isNull, lit("n"))
-        .otherwise(concat(lit("v"), length(s), lit(":"), s))
-    }: _*)
+    val enc = rowEncoding(cols)
     df.select(graft.functions.Hashing.h60(enc)
         .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("__h"))
       .agg(count(lit(1)).as("n_rows"),
         expr(s"CAST(sum(__h) % ${1L << 61} AS BIGINT)").as("checksum"))
   }
+  /** The injective per-row text encoding [[tableChecksum]] hashes: each
+    * column contributes `v<len>:<text>` (or `n` for null) joined by `|` —
+    * a value containing the separator cannot collide with a column
+    * boundary. Shared with [[Export]]'s per-shard manifests so a shard
+    * checksum and a table checksum are the same construction. */
+  def rowEncoding(cols: Seq[String]): Column = {
+    require(cols.nonEmpty, "row encoding needs at least one column")
+    concat_ws("|", cols.map { c =>
+      val s = col(c).cast("string")
+      when(s.isNull, lit("n"))
+        .otherwise(concat(lit("v"), length(s), lit(":"), s))
+    }: _*)
+  }
+
+  /** DuckDB-SQL twin of [[rowEncoding]], for oracle queries built from
+    * the same definition. */
+  def rowEncodingSql(cols: Seq[String]): String =
+    cols.map { c =>
+      s"CASE WHEN $c IS NULL THEN 'n' ELSE 'v' || length(CAST($c AS VARCHAR)) || ':' || CAST($c AS VARCHAR) END"
+    }.mkString("concat_ws('|', ", ", ", ")")
+
   def requireRowConservation(in: DataFrame, out: DataFrame): Unit = {
     val (i, o) = (in.count(), out.count())
     if (i != o) throw new IllegalStateException(s"row conservation violated: in=$i out=$o")

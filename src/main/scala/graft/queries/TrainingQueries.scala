@@ -235,7 +235,78 @@ object TrainingQueries {
       .orderBy("doc_id", "epoch")
   }
 
+  /** TD14 — sharded dataset export ([[graft.operators.Export
+    * .shardedWrite]]): the corpus lands as 8 deterministic hash-placed
+    * shard directories plus a per-shard manifest (rows, ord range,
+    * order-independent checksum), staged and atomically swapped in. The
+    * query returns the PUBLISHED manifest — i.e. it round-trips the
+    * write: the oracle recomputes every manifest field from the raw
+    * table, so a dropped row, a mis-placed row, or a corrupted value in
+    * any shard flips a checksum and fails the hash match. The export
+    * dir is per-process tmp (same argument as q78: within a process one
+    * query runs at a time; across processes the pid suffix de-races
+    * concurrent verify+bench). */
+  val q88ShardedExport: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val out = perProcessDir("graft_export", dir)
+    graft.operators.Export.shardedWrite(spark, t.documents, "doc_id",
+      ExportChecksumCols, nShards = 8, out)
+      .select("shard", "n_rows", "min_ord", "max_ord", "checksum")
+      .orderBy("shard")
+  }
+
+  /** TD15 — token-balanced shards ([[graft.operators.Export
+    * .balancedShards]]): shard boundaries at equal cuts of the
+    * cumulative `n_chars` weight over the portable global hash order —
+    * the equal-token sharding a training job wants, computed as a
+    * distributed two-pass prefix sum. The oracle recomputes the exact
+    * assignment with a TRUE global window (affordable in DuckDB at
+    * oracle scale; the single-task funnel Spark must avoid), so the
+    * distributed decomposition is proven bit-equal to the sequential
+    * definition. */
+  val q89BalancedShards: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    graft.operators.Export.balancedShards(t.documents, "doc_id", "n_chars",
+        nShards = 8, nParts = 32)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("sum_w"),
+        min("doc_id").as("min_id"))
+      .orderBy("shard")
+  }
+
+  /** Manifest checksum columns for q88 — every documents column, all
+    * text-render-portable (strings + integers). */
+  private val ExportChecksumCols =
+    Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** Per-process tmp directory (pid-suffixed, removed on JVM exit):
+    * concurrent verify+bench runs must not race one export dir. */
+  private def perProcessDir(prefix: String, dir: String): String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      prefix + "_p" + ProcessHandle.current().pid() + "_" +
+        dir.toLowerCase.replaceAll("[^a-z0-9]+", "_"))
+    dirsToClean.add(f)
+    f.toString
+  }
+
+  private lazy val dirsToClean: java.util.Set[java.io.File] = {
+    val s = java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      s.forEach { d =>
+        try {
+          import java.nio.file.{Files, Path}
+          import scala.jdk.CollectionConverters._
+          if (d.exists()) Files.walk(d.toPath).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_: Path))
+        } catch { case _: Throwable => () }
+      }))
+    s
+  }
+
   val all: Map[String, Q] = Map(
+    "q88_sharded_export" -> q88ShardedExport,
+    "q89_balanced_shards" -> q89BalancedShards,
     "q76_mixture_upsample" -> q76MixtureUpsample,
     "q75_mixture_report" -> q75MixtureReport,
     "q66_bigram_familiarity" -> q66BigramFamiliarity,
@@ -318,6 +389,31 @@ object TrainingQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q88_sharded_export" ->
+      s"""WITH a AS (
+         |  SELECT ${graft.operators.Export.shardSql("doc_id", 8)} AS shard,
+         |    ${graft.operators.Export.ordSql("doc_id")} AS ord,
+         |    ${h60(graft.operators.Quality.rowEncodingSql(ExportChecksumCols))} AS rh
+         |  FROM documents)
+         |SELECT shard, count(*) AS n_rows, min(ord) AS min_ord,
+         |  max(ord) AS max_ord,
+         |  CAST(sum(CAST(rh AS HUGEINT)) % ${1L << 61} AS BIGINT) AS checksum
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    "q89_balanced_shards" ->
+      s"""WITH o AS (
+         |  SELECT doc_id, CAST(COALESCE(n_chars, 0) AS HUGEINT) AS w,
+         |    ${graft.operators.Export.ordSql("doc_id")} AS ord
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, w, ord,
+         |    COALESCE(sum(w) OVER (ORDER BY ord, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |  FROM o),
+         |t AS (SELECT sum(w) AS total FROM o)
+         |SELECT CAST(LEAST((p.pre * 8) // t.total, 7) AS INT) AS shard,
+         |  count(*) AS n_docs, CAST(sum(p.w) AS BIGINT) AS sum_w,
+         |  min(p.doc_id) AS min_id
+         |FROM p CROSS JOIN t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q76_mixture_upsample" ->
       s"""WITH b AS (
          |  SELECT CAST(count(*) * 2 // 5 AS BIGINT) AS budget FROM documents),

@@ -1,0 +1,150 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString + "/exp"
+
+  private val docs = spark.range(200).select(
+    col("id").as("doc_id"),
+    concat(lit("document body "), col("id")).as("text"),
+    when(col("id") % 3 === 0, "en").otherwise("de").as("lang"),
+    (col("id") % 7 * 100 + 20).as("n_tokens"))
+
+  private val csCols = Seq("doc_id", "text", "lang")
+
+  test("shardAssign: deterministic, exhaustive, in-range, ord independent of shard") {
+    val a = Export.shardAssign(docs, "doc_id", 8)
+    val b = Export.shardAssign(docs, "doc_id", 8)
+    assertSameRows(a, b)
+    assert(a.filter(col("shard") < 0 || col("shard") >= 8).isEmpty)
+    assert(a.count() == 200)
+    // every shard populated at n=200, k=8 (uniform hash)
+    assert(a.select("shard").distinct().count() == 8)
+    // ord is a different family member than shard: within one shard the
+    // ord keys are not ordered by id (the shuffle is real)
+    val shard0 = a.filter(col("shard") === 0).orderBy("ord")
+      .select("doc_id").as[Long].collect()
+    assert(shard0.length > 2 && !shard0.sameElements(shard0.sorted))
+  }
+
+  test("shardedWrite: round-trips rows, manifest matches, slices prune") {
+    val dir = tmp("export")
+    val manifest = Export.shardedWrite(spark, docs, "doc_id", csCols, 8, dir)
+    assert(manifest.count() == 8)
+    // round-trip: the written shards hold exactly the input rows
+    val back = Export.readShards(spark, dir)
+    assertSameRows(back.select("doc_id", "text", "lang", "n_tokens"), docs)
+    // in-shard files are sorted by ord (deterministic shuffle): reading
+    // one shard directory yields non-decreasing ord
+    val ords = spark.read.parquet(Export.dataDir(dir) + "/shard=3")
+      .select("ord").as[Long].collect()
+    assert(ords.sameElements(ords.sorted))
+    // manifest counts agree with the data
+    val fromData = back.groupBy("shard").count()
+    val joined = manifest.join(fromData, "shard")
+      .filter(col("n_rows") =!= col("count"))
+    assert(joined.isEmpty)
+    // worker slice: union of slices is the corpus, disjoint, and the
+    // scan prunes to the slice's partition directories
+    val s0 = Export.readShardSlice(spark, dir, 0, 2)
+    val s1 = Export.readShardSlice(spark, dir, 1, 2)
+    assert(s0.count() + s1.count() == 200)
+    assert(s0.select("doc_id").intersect(s1.select("doc_id")).isEmpty)
+    val scan = s0.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), "slice must prune on the shard partition column")
+  }
+
+  test("verifyShards: green on an intact export, raises on tampering") {
+    val dir = tmp("export_verify")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 4, dir)
+    val cmp = Export.verifyShards(spark, dir, csCols)
+    assert(cmp.filter(!col("ok")).isEmpty)
+    // tamper: drop one shard's files entirely
+    val victim = new java.io.File(Export.dataDir(dir).replace("file:", ""), "shard=2")
+    assert(victim.exists, s"fixture layout changed: $victim missing")
+    victim.listFiles().foreach(_.delete()); victim.delete()
+    spark.catalog.refreshByPath(dir)
+    val ex = intercept[IllegalStateException] {
+      Export.verifyShards(spark, dir, csCols)
+    }
+    assert(ex.getMessage.contains("shard"))
+  }
+
+  test("shardedWrite: republish swaps atomically and keeps the manifest consistent") {
+    val dir = tmp("export_swap")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 4, dir)
+    val v2 = docs.filter(col("doc_id") < 100)
+    val manifest2 = Export.shardedWrite(spark, v2, "doc_id", csCols, 4, dir)
+    assert(manifest2.agg(sum("n_rows")).as[Long].head() == 100)
+    assertSameRows(
+      Export.readShards(spark, dir).select("doc_id", "text", "lang", "n_tokens"), v2)
+    Export.verifyShards(spark, dir, csCols)
+    // no stale tmp or .old residue
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles().exists(f =>
+      f.getName.endsWith(".export.tmp") || f.getName.endsWith(".old")))
+  }
+
+  test("balancedShards: contiguous in global hash order, near-equal weight, oracle-exact") {
+    val n = 500
+    // skewed weights: a few huge documents among many small ones
+    val rows = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 97 === 0, 5000L).otherwise(col("id") % 13 + 1).as("w"))
+    val got = Export.balancedShards(rows, "doc_id", "w", nShards = 8, nParts = 16)
+
+    // oracle phrasing: TRUE global window over (ord, id) — the form the
+    // operator exists to avoid at scale but must equal exactly
+    val ord = graft.functions.Hashing.h60(concat(lit("ord:"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val total = rows.agg(sum("w")).as[Long].head()
+    val want = rows.withColumn("ord", ord)
+      .withColumn("__p", coalesce(sum(col("w").cast("decimal(38,0)")).over(w),
+        lit(java.math.BigDecimal.ZERO)))
+      .withColumn("shard",
+        least(expr(s"(__p * 8) div ${total}"), lit(7)).cast("int"))
+      .drop("__p")
+    assertSameRows(got, want)
+
+    // balance: every shard within 2x of the ideal weight even under skew
+    // (one 5000-weight doc forces a lumpy boundary; the bound is the
+    // max single weight, not a percentage)
+    val per = got.groupBy("shard").agg(sum("w").as("sw")).select("sw").as[Long].collect()
+    assert(per.length == 8)
+    val ideal = total.toDouble / 8
+    assert(per.forall(_ <= ideal + 5000), s"shard weight exceeds ideal+maxw: ${per.mkString(",")}")
+
+    // contiguity: shards partition the global (ord, id) order into runs
+    val seq = got.withColumn("ord", ord).orderBy("ord", "doc_id")
+      .select("shard").as[Int].collect()
+    assert(seq.zip(seq.tail).forall { case (a, b) => a <= b }, "shard must be monotone in global order")
+  }
+
+  test("balancedShards: no global-window single-task funnel in the plan") {
+    val rows = spark.range(100).select(col("id").as("doc_id"), lit(3L).as("w"))
+    val got = Export.balancedShards(rows, "doc_id", "w", nShards = 4, nParts = 8)
+    // the window spec must carry a partition clause: an empty
+    // partitionBy would serialize the corpus through one task
+    val windows = collectWithSubqueries(got.queryExecution.executedPlan) {
+      case we: org.apache.spark.sql.execution.window.WindowExec => we
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "window must be partitioned (two-pass prefix sum, not a global window)")
+    // null weights weigh zero
+    val withNull = spark.range(10).select(col("id").as("doc_id"),
+      when(col("id") === 5, lit(null).cast("long")).otherwise(lit(2L)).as("w"))
+    val g2 = Export.balancedShards(withNull, "doc_id", "w", 2, 4)
+    assert(g2.filter(col("shard").isNull).isEmpty)
+  }
+}
