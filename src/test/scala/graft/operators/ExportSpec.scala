@@ -93,6 +93,61 @@ class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       f.getName.endsWith(".export.tmp") || f.getName.endsWith(".old")))
   }
 
+  test("appendShards: incremental manifest equals the one-shot manifest, data round-trips") {
+    val dir = tmp("export_append")
+    val first = docs.filter(col("doc_id") < 150)
+    val rest = docs.filter(col("doc_id") >= 150)
+    Export.shardedWrite(spark, first, "doc_id", csCols, 8, dir)
+    val merged = Export.appendShards(spark, rest, "doc_id", csCols, dir)
+    // incremental == batch: same manifest as exporting everything at once
+    val oneShotDir = tmp("export_oneshot")
+    val oneShot = Export.shardedWrite(spark, docs, "doc_id", csCols, 8, oneShotDir)
+    assertSameRows(merged, oneShot)
+    // the data itself round-trips and re-verifies
+    assertSameRows(
+      Export.readShards(spark, dir).select("doc_id", "text", "lang", "n_tokens"), docs)
+    Export.verifyShards(spark, dir, csCols)
+    // append touched only NEW files: old shard files still carry the
+    // first batch alone (file count grew, none rewritten)
+    val shardDirs = new java.io.File(Export.dataDir(dir)).listFiles()
+      .filter(_.getName.startsWith("shard="))
+    assert(shardDirs.forall(_.listFiles().count(_.getName.endsWith(".parquet")) >= 2),
+      "each populated shard should hold one file per generation")
+  }
+
+  test("appendShards: crash between data append and manifest swap is loud and repairable") {
+    val dir = tmp("export_crash")
+    Export.shardedWrite(spark, docs.filter(col("doc_id") < 150), "doc_id", csCols, 8, dir)
+    // simulate the crash window: data appended, manifest NOT advanced
+    val rest = Export.shardAssign(docs.filter(col("doc_id") >= 150), "doc_id", 8)
+    rest.repartition(col("shard")).sortWithinPartitions(col("shard"), col("ord"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("shard").parquet(Export.dataDir(dir))
+    spark.catalog.refreshByPath(dir)
+    intercept[IllegalStateException] { Export.verifyShards(spark, dir, csCols) }
+    Export.repairManifest(spark, dir, csCols)
+    Export.verifyShards(spark, dir, csCols)
+    assertSameRows(Export.readManifest(spark, dir),
+      Export.shardedWrite(spark, docs, "doc_id", csCols, 8, tmp("export_crash_ref")))
+  }
+
+  test("manifest is dense: an empty shard is an explicit zero row") {
+    val dir = tmp("export_dense")
+    // 2 rows into 8 shards: most shards are empty
+    val tiny = docs.filter(col("doc_id") < 2)
+    val manifest = Export.shardedWrite(spark, tiny, "doc_id", csCols, 8, dir)
+    assert(manifest.count() == 8)
+    assert(manifest.filter(col("n_rows") === 0).count() == 6)
+    assert(manifest.filter(col("n_rows") === 0 && col("checksum") =!= 0).isEmpty)
+    Export.verifyShards(spark, dir, csCols)
+    // append into a sparse export still infers the right shard count
+    Export.appendShards(spark, docs.filter(col("doc_id") >= 2 && col("doc_id") < 10),
+      "doc_id", csCols, dir)
+    assert(Export.readManifest(spark, dir).count() == 8)
+    assert(Export.readManifest(spark, dir).agg(sum("n_rows")).as[Long].head() == 10)
+    Export.verifyShards(spark, dir, csCols)
+  }
+
   test("balancedShards: contiguous in global hash order, near-equal weight, oracle-exact") {
     val n = 500
     // skewed weights: a few huge documents among many small ones
