@@ -231,16 +231,7 @@ object Export {
       .parquet(dataDir(dir))
     // delta manifest from the batch ALONE (the append's cost contract),
     // merged with the old manifest per shard
-    val delta = manifestOf(assigned, checksumCols, nShards)
-      .select(col("shard"), col("n_rows").as("d_rows"), col("min_ord").as("d_min"),
-        col("max_ord").as("d_max"), col("checksum").as("d_sum"))
-    val merged = old.join(delta, Seq("shard"), "full_outer").select(
-      col("shard"),
-      (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_rows"), lit(0L))).as("n_rows"),
-      least(col("min_ord"), col("d_min")).as("min_ord"),
-      greatest(col("max_ord"), col("d_max")).as("max_ord"),
-      pmod(coalesce(col("checksum"), lit(0L)) + coalesce(col("d_sum"), lit(0L)),
-        lit(ChecksumMod)).as("checksum"))
+    val merged = mergeManifest(old, manifestOf(assigned, checksumCols, nShards))
     publishManifest(spark, dir, merged)
     readManifest(spark, dir)
   }
@@ -258,16 +249,65 @@ object Export {
   }
 
   /** Write `manifest` to a tmp dir and swap it over `dir/manifest`:
-    * readers see the old manifest or the new one, never a torn one. */
-  private def publishManifest(spark: SparkSession, dir: String,
-      manifest: DataFrame): Unit = {
+    * readers see the old manifest or the new one, never a torn one.
+    * With `batchId`, the new manifest generation records which
+    * streaming batch produced it (`_batch` sidecar file inside the
+    * manifest dir — underscore-prefixed, invisible to the parquet
+    * reader), which is what makes a streaming replay's manifest
+    * advance IDEMPOTENT: a merge is skipped when the live manifest
+    * already records the replaying batch. */
+  private[graft] def publishManifest(spark: SparkSession, dir: String,
+      manifest: DataFrame, batchId: Option[Long] = None): Unit = {
     val tmp = manifestDir(dir) + ".new"
     val (fs, _) = fsPath(spark, dir)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     manifest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    batchId.foreach { b =>
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_batch"), true)
+      out.write(b.toString.getBytes("UTF-8")); out.close()
+    }
     IndexOps.recoverSwap(spark, manifestDir(dir))
     IndexOps.swapDirs(spark, manifestDir(dir), tmp)
   }
+
+  /** The streaming batch id the live manifest generation records, if
+    * any (None for manifests written by the batch entry points). */
+  private[graft] def manifestBatch(spark: SparkSession, dir: String): Option[Long] = {
+    val (fs, _) = fsPath(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(manifestDir(dir), "_batch")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](64)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(new String(buf.toByteArray, "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** Per-shard merge of a published manifest with a batch's delta —
+    * counts add, ord ranges fold, checksums add mod 2^61; O(nShards)
+    * rows on both sides. */
+  private[graft] def mergeManifest(old: DataFrame, delta: DataFrame): DataFrame = {
+    val d = delta.select(col("shard"), col("n_rows").as("d_rows"),
+      col("min_ord").as("d_min"), col("max_ord").as("d_max"),
+      col("checksum").as("d_sum"))
+    old.join(d, Seq("shard"), "full_outer").select(
+      col("shard"),
+      (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_rows"), lit(0L))).as("n_rows"),
+      least(col("min_ord"), col("d_min")).as("min_ord"),
+      greatest(col("max_ord"), col("d_max")).as("max_ord"),
+      pmod(coalesce(col("checksum"), lit(0L)) + coalesce(col("d_sum"), lit(0L)),
+        lit(ChecksumMod)).as("checksum"))
+  }
+
+  /** The manifest of a batch alone, for merge-based advances. */
+  private[graft] def deltaManifest(assigned: DataFrame,
+      checksumCols: Seq[String], nShards: Int): DataFrame =
+    manifestOf(assigned, checksumCols, nShards)
 
   // ------------------------------------------------- token-balanced shards
 

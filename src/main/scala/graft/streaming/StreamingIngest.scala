@@ -887,6 +887,74 @@ object StreamingIngest {
     * publish, 2 = after the sidecar publish, 3 = after the index
     * publish) is a test seam simulating a crash between the protocol's
     * writes; production passes no value and never throws from it. */
+  /** Stream a curated corpus STRAIGHT INTO a sharded export
+    * ([[graft.operators.Export]]): each micro-batch's rows land in
+    * their hash-stable shard directories as batch-keyed files and the
+    * manifest advances by the O(nShards) merge — the streaming form of
+    * [[graft.operators.Export.appendShards]], so a training run can
+    * consume (and `verifyShards`) a continuously-growing export without
+    * any batch rewrite.
+    *
+    * `dir` must hold a published export before the stream starts
+    * (bootstrap with `shardedWrite`, an empty frame is fine) — the same
+    * bootstrap contract as the curate loops' index dirs; the shard
+    * count is inherited from the manifest. Ids must be unique across
+    * the stream's lifetime (compose a curate loop upstream if the feed
+    * can replay content).
+    *
+    * EXACTLY-ONCE under whole-batch replay, by composition of two
+    * idempotent steps plus the commit marker:
+    *  1. data files are batch-keyed staged-then-renamed
+    *     ([[publishBatch]]) — a replay OVERWRITES its own files;
+    *  2. the manifest merge records its batch id IN the new manifest
+    *     generation (`_batch` sidecar), so a replay that crashed after
+    *     the merge SKIPS it instead of double-counting — and a replay
+    *     that crashed before it recomputes the identical delta from
+    *     the replayed batch;
+    *  3. a commit marker (`dir/_graft_commits/b<id>`) makes post-commit
+    *     replays no-ops.
+    * `ExportStreamSpec` proves batch equivalence and replays the batch
+    * after every write of the protocol. */
+  def shardedExportStream(stream: DataFrame, dir: String, checkpoint: String,
+      idCol: String, checksumCols: Seq[String]): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        exportShardBatch(batch.toDF(), batchId, dir, idCol, checksumCols)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
+  private[graft] def exportShardBatch(batch: DataFrame, batchId: Long,
+      dir: String, idCol: String, checksumCols: Seq[String],
+      failAfterStep: Int = Int.MaxValue): Unit = {
+    import graft.operators.Export
+    val spark = batch.sparkSession
+    if (isCommitted(spark, dir, batchId)) return
+    def failpoint(n: Int): Unit = if (failAfterStep == n)
+      throw new IllegalStateException(s"exportShardBatch: test failpoint after step $n")
+    // a crash mid-manifest-swap leaves the live manifest dir renamed
+    // away; finish/roll back BEFORE the first read, like the curate
+    // loops recover their index swaps at batch entry
+    graft.operators.IndexOps.recoverSwap(spark, Export.manifestDir(dir))
+    val old = Export.readManifest(spark, dir)
+    val nShards = old.count().toInt
+    require(nShards > 0, s"exportShardBatch: no manifest at $dir")
+    val assigned = Export.shardAssign(batch, idCol, nShards)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"))
+    publishBatch(assigned, Export.dataDir(dir), batchId, Seq("shard"))
+    failpoint(1)
+    // manifest advance — skipped on a replay whose merge already landed
+    if (!Export.manifestBatch(spark, dir).contains(batchId)) {
+      val merged = Export.mergeManifest(old,
+        Export.deltaManifest(Export.shardAssign(batch, idCol, nShards),
+          checksumCols, nShards))
+      Export.publishManifest(spark, dir, merged, Some(batchId))
+    }
+    failpoint(2)
+    commitBatch(spark, dir, batchId)
+  }
+
   private[graft] def curateTextBatch(batch: DataFrame, batchId: Long,
       indexDir: String, outDir: String, idCol: String, textCol: String,
       gate: DataFrame => DataFrame, minAgree: Int, compactAtFiles: Int,

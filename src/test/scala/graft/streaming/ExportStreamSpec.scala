@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Export
+
+/** The streaming sharded export: batch equivalence (streamed chunks
+  * reach the one-shot export's exact manifest and rows) and
+  * exactly-once under whole-batch replay after EVERY write of the
+  * protocol — the same proof discipline as the curate loops. */
+class ExportStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString + "/exp"
+
+  private val csCols = Seq("doc_id", "text", "lang")
+
+  private def docsRange(lo: Long, hi: Long): DataFrame =
+    spark.range(lo, hi).select(
+      col("id").as("doc_id"),
+      concat(lit("body "), col("id")).as("text"),
+      when(col("id") % 3 === 0, "en").otherwise("de").as("lang"))
+
+  /** Bootstrap an export with the first slice, like the curate loops
+    * bootstrap their index dirs. */
+  private def bootstrap(dir: String, nShards: Int): Unit =
+    Export.shardedWrite(spark, docsRange(0, 60), "doc_id", csCols, nShards, dir)
+
+  private def manifestCanon(dir: String) =
+    canon(Export.readManifest(spark, dir))
+
+  test("streamed chunks reach the one-shot manifest and rows (batch equivalence)") {
+    val dir = tmp("exps_equiv")
+    bootstrap(dir, 8)
+    // three "micro-batches" through the real batch body
+    StreamingIngest.exportShardBatch(docsRange(60, 100), 0L, dir, "doc_id", csCols)
+    StreamingIngest.exportShardBatch(docsRange(100, 150), 1L, dir, "doc_id", csCols)
+    StreamingIngest.exportShardBatch(docsRange(150, 200), 2L, dir, "doc_id", csCols)
+
+    val oneShot = tmp("exps_oneshot")
+    Export.shardedWrite(spark, docsRange(0, 200), "doc_id", csCols, 8, oneShot)
+    assert(manifestCanon(dir) == manifestCanon(oneShot))
+    assertSameRows(
+      Export.readShards(spark, dir).select("doc_id", "text", "lang"),
+      docsRange(0, 200))
+    Export.verifyShards(spark, dir, csCols)
+  }
+
+  test("the sink runs as a real AvailableNow stream over a drop dir") {
+    val drop = Files.createTempDirectory("exps_drop").toString
+    val ckpt = tmp("exps_ckpt")
+    val dir = tmp("exps_stream")
+    bootstrap(dir, 4)
+    docsRange(60, 120).coalesce(1).write.mode("overwrite").parquet(drop)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(drop).schema)
+      .parquet(drop)
+    StreamingIngest.shardedExportStream(stream, dir, ckpt, "doc_id", csCols)
+      .start().awaitTermination()
+    assert(Export.readManifest(spark, dir)
+      .agg(sum("n_rows")).as[Long].head() == 120)
+    Export.verifyShards(spark, dir, csCols)
+    // restart with nothing new: no double-processing
+    StreamingIngest.shardedExportStream(spark.readStream
+        .schema(spark.read.parquet(drop).schema).parquet(drop),
+      dir, ckpt, "doc_id", csCols)
+      .start().awaitTermination()
+    assert(Export.readManifest(spark, dir)
+      .agg(sum("n_rows")).as[Long].head() == 120)
+  }
+
+  test("whole-batch replay after every protocol write converges to the clean result") {
+    // the clean run's end state, for comparison
+    val ref = tmp("exps_ref")
+    bootstrap(ref, 8)
+    StreamingIngest.exportShardBatch(docsRange(60, 130), 0L, ref, "doc_id", csCols)
+    val refManifest = manifestCanon(ref)
+    val refRows = canon(Export.readShards(spark, ref).select("doc_id", "text", "lang"))
+
+    for (failAt <- Seq(1, 2)) {
+      val dir = tmp(s"exps_crash$failAt")
+      bootstrap(dir, 8)
+      intercept[IllegalStateException] {
+        StreamingIngest.exportShardBatch(docsRange(60, 130), 0L, dir,
+          "doc_id", csCols, failAfterStep = failAt)
+      }
+      // the replay (same batch id, same rows) must converge
+      StreamingIngest.exportShardBatch(docsRange(60, 130), 0L, dir, "doc_id", csCols)
+      assert(manifestCanon(dir) == refManifest, s"manifest diverged after crash at step $failAt")
+      assert(canon(Export.readShards(spark, dir).select("doc_id", "text", "lang"))
+        == refRows, s"rows diverged after crash at step $failAt")
+      Export.verifyShards(spark, dir, csCols)
+      // post-commit replay: strict no-op
+      StreamingIngest.exportShardBatch(docsRange(60, 130), 0L, dir, "doc_id", csCols)
+      assert(manifestCanon(dir) == refManifest)
+    }
+  }
+
+  test("crash mid-manifest-swap is recovered at replay entry") {
+    val dir = tmp("exps_swapcrash")
+    bootstrap(dir, 8)
+    StreamingIngest.exportShardBatch(docsRange(60, 130), 0L, dir, "doc_id", csCols)
+    // simulate the swap's crash window before batch 1: live manifest
+    // renamed away, fresh one still in .new position
+    val m = new java.io.File(Export.manifestDir(dir))
+    val oldDir = new java.io.File(Export.manifestDir(dir) + ".old")
+    assert(m.renameTo(oldDir))
+    spark.catalog.refreshByPath(dir)
+    StreamingIngest.exportShardBatch(docsRange(130, 150), 1L, dir, "doc_id", csCols)
+    Export.verifyShards(spark, dir, csCols)
+    assert(Export.readManifest(spark, dir)
+      .agg(sum("n_rows")).as[Long].head() == 150)
+  }
+}
