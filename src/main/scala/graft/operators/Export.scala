@@ -196,6 +196,47 @@ object Export {
     cmp
   }
 
+  /** One shard, in its deterministic global order — after appends a
+    * shard's rows are ord-sorted only WITHIN each generation's files,
+    * so a consumer that needs the portable order sorts the (one-shard)
+    * slice; the scan prunes to the shard's directory first. */
+  def readShardOrdered(spark: SparkSession, dir: String, shard: Int): DataFrame =
+    readShards(spark, dir).filter(col("shard") === shard).orderBy("ord")
+
+  /** Rewrite an append-grown export into ~one ord-sorted file per
+    * `targetRowsPerFile` rows and swap it in — the export twin of
+    * [[IndexOps.compactSwap]], closing the same small-files growth the
+    * streaming sink accumulates (one file per shard per batch). The
+    * compacted copy is proven CONTENT-IDENTICAL before anyone reads it:
+    * dst-counted against the source, then [[verifyShards]] replays the
+    * per-shard checksums against the UNCHANGED manifest — compaction
+    * must be invisible to the manifest by construction (the checksum is
+    * order-independent), so a lossy or corrupted rewrite raises here.
+    * Crash-safe like every swap here: the tmp copy is disposable until
+    * the swap starts, `.old` is authoritative until it completes
+    * ([[IndexOps.recoverSwap]] at the streaming sink's batch entry).
+    * Returns the row count. */
+  def compactExport(spark: SparkSession, dir: String,
+      checksumCols: Seq[String],
+      targetRowsPerFile: Long = 4L * 1000 * 1000): Long = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val tmp = dataDir(dir) + ".compact.tmp"
+    val (fs, _) = fsPath(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val src = readShards(spark, dir)
+    val rows = src.count()
+    val numFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    src.repartitionByRange(numFiles, col("shard"), col("ord"))
+      .sortWithinPartitions("shard", "ord")
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(tmp)
+    val dstRows = spark.read.parquet(tmp).count()
+    require(dstRows == rows,
+      s"compactExport: rewrite of $dir lost rows ($rows vs $dstRows) — not swapping")
+    IndexOps.swapDirs(spark, dataDir(dir), tmp)
+    verifyShards(spark, dir, checksumCols)
+    rows
+  }
+
   // ---------------------------------------------------- incremental append
 
   /** Append a batch to a published export WITHOUT rewriting it: hash

@@ -932,10 +932,12 @@ object StreamingIngest {
     if (isCommitted(spark, dir, batchId)) return
     def failpoint(n: Int): Unit = if (failAfterStep == n)
       throw new IllegalStateException(s"exportShardBatch: test failpoint after step $n")
-    // a crash mid-manifest-swap leaves the live manifest dir renamed
-    // away; finish/roll back BEFORE the first read, like the curate
-    // loops recover their index swaps at batch entry
+    // a crash mid-swap (manifest advance, or a compactExport run
+    // between batches) leaves a live dir renamed away; finish/roll
+    // back BEFORE the first read, like the curate loops recover their
+    // index swaps at batch entry
     graft.operators.IndexOps.recoverSwap(spark, Export.manifestDir(dir))
+    graft.operators.IndexOps.recoverSwap(spark, Export.dataDir(dir))
     val old = Export.readManifest(spark, dir)
     val nShards = old.count().toInt
     require(nShards > 0, s"exportShardBatch: no manifest at $dir")

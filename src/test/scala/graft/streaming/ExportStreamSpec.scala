@@ -100,6 +100,33 @@ class ExportStreamSpec extends SparkSpec {
     }
   }
 
+  test("compactExport collapses the sink's per-batch files, invisibly to the manifest") {
+    val dir = tmp("exps_compact")
+    bootstrap(dir, 4)
+    for (b <- 0 until 5)
+      StreamingIngest.exportShardBatch(
+        docsRange(60 + b * 20, 80 + b * 20), b.toLong, dir, "doc_id", csCols)
+    val before = manifestCanon(dir)
+    def dataFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(Export.dataDir(dir)))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val grown = dataFiles()
+    assert(grown >= 4 * 6, s"expected one file per shard per generation, got $grown")
+    val rows = Export.compactExport(spark, dir, csCols)
+    assert(rows == 160)
+    assert(dataFiles() < grown / 3, "compaction should collapse the per-batch files")
+    assert(manifestCanon(dir) == before, "compaction must be invisible to the manifest")
+    // each shard reads back in the portable order after compaction
+    val ords = Export.readShardOrdered(spark, dir, 1).select("ord").as[Long].collect()
+    assert(ords.length > 0 && ords.sameElements(ords.sorted))
+    // the sink keeps appending on top of the compacted layout
+    StreamingIngest.exportShardBatch(docsRange(160, 170), 5L, dir, "doc_id", csCols)
+    Export.verifyShards(spark, dir, csCols)
+  }
+
   test("crash mid-manifest-swap is recovered at replay entry") {
     val dir = tmp("exps_swapcrash")
     bootstrap(dir, 8)
