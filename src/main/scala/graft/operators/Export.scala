@@ -121,13 +121,26 @@ object Export {
     * previous export (if any) stays live until the swap and is the
     * rollback target if the writer crashes mid-swap. */
   def shardedWrite(spark: SparkSession, df: DataFrame, idCol: String,
+      checksumCols: Seq[String], nShards: Int, dir: String): DataFrame =
+    shardedWriteAssigned(spark, shardAssign(df, idCol, nShards),
+      checksumCols, nShards, dir)
+
+  /** [[shardedWrite]] for a frame that ALREADY carries `shard`/`ord`
+    * columns — the layout half of the export, decoupled from hash
+    * placement so [[balancedShards]]' equal-weight assignment (or any
+    * caller-computed placement) lands in the same manifested,
+    * partition-pruned, atomically-published layout. The manifest
+    * machinery is placement-agnostic: counts, ord ranges and checksums
+    * attest to the written bytes whatever put each row in its shard. */
+  def shardedWriteAssigned(spark: SparkSession, assigned: DataFrame,
       checksumCols: Seq[String], nShards: Int, dir: String): DataFrame = {
     require(checksumCols.nonEmpty, "shardedWrite needs checksum columns")
+    require(assigned.columns.contains("shard") && assigned.columns.contains("ord"),
+      "shardedWriteAssigned needs shard and ord columns (shardAssign/balancedShards)")
     val tmp = dir + ".export.tmp"
     val (fs, livePath) = fsPath(spark, dir)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
 
-    val assigned = shardAssign(df, idCol, nShards)
     assigned
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("ord"))
@@ -136,12 +149,17 @@ object Export {
       .parquet(dataDir(tmp))
 
     // manifest from the WRITTEN bytes, not the input plan: it must
-    // attest to what a consumer will read
-    val written = spark.read.parquet(dataDir(tmp))
+    // attest to what a consumer will read. A ZERO-ROW export writes no
+    // parquet files (partitioned writers skip empty partitions), so the
+    // re-read falls back to the assigned schema over nothing — and the
+    // schema rides a `_schema` sidecar in the manifest dir so the
+    // export stays self-describing (readShards works) while empty.
+    val written = readData(spark, dataDir(tmp), Some(assigned.schema))
     manifestOf(written, checksumCols, nShards)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite)
       .parquet(manifestDir(tmp))
+    writeSchemaSidecar(spark, manifestDir(tmp), assigned.schema)
 
     if (fs.exists(livePath)) IndexOps.swapDirs(spark, dir, tmp)
     else {
@@ -156,9 +174,53 @@ object Export {
   def readManifest(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(manifestDir(dir))
 
-  /** The published shard data (all shards). */
+  /** The published shard data (all shards). A zero-row export has no
+    * parquet files to infer from; the `_schema` sidecar written at
+    * publish time keeps it readable (an empty frame of the right
+    * schema). */
   def readShards(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dataDir(dir))
+    readData(spark, dataDir(dir), readSchemaSidecar(spark, dir))
+
+  /** Parquet read that falls back to `schema` over zero files. */
+  private def readData(spark: SparkSession, dataDir: String,
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    try spark.read.parquet(dataDir)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" && schema.nonEmpty =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.get)
+    }
+
+  private def schemaPath(manifestDir: String) =
+    new org.apache.hadoop.fs.Path(manifestDir, "_schema")
+
+  private[graft] def writeSchemaSidecar(spark: SparkSession,
+      manifestDir: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    val p = schemaPath(manifestDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(schema.json.getBytes("UTF-8")); out.close()
+  }
+
+  private def readSchemaSidecar(spark: SparkSession,
+      dir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = schemaPath(manifestDir(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](1024)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(org.apache.spark.sql.types.DataType
+          .fromJson(new String(buf.toByteArray, "UTF-8"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      } finally in.close()
+    }
+  }
 
   /** Worker `worker`-of-`nWorkers`'s slice: shards where
     * `shard % nWorkers = worker`. The predicate is on the partition
@@ -303,6 +365,18 @@ object Export {
     val (fs, _) = fsPath(spark, dir)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     manifest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // the `_schema` sidecar lives in the manifest dir; a manifest swap
+    // must not orphan it or an emptied-then-appended export goes dark
+    val livedSchema = schemaPath(manifestDir(dir))
+    if (fs.exists(livedSchema)) {
+      val in = fs.open(livedSchema)
+      val out = fs.create(schemaPath(tmp), true)
+      try {
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n >= 0) { out.write(chunk, 0, n); n = in.read(chunk) }
+      } finally { in.close(); out.close() }
+    }
     batchId.foreach { b =>
       val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_batch"), true)
       out.write(b.toString.getBytes("UTF-8")); out.close()
@@ -420,7 +494,12 @@ object Export {
       }.toMap
     }
     val grandTotal = totals.foldLeft(0L)((a, r) => math.addExact(a, r.getLong(1)))
-    require(grandTotal > 0, "balancedShards needs positive total weight")
+    // degenerate inputs (no rows, or all-zero weight) have nothing to
+    // balance: everything lands in shard 0, deterministically, instead
+    // of raising — empty slices are routine at scale (EmptyInputSpec)
+    if (grandTotal == 0L)
+      return assigned.withColumn("shard", lit(0).cast("int"))
+        .drop("__w", "__part")
     // offsets ride a BROADCAST join on __part (hash lookup), not a
     // literal CASE chain — a when-chain is O(nParts) comparisons per
     // row, measured 1.6× the whole operator's CPU at nParts=32

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, max, min}
 
 /** Bucketed physical layout: pay a key's shuffle ONCE at write time,
   * then join and aggregate on that key shuffle-free forever after.
@@ -159,6 +160,46 @@ object Layout {
     * and no Exchange is planned. (AQE preserves user join hints, so the
     * runtime re-plan cannot demote the co-located join either.)
     */
+  /** Write `df` Z-ORDER clustered on two long columns: rows sort by the
+    * Morton interleave of their order-preserving 16-bit bucket
+    * coordinates ([[graft.functions.ZOrder]]), range-partitioned into
+    * `ceil(rows / targetRowsPerFile)` files. Each parquet row group
+    * then covers a RECTANGLE-ish region of the (c1, c2) plane, so its
+    * min/max stats are selective for predicates on c1, on c2, or on
+    * both — where a single-column sort serves only its own column. The
+    * 100 TB read path this buys: a box query (`c1 BETWEEN … AND c2
+    * BETWEEN …`) row-group-prunes on BOTH dimensions from one layout,
+    * no second copy of the data sorted the other way.
+    *
+    * Runs one min/max agg over the two columns (two driver scalars —
+    * the bucket scaling must be a pure, oracle-reproducible function of
+    * the data), then the clustered write. The z key is materialized as
+    * `zval` so consumers and specs can see the clustering; drop it on
+    * read if unwanted. Returns (loC1, hiC1, loC2, hiC2) so callers can
+    * recompute bucket coordinates for probe-side pruning keys. */
+  def zorderedWrite(spark: SparkSession, df: DataFrame,
+      c1: String, c2: String, dir: String,
+      targetRowsPerFile: Long = 4L * 1000 * 1000): (Long, Long, Long, Long) = {
+    import graft.functions.ZOrder
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val r = df.agg(
+      min(col(c1).cast("long")), max(col(c1).cast("long")),
+      min(col(c2).cast("long")), max(col(c2).cast("long")),
+      count(lit(1))).collect()(0)
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"zorderedWrite: $c1/$c2 are all-null or $dir input is empty")
+    val (lo1, hi1, lo2, hi2) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val rows = r.getLong(4)
+    val numFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    df.withColumn("zval", ZOrder.zorder2(
+        ZOrder.bucket16(col(c1).cast("long"), lo1, hi1),
+        ZOrder.bucket16(col(c2).cast("long"), lo2, hi2)))
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+    (lo1, hi1, lo2, hi2)
+  }
+
   def coLocatedJoin(
       spark: SparkSession,
       leftTable: String,

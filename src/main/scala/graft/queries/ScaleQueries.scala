@@ -438,7 +438,33 @@ object ScaleQueries {
       .orderBy("cell_rows")
   }
 
+  /** SS12 — the Z-ORDER key ([[graft.functions.ZOrder]]): lineitem's
+    * (l_orderkey, l_partkey) plane bucketed to 16 bits per axis over
+    * the observed ranges and Morton-interleaved — the clustering key
+    * [[graft.operators.Layout.zorderedWrite]] sorts by, so one layout
+    * row-group-prunes box predicates on EITHER dimension. The query
+    * returns per-z-region row counts and zval sums; the oracle
+    * recomputes the ranges and the full interleave arithmetic from the
+    * raw table, so the key — shifts, masks, exact bucket division — is
+    * value-checked cross-engine, not rows-only. */
+  val q92ZorderKey: Q = (spark, dir) => {
+    import graft.functions.ZOrder
+    val t = Tables(spark, dir)
+    val r = t.lineitem.agg(
+      min(col("l_orderkey").cast("long")), max(col("l_orderkey").cast("long")),
+      min(col("l_partkey").cast("long")), max(col("l_partkey").cast("long"))).collect()(0)
+    val (lo1, hi1, lo2, hi2) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    t.lineitem
+      .withColumn("zval", ZOrder.zorder2(
+        ZOrder.bucket16(col("l_orderkey").cast("long"), lo1, hi1),
+        ZOrder.bucket16(col("l_partkey").cast("long"), lo2, hi2)))
+      .groupBy((col("zval") / 67108864L).cast("long").as("z_region")) // 2^26: 64 regions
+      .agg(count(lit(1)).as("n_rows"), sum("zval").cast("long").as("sum_z"))
+      .orderBy("z_region")
+  }
+
   val all: Map[String, Q] = Map(
+    "q92_zorder_key" -> q92ZorderKey,
     "q78_ivf_index_probe" -> q78IvfIndexProbe,
     "q79_ivf_ingest" -> q79IvfIngest,
     "q80_ivf_cell_skew" -> q80IvfCellSkew,
@@ -604,6 +630,22 @@ object ScaleQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q92_zorder_key" -> {
+      import graft.functions.ZOrder
+      val z = ZOrder.zorder2Sql(
+        ZOrder.bucket16Sql("l_orderkey", "m.lo1", "m.hi1"),
+        ZOrder.bucket16Sql("l_partkey", "m.lo2", "m.hi2"))
+      s"""WITH m AS (
+         |  SELECT CAST(min(l_orderkey) AS BIGINT) AS lo1,
+         |    CAST(max(l_orderkey) AS BIGINT) AS hi1,
+         |    CAST(min(l_partkey) AS BIGINT) AS lo2,
+         |    CAST(max(l_partkey) AS BIGINT) AS hi2
+         |  FROM lineitem),
+         |z AS (SELECT $z AS zval FROM lineitem CROSS JOIN m)
+         |SELECT CAST(zval // 67108864 AS BIGINT) AS z_region,
+         |  count(*) AS n_rows, CAST(sum(zval) AS BIGINT) AS sum_z
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q73_minhash_index_skew" ->
       s"""WITH ${sigKeysSql("", "TRUE")},
          |bs AS (

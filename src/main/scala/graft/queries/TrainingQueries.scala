@@ -300,6 +300,24 @@ object TrainingQueries {
       .orderBy("shard")
   }
 
+  /** TD17 — the balanced export end-to-end: [[graft.operators.Export
+    * .balancedShards]]' equal-token assignment written through
+    * [[graft.operators.Export.shardedWriteAssigned]] into the
+    * manifested shard layout. The oracle recomputes the assignment with
+    * a true global window AND the manifest fields from the raw table,
+    * so one hash match proves the distributed prefix sum, the layout
+    * write, and the manifest scan together. */
+  val q91BalancedExport: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val out = perProcessDir("graft_export_bal", dir)
+    val assigned = graft.operators.Export.balancedShards(
+      t.documents, "doc_id", "n_chars", nShards = 8, nParts = 32)
+    graft.operators.Export.shardedWriteAssigned(spark, assigned,
+      ExportChecksumCols, nShards = 8, out)
+      .select("shard", "n_rows", "min_ord", "max_ord", "checksum")
+      .orderBy("shard")
+  }
+
   /** Manifest checksum columns for q88 — every documents column, all
     * text-render-portable (strings + integers). */
   private val ExportChecksumCols =
@@ -333,6 +351,7 @@ object TrainingQueries {
     "q88_sharded_export" -> q88ShardedExport,
     "q89_balanced_shards" -> q89BalancedShards,
     "q90_export_append" -> q90ExportAppend,
+    "q91_balanced_export" -> q91BalancedExport,
     "q76_mixture_upsample" -> q76MixtureUpsample,
     "q75_mixture_report" -> q75MixtureReport,
     "q66_bigram_familiarity" -> q66BigramFamiliarity,
@@ -430,6 +449,26 @@ object TrainingQueries {
 
   val oracle: Map[String, String] = Map(
     "q90_export_append" -> manifestOracle,
+    "q91_balanced_export" ->
+      s"""WITH o AS (
+         |  SELECT doc_id, CAST(COALESCE(n_chars, 0) AS HUGEINT) AS w,
+         |    ${graft.operators.Export.ordSql("doc_id")} AS ord,
+         |    ${h60(graft.operators.Quality.rowEncodingSql(ExportChecksumCols))} AS rh
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, w, ord, rh,
+         |    COALESCE(sum(w) OVER (ORDER BY ord, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |  FROM o),
+         |t AS (SELECT sum(w) AS total FROM o),
+         |a AS (
+         |  SELECT CAST(LEAST((p.pre * 8) // t.total, 7) AS INT) AS shard,
+         |    p.ord, p.rh
+         |  FROM p CROSS JOIN t)
+         |SELECT shard, count(*) AS n_rows, min(ord) AS min_ord,
+         |  max(ord) AS max_ord,
+         |  CAST(sum(CAST(rh AS HUGEINT)) % ${1L << 61} AS BIGINT) AS checksum
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     "q88_sharded_export" ->
       s"""WITH a AS (
          |  SELECT ${graft.operators.Export.shardSql("doc_id", 8)} AS shard,

@@ -1,0 +1,76 @@
+package graft.functions
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Layout
+
+class ZOrderSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  test("zorder2 matches the reference bit-interleave, bucket16 is bounded and monotone") {
+    // reference interleave in plain Scala
+    def interleave(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    val pairs = for (a <- Seq(0L, 1L, 2L, 1000L, 65535L); b <- Seq(0L, 3L, 777L, 65535L))
+      yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(ZOrder.zorder2(col("a"), col("b")).as("z")).as[Long].collect()
+    assert(got.toSeq == pairs.map { case (a, b) => interleave(a, b) })
+
+    val vals = spark.range(0, 10000).select(
+      ZOrder.bucket16(col("id"), 0L, 9999L).as("bk"), col("id"))
+    assert(vals.filter(col("bk") < 0 || col("bk") > 65535).isEmpty)
+    val seq = vals.orderBy("id").select("bk").as[Long].collect()
+    assert(seq.zip(seq.tail).forall { case (x, y) => x <= y }, "bucket16 must be monotone")
+    assert(seq.head == 0L && seq.last == 65535L, "bucket16 must span the full range")
+    // degenerate range and nulls go to bucket 0
+    assert(Seq(Some(5L), None).toDF("v")
+      .select(ZOrder.bucket16(col("v"), 5L, 5L)).as[Long].collect().toSeq == Seq(0L, 0L))
+  }
+
+  test("z-ordered layout row-group-prunes a 2-D box where a 1-D sort cannot") {
+    val n = 60000L
+    // two independent uniform dims (decorrelated, the honest case for z-order)
+    val data = spark.range(n).select(
+      pmod(xxhash64(col("id"), lit(1L)), lit(10000L)).as("x"),
+      pmod(xxhash64(col("id"), lit(2L)), lit(10000L)).as("y"),
+      col("id").as("payload"))
+
+    val zDir = Files.createTempDirectory("zlay").toString + "/z"
+    val sDir = Files.createTempDirectory("zlay").toString + "/s"
+    Layout.zorderedWrite(spark, data, "x", "y", zDir, targetRowsPerFile = 500)
+    data.repartitionByRange(120, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(sDir)
+
+    def scannedRows(df: DataFrame): Long = {
+      df.collect()
+      collectWithSubqueries(df.queryExecution.executedPlan) {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+    }
+    // a selective box on BOTH dims (~1/8 of each axis)
+    def box(df: DataFrame) = df.filter(
+      col("x").between(1000, 2250) && col("y").between(4000, 5250))
+    val zScanned = scannedRows(box(spark.read.parquet(zDir)))
+    val sScanned = scannedRows(box(spark.read.parquet(sDir)))
+    val matched = box(spark.read.parquet(zDir)).count()
+    assert(matched == box(spark.read.parquet(sDir)).count(), "layouts must hold the same rows")
+    // the 1-D sort prunes only on x (~1/8 of rows + file granularity);
+    // the z layout prunes on both — the box's interior is ~1/64 but
+    // BOUNDARY row groups (z-curve runs crossing the box edge) dominate
+    // at file granularity, so the measured ratio here is ~1.9× (z 4466
+    // vs sorted 8427 at 120 files), asymptoting toward 8× as files
+    // shrink. Assert the stable part: a solid win over the 1-D sort
+    // and most of the table pruned.
+    assert(zScanned * 10 < sScanned * 7,
+      s"z-order should out-prune the 1-D sort: z=$zScanned vs sorted=$sScanned")
+    assert(zScanned < n / 8, s"z-order should prune most of the table: $zScanned of $n")
+  }
+}
