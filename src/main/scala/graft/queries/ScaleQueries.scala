@@ -453,7 +453,9 @@ object ScaleQueries {
     val r = t.lineitem.agg(
       min(col("l_orderkey").cast("long")), max(col("l_orderkey").cast("long")),
       min(col("l_partkey").cast("long")), max(col("l_partkey").cast("long"))).collect()(0)
-    val (lo1, hi1, lo2, hi2) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // empty table → null mins; any constants work (zero rows to bucket)
+    def at(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+    val (lo1, hi1, lo2, hi2) = (at(0), at(1), at(2), at(3))
     t.lineitem
       .withColumn("zval", ZOrder.zorder2(
         ZOrder.bucket16(col("l_orderkey").cast("long"), lo1, hi1),
