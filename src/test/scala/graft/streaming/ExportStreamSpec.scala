@@ -127,6 +127,61 @@ class ExportStreamSpec extends SparkSpec {
     Export.verifyShards(spark, dir, csCols)
   }
 
+  test("drop -> curate stream -> export stream composes exactly-once end to end") {
+    import graft.operators.Dedup
+    // the production shape: raw drops are curated by the self-growing-
+    // index loop, and the curated survivors stream STRAIGHT INTO the
+    // sharded export — two committed-batch hops chained by a file
+    // source, each exactly-once, so the export holds the curated corpus
+    // exactly once whatever the drop/drain interleaving.
+    val storeA = "the quick brown fox jumps over a lazy dog near the river bank"
+    val storeB = "a merchant of venice sailed in the morning tide carrying spice and silk"
+    val novelC = "seven engineers of the valley debugged a streaming pipeline in the night"
+    val novelD = "nine ravens of the tower guarded a rusty crown in the rain"
+    val store = Seq((1L, storeA), (2L, storeB)).toDF("doc_id", "text")
+    val cs = Seq("doc_id", "text")
+
+    val indexDir = tmp("chain_ix"); val curOut = tmp("chain_curated")
+    val drop = tmp("chain_drop"); val ckptCur = tmp("chain_ckpt_cur")
+    val expDir = tmp("chain_export"); val ckptExp = tmp("chain_ckpt_exp")
+    Dedup.minhashIndex(store, "doc_id", "text")
+      .write.mode("overwrite").partitionBy("band").parquet(indexDir)
+    // export bootstrap: the already-curated store is generation zero
+    Export.shardedWrite(spark, store, "doc_id", cs, 4, expDir)
+
+    val gate: DataFrame => DataFrame =
+      df => df.filter(graft.functions.TextAnalysis.qualityKeep(col("text")))
+    def curateDrain(): Unit = {
+      val s = spark.readStream.schema("doc_id LONG, text STRING").parquet(drop)
+      StreamingIngest.curateIngestStream(s, indexDir, curOut, ckptCur,
+        "doc_id", "text", gate).start().awaitTermination()
+    }
+    def exportDrain(): Unit = {
+      val s = spark.readStream.schema("doc_id LONG, text STRING").parquet(curOut)
+      StreamingIngest.shardedExportStream(s, expDir, ckptExp, "doc_id", cs)
+        .start().awaitTermination()
+    }
+
+    // drop 1: exact dup of the store, a novel doc twice (in-batch dup),
+    // a gate-failing fragment — only the novel doc's min-id copy survives
+    Seq((101L, storeA), (102L, novelC), (103L, novelC), (104L, "tiny"))
+      .toDF("doc_id", "text").write.mode("append").parquet(drop)
+    curateDrain(); exportDrain()
+    // drop 2: a CROSS-BATCH dup of the drop-1 survivor (the grown index
+    // must screen it) plus one genuinely new doc
+    Seq((201L, novelC), (202L, novelD))
+      .toDF("doc_id", "text").write.mode("append").parquet(drop)
+    curateDrain(); exportDrain()
+
+    val want = store.union(Seq((102L, novelC), (202L, novelD)).toDF("doc_id", "text"))
+    assertSameRows(Export.readShards(spark, expDir).select("doc_id", "text"), want)
+    Export.verifyShards(spark, expDir, cs)
+    // idle restart of both hops: nothing re-processed, nothing duplicated
+    curateDrain(); exportDrain()
+    assertSameRows(Export.readShards(spark, expDir).select("doc_id", "text"), want)
+    assert(Export.readManifest(spark, expDir).agg(sum("n_rows")).as[Long].head() == 4)
+  }
+
   test("crash mid-manifest-swap is recovered at replay entry") {
     val dir = tmp("exps_swapcrash")
     bootstrap(dir, 8)
