@@ -424,6 +424,77 @@ object Export {
       checksumCols: Seq[String], nShards: Int): DataFrame =
     manifestOf(assigned, checksumCols, nShards)
 
+  /** Combine published exports into one WITHOUT reading a data byte:
+    * every source shard file MOVES (rename — a metadata operation on
+    * HDFS-like stores, a server-side pointer on object stores) into
+    * `dst`'s matching shard directory under a generation-prefixed name,
+    * and the manifest is the O(nShards) commutative sum of the source
+    * manifests. At 100 TB this is the difference between "merge two
+    * corpus snapshots" costing O(files renamed) and costing a full
+    * rewrite. All sources must share the shard count (same portable
+    * placement → a row's shard is identical in every source) and the
+    * caller owns id-disjointness, like [[appendShards]].
+    *
+    * DESTRUCTIVE of the sources by design (that is what makes it
+    * metadata-only); sources must be quiesced. Idempotent under replay:
+    * target names are deterministic (`g<i>-<name>`), so a crash mid-move
+    * is recovered by RE-RUNNING the same merge — each file is either
+    * still in its source or already at its target, and the end state is
+    * identical. The merged manifest publishes only after every move
+    * lands; a crash before that leaves `dst` unpublished and the re-run
+    * completes it. Returns the merged manifest. */
+  def concatExports(spark: SparkSession, srcs: Seq[String], dst: String): DataFrame = {
+    require(srcs.nonEmpty, "concatExports needs at least one source")
+    val (fs, _) = fsPath(spark, dst)
+    val manifests = srcs.map(readManifest(spark, _))
+    val nShards = manifests.head.count()
+    require(manifests.forall(_.count() == nShards),
+      s"concatExports: shard counts differ across ${srcs.mkString(", ")}")
+    val tmp = dst + ".export.tmp"
+    // re-entrant staging: do NOT wipe tmp — a replayed merge must find
+    // the files a crashed attempt already moved
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dataDir(tmp)))
+    srcs.zipWithIndex.foreach { case (src, i) =>
+      val root = new org.apache.hadoop.fs.Path(dataDir(src))
+      if (fs.exists(root)) {
+        val it = fs.listFiles(root, true)
+        while (it.hasNext) {
+          val f = it.next().getPath
+          if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) {
+            // shard directory = the path component under data/
+            val rel = f.toString.stripPrefix(fs.makeQualified(root).toString)
+              .stripPrefix("/")
+            val cut = rel.lastIndexOf('/')
+            val shardDir =
+              if (cut < 0) "" else rel.substring(0, cut)
+            val targetDir = new org.apache.hadoop.fs.Path(dataDir(tmp), shardDir)
+            fs.mkdirs(targetDir)
+            val target = new org.apache.hadoop.fs.Path(targetDir, s"g$i-${f.getName}")
+            require(fs.rename(f, target),
+              s"concatExports: rename $f -> $target failed")
+          }
+        }
+      }
+    }
+    // manifest: the commutative fold of the source manifests
+    val merged = manifests.reduce(mergeManifest)
+    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestDir(tmp))
+    // carry a schema sidecar from the first source that has one
+    srcs.iterator.map(s => (s, readSchemaSidecar(spark, s)))
+      .collectFirst { case (_, Some(sc)) => sc }
+      .foreach(writeSchemaSidecar(spark, manifestDir(tmp), _))
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    if (fs.exists(dstPath)) IndexOps.swapDirs(spark, dst, tmp)
+    else {
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dstPath),
+        s"concatExports: rename $tmp -> $dst failed")
+      spark.catalog.refreshByPath(dst)
+    }
+    // the emptied source skeletons are dead weight; drop them
+    srcs.foreach(s => fs.delete(new org.apache.hadoop.fs.Path(s), true))
+    readManifest(spark, dst)
+  }
+
   // ------------------------------------------------- token-balanced shards
 
   /** Shards balanced by a WEIGHT (token count, byte length) instead of

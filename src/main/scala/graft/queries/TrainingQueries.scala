@@ -318,6 +318,29 @@ object TrainingQueries {
       .orderBy("shard")
   }
 
+  /** TD18 — metadata-only export merge ([[graft.operators.Export
+    * .concatExports]]): two disjoint halves exported separately, then
+    * combined by file renames + an O(nShards) manifest sum — no data
+    * byte read. The oracle recomputes the manifest from the full raw
+    * table, so the hash match proves rename-merge ≡ one-shot export.
+    * All three dirs are recreated per run (the merge consumes its
+    * sources, and the bench replays queries). */
+  val q93ExportConcat: Q = (spark, dir) => {
+    val ex = graft.operators.Export
+    val base = perProcessDir("graft_export_cat", dir)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val t = Tables(spark, dir)
+    ex.shardedWrite(spark, t.documents.filter(col("doc_id") % 2 === 0),
+      "doc_id", ExportChecksumCols, nShards = 8, s"$base/a")
+    ex.shardedWrite(spark, t.documents.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", ExportChecksumCols, nShards = 8, s"$base/b")
+    ex.concatExports(spark, Seq(s"$base/a", s"$base/b"), s"$base/merged")
+      .select("shard", "n_rows", "min_ord", "max_ord", "checksum")
+      .orderBy("shard")
+  }
+
   /** Manifest checksum columns for q88 — every documents column, all
     * text-render-portable (strings + integers). */
   private val ExportChecksumCols =
@@ -352,6 +375,7 @@ object TrainingQueries {
     "q89_balanced_shards" -> q89BalancedShards,
     "q90_export_append" -> q90ExportAppend,
     "q91_balanced_export" -> q91BalancedExport,
+    "q93_export_concat" -> q93ExportConcat,
     "q76_mixture_upsample" -> q76MixtureUpsample,
     "q75_mixture_report" -> q75MixtureReport,
     "q66_bigram_familiarity" -> q66BigramFamiliarity,
@@ -449,6 +473,7 @@ object TrainingQueries {
 
   val oracle: Map[String, String] = Map(
     "q90_export_append" -> manifestOracle,
+    "q93_export_concat" -> manifestOracle,
     "q91_balanced_export" ->
       s"""WITH o AS (
          |  SELECT doc_id, CAST(COALESCE(n_chars, 0) AS HUGEINT) AS w,

@@ -148,6 +148,41 @@ class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     Export.verifyShards(spark, dir, csCols)
   }
 
+  test("concatExports: metadata-only merge equals the one-shot export, replay-safe") {
+    val a = tmp("concat_a"); val b = tmp("concat_b"); val dst = tmp("concat_dst")
+    Export.shardedWrite(spark, docs.filter(col("doc_id") % 2 === 0), "doc_id", csCols, 8, a)
+    Export.shardedWrite(spark, docs.filter(col("doc_id") % 2 =!= 0), "doc_id", csCols, 8, b)
+
+    // simulate a crashed earlier attempt: one file already moved to the
+    // staging area under its deterministic name
+    val aShard = new java.io.File(Export.dataDir(a)).listFiles()
+      .filter(_.getName.startsWith("shard=")).head
+    val victim = aShard.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val staged = new java.io.File(
+      Export.dataDir(dst + ".export.tmp") + "/" + aShard.getName)
+    staged.mkdirs()
+    assert(victim.renameTo(new java.io.File(staged, "g0-" + victim.getName)))
+
+    val merged = Export.concatExports(spark, Seq(a, b), dst)
+    assert(merged.agg(sum("n_rows")).as[Long].head() == 200)
+    assertSameRows(
+      Export.readShards(spark, dst).select("doc_id", "text", "lang", "n_tokens"), docs)
+    Export.verifyShards(spark, dst, csCols)
+    // one-shot equivalence: identical manifest to exporting everything at once
+    val ref = tmp("concat_ref")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 8, ref)
+    assertSameRows(merged, Export.readManifest(spark, ref))
+    // sources are consumed
+    assert(!new java.io.File(a).exists && !new java.io.File(b).exists)
+    // shard-count mismatch refuses loudly
+    val c = tmp("concat_c"); val d = tmp("concat_d")
+    Export.shardedWrite(spark, docs.limit(10), "doc_id", csCols, 8, c)
+    Export.shardedWrite(spark, docs.limit(10), "doc_id", csCols, 4, d)
+    intercept[IllegalArgumentException] {
+      Export.concatExports(spark, Seq(c, d), tmp("concat_bad"))
+    }
+  }
+
   test("balancedShards: contiguous in global hash order, near-equal weight, oracle-exact") {
     val n = 500
     // skewed weights: a few huge documents among many small ones
