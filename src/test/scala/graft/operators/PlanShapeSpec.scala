@@ -490,4 +490,27 @@ class PlanShapeSpec extends SparkSpec {
       iv, b, Seq("k"), "lo", "hi", "lo", "hi", bucketWidth = 4L))
     assertNoQuadraticJoin(oj, "intervalOverlapJoin")
   }
+
+  test("shardAssign is shuffle-free; the balanced prefix sum plans exactly two exchanges") {
+    val docs = spark.range(500).select(
+      col("id").as("doc_id"), (col("id") % 13 + 1).as("w"))
+    // placement is a pure projection: no exchange anywhere
+    val assignPlan = physicalPlan(graft.operators.Export.shardAssign(docs, "doc_id", 8))
+    assert(!assignPlan.contains("Exchange"),
+      s"shardAssign must be a pure projection:\n$assignPlan")
+    // balancedShards' distributed prefix sum: one exchange for the
+    // partitioned window, one broadcast for the offsets — never a
+    // global (empty-partition) window, never a range-sampling pass
+    val bal = graft.operators.Export.balancedShards(docs, "doc_id", "w", 8, nParts = 8)
+    val balPlan = physicalPlan(bal)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(balPlan).length
+    assert(hashEx == 1, s"expected 1 hash exchange (the window), got $hashEx:\n$balPlan")
+    assert(!balPlan.contains("Exchange rangepartitioning"),
+      s"balancedShards must not range-sample:\n$balPlan")
+    assert(!balPlan.contains("Exchange SinglePartition"),
+      s"balancedShards must not funnel through one partition:\n$balPlan")
+    assert(balPlan.contains("BroadcastExchange"),
+      s"offsets must ride a broadcast join:\n$balPlan")
+    assertNoQuadraticJoin(balPlan, "balancedShards")
+  }
 }
