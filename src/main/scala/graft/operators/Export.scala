@@ -8,7 +8,7 @@ import graft.functions.Hashing
 
 /** Sharded training-data export: the last stage of a curation pipeline,
   * where a cleaned corpus becomes the N fixed shards a training job
-  * streams (SURVEY.md §2.14 extension surface; the reference stops at
+  * streams (SURVEY.md §2.0 extension rows; the reference stops at
   * single-file CSV sinks — `down/down_water_prep.py:1020` writes one
   * `to_csv` — which does not survive a corpus that no single writer can
   * hold).
