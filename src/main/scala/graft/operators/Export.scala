@@ -9,7 +9,7 @@ import graft.functions.Hashing
 /** Sharded training-data export: the last stage of a curation pipeline,
   * where a cleaned corpus becomes the N fixed shards a training job
   * streams (SURVEY.md §2.0 extension rows; the reference stops at
-  * single-file CSV sinks — `down/down_water_prep.py:1020` writes one
+  * single-file CSV sinks — `down/down_water_prep.py:545` writes one
   * `to_csv` — which does not survive a corpus that no single writer can
   * hold).
   *
@@ -77,6 +77,48 @@ object Export {
   def ordSql(idExpr: String): String =
     Hashing.h60Sql(s"'ord:' || CAST($idExpr AS VARCHAR)")
 
+  /** 2^60 — the exclusive upper bound of the h60 hash family, shared
+    * with [[balancedShards]]' equi-width partitioner. */
+  private val H60Bound: Long = 1L << 60
+
+  /** The write-side exchange, with PARALLELISM DECOUPLED FROM THE SHARD
+    * COUNT. Hash-repartitioning on `shard` alone caps the export at
+    * nShards tasks — an 8-shard 100 TB export would funnel ~12.5 TB
+    * through single tasks (and hash collisions can idle even some of
+    * those). `repartitionByRange(shard, ord)` would restore parallelism
+    * but pays a boundary-sampling job over the INPUT PLAN — for an
+    * initial export that can mean re-running the whole upstream
+    * curation pipeline once just to pick split points. Instead this
+    * reuses [[balancedShards]]' sampling-free range split: `ord` = h60
+    * is uniform on [0, 2^60), so an equi-width bucket of `ord` is a
+    * deterministic, already-balanced range partitioning computed as a
+    * pure projection. Hash-repartitioning on `(shard, ordBucket)`
+    * spreads each shard over ~`numTasks/nShards` buckets while
+    * `partitionBy("shard")` still routes every row to its shard
+    * directory — ONE exchange, `numTasks`-wide, no sampling pass.
+    *
+    * Each task writes one ord-sorted file per shard it holds;
+    * multi-file shards are first-class by construction (the manifest
+    * checksum is order-independent, [[readShardOrdered]] sorts its
+    * pruned slice). With `numTasks <= nShards` the bucket degenerates
+    * to a constant and this is exactly the old shard-hash layout. */
+  private[graft] def writeLayout(assigned: DataFrame, nShards: Int,
+      numTasks: Int): DataFrame = {
+    val tasks = math.max(nShards, numTasks)
+    val bucketsPerShard = math.max(1L, (tasks.toLong + nShards - 1) / nShards)
+    val bucketWidth = (H60Bound + bucketsPerShard - 1) / bucketsPerShard
+    assigned
+      .repartition(tasks, col("shard"), expr(s"ord div ${bucketWidth}L"))
+      .sortWithinPartitions(col("shard"), col("ord"))
+  }
+
+  /** Write parallelism for an assigned frame: at least one task per
+    * shard, and at least the input's own partition count — the corpus'
+    * scan parallelism (≈ bytes / maxPartitionBytes) is the scale signal
+    * that needs no extra job to read. */
+  private[graft] def writeTasks(assigned: DataFrame, nShards: Int): Int =
+    math.max(nShards, assigned.rdd.getNumPartitions)
+
   /** 2^61 — the checksum modulus shared with [[Quality.tableChecksum]]. */
   private val ChecksumMod: Long = 1L << 61
 
@@ -107,15 +149,15 @@ object Export {
   }
 
   /** Export `df` as `nShards` parquet shard directories under
-    * `dir/data/shard=K`, each internally sorted by the portable order
-    * key, plus a per-shard manifest under `dir/manifest`; returns the
-    * manifest. ONE exchange over the corpus (hash repartition on
-    * `shard` — same argument as the IVF build: range repartition would
-    * add a sampling job, and `partitionBy` directories make cross-file
-    * order irrelevant), then one re-scan of the written bytes for the
-    * manifest. Columns `shard`/`ord` are materialized in the output —
-    * `ord` so consumers can merge or resume deterministically, `shard`
-    * as the partition directory.
+    * `dir/data/shard=K`, every file internally sorted by the portable
+    * order key, plus a per-shard manifest under `dir/manifest`; returns
+    * the manifest. ONE exchange over the corpus, as wide as the input's
+    * own parallelism — NOT capped at nShards tasks ([[writeLayout]]:
+    * the sampling-free equi-width ord split spreads each shard over
+    * multiple ord-sorted files) — then one re-scan of the written bytes
+    * for the manifest. Columns `shard`/`ord` are materialized in the
+    * output — `ord` so consumers can merge or resume deterministically,
+    * `shard` as the partition directory.
     *
     * Staged under `<dir>.export.tmp` and swapped in atomically; the
     * previous export (if any) stays live until the swap and is the
@@ -141,9 +183,7 @@ object Export {
     val (fs, livePath) = fsPath(spark, dir)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
 
-    assigned
-      .repartition(nShards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("ord"))
+    writeLayout(assigned, nShards, writeTasks(assigned, nShards))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard")
       .parquet(dataDir(tmp))
@@ -242,21 +282,35 @@ object Export {
     * routine post-publish gate. */
   def verifyShards(spark: SparkSession, dir: String,
       checksumCols: Seq[String]): DataFrame = {
-    val expected = readManifest(spark, dir).select(
-      col("shard"), col("n_rows").as("m_rows"), col("min_ord").as("m_min"),
-      col("max_ord").as("m_max"), col("checksum").as("m_sum"))
+    val expected = readManifest(spark, dir)
     val nShards = expected.count().toInt
     val actual = manifestOf(readShards(spark, dir), checksumCols, nShards)
-    val cmp = actual.join(expected, Seq("shard"), "full_outer")
-      .withColumn("ok",
-        col("n_rows") <=> col("m_rows") && col("min_ord") <=> col("m_min") &&
-          col("max_ord") <=> col("m_max") && col("checksum") <=> col("m_sum"))
-    val bad = cmp.filter(!col("ok")).select("shard").collect().map(_.get(0))
+    val cmp = manifestCompare(actual, expected)
+    val bad = divergentShards(cmp)
     if (bad.nonEmpty)
       throw new IllegalStateException(
         s"export at $dir diverges from its manifest in shards ${bad.mkString(", ")}")
     cmp
   }
+
+  /** Per-shard comparison of a recomputed manifest against a published
+    * one: `ok` is null-safe equality of count, ord range and checksum.
+    * The construction [[verifyShards]] uses post-publish and
+    * [[compactExport]] uses PRE-swap. */
+  private def manifestCompare(actual: DataFrame, expected: DataFrame): DataFrame = {
+    val e = expected.select(
+      col("shard"), col("n_rows").as("m_rows"), col("min_ord").as("m_min"),
+      col("max_ord").as("m_max"), col("checksum").as("m_sum"))
+    actual.join(e, Seq("shard"), "full_outer")
+      .withColumn("ok",
+        col("n_rows") <=> col("m_rows") && col("min_ord") <=> col("m_min") &&
+          col("max_ord") <=> col("m_max") && col("checksum") <=> col("m_sum"))
+  }
+
+  /** The shards a [[manifestCompare]] frame flags — one bounded
+    * driver materialization of at most nShards rows. */
+  private def divergentShards(cmp: DataFrame): Array[Any] =
+    cmp.filter(!col("ok")).select("shard").collect().map(_.get(0))
 
   /** One shard, in its deterministic global order — after appends a
     * shard's rows are ord-sorted only WITHIN each generation's files,
@@ -269,15 +323,18 @@ object Export {
     * `targetRowsPerFile` rows and swap it in — the export twin of
     * [[IndexOps.compactSwap]], closing the same small-files growth the
     * streaming sink accumulates (one file per shard per batch). The
-    * compacted copy is proven CONTENT-IDENTICAL before anyone reads it:
-    * dst-counted against the source, then [[verifyShards]] replays the
-    * per-shard checksums against the UNCHANGED manifest — compaction
-    * must be invisible to the manifest by construction (the checksum is
-    * order-independent), so a lossy or corrupted rewrite raises here.
-    * Crash-safe like every swap here: the tmp copy is disposable until
-    * the swap starts, `.old` is authoritative until it completes
-    * ([[IndexOps.recoverSwap]] at the streaming sink's batch entry).
-    * Returns the row count. */
+    * compacted copy is proven CONTENT-IDENTICAL BEFORE the swap: the
+    * per-shard manifest of the rewritten bytes is recomputed and
+    * compared against the live manifest — compaction must be invisible
+    * to the manifest by construction (the checksum is order-
+    * independent), so a lossy or corrupted rewrite raises while the
+    * good copy is still live and no reader has seen the bad one. A
+    * zero-row export short-circuits (nothing to compact — the
+    * empty-safe contract of the rest of the family). Crash-safe like
+    * every swap here: the tmp copy is disposable until the swap
+    * starts, `.old` is authoritative until it completes
+    * ([[IndexOps.recoverSwap]] at the streaming sink's batch entry and
+    * [[appendShards]]' entry). Returns the row count. */
   def compactExport(spark: SparkSession, dir: String,
       checksumCols: Seq[String],
       targetRowsPerFile: Long = 4L * 1000 * 1000): Long = {
@@ -285,17 +342,27 @@ object Export {
     val tmp = dataDir(dir) + ".compact.tmp"
     val (fs, _) = fsPath(spark, dir)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val live = readManifest(spark, dir)
+    val nShards = live.count().toInt
     val src = readShards(spark, dir)
     val rows = src.count()
+    if (rows == 0L) return 0L
     val numFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     src.repartitionByRange(numFiles, col("shard"), col("ord"))
       .sortWithinPartitions("shard", "ord")
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(tmp)
-    val dstRows = spark.read.parquet(tmp).count()
-    require(dstRows == rows,
-      s"compactExport: rewrite of $dir lost rows ($rows vs $dstRows) — not swapping")
+    // PRE-swap verification: recompute the manifest over the staged
+    // rewrite and require it to match the live manifest exactly —
+    // only then does the swap replace the good copy
+    val staged = manifestOf(readData(spark, tmp, Some(src.schema)),
+      checksumCols, nShards)
+    val bad = divergentShards(manifestCompare(staged, live))
+    if (bad.nonEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      throw new IllegalStateException(
+        s"compactExport: rewrite of $dir diverges from the live manifest in shards ${bad.mkString(", ")} — not swapping")
+    }
     IndexOps.swapDirs(spark, dataDir(dir), tmp)
-    verifyShards(spark, dir, checksumCols)
     rows
   }
 
@@ -322,13 +389,17 @@ object Export {
     * a torn manifest. Returns the merged manifest. */
   def appendShards(spark: SparkSession, df: DataFrame, idCol: String,
       checksumCols: Seq[String], dir: String): DataFrame = {
+    // a crash inside a previous append's manifest swap (or a
+    // compactExport run) leaves a live dir renamed away; finish or
+    // roll back BEFORE the first read — the batch twin of the
+    // streaming sink's batch-entry recovery
+    IndexOps.recoverSwap(spark, manifestDir(dir))
+    IndexOps.recoverSwap(spark, dataDir(dir))
     val old = readManifest(spark, dir)
     val nShards = old.count().toInt
     require(nShards > 0, s"appendShards: no manifest at $dir")
     val assigned = shardAssign(df, idCol, nShards)
-    assigned
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("ord"))
+    writeLayout(assigned, nShards, writeTasks(assigned, nShards))
       .write.mode(SaveMode.Append)
       .partitionBy("shard")
       .parquet(dataDir(dir))
@@ -342,13 +413,41 @@ object Export {
   /** Rebuild the manifest from the shard data (the source of truth) —
     * the recovery action for a crash between [[appendShards]]' data
     * append and manifest swap, or for a manifest lost to operator
-    * error. One aggregation scan of the export. */
+    * error. Recovers an interrupted swap first, and when the manifest
+    * itself is gone (the "lost to operator error" case) infers the
+    * shard count from the `shard=K` partition directories instead of
+    * reading the manifest it is trying to rebuild. One aggregation
+    * scan of the export. */
   def repairManifest(spark: SparkSession, dir: String,
       checksumCols: Seq[String]): DataFrame = {
-    val nShards = readManifest(spark, dir).count().toInt
+    IndexOps.recoverSwap(spark, manifestDir(dir))
+    IndexOps.recoverSwap(spark, dataDir(dir))
+    val nShards = repairShardCount(spark, dir)
     publishManifest(spark, dir,
       manifestOf(readShards(spark, dir), checksumCols, nShards))
     readManifest(spark, dir)
+  }
+
+  /** Shard count for a repair: the live manifest when one is readable,
+    * else `1 + max K` over the surviving `shard=K` data directories.
+    * Data-derived inference can only UNDERCOUNT trailing all-empty
+    * shards (they leave no directory) — the repaired manifest still
+    * attests to every byte on disk. */
+  private def repairShardCount(spark: SparkSession, dir: String): Int = {
+    val (fs, _) = fsPath(spark, dir)
+    val m = new org.apache.hadoop.fs.Path(manifestDir(dir))
+    val hasManifest = fs.exists(m) &&
+      fs.listStatus(m).exists(_.getPath.getName.endsWith(".parquet"))
+    if (hasManifest) readManifest(spark, dir).count().toInt
+    else {
+      val d = new org.apache.hadoop.fs.Path(dataDir(dir))
+      require(fs.exists(d), s"repairManifest: no data at $dir to repair from")
+      val ks = fs.listStatus(d).map(_.getPath.getName)
+        .filter(_.startsWith("shard="))
+        .map(_.stripPrefix("shard=").toInt)
+      require(ks.nonEmpty, s"repairManifest: no shard directories at $dir")
+      ks.max + 1
+    }
   }
 
   /** Write `manifest` to a tmp dir and swap it over `dir/manifest`:
@@ -382,7 +481,15 @@ object Export {
       out.write(b.toString.getBytes("UTF-8")); out.close()
     }
     IndexOps.recoverSwap(spark, manifestDir(dir))
-    IndexOps.swapDirs(spark, manifestDir(dir), tmp)
+    // a manifest dir deleted by operator error (the repairManifest
+    // entry path) has nothing to swap out — plain rename publishes
+    val mPath = new org.apache.hadoop.fs.Path(manifestDir(dir))
+    if (fs.exists(mPath)) IndexOps.swapDirs(spark, manifestDir(dir), tmp)
+    else {
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp), mPath),
+        s"publishManifest: rename $tmp -> $mPath failed")
+      spark.catalog.refreshByPath(manifestDir(dir))
+    }
   }
 
   /** The streaming batch id the live manifest generation records, if
@@ -436,25 +543,43 @@ object Export {
     * caller owns id-disjointness, like [[appendShards]].
     *
     * DESTRUCTIVE of the sources by design (that is what makes it
-    * metadata-only); sources must be quiesced. Idempotent under replay:
-    * target names are deterministic (`g<i>-<name>`), so a crash mid-move
-    * is recovered by RE-RUNNING the same merge — each file is either
-    * still in its source or already at its target, and the end state is
-    * identical. The merged manifest publishes only after every move
-    * lands; a crash before that leaves `dst` unpublished and the re-run
-    * completes it. Returns the merged manifest. */
+    * metadata-only); sources must be quiesced. Idempotent under replay
+    * ACROSS THE WHOLE PROTOCOL, not just the move loop:
+    *  - mid-move crash: target names are deterministic (`g<i>-<name>`),
+    *    so the re-run moves only what is still in a source — each file
+    *    is either at its source or already at its target;
+    *  - mid-swap crash: recovered at entry ([[IndexOps.recoverSwap]]);
+    *  - POST-publish crash (between the dst publish and the source
+    *    cleanup): the surviving source skeletons still carry manifests
+    *    claiming every row while their data dirs are empty — the
+    *    re-run detects that its staging holds NO data files while the
+    *    merged manifest claims rows, refuses to republish over the
+    *    live dst (which holds the real data), and finishes the cleanup
+    *    instead; a re-run after cleanup finished finds no sources at
+    *    all and returns dst's live manifest.
+    * Returns the merged manifest. */
   def concatExports(spark: SparkSession, srcs: Seq[String], dst: String): DataFrame = {
     require(srcs.nonEmpty, "concatExports needs at least one source")
-    val (fs, _) = fsPath(spark, dst)
-    val manifests = srcs.map(readManifest(spark, _))
+    val (fs, dstPath) = fsPath(spark, dst)
+    val tmp = dst + ".export.tmp"
+    // finish or roll back a dst publish a crash interrupted
+    IndexOps.recoverSwap(spark, dst)
+    // fully-completed replay: every source consumed, dst published
+    val liveSrcs = srcs.filter(s => fs.exists(new org.apache.hadoop.fs.Path(s)))
+    if (liveSrcs.isEmpty) {
+      require(fs.exists(dstPath),
+        s"concatExports: no sources exist and no published export at $dst")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      return readManifest(spark, dst)
+    }
+    val manifests = liveSrcs.map(readManifest(spark, _))
     val nShards = manifests.head.count()
     require(manifests.forall(_.count() == nShards),
-      s"concatExports: shard counts differ across ${srcs.mkString(", ")}")
-    val tmp = dst + ".export.tmp"
+      s"concatExports: shard counts differ across ${liveSrcs.mkString(", ")}")
     // re-entrant staging: do NOT wipe tmp — a replayed merge must find
     // the files a crashed attempt already moved
     fs.mkdirs(new org.apache.hadoop.fs.Path(dataDir(tmp)))
-    srcs.zipWithIndex.foreach { case (src, i) =>
+    liveSrcs.zipWithIndex.foreach { case (src, i) =>
       val root = new org.apache.hadoop.fs.Path(dataDir(src))
       if (fs.exists(root)) {
         val it = fs.listFiles(root, true)
@@ -478,12 +603,24 @@ object Export {
     }
     // manifest: the commutative fold of the source manifests
     val merged = manifests.reduce(mergeManifest)
+    // completed-publish guard (the post-publish crash window): sources
+    // whose manifests claim rows but whose data is neither in a source
+    // nor in staging were already merged into a published dst — a swap
+    // here would replace the real merged data with an empty skeleton
+    val mergedRows = merged.agg(sum("n_rows")).head().getLong(0)
+    if (mergedRows > 0 && !hasDataFiles(fs, dataDir(tmp))) {
+      require(fs.exists(dstPath),
+        s"concatExports: sources claim $mergedRows rows but hold no data and " +
+          s"no published export exists at $dst — refusing to publish emptiness")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      liveSrcs.foreach(s => fs.delete(new org.apache.hadoop.fs.Path(s), true))
+      return readManifest(spark, dst)
+    }
     merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestDir(tmp))
     // carry a schema sidecar from the first source that has one
-    srcs.iterator.map(s => (s, readSchemaSidecar(spark, s)))
+    liveSrcs.iterator.map(s => (s, readSchemaSidecar(spark, s)))
       .collectFirst { case (_, Some(sc)) => sc }
       .foreach(writeSchemaSidecar(spark, manifestDir(tmp), _))
-    val dstPath = new org.apache.hadoop.fs.Path(dst)
     if (fs.exists(dstPath)) IndexOps.swapDirs(spark, dst, tmp)
     else {
       require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dstPath),
@@ -491,8 +628,21 @@ object Export {
       spark.catalog.refreshByPath(dst)
     }
     // the emptied source skeletons are dead weight; drop them
-    srcs.foreach(s => fs.delete(new org.apache.hadoop.fs.Path(s), true))
+    liveSrcs.foreach(s => fs.delete(new org.apache.hadoop.fs.Path(s), true))
     readManifest(spark, dst)
+  }
+
+  /** True when `dir` holds at least one non-hidden data file. */
+  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val n = it.next().getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) return true
+    }
+    false
   }
 
   // ------------------------------------------------- token-balanced shards
@@ -529,11 +679,20 @@ object Export {
     * `shard = prefix · nShards / total` (integral div), so the result
     * is reproducible on any engine from the row set alone — the DuckDB
     * oracle recomputes it with a true global window. Weights must be
-    * non-negative integers; null weighs 0. */
+    * non-negative integers; null weighs 0.
+    *
+    * `nParts` is the pass-2 window parallelism; the default (0) derives
+    * it as `max(32, input partitions)` so the prefix-sum pass scales
+    * with the corpus' own scan width instead of a fixed 32 — the
+    * RESULT is nParts-invariant (any equi-width split of a monotone
+    * key yields the same global prefix), so the choice is pure
+    * parallelism, which the spec asserts at two values. */
   def balancedShards(df: DataFrame, idCol: String, weightCol: String,
-      nShards: Int, nParts: Int = 32): DataFrame = {
+      nShards: Int, nParts: Int = 0): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    require(nParts > 0, s"nParts must be positive, got $nParts")
+    require(nParts >= 0, s"nParts must be non-negative, got $nParts")
+    val parts =
+      if (nParts > 0) nParts else math.max(32, df.rdd.getNumPartitions)
     import org.apache.spark.sql.expressions.Window
     // LONG accumulation, decimal only in the final boundary formula:
     // a decimal window sum is the hot per-row cost (measured 2.2× the
@@ -549,7 +708,7 @@ object Export {
       // part = ord / width — monotone in ord (so partitions are ranges,
       // which is what makes the offsets correct) and < nParts always
       .withColumn("__part",
-        expr(s"ord div ${(1152921504606846976L + nParts - 1) / nParts}L")
+        expr(s"ord div ${(1152921504606846976L + parts - 1) / parts}L")
           .cast("int"))
     // pass 1: per-partition totals -> exclusive offsets (nParts rows).
     // sum("__w") over long yields long; Spark raises on overflow in

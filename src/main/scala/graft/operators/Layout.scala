@@ -200,6 +200,39 @@ object Layout {
     (lo1, hi1, lo2, hi2)
   }
 
+  /** Read a [[zorderedWrite]] layout pruned to a `(c1, c2)` box:
+    * applies the RAW dimension predicates and lets parquet row-group
+    * min/max stats do the pruning. The z-clustered layout makes each
+    * row group cover a rectangle-ish region of the plane, so those
+    * stats are selective in BOTH dimensions — which is the entire
+    * point of the layout. No z-value arithmetic appears on the probe
+    * side (deriving z-ranges for a box is the classic BIGMIN
+    * refinement, but the raw-dimension stats already deliver the
+    * pruning the study measured, with zero coupling to the write-time
+    * bucket scaling). Bounds are optional per side, so the study's
+    * three shapes — box, c1-only, c2-only — all read through this one
+    * helper.
+    *
+    * ROUTING RULE, measured at sf1 (SCALING.md r11 "Z-order layout":
+    * 6M rows, 120 files, each dim 1/8-selective): the z layout serves
+    * both dimensions from ONE copy — 5.1× fewer rows scanned and 3.0×
+    * less CPU on the dimension a 1-D sort cannot prune at all — and
+    * pays ~1.9× rows / +12% CPU against the 1-D sort on that sort's
+    * own column (each dimension keeps 16 of its 32 resolution bits).
+    * Route: one dominant filter dimension → sort by it and filter
+    * directly; two (or rotating) dimensions → z-order and read through
+    * here. The ratio improves toward the box interior's share as row
+    * groups shrink relative to the table (boundary row groups dominate
+    * small fixtures). */
+  def zorderScan(spark: SparkSession, dir: String, c1: String, c2: String,
+      c1Lo: Option[Long] = None, c1Hi: Option[Long] = None,
+      c2Lo: Option[Long] = None, c2Hi: Option[Long] = None): DataFrame = {
+    val preds: Seq[Column] = Seq(
+      c1Lo.map(v => col(c1) >= v), c1Hi.map(v => col(c1) <= v),
+      c2Lo.map(v => col(c2) >= v), c2Hi.map(v => col(c2) <= v)).flatten
+    preds.foldLeft(spark.read.parquet(dir))((df, p) => df.filter(p))
+  }
+
   def coLocatedJoin(
       spark: SparkSession,
       leftTable: String,

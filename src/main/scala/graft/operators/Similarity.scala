@@ -363,6 +363,81 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_micro", "rank")
   }
 
+  /** Exact cosine top-k for a BOUNDED query batch that need NOT be a
+    * subset of the corpus — the probe/ingest shape, where
+    * [[bruteForceTopK]] contracts `queries ⊆ corpus`. Broadcast the
+    * query batch, scan the corpus ONCE, rank per query with the
+    * k-capped native heap aggregate ([[topKBy]] — map-side partial
+    * heaps, no per-group sort or candidate materialization). Recall is
+    * 1.0 by construction; cost is one corpus scan per batch, which is
+    * exactly the regime where [[annTopKAuto]] routes here. Output is
+    * [[ivfIndexProbe]]'s contract schema
+    * `(query_id, neighbor_id, cos_micro, rank)`. */
+  def bruteForceTopKBatch(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol).toDF("neighbor_id", "c_vec", "c_nrm")
+    val q = broadcast(withNorm(queries, idCol, vecCol)
+      .toDF("query_id", "q_vec", "q_nrm"))
+    c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_micro",
+        cosMicroPre(dot(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")))
+      .groupBy("query_id")
+      .agg(topKBy(col("cos_micro"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").as("cos_micro"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Routed ANN front door, encoding the measured recall rule
+    * (`AnnRecallStudy`; SCALING.md r11 "IVF recall — what each probed
+    * cell buys"): on an UNCLUSTERED corpus no index beats
+    * `recall = probed fraction` (the information floor — an isotropic
+    * query's top-k targets are spread uniformly over cells), while a
+    * near-dup SCREENING target sits in the probe's own cell with high
+    * probability and is recovered at small nProbe regardless of corpus
+    * geometry (measured 2.6–6.7× above the floor). The routes:
+    *
+    *  - `screening = true` (find the near-copy — the ingest-screen /
+    *    dedup workload): IVF probe at the caller's `nProbe`, the
+    *    regime the index exists for;
+    *  - `screening = false` (true top-k): honoring `minRecall` without
+    *    assuming clusteredness needs probed fraction ≥ minRecall, so
+    *    past `bruteRecallThreshold` (default 0.5 — at that point the
+    *    probe scans half the corpus anyway) the EXACT one-scan
+    *    [[bruteForceTopKBatch]] is the better arm: recall 1.0, no
+    *    index maintenance, same broadcast-bounded-batch shape. Below
+    *    the threshold the probe runs at
+    *    `nProbe = max(nProbe, ceil(minRecall · nCells))`.
+    *
+    * Same routed-front-door pattern as [[graft.operators.Temporal]]'s
+    * `rangeJoinAuto` / `Relational.rollingAgg`: the crossover is
+    * measured, then encoded. Both arms return [[ivfIndexProbe]]'s
+    * contract schema; `AnnRouteSpec` proves answer-invariance at the
+    * recall-1 point and asserts each route from the plan. Queries must
+    * be a BOUNDED batch (both arms broadcast it) — the standing probe
+    * contract. */
+  def annTopKAuto(corpus: DataFrame, queries: DataFrame, index: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      screening: Boolean, minRecall: Double = 0.9,
+      bruteRecallThreshold: Double = 0.5,
+      maxCellRows: Option[Int] = None): DataFrame = {
+    require(minRecall > 0 && minRecall <= 1,
+      s"minRecall must be in (0, 1], got $minRecall")
+    if (screening)
+      ivfIndexProbeAuto(queries, index, idCol, vecCol, k, nProbe, maxCellRows)
+    else if (minRecall >= bruteRecallThreshold)
+      bruteForceTopKBatch(corpus, queries, idCol, vecCol, k)
+    else {
+      val nCells = IndexStamp.read(index, Seq("ix_cells", "ix_dims"),
+        "annTopKAuto").map(_.head).getOrElse(1)
+      val needed = math.max(nProbe, math.ceil(minRecall * nCells).toInt)
+      ivfIndexProbeAuto(queries, index, idCol, vecCol, k, needed, maxCellRows)
+    }
+  }
+
   // ----------------------------------------------------------- quantization
 
   /** Symmetric int8 quantization of an embedding column, long form: one

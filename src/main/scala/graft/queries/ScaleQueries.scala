@@ -170,6 +170,26 @@ object ScaleQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** SS7 — the ROUTED ANN front door ([[Similarity.annTopKAuto]]) on
+    * its exact arm: a true-top-k workload at a 0.9 recall target
+    * routes to the one-scan [[Similarity.bruteForceTopKBatch]]
+    * (`AnnRecallStudy`'s rule: unclustered recall ≈ probed fraction,
+    * so honoring 0.9 through the IVF probe would scan 90% of the
+    * corpus anyway — exact costs the same and needs no index).
+    * Disjoint probe/corpus split, the ingest-screen shape. The IVF
+    * arm's correctness is q78/q79's oracle; the route choice itself
+    * and cross-arm answer-invariance are pinned in `AnnRouteSpec`. */
+  val q94AnnRoute: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val corpus = t.embeddings.filter(col("vec_id") % 10 =!= 0)
+    val probes = t.embeddings.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
+    val index = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      nCells = 8, dims = 64)
+    Similarity.annTopKAuto(corpus, probes, index, "vec_id", "embedding",
+      k = 3, nProbe = 2, screening = false, minRecall = 0.9)
+      .orderBy("query_id", "rank")
+  }
+
   /** SS5 — q31's ANN search with the per-query ranking as the native
     * k-capped heap aggregate ([[Similarity.topKBy]]) instead of a
     * row_number window: no per-group sort, no candidate materialization,
@@ -486,7 +506,8 @@ object ScaleQueries {
     "q29_embedding_neardup" -> q29EmbeddingNearDup,
     "q30_cosine_topk" -> q30CosineTopK,
     "q31_ann_lsh" -> q31AnnLsh,
-    "q65_minhash_probe" -> q65MinhashProbe)
+    "q65_minhash_probe" -> q65MinhashProbe,
+    "q94_ann_route" -> q94AnnRoute)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -895,6 +916,21 @@ object ScaleQueries {
          |WHERE cos_micro >= 250000
          |ORDER BY probe_id, corpus_id""".stripMargin
     },
+    "q94_ann_route" ->
+      s"""WITH $normedCte,
+         |q AS (SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_nrm
+         |      FROM e WHERE vec_id % 10 = 0 AND vec_id < 500),
+         |c AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+         |scored AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |    CAST(floor(1e6 * ${dotSql("q_vec", "c.embedding")}
+         |      / (q_nrm * c.nrm)) AS BIGINT) AS cos_micro
+         |  FROM q JOIN c ON c.vec_id != query_id)
+         |SELECT query_id, neighbor_id, cos_micro, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_micro DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q30_cosine_topk" ->
       s"""WITH $normedCte,
          |q AS (SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_nrm

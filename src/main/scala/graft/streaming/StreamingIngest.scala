@@ -914,47 +914,75 @@ object StreamingIngest {
     *  3. a commit marker (`dir/_graft_commits/b<id>`) makes post-commit
     *     replays no-ops.
     * `ExportStreamSpec` proves batch equivalence and replays the batch
-    * after every write of the protocol. */
+    * after every write of the protocol.
+    *
+    * MAINTENANCE, mirroring the curate loops' in-loop upkeep:
+    *  - `compactAtFiles > 0`: after a committed batch, when the export
+    *    holds at least that many data files, it is compacted in place
+    *    with the manifest-invisible
+    *    [[graft.operators.Export.compactExport]] (pre-swap verified,
+    *    crash recovered at the next batch's entry) — one file per
+    *    shard per batch stays bounded without stopping the stream;
+    *  - `verifyEvery > 0`: every that-many committed batches, the
+    *    manifest attestation ([[graft.operators.Export.verifyShards]])
+    *    replays the per-shard checksums against the written bytes, so
+    *    corruption surfaces on a schedule instead of when an operator
+    *    remembers to check. */
   def shardedExportStream(stream: DataFrame, dir: String, checkpoint: String,
-      idCol: String, checksumCols: Seq[String]): DataStreamWriter[Row] =
+      idCol: String, checksumCols: Seq[String],
+      compactAtFiles: Int = 0, verifyEvery: Int = 0): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        exportShardBatch(batch.toDF(), batchId, dir, idCol, checksumCols)
+        exportShardBatch(batch.toDF(), batchId, dir, idCol, checksumCols,
+          compactAtFiles, verifyEvery)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
   private[graft] def exportShardBatch(batch: DataFrame, batchId: Long,
       dir: String, idCol: String, checksumCols: Seq[String],
+      compactAtFiles: Int = 0, verifyEvery: Int = 0,
       failAfterStep: Int = Int.MaxValue): Unit = {
-    import graft.operators.Export
+    import graft.operators.{Export, IndexOps}
     val spark = batch.sparkSession
-    if (isCommitted(spark, dir, batchId)) return
     def failpoint(n: Int): Unit = if (failAfterStep == n)
       throw new IllegalStateException(s"exportShardBatch: test failpoint after step $n")
-    // a crash mid-swap (manifest advance, or a compactExport run
-    // between batches) leaves a live dir renamed away; finish/roll
-    // back BEFORE the first read, like the curate loops recover their
-    // index swaps at batch entry
-    graft.operators.IndexOps.recoverSwap(spark, Export.manifestDir(dir))
-    graft.operators.IndexOps.recoverSwap(spark, Export.dataDir(dir))
-    val old = Export.readManifest(spark, dir)
-    val nShards = old.count().toInt
-    require(nShards > 0, s"exportShardBatch: no manifest at $dir")
-    val assigned = Export.shardAssign(batch, idCol, nShards)
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("ord"))
-    publishBatch(assigned, Export.dataDir(dir), batchId, Seq("shard"))
-    failpoint(1)
-    // manifest advance — skipped on a replay whose merge already landed
-    if (!Export.manifestBatch(spark, dir).contains(batchId)) {
-      val merged = Export.mergeManifest(old,
-        Export.deltaManifest(Export.shardAssign(batch, idCol, nShards),
-          checksumCols, nShards))
-      Export.publishManifest(spark, dir, merged, Some(batchId))
+    if (!isCommitted(spark, dir, batchId)) {
+      // a crash mid-swap (manifest advance, or a compactExport run
+      // between batches) leaves a live dir renamed away; finish/roll
+      // back BEFORE the first read, like the curate loops recover their
+      // index swaps at batch entry
+      IndexOps.recoverSwap(spark, Export.manifestDir(dir))
+      IndexOps.recoverSwap(spark, Export.dataDir(dir))
+      val old = Export.readManifest(spark, dir)
+      val nShards = old.count().toInt
+      require(nShards > 0, s"exportShardBatch: no manifest at $dir")
+      val assignedBase = Export.shardAssign(batch, idCol, nShards)
+      val assigned = Export.writeLayout(assignedBase, nShards,
+        Export.writeTasks(assignedBase, nShards))
+      publishBatch(assigned, Export.dataDir(dir), batchId, Seq("shard"))
+      failpoint(1)
+      // manifest advance — skipped on a replay whose merge already landed
+      if (!Export.manifestBatch(spark, dir).contains(batchId)) {
+        val merged = Export.mergeManifest(old,
+          Export.deltaManifest(Export.shardAssign(batch, idCol, nShards),
+            checksumCols, nShards))
+        Export.publishManifest(spark, dir, merged, Some(batchId))
+      }
+      failpoint(2)
+      commitBatch(spark, dir, batchId)
     }
-    failpoint(2)
-    commitBatch(spark, dir, batchId)
+    // maintenance runs strictly AFTER the commit marker (a replayed
+    // committed batch still runs it): a crash anywhere inside is
+    // recovered by the next batch's entry recoverSwap with no data at
+    // risk — compactExport is pre-swap verified and manifest-invisible
+    if (compactAtFiles > 0 &&
+        IndexOps.dataFileCount(spark, Export.dataDir(dir)) >= compactAtFiles) {
+      Export.compactExport(spark, dir, checksumCols)
+      failpoint(3)
+    }
+    if (verifyEvery > 0 && (batchId + 1) % verifyEvery == 0)
+      Export.verifyShards(spark, dir, checksumCols)
   }
 
   private[graft] def curateTextBatch(batch: DataFrame, batchId: Long,

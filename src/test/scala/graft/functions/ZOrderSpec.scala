@@ -72,5 +72,27 @@ class ZOrderSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(zScanned * 10 < sScanned * 7,
       s"z-order should out-prune the 1-D sort: z=$zScanned vs sorted=$sScanned")
     assert(zScanned < n / 8, s"z-order should prune most of the table: $zScanned of $n")
+
+    // the probe-side helper: the study's three predicate shapes read
+    // through zorderScan with EXACTLY the pruning a hand-written raw
+    // filter gets (same scanned-row counts, same result rows) — the
+    // helper adds routing documentation, not plan overhead
+    val shapes: Seq[(Option[Long], Option[Long], Option[Long], Option[Long],
+        DataFrame => DataFrame)] = Seq(
+      (Some(1000L), Some(2250L), Some(4000L), Some(5250L),
+        (df: DataFrame) => df.filter(
+          col("x").between(1000, 2250) && col("y").between(4000, 5250))),
+      (None, None, Some(4000L), Some(5250L),
+        (df: DataFrame) => df.filter(col("y").between(4000, 5250))),
+      (Some(1000L), Some(2250L), None, None,
+        (df: DataFrame) => df.filter(col("x").between(1000, 2250))))
+    for ((xLo, xHi, yLo, yHi, hand) <- shapes) {
+      val viaHelper = Layout.zorderScan(spark, zDir, "x", "y", xLo, xHi, yLo, yHi)
+      val viaHand = hand(spark.read.parquet(zDir))
+      assert(scannedRows(viaHelper.select(col("payload"))) ==
+        scannedRows(viaHand.select(col("payload"))),
+        s"zorderScan must prune identically to the raw predicate for box ($xLo,$xHi,$yLo,$yHi)")
+      assertSameRows(viaHelper, viaHand)
+    }
   }
 }

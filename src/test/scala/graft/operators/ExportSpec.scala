@@ -37,16 +37,33 @@ class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("shardedWrite: round-trips rows, manifest matches, slices prune") {
     val dir = tmp("export")
-    val manifest = Export.shardedWrite(spark, docs, "doc_id", csCols, 8, dir)
+    // a 32-partition input: the write must run 32 tasks, not nShards=8
+    val manifest = Export.shardedWrite(spark, docs.repartition(32), "doc_id", csCols, 8, dir)
     assert(manifest.count() == 8)
     // round-trip: the written shards hold exactly the input rows
     val back = Export.readShards(spark, dir)
     assertSameRows(back.select("doc_id", "text", "lang", "n_tokens"), docs)
-    // in-shard files are sorted by ord (deterministic shuffle): reading
-    // one shard directory yields non-decreasing ord
-    val ords = spark.read.parquet(Export.dataDir(dir) + "/shard=3")
+    // write parallelism is decoupled from the shard count: the initial
+    // write spreads shards over MULTIPLE ord-range files (input runs at
+    // 32 partitions here, so > nShards tasks), and every FILE is
+    // internally ord-sorted — the multi-file form readShardOrdered and
+    // the order-independent manifest are built for
+    val shard3 = new java.io.File(Export.dataDir(dir), "shard=3")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    val allFiles = new java.io.File(Export.dataDir(dir)).listFiles()
+      .filter(_.getName.startsWith("shard="))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    assert(allFiles > 8,
+      s"expected multi-file shards from a 32-partition input, got $allFiles files")
+    assert(Export.writeTasks(Export.shardAssign(docs.repartition(32), "doc_id", 8), 8) == 32)
+    shard3.foreach { f =>
+      val ords = spark.read.parquet(f.toString).select("ord").as[Long].collect()
+      assert(ords.sameElements(ords.sorted), s"file $f must be ord-sorted")
+    }
+    // and one shard re-reads in the portable global order
+    val ordered = Export.readShardOrdered(spark, dir, 3)
       .select("ord").as[Long].collect()
-    assert(ords.sameElements(ords.sorted))
+    assert(ordered.sameElements(ordered.sorted))
     // manifest counts agree with the data
     val fromData = back.groupBy("shard").count()
     val joined = manifest.join(fromData, "shard")
@@ -218,6 +235,117 @@ class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val seq = got.withColumn("ord", ord).orderBy("ord", "doc_id")
       .select("shard").as[Int].collect()
     assert(seq.zip(seq.tail).forall { case (a, b) => a <= b }, "shard must be monotone in global order")
+  }
+
+  test("concatExports: replay after a completed publish is cleanup, not a data wipe") {
+    // the post-publish crash window: dst published, source skeletons
+    // (manifest dirs intact, data dirs empty) not yet deleted — a
+    // replay must NOT rebuild an empty staging and swap it over the
+    // real merged data
+    val a = tmp("concat_ra"); val b = tmp("concat_rb"); val dst = tmp("concat_rdst")
+    Export.shardedWrite(spark, docs.filter(col("doc_id") % 2 === 0), "doc_id", csCols, 8, a)
+    Export.shardedWrite(spark, docs.filter(col("doc_id") % 2 =!= 0), "doc_id", csCols, 8, b)
+    // stash the source manifests (what survives the crash window)
+    val stash = Files.createTempDirectory("concat_stash").toString
+    for ((s, n) <- Seq((a, "a"), (b, "b"))) {
+      val from = new java.io.File(Export.manifestDir(s))
+      val to = new java.io.File(stash, n)
+      org.apache.commons.io.FileUtils.copyDirectory(from, to)
+    }
+    val merged = Export.concatExports(spark, Seq(a, b), dst)
+    assert(merged.agg(sum("n_rows")).as[Long].head() == 200)
+    // recreate the crash state: sources exist again with manifests but
+    // EMPTY data dirs (every file already moved into dst)
+    for ((s, n) <- Seq((a, "a"), (b, "b"))) {
+      new java.io.File(Export.dataDir(s)).mkdirs()
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(stash, n), new java.io.File(Export.manifestDir(s)))
+    }
+    val replayed = Export.concatExports(spark, Seq(a, b), dst)
+    // dst data survives intact, manifest still attests to it, sources
+    // are cleaned up
+    assert(replayed.agg(sum("n_rows")).as[Long].head() == 200)
+    assertSameRows(
+      Export.readShards(spark, dst).select("doc_id", "text", "lang", "n_tokens"), docs)
+    Export.verifyShards(spark, dst, csCols)
+    assert(!new java.io.File(a).exists && !new java.io.File(b).exists)
+    // replay after cleanup finished: sources fully gone — returns the
+    // live manifest untouched
+    val again = Export.concatExports(spark, Seq(a, b), dst)
+    assert(again.agg(sum("n_rows")).as[Long].head() == 200)
+    Export.verifyShards(spark, dst, csCols)
+  }
+
+  test("compactExport: pre-swap divergence refuses to replace the live copy") {
+    val dir = tmp("compact_diverge")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 4, dir)
+    // corrupt the live copy: drop one data file — the rewrite's
+    // recomputed manifest can no longer match the live manifest, and
+    // the compaction must refuse BEFORE any swap (the good-copy-
+    // destroyed-first hazard)
+    val shardDir = new java.io.File(Export.dataDir(dir), "shard=1")
+    val victim = shardDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(victim.delete())
+    spark.catalog.refreshByPath(dir)
+    val before = new java.io.File(Export.dataDir(dir)).listFiles()
+      .filter(_.getName.startsWith("shard="))
+      .flatMap(_.listFiles()).map(_.getName).toSet
+    val ex = intercept[IllegalStateException] {
+      Export.compactExport(spark, dir, csCols)
+    }
+    assert(ex.getMessage.contains("not swapping"))
+    // live layout untouched; no staged residue
+    val after = new java.io.File(Export.dataDir(dir)).listFiles()
+      .filter(_.getName.startsWith("shard="))
+      .flatMap(_.listFiles()).map(_.getName).toSet
+    assert(after == before, "a refused compaction must leave the live files alone")
+    assert(!new java.io.File(Export.dataDir(dir) + ".compact.tmp").exists)
+  }
+
+  test("compactExport: a zero-row export short-circuits instead of crashing") {
+    val dir = tmp("compact_empty")
+    Export.shardedWrite(spark, docs.limit(0), "doc_id", csCols, 4, dir)
+    assert(Export.compactExport(spark, dir, csCols) == 0L)
+    assert(Export.readManifest(spark, dir).agg(sum("n_rows")).as[Long].head() == 0)
+    Export.verifyShards(spark, dir, csCols)
+  }
+
+  test("repairManifest: rebuilds a manifest deleted by operator error") {
+    val dir = tmp("repair_lost")
+    // materialize the original manifest BEFORE deleting it (a lazy
+    // frame would chase the deleted files)
+    val want = canon(Export.shardedWrite(spark, docs, "doc_id", csCols, 8, dir))
+    // operator error: the whole manifest dir is gone
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(Export.manifestDir(dir)))
+    spark.catalog.refreshByPath(dir)
+    val repaired = Export.repairManifest(spark, dir, csCols)
+    // shard count inferred from the shard=K directories; stats rebuilt
+    // from the data — identical to the original
+    assert(canon(repaired) == want)
+    Export.verifyShards(spark, dir, csCols)
+  }
+
+  test("appendShards: entry recovery finishes a crashed manifest swap") {
+    val dir = tmp("append_recover")
+    Export.shardedWrite(spark, docs.filter(col("doc_id") < 150), "doc_id", csCols, 8, dir)
+    // simulate a crash inside publishManifest's swap: live manifest
+    // renamed away, .old surviving
+    val m = new java.io.File(Export.manifestDir(dir))
+    assert(m.renameTo(new java.io.File(Export.manifestDir(dir) + ".old")))
+    spark.catalog.refreshByPath(dir)
+    // appendShards must recover at entry instead of failing readManifest
+    Export.appendShards(spark, docs.filter(col("doc_id") >= 150), "doc_id", csCols, dir)
+    Export.verifyShards(spark, dir, csCols)
+    assert(Export.readManifest(spark, dir).agg(sum("n_rows")).as[Long].head() == 200)
+  }
+
+  test("balancedShards: result is nParts-invariant (derived default vs explicit)") {
+    val rows = spark.range(300).select(
+      col("id").as("doc_id"), (col("id") % 11 + 1).as("w"))
+    val derived = Export.balancedShards(rows, "doc_id", "w", nShards = 6)
+    val explicit = Export.balancedShards(rows, "doc_id", "w", nShards = 6, nParts = 16)
+    assertSameRows(derived, explicit)
   }
 
   test("balancedShards: no global-window single-task funnel in the plan") {

@@ -513,4 +513,21 @@ class PlanShapeSpec extends SparkSpec {
       s"offsets must ride a broadcast join:\n$balPlan")
     assertNoQuadraticJoin(balPlan, "balancedShards")
   }
+
+  test("export writeLayout: one hash exchange as wide as the input, not capped at nShards") {
+    val docs = spark.range(500).select(
+      col("id").as("doc_id"), concat(lit("t"), col("id")).as("text"))
+    val assigned = graft.operators.Export.shardAssign(docs.repartition(32), "doc_id", 4)
+    val laid = graft.operators.Export.writeLayout(
+      assigned, 4, graft.operators.Export.writeTasks(assigned, 4))
+    val plan = physicalPlan(laid)
+    // exactly one data exchange for the write, hash (sampling-free —
+    // no range partitioning job over the input plan), 32 partitions
+    // wide even though nShards is 4
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"writeLayout must not pay a range-sampling pass:\n$plan")
+    assert(plan.contains("REPARTITION_BY_NUM"), s"explicit task count expected:\n$plan")
+    assert(laid.rdd.getNumPartitions == 32,
+      s"write parallelism must follow the input (32), got ${laid.rdd.getNumPartitions}")
+  }
 }

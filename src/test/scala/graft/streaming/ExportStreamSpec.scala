@@ -182,6 +182,72 @@ class ExportStreamSpec extends SparkSpec {
     assert(Export.readManifest(spark, expDir).agg(sum("n_rows")).as[Long].head() == 4)
   }
 
+  private def dataFiles(dir: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(Export.dataDir(dir)))
+      .count(_.getName.endsWith(".parquet"))
+  }
+
+  test("in-loop compaction keeps the sink's file count bounded, crash-replay safe") {
+    val dir = tmp("exps_inloop")
+    bootstrap(dir, 4)
+    val threshold = dataFiles(dir) + 8
+    var peak = 0
+    for (b <- 0 until 6) {
+      StreamingIngest.exportShardBatch(
+        docsRange(60 + b * 20, 80 + b * 20), b.toLong, dir, "doc_id", csCols,
+        compactAtFiles = threshold)
+      peak = math.max(peak, dataFiles(dir))
+    }
+    // the threshold fired at least once: storage stays bounded instead
+    // of growing one file set per batch
+    assert(dataFiles(dir) < peak || peak < threshold + 8,
+      s"in-loop compaction never fired (files=${dataFiles(dir)}, peak=$peak, threshold=$threshold)")
+    assert(Export.readManifest(spark, dir).agg(sum("n_rows")).as[Long].head() == 180)
+    Export.verifyShards(spark, dir, csCols)
+
+    // crash AFTER the in-loop compaction (failpoint 3): the batch is
+    // already committed and the compaction already swapped — the replay
+    // recovers at entry, re-runs maintenance idempotently, and the
+    // export stays intact
+    intercept[IllegalStateException] {
+      StreamingIngest.exportShardBatch(docsRange(180, 200), 6L, dir, "doc_id",
+        csCols, compactAtFiles = 1, failAfterStep = 3)
+    }
+    StreamingIngest.exportShardBatch(docsRange(180, 200), 6L, dir, "doc_id",
+      csCols, compactAtFiles = 1)
+    assert(Export.readManifest(spark, dir).agg(sum("n_rows")).as[Long].head() == 200)
+    assertSameRows(Export.readShards(spark, dir).select("doc_id", "text", "lang"),
+      docsRange(0, 200))
+    Export.verifyShards(spark, dir, csCols)
+  }
+
+  test("scheduled verification raises on a corrupted shard at the next check") {
+    val dir = tmp("exps_verify")
+    bootstrap(dir, 4)
+    // verifyEvery = 2: batches 0 (no check) and 1 (checked) pass clean
+    StreamingIngest.exportShardBatch(docsRange(60, 80), 0L, dir, "doc_id", csCols,
+      verifyEvery = 2)
+    StreamingIngest.exportShardBatch(docsRange(80, 100), 1L, dir, "doc_id", csCols,
+      verifyEvery = 2)
+    // corrupt one shard between batches
+    val shardDir = new java.io.File(Export.dataDir(dir), "shard=2")
+    shardDir.listFiles().filter(_.getName.endsWith(".parquet")).take(1)
+      .foreach(f => assert(f.delete()))
+    spark.catalog.refreshByPath(dir)
+    // batch 2 commits without a check; batch 3 hits the schedule and raises
+    StreamingIngest.exportShardBatch(docsRange(100, 120), 2L, dir, "doc_id", csCols,
+      verifyEvery = 2)
+    val ex = intercept[IllegalStateException] {
+      StreamingIngest.exportShardBatch(docsRange(120, 140), 3L, dir, "doc_id", csCols,
+        verifyEvery = 2)
+    }
+    assert(ex.getMessage.contains("diverges"))
+    // batch 3's DATA is committed (verification runs post-commit);
+    // the failure is the attestation, pointing at the corruption
+  }
+
   test("crash mid-manifest-swap is recovered at replay entry") {
     val dir = tmp("exps_swapcrash")
     bootstrap(dir, 8)
