@@ -165,6 +165,57 @@ object ExportStudy {
     row("range20M", "balanced: operator", opB, "")
     row("range20M", "balanced: global-win", nvB, s"${opB._2 == nvB._2}")
     }
+
+    if (want("writepar")) {
+    // -- write parallelism decoupled from nShards (r12) --------------
+    // The r11 layout hash-repartitioned on `shard` alone: an export
+    // with nShards << cores ran at most nShards (collision-reduced)
+    // tasks. writeLayout's equi-width ord bucket spreads each shard
+    // over multiple ord-sorted files with no sampling job. Cell: the
+    // DATA WRITE alone (exchange + sort + parquet), 20M rows,
+    // nShards = 8 on 32 cores — the regime the old shape serializes.
+    val big = spark.range(20L * 1000 * 1000).select(
+      col("id").as("doc_id"),
+      pmod(xxhash64(col("id"), lit(7L)), lit(100000L)).as("payload"))
+    val nSh = 8
+    val assigned = Export.shardAssign(big, "doc_id", nSh)
+    def writeWall(laid: DataFrame, out: String): (Double, Double) = {
+      var bestC = Double.MaxValue; var bestW = Double.MaxValue
+      for (_ <- 1 to 2) {
+        quiesce(); val c0 = cpu.sum(); val w0 = System.nanoTime()
+        laid.write.mode("overwrite").partitionBy("shard").parquet(out)
+        val w1 = System.nanoTime(); quiesce(); val c1 = cpu.sum()
+        bestC = math.min(bestC, (c1 - c0) / 1e9)
+        bestW = math.min(bestW, (w1 - w0) / 1e9)
+      }
+      (bestC, bestW)
+    }
+    val oldShape = writeWall(
+      assigned.repartition(nSh, col("shard"))
+        .sortWithinPartitions(col("shard"), col("ord")),
+      "/tmp/graft_export_study/writepar_old")
+    val newShape = writeWall(
+      graft.operators.Export.writeLayout(assigned, nSh,
+        graft.operators.Export.writeTasks(assigned, nSh)),
+      "/tmp/graft_export_study/writepar_new")
+    println(f"range20M   ${"write: shard-hash(8)"}%-22s ${oldShape._1}%7.2fs ${oldShape._2}%7.2fs  nShards-capped tasks")
+    println(f"range20M   ${"write: writeLayout"}%-22s ${newShape._1}%7.2fs ${newShape._2}%7.2fs  input-wide tasks")
+    }
+
+    if (want("nparts")) {
+    // -- balancedShards nParts: pure parallelism, invariant answer ---
+    val big = spark.range(20L * 1000 * 1000).select(
+      col("id").as("doc_id"),
+      (pmod(xxhash64(col("id")), lit(997L)) + 1).as("n_chars"))
+    val keyedB = (df: DataFrame) => df.withColumn("sh_key",
+      concat_ws(":", col("doc_id"), col("shard")))
+    val p32 = measure(keyedB(
+      Export.balancedShards(big, "doc_id", "n_chars", 64, nParts = 32)), "sh_key")
+    val p256 = measure(keyedB(
+      Export.balancedShards(big, "doc_id", "n_chars", 64, nParts = 256)), "sh_key")
+    row("range20M", "balanced: nParts=32", p32, "")
+    row("range20M", "balanced: nParts=256", p256, s"${p32._2 == p256._2}")
+    }
     spark.stop()
   }
 }
