@@ -232,6 +232,32 @@ object Export {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.get)
     }
 
+  /** Loud schema-drift gate for the append family: an appended batch
+    * whose columns or types differ from the published export would
+    * poison the store silently — parquet happily appends mismatched
+    * files and every later by-name read returns nulls or fails far
+    * from the cause. Compared against the `_schema` sidecar (written at
+    * publish, the export's authoritative shape) as an order-insensitive
+    * (name, type) set — nullability and column order are NOT drift
+    * (parquet reconciles by name; nullability varies by construction).
+    * A pre-sidecar export (no `_schema`) skips the gate. */
+  private[graft] def requireSchemaMatch(spark: SparkSession, dir: String,
+      incoming: org.apache.spark.sql.types.StructType, what: String): Unit =
+    readSchemaSidecar(spark, dir).foreach { published =>
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType.sql)).sortBy(_._1).toSeq
+      val (want, got) = (shape(published), shape(incoming))
+      if (want != got) {
+        val missing = want.diff(got).map { case (n, t) => s"$n: $t" }
+        val extra = got.diff(want).map { case (n, t) => s"$n: $t" }
+        throw new IllegalArgumentException(
+          s"$what: batch schema drifts from the published export at $dir — " +
+            s"expected-but-absent [${missing.mkString(", ")}], " +
+            s"unexpected [${extra.mkString(", ")}]. Align the batch's columns " +
+            "(or republish with shardedWrite) instead of appending drift.")
+      }
+    }
+
   private def schemaPath(manifestDir: String) =
     new org.apache.hadoop.fs.Path(manifestDir, "_schema")
 
@@ -261,6 +287,25 @@ object Export {
       } finally in.close()
     }
   }
+
+  /** Resume-position read: shard `shard`'s rows STRICTLY AFTER the
+    * portable order key `ordExclusive`, in order — the trainer-restart
+    * contract ("I consumed through ord X; give me the rest"). The
+    * scan prunes twice: the `shard` predicate prunes to the shard's
+    * partition directory, and because every data file is internally
+    * ord-sorted with [[writeLayout]] keeping files ord-RANGE-disjoint
+    * within a generation, the `ord` predicate's parquet row-group
+    * stats skip the files (and row groups) wholly below the resume
+    * point — a restart near the end of a shard re-reads almost
+    * nothing, not the whole shard. `ord` is a pure function of the row
+    * id, so a consumer can checkpoint nothing but the last id it
+    * processed and recompute its resume key with [[ordSql]] /
+    * [[shardAssign]]'s expression on ANY engine. */
+  def readShardFrom(spark: SparkSession, dir: String, shard: Int,
+      ordExclusive: Long): DataFrame =
+    readShards(spark, dir)
+      .filter(col("shard") === shard && col("ord") > ordExclusive)
+      .orderBy("ord")
 
   /** Worker `worker`-of-`nWorkers`'s slice: shards where
     * `shard % nWorkers = worker`. The predicate is on the partition
@@ -399,6 +444,7 @@ object Export {
     val nShards = old.count().toInt
     require(nShards > 0, s"appendShards: no manifest at $dir")
     val assigned = shardAssign(df, idCol, nShards)
+    requireSchemaMatch(spark, dir, assigned.schema, "appendShards")
     writeLayout(assigned, nShards, writeTasks(assigned, nShards))
       .write.mode(SaveMode.Append)
       .partitionBy("shard")
@@ -576,6 +622,15 @@ object Export {
     val nShards = manifests.head.count()
     require(manifests.forall(_.count() == nShards),
       s"concatExports: shard counts differ across ${liveSrcs.mkString(", ")}")
+    // schema drift across sources is the same poison as a drifting
+    // append: require every sidecar-carrying source to agree with the
+    // first before a single file moves
+    liveSrcs.flatMap(src => readSchemaSidecar(spark, src).map((src, _))) match {
+      case (s0, sc0) +: rest =>
+        rest.foreach { case (si, sci) =>
+          requireSchemaMatch(spark, s0, sci, s"concatExports (source $si vs $s0)") }
+      case _ => ()
+    }
     // re-entrant staging: do NOT wipe tmp — a replayed merge must find
     // the files a crashed attempt already moved
     fs.mkdirs(new org.apache.hadoop.fs.Path(dataDir(tmp)))

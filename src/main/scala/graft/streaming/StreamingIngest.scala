@@ -958,6 +958,8 @@ object StreamingIngest {
       val nShards = old.count().toInt
       require(nShards > 0, s"exportShardBatch: no manifest at $dir")
       val assignedBase = Export.shardAssign(batch, idCol, nShards)
+      Export.requireSchemaMatch(spark, dir, assignedBase.schema,
+        "shardedExportStream")
       val assigned = Export.writeLayout(assignedBase, nShards,
         Export.writeTasks(assignedBase, nShards))
       publishBatch(assigned, Export.dataDir(dir), batchId, Seq("shard"))

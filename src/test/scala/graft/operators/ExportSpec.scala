@@ -340,6 +340,76 @@ class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(Export.readManifest(spark, dir).agg(sum("n_rows")).as[Long].head() == 200)
   }
 
+  test("appendShards: schema drift is refused loudly, benign reshapes are not") {
+    val dir = tmp("append_drift")
+    Export.shardedWrite(spark, docs.filter(col("doc_id") < 100), "doc_id", csCols, 4, dir)
+    // type drift on one column: refused before a single file lands
+    val drifted = docs.filter(col("doc_id") >= 100)
+      .withColumn("n_tokens", col("n_tokens").cast("string"))
+    val ex = intercept[IllegalArgumentException] {
+      Export.appendShards(spark, drifted, "doc_id", csCols, dir)
+    }
+    assert(ex.getMessage.contains("drifts") && ex.getMessage.contains("n_tokens"))
+    // a dropped column is drift too
+    val narrow = docs.filter(col("doc_id") >= 100).drop("lang")
+    intercept[IllegalArgumentException] {
+      Export.appendShards(spark, narrow, "doc_id", csCols, dir)
+    }
+    // nothing landed: the export still verifies at its original count
+    Export.verifyShards(spark, dir, csCols)
+    assert(Export.readManifest(spark, dir).agg(sum("n_rows")).as[Long].head() == 100)
+    // column ORDER is not drift (parquet reconciles by name)
+    val reordered = docs.filter(col("doc_id") >= 100)
+      .select("n_tokens", "lang", "text", "doc_id")
+    Export.appendShards(spark, reordered, "doc_id", csCols, dir)
+    Export.verifyShards(spark, dir, csCols)
+    assert(Export.readManifest(spark, dir).agg(sum("n_rows")).as[Long].head() == 200)
+  }
+
+  test("concatExports: sources with drifting schemas are refused before any file moves") {
+    val a = tmp("concat_da"); val b = tmp("concat_db")
+    Export.shardedWrite(spark, docs.filter(col("doc_id") < 100), "doc_id", csCols, 4, a)
+    Export.shardedWrite(spark,
+      docs.filter(col("doc_id") >= 100).withColumn("n_tokens", col("n_tokens").cast("string")),
+      "doc_id", csCols, 4, b)
+    val filesBefore = new java.io.File(Export.dataDir(a)).listFiles()
+      .filter(_.getName.startsWith("shard=")).flatMap(_.listFiles()).length
+    intercept[IllegalArgumentException] {
+      Export.concatExports(spark, Seq(a, b), tmp("concat_ddst"))
+    }
+    // no file moved out of either source
+    val filesAfter = new java.io.File(Export.dataDir(a)).listFiles()
+      .filter(_.getName.startsWith("shard=")).flatMap(_.listFiles()).length
+    assert(filesAfter == filesBefore, "refusal must precede the move loop")
+    Export.verifyShards(spark, a, csCols)
+    Export.verifyShards(spark, b, csCols)
+  }
+
+  test("readShardFrom: resumes strictly after the ord position, pruning files below it") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = tmp("resume")
+    // 32-partition input -> multiple ord-range-disjoint files per shard
+    Export.shardedWrite(spark, docs.repartition(32), "doc_id", csCols, 4, dir)
+    val all = Export.readShardOrdered(spark, dir, 2)
+      .select("ord").as[Long].collect()
+    assert(all.length > 3)
+    // resume from just after the 75th percentile ord
+    val cut = all(all.length * 3 / 4)
+    val resumed = Export.readShardFrom(spark, dir, 2, cut)
+    val got = resumed.select("ord").as[Long].collect()
+    assert(got.sameElements(all.filter(_ > cut)), "resume must be exactly the strict suffix")
+    // the scan prunes: files wholly below the resume point are skipped
+    // (every file is ord-sorted and files are ord-range disjoint), so
+    // scanned rows stay well under the shard's total
+    val consumed = resumed.agg(count(lit(1)))
+    consumed.collect()
+    val scanned = collectWithSubqueries(consumed.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s.metrics("numOutputRows").value
+    }.sum
+    assert(scanned < all.length,
+      s"resume scan must row-group-prune below the cut: scanned $scanned of ${all.length}")
+  }
+
   test("balancedShards: result is nParts-invariant (derived default vs explicit)") {
     val rows = spark.range(300).select(
       col("id").as("doc_id"), (col("id") % 11 + 1).as("w"))
