@@ -667,6 +667,20 @@ object Export {
       require(fs.exists(dstPath),
         s"concatExports: sources claim $mergedRows rows but hold no data and " +
           s"no published export exists at $dst — refusing to publish emptiness")
+      // containment sanity: the published dst must hold AT LEAST what
+      // the surviving sources claim per shard (it is the fold of ALL
+      // original sources; survivors may be a subset after a partial
+      // cleanup). A dst that claims less is NOT the product of this
+      // merge — wrong-dst operator error; deleting the sources then
+      // would orphan their accounting, so raise instead.
+      val dstShort = merged.select(col("shard"), col("n_rows").as("s_rows"))
+        .join(readManifest(spark, dst), Seq("shard"), "left_outer")
+        .filter(coalesce(col("n_rows"), lit(0L)) < col("s_rows"))
+        .select("shard").collect().map(_.get(0))
+      require(dstShort.isEmpty,
+        s"concatExports: $dst is not the product of merging these sources " +
+          s"(shards ${dstShort.mkString(", ")} hold fewer rows than the " +
+          "sources claim) — refusing post-publish cleanup against the wrong dst")
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       liveSrcs.foreach(s => fs.delete(new org.apache.hadoop.fs.Path(s), true))
       return readManifest(spark, dst)
@@ -698,6 +712,29 @@ object Export {
       if (!n.startsWith("_") && !n.startsWith(".")) return true
     }
     false
+  }
+
+  /** Re-shard a published export to a different shard count — the
+    * operation for a shard-granularity change (e.g. the training fleet
+    * doubled and `nShards % nWorkers` skews slices). NECESSARILY a
+    * corpus rewrite: placement is `h60(id) % nShards`, so changing
+    * nShards moves rows between shards — there is no metadata-only
+    * form, and pretending otherwise (directory splits/merges) would
+    * break the portable-placement contract every consumer and the
+    * oracle rely on. Cost is one [[shardedWrite]] of the corpus; the
+    * rewrite is staged under the same dir and atomically swapped, so
+    * readers see the old generation until the new one is complete, and
+    * a crash leaves the old export live. Returns the new manifest. */
+  def reshardExport(spark: SparkSession, dir: String, idCol: String,
+      checksumCols: Seq[String], newNShards: Int): DataFrame = {
+    IndexOps.recoverSwap(spark, manifestDir(dir))
+    IndexOps.recoverSwap(spark, dataDir(dir))
+    // lazy read is safe for the same-dir rewrite: shardedWrite stages
+    // the whole new generation under <dir>.export.tmp (every read of
+    // the old files happens during that write) and swaps only after
+    // the staging — no checkpoint copy of the corpus needed
+    val rows = readShards(spark, dir).drop("shard", "ord")
+    shardedWrite(spark, rows, idCol, checksumCols, newNShards, dir)
   }
 
   // ------------------------------------------------- token-balanced shards

@@ -348,6 +348,24 @@ object TrainingQueries {
 
   /** Per-process tmp directory (pid-suffixed, removed on JVM exit):
     * concurrent verify+bench runs must not race one export dir. */
+  /** TD19 — shard-count migration ([[graft.operators.Export
+    * .reshardExport]]): export at 8 shards, re-shard to 16 —
+    * necessarily a corpus rewrite (placement is `h60(id) % nShards`),
+    * staged under the same dir and atomically swapped. The oracle
+    * recomputes the 16-shard manifest straight from the raw table:
+    * the migration must land exactly where a from-scratch 16-shard
+    * export would. */
+  val q95Reshard: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val out = perProcessDir("graft_reshard", dir)
+    graft.operators.Export.shardedWrite(spark, t.documents, "doc_id",
+      ExportChecksumCols, nShards = 8, out)
+    graft.operators.Export.reshardExport(spark, out, "doc_id",
+      ExportChecksumCols, newNShards = 16)
+      .select("shard", "n_rows", "min_ord", "max_ord", "checksum")
+      .orderBy("shard")
+  }
+
   private def perProcessDir(prefix: String, dir: String): String = {
     val f = new java.io.File(sys.props("java.io.tmpdir"),
       prefix + "_p" + ProcessHandle.current().pid() + "_" +
@@ -376,6 +394,7 @@ object TrainingQueries {
     "q90_export_append" -> q90ExportAppend,
     "q91_balanced_export" -> q91BalancedExport,
     "q93_export_concat" -> q93ExportConcat,
+    "q95_reshard" -> q95Reshard,
     "q76_mixture_upsample" -> q76MixtureUpsample,
     "q75_mixture_report" -> q75MixtureReport,
     "q66_bigram_familiarity" -> q66BigramFamiliarity,
@@ -457,12 +476,15 @@ object TrainingQueries {
        |  $bands)""".stripMargin
   }
 
-  /** q88/q90 share one oracle body: the manifest recomputed from the
-    * raw table — q88 proves the one-shot write, q90 proves that
-    * export(90%) + append(10%) reaches the identical manifest. */
-  private def manifestOracle: String =
+  /** q88/q90/q93 share one oracle body: the manifest recomputed from
+    * the raw table — q88 proves the one-shot write, q90 that
+    * export(90%) + append(10%) reaches the identical manifest, q93 the
+    * rename-merge; q95 uses the 16-shard form (the reshard target). */
+  private def manifestOracle: String = manifestOracleAt(8)
+
+  private def manifestOracleAt(nShards: Int): String =
     s"""WITH a AS (
-       |  SELECT ${graft.operators.Export.shardSql("doc_id", 8)} AS shard,
+       |  SELECT ${graft.operators.Export.shardSql("doc_id", nShards)} AS shard,
        |    ${graft.operators.Export.ordSql("doc_id")} AS ord,
        |    ${h60(graft.operators.Quality.rowEncodingSql(ExportChecksumCols))} AS rh
        |  FROM documents)
@@ -472,6 +494,7 @@ object TrainingQueries {
        |FROM a GROUP BY shard ORDER BY shard""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q95_reshard" -> manifestOracleAt(16),
     "q90_export_append" -> manifestOracle,
     "q93_export_concat" -> manifestOracle,
     "q91_balanced_export" ->

@@ -410,6 +410,51 @@ class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"resume scan must row-group-prune below the cut: scanned $scanned of ${all.length}")
   }
 
+  test("reshardExport: new shard count equals the one-shot export, atomically") {
+    val dir = tmp("reshard")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 4, dir)
+    val manifest = Export.reshardExport(spark, dir, "doc_id", csCols, newNShards = 16)
+    assert(manifest.count() == 16)
+    // identical to exporting the corpus at 16 shards from scratch
+    val ref = tmp("reshard_ref")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 16, ref)
+    assert(canon(manifest) == canon(Export.readManifest(spark, ref)))
+    assertSameRows(
+      Export.readShards(spark, dir).select("doc_id", "text", "lang", "n_tokens"), docs)
+    Export.verifyShards(spark, dir, csCols)
+    // append keeps working against the new count
+    val extra = spark.range(200, 210).select(
+      col("id").as("doc_id"), concat(lit("document body "), col("id")).as("text"),
+      when(col("id") % 3 === 0, "en").otherwise("de").as("lang"),
+      (col("id") % 7 * 100 + 20).as("n_tokens"))
+    Export.appendShards(spark, extra, "doc_id", csCols, dir)
+    Export.verifyShards(spark, dir, csCols)
+    assert(Export.readManifest(spark, dir).agg(sum("n_rows")).as[Long].head() == 210)
+    // no swap residue
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles().exists(f =>
+      f.getName.endsWith(".export.tmp") || f.getName.endsWith(".old")))
+  }
+
+  test("concatExports: post-publish cleanup against the WRONG dst is refused") {
+    // the containment guard: sources claiming rows over empty data are
+    // only cleanup-deleted when dst actually holds what they claim
+    val a = tmp("concat_wa"); val dst = tmp("concat_wdst"); val other = tmp("concat_wother")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 4, a)
+    // an unrelated, smaller export at the would-be dst
+    Export.shardedWrite(spark, docs.limit(5), "doc_id", csCols, 4, other)
+    // simulate a's post-publish skeleton state (manifest intact, data gone)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(Export.dataDir(a)))
+    new java.io.File(Export.dataDir(a)).mkdirs()
+    spark.catalog.refreshByPath(a)
+    val ex = intercept[IllegalArgumentException] {
+      Export.concatExports(spark, Seq(a), other)
+    }
+    assert(ex.getMessage.contains("not the product"))
+    // the mis-targeted source skeleton survives for forensics
+    assert(new java.io.File(Export.manifestDir(a)).exists)
+  }
+
   test("balancedShards: result is nParts-invariant (derived default vs explicit)") {
     val rows = spark.range(300).select(
       col("id").as("doc_id"), (col("id") % 11 + 1).as("w"))
