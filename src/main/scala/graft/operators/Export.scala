@@ -667,12 +667,23 @@ object Export {
       require(fs.exists(dstPath),
         s"concatExports: sources claim $mergedRows rows but hold no data and " +
           s"no published export exists at $dst — refusing to publish emptiness")
-      // containment sanity: the published dst must hold AT LEAST what
-      // the surviving sources claim per shard (it is the fold of ALL
-      // original sources; survivors may be a subset after a partial
-      // cleanup). A dst that claims less is NOT the product of this
-      // merge — wrong-dst operator error; deleting the sources then
-      // would orphan their accounting, so raise instead.
+      // EXACT wrong-dst detection: the move loop stamped each source
+      // with the dst it merged into (`_merged_into`, written before the
+      // publish, so the post-publish crash window always carries it).
+      // A skeleton without the stamp, or stamped for a different dst,
+      // is NOT this merge's leftover — raise instead of deleting
+      // someone else's accounting.
+      liveSrcs.foreach { src =>
+        val stamp = readMergedInto(fs, src)
+        require(stamp.contains(dst),
+          s"concatExports: source $src claims rows but holds no data and " +
+            s"is ${stamp.fold("not stamped as merged")(d => s"stamped as merged into $d")} " +
+            s"— refusing post-publish cleanup against $dst")
+      }
+      // containment sanity on top: the published dst must hold AT
+      // LEAST what the surviving sources claim per shard (dst is the
+      // fold of ALL original sources; survivors may be a subset after
+      // a partial cleanup)
       val dstShort = merged.select(col("shard"), col("n_rows").as("s_rows"))
         .join(readManifest(spark, dst), Seq("shard"), "left_outer")
         .filter(coalesce(col("n_rows"), lit(0L)) < col("s_rows"))
@@ -685,6 +696,11 @@ object Export {
       liveSrcs.foreach(s => fs.delete(new org.apache.hadoop.fs.Path(s), true))
       return readManifest(spark, dst)
     }
+    // stamp every source with its destination BEFORE the publish: the
+    // post-publish crash window then carries proof of which merge owns
+    // these skeletons (the guard above), making wrong-dst cleanup
+    // impossible rather than merely improbable
+    liveSrcs.foreach(writeMergedInto(fs, _, dst))
     merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestDir(tmp))
     // carry a schema sidecar from the first source that has one
     liveSrcs.iterator.map(s => (s, readSchemaSidecar(spark, s)))
@@ -699,6 +715,33 @@ object Export {
     // the emptied source skeletons are dead weight; drop them
     liveSrcs.foreach(s => fs.delete(new org.apache.hadoop.fs.Path(s), true))
     readManifest(spark, dst)
+  }
+
+  /** The `_merged_into` stamp a [[concatExports]] run writes into each
+    * source before publishing its destination. */
+  private def mergedIntoPath(src: String) =
+    new org.apache.hadoop.fs.Path(manifestDir(src), "_merged_into")
+
+  private def writeMergedInto(fs: org.apache.hadoop.fs.FileSystem,
+      src: String, dst: String): Unit = {
+    val out = fs.create(mergedIntoPath(src), true)
+    out.write(dst.getBytes("UTF-8")); out.close()
+  }
+
+  private def readMergedInto(fs: org.apache.hadoop.fs.FileSystem,
+      src: String): Option[String] = {
+    val p = mergedIntoPath(src)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](1024)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(new String(buf.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
   }
 
   /** True when `dir` holds at least one non-hidden data file. */

@@ -255,11 +255,15 @@ class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val merged = Export.concatExports(spark, Seq(a, b), dst)
     assert(merged.agg(sum("n_rows")).as[Long].head() == 200)
     // recreate the crash state: sources exist again with manifests but
-    // EMPTY data dirs (every file already moved into dst)
+    // EMPTY data dirs (every file already moved into dst), carrying the
+    // _merged_into stamp the real run writes before publishing
     for ((s, n) <- Seq((a, "a"), (b, "b"))) {
       new java.io.File(Export.dataDir(s)).mkdirs()
       org.apache.commons.io.FileUtils.copyDirectory(
         new java.io.File(stash, n), new java.io.File(Export.manifestDir(s)))
+      java.nio.file.Files.write(
+        new java.io.File(Export.manifestDir(s), "_merged_into").toPath,
+        dst.getBytes("UTF-8"))
     }
     val replayed = Export.concatExports(spark, Seq(a, b), dst)
     // dst data survives intact, manifest still attests to it, sources
@@ -450,7 +454,7 @@ class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val ex = intercept[IllegalArgumentException] {
       Export.concatExports(spark, Seq(a), other)
     }
-    assert(ex.getMessage.contains("not the product"))
+    assert(ex.getMessage.contains("refusing post-publish cleanup"))
     // the mis-targeted source skeleton survives for forensics
     assert(new java.io.File(Export.manifestDir(a)).exists)
   }

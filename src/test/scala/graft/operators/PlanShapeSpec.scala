@@ -514,6 +514,21 @@ class PlanShapeSpec extends SparkSpec {
     assertNoQuadraticJoin(balPlan, "balancedShards")
   }
 
+  test("readShardFrom: shard partition-prunes, ord reaches the scan as a pushed filter") {
+    val dir = java.nio.file.Files.createTempDirectory("resume_plan").toString + "/exp"
+    val docs = spark.range(200).select(
+      col("id").as("doc_id"), concat(lit("t"), col("id")).as("text"))
+    graft.operators.Export.shardedWrite(spark, docs.repartition(32), "doc_id",
+      Seq("doc_id", "text"), 4, dir)
+    val resumed = graft.operators.Export.readShardFrom(spark, dir, 2, 1L << 59)
+    resumed.collect()
+    val plan = resumed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      s"shard must prune partitions:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(ord"),
+      s"ord must reach the parquet scan for row-group pruning:\n$plan")
+  }
+
   test("export writeLayout: one hash exchange as wide as the input, not capped at nShards") {
     val docs = spark.range(500).select(
       col("id").as("doc_id"), concat(lit("t"), col("id")).as("text"))
