@@ -179,6 +179,11 @@ object Export {
     require(checksumCols.nonEmpty, "shardedWrite needs checksum columns")
     require(assigned.columns.contains("shard") && assigned.columns.contains("ord"),
       "shardedWriteAssigned needs shard and ord columns (shardAssign/balancedShards)")
+    // finish or roll back a TOP-LEVEL dir swap a previous publish
+    // crashed inside: without this, dir is missing with dir.old
+    // surviving, and a re-run that READS dir first (reshardExport) or
+    // that publishes by plain rename would orphan the old generation
+    IndexOps.recoverSwap(spark, dir)
     val tmp = dir + ".export.tmp"
     val (fs, livePath) = fsPath(spark, dir)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -258,6 +263,23 @@ object Export {
       }
     }
 
+  /** Slurp a small control file (`_schema`, `_batch`, `_merged_into`)
+    * to a string; None when absent. */
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] = {
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(new String(buf.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
   private def schemaPath(manifestDir: String) =
     new org.apache.hadoop.fs.Path(manifestDir, "_schema")
 
@@ -273,19 +295,8 @@ object Export {
       dir: String): Option[org.apache.spark.sql.types.StructType] = {
     val p = schemaPath(manifestDir(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](1024)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        Some(org.apache.spark.sql.types.DataType
-          .fromJson(new String(buf.toByteArray, "UTF-8"))
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-      } finally in.close()
-    }
+    readSmallFile(fs, p).map(j => org.apache.spark.sql.types.DataType
+      .fromJson(j).asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   /** Resume-position read: shard `shard`'s rows STRICTLY AFTER the
@@ -390,7 +401,10 @@ object Export {
     val live = readManifest(spark, dir)
     val nShards = live.count().toInt
     val src = readShards(spark, dir)
-    val rows = src.count()
+    // row total from the manifest (O(nShards)), NOT a corpus count —
+    // the manifest is already this function's trusted compare baseline,
+    // and a count here would be a third full scan of the export
+    val rows = live.agg(sum("n_rows")).head().getLong(0)
     if (rows == 0L) return 0L
     val numFiles = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     src.repartitionByRange(numFiles, col("shard"), col("ord"))
@@ -469,8 +483,14 @@ object Export {
     IndexOps.recoverSwap(spark, manifestDir(dir))
     IndexOps.recoverSwap(spark, dataDir(dir))
     val nShards = repairShardCount(spark, dir)
-    publishManifest(spark, dir,
-      manifestOf(readShards(spark, dir), checksumCols, nShards))
+    val data = readShards(spark, dir)
+    publishManifest(spark, dir, manifestOf(data, checksumCols, nShards))
+    // a repair from a LOST manifest dir also lost the `_schema` sidecar
+    // (publishManifest only carries a surviving one) — rewrite it from
+    // the data, or the schema-drift gate goes silently inert and a
+    // later emptied export loses its read fallback
+    if (readSchemaSidecar(spark, dir).isEmpty)
+      writeSchemaSidecar(spark, manifestDir(dir), data.schema)
     readManifest(spark, dir)
   }
 
@@ -543,17 +563,7 @@ object Export {
   private[graft] def manifestBatch(spark: SparkSession, dir: String): Option[Long] = {
     val (fs, _) = fsPath(spark, dir)
     val p = new org.apache.hadoop.fs.Path(manifestDir(dir), "_batch")
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](64)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        Some(new String(buf.toByteArray, "UTF-8").trim.toLong)
-      } finally in.close()
-    }
+    readSmallFile(fs, p).map(_.trim.toLong)
   }
 
   /** Per-shard merge of a published manifest with a batch's delta —
@@ -606,6 +616,19 @@ object Export {
     * Returns the merged manifest. */
   def concatExports(spark: SparkSession, srcs: Seq[String], dst: String): DataFrame = {
     require(srcs.nonEmpty, "concatExports needs at least one source")
+    // dst must not be a source: the final cleanup deletes every source,
+    // which would erase the freshly published destination ("merge b
+    // into a" is appendShards' job, or concat both into a NEW dir).
+    // Compared as filesystem-qualified paths, not raw strings.
+    locally {
+      val (qfs, qdst) = fsPath(spark, dst)
+      val q = qfs.makeQualified(qdst)
+      require(!srcs.exists(s =>
+          qfs.makeQualified(new org.apache.hadoop.fs.Path(s)) == q),
+        s"concatExports: dst $dst is also a source — the source cleanup would " +
+          "delete the published result; concat into a fresh directory " +
+          "(or append the other sources' rows with appendShards)")
+    }
     val (fs, dstPath) = fsPath(spark, dst)
     val tmp = dst + ".export.tmp"
     // finish or roll back a dst publish a crash interrupted
@@ -729,20 +752,8 @@ object Export {
   }
 
   private def readMergedInto(fs: org.apache.hadoop.fs.FileSystem,
-      src: String): Option[String] = {
-    val p = mergedIntoPath(src)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](1024)
-        var n = in.read(chunk)
-        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        Some(new String(buf.toByteArray, "UTF-8"))
-      } finally in.close()
-    }
-  }
+      src: String): Option[String] =
+    readSmallFile(fs, mergedIntoPath(src))
 
   /** True when `dir` holds at least one non-hidden data file. */
   private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
@@ -770,6 +781,9 @@ object Export {
     * a crash leaves the old export live. Returns the new manifest. */
   def reshardExport(spark: SparkSession, dir: String, idCol: String,
       checksumCols: Seq[String], newNShards: Int): DataFrame = {
+    // the reshard's own publish is a TOP-LEVEL dir swap — recover a
+    // crashed one before reading, then the inner-dir swaps
+    IndexOps.recoverSwap(spark, dir)
     IndexOps.recoverSwap(spark, manifestDir(dir))
     IndexOps.recoverSwap(spark, dataDir(dir))
     // lazy read is safe for the same-dir rewrite: shardedWrite stages

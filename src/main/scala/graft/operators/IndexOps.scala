@@ -251,6 +251,47 @@ object IndexOps {
       targetRowsPerFile: Long = 4L * 1000 * 1000): Long =
     compactSwap(spark, dir, "band", Seq("band_key"), targetRowsPerFile)
 
+  /** Re-CLUSTER a persisted IVF index in place: fresh hash-ordered
+    * centroids sampled from the CURRENT member set, every vector
+    * re-assigned — the REPAIR for the drift [[cellHistogram]] detects.
+    * `ivfIndexExtend`/`ivfIncrementalIngest` keep the build-time
+    * centroids frozen by design (extension must not move existing
+    * rows), so a corpus that grew 10× or shifted distribution
+    * accumulates cell skew that the probe-side `maxCellRows` cap can
+    * only BOUND (with its recall cost), not fix. Re-clustering is the
+    * fix: one [[Similarity.ivfIndex]] rebuild over the member vectors
+    * (the index already carries them — no source corpus needed),
+    * costing the same one broadcast-scored pass + one exchange as the
+    * original build. The member set is unchanged — only `cell`
+    * assignments, `is_cent` markers, and (optionally) the cell count
+    * move; `nCells` defaults to the stamp's, pass a new value to
+    * re-size the quantizer as the corpus grows (cells should scale
+    * with corpus size to keep rows/cell probeable). Crash-safe like
+    * every maintenance swap here: staged at `<dir>.compact.tmp`,
+    * dst-counted before the swap, [[recoverSwap]] semantics after a
+    * crash. Returns the row count. */
+  def reclusterSwapIvf(spark: SparkSession, dir: String, idCol: String,
+      vecCol: String, nCells: Int = 0): Long = {
+    val live = spark.read.parquet(dir)
+    val params = IndexStamp.readUnique(live, Seq("ix_cells", "ix_dims"),
+      "reclusterSwapIvf").getOrElse(throw new IllegalArgumentException(
+        s"reclusterSwapIvf: no stamped IVF index at $dir"))
+    val Seq(oldCells, dims) = params: @unchecked
+    val cells = if (nCells > 0) nCells else oldCells
+    val srcRows = live.count()
+    val rebuilt = Similarity.ivfIndex(
+      live.select(col(idCol), col(vecCol)), idCol, vecCol, cells, dims)
+    val tmpDir = dir + ".compact.tmp"
+    val (fs, _) = fsOf(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+    rebuilt.write.mode("overwrite").partitionBy("cell").parquet(tmpDir)
+    val dstRows = spark.read.parquet(tmpDir).count()
+    require(dstRows == srcRows,
+      s"reclusterSwapIvf: rebuild of $dir lost rows ($srcRows vs $dstRows) — not swapping")
+    swapDirs(spark, dir, tmpDir)
+    srcRows
+  }
+
   /** [[compactSwap]] with the [[Similarity.lshIndex]] layout. */
   def compactSwapLsh(spark: SparkSession, dir: String,
       targetRowsPerFile: Long = 4L * 1000 * 1000): Long =

@@ -430,11 +430,16 @@ object Similarity {
       ivfIndexProbeAuto(queries, index, idCol, vecCol, k, nProbe, maxCellRows)
     else if (minRecall >= bruteRecallThreshold)
       bruteForceTopKBatch(corpus, queries, idCol, vecCol, k)
-    else {
-      val nCells = IndexStamp.read(index, Seq("ix_cells", "ix_dims"),
-        "annTopKAuto").map(_.head).getOrElse(1)
-      val needed = math.max(nProbe, math.ceil(minRecall * nCells).toInt)
-      ivfIndexProbeAuto(queries, index, idCol, vecCol, k, needed, maxCellRows)
+    else IndexStamp.read(index, Seq("ix_cells", "ix_dims"),
+        "annTopKAuto") match {
+      case Some(Seq(nCells, _)) =>
+        val needed = math.max(nProbe, math.ceil(minRecall * nCells).toInt)
+        ivfIndexProbeAuto(queries, index, idCol, vecCol, k, needed, maxCellRows)
+      case _ =>
+        // no stamped index to probe: an empty probe would be recall 0,
+        // violating the minRecall contract silently — the exact arm is
+        // the only route that honors it
+        bruteForceTopKBatch(corpus, queries, idCol, vecCol, k)
     }
   }
 

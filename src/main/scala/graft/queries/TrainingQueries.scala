@@ -346,8 +346,6 @@ object TrainingQueries {
   private val ExportChecksumCols =
     Seq("doc_id", "text", "lang", "source", "n_chars")
 
-  /** Per-process tmp directory (pid-suffixed, removed on JVM exit):
-    * concurrent verify+bench runs must not race one export dir. */
   /** TD19 — shard-count migration ([[graft.operators.Export
     * .reshardExport]]): export at 8 shards, re-shard to 16 —
     * necessarily a corpus rewrite (placement is `h60(id) % nShards`),
@@ -366,6 +364,8 @@ object TrainingQueries {
       .orderBy("shard")
   }
 
+  /** Per-process tmp directory (pid-suffixed, removed on JVM exit):
+    * concurrent verify+bench runs must not race one export dir. */
   private def perProcessDir(prefix: String, dir: String): String = {
     val f = new java.io.File(sys.props("java.io.tmpdir"),
       prefix + "_p" + ProcessHandle.current().pid() + "_" +

@@ -947,13 +947,15 @@ object StreamingIngest {
     val spark = batch.sparkSession
     def failpoint(n: Int): Unit = if (failAfterStep == n)
       throw new IllegalStateException(s"exportShardBatch: test failpoint after step $n")
+    // a crash mid-swap (manifest advance, or the in-loop compactExport
+    // below) leaves a live dir renamed away; finish/roll back BEFORE
+    // anything reads — UNCONDITIONALLY, like curateTextBatch: the
+    // post-commit maintenance runs on replays of committed batches too,
+    // so a crash inside ITS swap must be healed on a replay whose
+    // isCommitted check would skip the write path entirely
+    IndexOps.recoverSwap(spark, Export.manifestDir(dir))
+    IndexOps.recoverSwap(spark, Export.dataDir(dir))
     if (!isCommitted(spark, dir, batchId)) {
-      // a crash mid-swap (manifest advance, or a compactExport run
-      // between batches) leaves a live dir renamed away; finish/roll
-      // back BEFORE the first read, like the curate loops recover their
-      // index swaps at batch entry
-      IndexOps.recoverSwap(spark, Export.manifestDir(dir))
-      IndexOps.recoverSwap(spark, Export.dataDir(dir))
       val old = Export.readManifest(spark, dir)
       val nShards = old.count().toInt
       require(nShards > 0, s"exportShardBatch: no manifest at $dir")

@@ -80,6 +80,21 @@ object AnnRecallStudy {
       Similarity.ivfIndexProbe(probes, index, "vec_id", "embedding",
         k = K, nProbe = 1, nCells = NCELLS, dims = 64).count()
 
+      // the routed front door's exact arm, same probe set: recall 1.0
+      // by construction, cost = one corpus scan per batch — the anchor
+      // annTopKAuto's bruteRecallThreshold trades against
+      {
+        var best = Double.MaxValue
+        for (_ <- 1 to 2) {
+          quiesce(); val c0 = cpu.sum()
+          Similarity.bruteForceTopKBatch(corpus, probes, "vec_id", "embedding", K)
+            .count()
+          quiesce(); val c1 = cpu.sum()
+          best = math.min(best, (c1 - c0) / 1e9)
+        }
+        println(f"$point%-10s ${"exact"}%6s ${1.0}%10.3f $best%11.2fs  (bruteForceTopKBatch)")
+      }
+
       for (nProbe <- Seq(1, 2, 4, 8, 16)) {
         var hit = 0L; var best = Double.MaxValue
         for (_ <- 1 to 2) {

@@ -459,6 +459,54 @@ class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(new java.io.File(Export.manifestDir(a)).exists)
   }
 
+  test("concatExports: dst that is also a source is refused before anything moves") {
+    val a = tmp("concat_selfa"); val b = tmp("concat_selfb")
+    Export.shardedWrite(spark, docs.filter(col("doc_id") < 100), "doc_id", csCols, 4, a)
+    Export.shardedWrite(spark, docs.filter(col("doc_id") >= 100), "doc_id", csCols, 4, b)
+    val ex = intercept[IllegalArgumentException] {
+      Export.concatExports(spark, Seq(a, b), a)
+    }
+    assert(ex.getMessage.contains("also a source"))
+    // both sources untouched
+    Export.verifyShards(spark, a, csCols)
+    Export.verifyShards(spark, b, csCols)
+  }
+
+  test("repairManifest: a repair from a lost manifest restores the _schema sidecar") {
+    val dir = tmp("repair_sidecar")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 4, dir)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(Export.manifestDir(dir)))
+    spark.catalog.refreshByPath(dir)
+    Export.repairManifest(spark, dir, csCols)
+    assert(new java.io.File(Export.manifestDir(dir), "_schema").exists,
+      "repair must rewrite the schema sidecar or the drift gate goes inert")
+    // the gate works again: a drifting append is refused
+    intercept[IllegalArgumentException] {
+      Export.appendShards(spark,
+        spark.range(200, 210).select(col("id").as("doc_id"),
+          lit("x").as("text"), lit("en").as("lang"),
+          lit("oops").as("n_tokens")),
+        "doc_id", csCols, dir)
+    }
+    Export.verifyShards(spark, dir, csCols)
+  }
+
+  test("reshardExport: a crash inside the top-level publish swap is recovered on re-run") {
+    val dir = tmp("reshard_crash")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 4, dir)
+    // simulate the swap's crash window: whole export dir renamed away,
+    // .old surviving (the fresh tmp may be incomplete — delete it, the
+    // rollback treats .old as the source of truth)
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".old")))
+    spark.catalog.refreshByPath(dir)
+    val manifest = Export.reshardExport(spark, dir, "doc_id", csCols, newNShards = 8)
+    assert(manifest.count() == 8)
+    assertSameRows(
+      Export.readShards(spark, dir).select("doc_id", "text", "lang", "n_tokens"), docs)
+    Export.verifyShards(spark, dir, csCols)
+  }
+
   test("balancedShards: result is nParts-invariant (derived default vs explicit)") {
     val rows = spark.range(300).select(
       col("id").as("doc_id"), (col("id") % 11 + 1).as("w"))

@@ -92,6 +92,53 @@ class IndexOpsSpec extends SparkSpec {
     assert(compacted.select("ix_planes", "ix_dims", "ix_tables").distinct().count() == 1)
   }
 
+  test("reclusterSwapIvf: drift repair — fresh centroids fix post-ingest skew in place") {
+    import graft.functions.Hashing
+    // two tight clusters, 2 cells: balanced at build
+    val a = (1L to 30L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+    val b = (31L to 60L).map(i => (i, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+    val dir = tmp("ixops_recluster")
+    Similarity.ivfIndex((a ++ b).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        nCells = 2, dims = 4)
+      .write.mode("append").partitionBy("cell").parquet(dir)
+    // a THIRD cluster arrives by extension: frozen centroids shove all
+    // of it into one existing cell — the drift cellHistogram detects
+    val c = (61L to 100L).map(i => (i, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+    val index0 = spark.read.parquet(dir)
+    Similarity.ivfIndexExtend(index0, c.toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+      .write.mode("append").partitionBy("cell").parquet(dir)
+    val skewed = IndexOps.cellHistogram(spark.read.parquet(dir)).collect()
+      .map(r => r.getLong(0)).max
+    assert(skewed >= 70, s"extension should pile the new cluster into one cell, max=$skewed")
+
+    val memberIdsBefore = spark.read.parquet(dir).select("vec_id").orderBy("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    // the repair: re-sample centroids from the CURRENT members, re-size
+    // the quantizer to 3 cells, swap in place
+    val rows = IndexOps.reclusterSwapIvf(spark, dir, "vec_id", "embedding", nCells = 3)
+    assert(rows == 100)
+    val after = spark.read.parquet(dir)
+    // member set untouched; stamp carries the new cell count
+    assert(after.select("vec_id").orderBy("vec_id")
+      .collect().map(_.getLong(0)).toSeq == memberIdsBefore)
+    assert(after.select("ix_cells").distinct().collect().map(_.getInt(0)).toSeq == Seq(3))
+    // with 3 orthogonal clusters and 3 hash-sampled centroids the skew
+    // can only vanish if each cluster won its own cell — assert the
+    // histogram is exactly the cluster sizes
+    val hist = IndexOps.cellHistogram(after).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hist.keySet == Set(30L, 40L), s"unexpected post-recluster histogram $hist")
+    // probes still find their near-copies, now in the new cluster's own
+    // cell at nProbe=1
+    val probe = Seq((2001L, Array(0.01f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.ivfIndexProbeAuto(probe, after, "vec_id", "embedding",
+      k = 50, nProbe = 1).filter(col("cos_micro") >= 900000L)
+    assert(got.count() == 40, "the reclustered cell must hold the whole third cluster")
+    // crash residue handled by the standard recoverSwap discipline
+    assert(!new java.io.File(dir + ".compact.tmp").exists)
+  }
+
   test("compaction refuses a mixed-build directory and an unstamped one") {
     val dir = tmp("ixops_mixed")
     Dedup.minhashIndex(docs(1L to 10L: _*), "doc_id", "text", n = 3, k = 16, bands = 4)

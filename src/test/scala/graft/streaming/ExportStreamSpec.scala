@@ -248,6 +248,26 @@ class ExportStreamSpec extends SparkSpec {
     // the failure is the attestation, pointing at the corruption
   }
 
+  test("a committed batch's replay still recovers a crashed maintenance swap") {
+    // the in-loop compactExport runs AFTER the commit marker, so its
+    // crash window is replayed with isCommitted == true — entry
+    // recovery must run unconditionally or the stream wedges
+    val dir = tmp("exps_postcommit")
+    bootstrap(dir, 4)
+    StreamingIngest.exportShardBatch(docsRange(60, 100), 0L, dir, "doc_id", csCols)
+    // simulate compactExport crashing between swapDirs' two renames:
+    // live data dir renamed away, .old surviving
+    val d = new java.io.File(Export.dataDir(dir))
+    assert(d.renameTo(new java.io.File(Export.dataDir(dir) + ".old")))
+    spark.catalog.refreshByPath(dir)
+    // replay of the ALREADY-COMMITTED batch 0, with maintenance on:
+    // must roll back the swap and verify clean instead of throwing
+    StreamingIngest.exportShardBatch(docsRange(60, 100), 0L, dir, "doc_id", csCols,
+      compactAtFiles = 1, verifyEvery = 1)
+    Export.verifyShards(spark, dir, csCols)
+    assert(Export.readManifest(spark, dir).agg(sum("n_rows")).as[Long].head() == 100)
+  }
+
   test("crash mid-manifest-swap is recovered at replay entry") {
     val dir = tmp("exps_swapcrash")
     bootstrap(dir, 8)
