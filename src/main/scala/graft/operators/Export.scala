@@ -616,18 +616,28 @@ object Export {
     * Returns the merged manifest. */
   def concatExports(spark: SparkSession, srcs: Seq[String], dst: String): DataFrame = {
     require(srcs.nonEmpty, "concatExports needs at least one source")
-    // dst must not be a source: the final cleanup deletes every source,
-    // which would erase the freshly published destination ("merge b
-    // into a" is appendShards' job, or concat both into a NEW dir).
-    // Compared as filesystem-qualified paths, not raw strings.
+    // Path hygiene, on filesystem-QUALIFIED paths (raw strings miss
+    // `/a` vs `/a/` and scheme aliases):
+    //  - dst must not be a source — the final cleanup deletes every
+    //    source, which would erase the freshly published destination
+    //    ("merge b into a" is appendShards' job, or concat into a NEW
+    //    dir);
+    //  - a source listed twice would fold its manifest TWICE while its
+    //    files move once, publishing a manifest that over-claims every
+    //    duplicated row — refuse rather than silently dedupe, because
+    //    a duplicated list is an operator error worth surfacing.
     locally {
       val (qfs, qdst) = fsPath(spark, dst)
-      val q = qfs.makeQualified(qdst)
-      require(!srcs.exists(s =>
-          qfs.makeQualified(new org.apache.hadoop.fs.Path(s)) == q),
+      def q(s: String) = qfs.makeQualified(new org.apache.hadoop.fs.Path(s))
+      val qd = qfs.makeQualified(qdst)
+      require(!srcs.exists(q(_) == qd),
         s"concatExports: dst $dst is also a source — the source cleanup would " +
           "delete the published result; concat into a fresh directory " +
           "(or append the other sources' rows with appendShards)")
+      val dupes = srcs.groupBy(q).values.filter(_.size > 1).map(_.head)
+      require(dupes.isEmpty,
+        s"concatExports: sources listed more than once (${dupes.mkString(", ")}) — " +
+          "their manifests would be double-counted")
     }
     val (fs, dstPath) = fsPath(spark, dst)
     val tmp = dst + ".export.tmp"

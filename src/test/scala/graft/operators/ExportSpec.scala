@@ -467,6 +467,11 @@ class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       Export.concatExports(spark, Seq(a, b), a)
     }
     assert(ex.getMessage.contains("also a source"))
+    // and a source listed twice would double-count its manifest
+    val ex2 = intercept[IllegalArgumentException] {
+      Export.concatExports(spark, Seq(a, b, a + "/"), tmp("concat_selfdst"))
+    }
+    assert(ex2.getMessage.contains("more than once"))
     // both sources untouched
     Export.verifyShards(spark, a, csCols)
     Export.verifyShards(spark, b, csCols)
