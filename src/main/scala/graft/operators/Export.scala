@@ -54,6 +54,17 @@ object Export {
   /** Manifest subdirectory inside a published export. */
   private[graft] def manifestDir(dir: String): String = dir + "/manifest"
 
+  /** Placement-kind stamp values (`_placement` sidecar): `hash` = the
+    * portable `h60(id) % nShards` contract ([[shardAssign]]) every
+    * consumer can recompute; `assigned` = a caller-computed layout
+    * ([[balancedShards]]' weight cuts, or anything else) that only the
+    * manifest attests. The stamp is the [[IndexStamp]] philosophy
+    * applied to exports: an export is self-describing about WHICH
+    * placement built it, so the append family can refuse to silently
+    * mix two placement contracts in one directory. */
+  private[graft] val PlacementHash = "hash"
+  private[graft] val PlacementAssigned = "assigned"
+
   /** Portable shard assignment and within-shard order for `idCol`:
     * `shard = h60("shard:" || id) % nShards` (h60 is positive, so `%`
     * is a true mod on every engine), `ord = h60("ord:" || id)` — two
@@ -165,7 +176,7 @@ object Export {
   def shardedWrite(spark: SparkSession, df: DataFrame, idCol: String,
       checksumCols: Seq[String], nShards: Int, dir: String): DataFrame =
     shardedWriteAssigned(spark, shardAssign(df, idCol, nShards),
-      checksumCols, nShards, dir)
+      checksumCols, nShards, dir, PlacementHash)
 
   /** [[shardedWrite]] for a frame that ALREADY carries `shard`/`ord`
     * columns — the layout half of the export, decoupled from hash
@@ -173,9 +184,25 @@ object Export {
     * caller-computed placement) lands in the same manifested,
     * partition-pruned, atomically-published layout. The manifest
     * machinery is placement-agnostic: counts, ord ranges and checksums
-    * attest to the written bytes whatever put each row in its shard. */
+    * attest to the written bytes whatever put each row in its shard.
+    *
+    * The published export is stamped `placement=assigned` (a
+    * `_placement` manifest sidecar): the hash-append family
+    * ([[appendShards]], [[reshardExport]], the streaming export sink)
+    * refuses it, because hash-placing new rows into a caller-assigned
+    * layout would silently mix two placement contracts in one
+    * directory — re-balance with [[rebalanceExport]] instead.
+    * ([[shardedWrite]] stamps `hash` through the private `placement`
+    * parameter; it is the ONLY caller that may, because it just
+    * computed that placement.) */
   def shardedWriteAssigned(spark: SparkSession, assigned: DataFrame,
-      checksumCols: Seq[String], nShards: Int, dir: String): DataFrame = {
+      checksumCols: Seq[String], nShards: Int, dir: String): DataFrame =
+    shardedWriteAssigned(spark, assigned, checksumCols, nShards, dir,
+      PlacementAssigned)
+
+  private[graft] def shardedWriteAssigned(spark: SparkSession, assigned: DataFrame,
+      checksumCols: Seq[String], nShards: Int, dir: String,
+      placement: String): DataFrame = {
     require(checksumCols.nonEmpty, "shardedWrite needs checksum columns")
     require(assigned.columns.contains("shard") && assigned.columns.contains("ord"),
       "shardedWriteAssigned needs shard and ord columns (shardAssign/balancedShards)")
@@ -205,6 +232,7 @@ object Export {
       .write.mode(SaveMode.Overwrite)
       .parquet(manifestDir(tmp))
     writeSchemaSidecar(spark, manifestDir(tmp), assigned.schema)
+    writePlacementSidecar(spark, manifestDir(tmp), placement)
 
     if (fs.exists(livePath)) IndexOps.swapDirs(spark, dir, tmp)
     else {
@@ -219,12 +247,19 @@ object Export {
   def readManifest(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(manifestDir(dir))
 
-  /** The published shard data (all shards). A zero-row export has no
-    * parquet files to infer from; the `_schema` sidecar written at
-    * publish time keeps it readable (an empty frame of the right
-    * schema). */
+  /** The published shard data (all shards). Read under the `_schema`
+    * sidecar (the export's authoritative shape) when one exists, not
+    * footer inference: a zero-row export has no files to infer from,
+    * and after [[evolveExportSchema]] the generations differ — files
+    * written before an ADDITIVE evolution lack the new columns, and
+    * parquet's by-name resolution fills them with nulls only when the
+    * read schema says they exist. Pre-sidecar exports fall back to
+    * inference, exactly as before sidecars existed. */
   def readShards(spark: SparkSession, dir: String): DataFrame =
-    readData(spark, dataDir(dir), readSchemaSidecar(spark, dir))
+    readSchemaSidecar(spark, dir) match {
+      case Some(s) => spark.read.schema(s).parquet(dataDir(dir))
+      case None => readData(spark, dataDir(dir), None)
+    }
 
   /** Parquet read that falls back to `schema` over zero files. */
   private def readData(spark: SparkSession, dataDir: String,
@@ -263,6 +298,58 @@ object Export {
       }
     }
 
+  /** Sanctioned ADDITIVE schema evolution for a published export — the
+    * one planned migration the schema-drift gate must not block. The
+    * gate ([[requireSchemaMatch]]) refuses ANY (name, type)-set change,
+    * which is the right default (accidental drift poisons every later
+    * by-name read); but a real training pipeline eventually adds a
+    * column (a new quality score, a provenance tag), and without a
+    * sanctioned path the only escape is a full corpus re-export. This
+    * is that path, for the safe subset only:
+    *
+    *  - NEW columns only — existing columns cannot change type, be
+    *    dropped, or be renamed (those genuinely need a re-export: the
+    *    bytes on disk are wrong for the new shape);
+    *  - every added column must be NULLABLE — files written before the
+    *    evolution lack it, and [[readShards]]' sidecar-schema read
+    *    resolves the absence to null, which must be a legal value.
+    *
+    * Mechanically it is one `_schema` sidecar update riding the same
+    * crash-safe manifest swap as every manifest advance
+    * ([[publishManifest]] with a schema override; `_placement` and the
+    * streaming `_batch` marker are carried). After it: old files read
+    * with nulls in the new columns, the gate requires appended batches
+    * to CARRY the new columns, and [[verifyShards]] stays green across
+    * the boundary (manifest checksums are over `checksumCols`, which
+    * predate the evolution). Returns the evolved schema. */
+  def evolveExportSchema(spark: SparkSession, dir: String,
+      addCols: Seq[org.apache.spark.sql.types.StructField]):
+      org.apache.spark.sql.types.StructType = {
+    require(addCols.nonEmpty, "evolveExportSchema: no columns to add")
+    IndexOps.recoverSwap(spark, manifestDir(dir))
+    IndexOps.recoverSwap(spark, dataDir(dir))
+    val old = readSchemaSidecar(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"evolveExportSchema: no _schema sidecar at $dir — repairManifest " +
+          "first (it rebuilds the sidecar from the data)"))
+    val existing = old.fields.map(_.name.toLowerCase).toSet
+    addCols.foreach { f =>
+      require(f.nullable,
+        s"evolveExportSchema: added column ${f.name} must be nullable — " +
+          "files written before the evolution have no value for it")
+      require(!existing.contains(f.name.toLowerCase),
+        s"evolveExportSchema: column ${f.name} already exists in the " +
+          "published schema — only NEW columns can be added; changing an " +
+          "existing column needs a re-export (shardedWrite)")
+    }
+    val evolved = org.apache.spark.sql.types.StructType(old.fields ++ addCols)
+    // same manifest rows, new _schema — and the _batch marker survives
+    // (dropping it would let a streaming replay re-merge its batch)
+    publishManifest(spark, dir, readManifest(spark, dir),
+      batchId = manifestBatch(spark, dir), schemaOverride = Some(evolved))
+    evolved
+  }
+
   /** Slurp a small control file (`_schema`, `_batch`, `_merged_into`)
     * to a string; None when absent. */
   private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
@@ -299,16 +386,67 @@ object Export {
       .fromJson(j).asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
+  private def placementPath(manifestDir: String) =
+    new org.apache.hadoop.fs.Path(manifestDir, "_placement")
+
+  private[graft] def writePlacementSidecar(spark: SparkSession,
+      manifestDir: String, kind: String): Unit = {
+    require(kind == PlacementHash || kind == PlacementAssigned,
+      s"unknown placement kind $kind")
+    val p = placementPath(manifestDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(kind.getBytes("UTF-8")); out.close()
+  }
+
+  /** The placement kind a published export is stamped with; None for a
+    * pre-stamp export (anything published before the stamp existed,
+    * or whose manifest dir was lost and rebuilt by [[repairManifest]],
+    * which cannot re-derive the kind without the id column). */
+  private[graft] def readPlacement(spark: SparkSession,
+      dir: String): Option[String] = {
+    val p = placementPath(manifestDir(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readSmallFile(fs, p).map(_.trim)
+  }
+
+  /** Refuse hash-placement operations against an export stamped
+    * `assigned`: [[appendShards]], [[reshardExport]] and the streaming
+    * export sink all RECOMPUTE `h60(id) % nShards`, which is simply
+    * not where an assigned layout put (or would put) its rows — one
+    * such append and the directory holds two placement contracts,
+    * token balance erodes unobserved, and any consumer recomputing a
+    * row's shard from its id is wrong for the assigned rows
+    * ([[verifyShards]] stays green throughout — it attests bytes, not
+    * contracts). An UNSTAMPED export (pre-stamp generations) is
+    * treated as hash — the only placement those entry points ever
+    * wrote. */
+  private[graft] def requireHashPlacement(spark: SparkSession, dir: String,
+      what: String): Unit =
+    readPlacement(spark, dir).foreach { kind =>
+      if (kind != PlacementHash)
+        throw new IllegalArgumentException(
+          s"$what: export at $dir is stamped placement=$kind — hash-placed " +
+            "rows would silently mix placement contracts in one directory. " +
+            "Re-balance it with rebalanceExport (assigned layouts), or " +
+            "republish from scratch with shardedWrite (hash layout).")
+    }
+
   /** Resume-position read: shard `shard`'s rows STRICTLY AFTER the
     * portable order key `ordExclusive`, in order — the trainer-restart
     * contract ("I consumed through ord X; give me the rest"). The
     * scan prunes twice: the `shard` predicate prunes to the shard's
     * partition directory, and because every data file is internally
-    * ord-sorted with [[writeLayout]] keeping files ord-RANGE-disjoint
-    * within a generation, the `ord` predicate's parquet row-group
-    * stats skip the files (and row groups) wholly below the resume
-    * point — a restart near the end of a shard re-reads almost
-    * nothing, not the whole shard. `ord` is a pure function of the row
+    * ord-SORTED ([[writeLayout]]'s per-task sort), the `ord`
+    * predicate's parquet min/max stats skip every ROW GROUP wholly
+    * below the resume point — a restart near the end of a shard
+    * decodes almost nothing. File-level stats pruning is
+    * opportunistic, not guaranteed: [[writeLayout]] HASH-partitions on
+    * `(shard, ordBucket)`, so non-adjacent ord buckets can land in one
+    * task and that task's file spans their combined ord range — a
+    * guarantee would need a range partitioning whose sampling pass
+    * re-runs the upstream plan, and the row-group pruning already
+    * bounds what a resume decodes. `ord` is a pure function of the row
     * id, so a consumer can checkpoint nothing but the last id it
     * processed and recompute its resume key with [[ordSql]] /
     * [[shardAssign]]'s expression on ANY engine. */
@@ -454,6 +592,7 @@ object Export {
     // streaming sink's batch-entry recovery
     IndexOps.recoverSwap(spark, manifestDir(dir))
     IndexOps.recoverSwap(spark, dataDir(dir))
+    requireHashPlacement(spark, dir, "appendShards")
     val old = readManifest(spark, dir)
     val nShards = old.count().toInt
     require(nShards > 0, s"appendShards: no manifest at $dir")
@@ -477,14 +616,31 @@ object Export {
     * itself is gone (the "lost to operator error" case) infers the
     * shard count from the `shard=K` partition directories instead of
     * reading the manifest it is trying to rebuild. One aggregation
-    * scan of the export. */
+    * scan of the export.
+    *
+    * Data-derived inference CANNOT see trailing all-empty shards (they
+    * leave no directory): a repaired manifest would then attest a
+    * smaller nShards, and the next [[appendShards]] would place rows
+    * with a DIFFERENT modulus than the existing rows — silently
+    * breaking the portable `h60(id) % nShards` contract. When the
+    * manifest is lost, pass the export's true shard count as the
+    * explicit `nShards` (preferred over inference; refused if it is
+    * smaller than what the data proves); leaving it 0 falls back to
+    * inference and warns on stderr when that fallback actually runs
+    * blind. */
   def repairManifest(spark: SparkSession, dir: String,
-      checksumCols: Seq[String]): DataFrame = {
+      checksumCols: Seq[String], nShards: Int = 0): DataFrame = {
     IndexOps.recoverSwap(spark, manifestDir(dir))
     IndexOps.recoverSwap(spark, dataDir(dir))
-    val nShards = repairShardCount(spark, dir)
+    val derived = repairShardCount(spark, dir)
+    require(nShards == 0 || nShards >= derived,
+      s"repairManifest: explicit nShards=$nShards is smaller than what the " +
+        s"export's own state proves ($derived shards) — data at $dir holds " +
+        "rows the repaired manifest could not attest")
+    if (nShards == 0) repairShardCountWarning(spark, dir, derived)
+    val n = if (nShards > 0) nShards else derived
     val data = readShards(spark, dir)
-    publishManifest(spark, dir, manifestOf(data, checksumCols, nShards))
+    publishManifest(spark, dir, manifestOf(data, checksumCols, n))
     // a repair from a LOST manifest dir also lost the `_schema` sidecar
     // (publishManifest only carries a surviving one) — rewrite it from
     // the data, or the schema-drift gate goes silently inert and a
@@ -516,6 +672,25 @@ object Export {
     }
   }
 
+  /** [[repairShardCount]] for a caller that did NOT pass an explicit
+    * count: identical, plus a loud stderr warning when the manifest is
+    * gone and the count is inferred blind from `shard=K` directories
+    * (trailing all-empty shards are invisible to that inference). */
+  private def repairShardCountWarning(spark: SparkSession, dir: String,
+      derived: Int): Unit = {
+    val (fs, _) = fsPath(spark, dir)
+    val m = new org.apache.hadoop.fs.Path(manifestDir(dir))
+    val hasManifest = fs.exists(m) &&
+      fs.listStatus(m).exists(_.getPath.getName.endsWith(".parquet"))
+    if (!hasManifest)
+      Console.err.println(
+        s"[graft] repairManifest: manifest at $dir is lost; inferred " +
+          s"nShards=$derived from shard directories — trailing all-empty " +
+          "shards cannot be recovered from data alone. If the export had " +
+          "more shards, re-run with an explicit nShards or the next append " +
+          "will place rows with the wrong modulus.")
+  }
+
   /** Write `manifest` to a tmp dir and swap it over `dir/manifest`:
     * readers see the old manifest or the new one, never a torn one.
     * With `batchId`, the new manifest generation records which
@@ -525,23 +700,32 @@ object Export {
     * advance IDEMPOTENT: a merge is skipped when the live manifest
     * already records the replaying batch. */
   private[graft] def publishManifest(spark: SparkSession, dir: String,
-      manifest: DataFrame, batchId: Option[Long] = None): Unit = {
+      manifest: DataFrame, batchId: Option[Long] = None,
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val tmp = manifestDir(dir) + ".new"
     val (fs, _) = fsPath(spark, dir)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     manifest.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    // the `_schema` sidecar lives in the manifest dir; a manifest swap
-    // must not orphan it or an emptied-then-appended export goes dark
-    val livedSchema = schemaPath(manifestDir(dir))
-    if (fs.exists(livedSchema)) {
-      val in = fs.open(livedSchema)
-      val out = fs.create(schemaPath(tmp), true)
-      try {
-        val chunk = new Array[Byte](4096)
-        var n = in.read(chunk)
-        while (n >= 0) { out.write(chunk, 0, n); n = in.read(chunk) }
-      } finally { in.close(); out.close() }
+    // the `_schema` and `_placement` sidecars live in the manifest dir;
+    // a manifest swap must not orphan them or an emptied-then-appended
+    // export goes dark / forgets its placement contract. `schemaOverride`
+    // replaces the carried `_schema` — the [[evolveExportSchema]] hook,
+    // which rides the same crash-safe swap as every manifest advance.
+    def carry(live: org.apache.hadoop.fs.Path, staged: org.apache.hadoop.fs.Path): Unit =
+      if (fs.exists(live)) {
+        val in = fs.open(live)
+        val out = fs.create(staged, true)
+        try {
+          val chunk = new Array[Byte](4096)
+          var n = in.read(chunk)
+          while (n >= 0) { out.write(chunk, 0, n); n = in.read(chunk) }
+        } finally { in.close(); out.close() }
+      }
+    schemaOverride match {
+      case Some(s) => writeSchemaSidecar(spark, tmp, s)
+      case None => carry(schemaPath(manifestDir(dir)), schemaPath(tmp))
     }
+    carry(placementPath(manifestDir(dir)), placementPath(tmp))
     batchId.foreach { b =>
       val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_batch"), true)
       out.write(b.toString.getBytes("UTF-8")); out.close()
@@ -651,10 +835,52 @@ object Export {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       return readManifest(spark, dst)
     }
+    // A MISSING source is tolerable only with replay evidence: source
+    // dirs are deleted exclusively by the post-publish cleanup, so a
+    // legitimate partial-cleanup replay always has (a) the dst
+    // published and (b) every SURVIVING source stamped `_merged_into`
+    // this dst (the stamp is written before the publish). Anything
+    // else — a mistyped path, a source deleted by operator error on a
+    // FRESH merge — must fail loudly here, not proceed with the
+    // surviving subset, publish a dst missing that source's rows, and
+    // destructively delete the real sources.
+    locally {
+      val missing = srcs.filterNot(s => fs.exists(new org.apache.hadoop.fs.Path(s)))
+      if (missing.nonEmpty) {
+        require(fs.exists(dstPath),
+          s"concatExports: sources ${missing.mkString(", ")} do not exist and " +
+            s"no published export at $dst — a fresh merge must name only " +
+            "existing sources (mistyped path?)")
+        liveSrcs.foreach { src =>
+          val stamp = readMergedInto(fs, src)
+          require(stamp.contains(dst),
+            s"concatExports: sources ${missing.mkString(", ")} are missing while " +
+              s"surviving source $src is ${stamp.fold("not stamped as merged")(d =>
+                s"stamped as merged into $d")} — this is not a replay of a " +
+              s"merge into $dst; refusing to merge a partial source list")
+        }
+      }
+    }
     val manifests = liveSrcs.map(readManifest(spark, _))
     val nShards = manifests.head.count()
     require(manifests.forall(_.count() == nShards),
       s"concatExports: shard counts differ across ${liveSrcs.mkString(", ")}")
+    // placement contracts must agree before a single file moves: a
+    // hash source merged into an assigned source (or vice versa) would
+    // publish one directory holding two placement contracts — the
+    // exact poison the `_placement` stamp exists to refuse. Unstamped
+    // (pre-stamp) sources count as hash; the merged dst inherits the
+    // common kind.
+    val placement = {
+      val kinds = liveSrcs.map(s =>
+        (s, readPlacement(spark, s).getOrElse(PlacementHash)))
+      val distinct = kinds.map(_._2).distinct
+      require(distinct.size == 1,
+        s"concatExports: sources mix placement kinds (${kinds.map { case (s, k) =>
+            s"$s=$k" }.mkString(", ")}) — a merge cannot reconcile two " +
+          "placement contracts; rebalanceExport/reshardExport one side first")
+      distinct.head
+    }
     // schema drift across sources is the same poison as a drifting
     // append: require every sidecar-carrying source to agree with the
     // first before a single file moves
@@ -735,10 +961,12 @@ object Export {
     // impossible rather than merely improbable
     liveSrcs.foreach(writeMergedInto(fs, _, dst))
     merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(manifestDir(tmp))
-    // carry a schema sidecar from the first source that has one
+    // carry a schema sidecar from the first source that has one, and
+    // the sources' (verified-common) placement kind
     liveSrcs.iterator.map(s => (s, readSchemaSidecar(spark, s)))
       .collectFirst { case (_, Some(sc)) => sc }
       .foreach(writeSchemaSidecar(spark, manifestDir(tmp), _))
+    writePlacementSidecar(spark, manifestDir(tmp), placement)
     if (fs.exists(dstPath)) IndexOps.swapDirs(spark, dst, tmp)
     else {
       require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dstPath),
@@ -796,12 +1024,50 @@ object Export {
     IndexOps.recoverSwap(spark, dir)
     IndexOps.recoverSwap(spark, manifestDir(dir))
     IndexOps.recoverSwap(spark, dataDir(dir))
+    // an assigned (weight-balanced) export has no h60 contract to
+    // re-shard under; its granularity change is rebalanceExport
+    requireHashPlacement(spark, dir, "reshardExport")
     // lazy read is safe for the same-dir rewrite: shardedWrite stages
     // the whole new generation under <dir>.export.tmp (every read of
     // the old files happens during that write) and swaps only after
     // the staging — no checkpoint copy of the corpus needed
     val rows = readShards(spark, dir).drop("shard", "ord")
     shardedWrite(spark, rows, idCol, checksumCols, newNShards, dir)
+  }
+
+  /** Re-balance a published export by weight — the assigned-layout twin
+    * of [[reshardExport]], and the ONLY sanctioned refresh once an
+    * export is stamped `assigned` (the append family refuses it, so a
+    * balanced layout would otherwise be frozen forever). Recomputes the
+    * equal-weight cuts over the CURRENT corpus with [[balancedShards]]'
+    * two-pass distributed prefix sum and rewrites through
+    * [[shardedWriteAssigned]] — same staged `<dir>.export.tmp` +
+    * atomic-swap crash protocol as every publish here (old generation
+    * live until the new one is complete). Works on a hash-stamped (or
+    * pre-stamp) export too: "balance this export by tokens" is a
+    * legitimate one-way migration — the result is stamped `assigned`.
+    * Necessarily a corpus rewrite, like the reshard: weight cuts move
+    * rows between shards. `nShards = 0` keeps the current shard count.
+    * Returns the new manifest — identical, by construction, to a
+    * from-scratch [[balancedShards]]+[[shardedWriteAssigned]] of the
+    * same rows (the q96 oracle proves it against a true global-window
+    * recompute). */
+  def rebalanceExport(spark: SparkSession, dir: String, idCol: String,
+      weightCol: String, checksumCols: Seq[String],
+      nShards: Int = 0): DataFrame = {
+    require(nShards >= 0, s"nShards must be non-negative, got $nShards")
+    IndexOps.recoverSwap(spark, dir)
+    IndexOps.recoverSwap(spark, manifestDir(dir))
+    IndexOps.recoverSwap(spark, dataDir(dir))
+    val n = if (nShards > 0) nShards else readManifest(spark, dir).count().toInt
+    require(n > 0, s"rebalanceExport: no manifest at $dir")
+    // lazy read is safe for the same-dir rewrite, as in reshardExport:
+    // balancedShards' totals pass and shardedWriteAssigned's staging
+    // both read the live generation, which the swap replaces only after
+    // the staging is complete
+    val rows = readShards(spark, dir).drop("shard", "ord")
+    shardedWriteAssigned(spark, balancedShards(rows, idCol, weightCol, n),
+      checksumCols, n, dir, PlacementAssigned)
   }
 
   // ------------------------------------------------- token-balanced shards

@@ -57,6 +57,56 @@ object IndexOps {
       .groupBy(col("cell_rows"))
       .agg(count(lit(1)).as("n_cells"))
 
+  /** The probe cap a histogram tail implies, as a RULE instead of an
+    * operator eyeballing [[bucketHistogram]]/[[cellHistogram]] output:
+    * the smallest bucket size S such that buckets of size ≤ S are at
+    * least `quantile` of ALL buckets — i.e. "rerank every bucket except
+    * the top (1−quantile) tail", the SCALING.md cap-picking rule made
+    * executable. Feed the result to `maxBucketRows`/`maxCellRows`
+    * ([[capHotBuckets]]): recall contract unchanged — ONLY buckets
+    * above the cap are skipped, and a pair sharing any under-cap bucket
+    * still reranks exactly.
+    *
+    * `sizeCol`/`countCol` name the histogram's (size, count) columns —
+    * `("bucket_rows", "n_buckets")` for [[bucketHistogram]] (its
+    * per-directory rows fold together first), `("cell_rows",
+    * "n_cells")` for [[cellHistogram]]. The driver materialization is
+    * the histogram itself — one row per DISTINCT bucket size, the same
+    * bounded class as the manifest collects. */
+  def capFromHistogram(hist: DataFrame, sizeCol: String, countCol: String,
+      quantile: Double): Int = {
+    require(quantile > 0.0 && quantile <= 1.0,
+      s"quantile must be in (0, 1], got $quantile")
+    val rows = hist.groupBy(col(sizeCol).cast("long").as("__size"))
+      .agg(sum(col(countCol)).as("__n"))
+      .orderBy("__size").collect()
+    require(rows.nonEmpty, "capFromHistogram: empty histogram — no index rows")
+    val total = rows.map(_.getLong(1)).sum
+    val need = math.ceil(quantile * total).toLong
+    var acc = 0L
+    var cap = rows.last.getLong(0)
+    val it = rows.iterator
+    var found = false
+    while (it.hasNext && !found) {
+      val r = it.next(); acc += r.getLong(1)
+      if (acc >= need) { cap = r.getLong(0); found = true }
+    }
+    require(cap <= Int.MaxValue, s"capFromHistogram: cap $cap exceeds Int range")
+    cap.toInt
+  }
+
+  /** `maxBucketRows = auto`: [[capFromHistogram]] over
+    * [[bucketHistogram]], ready to pass to the LSH/MinHash probes. */
+  def autoBucketCap(index: DataFrame, dirCol: String, keyCol: String,
+      quantile: Double = 0.999): Option[Int] =
+    Some(capFromHistogram(bucketHistogram(index, dirCol, keyCol),
+      "bucket_rows", "n_buckets", quantile))
+
+  /** `maxCellRows = auto`: [[capFromHistogram]] over [[cellHistogram]],
+    * ready to pass to the IVF probes. */
+  def autoCellCap(index: DataFrame, quantile: Double = 0.999): Option[Int] =
+    Some(capFromHistogram(cellHistogram(index), "cell_rows", "n_cells", quantile))
+
   /** Rewrite the append-grown index at `srcDir` into `dstDir` as few
     * large, key-clustered files: range-repartitioned on
     * (`dirCol`, `clusterCols`) into `ceil(rows / targetRowsPerFile)`

@@ -364,6 +364,26 @@ object TrainingQueries {
       .orderBy("shard")
   }
 
+  /** TD20 — balanced-layout refresh ([[graft.operators.Export
+    * .rebalanceExport]]): a hash-placed export re-balanced by token
+    * weight IN PLACE — the assigned-layout twin of the q95 reshard,
+    * and the sanctioned migration once the placement stamp makes
+    * hash-appends into balanced exports impossible. The oracle is
+    * q91's: the rebalanced manifest must land exactly where a
+    * from-scratch balancedShards + shardedWriteAssigned export of the
+    * same rows would (recomputed in DuckDB with a true global
+    * window). */
+  val q96Rebalance: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val out = perProcessDir("graft_rebalance", dir)
+    graft.operators.Export.shardedWrite(spark, t.documents, "doc_id",
+      ExportChecksumCols, nShards = 8, out)
+    graft.operators.Export.rebalanceExport(spark, out, "doc_id", "n_chars",
+      ExportChecksumCols)
+      .select("shard", "n_rows", "min_ord", "max_ord", "checksum")
+      .orderBy("shard")
+  }
+
   /** Per-process tmp directory (pid-suffixed, removed on JVM exit):
     * concurrent verify+bench runs must not race one export dir. */
   private def perProcessDir(prefix: String, dir: String): String = {
@@ -395,6 +415,7 @@ object TrainingQueries {
     "q91_balanced_export" -> q91BalancedExport,
     "q93_export_concat" -> q93ExportConcat,
     "q95_reshard" -> q95Reshard,
+    "q96_rebalance" -> q96Rebalance,
     "q76_mixture_upsample" -> q76MixtureUpsample,
     "q75_mixture_report" -> q75MixtureReport,
     "q66_bigram_familiarity" -> q66BigramFamiliarity,
@@ -493,30 +514,37 @@ object TrainingQueries {
        |  CAST(sum(CAST(rh AS HUGEINT)) % ${1L << 61} AS BIGINT) AS checksum
        |FROM a GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** The balanced 8-shard manifest recomputed from the raw table with
+    * a true global window — q91 proves the from-scratch balanced
+    * export, q96 that rebalanceExport's in-place refresh of a
+    * hash-placed export lands on the identical manifest. */
+  private def balancedManifestOracle: String =
+    s"""WITH o AS (
+       |  SELECT doc_id, CAST(COALESCE(n_chars, 0) AS HUGEINT) AS w,
+       |    ${graft.operators.Export.ordSql("doc_id")} AS ord,
+       |    ${h60(graft.operators.Quality.rowEncodingSql(ExportChecksumCols))} AS rh
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, w, ord, rh,
+       |    COALESCE(sum(w) OVER (ORDER BY ord, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+       |  FROM o),
+       |t AS (SELECT sum(w) AS total FROM o),
+       |a AS (
+       |  SELECT CAST(LEAST((p.pre * 8) // t.total, 7) AS INT) AS shard,
+       |    p.ord, p.rh
+       |  FROM p CROSS JOIN t)
+       |SELECT shard, count(*) AS n_rows, min(ord) AS min_ord,
+       |  max(ord) AS max_ord,
+       |  CAST(sum(CAST(rh AS HUGEINT)) % ${1L << 61} AS BIGINT) AS checksum
+       |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q95_reshard" -> manifestOracleAt(16),
     "q90_export_append" -> manifestOracle,
     "q93_export_concat" -> manifestOracle,
-    "q91_balanced_export" ->
-      s"""WITH o AS (
-         |  SELECT doc_id, CAST(COALESCE(n_chars, 0) AS HUGEINT) AS w,
-         |    ${graft.operators.Export.ordSql("doc_id")} AS ord,
-         |    ${h60(graft.operators.Quality.rowEncodingSql(ExportChecksumCols))} AS rh
-         |  FROM documents),
-         |p AS (
-         |  SELECT doc_id, w, ord, rh,
-         |    COALESCE(sum(w) OVER (ORDER BY ord, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
-         |  FROM o),
-         |t AS (SELECT sum(w) AS total FROM o),
-         |a AS (
-         |  SELECT CAST(LEAST((p.pre * 8) // t.total, 7) AS INT) AS shard,
-         |    p.ord, p.rh
-         |  FROM p CROSS JOIN t)
-         |SELECT shard, count(*) AS n_rows, min(ord) AS min_ord,
-         |  max(ord) AS max_ord,
-         |  CAST(sum(CAST(rh AS HUGEINT)) % ${1L << 61} AS BIGINT) AS checksum
-         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    "q96_rebalance" -> balancedManifestOracle,
+    "q91_balanced_export" -> balancedManifestOracle,
     "q88_sharded_export" ->
       s"""WITH a AS (
          |  SELECT ${graft.operators.Export.shardSql("doc_id", 8)} AS shard,

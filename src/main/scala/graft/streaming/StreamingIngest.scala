@@ -918,11 +918,18 @@ object StreamingIngest {
     *
     * MAINTENANCE, mirroring the curate loops' in-loop upkeep:
     *  - `compactAtFiles > 0`: after a committed batch, when the export
-    *    holds at least that many data files, it is compacted in place
-    *    with the manifest-invisible
+    *    is FRAGMENTED by at least that many files — data file count ≥
+    *    `ceil(manifestRows / targetRowsPerFile) + compactAtFiles`, i.e.
+    *    that many files ABOVE what compaction itself would leave — it
+    *    is compacted in place with the manifest-invisible
     *    [[graft.operators.Export.compactExport]] (pre-swap verified,
-    *    crash recovered at the next batch's entry) — one file per
-    *    shard per batch stays bounded without stopping the stream;
+    *    crash recovered at the next batch's entry). One file per shard
+    *    per batch stays bounded without stopping the stream, and a
+    *    grown export does NOT trip into a full-corpus rewrite per
+    *    batch just because its compacted steady state already exceeds
+    *    an absolute threshold. Files straddling a shard boundary (at
+    *    most nShards−1) count against the slack — pick
+    *    `compactAtFiles` ≥ nShards;
     *  - `verifyEvery > 0`: every that-many committed batches, the
     *    manifest attestation ([[graft.operators.Export.verifyShards]])
     *    replays the per-shard checksums against the written bytes, so
@@ -930,11 +937,12 @@ object StreamingIngest {
     *    remembers to check. */
   def shardedExportStream(stream: DataFrame, dir: String, checkpoint: String,
       idCol: String, checksumCols: Seq[String],
-      compactAtFiles: Int = 0, verifyEvery: Int = 0): DataStreamWriter[Row] =
+      compactAtFiles: Int = 0, verifyEvery: Int = 0,
+      targetRowsPerFile: Long = 4L * 1000 * 1000): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         exportShardBatch(batch.toDF(), batchId, dir, idCol, checksumCols,
-          compactAtFiles, verifyEvery)
+          compactAtFiles, verifyEvery, targetRowsPerFile)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -942,6 +950,7 @@ object StreamingIngest {
   private[graft] def exportShardBatch(batch: DataFrame, batchId: Long,
       dir: String, idCol: String, checksumCols: Seq[String],
       compactAtFiles: Int = 0, verifyEvery: Int = 0,
+      targetRowsPerFile: Long = 4L * 1000 * 1000,
       failAfterStep: Int = Int.MaxValue): Unit = {
     import graft.operators.{Export, IndexOps}
     val spark = batch.sparkSession
@@ -955,6 +964,9 @@ object StreamingIngest {
     // isCommitted check would skip the write path entirely
     IndexOps.recoverSwap(spark, Export.manifestDir(dir))
     IndexOps.recoverSwap(spark, Export.dataDir(dir))
+    // hash placement is recomputed per batch — refuse an export stamped
+    // `assigned` (balancedShards layout) before the first byte lands
+    Export.requireHashPlacement(spark, dir, "shardedExportStream")
     if (!isCommitted(spark, dir, batchId)) {
       val old = Export.readManifest(spark, dir)
       val nShards = old.count().toInt
@@ -979,11 +991,24 @@ object StreamingIngest {
     // maintenance runs strictly AFTER the commit marker (a replayed
     // committed batch still runs it): a crash anywhere inside is
     // recovered by the next batch's entry recoverSwap with no data at
-    // risk — compactExport is pre-swap verified and manifest-invisible
-    if (compactAtFiles > 0 &&
-        IndexOps.dataFileCount(spark, Export.dataDir(dir)) >= compactAtFiles) {
-      Export.compactExport(spark, dir, checksumCols)
-      failpoint(3)
+    // risk — compactExport is pre-swap verified and manifest-invisible.
+    // The trigger measures FRAGMENTATION, not an absolute file count:
+    // compaction's own steady-state output is ceil(rows/targetRowsPerFile)
+    // files (plus up to nShards-1 shard-boundary straddles), so once the
+    // export outgrows an absolute threshold every committed batch would
+    // rewrite the whole corpus — compact only when the count exceeds
+    // the post-compaction target by at least compactAtFiles EXTRA files.
+    if (compactAtFiles > 0) {
+      val files = IndexOps.dataFileCount(spark, Export.dataDir(dir))
+      // O(nShards) manifest read, no data scan — the trigger must stay
+      // cheap enough to evaluate after every committed batch
+      val rows = Export.readManifest(spark, dir)
+        .agg(org.apache.spark.sql.functions.sum("n_rows")).head().getLong(0)
+      val compacted = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
+      if (files >= compacted + compactAtFiles) {
+        Export.compactExport(spark, dir, checksumCols, targetRowsPerFile)
+        failpoint(3)
+      }
     }
     if (verifyEvery > 0 && (batchId + 1) % verifyEvery == 0)
       Export.verifyShards(spark, dir, checksumCols)
@@ -1084,7 +1109,8 @@ object StreamingIngest {
   private[graft] def curateIvfBatch(batch: DataFrame, batchId: Long,
       indexDir: String, outDir: String, idCol: String, vecCol: String,
       minMicro: Long, nProbe: Int, gate: DataFrame => DataFrame,
-      compactAtFiles: Int, failAfterStep: Int = Int.MaxValue): Unit = {
+      compactAtFiles: Int, reclusterAtSkew: Double = 0.0,
+      failAfterStep: Int = Int.MaxValue): Unit = {
     import graft.operators.{Checkpoints, IndexOps, Similarity}
     val spark = batch.sparkSession
     IndexOps.recoverSwap(spark, indexDir)
@@ -1118,6 +1144,33 @@ object StreamingIngest {
     }
     maintainIndex(spark, indexDir, compactAtFiles,
       IndexOps.compactSwapIvf(spark, _, idCol))
+    // In-loop re-clustering, closing the drift loop the detector/repair
+    // pair left open: ivfIndexExtend keeps the bootstrap centroids
+    // frozen (extension must not move existing rows), so a long-running
+    // ingest accumulates cell skew that the probe-side maxCellRows cap
+    // can only BOUND (at recall cost), not fix. When the fattest cell
+    // exceeds `reclusterAtSkew` × the mean cell, re-cluster in place
+    // with the proven [[graft.operators.IndexOps.reclusterSwapIvf]]
+    // (fresh centroids from the CURRENT member set, staged + dst-counted
+    // + atomically swapped). Runs strictly AFTER the commit marker like
+    // the compaction — a crash inside its swap is healed by the next
+    // batch's entry recoverSwap; probes are equivalent before/after up
+    // to cell assignment (the member set is unchanged). The trigger is
+    // one cell-count aggregation of the index — the same cost class as
+    // the compaction's file count, cheap enough per committed batch.
+    if (reclusterAtSkew > 0) {
+      require(reclusterAtSkew >= 1.0,
+        s"reclusterAtSkew is a max/mean cell-size ratio — must be >= 1, got $reclusterAtSkew")
+      val sizes = spark.read.parquet(indexDir)
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(max("n").as("mx"), sum("n").as("tot"), count(lit(1)).as("cells"))
+        .head()
+      val (mx, tot, cells) = (sizes.getLong(0), sizes.getLong(1), sizes.getLong(2))
+      if (cells > 0 && mx.toDouble * cells > reclusterAtSkew * tot) {
+        IndexOps.reclusterSwapIvf(spark, indexDir, idCol, vecCol)
+        failpoint(4)
+      }
+    }
   }
 
   /** The IVF twin of [[curateEmbeddingIngestStream]] — the same
@@ -1160,16 +1213,26 @@ object StreamingIngest {
     * nCells re-compacts the whole index after every batch — measured
     * 2× the maintained loop's total CPU (`CurateLoopStudy` ivf mode).
     * nCells + a few batches' worth of appended files is the sane
-    * shape. */
+    * shape.
+    *
+    * `reclusterAtSkew > 0` closes the frozen-centroid drift loop
+    * in-loop: after a committed batch, when the fattest cell holds more
+    * than that multiple of the MEAN cell's rows (the
+    * [[graft.operators.IndexOps.cellHistogram]] tail, reduced to one
+    * ratio), the index is re-clustered in place with
+    * [[graft.operators.IndexOps.reclusterSwapIvf]] — fresh centroids
+    * from the current member set, crash-safe swap, probe contract
+    * unchanged. 4–8 is a sane range: well above the bootstrap's natural
+    * spread, well below a mega-cell. */
   def curateIvfIngestStream(stream: DataFrame, indexDir: String,
       outDir: String, checkpoint: String, idCol: String, vecCol: String,
       minMicro: Long, nProbe: Int = 2,
       gate: DataFrame => DataFrame = df => df,
-      compactAtFiles: Int = 0): DataStreamWriter[Row] =
+      compactAtFiles: Int = 0, reclusterAtSkew: Double = 0.0): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         curateIvfBatch(batch.toDF(), batchId, indexDir, outDir, idCol,
-          vecCol, minMicro, nProbe, gate, compactAtFiles)
+          vecCol, minMicro, nProbe, gate, compactAtFiles, reclusterAtSkew)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

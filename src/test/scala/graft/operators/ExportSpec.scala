@@ -520,6 +520,186 @@ class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assertSameRows(derived, explicit)
   }
 
+  test("placement stamp: exports are self-describing, hash appends into assigned layouts are refused") {
+    // hash publish stamps hash; the whole hash family keeps working
+    val h = tmp("place_hash")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 4, h)
+    assert(Export.readPlacement(spark, h).contains("hash"))
+    // assigned publish stamps assigned
+    val a = tmp("place_asgn")
+    Export.shardedWriteAssigned(spark,
+      Export.balancedShards(docs, "doc_id", "n_tokens", 4), csCols, 4, a)
+    assert(Export.readPlacement(spark, a).contains("assigned"))
+    val extra = spark.range(200, 220).select(
+      col("id").as("doc_id"), concat(lit("document body "), col("id")).as("text"),
+      when(col("id") % 3 === 0, "en").otherwise("de").as("lang"),
+      (col("id") % 7 * 100 + 20).as("n_tokens"))
+    // a hash-placed batch must NOT enter the balanced layout: the mixed
+    // directory would break both the token balance and the h60 contract
+    val ex1 = intercept[IllegalArgumentException] {
+      Export.appendShards(spark, extra, "doc_id", csCols, a)
+    }
+    assert(ex1.getMessage.contains("placement=assigned"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Export.reshardExport(spark, a, "doc_id", csCols, newNShards = 8)
+    }
+    assert(ex2.getMessage.contains("placement=assigned"))
+    // the refusals left the assigned export untouched
+    Export.verifyShards(spark, a, csCols)
+    // the stamp survives a manifest advance (append into the HASH export)
+    Export.appendShards(spark, extra, "doc_id", csCols, h)
+    assert(Export.readPlacement(spark, h).contains("hash"))
+    Export.verifyShards(spark, h, csCols)
+    // concat refuses mixed placement kinds before anything moves
+    val ex3 = intercept[IllegalArgumentException] {
+      Export.concatExports(spark, Seq(h, a), tmp("place_mixdst"))
+    }
+    assert(ex3.getMessage.contains("mix placement"))
+    Export.verifyShards(spark, h, csCols)
+    Export.verifyShards(spark, a, csCols)
+    // all-assigned concat is legal and the merged dst inherits the stamp
+    val a2 = tmp("place_asgn2")
+    Export.shardedWriteAssigned(spark,
+      Export.balancedShards(extra, "doc_id", "n_tokens", 4), csCols, 4, a2)
+    val dst = tmp("place_adst")
+    Export.concatExports(spark, Seq(a, a2), dst)
+    assert(Export.readPlacement(spark, dst).contains("assigned"))
+  }
+
+  test("rebalanceExport: in-place refresh equals a from-scratch balanced export, crash-safe") {
+    val dir = tmp("rebal")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 4, dir)
+    val manifest = Export.rebalanceExport(spark, dir, "doc_id", "n_tokens", csCols)
+    assert(manifest.count() == 4)
+    assert(Export.readPlacement(spark, dir).contains("assigned"))
+    // identical to balancing the same rows from scratch
+    val ref = tmp("rebal_ref")
+    Export.shardedWriteAssigned(spark,
+      Export.balancedShards(docs, "doc_id", "n_tokens", 4), csCols, 4, ref)
+    assert(canon(manifest) == canon(Export.readManifest(spark, ref)))
+    assertSameRows(
+      Export.readShards(spark, dir).select("doc_id", "text", "lang", "n_tokens"), docs)
+    Export.verifyShards(spark, dir, csCols)
+    // and it is the sanctioned refresh for an already-assigned export:
+    // re-balancing to a new shard count works where reshard refuses
+    val m6 = Export.rebalanceExport(spark, dir, "doc_id", "n_tokens", csCols, nShards = 6)
+    assert(m6.count() == 6)
+    Export.verifyShards(spark, dir, csCols)
+    // crash inside the top-level publish swap is recovered on re-run
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".old")))
+    spark.catalog.refreshByPath(dir)
+    val again = Export.rebalanceExport(spark, dir, "doc_id", "n_tokens", csCols)
+    assert(again.count() == 6)
+    assertSameRows(
+      Export.readShards(spark, dir).select("doc_id", "text", "lang", "n_tokens"), docs)
+    Export.verifyShards(spark, dir, csCols)
+  }
+
+  test("concatExports: a missing source on a fresh merge is refused loudly") {
+    val a = tmp("concat_ma"); val b = tmp("concat_mb")
+    Export.shardedWrite(spark, docs.filter(col("doc_id") < 100), "doc_id", csCols, 4, a)
+    Export.shardedWrite(spark, docs.filter(col("doc_id") >= 100), "doc_id", csCols, 4, b)
+    val ghost = a + "_typo"
+    val ex = intercept[IllegalArgumentException] {
+      Export.concatExports(spark, Seq(a, ghost, b), tmp("concat_mdst"))
+    }
+    assert(ex.getMessage.contains("do not exist"))
+    // nothing moved, nothing deleted: both real sources fully intact
+    Export.verifyShards(spark, a, csCols)
+    Export.verifyShards(spark, b, csCols)
+    // and a missing source with an UNSTAMPED survivor is equally not a
+    // replay, even when something already lives at dst
+    val dst2 = tmp("concat_mdst2")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 4, dst2)
+    val ex2 = intercept[IllegalArgumentException] {
+      Export.concatExports(spark, Seq(a, ghost), dst2)
+    }
+    assert(ex2.getMessage.contains("not a replay"))
+    Export.verifyShards(spark, a, csCols)
+    // the legitimate partial-cleanup replay still completes: survivor is
+    // a stamped post-publish skeleton, dst holds everything it claims
+    val dst3 = tmp("concat_mdst3")
+    Export.shardedWrite(spark, docs.filter(col("doc_id") < 100), "doc_id", csCols, 4, dst3)
+    val s = tmp("concat_ms")
+    Export.shardedWrite(spark, docs.filter(col("doc_id") < 100), "doc_id", csCols, 4, s)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(Export.dataDir(s)))
+    new java.io.File(Export.dataDir(s)).mkdirs()
+    val stamp = new java.io.FileOutputStream(
+      new java.io.File(Export.manifestDir(s), "_merged_into"))
+    stamp.write(dst3.getBytes("UTF-8")); stamp.close()
+    spark.catalog.refreshByPath(s)
+    val merged = Export.concatExports(spark, Seq(s, ghost), dst3)
+    assert(merged.agg(sum("n_rows")).as[Long].head() == 100)
+    assert(!new java.io.File(s).exists, "completed replay must finish the cleanup")
+  }
+
+  test("evolveExportSchema: additive nullable evolution, gate still refuses accidents") {
+    val dir = tmp("evolve")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 4, dir)
+    // the sanctioned path: one new nullable column
+    import org.apache.spark.sql.types.{DoubleType, StructField}
+    Export.evolveExportSchema(spark, dir, Seq(StructField("quality", DoubleType, nullable = true)))
+    // old files read with nulls in the new column
+    val back = Export.readShards(spark, dir)
+    assert(back.columns.contains("quality"))
+    assert(back.filter(col("quality").isNotNull).isEmpty)
+    assertSameRows(back.select("doc_id", "text", "lang", "n_tokens"), docs)
+    // the gate now requires the NEW shape: an old-shape append is drift
+    val oldShape = spark.range(200, 210).select(
+      col("id").as("doc_id"), concat(lit("document body "), col("id")).as("text"),
+      when(col("id") % 3 === 0, "en").otherwise("de").as("lang"),
+      (col("id") % 7 * 100 + 20).as("n_tokens"))
+    val ex = intercept[IllegalArgumentException] {
+      Export.appendShards(spark, oldShape, "doc_id", csCols, dir)
+    }
+    assert(ex.getMessage.contains("drifts"))
+    // a new-shape append lands, and reads resolve both generations by name
+    Export.appendShards(spark, oldShape.withColumn("quality", lit(0.5)),
+      "doc_id", csCols, dir)
+    val evolved = Export.readShards(spark, dir)
+    assert(evolved.count() == 210)
+    assert(evolved.filter(col("quality").isNotNull).count() == 10)
+    // manifest attestation green across the evolution boundary
+    Export.verifyShards(spark, dir, csCols)
+    // un-sanctioned evolutions are refused: existing name, non-nullable
+    intercept[IllegalArgumentException] {
+      Export.evolveExportSchema(spark, dir,
+        Seq(StructField("text", DoubleType, nullable = true)))
+    }
+    intercept[IllegalArgumentException] {
+      Export.evolveExportSchema(spark, dir,
+        Seq(StructField("score", DoubleType, nullable = false)))
+    }
+  }
+
+  test("repairManifest: explicit nShards recovers trailing empty shards inference cannot see") {
+    // one row whose shard is provably not the last: data-derived
+    // inference then undercounts, the override restores the contract
+    val candidates = Export.shardAssign(docs.filter(col("doc_id") < 20), "doc_id", 8)
+      .select("doc_id", "shard").as[(Long, Int)].collect()
+    val (pickId, s0) = candidates.find(_._2 < 7).get
+    val one = docs.filter(col("doc_id") === pickId)
+    val dir = tmp("repair_n")
+    Export.shardedWrite(spark, one, "doc_id", csCols, 8, dir)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(Export.manifestDir(dir)))
+    spark.catalog.refreshByPath(dir)
+    // blind inference: attests only 1 + max populated shard
+    val inferred = Export.repairManifest(spark, dir, csCols)
+    assert(inferred.count() == s0 + 1)
+    // explicit count: the full dense manifest, placement contract intact
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(Export.manifestDir(dir)))
+    spark.catalog.refreshByPath(dir)
+    val repaired = Export.repairManifest(spark, dir, csCols, nShards = 8)
+    assert(repaired.count() == 8)
+    assert(repaired.agg(sum("n_rows")).as[Long].head() == 1)
+    Export.verifyShards(spark, dir, csCols)
+    // an override SMALLER than what the data proves is refused
+    val ex = intercept[IllegalArgumentException] {
+      Export.repairManifest(spark, dir, csCols, nShards = s0)
+    }
+    assert(ex.getMessage.contains("smaller"))
+  }
+
   test("balancedShards: no global-window single-task funnel in the plan") {
     val rows = spark.range(100).select(col("id").as("doc_id"), lit(3L).as("w"))
     val got = Export.balancedShards(rows, "doc_id", "w", nShards = 4, nParts = 8)

@@ -269,4 +269,33 @@ class IndexOpsSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2))).toMap
     assert(got == want)
   }
+
+  test("capFromHistogram encodes the tail rule; recall contract unchanged") {
+    // a synthetic cell layout with a hand-computable size distribution:
+    // sizes [1, 1, 1, 2, 2, 10] over six cells (17 rows)
+    val sizes = Seq(1, 1, 1, 2, 2, 10)
+    val rows = sizes.zipWithIndex.flatMap { case (n, cell) =>
+      (0 until n).map(i => (cell * 100 + i.toLong, cell)) }
+    val index = rows.toDF("vec_id", "cell")
+    val hist = IndexOps.cellHistogram(index)
+    // hand-computed quantiles of the BUCKET-COUNT distribution:
+    //   cum n_cells: size 1 -> 3, size 2 -> 5, size 10 -> 6
+    // q=0.5  -> need 3 -> cap 1; q=0.8 -> need 5 -> cap 2; q=1.0 -> cap 10
+    assert(IndexOps.capFromHistogram(hist, "cell_rows", "n_cells", 0.5) == 1)
+    assert(IndexOps.capFromHistogram(hist, "cell_rows", "n_cells", 0.8) == 2)
+    assert(IndexOps.capFromHistogram(hist, "cell_rows", "n_cells", 1.0) == 10)
+    assert(IndexOps.autoCellCap(index, 0.8).contains(2))
+    // default quantile keeps everything but a vanishing tail: with six
+    // cells, 0.999 covers all — cap = the max size, i.e. no recall loss
+    assert(IndexOps.autoCellCap(index).contains(10))
+    // the bucket form folds per-directory rows before the rule
+    val bcap = IndexOps.autoBucketCap(rows.toDF("k", "band")
+      .withColumn("band_key", col("k") % 3), "band", "band_key", 1.0)
+    assert(bcap.exists(_ >= 1))
+    // recall contract: capping at the derived value drops ONLY the
+    // over-cap cells' rows from candidate generation
+    val capped = IndexOps.capHotBuckets(index, Seq("cell"), Some(2))
+    assert(capped.count() == 7, "under-cap cells (1+1+1+2+2) survive exactly")
+    assert(capped.filter(col("cell") === 5).isEmpty, "the mega-cell is excluded")
+  }
 }

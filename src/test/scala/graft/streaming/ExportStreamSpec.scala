@@ -223,6 +223,56 @@ class ExportStreamSpec extends SparkSpec {
     Export.verifyShards(spark, dir, csCols)
   }
 
+  test("steady-state compaction triggers on FRAGMENTATION, not the absolute file count") {
+    // once the export's compacted steady state itself exceeds an
+    // absolute threshold, an absolute trigger would rewrite the whole
+    // corpus after EVERY batch — the fragmentation trigger must not
+    val dir = tmp("exps_frag")
+    bootstrap(dir, 4)
+    // tiny target: 200 rows -> compacted target ~ ceil(rows/10) = 20
+    // files, far above any sane absolute threshold at this scale
+    for (b <- 0 until 5)
+      StreamingIngest.exportShardBatch(
+        docsRange(60 + b * 20, 80 + b * 20), b.toLong, dir, "doc_id", csCols,
+        compactAtFiles = 15, targetRowsPerFile = 10L)
+    Export.verifyShards(spark, dir, csCols)
+    // the export is now past compactAtFiles x targetRowsPerFile rows
+    // (160 > 150) — the exact regime where an absolute trigger loops. Snapshot the data files, run one more batch with the
+    // same maintenance settings, and require the old generation's files
+    // to SURVIVE when fragmentation is under target + slack — an
+    // absolute trigger would have rewritten every one of them
+    def files(d: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(Export.dataDir(d)))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+    // compact once so the store is at its steady state, then measure
+    Export.compactExport(spark, dir, csCols, targetRowsPerFile = 10L)
+    val before = files(dir)
+    StreamingIngest.exportShardBatch(docsRange(160, 170), 5L, dir, "doc_id",
+      csCols, compactAtFiles = 15, targetRowsPerFile = 10L)
+    val after = files(dir)
+    assert(before.subsetOf(after),
+      s"steady-state batch rewrote the export (lost ${(before -- after).size} " +
+        s"of ${before.size} files) — the compaction trigger is absolute, not fragmentation-based")
+    Export.verifyShards(spark, dir, csCols)
+    assert(Export.readManifest(spark, dir).agg(sum("n_rows")).as[Long].head() == 170)
+  }
+
+  test("the streaming sink refuses an assigned-placement export") {
+    val dir = tmp("exps_assigned")
+    Export.shardedWriteAssigned(spark,
+      Export.balancedShards(docsRange(0, 60).withColumn("w", length(col("text"))),
+        "doc_id", "w", 4).drop("w"),
+      csCols, 4, dir)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingIngest.exportShardBatch(docsRange(60, 80), 0L, dir, "doc_id", csCols)
+    }
+    assert(ex.getMessage.contains("placement=assigned"))
+    Export.verifyShards(spark, dir, csCols)
+  }
+
   test("scheduled verification raises on a corrupted shard at the next check") {
     val dir = tmp("exps_verify")
     bootstrap(dir, 4)

@@ -1103,6 +1103,76 @@ class StreamingIngestSpec extends SparkSpec {
       "re-arrival must not grow the index")
   }
 
+  test("in-loop recluster fires on cell skew, crash-replay safe, screen intact") {
+    import graft.operators.Similarity
+    // bootstrap: two orthogonal-ish directions, one centroid each
+    val store = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(-0.8f, 0.3f, 0.1f, -0.6f))).toDF("vec_id", "embedding")
+    val indexDir = tmp("graft-recluster-index")
+    val outDir = tmp("graft-recluster-out")
+    Similarity.ivfIndex(store, "vec_id", "embedding", nCells = 2, dims = 4)
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+    // a 12-vector blob near direction 1: pairwise cosine ~0.999 (all
+    // admitted at minMicro=999999), all landing in centroid 1's cell —
+    // the frozen-centroid drift this trigger exists to catch
+    val blob = (1 to 12).map(i =>
+      (400L + i, Array(1.0f, 0.05f * i, 0.3f, 0.1f))).toDF("vec_id", "embedding")
+    def files(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(indexDir))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+    // batch 0, trigger OFF: skew accumulates (cells 13 vs 1), nothing rewritten
+    StreamingIngest.curateIvfBatch(blob, 0L, indexDir, outDir,
+      "vec_id", "embedding", 999999L, 2, df => df, 0)
+    val before = files()
+    assert(spark.read.parquet(outDir).count() == 12, "whole blob admitted")
+    // batch 1, trigger ON (max/mean = 14/7.5 > 1.2): recluster swaps in a
+    // fresh generation — every pre-batch file is replaced, members intact
+    StreamingIngest.curateIvfBatch(
+      Seq((500L, Array(0.9f, -0.05f, 0.4f, 0.15f))).toDF("vec_id", "embedding"),
+      1L, indexDir, outDir, "vec_id", "embedding", 999999L, 2, df => df, 0,
+      reclusterAtSkew = 1.2)
+    val after = files()
+    assert(before.intersect(after).isEmpty,
+      "recluster must swap in a fresh index generation")
+    val ix = spark.read.parquet(indexDir)
+    assert(ix.select("vec_id").distinct().count() == 15, "member set unchanged by recluster")
+    assert(ix.select("ix_cells", "ix_dims").distinct().count() == 1, "stamp intact")
+    // the screen still answers exactly through the re-clustered index
+    val probe = Similarity.ivfIndexProbeAuto(
+      Seq((900L, Array(1.0f, 0.051f, 0.3f, 0.1f))).toDF("vec_id", "embedding"),
+      ix, "vec_id", "embedding", k = 1, nProbe = 2)
+    assert(probe.select("neighbor_id").collect().map(_.getLong(0)).toSeq == Seq(401L))
+
+    // crash AFTER the recluster (failpoint 4): the batch is already
+    // committed — the replay heals at entry and skips the write path
+    val indexDir2 = tmp("graft-recluster2-index")
+    val outDir2 = tmp("graft-recluster2-out")
+    Similarity.ivfIndex(store, "vec_id", "embedding", nCells = 2, dims = 4)
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir2)
+    intercept[IllegalStateException] {
+      StreamingIngest.curateIvfBatch(blob, 0L, indexDir2, outDir2,
+        "vec_id", "embedding", 999999L, 2, df => df, 0,
+        reclusterAtSkew = 1.2, failAfterStep = 4)
+    }
+    StreamingIngest.curateIvfBatch(blob, 0L, indexDir2, outDir2,
+      "vec_id", "embedding", 999999L, 2, df => df, 0, reclusterAtSkew = 1.2)
+    assert(spark.read.parquet(outDir2).count() == 12, "no double admission")
+    assert(spark.read.parquet(indexDir2).select("vec_id").distinct().count() == 14)
+    // crash INSIDE the recluster's swap (live dir renamed away): the
+    // next batch's entry recovery restores it before reading
+    assert(new java.io.File(indexDir2).renameTo(new java.io.File(indexDir2 + ".old")))
+    spark.catalog.refreshByPath(indexDir2)
+    StreamingIngest.curateIvfBatch(
+      Seq((600L, Array(-0.7f, 0.35f, 0.15f, -0.55f))).toDF("vec_id", "embedding"),
+      1L, indexDir2, outDir2, "vec_id", "embedding", 999999L, 2, df => df, 0,
+      reclusterAtSkew = 1.2)
+    assert(spark.read.parquet(indexDir2).select("vec_id").distinct().count() == 15)
+  }
+
   test("IVF curate batch protocol: replay after every write converges; compaction preserves the screen") {
     import graft.operators.{IndexOps, Similarity}
     val store = Seq(
