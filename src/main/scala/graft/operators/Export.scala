@@ -1070,6 +1070,147 @@ object Export {
       checksumCols, n, dir, PlacementAssigned)
   }
 
+  /** [[rebalanceExport]] into a NEW directory, leaving `src` untouched
+    * — the balanced SNAPSHOT of a continuously-growing hash export.
+    * The streaming sink and [[appendShards]] refuse assigned layouts
+    * (placement stamp), so "a live hash export that keeps ingesting
+    * PLUS a token-balanced view for the trainer" is exactly this:
+    * appends keep landing in `src` under the portable h60 contract,
+    * and each training run snapshots a balanced `dst` from it (one
+    * corpus read + the two-pass prefix sum + one write; `src` stays
+    * readable throughout — it is never staged, swapped or stamped).
+    * `nShards = 0` inherits `src`'s shard count. Returns `dst`'s
+    * manifest, stamped `assigned`. */
+  def rebalanceExportTo(spark: SparkSession, src: String, dst: String,
+      idCol: String, weightCol: String, checksumCols: Seq[String],
+      nShards: Int = 0): DataFrame = {
+    require(nShards >= 0, s"nShards must be non-negative, got $nShards")
+    locally {
+      val (qfs, qdst) = fsPath(spark, dst)
+      require(qfs.makeQualified(new org.apache.hadoop.fs.Path(src)) !=
+          qfs.makeQualified(qdst),
+        "rebalanceExportTo: src and dst are the same directory — the " +
+          "in-place form is rebalanceExport")
+    }
+    IndexOps.recoverSwap(spark, src)
+    IndexOps.recoverSwap(spark, manifestDir(src))
+    IndexOps.recoverSwap(spark, dataDir(src))
+    val n = if (nShards > 0) nShards else readManifest(spark, src).count().toInt
+    require(n > 0, s"rebalanceExportTo: no manifest at $src")
+    val rows = readShards(spark, src).drop("shard", "ord")
+    shardedWriteAssigned(spark, balancedShards(rows, idCol, weightCol, n),
+      checksumCols, n, dst, PlacementAssigned)
+  }
+
+  // --------------------------------------------------- targeted deletion
+
+  /** Delete every row matching `predicate` from a published export —
+    * the takedown / right-to-be-forgotten / retro-decontamination
+    * operation a long-lived training corpus eventually needs — at
+    * **O(affected shards)**, not O(corpus): parquet files are
+    * immutable, so deletion is necessarily a rewrite, but only the
+    * shard directories that actually CONTAIN matches are rewritten
+    * (the scan for survivors partition-prunes to them); an export
+    * where the matches cluster in a few shards leaves every other
+    * shard's bytes untouched. Works on hash and assigned layouts alike
+    * (rows are never re-placed, only removed — the placement stamp is
+    * irrelevant and survives).
+    *
+    * Three-valued logic: only rows where the predicate is TRUE are
+    * deleted — a NULL predicate keeps the row (`coalesce(pred, false)`
+    * on the match side and its negation on the survivor side, so a
+    * null can neither delete nor leak a row).
+    *
+    * Protocol, self-healing under replay at every point:
+    *  1. entry recovery — whole-dir swaps, then a crashed previous
+    *     delete's per-shard swaps rolled back, then the staging wiped;
+    *  2. survivors of the affected shards staged under
+    *     `<data>.delete.tmp/shard=K` (ord-sorted [[writeLayout]]
+    *     files; a fully-deleted shard stages an explicit empty dir);
+    *  3. the manifest is published FIRST — affected shards recomputed
+    *     from the staged bytes, untouched shards carried. Manifest-
+    *     ahead-of-data is this operation's crash window (the inverse
+    *     of [[appendShards]]'): loud via [[verifyShards]] and healed
+    *     by re-running the same delete — shards already swapped hold
+    *     no matches and are skipped, shards not yet swapped still
+    *     match and are redone with identical recomputed rows;
+    *  4. per-shard swap: the live `shard=K` is parked INSIDE the
+    *     staging area (`.removed/shard=K` — never as `shard=K.old`
+    *     inside the partitioned dir, where partition discovery would
+    *     read ".old" as a partition value), the staged dir renamed in;
+    *  5. staging (including the parked originals) deleted.
+    * A predicate matching nothing is a metadata-only no-op. Returns
+    * the post-delete manifest. */
+  def deleteFromExport(spark: SparkSession, dir: String, predicate: Column,
+      checksumCols: Seq[String]): DataFrame = {
+    IndexOps.recoverSwap(spark, manifestDir(dir))
+    IndexOps.recoverSwap(spark, dataDir(dir))
+    val (fs, _) = fsPath(spark, dir)
+    val stagedRoot = dataDir(dir) + ".delete.tmp"
+    val removedRoot = stagedRoot + "/.removed"
+    // roll back a crashed previous delete's half-done per-shard swaps:
+    // a parked original whose live dir is MISSING was displaced without
+    // its replacement landing — restore it (the re-run will redo that
+    // shard); a parked original whose live dir exists is a completed
+    // swap's obsolete copy, wiped with the staging below
+    val removedPath = new org.apache.hadoop.fs.Path(removedRoot)
+    if (fs.exists(removedPath)) {
+      fs.listStatus(removedPath).foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(dataDir(dir), st.getPath.getName)
+        if (!fs.exists(live))
+          require(fs.rename(st.getPath, live),
+            s"deleteFromExport: rollback rename ${st.getPath} -> $live failed")
+      }
+      spark.catalog.refreshByPath(dir)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stagedRoot), true)
+    val live = readManifest(spark, dir)
+    val nShards = live.count().toInt
+    require(nShards > 0, s"deleteFromExport: no manifest at $dir")
+    val all = readShards(spark, dir)
+    val matchPred = coalesce(predicate, lit(false))
+    // bounded driver materialization: ≤ nShards shard ids
+    val affected = all.filter(matchPred).select("shard").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (affected.isEmpty) return live
+    // stage survivors of the affected shards ONLY — the scan prunes to
+    // their partition directories; untouched shards' bytes never move
+    val survivors = all.filter(col("shard").isin(affected.map(Int.box): _*))
+      .filter(!matchPred)
+    writeLayout(survivors, nShards, writeTasks(survivors, nShards))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(stagedRoot)
+    // a fully-deleted shard wrote nothing: stage an explicit empty dir
+    // so the swap still replaces its live contents
+    affected.foreach { k =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(stagedRoot, s"shard=$k"))
+    }
+    // manifest FIRST (see the protocol note): affected shards
+    // recomputed from the staged bytes, untouched shards carried
+    val recomputed = manifestOf(
+      readData(spark, stagedRoot, Some(all.schema)), checksumCols, nShards)
+      .filter(col("shard").isin(affected.map(Int.box): _*))
+    val untouched = live.filter(!col("shard").isin(affected.map(Int.box): _*))
+    publishManifest(spark, dir, untouched.unionByName(recomputed))
+    // per-shard swap: park the original inside the staging area, move
+    // the staged dir in; each shard's two renames bracket the one
+    // window the entry rollback above heals
+    fs.mkdirs(removedPath)
+    affected.foreach { k =>
+      val liveShard = new org.apache.hadoop.fs.Path(dataDir(dir), s"shard=$k")
+      val parked = new org.apache.hadoop.fs.Path(removedRoot, s"shard=$k")
+      val staged = new org.apache.hadoop.fs.Path(stagedRoot, s"shard=$k")
+      require(fs.rename(liveShard, parked),
+        s"deleteFromExport: rename $liveShard -> $parked failed")
+      require(fs.rename(staged, liveShard),
+        s"deleteFromExport: rename $staged -> $liveShard failed")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stagedRoot), true)
+    spark.catalog.refreshByPath(dir)
+    readManifest(spark, dir)
+  }
+
   // ------------------------------------------------- token-balanced shards
 
   /** Shards balanced by a WEIGHT (token count, byte length) instead of

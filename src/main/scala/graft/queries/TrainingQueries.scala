@@ -384,6 +384,30 @@ object TrainingQueries {
       .orderBy("shard")
   }
 
+  /** TD21 — targeted deletion ([[graft.operators.Export
+    * .deleteFromExport]]): the takedown / retro-decontamination path —
+    * every row matching a predicate removed from a published export by
+    * rewriting ONLY the shards that contain matches. The oracle
+    * recomputes the manifest from the raw table WITHOUT the matching
+    * rows, so the hash match proves the partition-pruned rewrite, the
+    * per-shard swap protocol, and the carried-plus-recomputed manifest
+    * merge together. The dir is recreated per run (a delete is
+    * idempotent, but the warm pass must exercise the rewrite, not a
+    * no-op). */
+  val q97DeleteExport: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val out = perProcessDir("graft_export_del", dir)
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    graft.operators.Export.shardedWrite(spark, t.documents, "doc_id",
+      ExportChecksumCols, nShards = 8, out)
+    graft.operators.Export.deleteFromExport(spark, out,
+      col("doc_id") % 5 === 2, ExportChecksumCols)
+      .select("shard", "n_rows", "min_ord", "max_ord", "checksum")
+      .orderBy("shard")
+  }
+
   /** Per-process tmp directory (pid-suffixed, removed on JVM exit):
     * concurrent verify+bench runs must not race one export dir. */
   private def perProcessDir(prefix: String, dir: String): String = {
@@ -416,6 +440,7 @@ object TrainingQueries {
     "q93_export_concat" -> q93ExportConcat,
     "q95_reshard" -> q95Reshard,
     "q96_rebalance" -> q96Rebalance,
+    "q97_delete_export" -> q97DeleteExport,
     "q76_mixture_upsample" -> q76MixtureUpsample,
     "q75_mixture_report" -> q75MixtureReport,
     "q66_bigram_familiarity" -> q66BigramFamiliarity,
@@ -503,12 +528,12 @@ object TrainingQueries {
     * rename-merge; q95 uses the 16-shard form (the reshard target). */
   private def manifestOracle: String = manifestOracleAt(8)
 
-  private def manifestOracleAt(nShards: Int): String =
+  private def manifestOracleAt(nShards: Int, pred: String = "TRUE"): String =
     s"""WITH a AS (
        |  SELECT ${graft.operators.Export.shardSql("doc_id", nShards)} AS shard,
        |    ${graft.operators.Export.ordSql("doc_id")} AS ord,
        |    ${h60(graft.operators.Quality.rowEncodingSql(ExportChecksumCols))} AS rh
-       |  FROM documents)
+       |  FROM documents WHERE $pred)
        |SELECT shard, count(*) AS n_rows, min(ord) AS min_ord,
        |  max(ord) AS max_ord,
        |  CAST(sum(CAST(rh AS HUGEINT)) % ${1L << 61} AS BIGINT) AS checksum
@@ -544,6 +569,7 @@ object TrainingQueries {
     "q90_export_append" -> manifestOracle,
     "q93_export_concat" -> manifestOracle,
     "q96_rebalance" -> balancedManifestOracle,
+    "q97_delete_export" -> manifestOracleAt(8, "NOT (doc_id % 5 = 2)"),
     "q91_balanced_export" -> balancedManifestOracle,
     "q88_sharded_export" ->
       s"""WITH a AS (

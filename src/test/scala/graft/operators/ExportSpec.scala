@@ -700,6 +700,114 @@ class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(ex.getMessage.contains("smaller"))
   }
 
+  private def shardFiles(dir: String): Map[String, Set[String]] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    new java.io.File(Export.dataDir(dir)).listFiles()
+      .filter(_.getName.startsWith("shard=")).map { d =>
+        d.getName -> walk(d).filter(_.getName.endsWith(".parquet"))
+          .map(_.getPath).toSet
+      }.toMap
+  }
+
+  test("deleteFromExport: only affected shards rewritten, manifest exact, replay-safe") {
+    val dir = tmp("del")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 8, dir)
+    val before = shardFiles(dir)
+    // narrow delete: one row -> ONE shard rewritten, seven untouched
+    val victim = 42L
+    val vShard = Export.shardAssign(docs.filter(col("doc_id") === victim),
+      "doc_id", 8).select("shard").as[Int].head()
+    val m1 = Export.deleteFromExport(spark, dir, col("doc_id") === victim, csCols)
+    assert(m1.agg(sum("n_rows")).as[Long].head() == 199)
+    val after = shardFiles(dir)
+    before.foreach { case (shard, files) =>
+      if (shard == s"shard=$vShard")
+        assert(files.intersect(after(shard)).isEmpty, "affected shard must be rewritten")
+      else assert(files == after(shard), s"untouched $shard must keep its bytes")
+    }
+    Export.verifyShards(spark, dir, csCols)
+    // the deletion is exact: remaining rows = everything but the victim
+    assertSameRows(Export.readShards(spark, dir)
+      .select("doc_id", "text", "lang", "n_tokens"),
+      docs.filter(col("doc_id") =!= victim))
+    // identical delete again: a no-op (nothing matches), bytes untouched
+    val m2 = Export.deleteFromExport(spark, dir, col("doc_id") === victim, csCols)
+    assert(canon(m2) == canon(m1))
+    assert(shardFiles(dir) == after)
+    // broad delete across every shard; NULL predicate keeps its rows
+    val pred = when(col("lang") === "en", lit(true))
+      .otherwise(lit(null).cast("boolean"))
+    Export.deleteFromExport(spark, dir, pred, csCols)
+    assertSameRows(Export.readShards(spark, dir)
+      .select("doc_id", "text", "lang", "n_tokens"),
+      docs.filter(col("doc_id") =!= victim && col("lang") =!= "en"))
+    Export.verifyShards(spark, dir, csCols)
+    // full wipe: export stays readable and attested at zero rows
+    Export.deleteFromExport(spark, dir, lit(true), csCols)
+    assert(Export.readShards(spark, dir).isEmpty)
+    assert(Export.readManifest(spark, dir).agg(sum("n_rows")).as[Long].head() == 0)
+    Export.verifyShards(spark, dir, csCols)
+  }
+
+  test("deleteFromExport: a crashed per-shard swap is rolled back at the next entry") {
+    val dir = tmp("del_crash")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 8, dir)
+    // simulate the crash window: shard parked in the staging area, the
+    // staged replacement never renamed in
+    val vShard = Export.shardAssign(docs.filter(col("doc_id") === 7),
+      "doc_id", 8).select("shard").as[Int].head()
+    val removed = new java.io.File(Export.dataDir(dir) + ".delete.tmp/.removed")
+    assert(removed.mkdirs())
+    val liveShard = new java.io.File(Export.dataDir(dir), s"shard=$vShard")
+    assert(liveShard.renameTo(new java.io.File(removed, s"shard=$vShard")))
+    spark.catalog.refreshByPath(dir)
+    // the re-run restores the parked shard, then applies the delete
+    val m = Export.deleteFromExport(spark, dir, col("doc_id") === 7, csCols)
+    assert(m.agg(sum("n_rows")).as[Long].head() == 199)
+    assertSameRows(Export.readShards(spark, dir)
+      .select("doc_id", "text", "lang", "n_tokens"),
+      docs.filter(col("doc_id") =!= 7))
+    Export.verifyShards(spark, dir, csCols)
+    assert(!new java.io.File(Export.dataDir(dir) + ".delete.tmp").exists,
+      "staging must be cleaned up")
+    // deletion never re-places rows: it works on an assigned layout too
+    val a = tmp("del_assigned")
+    Export.shardedWriteAssigned(spark,
+      Export.balancedShards(docs, "doc_id", "n_tokens", 4), csCols, 4, a)
+    Export.deleteFromExport(spark, a, col("doc_id") < 50, csCols)
+    assert(Export.readPlacement(spark, a).contains("assigned"))
+    assert(Export.readShards(spark, a).count() == 150)
+    Export.verifyShards(spark, a, csCols)
+  }
+
+  test("rebalanceExportTo: balanced snapshot leaves the live hash export untouched") {
+    val src = tmp("rebalto_src"); val dst = tmp("rebalto_dst")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 4, src)
+    val srcBefore = shardFiles(src)
+    val m = Export.rebalanceExportTo(spark, src, dst, "doc_id", "n_tokens", csCols)
+    // dst: the from-scratch balanced export, stamped assigned
+    val ref = tmp("rebalto_ref")
+    Export.shardedWriteAssigned(spark,
+      Export.balancedShards(docs, "doc_id", "n_tokens", 4), csCols, 4, ref)
+    assert(canon(m) == canon(Export.readManifest(spark, ref)))
+    assert(Export.readPlacement(spark, dst).contains("assigned"))
+    Export.verifyShards(spark, dst, csCols)
+    // src: bytes untouched, still hash-stamped, still append-able
+    assert(shardFiles(src) == srcBefore)
+    assert(Export.readPlacement(spark, src).contains("hash"))
+    val extra = spark.range(200, 210).select(
+      col("id").as("doc_id"), concat(lit("document body "), col("id")).as("text"),
+      when(col("id") % 3 === 0, "en").otherwise("de").as("lang"),
+      (col("id") % 7 * 100 + 20).as("n_tokens"))
+    Export.appendShards(spark, extra, "doc_id", csCols, src)
+    Export.verifyShards(spark, src, csCols)
+    // src == dst is the in-place form's job
+    intercept[IllegalArgumentException] {
+      Export.rebalanceExportTo(spark, src, src, "doc_id", "n_tokens", csCols)
+    }
+  }
+
   test("balancedShards: no global-window single-task funnel in the plan") {
     val rows = spark.range(100).select(col("id").as("doc_id"), lit(3L).as("w"))
     val got = Export.balancedShards(rows, "doc_id", "w", nShards = 4, nParts = 8)
