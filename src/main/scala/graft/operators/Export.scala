@@ -1143,17 +1143,80 @@ object Export {
     * the post-delete manifest. */
   def deleteFromExport(spark: SparkSession, dir: String, predicate: Column,
       checksumCols: Seq[String]): DataFrame = {
+    deleteEntryRecovery(spark, dir)
+    val live = readManifest(spark, dir)
+    val nShards = live.count().toInt
+    require(nShards > 0, s"deleteFromExport: no manifest at $dir")
+    val all = readShards(spark, dir)
+    val matchPred = coalesce(predicate, lit(false))
+    // bounded driver materialization: ≤ nShards shard ids
+    val affected = all.filter(matchPred).select("shard").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (affected.isEmpty) return live
+    // survivors of the affected shards ONLY — the scan prunes to their
+    // partition directories; untouched shards' bytes never move
+    val survivors = all.filter(col("shard").isin(affected.map(Int.box): _*))
+      .filter(!matchPred)
+    deleteCore(spark, dir, live, nShards, affected, survivors,
+      all.schema, checksumCols)
+  }
+
+  /** [[deleteFromExport]] for the id-list takedown — "remove THESE
+    * documents" — at **O(id list)** discovery on a hash-placed export:
+    * the portable placement contract means the affected shards derive
+    * from the ids ALONE (`h60(id) % nShards`, no corpus scan), so both
+    * the match check and the survivor rewrite prune to those shards'
+    * directories — a 10-document takedown on a 100 TB export reads and
+    * rewrites only the ≤10 shards those ids can live in. This is
+    * precisely what the portable-placement contract buys; an
+    * `assigned` (or unstamped) layout cannot derive shards from ids
+    * and pays one full detection scan instead (the rewrite still
+    * prunes to the shards that matched). Ids absent from the export
+    * are ignored; an all-absent list is a metadata-only no-op. Returns
+    * the post-delete manifest. */
+  def deleteIdsFromExport(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String, checksumCols: Seq[String]): DataFrame = {
+    deleteEntryRecovery(spark, dir)
+    val live = readManifest(spark, dir)
+    val nShards = live.count().toInt
+    require(nShards > 0, s"deleteIdsFromExport: no manifest at $dir")
+    val all = readShards(spark, dir)
+    val dropIds = ids.select(col(idCol)).distinct()
+    val candidates: Option[Array[Int]] =
+      if (readPlacement(spark, dir).forall(_ == PlacementHash))
+        // hash layout: candidate shards from the id list alone —
+        // bounded driver materialization, ≤ min(nShards, |ids|) rows
+        Some(shardAssign(dropIds, idCol, nShards)
+          .select("shard").distinct().collect().map(_.getInt(0)))
+      else None
+    val scanned = candidates match {
+      case Some(cs) if cs.isEmpty => return live
+      case Some(cs) => all.filter(col("shard").isin(cs.map(Int.box): _*))
+      case None => all
+    }
+    // shards that actually CONTAIN a listed id (absent ids drop out
+    // here — a candidate shard with no matches is never rewritten)
+    val affected = scanned.join(dropIds, Seq(idCol), "left_semi")
+      .select("shard").distinct().collect().map(_.getInt(0)).sorted
+    if (affected.isEmpty) return live
+    val survivors = all.filter(col("shard").isin(affected.map(Int.box): _*))
+      .join(dropIds, Seq(idCol), "left_anti")
+    deleteCore(spark, dir, live, nShards, affected, survivors,
+      all.schema, checksumCols)
+  }
+
+  /** Entry recovery shared by the delete family: whole-dir swaps, a
+    * crashed previous delete's half-done per-shard swaps rolled back
+    * (a parked original whose live dir is MISSING was displaced
+    * without its replacement landing — restore it; one whose live dir
+    * exists is a completed swap's obsolete copy, wiped with the
+    * staging), then the staging wiped. */
+  private def deleteEntryRecovery(spark: SparkSession, dir: String): Unit = {
     IndexOps.recoverSwap(spark, manifestDir(dir))
     IndexOps.recoverSwap(spark, dataDir(dir))
     val (fs, _) = fsPath(spark, dir)
     val stagedRoot = dataDir(dir) + ".delete.tmp"
-    val removedRoot = stagedRoot + "/.removed"
-    // roll back a crashed previous delete's half-done per-shard swaps:
-    // a parked original whose live dir is MISSING was displaced without
-    // its replacement landing — restore it (the re-run will redo that
-    // shard); a parked original whose live dir exists is a completed
-    // swap's obsolete copy, wiped with the staging below
-    val removedPath = new org.apache.hadoop.fs.Path(removedRoot)
+    val removedPath = new org.apache.hadoop.fs.Path(stagedRoot + "/.removed")
     if (fs.exists(removedPath)) {
       fs.listStatus(removedPath).foreach { st =>
         val live = new org.apache.hadoop.fs.Path(dataDir(dir), st.getPath.getName)
@@ -1164,19 +1227,19 @@ object Export {
       spark.catalog.refreshByPath(dir)
     }
     fs.delete(new org.apache.hadoop.fs.Path(stagedRoot), true)
-    val live = readManifest(spark, dir)
-    val nShards = live.count().toInt
-    require(nShards > 0, s"deleteFromExport: no manifest at $dir")
-    val all = readShards(spark, dir)
-    val matchPred = coalesce(predicate, lit(false))
-    // bounded driver materialization: ≤ nShards shard ids
-    val affected = all.filter(matchPred).select("shard").distinct()
-      .collect().map(_.getInt(0)).sorted
-    if (affected.isEmpty) return live
-    // stage survivors of the affected shards ONLY — the scan prunes to
-    // their partition directories; untouched shards' bytes never move
-    val survivors = all.filter(col("shard").isin(affected.map(Int.box): _*))
-      .filter(!matchPred)
+  }
+
+  /** The delete family's staged rewrite: stage `survivors` for the
+    * `affected` shards, publish the manifest FIRST, swap per shard,
+    * clean up — the protocol documented on [[deleteFromExport]]. */
+  private def deleteCore(spark: SparkSession, dir: String, live: DataFrame,
+      nShards: Int, affected: Array[Int], survivors: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      checksumCols: Seq[String]): DataFrame = {
+    val (fs, _) = fsPath(spark, dir)
+    val stagedRoot = dataDir(dir) + ".delete.tmp"
+    val removedRoot = stagedRoot + "/.removed"
+    val removedPath = new org.apache.hadoop.fs.Path(removedRoot)
     writeLayout(survivors, nShards, writeTasks(survivors, nShards))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard")
@@ -1189,7 +1252,7 @@ object Export {
     // manifest FIRST (see the protocol note): affected shards
     // recomputed from the staged bytes, untouched shards carried
     val recomputed = manifestOf(
-      readData(spark, stagedRoot, Some(all.schema)), checksumCols, nShards)
+      readData(spark, stagedRoot, Some(schema)), checksumCols, nShards)
       .filter(col("shard").isin(affected.map(Int.box): _*))
     val untouched = live.filter(!col("shard").isin(affected.map(Int.box): _*))
     publishManifest(spark, dir, untouched.unionByName(recomputed))

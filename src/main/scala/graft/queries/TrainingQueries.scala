@@ -408,6 +408,32 @@ object TrainingQueries {
       .orderBy("shard")
   }
 
+  /** TD22 — id-list takedown ([[graft.operators.Export
+    * .deleteIdsFromExport]]): the "remove THESE documents" form, whose
+    * affected shards derive from the id list alone under the portable
+    * h60 placement (no corpus scan for detection). The oracle is the
+    * manifest recomputed from the raw table with the listed ids
+    * excluded — one absent id (900001) included to prove absent ids
+    * are ignored, not errors. */
+  val q98DeleteIds: Q = (spark, dir) => {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val out = perProcessDir("graft_export_delids", dir)
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    graft.operators.Export.shardedWrite(spark, t.documents, "doc_id",
+      ExportChecksumCols, nShards = 8, out)
+    graft.operators.Export.deleteIdsFromExport(spark, out,
+      DeleteIdsList.toDF("doc_id"), "doc_id", ExportChecksumCols)
+      .select("shard", "n_rows", "min_ord", "max_ord", "checksum")
+      .orderBy("shard")
+  }
+
+  /** The q98 takedown list: ids 3..93 step 10 (present at every SF)
+    * plus one absent id. */
+  private val DeleteIdsList: Seq[Long] = (3L to 93L by 10L) :+ 900001L
+
   /** Per-process tmp directory (pid-suffixed, removed on JVM exit):
     * concurrent verify+bench runs must not race one export dir. */
   private def perProcessDir(prefix: String, dir: String): String = {
@@ -441,6 +467,7 @@ object TrainingQueries {
     "q95_reshard" -> q95Reshard,
     "q96_rebalance" -> q96Rebalance,
     "q97_delete_export" -> q97DeleteExport,
+    "q98_delete_ids" -> q98DeleteIds,
     "q76_mixture_upsample" -> q76MixtureUpsample,
     "q75_mixture_report" -> q75MixtureReport,
     "q66_bigram_familiarity" -> q66BigramFamiliarity,
@@ -570,6 +597,8 @@ object TrainingQueries {
     "q93_export_concat" -> manifestOracle,
     "q96_rebalance" -> balancedManifestOracle,
     "q97_delete_export" -> manifestOracleAt(8, "NOT (doc_id % 5 = 2)"),
+    "q98_delete_ids" -> manifestOracleAt(8,
+      s"doc_id NOT IN (${DeleteIdsList.mkString(", ")})"),
     "q91_balanced_export" -> balancedManifestOracle,
     "q88_sharded_export" ->
       s"""WITH a AS (

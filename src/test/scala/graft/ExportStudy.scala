@@ -202,6 +202,58 @@ object ExportStudy {
     println(f"range20M   ${"write: writeLayout"}%-22s ${newShape._1}%7.2fs ${newShape._2}%7.2fs  input-wide tasks")
     }
 
+    if (want("delete")) {
+    // -- targeted deletion: O(affected shards) (r13) ------------------
+    // Three arms over a 20M-row 64-shard export, fresh-built before
+    // each measurement (a delete consumes its own work):
+    //  - ids(10):   deleteIdsFromExport, 10 ids — the hash contract
+    //               derives the ≤10 affected shards from the list, so
+    //               BOTH the match check and the rewrite prune to
+    //               ≤10/64 of the corpus;
+    //  - pred 1-shard: predicate delete confined to one shard — one
+    //               full detection scan (the predicate could match
+    //               anywhere) + a 1/64 rewrite;
+    //  - pred all:  1% of rows spread over every shard — detection
+    //               scan + full-corpus rewrite, the O(corpus) floor
+    //               any takedown without placement knowledge pays.
+    val big = spark.range(20L * 1000 * 1000).select(
+      col("id").as("doc_id"),
+      pmod(xxhash64(col("id"), lit(7L)), lit(100000L)).as("payload"))
+    val nSh = 64
+    val out = "/tmp/graft_export_study/delete"
+    val cs = Seq("doc_id", "payload")
+    val outFs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def deleteArm(name: String, act: => Long): Unit = {
+      var bestC = Double.MaxValue; var bestW = Double.MaxValue
+      var rows = 0L
+      for (_ <- 1 to 2) {
+        outFs.delete(new org.apache.hadoop.fs.Path(out), true)
+        Export.shardedWrite(spark, big, "doc_id", cs, nSh, out)
+        quiesce(); val c0 = cpu.sum(); val w0 = System.nanoTime()
+        rows = act
+        val w1 = System.nanoTime(); quiesce(); val c1 = cpu.sum()
+        bestC = math.min(bestC, (c1 - c0) / 1e9)
+        bestW = math.min(bestW, (w1 - w0) / 1e9)
+      }
+      println(f"range20M   $name%-22s $bestC%7.2fs $bestW%7.2fs  rows_left=$rows")
+    }
+    def rowsLeft(m: DataFrame): Long =
+      m.agg(sum("n_rows")).collect()(0).getLong(0)
+    val tenIds = (0 until 10).map(i => 1000000L + i * 997)
+    deleteArm("delete: ids(10)", rowsLeft(
+      Export.deleteIdsFromExport(spark, out,
+        spark.createDataFrame(tenIds.map(Tuple1(_))).toDF("doc_id"),
+        "doc_id", cs)))
+    val oneShard = graft.functions.Hashing.h60(
+      concat(lit("shard:"), col("doc_id").cast("string"))) % nSh === 3 &&
+      col("payload") < 1000
+    deleteArm("delete: pred 1-shard", rowsLeft(
+      Export.deleteFromExport(spark, out, oneShard, cs)))
+    deleteArm("delete: pred all-shards", rowsLeft(
+      Export.deleteFromExport(spark, out, col("payload") < 1000, cs)))
+    }
+
     if (want("nparts")) {
     // -- balancedShards nParts: pure parallelism, invariant answer ---
     val big = spark.range(20L * 1000 * 1000).select(

@@ -781,6 +781,47 @@ class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     Export.verifyShards(spark, a, csCols)
   }
 
+  test("deleteIdsFromExport: id-list takedown rewrites only the ids' own shards") {
+    val dir = tmp("del_ids")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 8, dir)
+    val before = shardFiles(dir)
+    // three victims + one id that does not exist in the export
+    val victims = Seq(11L, 12L, 13L)
+    val drop = (victims :+ 999L).toDF("doc_id")
+    val victimShards = Export.shardAssign(
+      docs.filter(col("doc_id").isin(victims.map(Long.box): _*)), "doc_id", 8)
+      .select("shard").distinct().as[Int].collect().toSet
+    val m = Export.deleteIdsFromExport(spark, dir, drop, "doc_id", csCols)
+    assert(m.agg(sum("n_rows")).as[Long].head() == 197)
+    // only the shards the listed (and PRESENT) ids live in were rewritten
+    val after = shardFiles(dir)
+    before.foreach { case (shard, files) =>
+      val k = shard.stripPrefix("shard=").toInt
+      if (victimShards.contains(k))
+        assert(files.intersect(after(shard)).isEmpty, s"$shard must be rewritten")
+      else assert(files == after(shard), s"untouched $shard must keep its bytes")
+    }
+    assertSameRows(Export.readShards(spark, dir)
+      .select("doc_id", "text", "lang", "n_tokens"),
+      docs.filter(!col("doc_id").isin(victims.map(Long.box): _*)))
+    Export.verifyShards(spark, dir, csCols)
+    // an all-absent list is a metadata-only no-op
+    val m2 = Export.deleteIdsFromExport(spark, dir,
+      Seq(888L, 999L).toDF("doc_id"), "doc_id", csCols)
+    assert(canon(m2) == canon(m))
+    assert(shardFiles(dir) == after)
+    // assigned layout: no hash contract to derive shards from — one
+    // detection scan, same exact result
+    val a = tmp("del_ids_assigned")
+    Export.shardedWriteAssigned(spark,
+      Export.balancedShards(docs, "doc_id", "n_tokens", 4), csCols, 4, a)
+    Export.deleteIdsFromExport(spark, a, victims.toDF("doc_id"), "doc_id", csCols)
+    assertSameRows(Export.readShards(spark, a)
+      .select("doc_id", "text", "lang", "n_tokens"),
+      docs.filter(!col("doc_id").isin(victims.map(Long.box): _*)))
+    Export.verifyShards(spark, a, csCols)
+  }
+
   test("rebalanceExportTo: balanced snapshot leaves the live hash export untouched") {
     val src = tmp("rebalto_src"); val dst = tmp("rebalto_dst")
     Export.shardedWrite(spark, docs, "doc_id", csCols, 4, src)
