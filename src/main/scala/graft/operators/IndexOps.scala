@@ -296,6 +296,121 @@ object IndexOps {
     rows
   }
 
+  // -------------------------------------------------------- index takedown
+
+  /** Remove every row belonging to the listed ids from a persisted
+    * index, in place — the index half of the right-to-be-forgotten
+    * path ([[Export.deleteIdsFromExport]] is the corpus half): MinHash
+    * signatures, LSH bucket keys and IVF member vectors are DERIVED
+    * FROM the deleted content and must go with it. Necessarily a full
+    * index rewrite — id is not the partition key (one document's
+    * signature rows are spread over every band/table; an IVF row lives
+    * in its vector's cell), so there is no pruned form; what keeps it
+    * cheap is that an index is a small derivative of its corpus (16
+    * longs per document, one vector per document), not the corpus. The
+    * rewrite preserves the probe layout exactly (`partitionBy(dirCol)`,
+    * key-clustered sorted files — [[compactTo]]'s shape, so probes
+    * bind identically), is dst-counted against an independently
+    * computed survivor count BEFORE the swap (a lossy rewrite refuses
+    * with the live copy intact), and swaps with the usual
+    * [[recoverSwap]] crash semantics. Ids absent from the index are
+    * ignored; an all-absent list is a no-op; a list covering the WHOLE
+    * index is refused (delete the directory and rebuild later instead
+    * of swapping in an empty relation no probe can use).
+    *
+    * The streaming loops' id SIDECAR is deliberately NOT touched: its
+    * rows are (id, batch_id) TOMBSTONES carrying no content, and they
+    * are exactly what keeps a replayed batch from RE-ADMITTING a
+    * deleted document — removing them would turn an exactly-once
+    * replay into a resurrection path. Content goes; the tombstone
+    * stays. Takedowns on a LIVE stream follow the same quiesce rule as
+    * every other maintenance swap here (the loops recover a crashed
+    * swap at batch entry, but a delete racing an in-flight extend
+    * could drop the extend's files with the `.old` generation). */
+  def deleteSwap(spark: SparkSession, dir: String, dirCol: String,
+      clusterCols: Seq[String], idCol: String, ids: DataFrame,
+      targetRowsPerFile: Long = 4L * 1000 * 1000): Long = {
+    recoverSwap(spark, dir)
+    val tmpDir = dir + ".compact.tmp"
+    val (fs, _) = fsOf(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+    val src = spark.read.parquet(dir)
+    val drop = ids.select(col(idCol)).distinct()
+    val kept = src.join(drop, Seq(idCol), "left_anti")
+    val expected = kept.count()
+    val srcRows = src.count()
+    if (expected == srcRows) return srcRows
+    require(expected > 0,
+      s"deleteSwap: the takedown would remove EVERY row of $dir — delete " +
+        "the index directory (and rebuild when there is content) instead " +
+        "of swapping in an empty relation no probe can use")
+    val numFiles = math.max(1L,
+      (expected + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val keys = (dirCol +: clusterCols).map(col)
+    kept.repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").partitionBy(dirCol).parquet(tmpDir)
+    val dstRows = spark.read.parquet(tmpDir).count()
+    require(dstRows == expected,
+      s"deleteSwap: rewrite of $dir lost rows ($expected expected vs " +
+        s"$dstRows staged) — not swapping")
+    swapDirs(spark, dir, tmpDir)
+    dstRows
+  }
+
+  /** [[deleteSwap]] with the [[Dedup.minhashIndex]] layout. */
+  def deleteSwapMinhash(spark: SparkSession, dir: String, idCol: String,
+      ids: DataFrame): Long =
+    deleteSwap(spark, dir, "band", Seq("band_key"), idCol, ids)
+
+  /** [[deleteSwap]] with the [[Similarity.lshIndex]] layout. */
+  def deleteSwapLsh(spark: SparkSession, dir: String, idCol: String,
+      ids: DataFrame): Long =
+    deleteSwap(spark, dir, "tbl", Seq("bucket"), idCol, ids)
+
+  /** [[deleteSwap]] for the IVF layout, with the centroid rule: when a
+    * listed id anchored a CENTROID (`is_cent`), the centroid vector
+    * itself is content derived from the deleted document — a plain
+    * row filter would keep routing probes through it. The takedown
+    * then REBUILDS the quantizer from the surviving member set (the
+    * [[reclusterSwapIvf]] construction over the filtered members), so
+    * nothing derived from the deleted content survives anywhere in the
+    * index; a takedown touching no centroid is the plain filtered
+    * rewrite (cell layout, id-clustered). */
+  def deleteSwapIvf(spark: SparkSession, dir: String, idCol: String,
+      vecCol: String, ids: DataFrame): Long = {
+    recoverSwap(spark, dir)
+    val src = spark.read.parquet(dir)
+    val drop = ids.select(col(idCol)).distinct()
+    val centHit = !src.filter(col("is_cent"))
+      .join(drop, Seq(idCol), "left_semi").isEmpty
+    if (!centHit) deleteSwap(spark, dir, "cell", Seq(idCol), idCol, ids)
+    else {
+      val params = IndexStamp.readUnique(src, Seq("ix_cells", "ix_dims"),
+        "deleteSwapIvf").getOrElse(throw new IllegalArgumentException(
+          s"deleteSwapIvf: no stamped IVF index at $dir"))
+      val Seq(cells, dims) = params: @unchecked
+      val kept = src.join(drop, Seq(idCol), "left_anti")
+      val expected = kept.count()
+      require(expected > 0,
+        s"deleteSwapIvf: the takedown would remove EVERY row of $dir — " +
+          "delete the index directory instead")
+      val rebuilt = Similarity.ivfIndex(
+        kept.select(col(idCol), col(vecCol)), idCol, vecCol,
+        math.min(cells, expected.toInt), dims)
+      val tmpDir = dir + ".compact.tmp"
+      val (fs, _) = fsOf(spark, dir)
+      fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+      rebuilt.write.mode("overwrite").partitionBy("cell").parquet(tmpDir)
+      val dstRows = spark.read.parquet(tmpDir).count()
+      require(dstRows == expected,
+        s"deleteSwapIvf: rebuild of $dir lost rows ($expected expected vs " +
+          s"$dstRows staged) — not swapping")
+      swapDirs(spark, dir, tmpDir)
+      expected
+    }
+  }
+
   /** [[compactSwap]] with the [[Dedup.minhashIndex]] layout. */
   def compactSwapMinhash(spark: SparkSession, dir: String,
       targetRowsPerFile: Long = 4L * 1000 * 1000): Long =

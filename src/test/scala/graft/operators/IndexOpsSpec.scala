@@ -270,6 +270,89 @@ class IndexOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("index takedown: deleted ids vanish from probes, layout and stamp preserved") {
+    // --- minhash ---
+    val mh = tmp("ixops_del_mh")
+    Dedup.minhashIndex(docs(1L to 30L: _*), "doc_id", "text")
+      .write.mode("append").partitionBy("band").parquet(mh)
+    val probeFor5 = docs(5L)
+    assert(Dedup.minhashProbeAuto(probeFor5, spark.read.parquet(mh),
+      "doc_id", "text", minAgree = 1)
+      .filter(col("corpus_doc_id") === 5L).count() > 0,
+      "precondition: id 5 is findable before the takedown")
+    val srcRows = spark.read.parquet(mh).count()
+    // list includes an absent id — ignored, not an error
+    val left = IndexOps.deleteSwapMinhash(spark, mh,
+      "doc_id", Seq(5L, 17L, 999L).toDF("doc_id"))
+    val after = spark.read.parquet(mh)
+    assert(after.filter(col("doc_id").isin(5L, 17L)).isEmpty,
+      "no signature row of a deleted id may survive")
+    assert(left == after.count() && left < srcRows)
+    assert(Dedup.minhashProbeAuto(probeFor5, after, "doc_id", "text",
+      minAgree = 1).filter(col("corpus_doc_id") === 5L).isEmpty,
+      "a probe must no longer surface the deleted document")
+    // survivors still probe identically; stamp and layout intact
+    assert(Dedup.minhashProbeAuto(docs(9L), after, "doc_id", "text",
+      minAgree = 1).filter(col("corpus_doc_id") === 9L).count() > 0)
+    assert(after.select("ix_n", "ix_k", "ix_bands").distinct().count() == 1)
+    // all-absent list: a no-op
+    assert(IndexOps.deleteSwapMinhash(spark, mh,
+      "doc_id", Seq(888L).toDF("doc_id")) == left)
+    // deleting everything is refused — an empty index is a rebuild
+    intercept[IllegalArgumentException] {
+      IndexOps.deleteSwapMinhash(spark, mh,
+        "doc_id", (1L to 30L).toDF("doc_id"))
+    }
+    // --- lsh (embedding) ---
+    val lsh = tmp("ixops_del_lsh")
+    Similarity.lshIndex(vecs(1L to 20L: _*), "vec_id", "embedding",
+        planes = 2, dims = 4, tables = 3)
+      .write.mode("append").partitionBy("tbl").parquet(lsh)
+    IndexOps.deleteSwapLsh(spark, lsh, "vec_id", Seq(7L).toDF("vec_id"))
+    val lshAfter = spark.read.parquet(lsh)
+    assert(lshAfter.filter(col("vec_id") === 7L).isEmpty)
+    assert(Similarity.lshIndexProbeAuto(vecs(7L), lshAfter, "vec_id",
+      "embedding", minMicro = 0L).filter(col("corpus_id") === 7L).isEmpty)
+    assert(lshAfter.select("ix_planes", "ix_dims", "ix_tables").distinct().count() == 1)
+  }
+
+  test("IVF takedown: deleting a centroid's document rebuilds the quantizer") {
+    val dir = tmp("ixops_del_ivf")
+    Similarity.ivfIndex(vecs(1L to 24L: _*), "vec_id", "embedding",
+        nCells = 3, dims = 4)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val centIds = spark.read.parquet(dir).filter(col("is_cent"))
+      .select("vec_id").as[Long].collect().toSeq
+    // non-centroid takedown first: plain filtered rewrite, centroids kept
+    val nonCent = (1L to 24L).filterNot(centIds.contains).take(2)
+    IndexOps.deleteSwapIvf(spark, dir, "vec_id", "embedding",
+      nonCent.toDF("vec_id"))
+    val mid = spark.read.parquet(dir)
+    assert(mid.filter(col("vec_id").isin(nonCent.map(Long.box): _*)).isEmpty)
+    assert(mid.filter(col("is_cent")).select("vec_id").as[Long].collect()
+      .toSet == centIds.toSet, "no centroid touched -> quantizer unchanged")
+    // centroid takedown: nothing derived from the deleted doc survives —
+    // its member row goes AND the quantizer is rebuilt without it
+    val victim = centIds.head
+    IndexOps.deleteSwapIvf(spark, dir, "vec_id", "embedding",
+      Seq(victim).toDF("vec_id"))
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("vec_id") === victim).isEmpty)
+    assert(!after.filter(col("is_cent")).select("vec_id").as[Long].collect()
+      .contains(victim), "the deleted doc must not anchor a centroid")
+    assert(after.count() == 24 - 3)
+    assert(after.select("ix_cells", "ix_dims").distinct().count() == 1)
+    // the rebuilt index still answers: a fresh probe carrying a
+    // survivor's exact vector finds that survivor (probes exclude self)
+    val survivor = (1L to 24L)
+      .filterNot(i => nonCent.contains(i) || i == victim).head
+    val probeVec = Seq((3001L, Array(1.0f + survivor * 0.01f, -0.5f,
+      0.25f * (survivor % 4), 0.7f))).toDF("vec_id", "embedding")
+    val probe = Similarity.ivfIndexProbeAuto(probeVec, after,
+      "vec_id", "embedding", k = 1, nProbe = 3)
+    assert(probe.select("neighbor_id").as[Long].collect().toSeq == Seq(survivor))
+  }
+
   test("capFromHistogram encodes the tail rule; recall contract unchanged") {
     // a synthetic cell layout with a hand-computable size distribution:
     // sizes [1, 1, 1, 2, 2, 10] over six cells (17 rows)
