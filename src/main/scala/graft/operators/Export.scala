@@ -350,6 +350,45 @@ object Export {
     evolved
   }
 
+  /** The DESTRUCTIVE half of the schema-migration matrix
+    * ([[evolveExportSchema]] is the additive half): drop columns from a
+    * published export. Necessarily a full corpus rewrite — the bytes on
+    * disk carry the column, so no sidecar trick can un-publish it the
+    * way an ADDED column's absence reads as null. The rewrite preserves
+    * the placement exactly: the existing `shard`/`ord` columns are
+    * REUSED (no re-hash, no re-balance — no row moves between shards),
+    * so the layout, the placement stamp and every consumer contract
+    * survive; only the dropped columns vanish, from the files and from
+    * the `_schema` sidecar alike. Rides [[shardedWriteAssigned]]'s
+    * staged swap (old generation live until the new one is complete).
+    * `checksumCols` is the NEW manifest's checksum basis and must not
+    * name a dropped column. Returns the new manifest. */
+  def dropColumnsFromExport(spark: SparkSession, dir: String,
+      dropCols: Seq[String], checksumCols: Seq[String]): DataFrame = {
+    require(dropCols.nonEmpty, "dropColumnsFromExport: no columns to drop")
+    val lower = dropCols.map(_.toLowerCase)
+    require(!lower.contains("shard") && !lower.contains("ord"),
+      "dropColumnsFromExport: shard/ord are the layout, not payload columns")
+    require(checksumCols.map(_.toLowerCase).intersect(lower).isEmpty,
+      "dropColumnsFromExport: checksumCols must not name a dropped column")
+    IndexOps.recoverSwap(spark, dir)
+    IndexOps.recoverSwap(spark, manifestDir(dir))
+    IndexOps.recoverSwap(spark, dataDir(dir))
+    val n = readManifest(spark, dir).count().toInt
+    require(n > 0, s"dropColumnsFromExport: no manifest at $dir")
+    val all = readShards(spark, dir)
+    val have = all.columns.map(_.toLowerCase).toSet
+    val absent = dropCols.filterNot(c => have.contains(c.toLowerCase))
+    require(absent.isEmpty,
+      s"dropColumnsFromExport: columns [${absent.mkString(", ")}] do not " +
+        s"exist in the published schema at $dir")
+    val placement = readPlacement(spark, dir).getOrElse(PlacementHash)
+    // lazy read over the same dir is safe: shardedWriteAssigned stages
+    // the whole new generation before the swap (the reshard pattern)
+    shardedWriteAssigned(spark, all.drop(dropCols: _*), checksumCols, n,
+      dir, placement)
+  }
+
   /** Slurp a small control file (`_schema`, `_batch`, `_merged_into`)
     * to a string; None when absent. */
   private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
@@ -1139,8 +1178,12 @@ object Export {
     *     inside the partitioned dir, where partition discovery would
     *     read ".old" as a partition value), the staged dir renamed in;
     *  5. staging (including the parked originals) deleted.
-    * A predicate matching nothing is a metadata-only no-op. Returns
-    * the post-delete manifest. */
+    * A predicate matching nothing is a metadata-only no-op. Like every
+    * maintenance rewrite here (concat's sources, the index swaps), the
+    * export must be QUIESCED for the duration — an append racing the
+    * swap could land files in a shard directory between its detection
+    * scan and its park, and those files would leave with the parked
+    * original. Returns the post-delete manifest. */
   def deleteFromExport(spark: SparkSession, dir: String, predicate: Column,
       checksumCols: Seq[String]): DataFrame = {
     deleteEntryRecovery(spark, dir)

@@ -434,6 +434,27 @@ object TrainingQueries {
     * plus one absent id. */
   private val DeleteIdsList: Seq[Long] = (3L to 93L by 10L) :+ 900001L
 
+  /** TD23 — destructive schema migration ([[graft.operators.Export
+    * .dropColumnsFromExport]]): a published column un-published by the
+    * placement-preserving full rewrite (rows never move between
+    * shards — the existing shard/ord placement is reused). The oracle
+    * recomputes the manifest with the post-drop checksum basis, so the
+    * hash match proves the rewrite changed the bytes and the manifest
+    * basis while leaving every row in its shard. */
+  val q99DropColumn: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val out = perProcessDir("graft_export_drop", dir)
+    graft.operators.Export.shardedWrite(spark, t.documents, "doc_id",
+      ExportChecksumCols, nShards = 8, out)
+    graft.operators.Export.dropColumnsFromExport(spark, out,
+      Seq("source"), DropChecksumCols)
+      .select("shard", "n_rows", "min_ord", "max_ord", "checksum")
+      .orderBy("shard")
+  }
+
+  /** q99's post-drop checksum basis: every surviving documents column. */
+  private val DropChecksumCols = Seq("doc_id", "text", "lang", "n_chars")
+
   /** Per-process tmp directory (pid-suffixed, removed on JVM exit):
     * concurrent verify+bench runs must not race one export dir. */
   private def perProcessDir(prefix: String, dir: String): String = {
@@ -468,6 +489,7 @@ object TrainingQueries {
     "q96_rebalance" -> q96Rebalance,
     "q97_delete_export" -> q97DeleteExport,
     "q98_delete_ids" -> q98DeleteIds,
+    "q99_drop_column" -> q99DropColumn,
     "q76_mixture_upsample" -> q76MixtureUpsample,
     "q75_mixture_report" -> q75MixtureReport,
     "q66_bigram_familiarity" -> q66BigramFamiliarity,
@@ -599,6 +621,16 @@ object TrainingQueries {
     "q97_delete_export" -> manifestOracleAt(8, "NOT (doc_id % 5 = 2)"),
     "q98_delete_ids" -> manifestOracleAt(8,
       s"doc_id NOT IN (${DeleteIdsList.mkString(", ")})"),
+    "q99_drop_column" ->
+      s"""WITH a AS (
+         |  SELECT ${graft.operators.Export.shardSql("doc_id", 8)} AS shard,
+         |    ${graft.operators.Export.ordSql("doc_id")} AS ord,
+         |    ${h60(graft.operators.Quality.rowEncodingSql(DropChecksumCols))} AS rh
+         |  FROM documents)
+         |SELECT shard, count(*) AS n_rows, min(ord) AS min_ord,
+         |  max(ord) AS max_ord,
+         |  CAST(sum(CAST(rh AS HUGEINT)) % ${1L << 61} AS BIGINT) AS checksum
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     "q91_balanced_export" -> balancedManifestOracle,
     "q88_sharded_export" ->
       s"""WITH a AS (

@@ -672,6 +672,53 @@ class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("dropColumnsFromExport: destructive migration preserves placement, refuses bad bases") {
+    val dir = tmp("dropcol")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 8, dir)
+    val shardsBefore = Export.readShards(spark, dir)
+      .select("doc_id", "shard").orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    val m = Export.dropColumnsFromExport(spark, dir, Seq("n_tokens"),
+      Seq("doc_id", "text", "lang"))
+    assert(m.count() == 8)
+    val after = Export.readShards(spark, dir)
+    // the column is gone from files AND the sidecar-described schema
+    assert(!after.columns.contains("n_tokens"))
+    // no row moved between shards: placement reused, not recomputed
+    assert(after.select("doc_id", "shard").orderBy("doc_id")
+      .as[(Long, Int)].collect().toSeq == shardsBefore)
+    assert(Export.readPlacement(spark, dir).contains("hash"))
+    Export.verifyShards(spark, dir, Seq("doc_id", "text", "lang"))
+    // the drift gate now speaks the NEW shape: an old-shape append is drift
+    intercept[IllegalArgumentException] {
+      Export.appendShards(spark,
+        spark.range(200, 205).select(col("id").as("doc_id"), lit("x").as("text"),
+          lit("en").as("lang"), lit(1L).as("n_tokens")),
+        "doc_id", csCols, dir)
+    }
+    // refusals: layout columns, absent columns, checksum basis overlap
+    intercept[IllegalArgumentException] {
+      Export.dropColumnsFromExport(spark, dir, Seq("ord"), csCols)
+    }
+    intercept[IllegalArgumentException] {
+      Export.dropColumnsFromExport(spark, dir, Seq("no_such_col"), csCols)
+    }
+    intercept[IllegalArgumentException] {
+      Export.dropColumnsFromExport(spark, dir, Seq("lang"), csCols)
+    }
+    // an assigned layout keeps its stamp (and its row placement) too
+    val a = tmp("dropcol_assigned")
+    Export.shardedWriteAssigned(spark,
+      Export.balancedShards(docs, "doc_id", "n_tokens", 4), csCols, 4, a)
+    val aBefore = Export.readShards(spark, a)
+      .select("doc_id", "shard").orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    Export.dropColumnsFromExport(spark, a, Seq("n_tokens"),
+      Seq("doc_id", "text", "lang"))
+    assert(Export.readPlacement(spark, a).contains("assigned"))
+    assert(Export.readShards(spark, a).select("doc_id", "shard").orderBy("doc_id")
+      .as[(Long, Int)].collect().toSeq == aBefore)
+    Export.verifyShards(spark, a, Seq("doc_id", "text", "lang"))
+  }
+
   test("repairManifest: explicit nShards recovers trailing empty shards inference cannot see") {
     // one row whose shard is provably not the last: data-derived
     // inference then undercounts, the override restores the contract

@@ -273,6 +273,32 @@ class ExportStreamSpec extends SparkSpec {
     Export.verifyShards(spark, dir, csCols)
   }
 
+  test("mid-stream schema evolution: the sink demands the new shape, old batches read as nulls") {
+    val dir = tmp("exps_evolve")
+    bootstrap(dir, 4)
+    StreamingIngest.exportShardBatch(docsRange(60, 100), 0L, dir, "doc_id", csCols)
+    // a planned migration lands between committed batches
+    import org.apache.spark.sql.types.{DoubleType, StructField}
+    Export.evolveExportSchema(spark, dir,
+      Seq(StructField("quality", DoubleType, nullable = true)))
+    // the next batch MUST carry the new column — the gate refuses the old shape
+    val ex = intercept[IllegalArgumentException] {
+      StreamingIngest.exportShardBatch(docsRange(100, 120), 1L, dir, "doc_id", csCols)
+    }
+    assert(ex.getMessage.contains("drifts"))
+    // and the new-shape batch lands; both generations read by name
+    StreamingIngest.exportShardBatch(
+      docsRange(100, 120).withColumn("quality", lit(0.7)),
+      1L, dir, "doc_id", csCols)
+    val back = Export.readShards(spark, dir)
+    assert(back.count() == 120)
+    assert(back.filter(col("quality").isNotNull).count() == 20)
+    Export.verifyShards(spark, dir, csCols)
+    // the refused batch attempt left no committed residue: batch 1 is
+    // exactly the successful one (exactly-once intact across the refusal)
+    assert(back.filter(col("doc_id") >= 100 && col("doc_id") < 120).count() == 20)
+  }
+
   test("scheduled verification raises on a corrupted shard at the next check") {
     val dir = tmp("exps_verify")
     bootstrap(dir, 4)
