@@ -666,16 +666,29 @@ object Export {
     * explicit `nShards` (preferred over inference; refused if it is
     * smaller than what the data proves); leaving it 0 falls back to
     * inference and warns on stderr when that fallback actually runs
-    * blind. */
+    * blind. While a manifest SURVIVES it is the authoritative count:
+    * the override may only confirm it — changing a live export's shard
+    * count is [[reshardExport]], not a repair. */
   def repairManifest(spark: SparkSession, dir: String,
       checksumCols: Seq[String], nShards: Int = 0): DataFrame = {
     IndexOps.recoverSwap(spark, manifestDir(dir))
     IndexOps.recoverSwap(spark, dataDir(dir))
     val derived = repairShardCount(spark, dir)
-    require(nShards == 0 || nShards >= derived,
-      s"repairManifest: explicit nShards=$nShards is smaller than what the " +
-        s"export's own state proves ($derived shards) — data at $dir holds " +
-        "rows the repaired manifest could not attest")
+    if (manifestExists(spark, dir))
+      // a SURVIVING manifest is the authoritative count: an override may
+      // only confirm it — repairing to a LARGER count would publish a
+      // manifest whose modulus disagrees with every row's actual
+      // placement, the exact contract break the override exists to avoid
+      require(nShards == 0 || nShards == derived,
+        s"repairManifest: explicit nShards=$nShards contradicts the " +
+          s"surviving manifest at $dir ($derived shards) — the manifest is " +
+          "authoritative while it exists; the override is for the " +
+          "lost-manifest case only (changing the count is reshardExport)")
+    else
+      require(nShards == 0 || nShards >= derived,
+        s"repairManifest: explicit nShards=$nShards is smaller than what the " +
+          s"export's own state proves ($derived shards) — data at $dir holds " +
+          "rows the repaired manifest could not attest")
     if (nShards == 0) repairShardCountWarning(spark, dir, derived)
     val n = if (nShards > 0) nShards else derived
     val data = readShards(spark, dir)
@@ -694,12 +707,17 @@ object Export {
     * Data-derived inference can only UNDERCOUNT trailing all-empty
     * shards (they leave no directory) — the repaired manifest still
     * attests to every byte on disk. */
-  private def repairShardCount(spark: SparkSession, dir: String): Int = {
+  /** Whether `dir` holds a readable (parquet-bearing) manifest. */
+  private def manifestExists(spark: SparkSession, dir: String): Boolean = {
     val (fs, _) = fsPath(spark, dir)
     val m = new org.apache.hadoop.fs.Path(manifestDir(dir))
-    val hasManifest = fs.exists(m) &&
+    fs.exists(m) &&
       fs.listStatus(m).exists(_.getPath.getName.endsWith(".parquet"))
-    if (hasManifest) readManifest(spark, dir).count().toInt
+  }
+
+  private def repairShardCount(spark: SparkSession, dir: String): Int = {
+    val (fs, _) = fsPath(spark, dir)
+    if (manifestExists(spark, dir)) readManifest(spark, dir).count().toInt
     else {
       val d = new org.apache.hadoop.fs.Path(dataDir(dir))
       require(fs.exists(d), s"repairManifest: no data at $dir to repair from")
@@ -717,11 +735,7 @@ object Export {
     * (trailing all-empty shards are invisible to that inference). */
   private def repairShardCountWarning(spark: SparkSession, dir: String,
       derived: Int): Unit = {
-    val (fs, _) = fsPath(spark, dir)
-    val m = new org.apache.hadoop.fs.Path(manifestDir(dir))
-    val hasManifest = fs.exists(m) &&
-      fs.listStatus(m).exists(_.getPath.getName.endsWith(".parquet"))
-    if (!hasManifest)
+    if (!manifestExists(spark, dir))
       Console.err.println(
         s"[graft] repairManifest: manifest at $dir is lost; inferred " +
           s"nShards=$derived from shard directories — trailing all-empty " +
@@ -1226,9 +1240,15 @@ object Export {
     val all = readShards(spark, dir)
     val dropIds = ids.select(col(idCol)).distinct()
     val candidates: Option[Array[Int]] =
-      if (readPlacement(spark, dir).forall(_ == PlacementHash))
-        // hash layout: candidate shards from the id list alone —
-        // bounded driver materialization, ≤ min(nShards, |ids|) rows
+      if (readPlacement(spark, dir).contains(PlacementHash))
+        // STAMPED hash layout: candidate shards from the id list alone —
+        // bounded driver materialization, ≤ min(nShards, |ids|) rows.
+        // An UNSTAMPED export does NOT earn this shortcut: pre-stamp
+        // generations include shardedWriteAssigned (balanced) layouts,
+        // and deriving candidates from ids against one of those would
+        // silently MISS listed ids living outside their hash shards —
+        // an incomplete takedown that looks complete. Unstamped pays
+        // the one detection scan; only a provable contract prunes it.
         Some(shardAssign(dropIds, idCol, nShards)
           .select("shard").distinct().collect().map(_.getInt(0)))
       else None

@@ -736,15 +736,23 @@ class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // explicit count: the full dense manifest, placement contract intact
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(Export.manifestDir(dir)))
     spark.catalog.refreshByPath(dir)
-    val repaired = Export.repairManifest(spark, dir, csCols, nShards = 8)
-    assert(repaired.count() == 8)
-    assert(repaired.agg(sum("n_rows")).as[Long].head() == 1)
-    Export.verifyShards(spark, dir, csCols)
-    // an override SMALLER than what the data proves is refused
+    // (manifest lost) an override SMALLER than what the data proves is refused
     val ex = intercept[IllegalArgumentException] {
       Export.repairManifest(spark, dir, csCols, nShards = s0)
     }
     assert(ex.getMessage.contains("smaller"))
+    val repaired = Export.repairManifest(spark, dir, csCols, nShards = 8)
+    assert(repaired.count() == 8)
+    assert(repaired.agg(sum("n_rows")).as[Long].head() == 1)
+    Export.verifyShards(spark, dir, csCols)
+    // while a manifest SURVIVES it is authoritative: an override may
+    // only confirm it — repairing a live export to a LARGER count would
+    // publish a modulus that disagrees with every row's placement
+    val ex2 = intercept[IllegalArgumentException] {
+      Export.repairManifest(spark, dir, csCols, nShards = 16)
+    }
+    assert(ex2.getMessage.contains("authoritative"))
+    assert(Export.repairManifest(spark, dir, csCols, nShards = 8).count() == 8)
   }
 
   private def shardFiles(dir: String): Map[String, Set[String]] = {
@@ -867,6 +875,21 @@ class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .select("doc_id", "text", "lang", "n_tokens"),
       docs.filter(!col("doc_id").isin(victims.map(Long.box): _*)))
     Export.verifyShards(spark, a, csCols)
+    // an UNSTAMPED export (pre-stamp generation) does not earn the
+    // id-derived shortcut: it might be a balanced layout, where hash
+    // candidates would silently MISS ids living outside their hash
+    // shards — strip the stamp from an assigned export and the takedown
+    // must still remove every listed id
+    val u = tmp("del_ids_unstamped")
+    Export.shardedWriteAssigned(spark,
+      Export.balancedShards(docs, "doc_id", "n_tokens", 4), csCols, 4, u)
+    assert(new java.io.File(Export.manifestDir(u), "_placement").delete())
+    assert(Export.readPlacement(spark, u).isEmpty)
+    Export.deleteIdsFromExport(spark, u, victims.toDF("doc_id"), "doc_id", csCols)
+    assertSameRows(Export.readShards(spark, u)
+      .select("doc_id", "text", "lang", "n_tokens"),
+      docs.filter(!col("doc_id").isin(victims.map(Long.box): _*)))
+    Export.verifyShards(spark, u, csCols)
   }
 
   test("rebalanceExportTo: balanced snapshot leaves the live hash export untouched") {
