@@ -526,6 +526,65 @@ object Export {
     cmp
   }
 
+  /** Tier-0 attestation: per-shard ROW COUNTS against the manifest,
+    * with no data column decoded — the count scan projects nothing but
+    * the `shard` partition value, so parquet answers it from file
+    * metadata (row counts in the footers). That is exactly the right
+    * cost for the failure class every crash window here can leave
+    * behind: files LOST or DUPLICATED between a data move and a
+    * manifest advance all change a shard's row count. What it cannot
+    * see is a same-count content change (bit rot, a rewritten value) —
+    * that is [[verifyShards]]' checksum, at full-scan cost. Returns the
+    * per-shard compare; raises naming the diverging shards. */
+  def verifyShardCounts(spark: SparkSession, dir: String): DataFrame = {
+    val expected = readManifest(spark, dir)
+    val nShards = expected.count().toInt
+    val counted = readShards(spark, dir).groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"))
+    val dense = spark.range(nShards)
+      .select(col("id").cast("int").as("shard"))
+      .join(counted, Seq("shard"), "left_outer")
+      .select(col("shard"), coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+    val cmp = dense.join(
+        expected.select(col("shard"), col("n_rows").as("m_rows")),
+        Seq("shard"), "full_outer")
+      .withColumn("ok", col("n_rows") <=> col("m_rows"))
+    val bad = divergentShards(cmp)
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"export at $dir diverges from its manifest ROW COUNTS in shards " +
+          s"${bad.mkString(", ")}")
+    cmp
+  }
+
+  /** [[verifyShards]] restricted to a shard SUBSET — the rotation unit
+    * for an export too large to re-attest whole: the scan partition-
+    * prunes to the listed `shard=K` directories, so one check costs
+    * O(those shards), and a schedule that rotates the subset (the
+    * streaming sink's `verifyShardsPerCheck`) attests every byte of the
+    * export once per nShards/k checks without any single check scanning
+    * the corpus. Shards outside the subset are simply not checked this
+    * call — the caller owns the rotation's coverage. Raises on
+    * divergence within the subset; returns the subset compare. */
+  def verifyShardSubset(spark: SparkSession, dir: String,
+      checksumCols: Seq[String], shards: Seq[Int]): DataFrame = {
+    require(shards.nonEmpty, "verifyShardSubset: empty shard subset")
+    val expected = readManifest(spark, dir)
+    val nShards = expected.count().toInt
+    require(shards.forall(s => s >= 0 && s < nShards),
+      s"verifyShardSubset: shards ${shards.filterNot(s => s >= 0 && s < nShards)
+        .mkString(", ")} outside 0..${nShards - 1}")
+    val keep = col("shard").isin(shards.map(Int.box): _*)
+    val actual = manifestOf(readShards(spark, dir).filter(keep),
+      checksumCols, nShards).filter(keep)
+    val cmp = manifestCompare(actual, expected.filter(keep))
+    val bad = divergentShards(cmp)
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"export at $dir diverges from its manifest in shards ${bad.mkString(", ")}")
+    cmp
+  }
+
   /** Per-shard comparison of a recomputed manifest against a published
     * one: `ok` is null-safe equality of count, ord range and checksum.
     * The construction [[verifyShards]] uses post-publish and

@@ -934,15 +934,23 @@ object StreamingIngest {
     *    manifest attestation ([[graft.operators.Export.verifyShards]])
     *    replays the per-shard checksums against the written bytes, so
     *    corruption surfaces on a schedule instead of when an operator
-    *    remembers to check. */
+    *    remembers to check. At 100 TB that attestation is itself a
+    *    corpus scan — `verifyShardsPerCheck > 0` makes each check a
+    *    ROTATING subset instead ([[graft.operators.Export
+    *    .verifyShardSubset]]): check number c (derived from the batch
+    *    id, so a replayed batch re-checks the same subset) attests
+    *    shards `(c·k + i) mod nShards`, i < k — every shard is attested
+    *    once per `nShards/k` checks and no single check scans more than
+    *    k shards' bytes. */
   def shardedExportStream(stream: DataFrame, dir: String, checkpoint: String,
       idCol: String, checksumCols: Seq[String],
       compactAtFiles: Int = 0, verifyEvery: Int = 0,
-      targetRowsPerFile: Long = 4L * 1000 * 1000): DataStreamWriter[Row] =
+      targetRowsPerFile: Long = 4L * 1000 * 1000,
+      verifyShardsPerCheck: Int = 0): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         exportShardBatch(batch.toDF(), batchId, dir, idCol, checksumCols,
-          compactAtFiles, verifyEvery, targetRowsPerFile)
+          compactAtFiles, verifyEvery, targetRowsPerFile, verifyShardsPerCheck)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -951,6 +959,7 @@ object StreamingIngest {
       dir: String, idCol: String, checksumCols: Seq[String],
       compactAtFiles: Int = 0, verifyEvery: Int = 0,
       targetRowsPerFile: Long = 4L * 1000 * 1000,
+      verifyShardsPerCheck: Int = 0,
       failAfterStep: Int = Int.MaxValue): Unit = {
     import graft.operators.{Export, IndexOps}
     val spark = batch.sparkSession
@@ -1010,8 +1019,21 @@ object StreamingIngest {
         failpoint(3)
       }
     }
-    if (verifyEvery > 0 && (batchId + 1) % verifyEvery == 0)
-      Export.verifyShards(spark, dir, checksumCols)
+    if (verifyEvery > 0 && (batchId + 1) % verifyEvery == 0) {
+      if (verifyShardsPerCheck > 0) {
+        // rotating subset attestation: the check number is derived from
+        // the batch id alone, so a replayed batch re-checks its own
+        // subset (deterministic, no extra state to checkpoint) and
+        // consecutive checks walk the shard ring — full coverage every
+        // ceil(nShards / k) checks at O(k shards) per check
+        val nShards = Export.readManifest(spark, dir).count().toInt
+        val k = math.min(verifyShardsPerCheck, nShards)
+        val check = (batchId + 1) / verifyEvery - 1
+        val start = ((check * k) % nShards).toInt
+        Export.verifyShardSubset(spark, dir, checksumCols,
+          (0 until k).map(i => (start + i) % nShards))
+      } else Export.verifyShards(spark, dir, checksumCols)
+    }
   }
 
   private[graft] def curateTextBatch(batch: DataFrame, batchId: Long,

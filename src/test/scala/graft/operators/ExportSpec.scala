@@ -95,6 +95,36 @@ class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(ex.getMessage.contains("shard"))
   }
 
+  test("attestation tiers: count-only check, shard-subset checksum check") {
+    val dir = tmp("verify_tiers")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 4, dir)
+    // intact: both tiers green, subset returns exactly its shards
+    assert(Export.verifyShardCounts(spark, dir).filter(!col("ok")).isEmpty)
+    assert(Export.verifyShardSubset(spark, dir, csCols, Seq(0, 2)).count() == 2)
+    intercept[IllegalArgumentException] {
+      Export.verifyShardSubset(spark, dir, csCols, Seq(4))
+    }
+    // tamper: drop shard 2's files — a lost-file failure, the class the
+    // cheap tier exists for
+    val victim = new java.io.File(Export.dataDir(dir).replace("file:", ""), "shard=2")
+    assert(victim.exists, s"fixture layout changed: $victim missing")
+    victim.listFiles().foreach(_.delete())
+    spark.catalog.refreshByPath(dir)
+    // a subset that misses the victim stays green (the caller owns
+    // rotation coverage); one that includes it raises
+    assert(Export.verifyShardSubset(spark, dir, csCols, Seq(0, 1, 3))
+      .filter(!col("ok")).isEmpty)
+    val exSub = intercept[IllegalStateException] {
+      Export.verifyShardSubset(spark, dir, csCols, Seq(1, 2))
+    }
+    assert(exSub.getMessage.contains("2"))
+    // tier-0 sees the lost files from row counts alone
+    val exCnt = intercept[IllegalStateException] {
+      Export.verifyShardCounts(spark, dir)
+    }
+    assert(exCnt.getMessage.contains("ROW COUNTS"))
+  }
+
   test("shardedWrite: republish swaps atomically and keeps the manifest consistent") {
     val dir = tmp("export_swap")
     Export.shardedWrite(spark, docs, "doc_id", csCols, 4, dir)

@@ -324,6 +324,35 @@ class ExportStreamSpec extends SparkSpec {
     // the failure is the attestation, pointing at the corruption
   }
 
+  test("rotating subset attestation reaches a corrupted shard within one rotation") {
+    val dir = tmp("exps_rotate")
+    bootstrap(dir, 4)
+    // verifyEvery = 1, k = 2: check 0 attests shards {0,1}, check 1
+    // attests {2,3} — each check scans HALF the export, full coverage
+    // every two checks
+    StreamingIngest.exportShardBatch(docsRange(60, 100), 0L, dir, "doc_id", csCols,
+      verifyEvery = 1, verifyShardsPerCheck = 2)
+    // corrupt shard 3 AFTER check 0 (which does not cover it)
+    val shardDir = new java.io.File(Export.dataDir(dir), "shard=3")
+    assert(shardDir.exists, s"fixture layout changed: $shardDir missing")
+    shardDir.listFiles().filter(_.getName.endsWith(".parquet")).take(1)
+      .foreach(f => assert(f.delete()))
+    spark.catalog.refreshByPath(dir)
+    // check 1 covers {2,3}: the rotation reaches the corruption
+    val ex = intercept[IllegalStateException] {
+      StreamingIngest.exportShardBatch(docsRange(100, 120), 1L, dir, "doc_id", csCols,
+        verifyEvery = 1, verifyShardsPerCheck = 2)
+    }
+    assert(ex.getMessage.contains("3"))
+    // a REPLAY of batch 1 re-checks the same subset (check number is a
+    // pure function of the batch id) — still raising, deterministically
+    val ex2 = intercept[IllegalStateException] {
+      StreamingIngest.exportShardBatch(docsRange(100, 120), 1L, dir, "doc_id", csCols,
+        verifyEvery = 1, verifyShardsPerCheck = 2)
+    }
+    assert(ex2.getMessage.contains("3"))
+  }
+
   test("a committed batch's replay still recovers a crashed maintenance swap") {
     // the in-loop compactExport runs AFTER the commit marker, so its
     // crash window is replayed with isCommitted == true — entry
