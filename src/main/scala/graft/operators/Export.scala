@@ -326,8 +326,7 @@ object Export {
       addCols: Seq[org.apache.spark.sql.types.StructField]):
       org.apache.spark.sql.types.StructType = {
     require(addCols.nonEmpty, "evolveExportSchema: no columns to add")
-    IndexOps.recoverSwap(spark, manifestDir(dir))
-    IndexOps.recoverSwap(spark, dataDir(dir))
+    recoverDelete(spark, dir)
     val old = readSchemaSidecar(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"evolveExportSchema: no _schema sidecar at $dir — repairManifest " +
@@ -372,8 +371,7 @@ object Export {
     require(checksumCols.map(_.toLowerCase).intersect(lower).isEmpty,
       "dropColumnsFromExport: checksumCols must not name a dropped column")
     IndexOps.recoverSwap(spark, dir)
-    IndexOps.recoverSwap(spark, manifestDir(dir))
-    IndexOps.recoverSwap(spark, dataDir(dir))
+    recoverDelete(spark, dir)
     val n = readManifest(spark, dir).count().toInt
     require(n > 0, s"dropColumnsFromExport: no manifest at $dir")
     val all = readShards(spark, dir)
@@ -631,6 +629,7 @@ object Export {
       checksumCols: Seq[String],
       targetRowsPerFile: Long = 4L * 1000 * 1000): Long = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    recoverDelete(spark, dir)
     val tmp = dataDir(dir) + ".compact.tmp"
     val (fs, _) = fsPath(spark, dir)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -688,8 +687,7 @@ object Export {
     // compactExport run) leaves a live dir renamed away; finish or
     // roll back BEFORE the first read — the batch twin of the
     // streaming sink's batch-entry recovery
-    IndexOps.recoverSwap(spark, manifestDir(dir))
-    IndexOps.recoverSwap(spark, dataDir(dir))
+    recoverDelete(spark, dir)
     requireHashPlacement(spark, dir, "appendShards")
     val old = readManifest(spark, dir)
     val nShards = old.count().toInt
@@ -730,8 +728,7 @@ object Export {
     * count is [[reshardExport]], not a repair. */
   def repairManifest(spark: SparkSession, dir: String,
       checksumCols: Seq[String], nShards: Int = 0): DataFrame = {
-    IndexOps.recoverSwap(spark, manifestDir(dir))
-    IndexOps.recoverSwap(spark, dataDir(dir))
+    recoverDelete(spark, dir)
     val derived = repairShardCount(spark, dir)
     if (manifestExists(spark, dir))
       // a SURVIVING manifest is the authoritative count: an override may
@@ -1134,8 +1131,7 @@ object Export {
     // the reshard's own publish is a TOP-LEVEL dir swap — recover a
     // crashed one before reading, then the inner-dir swaps
     IndexOps.recoverSwap(spark, dir)
-    IndexOps.recoverSwap(spark, manifestDir(dir))
-    IndexOps.recoverSwap(spark, dataDir(dir))
+    recoverDelete(spark, dir)
     // an assigned (weight-balanced) export has no h60 contract to
     // re-shard under; its granularity change is rebalanceExport
     requireHashPlacement(spark, dir, "reshardExport")
@@ -1169,8 +1165,7 @@ object Export {
       nShards: Int = 0): DataFrame = {
     require(nShards >= 0, s"nShards must be non-negative, got $nShards")
     IndexOps.recoverSwap(spark, dir)
-    IndexOps.recoverSwap(spark, manifestDir(dir))
-    IndexOps.recoverSwap(spark, dataDir(dir))
+    recoverDelete(spark, dir)
     val n = if (nShards > 0) nShards else readManifest(spark, dir).count().toInt
     require(n > 0, s"rebalanceExport: no manifest at $dir")
     // lazy read is safe for the same-dir rewrite, as in reshardExport:
@@ -1205,8 +1200,7 @@ object Export {
           "in-place form is rebalanceExport")
     }
     IndexOps.recoverSwap(spark, src)
-    IndexOps.recoverSwap(spark, manifestDir(src))
-    IndexOps.recoverSwap(spark, dataDir(src))
+    recoverDelete(spark, src)
     val n = if (nShards > 0) nShards else readManifest(spark, src).count().toInt
     require(n > 0, s"rebalanceExportTo: no manifest at $src")
     val rows = readShards(spark, src).drop("shard", "ord")
@@ -1259,7 +1253,7 @@ object Export {
     * original. Returns the post-delete manifest. */
   def deleteFromExport(spark: SparkSession, dir: String, predicate: Column,
       checksumCols: Seq[String]): DataFrame = {
-    deleteEntryRecovery(spark, dir)
+    recoverDelete(spark, dir)
     val live = readManifest(spark, dir)
     val nShards = live.count().toInt
     require(nShards > 0, s"deleteFromExport: no manifest at $dir")
@@ -1292,7 +1286,7 @@ object Export {
     * the post-delete manifest. */
   def deleteIdsFromExport(spark: SparkSession, dir: String, ids: DataFrame,
       idCol: String, checksumCols: Seq[String]): DataFrame = {
-    deleteEntryRecovery(spark, dir)
+    recoverDelete(spark, dir)
     val live = readManifest(spark, dir)
     val nShards = live.count().toInt
     require(nShards > 0, s"deleteIdsFromExport: no manifest at $dir")
@@ -1327,13 +1321,26 @@ object Export {
       all.schema, checksumCols)
   }
 
-  /** Entry recovery shared by the delete family: whole-dir swaps, a
+  /** Entry recovery for delete-staging residue: whole-dir swaps, a
     * crashed previous delete's half-done per-shard swaps rolled back
     * (a parked original whose live dir is MISSING was displaced
     * without its replacement landing — restore it; one whose live dir
     * exists is a completed swap's obsolete copy, wiped with the
-    * staging), then the staging wiped. */
-  private def deleteEntryRecovery(spark: SparkSession, dir: String): Unit = {
+    * staging), then the staging wiped.
+    *
+    * Runs at EVERY writer entry, not just the delete family's: the
+    * rollback's live-dir-exists test is only sound while nothing else
+    * can recreate a displaced shard directory. If a crashed delete left
+    * `shard=K` parked with its live dir missing and an append then
+    * landed new files there FIRST, a later recovery would read the
+    * recreated dir as "swap completed" and wipe the parked original —
+    * losing every pre-delete row of that shard. With every writer
+    * ([[appendShards]], the streaming sink, [[compactExport]], the
+    * rewrite family) healing delete residue before touching data, that
+    * sequence cannot happen. Read paths deliberately do NOT heal — a
+    * half-swapped shard reads as missing rows, which [[verifyShards]]
+    * calls out loudly, and a reader must not mutate. */
+  private[graft] def recoverDelete(spark: SparkSession, dir: String): Unit = {
     IndexOps.recoverSwap(spark, manifestDir(dir))
     IndexOps.recoverSwap(spark, dataDir(dir))
     val (fs, _) = fsPath(spark, dir)

@@ -941,16 +941,33 @@ object StreamingIngest {
     *    id, so a replayed batch re-checks the same subset) attests
     *    shards `(c·k + i) mod nShards`, i < k — every shard is attested
     *    once per `nShards/k` checks and no single check scans more than
-    *    k shards' bytes. */
+    *    k shards' bytes;
+    *  - `applyDeletesFrom` (a directory path): the in-loop TAKEDOWN —
+    *    the sanctioned way to run [[graft.operators.Export
+    *    .deleteIdsFromExport]] against a live stream's export without
+    *    stopping the stream (the batch delete's quiesce rule exists
+    *    because a delete RACING an append can lose the append's files
+    *    with the parked shard; running the delete inside the loop, at
+    *    batch entry, is what removes the race). The operator drops
+    *    id-list parquet files (carrying `idCol`) into the directory;
+    *    each batch applies every pending list before its own rows land
+    *    and then moves the consumed lists to an `_applied/` subdir.
+    *    Crash anywhere: re-application is IDEMPOTENT (absent ids are
+    *    ignored; an applied-but-not-consumed list re-applies as a
+    *    metadata-only no-op), and a crash inside the delete's own swap
+    *    is healed by the next batch's entry recovery — before any
+    *    append can land in a displaced shard directory. */
   def shardedExportStream(stream: DataFrame, dir: String, checkpoint: String,
       idCol: String, checksumCols: Seq[String],
       compactAtFiles: Int = 0, verifyEvery: Int = 0,
       targetRowsPerFile: Long = 4L * 1000 * 1000,
-      verifyShardsPerCheck: Int = 0): DataStreamWriter[Row] =
+      verifyShardsPerCheck: Int = 0,
+      applyDeletesFrom: String = ""): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         exportShardBatch(batch.toDF(), batchId, dir, idCol, checksumCols,
-          compactAtFiles, verifyEvery, targetRowsPerFile, verifyShardsPerCheck)
+          compactAtFiles, verifyEvery, targetRowsPerFile, verifyShardsPerCheck,
+          applyDeletesFrom)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -960,22 +977,59 @@ object StreamingIngest {
       compactAtFiles: Int = 0, verifyEvery: Int = 0,
       targetRowsPerFile: Long = 4L * 1000 * 1000,
       verifyShardsPerCheck: Int = 0,
+      applyDeletesFrom: String = "",
       failAfterStep: Int = Int.MaxValue): Unit = {
     import graft.operators.{Export, IndexOps}
     val spark = batch.sparkSession
     def failpoint(n: Int): Unit = if (failAfterStep == n)
       throw new IllegalStateException(s"exportShardBatch: test failpoint after step $n")
-    // a crash mid-swap (manifest advance, or the in-loop compactExport
-    // below) leaves a live dir renamed away; finish/roll back BEFORE
-    // anything reads — UNCONDITIONALLY, like curateTextBatch: the
-    // post-commit maintenance runs on replays of committed batches too,
-    // so a crash inside ITS swap must be healed on a replay whose
-    // isCommitted check would skip the write path entirely
-    IndexOps.recoverSwap(spark, Export.manifestDir(dir))
-    IndexOps.recoverSwap(spark, Export.dataDir(dir))
+    // a crash mid-swap (manifest advance, the in-loop compactExport
+    // below, or an in-loop takedown's per-shard swap) leaves a live dir
+    // renamed away; finish/roll back BEFORE anything reads —
+    // UNCONDITIONALLY, like curateTextBatch: the post-commit
+    // maintenance runs on replays of committed batches too, so a crash
+    // inside ITS swap must be healed on a replay whose isCommitted
+    // check would skip the write path entirely. recoverDelete also
+    // rolls back a crashed takedown's parked shards BEFORE this batch
+    // can append into a displaced shard directory (a recreated live
+    // dir would make a later rollback read the half-done swap as
+    // complete and wipe the parked original)
+    Export.recoverDelete(spark, dir)
     // hash placement is recomputed per batch — refuse an export stamped
     // `assigned` (balancedShards layout) before the first byte lands
     Export.requireHashPlacement(spark, dir, "shardedExportStream")
+    // in-loop takedown: apply pending id-list deletes BEFORE this
+    // batch's rows land — at entry there is provably no append racing
+    // the delete's per-shard swaps, which is the whole point of running
+    // takedowns inside the loop instead of against a live stream
+    if (applyDeletesFrom.nonEmpty) {
+      val pend = new org.apache.hadoop.fs.Path(applyDeletesFrom)
+      val fs = pend.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(pend)) {
+        // a list is any non-hidden entry: a bare parquet file, or the
+        // directory `df.write.parquet` produces
+        val lists = fs.listStatus(pend)
+          .filter(st => !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(_.getPath)
+        if (lists.nonEmpty) {
+          val ids = spark.read.parquet(lists.map(_.toString): _*).select(idCol)
+          Export.deleteIdsFromExport(spark, dir, ids, idCol, checksumCols)
+          failpoint(4)
+          // consume only AFTER the delete completed: a crash in the
+          // window re-applies the same lists next batch — idempotent,
+          // absent ids are ignored
+          val applied = new org.apache.hadoop.fs.Path(pend, "_applied")
+          fs.mkdirs(applied)
+          lists.foreach { p =>
+            require(fs.rename(p,
+                new org.apache.hadoop.fs.Path(applied, p.getName)),
+              s"exportShardBatch: consuming applied delete list $p failed")
+          }
+          failpoint(5)
+        }
+      }
+    }
     if (!isCommitted(spark, dir, batchId)) {
       val old = Export.readManifest(spark, dir)
       val nShards = old.count().toInt

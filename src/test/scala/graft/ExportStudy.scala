@@ -254,6 +254,40 @@ object ExportStudy {
       Export.deleteFromExport(spark, out, col("payload") < 1000, cs)))
     }
 
+    if (want("verify")) {
+    // -- tiered attestation: full vs subset vs counts (r13) -----------
+    // One 20M-row 64-shard export, three attestation tiers over the
+    // same bytes. The cost model the tiers exist for: the subset scans
+    // k/64 of the corpus, the count check decodes no data column at
+    // all (parquet answers from file metadata), the full replay is the
+    // O(corpus) floor. All three are pure reads — one build serves all.
+    val big = spark.range(20L * 1000 * 1000).select(
+      col("id").as("doc_id"),
+      pmod(xxhash64(col("id"), lit(7L)), lit(100000L)).as("payload"))
+    val nSh = 64
+    val out = "/tmp/graft_export_study/verify"
+    val cs = Seq("doc_id", "payload")
+    new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(out), true)
+    Export.shardedWrite(spark, big, "doc_id", cs, nSh, out)
+    def verifyCell(name: String, act: => Unit): Unit = {
+      var bestC = Double.MaxValue; var bestW = Double.MaxValue
+      for (_ <- 1 to 3) {
+        quiesce(); val c0 = cpu.sum(); val w0 = System.nanoTime()
+        act
+        val w1 = System.nanoTime(); quiesce(); val c1 = cpu.sum()
+        bestC = math.min(bestC, (c1 - c0) / 1e9)
+        bestW = math.min(bestW, (w1 - w0) / 1e9)
+      }
+      println(f"range20M   $name%-22s $bestC%7.2fs $bestW%7.2fs")
+    }
+    verifyCell("verify: full", Export.verifyShards(spark, out, cs))
+    verifyCell("verify: subset(8/64)",
+      Export.verifyShardSubset(spark, out, cs, 0 until 8))
+    verifyCell("verify: counts", Export.verifyShardCounts(spark, out))
+    }
+
     if (want("nparts")) {
     // -- balancedShards nParts: pure parallelism, invariant answer ---
     val big = spark.range(20L * 1000 * 1000).select(

@@ -866,6 +866,34 @@ class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     Export.verifyShards(spark, a, csCols)
   }
 
+  test("delete residue is healed at any writer entry before new files can land") {
+    // the hazard: a crashed delete parked shard K (live dir missing);
+    // if an append recreated shard K FIRST, a later rollback would read
+    // the half-done swap as complete and wipe the parked original —
+    // losing every pre-delete row of the shard. Every writer entry now
+    // heals the residue before touching data.
+    val dir = tmp("del_heal")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 8, dir)
+    val vShard = Export.shardAssign(docs.filter(col("doc_id") === 7),
+      "doc_id", 8).select("shard").as[Int].head()
+    val removed = new java.io.File(Export.dataDir(dir) + ".delete.tmp/.removed")
+    assert(removed.mkdirs())
+    val liveShard = new java.io.File(Export.dataDir(dir), s"shard=$vShard")
+    assert(liveShard.renameTo(new java.io.File(removed, s"shard=$vShard")))
+    spark.catalog.refreshByPath(dir)
+    // appendShards heals (restores the parked shard) BEFORE appending
+    Export.appendShards(spark,
+      spark.range(300, 320).select(col("id").as("doc_id"),
+        lit("x").as("text"), lit("en").as("lang"), lit(1L).as("n_tokens")),
+      "doc_id", csCols, dir)
+    assert(!new java.io.File(Export.dataDir(dir) + ".delete.tmp").exists,
+      "append entry must heal and clear the delete staging")
+    // nothing lost: all 200 original rows plus the 20 appended
+    assert(Export.readShards(spark, dir).count() == 220)
+    assert(Export.readShards(spark, dir).filter(col("doc_id") === 7).count() == 1)
+    Export.verifyShards(spark, dir, csCols)
+  }
+
   test("deleteIdsFromExport: id-list takedown rewrites only the ids' own shards") {
     val dir = tmp("del_ids")
     Export.shardedWrite(spark, docs, "doc_id", csCols, 8, dir)

@@ -324,6 +324,40 @@ class ExportStreamSpec extends SparkSpec {
     // the failure is the attestation, pointing at the corruption
   }
 
+  test("in-loop takedown: pending id lists applied before the batch lands, crash-idempotent") {
+    val dir = tmp("exps_takedown")
+    val pend = Files.createTempDirectory("exps_pend").toString
+    bootstrap(dir, 4)
+    StreamingIngest.exportShardBatch(docsRange(60, 100), 0L, dir, "doc_id", csCols,
+      applyDeletesFrom = pend)
+    // the operator drops an id list; the next batch applies it FIRST
+    Seq(5L, 63L, 9999L).toDF("doc_id").write.parquet(s"$pend/takedown_1")
+    StreamingIngest.exportShardBatch(docsRange(100, 120), 1L, dir, "doc_id", csCols,
+      applyDeletesFrom = pend)
+    val back = Export.readShards(spark, dir)
+    assert(back.count() == 118) // 120 ingested − 2 present victims (9999 absent)
+    assert(back.filter(col("doc_id").isin(5L, 63L)).isEmpty)
+    Export.verifyShards(spark, dir, csCols)
+    // the list was consumed into _applied — batch 2 has nothing to apply
+    assert(!new java.io.File(pend, "takedown_1").exists)
+    assert(new java.io.File(s"$pend/_applied/takedown_1").exists)
+    // crash AFTER the delete, BEFORE consuming the list: the replay
+    // re-applies idempotently (absent ids ignored) and then consumes
+    Seq(70L).toDF("doc_id").write.parquet(s"$pend/takedown_2")
+    intercept[IllegalStateException] {
+      StreamingIngest.exportShardBatch(docsRange(120, 140), 2L, dir, "doc_id", csCols,
+        applyDeletesFrom = pend, failAfterStep = 4)
+    }
+    assert(new java.io.File(pend, "takedown_2").exists, "crash before consume")
+    StreamingIngest.exportShardBatch(docsRange(120, 140), 2L, dir, "doc_id", csCols,
+      applyDeletesFrom = pend)
+    val after = Export.readShards(spark, dir)
+    assert(after.count() == 137) // 140 − {5, 63, 70}
+    assert(after.filter(col("doc_id") === 70L).isEmpty)
+    assert(new java.io.File(s"$pend/_applied/takedown_2").exists)
+    Export.verifyShards(spark, dir, csCols)
+  }
+
   test("rotating subset attestation reaches a corrupted shard within one rotation") {
     val dir = tmp("exps_rotate")
     bootstrap(dir, 4)
