@@ -681,15 +681,33 @@ object StreamingIngest {
     * the loop, between micro-batches. Each batch also runs inside
     * [[graft.operators.Checkpoints.scoped]], so the eager checkpoint
     * blocks the curate operators pin are released when the batch
-    * commits — storage stays flat across an unbounded run. */
+    * commits — storage stays flat across an unbounded run.
+    *
+    * TAKEDOWN: `applyDeletesFrom` (a directory path) is the curate
+    * loops' in-loop right-to-be-forgotten — the twin of the export
+    * sink's knob, applied strictly AFTER each batch commits: every
+    * pending id-list parquet file/dir is applied to BOTH halves of the
+    * curated state (the store at `outDir` by a staged marker-preserving
+    * rewrite; the index by the layout-preserving
+    * [[graft.operators.IndexOps.deleteSwap]] family, centroid rule
+    * included for IVF), then consumed into `_applied/`. The sidecar's
+    * content-free (id, batch_id) tombstones are deliberately KEPT,
+    * which makes this takedown FORWARD-FILTERING: a deleted id
+    * re-arriving in a later micro-batch is rejected by the id screen
+    * instead of re-admitted — stronger than the export sink's
+    * point-in-time contract, and exactly what the sidecar's tombstone
+    * design was for. Crash-idempotent at every point (re-application
+    * no-ops on both halves; a crash inside either swap heals at the
+    * next batch's entry recovery). */
   def curateIngestStream(stream: DataFrame, indexDir: String, outDir: String,
       checkpoint: String, idCol: String, textCol: String,
       gate: DataFrame => DataFrame, minAgree: Int = 8,
-      compactAtFiles: Int = 0): DataStreamWriter[Row] =
+      compactAtFiles: Int = 0,
+      applyDeletesFrom: String = ""): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         curateTextBatch(batch.toDF(), batchId, indexDir, outDir, idCol,
-          textCol, gate, minAgree, compactAtFiles)
+          textCol, gate, minAgree, compactAtFiles, applyDeletesFrom)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -714,11 +732,12 @@ object StreamingIngest {
       outDir: String, checkpoint: String, idCol: String, vecCol: String,
       minMicro: Long,
       gate: DataFrame => DataFrame = df => df,
-      compactAtFiles: Int = 0): DataStreamWriter[Row] =
+      compactAtFiles: Int = 0,
+      applyDeletesFrom: String = ""): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         curateEmbeddingBatch(batch.toDF(), batchId, indexDir, outDir, idCol,
-          vecCol, minMicro, gate, compactAtFiles)
+          vecCol, minMicro, gate, compactAtFiles, applyDeletesFrom)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -882,6 +901,79 @@ object StreamingIngest {
     IndexOps.swapDirs(spark, dir, tmp)
   }
 
+  /** Post-commit in-loop takedown shared by the three curate loops —
+    * the FORWARD-FILTERING counterpart of the export sink's
+    * `applyDeletesFrom`: pending id lists are applied to BOTH halves of
+    * the curated state (the curated store at `outDir`, the index at
+    * `indexDir` via the layout-preserving
+    * [[graft.operators.IndexOps.deleteSwap]] family), while the
+    * sidecar's (id, batch_id) rows are deliberately KEPT — they carry
+    * no content, and they are exactly what upgrades this takedown from
+    * point-in-time to forward-filtering: a deleted id RE-ARRIVING in a
+    * later micro-batch is rejected by the id screen instead of
+    * re-admitted (the export sink has no id screen, so its takedown is
+    * point-in-time by contract).
+    *
+    * Store half: staged rewrite minus the listed ids, swapped in place
+    * with the `_graft_commits` markers COPIED into the staging first —
+    * swapping them away would make every committed batch replay its
+    * write path. Skipped when no listed id is present (the
+    * re-application path after a crash between halves). A takedown
+    * that would empty the whole store is refused, like [[graft
+    * .operators.IndexOps.deleteSwap]]'s same rule for the index.
+    * Index half: no-op when the ids are already gone. Lists are
+    * consumed into `_applied/` only after BOTH halves; every
+    * re-application is idempotent, and a crash inside either half's
+    * swap is healed by the next batch's entry recovery. */
+  private def applyCurateDeletes(spark: org.apache.spark.sql.SparkSession,
+      pendDir: String, outDir: String, idCol: String,
+      indexDelete: DataFrame => Long, failpoint: Int => Unit): Unit = {
+    import graft.operators.IndexOps
+    if (pendDir.isEmpty) return
+    val pend = new org.apache.hadoop.fs.Path(pendDir)
+    val fs = pend.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(pend)) return
+    // a list is any non-hidden entry: a bare parquet file, or the
+    // directory `df.write.parquet` produces
+    val lists = fs.listStatus(pend)
+      .filter(st => !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    if (lists.isEmpty) return
+    val ids = spark.read.parquet(lists.map(_.toString): _*)
+      .select(idCol).distinct()
+    val out = spark.read.parquet(outDir)
+    if (!out.join(ids, Seq(idCol), "left_semi").isEmpty) {
+      val survivors = out.join(ids, Seq(idCol), "left_anti")
+      require(!survivors.isEmpty,
+        s"applyCurateDeletes: the takedown would empty the curated store " +
+          s"at $outDir — delete the directory (and restart when there is " +
+          "content) instead of swapping in an unreadable empty one")
+      val tmp = outDir + ".delete.tmp"
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      survivors.write.parquet(tmp)
+      val markers = new org.apache.hadoop.fs.Path(outDir + "/_graft_commits")
+      if (fs.exists(markers)) {
+        val dstM = new org.apache.hadoop.fs.Path(tmp + "/_graft_commits")
+        fs.mkdirs(dstM)
+        fs.listStatus(markers).foreach { st =>
+          fs.create(new org.apache.hadoop.fs.Path(dstM, st.getPath.getName),
+            true).close()
+        }
+      }
+      IndexOps.swapDirs(spark, outDir, tmp)
+    }
+    failpoint(5)
+    indexDelete(ids)
+    failpoint(6)
+    val applied = new org.apache.hadoop.fs.Path(pend, "_applied")
+    fs.mkdirs(applied)
+    lists.foreach { p =>
+      require(fs.rename(p, new org.apache.hadoop.fs.Path(applied, p.getName)),
+        s"applyCurateDeletes: consuming applied delete list $p failed")
+    }
+  }
+
   /** One micro-batch of [[curateIngestStream]] — exposed for the spec's
     * crash-window replays. `failAfterStep` (1 = after the outDir
     * publish, 2 = after the sidecar publish, 3 = after the index
@@ -946,17 +1038,22 @@ object StreamingIngest {
     *    the sanctioned way to run [[graft.operators.Export
     *    .deleteIdsFromExport]] against a live stream's export without
     *    stopping the stream (the batch delete's quiesce rule exists
-    *    because a delete RACING an append can lose the append's files
-    *    with the parked shard; running the delete inside the loop, at
-    *    batch entry, is what removes the race). The operator drops
-    *    id-list parquet files (carrying `idCol`) into the directory;
-    *    each batch applies every pending list before its own rows land
-    *    and then moves the consumed lists to an `_applied/` subdir.
-    *    Crash anywhere: re-application is IDEMPOTENT (absent ids are
-    *    ignored; an applied-but-not-consumed list re-applies as a
-    *    metadata-only no-op), and a crash inside the delete's own swap
-    *    is healed by the next batch's entry recovery — before any
-    *    append can land in a displaced shard directory. */
+    *    because a delete RACING an append can interleave with the
+    *    per-shard swaps; inside the loop the delete runs strictly
+    *    BETWEEN committed batches, so nothing races). The operator
+    *    drops id-list parquet files/dirs (carrying `idCol`) into the
+    *    directory; after each batch COMMITS, every pending list is
+    *    applied and then moved to an `_applied/` subdir. Post-commit
+    *    placement is load-bearing: applied at entry, a crashed
+    *    UNCOMMITTED batch's replay would overwrite its own batch-keyed
+    *    files and re-admit a just-deleted id against a manifest that
+    *    says deleted. Crash anywhere: re-application is IDEMPOTENT
+    *    (absent ids are ignored; an applied-but-not-consumed list
+    *    re-applies as a metadata-only no-op), and a crash inside the
+    *    delete's own swap is healed by the next batch's entry
+    *    recovery. A takedown is point-in-time — a listed id
+    *    re-arriving in a LATER batch is re-admitted (forward screening
+    *    is the source's or the curate loops' id-screen job). */
   def shardedExportStream(stream: DataFrame, dir: String, checkpoint: String,
       idCol: String, checksumCols: Seq[String],
       compactAtFiles: Int = 0, verifyEvery: Int = 0,
@@ -998,38 +1095,6 @@ object StreamingIngest {
     // hash placement is recomputed per batch — refuse an export stamped
     // `assigned` (balancedShards layout) before the first byte lands
     Export.requireHashPlacement(spark, dir, "shardedExportStream")
-    // in-loop takedown: apply pending id-list deletes BEFORE this
-    // batch's rows land — at entry there is provably no append racing
-    // the delete's per-shard swaps, which is the whole point of running
-    // takedowns inside the loop instead of against a live stream
-    if (applyDeletesFrom.nonEmpty) {
-      val pend = new org.apache.hadoop.fs.Path(applyDeletesFrom)
-      val fs = pend.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(pend)) {
-        // a list is any non-hidden entry: a bare parquet file, or the
-        // directory `df.write.parquet` produces
-        val lists = fs.listStatus(pend)
-          .filter(st => !st.getPath.getName.startsWith("_") &&
-            !st.getPath.getName.startsWith("."))
-          .map(_.getPath)
-        if (lists.nonEmpty) {
-          val ids = spark.read.parquet(lists.map(_.toString): _*).select(idCol)
-          Export.deleteIdsFromExport(spark, dir, ids, idCol, checksumCols)
-          failpoint(4)
-          // consume only AFTER the delete completed: a crash in the
-          // window re-applies the same lists next batch — idempotent,
-          // absent ids are ignored
-          val applied = new org.apache.hadoop.fs.Path(pend, "_applied")
-          fs.mkdirs(applied)
-          lists.foreach { p =>
-            require(fs.rename(p,
-                new org.apache.hadoop.fs.Path(applied, p.getName)),
-              s"exportShardBatch: consuming applied delete list $p failed")
-          }
-          failpoint(5)
-        }
-      }
-    }
     if (!isCommitted(spark, dir, batchId)) {
       val old = Export.readManifest(spark, dir)
       val nShards = old.count().toInt
@@ -1050,6 +1115,46 @@ object StreamingIngest {
       }
       failpoint(2)
       commitBatch(spark, dir, batchId)
+    }
+    // in-loop takedown, strictly AFTER the commit marker: applied here,
+    // a delete can only ever run against fully-committed generations —
+    // an entry-side application would open a re-admission window (a
+    // batch that crashed uncommitted replays by overwriting its own
+    // batch-keyed files, restoring a just-deleted id's bytes while the
+    // manifest says deleted). Post-commit, a replayed batch skips its
+    // write path and simply re-applies the pending lists (idempotent —
+    // absent ids are ignored); a crash inside the delete's own swap is
+    // healed by the next batch's entry recoverDelete. A list naming an
+    // id in THIS batch is honored (the batch landed first); a listed id
+    // RE-ARRIVING in a later micro-batch is re-admitted — a takedown is
+    // point-in-time, not a forward filter (forward screening is the
+    // source's or the curate loops' id-screen job).
+    if (applyDeletesFrom.nonEmpty) {
+      val pend = new org.apache.hadoop.fs.Path(applyDeletesFrom)
+      val fs = pend.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(pend)) {
+        // a list is any non-hidden entry: a bare parquet file, or the
+        // directory `df.write.parquet` produces
+        val lists = fs.listStatus(pend)
+          .filter(st => !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(_.getPath)
+        if (lists.nonEmpty) {
+          val ids = spark.read.parquet(lists.map(_.toString): _*).select(idCol)
+          Export.deleteIdsFromExport(spark, dir, ids, idCol, checksumCols)
+          failpoint(4)
+          // consume only AFTER the delete completed: a crash in the
+          // window re-applies the same lists next batch — idempotent
+          val applied = new org.apache.hadoop.fs.Path(pend, "_applied")
+          fs.mkdirs(applied)
+          lists.foreach { p =>
+            require(fs.rename(p,
+                new org.apache.hadoop.fs.Path(applied, p.getName)),
+              s"exportShardBatch: consuming applied delete list $p failed")
+          }
+          failpoint(5)
+        }
+      }
     }
     // maintenance runs strictly AFTER the commit marker (a replayed
     // committed batch still runs it): a crash anywhere inside is
@@ -1093,15 +1198,20 @@ object StreamingIngest {
   private[graft] def curateTextBatch(batch: DataFrame, batchId: Long,
       indexDir: String, outDir: String, idCol: String, textCol: String,
       gate: DataFrame => DataFrame, minAgree: Int, compactAtFiles: Int,
+      applyDeletesFrom: String = "",
       failAfterStep: Int = Int.MaxValue): Unit = {
     import graft.operators.{Checkpoints, Dedup, IndexOps}
     val spark = batch.sparkSession
     IndexOps.recoverSwap(spark, indexDir)
     IndexOps.recoverSwap(spark, idSidecarDir(indexDir))
-    if (isCommitted(spark, outDir, batchId)) return
-    ensureSidecar(spark, indexDir, idCol)
+    IndexOps.recoverSwap(spark, outDir)
     def failpoint(n: Int): Unit = if (failAfterStep == n)
       throw new IllegalStateException(s"curateTextBatch: test failpoint after step $n")
+    def applyDeletes(): Unit =
+      applyCurateDeletes(spark, applyDeletesFrom, outDir, idCol,
+        ids => IndexOps.deleteSwapMinhash(spark, indexDir, idCol, ids), failpoint)
+    if (isCommitted(spark, outDir, batchId)) { applyDeletes(); return }
+    ensureSidecar(spark, indexDir, idCol)
     Checkpoints.scoped(spark) {
       val outCols = batch.columns.map(col).toIndexedSeq
       val index = spark.read.parquet(indexDir)
@@ -1133,6 +1243,9 @@ object StreamingIngest {
     }
     maintainIndex(spark, indexDir, compactAtFiles,
       graft.operators.IndexOps.compactSwapMinhash(spark, _))
+    // post-commit in-loop takedown (forward-filtering: the sidecar
+    // tombstones screen a re-arriving deleted id out)
+    applyDeletes()
   }
 
   /** One micro-batch of [[curateEmbeddingIngestStream]] — same
@@ -1140,15 +1253,20 @@ object StreamingIngest {
   private[graft] def curateEmbeddingBatch(batch: DataFrame, batchId: Long,
       indexDir: String, outDir: String, idCol: String, vecCol: String,
       minMicro: Long, gate: DataFrame => DataFrame, compactAtFiles: Int,
+      applyDeletesFrom: String = "",
       failAfterStep: Int = Int.MaxValue): Unit = {
     import graft.operators.{Checkpoints, IndexOps, Similarity}
     val spark = batch.sparkSession
     IndexOps.recoverSwap(spark, indexDir)
     IndexOps.recoverSwap(spark, idSidecarDir(indexDir))
-    if (isCommitted(spark, outDir, batchId)) return
-    ensureSidecar(spark, indexDir, idCol)
+    IndexOps.recoverSwap(spark, outDir)
     def failpoint(n: Int): Unit = if (failAfterStep == n)
       throw new IllegalStateException(s"curateEmbeddingBatch: test failpoint after step $n")
+    def applyDeletes(): Unit =
+      applyCurateDeletes(spark, applyDeletesFrom, outDir, idCol,
+        ids => IndexOps.deleteSwapLsh(spark, indexDir, idCol, ids), failpoint)
+    if (isCommitted(spark, outDir, batchId)) { applyDeletes(); return }
+    ensureSidecar(spark, indexDir, idCol)
     Checkpoints.scoped(spark) {
       val outCols = batch.columns.map(col).toIndexedSeq
       val index = spark.read.parquet(indexDir)
@@ -1174,6 +1292,7 @@ object StreamingIngest {
     }
     maintainIndex(spark, indexDir, compactAtFiles,
       graft.operators.IndexOps.compactSwapLsh(spark, _))
+    applyDeletes()
   }
 
   /** One micro-batch of [[curateIvfIngestStream]] — same protocol,
@@ -1186,15 +1305,21 @@ object StreamingIngest {
       indexDir: String, outDir: String, idCol: String, vecCol: String,
       minMicro: Long, nProbe: Int, gate: DataFrame => DataFrame,
       compactAtFiles: Int, reclusterAtSkew: Double = 0.0,
+      applyDeletesFrom: String = "",
       failAfterStep: Int = Int.MaxValue): Unit = {
     import graft.operators.{Checkpoints, IndexOps, Similarity}
     val spark = batch.sparkSession
     IndexOps.recoverSwap(spark, indexDir)
     IndexOps.recoverSwap(spark, idSidecarDir(indexDir))
-    if (isCommitted(spark, outDir, batchId)) return
-    ensureSidecar(spark, indexDir, idCol)
+    IndexOps.recoverSwap(spark, outDir)
     def failpoint(n: Int): Unit = if (failAfterStep == n)
       throw new IllegalStateException(s"curateIvfBatch: test failpoint after step $n")
+    def applyDeletes(): Unit =
+      applyCurateDeletes(spark, applyDeletesFrom, outDir, idCol,
+        ids => IndexOps.deleteSwapIvf(spark, indexDir, idCol, vecCol, ids),
+        failpoint)
+    if (isCommitted(spark, outDir, batchId)) { applyDeletes(); return }
+    ensureSidecar(spark, indexDir, idCol)
     Checkpoints.scoped(spark) {
       val outCols = batch.columns.map(col).toIndexedSeq
       val index = spark.read.parquet(indexDir)
@@ -1247,6 +1372,7 @@ object StreamingIngest {
         failpoint(4)
       }
     }
+    applyDeletes()
   }
 
   /** The IVF twin of [[curateEmbeddingIngestStream]] — the same
@@ -1304,11 +1430,13 @@ object StreamingIngest {
       outDir: String, checkpoint: String, idCol: String, vecCol: String,
       minMicro: Long, nProbe: Int = 2,
       gate: DataFrame => DataFrame = df => df,
-      compactAtFiles: Int = 0, reclusterAtSkew: Double = 0.0): DataStreamWriter[Row] =
+      compactAtFiles: Int = 0, reclusterAtSkew: Double = 0.0,
+      applyDeletesFrom: String = ""): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         curateIvfBatch(batch.toDF(), batchId, indexDir, outDir, idCol,
-          vecCol, minMicro, nProbe, gate, compactAtFiles, reclusterAtSkew)
+          vecCol, minMicro, nProbe, gate, compactAtFiles, reclusterAtSkew,
+          applyDeletesFrom)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -324,25 +324,29 @@ class ExportStreamSpec extends SparkSpec {
     // the failure is the attestation, pointing at the corruption
   }
 
-  test("in-loop takedown: pending id lists applied before the batch lands, crash-idempotent") {
+  test("in-loop takedown: pending id lists applied between committed batches, crash-idempotent") {
     val dir = tmp("exps_takedown")
     val pend = Files.createTempDirectory("exps_pend").toString
     bootstrap(dir, 4)
     StreamingIngest.exportShardBatch(docsRange(60, 100), 0L, dir, "doc_id", csCols,
       applyDeletesFrom = pend)
-    // the operator drops an id list; the next batch applies it FIRST
-    Seq(5L, 63L, 9999L).toDF("doc_id").write.parquet(s"$pend/takedown_1")
+    // the operator drops an id list; the next batch applies it strictly
+    // AFTER its own rows commit — so a listed id in THAT batch (105) is
+    // honored too, alongside ids from earlier generations (5, 63)
+    Seq(5L, 63L, 105L, 9999L).toDF("doc_id").write.parquet(s"$pend/takedown_1")
     StreamingIngest.exportShardBatch(docsRange(100, 120), 1L, dir, "doc_id", csCols,
       applyDeletesFrom = pend)
     val back = Export.readShards(spark, dir)
-    assert(back.count() == 118) // 120 ingested − 2 present victims (9999 absent)
-    assert(back.filter(col("doc_id").isin(5L, 63L)).isEmpty)
+    assert(back.count() == 117) // 120 ingested − 3 present victims (9999 absent)
+    assert(back.filter(col("doc_id").isin(5L, 63L, 105L)).isEmpty)
     Export.verifyShards(spark, dir, csCols)
     // the list was consumed into _applied — batch 2 has nothing to apply
     assert(!new java.io.File(pend, "takedown_1").exists)
     assert(new java.io.File(s"$pend/_applied/takedown_1").exists)
-    // crash AFTER the delete, BEFORE consuming the list: the replay
-    // re-applies idempotently (absent ids ignored) and then consumes
+    // crash AFTER the delete, BEFORE consuming the list: batch 2 is
+    // already committed (the delete runs post-commit), so the replay
+    // skips its write path, re-applies idempotently (absent ids
+    // ignored) and then consumes
     Seq(70L).toDF("doc_id").write.parquet(s"$pend/takedown_2")
     intercept[IllegalStateException] {
       StreamingIngest.exportShardBatch(docsRange(120, 140), 2L, dir, "doc_id", csCols,
@@ -352,7 +356,7 @@ class ExportStreamSpec extends SparkSpec {
     StreamingIngest.exportShardBatch(docsRange(120, 140), 2L, dir, "doc_id", csCols,
       applyDeletesFrom = pend)
     val after = Export.readShards(spark, dir)
-    assert(after.count() == 137) // 140 − {5, 63, 70}
+    assert(after.count() == 136) // 140 − {5, 63, 105, 70}
     assert(after.filter(col("doc_id") === 70L).isEmpty)
     assert(new java.io.File(s"$pend/_applied/takedown_2").exists)
     Export.verifyShards(spark, dir, csCols)

@@ -884,6 +884,78 @@ class StreamingIngestSpec extends SparkSpec {
       .filter(col("vec_id") === 201L).count() == 4L, "4 table rows, not 8")
   }
 
+  test("in-loop curate takedown: store+index purged, tombstone screens re-arrival, crash-idempotent") {
+    import graft.operators.Dedup
+    val storeA = "the quick brown fox jumps over a lazy dog near the river bank"
+    val storeB = "a merchant of venice sailed in the morning tide carrying spice and silk"
+    val novelC = "seven engineers of the valley debugged a streaming pipeline in the night"
+    val novelD = "nine ravens of the tower guarded a rusty crown in the rain"
+    val novelE = "four sailors of the delta charted a shallow reef before the storm"
+    val novelF = "two owls of the orchard counted a hundred silver moths at dusk"
+    val store = Seq((1L, storeA), (2L, storeB)).toDF("doc_id", "text")
+    val indexDir = tmp("graft-takedown-index")
+    val outDir = tmp("graft-takedown-out")
+    val pend = tmp("graft-takedown-pend")
+    Dedup.minhashIndex(store, "doc_id", "text")
+      .write.mode("overwrite").partitionBy("band").parquet(indexDir)
+    val noGate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df => df
+    def run(df: org.apache.spark.sql.DataFrame, id: Long,
+        failAfter: Int = Int.MaxValue): Unit =
+      StreamingIngest.curateTextBatch(df, id, indexDir, outDir,
+        "doc_id", "text", noGate, 8, 0, applyDeletesFrom = pend,
+        failAfterStep = failAfter)
+    def outIds: Seq[Long] =
+      spark.read.parquet(outDir).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    def indexIds: Seq[Long] = spark.read.parquet(indexDir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    def sidecarIds: Seq[Long] = spark.read.parquet(StreamingIngest.idSidecarDir(indexDir))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    run(Seq((101L, novelC), (102L, novelD)).toDF("doc_id", "text"), 0L)
+    assert(outIds == Seq(101L, 102L))
+    // takedown 101 (and an absent id); applied after batch 1 commits
+    Seq(101L, 9999L).toDF("doc_id").write.parquet(s"$pend/take1")
+    run(Seq((103L, novelE)).toDF("doc_id", "text"), 1L)
+    assert(outIds == Seq(102L, 103L), "deleted id purged from the store")
+    assert(indexIds == Seq(1L, 2L, 102L, 103L), "signature rows purged from the index")
+    assert(sidecarIds == Seq(1L, 2L, 101L, 102L, 103L),
+      "the sidecar keeps 101's content-free tombstone")
+    assert(new java.io.File(s"$pend/_applied/take1").exists, "list consumed")
+    // FORWARD FILTER: the deleted id re-arriving is rejected by the id
+    // screen — not re-admitted even though its content left the index
+    run(Seq((101L, novelC)).toDF("doc_id", "text"), 2L)
+    assert(outIds == Seq(102L, 103L), "tombstone screens the re-arrival out")
+    // crash between the halves (store swapped, index not yet): the
+    // replay of the committed batch re-applies — store skips (no
+    // match), the index half completes, the list is consumed
+    Seq(102L).toDF("doc_id").write.parquet(s"$pend/take2")
+    intercept[IllegalStateException] {
+      run(Seq((301L, novelF)).toDF("doc_id", "text"), 3L, failAfter = 5)
+    }
+    assert(outIds == Seq(103L, 301L), "store half landed before the crash")
+    assert(indexIds.contains(102L), "index half not yet applied")
+    assert(new java.io.File(s"$pend/take2").exists, "list not yet consumed")
+    run(Seq((301L, novelF)).toDF("doc_id", "text"), 3L)
+    assert(outIds == Seq(103L, 301L))
+    assert(indexIds == Seq(1L, 2L, 103L, 301L))
+    assert(new java.io.File(s"$pend/_applied/take2").exists)
+    // crash after both halves, before consume: the replay no-ops both
+    // and consumes
+    Seq(103L).toDF("doc_id").write.parquet(s"$pend/take3")
+    intercept[IllegalStateException] {
+      run(Seq((401L, novelC)).toDF("doc_id", "text"), 4L, failAfter = 6)
+    }
+    assert(new java.io.File(s"$pend/take3").exists)
+    run(Seq((401L, novelC)).toDF("doc_id", "text"), 4L)
+    assert(outIds == Seq(301L, 401L),
+      "103 purged; 401 carries deleted-content C under a NEW id — content " +
+        "left the index with the takedown, so it is admitted fresh (the " +
+        "tombstone screens ids, not content; that is the contract)")
+    assert(indexIds == Seq(1L, 2L, 301L, 401L))
+    assert(new java.io.File(s"$pend/_applied/take3").exists)
+    assert(sidecarIds == Seq(1L, 2L, 101L, 102L, 103L, 301L, 401L))
+  }
+
   test("curate stream compaction trigger: mid-stream compaction preserves results, shrinks files") {
     import graft.operators.{Dedup, IndexOps}
     val store = Seq(
@@ -1101,6 +1173,41 @@ class StreamingIngestSpec extends SparkSpec {
       "replayed id and zero-norm vector must both be rejected")
     assert(spark.read.parquet(indexDir).count() == grown.count(),
       "re-arrival must not grow the index")
+  }
+
+  test("in-loop IVF takedown: member and centroid-anchor ids leave index and store") {
+    import graft.operators.Similarity
+    val store = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(-0.8f, 0.3f, 0.1f, -0.6f))).toDF("vec_id", "embedding")
+    val indexDir = tmp("graft-ivftake-index")
+    val outDir = tmp("graft-ivftake-out")
+    val pend = tmp("graft-ivftake-pend")
+    Similarity.ivfIndex(store, "vec_id", "embedding", nCells = 2, dims = 4)
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingIngest.curateIvfBatch(df, id, indexDir, outDir,
+        "vec_id", "embedding", 900000L, 2, x => x, 0,
+        applyDeletesFrom = pend)
+    run(Seq((101L, Array(0.0f, 1.0f, -0.4f, 0.3f))).toDF("vec_id", "embedding"), 0L)
+    assert(spark.read.parquet(outDir).count() == 1)
+    // take down 101 (a member) AND 1 (a bootstrap id that may anchor a
+    // centroid — the deleteSwapIvf centroid rule applies in-loop)
+    Seq(101L, 1L).toDF("vec_id").write.parquet(s"$pend/take")
+    run(Seq((201L, Array(0.7f, -0.7f, 0.1f, 0.0f))).toDF("vec_id", "embedding"), 1L)
+    val ix = spark.read.parquet(indexDir)
+    assert(ix.filter(col("vec_id").isin(1L, 101L)).isEmpty,
+      "deleted ids gone from the index, centroid anchors included")
+    assert(spark.read.parquet(outDir)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(201L))
+    // probes still bind on the rebuilt index: the survivor is findable
+    val probe = Similarity.ivfIndexProbeAuto(
+      Seq((901L, Array(-0.8f, 0.3f, 0.1f, -0.6f))).toDF("vec_id", "embedding"),
+      ix, "vec_id", "embedding", k = 3, nProbe = 2)
+    assert(probe.filter(col("neighbor_id") === 2L).count() >= 1,
+      "surviving store vector still matched post-takedown")
+    assert(probe.filter(col("neighbor_id").isin(1L, 101L)).isEmpty,
+      "deleted ids are probe-invisible")
   }
 
   test("in-loop recluster fires on cell skew, crash-replay safe, screen intact") {
