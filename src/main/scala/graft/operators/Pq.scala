@@ -1,0 +1,366 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Product quantization: similarity search in the COMPRESSED domain —
+  * the ANN memory/scan-bandwidth path that matters precisely at
+  * 100 TB, where even IVF's partition pruning still reads raw vectors
+  * (a 768-dim float32 embedding is 3 KB; its PQ code at 96 subspaces
+  * is 96 BYTES — a 32× reduction in what the rerank scan fetches,
+  * decodes, and holds).
+  *
+  * The pieces (each bit-identical to the DuckDB oracle, see
+  * [[graft.functions.PqCodes]] for the arithmetic contract):
+  *
+  *  - [[pqCodebook]]: per-subspace codewords. The default (iters = 0)
+  *    rule is the engine's established sampled-anchor form ("first k
+  *    by `h60('pqcode:' || id)`, id tiebreak" — the [[Similarity
+  *    .ivfIndex]] centroid rule applied per subspace), which keeps the
+  *    whole pipeline reproducible on any engine from the row set
+  *    alone. `iters > 0` refines those same codewords with Lloyd
+  *    k-means on a bounded hash-ordered sample (driver-side —
+  *    codebook training is O(sample), independent of corpus scale);
+  *    still deterministic run-to-run, no longer SQL-portable, so the
+  *    oracle queries pin iters = 0 and [[graft.PqSpec]] covers the
+  *    refined form.
+  *  - [[pqEncode]]: one narrow corpus scan adding an nSub-byte
+  *    `binary` code column via the native codegen'd
+  *    [[graft.functions.PqEncode]] — codebook baked into the compiled
+  *    plan as a reference object (≤ a few hundred KB), no join, no
+  *    shuffle, no row explosion. The DataFrame-composed alternative
+  *    (corpus × codebook cross join + per-(row, sub) window argmin)
+  *    multiplies the corpus by nSub·k ROWS and shuffles it for the
+  *    window — the same trap [[graft.functions.MinHashSig]] removed
+  *    from the LSH build.
+  *  - [[pqTopKExhaustive]]: compressed-domain brute force — broadcast
+  *    the bounded query batch (each query carrying its nSub·k-entry
+  *    lookup table, built once per query by [[graft.functions
+  *    .PqLut]]), scan the codes, score by [[graft.functions.PqAdc]]
+  *    (nSub table lookups + integer adds per candidate instead of
+  *    `dims` float multiplies), k-cap with the map-side
+  *    [[Similarity.topKBy]] heap. The [[Similarity.bruteForceTopK]]
+  *    shape at 1/32 the scan bytes and a fraction of the arithmetic.
+  *  - [[pqIndex]] / [[pqProbe]]: IVF-PQ — [[Similarity.ivfIndex]]'s
+  *    cell layout storing CODES instead of raw vectors (raw vectors
+  *    survive only on the nCells centroid rows, for probe-time cell
+  *    ranking), probed with partition pruning to the nProbe cells and
+  *    ADC scoring inside them. Pruning bounds WHICH bytes are read;
+  *    PQ bounds HOW MANY bytes per row — independent multipliers.
+  *  - [[pqRerank]]: the standard two-stage finish — ADC top-R
+  *    candidates re-scored with exact cosine against a raw-vector
+  *    table (an id equi-join fetching R·|queries| vectors, not a
+  *    scan), re-ranked to top-k.
+  *
+  * Recall contract: ADC ranks by a QUANTIZED estimate of cosine — a
+  * true neighbor is demoted only by quantization error (bounded by
+  * per-subspace cell diameter, shrinking as k grows or Lloyd
+  * refinement tightens cells), and [[pqRerank]] restores exact order
+  * among the R survivors. There are no false positives in the rerank
+  * form. */
+object Pq {
+
+  /** The codebook sample's sort key: portable 60-bit hash of
+    * `"pqcode:" || id` — the oracle replicates it via
+    * [[graft.functions.Hashing.h60Sql]]. */
+  private def codeHashOrder(id: Column): Column =
+    Hashing.h60(concat(lit("pqcode:"), id.cast("string")))
+
+  /** [[codeHashOrder]] as DuckDB SQL (one definition, both engines). */
+  def codeHashOrderSql(idExpr: String): String =
+    Hashing.h60Sql(s"'pqcode:' || CAST($idExpr AS VARCHAR)")
+
+  /** Left-to-right double fold over two `array<double>` columns — the
+    * [[Similarity.dot]] contract at codebook (tiny-relation) scale,
+    * where interpreted higher-order functions are fine. */
+  private def doubleDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Per-subspace PQ codebook over `vecs`: `(sub, code, c_vec, cc)`
+    * with `c_vec` the normalized codeword (array<double>) and `cc` its
+    * self-dot (the encode rule's L2 bias term, precomputed once).
+    *
+    * `iters = 0` (default, oracle-portable): codeword `(s, j)` is
+    * subspace `s` of the j-th corpus vector in `(h60("pqcode:" || id),
+    * id)` order — k iid samples of each subspace's marginal
+    * distribution (per-subspace encode never uses cross-subspace
+    * structure, so sharing the k anchor rows across subspaces loses
+    * nothing). `iters > 0`: Lloyd refinement of those same initial
+    * codewords over a `sampleN` hash-ordered sample (collected —
+    * bounded, default 8192), empty clusters keeping their previous
+    * codeword; deterministic (fixed sample order, fixed iteration
+    * count, micro-floored argmax with code-id ties like the encode
+    * rule itself). */
+  def pqCodebook(vecs: DataFrame, idCol: String, vecCol: String, dims: Int,
+      nSub: Int, k: Int, iters: Int = 0, sampleN: Int = 8192): DataFrame = {
+    require(nSub >= 1 && dims % nSub == 0,
+      s"dims=$dims must be a multiple of nSub=$nSub")
+    require(k >= 1 && k <= 256, s"k=$k codes must fit a byte (1..256)")
+    require(iters >= 0 && sampleN >= k,
+      s"iters=$iters must be >= 0 and sampleN=$sampleN >= k=$k")
+    val dsub = dims / nSub
+    val n = vecs.select(col(idCol), col(vecCol),
+        Similarity.norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0)
+    if (iters == 0) {
+      val byHash = Window.orderBy(codeHashOrder(col(idCol)), col(idCol))
+      // k rows total after the limit — the lone unpartitioned window
+      // runs over k ≤ 256 rows, not the corpus
+      val samp = n.orderBy(codeHashOrder(col(idCol)), col(idCol)).limit(k)
+        .withColumn("code", (row_number().over(byHash) - 1))
+      samp.select(
+          explode(sequence(lit(0), lit(nSub - 1))).as("sub"),
+          col("code"), col(vecCol), col("nrm"))
+        .withColumn("c_vec", transform(
+          slice(col(vecCol), col("sub") * dsub + 1, lit(dsub)),
+          x => x.cast("double") / col("nrm")))
+        .withColumn("cc", doubleDot(col("c_vec"), col("c_vec")))
+        .select("sub", "code", "c_vec", "cc")
+        .orderBy("sub", "code")
+    } else {
+      // bounded driver sample in the SAME deterministic order; the
+      // first k rows are exactly the iters=0 codewords (Lloyd's init)
+      val rows = n.orderBy(codeHashOrder(col(idCol)), col(idCol)).limit(sampleN)
+        .select(col(vecCol), col("nrm")).collect()
+      val normed = rows.map { r =>
+        val v = r.getSeq[Float](0)
+        val nrm = r.getDouble(1)
+        v.map(_.toDouble / nrm).toArray
+      }
+      val spark = vecs.sparkSession
+      import spark.implicits._
+      (0 until nSub).flatMap { s =>
+        val subVecs = normed.map(_.slice(s * dsub, (s + 1) * dsub))
+        var cents = subVecs.take(k).map(_.clone())
+        for (_ <- 1 to iters) {
+          val sums = Array.fill(cents.length)(new Array[Double](dsub))
+          val counts = new Array[Long](cents.length)
+          val cc = cents.map(c => c.map(x => x * x).sum)
+          subVecs.foreach { x =>
+            var bestScore = Long.MinValue
+            var bestJ = 0
+            for (j <- cents.indices) {
+              var dot = 0.0
+              for (d <- 0 until dsub) dot += x(d) * cents(j)(d)
+              val score = math.floor(1e6 * (dot - 0.5 * cc(j))).toLong
+              if (score > bestScore) { bestScore = score; bestJ = j }
+            }
+            for (d <- 0 until dsub) sums(bestJ)(d) += x(d)
+            counts(bestJ) += 1
+          }
+          cents = cents.indices.map { j =>
+            if (counts(j) == 0) cents(j)
+            else sums(j).map(_ / counts(j))
+          }.toArray
+        }
+        cents.zipWithIndex.map { case (c, j) =>
+          (s, j, c.toSeq, c.map(x => x * x).sum)
+        }
+      }.toDF("sub", "code", "c_vec", "cc")
+    }
+  }
+
+  /** The codebook collected into the flat arrays the native
+    * expressions bake in: `(cb[(s·k+j)·dsub + d], cc[s·k+j], nSub,
+    * k)`. Bounded: nSub·k rows. Contiguity validated — a partial or
+    * duplicated codebook relation fails here, not as silent wrong
+    * codes. */
+  private def collectCodebook(codebook: DataFrame)
+      : (Array[Double], Array[Double], Int, Int) = {
+    val rows = codebook.select(col("sub").cast("int"), col("code").cast("int"),
+        col("c_vec"), col("cc").cast("double"))
+      .collect().sortBy(r => (r.getInt(0), r.getInt(1)))
+    require(rows.nonEmpty, "pq: empty codebook relation")
+    val nSub = rows.map(_.getInt(0)).max + 1
+    val k = rows.length / nSub
+    require(rows.length == nSub * k &&
+      rows.zipWithIndex.forall { case (r, i) =>
+        r.getInt(0) == i / k && r.getInt(1) == i % k },
+      s"pq: codebook is not a contiguous (sub, code) grid — " +
+        s"${rows.length} rows, max sub ${nSub - 1}")
+    val dsub = rows.head.getSeq[Double](2).length
+    val cb = new Array[Double](nSub * k * dsub)
+    val cc = new Array[Double](nSub * k)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val v = r.getSeq[Double](2)
+      require(v.length == dsub, "pq: ragged codeword lengths in codebook")
+      v.copyToArray(cb, i * dsub)
+      cc(i) = r.getDouble(3)
+    }
+    (cb, cc, nSub, k)
+  }
+
+  /** `df` plus an nSub-byte `binary` PQ code column (`outCol`) — one
+    * narrow scan, codebook baked into the plan. Degenerate vectors
+    * (null / wrong length / zero norm / null element) code as null. */
+  def pqEncode(df: DataFrame, codebook: DataFrame, vecCol: String,
+      outCol: String = "pq_codes"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val (cb, cc, nSub, _) = collectCodebook(codebook)
+    df.withColumn(outCol, ColumnBridge.column(graft.functions.PqEncode(
+      ColumnBridge.expression(col(vecCol)), cb, cc, nSub)))
+  }
+
+  /** The per-query ADC lookup-table column for `vecCol` under
+    * `codebook` — `array<double>` of nSub·k entries ([[graft.functions
+    * .PqLut]]); pair with [[adcScore]] on the candidate side. */
+  def pqLutCol(codebook: DataFrame, vecCol: String): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val (cb, _, nSub, k) = collectCodebook(codebook)
+    ColumnBridge.column(graft.functions.PqLut(
+      ColumnBridge.expression(col(vecCol)), cb, nSub, k))
+  }
+
+  /** ADC score (micro-cosine estimate, LONG) of a codes column against
+    * a lut column ([[graft.functions.PqAdc]]). */
+  def adcScore(codes: Column, lut: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.PqAdc(
+      ColumnBridge.expression(codes), ColumnBridge.expression(lut)))
+  }
+
+  /** Compressed-domain brute-force top-k: encode the corpus, broadcast
+    * the BOUNDED query batch with per-query lookup tables, ADC-score
+    * every (query, corpus) pair, heap-cap to k. One corpus scan at
+    * nSub bytes + nSub integer adds per candidate — the exact-scan
+    * [[Similarity.bruteForceTopK]] contract (queries ≪ corpus; the
+    * broadcast is |queries| · nSub·k doubles) with ~32× less scan IO
+    * and no float multiplies in the inner loop. Output:
+    * `(query_id, neighbor_id, pq_micro, rank)`, ranked by
+    * `(pq_micro desc, neighbor_id)`. An empty codebook (empty corpus)
+    * returns the empty result with the contract schema. */
+  def pqTopKExhaustive(queries: DataFrame, corpus: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    if (codebook.isEmpty)
+      return queries.select(col(idCol).as("query_id")).limit(0)
+        .crossJoin(corpus.select(col(idCol).as("neighbor_id")).limit(0))
+        .withColumn("pq_micro", lit(0L))
+        .withColumn("rank", lit(0L))
+    val encoded = pqEncode(corpus, codebook, vecCol)
+      .filter(col("pq_codes").isNotNull)
+      .select(col(idCol).as("neighbor_id"), col("pq_codes"))
+    val q = broadcast(queries
+      .withColumn("lut", pqLutCol(codebook, vecCol))
+      .filter(col("lut").isNotNull)
+      .select(col(idCol).as("query_id"), col("lut")))
+    encoded.crossJoin(q)
+      .withColumn("pq_micro", adcScore(col("pq_codes"), col("lut")))
+      .groupBy("query_id")
+      .agg(Similarity.topKBy(col("pq_micro"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").as("pq_micro"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  private def pqStampParams(nSub: Int, k: Int): Seq[(String, Int)] =
+    Seq("pq_sub" -> nSub, "pq_k" -> k)
+
+  /** IVF-PQ index: [[Similarity.ivfIndex]]'s cell-partitioned layout
+    * (same hash-ordered centroid rule, same `partitionBy("cell")`
+    * persistence contract, same stamp) with every member row carrying
+    * its nSub-byte CODE and only the nCells centroid rows keeping
+    * their raw vector + norm (probe-time cell ranking needs them; the
+    * 99.99% member rows do not). At 100 TB this is where the 32×
+    * byte reduction lands: the probe's pruned cell scan reads codes,
+    * not embeddings. Extra stamp: `pq_sub`, `pq_k` — [[pqProbe]]
+    * validates them against the codebook it is handed, so an index
+    * and codebook from different builds cannot silently mis-score. */
+  def pqIndex(vecs: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, nCells: Int, dims: Int): DataFrame = {
+    val (_, _, nSub, k) = collectCodebook(codebook)
+    val base = Similarity.ivfIndex(vecs, idCol, vecCol, nCells, dims)
+    IndexStamp.stamp(
+      pqEncode(base, codebook, vecCol)
+        .withColumn(vecCol, when(col("is_cent"), col(vecCol)))
+        .withColumn("nrm", when(col("is_cent"), col("nrm"))),
+      pqStampParams(nSub, k))
+  }
+
+  /** Probe an IVF-PQ index: rank the reconstructed centroids per query
+    * (exact cosine — centroid rows kept their raw vectors), collect
+    * the ≤ nCells probed-cell set and push it as a partition filter,
+    * then ADC-score only the probed cells' CODES against the query's
+    * lookup table, heap-capped to k. `maxCellRows` is the same
+    * probe-side skew cap as [[Similarity.ivfIndexProbe]]'s. Build
+    * parameters (ix_cells, ix_dims, pq_sub, pq_k) are validated
+    * against the stamp; a codebook whose shape disagrees with the
+    * index's stamp raises before any scoring. Output:
+    * `(query_id, neighbor_id, pq_micro, rank)` — feed [[pqRerank]]
+    * with k = R for the exact-rerank finish. */
+  def pqProbe(probes: DataFrame, index: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int, nCells: Int,
+      dims: Int, maxCellRows: Option[Int] = None): DataFrame = {
+    val (_, _, nSub, kCodes) = collectCodebook(codebook)
+    val validated = IndexStamp.validated(index,
+      Seq("ix_cells" -> nCells, "ix_dims" -> dims) ++ pqStampParams(nSub, kCodes),
+      "pqProbe")
+    val cents = broadcast(validated.filter(col("is_cent"))
+      .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"),
+        col("nrm").as("c_nrm")))
+    val q = probes.select(col(idCol), col(vecCol),
+        Similarity.norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0)
+    val byCloseness = Window.partitionBy(idCol)
+      .orderBy(col("cell_cos").desc, col("cell_id"))
+    val probeCells = q.crossJoin(cents)
+      .withColumn("cell_cos",
+        floor(lit(1e6) * Similarity.dot(col(vecCol), col("c_vec"))
+          / (col("nrm") * col("c_nrm"))).cast("long"))
+      .withColumn("cell_rank", row_number().over(byCloseness))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col(idCol).as("query_id"),
+        pqLutCol(codebook, vecCol).as("lut"),
+        col("cell_id").as("cell"))
+    // bounded driver materialization: ≤ nCells distinct values
+    val cells = probeCells.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    IndexOps.capHotBuckets(
+        validated.filter(col("cell").isin(cells: _*)), Seq("cell"), maxCellRows)
+      .filter(col("pq_codes").isNotNull)
+      .select(col(idCol).as("neighbor_id"), col("pq_codes"),
+        col("cell").cast("long").as("cell"))
+      .join(broadcast(probeCells.withColumn("cell", col("cell").cast("long"))),
+        Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("pq_micro", adcScore(col("pq_codes"), col("lut")))
+      .groupBy("query_id")
+      .agg(Similarity.topKBy(col("pq_micro"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").as("pq_micro"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** Exact rerank of ADC candidates: join `matches` (the
+    * `(query_id, neighbor_id, …)` output of [[pqProbe]] /
+    * [[pqTopKExhaustive]] run at k = R) back to raw vectors on BOTH
+    * sides — id equi-joins fetching R·|queries| + |queries| vectors,
+    * never a scan — score exact micro-cosine, keep the top k per query
+    * by `(cos_micro desc, neighbor_id)`. Quantization error decides
+    * only who enters the R pool, not the final order. */
+  def pqRerank(matches: DataFrame, raw: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val n = raw.select(col(idCol), col(vecCol),
+        Similarity.norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0)
+    val byScore = Window.partitionBy("query_id")
+      .orderBy(col("cos_micro").desc, col("neighbor_id"))
+    matches.select("query_id", "neighbor_id")
+      .join(n.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        col("nrm").as("q_nrm")), Seq("query_id"))
+      .join(n.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+        col("nrm").as("n_nrm")), Seq("neighbor_id"))
+      .withColumn("cos_micro",
+        floor(lit(1e6) * Similarity.dot(col("q_vec"), col("n_vec"))
+          / (col("q_nrm") * col("n_nrm"))).cast("long"))
+      .withColumn("rank", row_number().over(byScore))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_micro", "rank")
+  }
+}

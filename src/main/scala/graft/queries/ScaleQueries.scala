@@ -485,7 +485,45 @@ object ScaleQueries {
       .orderBy("z_region")
   }
 
+  /** SS13 — the PQ codebook ([[graft.operators.Pq.pqCodebook]],
+    * iters = 0): 8 subspaces × 16 codewords over the corpus slice,
+    * value-checked cross-engine through each codeword's self-dot and
+    * first component (micro-floored). The oracle recomputes the
+    * hash-ordered sample, the normalization, and the subspace slicing
+    * from the raw table — the whole codebook derivation, not a
+    * rows-only shape check. */
+  val q100PqCodebook: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val corpus = t.embeddings.filter(col("vec_id") % 10 =!= 0)
+    graft.operators.Pq.pqCodebook(corpus, "vec_id", "embedding",
+        dims = 64, nSub = 8, k = 16)
+      .select(col("sub"), col("code"),
+        floor(lit(1e6) * col("cc")).cast("long").as("cc_micro"),
+        floor(lit(1e6) * element_at(col("c_vec"), 1)).cast("long").as("c0_micro"))
+      .orderBy("sub", "code")
+  }
+
+  /** SS14 — compressed-domain ANN ([[graft.operators.Pq
+    * .pqTopKExhaustive]]): the corpus PQ-encoded to 8-byte codes (the
+    * native [[graft.functions.PqEncode]] argmax rule), the bounded
+    * query batch carrying per-query ADC lookup tables, top-3 by the
+    * integer ADC score. The oracle replays encode (per-(row, subspace)
+    * argmax with micro-floored scores and code-id ties), the lookup
+    * terms, and the exact long-sum ADC in DuckDB — every byte of the
+    * codes and every score is cross-engine value-checked end to end. */
+  val q101PqAdcTopk: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val corpus = t.embeddings.filter(col("vec_id") % 10 =!= 0)
+    val qs = t.embeddings.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
+    val cb = graft.operators.Pq.pqCodebook(corpus, "vec_id", "embedding",
+      dims = 64, nSub = 8, k = 16).localCheckpoint(true)
+    graft.operators.Pq.pqTopKExhaustive(qs, corpus, cb, "vec_id", "embedding", 3)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Map[String, Q] = Map(
+    "q100_pq_codebook" -> q100PqCodebook,
+    "q101_pq_adc_topk" -> q101PqAdcTopk,
     "q92_zorder_key" -> q92ZorderKey,
     "q78_ivf_index_probe" -> q78IvfIndexProbe,
     "q79_ivf_ingest" -> q79IvfIngest,
@@ -652,7 +690,62 @@ object ScaleQueries {
     s"mk AS (\n  $tables)"
   }
 
+  /** Shared PQ-oracle CTEs (dims 64, nSub 8, dsub 8, k 16 — the
+    * q100/q101 build constants): the hash-ordered codeword sample over
+    * the corpus slice, the per-subspace codebook with self-dots, and a
+    * normalized-subvector relation for `src`. */
+  private def pqCtes(src: String): String =
+    s"""corpus AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+       |samp AS (SELECT embedding, nrm, code FROM (
+       |  SELECT embedding, nrm, ROW_NUMBER() OVER (
+       |    ORDER BY ${graft.operators.Pq.codeHashOrderSql("vec_id")}, vec_id) - 1 AS code
+       |  FROM corpus) WHERE code < 16),
+       |subs AS (SELECT CAST(unnest(generate_series(0, 7)) AS INTEGER) AS sub),
+       |cb0 AS (SELECT sub, CAST(code AS INTEGER) AS code,
+       |  list_transform(list_slice(embedding, sub*8+1, sub*8+8),
+       |    x -> CAST(x AS DOUBLE) / nrm) AS c_vec
+       |  FROM samp CROSS JOIN subs),
+       |cb AS (SELECT sub, code, c_vec, ${dotSql("c_vec", "c_vec")} AS cc FROM cb0),
+       |svn AS (SELECT vec_id, sub,
+       |  list_transform(list_slice(embedding, sub*8+1, sub*8+8),
+       |    x -> CAST(x AS DOUBLE) / nrm) AS xn
+       |  FROM ($src) CROSS JOIN subs)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q100_pq_codebook" ->
+      s"""WITH $normedCte,
+         |${pqCtes("SELECT * FROM e WHERE FALSE")}
+         |SELECT sub, code,
+         |  CAST(floor(1e6 * cc) AS BIGINT) AS cc_micro,
+         |  CAST(floor(1e6 * c_vec[1]) AS BIGINT) AS c0_micro
+         |FROM cb ORDER BY sub, code""".stripMargin,
+    "q101_pq_adc_topk" ->
+      s"""WITH $normedCte,
+         |${pqCtes("SELECT * FROM e WHERE vec_id % 10 <> 0")},
+         |enc AS (SELECT vec_id, sub, code FROM (
+         |  SELECT svn.vec_id, svn.sub, cb.code,
+         |    ROW_NUMBER() OVER (PARTITION BY svn.vec_id, svn.sub
+         |      ORDER BY CAST(floor(1e6 * (${dotSql("xn", "c_vec")} - 0.5 * cc))
+         |        AS BIGINT) DESC, cb.code) AS rnk
+         |  FROM svn JOIN cb ON svn.sub = cb.sub)
+         |  WHERE rnk = 1),
+         |q AS (SELECT * FROM e WHERE vec_id % 10 = 0 AND vec_id < 500),
+         |qvn AS (SELECT vec_id AS query_id, sub,
+         |  list_transform(list_slice(embedding, sub*8+1, sub*8+8),
+         |    x -> CAST(x AS DOUBLE) / nrm) AS qn
+         |  FROM q CROSS JOIN subs),
+         |qterm AS (SELECT query_id, qvn.sub, cb.code,
+         |  CAST(floor(1e6 * ${dotSql("qn", "c_vec")}) AS BIGINT) AS term
+         |  FROM qvn JOIN cb ON qvn.sub = cb.sub),
+         |adc AS (SELECT query_id, enc.vec_id AS neighbor_id,
+         |  CAST(SUM(term) AS BIGINT) AS pq_micro
+         |  FROM enc JOIN qterm ON enc.sub = qterm.sub AND enc.code = qterm.code
+         |  GROUP BY query_id, enc.vec_id)
+         |SELECT query_id, neighbor_id, pq_micro, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY pq_micro DESC, neighbor_id) AS rank
+         |  FROM adc)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q92_zorder_key" -> {
       import graft.functions.ZOrder
       val z = ZOrder.zorder2Sql(
