@@ -411,6 +411,31 @@ object IndexOps {
     }
   }
 
+  /** [[deleteSwap]] for a persisted IVF-PQ index ([[Pq.pqIndex]]'s
+    * layout): member rows carry only their PQ CODES, so a listed
+    * NON-centroid id is removed by the generic layout-preserving
+    * rewrite (its codes are derived from the deleted content and go
+    * with it), but a listed id that ANCHORS A CENTROID is REFUSED —
+    * unlike [[deleteSwapIvf]], the quantizer cannot be rebuilt from
+    * the index alone (the survivors' raw vectors are not there to
+    * re-sample centroids from or re-assign against). The takedown for
+    * a centroid-anchor id is a [[Pq.pqIndex]] rebuild from the corpus
+    * minus the listed ids, which the error message points at; a wrong
+    * answer here would be silently keeping the deleted document's
+    * vector alive as a centroid. */
+  def deleteSwapPq(spark: SparkSession, dir: String, idCol: String,
+      ids: DataFrame): Long = {
+    recoverSwap(spark, dir)
+    val src = spark.read.parquet(dir)
+    val drop = ids.select(col(idCol)).distinct()
+    require(src.filter(col("is_cent")).join(drop, Seq(idCol), "left_semi").isEmpty,
+      s"deleteSwapPq: a listed id anchors a CENTROID of $dir, and member " +
+        "rows carry only PQ codes — the quantizer cannot be rebuilt from " +
+        "the index alone. Rebuild with Pq.pqIndex from the corpus minus " +
+        "the listed ids (after Export.deleteIdsFromExport on the corpus).")
+    deleteSwap(spark, dir, "cell", Seq(idCol), idCol, ids)
+  }
+
   /** [[compactSwap]] with the [[Dedup.minhashIndex]] layout. */
   def compactSwapMinhash(spark: SparkSession, dir: String,
       targetRowsPerFile: Long = 4L * 1000 * 1000): Long =

@@ -281,6 +281,43 @@ object Pq {
       pqStampParams(nSub, k))
   }
 
+  /** The index rows for NEW vectors under an existing IVF-PQ index —
+    * the PQ form of [[Similarity.ivfIndexExtend]]: cells from the
+    * index's own centroids (reconstructed via `is_cent`; raw vectors
+    * survive there for exactly this), codes from `codebook`, whose
+    * shape must agree with the index's `pq_sub`/`pq_k` stamp (and the
+    * caller must hand the SAME codebook the index was encoded with —
+    * the stamp checks shape, not values; persist the codebook beside
+    * the index). Append the result
+    * (`write.mode("append").partitionBy("cell")`) to grow the index
+    * without touching the published rows — O(batch), the ingest
+    * contract of the whole index family. Extending an empty relation
+    * is refused (no stamp, no centroids, no quantizer). */
+  def pqIndexExtend(index: DataFrame, newVecs: DataFrame, idCol: String,
+      vecCol: String, codebook: DataFrame): DataFrame = {
+    val (_, _, nSub, k) = collectCodebook(codebook)
+    val params = IndexStamp.readUnique(index,
+      Seq("ix_cells", "ix_dims", "pq_sub", "pq_k"), "pqIndexExtend")
+      .getOrElse(throw new IllegalArgumentException(
+        "pqIndexExtend: cannot extend an empty index relation (no stamp " +
+          "or centroids to inherit) — build it with pqIndex instead"))
+    val Seq(nCells, dims, pqSub, pqK) = params: @unchecked
+    require(pqSub == nSub && pqK == k,
+      s"pqIndexExtend: codebook shape (nSub=$nSub, k=$k) disagrees with " +
+        s"the index stamp (pq_sub=$pqSub, pq_k=$pqK)")
+    val cents = broadcast(index.filter(col("is_cent"))
+      .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"),
+        col("nrm").as("c_nrm")))
+    val assigned = Similarity.ivfAssign(
+        Similarity.withNorm(newVecs, idCol, vecCol), cents, idCol, vecCol)
+      .withColumn("is_cent", lit(false))
+    IndexStamp.stamp(
+      pqEncode(assigned, codebook, vecCol)
+        .withColumn(vecCol, when(col("is_cent"), col(vecCol)))
+        .withColumn("nrm", when(col("is_cent"), col("nrm"))),
+      Seq("ix_cells" -> nCells, "ix_dims" -> dims) ++ pqStampParams(nSub, k))
+  }
+
   /** Probe an IVF-PQ index: rank the reconstructed centroids per query
     * (exact cosine — centroid rows kept their raw vectors), collect
     * the ≤ nCells probed-cell set and push it as a partition filter,

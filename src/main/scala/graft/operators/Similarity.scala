@@ -43,7 +43,7 @@ object Similarity {
     * is undefined there: Spark would emit NaN→null and silently drop at a
     * later filter while other engines error — excluding them explicitly
     * keeps every downstream plan cross-engine deterministic). */
-  private def withNorm(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[operators] def withNorm(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
     vecs.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
       .filter(col("nrm") > 0)
 
@@ -615,7 +615,7 @@ object Similarity {
 
   /** Nearest-centroid assignment (cell_cos desc, cell_id tiebreak) —
     * shared by [[ivfIndex]] and [[ivfIndexExtend]]. */
-  private def ivfAssign(n: DataFrame, cents: DataFrame, idCol: String,
+  private[operators] def ivfAssign(n: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     val byCloseness = Window.partitionBy(idCol)
       .orderBy(col("cell_cos").desc, col("cell_id"))

@@ -197,6 +197,62 @@ class PqSpec extends SparkSpec {
       Seq("neighbor_id"), "left_anti").isEmpty)
   }
 
+  test("pqIndexExtend: appended rows answer probes; nProbe = nCells still equals exhaustive") {
+    val base = corpus.filter(col("vec_id") < 300)
+    val extra = corpus.filter(col("vec_id") >= 300)
+    val index = Pq.pqIndex(base, "vec_id", "embedding", cb,
+      nCells = 8, dims = DIMS).localCheckpoint(true)
+    val ext = Pq.pqIndexExtend(index, extra, "vec_id", "embedding", cb)
+    // the extension contract: no new centroids, no raw vectors, codes
+    // under the inherited stamp
+    assert(ext.filter(col("is_cent")).isEmpty)
+    assert(ext.filter(col("embedding").isNotNull).isEmpty)
+    assert(ext.filter(col("pq_codes").isNull).isEmpty)
+    val grown = index.unionByName(ext).localCheckpoint(true)
+    // probing every cell makes cell assignment irrelevant: the grown
+    // index must answer exactly like the exhaustive ADC scan over the
+    // full corpus, base + extension alike
+    assertSameRows(
+      Pq.pqProbe(probes, grown, cb, "vec_id", "embedding",
+        k = 5, nProbe = 8, nCells = 8, dims = DIMS),
+      Pq.pqTopKExhaustive(probes, corpus, cb, "vec_id", "embedding", 5))
+    // a mismatched codebook shape refuses before any scoring
+    val ex = intercept[IllegalArgumentException] {
+      Pq.pqIndexExtend(index, extra, "vec_id", "embedding",
+        Pq.pqCodebook(corpus, "vec_id", "embedding", DIMS, NSUB, k = 8))
+    }
+    assert(ex.getMessage.contains("disagrees"))
+  }
+
+  test("deleteSwapPq: member takedown is probe-invisible; centroid takedown refuses") {
+    import graft.operators.IndexOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-del").toString
+    Pq.pqIndex(corpus, "vec_id", "embedding", cb, nCells = 8, dims = DIMS)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val centIds = spark.read.parquet(tmp).filter(col("is_cent"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val victim = corpus.select("vec_id").collect().map(_.getLong(0))
+      .find(!centIds.contains(_)).get
+    IndexOps.deleteSwapPq(spark, tmp, "vec_id",
+      Seq(victim, 999999L).toDF("vec_id"))
+    val back = spark.read.parquet(tmp)
+    assert(back.filter(col("vec_id") === victim).isEmpty)
+    assert(back.filter(col("is_cent")).count() == 8,
+      "centroid rows must survive a member takedown")
+    val probed = Pq.pqProbe(probes, back, cb, "vec_id", "embedding",
+      k = 50, nProbe = 8, nCells = 8, dims = DIMS)
+    assert(probed.filter(col("neighbor_id") === victim).isEmpty,
+      "deleted member must be probe-invisible")
+    // a centroid-anchor id cannot be taken down in place: codes cannot
+    // rebuild the quantizer — the refusal points at the pqIndex rebuild
+    val ex = intercept[IllegalArgumentException] {
+      IndexOps.deleteSwapPq(spark, tmp, "vec_id",
+        Seq(centIds.head).toDF("vec_id"))
+    }
+    assert(ex.getMessage.contains("CENTROID") &&
+      ex.getMessage.contains("pqIndex"))
+  }
+
   test("stamp validation: a codebook whose shape disagrees with the index raises") {
     val index = Pq.pqIndex(corpus, "vec_id", "embedding", cb,
       nCells = 8, dims = DIMS).localCheckpoint(true)
