@@ -239,9 +239,21 @@ object Pq {
         .crossJoin(corpus.select(col(idCol).as("neighbor_id")).limit(0))
         .withColumn("pq_micro", lit(0L))
         .withColumn("rank", lit(0L))
+    // Materialization boundary BEFORE the cross join — the
+    // nearDupPairsLsh lesson ([[Similarity]]) recurring in compressed
+    // form: whole-stage codegen fuses this projection into the
+    // BroadcastNestedLoopJoin's stream side, and the join's per-MATCH
+    // code path then re-evaluates pq_encode (nSub·k·dsub multiplies)
+    // once per candidate PAIR instead of once per corpus row —
+    // measured 56–181 CPU core-s at the sf1/sf3 study points, 2.5×
+    // the EXACT scan it is supposed to undercut. Checkpointed codes
+    // are nSub bytes/row (the compressed corpus — fitting where raw
+    // vectors do not is what PQ is for), and the scan drops to ADC
+    // lookups only.
     val encoded = pqEncode(corpus, codebook, vecCol)
       .filter(col("pq_codes").isNotNull)
       .select(col(idCol).as("neighbor_id"), col("pq_codes"))
+      .localCheckpoint(true)
     val q = broadcast(queries
       .withColumn("lut", pqLutCol(codebook, vecCol))
       .filter(col("lut").isNotNull)
