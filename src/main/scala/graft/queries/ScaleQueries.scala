@@ -521,9 +521,36 @@ object ScaleQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** SS15 — the composed IVF-PQ probe ([[graft.operators.Pq.pqIndex]]
+    * → [[graft.operators.Pq.pqProbe]]): cell layout from the
+    * hash-ordered centroids (q78's machinery), member rows carrying
+    * 8-byte codes, probes ranking centroids exactly then ADC-scoring
+    * only the nProbe probed cells. The oracle composes q78's
+    * cell/assignment CTEs with q101's codebook/encode/ADC CTEs — the
+    * whole two-level index (pruning + compression) is value-checked
+    * cross-engine. */
+  val q102PqIvfProbe: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val corpus = t.embeddings.filter(col("vec_id") % 10 =!= 0)
+    val qs = t.embeddings.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
+    val cb = graft.operators.Pq.pqCodebook(corpus, "vec_id", "embedding",
+      dims = 64, nSub = 8, k = 16).localCheckpoint(true)
+    if (cb.isEmpty)
+      // empty corpus: no codebook, no index — the probe's empty contract
+      graft.operators.Pq.pqTopKExhaustive(qs, corpus, cb, "vec_id", "embedding", 3)
+    else {
+      val index = graft.operators.Pq.pqIndex(corpus, "vec_id", "embedding",
+        cb, nCells = 8, dims = 64).localCheckpoint(true)
+      graft.operators.Pq.pqProbe(qs, index, cb, "vec_id", "embedding",
+          k = 3, nProbe = 2, nCells = 8, dims = 64)
+        .orderBy("query_id", "rank")
+    }
+  }
+
   val all: Map[String, Q] = Map(
     "q100_pq_codebook" -> q100PqCodebook,
     "q101_pq_adc_topk" -> q101PqAdcTopk,
+    "q102_pq_ivf_probe" -> q102PqIvfProbe,
     "q92_zorder_key" -> q92ZorderKey,
     "q78_ivf_index_probe" -> q78IvfIndexProbe,
     "q79_ivf_ingest" -> q79IvfIngest,
@@ -741,6 +768,65 @@ object ScaleQueries {
          |  CAST(SUM(term) AS BIGINT) AS pq_micro
          |  FROM enc JOIN qterm ON enc.sub = qterm.sub AND enc.code = qterm.code
          |  GROUP BY query_id, enc.vec_id)
+         |SELECT query_id, neighbor_id, pq_micro, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY pq_micro DESC, neighbor_id) AS rank
+         |  FROM adc)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q102_pq_ivf_probe" ->
+      s"""WITH $normedCte,
+         |${pqCtes("SELECT * FROM e WHERE vec_id % 10 <> 0")},
+         |enc AS (SELECT vec_id, sub, code FROM (
+         |  SELECT svn.vec_id, svn.sub, cb.code,
+         |    ROW_NUMBER() OVER (PARTITION BY svn.vec_id, svn.sub
+         |      ORDER BY CAST(floor(1e6 * (${dotSql("xn", "c_vec")} - 0.5 * cc))
+         |        AS BIGINT) DESC, cb.code) AS rnk
+         |  FROM svn JOIN cb ON svn.sub = cb.sub)
+         |  WHERE rnk = 1),
+         |cents AS (SELECT vec_id AS cell_id, embedding AS cv, nrm AS c_nrm
+         |          FROM corpus
+         |          ORDER BY ${Similarity.centroidHashOrderSql("vec_id")}, vec_id
+         |          LIMIT 8),
+         |cscored AS (
+         |  SELECT corpus.vec_id, c.cell_id,
+         |    CAST(floor(1e6 * ${dotSql("corpus.embedding", "c.cv")}
+         |      / (corpus.nrm * c.c_nrm)) AS BIGINT) AS cell_cos
+         |  FROM corpus CROSS JOIN cents c),
+         |assignment AS (
+         |  SELECT vec_id AS neighbor_id, cell_id
+         |  FROM (SELECT *, ROW_NUMBER() OVER (
+         |          PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS cell_rank
+         |        FROM cscored)
+         |  WHERE cell_rank = 1),
+         |q AS (SELECT * FROM e WHERE vec_id % 10 = 0 AND vec_id < 500),
+         |qscored AS (
+         |  SELECT q.vec_id, q.embedding, q.nrm, c.cell_id,
+         |    CAST(floor(1e6 * ${dotSql("q.embedding", "c.cv")}
+         |      / (q.nrm * c.c_nrm)) AS BIGINT) AS cell_cos
+         |  FROM q CROSS JOIN cents c),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cell_id
+         |  FROM (SELECT *, ROW_NUMBER() OVER (
+         |          PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS cell_rank
+         |        FROM qscored)
+         |  WHERE cell_rank <= 2),
+         |qvn AS (SELECT vec_id AS query_id, sub,
+         |  list_transform(list_slice(embedding, sub*8+1, sub*8+8),
+         |    x -> CAST(x AS DOUBLE) / nrm) AS qn
+         |  FROM q CROSS JOIN subs),
+         |qterm AS (SELECT query_id, qvn.sub, cb.code,
+         |  CAST(floor(1e6 * ${dotSql("qn", "c_vec")}) AS BIGINT) AS term
+         |  FROM qvn JOIN cb ON qvn.sub = cb.sub),
+         |cand AS (SELECT DISTINCT probes.query_id, assignment.neighbor_id
+         |  FROM probes JOIN assignment USING (cell_id)
+         |  WHERE neighbor_id != query_id),
+         |adc AS (SELECT cand.query_id, cand.neighbor_id,
+         |  CAST(SUM(term) AS BIGINT) AS pq_micro
+         |  FROM cand
+         |  JOIN enc ON enc.vec_id = cand.neighbor_id
+         |  JOIN qterm ON qterm.query_id = cand.query_id
+         |    AND qterm.sub = enc.sub AND qterm.code = enc.code
+         |  GROUP BY cand.query_id, cand.neighbor_id)
          |SELECT query_id, neighbor_id, pq_micro, rank FROM (
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY pq_micro DESC, neighbor_id) AS rank
