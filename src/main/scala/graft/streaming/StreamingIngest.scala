@@ -1170,9 +1170,19 @@ object StreamingIngest {
       val files = IndexOps.dataFileCount(spark, Export.dataDir(dir))
       // O(nShards) manifest read, no data scan — the trigger must stay
       // cheap enough to evaluate after every committed batch
-      val rows = Export.readManifest(spark, dir)
-        .agg(org.apache.spark.sql.functions.sum("n_rows")).head().getLong(0)
-      val compacted = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile)
+      val man = Export.readManifest(spark, dir)
+      val agg = man.agg(
+        org.apache.spark.sql.functions.sum("n_rows"),
+        org.apache.spark.sql.functions.count_if(col("n_rows") > 0)).head()
+      val rows = agg.getLong(0)
+      // compaction cannot produce fewer than one file per NONEMPTY
+      // shard (the rewrite partitions by shard directory), so the
+      // post-compaction floor is max(nonempty shards, ceil(rows/target))
+      // — with the bare ceil, a many-shard small export (64 shards,
+      // rows under one target file) measures "fragmented" forever and
+      // rewrites the whole corpus after every committed batch
+      val compacted = math.max(agg.getLong(1),
+        math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile))
       if (files >= compacted + compactAtFiles) {
         Export.compactExport(spark, dir, checksumCols, targetRowsPerFile)
         failpoint(3)

@@ -260,6 +260,35 @@ class ExportStreamSpec extends SparkSpec {
     assert(Export.readManifest(spark, dir).agg(sum("n_rows")).as[Long].head() == 170)
   }
 
+  test("compaction floor is one file per nonempty shard, not the bare row ceil") {
+    // many shards, few rows: ceil(rows/target) = 1 but compaction
+    // CANNOT produce fewer than one file per nonempty shard directory,
+    // so a trigger floored at the bare ceil reads the fully-compacted
+    // export as "fragmented" forever and rewrites the corpus after
+    // every committed batch — replays included
+    val dir = tmp("exps_floor")
+    bootstrap(dir, 16)
+    StreamingIngest.exportShardBatch(docsRange(60, 100), 0L, dir, "doc_id",
+      csCols, compactAtFiles = 4, targetRowsPerFile = 1000L)
+    Export.compactExport(spark, dir, csCols, targetRowsPerFile = 1000L)
+    def files(d: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(Export.dataDir(d)))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+    val steady = files(dir)
+    assert(steady.size > 1 + 4, // the regime where the bare ceil loops
+      s"fixture too small to exercise the floor (files=${steady.size})")
+    // replay of the committed batch: no new files — must not re-compact
+    StreamingIngest.exportShardBatch(docsRange(60, 100), 0L, dir, "doc_id",
+      csCols, compactAtFiles = 4, targetRowsPerFile = 1000L)
+    assert(files(dir) == steady,
+      "a replay over a fully-compacted many-shard export rewrote it — " +
+        "the trigger's floor must be the nonempty-shard count")
+    Export.verifyShards(spark, dir, csCols)
+  }
+
   test("the streaming sink refuses an assigned-placement export") {
     val dir = tmp("exps_assigned")
     Export.shardedWriteAssigned(spark,
