@@ -272,6 +272,17 @@ object Pq {
   private def pqStampParams(nSub: Int, k: Int): Seq[(String, Int)] =
     Seq("pq_sub" -> nSub, "pq_k" -> k)
 
+  /** Content hash of a collected codebook — a pure function of the
+    * codeword BITS (`java.util.Arrays.hashCode` over the flat arrays,
+    * masked positive), stamped as `pq_cb` so the probe/extend paths
+    * validate codebook VALUES, not just shape: two same-shape
+    * codebooks (a sampled build vs its Lloyd refinement, or two
+    * corpora) would otherwise pass the shape stamp and silently
+    * mis-score every ADC lookup. */
+  private def codebookHash(cb: Array[Double], cc: Array[Double]): Int =
+    (java.util.Arrays.hashCode(cb) * 31 + java.util.Arrays.hashCode(cc)) &
+      Int.MaxValue
+
   /** IVF-PQ index: [[Similarity.ivfIndex]]'s cell-partitioned layout
     * (same hash-ordered centroid rule, same `partitionBy("cell")`
     * persistence contract, same stamp) with every member row carrying
@@ -279,44 +290,53 @@ object Pq {
     * their raw vector + norm (probe-time cell ranking needs them; the
     * 99.99% member rows do not). At 100 TB this is where the 32×
     * byte reduction lands: the probe's pruned cell scan reads codes,
-    * not embeddings. Extra stamp: `pq_sub`, `pq_k` — [[pqProbe]]
-    * validates them against the codebook it is handed, so an index
-    * and codebook from different builds cannot silently mis-score. */
+    * not embeddings. Extra stamps: `pq_sub`, `pq_k` (shape) and
+    * `pq_cb` (codeword CONTENT hash) — [[pqProbe]] and
+    * [[pqIndexExtend]] validate both against the codebook they are
+    * handed, so an index and a codebook from different builds — even
+    * same-shape ones, a sampled build vs its Lloyd refinement —
+    * cannot silently mis-score. */
   def pqIndex(vecs: DataFrame, idCol: String, vecCol: String,
       codebook: DataFrame, nCells: Int, dims: Int): DataFrame = {
-    val (_, _, nSub, k) = collectCodebook(codebook)
+    val (cb, cc, nSub, k) = collectCodebook(codebook)
     val base = Similarity.ivfIndex(vecs, idCol, vecCol, nCells, dims)
     IndexStamp.stamp(
       pqEncode(base, codebook, vecCol)
         .withColumn(vecCol, when(col("is_cent"), col(vecCol)))
         .withColumn("nrm", when(col("is_cent"), col("nrm"))),
-      pqStampParams(nSub, k))
+      pqStampParams(nSub, k) :+ ("pq_cb" -> codebookHash(cb, cc)))
   }
 
   /** The index rows for NEW vectors under an existing IVF-PQ index —
     * the PQ form of [[Similarity.ivfIndexExtend]]: cells from the
     * index's own centroids (reconstructed via `is_cent`; raw vectors
-    * survive there for exactly this), codes from `codebook`, whose
-    * shape must agree with the index's `pq_sub`/`pq_k` stamp (and the
-    * caller must hand the SAME codebook the index was encoded with —
-    * the stamp checks shape, not values; persist the codebook beside
-    * the index). Append the result
+    * survive there for exactly this), codes from `codebook`, which
+    * must BE the codebook the index was encoded with: shape is
+    * validated against the `pq_sub`/`pq_k` stamp and content against
+    * the `pq_cb` content-hash stamp, so a re-trained or
+    * different-corpus codebook of the same shape is refused instead
+    * of silently mixing two code spaces. Append the result
     * (`write.mode("append").partitionBy("cell")`) to grow the index
     * without touching the published rows — O(batch), the ingest
     * contract of the whole index family. Extending an empty relation
     * is refused (no stamp, no centroids, no quantizer). */
   def pqIndexExtend(index: DataFrame, newVecs: DataFrame, idCol: String,
       vecCol: String, codebook: DataFrame): DataFrame = {
-    val (_, _, nSub, k) = collectCodebook(codebook)
+    val (cb, cc, nSub, k) = collectCodebook(codebook)
     val params = IndexStamp.readUnique(index,
-      Seq("ix_cells", "ix_dims", "pq_sub", "pq_k"), "pqIndexExtend")
+      Seq("ix_cells", "ix_dims", "pq_sub", "pq_k", "pq_cb"), "pqIndexExtend")
       .getOrElse(throw new IllegalArgumentException(
         "pqIndexExtend: cannot extend an empty index relation (no stamp " +
           "or centroids to inherit) — build it with pqIndex instead"))
-    val Seq(nCells, dims, pqSub, pqK) = params: @unchecked
+    val Seq(nCells, dims, pqSub, pqK, pqCb) = params: @unchecked
     require(pqSub == nSub && pqK == k,
       s"pqIndexExtend: codebook shape (nSub=$nSub, k=$k) disagrees with " +
         s"the index stamp (pq_sub=$pqSub, pq_k=$pqK)")
+    require(pqCb == codebookHash(cb, cc),
+      "pqIndexExtend: codebook CONTENT disagrees with the index's pq_cb " +
+        "stamp — same shape, different codewords (a re-trained or " +
+        "different-corpus codebook). Extending would mix two code spaces " +
+        "in one index; rebuild with pqIndex, or hand the original codebook.")
     val cents = broadcast(index.filter(col("is_cent"))
       .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"),
         col("nrm").as("c_nrm")))
@@ -327,7 +347,8 @@ object Pq {
       pqEncode(assigned, codebook, vecCol)
         .withColumn(vecCol, when(col("is_cent"), col(vecCol)))
         .withColumn("nrm", when(col("is_cent"), col("nrm"))),
-      Seq("ix_cells" -> nCells, "ix_dims" -> dims) ++ pqStampParams(nSub, k))
+      Seq("ix_cells" -> nCells, "ix_dims" -> dims) ++
+        pqStampParams(nSub, k) :+ ("pq_cb" -> pqCb))
   }
 
   /** Probe an IVF-PQ index: rank the reconstructed centroids per query
@@ -344,9 +365,10 @@ object Pq {
   def pqProbe(probes: DataFrame, index: DataFrame, codebook: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int, nCells: Int,
       dims: Int, maxCellRows: Option[Int] = None): DataFrame = {
-    val (_, _, nSub, kCodes) = collectCodebook(codebook)
+    val (cb, cc, nSub, kCodes) = collectCodebook(codebook)
     val validated = IndexStamp.validated(index,
-      Seq("ix_cells" -> nCells, "ix_dims" -> dims) ++ pqStampParams(nSub, kCodes),
+      Seq("ix_cells" -> nCells, "ix_dims" -> dims) ++
+        pqStampParams(nSub, kCodes) :+ ("pq_cb" -> codebookHash(cb, cc)),
       "pqProbe")
     val cents = broadcast(validated.filter(col("is_cent"))
       .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"),

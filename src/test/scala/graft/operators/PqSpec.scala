@@ -264,6 +264,28 @@ class PqSpec extends SparkSpec {
     assert(ex.getMessage.contains("pq_k") || ex.getMessage.contains("mismatch"))
   }
 
+  test("content-hash stamp: a SAME-SHAPE different-values codebook is refused") {
+    // the dangerous case the shape stamp cannot see: a Lloyd refinement
+    // of the very same codebook — identical (sub, code) grid, different
+    // codeword values — would silently mis-score every ADC lookup
+    val index = Pq.pqIndex(corpus, "vec_id", "embedding", cb,
+      nCells = 8, dims = DIMS).localCheckpoint(true)
+    val refined = Pq.pqCodebook(corpus, "vec_id", "embedding", DIMS, NSUB, K,
+      iters = 5, sampleN = 450).localCheckpoint(true)
+    val probeEx = intercept[Exception] {
+      Pq.pqProbe(probes, index, refined, "vec_id", "embedding",
+        k = 3, nProbe = 2, nCells = 8, dims = DIMS).collect()
+    }
+    assert(probeEx.getMessage.contains("pq_cb"))
+    val extendEx = intercept[IllegalArgumentException] {
+      Pq.pqIndexExtend(index, probes, "vec_id", "embedding", refined)
+    }
+    assert(extendEx.getMessage.contains("CONTENT"))
+    // and the true codebook still probes fine
+    assert(Pq.pqProbe(probes, index, cb, "vec_id", "embedding",
+      k = 3, nProbe = 2, nCells = 8, dims = DIMS).count() > 0)
+  }
+
   test("degenerate inputs: zero-norm encodes null; empty corpus yields the empty contract schema") {
     val weird = Seq(
       (1L, Array.fill(DIMS)(0.0f)),
