@@ -430,7 +430,7 @@ object Pq {
       .withColumn("cos_micro",
         floor(lit(1e6) * Similarity.dot(col("q_vec"), col("n_vec"))
           / (col("q_nrm") * col("n_nrm"))).cast("long"))
-      .withColumn("rank", row_number().over(byScore))
+      .withColumn("rank", row_number().over(byScore).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos_micro", "rank")
   }

@@ -547,8 +547,26 @@ object ScaleQueries {
     }
   }
 
+  /** SS16 — the two-stage PQ finish ([[graft.operators.Pq.pqRerank]]):
+    * an R=50 ADC pool per query, exact-rescored against raw vectors by
+    * id equi-joins and re-ranked to top-3. With q100–q102 this makes
+    * every stage of the PQ pipeline — codebook, codes, ADC, rerank —
+    * oracle-backed. */
+  val q103PqRerank: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val corpus = t.embeddings.filter(col("vec_id") % 10 =!= 0)
+    val qs = t.embeddings.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
+    val cb = graft.operators.Pq.pqCodebook(corpus, "vec_id", "embedding",
+      dims = 64, nSub = 8, k = 16).localCheckpoint(true)
+    val pool = graft.operators.Pq.pqTopKExhaustive(qs, corpus, cb,
+      "vec_id", "embedding", 50)
+    graft.operators.Pq.pqRerank(pool, t.embeddings, "vec_id", "embedding", 3)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Map[String, Q] = Map(
     "q100_pq_codebook" -> q100PqCodebook,
+    "q103_pq_rerank" -> q103PqRerank,
     "q101_pq_adc_topk" -> q101PqAdcTopk,
     "q102_pq_ivf_probe" -> q102PqIvfProbe,
     "q92_zorder_key" -> q92ZorderKey,
@@ -772,6 +790,42 @@ object ScaleQueries {
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY pq_micro DESC, neighbor_id) AS rank
          |  FROM adc)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q103_pq_rerank" ->
+      s"""WITH $normedCte,
+         |${pqCtes("SELECT * FROM e WHERE vec_id % 10 <> 0")},
+         |enc AS (SELECT vec_id, sub, code FROM (
+         |  SELECT svn.vec_id, svn.sub, cb.code,
+         |    ROW_NUMBER() OVER (PARTITION BY svn.vec_id, svn.sub
+         |      ORDER BY CAST(floor(1e6 * (${dotSql("xn", "c_vec")} - 0.5 * cc))
+         |        AS BIGINT) DESC, cb.code) AS rnk
+         |  FROM svn JOIN cb ON svn.sub = cb.sub)
+         |  WHERE rnk = 1),
+         |q AS (SELECT * FROM e WHERE vec_id % 10 = 0 AND vec_id < 500),
+         |qvn AS (SELECT vec_id AS query_id, sub,
+         |  list_transform(list_slice(embedding, sub*8+1, sub*8+8),
+         |    x -> CAST(x AS DOUBLE) / nrm) AS qn
+         |  FROM q CROSS JOIN subs),
+         |qterm AS (SELECT query_id, qvn.sub, cb.code,
+         |  CAST(floor(1e6 * ${dotSql("qn", "c_vec")}) AS BIGINT) AS term
+         |  FROM qvn JOIN cb ON qvn.sub = cb.sub),
+         |adc AS (SELECT query_id, enc.vec_id AS neighbor_id,
+         |  CAST(SUM(term) AS BIGINT) AS pq_micro
+         |  FROM enc JOIN qterm ON enc.sub = qterm.sub AND enc.code = qterm.code
+         |  GROUP BY query_id, enc.vec_id),
+         |pool AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY pq_micro DESC, neighbor_id) AS prank
+         |  FROM adc) WHERE prank <= 50),
+         |rr AS (SELECT pool.query_id, pool.neighbor_id,
+         |  CAST(floor(1e6 * ${dotSql("qv.embedding", "nv.embedding")}
+         |    / (qv.nrm * nv.nrm)) AS BIGINT) AS cos_micro
+         |  FROM pool JOIN e qv ON qv.vec_id = pool.query_id
+         |  JOIN e nv ON nv.vec_id = pool.neighbor_id)
+         |SELECT query_id, neighbor_id, cos_micro, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_micro DESC, neighbor_id) AS rank
+         |  FROM rr)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q102_pq_ivf_probe" ->
       s"""WITH $normedCte,
