@@ -53,6 +53,47 @@ object TrainingData {
         .otherwise("test"))
   }
 
+  /** [[assignSplit]] hardened against CROSS-GROUP near-duplicates —
+    * the leak the group key cannot see. Group-keyed splitting puts
+    * same-origin copies on one side of the boundary, but the web's
+    * mirror problem is cross-origin: the same article under two
+    * sources lands in two groups, the hash deals the groups apart, and
+    * the holdout's twin trains. This operator runs [[assignSplit]] and
+    * then re-marks every TRAIN member of a near-duplicate pair whose
+    * other side is holdout (val/test) as `"leaked"`: the holdout set
+    * is never changed (its composition is the experiment), the leaked
+    * rows are named rather than silently dropped (route them out of
+    * training with a filter — or audit them; an engine should not
+    * disappear rows), and the near-dup relation is the corpus-scale
+    * banded LSH join ([[Dedup.minhashLshPairs]] — candidate generation
+    * is an equi-join on band keys, never all-pairs).
+    *
+    * val↔test near-dups are deliberately untouched: neither side is
+    * trained on, so nothing leaks into the model; re-dealing them
+    * would silently change the holdout composition instead. */
+  def leakSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, trainPermille: Int = 800, valPermille: Int = 100,
+      salt: String = "v1", minAgree: Int = 8,
+      outCol: String = "split"): DataFrame = {
+    val split = assignSplit(df, groupCol, trainPermille, valPermille, salt, outCol)
+    val sp = split.select(col(idCol), col(outCol))
+    val pairs = Dedup.minhashLshPairs(df, idCol, textCol, minAgree = minAgree)
+      .join(sp.toDF(s"a_$idCol", "a_split"), Seq(s"a_$idCol"))
+      .join(sp.toDF(s"b_$idCol", "b_split"), Seq(s"b_$idCol"))
+    // the train member of every (train, holdout) pair — output-sized
+    val leaked = pairs
+      .filter(col("a_split") === "train" && col("b_split") =!= "train")
+      .select(col(s"a_$idCol").as(idCol))
+      .unionByName(pairs
+        .filter(col("b_split") === "train" && col("a_split") =!= "train")
+        .select(col(s"b_$idCol").as(idCol)))
+      .distinct()
+    split
+      .join(leaked.withColumn("__leaked", lit(true)), Seq(idCol), "left")
+      .withColumn(outCol, when(col("__leaked"), lit("leaked")).otherwise(col(outCol)))
+      .drop("__leaked")
+  }
+
   /** Per-stratum deterministic downsampling: keep a row iff its id-hash
     * bucket falls under the stratum's keep-rate. The canonical corpus
     * rebalancing move (e.g. downsample the dominant language to 10%

@@ -564,9 +564,23 @@ object ScaleQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** SS17 — leak-safe split ([[graft.operators.TrainingData
+    * .leakSafeSplit]]): the group-keyed split plus the cross-group
+    * repair — every train member of a near-dup pair whose other side
+    * is holdout re-marked `leaked`. The oracle recomputes the split
+    * formula AND the full banded-LSH pair relation (q27's CTEs), so
+    * the leak set itself is value-checked cross-engine. */
+  val q104LeakSafeSplit: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    graft.operators.TrainingData.leakSafeSplit(t.documents,
+        "doc_id", "text", groupCol = "source")
+      .select("doc_id", "split").orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q100_pq_codebook" -> q100PqCodebook,
     "q103_pq_rerank" -> q103PqRerank,
+    "q104_leak_safe_split" -> q104LeakSafeSplit,
     "q101_pq_adc_topk" -> q101PqAdcTopk,
     "q102_pq_ivf_probe" -> q102PqIvfProbe,
     "q92_zorder_key" -> q92ZorderKey,
@@ -791,6 +805,36 @@ object ScaleQueries {
          |    PARTITION BY query_id ORDER BY pq_micro DESC, neighbor_id) AS rank
          |  FROM adc)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q104_leak_safe_split" ->
+      s"""WITH $shingledCte,
+         |$sigCte,
+         |$keysCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM keys a JOIN keys b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT a_id, b_id FROM (
+         |  SELECT a_id, b_id,
+         |    ${(0 until 16).map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS sig_agree
+         |  FROM cand JOIN sig x ON a_id = x.doc_id JOIN sig y ON b_id = y.doc_id)
+         |  WHERE sig_agree >= 8),
+         |base AS (SELECT doc_id,
+         |  CASE WHEN ${Hashing.h60Sql("'split:v1:' || source")} % 1000 < 800 THEN 'train'
+         |       WHEN ${Hashing.h60Sql("'split:v1:' || source")} % 1000 < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM documents),
+         |leaked AS (
+         |  SELECT a_id AS doc_id FROM pairs
+         |    JOIN base ba ON ba.doc_id = a_id JOIN base bb ON bb.doc_id = b_id
+         |  WHERE ba.split = 'train' AND bb.split <> 'train'
+         |  UNION
+         |  SELECT b_id FROM pairs
+         |    JOIN base ba ON ba.doc_id = a_id JOIN base bb ON bb.doc_id = b_id
+         |  WHERE bb.split = 'train' AND ba.split <> 'train')
+         |SELECT d.doc_id,
+         |  CASE WHEN l.doc_id IS NOT NULL THEN 'leaked' ELSE d.split END AS split
+         |FROM base d LEFT JOIN leaked l USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q103_pq_rerank" ->
       s"""WITH $normedCte,
          |${pqCtes("SELECT * FROM e WHERE vec_id % 10 <> 0")},

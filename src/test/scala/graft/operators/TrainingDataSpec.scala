@@ -241,4 +241,48 @@ class TrainingDataSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(collectWithSubqueries(plan) { case b: BroadcastHashJoinExec => b }.nonEmpty)
     assert(collectWithSubqueries(plan) { case s: SortMergeJoinExec => s }.isEmpty)
   }
+
+  test("leakSafeSplit: the train twin of a holdout doc is marked leaked; holdout never changes") {
+    val twin = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val solo = Seq(
+      "seven engineers of the valley debugged a streaming pipeline in the night",
+      "nine ravens of the tower guarded a rusty crown in the heavy rain",
+      "four sailors of the delta charted a shallow reef before the storm")
+    // the same article under MANY sources: group-keyed splitting deals
+    // the sources independently, so some twin lands train while another
+    // lands holdout — the cross-origin leak this operator exists for.
+    // Find a salt where that actually happens (deterministic per salt).
+    val base = (0 until 12).map(i => (i.toLong, twin, s"mirror$i")) ++
+      solo.zipWithIndex.map { case (t, i) => ((100 + i).toLong, t, s"s$i") }
+    val df = base.toDF("doc_id", "text", "source")
+    val salt = (1 to 50).map(s => s"v$s").find { s =>
+      val sp = TrainingData.assignSplit(df, "source", salt = s)
+        .filter(col("doc_id") < 100)
+        .select("split").distinct().collect().map(_.getString(0)).toSet
+      sp.contains("train") && (sp - "train").nonEmpty
+    }.get
+    val plain = TrainingData.assignSplit(df, "source", salt = salt)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val safe = TrainingData.leakSafeSplit(df, "doc_id", "text", "source",
+        salt = salt)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val twinIds = (0L until 12L)
+    // every TRAIN twin is re-marked leaked (a holdout twin exists)
+    twinIds.filter(plain(_) == "train").foreach { id =>
+      assert(safe(id) == "leaked", s"train twin $id must be leaked")
+    }
+    // holdout rows NEVER change, twins included
+    safe.keys.filter(id => plain(id) != "train").foreach { id =>
+      assert(safe(id) == plain(id), s"holdout/other row $id changed split")
+    }
+    // solo docs keep their assignment whatever it is
+    (100L to 102L).foreach(id => assert(safe(id) == plain(id)))
+    // a corpus with no cross-boundary near-dups degenerates to assignSplit
+    val soloDf = base.filter(_._1 >= 100).toDF("doc_id", "text", "source")
+    assertSameRows(
+      TrainingData.leakSafeSplit(soloDf, "doc_id", "text", "source", salt = salt),
+      TrainingData.assignSplit(soloDf, "source", salt = salt))
+  }
 }
