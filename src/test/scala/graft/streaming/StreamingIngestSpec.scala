@@ -1210,6 +1210,65 @@ class StreamingIngestSpec extends SparkSpec {
       "deleted ids are probe-invisible")
   }
 
+  test("in-loop recluster and takedown compose in one stream; the window between them heals") {
+    import graft.operators.Similarity
+    val store = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Array(-0.8f, 0.3f, 0.1f, -0.6f))).toDF("vec_id", "embedding")
+    val indexDir = tmp("graft-rectake-index")
+    val outDir = tmp("graft-rectake-out")
+    val pend = tmp("graft-rectake-pend")
+    Similarity.ivfIndex(store, "vec_id", "embedding", nCells = 2, dims = 4)
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+    val blob = (1 to 12).map(i =>
+      (400L + i, Array(1.0f, 0.05f * i, 0.3f, 0.1f))).toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame, id: Long,
+        failAfter: Int = Int.MaxValue): Unit =
+      StreamingIngest.curateIvfBatch(df, id, indexDir, outDir,
+        "vec_id", "embedding", 999999L, 2, x => x, 0,
+        reclusterAtSkew = 1.2, applyDeletesFrom = pend,
+        failAfterStep = failAfter)
+    run(blob, 0L) // skew builds: cells 13 vs 1 (recluster fires already)
+    assert(spark.read.parquet(outDir).count() == 12)
+    // takedown naming a bootstrap id that MAY anchor a centroid (1),
+    // an admitted member (405), and an absent id — dropped while both
+    // in-loop maintenance knobs are live
+    Seq(1L, 405L, 9999L).toDF("vec_id").write.parquet(s"$pend/take1")
+    // crash AFTER the (possible) recluster, BEFORE the takedown: the
+    // batch is committed, the list still pending
+    intercept[IllegalStateException] {
+      run(Seq((501L, Array(0.9f, -0.05f, 0.4f, 0.15f)))
+        .toDF("vec_id", "embedding"), 1L, failAfter = 4)
+    }
+    assert(new java.io.File(s"$pend/take1").exists, "list must still be pending")
+    // replay of the committed batch: write path skipped, the takedown
+    // applies BOTH halves (store rewrite + deleteSwapIvf, centroid rule
+    // included whatever the recluster did to centroid anchorship) and
+    // consumes the list
+    run(Seq((501L, Array(0.9f, -0.05f, 0.4f, 0.15f)))
+      .toDF("vec_id", "embedding"), 1L)
+    assert(new java.io.File(s"$pend/_applied/take1").exists)
+    val outIds = spark.read.parquet(outDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(outIds == ((401L to 412L).toSet - 405L) + 501L,
+      s"store after takedown: $outIds")
+    val ix = spark.read.parquet(indexDir)
+    assert(ix.filter(col("vec_id").isin(1L, 405L)).isEmpty,
+      "deleted ids gone from the re-clustered index")
+    assert(ix.select("ix_cells", "ix_dims").distinct().count() == 1, "stamp unique")
+    // probes still bind, deleted ids invisible, survivors findable
+    val probe = Similarity.ivfIndexProbeAuto(
+      Seq((900L, Array(1.0f, 0.05f * 4, 0.3f, 0.1f))).toDF("vec_id", "embedding"),
+      ix, "vec_id", "embedding", k = 3, nProbe = 2)
+    assert(probe.filter(col("neighbor_id").isin(1L, 405L)).isEmpty)
+    assert(probe.count() > 0)
+    // forward filter survives both maintenance rewrites: 405 re-arriving
+    // is tombstone-screened, not re-admitted
+    run(Seq((405L, Array(1.0f, 0.25f, 0.3f, 0.1f))).toDF("vec_id", "embedding"), 2L)
+    assert(spark.read.parquet(outDir).filter(col("vec_id") === 405L).isEmpty,
+      "tombstone must screen the re-arrival after recluster + takedown")
+  }
+
   test("in-loop recluster fires on cell skew, crash-replay safe, screen intact") {
     import graft.operators.Similarity
     // bootstrap: two orthogonal-ish directions, one centroid each
