@@ -64,9 +64,11 @@ object TrainingData {
     * is never changed (its composition is the experiment), the leaked
     * rows are named rather than silently dropped (route them out of
     * training with a filter — or audit them; an engine should not
-    * disappear rows), and the near-dup relation is the corpus-scale
-    * banded LSH join ([[Dedup.minhashLshPairs]] — candidate generation
-    * is an equi-join on band keys, never all-pairs).
+    * disappear rows), and the near-dup relation is SIDED: the holdout
+    * side becomes a banded index ([[Dedup.minhashIndex]]) that the
+    * train side probes ([[Dedup.minhashProbe]]) — cross-boundary
+    * candidates only, never all-pairs and never the self-join's
+    * intra-train bulk.
     *
     * val↔test near-dups are deliberately untouched: neither side is
     * trained on, so nothing leaks into the model; re-dealing them
@@ -76,18 +78,20 @@ object TrainingData {
       salt: String = "v1", minAgree: Int = 8,
       outCol: String = "split"): DataFrame = {
     val split = assignSplit(df, groupCol, trainPermille, valPermille, salt, outCol)
-    val sp = split.select(col(idCol), col(outCol))
-    val pairs = Dedup.minhashLshPairs(df, idCol, textCol, minAgree = minAgree)
-      .join(sp.toDF(s"a_$idCol", "a_split"), Seq(s"a_$idCol"))
-      .join(sp.toDF(s"b_$idCol", "b_split"), Seq(s"b_$idCol"))
-    // the train member of every (train, holdout) pair — output-sized
-    val leaked = pairs
-      .filter(col("a_split") === "train" && col("b_split") =!= "train")
-      .select(col(s"a_$idCol").as(idCol))
-      .unionByName(pairs
-        .filter(col("b_split") === "train" && col("a_split") =!= "train")
-        .select(col(s"b_$idCol").as(idCol)))
-      .distinct()
+    // SIDED candidate generation: only cross-boundary pairs matter, so
+    // the holdout side becomes a banded index and the train side probes
+    // it — candidate volume is train×holdout band collisions instead of
+    // the corpus×corpus collisions a minhashLshPairs self-join would
+    // generate and then mostly discard (at a 90/10 split the intra-train
+    // pairs the self-join wastes ARE the bulk). Identical leak set: both
+    // forms admit a pair iff the sides share a band bucket and agree on
+    // ≥ minAgree of the 16 signature slots — the q104 oracle recomputes
+    // the leak set from the symmetric relation and hash-matches.
+    val leaked = Dedup.minhashProbe(
+        split.filter(col(outCol) === "train"),
+        Dedup.minhashIndex(split.filter(col(outCol) =!= "train"), idCol, textCol),
+        idCol, textCol, minAgree = minAgree)
+      .select(col(s"probe_$idCol").as(idCol)).distinct()
     split
       .join(leaked.withColumn("__leaked", lit(true)), Seq(idCol), "left")
       .withColumn(outCol, when(col("__leaked"), lit("leaked")).otherwise(col(outCol)))
