@@ -702,6 +702,36 @@ class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("takedown after evolution: the delete rewrite carries the evolved schema") {
+    // the migration-matrix interaction: old-generation files LACK the
+    // evolved column, the delete's staged rewrite reads under the
+    // sidecar schema (nulls by name) and re-writes survivors in the
+    // evolved shape — attestation and by-name reads stay green across
+    // shards that now mix pre-evolution files with rewritten ones
+    val dir = tmp("evolve_delete")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 4, dir)
+    import org.apache.spark.sql.types.{DoubleType, StructField}
+    Export.evolveExportSchema(spark, dir,
+      Seq(StructField("quality", DoubleType, nullable = true)))
+    val batch = spark.range(200, 210).select(
+      col("id").as("doc_id"), concat(lit("document body "), col("id")).as("text"),
+      when(col("id") % 3 === 0, "en").otherwise("de").as("lang"),
+      (col("id") % 7 * 100 + 20).as("n_tokens"),
+      lit(0.7).as("quality"))
+    Export.appendShards(spark, batch, "doc_id", csCols, dir)
+    // victims span the generations: one pre-evolution id, one appended
+    Export.deleteIdsFromExport(spark, dir,
+      Seq(5L, 205L).toDF("doc_id"), "doc_id", csCols)
+    val back = Export.readShards(spark, dir)
+    assert(back.count() == 208)
+    assert(back.filter(col("doc_id").isin(5L, 205L)).isEmpty)
+    // the evolved column survives the rewrite: appended rows keep their
+    // values, pre-evolution rows keep reading null
+    assert(back.filter(col("quality").isNotNull).count() == 9)
+    assert(back.filter(col("doc_id") < 200 && col("quality").isNotNull).isEmpty)
+    Export.verifyShards(spark, dir, csCols)
+  }
+
   test("dropColumnsFromExport: destructive migration preserves placement, refuses bad bases") {
     val dir = tmp("dropcol")
     Export.shardedWrite(spark, docs, "doc_id", csCols, 8, dir)
