@@ -1234,12 +1234,18 @@ object Export {
     *     `<data>.delete.tmp/shard=K` (ord-sorted [[writeLayout]]
     *     files; a fully-deleted shard stages an explicit empty dir);
     *  3. the manifest is published FIRST — affected shards recomputed
-    *     from the staged bytes, untouched shards carried. Manifest-
-    *     ahead-of-data is this operation's crash window (the inverse
-    *     of [[appendShards]]'): loud via [[verifyShards]] and healed
-    *     by re-running the same delete — shards already swapped hold
-    *     no matches and are skipped, shards not yet swapped still
-    *     match and are redone with identical recomputed rows;
+    *     from the staged bytes, untouched shards carried; the affected
+    *     shards' PRE-delete rows are staged as `_premanifest` one step
+    *     earlier. Manifest-ahead-of-data is this operation's crash
+    *     window (the inverse of [[appendShards]]'): loud via
+    *     [[verifyShards]] while open, and RECONCILED at the next
+    *     [[recoverDelete]] (any writer entry, or the delete's own
+    *     re-run) — each affected shard whose swap did not complete has
+    *     its pre-delete manifest row republished from `_premanifest`,
+    *     so manifest and data re-agree without operator action; the
+    *     delete itself still needs its re-run to finish (already-
+    *     swapped shards hold no matches and are skipped, rolled-back
+    *     shards still match and are redone with identical rows);
     *  4. per-shard swap: the live `shard=K` is parked INSIDE the
     *     staging area (`.removed/shard=K` — never as `shard=K.old`
     *     inside the partitioned dir, where partition discovery would
@@ -1346,14 +1352,42 @@ object Export {
     val (fs, _) = fsPath(spark, dir)
     val stagedRoot = dataDir(dir) + ".delete.tmp"
     val removedPath = new org.apache.hadoop.fs.Path(stagedRoot + "/.removed")
+    // shards whose parked original is OBSOLETE (their live dir exists,
+    // i.e. the swap completed) — everything else in the premanifest was
+    // rolled back or never swapped, and its live bytes are the ORIGINALS
+    var completed = Set.empty[Int]
     if (fs.exists(removedPath)) {
       fs.listStatus(removedPath).foreach { st =>
         val live = new org.apache.hadoop.fs.Path(dataDir(dir), st.getPath.getName)
         if (!fs.exists(live))
           require(fs.rename(st.getPath, live),
             s"deleteFromExport: rollback rename ${st.getPath} -> $live failed")
+        else completed += st.getPath.getName.stripPrefix("shard=").toInt
       }
       spark.catalog.refreshByPath(dir)
+    }
+    // MANIFEST RECONCILIATION: deleteCore publishes its manifest BEFORE
+    // the per-shard swaps (the loud-by-design crash window), so a crash
+    // mid-swap healed by the rollback above used to leave manifest and
+    // data durably divergent until the operator re-ran the identical
+    // delete. The staged `_premanifest` (the affected shards' rows as
+    // they were BEFORE the delete) closes that: every affected shard
+    // whose swap did NOT complete gets its pre-delete manifest row
+    // republished, so the manifest again describes the bytes on disk —
+    // metadata-only, and idempotent (a second recovery finds no staging).
+    val prePath = new org.apache.hadoop.fs.Path(stagedRoot, "_premanifest")
+    if (fs.exists(prePath)) {
+      val pre = spark.read.parquet(prePath.toString)
+      val restore = pre.filter(!col("shard").isin(completed.toSeq.map(Int.box): _*))
+      // bounded driver materialization: ≤ affected-shard rows
+      val restoreRows = restore.collect()
+      if (restoreRows.nonEmpty) {
+        val restoreShards = restoreRows.map(_.getAs[Int]("shard")).toSeq
+        val cur = readManifest(spark, dir)
+        publishManifest(spark, dir,
+          cur.filter(!col("shard").isin(restoreShards.map(Int.box): _*))
+            .unionByName(restore))
+      }
     }
     fs.delete(new org.apache.hadoop.fs.Path(stagedRoot), true)
   }
@@ -1378,6 +1412,20 @@ object Export {
     affected.foreach { k =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(stagedRoot, s"shard=$k"))
     }
+    // stage the affected shards' PRE-delete manifest rows before the
+    // manifest advances: a crash anywhere in the manifest-ahead-of-data
+    // window below is then reconciled by [[recoverDelete]] (unswapped
+    // shards get their old rows republished) instead of staying
+    // divergent until an operator re-runs the delete. Written to a tmp
+    // name and renamed in, so its EXISTENCE implies completeness; the
+    // underscore prefix hides it from the staged-data read below.
+    val prePath = new org.apache.hadoop.fs.Path(stagedRoot, "_premanifest")
+    val preTmp = new org.apache.hadoop.fs.Path(stagedRoot, ".premanifest.tmp")
+    fs.delete(preTmp, true)
+    live.filter(col("shard").isin(affected.map(Int.box): _*))
+      .coalesce(1).write.parquet(preTmp.toString)
+    require(fs.rename(preTmp, prePath),
+      s"deleteFromExport: rename $preTmp -> $prePath failed")
     // manifest FIRST (see the protocol note): affected shards
     // recomputed from the staged bytes, untouched shards carried
     val recomputed = manifestOf(

@@ -72,11 +72,21 @@ object TrainingData {
     *
     * val↔test near-dups are deliberately untouched: neither side is
     * trained on, so nothing leaks into the model; re-dealing them
-    * would silently change the holdout composition instead. */
+    * would silently change the holdout composition instead.
+    *
+    * `maxBucketRows` is the probe-side skew guard
+    * ([[IndexOps.capHotBuckets]] through [[Dedup.minhashProbe]]): one
+    * boilerplate-heavy band bucket in the HOLDOUT index otherwise makes
+    * the sided candidate join quadratic in that bucket (every train row
+    * colliding there reranks the whole slice). Off by default — the
+    * oracle-exact form — and bounded-recall when set: a leaked pair is
+    * missed only if every bucket it shares is over-cap, i.e. precisely
+    * the boilerplate content a pipeline screens by other means. Pick
+    * the cap from [[IndexOps.bucketHistogram]]'s tail. */
   def leakSafeSplit(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, trainPermille: Int = 800, valPermille: Int = 100,
       salt: String = "v1", minAgree: Int = 8,
-      outCol: String = "split"): DataFrame = {
+      outCol: String = "split", maxBucketRows: Option[Int] = None): DataFrame = {
     val split = assignSplit(df, groupCol, trainPermille, valPermille, salt, outCol)
     // SIDED candidate generation: only cross-boundary pairs matter, so
     // the holdout side becomes a banded index and the train side probes
@@ -90,7 +100,7 @@ object TrainingData {
     val leaked = Dedup.minhashProbe(
         split.filter(col(outCol) === "train"),
         Dedup.minhashIndex(split.filter(col(outCol) =!= "train"), idCol, textCol),
-        idCol, textCol, minAgree = minAgree)
+        idCol, textCol, minAgree = minAgree, maxBucketRows = maxBucketRows)
       .select(col(s"probe_$idCol").as(idCol)).distinct()
     split
       .join(leaked.withColumn("__leaked", lit(true)), Seq(idCol), "left")

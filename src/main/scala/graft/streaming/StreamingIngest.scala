@@ -756,6 +756,22 @@ object StreamingIngest {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
+  /** Whether `dir` holds any DATA file — any regular file not living
+    * under a hidden (`_`/`.` prefixed) path component. A curated store
+    * whose batches all gated to zero rows holds only the
+    * `_graft_commits` markers (whose files are named `b<id>`, so a
+    * recursive file listing alone would miscount them as data): the
+    * per-COMPONENT check is what distinguishes the two. Driver-side
+    * listing, bounded by the store's entry count. */
+  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean = {
+    if (!fs.exists(dir)) return false
+    fs.listStatus(dir)
+      .filter(st => !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .exists(st => !st.isDirectory || hasDataFiles(fs, st.getPath))
+  }
+
   /** Bootstrap the sidecar from the index's own ids if it does not
     * exist yet — one O(index) distinct, paid ONCE per index lifetime
     * (the per-batch screens then read the sidecar only). Written to a
@@ -942,8 +958,15 @@ object StreamingIngest {
     if (lists.isEmpty) return
     val ids = spark.read.parquet(lists.map(_.toString): _*)
       .select(idCol).distinct()
-    val out = spark.read.parquet(outDir)
-    if (!out.join(ids, Seq(idCol), "left_semi").isEmpty) {
+    // a curated store whose batches all gated to zero rows holds only
+    // _graft_commits markers and no data files — reading it would throw
+    // "unable to infer schema"; an empty store IS the no-op path (the
+    // index half and the list consumption below still run, so a pending
+    // list against a not-yet-populated store is consumed cleanly)
+    val storeHasData = hasDataFiles(fs, new org.apache.hadoop.fs.Path(outDir))
+    if (storeHasData &&
+        !spark.read.parquet(outDir).join(ids, Seq(idCol), "left_semi").isEmpty) {
+      val out = spark.read.parquet(outDir)
       val survivors = out.join(ids, Seq(idCol), "left_anti")
       require(!survivors.isEmpty,
         s"applyCurateDeletes: the takedown would empty the curated store " +
@@ -1441,7 +1464,15 @@ object StreamingIngest {
       minMicro: Long, nProbe: Int = 2,
       gate: DataFrame => DataFrame = df => df,
       compactAtFiles: Int = 0, reclusterAtSkew: Double = 0.0,
-      applyDeletesFrom: String = ""): DataStreamWriter[Row] =
+      applyDeletesFrom: String = ""): DataStreamWriter[Row] = {
+    // validate at STREAM CONSTRUCTION: a ratio in (0, 1) would otherwise
+    // surface as a repeated per-batch runtime crash inside the
+    // post-commit maintenance, after each batch's work is already done
+    // (the in-batch require stays as the backstop for direct
+    // curateIvfBatch callers)
+    require(reclusterAtSkew == 0.0 || reclusterAtSkew >= 1.0,
+      s"reclusterAtSkew is a max/mean cell-size ratio — must be 0 (off) " +
+        s"or >= 1, got $reclusterAtSkew")
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         curateIvfBatch(batch.toDF(), batchId, indexDir, outDir, idCol,
@@ -1450,6 +1481,7 @@ object StreamingIngest {
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
+  }
 
   /** Drain-what's-there runner: processes every pending file, then stops
     * (the scheduled-batch shape of the reference's manual re-runs). */

@@ -896,6 +896,59 @@ class ExportSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     Export.verifyShards(spark, a, csCols)
   }
 
+  test("a crashed delete's manifest divergence is reconciled from the staged premanifest") {
+    // deleteCore publishes the post-delete manifest BEFORE the per-shard
+    // swaps; a crash in that window used to leave manifest and data
+    // durably divergent after the rollback (loud in verifyShards, fixed
+    // only by re-running the identical delete). The staged _premanifest
+    // now lets recoverDelete republish the pre-delete rows for every
+    // shard whose swap did not complete — manifest and bytes re-agree
+    // with no operator action.
+    val dir = tmp("del_reconcile")
+    Export.shardedWrite(spark, docs, "doc_id", csCols, 8, dir)
+    val m0 = canon(Export.readManifest(spark, dir))
+    val vShard = Export.shardAssign(docs.filter(col("doc_id") === 7),
+      "doc_id", 8).select("shard").as[Int].head()
+    // simulate deleteCore crashing right after parking the victim shard:
+    // premanifest staged, DIVERGENT manifest published, live dir parked,
+    // staged replacement never renamed in
+    val stagedRoot = Export.dataDir(dir) + ".delete.tmp"
+    Export.readManifest(spark, dir).filter(col("shard") === vShard)
+      .coalesce(1).write.parquet(s"$stagedRoot/_premanifest")
+    val diverged = Export.readManifest(spark, dir).withColumn("n_rows",
+      when(col("shard") === vShard, col("n_rows") - 1).otherwise(col("n_rows")))
+    Export.publishManifest(spark, dir, diverged)
+    val removed = new java.io.File(s"$stagedRoot/.removed")
+    assert(removed.mkdirs())
+    val liveShard = new java.io.File(Export.dataDir(dir), s"shard=$vShard")
+    assert(liveShard.renameTo(new java.io.File(removed, s"shard=$vShard")))
+    spark.catalog.refreshByPath(dir)
+    // while the window is open, the divergence IS loud
+    assertThrows[IllegalStateException](Export.verifyShards(spark, dir, csCols))
+    // any writer entry reconciles: parked shard restored AND the
+    // manifest's pre-delete row republished — verifyShards green again
+    Export.appendShards(spark, docs.limit(0), "doc_id", csCols, dir)
+    assert(canon(Export.readManifest(spark, dir)) == m0,
+      "the rolled-back shard's manifest row must return to its pre-delete value")
+    Export.verifyShards(spark, dir, csCols)
+    assert(Export.readShards(spark, dir).count() == 200)
+    // the complementary half: a COMPLETED swap's shard keeps its NEW row.
+    // Run a real delete to completion, then re-stage only its premanifest
+    // beside an obsolete parked copy (live dir present) — recovery must
+    // NOT restore the old row for a completed shard.
+    val m1 = Export.deleteFromExport(spark, dir, col("doc_id") === 7, csCols)
+    val m1c = canon(m1)
+    Export.readManifest(spark, dir).filter(col("shard") === vShard)
+      .withColumn("n_rows", col("n_rows") + 1) // the stale pre-delete row
+      .coalesce(1).write.parquet(s"$stagedRoot/_premanifest")
+    val removed2 = new java.io.File(s"$stagedRoot/.removed/shard=$vShard")
+    assert(removed2.mkdirs()) // obsolete parked copy; live dir exists
+    Export.appendShards(spark, docs.limit(0), "doc_id", csCols, dir)
+    assert(canon(Export.readManifest(spark, dir)) == m1c,
+      "a completed swap's manifest row must survive reconciliation")
+    Export.verifyShards(spark, dir, csCols)
+  }
+
   test("delete residue is healed at any writer entry before new files can land") {
     // the hazard: a crashed delete parked shard K (live dir missing);
     // if an append recreated shard K FIRST, a later rollback would read

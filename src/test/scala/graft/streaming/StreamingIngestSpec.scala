@@ -956,6 +956,54 @@ class StreamingIngestSpec extends SparkSpec {
     assert(sidecarIds == Seq(1L, 2L, 101L, 102L, 103L, 301L, 401L))
   }
 
+  test("in-loop takedown against an all-gated (empty) store is the no-op path, not a crash") {
+    import graft.operators.Dedup
+    // every batch gates to zero rows, so outDir holds only the
+    // _graft_commits markers and no data files — the pending-list read
+    // used to throw "unable to infer schema" here and crash the loop
+    // every batch; an empty store must take the no-op path (index half
+    // still runs, list still consumed)
+    val store = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near the river bank"),
+      (2L, "a merchant of venice sailed in the morning tide carrying spice and silk"))
+      .toDF("doc_id", "text")
+    val indexDir = tmp("graft-emptytd-index")
+    val outDir = tmp("graft-emptytd-out")
+    val pend = tmp("graft-emptytd-pend")
+    Dedup.minhashIndex(store, "doc_id", "text")
+      .write.mode("overwrite").partitionBy("band").parquet(indexDir)
+    val dropAll: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.filter(org.apache.spark.sql.functions.lit(false))
+    def run(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingIngest.curateTextBatch(df, id, indexDir, outDir,
+        "doc_id", "text", dropAll, 8, 0, applyDeletesFrom = pend)
+    run(Seq((101L, "seven engineers of the valley debugged a pipeline in the night"))
+      .toDF("doc_id", "text"), 0L)
+    // takedown of a bootstrap doc while the store is empty: the store
+    // half no-ops, the INDEX half still purges, the list is consumed
+    Seq(1L).toDF("doc_id").write.parquet(s"$pend/take1")
+    run(Seq((102L, "nine ravens of the tower guarded a rusty crown in the rain"))
+      .toDF("doc_id", "text"), 1L)
+    assert(new java.io.File(s"$pend/_applied/take1").exists,
+      "the pending list must be consumed, not crash the loop")
+    assert(spark.read.parquet(indexDir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq == Seq(2L),
+      "index half applied even though the store half had nothing to do")
+  }
+
+  test("curateIvfIngestStream validates reclusterAtSkew at stream construction") {
+    // a ratio in (0, 1) used to surface as a repeated per-batch runtime
+    // crash inside post-commit maintenance; it must fail before the
+    // DataStreamWriter is even built
+    val rate = spark.readStream.format("rate").load()
+    val e = intercept[IllegalArgumentException] {
+      StreamingIngest.curateIvfIngestStream(rate, tmp("x-ix"), tmp("x-out"),
+        tmp("x-chk"), "value", "vec", minMicro = 400000L,
+        reclusterAtSkew = 0.5)
+    }
+    assert(e.getMessage.contains("reclusterAtSkew"))
+  }
+
   test("curate stream compaction trigger: mid-stream compaction preserves results, shrinks files") {
     import graft.operators.{Dedup, IndexOps}
     val store = Seq(
