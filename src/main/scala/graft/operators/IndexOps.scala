@@ -139,10 +139,15 @@ object IndexOps {
       targetRowsPerFile: Long = 4L * 1000 * 1000): Long = {
     require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
     val src = spark.read.parquet(srcDir)
-    val stampCols = src.columns.filter(_.startsWith("ix_")).sorted.toSeq
+    // the PQ index family stamps pq_sub/pq_k/pq_cb beside the ix_*
+    // columns — ALL stamp families join the uniqueness check, so a
+    // directory polluted by an append encoded under a different
+    // codebook (same shape, different pq_cb) refuses compaction too
+    val stampCols = src.columns
+      .filter(c => c.startsWith("ix_") || c.startsWith("pq_")).sorted.toSeq
     require(stampCols.nonEmpty,
-      s"compactTo: $srcDir carries no ix_* build-parameter stamp — not an " +
-        "index relation built by the current builders")
+      s"compactTo: $srcDir carries no ix_*/pq_* build-parameter stamp — not " +
+        "an index relation built by the current builders")
     val stamps = src.select(stampCols.map(col): _*).distinct().limit(3).collect()
     require(stamps.length <= 1,
       s"compactTo: $srcDir holds rows from ${stamps.length}+ different builds (" +
@@ -491,6 +496,18 @@ object IndexOps {
     * partitioned by cell, in-cell clustered by id so the rewritten
     * files carry id min/max stats for range pruning. */
   def compactSwapIvf(spark: SparkSession, dir: String, idCol: String,
+      targetRowsPerFile: Long = 4L * 1000 * 1000): Long =
+    compactSwap(spark, dir, "cell", Seq(idCol), targetRowsPerFile)
+
+  /** [[compactSwap]] with the [[Pq.pqIndex]] layout — same cell
+    * directories and in-cell id clustering as the raw IVF form (the PQ
+    * index IS the IVF layout storing codes), so an extend-grown IVF-PQ
+    * index gets the same small-files repair as the other three
+    * families. The stamp-uniqueness gate inside [[compactTo]] covers
+    * the pq_* columns too: a directory holding appends encoded under a
+    * DIFFERENT codebook (same shape, different `pq_cb`) refuses
+    * compaction instead of fusing two code spaces. */
+  def compactSwapPq(spark: SparkSession, dir: String, idCol: String,
       targetRowsPerFile: Long = 4L * 1000 * 1000): Long =
     compactSwap(spark, dir, "cell", Seq(idCol), targetRowsPerFile)
 }

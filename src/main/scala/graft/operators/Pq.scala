@@ -414,18 +414,29 @@ object Pq {
     * sides — id equi-joins fetching R·|queries| + |queries| vectors,
     * never a scan — score exact micro-cosine, keep the top k per query
     * by `(cos_micro desc, neighbor_id)`. Quantization error decides
-    * only who enters the R pool, not the final order. */
+    * only who enters the R pool, not the final order. `raw` must hold
+    * BOTH sides' vectors; when queries are not a subset of the corpus
+    * (the disjoint ingest-screen shape), use [[pqRerankSided]]. */
   def pqRerank(matches: DataFrame, raw: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
-    val n = raw.select(col(idCol), col(vecCol),
+      vecCol: String, k: Int): DataFrame =
+    pqRerankSided(matches, raw, raw, idCol, vecCol, k)
+
+  /** [[pqRerank]] with the two id joins reading DIFFERENT relations:
+    * query vectors from `queries`, neighbor vectors from `corpus` — the
+    * form the routed front door needs, where the probe batch is not
+    * part of the indexed corpus and a single `raw` table holding both
+    * does not exist. Same contract otherwise. */
+  def pqRerankSided(matches: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    def n(df: DataFrame) = df.select(col(idCol), col(vecCol),
         Similarity.norm(col(vecCol)).as("nrm"))
       .filter(col("nrm") > 0)
     val byScore = Window.partitionBy("query_id")
       .orderBy(col("cos_micro").desc, col("neighbor_id"))
     matches.select("query_id", "neighbor_id")
-      .join(n.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      .join(n(queries).select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         col("nrm").as("q_nrm")), Seq("query_id"))
-      .join(n.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+      .join(n(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
         col("nrm").as("n_nrm")), Seq("neighbor_id"))
       .withColumn("cos_micro",
         floor(lit(1e6) * Similarity.dot(col("q_vec"), col("n_vec"))
@@ -433,5 +444,33 @@ object Pq {
       .withColumn("rank", row_number().over(byScore).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos_micro", "rank")
+  }
+
+  /** [[pqProbe]] with `nCells`/`dims` read FROM the index's own stamp
+    * (one tiny head() job) — PQ's member of the probeAuto family
+    * ([[Similarity.ivfIndexProbeAuto]] / [[Similarity.lshIndexProbeAuto]]
+    * / [[Dedup.minhashProbeAuto]]): the caller re-supplies NOTHING the
+    * stamp already refuses mismatches on. The codebook is still handed
+    * in (codewords are data the stamp only fingerprints — `pq_sub`/
+    * `pq_k` shape and the `pq_cb` content hash are validated inside
+    * [[pqProbe]] as always); `k`/`nProbe`/`maxCellRows` stay
+    * caller-side probe-time knobs. An empty index — or the empty
+    * codebook an empty corpus yields — returns the empty match set
+    * with the contract schema. */
+  def pqProbeAuto(probes: DataFrame, index: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int,
+      maxCellRows: Option[Int] = None): DataFrame = {
+    def empty: DataFrame = probes.select(col(idCol).as("query_id")).limit(0)
+      .crossJoin(index.select(col(idCol).as("neighbor_id")).limit(0))
+      .withColumn("pq_micro", lit(0L))
+      .withColumn("rank", lit(0L))
+    if (codebook.isEmpty) empty
+    else IndexStamp.read(index, Seq("ix_cells", "ix_dims"),
+        "pqProbeAuto") match {
+      case Some(Seq(nCells, dims)) =>
+        pqProbe(probes, index, codebook, idCol, vecCol, k, nProbe, nCells,
+          dims, maxCellRows)
+      case _ => empty
+    }
   }
 }

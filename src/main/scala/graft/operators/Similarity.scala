@@ -412,34 +412,80 @@ object Similarity {
     *    the threshold the probe runs at
     *    `nProbe = max(nProbe, ceil(minRecall · nCells))`.
     *
+    * THE COMPRESSED ARM (r14): when the caller supplies the IVF-PQ
+    * pair (`pqIndex` + `pqCodebook`, built by [[Pq.pqIndex]] /
+    * [[Pq.pqCodebook]]), every index-probing route swaps its pruned
+    * raw-vector scan for [[Pq.pqProbeAuto]] at `k = R` (top-R by
+    * integer ADC over nSub-byte codes) finished by the exact
+    * [[Pq.pqRerankSided]] to top-k — same output contract
+    * (`query_id, neighbor_id, cos_micro, rank`, exact scores), same
+    * partition pruning, 1/32 the bytes per probed row. The rule is
+    * measured, not assumed (`PqScaleStudy` head-to-head, SCALING.md
+    * r14): the PQ arm wins whenever the probed cells' raw-vector bytes
+    * dominate probe cost — which is the regime a compressed index
+    * EXISTS for, so the route keys on the caller having built one; the
+    * study's recall cells show the R-pool rerank recovering the raw
+    * probe's recall (a true neighbor is lost only if quantization
+    * pushes it out of the top R, bounded by the measured ladder).
+    * `pqRerankR` sizes the pool (0 → max(8k, 50), the study's knee);
+    * the brute-force route is untouched — past the recall threshold
+    * ONE exact scan still beats any index, compressed or not.
+    *
     * Same routed-front-door pattern as [[graft.operators.Temporal]]'s
     * `rangeJoinAuto` / `Relational.rollingAgg`: the crossover is
-    * measured, then encoded. Both arms return [[ivfIndexProbe]]'s
+    * measured, then encoded. All arms return [[ivfIndexProbe]]'s
     * contract schema; `AnnRouteSpec` proves answer-invariance at the
     * recall-1 point and asserts each route from the plan. Queries must
-    * be a BOUNDED batch (both arms broadcast it) — the standing probe
+    * be a BOUNDED batch (all arms broadcast it) — the standing probe
     * contract. */
   def annTopKAuto(corpus: DataFrame, queries: DataFrame, index: DataFrame,
       idCol: String, vecCol: String, k: Int, nProbe: Int,
       screening: Boolean, minRecall: Double = 0.9,
       bruteRecallThreshold: Double = 0.5,
-      maxCellRows: Option[Int] = None): DataFrame = {
+      maxCellRows: Option[Int] = None,
+      pqIndex: Option[DataFrame] = None,
+      pqCodebook: Option[DataFrame] = None,
+      pqRerankR: Int = 0): DataFrame = {
     require(minRecall > 0 && minRecall <= 1,
       s"minRecall must be in (0, 1], got $minRecall")
+    require(pqIndex.isDefined == pqCodebook.isDefined,
+      "annTopKAuto: pqIndex and pqCodebook travel together — an IVF-PQ " +
+        "index is unreadable without the codebook it was encoded under")
+    require(pqRerankR >= 0, s"pqRerankR must be >= 0, got $pqRerankR")
+    val rPool = if (pqRerankR > 0) pqRerankR else math.max(8 * k, 50)
+    // the compressed arm is usable when the pair is handed in AND holds
+    // something to probe (an empty codebook/index — the empty-corpus
+    // bootstrap — falls through to the raw routes, which handle empty)
+    def pqArm(probeN: Int): Option[DataFrame] = (pqIndex, pqCodebook) match {
+      case (Some(pix), Some(cb)) if !cb.isEmpty =>
+        val pool = Pq.pqProbeAuto(queries, pix, cb, idCol, vecCol,
+          k = rPool, nProbe = probeN, maxCellRows)
+        Some(Pq.pqRerankSided(pool, queries, corpus, idCol, vecCol, k))
+      case _ => None
+    }
     if (screening)
-      ivfIndexProbeAuto(queries, index, idCol, vecCol, k, nProbe, maxCellRows)
+      pqArm(nProbe).getOrElse(
+        ivfIndexProbeAuto(queries, index, idCol, vecCol, k, nProbe, maxCellRows))
     else if (minRecall >= bruteRecallThreshold)
       bruteForceTopKBatch(corpus, queries, idCol, vecCol, k)
-    else IndexStamp.read(index, Seq("ix_cells", "ix_dims"),
-        "annTopKAuto") match {
-      case Some(Seq(nCells, _)) =>
-        val needed = math.max(nProbe, math.ceil(minRecall * nCells).toInt)
-        ivfIndexProbeAuto(queries, index, idCol, vecCol, k, needed, maxCellRows)
-      case _ =>
-        // no stamped index to probe: an empty probe would be recall 0,
-        // violating the minRecall contract silently — the exact arm is
-        // the only route that honors it
-        bruteForceTopKBatch(corpus, queries, idCol, vecCol, k)
+    else {
+      // derive the recall-honoring nProbe from whichever stamped index
+      // the chosen arm will probe (both families stamp ix_cells)
+      val stamped = pqIndex.filter(_ => pqCodebook.exists(!_.isEmpty))
+        .getOrElse(index)
+      IndexStamp.read(stamped, Seq("ix_cells", "ix_dims"),
+          "annTopKAuto") match {
+        case Some(Seq(nCells, _)) =>
+          val needed = math.max(nProbe, math.ceil(minRecall * nCells).toInt)
+          pqArm(needed).getOrElse(
+            ivfIndexProbeAuto(queries, index, idCol, vecCol, k, needed,
+              maxCellRows))
+        case _ =>
+          // no stamped index to probe: an empty probe would be recall 0,
+          // violating the minRecall contract silently — the exact arm is
+          // the only route that honors it
+          bruteForceTopKBatch(corpus, queries, idCol, vecCol, k)
+      }
     }
   }
 

@@ -564,6 +564,37 @@ object ScaleQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** SS18 — the routed ANN front door on its COMPRESSED arm (r14):
+    * the caller hands [[Similarity.annTopKAuto]] the IVF-PQ pair
+    * ([[graft.operators.Pq.pqIndex]] + codebook), and a low-recall
+    * top-k routes to [[graft.operators.Pq.pqProbeAuto]] (top-R=50 by
+    * integer ADC inside the derived nProbe=2 probed cells, build
+    * parameters from the stamp) finished by the exact sided rerank to
+    * top-3 — the route whose 32× scan-byte reduction is the 100 TB
+    * lever, now reachable through the same front door as the raw
+    * arms. The oracle composes q102's IVF-PQ probe CTEs (at the R=50
+    * pool) with q103's rerank CTEs, so the routed composition is
+    * value-checked end to end. */
+  val q105PqRoute: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val corpus = t.embeddings.filter(col("vec_id") % 10 =!= 0)
+    val qs = t.embeddings.filter(col("vec_id") % 10 === 0 && col("vec_id") < 500)
+    val cb = graft.operators.Pq.pqCodebook(corpus, "vec_id", "embedding",
+      dims = 64, nSub = 8, k = 16).localCheckpoint(true)
+    if (cb.isEmpty)
+      // empty corpus: no codebook, no index — the exact arm's empty
+      // contract (same schema, zero rows)
+      Similarity.bruteForceTopKBatch(corpus, qs.limit(0), "vec_id", "embedding", 3)
+    else {
+      val pix = graft.operators.Pq.pqIndex(corpus, "vec_id", "embedding",
+        cb, nCells = 8, dims = 64).localCheckpoint(true)
+      Similarity.annTopKAuto(corpus, qs, pix, "vec_id", "embedding",
+          k = 3, nProbe = 2, screening = false, minRecall = 0.25,
+          pqIndex = Some(pix), pqCodebook = Some(cb), pqRerankR = 50)
+        .orderBy("query_id", "rank")
+    }
+  }
+
   /** SS17 — leak-safe split ([[graft.operators.TrainingData
     * .leakSafeSplit]]): the group-keyed split plus the cross-group
     * repair — every train member of a near-dup pair whose other side
@@ -583,6 +614,7 @@ object ScaleQueries {
     "q104_leak_safe_split" -> q104LeakSafeSplit,
     "q101_pq_adc_topk" -> q101PqAdcTopk,
     "q102_pq_ivf_probe" -> q102PqIvfProbe,
+    "q105_pq_route" -> q105PqRoute,
     "q92_zorder_key" -> q92ZorderKey,
     "q78_ivf_index_probe" -> q78IvfIndexProbe,
     "q79_ivf_ingest" -> q79IvfIngest,
@@ -929,6 +961,74 @@ object ScaleQueries {
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY pq_micro DESC, neighbor_id) AS rank
          |  FROM adc)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q105_pq_route" ->
+      s"""WITH $normedCte,
+         |${pqCtes("SELECT * FROM e WHERE vec_id % 10 <> 0")},
+         |enc AS (SELECT vec_id, sub, code FROM (
+         |  SELECT svn.vec_id, svn.sub, cb.code,
+         |    ROW_NUMBER() OVER (PARTITION BY svn.vec_id, svn.sub
+         |      ORDER BY CAST(floor(1e6 * (${dotSql("xn", "c_vec")} - 0.5 * cc))
+         |        AS BIGINT) DESC, cb.code) AS rnk
+         |  FROM svn JOIN cb ON svn.sub = cb.sub)
+         |  WHERE rnk = 1),
+         |cents AS (SELECT vec_id AS cell_id, embedding AS cv, nrm AS c_nrm
+         |          FROM corpus
+         |          ORDER BY ${Similarity.centroidHashOrderSql("vec_id")}, vec_id
+         |          LIMIT 8),
+         |cscored AS (
+         |  SELECT corpus.vec_id, c.cell_id,
+         |    CAST(floor(1e6 * ${dotSql("corpus.embedding", "c.cv")}
+         |      / (corpus.nrm * c.c_nrm)) AS BIGINT) AS cell_cos
+         |  FROM corpus CROSS JOIN cents c),
+         |assignment AS (
+         |  SELECT vec_id AS neighbor_id, cell_id
+         |  FROM (SELECT *, ROW_NUMBER() OVER (
+         |          PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS cell_rank
+         |        FROM cscored)
+         |  WHERE cell_rank = 1),
+         |q AS (SELECT * FROM e WHERE vec_id % 10 = 0 AND vec_id < 500),
+         |qscored AS (
+         |  SELECT q.vec_id, q.embedding, q.nrm, c.cell_id,
+         |    CAST(floor(1e6 * ${dotSql("q.embedding", "c.cv")}
+         |      / (q.nrm * c.c_nrm)) AS BIGINT) AS cell_cos
+         |  FROM q CROSS JOIN cents c),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cell_id
+         |  FROM (SELECT *, ROW_NUMBER() OVER (
+         |          PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS cell_rank
+         |        FROM qscored)
+         |  WHERE cell_rank <= 2),
+         |qvn AS (SELECT vec_id AS query_id, sub,
+         |  list_transform(list_slice(embedding, sub*8+1, sub*8+8),
+         |    x -> CAST(x AS DOUBLE) / nrm) AS qn
+         |  FROM q CROSS JOIN subs),
+         |qterm AS (SELECT query_id, qvn.sub, cb.code,
+         |  CAST(floor(1e6 * ${dotSql("qn", "c_vec")}) AS BIGINT) AS term
+         |  FROM qvn JOIN cb ON qvn.sub = cb.sub),
+         |cand AS (SELECT DISTINCT probes.query_id, assignment.neighbor_id
+         |  FROM probes JOIN assignment USING (cell_id)
+         |  WHERE neighbor_id != query_id),
+         |adc AS (SELECT cand.query_id, cand.neighbor_id,
+         |  CAST(SUM(term) AS BIGINT) AS pq_micro
+         |  FROM cand
+         |  JOIN enc ON enc.vec_id = cand.neighbor_id
+         |  JOIN qterm ON qterm.query_id = cand.query_id
+         |    AND qterm.sub = enc.sub AND qterm.code = enc.code
+         |  GROUP BY cand.query_id, cand.neighbor_id),
+         |pool AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY pq_micro DESC, neighbor_id) AS prank
+         |  FROM adc) WHERE prank <= 50),
+         |rr AS (SELECT pool.query_id, pool.neighbor_id,
+         |  CAST(floor(1e6 * ${dotSql("qv.embedding", "nv.embedding")}
+         |    / (qv.nrm * nv.nrm)) AS BIGINT) AS cos_micro
+         |  FROM pool JOIN q qv ON qv.vec_id = pool.query_id
+         |  JOIN corpus nv ON nv.vec_id = pool.neighbor_id)
+         |SELECT query_id, neighbor_id, cos_micro, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_micro DESC, neighbor_id) AS rank
+         |  FROM rr)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q92_zorder_key" -> {
       import graft.functions.ZOrder

@@ -64,6 +64,64 @@ class AnnRouteSpec extends SparkSpec {
     assert(canon(ivfArm) == canon(bruteArm))
   }
 
+  private lazy val cb = Pq.pqCodebook(corpus, "vec_id", "embedding",
+    dims = 64, nSub = 8, k = 16).localCheckpoint(true)
+  private lazy val pqIx = Pq.pqIndex(corpus, "vec_id", "embedding",
+    cb, nCells = NCELLS, dims = 64).localCheckpoint(true)
+
+  test("the compressed pair routes the index arms through ADC + exact rerank") {
+    // the PQ arm is the only route that evaluates pq_adc; the raw IVF
+    // arm is the only one that scans raw member vectors
+    val got = Similarity.annTopKAuto(corpus, probes, pqIx, "vec_id", "embedding",
+      k = 3, nProbe = 2, screening = false, minRecall = 0.25,
+      pqIndex = Some(pqIx), pqCodebook = Some(cb), pqRerankR = 50)
+    assert(plan(got).contains("pq_adc"),
+      "a supplied IVF-PQ pair must route the probe through the compressed codes")
+    // same route on the screening arm
+    val scr = Similarity.annTopKAuto(corpus, probes, pqIx, "vec_id", "embedding",
+      k = 3, nProbe = 2, screening = true,
+      pqIndex = Some(pqIx), pqCodebook = Some(cb))
+    assert(plan(scr).contains("pq_adc"))
+    // and WITHOUT the pair, no route ever touches ADC
+    val raw = Similarity.annTopKAuto(corpus, probes, index, "vec_id", "embedding",
+      k = 3, nProbe = 2, screening = false, minRecall = 0.25)
+    assert(!plan(raw).contains("pq_adc"))
+    // the derived-nProbe rule is shared: the PQ arm at minRecall 0.25
+    // probes the same 2-of-8 cells, composed with the R-pool rerank
+    assert(canon(got) == canon(Pq.pqRerankSided(
+      Pq.pqProbeAuto(probes, pqIx, cb, "vec_id", "embedding", k = 50, nProbe = 2),
+      probes, corpus, "vec_id", "embedding", k = 3)))
+  }
+
+  test("compressed-arm answer-invariance at the recall-1 point") {
+    // probing every cell with an R covering the whole corpus makes the
+    // PQ arm exact: ADC only orders the pool, the pool is everything,
+    // and the rerank scores every candidate with the exact cosine — it
+    // must equal the brute-force arm bit-for-bit
+    val all = corpus.count().toInt
+    val pqArm = Similarity.annTopKAuto(corpus, probes, pqIx, "vec_id", "embedding",
+      k = 5, nProbe = NCELLS, screening = true,
+      pqIndex = Some(pqIx), pqCodebook = Some(cb), pqRerankR = all)
+    val bruteArm = Similarity.bruteForceTopKBatch(corpus, probes,
+      "vec_id", "embedding", k = 5)
+    assert(canon(pqArm) == canon(bruteArm))
+  }
+
+  test("an empty compressed pair falls back to the raw routes; a lone half is refused") {
+    val emptyCb = cb.limit(0)
+    val got = Similarity.annTopKAuto(corpus, probes, index, "vec_id", "embedding",
+      k = 3, nProbe = 2, screening = true,
+      pqIndex = Some(pqIx.limit(0)), pqCodebook = Some(emptyCb))
+    assert(!plan(got).contains("pq_adc"), "empty codebook must fall back to raw IVF")
+    assert(canon(got) == canon(Similarity.ivfIndexProbeAuto(
+      probes, index, "vec_id", "embedding", k = 3, nProbe = 2)))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annTopKAuto(corpus, probes, index, "vec_id", "embedding",
+        k = 3, nProbe = 2, screening = true, pqIndex = Some(pqIx))
+    }
+    assert(e.getMessage.contains("travel together"))
+  }
+
   test("bruteForceTopKBatch matches bruteForceTopK where both contracts hold") {
     // queries ⊆ corpus: the subset form and the batch form must agree
     val qs = emb.filter(col("vec_id") < 40)
