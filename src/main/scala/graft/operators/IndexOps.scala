@@ -436,8 +436,9 @@ object IndexOps {
     require(src.filter(col("is_cent")).join(drop, Seq(idCol), "left_semi").isEmpty,
       s"deleteSwapPq: a listed id anchors a CENTROID of $dir, and member " +
         "rows carry only PQ codes — the quantizer cannot be rebuilt from " +
-        "the index alone. Rebuild with Pq.pqIndex from the corpus minus " +
-        "the listed ids (after Export.deleteIdsFromExport on the corpus).")
+        "the index alone. Run Pq.pqTakedown (the one-call corpus+index " +
+        "takedown: Export.deleteIdsFromExport on the corpus, then a " +
+        "fresh-codebook rebuild from the survivors).")
     deleteSwap(spark, dir, "cell", Seq(idCol), idCol, ids)
   }
 

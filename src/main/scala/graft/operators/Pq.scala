@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -273,15 +273,32 @@ object Pq {
     Seq("pq_sub" -> nSub, "pq_k" -> k)
 
   /** Content hash of a collected codebook — a pure function of the
-    * codeword BITS (`java.util.Arrays.hashCode` over the flat arrays,
-    * masked positive), stamped as `pq_cb` so the probe/extend paths
+    * codeword BITS, stamped as `pq_cb` so the probe/extend paths
     * validate codebook VALUES, not just shape: two same-shape
     * codebooks (a sampled build vs its Lloyd refinement, or two
     * corpora) would otherwise pass the shape stamp and silently
-    * mis-score every ADC lookup. */
-  private def codebookHash(cb: Array[Double], cc: Array[Double]): Int =
-    (java.util.Arrays.hashCode(cb) * 31 + java.util.Arrays.hashCode(cc)) &
-      Int.MaxValue
+    * mis-score every ADC lookup.
+    *
+    * Each element's IEEE bits go through a 64-bit avalanche mix
+    * (splitmix64's finalizer) before folding — `java.util.Arrays
+    * .hashCode`'s linear fold was PROVABLY blind to structured value
+    * changes: negating every element adds 2^31 per element mod 2^32,
+    * so any even-length codebook collided with its own mirror image —
+    * precisely the "distribution flipped, codebook stale" drift case
+    * the stamp exists to refuse (caught by PqSpec's drift test). */
+  private def codebookHash(cb: Array[Double], cc: Array[Double]): Int = {
+    var h = 0x9E3779B97F4A7C15L
+    def mix(d: Double): Unit = {
+      var x = java.lang.Double.doubleToLongBits(d)
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^= x >>> 31
+      h = java.lang.Long.rotateLeft(h, 5) ^ x
+    }
+    cb.foreach(mix)
+    cc.foreach(mix)
+    ((h ^ (h >>> 32)).toInt) & Int.MaxValue
+  }
 
   /** IVF-PQ index: [[Similarity.ivfIndex]]'s cell-partitioned layout
     * (same hash-ordered centroid rule, same `partitionBy("cell")`
@@ -444,6 +461,201 @@ object Pq {
       .withColumn("rank", row_number().over(byScore).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos_micro", "rank")
+  }
+
+  // ------------------------------------------------- codebook lifecycle
+
+  /** Per-subspace quantization-distortion profile of `vecs` under
+    * `codebook` — the PQ family's DRIFT DETECTOR, playing
+    * [[IndexOps.cellHistogram]]'s role for the quantizer: a codebook
+    * trained on last year's corpus silently loses recall as the
+    * distribution shifts, and nothing in the probe path can see it
+    * (ADC scores stay plausible, they are just further from the exact
+    * cosine). This measures it directly: for a bounded hash-ordered
+    * sample of `vecs` (the codebook build's own sampling family),
+    * the squared L2 reconstruction error of each normalized subvector
+    * against its encode-rule codeword — the exact quantity ADC's
+    * score gap is built from — per subspace.
+    *
+    * Output `(sub, n, sum_err_micro, max_err_micro)`: each per-row
+    * error is micro-floored to a long BEFORE the sum (the engine's
+    * standing order-independent-float-sum discipline), so the profile
+    * is reproducible run-to-run and engine-to-engine; mean = sum/n at
+    * the caller ([[meanDistortionMicro]]). Compare a CURRENT corpus
+    * sample against the build-time profile and feed the ratio to a
+    * retrain policy — the repair is [[retrainSwapPq]]. Cost: one
+    * sampleN-row sort-limit plus sampleN·nSub·k broadcast-joined
+    * scoring rows — bounded, independent of corpus scale. */
+  def pqDistortion(vecs: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, sampleN: Int = 2048): DataFrame = {
+    require(sampleN >= 1, s"sampleN must be positive, got $sampleN")
+    val (cbArr, _, nSub, k) = collectCodebook(codebook)
+    val dsub = cbArr.length / (nSub * k)
+    val samp = vecs.select(col(idCol), col(vecCol),
+        Similarity.norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0)
+      .orderBy(codeHashOrder(col(idCol)), col(idCol)).limit(sampleN)
+    val subs = samp.select(col(idCol),
+        explode(sequence(lit(0), lit(nSub - 1))).as("sub"),
+        col(vecCol), col("nrm"))
+      .withColumn("xn", transform(
+        slice(col(vecCol), col("sub") * dsub + 1, lit(dsub)),
+        x => x.cast("double") / col("nrm")))
+    val cbRel = broadcast(codebook.select(
+      col("sub").cast("int").as("sub"), col("code").cast("int").as("code"),
+      col("c_vec"), col("cc").cast("double").as("cc")))
+    // the ENCODE rule's argmax (micro-floored score, code-id tiebreak),
+    // then the winner's reconstruction error — one definition with
+    // PqEncode's, asserted equal in PqSpec
+    val byScore = Window.partitionBy(col(idCol), col("sub"))
+      .orderBy(col("score").desc, col("code"))
+    subs.join(cbRel, Seq("sub"))
+      .withColumn("score",
+        floor(lit(1e6) * (doubleDot(col("xn"), col("c_vec"))
+          - lit(0.5) * col("cc"))).cast("long"))
+      .withColumn("rnk", row_number().over(byScore))
+      .filter(col("rnk") === 1)
+      .withColumn("err_micro",
+        floor(lit(1e6) * (doubleDot(col("xn"), col("xn"))
+          - lit(2.0) * doubleDot(col("xn"), col("c_vec")) + col("cc"))).cast("long"))
+      .groupBy("sub")
+      .agg(count(lit(1)).as("n"),
+        sum("err_micro").as("sum_err_micro"),
+        max("err_micro").as("max_err_micro"))
+  }
+
+  /** [[pqDistortion]] reduced to one policy number: the mean per-
+    * subspace reconstruction error (micro) over the whole sample.
+    * Retrain when current/baseline exceeds the caller's ratio. */
+  def meanDistortionMicro(distortion: DataFrame): Long = {
+    val r = distortion.agg(coalesce(sum("sum_err_micro"), lit(0L)),
+      coalesce(sum("n"), lit(0L))).head()
+    if (r.getLong(1) == 0) 0L else r.getLong(0) / r.getLong(1)
+  }
+
+  /** Retrain-and-swap the IVF-PQ index at `dir` — the sanctioned
+    * repair for the drift [[pqDistortion]] detects, completing the
+    * detect→repair pair the IVF family has in `cellHistogram` →
+    * `reclusterSwapIvf`: retrain the codebook on the CURRENT corpus
+    * (same hash-ordered sample rule, optional Lloyd refinement),
+    * re-encode every member row, re-sample centroids, and rotate the
+    * `pq_cb` stamp — staged at `<dir>.compact.tmp`, dst-counted
+    * against the live row count BEFORE the swap, [[IndexOps
+    * .recoverSwap]] crash semantics, exactly the `reclusterSwapIvf`
+    * construction.
+    *
+    * `corpus` must be the index's member source: the rebuilt row set
+    * must equal the live one (count-refused otherwise) — a retrain
+    * must never silently change membership; takedowns compose through
+    * [[pqTakedown]], growth through [[pqIndexExtend]] first. Returns
+    * the NEW codebook — persist it beside the index: every probe
+    * handing the OLD codebook is refused by the rotated `pq_cb` stamp
+    * from here on, BY DESIGN (that refusal is the whole reason the
+    * stamp hashes codeword content). nCells/dims/nSub/k are inherited
+    * from the stamp. */
+  def retrainSwapPq(spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, vecCol: String, iters: Int = 3,
+      sampleN: Int = 8192): DataFrame = {
+    IndexOps.recoverSwap(spark, dir)
+    val live = spark.read.parquet(dir)
+    val params = IndexStamp.readUnique(live,
+      Seq("ix_cells", "ix_dims", "pq_sub", "pq_k"), "retrainSwapPq")
+      .getOrElse(throw new IllegalArgumentException(
+        s"retrainSwapPq: no stamped IVF-PQ index at $dir"))
+    val Seq(nCells, dims, nSub, kCodes) = params: @unchecked
+    val srcRows = live.count()
+    val cb = pqCodebook(corpus, idCol, vecCol, dims, nSub, kCodes, iters,
+      sampleN).localCheckpoint(true)
+    val rebuilt = pqIndex(corpus.select(col(idCol), col(vecCol)), idCol,
+      vecCol, cb, nCells, dims)
+    val tmpDir = dir + ".compact.tmp"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+    rebuilt.write.mode("overwrite").partitionBy("cell").parquet(tmpDir)
+    val dstRows = spark.read.parquet(tmpDir).count()
+    require(dstRows == srcRows,
+      s"retrainSwapPq: the rebuilt index holds $dstRows rows where the live " +
+        s"index holds $srcRows — the supplied corpus is not this index's " +
+        "member set (retraining must never change membership); not swapping")
+    IndexOps.swapDirs(spark, dir, tmpDir)
+    cb
+  }
+
+  /** The one-call corpus+index takedown [[IndexOps.deleteSwapPq]]'s
+    * refusal message points at: remove the listed ids from the corpus
+    * EXPORT (O(affected shards) on a stamped hash layout —
+    * [[Export.deleteIdsFromExport]]) and bring the IVF-PQ index at
+    * `indexDir` along in the same call.
+    *
+    * The index half depends on what the listed ids ANCHOR:
+    *  - plain member rows only → the layout-preserving
+    *    [[IndexOps.deleteSwapPq]]; the existing codebook stays valid
+    *    (returns None);
+    *  - a CENTROID row, or a CODEBOOK-SAMPLE row (one of the first
+    *    pq_k corpus rows in codebook hash order — Lloyd refinement
+    *    starts from those same anchors, so one test governs both
+    *    forms) → the quantizers themselves are content derived from
+    *    the deleted document, and a row filter would keep routing and
+    *    scoring through them. The index is rebuilt from the SURVIVING
+    *    corpus under a FRESH codebook (trained on survivors, `pq_cb`
+    *    rotated) — returns Some(newCodebook), which the caller must
+    *    adopt: the old codebook is refused by every probe from here
+    *    on, by design.
+    * Crash-safe at every seam: the export delete reconciles via its
+    * own premanifest protocol, the index rebuild stages + dst-counts
+    * + swaps with [[IndexOps.recoverSwap]] semantics. */
+  def pqTakedown(spark: SparkSession, exportDir: String, indexDir: String,
+      ids: DataFrame, idCol: String, vecCol: String,
+      checksumCols: Seq[String], iters: Int = 0,
+      sampleN: Int = 8192): Option[DataFrame] = {
+    IndexOps.recoverSwap(spark, indexDir)
+    val live = spark.read.parquet(indexDir)
+    val params = IndexStamp.readUnique(live,
+      Seq("ix_cells", "ix_dims", "pq_sub", "pq_k"), "pqTakedown")
+      .getOrElse(throw new IllegalArgumentException(
+        s"pqTakedown: no stamped IVF-PQ index at $indexDir"))
+    val Seq(nCells, dims, nSub, kCodes) = params: @unchecked
+    // pin the id list before the export under it is rewritten — a list
+    // derived from the export itself must not recompute from deleted bytes
+    val drop = ids.select(col(idCol)).distinct().localCheckpoint(true)
+    val centHit = !live.filter(col("is_cent"))
+      .join(drop, Seq(idCol), "left_semi").isEmpty
+    val pre = Export.readShards(spark, exportDir)
+    val anchorHit = !pre.select(col(idCol), col(vecCol),
+        Similarity.norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0)
+      .orderBy(codeHashOrder(col(idCol)), col(idCol)).limit(kCodes)
+      .select(col(idCol))
+      .join(drop, Seq(idCol), "left_semi").isEmpty
+    Export.deleteIdsFromExport(spark, exportDir, drop, idCol, checksumCols)
+    if (!centHit && !anchorHit) {
+      IndexOps.deleteSwapPq(spark, indexDir, idCol, drop)
+      None
+    } else {
+      val corpus = Export.readShards(spark, exportDir)
+        .select(col(idCol), col(vecCol))
+      val expected = live.join(drop, Seq(idCol), "left_anti").count()
+      require(expected > 0,
+        s"pqTakedown: the takedown would remove EVERY row of $indexDir — " +
+          "delete the index directory (and rebuild when there is content) " +
+          "instead of swapping in an empty relation no probe can use")
+      val cb = pqCodebook(corpus, idCol, vecCol, dims, nSub, kCodes, iters,
+        sampleN).localCheckpoint(true)
+      val rebuilt = pqIndex(corpus, idCol, vecCol, cb,
+        math.min(nCells, expected.toInt), dims)
+      val tmpDir = indexDir + ".compact.tmp"
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+      rebuilt.write.mode("overwrite").partitionBy("cell").parquet(tmpDir)
+      val dstRows = spark.read.parquet(tmpDir).count()
+      require(dstRows == expected,
+        s"pqTakedown: rebuild of $indexDir lost rows ($expected expected vs " +
+          s"$dstRows staged) — not swapping")
+      IndexOps.swapDirs(spark, indexDir, tmpDir)
+      Some(cb)
+    }
   }
 
   /** [[pqProbe]] with `nCells`/`dims` read FROM the index's own stamp

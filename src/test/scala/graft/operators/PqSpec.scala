@@ -250,7 +250,143 @@ class PqSpec extends SparkSpec {
         Seq(centIds.head).toDF("vec_id"))
     }
     assert(ex.getMessage.contains("CENTROID") &&
-      ex.getMessage.contains("pqIndex"))
+      ex.getMessage.contains("pqTakedown"))
+  }
+
+  test("drift: pqDistortion flags a stale codebook; retrainSwapPq repairs and rotates the stamp") {
+    // the drift scenario: an index over TODAY's corpus still encoded
+    // under a codebook trained on a DIFFERENT distribution (here: the
+    // negated corpus — same norms, mirrored directions, so every
+    // codeword points the wrong way)
+    val shifted = corpus.withColumn("embedding",
+      transform(col("embedding"), x => negate(x)))
+    val staleCb = Pq.pqCodebook(shifted, "vec_id", "embedding",
+      DIMS, NSUB, K).localCheckpoint(true)
+    val dStale = Pq.meanDistortionMicro(
+      Pq.pqDistortion(corpus, staleCb, "vec_id", "embedding"))
+    val dTrue = Pq.meanDistortionMicro(
+      Pq.pqDistortion(corpus, cb, "vec_id", "embedding"))
+    assert(dStale > dTrue,
+      s"the detector must flag the stale codebook: stale=$dStale true=$dTrue")
+    // detector determinism (micro-floored per-term sums, hash-ordered sample)
+    assert(canon(Pq.pqDistortion(corpus, staleCb, "vec_id", "embedding")) ==
+      canon(Pq.pqDistortion(corpus, staleCb, "vec_id", "embedding")))
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-drift").toString + "/ix"
+    Pq.pqIndex(corpus, "vec_id", "embedding", staleCb, nCells = 8, dims = DIMS)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    // the repair: retrain on the CURRENT corpus, re-encode, swap.
+    // iters = 0 on the live corpus IS the canonical codebook — the
+    // retrained result must equal the from-scratch build exactly
+    val newCb = Pq.retrainSwapPq(spark, tmp,
+      corpus.select("vec_id", "embedding"), "vec_id", "embedding", iters = 0)
+    assert(canon(newCb) == canon(cb))
+    assert(Pq.meanDistortionMicro(
+      Pq.pqDistortion(corpus, newCb, "vec_id", "embedding")) == dTrue)
+    // probe-equivalence: the retrained index under its new codebook
+    // answers exactly like a from-scratch build
+    val back = spark.read.parquet(tmp)
+    assertSameRows(
+      Pq.pqProbeAuto(probes, back, newCb, "vec_id", "embedding",
+        k = 5, nProbe = 8),
+      Pq.pqTopKExhaustive(probes, corpus, cb, "vec_id", "embedding", 5))
+    // the STALE codebook is refused by the rotated pq_cb stamp — the
+    // rotation is the point: nothing can silently score old codes
+    val ex = intercept[Exception] {
+      Pq.pqProbeAuto(probes, back, staleCb, "vec_id", "embedding",
+        k = 3, nProbe = 2).collect()
+    }
+    assert(ex.getMessage.contains("pq_cb"))
+    // membership guard: retraining on a corpus that is not the member
+    // set refuses before the swap
+    val ex2 = intercept[IllegalArgumentException] {
+      Pq.retrainSwapPq(spark, tmp, corpus.limit(10), "vec_id", "embedding")
+    }
+    assert(ex2.getMessage.contains("member set"))
+    // the refusal left the live index untouched (codes hexed: binary
+    // columns compare by reference in canon)
+    def snap(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      col("cell"), hex(col("pq_codes")).as("codes"))
+    assertSameRows(snap(spark.read.parquet(tmp)), snap(back))
+  }
+
+  test("retrainSwapPq entry recovers a crashed swap before retraining") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-crash").toString
+    val dir = root + "/ix"
+    Pq.pqIndex(corpus, "vec_id", "embedding", cb, nCells = 8, dims = DIMS)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    // simulate a crash BETWEEN swapDirs' two renames: live renamed away
+    // to .old, the fresh tmp never renamed in (and possibly incomplete)
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".old")))
+    new java.io.File(dir + ".compact.tmp").mkdirs()
+    spark.catalog.refreshByPath(dir)
+    val newCb = Pq.retrainSwapPq(spark, dir,
+      corpus.select("vec_id", "embedding"), "vec_id", "embedding", iters = 0)
+    assert(canon(newCb) == canon(cb))
+    assertSameRows(
+      Pq.pqProbeAuto(probes, spark.read.parquet(dir), newCb, "vec_id",
+        "embedding", k = 5, nProbe = 8),
+      Pq.pqTopKExhaustive(probes, corpus, cb, "vec_id", "embedding", 5))
+    assert(!new java.io.File(dir + ".old").exists)
+  }
+
+  test("pqTakedown: one call purges export + index; quantizer-anchor hits rotate the codebook") {
+    import java.nio.file.Files
+    val exp = Files.createTempDirectory("graft-pq-td").toString + "/exp"
+    val ixd = Files.createTempDirectory("graft-pq-td-ix").toString + "/ix"
+    val csCols = Seq("vec_id")
+    Export.shardedWrite(spark, corpus.select("vec_id", "embedding"),
+      "vec_id", csCols, 4, exp)
+    Pq.pqIndex(corpus, "vec_id", "embedding", cb, nCells = 8, dims = DIMS)
+      .write.mode("overwrite").partitionBy("cell").parquet(ixd)
+    val centIds = spark.read.parquet(ixd).filter(col("is_cent"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val anchorIds = corpus
+      .select(col("vec_id"),
+        graft.functions.Hashing.h60(concat(lit("pqcode:"),
+          col("vec_id").cast("string"))).as("hk"))
+      .orderBy("hk", "vec_id").limit(K).collect().map(_.getLong(0)).toSet
+    // a plain member: neither a centroid nor a codebook anchor — the
+    // cheap path: layout-preserving deletes on both halves, codebook
+    // untouched (None)
+    val safe = corpus.select("vec_id").collect().map(_.getLong(0))
+      .find(id => !centIds.contains(id) && !anchorIds.contains(id)).get
+    val r1 = Pq.pqTakedown(spark, exp, ixd, Seq(safe, 999999L).toDF("vec_id"),
+      "vec_id", "embedding", csCols)
+    assert(r1.isEmpty, "a plain-member takedown must keep the codebook")
+    assert(Export.readShards(spark, exp).filter(col("vec_id") === safe).isEmpty)
+    assert(spark.read.parquet(ixd).filter(col("vec_id") === safe).isEmpty)
+    Export.verifyShards(spark, exp, csCols)
+    assert(Pq.pqProbeAuto(probes, spark.read.parquet(ixd), cb, "vec_id",
+      "embedding", k = 3, nProbe = 2).count() > 0,
+      "the original codebook must stay valid after a member takedown")
+    // a CODEBOOK ANCHOR: its subvectors live in the quantizer itself —
+    // the takedown must rebuild under a fresh codebook and rotate pq_cb
+    val victim = anchorIds.head
+    val r2 = Pq.pqTakedown(spark, exp, ixd, Seq(victim).toDF("vec_id"),
+      "vec_id", "embedding", csCols)
+    assert(r2.isDefined, "an anchor takedown must rotate the codebook")
+    val newCb = r2.get
+    val back = spark.read.parquet(ixd)
+    assert(back.filter(col("vec_id") === victim).isEmpty)
+    assert(Export.readShards(spark, exp).filter(col("vec_id") === victim).isEmpty)
+    Export.verifyShards(spark, exp, csCols)
+    // nothing derived from the deleted document survives: the new
+    // codebook is exactly the from-scratch build over the survivors
+    val survivors = Export.readShards(spark, exp).select("vec_id", "embedding")
+    assert(canon(newCb) == canon(Pq.pqCodebook(survivors, "vec_id",
+      "embedding", DIMS, NSUB, K)))
+    // the old codebook is refused; the rotated one probes, with the
+    // deleted ids invisible
+    val ex = intercept[Exception] {
+      Pq.pqProbeAuto(probes, back, cb, "vec_id", "embedding",
+        k = 3, nProbe = 2).collect()
+    }
+    assert(ex.getMessage.contains("pq_cb"))
+    val probed = Pq.pqProbeAuto(probes, back, newCb, "vec_id", "embedding",
+      k = 50, nProbe = 8)
+    assert(probed.count() > 0)
+    assert(probed.filter(col("neighbor_id").isin(safe, victim)).isEmpty)
   }
 
   test("stamp validation: a codebook whose shape disagrees with the index raises") {
