@@ -108,6 +108,48 @@ object TrainingData {
       .drop("__leaked")
   }
 
+  /** The EMBEDDING twin of [[leakSafeSplit]] — the leak class the
+    * lexical form cannot see: a paraphrase or translation of a holdout
+    * document shares no 3-token shingles with it, so MinHash banding
+    * never pairs them, but their embeddings are near — which is
+    * precisely what embedding near-dup exists to catch. Same sided
+    * construction ([[assignSplit]] first; the HOLDOUT side becomes a
+    * hyperplane-LSH index, [[Similarity.lshIndex]], and the train side
+    * probes it, [[Similarity.lshIndexProbe]] — train×holdout bucket
+    * collisions only, never the self-join's intra-train bulk), same
+    * contract: the holdout composition is never changed, leaked train
+    * rows are re-marked `"leaked"` rather than dropped, val↔test
+    * pairs are untouched.
+    *
+    * The index's plane count is derived from the HOLDOUT size
+    * ([[Similarity.lshAutoPlanes]] — the build-time rule every
+    * persisted index uses; pass `knownHoldoutRows` to skip the sizing
+    * count when the caller already has it). A pair is leaked iff the
+    * sides share a bucket in any of `tables` plane families AND their
+    * exact cosine clears `minMicro` — recall follows the standing LSH
+    * trade ([[Similarity.nearDupPairsLsh]]'s scaladoc). `maxBucketRows`
+    * caps a degenerate holdout bucket, as in the lexical form. */
+  def leakSafeSplitEmbedding(df: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, dims: Int, minMicro: Long,
+      trainPermille: Int = 800, valPermille: Int = 100,
+      salt: String = "v1", tables: Int = 6, outCol: String = "split",
+      maxBucketRows: Option[Int] = None,
+      knownHoldoutRows: Option[Long] = None): DataFrame = {
+    val split = assignSplit(df, groupCol, trainPermille, valPermille, salt, outCol)
+    val holdout = split.filter(col(outCol) =!= "train")
+    val n = knownHoldoutRows.getOrElse(holdout.count())
+    val planes = if (n <= 0) 1 else Similarity.lshAutoPlanes(n)
+    val leaked = Similarity.lshIndexProbe(
+        split.filter(col(outCol) === "train"),
+        Similarity.lshIndex(holdout, idCol, vecCol, planes, dims, tables),
+        idCol, vecCol, minMicro, planes, dims, tables, maxBucketRows)
+      .select(col("probe_id").as(idCol)).distinct()
+    split
+      .join(leaked.withColumn("__leaked", lit(true)), Seq(idCol), "left")
+      .withColumn(outCol, when(col("__leaked"), lit("leaked")).otherwise(col(outCol)))
+      .drop("__leaked")
+  }
+
   /** Per-stratum deterministic downsampling: keep a row iff its id-hash
     * bucket falls under the stratum's keep-rate. The canonical corpus
     * rebalancing move (e.g. downsample the dominant language to 10%

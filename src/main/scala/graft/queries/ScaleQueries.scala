@@ -608,7 +608,33 @@ object ScaleQueries {
       .select("doc_id", "split").orderBy("doc_id")
   }
 
+  /** SS19 — the EMBEDDING leak-safe split ([[graft.operators
+    * .TrainingData.leakSafeSplitEmbedding]]): the label-keyed split
+    * plus the cross-boundary repair for the leak class q104's lexical
+    * form cannot see (paraphrase/translation twins share no shingles
+    * but sit near in embedding space). Sided: the holdout side is a
+    * hyperplane-LSH index (plane count derived from the HOLDOUT size),
+    * the train side probes it, leaked train rows re-marked. The oracle
+    * recomputes the split formula, the holdout-derived plane count,
+    * the full banded hyperplane relation and the exact-cosine gate —
+    * the leak set itself is value-checked cross-engine. */
+  val q106LeakSafeEmbedding: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val holdoutRows = CorpusCounts.of(
+      graft.operators.TrainingData.assignSplit(t.embeddings, "label")
+        .filter(col("split") =!= "train"),
+      s"$dir#embeddings_holdout")
+    val planes = if (holdoutRows <= 0) 1 else Similarity.lshAutoPlanes(holdoutRows)
+    require(planes <= MaxAutoPlanes,
+      s"q106 holdout ($holdoutRows rows) derives more planes than the oracle replicates")
+    graft.operators.TrainingData.leakSafeSplitEmbedding(t.embeddings,
+        "vec_id", "embedding", groupCol = "label", dims = 64,
+        minMicro = 400000L, knownHoldoutRows = Some(holdoutRows))
+      .select("vec_id", "split").orderBy("vec_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q106_leak_safe_embedding" -> q106LeakSafeEmbedding,
     "q100_pq_codebook" -> q100PqCodebook,
     "q103_pq_rerank" -> q103PqRerank,
     "q104_leak_safe_split" -> q104LeakSafeSplit,
@@ -803,6 +829,39 @@ object ScaleQueries {
        |  FROM ($src) CROSS JOIN subs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q106_leak_safe_embedding" -> {
+      val splitBucket = s"${Hashing.h60Sql("'split:v1:' || CAST(label AS VARCHAR)")} % 1000"
+      val holdoutPred = s"($splitBucket) >= 800"
+      val trainPred = s"($splitBucket) < 800"
+      def side(name: String, pred: String) =
+        (0 until 6).map(t =>
+          s"SELECT vec_id, $t AS tbl, CAST(${guardedBucketSql(t)} AS BIGINT) AS bucket " +
+            s"FROM el, np WHERE $pred")
+          .mkString(s"$name AS (\n  ", "\n  UNION ALL ", ")")
+      s"""WITH el0 AS (SELECT vec_id, label, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         |el AS (SELECT * FROM el0 WHERE nrm > 0),
+         |${planesNpCte(holdoutPred, trainPred)},
+         |${side("mkh", holdoutPred)},
+         |${side("mkt", trainPred)},
+         |cand AS (
+         |  SELECT DISTINCT t.vec_id AS t_id, h.vec_id AS h_id
+         |  FROM mkt t JOIN mkh h ON t.tbl = h.tbl AND t.bucket = h.bucket),
+         |leaked AS (
+         |  SELECT DISTINCT t_id AS vec_id FROM cand
+         |  JOIN el x ON t_id = x.vec_id JOIN el y ON h_id = y.vec_id
+         |  WHERE CAST(floor(1e6 * ${dotSql("x.embedding", "y.embedding")}
+         |    / (x.nrm * y.nrm)) AS BIGINT) >= 400000),
+         |base AS (SELECT vec_id,
+         |  CASE WHEN ($splitBucket) < 800 THEN 'train'
+         |       WHEN ($splitBucket) < 900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM embeddings)
+         |SELECT b.vec_id,
+         |  CASE WHEN l.vec_id IS NOT NULL THEN 'leaked' ELSE b.split END AS split
+         |FROM base b LEFT JOIN leaked l USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
+    },
     "q100_pq_codebook" ->
       s"""WITH $normedCte,
          |${pqCtes("SELECT * FROM e WHERE FALSE")}

@@ -285,4 +285,47 @@ class TrainingDataSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       TrainingData.leakSafeSplit(soloDf, "doc_id", "text", "source", salt = salt),
       TrainingData.assignSplit(soloDf, "source", salt = salt))
   }
+
+  test("leakSafeSplitEmbedding: sided probe equals the symmetric pair relation's cross-boundary leak set") {
+    // the sided-vs-symmetric equivalence law, embedding form: the
+    // operator's holdout-index + train-probe construction must name
+    // exactly the train ids a SYMMETRIC whole-corpus near-dup pair
+    // relation (same plane count, same tables, same threshold) names
+    // through its cross-boundary pairs — the sided form exists to skip
+    // the intra-train bulk, never to change the answer
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val minMicro = 400000L
+    val split = TrainingData.assignSplit(emb, "label")
+    val holdoutRows = split.filter(col("split") =!= "train").count()
+    assert(holdoutRows > 0, "fixture must deal some labels to holdout")
+    val planes = Similarity.lshAutoPlanes(holdoutRows)
+    val got = TrainingData.leakSafeSplitEmbedding(emb, "vec_id", "embedding",
+        "label", dims = 64, minMicro = minMicro)
+      .filter(col("split") === "leaked")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val sides = split.select("vec_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Similarity.nearDupPairsLsh(emb, "vec_id", "embedding",
+        minMicro, planes = planes, dims = 64, tables = 6)
+      .select("a_id", "b_id").collect()
+    val want = pairs.flatMap { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      Seq(
+        if (sides(a) == "train" && sides(b) != "train") Some(a) else None,
+        if (sides(b) == "train" && sides(a) != "train") Some(b) else None)
+        .flatten
+    }.toSet
+    assert(got == want,
+      s"sided leak set ${got.size} != symmetric cross-boundary set ${want.size}")
+    assert(got.nonEmpty, "fixture must actually leak (else the law is vacuous)")
+    // holdout rows never change; non-leaked train rows keep 'train'
+    val safe = TrainingData.leakSafeSplitEmbedding(emb, "vec_id", "embedding",
+        "label", dims = 64, minMicro = minMicro)
+      .select("vec_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    safe.foreach { case (id, s) =>
+      if (sides(id) != "train") assert(s == sides(id), s"holdout row $id changed")
+      else assert(s == "train" || s == "leaked")
+    }
+  }
 }
