@@ -140,4 +140,60 @@ object Quality {
     val (i, o) = (in.count(), out.count())
     if (i != o) throw new IllegalStateException(s"row conservation violated: in=$i out=$o")
   }
+
+  /** ROW-share skew report over `keys`: the top `topN` key tuples by
+    * row count, each with its exact integer
+    * `share_permille = (1000 · n_rows) div total`.
+    *
+    * This exists for the blind spot `SkewStudy` measured in AQE's skew
+    * split (SCALING.md r13): AQE detects skew by partition BYTES,
+    * post-pruning and post-compression — a hot key whose partition is
+    * highly compressible (a CONSTANT key after column pruning is the
+    * worst case) lands below
+    * `skewedPartitionThresholdInBytes`, the split never fires, and the
+    * join task processes the hot key's millions of rows alone with AQE
+    * nominally on. Row share sees what the byte heuristic cannot:
+    * gate a pipeline on it ([[enforceKeyBalance]]) before shuffling on
+    * a key whose top tuple owns a straggler-sized share, and respond
+    * by lowering the byte threshold or re-keying.
+    *
+    * Plan shape: one map-side-combined hash aggregation over the keys;
+    * the total is an O(distinct-keys) re-aggregation of that SAME
+    * exchange (reused, not a second corpus scan), broadcast back; the
+    * top-N is a TakeOrdered, never a global sort. Deterministic: ties
+    * broken by the key values ascending. */
+  def skewReport(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame = {
+    require(keys.nonEmpty, "skewReport needs at least one key column")
+    require(topN > 0, s"topN must be positive, got $topN")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum("n_rows").as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_permille", expr("(1000 * n_rows) div __total"))
+      .drop("__total")
+      .orderBy(col("n_rows").desc +: keys.map(col): _*)
+      .limit(topN)
+  }
+
+  /** The DQ-gate form of [[skewReport]]: throw when any key tuple's
+    * row share exceeds `maxSharePermille` — the [[enforce]] discipline
+    * applied to the skew the per-row gates cannot express (share is a
+    * whole-relation property). Checks the top `topN` tuples, which is
+    * sufficient: shares are monotone in n_rows, so any violator is in
+    * the top-N for topN ≥ 1. */
+  def enforceKeyBalance(df: DataFrame, keys: Seq[String],
+      maxSharePermille: Long, topN: Int = 20): Unit = {
+    val bad = skewReport(df, keys, topN)
+      .filter(col("share_permille") > maxSharePermille).collect()
+    if (bad.nonEmpty) {
+      val detail = bad.map { r =>
+        val key = keys.map(k => s"$k=${r.getAs[Any](k)}").mkString(",")
+        s"[$key] ${r.getAs[Long]("share_permille")}permille"
+      }.mkString("; ")
+      throw new IllegalStateException(
+        s"key-balance gate failed (max ${maxSharePermille}permille): $detail — " +
+          "a hot key this size survives AQE's byte-based skew split when its " +
+          "partition compresses (SkewStudy); lower " +
+          "skewedPartitionThresholdInBytes or re-key before shuffling on it")
+    }
+  }
 }

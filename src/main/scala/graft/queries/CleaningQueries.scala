@@ -245,9 +245,24 @@ object CleaningQueries {
       .orderBy("c_custkey")
   }
 
+  /** DQ6 — the row-share skew report ([[graft.operators.Quality
+    * .skewReport]]): top key tuples by row count with exact integer
+    * permille shares — the gate for the hot key AQE's byte-based skew
+    * split cannot see once the partition compresses (SkewStudy,
+    * SCALING.md r13). Two keys exercise the tuple form; the oracle
+    * recomputes counts, the integral share division, and the
+    * (n_rows desc, keys asc) top-N cut. */
+  val q107SkewReport: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    graft.operators.Quality.skewReport(t.lineitem,
+        Seq("l_returnflag", "l_linestatus"), topN = 4)
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val all: Map[String, Q] = Map(
     "q58_profile" -> q58Profile,
     "q61_checksum" -> q61Checksum,
+    "q107_skew_report" -> q107SkewReport,
     "q32_clean_battery" -> q32CleanBattery,
     "q33_reconcile_7key" -> q33Reconcile7Key,
     "q34_enrich_drop" -> q34EnrichDrop,
@@ -361,6 +376,17 @@ object CleaningQueries {
         |  ON upper(trim(regexp_replace(a.lat_long_address, '\s+', ' ', 'g')))
         |   = upper(trim(regexp_replace(l.address, '\s+', ' ', 'g')))
         |ORDER BY a.c_custkey""".stripMargin,
+    "q107_skew_report" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |t AS (SELECT sum(n_rows) AS tot FROM c),
+        |top AS (
+        |  SELECT l_returnflag, l_linestatus, n_rows,
+        |    CAST((1000 * n_rows) // tot AS BIGINT) AS share_permille
+        |  FROM c, t
+        |  ORDER BY n_rows DESC, l_returnflag, l_linestatus LIMIT 4)
+        |SELECT * FROM top ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q61_checksum" -> {
       val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate")
       val parts = cols.map { c =>

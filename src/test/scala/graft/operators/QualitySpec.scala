@@ -72,4 +72,39 @@ class QualitySpec extends SparkSpec {
       requireRowConservation(fixture, fixture.filter($"v" > 0))
     }
   }
+
+  test("skewReport flags the row-skewed key AQE's byte heuristic misses") {
+    // the SkewStudy fixture shape (SCALING.md r13): half the rows on ONE
+    // constant key — post-pruning that partition compresses below AQE's
+    // skewedPartitionThresholdInBytes and the split never fires, a pure
+    // row-based straggler invisible to the byte heuristic. The ROW-share
+    // report is loud about it.
+    val df = spark.range(10000).select(
+      when(col("id") < 5000, lit(0L)).otherwise(col("id")).as("k"),
+      col("id").as("v"))
+    val rep = Quality.skewReport(df, Seq("k"), topN = 3).collect()
+    assert(rep.length == 3)
+    assert(rep.head.getAs[Long]("k") == 0L)
+    assert(rep.head.getAs[Long]("n_rows") == 5000L)
+    assert(rep.head.getAs[Long]("share_permille") == 500L,
+      "exact integral share: 5000 of 10000 rows = 500 permille")
+    assert(rep.tail.forall(_.getAs[Long]("share_permille") == 0L),
+      "singleton keys floor to 0 permille")
+    // the DQ-gate form names the hot key and its share
+    val e = intercept[IllegalStateException](
+      Quality.enforceKeyBalance(df, Seq("k"), maxSharePermille = 300))
+    assert(e.getMessage.contains("k=0") && e.getMessage.contains("500"))
+    // a balanced relation passes the same gate
+    Quality.enforceKeyBalance(spark.range(1000).toDF("k"), Seq("k"),
+      maxSharePermille = 10)
+    // integral division (div), never float: 2 of 3 rows = 666, 1 of 3 = 333
+    val thirds = Seq(1, 1, 2).toDF("k")
+    assert(Quality.skewReport(thirds, Seq("k")).collect()
+      .map(r => r.getAs[Int]("k") -> r.getAs[Long]("share_permille")).toMap
+      == Map(1 -> 666L, 2 -> 333L))
+    // deterministic top-N cut: ties broken by key ascending
+    val ties = Seq(5, 5, 3, 3, 9, 9).toDF("k")
+    assert(Quality.skewReport(ties, Seq("k"), topN = 2).collect()
+      .map(_.getAs[Int]("k")).toSeq == Seq(3, 5))
+  }
 }
