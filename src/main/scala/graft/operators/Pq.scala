@@ -463,6 +463,61 @@ object Pq {
       .select("query_id", "neighbor_id", "cos_micro", "rank")
   }
 
+  /** One BATCH-INCREMENTAL ingest step against a persisted IVF-PQ
+    * index — PQ's member of the incremental-ingest family
+    * ([[Dedup.minhashIncrementalIngest]] /
+    * [[Similarity.lshIncrementalIngest]] /
+    * [[Similarity.ivfIncrementalIngest]]), same contract: screen
+    * `newVecs` against the indexed corpus (parameters from the stamp
+    * with the uniqueness guard; the codebook validated against the
+    * `pq_cb` content hash), collapse intra-batch near-dup clusters to
+    * their min-id representative (corpus screening first — the
+    * conservative member-substitution semantics documented on the text
+    * path), and return `(survivors, index rows to append)`
+    * (`write.mode("append").partitionBy("cell")`).
+    *
+    * The CORPUS screen is COMPRESSED-DOMAIN — the whole point of the
+    * PQ loop: the k=1 [[pqProbe]] reads nSub bytes per candidate in
+    * the nProbe probed cells (member vectors are not in the index to
+    * exact-score against), and a new vector is a near-dup iff its
+    * best ADC estimate clears `minMicro`. `pq_micro` estimates the
+    * same micro-cosine scale the raw families threshold on, so the
+    * parameter means the same thing — up to quantization error (the
+    * measured ladder in PqSpec): a borderline near-dup under-estimated
+    * below the threshold is ADMITTED (duplicates err toward keeping
+    * data), and an over-estimated false positive costs one dropped
+    * batch row. Pipelines needing exact screening at ingest keep raw
+    * vectors and run the IVF loop; this one exists for the corpus
+    * whose raw vectors no longer fit. The INTRA-BATCH screen IS exact:
+    * batch vectors are raw in hand, so candidates share a probed cell
+    * under the index's centroids and every pair is exact-cosine
+    * scored — [[Similarity.ivfIncrementalIngest]]'s construction. */
+  def pqIncrementalIngest(index: DataFrame, newVecs: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String, minMicro: Long,
+      nProbe: Int): (DataFrame, DataFrame) = {
+    val params = IndexStamp.readUnique(index,
+      Seq("ix_cells", "ix_dims", "pq_sub", "pq_k", "pq_cb"),
+      "pqIncrementalIngest").getOrElse(throw new IllegalArgumentException(
+        "pqIncrementalIngest: the index relation is empty — build it with " +
+          "pqIndex first"))
+    val Seq(nCells, dims, _, _, _) = params: @unchecked
+    val matched = pqProbe(newVecs, index, codebook, idCol, vecCol,
+        k = 1, nProbe = nProbe, nCells = nCells, dims = dims)
+      .filter(col("pq_micro") >= minMicro)
+      .select(col("query_id").as(idCol)).distinct()
+    // one materialization of the corpus screen — same boundary and same
+    // reason as the other three families (eager)
+    val screened = newVecs.join(matched, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    val cents = broadcast(index.filter(col("is_cent"))
+      .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"),
+        col("nrm").as("c_nrm")))
+    val pairs = Similarity.ivfBatchPairs(cents, screened, idCol, vecCol,
+      minMicro, nProbe)
+    val survivors = Dedup.collapseToSurvivors(screened, pairs, idCol)
+    (survivors, pqIndexExtend(index, survivors, idCol, vecCol, codebook))
+  }
+
   // ------------------------------------------------- codebook lifecycle
 
   /** Per-subspace quantization-distortion profile of `vecs` under

@@ -866,7 +866,7 @@ object Similarity {
     * [[nearDupPairsLsh]] boundary, same reason (the join's per-match
     * path would re-evaluate the centroid scoring cross per candidate
     * pair). */
-  private def ivfBatchPairs(cents: DataFrame, batch: DataFrame,
+  private[operators] def ivfBatchPairs(cents: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String, minMicro: Long, nProbe: Int): DataFrame = {
     val byCloseness = Window.partitionBy(idCol)
       .orderBy(col("cell_cos").desc, col("cell_id"))

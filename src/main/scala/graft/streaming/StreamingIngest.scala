@@ -1408,6 +1408,105 @@ object StreamingIngest {
     applyDeletes()
   }
 
+  /** One micro-batch of [[curatePqIngestStream]] — same protocol, same
+    * test seam, the COMPRESSED screen. The codebook is read fresh from
+    * `codebookDir` each batch, so a [[graft.operators.Pq.retrainSwapPq]]
+    * that rotates both the index and the persisted codebook between
+    * batches keeps the loop consistent (the `pq_cb` stamp refuses any
+    * half-rotated state loudly). */
+  private[graft] def curatePqBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, codebookDir: String, outDir: String, idCol: String,
+      vecCol: String, minMicro: Long, nProbe: Int,
+      gate: DataFrame => DataFrame, compactAtFiles: Int,
+      applyDeletesFrom: String = "",
+      failAfterStep: Int = Int.MaxValue): Unit = {
+    import graft.operators.{Checkpoints, IndexOps, Pq, Similarity}
+    val spark = batch.sparkSession
+    IndexOps.recoverSwap(spark, indexDir)
+    IndexOps.recoverSwap(spark, idSidecarDir(indexDir))
+    IndexOps.recoverSwap(spark, outDir)
+    def failpoint(n: Int): Unit = if (failAfterStep == n)
+      throw new IllegalStateException(s"curatePqBatch: test failpoint after step $n")
+    // the PQ index's member rows carry only codes, so an in-loop
+    // takedown naming a CENTROID-anchor id is REFUSED by deleteSwapPq
+    // (loud, every batch, until the operator runs Pq.pqTakedown against
+    // the corpus offline and removes the list) — the quantizer cannot
+    // be rebuilt from codes alone, and silently keeping the deleted
+    // vector alive as a centroid would be the wrong kind of quiet
+    def applyDeletes(): Unit =
+      applyCurateDeletes(spark, applyDeletesFrom, outDir, idCol,
+        ids => IndexOps.deleteSwapPq(spark, indexDir, idCol, ids), failpoint)
+    if (isCommitted(spark, outDir, batchId)) { applyDeletes(); return }
+    ensureSidecar(spark, indexDir, idCol)
+    Checkpoints.scoped(spark) {
+      val outCols = batch.columns.map(col).toIndexedSeq
+      val index = spark.read.parquet(indexDir)
+      val codebook = spark.read.parquet(codebookDir)
+      val sidecar = spark.read.parquet(idSidecarDir(indexDir))
+      val own = sidecar.filter(col("batch_id") === batchId).select(col(idCol))
+      val screenIndex = index.join(own, Seq(idCol), "left_anti")
+      val fresh = idScreen(
+        gate(batch).filter(Similarity.norm(col(vecCol)) > 0),
+        sidecar, idCol, batchId).localCheckpoint(true)
+      val (survivors, _) = Pq.pqIncrementalIngest(
+        screenIndex, fresh, codebook, idCol, vecCol, minMicro, nProbe)
+      val admitted = survivors.localCheckpoint(true)
+      publishBatch(admitted.select(outCols: _*), outDir, batchId, Nil)
+      failpoint(1)
+      publishBatch(admitted.select(col(idCol))
+        .withColumn("batch_id", lit(batchId)).sort(idCol),
+        idSidecarDir(indexDir), batchId, Nil)
+      failpoint(2)
+      publishBatch(
+        Pq.pqIndexExtend(screenIndex, admitted, idCol, vecCol, codebook),
+        indexDir, batchId, Seq("cell"))
+      failpoint(3)
+      commitBatch(spark, outDir, batchId)
+    }
+    maintainIndex(spark, indexDir, compactAtFiles,
+      IndexOps.compactSwapPq(spark, _, idCol))
+    applyDeletes()
+  }
+
+  /** The COMPRESSED member of the curate-loop family — the same
+    * self-growing-index loop as [[curateIvfIngestStream]] with
+    * [[graft.operators.Pq.pqIncrementalIngest]] as the screen: the
+    * near-dup check reads nSub BYTES per candidate (integer ADC over
+    * the probed cells' codes) instead of raw vectors, which is the
+    * loop for the corpus whose embeddings no longer fit their index —
+    * the 100 TB regime the PQ family exists for. Same id sidecar,
+    * committed-batch protocol, replay-aware screens, in-loop
+    * compaction ([[graft.operators.IndexOps.compactSwapPq]]) and
+    * post-commit takedown as the other three loops; the screen's
+    * threshold semantics (ADC estimate of the same micro-cosine
+    * scale, quantization slack documented) live on the ingest
+    * operator.
+    *
+    * `indexDir` must hold a stamped [[graft.operators.Pq.pqIndex]]
+    * and `codebookDir` the codebook it was encoded under (refused
+    * otherwise via the `pq_cb` content stamp — a retrain that rotates
+    * both between batches stays consistent). No `reclusterAtSkew`:
+    * re-clustering needs member vectors the PQ layout deliberately
+    * does not keep — quantizer drift repair is the batch-side
+    * [[graft.operators.Pq.retrainSwapPq]] against the corpus store.
+    * In-loop takedowns naming a centroid anchor are refused loudly
+    * (see [[curatePqBatch]]); run [[graft.operators.Pq.pqTakedown]]
+    * offline for those. */
+  def curatePqIngestStream(stream: DataFrame, indexDir: String,
+      codebookDir: String, outDir: String, checkpoint: String,
+      idCol: String, vecCol: String, minMicro: Long, nProbe: Int = 2,
+      gate: DataFrame => DataFrame = df => df,
+      compactAtFiles: Int = 0,
+      applyDeletesFrom: String = ""): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        curatePqBatch(batch.toDF(), batchId, indexDir, codebookDir, outDir,
+          idCol, vecCol, minMicro, nProbe, gate, compactAtFiles,
+          applyDeletesFrom)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   /** The IVF twin of [[curateEmbeddingIngestStream]] — the same
     * self-growing-index loop over vectors with the PERSISTED IVF
     * family as the near-dup screen

@@ -1223,6 +1223,163 @@ class StreamingIngestSpec extends SparkSpec {
       "re-arrival must not grow the index")
   }
 
+  test("streaming PQ curate mirrors the IVF contract across drains — on codes, not vectors") {
+    import graft.operators.Pq
+    // hand-computed ADC fixture (dims 4, nSub 2, k 4): the four store
+    // vectors are all codebook anchors, so their codes reconstruct
+    // exactly and every screen decision below is an arithmetic fact,
+    // not a hope. x = (0.6, 0.8, 0.8, -0.6) encodes to (a3, a4)'s
+    // codewords, so a later same-direction arrival scores
+    // 2·floor(1e6/√2) = 1414212 ≥ minMicro against x's CODE alone —
+    // the compressed screen remembers admitted content without raw
+    // vectors.
+    val store = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 1.0f)),
+      (3L, Array(0.6f, 0.8f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.8f, -0.6f))).toDF("vec_id", "embedding")
+    val indexDir = tmp("graft-pqcurate-index")
+    val cbDir = tmp("graft-pqcurate-cb")
+    val outDir = tmp("graft-pqcurate-out")
+    val drop = tmp("graft-pqcurate-drop")
+    val ckpt = tmp("graft-pqcurate-ckpt")
+    val cb = Pq.pqCodebook(store, "vec_id", "embedding", dims = 4, nSub = 2, k = 4)
+    cb.write.mode("overwrite").parquet(cbDir)
+    Pq.pqIndex(store, "vec_id", "embedding", cb, nCells = 2, dims = 4)
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>").parquet(drop)
+      StreamingIngest.curatePqIngestStream(stream, indexDir, cbDir, outDir,
+        ckpt, "vec_id", "embedding", minMicro = 900000L, nProbe = 2)
+        .start().awaitTermination()
+    }
+
+    // drop 1: 101 = a3's direction (ADC 1000000 against a3's exact
+    // code → screened); 102/103 = the same novel direction twice
+    // (best corpus ADC 707106 < 900000 → admitted; exact in-batch
+    // cosine 1.0 → collapsed to min id)
+    Seq(
+      (101L, Array(0.6f, 0.8f, 0.0f, 0.0f)),
+      (102L, Array(0.6f, 0.8f, 0.8f, -0.6f)),
+      (103L, Array(1.2f, 1.6f, 1.6f, -1.2f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("append").parquet(drop)
+    drain()
+    assert(spark.read.parquet(outDir).collect().map(_.getLong(0)).toSeq == Seq(102L))
+
+    // drop 2: 201 replays 102's DIRECTION under a new id — caught by
+    // the GROWN index's code rows (1414212 ≥ 900000, computed above);
+    // 202 is novel (best ADC 800000 < 900000) and survives
+    Seq(
+      (201L, Array(0.3f, 0.4f, 0.4f, -0.3f)),
+      (202L, Array(0.8f, -0.6f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("append").parquet(drop)
+    drain()
+    assert(spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(102L, 202L))
+    val grown = spark.read.parquet(indexDir)
+    assert(grown.select("vec_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L, 102L, 202L))
+    // the storage contract survives growth: appended rows carry CODES
+    // only, centroids stay the bootstrap pair, one stamp family
+    assert(grown.filter(!col("is_cent") && col("embedding").isNotNull).isEmpty,
+      "member rows must never carry raw vectors")
+    assert(grown.filter(col("pq_codes").isNull).isEmpty)
+    assert(grown.filter(col("is_cent")).count() == 2)
+    assert(grown.select("ix_cells", "ix_dims", "pq_sub", "pq_k", "pq_cb")
+      .distinct().count() == 1)
+
+    // drop 3: re-arrival of an admitted id (the id screen is
+    // load-bearing — codes cannot self-match an excluded id) plus a
+    // zero-norm vector; both rejected, nothing grows
+    Seq(
+      (102L, Array(0.6f, 0.8f, 0.8f, -0.6f)),
+      (301L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("append").parquet(drop)
+    drain()
+    assert(spark.read.parquet(outDir).count() == 2)
+    assert(spark.read.parquet(indexDir).count() == grown.count())
+  }
+
+  test("PQ curate batch protocol: replay after every write converges; takedown refuses centroid anchors loudly") {
+    import graft.operators.Pq
+    val store = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 1.0f)),
+      (3L, Array(0.6f, 0.8f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.8f, -0.6f))).toDF("vec_id", "embedding")
+    val indexDir = tmp("graft-pqproto-index")
+    val cbDir = tmp("graft-pqproto-cb")
+    val outDir = tmp("graft-pqproto-out")
+    val pend = tmp("graft-pqproto-pend")
+    val cb = Pq.pqCodebook(store, "vec_id", "embedding", dims = 4, nSub = 2, k = 4)
+    cb.write.mode("overwrite").parquet(cbDir)
+    Pq.pqIndex(store, "vec_id", "embedding", cb, nCells = 2, dims = 4)
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+    def run(df: org.apache.spark.sql.DataFrame, id: Long,
+        failAfter: Int = Int.MaxValue): Unit =
+      StreamingIngest.curatePqBatch(df, id, indexDir, cbDir, outDir,
+        "vec_id", "embedding", 900000L, 2, x => x, 0,
+        applyDeletesFrom = pend, failAfterStep = failAfter)
+    // the replay proof: an intra-batch dup pair (102 survives) and a
+    // corpus dup (101); crash after EVERY write of the protocol, then
+    // the committing attempt, then a replay of the committed batch
+    val batch = Seq(
+      (101L, Array(0.6f, 0.8f, 0.0f, 0.0f)),
+      (102L, Array(0.6f, 0.8f, 0.8f, -0.6f)),
+      (103L, Array(1.2f, 1.6f, 1.6f, -1.2f))).toDF("vec_id", "embedding")
+    def assertConverged(): Unit = {
+      assert(spark.read.parquet(outDir).collect().map(_.getLong(0)).toSeq
+        == Seq(102L), "outDir = the survivor, once")
+      assert(spark.read.parquet(indexDir).count() == 5,
+        "4 bootstrap rows + 1 admitted code row, no duplicates")
+      assert(spark.read.parquet(StreamingIngest.idSidecarDir(indexDir))
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 2L, 3L, 4L, 102L))
+    }
+    intercept[IllegalStateException](run(batch, 0L, failAfter = 1))
+    intercept[IllegalStateException](run(batch, 0L, failAfter = 2))
+    intercept[IllegalStateException](run(batch, 0L, failAfter = 3))
+    run(batch, 0L)
+    assertConverged()
+    run(batch, 0L) // replay of a COMMITTED batch: marker-skipped
+    assertConverged()
+    // member takedown in-loop: store + index purged, tombstone kept
+    Seq(102L).toDF("vec_id").write.parquet(s"$pend/take1")
+    run(Seq((401L, Array(0.8f, -0.6f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding"), 1L)
+    assert(spark.read.parquet(outDir).collect().map(_.getLong(0)).toSeq == Seq(401L))
+    assert(spark.read.parquet(indexDir).filter(col("vec_id") === 102L).isEmpty)
+    assert(new java.io.File(s"$pend/_applied/take1").exists)
+    // 102's direction RE-ARRIVING under a new id is admitted again —
+    // its content left the index with the takedown (the tombstone
+    // screens ids, not content; same contract as the text loop)
+    // …but first: a CENTROID-anchor takedown is refused LOUDLY, every
+    // batch, until the operator resolves it offline (Pq.pqTakedown) —
+    // codes cannot rebuild the quantizer
+    val cent = spark.read.parquet(indexDir).filter(col("is_cent"))
+      .select("vec_id").collect().map(_.getLong(0)).head
+    Seq(cent).toDF("vec_id").write.parquet(s"$pend/take2")
+    val ex = intercept[IllegalArgumentException] {
+      run(Seq((402L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+        .toDF("vec_id", "embedding"), 2L)
+    }
+    assert(ex.getMessage.contains("CENTROID") &&
+      ex.getMessage.contains("pqTakedown"))
+    assert(new java.io.File(s"$pend/take2").exists, "refused list stays pending")
+    // the batch itself COMMITTED before the takedown ran: resolving the
+    // list offline (here: withdrawing it) lets the replay complete
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$pend/take2"))
+    run(Seq((402L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding"), 2L)
+    assert(spark.read.parquet(outDir).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(401L, 402L))
+  }
+
   test("in-loop IVF takedown: member and centroid-anchor ids leave index and store") {
     import graft.operators.Similarity
     val store = Seq(
