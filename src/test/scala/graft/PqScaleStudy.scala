@@ -122,8 +122,19 @@ object PqScaleStudy {
       }
       val rPq = recall(Pq.pqProbe(probes, pq, cb16, "vec_id", "embedding", K,
         NPROBE, NCELLS, 64))
+      // the ROUTED arm head-to-head (annTopKAuto's compressed route):
+      // IVF-PQ probe at the R=100 pool + exact sided rerank to K, vs
+      // the raw-vector IVF probe at the SAME nProbe — CPU, recall, and
+      // the on-disk byte ratio the route exists for
+      def rerankArm() = Pq.pqRerankSided(
+        Pq.pqProbe(probes, pq, cb16, "vec_id", "embedding", 100, NPROBE,
+          NCELLS, 64),
+        probes, corpus, "vec_id", "embedding", K)
+      val (_, rrCpu) = cell { rerankArm().count() }
+      val rRr = recall(rerankArm())
       println(f"$point%-6s ${"ivf_raw"}%-22s $rRaw%10.3f $rawCpu%8.2f  ${bytes(tmpRaw)}%d bytes")
       println(f"$point%-6s ${"ivf_pq16"}%-22s $rPq%10.3f $pqCpu%8.2f  ${bytes(tmpPq)}%d bytes")
+      println(f"$point%-6s ${"ivf_pq16_rerank(R=100)"}%-22s $rRr%10.3f $rrCpu%8.2f  the routed arm")
     }
     spark.stop()
   }
