@@ -633,8 +633,34 @@ object ScaleQueries {
       .select("vec_id", "split").orderBy("vec_id")
   }
 
+  /** SS20 — the PQ drift detector ([[graft.operators.Pq
+    * .pqDistortion]]): per-subspace quantization distortion of the
+    * CURRENT corpus (here: the full embeddings table, query slice
+    * included — the "has the distribution outgrown the codebook"
+    * shape) under the codebook trained on the 90% slice, over a
+    * bounded hash-ordered sample. Integer-exact by construction
+    * (every per-row error micro-floored before the sum), so the
+    * oracle replays the sample selection, the encode-rule argmax and
+    * the reconstruction-error arithmetic bit for bit. */
+  val q108PqDistortion: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val corpus = t.embeddings.filter(col("vec_id") % 10 =!= 0)
+    val cb = graft.operators.Pq.pqCodebook(corpus, "vec_id", "embedding",
+      dims = 64, nSub = 8, k = 16).localCheckpoint(true)
+    if (cb.isEmpty)
+      // empty corpus: no codebook to profile against — empty contract
+      spark.range(0).select(col("id").cast("int").as("sub"),
+        lit(0L).as("n"), lit(0L).as("sum_err_micro"),
+        lit(0L).as("max_err_micro"))
+    else
+      graft.operators.Pq.pqDistortion(t.embeddings, cb, "vec_id",
+          "embedding", sampleN = 512)
+        .orderBy("sub")
+  }
+
   val all: Map[String, Q] = Map(
     "q106_leak_safe_embedding" -> q106LeakSafeEmbedding,
+    "q108_pq_distortion" -> q108PqDistortion,
     "q100_pq_codebook" -> q100PqCodebook,
     "q103_pq_rerank" -> q103PqRerank,
     "q104_leak_safe_split" -> q104LeakSafeSplit,
@@ -829,6 +855,27 @@ object ScaleQueries {
        |  FROM ($src) CROSS JOIN subs)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q108_pq_distortion" ->
+      s"""WITH $normedCte,
+         |${pqCtes(
+             "SELECT * FROM e ORDER BY " +
+               graft.operators.Pq.codeHashOrderSql("vec_id") +
+               ", vec_id LIMIT 512")},
+         |best AS (SELECT vec_id, sub, c_vec, cc, xn FROM (
+         |  SELECT svn.vec_id, svn.sub, cb.c_vec, cb.cc, svn.xn,
+         |    ROW_NUMBER() OVER (PARTITION BY svn.vec_id, svn.sub
+         |      ORDER BY CAST(floor(1e6 * (${dotSql("xn", "c_vec")} - 0.5 * cc))
+         |        AS BIGINT) DESC, cb.code) AS rnk
+         |  FROM svn JOIN cb ON svn.sub = cb.sub)
+         |  WHERE rnk = 1),
+         |err AS (SELECT sub,
+         |  CAST(floor(1e6 * (${dotSql("xn", "xn")}
+         |    - 2 * ${dotSql("xn", "c_vec")} + cc)) AS BIGINT) AS e
+         |  FROM best)
+         |SELECT sub, count(*) AS n,
+         |  CAST(sum(e) AS BIGINT) AS sum_err_micro,
+         |  CAST(max(e) AS BIGINT) AS max_err_micro
+         |FROM err GROUP BY sub ORDER BY sub""".stripMargin,
     "q106_leak_safe_embedding" -> {
       val splitBucket = s"${Hashing.h60Sql("'split:v1:' || CAST(label AS VARCHAR)")} % 1000"
       val holdoutPred = s"($splitBucket) >= 800"
