@@ -391,6 +391,33 @@ class PlanShapeSpec extends SparkSpec {
       "expected the banded self-join to broadcast or share one exchange")
   }
 
+  test("skewReport: one aggregation exchange (total reuses it), top-N is a TakeOrdered") {
+    // the report must stay a one-shuffle plan at any key cardinality:
+    // the total is an O(distinct-keys) re-aggregation of the SAME
+    // grouped exchange (runtime exchange reuse), broadcast back; the
+    // top-N cut is a TakeOrdered, never a global sort of the counts
+    val df = spark.range(50000).select((col("id") % 97).as("k"))
+    val rep = Quality.skewReport(df, Seq("k"), topN = 5)
+    rep.collect() // materialize so AQE finalizes the plan
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-N must be a TakeOrdered, not Sort+Limit over an exchange")
+    // the one allowed nested-loop is the documented bounded cross: the
+    // SINGLE-ROW total broadcast back onto the counts (IdentityBroadcastMode
+    // over a global aggregate) — any other nested-loop shape is the
+    // quadratic hazard this suite rejects everywhere
+    assert(plan.contains("IdentityBroadcastMode"),
+      "the total must join back as a single-row broadcast")
+    assert(!plan.contains("CartesianProduct"), "no shuffled cartesian")
+    // the total's re-aggregation must REUSE the counts exchange — the
+    // corpus is scanned once, never twice
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(finalSection.linesIterator.count(_.contains("ReusedExchange")) >= 1,
+      s"the total must reuse the counts exchange, not rescan the corpus:\n$plan")
+    assert("Range \\(0, 50000".r.findAllIn(finalSection).size <= 1,
+      "the corpus must be scanned exactly once")
+  }
+
   test("persisted IVF probe prunes the scan to the probed cell partitions") {
     // the point of partitionBy("cell") + the isin pushdown: a probe of
     // nProbe cells must read ONLY those partition directories. Asserted
