@@ -657,13 +657,33 @@ object Pq {
     *    rotated) — returns Some(newCodebook), which the caller must
     *    adopt: the old codebook is refused by every probe from here
     *    on, by design.
-    * Crash-safe at every seam: the export delete reconciles via its
-    * own premanifest protocol, the index rebuild stages + dst-counts
-    * + swaps with [[IndexOps.recoverSwap]] semantics. */
+    *
+    * ORDER: the INDEX half runs FIRST, then the export delete — and
+    * the ordering is load-bearing for crash idempotence, not taste.
+    * The rebuild-vs-filter decision is computed from the PRE-delete
+    * state (the anchor test samples the corpus); with export-first, a
+    * crash between the halves would make a RE-RUN recompute
+    * `anchorHit` against the already-purged corpus — false — and
+    * silently downgrade a quantizer-rotating takedown to the
+    * non-rotating path, leaving the deleted document's subvectors
+    * alive in the codebook. Index-first, every crash point re-runs to
+    * the same final state: a crash before the index swap changed
+    * nothing; after it, the re-run's rebuild recomputes the identical
+    * survivor set (the export still holds the rows, the anti-join
+    * removes them again — deterministic, same codebook, same swap)
+    * and then finishes the export half; after BOTH halves, a replay
+    * finds no listed id anywhere and no-ops through. Each half is
+    * individually crash-safe ([[IndexOps.recoverSwap]] semantics on
+    * the index, the export's own premanifest reconciliation). */
   def pqTakedown(spark: SparkSession, exportDir: String, indexDir: String,
       ids: DataFrame, idCol: String, vecCol: String,
-      checksumCols: Seq[String], iters: Int = 0,
-      sampleN: Int = 8192): Option[DataFrame] = {
+      checksumCols: Seq[String], iters: Int = 0, sampleN: Int = 8192,
+      failAfterStep: Int = Int.MaxValue): Option[DataFrame] = {
+    // failAfterStep is PqSpec's crash seam (1 = after the index half,
+    // before the export delete), the streaming loops' established
+    // test-seam pattern; production passes nothing and never throws
+    def failpoint(n: Int): Unit = if (failAfterStep == n)
+      throw new IllegalStateException(s"pqTakedown: test failpoint after step $n")
     IndexOps.recoverSwap(spark, indexDir)
     val live = spark.read.parquet(indexDir)
     val params = IndexStamp.readUnique(live,
@@ -671,7 +691,7 @@ object Pq {
       .getOrElse(throw new IllegalArgumentException(
         s"pqTakedown: no stamped IVF-PQ index at $indexDir"))
     val Seq(nCells, dims, nSub, kCodes) = params: @unchecked
-    // pin the id list before the export under it is rewritten — a list
+    // pin the id list before anything under it is rewritten — a list
     // derived from the export itself must not recompute from deleted bytes
     val drop = ids.select(col(idCol)).distinct().localCheckpoint(true)
     val centHit = !live.filter(col("is_cent"))
@@ -683,34 +703,37 @@ object Pq {
       .orderBy(codeHashOrder(col(idCol)), col(idCol)).limit(kCodes)
       .select(col(idCol))
       .join(drop, Seq(idCol), "left_semi").isEmpty
+    val rotated: Option[DataFrame] =
+      if (!centHit && !anchorHit) {
+        IndexOps.deleteSwapPq(spark, indexDir, idCol, drop)
+        None
+      } else Some {
+        val corpus = pre.select(col(idCol), col(vecCol))
+          .join(drop, Seq(idCol), "left_anti")
+        val expected = live.join(drop, Seq(idCol), "left_anti").count()
+        require(expected > 0,
+          s"pqTakedown: the takedown would remove EVERY row of $indexDir — " +
+            "delete the index directory (and rebuild when there is content) " +
+            "instead of swapping in an empty relation no probe can use")
+        val cb = pqCodebook(corpus, idCol, vecCol, dims, nSub, kCodes, iters,
+          sampleN).localCheckpoint(true)
+        val rebuilt = pqIndex(corpus, idCol, vecCol, cb,
+          math.min(nCells, expected.toInt), dims)
+        val tmpDir = indexDir + ".compact.tmp"
+        val fs = new org.apache.hadoop.fs.Path(indexDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+        rebuilt.write.mode("overwrite").partitionBy("cell").parquet(tmpDir)
+        val dstRows = spark.read.parquet(tmpDir).count()
+        require(dstRows == expected,
+          s"pqTakedown: rebuild of $indexDir lost rows ($expected expected vs " +
+            s"$dstRows staged) — not swapping")
+        IndexOps.swapDirs(spark, indexDir, tmpDir)
+        cb
+      }
+    failpoint(1)
     Export.deleteIdsFromExport(spark, exportDir, drop, idCol, checksumCols)
-    if (!centHit && !anchorHit) {
-      IndexOps.deleteSwapPq(spark, indexDir, idCol, drop)
-      None
-    } else {
-      val corpus = Export.readShards(spark, exportDir)
-        .select(col(idCol), col(vecCol))
-      val expected = live.join(drop, Seq(idCol), "left_anti").count()
-      require(expected > 0,
-        s"pqTakedown: the takedown would remove EVERY row of $indexDir — " +
-          "delete the index directory (and rebuild when there is content) " +
-          "instead of swapping in an empty relation no probe can use")
-      val cb = pqCodebook(corpus, idCol, vecCol, dims, nSub, kCodes, iters,
-        sampleN).localCheckpoint(true)
-      val rebuilt = pqIndex(corpus, idCol, vecCol, cb,
-        math.min(nCells, expected.toInt), dims)
-      val tmpDir = indexDir + ".compact.tmp"
-      val fs = new org.apache.hadoop.fs.Path(indexDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
-      rebuilt.write.mode("overwrite").partitionBy("cell").parquet(tmpDir)
-      val dstRows = spark.read.parquet(tmpDir).count()
-      require(dstRows == expected,
-        s"pqTakedown: rebuild of $indexDir lost rows ($expected expected vs " +
-          s"$dstRows staged) — not swapping")
-      IndexOps.swapDirs(spark, indexDir, tmpDir)
-      Some(cb)
-    }
+    rotated
   }
 
   /** [[pqProbe]] with `nCells`/`dims` read FROM the index's own stamp

@@ -361,8 +361,23 @@ class PqSpec extends SparkSpec {
       "embedding", k = 3, nProbe = 2).count() > 0,
       "the original codebook must stay valid after a member takedown")
     // a CODEBOOK ANCHOR: its subvectors live in the quantizer itself —
-    // the takedown must rebuild under a fresh codebook and rotate pq_cb
+    // the takedown must rebuild under a fresh codebook and rotate pq_cb.
+    // Drive it through the CRASH SEAM first: the index half completes
+    // (rebuilt, rotated), the export delete never runs — the window
+    // where an export-first ordering would downgrade the re-run to the
+    // non-rotating path (anchorHit recomputed against a purged corpus)
     val victim = anchorIds.head
+    intercept[IllegalStateException] {
+      Pq.pqTakedown(spark, exp, ixd, Seq(victim).toDF("vec_id"),
+        "vec_id", "embedding", csCols, failAfterStep = 1)
+    }
+    assert(spark.read.parquet(ixd).filter(col("vec_id") === victim).isEmpty,
+      "index half landed before the crash")
+    assert(!Export.readShards(spark, exp).filter(col("vec_id") === victim).isEmpty,
+      "export half must NOT have run yet")
+    // the RE-RUN must still take the rotating path (the anchor test
+    // reads the pre-delete corpus, which still holds the victim) and
+    // converge: same survivor set → the same deterministic codebook
     val r2 = Pq.pqTakedown(spark, exp, ixd, Seq(victim).toDF("vec_id"),
       "vec_id", "embedding", csCols)
     assert(r2.isDefined, "an anchor takedown must rotate the codebook")
