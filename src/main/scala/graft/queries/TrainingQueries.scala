@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Hashing
-import graft.operators.TrainingData
+import graft.operators.{Boilerplate, TrainingData}
 import graft.queries.ParityQueries.Q
 
 /** Corpus-preparation queries: deterministic splits, stratified
@@ -80,6 +80,43 @@ object TrainingQueries {
       .withColumn("is_repetitive",
         col("top_token_permille") >= 280 || col("dup_bigram_permille") >= 350)
       .orderBy("doc_id")
+  }
+
+  /** The derived "line" unit shared by q109/q110: the synthetic docs
+    * are single-line, so lines are 8-word chunks — deterministic, and
+    * reproduced verbatim in the oracles' `lined` CTE. The corpus's
+    * engineered near-dup population (doc + " dup") makes the repeated
+    * relation real: a near-dup pair shares every full chunk before its
+    * divergent tail (~90 affected docs at sf0.01). */
+  private def chunkLines(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val words = split(trim(text), "\\s+")
+    transform(
+      sequence(lit(0), ((size(words) - lit(1)) / lit(8)).cast("int")),
+      i => array_join(slice(words, i * lit(8) + lit(1), lit(8)), " "))
+  }
+
+  /** TD8 — cross-document boilerplate strip (CCNet/RefinedWeb-style
+    * line dedup): units repeating in ≥ 2 distinct docs removed from
+    * every carrier, order-preserving; the corpus body never shuffles
+    * through the frequency machinery ([[Boilerplate]] Scaladoc). */
+  val q109BoilerplateStrip: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    Boilerplate.stripRepeatedUnits(t.documents, "doc_id",
+        chunkLines(col("text")), "__kept", minDocs = 2)
+      .select(col("doc_id"), col("n_units"), col("n_stripped"),
+        array_join(col("__kept"), "\n").as("text_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** TD9 — the detector half: the repeated-unit relation itself, top
+    * 100 by doc frequency (the report an operator reads before picking
+    * the strip threshold). */
+  val q110BoilerplateReport: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    Boilerplate.unitDocFreq(t.documents, "doc_id", chunkLines(col("text")))
+      .filter(col("doc_freq") >= 2)
+      .orderBy(col("doc_freq").desc, col("unit"))
+      .limit(100)
   }
 
   /** TD7 — the end-to-end curation pipeline a corpus user actually
@@ -502,7 +539,9 @@ object TrainingQueries {
     "q50_split_assign" -> q50SplitAssign,
     "q51_stratified_sample" -> q51StratifiedSample,
     "q52_chunk_windows" -> q52ChunkWindows,
-    "q53_decontaminate" -> q53Decontaminate)
+    "q53_decontaminate" -> q53Decontaminate,
+    "q109_boilerplate_strip" -> q109BoilerplateStrip,
+    "q110_boilerplate_report" -> q110BoilerplateReport)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -613,7 +652,41 @@ object TrainingQueries {
        |  CAST(sum(CAST(rh AS HUGEINT)) % ${1L << 61} AS BIGINT) AS checksum
        |FROM a GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** The q109/q110 `lined` + `ex` CTEs — the exact 8-word-chunk
+    * derivation [[chunkLines]] declares (1-based inclusive DuckDB list
+    * slice ≡ Spark's 1-based `slice(arr, start, 8)`). */
+  private val linedCtes: String =
+    """lined AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, (len(regexp_split_to_array(trim(text), '\s+'))-1)//8),
+      |      i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i*8+1 : i*8+8], ' ')) AS lines
+      |  FROM documents),
+      |ex AS (SELECT doc_id, trim(unnest(lines)) AS unit FROM lined)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q109_boilerplate_strip" ->
+      s"""WITH $linedCtes,
+         |heavy AS (
+         |  SELECT unit FROM ex WHERE unit <> ''
+         |  GROUP BY unit HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hits AS (
+         |  SELECT e.doc_id, list(DISTINCT e.unit) AS heavy_units,
+         |    COUNT(*) AS n_stripped
+         |  FROM ex e JOIN heavy h USING (unit) GROUP BY e.doc_id)
+         |SELECT l.doc_id,
+         |  CAST(len(l.lines) AS BIGINT) AS n_units,
+         |  CAST(COALESCE(h.n_stripped, 0) AS BIGINT) AS n_stripped,
+         |  COALESCE(array_to_string(list_filter(l.lines,
+         |    x -> trim(x) = '' OR NOT list_contains(COALESCE(h.heavy_units, []), trim(x))),
+         |    chr(10)), '') AS text_kept
+         |FROM lined l LEFT JOIN hits h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q110_boilerplate_report" ->
+      s"""WITH $linedCtes
+         |SELECT unit, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+         |FROM ex WHERE unit <> ''
+         |GROUP BY unit HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY doc_freq DESC, unit LIMIT 100""".stripMargin,
     "q95_reshard" -> manifestOracleAt(16),
     "q90_export_append" -> manifestOracle,
     "q93_export_concat" -> manifestOracle,
