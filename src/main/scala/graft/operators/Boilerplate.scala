@@ -64,21 +64,46 @@ object Boilerplate {
   /** Strip boilerplate units from every document. Returns the input
     * plus `keptCol` (the surviving units, original order), `n_units`
     * (original unit count) and `n_stripped` (OCCURRENCES removed — a
-    * heavy unit appearing twice in one document strips both copies). */
+    * heavy unit appearing twice in one document strips both copies).
+    *
+    * `broadcastHeavy` (default true) pins the heavy relation as the
+    * broadcast side of the match join. This is a deliberate, bounded
+    * choice, not planner trust: the heavy relation is small BY
+    * CONSTRUCTION (units repeating in ≥ minDocs docs — even web-scale
+    * line-dedup tables are ~millions of rows), while the exploded
+    * corpus side both dwarfs it and — the sharper point — cannot be
+    * shuffled on the unit without hitting the skew this operator
+    * exists to find: the heavy units ARE the hot keys, so every
+    * shuffle-on-unit plan sends each boilerplate line's full
+    * occurrence set to one task. Left to the static planner, a
+    * Generate's garbage size estimate made it broadcast the EXPLODED
+    * CORPUS as the build side at the sf3 study point — locally
+    * survivable, fatal at cluster scale. Set false only when the heavy
+    * relation genuinely cannot fit an executor: the fallback forces a
+    * sort-merge join, which never broadcasts the corpus and lets AQE's
+    * skew split carve the hot units' occurrence partitions. */
   def stripRepeatedUnits(df: DataFrame, idCol: String, unitsCol: Column,
-      keptCol: String, minDocs: Long, perCol: Option[String] = None): DataFrame = {
+      keptCol: String, minDocs: Long, perCol: Option[String] = None,
+      broadcastHeavy: Boolean = true): DataFrame = {
     val heavy = repeatedUnits(df, idCol, unitsCol, minDocs, perCol)
       .select((perCol.toSeq :+ "unit").map(col): _*)
     val joinKeys = perCol.toSeq :+ "unit"
+    val heavySide = if (broadcastHeavy) broadcast(heavy) else heavy.hint("merge")
     // Only matching exploded rows survive this inner join; grouped to
     // one bounded heavy-list row per affected document.
     val hits = exploded(df, idCol, unitsCol, perCol)
-      .join(heavy, joinKeys)
+      .join(heavySide, joinKeys)
       .groupBy(col(idCol))
       .agg(collect_set(col("unit")).as("__heavy"),
         count(lit(1)).as("n_stripped"))
-    df.withColumn("n_units", size(unitsCol).cast("long"))
-      .join(hits, Seq(idCol), "left")
+    // All uses of unitsCol (size, the CASE branches, the filter) live in
+    // ONE post-join projection: withColumns collapse into a single
+    // Project, where subexpression elimination evaluates the unit
+    // derivation once per row — computing n_units before the join put a
+    // join boundary between the uses and re-derived the units per use
+    // (measured ~1 extra corpus-wide derivation at the sf3 study point).
+    df.join(hits, Seq(idCol), "left")
+      .withColumn("n_units", size(unitsCol).cast("long"))
       .withColumn("n_stripped", coalesce(col("n_stripped"), lit(0L)))
       .withColumn(keptCol,
         when(col("__heavy").isNull, unitsCol).otherwise(
@@ -92,9 +117,10 @@ object Boilerplate {
     * drop-trailing default), strip lines repeated in ≥ `minDocs`
     * documents, and re-join. Adds `text_kept`, `n_units`, `n_stripped`. */
   def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
-      minDocs: Long, perCol: Option[String] = None): DataFrame =
+      minDocs: Long, perCol: Option[String] = None,
+      broadcastHeavy: Boolean = true): DataFrame =
     stripRepeatedUnits(df, idCol, split(col(textCol), "\n", -1),
-      "__kept", minDocs, perCol)
+      "__kept", minDocs, perCol, broadcastHeavy)
       .withColumn("text_kept", array_join(col("__kept"), "\n"))
       .drop("__kept")
 

@@ -25,12 +25,16 @@ object BoilerplateStudy {
     spark.sparkContext.setLogLevel("ERROR")
 
     val cpu = new java.util.concurrent.atomic.LongAdder
+    val shuffle = new java.util.concurrent.atomic.LongAdder
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = t.taskMetrics
-          if (m != null) cpu.add(m.executorCpuTime)
+          if (m != null) {
+            cpu.add(m.executorCpuTime)
+            shuffle.add(m.shuffleWriteMetrics.bytesWritten)
+          }
         }
       })
     def quiesce(): Unit = {
@@ -41,12 +45,12 @@ object BoilerplateStudy {
         if (now == prev) quiet += 1 else { quiet = 0; prev = now }
       }
     }
-    def cell(f: => (Long, Long, Long)): ((Long, Long, Long), Double) = {
+    def cell(f: => (Long, Long, String)): ((Long, Long, String), Double, Double) = {
       quiesce()
-      val c0 = cpu.sum()
+      val c0 = cpu.sum(); val s0 = shuffle.sum()
       val n = f
       quiesce()
-      (n, (cpu.sum() - c0) / 1e9)
+      (n, (cpu.sum() - c0) / 1e9, (shuffle.sum() - s0) / 1048576.0)
     }
 
     // the q109 unit derivation: 8-word chunks
@@ -58,28 +62,36 @@ object BoilerplateStudy {
     }
     // (docs, total stripped occurrences, kept-text checksum) — the
     // three-way equivalence signature of one arm's full result
-    def signature(out: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+    def signature(out: org.apache.spark.sql.DataFrame): (Long, Long, String) = {
       val r = out.agg(count(lit(1)), sum("n_stripped"),
-        sum(xxhash64(col("doc_id"), col("text_kept")))).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2))
+        sum(xxhash64(col("doc_id"), col("text_kept")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getLong(1), r.getDecimal(2).toString)
     }
 
-    println(f"${"point"}%-6s ${"arm"}%-10s ${"docs"}%9s ${"stripped"}%9s ${"cpu_s"}%8s")
+    println(f"${"point"}%-6s ${"arm"}%-10s ${"docs"}%9s ${"stripped"}%9s ${"cpu_s"}%8s ${"shuf_mb"}%10s")
     for (dir <- dirs) {
       val point = dir.split('/').last
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select("doc_id", "text").localCheckpoint(true)
       val lines = chunkLines(col("text"))
 
-      // OPERATOR arm: matches-only join-back, array-filter strip
-      def hitsJoin(): (Long, Long, Long) = signature(
+      // OPERATOR arm: matches-only join-back, array-filter strip,
+      // heavy relation pinned broadcast (the default)
+      def hitsJoin(): (Long, Long, String) = signature(
         Boilerplate.stripRepeatedUnits(docs, "doc_id", lines, "__kept", 2)
+          .select(col("doc_id"), col("n_stripped"),
+            array_join(col("__kept"), "\n").as("text_kept")))
+
+      // fallback arm: heavy too big to broadcast → forced sort-merge
+      def mergeFallback(): (Long, Long, String) = signature(
+        Boilerplate.stripRepeatedUnits(docs, "doc_id", lines, "__kept", 2,
+            broadcastHeavy = false)
           .select(col("doc_id"), col("n_stripped"),
             array_join(col("__kept"), "\n").as("text_kept")))
 
       // NAIVE arm: full corpus explode → anti-join → positional rebuild
       // (shares repeatedUnits verbatim, so the frequency half is identical)
-      def naive(): (Long, Long, Long) = {
+      def naive(): (Long, Long, String) = {
         val heavy = Boilerplate.repeatedUnits(docs, "doc_id", lines, 2)
           .select("unit")
         val ex = docs.select(col("doc_id"),
@@ -99,14 +111,17 @@ object BoilerplateStudy {
         signature(out)
       }
 
-      val (sHits, cHits) = cell(hitsJoin())
-      val (sNaive, cNaive) = cell(naive())
-      val (_, cHits2) = cell(hitsJoin())
-      val (_, cNaive2) = cell(naive())
-      require(sHits == sNaive,
-        s"arms diverge at $point: operator $sHits vs naive $sNaive")
-      println(f"$point%-6s ${"hits-join"}%-10s ${sHits._1}%9d ${sHits._2}%9d ${math.min(cHits, cHits2)}%8.2f")
-      println(f"$point%-6s ${"naive"}%-10s ${sNaive._1}%9d ${sNaive._2}%9d ${math.min(cNaive, cNaive2)}%8.2f")
+      val (sHits, cHits, shHits) = cell(hitsJoin())
+      val (sMerge, cMerge, shMerge) = cell(mergeFallback())
+      val (sNaive, cNaive, shNaive) = cell(naive())
+      val (_, cHits2, _) = cell(hitsJoin())
+      val (_, cMerge2, _) = cell(mergeFallback())
+      val (_, cNaive2, _) = cell(naive())
+      require(sHits == sNaive && sHits == sMerge,
+        s"arms diverge at $point: broadcast $sHits vs merge $sMerge vs naive $sNaive")
+      println(f"$point%-6s ${"hits-bcast"}%-10s ${sHits._1}%9d ${sHits._2}%9d ${math.min(cHits, cHits2)}%8.2f $shHits%10.1f")
+      println(f"$point%-6s ${"hits-merge"}%-10s ${sMerge._1}%9d ${sMerge._2}%9d ${math.min(cMerge, cMerge2)}%8.2f $shMerge%10.1f")
+      println(f"$point%-6s ${"naive"}%-10s ${sNaive._1}%9d ${sNaive._2}%9d ${math.min(cNaive, cNaive2)}%8.2f $shNaive%10.1f")
     }
     spark.stop()
   }
