@@ -657,6 +657,41 @@ object Dedup {
         .select(col(s"a_$idCol").as("src"), col(s"b_$idCol").as("dst")),
       idCol)
 
+  /** [[nearDupSurvivors]] with a SURVIVOR POLICY: per near-dup cluster,
+    * keep the member maximizing `scoreCol` (ties → smaller id) instead
+    * of the min-id member — the form real curation pipelines want
+    * (RefinedWeb keeps the longest/highest-quality page of a dup
+    * cluster; min-id keeps whichever crawled first). `scoreCol` is any
+    * deterministic expression over `df`'s columns (length, quality
+    * score, recency).
+    *
+    * Same cost shape as the min-id form: candidate generation is the
+    * banded LSH pair join, clustering runs over the edge participants
+    * only, and the score is computed for PARTICIPANT rows only (one
+    * output-sized id join into `df` — never a corpus-wide window; the
+    * per-cluster argmax is a window over participant rows, bounded by
+    * the pair relation). The corpus-side finish is the same single
+    * anti join against the loser ids. */
+  def nearDupSurvivorsBy(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: Column, n: Int = 3, k: Int = 16, bands: Int = 4,
+      minAgree: Int = 8): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, n, k, bands, minAgree)
+      .select(col(s"a_$idCol").as("src"), col(s"b_$idCol").as("dst"))
+      .localCheckpoint(true)
+    val participants = pairs.select(col("src").as(idCol))
+      .unionByName(pairs.select(col("dst").as(idCol)))
+      .distinct()
+    val labels = connectedComponents(pairs, participants, idCol)
+    val scored = labels.join(df.select(col(idCol), scoreCol.as("__score")),
+      Seq(idCol))
+    val byPolicy = Window.partitionBy("cluster_id")
+      .orderBy(col("__score").desc, col(idCol))
+    val losers = scored.withColumn("__rk", row_number().over(byPolicy))
+      .filter(col("__rk") > 1)
+      .select(idCol)
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** `df` minus the non-canonical members of the near-dup clusters the
     * (src, dst) `pairs` describe — the collapse stage shared by
     * [[nearDupSurvivors]], [[minhashIncrementalIngest]] and

@@ -160,6 +160,20 @@ object ScaleQueries {
       .orderBy("doc_id")
   }
 
+  /** q40's cluster relation collapsed under the KEEP-BEST survivor
+    * policy ([[Dedup.nearDupSurvivorsBy]]): per near-dup cluster the
+    * LONGEST member survives (n_chars desc, id tiebreak) — the
+    * RefinedWeb-style policy, vs the min-id canonical q57 uses. The
+    * oracle replays the full banded pair relation, the recursive
+    * connected components, and the per-cluster argmax in DuckDB. */
+  val q111SurvivorPolicy: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    Dedup.nearDupSurvivorsBy(t.documents, "doc_id", "text",
+        scoreCol = col("n_chars"), n = 3, k = 16, bands = 4, minAgree = 8)
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** SS4 — IVF ANN top-3: 8 id-sampled centroid cells, queries probe
     * their 2 closest cells, exact rerank within (the inverted-file scale
     * path, complementary to q31's hyperplane LSH). */
@@ -680,6 +694,7 @@ object ScaleQueries {
     "q60_quantize_int8" -> q60QuantizeInt8,
     "q25_exact_dedup" -> q25ExactDedup,
     "q40_dedup_clusters" -> q40DedupClusters,
+    "q111_survivor_policy" -> q111SurvivorPolicy,
     "q47_ivf_topk" -> q47IvfTopK,
     "q26_jaccard_pairs" -> q26JaccardPairs,
     "q27_minhash_lsh" -> q27MinhashLsh,
@@ -1341,6 +1356,36 @@ object ScaleQueries {
          |WHERE hamming <= 10
          |ORDER BY a_doc_id, b_doc_id""".stripMargin
     },
+    "q111_survivor_policy" ->
+      s"""WITH RECURSIVE $shingledCte,
+         |$sigCte,
+         |$keysCte,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+         |  FROM keys a JOIN keys b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT a_doc_id, b_doc_id FROM (
+         |    SELECT a_doc_id, b_doc_id,
+         |      ${(0 until 16).map(i => s"(CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS sig_agree
+         |    FROM cand JOIN sig x ON a_doc_id = x.doc_id JOIN sig y ON b_doc_id = y.doc_id)
+         |  WHERE sig_agree >= 8),
+         |sym AS (
+         |  SELECT a_doc_id AS src, b_doc_id AS dst FROM pairs
+         |  UNION SELECT b_doc_id, a_doc_id FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+         |cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |ranked AS (
+         |  SELECT c.doc_id,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY d.n_chars DESC, c.doc_id) AS rk
+         |  FROM cc c JOIN documents d USING (doc_id))
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)
+         |ORDER BY doc_id""".stripMargin,
     "q40_dedup_clusters" ->
       s"""WITH RECURSIVE $shingledCte,
          |$sigCte,
