@@ -111,10 +111,38 @@ object SourceQueries {
       .orderBy("s_nationkey")
   }
 
+  /** S8 — ORC round-trip with PARTITIONED layout: events written as an
+    * ORC directory partitioned by event_type, read back with an
+    * equality filter on the partition column — partition PRUNING, not a
+    * row filter: only the two matching directories are listed — plus a
+    * value predicate ORC pushes to its row-group stats, then
+    * aggregated. Exercises Spark's second columnar format end to end
+    * (the engine's exports standardize on parquet; ORC is the
+    * interchange format a consumer may demand) with timestamps, longs,
+    * doubles and partition-column reconstruction all on the
+    * hash-checked path. */
+  val q112OrcRoundtrip: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val out = tmp("rt_events_orc")
+    t.events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").orc(out)
+    spark.read.orc(out)
+      .filter(col("event_type").isin("click", "purchase") && col("value") >= 10.0)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"),
+        min(col("event_id")).as("min_event"),
+        max(col("ts")).as("max_ts"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, Q] = Map(
     "q38_csv_roundtrip" -> q38CsvRoundtrip,
     "q39_csv_multipath" -> q39CsvMultiPath,
-    "q81_xlsx_roundtrip" -> q81XlsxRoundtrip)
+    "q81_xlsx_roundtrip" -> q81XlsxRoundtrip,
+    "q112_orc_roundtrip" -> q112OrcRoundtrip)
 
   val oracle: Map[String, String] = Map(
     "q38_csv_roundtrip" ->
@@ -134,5 +162,13 @@ object SourceQueries {
         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
         |  MAX(s_name) AS max_name
         |FROM supplier
-        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q112_orc_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        |  MIN(event_id) AS min_event,
+        |  MAX(ts) AS max_ts
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase') AND value >= 10.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

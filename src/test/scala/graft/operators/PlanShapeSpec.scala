@@ -572,4 +572,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(laid.rdd.getNumPartitions == 32,
       s"write parallelism must follow the input (32), got ${laid.rdd.getNumPartitions}")
   }
+
+  test("ORC partitioned layout: the partition-column filter prunes, not row-filters") {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_plan_orc"
+    spark.range(100).select(
+        col("id").as("event_id"),
+        when(col("id") % 2 === 0, "click").otherwise("view").as("event_type"),
+        (col("id") * 2).cast("double").as("value"))
+      .write.mode("overwrite").partitionBy("event_type").orc(out)
+    val plan = physicalPlan(
+      spark.read.orc(out).filter(col("event_type") === "click" && col("value") >= 10.0))
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"event_type must prune partitions at the ORC scan:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(value,10.0)"),
+      s"the value predicate must push into the ORC reader:\n$plan")
+  }
 }
