@@ -84,9 +84,23 @@ object Boilerplate {
     * skew split carve the hot units' occurrence partitions. */
   def stripRepeatedUnits(df: DataFrame, idCol: String, unitsCol: Column,
       keptCol: String, minDocs: Long, perCol: Option[String] = None,
+      broadcastHeavy: Boolean = true): DataFrame =
+    stripUnitsIn(df, idCol, unitsCol, keptCol,
+      repeatedUnits(df, idCol, unitsCol, minDocs, perCol)
+        .select((perCol.toSeq :+ "unit").map(col): _*),
+      perCol, broadcastHeavy)
+
+  /** The strip step against an EXTERNALLY-supplied heavy relation
+    * (column `unit` = trimmed form, plus `perCol` when scoped) —
+    * shared by [[stripRepeatedUnits]] (heavy = this relation's own
+    * doc frequencies) and the streaming screen
+    * ([[graft.streaming.StreamingIngest.boilerplateScreenStream]]),
+    * whose heavy set is the persisted frequency store merged with the
+    * batch's own delta. Same output contract as
+    * [[stripRepeatedUnits]]. */
+  def stripUnitsIn(df: DataFrame, idCol: String, unitsCol: Column,
+      keptCol: String, heavy: DataFrame, perCol: Option[String] = None,
       broadcastHeavy: Boolean = true): DataFrame = {
-    val heavy = repeatedUnits(df, idCol, unitsCol, minDocs, perCol)
-      .select((perCol.toSeq :+ "unit").map(col): _*)
     val joinKeys = perCol.toSeq :+ "unit"
     val heavySide = if (broadcastHeavy) broadcast(heavy) else heavy.hint("merge")
     // Only matching exploded rows survive this inner join; grouped to

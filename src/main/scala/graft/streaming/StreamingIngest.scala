@@ -742,6 +742,119 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming cross-document BOILERPLATE screen — the corpus-GLOBAL
+    * cleanup no per-row gate can express, run as a stream: a persisted
+    * line-frequency store at `freqDir` accumulates how many DISTINCT
+    * documents have carried each trimmed line, and each micro-batch is
+    * published to `outDir` with the lines that are heavy AS OF that
+    * batch (stored frequencies + the batch's own delta ≥ `minDocs`)
+    * stripped from its text ([[graft.operators.Boilerplate]] semantics:
+    * order preserved, blank lines untouched, occurrences counted in the
+    * appended `n_stripped`).
+    *
+    * POINT-IN-TIME by contract, like the export sink's takedown: a line
+    * becomes boilerplate only for documents arriving at or after the
+    * batch where its count crosses the threshold — documents published
+    * earlier are not retroactively rewritten (re-screening history is a
+    * batch job over the store: [[graft.operators.Boilerplate
+    * .stripBoilerplateLines]] on the published corpus). Counting the
+    * batch's own delta makes the single-batch stream EXACTLY the batch
+    * operator (the law `BoilerplateStreamSpec` pins).
+    *
+    * EXACTLY-ONCE: the committed-batch protocol — stripped rows land
+    * under batch-keyed names, the frequency DELTA (unit, doc_freq,
+    * batch_id) appends under the same names, the marker commits; a
+    * replay reads the store EXCLUDING its own batch_id rows (the
+    * sidecar's replay-awareness trick), so the recompute strips against
+    * the identical heavy set and republishes identical files. The
+    * store's append-grown files compact post-commit at
+    * `compactFreqAtFiles` (merged sums, mass-checked, staged +
+    * [[graft.operators.IndexOps.swapDirs]] with entry recovery). */
+  def boilerplateScreenStream(stream: DataFrame, freqDir: String,
+      outDir: String, checkpoint: String, idCol: String, textCol: String,
+      minDocs: Long, compactFreqAtFiles: Int = 0,
+      broadcastHeavy: Boolean = true): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        boilerplateBatch(batch.toDF(), batchId, freqDir, outDir, idCol,
+          textCol, minDocs, compactFreqAtFiles, broadcastHeavy)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
+  private[graft] def boilerplateBatch(batch: DataFrame, batchId: Long,
+      freqDir: String, outDir: String, idCol: String, textCol: String,
+      minDocs: Long, compactFreqAtFiles: Int, broadcastHeavy: Boolean = true,
+      failAfterStep: Int = Int.MaxValue): Unit = {
+    import graft.operators.{Boilerplate, Checkpoints, IndexOps}
+    require(minDocs >= 2,
+      s"boilerplateScreenStream: minDocs must be ≥ 2 (got $minDocs)")
+    val spark = batch.sparkSession
+    IndexOps.recoverSwap(spark, freqDir)
+    def failpoint(n: Int): Unit = if (failAfterStep == n)
+      throw new IllegalStateException(
+        s"boilerplateBatch: test failpoint after step $n")
+    if (isCommitted(spark, outDir, batchId)) return
+    Checkpoints.scoped(spark) {
+      val units = split(col(textCol), "\n", -1)
+      val outCols = batch.columns.map(col).toIndexedSeq
+      // one materialization: the delta feeds both the heavy set and its
+      // own publish (deterministic either way; this keeps it one job)
+      val delta = Boilerplate.unitDocFreq(batch, idCol, units)
+        .localCheckpoint(true)
+      val (fs, fp) = fsPath(spark, freqDir)
+      val stored =
+        if (hasDataFiles(fs, fp))
+          spark.read.parquet(freqDir)
+            .filter(col("batch_id") =!= batchId) // replay awareness
+            .select("unit", "doc_freq")
+        else delta.limit(0)
+      val heavy = stored.unionByName(delta)
+        .groupBy("unit").agg(sum("doc_freq").as("doc_freq"))
+        .filter(col("doc_freq") >= minDocs)
+        .select("unit")
+      val stripped = Boilerplate.stripUnitsIn(batch, idCol, units, "__kept",
+          heavy, broadcastHeavy = broadcastHeavy)
+        .withColumn(textCol, array_join(col("__kept"), "\n"))
+        .select(outCols :+ col("n_stripped"): _*)
+      publishBatch(stripped, outDir, batchId, Nil)
+      failpoint(1)
+      publishBatch(delta.withColumn("batch_id", lit(batchId)),
+        freqDir, batchId, Nil)
+      failpoint(2)
+      commitBatch(spark, outDir, batchId)
+    }
+    maintainFreqStore(spark, freqDir, compactFreqAtFiles)
+  }
+
+  /** Post-commit frequency-store compaction: merge the per-batch delta
+    * rows into one summed row per unit (batch_id −1 — never excluded by
+    * any replay's own-batch filter, and no uncommitted batch's delta
+    * can be inside: compaction runs strictly post-commit). Mass-checked
+    * before the swap; a crash inside heals at the next batch's entry
+    * recovery. */
+  private def maintainFreqStore(spark: org.apache.spark.sql.SparkSession,
+      freqDir: String, compactAtFiles: Int): Unit = {
+    import graft.operators.IndexOps
+    if (compactAtFiles <= 0) return
+    if (IndexOps.dataFileCount(spark, freqDir) < compactAtFiles) return
+    val tmp = freqDir + ".compact.tmp"
+    val (fs, _) = fsPath(spark, tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val srcMass = spark.read.parquet(freqDir)
+      .agg(coalesce(sum("doc_freq"), lit(0L))).head().getLong(0)
+    spark.read.parquet(freqDir)
+      .groupBy("unit").agg(sum("doc_freq").as("doc_freq"))
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").parquet(tmp)
+    val dstMass = spark.read.parquet(tmp)
+      .agg(coalesce(sum("doc_freq"), lit(0L))).head().getLong(0)
+    require(dstMass == srcMass,
+      s"maintainFreqStore: compaction of $freqDir changed the frequency " +
+        s"mass ($srcMass -> $dstMass) — not swapping in")
+    IndexOps.swapDirs(spark, freqDir, tmp)
+  }
+
   // ----------------------------------------------- curate batch internals
 
   /** The id sidecar of a persisted index directory: a skinny

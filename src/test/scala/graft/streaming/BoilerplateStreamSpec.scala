@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Boilerplate
+
+class BoilerplateStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def run(df: org.apache.spark.sql.DataFrame, id: Long, freqDir: String,
+      outDir: String, minDocs: Long = 2, compactAt: Int = 0,
+      failAfter: Int = Int.MaxValue): Unit =
+    StreamingIngest.boilerplateBatch(df, id, freqDir, outDir,
+      "doc_id", "text", minDocs, compactAt, failAfterStep = failAfter)
+
+  private def outRows(outDir: String): Map[Long, (String, Long)] =
+    spark.read.parquet(outDir).select("doc_id", "text", "n_stripped")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("single-batch stream equals the batch operator") {
+    val freqDir = tmp("bp-law-freq"); val outDir = tmp("bp-law-out")
+    val docs = Seq(
+      (1L, "COOKIE NOTICE\nunique line 1"),
+      (2L, "unique line 2\nCOOKIE NOTICE"),
+      (3L, "unique line 3")
+    ).toDF("doc_id", "text")
+    run(docs, 0L, freqDir, outDir)
+    val want = Boilerplate.stripBoilerplateLines(docs, "doc_id", "text", 2)
+      .select(col("doc_id"), col("text_kept").as("text"), col("n_stripped"))
+    assertSameRows(spark.read.parquet(outDir).select("doc_id", "text", "n_stripped"), want)
+  }
+
+  test("point-in-time: a line crossing the threshold strips the CROSSING batch, not history") {
+    val freqDir = tmp("bp-pit-freq"); val outDir = tmp("bp-pit-out")
+    // batch 0: first carrier of the template — below threshold, kept
+    run(Seq((1L, "TEMPLATE\nbody one")).toDF("doc_id", "text"), 0L, freqDir, outDir)
+    assert(outRows(outDir)(1L) == (("TEMPLATE\nbody one", 0L)))
+    // batch 1: second carrier — stored(1) + delta(1) = 2 ≥ minDocs →
+    // stripped from the ARRIVING doc; doc 1's published row unchanged
+    run(Seq((2L, "TEMPLATE\nbody two")).toDF("doc_id", "text"), 1L, freqDir, outDir)
+    val rows = outRows(outDir)
+    assert(rows(1L) == (("TEMPLATE\nbody one", 0L)), "history not rewritten")
+    assert(rows(2L) == (("body two", 1L)), "the crossing batch is stripped")
+    // batch 2: every later carrier is stripped too
+    run(Seq((3L, "TEMPLATE\nbody three")).toDF("doc_id", "text"), 2L, freqDir, outDir)
+    assert(outRows(outDir)(3L) == (("body three", 1L)))
+  }
+
+  test("crash replay at every failpoint converges on the identical state") {
+    val freqDir = tmp("bp-crash-freq"); val outDir = tmp("bp-crash-out")
+    run(Seq((1L, "AD BANNER\nalpha")).toDF("doc_id", "text"), 0L, freqDir, outDir)
+    val b1 = Seq((2L, "AD BANNER\nbeta"), (3L, "AD BANNER\ngamma")).toDF("doc_id", "text")
+    // crash after the stripped publish, before the delta lands
+    intercept[IllegalStateException] { run(b1, 1L, freqDir, outDir, failAfter = 1) }
+    run(b1, 1L, freqDir, outDir)
+    val after1 = outRows(outDir)
+    assert(after1(2L) == (("beta", 1L)) && after1(3L) == (("gamma", 1L)),
+      "replay reads the store excluding its own delta — same heavy set")
+    // the store holds exactly one delta per committed batch, no double count
+    val freq = spark.read.parquet(freqDir)
+      .groupBy("unit").agg(sum("doc_freq").as("df"))
+      .as[(String, Long)].collect().toMap
+    assert(freq("AD BANNER") == 3L, s"one delta per batch, got $freq")
+    // crash after both publishes, before the marker
+    val b2 = Seq((4L, "AD BANNER\ndelta")).toDF("doc_id", "text")
+    intercept[IllegalStateException] { run(b2, 2L, freqDir, outDir, failAfter = 2) }
+    run(b2, 2L, freqDir, outDir)
+    assert(outRows(outDir)(4L) == (("delta", 1L)))
+    assert(spark.read.parquet(freqDir)
+      .groupBy("unit").agg(sum("doc_freq").as("df"))
+      .as[(String, Long)].collect().toMap.apply("AD BANNER") == 4L)
+    // replay of a committed batch is skipped outright
+    run(b2, 2L, freqDir, outDir)
+    assert(outRows(outDir).size == 4)
+  }
+
+  test("frequency-store compaction merges deltas, preserves mass, keeps screening") {
+    val freqDir = tmp("bp-compact-freq"); val outDir = tmp("bp-compact-out")
+    run(Seq((1L, "FOOTER\none")).toDF("doc_id", "text"), 0L, freqDir, outDir, compactAt = 2)
+    run(Seq((2L, "FOOTER\ntwo")).toDF("doc_id", "text"), 1L, freqDir, outDir, compactAt = 2)
+    val store = spark.read.parquet(freqDir)
+    assert(store.select("batch_id").distinct().as[Long].collect().toSeq == Seq(-1L),
+      "post-commit compaction rewrote the store as merged batch_id = -1 rows")
+    assert(store.filter(col("unit") === "FOOTER").select("doc_freq")
+      .as[Long].head() == 2L, "mass preserved through the merge")
+    // screening still works off the compacted store
+    run(Seq((3L, "FOOTER\nthree")).toDF("doc_id", "text"), 2L, freqDir, outDir, compactAt = 2)
+    assert(outRows(outDir)(3L) == (("three", 1L)))
+  }
+}
