@@ -92,6 +92,85 @@ object Quality {
         col("p.min_value").as("min_value"), col("p.max_value").as("max_value"))
   }
 
+  /** Deterministic equal-width histogram of `valueCol` over [lo, hi]:
+    * `(bin, n)` with bin = clamp(floor((x − lo)/(hi − lo)·nBins), 0,
+    * nBins−1) — the closed upper edge folds into the last bin — and
+    * bin −1 counting nulls. One map-side-combined aggregation; the bin
+    * arithmetic is plain IEEE double ops in a fixed order, so any
+    * engine reproduces the exact assignment (no quantile sketch, no
+    * sampling — bounds come from the caller, see
+    * [[distributionDrift]]). Degenerate bounds (hi ≤ lo) put every
+    * non-null row in bin 0. */
+  def binnedHistogram(df: DataFrame, valueCol: String, nBins: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(nBins >= 1, s"nBins must be positive, got $nBins")
+    val x = col(valueCol).cast("double")
+    val raw =
+      if (hi > lo) floor((x - lit(lo)) / (lit(hi) - lit(lo)) * lit(nBins))
+      else lit(0.0)
+    val bin = when(col(valueCol).isNull, lit(-1))
+      .otherwise(least(greatest(raw.cast("int"), lit(0)), lit(nBins - 1)))
+    df.groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Distribution-drift relation between a REFERENCE snapshot and a
+    * CURRENT one — the dataset-shift gate a training pipeline runs
+    * batch-over-batch (did yesterday's quality-score / length / value
+    * distribution move?): both sides binned by [[binnedHistogram]]
+    * under the REFERENCE side's min/max (one tiny agg; the current
+    * side's outliers clamp into the edge bins, where they show up as
+    * drift — the desired behavior), full-outer-joined per bin with
+    * exact integral permille shares and their absolute difference.
+    *
+    * Output `(bin, ref_n, cur_n, ref_permille, cur_permille,
+    * diff_permille)`, bin −1 = nulls. The scalar drift statistic is
+    * the L1 permille distance Σ diff_permille ∈ [0, 2000] (total
+    * variation distance = L1/2) — pure integer arithmetic, unlike
+    * PSI's transcendental ln, so the DuckDB oracle reproduces it
+    * bit-for-bit (q113). Gate with [[enforceDistributionStability]].
+    */
+  def distributionDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      nBins: Int = 20): DataFrame = {
+    // bounded driver materialization: ONE row (min, max) of the ref side
+    val b = ref.agg(min(col(valueCol).cast("double")),
+      max(col(valueCol).cast("double"))).head()
+    val (lo, hi) =
+      if (b.isNullAt(0)) (0.0, 0.0) else (b.getDouble(0), b.getDouble(1))
+    def side(df: DataFrame, n: String, p: String) = {
+      val h = binnedHistogram(df, valueCol, nBins, lo, hi)
+      val total = h.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+      val share = // integral permille, the skewReport discipline
+        if (total > 0) expr(s"(n * 1000) div CAST($total AS BIGINT)")
+        else lit(0L)
+      h.select(col("bin"), col("n").as(n), share.cast("long").as(p))
+    }
+    side(ref, "ref_n", "ref_permille")
+      .join(side(cur, "cur_n", "cur_permille"), Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("ref_n", "cur_n", "ref_permille", "cur_permille"))
+      .withColumn("diff_permille",
+        abs(col("ref_permille") - col("cur_permille")))
+      .orderBy("bin")
+  }
+
+  /** Σ diff_permille of a [[distributionDrift]] relation — the L1
+    * permille drift statistic (TV distance × 2), one tiny agg. */
+  def driftL1Permille(drift: DataFrame): Long =
+    drift.agg(coalesce(sum("diff_permille"), lit(0L))).head().getLong(0)
+
+  /** The DQ-gate form: throw when the L1 permille drift between the
+    * snapshots exceeds `maxL1Permille` (0 = identical shares, 2000 =
+    * disjoint distributions). */
+  def enforceDistributionStability(ref: DataFrame, cur: DataFrame,
+      valueCol: String, maxL1Permille: Long, nBins: Int = 20): Unit = {
+    val l1 = driftL1Permille(distributionDrift(ref, cur, valueCol, nBins))
+    if (l1 > maxL1Permille)
+      throw new IllegalStateException(
+        s"distribution-stability gate failed on '$valueCol': L1 drift " +
+          s"${l1}permille > ${maxL1Permille}permille — the current " +
+          "snapshot's distribution moved; inspect distributionDrift's " +
+          "per-bin relation for where")
+  }
+
   /** Order-independent table checksum: one row with the row count and
     * the sum of per-row portable hashes, mod 2^61 — "did ANY row
     * change?" as a single scan, for pipeline regression gates and

@@ -259,10 +259,28 @@ object CleaningQueries {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** DQ7 — distribution drift between two corpus snapshots
+    * ([[graft.operators.Quality.distributionDrift]]): the view-events
+    * value distribution as the reference, click events as the current
+    * snapshot, 20 equal-width bins under the REFERENCE bounds, exact
+    * integral permille shares and the per-bin L1 drift — the
+    * dataset-shift gate a training pipeline runs batch-over-batch,
+    * in pure integer/IEEE arithmetic the oracle replays bit-for-bit
+    * (no PSI: its transcendental ln is not cross-engine-exact). */
+  val q113Drift: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    graft.operators.Quality.distributionDrift(
+      t.events.filter(col("event_type") === "view"),
+      t.events.filter(col("event_type") === "click"),
+      "value", nBins = 20)
+      .withColumn("bin", col("bin").cast("long"))
+  }
+
   val all: Map[String, Q] = Map(
     "q58_profile" -> q58Profile,
     "q61_checksum" -> q61Checksum,
     "q107_skew_report" -> q107SkewReport,
+    "q113_drift" -> q113Drift,
     "q32_clean_battery" -> q32CleanBattery,
     "q33_reconcile_7key" -> q33Reconcile7Key,
     "q34_enrich_drop" -> q34EnrichDrop,
@@ -376,6 +394,33 @@ object CleaningQueries {
         |  ON upper(trim(regexp_replace(a.lat_long_address, '\s+', ' ', 'g')))
         |   = upper(trim(regexp_replace(l.address, '\s+', ' ', 'g')))
         |ORDER BY a.c_custkey""".stripMargin,
+    "q113_drift" ->
+      """WITH ref AS (SELECT value FROM events WHERE event_type = 'view'),
+        |cur AS (SELECT value FROM events WHERE event_type = 'click'),
+        |b AS (SELECT min(value) AS lo, max(value) AS hi FROM ref),
+        |rh AS (
+        |  SELECT CASE WHEN value IS NULL THEN -1
+        |    ELSE least(greatest(CAST(floor((value - lo) / (hi - lo) * 20) AS INT), 0), 19)
+        |    END AS bin, count(*) AS n
+        |  FROM ref, b GROUP BY 1),
+        |rt AS (SELECT sum(n) AS tot FROM rh),
+        |r2 AS (SELECT bin, n AS ref_n,
+        |  CAST((n * 1000) // tot AS BIGINT) AS ref_permille FROM rh, rt),
+        |ch AS (
+        |  SELECT CASE WHEN value IS NULL THEN -1
+        |    ELSE least(greatest(CAST(floor((value - lo) / (hi - lo) * 20) AS INT), 0), 19)
+        |    END AS bin, count(*) AS n
+        |  FROM cur, b GROUP BY 1),
+        |ct AS (SELECT sum(n) AS tot FROM ch),
+        |c2 AS (SELECT bin, n AS cur_n,
+        |  CAST((n * 1000) // tot AS BIGINT) AS cur_permille FROM ch, ct)
+        |SELECT bin,
+        |  COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n,
+        |  COALESCE(ref_permille, 0) AS ref_permille,
+        |  COALESCE(cur_permille, 0) AS cur_permille,
+        |  abs(COALESCE(ref_permille, 0) - COALESCE(cur_permille, 0)) AS diff_permille
+        |FROM r2 FULL OUTER JOIN c2 USING (bin)
+        |ORDER BY bin""".stripMargin,
     "q107_skew_report" ->
       """WITH c AS (
         |  SELECT l_returnflag, l_linestatus, count(*) AS n_rows

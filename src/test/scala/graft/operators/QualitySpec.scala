@@ -107,4 +107,33 @@ class QualitySpec extends SparkSpec {
     assert(Quality.skewReport(ties, Seq("k"), topN = 2).collect()
       .map(_.getAs[Int]("k")).toSeq == Seq(3, 5))
   }
+
+  test("binnedHistogram: clamped edges, closed upper bound, null bin, degenerate bounds") {
+    val df = Seq[java.lang.Double](0.0, 5.0, 9.999, 10.0, -3.0, 42.0, null)
+      .toDF("v")
+    val bins = binnedHistogram(df, "v", nBins = 10, lo = 0.0, hi = 10.0)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(bins(-1) == 1L, "null row counts in bin -1")
+    assert(bins(0) == 2L, "0.0 in bin 0; -3.0 clamps into bin 0")
+    assert(bins(5) == 1L)
+    assert(bins(9) == 3L, "9.999 in bin 9; 10.0 (closed edge) and 42.0 clamp in")
+    val degenerate = binnedHistogram(Seq(7.0, 7.0).toDF("v"), "v", 10, 7.0, 7.0)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(degenerate == Map(0 -> 2L), "hi == lo puts everything in bin 0")
+  }
+
+  test("distributionDrift: identical snapshots are 0; disjoint are 2000 permille") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    assert(driftL1Permille(distributionDrift(a, a, "v", 4)) == 0L)
+    // shifted: all current mass clamps into the ref's top bin — the
+    // ref's own 250permille there overlaps, so L1 = 3·250 + |250−1000|
+    // = 1500 exactly (clamping deliberately keeps outliers VISIBLE as
+    // drift rather than dropping them outside the bin range)
+    val far = Seq(100.0, 101.0).toDF("v")
+    assert(driftL1Permille(distributionDrift(a, far, "v", 4)) == 1500L)
+    enforceDistributionStability(a, a, "v", maxL1Permille = 0)
+    intercept[IllegalStateException] {
+      enforceDistributionStability(a, far, "v", maxL1Permille = 500)
+    }
+  }
 }
