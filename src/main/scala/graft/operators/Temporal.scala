@@ -573,4 +573,64 @@ object Temporal {
     else
       intervalOverlapJoinNaive(a, b, keys, aLo, aHi, bLo, bHi, suffix)
   }
+
+  /** Ordered-step FUNNEL per key: for the step sequence `steps`
+    * (values of `stepCol`), each key that performed step 0 gets one
+    * row with `t_1 .. t_k` — the EARLIEST completion time of each step
+    * STRICTLY AFTER the previous step's chosen time (the "A then B"
+    * contract; an equal-timestamp pair has no order and does not
+    * advance the funnel) — and `steps_completed`, the length of the
+    * non-null prefix. `maxSpanSec` bounds the whole journey: every
+    * later step must land within that many seconds of `t_1` (the
+    * standard conversion-window form). Keys that never performed
+    * step 0 are absent by contract — the funnel is anchored.
+    *
+    * Greedy-earliest semantics, deliberately: t_i is the earliest
+    * qualifying occurrence given t_{i-1}. A non-greedy matcher could
+    * complete more funnels in adversarial orderings (choose a LATER A
+    * so an early B counts); greedy is what every production funnel
+    * (and the q114 oracle's replay) computes, and it is deterministic
+    * from the event set alone.
+    *
+    * Shape at scale: one aggregation per step, each over ONLY that
+    * step's slice (the `stepCol = s` filter reaches the scan), joined
+    * key-to-key — k−1 equi-joins of per-key single-row relations, no
+    * window over the raw events, no per-key event collection. */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+      stepCol: String, steps: Seq[String],
+      maxSpanSec: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.length == steps.length,
+      s"funnel steps must be distinct, got $steps")
+    val ts = micros(events, tsCol)
+    val anchor = events.filter(col(stepCol) === steps.head)
+      .groupBy(col(keyCol))
+      .agg(min(ts).as("__us_1"))
+    val chained = steps.zipWithIndex.drop(1).foldLeft(anchor) {
+      case (acc, (step, i)) =>
+        val prev = s"__us_$i"
+        val cur = s"__us_${i + 1}"
+        val slice = events.filter(col(stepCol) === step)
+          .select(col(keyCol), ts.as("__ts"))
+        val within = maxSpanSec match {
+          case Some(s) => col("__ts") <= col("__us_1") + lit(s * 1000000L)
+          case None    => lit(true)
+        }
+        acc.join(slice, Seq(keyCol), "left")
+          .withColumn("__ok",
+            col("__ts").isNotNull && col(prev).isNotNull &&
+              col("__ts") > col(prev) && within)
+          .groupBy((col(keyCol) +: (1 to i).map(j => col(s"__us_$j"))): _*)
+          .agg(min(when(col("__ok"), col("__ts"))).as(cur))
+    }
+    val tCols = steps.indices.map(i =>
+      timestamp_micros(col(s"__us_${i + 1}")).as(s"t_${i + 1}"))
+    // no gaps by construction (t_i requires t_{i-1} non-null in __ok),
+    // so the indicator sum IS the non-null prefix length
+    val completed = steps.indices.map(i =>
+      when(col(s"__us_${i + 1}").isNotNull, 1).otherwise(0))
+      .reduceLeft(_ + _)
+    chained.select((col(keyCol) +: tCols) :+
+      completed.cast("long").as("steps_completed"): _*)
+  }
 }

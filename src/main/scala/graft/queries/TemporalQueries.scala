@@ -143,13 +143,28 @@ object TemporalQueries {
       .orderBy("user_id", "grid_ts")
   }
 
+  /** FUNNEL ([[Temporal.funnel]]) — per user, the earliest
+    * signup → view → click → purchase progression, each step strictly
+    * after the previous and within 20 days of the signup anchor:
+    * greedy-earliest conversion analysis as k per-step-slice
+    * aggregations + key equi-joins (no window over raw events, no
+    * per-user event collection). */
+  val q114Funnel: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    Temporal.funnel(t.events, "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"),
+        maxSpanSec = Some(20L * 86400L))
+      .orderBy("user_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q82_asof_enrich" -> q82AsofEnrich,
     "q83_session_range" -> q83SessionRange,
     "q84_overlap_pairs" -> q84OverlapPairs,
     "q85_asof_nearest" -> q85AsofNearest,
     "q86_resample_locf" -> q86ResampleLocf,
-    "q87_range_auto" -> q87RangeAuto)
+    "q87_range_auto" -> q87RangeAuto,
+    "q114_funnel" -> q114Funnel)
 
   /** Shared oracle CTE: gap-sessionization of one event_type stratum
     * (the SQL twin of [[Temporal.sessionIntervals]]). */
@@ -180,7 +195,42 @@ object TemporalQueries {
        |  AND s.session_start <= p.ts AND p.ts <= s.session_end
        |ORDER BY p.user_id, p.event_id, s.session_seq""".stripMargin
 
+  /** q114's conversion window in microseconds (20 days). */
+  private val FunnelSpanUs = 20L * 86400L * 1000000L
+
   val oracle: Map[String, String] = Map(
+    "q114_funnel" ->
+      s"""WITH s1 AS (
+         |  SELECT user_id, min(ts) AS t_1 FROM events
+         |  WHERE event_type = 'signup' GROUP BY user_id),
+         |s2 AS (
+         |  SELECT s1.user_id, s1.t_1, min(e.ts) AS t_2
+         |  FROM s1 LEFT JOIN events e
+         |    ON e.user_id = s1.user_id AND e.event_type = 'view'
+         |   AND e.ts > s1.t_1
+         |   AND epoch_us(e.ts) <= epoch_us(s1.t_1) + $FunnelSpanUs
+         |  GROUP BY s1.user_id, s1.t_1),
+         |s3 AS (
+         |  SELECT s2.user_id, s2.t_1, s2.t_2, min(e.ts) AS t_3
+         |  FROM s2 LEFT JOIN events e
+         |    ON e.user_id = s2.user_id AND e.event_type = 'click'
+         |   AND e.ts > s2.t_2
+         |   AND epoch_us(e.ts) <= epoch_us(s2.t_1) + $FunnelSpanUs
+         |  GROUP BY s2.user_id, s2.t_1, s2.t_2),
+         |s4 AS (
+         |  SELECT s3.user_id, s3.t_1, s3.t_2, s3.t_3, min(e.ts) AS t_4
+         |  FROM s3 LEFT JOIN events e
+         |    ON e.user_id = s3.user_id AND e.event_type = 'purchase'
+         |   AND e.ts > s3.t_3
+         |   AND epoch_us(e.ts) <= epoch_us(s3.t_1) + $FunnelSpanUs
+         |  GROUP BY s3.user_id, s3.t_1, s3.t_2, s3.t_3)
+         |SELECT user_id, t_1, t_2, t_3, t_4,
+         |  CAST((CASE WHEN t_1 IS NULL THEN 0 ELSE 1 END)
+         |     + (CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END)
+         |     + (CASE WHEN t_3 IS NULL THEN 0 ELSE 1 END)
+         |     + (CASE WHEN t_4 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS steps_completed
+         |FROM s4 ORDER BY user_id""".stripMargin,
     "q82_asof_enrich" ->
       """SELECT p.user_id, p.event_id, p.ts, p.value,
         |  v.view_id, v.view_ts, v.view_value

@@ -292,6 +292,41 @@ class TemporalSpec extends SparkSpec {
     assert(got.head.getDouble(2) == 4.0 && got.head.getLong(3) == 2L)
   }
 
+  test("funnel: greedy-earliest, strict-after, span bound, anchored, gap-free") {
+    // numeric ts (micros) — the operator takes them as-is
+    val ev = Seq(
+      // user 1: full A→B→C, but note B at t=5 is BEFORE A's earliest
+      // (t=10): strict-after must skip it and take B at 20
+      (1L, 10L, "A"), (1L, 5L, "B"), (1L, 20L, "B"), (1L, 30L, "C"),
+      // user 2: ties do not advance — B at the same ts as A is not
+      // "after" it; no later B, so the funnel stops at step 1
+      (2L, 10L, "A"), (2L, 10L, "B"), (2L, 40L, "C"),
+      // user 3: never did A — absent from the output (anchored)
+      (3L, 10L, "B"), (3L, 20L, "C"),
+      // user 4: B exists but only outside the span bound
+      (4L, 10L, "A"), (4L, 1000L, "B")
+    ).toDF("u", "ts", "step")
+    val out = Temporal.funnel(ev, "u", "ts", "step", Seq("A", "B", "C"),
+        maxSpanSec = None)
+      .collect().map(r => r.getLong(0) ->
+        ((r.get(1), r.get(2), r.get(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L), "anchored: user 3 absent")
+    assert(out(1L)._4 == 3L, s"user 1 completes all three: ${out(1L)}")
+    assert(out(2L)._4 == 1L, "equal timestamps do not advance the funnel")
+    assert(out(2L)._2 == null && out(2L)._3 == null,
+      "no gaps: steps after the break are null")
+    // span bound: 1000 - 10 micros is inside any seconds-scale span, so
+    // bound with 0 seconds → only the anchor completes
+    val bounded = Temporal.funnel(ev.filter(col("u") === 4L), "u", "ts", "step",
+        Seq("A", "B"), maxSpanSec = Some(0L))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(bounded(4L) == 1L, "span 0: nothing after the anchor qualifies")
+    val unbounded = Temporal.funnel(ev.filter(col("u") === 4L), "u", "ts", "step",
+        Seq("A", "B"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(unbounded(4L) == 2L)
+  }
+
   test("asOfJoin is the batch twin of the q20 window phrasing on real events") {
     val t = graft.Tables(spark, "/root/testdata/sf0.001")
     val ev = t.events
