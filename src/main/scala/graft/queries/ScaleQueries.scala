@@ -499,6 +499,36 @@ object ScaleQueries {
       .orderBy("z_region")
   }
 
+  /** SS12b — the 3-D z-order key ([[graft.functions.ZOrder.zorder3]],
+    * 21 bits/dimension over orderkey × partkey × suppkey): per-region
+    * counts and key sums, with the oracle recomputing the three ranges,
+    * the exact bucket divisions and the full 5-step interleave ladder —
+    * every shift and mask value-checked cross-engine like q92's 2-D
+    * form. */
+  val q115Zorder3: Q = (spark, dir) => {
+    import graft.functions.ZOrder
+    val t = Tables(spark, dir)
+    val r = t.lineitem.agg(
+      min(col("l_orderkey").cast("long")), max(col("l_orderkey").cast("long")),
+      min(col("l_partkey").cast("long")), max(col("l_partkey").cast("long")),
+      min(col("l_suppkey").cast("long")), max(col("l_suppkey").cast("long"))).collect()(0)
+    def at(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+    t.lineitem
+      .withColumn("zval", ZOrder.zorder3(
+        ZOrder.bucket21(col("l_orderkey").cast("long"), at(0), at(1)),
+        ZOrder.bucket21(col("l_partkey").cast("long"), at(2), at(3)),
+        ZOrder.bucket21(col("l_suppkey").cast("long"), at(4), at(5))))
+      // integer div, NOT `/`: 63-bit keys through double division lose
+      // mantissa bits exactly at region boundaries (2^57: 64 regions)
+      .groupBy(expr("zval div 144115188075855872").cast("long").as("z_region"))
+      .agg(count(lit(1)).as("n_rows"),
+        // 63-bit keys summed over 10^5 rows overflow a long — the
+        // tableChecksum discipline: decimal accumulation, mod 2^61
+        pmod(sum(col("zval").cast("decimal(38,0)")), lit(1L << 61).cast("decimal(38,0)"))
+          .cast("long").as("sum_z_mod"))
+      .orderBy("z_region")
+  }
+
   /** SS13 — the PQ codebook ([[graft.operators.Pq.pqCodebook]],
     * iters = 0): 8 subspaces × 16 codewords over the corpus slice,
     * value-checked cross-engine through each codeword's self-dot and
@@ -682,6 +712,7 @@ object ScaleQueries {
     "q102_pq_ivf_probe" -> q102PqIvfProbe,
     "q105_pq_route" -> q105PqRoute,
     "q92_zorder_key" -> q92ZorderKey,
+    "q115_zorder3" -> q115Zorder3,
     "q78_ivf_index_probe" -> q78IvfIndexProbe,
     "q79_ivf_ingest" -> q79IvfIngest,
     "q80_ivf_cell_skew" -> q80IvfCellSkew,
@@ -1165,6 +1196,26 @@ object ScaleQueries {
          |z AS (SELECT $z AS zval FROM lineitem CROSS JOIN m)
          |SELECT CAST(zval // 67108864 AS BIGINT) AS z_region,
          |  count(*) AS n_rows, CAST(sum(zval) AS BIGINT) AS sum_z
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q115_zorder3" -> {
+      import graft.functions.ZOrder
+      val z = ZOrder.zorder3Sql(
+        ZOrder.bucket21Sql("l_orderkey", "m.lo1", "m.hi1"),
+        ZOrder.bucket21Sql("l_partkey", "m.lo2", "m.hi2"),
+        ZOrder.bucket21Sql("l_suppkey", "m.lo3", "m.hi3"))
+      s"""WITH m AS (
+         |  SELECT CAST(min(l_orderkey) AS BIGINT) AS lo1,
+         |    CAST(max(l_orderkey) AS BIGINT) AS hi1,
+         |    CAST(min(l_partkey) AS BIGINT) AS lo2,
+         |    CAST(max(l_partkey) AS BIGINT) AS hi2,
+         |    CAST(min(l_suppkey) AS BIGINT) AS lo3,
+         |    CAST(max(l_suppkey) AS BIGINT) AS hi3
+         |  FROM lineitem),
+         |z AS (SELECT $z AS zval FROM lineitem CROSS JOIN m)
+         |SELECT CAST(zval // 144115188075855872 AS BIGINT) AS z_region,
+         |  count(*) AS n_rows,
+         |  CAST(sum(CAST(zval AS HUGEINT)) % ${1L << 61} AS BIGINT) AS sum_z_mod
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "q73_minhash_index_skew" ->
