@@ -124,10 +124,13 @@ object SourceQueries {
   val q112OrcRoundtrip: Q = (spark, dir) => {
     val t = Tables(spark, dir)
     val out = tmp("rt_events_orc")
-    t.events
+    val staged = t.events
       .select("event_id", "ts", "user_id", "event_type", "value")
-      .write.mode("overwrite").partitionBy("event_type").orc(out)
-    spark.read.orc(out)
+    staged.write.mode("overwrite").partitionBy("event_type").orc(out)
+    // schema supplied explicitly: a zero-row partitioned write leaves no
+    // data file to infer from, and an empty slice must read back as an
+    // empty relation, not an inference error (EmptyInputSpec)
+    spark.read.schema(staged.schema).orc(out)
       .filter(col("event_type").isin("click", "purchase") && col("value") >= 10.0)
       .groupBy("event_type")
       .agg(
