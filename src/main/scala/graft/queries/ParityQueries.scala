@@ -363,6 +363,45 @@ object ParityQueries {
       .orderBy("l_returnflag")
   }
 
+  /** P+ — unpivot/melt: the four lineitem measures reshaped to long
+    * form (one (measure, value) row each — Spark `unpivot`, the
+    * wide→long inverse of q45's pivot), then re-aggregated per
+    * (returnflag, measure) so every melted value is on the
+    * hash-checked path. */
+  val q116Unpivot: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "measure",
+        valueColumnName = "v")
+      .groupBy("l_returnflag", "measure")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("l_returnflag", "measure")
+  }
+
+  /** A+ — CUBE with grouping_id: all four aggregation granularities of
+    * (returnflag × linestatus) in one pass (per-pair, per-flag,
+    * per-status, grand total), cube nulls named '(all)' so the
+    * sentinel — not engine null-sort order — carries the level. */
+  val q117Cube: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sumMoney(col("l_extendedprice")).as("total"),
+        grouping_id().as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("l_linestatus"),
+        col("n"), col("total"), col("gid"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** A+ — exact interpolated quantiles per group (both engines use the
     * same linear interpolation between order statistics).
     *
@@ -541,6 +580,8 @@ object ParityQueries {
     "q43_sessionize" -> q43Sessionize,
     "q44_json_extract" -> q44JsonExtract,
     "q45_pivot" -> q45Pivot,
+    "q116_unpivot" -> q116Unpivot,
+    "q117_cube" -> q117Cube,
     "q46_percentiles" -> q46Percentiles,
     "q48_range_frame" -> q48RangeFrame,
     "q67_rolling_ledger" -> q67RollingLedger,
@@ -781,6 +822,28 @@ object ParityQueries {
         |             event_type, value
         |      FROM events)
         |GROUP BY k_mod, event_type ORDER BY k_mod, event_type""".stripMargin,
+    "q116_unpivot" ->
+      """SELECT l_returnflag, measure, COUNT(*) AS n,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |GROUP BY l_returnflag, measure
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "q117_cube" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+        |  COALESCE(l_linestatus, '(all)') AS l_linestatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q45_pivot" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))

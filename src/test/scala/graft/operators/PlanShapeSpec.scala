@@ -573,6 +573,24 @@ class PlanShapeSpec extends SparkSpec {
       s"write parallelism must follow the input (32), got ${laid.rdd.getNumPartitions}")
   }
 
+  test("funnel: step filters push to the scans; per-key equi-joins only") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_plan_funnel"
+    spark.range(3000).select(
+        (col("id") % 100).as("u"),
+        (col("id") * 7L).as("ts"),
+        when(col("id") % 3 === 0, "A").when(col("id") % 3 === 1, "B")
+          .otherwise("C").as("step"))
+      .write.mode("overwrite").parquet(dir)
+    val plan = physicalPlan(Temporal.funnel(
+      spark.read.parquet(dir), "u", "ts", "step", Seq("A", "B", "C")))
+    assertNoQuadraticJoin(plan, "funnel")
+    // every step slice reads through a scan with its equality pushed —
+    // at 100 TB the non-step bulk must die at the parquet reader
+    for (s <- Seq("A", "B", "C"))
+      assert(plan.contains(s"EqualTo(step,$s)"),
+        s"step '$s' filter must push to its scan:\n$plan")
+  }
+
   test("ORC partitioned layout: the partition-column filter prunes, not row-filters") {
     val out = s"${sys.props("java.io.tmpdir")}/graft_plan_orc"
     spark.range(100).select(

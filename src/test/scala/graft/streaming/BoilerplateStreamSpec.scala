@@ -79,6 +79,43 @@ class BoilerplateStreamSpec extends SparkSpec {
     assert(outRows(outDir).size == 4)
   }
 
+  test("the real stream: AvailableNow drains drops through the screen exactly once") {
+    val drop = tmp("bp-drop"); val freqDir = tmp("bp-drain-freq")
+    val outDir = tmp("bp-drain-out"); val ckpt = tmp("bp-drain-ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def dropBatch(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$drop/$name"),
+        rows.map { case (i, t) => s"$i\t${t.replace("\n", "\\n")}" }
+          .mkString("\n").getBytes("UTF-8"))
+    def stream() = spark.readStream.schema(schema)
+      .option("sep", "\t").csv(drop)
+      .withColumn("text", regexp_replace(col("text"), "\\\\n", "\n"))
+    def drain(): Unit =
+      StreamingIngest.boilerplateScreenStream(stream(), freqDir, outDir,
+        ckpt, "doc_id", "text", minDocs = 2)
+        .start().awaitTermination()
+
+    dropBatch("b0.tsv", Seq((1L, "PROMO\nalpha"), (2L, "PROMO\nbeta")))
+    drain()
+    val first = outRows(outDir)
+    assert(first(1L) == (("alpha", 1L)) && first(2L) == (("beta", 1L)),
+      "intra-batch counting strips the first drop's repeated line")
+    // second drop: the store remembers PROMO; re-draining must not
+    // reprocess the first file (checkpoint) or double-count the store
+    dropBatch("b1.tsv", Seq((3L, "PROMO\ngamma")))
+    drain()
+    val second = outRows(outDir)
+    assert(second.size == 3 && second(3L) == (("gamma", 1L)))
+    val mass = spark.read.parquet(freqDir)
+      .filter(col("unit") === "PROMO")
+      .agg(sum("doc_freq")).head().getLong(0)
+    assert(mass == 3L, s"one delta per document across both drops, got $mass")
+  }
+
   test("frequency-store compaction merges deltas, preserves mass, keeps screening") {
     val freqDir = tmp("bp-compact-freq"); val outDir = tmp("bp-compact-out")
     run(Seq((1L, "FOOTER\none")).toDF("doc_id", "text"), 0L, freqDir, outDir, compactAt = 2)
