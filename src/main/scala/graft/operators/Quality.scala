@@ -105,11 +105,19 @@ object Quality {
       lo: Double, hi: Double): DataFrame = {
     require(nBins >= 1, s"nBins must be positive, got $nBins")
     val x = col(valueCol).cast("double")
+    // clamp the RATIO in double space before the multiply/floor/cast:
+    // an extreme outlier (1e300 — exactly what a drift gate exists to
+    // see) would otherwise overflow the integer cast, which under ANSI
+    // mode is a query-killing throw, not a wrap. For in-range values
+    // the clamp is an identity and the op sequence (divide, multiply,
+    // floor) is unchanged — the oracle replays it bit-for-bit.
     val raw =
-      if (hi > lo) floor((x - lit(lo)) / (lit(hi) - lit(lo)) * lit(nBins))
-      else lit(0.0)
+      if (hi > lo)
+        floor(least(greatest((x - lit(lo)) / (lit(hi) - lit(lo)), lit(0.0)),
+          lit(1.0)) * lit(nBins))
+      else lit(0L)
     val bin = when(col(valueCol).isNull, lit(-1))
-      .otherwise(least(greatest(raw.cast("int"), lit(0)), lit(nBins - 1)))
+      .otherwise(least(raw, lit(nBins.toLong - 1)).cast("int"))
     df.groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
   }
 

@@ -400,7 +400,7 @@ object CleaningQueries {
         |b AS (SELECT min(value) AS lo, max(value) AS hi FROM ref),
         |rh AS (
         |  SELECT CASE WHEN value IS NULL THEN -1
-        |    ELSE least(greatest(CAST(floor((value - lo) / (hi - lo) * 20) AS INT), 0), 19)
+        |    ELSE CAST(least(floor(least(greatest((value - lo) / (hi - lo), 0.0), 1.0) * 20), 19) AS BIGINT)
         |    END AS bin, count(*) AS n
         |  FROM ref, b GROUP BY 1),
         |rt AS (SELECT sum(n) AS tot FROM rh),
@@ -408,7 +408,7 @@ object CleaningQueries {
         |  CAST((n * 1000) // tot AS BIGINT) AS ref_permille FROM rh, rt),
         |ch AS (
         |  SELECT CASE WHEN value IS NULL THEN -1
-        |    ELSE least(greatest(CAST(floor((value - lo) / (hi - lo) * 20) AS INT), 0), 19)
+        |    ELSE CAST(least(floor(least(greatest((value - lo) / (hi - lo), 0.0), 1.0) * 20), 19) AS BIGINT)
         |    END AS bin, count(*) AS n
         |  FROM cur, b GROUP BY 1),
         |ct AS (SELECT sum(n) AS tot FROM ch),

@@ -120,6 +120,12 @@ class QualitySpec extends SparkSpec {
     val degenerate = binnedHistogram(Seq(7.0, 7.0).toDF("v"), "v", 10, 7.0, 7.0)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(degenerate == Map(0 -> 2L), "hi == lo puts everything in bin 0")
+    // EXTREME outliers clamp into the edge bins instead of overflowing
+    // the integer cast (an ANSI-mode throw — and garbage magnitudes are
+    // exactly what a drift gate exists to catch, not die on)
+    val extreme = binnedHistogram(Seq(1e300, -1e300).toDF("v"), "v", 10, 0.0, 10.0)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(extreme == Map(9 -> 1L, 0 -> 1L), s"extremes must clamp, got $extreme")
   }
 
   test("distributionDrift: identical snapshots are 0; disjoint are 2000 permille") {
