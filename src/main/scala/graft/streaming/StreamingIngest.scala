@@ -742,6 +742,66 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming distribution-drift monitor — [[graft.operators.Quality
+    * .distributionDrift]]'s batch-over-batch form: the REFERENCE
+    * snapshot's bounds and per-bin permille shares are computed ONCE at
+    * stream construction (bounded: one min/max row + nBins histogram
+    * rows), and every micro-batch publishes its own per-bin comparison
+    * plus the L1 permille drift statistic to `outDir` as batch-keyed
+    * rows `(batch_id, bin, ref_permille, cur_permille, diff_permille,
+    * l1_permille)` — the dataset-shift dashboard a training-data intake
+    * writes next to its DQ gates. Idempotent under replay (batch-keyed
+    * [[publishBatch]] names overwrite their own files); an empty batch
+    * publishes the all-bins-zero report (cur_permille 0, L1 = Σ ref
+    * shares — an empty batch IS maximal drift, not a silent skip). */
+  def driftReportStream(stream: DataFrame, ref: DataFrame, valueCol: String,
+      outDir: String, checkpoint: String,
+      nBins: Int = 20): DataStreamWriter[Row] = {
+    import graft.operators.Quality
+    val b = ref.agg(min(col(valueCol).cast("double")),
+      max(col(valueCol).cast("double"))).head()
+    val (lo, hi) =
+      if (b.isNullAt(0)) (0.0, 0.0) else (b.getDouble(0), b.getDouble(1))
+    // bounded: ≤ nBins+1 rows, the reference profile the whole stream
+    // compares against — pinned at construction BY DESIGN (a drifting
+    // reference would hide the drift it exists to measure)
+    val refRows = Quality.binnedHistogram(ref, valueCol, nBins, lo, hi)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val refTotal = refRows.values.sum
+    val refPm: Map[Int, Long] =
+      refRows.map { case (k, n) => k -> (if (refTotal > 0) 1000L * n / refTotal else 0L) }
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        driftBatch(batch.toDF(), batchId, valueCol, outDir, nBins, lo, hi, refPm)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+  }
+
+  private[graft] def driftBatch(batch: DataFrame, batchId: Long,
+      valueCol: String, outDir: String, nBins: Int, lo: Double, hi: Double,
+      refPm: Map[Int, Long]): Unit = {
+    import graft.operators.Quality
+    val spark = batch.sparkSession
+    // bounded driver materialization: ≤ nBins+1 histogram rows
+    val cur = Quality.binnedHistogram(batch, valueCol, nBins, lo, hi)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = cur.values.sum
+    val curPm: Map[Int, Long] =
+      cur.map { case (k, n) => k -> (if (total > 0) 1000L * n / total else 0L) }
+    val bins = (refPm.keySet ++ curPm.keySet).toSeq.sorted
+    val diffs = bins.map(i =>
+      (i, refPm.getOrElse(i, 0L), curPm.getOrElse(i, 0L)))
+    val l1 = diffs.map { case (_, r, c) => math.abs(r - c) }.sum
+    import spark.implicits._
+    publishBatch(
+      diffs.map { case (i, r, c) =>
+        (batchId, i, r, c, math.abs(r - c), l1) }
+        .toDF("batch_id", "bin", "ref_permille", "cur_permille",
+          "diff_permille", "l1_permille"),
+      outDir, batchId, Nil)
+  }
+
   /** Streaming cross-document BOILERPLATE screen — the corpus-GLOBAL
     * cleanup no per-row gate can express, run as a stream: a persisted
     * line-frequency store at `freqDir` accumulates how many DISTINCT
