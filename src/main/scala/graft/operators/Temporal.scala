@@ -633,4 +633,38 @@ object Temporal {
     chained.select((col(keyCol) +: tCols) :+
       completed.cast("long").as("steps_completed"): _*)
   }
+
+  /** Cohort RETENTION matrix — [[funnel]]'s companion analytics op:
+    * every key is assigned to the cohort bucket of its FIRST event
+    * (bucket = `(ts − corpus-min-ts) div bucketUs`, pure integer
+    * micros arithmetic), and the output counts, per (cohort,
+    * week_offset), the DISTINCT keys active `offset` buckets after
+    * their cohort bucket — the `(cohort_week, week_offset, n_users)`
+    * long form every retention heatmap pivots from. Offset 0 rows are
+    * the cohort sizes by construction (the first event is active in
+    * its own bucket).
+    *
+    * The corpus origin is one bounded min() scalar (the q92/drift
+    * bounds discipline: the bucketing must be a pure, oracle-
+    * reproducible function of the data). Shape at scale: one distinct
+    * over (key, bucket) — output-bounded, ≤ keys × buckets — then a
+    * per-key min and one id equi-join of those two skinny relations;
+    * the raw event body is touched exactly once. */
+  def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String,
+      bucketUs: Long = 7L * 86400L * 1000000L): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val ts = micros(events, tsCol)
+    val o = events.agg(min(ts)).head()
+    val origin = if (o.isNullAt(0)) 0L else o.getLong(0)
+    val keyBuckets = events
+      .filter(col(keyCol).isNotNull && ts.isNotNull)
+      .select(col(keyCol),
+        floorDiv(ts - lit(origin), bucketUs).as("__wk"))
+      .distinct()
+    val cohorts = keyBuckets.groupBy(col(keyCol))
+      .agg(min(col("__wk")).as("cohort"))
+    keyBuckets.join(cohorts, Seq(keyCol))
+      .groupBy(col("cohort"), (col("__wk") - col("cohort")).as("week_offset"))
+      .agg(countDistinct(col(keyCol)).as("n_users"))
+  }
 }

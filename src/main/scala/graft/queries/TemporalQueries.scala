@@ -157,7 +157,23 @@ object TemporalQueries {
       .orderBy("user_id")
   }
 
+  /** RETENTION ([[Temporal.retentionCohorts]]) — weekly cohort
+    * retention matrix over the events table: each user cohorted by
+    * first-event week, distinct-active counts per (cohort, offset);
+    * all bucket arithmetic is integer micros the oracle replays
+    * exactly. */
+  val q118Retention: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    // the high-value slice: sparse enough per user that first events
+    // spread across weeks — a REAL multi-cohort matrix (the unfiltered
+    // stream is so dense every user cohorts into week 0)
+    Temporal.retentionCohorts(t.events.filter(col("value") >= 150.0),
+        "user_id", "ts")
+      .orderBy("cohort", "week_offset")
+  }
+
   val all: Map[String, Q] = Map(
+    "q118_retention" -> q118Retention,
     "q82_asof_enrich" -> q82AsofEnrich,
     "q83_session_range" -> q83SessionRange,
     "q84_overlap_pairs" -> q84OverlapPairs,
@@ -199,6 +215,19 @@ object TemporalQueries {
   private val FunnelSpanUs = 20L * 86400L * 1000000L
 
   val oracle: Map[String, String] = Map(
+    "q118_retention" ->
+      """WITH e AS (SELECT * FROM events WHERE value >= 150.0),
+        |o AS (SELECT min(CAST(ts AS TIMESTAMP)) AS t0 FROM e),
+        |uw AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(t0)) // 604800000000 AS wk
+        |  FROM e, o
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id)
+        |SELECT c.cohort, uw.wk - c.cohort AS week_offset,
+        |  CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q114_funnel" ->
       s"""WITH s1 AS (
          |  SELECT user_id, min(ts) AS t_1 FROM events

@@ -327,6 +327,31 @@ class TemporalSpec extends SparkSpec {
     assert(unbounded(4L) == 2L)
   }
 
+  test("retentionCohorts: cohort by first bucket, offset-0 rows are cohort sizes") {
+    val W = 100L // bucket width in micro-ts units
+    val ev = Seq(
+      // users 1,2 start in bucket 0; user 1 returns in buckets 1 and 3
+      (1L, 5L), (1L, 105L), (1L, 340L),
+      (2L, 50L),
+      // user 3 starts in bucket 2, returns in bucket 3
+      (3L, 250L), (3L, 350L),
+      // duplicate activity in one bucket counts once
+      (2L, 60L)
+    ).toDF("u", "ts")
+    val got = Temporal.retentionCohorts(ev, "u", "ts", bucketUs = W)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, // cohort 0 = users 1,2
+      (0L, 1L) -> 1L, (0L, 3L) -> 1L, // user 1's returns
+      (2L, 0L) -> 1L, (2L, 1L) -> 1L // user 3's cohort and return
+    ), s"got $got")
+    // null keys/ts never cohort; empty input yields the empty matrix
+    val withNulls = Seq((Option(9L), Option(5L)), (None, Option(7L)),
+      (Option(10L), None)).toDF("u", "ts")
+    assert(Temporal.retentionCohorts(withNulls, "u", "ts", W).count() == 1)
+    assert(Temporal.retentionCohorts(ev.limit(0), "u", "ts", W).isEmpty)
+  }
+
   test("asOfJoin is the batch twin of the q20 window phrasing on real events") {
     val t = graft.Tables(spark, "/root/testdata/sf0.001")
     val ev = t.events
