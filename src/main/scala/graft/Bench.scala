@@ -184,6 +184,22 @@ object Bench {
     // clipped head costs only early-alphabet entries, which live on in
     // the committed BENCH_FULL_latest.json.
     println(s"""{"metric":"total_compact","bench_schema":3,"unit":"sec","queries":$qs2,"n_err":${errors.size},"value":${r2(total)}}""")
+    // bench_schema 4: ONE FINAL line guaranteed to fit the driver's
+    // ~1923-byte tail window in full, so "parsed" stops being null
+    // (rounds 9–14 all shipped a head-cut compact line once the suite
+    // passed ~78 queries). Keys are the qNN prefix (verified unique
+    // across the suite); full names live on line 1 + the committed
+    // BENCH_FULL_latest.json. 2-decimal walls: 118 queries ≈ 1.6 kB.
+    // If the suite ever grows the line past the window, degrade to the
+    // scalars-only form rather than ship another unparseable head-cut.
+    val qsShort = results.map { case (k, v, _, _) =>
+      s""""${esc(k.takeWhile(_ != '_'))}":${r2(v)}"""
+    }.mkString("{", ",", "}")
+    val shortLine =
+      s"""{"metric":"total","bench_schema":4,"unit":"sec","sf":"${esc(sfDir)}","queries":$qsShort,"cpu_core_s":${r2(totalCpu)},"n_err":${errors.size},"value":${r2(total)}}"""
+    println(
+      if (shortLine.length <= 1850) shortLine
+      else s"""{"metric":"total","bench_schema":4,"unit":"sec","sf":"${esc(sfDir)}","queries_in_file":"BENCH_FULL_latest.json","cpu_core_s":${r2(totalCpu)},"n_err":${errors.size},"value":${r2(total)}}""")
     spark.stop()
   }
 }

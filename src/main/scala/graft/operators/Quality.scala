@@ -145,12 +145,18 @@ object Quality {
     val (lo, hi) =
       if (b.isNullAt(0)) (0.0, 0.0) else (b.getDouble(0), b.getDouble(1))
     def side(df: DataFrame, n: String, p: String) = {
+      // The total rides a window over the HISTOGRAM (≤ nBins+1 rows),
+      // not a separate .head() — the corpus is scanned once per side,
+      // not twice (the .head() form re-evaluated binnedHistogram inside
+      // the joined plan). The single-partition exchange moves only the
+      // bin rows. `div` keeps the share integral — the skewReport
+      // discipline — so the DuckDB oracle replays it exactly.
       val h = binnedHistogram(df, valueCol, nBins, lo, hi)
-      val total = h.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
-      val share = // integral permille, the skewReport discipline
-        if (total > 0) expr(s"(n * 1000) div CAST($total AS BIGINT)")
-        else lit(0L)
-      h.select(col("bin"), col("n").as(n), share.cast("long").as(p))
+        .withColumn("__tot", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      h.select(col("bin"), col("n").as(n),
+        when(col("__tot") > 0, expr("(n * 1000) div __tot"))
+          .otherwise(lit(0L)).cast("long").as(p))
     }
     side(ref, "ref_n", "ref_permille")
       .join(side(cur, "cur_n", "cur_permille"), Seq("bin"), "full_outer")

@@ -654,7 +654,11 @@ object Temporal {
       bucketUs: Long = 7L * 86400L * 1000000L): DataFrame = {
     require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
     val ts = micros(events, tsCol)
-    val o = events.agg(min(ts)).head()
+    // The origin is min(ts) over the SAME keyCol-non-null slice that is
+    // cohorted below: a null-keyed earliest event contributes to no
+    // cohort, so letting it shift every cohort's bucket boundaries was
+    // surprising semantics (r14 ADVICE). One bounded scalar either way.
+    val o = events.filter(col(keyCol).isNotNull).agg(min(ts)).head()
     val origin = if (o.isNullAt(0)) 0L else o.getLong(0)
     val keyBuckets = events
       .filter(col(keyCol).isNotNull && ts.isNotNull)

@@ -217,7 +217,8 @@ object TemporalQueries {
   val oracle: Map[String, String] = Map(
     "q118_retention" ->
       """WITH e AS (SELECT * FROM events WHERE value >= 150.0),
-        |o AS (SELECT min(CAST(ts AS TIMESTAMP)) AS t0 FROM e),
+        |o AS (SELECT min(CAST(ts AS TIMESTAMP)) AS t0 FROM e
+        |      WHERE user_id IS NOT NULL),
         |uw AS (
         |  SELECT DISTINCT user_id,
         |    (epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(t0)) // 604800000000 AS wk

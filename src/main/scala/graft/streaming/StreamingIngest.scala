@@ -884,20 +884,32 @@ object StreamingIngest {
       failpoint(2)
       commitBatch(spark, outDir, batchId)
     }
-    maintainFreqStore(spark, freqDir, compactFreqAtFiles)
+    maintainFreqStore(spark, freqDir, outDir, compactFreqAtFiles)
   }
 
   /** Post-commit frequency-store compaction: merge the per-batch delta
     * rows into one summed row per unit (batch_id −1 — never excluded by
-    * any replay's own-batch filter, and no uncommitted batch's delta
-    * can be inside: compaction runs strictly post-commit). Mass-checked
-    * before the swap; a crash inside heals at the next batch's entry
-    * recovery. */
+    * any replay's own-batch filter). "No uncommitted delta can be
+    * inside" is NOT assumed from call order alone: a failpoint-2 crash
+    * (delta published, no marker) followed by anything other than the
+    * crashed batch's own sequential replay would fold the uncommitted
+    * delta into −1 rows that escape the replay's own-batch exclusion —
+    * double-counting frequencies. So every batch-keyed delta is
+    * VERIFIED against its commit marker (distinct batch_ids are
+    * O(batches-since-last-compaction), a bounded collect) and
+    * compaction is skipped while any is uncommitted; the pending
+    * replay folds it correctly instead. Mass-checked before the swap;
+    * a crash inside heals at the next batch's entry recovery. */
   private def maintainFreqStore(spark: org.apache.spark.sql.SparkSession,
-      freqDir: String, compactAtFiles: Int): Unit = {
+      freqDir: String, outDir: String, compactAtFiles: Int): Unit = {
     import graft.operators.IndexOps
     if (compactAtFiles <= 0) return
     if (IndexOps.dataFileCount(spark, freqDir) < compactAtFiles) return
+    val pendingBatches = spark.read.parquet(freqDir)
+      .filter(col("batch_id") >= 0L).select("batch_id").distinct()
+      .collect().map(_.getLong(0))
+      .filterNot(isCommitted(spark, outDir, _))
+    if (pendingBatches.nonEmpty) return // its replay will fold it
     val tmp = freqDir + ".compact.tmp"
     val (fs, _) = fsPath(spark, tmp)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
