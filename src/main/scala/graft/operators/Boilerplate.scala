@@ -121,7 +121,13 @@ object Boilerplate {
       .withColumn("n_stripped", coalesce(col("n_stripped"), lit(0L)))
       .withColumn(keptCol,
         when(col("__heavy").isNull, unitsCol).otherwise(
-          filter(unitsCol, u =>
+          // u.isNull preserve branch: a null element is structure, like
+          // a blank — without it the lambda evaluates to NULL and the
+          // null unit is silently dropped from keptCol while still
+          // counted in n_units, breaking n_units = kept + stripped.
+          // (split/chunkLines never produce nulls; this guards direct
+          // array-column callers.)
+          filter(unitsCol, u => u.isNull ||
             trim(u) === lit("") || !array_contains(col("__heavy"), trim(u)))))
       .drop("__heavy")
   }
@@ -148,4 +154,128 @@ object Boilerplate {
       .select(col("*"), trim(col("__raw")).as("unit"))
       .filter(col("unit") =!= "")
       .drop("__raw")
+
+  // ------------------------------------ token-level exact-substring dedup
+
+  /** Whitespace tokenization shared by the span family and its oracle:
+    * split on runs of whitespace, empties dropped (leading/trailing
+    * whitespace and the empty document both yield no phantom token). */
+  private def tokensOf(textCol: Column): Column =
+    filter(split(trim(textCol), "\\s+", -1), t => t =!= "")
+
+  /** Token-level EXACT-SUBSTRING dedup — the published strong
+    * complement of [[stripRepeatedUnits]] (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better": remove every
+    * repeated span of ≥ k tokens). Where the unit form only sees
+    * whole trimmed lines/chunks, this removes any ≥ `k`-token span
+    * repeated across ≥ `minDocs` DISTINCT documents even when it
+    * straddles unit boundaries or sits inside otherwise-differing
+    * lines. A real curation pipeline runs both.
+    *
+    * Definition: a token is removed iff some k-token window containing
+    * it occurs in ≥ `minDocs` distinct documents. The removal set is
+    * exactly the union of maximal cross-document-repeated spans of
+    * length ≥ k (a repeated span of length L ≥ k repeats all of its
+    * L−k+1 k-windows; conversely every repeated k-window IS such a
+    * span), which is the suffix-array tool's semantics re-expressed as
+    * a relation — no suffix array, no driver-side state. Unlike the
+    * occurrence-count form, an INTRA-document repeat alone does not
+    * trigger removal (that is [[TrainingData.repetitionFacets]]'s
+    * jurisdiction); the frequency is distinct-document, the
+    * [[unitDocFreq]] discipline.
+    *
+    * 100 TB shape — the corpus text never shuffles; only 8-byte
+    * anchors do:
+    *   1. per-row, inside one projection: tokens → one 60-bit portable
+    *      hash PER TOKEN POSITION ([[graft.functions.Hashing.h60]] of
+    *      the k-token window starting there) — the anchor relation
+    *      `(id, pos, anchor)` is corpus-token-sized but 8-byte-keyed,
+    *      so its doc-frequency shuffle moves ~8 bytes/token, not the
+    *      k× text blow-up a string-keyed k-gram relation would;
+    *   2. heavy anchors (≥ minDocs distinct docs) are tiny by
+    *      construction and broadcast-pinned into the match join (same
+    *      rationale as [[stripRepeatedUnits]]'s `broadcastHeavy`: the
+    *      heavy anchors ARE the hot keys — any shuffle-on-anchor plan
+    *      sends each boilerplate span's full occurrence set to one
+    *      task, and the static planner cannot be trusted with a
+    *      Generate's size estimate);
+    *   3. only MATCHING anchors expand to covered positions (k×
+    *      expansion paid on the boilerplate fraction alone), grouped
+    *      to one bounded per-doc position set that joins back on the
+    *      id; the strip is an order-preserving indexed array `filter`.
+    *
+    * Returns the input plus `n_tokens`, `n_removed` (distinct token
+    * positions covered by a repeated window) and `keptCol` (surviving
+    * tokens joined by single spaces — span semantics are
+    * token-stream semantics; original inter-token whitespace is not
+    * reconstructed, matching the published tools).
+    *
+    * Hash collisions: two different k-windows colliding in the 60-bit
+    * anchor space could over-strip; at 2^-60 per pair this is the
+    * standard fingerprint-dedup tradeoff and is shared by the oracle
+    * (which replays the identical md5-derived hash). */
+  def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      keptCol: String, k: Int, minDocs: Long,
+      broadcastHeavy: Boolean = true): DataFrame = {
+    require(k >= 2, s"k must be ≥ 2 (got $k): k = 1 strips every " +
+      "token whose word appears in minDocs documents")
+    require(minDocs >= 2, s"minDocs must be ≥ 2 (got $minDocs): " +
+      "every span occurs in ≥ 1 document, so 1 would strip the corpus")
+    val rel = anchorRel(df, idCol, textCol, k)
+    val heavy = rel.groupBy("anchor")
+      .agg(countDistinct(col(idCol)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+      .select("anchor")
+    val heavySide =
+      if (broadcastHeavy) broadcast(heavy) else heavy.hint("merge")
+    // k× expansion on the MATCHED anchors only; collect_set bounds the
+    // per-doc state by the document's own token count.
+    val cov = rel.join(heavySide, Seq("anchor"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("__p"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__p")).as("__cov"))
+    val toks = tokensOf(col(textCol))
+    // one post-join projection: all uses of the token derivation share
+    // subexpression elimination (the stripUnitsIn discipline)
+    df.join(cov, Seq(idCol), "left")
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_removed",
+        when(col("__cov").isNull, lit(0L))
+          .otherwise(size(col("__cov")).cast("long")))
+      .withColumn(keptCol,
+        when(col("__cov").isNull, toks).otherwise(
+          filter(toks, (_, i) => !array_contains(col("__cov"), i))))
+      .drop("__cov")
+  }
+
+  /** The repeated-span detector half: the anchor doc-frequency
+    * relation filtered to ≥ `minDocs` — `(anchor, doc_freq)`, the
+    * report read before picking a strip threshold (the [[repeatedUnits]]
+    * twin at token granularity). Anchors are 60-bit window hashes; to
+    * see the text behind one, join back to [[anchorRel]]. */
+  def repeatedSpanAnchors(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be ≥ 2 (got $minDocs)")
+    anchorRel(df, idCol, textCol, k).groupBy("anchor")
+      .agg(countDistinct(col(idCol)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+  }
+
+  /** `(id, pos, anchor)` — one 60-bit hash per k-token window start
+    * position, all window construction inside the row (no shuffle,
+    * no per-token self-join): `anchor(pos) = h60(tokens[pos..pos+k−1]
+    * joined by ' ')`. Documents shorter than k tokens contribute no
+    * anchors. */
+  private[graft] def anchorRel(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val toks = tokensOf(col(textCol))
+    val n = size(toks)
+    val anchors = when(n >= k,
+      transform(sequence(lit(0), n - lit(k)),
+        i => graft.functions.Hashing.h60(
+          array_join(slice(toks, i + lit(1), lit(k)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    df.select(col(idCol), posexplode(anchors).as(Seq("pos", "anchor")))
+  }
 }

@@ -119,6 +119,23 @@ object TrainingQueries {
       .limit(100)
   }
 
+  /** TD8b — token-level EXACT-SUBSTRING dedup
+    * ([[Boilerplate.stripRepeatedSpans]]): every ≥ 12-token span
+    * repeated across ≥ 2 distinct documents removed from every
+    * carrier, even across the 8-word chunk boundaries q109's unit
+    * form respects (the engineered near-dup population shares long
+    * token prefixes, so the repeated-span relation is real: ~45
+    * affected docs at sf0.01). The oracle replays the identical
+    * 60-bit window-hash arithmetic. */
+  val q119SpanStrip: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    Boilerplate.stripRepeatedSpans(t.documents, "doc_id", "text",
+        "__kept", k = 12, minDocs = 2)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        array_join(col("__kept"), " ").as("text_kept"))
+      .orderBy("doc_id")
+  }
+
   /** TD7 — the end-to-end curation pipeline a corpus user actually
     * runs, composed from the engine's layers:
     * quality gate ([[graft.functions.TextAnalysis.qualityKeep]]) →
@@ -541,7 +558,8 @@ object TrainingQueries {
     "q52_chunk_windows" -> q52ChunkWindows,
     "q53_decontaminate" -> q53Decontaminate,
     "q109_boilerplate_strip" -> q109BoilerplateStrip,
-    "q110_boilerplate_report" -> q110BoilerplateReport)
+    "q110_boilerplate_report" -> q110BoilerplateReport,
+    "q119_span_strip" -> q119SpanStrip)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -663,7 +681,48 @@ object TrainingQueries {
       |  FROM documents),
       |ex AS (SELECT doc_id, trim(unnest(lines)) AS unit FROM lined)""".stripMargin
 
+  /** The q119 anchor CTEs — the exact whitespace-tokenize +
+    * k=12-window 60-bit hash derivation
+    * [[Boilerplate.stripRepeatedSpans]] declares (1-based inclusive
+    * DuckDB list slice ≡ Spark's 1-based `slice(arr, start, 12)`;
+    * `range` is end-exclusive ≡ Spark's end-inclusive
+    * `sequence(0, n−12)`). */
+  private val spanCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS ts
+       |  FROM documents),
+       |anch AS (
+       |  SELECT doc_id, unnest(range(0, len(ts) - 11)) AS pos, ts
+       |  FROM toks WHERE len(ts) >= 12),
+       |a3 AS (
+       |  SELECT doc_id, pos,
+       |    ${h60("array_to_string(ts[pos+1 : pos+12], ' ')")} AS anchor
+       |  FROM anch),
+       |heavy AS (
+       |  SELECT anchor FROM a3
+       |  GROUP BY anchor HAVING COUNT(DISTINCT doc_id) >= 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q119_span_strip" ->
+      s"""WITH $spanCtes,
+         |cov AS (SELECT DISTINCT doc_id, cv FROM (
+         |  SELECT doc_id, unnest(range(pos, pos + 12)) AS cv
+         |  FROM a3 JOIN heavy USING (anchor))),
+         |tpos AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS i FROM toks),
+         |keptagg AS (
+         |  SELECT p.doc_id, string_agg(p.ts[p.i+1], ' ' ORDER BY p.i) AS text_kept
+         |  FROM tpos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.cv = p.i
+         |  WHERE c.cv IS NULL GROUP BY p.doc_id),
+         |covagg AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(ca.n_removed, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(ka.text_kept, '') AS text_kept
+         |FROM toks t
+         |LEFT JOIN covagg ca USING (doc_id)
+         |LEFT JOIN keptagg ka USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
     "q109_boilerplate_strip" ->
       s"""WITH $linedCtes,
          |heavy AS (

@@ -76,6 +76,107 @@ class BoilerplateSpec extends SparkSpec {
     assert(out.map(_._3).toSeq == Seq(1L, 1L, 2L))
   }
 
+  // --------------------------- token-level exact-substring dedup (spans)
+
+  test("stripRepeatedSpans removes a repeated span that straddles line boundaries") {
+    // the 4-token span "P Q R S" repeats across both docs but straddles
+    // a newline in doc 1 and sits mid-line in doc 2 — invisible to the
+    // unit form, removed by the span form
+    val df = Seq(
+      (1L, "alpha beta P Q\nR S gamma"),
+      (2L, "x P Q R S y")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.stripRepeatedSpans(df, "doc_id", "text",
+        "kept", k = 4, minDocs = 2)
+      .select(col("doc_id"), array_join(col("kept"), " ").as("t"),
+        col("n_tokens"), col("n_removed"))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "alpha beta gamma", 7L, 4L)))
+    assert(out(1) == ((2L, "x y", 6L, 4L)))
+  }
+
+  test("spans longer than k are removed whole; order of survivors preserved") {
+    // 6-token repeated span with k = 4: all three 4-windows are heavy,
+    // their union covers the whole span and nothing else
+    val df = Seq(
+      (1L, "keepA s1 s2 s3 s4 s5 s6 keepB"),
+      (2L, "other s1 s2 s3 s4 s5 s6 tail")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.stripRepeatedSpans(df, "doc_id", "text",
+        "kept", k = 4, minDocs = 2)
+      .select(col("doc_id"), array_join(col("kept"), " ").as("t"), col("n_removed"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "keepA keepB", 6L)))
+    assert(out(1) == ((2L, "other tail", 6L)))
+  }
+
+  test("intra-document repetition alone never triggers span removal") {
+    val df = Seq(
+      (1L, "a b c d a b c d"), // the 4-gram repeats, but only inside doc 1
+      (2L, "totally different words here")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.stripRepeatedSpans(df, "doc_id", "text",
+        "kept", k = 4, minDocs = 2)
+      .select(col("doc_id"), col("n_removed")).as[(Long, Long)]
+      .collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("docs shorter than k tokens are untouched; empty text yields zero tokens") {
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "  "), (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.stripRepeatedSpans(df, "doc_id", "text",
+        "kept", k = 4, minDocs = 2)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        array_join(col("kept"), " ").as("t"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 3L, 0L, "a b c"))) // 3 < k: no anchors, kept whole
+    assert(out(1) == ((2L, 3L, 0L, "a b c")))
+    assert(out(2) == ((3L, 0L, 0L, "")))
+    assert(out(3) == ((4L, 0L, 0L, "")))
+  }
+
+  test("law: the span form strips at least what the unit form strips on unit-aligned repeats") {
+    // every repeated LINE of ≥ k tokens is a repeated span, so the
+    // span form's removal set (as token text) must cover the unit
+    // form's stripped lines
+    val df = Seq(
+      (1L, "THE COOKIE BANNER LINE HERE\nunique tail one"),
+      (2L, "THE COOKIE BANNER LINE HERE\nunique tail two"),
+      (3L, "something else entirely on its own")
+    ).toDF("doc_id", "text")
+    val unit = Boilerplate.stripBoilerplateLines(df, "doc_id", "text", minDocs = 2)
+      .select(col("doc_id"), col("text_kept")).as[(Long, String)].collect().toMap
+    val span = Boilerplate.stripRepeatedSpans(df, "doc_id", "text",
+        "kept", k = 5, minDocs = 2)
+      .select(col("doc_id"), array_join(col("kept"), " ").as("t"))
+      .as[(Long, String)].collect().toMap
+    // the banner is gone under both; what the span form keeps is a
+    // token-subset of what the unit form keeps
+    for (id <- Seq(1L, 2L, 3L)) {
+      val unitToks = unit(id).split("\\s+").filter(_.nonEmpty).toSet
+      val spanToks = span(id).split("\\s+").filter(_.nonEmpty).toSet
+      assert(spanToks.subsetOf(unitToks), s"doc $id: $spanToks ⊄ $unitToks")
+    }
+    assert(!span(1L).contains("COOKIE") && !span(2L).contains("COOKIE"))
+  }
+
+  test("repeatedSpanAnchors reports the heavy relation; k and minDocs validated") {
+    val df = Seq(
+      (1L, "a b c d e"), (2L, "z a b c d e"), (3L, "a b c d e q")
+    ).toDF("doc_id", "text")
+    val rep = Boilerplate.repeatedSpanAnchors(df, "doc_id", "text",
+      k = 5, minDocs = 3).as[(Long, Long)].collect()
+    assert(rep.length == 1 && rep.head._2 == 3L) // "a b c d e" in all three
+    intercept[IllegalArgumentException] {
+      Boilerplate.stripRepeatedSpans(df, "doc_id", "text", "kept", k = 1, minDocs = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Boilerplate.stripRepeatedSpans(df, "doc_id", "text", "kept", k = 4, minDocs = 1)
+    }
+  }
+
   test("generic units: fixed-width token chunks (the q109 derivation)") {
     val df = Seq(
       (1L, "a b c d e f g h tail one"),
