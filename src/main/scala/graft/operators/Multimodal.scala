@@ -4,10 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multimodal asset columns: opaque `binary` payloads + typed metadata
-  * structs, with the Spark-side plumbing (schema, chunking, batch shape)
-  * fully real and the codec step stubbed (north-star brief: the container
-  * ships no image/audio codecs, so decode is a deterministic fake behind
-  * the same column contract a real decoder would use).
+  * structs. The CONTAINER layer is fully real — magic sniffing, genuine
+  * PNG/GIF/JPEG header decode ([[imageHeader]]: dimensions, channels,
+  * via [[graft.functions.ImageHeader]]'s public-format byte
+  * arithmetic), fingerprints, chunking, batch shape. Only the LEARNED
+  * feature extraction is stubbed (north-star brief: the container
+  * ships no ML codecs, so features are a deterministic fake behind the
+  * same column contract a real model would use).
   *
   * Scale posture: every operator is a pure column expression over the
   * binary payload — no driver collects, no UDFs — so asset tables
@@ -28,8 +31,22 @@ object Multimodal {
     val prefix = hex(bin.substr(1, 8))
     when(substring(prefix, 1, 8) === "89504E47", "image/png")
       .when(substring(prefix, 1, 6) === "FFD8FF", "image/jpeg")
+      .when(substring(prefix, 1, 12) === "474946383761" ||
+        substring(prefix, 1, 12) === "474946383961", "image/gif")
       .when(substring(prefix, 1, 6) === "494433", "audio/mpeg")
       .otherwise("application/octet-stream")
+  }
+
+  /** REAL container-header decode: `struct(format, width, height,
+    * channels)` parsed from the payload's own bytes — PNG IHDR, GIF
+    * logical screen, JPEG SOFn marker walk
+    * ([[graft.functions.ImageHeader]]). Recognized magic with a
+    * malformed interior → format with null dims; unrecognized → all
+    * null. Pure per-row byte arithmetic, nothing shuffles. */
+  def imageHeader(bin: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.ImageHeader(ColumnBridge.expression(bin)))
   }
 
   /** Cross-engine content fingerprint: sha256 over the uppercase hex of
@@ -38,12 +55,19 @@ object Multimodal {
   def fingerprint(bin: Column): Column = sha2(hex(bin), 256)
 
   /** Attach the typed metadata struct the north-star schema calls for:
-    * `meta.mime`, `meta.n_bytes`, `meta.sha256`. */
-  def withMetadata(df: DataFrame, binCol: String, metaCol: String = "meta"): DataFrame =
+    * `meta.mime`, `meta.n_bytes`, `meta.sha256`, plus the REAL decoded
+    * container header (`meta.width`, `meta.height`, `meta.channels` —
+    * null for non-image / malformed payloads). */
+  def withMetadata(df: DataFrame, binCol: String, metaCol: String = "meta"): DataFrame = {
+    val hdr = imageHeader(col(binCol))
     df.withColumn(metaCol, struct(
       sniffMime(col(binCol)).as("mime"),
       length(col(binCol)).cast("long").as("n_bytes"),
-      fingerprint(col(binCol)).as("sha256")))
+      fingerprint(col(binCol)).as("sha256"),
+      hdr.getField("width").as("width"),
+      hdr.getField("height").as("height"),
+      hdr.getField("channels").as("channels")))
+  }
 
   /** Split each payload into fixed-size byte chunks, one output row per
     * chunk (`chunk_id`, `chunk` binary) — the batch shape a decoder or an

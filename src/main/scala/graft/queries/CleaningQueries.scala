@@ -181,6 +181,60 @@ object CleaningQueries {
       .orderBy("doc_id")
   }
 
+  /** MM2 — REAL image-container header decode
+    * ([[Multimodal.imageHeader]]): the corpus is rendered into
+    * structurally VALID PNG / JPEG / GIF payloads (every byte written
+    * by hex arithmetic — PNG IHDR big-endian dims + color type, GIF
+    * little-endian logical screen, JPEG with an APP0 segment, a
+    * VARIABLE-length COM segment derived from the document text, then
+    * SOF0 — so the parser's marker walk crosses a text-dependent
+    * offset), one doc in ten truncated to 9 bytes (recognized magic,
+    * unparseable interior → format with null dims). The oracle states
+    * the expected header fields from the construction formulas
+    * directly: any mis-walk / endianness / offset error in the parser
+    * reads back garbage and mismatches. */
+  val q120ImageHeader: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    def be(v: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column =
+      lpad(hex(v), nBytes * 2, "0")
+    val w = col("doc_id") % 800 + 1
+    val h = (col("doc_id") * 7) % 600 + 1
+    val colorTypeHex = element_at(
+      array(lit("00"), lit("02"), lit("03"), lit("04"), lit("06")),
+      (col("doc_id") % 5 + 1).cast("int"))
+    val pngHex = concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      be(w, 4), be(h, 4), lit("08"), colorTypeHex, lit("000000"))
+    val comText = expr("substring(text, 1, CAST(doc_id % 30 + 1 AS INT))")
+    val comBytes = encode(comText, "UTF-8")
+    val nComp = (col("doc_id") % 2 * 2 + 1).cast("int") // 1 or 3
+    val compHex = when(nComp === 1, "011100")
+      .otherwise("011100" + "021101" + "031101")
+    val sofLenHex = when(nComp === 1, "000B").otherwise("0011")
+    val jpegHex = concat(
+      lit("FFD8" + "FFE0" + "0010" + "4A46494600010100000100010000"),
+      lit("FFFE"), be(length(comBytes) + 2, 2), hex(comBytes),
+      lit("FFC0"), sofLenHex, lit("08"), be(h, 2), be(w, 2),
+      be(nComp, 1), compHex)
+    val gifHex = concat(lit("474946383961"),
+      be(w % 256, 1), be(floor(w / 256).cast("int"), 1),
+      be(h % 256, 1), be(floor(h / 256).cast("int"), 1), lit("F70000"))
+    val fullBytes = unhex(
+      when(col("doc_id") % 3 === 0, pngHex)
+        .when(col("doc_id") % 3 === 1, jpegHex)
+        .otherwise(gifHex))
+    val assets = t.documents.select(col("doc_id"),
+      when(col("doc_id") % 10 === 7, fullBytes.substr(1, 9))
+        .otherwise(fullBytes).as("bytes"))
+    val hdr = Multimodal.imageHeader(col("bytes"))
+    assets.select(col("doc_id"),
+      hdr.getField("format").as("format"),
+      hdr.getField("width").as("width"),
+      hdr.getField("height").as("height"),
+      hdr.getField("channels").as("channels"),
+      Multimodal.sniffMime(col("bytes")).as("mime"))
+      .orderBy("doc_id")
+  }
+
   /** DQ profile — per-column row/null/distinct counts and min/max from
     * one scan ([[graft.operators.Quality.profile]]), over the orders
     * table's key and status columns. */
@@ -287,6 +341,7 @@ object CleaningQueries {
     "q35_intersect" -> q35Intersect,
     "q36_except" -> q36Except,
     "q37_multimodal" -> q37Multimodal,
+    "q120_image_header" -> q120ImageHeader,
     "q64_geocode" -> q64Geocode)
 
   // ------------------------------------------------------------- oracle SQL
@@ -502,6 +557,23 @@ object CleaningQueries {
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY custkey""".stripMargin,
+    "q120_image_header" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        |  CASE WHEN doc_id % 10 = 7 THEN NULL
+        |       ELSE CAST(doc_id % 800 + 1 AS INT) END AS width,
+        |  CASE WHEN doc_id % 10 = 7 THEN NULL
+        |       ELSE CAST((doc_id * 7) % 600 + 1 AS INT) END AS height,
+        |  CASE WHEN doc_id % 10 = 7 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN
+        |         CAST([1, 3, 1, 2, 4][CAST(doc_id % 5 AS INT) + 1] AS INT)
+        |       WHEN doc_id % 3 = 1 THEN CAST(doc_id % 2 * 2 + 1 AS INT)
+        |       ELSE 3 END AS channels,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+        |       ELSE 'image/gif' END AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q37_multimodal" ->
       """WITH a AS (
         |  SELECT doc_id,

@@ -104,6 +104,100 @@ class MultimodalSpec extends SparkSpec {
     assert(maxBatch.value == 0, "a batch exceeded batchSize")
   }
 
+  // --------------------------------------- real container-header decode
+
+  /** Byte-literal fixtures assembled from the PUBLIC format specs (not
+    * from any image library): the exact layouts a real encoder writes. */
+  private def hx(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // 3×2 RGBA PNG: signature + IHDR(len 13, w=3, h=2, depth 8, color 6)
+  private val png3x2 = hx(
+    "89504E470D0A1A0A 0000000D 49484452 00000003 00000002 08 06 00 00 00")
+  // 640×480 baseline JPEG: SOI, APP0(JFIF), COM("hi"), DQT(stub), SOF0
+  //   (precision 8, h=480=0x01E0, w=640=0x0280, 3 components)
+  private val jpeg640 = hx(
+    "FFD8 FFE0 0010 4A46494600010100000100010000" +
+      "FFFE 0004 6869" + // COM, len 4, "hi"
+      "FFDB 0005 000102" + // DQT-ish variable segment the walk must skip
+      "FFC0 0011 08 01E0 0280 03 011100 021101 031101")
+  // progressive JPEG (SOF2) with a fill byte before the frame marker
+  private val jpeg2prog = hx("FFD8 FFFF FFC2 000B 08 0010 0020 01 011100")
+  // 12×34 GIF89a: w=12=0x000C little-endian, h=34=0x0022 little-endian
+  private val gif12x34 = hx("474946383961 0C00 2200 F70000")
+
+  private def decode(payloads: (Long, Array[Byte])*) = {
+    val df = payloads.toSeq.toDF("id", "bytes")
+    val h = Multimodal.imageHeader(col("bytes"))
+    df.select(col("id"), h.getField("format"), h.getField("width"),
+        h.getField("height"), h.getField("channels"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4)))
+      .toMap
+  }
+
+  test("imageHeader parses real PNG / JPEG / GIF layouts byte-exactly") {
+    val out = decode(1L -> png3x2, 2L -> jpeg640, 3L -> jpeg2prog, 4L -> gif12x34)
+    assert(out(1L) == (("png", 3, 2, 4)))
+    assert(out(2L) == (("jpeg", 640, 480, 3)))
+    assert(out(3L) == (("jpeg", 32, 16, 1))) // SOF2 found past the fill byte
+    assert(out(4L) == (("gif", 12, 34, 3)))
+  }
+
+  test("imageHeader: PNG color types map to channel counts") {
+    val variants = Seq(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4).zipWithIndex.map {
+      case ((ct, _), i) =>
+        val b = png3x2.clone(); b(25) = ct.toByte; (i.toLong, b)
+    }
+    val out = decode(variants: _*)
+    Seq(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4).zipWithIndex.foreach {
+      case ((_, ch), i) => assert(out(i.toLong)._4 == ch)
+    }
+    // an undefined color type keeps the format, nulls the dims
+    val bad = png3x2.clone(); bad(25) = 5.toByte
+    assert(decode(9L -> bad)(9L) == (("png", -1, -1, -1)))
+  }
+
+  test("imageHeader: truncated and corrupt payloads degrade to format-only or null") {
+    val out = decode(
+      1L -> png3x2.take(9), // magic intact, IHDR gone
+      2L -> jpeg640.take(9), // walk runs off the end before SOF
+      3L -> gif12x34.take(8), // magic intact, screen descriptor cut
+      4L -> hx("FFD8 FFD9"), // EOI immediately: no frame
+      5L -> hx("FFD8 FFDA 0002"), // SOS before any SOF
+      6L -> hx("FFD8 00C0 0011"), // broken stream: marker without FF
+      7L -> hx("FFD8 FFE0 0001"), // malformed segment length < 2
+      8L -> "not an image at all".getBytes("UTF-8"),
+      9L -> Array.empty[Byte])
+    assert(out(1L) == (("png", -1, -1, -1)))
+    assert(out(2L) == (("jpeg", -1, -1, -1)))
+    assert(out(3L) == (("gif", -1, -1, -1)))
+    assert(out(4L) == (("jpeg", -1, -1, -1)))
+    assert(out(5L) == (("jpeg", -1, -1, -1)))
+    assert(out(6L) == (("jpeg", -1, -1, -1)))
+    assert(out(7L) == (("jpeg", -1, -1, -1)))
+    assert(out(8L) == ((null, -1, -1, -1)))
+    assert(out(9L) == ((null, -1, -1, -1)))
+  }
+
+  test("withMetadata surfaces the decoded dims; null payloads stay null") {
+    val df = Seq((1L, png3x2), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "bytes")
+    val m = Multimodal.withMetadata(df, "bytes")
+      .select("id", "meta.mime", "meta.width", "meta.height", "meta.channels")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getString(1) == "image/png" && m(1L).getInt(2) == 3 &&
+      m(1L).getInt(3) == 2 && m(1L).getInt(4) == 4)
+    // null payload: the sniff CASE falls through to octet-stream (its
+    // documented default), the decoded dims are null
+    assert(m(2L).getString(1) == "application/octet-stream")
+    assert(m(2L).isNullAt(2) && m(2L).isNullAt(3) && m(2L).isNullAt(4))
+  }
+
   test("decodeFeaturesStub yields deterministic fixed-width float vectors") {
     val f = assets.select(col("asset_id"),
       Multimodal.decodeFeaturesStub(col("bytes"), dims = 8).as("feat"))
