@@ -674,14 +674,27 @@ object Dedup {
     * anti join against the loser ids. */
   def nearDupSurvivorsBy(df: DataFrame, idCol: String, textCol: String,
       scoreCol: Column, n: Int = 3, k: Int = 16, bands: Int = 4,
-      minAgree: Int = 8): DataFrame = {
-    val pairs = minhashLshPairs(df, idCol, textCol, n, k, bands, minAgree)
-      .select(col(s"a_$idCol").as("src"), col(s"b_$idCol").as("dst"))
-      .localCheckpoint(true)
-    val participants = pairs.select(col("src").as(idCol))
-      .unionByName(pairs.select(col("dst").as(idCol)))
+      minAgree: Int = 8): DataFrame =
+    collapseToSurvivorsBy(df,
+      minhashLshPairs(df, idCol, textCol, n, k, bands, minAgree)
+        .select(col(s"a_$idCol").as("src"), col(s"b_$idCol").as("dst")),
+      idCol, scoreCol)
+
+  /** The keep-best twin of [[collapseToSurvivors]]: collapse the
+    * (src, dst) near-dup `pairs` keeping, per cluster, the member
+    * maximizing `scoreCol` (ties → smaller id). Shared by
+    * [[nearDupSurvivorsBy]] (lexical pairs) and
+    * [[Similarity.semanticSurvivors]] (embedding-cell pairs) so the
+    * policy cannot drift between the two domains. Same cost shape:
+    * clustering over edge participants only, score joined for
+    * participant rows only, one corpus anti join at the end. */
+  private[graft] def collapseToSurvivorsBy(df: DataFrame, pairs: DataFrame,
+      idCol: String, scoreCol: Column): DataFrame = {
+    val pc = pairs.localCheckpoint(true)
+    val participants = pc.select(col("src").as(idCol))
+      .unionByName(pc.select(col("dst").as(idCol)))
       .distinct()
-    val labels = connectedComponents(pairs, participants, idCol)
+    val labels = connectedComponents(pc, participants, idCol)
     val scored = labels.join(df.select(col(idCol), scoreCol.as("__score")),
       Seq(idCol))
     val byPolicy = Window.partitionBy("cluster_id")

@@ -631,15 +631,8 @@ object Similarity {
       nCells: Int, dims: Int): DataFrame = {
     require(nCells > 0, s"nCells must be positive, got $nCells")
     val n = withNorm(vecs, idCol, vecCol)
-    // cast to long BEFORE collect: getLong on a physically-int id column
-    // throws ClassCastException; every other operator casts defensively
-    val centIds = n.select(col(idCol).cast("long").as("__cid"))
-      .orderBy(centroidHashOrder(col("__cid")), col("__cid"))
-      .limit(nCells)
-      .collect().map(_.getLong(0)).toSeq
-    val cents = broadcast(n.filter(col(idCol).isin(centIds: _*))
-      .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"),
-        col("nrm").as("c_nrm")))
+    val centIds = pickCentroids(n, idCol, nCells)
+    val cents = centroidsOf(n, idCol, vecCol, centIds)
     val assigned = ivfAssign(n, cents, idCol, vecCol)
       .withColumn("is_cent", col(idCol).isin(centIds: _*))
     // cluster by cell BEFORE returning: without this, the prescribed
@@ -658,6 +651,25 @@ object Similarity {
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col(idCol))
   }
+
+  /** Deterministic centroid sample: the `nCells` smallest ids under
+    * [[centroidHashOrder]] — one bounded driver materialization (the
+    * same bound as the centroid broadcast). Cast to long BEFORE
+    * collect: getLong on a physically-int id column throws
+    * ClassCastException. */
+  private def pickCentroids(n: DataFrame, idCol: String,
+      nCells: Int): Seq[Long] =
+    n.select(col(idCol).cast("long").as("__cid"))
+      .orderBy(centroidHashOrder(col("__cid")), col("__cid"))
+      .limit(nCells)
+      .collect().map(_.getLong(0)).toSeq
+
+  /** The broadcast centroid relation for a picked id set. */
+  private def centroidsOf(n: DataFrame, idCol: String, vecCol: String,
+      centIds: Seq[Long]): DataFrame =
+    broadcast(n.filter(col(idCol).isin(centIds: _*))
+      .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"),
+        col("nrm").as("c_nrm")))
 
   /** Nearest-centroid assignment (cell_cos desc, cell_id tiebreak) —
     * shared by [[ivfIndex]] and [[ivfIndexExtend]]. */
@@ -697,6 +709,64 @@ object Similarity {
         idCol, vecCol)
       .withColumn("is_cent", lit(false))
     IndexStamp.stamp(assigned, ivfStampParams(nCells, dims))
+  }
+
+  // --------------------------------------------------- semantic dedup
+
+  /** Within-cell semantic near-dup pairs — the candidate relation of
+    * SemDeDup-style embedding-cluster dedup (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): vectors are assigned to their nearest of
+    * `nCells` deterministic centroids (the [[ivfIndex]] machinery),
+    * and pairs are scored ONLY within a cell — the clustering bounds
+    * the quadratic exactly as the paper's k-means does. Output
+    * `(cell, a_id, b_id, cos_micro)`, a < b, cosine ≥ minMicro/1e6.
+    *
+    * Scale contract: within-cell pairing is Σ cell², so `nCells` MUST
+    * grow with the corpus to keep expected cell occupancy bounded
+    * (the [[nearDupPairsLsh]] planes argument in cell form); cross-
+    * cell near-dups are missed by construction — the paper's accepted
+    * recall trade. The assignment is checkpointed before the
+    * self-join for the same measured reason as [[nearDupPairsLsh]]:
+    * without the boundary, the join's per-match path re-evaluates the
+    * crossJoin + window assignment per candidate pair. */
+  def semanticPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, minMicro: Long): DataFrame = {
+    require(nCells > 0, s"nCells must be positive, got $nCells")
+    val n = withNorm(vecs, idCol, vecCol)
+    val cents = centroidsOf(n, idCol, vecCol, pickCentroids(n, idCol, nCells))
+    val assigned = ivfAssign(n, cents, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("nrm"), col("cell"))
+      .localCheckpoint(true)
+    assigned.toDF("a_id", "a_vec", "a_nrm", "cell")
+      .join(assigned.toDF("b_id", "b_vec", "b_nrm", "cell"), Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_micro",
+        cosMicroPre(dot(col("a_vec"), col("b_vec")), col("a_nrm"), col("b_nrm")))
+      .filter(col("cos_micro") >= minMicro)
+      .select("cell", "a_id", "b_id", "cos_micro")
+  }
+
+  /** Semantic (embedding-cluster) dedup SURVIVORS — the SemDeDup pass
+    * a training pipeline runs AFTER lexical dedup: `vecs` minus the
+    * non-surviving members of each within-cell cosine near-dup
+    * cluster ([[semanticPairs]] → connected components → collapse).
+    * Default policy keeps the min-id member
+    * ([[Dedup.collapseToSurvivors]]); `scoreBy` keeps the
+    * per-cluster argmax (ties → smaller id) instead — the
+    * [[Dedup.nearDupSurvivorsBy]] keep-best policy, shared code so
+    * the two domains cannot drift. Zero-norm vectors never pair, so
+    * they always survive (consistent with [[nearDupPairsLsh]]'s
+    * exclusion of them from candidate generation). */
+  def semanticSurvivors(vecs: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, minMicro: Long,
+      scoreBy: Option[Column] = None): DataFrame = {
+    val pairs = semanticPairs(vecs, idCol, vecCol, nCells, minMicro)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    scoreBy match {
+      case Some(s) => Dedup.collapseToSurvivorsBy(vecs, pairs, idCol, s)
+      case None => Dedup.collapseToSurvivors(vecs, pairs, idCol)
+    }
   }
 
   private def ivfStampParams(nCells: Int, dims: Int): Seq[(String, Int)] =

@@ -174,6 +174,22 @@ object ScaleQueries {
       .orderBy("doc_id")
   }
 
+  /** SEMANTIC dedup survivors ([[Similarity.semanticSurvivors]]) —
+    * the SemDeDup-style embedding-cluster pass: vectors assigned to
+    * 8 deterministic IVF cells, within-cell cosine near-dup clusters
+    * (≥ 0.35) collapsed under the keep-best policy (label desc, id
+    * tiebreak — [[Dedup.collapseToSurvivorsBy]], the q111 policy in
+    * the embedding domain). The oracle replays cell assignment, the
+    * within-cell pair relation, recursive connected components and
+    * the per-cluster argmax in DuckDB. */
+  val q121SemanticSurvivors: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    Similarity.semanticSurvivors(t.embeddings, "vec_id", "embedding",
+        nCells = 8, minMicro = 350000L, scoreBy = Some(col("label")))
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+  }
+
   /** SS4 — IVF ANN top-3: 8 id-sampled centroid cells, queries probe
     * their 2 closest cells, exact rerank within (the inverted-file scale
     * path, complementary to q31's hyperplane LSH). */
@@ -726,6 +742,7 @@ object ScaleQueries {
     "q25_exact_dedup" -> q25ExactDedup,
     "q40_dedup_clusters" -> q40DedupClusters,
     "q111_survivor_policy" -> q111SurvivorPolicy,
+    "q121_semantic_survivors" -> q121SemanticSurvivors,
     "q47_ivf_topk" -> q47IvfTopK,
     "q26_jaccard_pairs" -> q26JaccardPairs,
     "q27_minhash_lsh" -> q27MinhashLsh,
@@ -1407,6 +1424,45 @@ object ScaleQueries {
          |WHERE hamming <= 10
          |ORDER BY a_doc_id, b_doc_id""".stripMargin
     },
+    "q121_semantic_survivors" ->
+      s"""WITH RECURSIVE $normedCte,
+         |cents AS (SELECT vec_id AS cell_id, embedding AS c_vec, nrm AS c_nrm
+         |          FROM e
+         |          ORDER BY ${Similarity.centroidHashOrderSql("vec_id")}, vec_id
+         |          LIMIT 8),
+         |cscored AS (
+         |  SELECT e.vec_id, e.embedding, e.nrm, c.cell_id,
+         |    CAST(floor(1e6 * ${dotSql("e.embedding", "c.c_vec")}
+         |      / (e.nrm * c.c_nrm)) AS BIGINT) AS cell_cos
+         |  FROM e CROSS JOIN cents c),
+         |assignment AS (
+         |  SELECT vec_id, embedding, nrm, cell_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id) AS cell_rank
+         |    FROM cscored)
+         |  WHERE cell_rank = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM assignment a JOIN assignment b
+         |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |  WHERE CAST(floor(1e6 * ${dotSql("a.embedding", "b.embedding")}
+         |    / (a.nrm * b.nrm)) AS BIGINT) >= 350000),
+         |sym AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+         |cc AS (SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |ranked AS (
+         |  SELECT c.vec_id,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY v.label DESC, c.vec_id) AS rk
+         |  FROM cc c JOIN embeddings v USING (vec_id))
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM ranked WHERE rk > 1)
+         |ORDER BY vec_id""".stripMargin,
     "q111_survivor_policy" ->
       s"""WITH RECURSIVE $shingledCte,
          |$sigCte,

@@ -46,4 +46,56 @@ class SurvivorPolicySpec extends SparkSpec {
     val kept = Dedup.nearDupSurvivorsBy(solo, "doc_id", "text", col("score"))
     assertSameRows(kept, solo)
   }
+
+  // ----------------------------------- semantic (embedding-cluster) dedup
+
+  // Engineered vector corpus: {1,2,3} EXACT scalar multiples (cos = 1),
+  // {10,11} another collinear pair on an orthogonal axis, 20/21
+  // isolated directions. Cosine is scale-invariant, so every member of
+  // a collinear family scores every candidate centroid identically —
+  // no centroid pick can split a family across cells.
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.5f, 0f, 0f), 30),
+    (2L, Array(2.0f, 1.0f, 0f, 0f), 99), // best-by-score in {1,2,3}
+    (3L, Array(4.0f, 2.0f, 0f, 0f), 50),
+    (10L, Array(0f, 0f, 1.0f, 3.0f), 7),
+    (11L, Array(0f, 0f, 2.0f, 6.0f), 7), // tie → min id
+    (20L, Array(0f, -1.0f, 1.0f, 0f), 1),
+    (21L, Array(-1.0f, 0f, 0f, 1.0f), 2)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("semanticSurvivors: within-cell cosine clusters collapse; keep-best honors the score") {
+    val minId = Similarity.semanticSurvivors(vecs, "vec_id", "embedding",
+        nCells = 3, minMicro = 990000L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 10L, 20L, 21L), s"min-id policy: got $minId")
+    val best = Similarity.semanticSurvivors(vecs, "vec_id", "embedding",
+        nCells = 3, minMicro = 990000L, scoreBy = Some(col("label")))
+      .select("vec_id").as[Long].collect().toSet
+    assert(best == Set(2L, 10L, 20L, 21L), s"keep-best policy: got $best")
+  }
+
+  test("law: where lexical and semantic clusters coincide, the two dedups agree") {
+    // one embedding per doc, collinear exactly for the lexical near-dup
+    // clusters {1,2,3} and {10,11} — the SemDeDup pass and the MinHash
+    // pass must collapse to the SAME survivor set under the same policy
+    val docs = corpus
+    val emb = vecs.withColumnRenamed("vec_id", "doc_id")
+    val lex = Dedup.nearDupSurvivorsBy(docs, "doc_id", "text", col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    val sem = Similarity.semanticSurvivors(emb, "doc_id", "embedding",
+        nCells = 3, minMicro = 990000L, scoreBy = Some(col("label")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(lex == sem, s"lexical $lex != semantic $sem")
+  }
+
+  test("semanticSurvivors: zero-norm vectors never pair and always survive") {
+    val withZero = vecs.unionByName(Seq(
+      (30L, Array(0f, 0f, 0f, 0f), 5)).toDF("vec_id", "embedding", "label"))
+    val kept = Similarity.semanticSurvivors(withZero, "vec_id", "embedding",
+        nCells = 3, minMicro = 990000L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(30L))
+    assert(kept == Set(1L, 10L, 20L, 21L, 30L), s"got $kept")
+  }
 }
