@@ -647,9 +647,14 @@ object Temporal {
     * The corpus origin is one bounded min() scalar (the q92/drift
     * bounds discipline: the bucketing must be a pure, oracle-
     * reproducible function of the data). Shape at scale: one distinct
-    * over (key, bucket) — output-bounded, ≤ keys × buckets — then a
-    * per-key min and one id equi-join of those two skinny relations;
-    * the raw event body is touched exactly once. */
+    * over (key, bucket) — output-bounded, ≤ keys × buckets — then the
+    * per-key cohort rides a window over THAT distinct relation, so the
+    * raw event body is scanned exactly once in the plan and there is
+    * no join node at all. (The former groupBy-min + equi-join shape
+    * re-scanned the raw events for the cohort branch: min() is
+    * dedup-insensitive, so Catalyst elided the distinct there and the
+    * two subtrees stopped sharing an exchange — measured in
+    * PlanShapeSpec, which pins the single-scan shape.) */
   def retentionCohorts(events: DataFrame, keyCol: String, tsCol: String,
       bucketUs: Long = 7L * 86400L * 1000000L): DataFrame = {
     require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
@@ -665,10 +670,14 @@ object Temporal {
       .select(col(keyCol),
         floorDiv(ts - lit(origin), bucketUs).as("__wk"))
       .distinct()
-    val cohorts = keyBuckets.groupBy(col(keyCol))
-      .agg(min(col("__wk")).as("cohort"))
-    keyBuckets.join(cohorts, Seq(keyCol))
+    // count(1), not countDistinct: (key, __wk) is distinct above and
+    // cohort/week_offset are functions of it, so each key contributes
+    // exactly one row per (cohort, offset) group — the distinct re-agg
+    // would re-shuffle the relation to prove what the shape guarantees
+    keyBuckets
+      .withColumn("cohort",
+        min(col("__wk")).over(Window.partitionBy(col(keyCol))))
       .groupBy(col("cohort"), (col("__wk") - col("cohort")).as("week_offset"))
-      .agg(countDistinct(col(keyCol)).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
   }
 }

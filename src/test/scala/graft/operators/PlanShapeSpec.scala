@@ -605,4 +605,54 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(value,10.0)"),
       s"the value predicate must push into the ORC reader:\n$plan")
   }
+
+  test("retentionCohorts: raw events scanned once, no join node, cohort via window over the distinct") {
+    val events = spark.range(2000).select(
+      (col("id") % 37).as("user_id"),
+      timestamp_micros(col("id") * 3600000000L).as("ts")).toDF()
+    val r = Temporal.retentionCohorts(events, "user_id", "ts")
+    r.collect() // finalize the adaptive plan
+    val plan = r.queryExecution.executedPlan.toString.split("Initial Plan").head
+    // the raw event body feeds the plan exactly once (the former
+    // groupBy-min + join shape re-scanned it: min() is dedup-insensitive,
+    // so Catalyst elided the distinct on the cohort branch and the
+    // subtrees stopped sharing an exchange)
+    assert("Range \\(0, 2000".r.findAllIn(plan).size == 1,
+      s"raw events must be scanned exactly once in-plan:\n$plan")
+    assert(!plan.contains("Join"),
+      s"retention must carry no join node (window over the distinct):\n$plan")
+    assert(plan.contains("Window"), "cohort must ride a window")
+    // the distinct is the output-bounded (key, bucket) aggregation
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("user_id") && l.contains("__wk")),
+      s"the output-bounded (key, bucket) distinct must anchor the plan:\n$plan")
+  }
+
+  test("stripUnitsIn: heavy side broadcast into the match join, corpus body never shuffles on unit") {
+    val corpus = spark.range(500).select(
+      col("id").as("doc_id"),
+      concat(lit("COMMON HEADER\nbody "), col("id").cast("string")).as("text"))
+    val r = Boilerplate.stripBoilerplateLines(corpus.toDF(), "doc_id", "text", minDocs = 2)
+    r.collect()
+    val plan = r.queryExecution.executedPlan.toString.split("Initial Plan").head
+    // the unit-keyed match join must BUILD the heavy side as a broadcast
+    // (the pinned rationale on stripRepeatedUnits: heavy units ARE the
+    // hot keys, and the static planner's Generate misestimate once
+    // broadcast the exploded corpus) — never a sort-merge on unit
+    assert(!plan.contains("SortMergeJoin"),
+      s"the match join must not sort-merge on the hot unit key:\n$plan")
+    val unitJoins = plan.linesIterator.filter(l =>
+      l.contains("BroadcastHashJoin") && l.contains("unit")).toSeq
+    assert(unitJoins.nonEmpty && unitJoins.forall(_.contains("BuildRight")),
+      s"the heavy relation must be the broadcast build side:\n$plan")
+    // unit-keyed exchanges exist ONLY inside the frequency aggregation
+    // (map-side-deduped (unit, doc) pairs) — the exploded corpus flows
+    // into the broadcast join probe side without an exchange of its own,
+    // so exactly the two countDistinct stages shuffle on unit
+    val unitExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(unit"))
+    assert(unitExchanges <= 2,
+      s"only the doc-frequency aggregation may shuffle on unit (got $unitExchanges):\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
