@@ -703,14 +703,90 @@ object StreamingIngest {
       checkpoint: String, idCol: String, textCol: String,
       gate: DataFrame => DataFrame, minAgree: Int = 8,
       compactAtFiles: Int = 0,
-      applyDeletesFrom: String = ""): DataStreamWriter[Row] =
+      applyDeletesFrom: String = "",
+      gates: BatchGates = BatchGates()): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         curateTextBatch(batch.toDF(), batchId, indexDir, outDir, idCol,
-          textCol, gate, minAgree, compactAtFiles, applyDeletesFrom)
+          textCol, gate, minAgree, compactAtFiles, applyDeletesFrom,
+          gates = gates)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
+
+  // ------------------------------------------------ per-batch ingest gates
+
+  /** Key-balance ingest gate config: refuse/flag a batch whose top key
+    * tuple owns more than `maxSharePermille` of its rows
+    * ([[graft.operators.Quality.skewReport]] — the AQE-blind-spot
+    * detector applied at the door). */
+  final case class KeyBalanceGate(keys: Seq[String],
+      maxSharePermille: Long, topN: Int = 20)
+
+  /** Distribution-drift ingest gate config: refuse/flag a batch whose
+    * `valueCol` distribution moved more than `maxL1Permille` from the
+    * fixed REFERENCE snapshot
+    * ([[graft.operators.Quality.distributionDrift]]'s L1 statistic). */
+  final case class DriftGate(ref: DataFrame, valueCol: String,
+      maxL1Permille: Long, nBins: Int = 20)
+
+  /** Per-batch dataset-shift gates for the curate loops — the r14
+    * standalone gates wired into the ingest path, so a skewed or
+    * drifted batch is surfaced (and optionally refused) AT INGEST
+    * rather than discovered downstream. Every configured gate writes
+    * its evidence as batch-keyed rows `(batch_id, gate, key, permille,
+    * max_permille, violated)` to `<outDir>__gates` BEFORE any curate
+    * work — published via the same idempotent [[publishBatch]] naming,
+    * so a replay overwrites its own report and the exactly-once
+    * protocol is untouched. With `refuse = true` a violating batch
+    * throws AFTER publishing (the [[graft.operators.Quality.enforce]]
+    * fail-fast discipline; the evidence is on disk first). A refused
+    * batch is a POISON batch under Structured Streaming's sequential
+    * replay — the stream stops until the operator clears or reroutes
+    * the source — which is the point of a hard gate: bad data does
+    * not enter the corpus while nobody is looking. */
+  final case class BatchGates(keyBalance: Option[KeyBalanceGate] = None,
+      drift: Option[DriftGate] = None, refuse: Boolean = false) {
+    def isEmpty: Boolean = keyBalance.isEmpty && drift.isEmpty
+  }
+
+  /** Evaluate the configured gates on the RAW batch and publish the
+    * per-batch gate rows. Bounded driver materialization: topN + 1
+    * rows. Runs before any state mutation, so replay safety is
+    * unchanged by construction. */
+  private def runBatchGates(batch: DataFrame, batchId: Long,
+      gates: BatchGates, gateDir: String): Unit = {
+    if (gates.isEmpty) return
+    import graft.operators.Quality
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val kbRows = gates.keyBalance.toSeq.flatMap { g =>
+      Quality.skewReport(batch, g.keys, g.topN).collect().map { r =>
+        val key = g.keys.map(k => s"$k=${r.getAs[Any](k)}").mkString(",")
+        ("key_balance", key, r.getAs[Long]("share_permille"),
+          g.maxSharePermille)
+      }
+    }
+    val driftRows = gates.drift.toSeq.map { g =>
+      val l1 = Quality.driftL1Permille(
+        Quality.distributionDrift(g.ref, batch, g.valueCol, g.nBins))
+      ("drift_l1", g.valueCol, l1, g.maxL1Permille)
+    }
+    val rows = (kbRows ++ driftRows).map { case (gate, key, v, mx) =>
+      (batchId, gate, key, v, mx, v > mx)
+    }
+    publishBatch(rows.toDF("batch_id", "gate", "key", "permille",
+      "max_permille", "violated"), gateDir, batchId, Nil)
+    val bad = rows.filter(_._6)
+    if (gates.refuse && bad.nonEmpty)
+      throw new IllegalStateException(
+        s"ingest gate refused batch $batchId: " + bad.map { case (_, g, k, v, mx, _) =>
+          s"$g[$k] ${v}permille > ${mx}permille"
+        }.mkString("; ") + s" — evidence published to $gateDir")
+  }
+
+  /** The gate-report directory of a curate loop's `outDir`. */
+  def gateReportDir(outDir: String): String = outDir + "__gates"
 
   /** The EMBEDDING twin of [[curateIngestStream]] — the same
     * self-growing-index loop over vectors
@@ -733,11 +809,13 @@ object StreamingIngest {
       minMicro: Long,
       gate: DataFrame => DataFrame = df => df,
       compactAtFiles: Int = 0,
-      applyDeletesFrom: String = ""): DataStreamWriter[Row] =
+      applyDeletesFrom: String = "",
+      gates: BatchGates = BatchGates()): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         curateEmbeddingBatch(batch.toDF(), batchId, indexDir, outDir, idCol,
-          vecCol, minMicro, gate, compactAtFiles, applyDeletesFrom)
+          vecCol, minMicro, gate, compactAtFiles, applyDeletesFrom,
+          gates = gates)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -1417,7 +1495,8 @@ object StreamingIngest {
       indexDir: String, outDir: String, idCol: String, textCol: String,
       gate: DataFrame => DataFrame, minAgree: Int, compactAtFiles: Int,
       applyDeletesFrom: String = "",
-      failAfterStep: Int = Int.MaxValue): Unit = {
+      failAfterStep: Int = Int.MaxValue,
+      gates: BatchGates = BatchGates()): Unit = {
     import graft.operators.{Checkpoints, Dedup, IndexOps}
     val spark = batch.sparkSession
     IndexOps.recoverSwap(spark, indexDir)
@@ -1429,6 +1508,7 @@ object StreamingIngest {
       applyCurateDeletes(spark, applyDeletesFrom, outDir, idCol,
         ids => IndexOps.deleteSwapMinhash(spark, indexDir, idCol, ids), failpoint)
     if (isCommitted(spark, outDir, batchId)) { applyDeletes(); return }
+    runBatchGates(batch, batchId, gates, gateReportDir(outDir))
     ensureSidecar(spark, indexDir, idCol)
     Checkpoints.scoped(spark) {
       val outCols = batch.columns.map(col).toIndexedSeq
@@ -1472,7 +1552,8 @@ object StreamingIngest {
       indexDir: String, outDir: String, idCol: String, vecCol: String,
       minMicro: Long, gate: DataFrame => DataFrame, compactAtFiles: Int,
       applyDeletesFrom: String = "",
-      failAfterStep: Int = Int.MaxValue): Unit = {
+      failAfterStep: Int = Int.MaxValue,
+      gates: BatchGates = BatchGates()): Unit = {
     import graft.operators.{Checkpoints, IndexOps, Similarity}
     val spark = batch.sparkSession
     IndexOps.recoverSwap(spark, indexDir)
@@ -1484,6 +1565,7 @@ object StreamingIngest {
       applyCurateDeletes(spark, applyDeletesFrom, outDir, idCol,
         ids => IndexOps.deleteSwapLsh(spark, indexDir, idCol, ids), failpoint)
     if (isCommitted(spark, outDir, batchId)) { applyDeletes(); return }
+    runBatchGates(batch, batchId, gates, gateReportDir(outDir))
     ensureSidecar(spark, indexDir, idCol)
     Checkpoints.scoped(spark) {
       val outCols = batch.columns.map(col).toIndexedSeq
@@ -1524,7 +1606,8 @@ object StreamingIngest {
       minMicro: Long, nProbe: Int, gate: DataFrame => DataFrame,
       compactAtFiles: Int, reclusterAtSkew: Double = 0.0,
       applyDeletesFrom: String = "",
-      failAfterStep: Int = Int.MaxValue): Unit = {
+      failAfterStep: Int = Int.MaxValue,
+      gates: BatchGates = BatchGates()): Unit = {
     import graft.operators.{Checkpoints, IndexOps, Similarity}
     val spark = batch.sparkSession
     IndexOps.recoverSwap(spark, indexDir)
@@ -1537,6 +1620,7 @@ object StreamingIngest {
         ids => IndexOps.deleteSwapIvf(spark, indexDir, idCol, vecCol, ids),
         failpoint)
     if (isCommitted(spark, outDir, batchId)) { applyDeletes(); return }
+    runBatchGates(batch, batchId, gates, gateReportDir(outDir))
     ensureSidecar(spark, indexDir, idCol)
     Checkpoints.scoped(spark) {
       val outCols = batch.columns.map(col).toIndexedSeq
@@ -1604,7 +1688,8 @@ object StreamingIngest {
       vecCol: String, minMicro: Long, nProbe: Int,
       gate: DataFrame => DataFrame, compactAtFiles: Int,
       applyDeletesFrom: String = "",
-      failAfterStep: Int = Int.MaxValue): Unit = {
+      failAfterStep: Int = Int.MaxValue,
+      gates: BatchGates = BatchGates()): Unit = {
     import graft.operators.{Checkpoints, IndexOps, Pq, Similarity}
     val spark = batch.sparkSession
     IndexOps.recoverSwap(spark, indexDir)
@@ -1622,6 +1707,7 @@ object StreamingIngest {
       applyCurateDeletes(spark, applyDeletesFrom, outDir, idCol,
         ids => IndexOps.deleteSwapPq(spark, indexDir, idCol, ids), failpoint)
     if (isCommitted(spark, outDir, batchId)) { applyDeletes(); return }
+    runBatchGates(batch, batchId, gates, gateReportDir(outDir))
     ensureSidecar(spark, indexDir, idCol)
     Checkpoints.scoped(spark) {
       val outCols = batch.columns.map(col).toIndexedSeq
@@ -1682,12 +1768,13 @@ object StreamingIngest {
       idCol: String, vecCol: String, minMicro: Long, nProbe: Int = 2,
       gate: DataFrame => DataFrame = df => df,
       compactAtFiles: Int = 0,
-      applyDeletesFrom: String = ""): DataStreamWriter[Row] =
+      applyDeletesFrom: String = "",
+      gates: BatchGates = BatchGates()): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         curatePqBatch(batch.toDF(), batchId, indexDir, codebookDir, outDir,
           idCol, vecCol, minMicro, nProbe, gate, compactAtFiles,
-          applyDeletesFrom)
+          applyDeletesFrom, gates = gates)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -1748,7 +1835,8 @@ object StreamingIngest {
       minMicro: Long, nProbe: Int = 2,
       gate: DataFrame => DataFrame = df => df,
       compactAtFiles: Int = 0, reclusterAtSkew: Double = 0.0,
-      applyDeletesFrom: String = ""): DataStreamWriter[Row] = {
+      applyDeletesFrom: String = "",
+      gates: BatchGates = BatchGates()): DataStreamWriter[Row] = {
     // validate at STREAM CONSTRUCTION: a ratio in (0, 1) would otherwise
     // surface as a repeated per-batch runtime crash inside the
     // post-commit maintenance, after each batch's work is already done
@@ -1761,7 +1849,7 @@ object StreamingIngest {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         curateIvfBatch(batch.toDF(), batchId, indexDir, outDir, idCol,
           vecCol, minMicro, nProbe, gate, compactAtFiles, reclusterAtSkew,
-          applyDeletesFrom)
+          applyDeletesFrom, gates = gates)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -1650,4 +1650,107 @@ class StreamingIngestSpec extends SparkSpec {
     assertSameRows(streamed, batch)
     sessions.unpersist()
   }
+
+  test("ingest gates: a hot-key batch and a drifted batch surface per-batch gate rows") {
+    import graft.operators.Dedup
+    val store = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near the river bank", "s0", 50.0))
+      .toDF("doc_id", "text", "source", "score")
+    val indexDir = tmp("graft-gate-index")
+    val outDir = tmp("graft-gate-out")
+    val drop = tmp("graft-gate-drop")
+    val ckpt = tmp("graft-gate-ckpt")
+    Dedup.minhashIndex(store, "doc_id", "text")
+      .write.mode("overwrite").partitionBy("band").parquet(indexDir)
+    // reference distribution: uniform 0..99 — exactly 5 values per bin
+    val ref = (0 until 100).map(_.toDouble).toDF("score")
+    val gates = StreamingIngest.BatchGates(
+      keyBalance = Some(StreamingIngest.KeyBalanceGate(Seq("source"), maxSharePermille = 600)),
+      drift = Some(StreamingIngest.DriftGate(ref, "score", maxL1Permille = 800)))
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, source STRING, score DOUBLE")
+        .parquet(drop)
+      StreamingIngest.curateIngestStream(stream, indexDir, outDir, ckpt,
+        "doc_id", "text", gate = df => df, gates = gates)
+        .start().awaitTermination()
+    }
+    def noisyText(i: Int): String =
+      (0 until 12).map(w => s"tok${i}w$w").mkString(" ")
+
+    // batch 0: balanced sources (500 permille each), one score per ref
+    // bin (L1 = 0) — gate rows publish, nothing violated
+    val clean = (0 until 20).map(i =>
+      (100L + i, noisyText(i), if (i % 2 == 0) "a" else "b", 5.0 * i + 2.5))
+      .toDF("doc_id", "text", "source", "score")
+    clean.write.mode("append").parquet(drop)
+    drain()
+    val gateDir = StreamingIngest.gateReportDir(outDir)
+    val g0 = spark.read.parquet(gateDir).filter(col("batch_id") === 0L).collect()
+    assert(g0.length == 3, s"2 key rows + 1 drift row expected, got ${g0.length}")
+    assert(g0.forall(!_.getAs[Boolean]("violated")), "clean batch must not violate")
+    assert(g0.filter(_.getAs[String]("gate") == "drift_l1")
+      .head.getAs[Long]("permille") == 0L, "bin-matched batch has L1 = 0")
+    assert(spark.read.parquet(outDir).count() == 20, "clean batch admitted")
+
+    // batch 1: every row the same source (1000 permille) and the same
+    // out-of-shape score (mass in one bin) — both gates flag; the
+    // default flag-only mode still admits the batch
+    val dirty = (0 until 10).map(i =>
+      (300L + i, noisyText(1000 + i), "c", 99.9))
+      .toDF("doc_id", "text", "source", "score")
+    dirty.write.mode("append").parquet(drop)
+    drain()
+    val g1 = spark.read.parquet(gateDir).filter(col("batch_id") === 1L)
+      .collect().map(r => (r.getAs[String]("gate"), r.getAs[String]("key"),
+        r.getAs[Long]("permille"), r.getAs[Boolean]("violated"))).toSet
+    assert(g1 == Set(
+      ("key_balance", "source=c", 1000L, true),
+      ("drift_l1", "score", 1900L, true)), s"got $g1")
+    assert(spark.read.parquet(outDir).count() == 30, "flag mode still admits")
+  }
+
+  test("ingest gates: refuse halts before any state mutation; a cleared re-run converges") {
+    import graft.operators.Dedup
+    val store = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near the river bank", "s0"))
+      .toDF("doc_id", "text", "source")
+    val indexDir = tmp("graft-refuse-index")
+    val outDir = tmp("graft-refuse-out")
+    Dedup.minhashIndex(store, "doc_id", "text")
+      .write.mode("overwrite").partitionBy("band").parquet(indexDir)
+    val refusing = StreamingIngest.BatchGates(
+      keyBalance = Some(StreamingIngest.KeyBalanceGate(Seq("source"), maxSharePermille = 600)),
+      refuse = true)
+    val hot = (0 until 4).map(i =>
+      (500L + i, (0 until 12).map(w => s"hot${i}w$w").mkString(" "), "z"))
+      .toDF("doc_id", "text", "source")
+    val ex = intercept[IllegalStateException] {
+      StreamingIngest.curateTextBatch(hot, 3L, indexDir, outDir,
+        "doc_id", "text", gate = df => df, minAgree = 8, compactAtFiles = 0,
+        gates = refusing)
+    }
+    assert(ex.getMessage.contains("refused batch 3"))
+    // evidence on disk, nothing admitted, batch uncommitted
+    val gateDir = StreamingIngest.gateReportDir(outDir)
+    val rows = spark.read.parquet(gateDir).collect()
+    assert(rows.length == 1 && rows.head.getAs[Boolean]("violated"))
+    val (fs, outPath) = (new org.apache.hadoop.fs.Path(outDir))
+      .getFileSystem(spark.sessionState.newHadoopConf()) ->
+      new org.apache.hadoop.fs.Path(outDir)
+    assert(!fs.listFiles(outPath, true).hasNext ||
+      spark.read.parquet(outDir).isEmpty)
+    // operator clears the policy: the SAME batch id re-runs (the
+    // sequential-replay shape), overwrites its own gate rows, admits
+    StreamingIngest.curateTextBatch(hot, 3L, indexDir, outDir,
+      "doc_id", "text", gate = df => df, minAgree = 8, compactAtFiles = 0,
+      gates = refusing.copy(refuse = false))
+    assert(spark.read.parquet(outDir).count() == 4)
+    assert(spark.read.parquet(gateDir).count() == 1, "replay overwrote its gate rows")
+    // and a third run of the now-committed batch is the skip path
+    StreamingIngest.curateTextBatch(hot, 3L, indexDir, outDir,
+      "doc_id", "text", gate = df => df, minAgree = 8, compactAtFiles = 0,
+      gates = refusing)
+    assert(spark.read.parquet(outDir).count() == 4)
+  }
 }
