@@ -217,17 +217,39 @@ object Boilerplate {
   def stripRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       keptCol: String, k: Int, minDocs: Long,
       broadcastHeavy: Boolean = true): DataFrame = {
-    require(k >= 2, s"k must be ≥ 2 (got $k): k = 1 strips every " +
-      "token whose word appears in minDocs documents")
     require(minDocs >= 2, s"minDocs must be ≥ 2 (got $minDocs): " +
       "every span occurs in ≥ 1 document, so 1 would strip the corpus")
-    val rel = anchorRel(df, idCol, textCol, k)
-    val heavy = rel.groupBy("anchor")
+    stripSpansIn(df, idCol, textCol, keptCol,
+      spanAnchorFreq(df, idCol, textCol, k)
+        .filter(col("doc_freq") >= minDocs)
+        .select("anchor"),
+      k, broadcastHeavy)
+  }
+
+  /** The anchor doc-frequency relation: one row per distinct k-token
+    * window hash with its DISTINCT-document count — the
+    * [[unitDocFreq]] twin at token granularity (`(anchor, doc_freq)`). */
+  def spanAnchorFreq(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    anchorRel(df, idCol, textCol, k).groupBy("anchor")
       .agg(countDistinct(col(idCol)).as("doc_freq"))
-      .filter(col("doc_freq") >= minDocs)
-      .select("anchor")
+
+  /** The span-strip step against an EXTERNALLY-supplied heavy anchor
+    * relation (column `anchor` = the [[anchorRel]] 60-bit window hash)
+    * — shared by [[stripRepeatedSpans]] (heavy = this relation's own
+    * anchor frequencies) and the streaming screen
+    * ([[graft.streaming.StreamingIngest.spanScreenStream]]), whose
+    * heavy set is the persisted anchor-frequency store merged with the
+    * batch's own delta. Same output contract as
+    * [[stripRepeatedSpans]]: `n_tokens`, `n_removed`, `keptCol`. */
+  def stripSpansIn(df: DataFrame, idCol: String, textCol: String,
+      keptCol: String, heavyAnchors: DataFrame, k: Int,
+      broadcastHeavy: Boolean = true): DataFrame = {
+    require(k >= 2, s"k must be ≥ 2 (got $k): k = 1 strips every " +
+      "token whose word appears in the heavy relation")
+    val rel = anchorRel(df, idCol, textCol, k)
     val heavySide =
-      if (broadcastHeavy) broadcast(heavy) else heavy.hint("merge")
+      if (broadcastHeavy) broadcast(heavyAnchors) else heavyAnchors.hint("merge")
     // k× expansion on the MATCHED anchors only; collect_set bounds the
     // per-doc state by the document's own token count.
     val cov = rel.join(heavySide, Seq("anchor"))
@@ -257,9 +279,7 @@ object Boilerplate {
   def repeatedSpanAnchors(df: DataFrame, idCol: String, textCol: String,
       k: Int, minDocs: Long): DataFrame = {
     require(minDocs >= 2, s"minDocs must be ≥ 2 (got $minDocs)")
-    anchorRel(df, idCol, textCol, k).groupBy("anchor")
-      .agg(countDistinct(col(idCol)).as("doc_freq"))
-      .filter(col("doc_freq") >= minDocs)
+    spanAnchorFreq(df, idCol, textCol, k).filter(col("doc_freq") >= minDocs)
   }
 
   /** `(id, pos, anchor)` — one 60-bit hash per k-token window start

@@ -979,7 +979,8 @@ object StreamingIngest {
     * replay folds it correctly instead. Mass-checked before the swap;
     * a crash inside heals at the next batch's entry recovery. */
   private def maintainFreqStore(spark: org.apache.spark.sql.SparkSession,
-      freqDir: String, outDir: String, compactAtFiles: Int): Unit = {
+      freqDir: String, outDir: String, compactAtFiles: Int,
+      keyCol: String = "unit"): Unit = {
     import graft.operators.IndexOps
     if (compactAtFiles <= 0) return
     if (IndexOps.dataFileCount(spark, freqDir) < compactAtFiles) return
@@ -994,7 +995,7 @@ object StreamingIngest {
     val srcMass = spark.read.parquet(freqDir)
       .agg(coalesce(sum("doc_freq"), lit(0L))).head().getLong(0)
     spark.read.parquet(freqDir)
-      .groupBy("unit").agg(sum("doc_freq").as("doc_freq"))
+      .groupBy(keyCol).agg(sum("doc_freq").as("doc_freq"))
       .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").parquet(tmp)
     val dstMass = spark.read.parquet(tmp)
@@ -1003,6 +1004,86 @@ object StreamingIngest {
       s"maintainFreqStore: compaction of $freqDir changed the frequency " +
         s"mass ($srcMass -> $dstMass) — not swapping in")
     IndexOps.swapDirs(spark, freqDir, tmp)
+  }
+
+  /** The TOKEN-SPAN twin of [[boilerplateScreenStream]] — cross-batch
+    * exact-substring dedup as a curate loop: a persisted ANCHOR
+    * frequency store (`freqDir`, per-batch deltas `(anchor, doc_freq,
+    * batch_id)` — 60-bit k-token window hashes, the
+    * [[graft.operators.Boilerplate.anchorRel]] relation) accumulates
+    * distinct-document counts across committed batches, and each
+    * micro-batch publishes with every ≥ k-token span heavy AS OF that
+    * batch (stored + own delta ≥ minDocs) removed via
+    * [[graft.operators.Boilerplate.stripSpansIn]] — POINT-IN-TIME by
+    * contract, exactly like the unit screen (history is not
+    * rewritten; re-screening the published corpus is the batch
+    * operator's job). Counting the batch's own delta makes the
+    * single-batch stream EXACTLY the batch operator
+    * ([[graft.operators.Boilerplate.stripRepeatedSpans]] — the law
+    * `BoilerplateStreamSpec` pins for this screen too). Output rows
+    * carry the stream schema with `textCol` re-joined from the kept
+    * tokens (single spaces — token-stream semantics, the batch
+    * operator's contract) plus `n_removed`.
+    *
+    * Same committed-batch protocol, replay awareness (own-batch
+    * exclusion on the store read) and post-commit mass-checked store
+    * compaction as the unit screen; the store is 8-byte-keyed, so it
+    * is strictly smaller than the line store at equal corpus. */
+  def spanScreenStream(stream: DataFrame, freqDir: String,
+      outDir: String, checkpoint: String, idCol: String, textCol: String,
+      k: Int, minDocs: Long, compactFreqAtFiles: Int = 0,
+      broadcastHeavy: Boolean = true): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        spanScreenBatch(batch.toDF(), batchId, freqDir, outDir, idCol,
+          textCol, k, minDocs, compactFreqAtFiles, broadcastHeavy)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
+  private[graft] def spanScreenBatch(batch: DataFrame, batchId: Long,
+      freqDir: String, outDir: String, idCol: String, textCol: String,
+      k: Int, minDocs: Long, compactFreqAtFiles: Int,
+      broadcastHeavy: Boolean = true,
+      failAfterStep: Int = Int.MaxValue): Unit = {
+    import graft.operators.{Boilerplate, Checkpoints, IndexOps}
+    require(minDocs >= 2,
+      s"spanScreenStream: minDocs must be \u2265 2 (got $minDocs)")
+    require(k >= 2, s"spanScreenStream: k must be \u2265 2 (got $k)")
+    val spark = batch.sparkSession
+    IndexOps.recoverSwap(spark, freqDir)
+    def failpoint(n: Int): Unit = if (failAfterStep == n)
+      throw new IllegalStateException(
+        s"spanScreenBatch: test failpoint after step $n")
+    if (isCommitted(spark, outDir, batchId)) return
+    Checkpoints.scoped(spark) {
+      val outCols = batch.columns.map(col).toIndexedSeq
+      val delta = Boilerplate.spanAnchorFreq(batch, idCol, textCol, k)
+        .localCheckpoint(true)
+      val (fs, fp) = fsPath(spark, freqDir)
+      val stored =
+        if (hasDataFiles(fs, fp))
+          spark.read.parquet(freqDir)
+            .filter(col("batch_id") =!= batchId) // replay awareness
+            .select("anchor", "doc_freq")
+        else delta.limit(0)
+      val heavy = stored.unionByName(delta)
+        .groupBy("anchor").agg(sum("doc_freq").as("doc_freq"))
+        .filter(col("doc_freq") >= minDocs)
+        .select("anchor")
+      val stripped = Boilerplate.stripSpansIn(batch, idCol, textCol,
+          "__kept", heavy, k, broadcastHeavy)
+        .withColumn(textCol, array_join(col("__kept"), " "))
+        .select(outCols :+ col("n_removed"): _*)
+      publishBatch(stripped, outDir, batchId, Nil)
+      failpoint(1)
+      publishBatch(delta.withColumn("batch_id", lit(batchId)),
+        freqDir, batchId, Nil)
+      failpoint(2)
+      commitBatch(spark, outDir, batchId)
+    }
+    maintainFreqStore(spark, freqDir, outDir, compactFreqAtFiles,
+      keyCol = "anchor")
   }
 
   // ----------------------------------------------- curate batch internals

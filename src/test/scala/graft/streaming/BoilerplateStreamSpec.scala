@@ -129,4 +129,84 @@ class BoilerplateStreamSpec extends SparkSpec {
     run(Seq((3L, "FOOTER\nthree")).toDF("doc_id", "text"), 2L, freqDir, outDir, compactAt = 2)
     assert(outRows(outDir)(3L) == (("three", 1L)))
   }
+
+  // ------------------------------------------ token-span screen (r15)
+
+  private def runSpan(df: org.apache.spark.sql.DataFrame, id: Long,
+      freqDir: String, outDir: String, k: Int = 4, minDocs: Long = 2,
+      compactAt: Int = 0, failAfter: Int = Int.MaxValue): Unit =
+    StreamingIngest.spanScreenBatch(df, id, freqDir, outDir,
+      "doc_id", "text", k, minDocs, compactAt, failAfterStep = failAfter)
+
+  private def spanRows(outDir: String): Map[Long, (String, Long)] =
+    spark.read.parquet(outDir).select("doc_id", "text", "n_removed")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("span screen: single-batch stream equals the batch operator") {
+    val freqDir = tmp("sp-law-freq"); val outDir = tmp("sp-law-out")
+    val docs = Seq(
+      (1L, "alpha beta P Q R S gamma"),
+      (2L, "x P Q R S y"),
+      (3L, "entirely different words here now")
+    ).toDF("doc_id", "text")
+    runSpan(docs, 0L, freqDir, outDir)
+    val want = Boilerplate.stripRepeatedSpans(docs, "doc_id", "text",
+        "__kept", k = 4, minDocs = 2)
+      .select(col("doc_id"), array_join(col("__kept"), " ").as("text"),
+        col("n_removed"))
+    assertSameRows(
+      spark.read.parquet(outDir).select("doc_id", "text", "n_removed"), want)
+  }
+
+  test("span screen: point-in-time — a span crossing the threshold strips the crossing batch only") {
+    val freqDir = tmp("sp-pit-freq"); val outDir = tmp("sp-pit-out")
+    runSpan(Seq((1L, "W X Y Z tail one")).toDF("doc_id", "text"), 0L, freqDir, outDir)
+    assert(spanRows(outDir)(1L) == (("W X Y Z tail one", 0L)))
+    runSpan(Seq((2L, "head W X Y Z tail two")).toDF("doc_id", "text"), 1L, freqDir, outDir)
+    val rows = spanRows(outDir)
+    assert(rows(1L) == (("W X Y Z tail one", 0L)), "history not rewritten")
+    // heavy windows [W X Y Z]@1 and [X Y Z tail]@2 union to positions
+    // 1..5 — overlapping spans merge, tail included
+    assert(rows(2L) == (("head two", 5L)), "the crossing batch is stripped")
+    runSpan(Seq((3L, "W X Y Z tail three")).toDF("doc_id", "text"), 2L, freqDir, outDir)
+    assert(spanRows(outDir)(3L) == (("three", 5L)))
+  }
+
+  test("span screen: crash replay at every failpoint converges; store mass exact") {
+    val freqDir = tmp("sp-crash-freq"); val outDir = tmp("sp-crash-out")
+    runSpan(Seq((1L, "A B C D one")).toDF("doc_id", "text"), 0L, freqDir, outDir)
+    val b1 = Seq((2L, "A B C D two"), (3L, "A B C D three")).toDF("doc_id", "text")
+    intercept[IllegalStateException] { runSpan(b1, 1L, freqDir, outDir, failAfter = 1) }
+    runSpan(b1, 1L, freqDir, outDir)
+    val after1 = spanRows(outDir)
+    assert(after1(2L) == (("two", 4L)) && after1(3L) == (("three", 4L)),
+      "replay reads the store excluding its own delta")
+    // the "A B C D" anchor holds one delta per committed batch: freq 3
+    val abcd = graft.functions.Hashing.h60Jvm("A B C D")
+    val mass = spark.read.parquet(freqDir).filter(col("anchor") === abcd)
+      .agg(sum("doc_freq")).head().getLong(0)
+    assert(mass == 3L, s"no double count under replay, got $mass")
+    intercept[IllegalStateException] {
+      runSpan(Seq((4L, "A B C D four")).toDF("doc_id", "text"), 2L, freqDir, outDir,
+        failAfter = 2)
+    }
+    runSpan(Seq((4L, "A B C D four")).toDF("doc_id", "text"), 2L, freqDir, outDir)
+    assert(spanRows(outDir)(4L) == (("four", 4L)))
+    runSpan(Seq((4L, "A B C D four")).toDF("doc_id", "text"), 2L, freqDir, outDir)
+    assert(spanRows(outDir).size == 4, "replay of a committed batch is skipped")
+  }
+
+  test("span screen: compaction merges anchor deltas, preserves mass, keeps screening") {
+    val freqDir = tmp("sp-compact-freq"); val outDir = tmp("sp-compact-out")
+    runSpan(Seq((1L, "K L M N one")).toDF("doc_id", "text"), 0L, freqDir, outDir, compactAt = 2)
+    runSpan(Seq((2L, "K L M N two")).toDF("doc_id", "text"), 1L, freqDir, outDir, compactAt = 2)
+    val store = spark.read.parquet(freqDir)
+    assert(store.select("batch_id").distinct().as[Long].collect().toSeq == Seq(-1L),
+      "post-commit compaction rewrote the store as merged batch_id = -1 rows")
+    val klmn = graft.functions.Hashing.h60Jvm("K L M N")
+    assert(store.filter(col("anchor") === klmn).select("doc_freq")
+      .as[Long].head() == 2L, "mass preserved through the merge")
+    runSpan(Seq((3L, "K L M N three")).toDF("doc_id", "text"), 2L, freqDir, outDir, compactAt = 2)
+    assert(spanRows(outDir)(3L) == (("three", 4L)))
+  }
 }
