@@ -26,6 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    until a frame header SOFn (C0–CF minus C4/C8/CC): precision at
   *    +4, height/width big-endian u16 at +5/+7, component count
   *    (channels) at +9. EOI or SOS before any SOF → no dimensions.
+  *    `has_exif` reports whether an APP1 segment whose payload opens
+  *    with the Exif identifier (`Exif\0\0`, the EXIF spec's APP1
+  *    marker form) was seen during the walk — true/false for JPEG,
+  *    null for the other formats (PNG's optional eXIf chunk lives
+  *    past IHDR and is not walked here).
   *
   * A recognized magic with a malformed/truncated interior yields the
   * format with null dims (quarantine-able, not a throw — the DQ-gate
@@ -49,7 +54,8 @@ case class ImageHeader(child: Expression)
     StructField("format", StringType, nullable = true),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
-    StructField("channels", IntegerType, nullable = true)))
+    StructField("channels", IntegerType, nullable = true),
+    StructField("has_exif", BooleanType, nullable = true)))
   override def nullable: Boolean = true
   override def prettyName: String = "image_header"
 
@@ -63,11 +69,15 @@ case class ImageHeader(child: Expression)
 }
 
 object ImageHeader {
-  private val None4 = InternalRow(null, null, null, null)
+  private val None5 = InternalRow(null, null, null, null, null)
   private def fmtOnly(fmt: String) =
-    InternalRow(UTF8String.fromString(fmt), null, null, null)
+    InternalRow(UTF8String.fromString(fmt), null, null, null, null)
+  private def jpegOnly(exif: Boolean) =
+    InternalRow(UTF8String.fromString("jpeg"), null, null, null, exif)
   private def full(fmt: String, w: Int, h: Int, c: Int) =
-    InternalRow(UTF8String.fromString(fmt), w, h, c)
+    InternalRow(UTF8String.fromString(fmt), w, h, c, null)
+  private def fullJpeg(w: Int, h: Int, c: Int, exif: Boolean) =
+    InternalRow(UTF8String.fromString("jpeg"), w, h, c, exif)
 
   @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
   @inline private def be16(b: Array[Byte], i: Int): Int =
@@ -102,24 +112,30 @@ object ImageHeader {
       full("gif", le16(b, 6), le16(b, 8), 3)
     } else if (n >= 2 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8) {
       var pos = 2
+      var exif = false
       while (pos + 1 < n) {
-        if (u8(b, pos) != 0xFF) return fmtOnly("jpeg") // broken stream
+        if (u8(b, pos) != 0xFF) return jpegOnly(exif) // broken stream
         val m = u8(b, pos + 1)
         if (m == 0xFF) { pos += 1 } // fill byte
         else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) pos += 2 // TEM/RSTn
         else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
-          if (pos + 9 >= n) return fmtOnly("jpeg") // truncated SOF
-          return full("jpeg", be16(b, pos + 7), be16(b, pos + 5), u8(b, pos + 9))
+          if (pos + 9 >= n) return jpegOnly(exif) // truncated SOF
+          return fullJpeg(be16(b, pos + 7), be16(b, pos + 5), u8(b, pos + 9), exif)
         }
-        else if (m == 0xD9 || m == 0xDA) return fmtOnly("jpeg") // EOI/SOS first
+        else if (m == 0xD9 || m == 0xDA) return jpegOnly(exif) // EOI/SOS first
         else {
-          if (pos + 3 >= n) return fmtOnly("jpeg") // truncated length
+          if (pos + 3 >= n) return jpegOnly(exif) // truncated length
           val len = be16(b, pos + 2)
-          if (len < 2) return fmtOnly("jpeg") // malformed segment
+          if (len < 2) return jpegOnly(exif) // malformed segment
+          // APP1 with the Exif identifier: payload opens "Exif\0\0"
+          if (m == 0xE1 && pos + 9 < n &&
+              u8(b, pos + 4) == 'E' && u8(b, pos + 5) == 'x' &&
+              u8(b, pos + 6) == 'i' && u8(b, pos + 7) == 'f' &&
+              u8(b, pos + 8) == 0 && u8(b, pos + 9) == 0) exif = true
           pos += 2 + len
         }
       }
-      fmtOnly("jpeg") // ran out of bytes before any SOF
-    } else None4
+      jpegOnly(exif) // ran out of bytes before any SOF
+    } else None5
   }
 }

@@ -210,8 +210,14 @@ object CleaningQueries {
     val compHex = when(nComp === 1, "011100")
       .otherwise("011100" + "021101" + "031101")
     val sofLenHex = when(nComp === 1, "000B").otherwise("0011")
+    // every sixth doc carries a minimal APP1 Exif segment (identifier
+    // + little-endian TIFF header) between APP0 and COM, so the walk's
+    // has_exif detection crosses real segment structure
+    val exifSeg = when(col("doc_id") % 6 === 1,
+      "FFE1" + "0010" + "457869660000" + "49492A0008000000").otherwise("")
     val jpegHex = concat(
       lit("FFD8" + "FFE0" + "0010" + "4A46494600010100000100010000"),
+      exifSeg,
       lit("FFFE"), be(length(comBytes) + 2, 2), hex(comBytes),
       lit("FFC0"), sofLenHex, lit("08"), be(h, 2), be(w, 2),
       be(nComp, 1), compHex)
@@ -231,6 +237,11 @@ object CleaningQueries {
       hdr.getField("width").as("width"),
       hdr.getField("height").as("height"),
       hdr.getField("channels").as("channels"),
+      // int, not boolean: a NULLABLE boolean hits a None-vs-NaN
+      // representation split between the two engines' pandas readers
+      // in the driver's comparator; nullable ints take the float path
+      // with a both-NaN guard (width/height prove it)
+      hdr.getField("has_exif").cast("int").as("exif"),
       Multimodal.sniffMime(col("bytes")).as("mime"))
       .orderBy("doc_id")
   }
@@ -570,6 +581,9 @@ object CleaningQueries {
         |         CAST([1, 3, 1, 2, 4][CAST(doc_id % 5 AS INT) + 1] AS INT)
         |       WHEN doc_id % 3 = 1 THEN CAST(doc_id % 2 * 2 + 1 AS INT)
         |       ELSE 3 END AS channels,
+        |  CASE WHEN doc_id % 3 = 1 THEN
+        |         CAST(doc_id % 6 = 1 AND doc_id % 10 <> 7 AS INT)
+        |       ELSE NULL END AS exif,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
         |       WHEN doc_id % 3 = 1 THEN 'image/jpeg'
         |       ELSE 'image/gif' END AS mime

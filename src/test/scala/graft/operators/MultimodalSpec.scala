@@ -162,6 +162,31 @@ class MultimodalSpec extends SparkSpec {
     assert(decode(9L -> bad)(9L) == (("png", -1, -1, -1)))
   }
 
+  test("imageHeader: EXIF presence from the APP1 identifier, not just the marker") {
+    // APP1 with the Exif identifier before SOF0
+    val withExif = hx(
+      "FFD8 FFE1 0010 457869660000 49492A0008000000 FFC0 000B 08 0010 0020 01 011100")
+    // APP1 carrying something else (XMP-style) must NOT count as EXIF
+    val xmpApp1 = hx(
+      "FFD8 FFE1 0008 687474703A00 FFC0 000B 08 0010 0020 01 011100")
+    val df = Seq(
+      (1L, withExif), (2L, xmpApp1), (3L, jpeg640), (4L, png3x2),
+      // Exif APP1 seen, then truncated before any SOF: exif survives
+      (5L, withExif.take(20))
+    ).toDF("id", "bytes")
+    val h = Multimodal.imageHeader(col("bytes"))
+    val out = df.select(col("id"), h.getField("has_exif").as("e"),
+        h.getField("width").as("w"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else Boolean.box(r.getBoolean(1))),
+          if (r.isNullAt(2)) -1 else r.getInt(2))).toMap
+    assert(out(1L) == ((true, 32)))
+    assert(out(2L) == ((false, 32)), "a non-Exif APP1 is not EXIF")
+    assert(out(3L) == ((false, 640)))
+    assert(out(4L) == ((null, 3)), "has_exif is null outside JPEG")
+    assert(out(5L) == ((true, -1)), "EXIF seen before truncation survives")
+  }
+
   test("imageHeader: truncated and corrupt payloads degrade to format-only or null") {
     val out = decode(
       1L -> png3x2.take(9), // magic intact, IHDR gone
