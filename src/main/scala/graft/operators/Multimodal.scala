@@ -28,12 +28,17 @@ object Multimodal {
     * 2× the blob per row; the prefix is constant cost and yields
     * identical comparisons). */
   def sniffMime(bin: Column): Column = {
-    val prefix = hex(bin.substr(1, 8))
+    // 12 bytes, not 8: WAV's container magic is RIFF....WAVE — the
+    // discriminating four bytes sit at offsets 8-11
+    val prefix = hex(bin.substr(1, 12))
     when(substring(prefix, 1, 8) === "89504E47", "image/png")
       .when(substring(prefix, 1, 6) === "FFD8FF", "image/jpeg")
       .when(substring(prefix, 1, 12) === "474946383761" ||
         substring(prefix, 1, 12) === "474946383961", "image/gif")
       .when(substring(prefix, 1, 6) === "494433", "audio/mpeg")
+      .when(substring(prefix, 1, 8) === "52494646" &&
+        substring(prefix, 17, 8) === "57415645", "audio/wav")
+      .when(substring(prefix, 1, 8) === "664C6143", "audio/flac")
       .otherwise("application/octet-stream")
   }
 
@@ -47,6 +52,18 @@ object Multimodal {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(
       graft.functions.ImageHeader(ColumnBridge.expression(bin)))
+  }
+
+  /** REAL audio-container header decode: `struct(format, sample_rate,
+    * channels, bits_per_sample, n_samples)` parsed from the payload's
+    * own bytes — WAV RIFF-chunk walk, FLAC STREAMINFO bit unpack, MP3
+    * ID3-skip + frame-header rates
+    * ([[graft.functions.AudioHeader]]). Same quarantine discipline as
+    * [[imageHeader]]. */
+  def audioHeader(bin: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.AudioHeader(ColumnBridge.expression(bin)))
   }
 
   /** Cross-engine content fingerprint: sha256 over the uppercase hex of

@@ -246,6 +246,84 @@ object CleaningQueries {
       .orderBy("doc_id")
   }
 
+  /** MM3 — REAL audio-container header decode
+    * ([[Multimodal.audioHeader]]): the corpus rendered into
+    * structurally valid WAV (RIFF chunk walk crossing a text-derived
+    * odd-length LIST chunk, so even-padding is exercised), FLAC
+    * (STREAMINFO bit packing written field by field) and MP3 (ID3v2
+    * tag of text-derived syncsafe size skipped to the first frame
+    * header) payloads; one doc in ten truncated to 12 bytes
+    * (recognized magic, unparseable interior). The oracle states the
+    * expected fields from the construction formulas — any endianness
+    * / bit-offset / chunk-walk error reads back garbage. */
+  val q122AudioHeader: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    def be(v: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column =
+      lpad(hex(v), nBytes * 2, "0")
+    // little-endian: byte-by-byte from the low end (values here are
+    // far under 2^53, so the double division is exact)
+    def le(v: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column =
+      concat((0 until nBytes).map(i =>
+        be((floor(v.cast("double") / lit(math.pow(256, i))).cast("long")
+          % 256).cast("long"), 1)): _*)
+    val sr = col("doc_id") % 40000 + 8000
+    // --- WAV: fmt + odd-length LIST + data (declared size only)
+    val wavCh = (col("doc_id") % 2 + 1).cast("int")
+    val wavBits = (col("doc_id") % 2 * 8 + 8).cast("int")
+    val blockAlign = wavCh * wavBits / 8
+    val nSampWav = col("doc_id") % 1000 + 1
+    val listPayload = encode(
+      expr("substring(text, 1, CAST(doc_id % 21 + 1 AS INT))"), "UTF-8")
+    val wavHex = concat(
+      lit("52494646"), le(lit(0L), 4), lit("57415645"),
+      lit("666D7420"), le(lit(16L), 4), // "fmt " 16
+      le(lit(1L), 2), le(wavCh, 2), le(sr, 4),
+      le(sr * blockAlign, 4), le(blockAlign, 2), le(wavBits, 2),
+      lit("4C495354"), le(length(listPayload), 4), hex(listPayload),
+      when(length(listPayload) % 2 === 1, "00").otherwise(""), // RIFF pad
+      lit("64617461"), le(nSampWav * blockAlign, 4)) // data: declared size
+    // --- FLAC: STREAMINFO written field by field
+    val flacCh = (col("doc_id") % 8 + 1).cast("int")
+    val totalFlac = col("doc_id") % 100000 + 1
+    val b20 = (sr % 16) * 16 + (flacCh - 1) * 2 // bits-1=15 -> high bit 0
+    val b21 = lit(15 % 16 * 16) + (totalFlac / 4294967296L).cast("long") // 0xF0 | total>>32
+    val flacHex = concat(
+      lit("664C6143"), lit("00"), lit("000022"), // STREAMINFO, len 34
+      lit("1000"), lit("1000"), lit("000000"), lit("000000"),
+      be((sr / 4096).cast("long"), 1), be((sr / 16 % 256).cast("long"), 1),
+      be(b20.cast("long"), 1), be(b21, 1),
+      be((totalFlac / 16777216L % 256).cast("long"), 1),
+      be((totalFlac / 65536L % 256).cast("long"), 1),
+      be((totalFlac / 256L % 256).cast("long"), 1),
+      be((totalFlac % 256L).cast("long"), 1),
+      lit("00" * 16)) // MD5 placeholder
+    // --- MP3: ID3v2 (syncsafe size <= 127) + MPEG1 Layer III frame
+    val tagBytes = encode(
+      expr("substring(text, 1, CAST(doc_id % 30 + 1 AS INT))"), "UTF-8")
+    val srIdx = expr("(doc_id div 3) % 3")
+    val mp3Hex = concat(
+      lit("494433" + "0400" + "00" + "000000"), be(length(tagBytes), 1),
+      hex(tagBytes),
+      lit("FFFB"), be(lit(0x90L) + srIdx * 4, 1),
+      when(col("doc_id") % 2 === 0, "C0").otherwise("00"))
+    val fullBytes = unhex(
+      when(col("doc_id") % 3 === 0, wavHex)
+        .when(col("doc_id") % 3 === 1, flacHex)
+        .otherwise(mp3Hex))
+    val assets = t.documents.select(col("doc_id"),
+      when(col("doc_id") % 10 === 7, fullBytes.substr(1, 12))
+        .otherwise(fullBytes).as("bytes"))
+    val hdr = Multimodal.audioHeader(col("bytes"))
+    assets.select(col("doc_id"),
+      hdr.getField("format").as("format"),
+      hdr.getField("sample_rate").as("sample_rate"),
+      hdr.getField("channels").as("channels"),
+      hdr.getField("bits_per_sample").as("bits_per_sample"),
+      hdr.getField("n_samples").as("n_samples"),
+      Multimodal.sniffMime(col("bytes")).as("mime"))
+      .orderBy("doc_id")
+  }
+
   /** DQ profile — per-column row/null/distinct counts and min/max from
     * one scan ([[graft.operators.Quality.profile]]), over the orders
     * table's key and status columns. */
@@ -353,6 +431,7 @@ object CleaningQueries {
     "q36_except" -> q36Except,
     "q37_multimodal" -> q37Multimodal,
     "q120_image_header" -> q120ImageHeader,
+    "q122_audio_header" -> q122AudioHeader,
     "q64_geocode" -> q64Geocode)
 
   // ------------------------------------------------------------- oracle SQL
@@ -568,6 +647,29 @@ object CleaningQueries {
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY custkey""".stripMargin,
+    "q122_audio_header" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'wav'
+        |       WHEN doc_id % 3 = 1 THEN 'flac' ELSE 'mp3' END AS format,
+        |  CASE WHEN doc_id % 10 = 7 THEN NULL
+        |       WHEN doc_id % 3 = 2 THEN
+        |         [44100, 48000, 32000][CAST((doc_id // 3) % 3 AS INT) + 1]
+        |       ELSE CAST(doc_id % 40000 + 8000 AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 10 = 7 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN CAST(doc_id % 2 + 1 AS INT)
+        |       WHEN doc_id % 3 = 1 THEN CAST(doc_id % 8 + 1 AS INT)
+        |       ELSE CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT)
+        |       END AS channels,
+        |  CASE WHEN doc_id % 10 = 7 OR doc_id % 3 = 2 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN CAST(doc_id % 2 * 8 + 8 AS INT)
+        |       ELSE 16 END AS bits_per_sample,
+        |  CASE WHEN doc_id % 10 = 7 OR doc_id % 3 = 2 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN CAST(doc_id % 1000 + 1 AS BIGINT)
+        |       ELSE CAST(doc_id % 100000 + 1 AS BIGINT) END AS n_samples,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'audio/wav'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/flac'
+        |       ELSE 'audio/mpeg' END AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q120_image_header" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'png'

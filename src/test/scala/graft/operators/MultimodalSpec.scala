@@ -209,6 +209,67 @@ class MultimodalSpec extends SparkSpec {
     assert(out(9L) == ((null, -1, -1, -1)))
   }
 
+  // --------------------------------------------- audio container decode
+
+  // 44100 Hz stereo 16-bit WAV, fmt AFTER an odd-length JUNK chunk
+  // (walk must pad to even), data declares 1000 samples × 4 bytes
+  private val wav44k = hx(
+    "52494646 00000000 57415645" +
+      "4A554E4B 03000000 414243 00" + // JUNK, 3 bytes + pad
+      "666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000" +
+      "64617461 A00F0000") // 4000 bytes declared
+  // 48000 Hz mono FLAC, 20-bit sr / 3-bit ch / 5-bit bits / 36-bit total
+  // packed by hand: sr=48000=0x0BB80, ch-1=0, bits-1=15, total=123456
+  private val flac48k = hx(
+    "664C6143 00 000022" + "1000 1000 000000 000000" +
+      "0B B8 00 F0" + "0001E240" + // b18..b21 then the 32 low total bits
+      "00000000000000000000000000000000")
+  // ID3v2 (tag size 5) then an MPEG1 Layer III frame, 32000 Hz, mono
+  private val mp3Id3 = hx(
+    "494433 0400 00 00000005 48454C4C4F" + "FFFB 98 C0")
+
+  test("audioHeader parses real WAV / FLAC / MP3 layouts byte-exactly") {
+    val df = Seq(
+      (1L, wav44k), (2L, flac48k), (3L, mp3Id3),
+      (4L, hx("FFFB 94 00")), // bare frame sync, 48000 Hz stereo
+      (5L, "plain text".getBytes("UTF-8"))
+    ).toDF("id", "bytes")
+    val h = Multimodal.audioHeader(col("bytes"))
+    val out = df.select(col("id"), h.getField("format"),
+        h.getField("sample_rate"), h.getField("channels"),
+        h.getField("bits_per_sample"), h.getField("n_samples"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    assert(out(1L) == (("wav", 44100, 2, 16, 1000L)), s"wav: ${out(1L)}")
+    assert(out(2L) == (("flac", 48000, 1, 16, 123456L)), s"flac: ${out(2L)}")
+    assert(out(3L) == (("mp3", 32000, 1, -1, -1L)), s"mp3: ${out(3L)}")
+    assert(out(4L) == (("mp3", 48000, 2, -1, -1L)), s"sync: ${out(4L)}")
+    assert(out(5L) == ((null, -1, -1, -1, -1L)))
+  }
+
+  test("audioHeader: truncated/corrupt payloads degrade to format-only or null") {
+    val out = Seq(
+      (1L, wav44k.take(12)), // magic only, no chunks
+      (2L, wav44k.take(30)), // walk runs out inside the JUNK chunk
+      (3L, flac48k.take(20)), // STREAMINFO cut
+      (4L, mp3Id3.take(10)), // ID3 header only, frame past the end
+      (5L, hx("52494646 00000000 41564920")) // RIFF but AVI, not WAVE
+    ).toDF("id", "bytes")
+      .select(col("id"), Multimodal.audioHeader(col("bytes")).getField("format").as("f"),
+        Multimodal.audioHeader(col("bytes")).getField("sample_rate").as("sr"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)), r.isNullAt(2))).toMap
+    assert(out(1L) == (("wav", true)))
+    assert(out(2L) == (("wav", true)))
+    assert(out(3L) == (("flac", true)))
+    assert(out(4L) == (("mp3", true)))
+    assert(out(5L) == ((null, true)), "RIFF without WAVE is not audio")
+  }
+
   test("withMetadata surfaces the decoded dims; null payloads stay null") {
     val df = Seq((1L, png3x2), (2L, null.asInstanceOf[Array[Byte]]))
       .toDF("id", "bytes")
