@@ -39,6 +39,8 @@ object Multimodal {
       .when(substring(prefix, 1, 8) === "52494646" &&
         substring(prefix, 17, 8) === "57415645", "audio/wav")
       .when(substring(prefix, 1, 8) === "664C6143", "audio/flac")
+      .when(substring(prefix, 9, 8) === "66747970", "video/mp4") // ....ftyp
+      .when(substring(prefix, 1, 8) === "1A45DFA3", "video/webm")
       .otherwise("application/octet-stream")
   }
 
@@ -64,6 +66,18 @@ object Multimodal {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(
       graft.functions.AudioHeader(ColumnBridge.expression(bin)))
+  }
+
+  /** REAL video-container header decode: `struct(format, brand,
+    * timescale, duration_units, width, height)` — MP4/ISO-BMFF box
+    * walk (ftyp brand, moov/mvhd timescale+duration both versions,
+    * trak/tkhd 16.16 dimensions), WebM recognized by EBML magic
+    * ([[graft.functions.VideoHeader]]). Same quarantine discipline
+    * as the image/audio twins. */
+  def videoHeader(bin: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.VideoHeader(ColumnBridge.expression(bin)))
   }
 
   /** Cross-engine content fingerprint: sha256 over the uppercase hex of

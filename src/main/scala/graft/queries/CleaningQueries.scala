@@ -324,6 +324,69 @@ object CleaningQueries {
       .orderBy("doc_id")
   }
 
+
+  /** MM4 — REAL video-container header decode
+    * ([[Multimodal.videoHeader]]): the corpus rendered into
+    * structurally valid MP4s — ftyp (brand rotated), a text-derived
+    * free box (so the top-level walk crosses a variable offset), and
+    * a full moov with spec-length mvhd (BOTH versions: v0 u32 fields,
+    * v1 u64 — alternating per doc) and trak/tkhd (16.16 fixed-point
+    * dimensions at the box tail). One doc in ten truncated to the
+    * bare ftyp (format + brand survive, fields null). The oracle
+    * states expected fields from the construction formulas. */
+  val q123VideoHeader: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    def be(v: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column =
+      lpad(hex(v), nBytes * 2, "0")
+    def beL(v: Long, nBytes: Int): String =
+      ("%0" + (nBytes * 2) + "X").format(v)
+    def ascii(sx: String): String =
+      sx.getBytes("ISO-8859-1").map("%02X".format(_)).mkString
+    val timescale = col("doc_id") % 9000 + 1000
+    val durationU = col("doc_id") % 100000 + 1
+    val w = col("doc_id") % 1920 + 1
+    val h = (col("doc_id") * 3) % 1080 + 1
+    val brandHex = element_at(
+      array(lit(ascii("isom")), lit(ascii("mp42")), lit(ascii("avc1"))),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val ftypHex = concat(lit(beL(16, 4) + ascii("ftyp")), brandHex,
+      lit("00000000"))
+    val freePayload = encode(
+      expr("substring(text, 1, CAST(doc_id % 17 + 1 AS INT))"), "UTF-8")
+    val freeHex = concat(be(length(freePayload) + 8, 4), lit(ascii("free")),
+      hex(freePayload))
+    // mvhd v0: 100-byte payload; v1: 112-byte (u64 times + duration)
+    val mvhdV0 = concat(lit(beL(108, 4) + ascii("mvhd") + "00000000" +
+        "00000000" + "00000000"),
+      be(timescale, 4), be(durationU, 4), lit("00" * 80))
+    val mvhdV1 = concat(lit(beL(120, 4) + ascii("mvhd") + "01000000" +
+        "0000000000000000" + "0000000000000000"),
+      be(timescale, 4), be(durationU, 8), lit("00" * 80))
+    val mvhdHex = when(col("doc_id") % 2 === 0, mvhdV0).otherwise(mvhdV1)
+    val mvhdSize = when(col("doc_id") % 2 === 0, 108L).otherwise(120L)
+    // tkhd v0: 84-byte payload, width/height 16.16 in the last 8 bytes
+    val tkhdHex = concat(lit(beL(92, 4) + ascii("tkhd")), lit("00" * 76),
+      be(w, 2), lit("0000"), be(h, 2), lit("0000"))
+    val trakHex = concat(lit(beL(100, 4) + ascii("trak")), tkhdHex)
+    // moov size = 8 (header) + mvhd box + trak box (100)
+    val moovHex = concat(be(mvhdSize + 108, 4), lit(ascii("moov")),
+      mvhdHex, trakHex)
+    val fullBytes = unhex(concat(ftypHex, freeHex, moovHex))
+    val assets = t.documents.select(col("doc_id"),
+      when(col("doc_id") % 10 === 7, fullBytes.substr(1, 16))
+        .otherwise(fullBytes).as("bytes"))
+    val hdr = Multimodal.videoHeader(col("bytes"))
+    assets.select(col("doc_id"),
+      hdr.getField("format").as("format"),
+      hdr.getField("brand").as("brand"),
+      hdr.getField("timescale").as("timescale"),
+      hdr.getField("duration_units").as("duration_units"),
+      hdr.getField("width").as("width"),
+      hdr.getField("height").as("height"),
+      Multimodal.sniffMime(col("bytes")).as("mime"))
+      .orderBy("doc_id")
+  }
+
   /** DQ profile — per-column row/null/distinct counts and min/max from
     * one scan ([[graft.operators.Quality.profile]]), over the orders
     * table's key and status columns. */
@@ -432,6 +495,7 @@ object CleaningQueries {
     "q37_multimodal" -> q37Multimodal,
     "q120_image_header" -> q120ImageHeader,
     "q122_audio_header" -> q122AudioHeader,
+    "q123_video_header" -> q123VideoHeader,
     "q64_geocode" -> q64Geocode)
 
   // ------------------------------------------------------------- oracle SQL
@@ -647,6 +711,19 @@ object CleaningQueries {
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY custkey""".stripMargin,
+    "q123_video_header" ->
+      """SELECT doc_id, 'mp4' AS format,
+        |  ['isom', 'mp42', 'avc1'][CAST(doc_id % 3 AS INT) + 1] AS brand,
+        |  CASE WHEN doc_id % 10 = 7 THEN NULL
+        |       ELSE CAST(doc_id % 9000 + 1000 AS INT) END AS timescale,
+        |  CASE WHEN doc_id % 10 = 7 THEN NULL
+        |       ELSE CAST(doc_id % 100000 + 1 AS BIGINT) END AS duration_units,
+        |  CASE WHEN doc_id % 10 = 7 THEN NULL
+        |       ELSE CAST(doc_id % 1920 + 1 AS INT) END AS width,
+        |  CASE WHEN doc_id % 10 = 7 THEN NULL
+        |       ELSE CAST((doc_id * 3) % 1080 + 1 AS INT) END AS height,
+        |  'video/mp4' AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q122_audio_header" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'wav'

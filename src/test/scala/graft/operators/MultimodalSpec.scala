@@ -270,6 +270,72 @@ class MultimodalSpec extends SparkSpec {
     assert(out(5L) == ((null, true)), "RIFF without WAVE is not audio")
   }
 
+  // --------------------------------------------- video container decode
+
+  // minimal ISO-BMFF: ftyp(isom) + free + moov[mvhd v0 + trak[tkhd]]
+  // mvhd: timescale 1000, duration 30000; tkhd tail: 640x360 as 16.16
+  private val mp4v0 = hx(
+    "00000010 66747970 69736F6D 00000000" + // ftyp isom
+      "0000000C 66726565 414243 44" + // free, 4 payload bytes
+      "000000D8 6D6F6F76" + // moov: 8 + 108 + 100 = 216 = 0xD8
+      "0000006C 6D766864 00000000 00000000 00000000 000003E8 00007530" +
+      ("00" * 80) + // mvhd v0: 8 + 100
+      "00000064 7472616B" + // trak: 8 + 92
+      "0000005C 746B6864" + ("00" * 76) + "0280 0000 0168 0000")
+
+  test("videoHeader parses a real ISO-BMFF layout; WebM recognized; truncation degrades") {
+    // v1 mvhd twin: 64-bit times/duration (timescale 600, duration 2^32+5
+    // exercises the high dword), no trak
+    val mp4v1 = hx(
+      "00000010 66747970 6D703432 00000000" + // ftyp mp42
+        "00000080 6D6F6F76" + // moov: 8 + 120
+        "00000078 6D766864 01000000" + ("00" * 16) + // v1 + 8+8 times
+        "00000258 0000000100000005" + ("00" * 80)) // ts 600, dur 2^32+5
+    val df = Seq(
+      (1L, mp4v0), (2L, mp4v1),
+      (3L, hx("1A45DFA3 00000000")), // EBML → webm, fields null
+      (4L, mp4v0.take(16)), // bare ftyp: format + brand survive
+      (5L, hx("00000010 6D6F6F76 00000000 00000000")), // no ftyp first
+      (6L, "not a video".getBytes("UTF-8"))
+    ).toDF("id", "bytes")
+    val hd = Multimodal.videoHeader(col("bytes"))
+    val out = df.select(col("id"), hd.getField("format"), hd.getField("brand"),
+        hd.getField("timescale"), hd.getField("duration_units"),
+        hd.getField("width"), hd.getField("height"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)),
+          if (r.isNullAt(2)) null else r.getString(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(5)) -1 else r.getInt(5),
+          if (r.isNullAt(6)) -1 else r.getInt(6))).toMap
+    assert(out(1L) == (("mp4", "isom", 1000, 30000L, 640, 360)), s"${out(1L)}")
+    assert(out(2L) == (("mp4", "mp42", 600, 4294967301L, -1, -1)), s"${out(2L)}")
+    assert(out(3L) == (("webm", null, -1, -1L, -1, -1)))
+    assert(out(4L) == (("mp4", "isom", -1, -1L, -1, -1)))
+    assert(out(5L) == ((null, null, -1, -1L, -1, -1)), "no leading ftyp is not BMFF")
+    assert(out(6L) == ((null, null, -1, -1L, -1, -1)))
+    // malformed interior: moov declares more bytes than exist
+    val broken = mp4v0.clone(); broken(31) = 0xFF.toByte // moov size low byte
+    val b = decodeVideo(broken)
+    assert(b == (("mp4", "isom", -1, -1L, -1, -1)), s"$b")
+  }
+
+  private def decodeVideo(bytes: Array[Byte]) = {
+    val df = Seq((1L, bytes)).toDF("id", "bytes")
+    val hd = Multimodal.videoHeader(col("bytes"))
+    df.select(hd.getField("format"), hd.getField("brand"),
+        hd.getField("timescale"), hd.getField("duration_units"),
+        hd.getField("width"), hd.getField("height"))
+      .collect().map(r =>
+        ((if (r.isNullAt(0)) null else r.getString(0)),
+          if (r.isNullAt(1)) null else r.getString(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1 else r.getInt(4),
+          if (r.isNullAt(5)) -1 else r.getInt(5))).head
+  }
+
   test("withMetadata surfaces the decoded dims; null payloads stay null") {
     val df = Seq((1L, png3x2), (2L, null.asInstanceOf[Array[Byte]]))
       .toDF("id", "bytes")
