@@ -680,4 +680,60 @@ object Temporal {
       .groupBy(col("cohort"), (col("__wk") - col("cohort")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Rolling distinct-active counts — the DAU/WAU/MAU relation, the
+    * [[retentionCohorts]] companion every usage dashboard runs: per
+    * time bucket (default day), the number of DISTINCT keys active in
+    * the trailing `windowBuckets`-bucket window ending there
+    * (`n_active` — window 7 over day buckets = WAU), plus the
+    * same-bucket distinct count (`n_active_bucket` — DAU). Buckets
+    * are `(ts − origin) div bucketUs` off the key-non-null corpus min
+    * (the [[retentionCohorts]] origin discipline); reported buckets
+    * run through the corpus max, so a gap bucket appears with
+    * `n_active_bucket = 0` while its trailing window still counts;
+    * a bucket whose whole trailing window is silent is ABSENT, not
+    * zero (nothing keeps it alive).
+    *
+    * Shape at scale — the raw event body is scanned once (plus the
+    * bounded bounds scalar): one output-bounded (key, bucket)
+    * distinct, then each distinct activity expands to the ≤
+    * `windowBuckets` buckets it keeps alive (posexplode, so the
+    * own-bucket contribution is position 0 — no second distinct pass
+    * for the DAU column), re-deduped per (key, bucket) keeping
+    * min(pos), and one final bucket aggregation. Never a sliding
+    * window over raw events, never a distinct-count window frame
+    * (Spark cannot express COUNT(DISTINCT) OVER a frame; this
+    * expansion is the exact equivalent, ×windowBuckets on the
+    * DISTINCT relation, not the corpus). */
+  def rollingActive(events: DataFrame, keyCol: String, tsCol: String,
+      bucketUs: Long = 86400L * 1000000L,
+      windowBuckets: Int = 7): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    require(windowBuckets >= 1,
+      s"windowBuckets must be ≥ 1, got $windowBuckets")
+    val ts = micros(events, tsCol)
+    val o = events.filter(col(keyCol).isNotNull && ts.isNotNull)
+      .agg(min(ts), max(ts)).head()
+    if (o.isNullAt(0))
+      return events.limit(0).select(lit(0L).as("bucket"),
+        lit(0L).as("n_active"), lit(0L).as("n_active_bucket"))
+    val origin = o.getLong(0)
+    val maxBucket = math.floorDiv(o.getLong(1) - origin, bucketUs)
+    val keyBuckets = events
+      .filter(col(keyCol).isNotNull && ts.isNotNull)
+      .select(col(keyCol),
+        floorDiv(ts - lit(origin), bucketUs).as("__b"))
+      .distinct()
+    keyBuckets
+      .select(col(keyCol), posexplode(sequence(col("__b"),
+        least(col("__b") + lit(windowBuckets.toLong - 1), lit(maxBucket))))
+        .as(Seq("__pos", "bucket")))
+      // a key active on several days of one window must count once:
+      // re-dedup per (key, bucket), min(pos) = 0 marks own-bucket
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(min(col("__pos")).as("__minpos"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("__minpos") === 0, lit(1))).as("n_active_bucket"))
+  }
 }

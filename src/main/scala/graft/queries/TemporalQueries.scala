@@ -172,8 +172,23 @@ object TemporalQueries {
       .orderBy("cohort", "week_offset")
   }
 
+
+  /** ROLLING ACTIVE ([[Temporal.rollingActive]]) — the DAU/WAU
+    * relation over the events table's sparse high-value slice (the
+    * q118 slice, so windows actually slide across quiet days):
+    * trailing-7-day distinct actives + same-day distinct actives per
+    * day bucket, all integer micros arithmetic the oracle replays
+    * exactly. */
+  val q124RollingActive: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    Temporal.rollingActive(t.events.filter(col("value") >= 150.0),
+        "user_id", "ts")
+      .orderBy("bucket")
+  }
+
   val all: Map[String, Q] = Map(
     "q118_retention" -> q118Retention,
+    "q124_rolling_active" -> q124RollingActive,
     "q82_asof_enrich" -> q82AsofEnrich,
     "q83_session_range" -> q83SessionRange,
     "q84_overlap_pairs" -> q84OverlapPairs,
@@ -215,6 +230,21 @@ object TemporalQueries {
   private val FunnelSpanUs = 20L * 86400L * 1000000L
 
   val oracle: Map[String, String] = Map(
+    "q124_rolling_active" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |           WHERE value >= 150.0 AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |o AS (SELECT min(ts) AS t0, max(ts) AS t1 FROM e),
+        |kb AS (SELECT DISTINCT user_id,
+        |         (epoch_us(ts) - epoch_us(t0)) // 86400000000 AS b
+        |       FROM e, o),
+        |mx AS (SELECT (epoch_us(t1) - epoch_us(t0)) // 86400000000 AS mb FROM o),
+        |ex AS (SELECT user_id, b, unnest(range(b, least(b + 7, mb + 1))) AS bucket
+        |       FROM kb, mx),
+        |per AS (SELECT user_id, bucket, min(bucket - b) AS minpos
+        |        FROM ex GROUP BY 1, 2)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(count(CASE WHEN minpos = 0 THEN 1 END) AS BIGINT) AS n_active_bucket
+        |FROM per GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q118_retention" ->
       """WITH e AS (SELECT * FROM events WHERE value >= 150.0),
         |o AS (SELECT min(CAST(ts AS TIMESTAMP)) AS t0 FROM e

@@ -352,6 +352,35 @@ class TemporalSpec extends SparkSpec {
     assert(Temporal.retentionCohorts(ev.limit(0), "u", "ts", W).isEmpty)
   }
 
+  test("rollingActive: trailing-window distinct counts, gap buckets, dedup within window") {
+    val W = 100L // bucket width in micro-ts units
+    val ev = Seq(
+      (1L, 5L), (1L, 50L), // user 1 twice in bucket 0 — counts once
+      (2L, 150L), // user 2 in bucket 1
+      (1L, 450L), // user 1 again in bucket 4
+      (3L, 450L) // user 3 in bucket 4 (the corpus max)
+    ).toDF("u", "ts")
+    val got = Temporal.rollingActive(ev, "u", "ts", bucketUs = W,
+        windowBuckets = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      0L -> ((1L, 1L)), // user 1
+      1L -> ((2L, 1L)), // users 1 (window), 2 (own)
+      2L -> ((2L, 0L)), // gap bucket kept alive by 0 and 1
+      3L -> ((1L, 0L)), // only user 2's window still covers
+      4L -> ((2L, 2L)) // users 1, 3 own-bucket
+    ), s"got $got")
+    // a key active twice inside one window counts once per bucket
+    assert(got(1L)._1 == 2L)
+    // windows never run past the corpus max (no phantom buckets 5, 6)
+    assert(!got.contains(5L) && !got.contains(6L))
+    // null keys/ts drop; empty input yields the empty relation
+    val withNulls = Seq((Option(9L), Option(5L)), (None, Option(7L)),
+      (Option(10L), None)).toDF("u", "ts")
+    assert(Temporal.rollingActive(withNulls, "u", "ts", W, 3).count() == 1)
+    assert(Temporal.rollingActive(ev.limit(0), "u", "ts", W, 3).isEmpty)
+  }
+
   test("asOfJoin is the batch twin of the q20 window phrasing on real events") {
     val t = graft.Tables(spark, "/root/testdata/sf0.001")
     val ev = t.events
