@@ -141,11 +141,38 @@ object SourceQueries {
       .orderBy("event_type")
   }
 
+
+  /** S9 — JSON-lines round-trip with PARTITIONED layout: documents
+    * written as JSONL partitioned by lang, read back under an explicit
+    * schema with a partition-column filter (pruning — only the two
+    * matching directories list) and a value predicate, then
+    * aggregated WITH a portable text checksum — the per-group sum of
+    * 60-bit text hashes mod 2^61 proves JSON string escaping
+    * round-trips every byte of the zh (CJK) and en corpora exactly,
+    * not just that row counts survive. */
+  val q125JsonRoundtrip: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val out = tmp("rt_documents_json")
+    val staged = t.documents.select("doc_id", "text", "lang", "source", "n_chars")
+    staged.write.mode("overwrite").partitionBy("lang").json(out)
+    spark.read.schema(staged.schema).json(out)
+      .filter(col("lang").isin("en", "zh") && col("n_chars") >= 100)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("doc_id")).as("max_doc"),
+        (sum(graft.functions.Hashing.h60(col("text")).cast("decimal(38,0)"))
+          % lit(2305843009213693952L)).cast("long").as("text_checksum"))
+      .orderBy("lang", "source")
+  }
+
   val all: Map[String, Q] = Map(
     "q38_csv_roundtrip" -> q38CsvRoundtrip,
     "q39_csv_multipath" -> q39CsvMultiPath,
     "q81_xlsx_roundtrip" -> q81XlsxRoundtrip,
-    "q112_orc_roundtrip" -> q112OrcRoundtrip)
+    "q112_orc_roundtrip" -> q112OrcRoundtrip,
+    "q125_json_roundtrip" -> q125JsonRoundtrip)
 
   val oracle: Map[String, String] = Map(
     "q38_csv_roundtrip" ->
@@ -166,6 +193,15 @@ object SourceQueries {
         |  MAX(s_name) AS max_name
         |FROM supplier
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q125_json_roundtrip" ->
+      s"""SELECT lang, source, COUNT(*) AS n,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  MAX(doc_id) AS max_doc,
+         |  CAST(SUM(CAST(${graft.functions.Hashing.h60Sql("text")} AS HUGEINT))
+         |    % 2305843009213693952 AS BIGINT) AS text_checksum
+         |FROM documents
+         |WHERE lang IN ('en', 'zh') AND n_chars >= 100
+         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q112_orc_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
