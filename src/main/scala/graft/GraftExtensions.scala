@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, LshBuckets, MinHashSig, SimHash60, TokenModeCount, TokenShingles, TopKByScore}
+import graft.functions.{AudioHeader, FloatDotProduct, ImageHeader, LshBuckets, MinHashSig, SimHash60, TokenModeCount, TokenShingles, TopKByScore, VideoHeader}
 
 /** Session extension entry point: registers the engine's native
   * expressions with the SQL function registry, so `spark.sql` users get
@@ -150,6 +150,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.operators.Similarity.hyperplaneSigns(planes, dims, t)
             .map(_.map(_.toFloat)))
         LshBuckets(exprs.head, fams)
+      }))
+    // the three container-header decoders (r15): the multimodal layer's
+    // SQL surface, so `spark.sql` users can profile a binary column
+    // without the Scala API
+    ext.injectFunction((
+      new FunctionIdentifier("image_header"),
+      new ExpressionInfo(
+        classOf[ImageHeader].getCanonicalName,
+        "", "image_header",
+        "_FUNC_(bin) - struct(format, width, height, channels, has_exif) " +
+          "decoded from PNG/GIF/JPEG container bytes.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"image_header takes 1 argument, got ${exprs.length}")
+        ImageHeader(exprs.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("audio_header"),
+      new ExpressionInfo(
+        classOf[AudioHeader].getCanonicalName,
+        "", "audio_header",
+        "_FUNC_(bin) - struct(format, sample_rate, channels, bits_per_sample, " +
+          "n_samples) decoded from WAV/FLAC/MP3 container bytes.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"audio_header takes 1 argument, got ${exprs.length}")
+        AudioHeader(exprs.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("video_header"),
+      new ExpressionInfo(
+        classOf[VideoHeader].getCanonicalName,
+        "", "video_header",
+        "_FUNC_(bin) - struct(format, brand, timescale, duration_units, width, " +
+          "height) decoded from MP4/ISO-BMFF container bytes; WebM recognized.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"video_header takes 1 argument, got ${exprs.length}")
+        VideoHeader(exprs.head)
       }))
   }
 }

@@ -77,4 +77,30 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(edge.isNullAt(0))
     assert(edge.getSeq[Long](1) == Seq(0L, 0L))
   }
+
+  test("the container-header decoders are callable from SQL") {
+    def hxs(h: String): String = h.replaceAll("\\s", "")
+    val png = hxs("89504E470D0A1A0A 0000000D 49484452 00000003 00000002 08 06 00 00 00")
+    val gif = hxs("474946383961 0C00 2200 F70000")
+    val wav = hxs("52494646 00000000 57415645" +
+      " 666D7420 10000000 0100 0100 44AC0000 885801 00 0200 1000" +
+      " 64617461 E8030000")
+    val mp4 = hxs("00000010 66747970 69736F6D 00000000" +
+      " 00000074 6D6F6F76" +
+      " 0000006C 6D766864 00000000 00000000 00000000 000003E8 00007530") +
+      ("00" * 80)
+    val row = spark.sql(
+      s"""SELECT
+         |  image_header(unhex('$png')).width AS png_w,
+         |  image_header(unhex('$gif')).height AS gif_h,
+         |  audio_header(unhex('$wav')).sample_rate AS wav_sr,
+         |  audio_header(unhex('$wav')).n_samples AS wav_n,
+         |  video_header(unhex('$mp4')).duration_units AS mp4_dur""".stripMargin)
+      .collect()(0)
+    assert(row.getInt(0) == 3)
+    assert(row.getInt(1) == 34)
+    assert(row.getInt(2) == 44100, s"wav_sr = ${row.get(2)}")
+    assert(row.getLong(3) == 500L) // 1000 data bytes / blockAlign 2
+    assert(row.getLong(4) == 30000L)
+  }
 }
