@@ -289,4 +289,66 @@ object Quality {
           "skewedPartitionThresholdInBytes or re-key before shuffling on it")
     }
   }
+
+  /** EXACT quantile profile — `(permille, rank, value)` for each
+    * requested permille point over the non-null values of `valueCol`,
+    * where the p-permille quantile is DEFINED as the value at 0-based
+    * sorted index `(n−1)·p div 1000` (lower-nearest discrete pick —
+    * integer-exact, no interpolation, so any engine reproduces it from
+    * the row set alone; the oracle replays the same definition, q126).
+    *
+    * Shape at scale — exact selection WITHOUT a global sort funnel:
+    * the values are range-partitioned and sorted within partitions,
+    * then the global rank is the within-partition `row_number` plus a
+    * per-partition offset from one bounded counts pass (the
+    * [[Export.balancedShards]] two-pass prefix-sum discipline applied
+    * to selection). The ranged relation is locally CHECKPOINTED before
+    * the two consumers read it: `repartitionByRange` derives its
+    * boundaries from a SAMPLING pass, and letting the counts job and
+    * the pick job each re-sample could hand them different partition
+    * boundaries — the offsets would then be wrong by construction, not
+    * by luck. One corpus materialization is the price of exactness
+    * here; approximate needs are served by the built-in
+    * `percentile_approx`. Targets join back as a broadcast.
+    *
+    * `(n−1)·p` is exact in a signed long for corpora to ~9·10^15 rows
+    * (p ≤ 1000); ANSI mode raises on overflow beyond it. */
+  def quantileProfile(df: DataFrame, valueCol: String,
+      permilles: Seq[Int] = Seq(0, 100, 250, 500, 750, 900, 990, 1000))
+      : DataFrame = {
+    require(permilles.nonEmpty, "quantileProfile needs at least one point")
+    require(permilles.forall(p => p >= 0 && p <= 1000),
+      s"permilles must be in [0, 1000], got $permilles")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valueCol)).filter(col(valueCol).isNotNull)
+    val ranged = vals.repartitionByRange(col(valueCol))
+      .sortWithinPartitions(col(valueCol))
+      .select(col(valueCol),
+        org.apache.spark.sql.functions.spark_partition_id().as("__pid"))
+      .localCheckpoint(true)
+    // bounded: one row per partition
+    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .orderBy("__pid").collect()
+    val n = counts.foldLeft(0L)((a, r) => a + r.getLong(1))
+    if (n == 0L)
+      return df.limit(0).select(lit(0).as("permille"),
+        lit(0L).as("rank"), col(valueCol).as("value"))
+    val offsets = {
+      var acc = 0L
+      counts.map { r => val off = acc; acc += r.getLong(1); (r.getInt(0), off) }
+    }.toMap
+    val offsetsDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    val targets = broadcast(permilles.distinct.sorted
+      .map(p => (p, (n - 1) * p / 1000)).toDF("permille", "rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(valueCol)
+    ranged
+      .withColumn("__rk", row_number().over(w).cast("long") - 1L)
+      .join(offsetsDf, Seq("__pid"))
+      .withColumn("rank", col("__rk") + col("__off"))
+      .join(targets, Seq("rank"))
+      .select(col("permille"), col("rank"), col(valueCol).as("value"))
+      .orderBy("permille")
+  }
 }

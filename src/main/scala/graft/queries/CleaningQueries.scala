@@ -387,6 +387,19 @@ object CleaningQueries {
       .orderBy("doc_id")
   }
 
+
+  /** DQ quantile profile — EXACT distributed selection
+    * ([[graft.operators.Quality.quantileProfile]]): the value at
+    * sorted index (n−1)·p div 1000 for eight permille points over
+    * lineitem's price column, found by range partition + per-partition
+    * rank + bounded offsets (never a global sort funnel). The oracle
+    * replays the identical lower-nearest definition with a true global
+    * row_number. */
+  val q126Quantiles: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    graft.operators.Quality.quantileProfile(t.lineitem, "l_extendedprice")
+  }
+
   /** DQ profile — per-column row/null/distinct counts and min/max from
     * one scan ([[graft.operators.Quality.profile]]), over the orders
     * table's key and status columns. */
@@ -496,6 +509,7 @@ object CleaningQueries {
     "q120_image_header" -> q120ImageHeader,
     "q122_audio_header" -> q122AudioHeader,
     "q123_video_header" -> q123VideoHeader,
+    "q126_quantiles" -> q126Quantiles,
     "q64_geocode" -> q64Geocode)
 
   // ------------------------------------------------------------- oracle SQL
@@ -711,6 +725,16 @@ object CleaningQueries {
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY custkey""".stripMargin,
+    "q126_quantiles" ->
+      """WITH v AS (SELECT l_extendedprice AS x FROM lineitem
+        |           WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM v),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x) - 1 AS rk FROM v),
+        |t AS (SELECT p, (n - 1) * p // 1000 AS target FROM n,
+        |      (VALUES (0),(100),(250),(500),(750),(900),(990),(1000)) ps(p))
+        |SELECT CAST(t.p AS INT) AS permille, CAST(t.target AS BIGINT) AS rank,
+        |  r.x AS value
+        |FROM t JOIN r ON r.rk = t.target ORDER BY permille""".stripMargin,
     "q123_video_header" ->
       """SELECT doc_id, 'mp4' AS format,
         |  ['isom', 'mp42', 'avc1'][CAST(doc_id % 3 AS INT) + 1] AS brand,

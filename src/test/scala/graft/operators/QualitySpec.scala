@@ -142,4 +142,29 @@ class QualitySpec extends SparkSpec {
       enforceDistributionStability(a, far, "v", maxL1Permille = 500)
     }
   }
+
+  test("quantileProfile: lower-nearest exact selection, duplicate targets, empties") {
+    import spark.implicits._
+    // n = 10 values 0..9 → p500 target = 9*500 div 1000 = 4 → value 4
+    val v = (0 until 10).map(_.toDouble).toDF("x")
+    val got = Quality.quantileProfile(v, "x", Seq(0, 500, 1000))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(0 -> ((0L, 0.0)), 500 -> ((4L, 4.0)), 1000 -> ((9L, 9.0))),
+      s"got $got")
+    // tiny n: several permilles collapse onto the same rank — all report
+    val two = Seq(10.0, 20.0).toDF("x")
+    val g2 = Quality.quantileProfile(two, "x", Seq(0, 400, 600, 1000))
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    // lower-nearest: (2-1)*600 div 1000 = 0 — even 600 permille picks
+    // the first element at n = 2; only p = 1000 reaches the second
+    assert(g2 == Map(0 -> 10.0, 400 -> 10.0, 600 -> 10.0, 1000 -> 20.0), s"$g2")
+    // nulls drop; all-null and empty inputs yield the empty relation
+    val withNulls = Seq(Option(1.0), None, Option(3.0)).toDF("x")
+    assert(Quality.quantileProfile(withNulls, "x", Seq(1000))
+      .collect().head.getDouble(2) == 3.0)
+    assert(Quality.quantileProfile(withNulls.filter(col("x").isNull), "x").isEmpty)
+    intercept[IllegalArgumentException] {
+      Quality.quantileProfile(v, "x", Seq(1001))
+    }
+  }
 }
