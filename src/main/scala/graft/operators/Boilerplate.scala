@@ -228,11 +228,24 @@ object Boilerplate {
 
   /** The anchor doc-frequency relation: one row per distinct k-token
     * window hash with its DISTINCT-document count — the
-    * [[unitDocFreq]] twin at token granularity (`(anchor, doc_freq)`). */
+    * [[unitDocFreq]] twin at token granularity (`(anchor, doc_freq)`).
+    *
+    * The per-doc dedup happens INSIDE the row (`array_distinct` on the
+    * window-hash array) rather than in the aggregation: with it, each
+    * doc contributes each anchor exactly once, so the count is the
+    * distinct-doc frequency with ONE map-side-combinable exchange on
+    * the anchor — the `countDistinct(id)` form paid a second exchange
+    * on (anchor, id) for its dedup level, and at sf1's ~20M
+    * near-unique anchors that aggregation's hash state is the
+    * operator's dominant cost (measured in SCALING.md r15). */
   def spanAnchorFreq(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame =
-    anchorRel(df, idCol, textCol, k).groupBy("anchor")
-      .agg(countDistinct(col(idCol)).as("doc_freq"))
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val hashes = ColumnBridge.column(graft.functions.TokenWindowHashes(
+      ColumnBridge.expression(col(textCol)), k))
+    df.select(explode(array_distinct(hashes)).as("anchor"))
+      .groupBy("anchor").agg(count(lit(1)).as("doc_freq"))
+  }
 
   /** The span-strip step against an EXTERNALLY-supplied heavy anchor
     * relation (column `anchor` = the [[anchorRel]] 60-bit window hash)

@@ -297,57 +297,73 @@ object Quality {
     * integer-exact, no interpolation, so any engine reproduces it from
     * the row set alone; the oracle replays the same definition, q126).
     *
-    * Shape at scale — exact selection WITHOUT a global sort funnel:
-    * the values are range-partitioned and sorted within partitions,
-    * then the global rank is the within-partition `row_number` plus a
-    * per-partition offset from one bounded counts pass (the
-    * [[Export.balancedShards]] two-pass prefix-sum discipline applied
-    * to selection). The ranged relation is locally CHECKPOINTED before
-    * the two consumers read it: `repartitionByRange` derives its
-    * boundaries from a SAMPLING pass, and letting the counts job and
-    * the pick job each re-sample could hand them different partition
-    * boundaries — the offsets would then be wrong by construction, not
-    * by luck. One corpus materialization is the price of exactness
-    * here; approximate needs are served by the built-in
-    * `percentile_approx`. Targets join back as a broadcast.
+    * Shape at scale — exact selection with NO corpus-wide sort or
+    * shuffle at all: values are binned by a DETERMINISTIC equi-width
+    * split of the [min, max] range (pure projection — no
+    * repartitionByRange sampling job, and nothing to checkpoint
+    * because every pass recomputes the identical binning), one
+    * map-side-combined counts pass turns bin totals into exclusive
+    * offsets (≤ nBins rows on the driver), each target rank resolves
+    * to (bin, local index), and ONLY the ≤ |targets| candidate bins
+    * are exchanged and sorted — the corpus outside them is never
+    * shuffled. (The first cut range-partitioned + sorted the whole
+    * relation and then let the rank window re-exchange and re-sort it
+    * on the partition id — measured 26 CPU core-s at sf1 for an
+    * 8-value answer; this shape prices at the three scans plus
+    * candidate-bin-sized work.)
     *
-    * `(n−1)·p` is exact in a signed long for corpora to ~9·10^15 rows
-    * (p ≤ 1000); ANSI mode raises on overflow beyond it. */
+    * Heavily skewed columns can land a target in a mega-bin (the
+    * degenerate all-one-value column puts everything in bin 0); the
+    * candidate sort then carries that bin alone — raise `nBins` when a
+    * profile column is known skew-heavy. `(n−1)·p` is exact in a
+    * signed long to ~9·10^15 rows (p ≤ 1000); ANSI raises beyond. */
   def quantileProfile(df: DataFrame, valueCol: String,
-      permilles: Seq[Int] = Seq(0, 100, 250, 500, 750, 900, 990, 1000))
-      : DataFrame = {
+      permilles: Seq[Int] = Seq(0, 100, 250, 500, 750, 900, 990, 1000),
+      nBins: Int = 256): DataFrame = {
     require(permilles.nonEmpty, "quantileProfile needs at least one point")
     require(permilles.forall(p => p >= 0 && p <= 1000),
       s"permilles must be in [0, 1000], got $permilles")
+    require(nBins >= 1, s"nBins must be positive, got $nBins")
     val spark = df.sparkSession
     import spark.implicits._
     val vals = df.select(col(valueCol)).filter(col(valueCol).isNotNull)
-    val ranged = vals.repartitionByRange(col(valueCol))
-      .sortWithinPartitions(col(valueCol))
-      .select(col(valueCol),
-        org.apache.spark.sql.functions.spark_partition_id().as("__pid"))
-      .localCheckpoint(true)
-    // bounded: one row per partition
-    val counts = ranged.groupBy("__pid").agg(count(lit(1)).as("__c"))
-      .orderBy("__pid").collect()
-    val n = counts.foldLeft(0L)((a, r) => a + r.getLong(1))
+    val b = vals.agg(min(col(valueCol).cast("double")),
+      max(col(valueCol).cast("double")), count(lit(1))).head()
+    val n = b.getLong(2)
     if (n == 0L)
       return df.limit(0).select(lit(0).as("permille"),
         lit(0L).as("rank"), col(valueCol).as("value"))
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    // the binnedHistogram assignment arithmetic, reused verbatim so the
+    // two binnings in this method are one definition
+    val x = col(valueCol).cast("double")
+    val bin =
+      if (hi > lo)
+        least(floor(least(greatest((x - lit(lo)) / (lit(hi) - lit(lo)), lit(0.0)),
+          lit(1.0)) * lit(nBins)), lit(nBins.toLong - 1)).cast("int")
+      else lit(0)
+    val counts = vals.groupBy(bin.as("__bin")).agg(count(lit(1)).as("__c"))
+      .orderBy("__bin").collect()
     val offsets = {
       var acc = 0L
       counts.map { r => val off = acc; acc += r.getLong(1); (r.getInt(0), off) }
-    }.toMap
-    val offsetsDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
-    val targets = broadcast(permilles.distinct.sorted
-      .map(p => (p, (n - 1) * p / 1000)).toDF("permille", "rank"))
+    } // ascending __bin; exclusive prefix
+    val targets = permilles.distinct.sorted.map(p => (p, (n - 1) * p / 1000))
+    // resolve each target rank to its (bin, local index)
+    val resolved = targets.map { case (p, rank) =>
+      val i = offsets.lastIndexWhere(_._2 <= rank)
+      (p, rank, offsets(i)._1, rank - offsets(i)._2)
+    }
+    val candBins = resolved.map(_._3).distinct
+    val targetsDf = broadcast(resolved
+      .map { case (p, rank, bn, local) => (p, rank, bn, local) }
+      .toDF("permille", "rank", "__bin", "__local"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid").orderBy(valueCol)
-    ranged
-      .withColumn("__rk", row_number().over(w).cast("long") - 1L)
-      .join(offsetsDf, Seq("__pid"))
-      .withColumn("rank", col("__rk") + col("__off"))
-      .join(targets, Seq("rank"))
+      .partitionBy("__bin").orderBy(valueCol)
+    vals.withColumn("__bin", bin)
+      .filter(col("__bin").isin(candBins: _*))
+      .withColumn("__local", row_number().over(w).cast("long") - 1L)
+      .join(targetsDf, Seq("__bin", "__local"))
       .select(col("permille"), col("rank"), col(valueCol).as("value"))
       .orderBy("permille")
   }

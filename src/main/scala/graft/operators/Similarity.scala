@@ -672,17 +672,35 @@ object Similarity {
         col("nrm").as("c_nrm")))
 
   /** Nearest-centroid assignment (cell_cos desc, cell_id tiebreak) —
-    * shared by [[ivfIndex]] and [[ivfIndexExtend]]. */
+    * shared by [[ivfIndex]], [[ivfIndexExtend]] and the semantic-dedup
+    * family. The argmax is a PURE PER-ROW expression over the
+    * plan-embedded centroid table ([[graft.functions.NearestCell]]):
+    * the centroid relation is bounded by construction (the same bound
+    * that lets every IVF path broadcast it), so one bounded collect
+    * turns the whole assignment into a narrow projection — no
+    * n × nCells candidate cross, no exchange, no sort. The relational
+    * forms both lose at scale: a rank window shuffles the full cross
+    * with both vectors on every row (measured 3.6 GB at the sf3
+    * auto-cells point), and Spark plans the max_by aggregation's
+    * struct ordering as a SortAggregate that sorts the cross instead.
+    * Value-identical to the ROW_NUMBER phrasing every IVF oracle
+    * replays — the expression reuses FloatDotProduct's accumulation
+    * order and micro-floor, and mirrors its null-dot edge (null cos
+    * sorts last; all-null falls to the smallest cell_id) —
+    * q47/q78/q79/q80/q94/q105/q121 re-verified (SCALING.md r15). */
   private[operators] def ivfAssign(n: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val byCloseness = Window.partitionBy(idCol)
-      .orderBy(col("cell_cos").desc, col("cell_id"))
-    n.crossJoin(cents)
-      .withColumn("cell_cos",
-        cosMicroPre(dot(col(vecCol), col("c_vec")), col("nrm"), col("c_nrm")))
-      .withColumn("cell_rank", row_number().over(byCloseness))
-      .filter(col("cell_rank") === 1)
-      .select(col(idCol), col(vecCol), col("nrm"), col("cell_id").as("cell"))
+    val rows = cents.select(col("cell_id").cast("long"), col("c_vec"), col("c_nrm"))
+      .collect()
+    require(rows.nonEmpty, "ivfAssign: empty centroid relation")
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map(_.getSeq[Float](1).toArray)
+    val nrms = rows.map(_.getDouble(2))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cell = ColumnBridge.column(graft.functions.NearestCell(
+      ColumnBridge.expression(col(vecCol)),
+      ColumnBridge.expression(col("nrm")), ids, vecs, nrms))
+    n.select(col(idCol), col(vecCol), col("nrm"), cell.as("cell"))
   }
 
   /** The index rows for NEW vectors under an existing IVF index's
@@ -767,6 +785,31 @@ object Similarity {
       case Some(s) => Dedup.collapseToSurvivorsBy(vecs, pairs, idCol, s)
       case None => Dedup.collapseToSurvivors(vecs, pairs, idCol)
     }
+  }
+
+  /** Corpus-derived cell count for the semantic-dedup family: enough
+    * cells that expected occupancy ≈ `targetCellRows`, floor 1 — the
+    * [[lshAutoPlanes]] discipline in cell form. Within-cell pairing
+    * costs Σ cell² ≈ rows × targetCellRows under this rule, i.e.
+    * LINEAR in the corpus (measured: the fixed-8-cell q121 point ran
+    * 7.7× CPU at 3× data on the sf1→sf3 pair — the quadratic the
+    * operator contract warns about; the auto rule is the fix). */
+  def semanticCellsAuto(corpusRows: Long, targetCellRows: Long = 512): Int = {
+    require(targetCellRows >= 1, s"targetCellRows must be ≥ 1, got $targetCellRows")
+    math.max(1L, (corpusRows + targetCellRows - 1) / targetCellRows)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
+  /** [[semanticSurvivors]] with the cell count DERIVED from the corpus
+    * size ([[semanticCellsAuto]]) — the scale-safe front door. Pass
+    * `knownRows` to skip the sizing count when the caller already has
+    * it. */
+  def semanticSurvivorsAuto(vecs: DataFrame, idCol: String, vecCol: String,
+      minMicro: Long, scoreBy: Option[Column] = None,
+      targetCellRows: Long = 512, knownRows: Long = -1L): DataFrame = {
+    val rows = if (knownRows >= 0) knownRows else vecs.count()
+    semanticSurvivors(vecs, idCol, vecCol,
+      semanticCellsAuto(rows, targetCellRows), minMicro, scoreBy)
   }
 
   private def ivfStampParams(nCells: Int, dims: Int): Seq[(String, Int)] =

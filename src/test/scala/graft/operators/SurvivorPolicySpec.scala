@@ -98,4 +98,23 @@ class SurvivorPolicySpec extends SparkSpec {
     assert(kept.contains(30L))
     assert(kept == Set(1L, 10L, 20L, 21L, 30L), s"got $kept")
   }
+
+  test("semanticSurvivorsAuto: auto cell count equals the explicit form; boundaries exact") {
+    assert(Similarity.semanticCellsAuto(0) == 1)
+    assert(Similarity.semanticCellsAuto(512) == 1)
+    assert(Similarity.semanticCellsAuto(513) == 2)
+    assert(Similarity.semanticCellsAuto(1000000, 512) == 1954)
+    val auto = Similarity.semanticSurvivorsAuto(vecs, "vec_id", "embedding",
+        minMicro = 990000L, targetCellRows = 3)
+      .select("vec_id").as[Long].collect().toSet
+    val explicit = Similarity.semanticSurvivors(vecs, "vec_id", "embedding",
+        nCells = 3, minMicro = 990000L) // 7 rows / 3 per cell -> 3 cells
+      .select("vec_id").as[Long].collect().toSet
+    assert(auto == explicit)
+    // knownRows skips the sizing count but must not change the answer
+    val known = Similarity.semanticSurvivorsAuto(vecs, "vec_id", "embedding",
+        minMicro = 990000L, targetCellRows = 3, knownRows = 7L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(known == explicit)
+  }
 }
