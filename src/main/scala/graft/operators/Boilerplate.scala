@@ -247,6 +247,55 @@ object Boilerplate {
       .groupBy("anchor").agg(count(lit(1)).as("doc_freq"))
   }
 
+  /** KEEP-FIRST exact-substring dedup — the published tool's exact
+    * semantics ([[stripRepeatedSpans]] removes a repeated span from
+    * EVERY carrier, the boilerplate-strip reading; the suffix-array
+    * dedup tool keeps ONE occurrence). Per heavy window, the carrier
+    * with the SMALLEST id is canonical: a token position is removed
+    * iff some covering heavy window belongs to a different canonical
+    * carrier, so the min-id document keeps its copy and every other
+    * carrier loses it. Laws (BoilerplateSpec): the removal set is a
+    * subset of [[stripRepeatedSpans]]'s, and each repeated span
+    * survives verbatim in exactly its canonical carrier.
+    *
+    * Same 100 TB shape as the strip-all form — the frequency
+    * aggregation additionally carries `min(id)` in the same map-side-
+    * combinable pass, and the match join adds one `id =!= keeper`
+    * residual. */
+  def stripRepeatedSpansKeepFirst(df: DataFrame, idCol: String,
+      textCol: String, keptCol: String, k: Int, minDocs: Long,
+      broadcastHeavy: Boolean = true): DataFrame = {
+    require(k >= 2, s"k must be ≥ 2 (got $k)")
+    require(minDocs >= 2, s"minDocs must be ≥ 2 (got $minDocs)")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val hashes = ColumnBridge.column(graft.functions.TokenWindowHashes(
+      ColumnBridge.expression(col(textCol)), k))
+    val heavy = df
+      .select(col(idCol), explode(array_distinct(hashes)).as("anchor"))
+      .groupBy("anchor")
+      .agg(count(lit(1)).as("doc_freq"), min(col(idCol)).as("__keeper"))
+      .filter(col("doc_freq") >= minDocs)
+      .select("anchor", "__keeper")
+    val heavySide = if (broadcastHeavy) broadcast(heavy) else heavy.hint("merge")
+    val rel = anchorRel(df, idCol, textCol, k)
+    val cov = rel.join(heavySide, Seq("anchor"))
+      .filter(col(idCol) =!= col("__keeper")) // the canonical copy stays
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("__p"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__p")).as("__cov"))
+    val toks = tokensOf(col(textCol))
+    df.join(cov, Seq(idCol), "left")
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_removed",
+        when(col("__cov").isNull, lit(0L))
+          .otherwise(size(col("__cov")).cast("long")))
+      .withColumn(keptCol,
+        when(col("__cov").isNull, toks).otherwise(
+          filter(toks, (_, i) => !array_contains(col("__cov"), i))))
+      .drop("__cov")
+  }
+
   /** The span-strip step against an EXTERNALLY-supplied heavy anchor
     * relation (column `anchor` = the [[anchorRel]] 60-bit window hash)
     * — shared by [[stripRepeatedSpans]] (heavy = this relation's own

@@ -136,6 +136,22 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+
+  /** TD8c — KEEP-FIRST exact-substring dedup
+    * ([[Boilerplate.stripRepeatedSpansKeepFirst]]): the published
+    * suffix-array tool's semantics — each ≥ 12-token span repeated
+    * across ≥ 2 docs survives only in its smallest-id carrier. The
+    * oracle replays the per-anchor min-carrier rule alongside the
+    * window hashes. */
+  val q127SpanKeepFirst: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    Boilerplate.stripRepeatedSpansKeepFirst(t.documents, "doc_id", "text",
+        "__kept", k = 12, minDocs = 2)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        array_join(col("__kept"), " ").as("text_kept"))
+      .orderBy("doc_id")
+  }
+
   /** TD7 — the end-to-end curation pipeline a corpus user actually
     * runs, composed from the engine's layers:
     * quality gate ([[graft.functions.TextAnalysis.qualityKeep]]) →
@@ -559,7 +575,8 @@ object TrainingQueries {
     "q53_decontaminate" -> q53Decontaminate,
     "q109_boilerplate_strip" -> q109BoilerplateStrip,
     "q110_boilerplate_report" -> q110BoilerplateReport,
-    "q119_span_strip" -> q119SpanStrip)
+    "q119_span_strip" -> q119SpanStrip,
+    "q127_span_keepfirst" -> q127SpanKeepFirst)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -704,6 +721,29 @@ object TrainingQueries {
        |  GROUP BY anchor HAVING COUNT(DISTINCT doc_id) >= 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q127_span_keepfirst" ->
+      s"""WITH $spanCtes,
+         |keep AS (
+         |  SELECT anchor, min(doc_id) AS keeper FROM a3
+         |  GROUP BY anchor HAVING COUNT(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT DISTINCT doc_id, cv FROM (
+         |  SELECT a3.doc_id, unnest(range(pos, pos + 12)) AS cv
+         |  FROM a3 JOIN keep USING (anchor)
+         |  WHERE a3.doc_id <> keep.keeper)),
+         |tpos AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS i FROM toks),
+         |keptagg AS (
+         |  SELECT p.doc_id, string_agg(p.ts[p.i+1], ' ' ORDER BY p.i) AS text_kept
+         |  FROM tpos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.cv = p.i
+         |  WHERE c.cv IS NULL GROUP BY p.doc_id),
+         |covagg AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(ca.n_removed, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(ka.text_kept, '') AS text_kept
+         |FROM toks t
+         |LEFT JOIN covagg ca USING (doc_id)
+         |LEFT JOIN keptagg ka USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
     "q119_span_strip" ->
       s"""WITH $spanCtes,
          |cov AS (SELECT DISTINCT doc_id, cv FROM (

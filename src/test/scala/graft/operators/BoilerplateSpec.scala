@@ -193,4 +193,38 @@ class BoilerplateSpec extends SparkSpec {
     assert(out(0) == ((1L, "tail one", 1L)))
     assert(out(1) == ((2L, "tail two", 1L)))
   }
+
+  test("keep-first: the canonical carrier keeps the span; every other carrier loses it") {
+    val df = Seq(
+      (5L, "keep A B C D E tail"), // min-id carrier: canonical, untouched
+      (9L, "x A B C D E y"),
+      (12L, "A B C D E solo end here")
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.stripRepeatedSpansKeepFirst(df, "doc_id", "text",
+        "kept", k = 5, minDocs = 2)
+      .select(col("doc_id"), array_join(col("kept"), " ").as("t"), col("n_removed"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((5L, "keep A B C D E tail", 0L)), s"${out(0)}")
+    assert(out(1) == ((9L, "x y", 5L)))
+    assert(out(2) == ((12L, "solo end here", 5L)))
+  }
+
+  test("law: keep-first removes a subset of the strip-all form's removals") {
+    val df = Seq(
+      (1L, "alpha beta P Q R S gamma"),
+      (2L, "x P Q R S y"),
+      (3L, "P Q R S and then entirely different words"),
+      (4L, "nothing shared at all in this one")
+    ).toDF("doc_id", "text")
+    val all = Boilerplate.stripRepeatedSpans(df, "doc_id", "text",
+        "kept", k = 4, minDocs = 2)
+      .select(col("doc_id"), col("n_removed")).as[(Long, Long)].collect().toMap
+    val first = Boilerplate.stripRepeatedSpansKeepFirst(df, "doc_id", "text",
+        "kept", k = 4, minDocs = 2)
+      .select(col("doc_id"), col("n_removed")).as[(Long, Long)].collect().toMap
+    for (id <- all.keys) assert(first(id) <= all(id), s"doc $id: ${first(id)} > ${all(id)}")
+    // exactly one carrier of the shared span kept its copy
+    assert(first(1L) == 0L && first(2L) > 0L && first(3L) > 0L)
+    assert(first(4L) == 0L && all(4L) == 0L)
+  }
 }

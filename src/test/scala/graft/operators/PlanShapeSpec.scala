@@ -655,4 +655,31 @@ class PlanShapeSpec extends SparkSpec {
       s"only the doc-frequency aggregation may shuffle on unit (got $unitExchanges):\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("ivfAssign: the assignment is a narrow projection — no cross, no exchange, no sort") {
+    // the centroid argmax must stay the plan-embedded NearestCell
+    // expression: a candidate cross re-appearing here re-opens the
+    // 3.6 GB shuffle (rank window) or the cross sort (max_by as
+    // SortAggregate) the r15 study closed
+    // range-based, not a Seq local relation — Catalyst constant-folds a
+    // LocalRelation source straight to a LocalTableScan and the plan
+    // under test disappears
+    val vecs = spark.range(1, 51).select(col("id").as("vec_id"),
+      array((col("id") % 7 + 1).cast("float"),
+        (col("id") % 5 + 1).cast("float")).as("embedding"))
+    val ix = Similarity.ivfIndex(vecs, "vec_id", "embedding", nCells = 2, dims = 2)
+    ix.collect()
+    val plan = ix.queryExecution.executedPlan.toString.split("Initial Plan").head
+    assert(plan.contains("nearest_cell"),
+      s"assignment must be the per-row NearestCell expression:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"no candidate cross may exist in the assignment plan:\n$plan")
+    assert(!plan.contains("Window"), "no rank window in the assignment")
+    assert(!plan.contains("SortAggregate"), "no sorted aggregation in the assignment")
+    // the only exchange is the prescribed cell-clustering repartition
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 1,
+      s"only the cell-clustering repartition may exchange (got $exchanges):\n$plan")
+  }
 }
