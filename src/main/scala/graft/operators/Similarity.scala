@@ -692,7 +692,12 @@ object Similarity {
       vecCol: String): DataFrame = {
     val rows = cents.select(col("cell_id").cast("long"), col("c_vec"), col("c_nrm"))
       .collect()
-    require(rows.nonEmpty, "ivfAssign: empty centroid relation")
+    // empty centroid relation (empty-corpus bootstrap, q78's shape):
+    // the relational form produced zero assigned rows from the empty
+    // cross — preserve that, not a construction-time throw
+    if (rows.isEmpty)
+      return n.filter(lit(false))
+        .select(col(idCol), col(vecCol), col("nrm"), lit(0L).as("cell"))
     val ids = rows.map(_.getLong(0))
     val vecs = rows.map(_.getSeq[Float](1).toArray)
     val nrms = rows.map(_.getDouble(2))

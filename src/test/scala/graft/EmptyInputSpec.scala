@@ -34,4 +34,22 @@ class EmptyInputSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"${failures.size} queries fail on empty input:\n${failures.mkString("\n")}")
   }
+
+  test("empty corpus: IVF build, semantic dedup and span dedup construct and run") {
+    import spark.implicits._
+    val noVecs = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    // construction must not throw (q78's bootstrap constructs the build
+    // BEFORE its isEmpty check), and the run yields the empty relation
+    val ix = graft.operators.Similarity.ivfIndex(noVecs, "vec_id", "embedding", 8, 4)
+    assert(ix.isEmpty)
+    assert(graft.operators.Similarity.semanticSurvivors(
+      noVecs, "vec_id", "embedding", nCells = 4, minMicro = 900000L).isEmpty)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Boilerplate.stripRepeatedSpans(
+      noDocs, "doc_id", "text", "kept", 4, 2).isEmpty)
+    assert(graft.operators.Boilerplate.stripRepeatedSpansKeepFirst(
+      noDocs, "doc_id", "text", "kept", 4, 2).isEmpty)
+    assert(graft.operators.Temporal.rollingActive(
+      Seq.empty[(Long, Long)].toDF("u", "ts"), "u", "ts").isEmpty)
+  }
 }
