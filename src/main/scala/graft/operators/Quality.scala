@@ -367,4 +367,41 @@ object Quality {
       .select(col("permille"), col("rank"), col(valueCol).as("value"))
       .orderBy("permille")
   }
+
+  /** GROUPED exact quantile profile — [[quantileProfile]] per key
+    * group: `(keys…, permille, rank, value)` with the same
+    * lower-nearest definition evaluated inside every group (the
+    * per-language length percentiles / per-source score distributions
+    * a corpus report tabulates). One hash shuffle on the keys and one
+    * window pass compute rank and group size together; rows whose
+    * 0-based rank equals a target `(n_g−1)·p div 1000` survive — the
+    * output is bounded by groups × points, nothing is collected, and
+    * there is no per-group driver loop. Group skew = group size
+    * (standard window-partition sizing applies); the single-column
+    * global form with its candidate-bin pruning is [[quantileProfile]]. */
+  def groupedQuantiles(df: DataFrame, keys: Seq[String], valueCol: String,
+      permilles: Seq[Int] = Seq(0, 250, 500, 750, 1000)): DataFrame = {
+    require(keys.nonEmpty, "groupedQuantiles needs at least one key column")
+    require(permilles.nonEmpty, "groupedQuantiles needs at least one point")
+    require(permilles.forall(p => p >= 0 && p <= 1000),
+      s"permilles must be in [0, 1000], got $permilles")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(valueCol)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    val ranked = df.select((keys.map(col) :+ col(valueCol)): _*)
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__rk", row_number().over(w).cast("long") - 1L)
+      .withColumn("__n", count(lit(1)).over(wAll))
+    // `div`, not `/`: Column `/` is double division, and (n−1)·p must
+    // stay exact long arithmetic (the quantileProfile discipline)
+    val points = permilles.distinct.sorted.map(p =>
+      struct(lit(p).as("permille"),
+        expr(s"((__n - 1) * $p) div 1000").cast("long").as("rank")))
+    ranked
+      .withColumn("__pt", explode(filter(array(points: _*),
+        pt => pt.getField("rank") === col("__rk"))))
+      .select((keys.map(col) :+ col("__pt.permille").as("permille") :+
+        col("__pt.rank").as("rank") :+ col(valueCol).as("value")): _*)
+  }
 }

@@ -400,6 +400,17 @@ object CleaningQueries {
     graft.operators.Quality.quantileProfile(t.lineitem, "l_extendedprice")
   }
 
+
+  /** DQ grouped quantiles — [[graft.operators.Quality.groupedQuantiles]]:
+    * per-language document-length percentiles in one window pass (the
+    * corpus-report table), same lower-nearest integer definition as
+    * q126, replayed per group by the oracle. */
+  val q128GroupedQuantiles: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    graft.operators.Quality.groupedQuantiles(t.documents, Seq("lang"), "n_chars")
+      .orderBy("lang", "permille", "rank", "value")
+  }
+
   /** DQ profile — per-column row/null/distinct counts and min/max from
     * one scan ([[graft.operators.Quality.profile]]), over the orders
     * table's key and status columns. */
@@ -510,6 +521,7 @@ object CleaningQueries {
     "q122_audio_header" -> q122AudioHeader,
     "q123_video_header" -> q123VideoHeader,
     "q126_quantiles" -> q126Quantiles,
+    "q128_grouped_quantiles" -> q128GroupedQuantiles,
     "q64_geocode" -> q64Geocode)
 
   // ------------------------------------------------------------- oracle SQL
@@ -725,6 +737,18 @@ object CleaningQueries {
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY custkey""".stripMargin,
+    "q128_grouped_quantiles" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |t AS (SELECT * FROM (VALUES (0),(250),(500),(750),(1000)) ps(p))
+        |SELECT lang, CAST(t.p AS INT) AS permille,
+        |  CAST((r.n - 1) * t.p // 1000 AS BIGINT) AS rank,
+        |  n_chars AS value
+        |FROM r JOIN t ON r.rk = (r.n - 1) * t.p // 1000
+        |ORDER BY lang, permille, rank, value""".stripMargin,
     "q126_quantiles" ->
       """WITH v AS (SELECT l_extendedprice AS x FROM lineitem
         |           WHERE l_extendedprice IS NOT NULL),

@@ -167,4 +167,25 @@ class QualitySpec extends SparkSpec {
       Quality.quantileProfile(v, "x", Seq(1001))
     }
   }
+
+  test("groupedQuantiles: per-group lower-nearest picks; ties and single-row groups") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),
+      ("b", 10.0), // single-row group: every permille hits rank 0
+      ("c", 7.0), ("c", 7.0) // duplicate values: rank picks are stable
+    ).toDF("k", "x")
+    val got = Quality.groupedQuantiles(df, Seq("k"), "x", Seq(0, 500, 1000))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(got == Map(
+      ("a", 0) -> 1.0, ("a", 500) -> 3.0, ("a", 1000) -> 5.0,
+      ("b", 0) -> 10.0, ("b", 500) -> 10.0, ("b", 1000) -> 10.0,
+      ("c", 0) -> 7.0, ("c", 500) -> 7.0, ("c", 1000) -> 7.0), s"got $got")
+    // null values drop inside their group, not the group itself
+    val withNull = Seq(("a", Option(1.0)), ("a", None), ("a", Option(9.0)))
+      .toDF("k", "x")
+    val g2 = Quality.groupedQuantiles(withNull, Seq("k"), "x", Seq(1000))
+      .collect().map(r => r.getDouble(3))
+    assert(g2.toSeq == Seq(9.0))
+  }
 }
