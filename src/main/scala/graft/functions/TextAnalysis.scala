@@ -134,6 +134,52 @@ object TextAnalysis {
   def matchCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 
+  // --------------------------------------------------------- script detection
+
+  /** Unicode-block ranges for script detection, in PRIORITY order (the
+    * dominant-script tiebreak). BMP-only by design: Spark's Java regex
+    * counts UTF-16 units and DuckDB's RE2 counts codepoints, and the
+    * two agree exactly on Basic-Multilingual-Plane classes — an astral
+    * range would split a surrogate pair on one engine only. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\u00C0-\u024F]",
+    "cyrillic" -> "[\u0400-\u04FF]",
+    "greek" -> "[\u0370-\u03FF]",
+    "arabic" -> "[\u0600-\u06FF]",
+    "cjk" -> "[\u4E00-\u9FFF]",
+    "hangul" -> "[\uAC00-\uD7AF]",
+    "kana" -> "[\u3040-\u30FF]")
+
+  /** Per-script letter counts ([[matchCount]] per range). */
+  def scriptCounts(text: Column): Seq[(String, Column)] =
+    ScriptRanges.map { case (n, p) => n -> matchCount(text, p) }
+
+  /** Per-script permille of the script-letter total — the curation
+    * signal behind script filters ("keep Latin-dominant", "route CJK
+    * to its own tokenizer"). Zero script letters → every share 0.
+    * `floor` over the double quotient, NOT integer `div`: both engines
+    * evaluate the identical IEEE sequence (BIGINT/BIGINT is double
+    * division in DuckDB too), so the floor agrees bit for bit. */
+  def scriptShares(text: Column): Seq[(String, Column)] = {
+    val counts = scriptCounts(text)
+    val total = counts.map(_._2).reduce(_ + _)
+    counts.map { case (n, c) =>
+      s"${n}_permille" ->
+        when(total > 0, floor(c * lit(1000) / total)).otherwise(lit(0))
+          .cast("long")
+    }
+  }
+
+  /** The script with the highest letter count, ties to [[ScriptRanges]]
+    * order; `none` when no script letter occurs. */
+  def dominantScript(text: Column): Column = {
+    val counts = scriptCounts(text)
+    val top = greatest(counts.map(_._2): _*)
+    coalesce((counts.map { case (n, c) =>
+      when(c === top && c > 0, lit(n))
+    } :+ lit("none")): _*)
+  }
+
   // ---------------------------------------------------------- fingerprinting
 
   /** Character k-grams of a string (empty array when shorter than k). */

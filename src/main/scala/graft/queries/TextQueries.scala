@@ -105,13 +105,32 @@ object TextQueries {
       .limit(50)
   }
 
+
+  /** TX7 — Unicode-script detection ([[TA.scriptShares]] /
+    * [[TA.dominantScript]]): per-doc Latin and CJK letter shares and
+    * the dominant script — the signal behind "keep Latin-dominant" /
+    * "route CJK to its own tokenizer" curation filters. The zh slice
+    * makes the CJK branch real; shares are floor(count·1000/total)
+    * with both engines running the identical double division. */
+  val q129ScriptShares: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val shares = TA.scriptShares(col("text")).toMap
+    t.documents.select(
+      col("doc_id"), col("lang"),
+      shares("latin_permille").as("latin_permille"),
+      shares("cjk_permille").as("cjk_permille"),
+      TA.dominantScript(col("text")).as("dominant"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q21_token_stats" -> q21TokenStats,
     "q22_lang_id" -> q22LangId,
     "q23_quality" -> q23Quality,
     "q24_fingerprint" -> q24Fingerprint,
     "q41_pii_redact" -> q41PiiRedact,
-    "q42_vocab_topk" -> q42VocabTopK)
+    "q42_vocab_topk" -> q42VocabTopK,
+    "q129_script_shares" -> q129ScriptShares)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -142,6 +161,24 @@ object TextQueries {
        |  ELSE [] END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q129_script_shares" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{024F}]')) AS c_latin,
+        |    len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS c_cyrillic,
+        |    len(regexp_extract_all(text, '[\x{0370}-\x{03FF}]')) AS c_greek,
+        |    len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS c_arabic,
+        |    len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS c_cjk,
+        |    len(regexp_extract_all(text, '[\x{AC00}-\x{D7AF}]')) AS c_hangul,
+        |    len(regexp_extract_all(text, '[\x{3040}-\x{30FF}]')) AS c_kana
+        |  FROM documents),
+        |t AS (SELECT *, c_latin + c_cyrillic + c_greek + c_arabic
+        |        + c_cjk + c_hangul + c_kana AS total FROM c)
+        |SELECT doc_id, lang,
+        |  CAST(CASE WHEN total > 0 THEN floor(c_latin * 1000 / total) ELSE 0 END AS BIGINT) AS latin_permille,
+        |  CAST(CASE WHEN total > 0 THEN floor(c_cjk * 1000 / total) ELSE 0 END AS BIGINT) AS cjk_permille,
+        |  CASE WHEN c_latin = greatest(c_latin, c_cyrillic, c_greek, c_arabic, c_cjk, c_hangul, c_kana) AND c_latin > 0 THEN 'latin' WHEN c_cyrillic = greatest(c_latin, c_cyrillic, c_greek, c_arabic, c_cjk, c_hangul, c_kana) AND c_cyrillic > 0 THEN 'cyrillic' WHEN c_greek = greatest(c_latin, c_cyrillic, c_greek, c_arabic, c_cjk, c_hangul, c_kana) AND c_greek > 0 THEN 'greek' WHEN c_arabic = greatest(c_latin, c_cyrillic, c_greek, c_arabic, c_cjk, c_hangul, c_kana) AND c_arabic > 0 THEN 'arabic' WHEN c_cjk = greatest(c_latin, c_cyrillic, c_greek, c_arabic, c_cjk, c_hangul, c_kana) AND c_cjk > 0 THEN 'cjk' WHEN c_hangul = greatest(c_latin, c_cyrillic, c_greek, c_arabic, c_cjk, c_hangul, c_kana) AND c_hangul > 0 THEN 'hangul' WHEN c_kana = greatest(c_latin, c_cyrillic, c_greek, c_arabic, c_cjk, c_hangul, c_kana) AND c_kana > 0 THEN 'kana' ELSE 'none' END AS dominant
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q21_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
