@@ -296,6 +296,32 @@ object Boilerplate {
       .drop("__cov")
   }
 
+  /** INTRA-document span dedup — the per-row complement of the
+    * cross-document forms: every k-token window that re-occurs INSIDE
+    * one document keeps only its first occurrence; positions covered
+    * by later occurrences are removed (the generation-loop repetition
+    * strip a training pipeline runs alongside
+    * [[TrainingData.repetitionFacets]]' detection). Entirely one
+    * projection ([[graft.functions.IntraDupPositions]] + an indexed
+    * array filter) — a corpus-wide repetition strip with NO shuffle
+    * anywhere, the cheapest possible 100 TB shape. Same output
+    * contract as the span family: `n_tokens`, `n_removed`, `keptCol`. */
+  def dedupeIntraDocSpans(df: DataFrame, idCol: String, textCol: String,
+      keptCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be ≥ 2 (got $k)")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cov = ColumnBridge.column(graft.functions.IntraDupPositions(
+      ColumnBridge.expression(col(textCol)), k))
+    val toks = tokensOf(col(textCol))
+    df.withColumn("__cov", cov)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_removed", size(col("__cov")).cast("long"))
+      .withColumn(keptCol,
+        when(size(col("__cov")) === 0, toks).otherwise(
+          filter(toks, (_, i) => !array_contains(col("__cov"), i))))
+      .drop("__cov")
+  }
+
   /** The span-strip step against an EXTERNALLY-supplied heavy anchor
     * relation (column `anchor` = the [[anchorRel]] 60-bit window hash)
     * — shared by [[stripRepeatedSpans]] (heavy = this relation's own

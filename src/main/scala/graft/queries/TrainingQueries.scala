@@ -152,6 +152,23 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+
+  /** TD8d — INTRA-document span dedup
+    * ([[Boilerplate.dedupeIntraDocSpans]]): repeated 2-token windows
+    * inside one document keep only their first occurrence — the
+    * repetition STRIP beside q55's detection facets, and the cheapest
+    * shape in the engine (one projection, zero shuffle). k = 2 makes
+    * the mask real on this corpus (~350 of 500 docs carry an
+    * intra-doc repeated bigram at sf0.01). */
+  val q130IntraDedupe: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    Boilerplate.dedupeIntraDocSpans(t.documents, "doc_id", "text",
+        "__kept", k = 2)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        array_join(col("__kept"), " ").as("text_kept"))
+      .orderBy("doc_id")
+  }
+
   /** TD7 — the end-to-end curation pipeline a corpus user actually
     * runs, composed from the engine's layers:
     * quality gate ([[graft.functions.TextAnalysis.qualityKeep]]) →
@@ -576,7 +593,8 @@ object TrainingQueries {
     "q109_boilerplate_strip" -> q109BoilerplateStrip,
     "q110_boilerplate_report" -> q110BoilerplateReport,
     "q119_span_strip" -> q119SpanStrip,
-    "q127_span_keepfirst" -> q127SpanKeepFirst)
+    "q127_span_keepfirst" -> q127SpanKeepFirst,
+    "q130_intra_dedupe" -> q130IntraDedupe)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -721,6 +739,36 @@ object TrainingQueries {
        |  GROUP BY anchor HAVING COUNT(DISTINCT doc_id) >= 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q130_intra_dedupe" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS ts
+         |  FROM documents),
+         |anch AS (
+         |  SELECT doc_id, unnest(range(0, len(ts) - 1)) AS pos, ts
+         |  FROM toks WHERE len(ts) >= 2),
+         |a3 AS (
+         |  SELECT doc_id, pos,
+         |    ${h60("array_to_string(ts[pos+1 : pos+2], ' ')")} AS anchor
+         |  FROM anch),
+         |f AS (SELECT doc_id, anchor, min(pos) AS fp FROM a3 GROUP BY 1, 2),
+         |cov AS (SELECT DISTINCT doc_id, cv FROM (
+         |  SELECT a3.doc_id, unnest(range(a3.pos, a3.pos + 2)) AS cv
+         |  FROM a3 JOIN f USING (doc_id, anchor) WHERE a3.pos > f.fp)),
+         |tpos AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS i FROM toks),
+         |keptagg AS (
+         |  SELECT p.doc_id, string_agg(p.ts[p.i+1], ' ' ORDER BY p.i) AS text_kept
+         |  FROM tpos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.cv = p.i
+         |  WHERE c.cv IS NULL GROUP BY p.doc_id),
+         |covagg AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(len(t.ts) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(ca.n_removed, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(ka.text_kept, '') AS text_kept
+         |FROM toks t
+         |LEFT JOIN covagg ca USING (doc_id)
+         |LEFT JOIN keptagg ka USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
     "q127_span_keepfirst" ->
       s"""WITH $spanCtes,
          |keep AS (

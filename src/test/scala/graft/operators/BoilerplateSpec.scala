@@ -227,4 +227,27 @@ class BoilerplateSpec extends SparkSpec {
     assert(first(1L) == 0L && first(2L) > 0L && first(3L) > 0L)
     assert(first(4L) == 0L && all(4L) == 0L)
   }
+
+  test("intra-doc span dedup: later occurrences lose their windows; first survives; cross-doc untouched") {
+    val df = Seq(
+      (1L, "a b c X a b c"), // "a b" and "b c" re-occur: positions 4-6 covered
+      (2L, "no repeats in here at all"),
+      (3L, "a b c d"), // shares bigrams with doc 1 — cross-doc must NOT trigger
+      (4L, "w w w w") // self-overlapping run: all but the first window covered
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.dedupeIntraDocSpans(df, "doc_id", "text", "kept", k = 2)
+      .select(col("doc_id"), array_join(col("kept"), " ").as("t"),
+        col("n_tokens"), col("n_removed"))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "a b c X", 7L, 3L)), s"${out(0)}")
+    assert(out(1) == ((2L, "no repeats in here at all", 6L, 0L)))
+    assert(out(2) == ((3L, "a b c d", 4L, 0L)), "intra-doc only")
+    // "w w" at 0,1,2: windows 1 and 2 are dups -> positions 1,2,3 covered
+    assert(out(3) == ((4L, "w", 4L, 3L)), s"${out(3)}")
+    // docs under k tokens untouched; empty text is empty
+    val tiny = Seq((9L, "solo"), (10L, "")).toDF("doc_id", "text")
+    val t2 = Boilerplate.dedupeIntraDocSpans(tiny, "doc_id", "text", "kept", k = 2)
+      .select(col("doc_id"), col("n_removed")).as[(Long, Long)].collect().toMap
+    assert(t2 == Map(9L -> 0L, 10L -> 0L))
+  }
 }
