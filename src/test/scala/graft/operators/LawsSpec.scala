@@ -422,4 +422,38 @@ class LawsSpec extends SparkSpec {
     val got = once.collect().map(r => Option(r.getString(0))).toSeq
     assert(got == Seq(Some("x"), None, None, None, None, None, Some(" ."), Some("n."), Some("NAN")))
   }
+
+  test("span-dedup laws: k-monotonicity, keep-first <= strip-all, intra <= tokens") {
+    // seeded adversarial corpus: small vocabulary forces real repeats
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e")
+      val docs = (0 until 40).map { i =>
+        (i.toLong, (0 until (5 + rnd.nextInt(30)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      def removedAll(k: Int) =
+        Boilerplate.stripRepeatedSpans(docs, "doc_id", "text", "kept", k, 2)
+          .select(col("doc_id"), col("n_removed")).as[(Long, Long)].collect().toMap
+      def removedFirst(k: Int) =
+        Boilerplate.stripRepeatedSpansKeepFirst(docs, "doc_id", "text", "kept", k, 2)
+          .select(col("doc_id"), col("n_removed")).as[(Long, Long)].collect().toMap
+      val a3 = removedAll(3); val a5 = removedAll(5); val f3 = removedFirst(3)
+      val nTok = Boilerplate.dedupeIntraDocSpans(docs, "doc_id", "text", "kept", 3)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"))
+        .as[(Long, Long, Long)].collect()
+      for (id <- a3.keys) {
+        // a longer window can only repeat where the shorter did
+        assert(a5(id) <= a3(id), s"seed $seed doc $id: k-monotonicity")
+        // keeping the canonical copy never removes more
+        assert(f3(id) <= a3(id), s"seed $seed doc $id: keep-first subset")
+      }
+      nTok.foreach { case (id, n, r) =>
+        assert(r <= n, s"seed $seed doc $id: intra removal bounded by tokens")
+      }
+      // the small vocabulary must actually produce repeats, or the law
+      // run is vacuous
+      assert(a3.values.sum > 0, s"seed $seed: no repeats generated")
+    }
+  }
 }
