@@ -682,4 +682,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 1,
       s"only the cell-clustering repartition may exchange (got $exchanges):\n$plan")
   }
+
+  test("JSON partitioned layout: the partition-column filter prunes directories") {
+    val out = java.nio.file.Files.createTempDirectory("graft-json-plan").toString
+    val docs = spark.read.parquet(sfDir + "/documents.parquet")
+      .select("doc_id", "text", "lang", "n_chars")
+    docs.write.mode("overwrite").partitionBy("lang").json(out)
+    val plan = physicalPlan(
+      spark.read.schema(docs.schema).json(out)
+        .filter(col("lang") === "zh" && col("n_chars") >= 100))
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"lang must prune partitions at the JSON scan:\n$plan")
+    // value predicates do not push into the JSON reader (no row-group
+    // stats to push to) — but they must not silently disappear either
+    assert(plan.contains("n_chars"), s"the value filter must survive:\n$plan")
+  }
 }
