@@ -169,6 +169,31 @@ object TrainingQueries {
       .orderBy("doc_id")
   }
 
+
+  /** TD8e — the composed r15 repetition-removal chain, each layer
+    * feeding the next over the REWRITTEN text: intra-document span
+    * dedup (k = 2) → cross-document KEEP-FIRST span dedup (k = 12) →
+    * line-level boilerplate strip (8-word chunks, minDocs = 2). The
+    * oracle chains the same three derivations over the same
+    * intermediate texts, so the hash match proves the layers compose
+    * exactly — including that earlier layers' rewrites change what
+    * later layers see. */
+  val q131CurationChain: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val s1 = Boilerplate.dedupeIntraDocSpans(t.documents, "doc_id", "text",
+        "__k1", k = 2)
+      .select(col("doc_id"), array_join(col("__k1"), " ").as("text"))
+    val s2 = Boilerplate.stripRepeatedSpansKeepFirst(s1, "doc_id", "text",
+        "__k2", k = 12, minDocs = 2)
+      .select(col("doc_id"), array_join(col("__k2"), " ").as("text"))
+    Boilerplate.stripRepeatedUnits(s2, "doc_id", chunkLines(col("text")),
+        "__k3", minDocs = 2)
+      .select(col("doc_id"),
+        array_join(col("__k3"), "\n").as("text_kept"),
+        col("n_stripped"))
+      .orderBy("doc_id")
+  }
+
   /** TD7 — the end-to-end curation pipeline a corpus user actually
     * runs, composed from the engine's layers:
     * quality gate ([[graft.functions.TextAnalysis.qualityKeep]]) →
@@ -594,7 +619,8 @@ object TrainingQueries {
     "q110_boilerplate_report" -> q110BoilerplateReport,
     "q119_span_strip" -> q119SpanStrip,
     "q127_span_keepfirst" -> q127SpanKeepFirst,
-    "q130_intra_dedupe" -> q130IntraDedupe)
+    "q130_intra_dedupe" -> q130IntraDedupe,
+    "q131_curation_chain" -> q131CurationChain)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -739,6 +765,76 @@ object TrainingQueries {
        |  GROUP BY anchor HAVING COUNT(DISTINCT doc_id) >= 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q131_curation_chain" ->
+      s"""WITH t_s1 AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS ts
+         |  FROM documents),
+         |a_s1 AS (
+         |  SELECT doc_id, unnest(range(0, len(ts) - 2 + 1)) AS pos, ts
+         |  FROM t_s1 WHERE len(ts) >= 2),
+         |h_s1 AS (
+         |  SELECT doc_id, pos,
+         |    ${h60(s"array_to_string(ts[pos+1 : pos+2], ' ')")} AS anchor
+         |  FROM a_s1),
+         |f_s1 AS (SELECT doc_id, anchor, min(pos) AS fp FROM h_s1 GROUP BY 1, 2),
+         |c_s1 AS (SELECT DISTINCT doc_id, cv FROM (
+         |  SELECT h_s1.doc_id, unnest(range(h_s1.pos, h_s1.pos + 2)) AS cv
+         |  FROM h_s1 JOIN f_s1 USING (doc_id, anchor)
+         |  WHERE h_s1.pos > f_s1.fp)),
+         |q_s1 AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS i FROM t_s1),
+         |g_s1 AS (
+         |  SELECT p.doc_id, string_agg(p.ts[p.i+1], ' ' ORDER BY p.i) AS text_kept
+         |  FROM q_s1 p LEFT JOIN c_s1 c ON c.doc_id = p.doc_id AND c.cv = p.i
+         |  WHERE c.cv IS NULL GROUP BY p.doc_id),
+         |s1 AS (
+         |  SELECT t_s1.doc_id, COALESCE(g_s1.text_kept, '') AS text
+         |  FROM t_s1 LEFT JOIN g_s1 USING (doc_id)),
+         |t_s2 AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS ts
+         |  FROM s1),
+         |a_s2 AS (
+         |  SELECT doc_id, unnest(range(0, len(ts) - 12 + 1)) AS pos, ts
+         |  FROM t_s2 WHERE len(ts) >= 12),
+         |h_s2 AS (
+         |  SELECT doc_id, pos,
+         |    ${h60(s"array_to_string(ts[pos+1 : pos+12], ' ')")} AS anchor
+         |  FROM a_s2),
+         |k_s2 AS (
+         |  SELECT anchor, min(doc_id) AS keeper FROM h_s2
+         |  GROUP BY anchor HAVING COUNT(DISTINCT doc_id) >= 2),
+         |c_s2 AS (SELECT DISTINCT doc_id, cv FROM (
+         |  SELECT h_s2.doc_id, unnest(range(pos, pos + 12)) AS cv
+         |  FROM h_s2 JOIN k_s2 USING (anchor)
+         |  WHERE h_s2.doc_id <> k_s2.keeper)),
+         |q_s2 AS (SELECT doc_id, ts, unnest(range(0, len(ts))) AS i FROM t_s2),
+         |g_s2 AS (
+         |  SELECT p.doc_id, string_agg(p.ts[p.i+1], ' ' ORDER BY p.i) AS text_kept
+         |  FROM q_s2 p LEFT JOIN c_s2 c ON c.doc_id = p.doc_id AND c.cv = p.i
+         |  WHERE c.cv IS NULL GROUP BY p.doc_id),
+         |s2 AS (
+         |  SELECT t_s2.doc_id, COALESCE(g_s2.text_kept, '') AS text
+         |  FROM t_s2 LEFT JOIN g_s2 USING (doc_id)),
+         |lined3 AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(0, (len(regexp_split_to_array(trim(text), '\\s+'))-1)//8),
+         |      i -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[i*8+1 : i*8+8], ' ')) AS lines
+         |  FROM s2),
+         |ex3 AS (SELECT doc_id, trim(unnest(lines)) AS unit FROM lined3),
+         |heavy3 AS (
+         |  SELECT unit FROM ex3 WHERE unit <> ''
+         |  GROUP BY unit HAVING COUNT(DISTINCT doc_id) >= 2),
+         |hits3 AS (
+         |  SELECT e.doc_id, list(DISTINCT e.unit) AS hu, COUNT(*) AS n_stripped
+         |  FROM ex3 e JOIN heavy3 h USING (unit) GROUP BY e.doc_id)
+         |SELECT l.doc_id,
+         |  COALESCE(array_to_string(list_filter(l.lines,
+         |    x -> trim(x) = '' OR NOT list_contains(COALESCE(h.hu, []), trim(x))),
+         |    chr(10)), '') AS text_kept,
+         |  CAST(COALESCE(h.n_stripped, 0) AS BIGINT) AS n_stripped
+         |FROM lined3 l LEFT JOIN hits3 h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q130_intra_dedupe" ->
       s"""WITH toks AS (
          |  SELECT doc_id,
