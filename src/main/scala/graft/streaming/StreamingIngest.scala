@@ -911,11 +911,13 @@ object StreamingIngest {
   def boilerplateScreenStream(stream: DataFrame, freqDir: String,
       outDir: String, checkpoint: String, idCol: String, textCol: String,
       minDocs: Long, compactFreqAtFiles: Int = 0,
-      broadcastHeavy: Boolean = true): DataStreamWriter[Row] =
+      broadcastHeavy: Boolean = true,
+      gates: BatchGates = BatchGates()): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         boilerplateBatch(batch.toDF(), batchId, freqDir, outDir, idCol,
-          textCol, minDocs, compactFreqAtFiles, broadcastHeavy)
+          textCol, minDocs, compactFreqAtFiles, broadcastHeavy,
+          gates = gates)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -923,7 +925,8 @@ object StreamingIngest {
   private[graft] def boilerplateBatch(batch: DataFrame, batchId: Long,
       freqDir: String, outDir: String, idCol: String, textCol: String,
       minDocs: Long, compactFreqAtFiles: Int, broadcastHeavy: Boolean = true,
-      failAfterStep: Int = Int.MaxValue): Unit = {
+      failAfterStep: Int = Int.MaxValue,
+      gates: BatchGates = BatchGates()): Unit = {
     import graft.operators.{Boilerplate, Checkpoints, IndexOps}
     require(minDocs >= 2,
       s"boilerplateScreenStream: minDocs must be ≥ 2 (got $minDocs)")
@@ -933,6 +936,7 @@ object StreamingIngest {
       throw new IllegalStateException(
         s"boilerplateBatch: test failpoint after step $n")
     if (isCommitted(spark, outDir, batchId)) return
+    runBatchGates(batch, batchId, gates, gateReportDir(outDir))
     Checkpoints.scoped(spark) {
       val units = split(col(textCol), "\n", -1)
       val outCols = batch.columns.map(col).toIndexedSeq
@@ -1032,11 +1036,13 @@ object StreamingIngest {
   def spanScreenStream(stream: DataFrame, freqDir: String,
       outDir: String, checkpoint: String, idCol: String, textCol: String,
       k: Int, minDocs: Long, compactFreqAtFiles: Int = 0,
-      broadcastHeavy: Boolean = true): DataStreamWriter[Row] =
+      broadcastHeavy: Boolean = true,
+      gates: BatchGates = BatchGates()): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         spanScreenBatch(batch.toDF(), batchId, freqDir, outDir, idCol,
-          textCol, k, minDocs, compactFreqAtFiles, broadcastHeavy)
+          textCol, k, minDocs, compactFreqAtFiles, broadcastHeavy,
+          gates = gates)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -1045,7 +1051,8 @@ object StreamingIngest {
       freqDir: String, outDir: String, idCol: String, textCol: String,
       k: Int, minDocs: Long, compactFreqAtFiles: Int,
       broadcastHeavy: Boolean = true,
-      failAfterStep: Int = Int.MaxValue): Unit = {
+      failAfterStep: Int = Int.MaxValue,
+      gates: BatchGates = BatchGates()): Unit = {
     import graft.operators.{Boilerplate, Checkpoints, IndexOps}
     require(minDocs >= 2,
       s"spanScreenStream: minDocs must be \u2265 2 (got $minDocs)")
@@ -1056,6 +1063,7 @@ object StreamingIngest {
       throw new IllegalStateException(
         s"spanScreenBatch: test failpoint after step $n")
     if (isCommitted(spark, outDir, batchId)) return
+    runBatchGates(batch, batchId, gates, gateReportDir(outDir))
     Checkpoints.scoped(spark) {
       val outCols = batch.columns.map(col).toIndexedSeq
       val delta = Boilerplate.spanAnchorFreq(batch, idCol, textCol, k)

@@ -209,4 +209,32 @@ class BoilerplateStreamSpec extends SparkSpec {
     runSpan(Seq((3L, "K L M N three")).toDF("doc_id", "text"), 2L, freqDir, outDir, compactAt = 2)
     assert(spanRows(outDir)(3L) == (("three", 4L)))
   }
+
+  test("both screens honor the per-batch ingest gates: evidence rows, refusal before state") {
+    val gates = StreamingIngest.BatchGates(
+      keyBalance = Some(StreamingIngest.KeyBalanceGate(Seq("src"), maxSharePermille = 600)),
+      refuse = true)
+    val hot = Seq(
+      (1L, "alpha beta gamma delta", "z"),
+      (2L, "epsilon zeta eta theta", "z")
+    ).toDF("doc_id", "text", "src")
+    // unit screen
+    val f1 = tmp("gate-bp-freq"); val o1 = tmp("gate-bp-out")
+    intercept[IllegalStateException] {
+      StreamingIngest.boilerplateBatch(hot, 0L, f1, o1, "doc_id", "text",
+        minDocs = 2, compactFreqAtFiles = 0, gates = gates)
+    }
+    val g1 = spark.read.parquet(StreamingIngest.gateReportDir(o1)).collect()
+    assert(g1.length == 1 && g1.head.getAs[Boolean]("violated"))
+    assert(!new java.io.File(o1).listFiles().exists(_.getName.startsWith("b0-")),
+      "refusal must land before any publish")
+    // span screen: flag-only mode still publishes and admits
+    val f2 = tmp("gate-sp-freq"); val o2 = tmp("gate-sp-out")
+    StreamingIngest.spanScreenBatch(hot, 0L, f2, o2, "doc_id", "text",
+      k = 3, minDocs = 2, compactFreqAtFiles = 0,
+      gates = gates.copy(refuse = false))
+    assert(spark.read.parquet(o2).count() == 2, "flag mode admits")
+    val g2 = spark.read.parquet(StreamingIngest.gateReportDir(o2)).collect()
+    assert(g2.length == 1 && g2.head.getAs[Boolean]("violated"))
+  }
 }
