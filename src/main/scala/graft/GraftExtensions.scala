@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AudioHeader, FloatDotProduct, ImageHeader, LshBuckets, MinHashSig, SimHash60, TokenModeCount, TokenShingles, TopKByScore, VideoHeader}
+import graft.functions.{AudioHeader, FloatDotProduct, ImageHeader, IntraDupPositions, LshBuckets, MinHashSig, SimHash60, TokenModeCount, TokenShingles, TokenWindowHashes, TopKByScore, VideoHeader}
 
 /** Session extension entry point: registers the engine's native
   * expressions with the SQL function registry, so `spark.sql` users get
@@ -189,6 +189,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, s"video_header takes 1 argument, got ${exprs.length}")
         VideoHeader(exprs.head)
+      }))
+    // the span-dedup derivations (r15): ad-hoc SQL access to the same
+    // 60-bit window hashes and intra-doc duplicate masks the operators
+    // compute, for corpus forensics without the Scala API
+    def intConst(e: Expression, name: String): Int = e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long =>
+        require(l >= 1 && l <= Int.MaxValue, s"$name out of range: $l")
+        l.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$name must be an integral constant, got $other")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("token_window_hashes"),
+      new ExpressionInfo(
+        classOf[TokenWindowHashes].getCanonicalName,
+        "", "token_window_hashes",
+        "_FUNC_(text, k) - 60-bit hash per k-token window start (the span-dedup anchors).",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"token_window_hashes takes 2 arguments, got ${exprs.length}")
+        TokenWindowHashes(exprs.head, intConst(exprs(1), "k"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("intra_dup_positions"),
+      new ExpressionInfo(
+        classOf[IntraDupPositions].getCanonicalName,
+        "", "intra_dup_positions",
+        "_FUNC_(text, k) - 0-based token positions covered by a non-first intra-document repeated k-window.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"intra_dup_positions takes 2 arguments, got ${exprs.length}")
+        IntraDupPositions(exprs.head, intConst(exprs(1), "k"))
       }))
   }
 }

@@ -103,4 +103,21 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getLong(3) == 500L) // 1000 data bytes / blockAlign 2
     assert(row.getLong(4) == 30000L)
   }
+
+  test("the span-dedup derivations are callable from SQL") {
+    val row = spark.sql(
+      """SELECT
+        |  size(token_window_hashes('a b c d', 2)) AS n_windows,
+        |  size(token_window_hashes('a b', 3)) AS too_short,
+        |  intra_dup_positions('a b X a b', 2) AS dup_pos,
+        |  intra_dup_positions('all distinct words here', 2) AS clean""".stripMargin)
+      .collect()(0)
+    assert(row.getInt(0) == 3)
+    assert(row.getInt(1) == 0)
+    assert(row.getSeq[Int](2) == Seq(3, 4), s"got ${row.getSeq[Int](2)}")
+    assert(row.getSeq[Int](3).isEmpty)
+    // the SQL hash equals the operator-side h60 of the joined window
+    val h = spark.sql("SELECT token_window_hashes('x y', 2)[0] AS h").collect()(0).getLong(0)
+    assert(h == graft.functions.Hashing.h60Jvm("x y"))
+  }
 }
