@@ -186,6 +186,24 @@ object TemporalQueries {
       .orderBy("bucket")
   }
 
+
+  /** CONVERSION LATENCY — the funnel composed with the exact quantile
+    * profile: signup→purchase time (micros) for full completions,
+    * profiled at six permille points. The oracle chains q114's funnel
+    * CTEs into q126's rank replay, so the hash match proves the two
+    * layers compose exactly. */
+  val q132ConversionLatency: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val conv = Temporal.funnel(t.events, "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"),
+        maxSpanSec = Some(20L * 86400L))
+      .filter(col("steps_completed") === 4)
+      .select((unix_micros(col("t_4")) - unix_micros(col("t_1")))
+        .as("latency_us"))
+    graft.operators.Quality.quantileProfile(conv, "latency_us",
+      Seq(0, 250, 500, 750, 900, 1000))
+  }
+
   val all: Map[String, Q] = Map(
     "q118_retention" -> q118Retention,
     "q124_rolling_active" -> q124RollingActive,
@@ -195,7 +213,8 @@ object TemporalQueries {
     "q85_asof_nearest" -> q85AsofNearest,
     "q86_resample_locf" -> q86ResampleLocf,
     "q87_range_auto" -> q87RangeAuto,
-    "q114_funnel" -> q114Funnel)
+    "q114_funnel" -> q114Funnel,
+    "q132_conversion_latency" -> q132ConversionLatency)
 
   /** Shared oracle CTE: gap-sessionization of one event_type stratum
     * (the SQL twin of [[Temporal.sessionIntervals]]). */
@@ -229,7 +248,47 @@ object TemporalQueries {
   /** q114's conversion window in microseconds (20 days). */
   private val FunnelSpanUs = 20L * 86400L * 1000000L
 
+  /** q114's s1..s4 funnel CTE chain, shared with q132's latency replay. */
+  private lazy val funnelCtes: String =
+    s"""s1 AS (
+       |  SELECT user_id, min(ts) AS t_1 FROM events
+       |  WHERE event_type = 'signup' GROUP BY user_id),
+       |s2 AS (
+       |  SELECT s1.user_id, s1.t_1, min(e.ts) AS t_2
+       |  FROM s1 LEFT JOIN events e
+       |    ON e.user_id = s1.user_id AND e.event_type = 'view'
+       |   AND e.ts > s1.t_1
+       |   AND epoch_us(e.ts) <= epoch_us(s1.t_1) + $FunnelSpanUs
+       |  GROUP BY s1.user_id, s1.t_1),
+       |s3 AS (
+       |  SELECT s2.user_id, s2.t_1, s2.t_2, min(e.ts) AS t_3
+       |  FROM s2 LEFT JOIN events e
+       |    ON e.user_id = s2.user_id AND e.event_type = 'click'
+       |   AND e.ts > s2.t_2
+       |   AND epoch_us(e.ts) <= epoch_us(s2.t_1) + $FunnelSpanUs
+       |  GROUP BY s2.user_id, s2.t_1, s2.t_2),
+       |s4 AS (
+       |  SELECT s3.user_id, s3.t_1, s3.t_2, s3.t_3, min(e.ts) AS t_4
+       |  FROM s3 LEFT JOIN events e
+       |    ON e.user_id = s3.user_id AND e.event_type = 'purchase'
+       |   AND e.ts > s3.t_3
+       |   AND epoch_us(e.ts) <= epoch_us(s3.t_1) + $FunnelSpanUs
+       |  GROUP BY s3.user_id, s3.t_1, s3.t_2, s3.t_3)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q132_conversion_latency" ->
+      s"""WITH $funnelCtes,
+         |conv AS (
+         |  SELECT epoch_us(t_4) - epoch_us(t_1) AS latency_us
+         |  FROM s4 WHERE t_4 IS NOT NULL),
+         |n AS (SELECT count(*) AS n FROM conv),
+         |r AS (SELECT latency_us,
+         |        row_number() OVER (ORDER BY latency_us) - 1 AS rk FROM conv),
+         |t AS (SELECT p, (n - 1) * p // 1000 AS target FROM n,
+         |      (VALUES (0),(250),(500),(750),(900),(1000)) ps(p))
+         |SELECT CAST(t.p AS INT) AS permille, CAST(t.target AS BIGINT) AS rank,
+         |  r.latency_us AS value
+         |FROM t JOIN r ON r.rk = t.target ORDER BY permille""".stripMargin,
     "q124_rolling_active" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
         |           WHERE value >= 150.0 AND user_id IS NOT NULL AND ts IS NOT NULL),
@@ -260,30 +319,7 @@ object TemporalQueries {
         |FROM uw JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q114_funnel" ->
-      s"""WITH s1 AS (
-         |  SELECT user_id, min(ts) AS t_1 FROM events
-         |  WHERE event_type = 'signup' GROUP BY user_id),
-         |s2 AS (
-         |  SELECT s1.user_id, s1.t_1, min(e.ts) AS t_2
-         |  FROM s1 LEFT JOIN events e
-         |    ON e.user_id = s1.user_id AND e.event_type = 'view'
-         |   AND e.ts > s1.t_1
-         |   AND epoch_us(e.ts) <= epoch_us(s1.t_1) + $FunnelSpanUs
-         |  GROUP BY s1.user_id, s1.t_1),
-         |s3 AS (
-         |  SELECT s2.user_id, s2.t_1, s2.t_2, min(e.ts) AS t_3
-         |  FROM s2 LEFT JOIN events e
-         |    ON e.user_id = s2.user_id AND e.event_type = 'click'
-         |   AND e.ts > s2.t_2
-         |   AND epoch_us(e.ts) <= epoch_us(s2.t_1) + $FunnelSpanUs
-         |  GROUP BY s2.user_id, s2.t_1, s2.t_2),
-         |s4 AS (
-         |  SELECT s3.user_id, s3.t_1, s3.t_2, s3.t_3, min(e.ts) AS t_4
-         |  FROM s3 LEFT JOIN events e
-         |    ON e.user_id = s3.user_id AND e.event_type = 'purchase'
-         |   AND e.ts > s3.t_3
-         |   AND epoch_us(e.ts) <= epoch_us(s3.t_1) + $FunnelSpanUs
-         |  GROUP BY s3.user_id, s3.t_1, s3.t_2, s3.t_3)
+      s"""WITH $funnelCtes
          |SELECT user_id, t_1, t_2, t_3, t_4,
          |  CAST((CASE WHEN t_1 IS NULL THEN 0 ELSE 1 END)
          |     + (CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END)
