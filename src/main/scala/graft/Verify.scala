@@ -50,7 +50,12 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name filter (dev loop —
+    // re-verify just the queries under work; the driver passes 2 args)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, None)
+      case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,7 +65,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Verify.run(spark, sfDir, outDir, SparkEntry.queries, SparkEntry.oracleSql)
+    val qs = only.fold(SparkEntry.queries)(f =>
+      SparkEntry.queries.view.filterKeys(f).toMap)
+    val sql = only.fold(SparkEntry.oracleSql)(f =>
+      SparkEntry.oracleSql.view.filterKeys(f).toMap)
+    Verify.run(spark, sfDir, outDir, qs, sql)
     spark.stop()
   }
 }

@@ -404,4 +404,45 @@ object Quality {
       .select((keys.map(col) :+ col("__pt.permille").as("permille") :+
         col("__pt.rank").as("rank") :+ col(valueCol).as("value")): _*)
   }
+
+  /** Per-group IQR outlier report — Tukey fences over the EXACT grouped
+    * quartiles of [[groupedQuantiles]]: a row is an outlier when
+    * `2·value < 2·q250 − 3·iqr` (low) or `2·value > 2·q750 + 3·iqr`
+    * (high), `iqr = q750 − q250`. The ×2 form IS the classic
+    * `q ∓ 1.5·IQR` fence with both sides doubled, so no 1.5 literal and
+    * no division exists anywhere — for integer value columns the test is
+    * exact long arithmetic, and for doubles both engines evaluate the
+    * identical (−, ×, +, <) sequence, so the oracle agrees bit-for-bit.
+    *
+    * Output `(keys…, n, q250, q750, n_out_lo, n_out_hi)` — the
+    * distribution-health row a DQ dashboard keeps per segment (the
+    * robust-fence complement of [[distributionDrift]]'s binned view:
+    * fences don't need a reference snapshot).
+    *
+    * Shape at scale: one window pass for the quartiles (group-bounded
+    * output), the bounds relation is groups-sized and BROADCASTS back
+    * onto the corpus, then one aggregation — the value column is scanned
+    * twice (quantiles need global ranks; fences need the bounds first)
+    * and shuffled twice on the same keys, never more. */
+  def iqrOutlierReport(df: DataFrame, keys: Seq[String],
+      valueCol: String): DataFrame = {
+    val q = groupedQuantiles(df, keys, valueCol, Seq(250, 750))
+    val bounds = q.groupBy(keys.map(col): _*).agg(
+      min(when(col("permille") === 250, col("value"))).as("q250"),
+      min(when(col("permille") === 750, col("value"))).as("q750"))
+    val v = col(valueCol)
+    val iqr = col("q750") - col("q250")
+    val lo = (v * lit(2) < col("q250") * lit(2) - lit(3) * iqr)
+    val hi = (v * lit(2) > col("q750") * lit(2) + lit(3) * iqr)
+    df.select((keys.map(col) :+ v): _*)
+      .filter(v.isNotNull)
+      .join(broadcast(bounds), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("q250")).as("q250"),
+        min(col("q750")).as("q750"),
+        sum(when(lo, 1L).otherwise(0L)).as("n_out_lo"),
+        sum(when(hi, 1L).otherwise(0L)).as("n_out_hi"))
+  }
 }

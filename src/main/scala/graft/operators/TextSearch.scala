@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ranked keyword retrieval over a document corpus — the inverted-index
+  * family a curation/analytics engine needs once the corpus is big enough
+  * that "grep it" stops being a plan: build a postings relation once,
+  * derive document frequencies and integer rarity weights from it, and
+  * answer conjunctive top-k queries by touching only the query terms'
+  * postings.
+  *
+  * Engine extension beyond the reference surface (the reference's text
+  * handling is row-local cleaning — `prep/down_water_prep.py` has no
+  * retrieval path); the operator family follows the classic
+  * inverted-index / TF-IDF construction from the IR literature, with the
+  * idf replaced by an integer rarity weight so the DuckDB oracle replays
+  * scoring bit-for-bit (the repo-wide integer-exactness discipline —
+  * IEEE `ln` is not portable across engines, integer `div` is).
+  *
+  * Scale posture (100 TB corpus):
+  *  - [[postings]] is ONE explode + ONE (term, doc) aggregation — the
+  *    corpus body is scanned once and only (term, doc_id, tf) longs
+  *    shuffle. Materialize it partitioned by `term` and searches never
+  *    touch the corpus again.
+  *  - [[searchTopK]] filters postings to the ≤|terms| query terms BEFORE
+  *    anything shuffles (on a term-partitioned store that is partition
+  *    pruning); document frequencies for scoring come from the same
+  *    filtered slice (df of a term only needs that term's postings), so
+  *    the per-query cost is proportional to the matched postings, never
+  *    the corpus. The rarity relation is ≤|terms| rows and broadcasts;
+  *    the final top-k is an orderBy+limit, which Spark plans as
+  *    TakeOrderedAndProject — per-partition heaps, no global sort.
+  */
+object TextSearch {
+
+  /** Search tokenization contract: lowercase alphanumeric runs. Chosen
+    * over [[graft.functions.TextAnalysis.tokensBpe]] for the index path
+    * because retrieval wants case-folded, punctuation-free terms; RE2-safe
+    * so the oracle's regexp engine agrees match-for-match. */
+  val TermPattern = "[a-z0-9]+"
+  def searchTerms(text: Column): Column =
+    regexp_extract_all(lower(text), lit(TermPattern), lit(0))
+
+  /** Postings relation `(term, <idCol>, tf)` — one row per (term,
+    * document) with the in-document occurrence count. The inverted-index
+    * build: one corpus scan, one hash aggregation keyed (term, id); at
+    * scale, write it out partitioned/bucketed by `term` so query-time
+    * term filters become partition pruning. */
+  def postings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(searchTerms(col(textCol))).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Document frequencies `(term, df)` from a [[postings]] relation —
+    * postings are distinct per (term, doc) by construction, so df is a
+    * plain count, no distinct re-shuffle. */
+  def docFrequencies(post: DataFrame): DataFrame =
+    post.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** The integer rarity weight standing in for idf: `(n_docs * 1000) div
+    * df` — monotone in 1/df like idf, but exact long arithmetic on both
+    * engines (a df=corpus term weighs 1000, a df=1 hapax weighs
+    * n_docs·1000). Columns `(term, df, rarity)`. */
+  def rarityTable(post: DataFrame, nDocs: DataFrame): DataFrame =
+    docFrequencies(post)
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df"),
+        expr("(n_docs * 1000) div df").cast("long").as("rarity"))
+
+  /** Conjunctive ranked search: documents containing ALL of `terms`,
+    * scored `Σ_t tf_t · rarity_t` (rarer terms dominate), top `k` by
+    * (score desc, id asc — deterministic under ties). Output
+    * `(<idCol>, score)`.
+    *
+    * The term filter lands on the postings build's explode output before
+    * any shuffle (or prunes partitions on a materialized term-partitioned
+    * store); every aggregation downstream is over matched postings only
+    * (≤ |terms| × matching docs rows). The conjunction check is
+    * `count(*) = |terms|` on the per-doc group — postings are (term, doc)
+    * distinct so no countDistinct re-shuffle is needed. */
+  def searchTopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val qTerms = terms.map(_.toLowerCase).distinct
+    require(qTerms.nonEmpty, "searchTopK needs at least one term")
+    require(k > 0, s"k must be positive, got $k")
+    require(qTerms.forall(_.matches(TermPattern)),
+      s"query terms must be lowercase alphanumeric runs, got $terms")
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    // the explicit isNotNull matches the conjunct the scoring join infers
+    // on its side — without it the two postings subtrees canonicalize
+    // differently and the exchange-reuse below is lost
+    val post = postings(df, idCol, textCol)
+      .filter(col("term").isin(qTerms.map(lit): _*) && col("term").isNotNull)
+    // df = Σ [tf > 0] — value-identical to count(*) (postings always have
+    // tf ≥ 1) but it REFERENCES tf, which keeps this subtree's postings
+    // aggregate byte-identical to the scoring branch's: a plain count
+    // lets the column pruner strip tf here, the two plans stop
+    // canonicalizing equal, and the corpus scans+explodes TWICE. With
+    // the shared shape AQE reuses ONE postings exchange (PlanShapeSpec).
+    val rarity = post.groupBy("term")
+      .agg(sum((col("tf") > lit(0L)).cast("long")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), expr("(n_docs * 1000) div df").cast("long").as("rarity"))
+    post
+      .join(broadcast(rarity), "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nt"),
+        sum(col("tf") * col("rarity")).as("score"))
+      .filter(col("__nt") === qTerms.size)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

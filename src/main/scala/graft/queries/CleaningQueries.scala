@@ -411,6 +411,29 @@ object CleaningQueries {
       .orderBy("lang", "permille", "rank", "value")
   }
 
+  /** DQ robust-fence outliers — [[graft.operators.Quality.iqrOutlierReport]]:
+    * per-event-type Tukey-fence counts over exact grouped quartiles (the
+    * doubled-inequality form, so both engines run the identical IEEE
+    * sequence on the double `value` column — no 1.5 literal, no divide). */
+  val q137IqrOutliers: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    graft.operators.Quality.iqrOutlierReport(t.events, Seq("event_type"), "value")
+      .orderBy("event_type")
+  }
+
+  /** Entity resolution — [[graft.operators.FuzzyMatch.fuzzyPairs]]:
+    * part-name pairs within Levenshtein 3, candidates from disjoint
+    * 3-segment blocking (80 pairs from 274 candidates over 64 names at
+    * sf0.01 — never the all-pairs cross). The oracle rebuilds the same
+    * segments with the same integer boundary arithmetic and DuckDB's
+    * own levenshtein. */
+  val q139FuzzyMatch: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val names = t.part.groupBy("p_name").agg(min("p_partkey").as("name_id"))
+    graft.operators.FuzzyMatch.fuzzyPairs(names, "name_id", "p_name", maxDist = 3)
+      .orderBy("a_id", "b_id")
+  }
+
   /** DQ profile — per-column row/null/distinct counts and min/max from
     * one scan ([[graft.operators.Quality.profile]]), over the orders
     * table's key and status columns. */
@@ -522,6 +545,8 @@ object CleaningQueries {
     "q123_video_header" -> q123VideoHeader,
     "q126_quantiles" -> q126Quantiles,
     "q128_grouped_quantiles" -> q128GroupedQuantiles,
+    "q137_iqr_outliers" -> q137IqrOutliers,
+    "q139_fuzzy_match" -> q139FuzzyMatch,
     "q64_geocode" -> q64Geocode)
 
   // ------------------------------------------------------------- oracle SQL
@@ -737,6 +762,41 @@ object CleaningQueries {
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY custkey""".stripMargin,
+    "q139_fuzzy_match" ->
+      """WITH names AS (
+        |  SELECT min(p_partkey) AS id, p_name AS s FROM part GROUP BY p_name),
+        |segs AS (
+        |  SELECT id, s, i AS seg_idx,
+        |    substr(s, 1 + (i * length(s)) // 3,
+        |      ((i + 1) * length(s)) // 3 - (i * length(s)) // 3) AS seg
+        |  FROM names, (VALUES (0), (1), (2)) t(i)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.s AS a_s, b.s AS b_s
+        |  FROM segs a JOIN segs b
+        |    ON a.seg_idx = b.seg_idx AND a.seg = b.seg AND a.id < b.id)
+        |SELECT a_id, b_id, CAST(levenshtein(a_s, b_s) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(a_s, b_s) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q137_iqr_outliers" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN rk = (n - 1) * 250 // 1000 THEN value END) AS q250,
+        |    min(CASE WHEN rk = (n - 1) * 750 // 1000 THEN value END) AS q750
+        |  FROM r GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n, min(b.q250) AS q250,
+        |  min(b.q750) AS q750,
+        |  CAST(SUM(CASE WHEN 2 * value < 2 * q250 - 3 * (q750 - q250)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_out_lo,
+        |  CAST(SUM(CASE WHEN 2 * value > 2 * q750 + 3 * (q750 - q250)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_out_hi
+        |FROM events e JOIN b USING (event_type)
+        |WHERE value IS NOT NULL
+        |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
     "q128_grouped_quantiles" ->
       """WITH r AS (
         |  SELECT lang, n_chars,

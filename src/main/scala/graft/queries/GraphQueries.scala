@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.operators.Graph
+import graft.queries.ParityQueries.Q
+
+/** Graph-analytics queries over the part co-occurrence graph (parts
+  * appearing in the same order — the lineitem self-join on l_orderkey):
+  * [[graft.operators.Graph]] fixed-point integer PageRank and connected
+  * components. The graph is degree-varied (42–206 out-edges per part at
+  * sf0.01) and its ≥2-co-occurrence subgraph splits into real components,
+  * so both operators do non-trivial work; the oracle rebuilds the same
+  * edges and replays the integer iterations (unrolled CTEs for the fixed
+  * PageRank rounds, a recursive reachability closure for components).
+  */
+object GraphQueries {
+
+  val PrIters = 5
+
+  /** The part co-occurrence graph at `minCount` —
+    * [[Graph.coOccurrenceEdges]] over (order, part) memberships,
+    * symmetric by construction. */
+  private def coEdges(spark: SparkSession, dir: String,
+      minCount: Long): DataFrame =
+    Graph.coOccurrenceEdges(
+      Tables(spark, dir).lineitem.select("l_orderkey", "l_partkey"),
+      "l_orderkey", "l_partkey", minCount)
+      .select("src", "dst")
+
+  /** GR1 — PageRank over the simple (distinct-pair) co-occurrence graph:
+    * 5 integer power iterations, full (node, rank) relation. */
+  val q135PageRank: Q = (spark, dir) =>
+    Graph.pageRankFixed(coEdges(spark, dir, minCount = 1L), PrIters)
+      .orderBy("node")
+
+  /** GR2 — connected components of the ≥2-co-occurrence subgraph (parts
+    * co-ordered at least twice): 8 components + a giant one at sf0.01,
+    * cluster_id = component-minimum part key. */
+  val q136GraphComponents: Q = (spark, dir) =>
+    Graph.components(coEdges(spark, dir, minCount = 2L))
+      .orderBy("node")
+
+  /** GR3 — per-node triangle counts on the same ≥2 subgraph (96
+    * triangles over 288 corner rows at sf0.01): the oriented
+    * wedge-closing scheme, orientation-invariant counts replayed by the
+    * oracle with plain id-orientation. */
+  val q138Triangles: Q = (spark, dir) =>
+    Graph.triangleCounts(coEdges(spark, dir, minCount = 2L))
+      .orderBy("node")
+
+  val all: Map[String, Q] = Map(
+    "q135_pagerank" -> q135PageRank,
+    "q136_graph_components" -> q136GraphComponents,
+    "q138_triangles" -> q138Triangles)
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private val coCte =
+    """co AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)""".stripMargin
+
+  /** One unrolled PageRank round: rank_i+1(v) = 150000 +
+    * (85 · Σ_{u→v} rank_i(u) // out_deg(u)) // 100 — the exact integer
+    * twin of [[Graph.pageRankFixed]]'s iteration. */
+  private def prRound(i: Int): String =
+    s"""r$i AS (
+       |  SELECT n.node,
+       |    CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS node, SUM(r.rank // d.out_deg) AS s
+       |    FROM co e JOIN deg d USING (src)
+       |    JOIN r${i - 1} r ON r.node = e.src
+       |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q135_pagerank" ->
+      s"""WITH $coCte,
+         |deg AS (SELECT src, COUNT(*) AS out_deg FROM co GROUP BY src),
+         |nodes AS (SELECT src AS node FROM co UNION SELECT dst FROM co),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+         |${(1 to PrIters).map(prRound).mkString(",\n")}
+         |SELECT node, rank FROM r$PrIters ORDER BY node""".stripMargin,
+    "q136_graph_components" ->
+      """WITH RECURSIVE cnt AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS n
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT src, dst FROM cnt WHERE n >= 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+        |reach(a, b) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
+        |SELECT a AS node, CAST(min(b) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY node""".stripMargin,
+    // id-orientation, not the engine's degree-orientation: the triangle
+    // SET is invariant under any acyclic orientation (each triangle is
+    // closed from exactly one corner), so the per-node counts agree.
+    "q138_triangles" ->
+      """WITH cnt AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS n
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT src, dst FROM cnt WHERE n >= 2),
+        |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |        FROM e WHERE src <> dst),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |GROUP BY node ORDER BY node""".stripMargin)
+}

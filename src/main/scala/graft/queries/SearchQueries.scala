@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextSearch
+import graft.queries.ParityQueries.Q
+
+/** Ranked keyword-retrieval queries over the `documents` corpus —
+  * [[graft.operators.TextSearch]]: inverted-index postings, integer
+  * rarity weights, conjunctive top-k search. The oracle rebuilds the
+  * identical postings (same lowercase-alnum tokenization, RE2-safe) and
+  * replays the integer scoring exactly.
+  */
+object SearchQueries {
+
+  /** The q133 query terms: common corpus words (df ≈ 0.8·N at sf0.01)
+    * whose conjunction still ranks — 260 of 500 docs match all three,
+    * so the top-k heap is doing real work. */
+  val QueryTerms = Seq("query", "scan", "merge")
+  val TopK = 20
+
+  /** SR1 — conjunctive ranked search: docs containing ALL query terms,
+    * scored Σ tf·rarity, top-20 (score desc, doc_id tiebreak). */
+  val q133SearchTopK: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    TextSearch.searchTopK(t.documents, "doc_id", "text", QueryTerms, TopK)
+  }
+
+  /** SR2 — the IDF-table build: corpus document frequencies with the
+    * integer rarity weight, top-100 by (df desc, term) — the head of
+    * the vocabulary a query planner would cache. Distinct from q42's
+    * occurrence counts: df counts DOCUMENTS containing the term. */
+  val q134RarityTable: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
+    TextSearch.rarityTable(
+        TextSearch.postings(t.documents, "doc_id", "text"), nDocs)
+      .orderBy(col("df").desc, col("term"))
+      .limit(100)
+  }
+
+  val all: Map[String, Q] = Map(
+    "q133_search_topk" -> q133SearchTopK,
+    "q134_rarity_table" -> q134RarityTable)
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private val postCte =
+    """post AS (
+      |  SELECT term, doc_id, COUNT(*) AS tf FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |    FROM documents)
+      |  GROUP BY term, doc_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q133_search_topk" -> {
+      val inList = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH $postCte,
+         |q AS (SELECT * FROM post WHERE term IN ($inList)),
+         |tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |rar AS (
+         |  SELECT term, (tot.n_docs * 1000) // COUNT(*) AS rarity
+         |  FROM q, tot GROUP BY term, tot.n_docs),
+         |s AS (
+         |  SELECT q.doc_id, COUNT(*) AS nt, SUM(q.tf * rar.rarity) AS score
+         |  FROM q JOIN rar USING (term) GROUP BY q.doc_id)
+         |SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
+         |WHERE nt = ${QueryTerms.size}
+         |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+    },
+    "q134_rarity_table" ->
+      s"""WITH $postCte,
+         |tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |rar AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         |    CAST((tot.n_docs * 1000) // COUNT(*) AS BIGINT) AS rarity
+         |  FROM post, tot GROUP BY term, tot.n_docs)
+         |SELECT term, df, rarity FROM rar
+         |ORDER BY df DESC, term LIMIT 100""".stripMargin)
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1↔2 cycle, 1→3 dangling sink, 4→1 source with no in-edges
+  private def edges = Seq(
+    (1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L)).toDF("src", "dst")
+
+  test("nodesOf and outDegrees") {
+    assert(Graph.nodesOf(edges).as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    assert(Graph.outDegrees(edges).as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (2L, 1L), (4L, 1L)))
+  }
+
+  test("pageRankFixed: two hand-computed integer iterations") {
+    // r0 = 1,000,000 everywhere.
+    // iter1: in(1) = r0(2)/1 + r0(4)/1 = 2,000,000 → 150000 + 1,700,000 = 1,850,000
+    //        in(2) = r0(1) div 2 = 500,000       → 150000 +   425,000 =   575,000
+    //        in(3) = 500,000                      →   575,000
+    //        in(4) = ∅                            →   150,000
+    // iter2: in(1) = 575,000 + 150,000 = 725,000  → 150000 + 616,250 =   766,250
+    //        in(2) = 1,850,000 div 2 = 925,000    → 150000 + 786,250 =   936,250
+    //        in(3) = 925,000                      →   936,250
+    //        in(4) = ∅                            →   150,000
+    val got = Graph.pageRankFixed(edges, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 766250L, 2L -> 936250L, 3L -> 936250L, 4L -> 150000L))
+  }
+
+  test("pageRankFixed: rank floor is exactly 150000 for in-edge-free nodes at any iters") {
+    val got = Graph.pageRankFixed(edges, iters = 5).as[(Long, Long)].collect().toMap
+    assert(got(4L) == 150000L)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("components: per-component minimum ids over the undirected view") {
+    val e = Seq((2L, 1L), (2L, 3L), (7L, 8L)).toDF("src", "dst")
+    val got = Graph.components(e).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("coOccurrenceEdges: symmetric counts, minCount threshold, group cap") {
+    val m = Seq(
+      ("g1", 1L), ("g1", 2L), ("g1", 3L),
+      ("g2", 1L), ("g2", 2L),
+      ("g3", 4L)).toDF("g", "item")
+    val got = Graph.coOccurrenceEdges(m, "g", "item")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 2L), (2L, 1L, 2L), (1L, 3L, 1L), (3L, 1L, 1L),
+      (2L, 3L, 1L), (3L, 2L, 1L)))
+    val thresholded = Graph.coOccurrenceEdges(m, "g", "item", minCount = 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(thresholded == Set((1L, 2L, 2L), (2L, 1L, 2L)))
+    // the 3-item group is dropped whole by the cap; g2 survives
+    val capped = Graph.coOccurrenceEdges(m, "g", "item", maxGroupItems = 2L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("triangleCounts: shared-edge triangles, orientation-duplicate input, hub-free counts") {
+    // triangles {1,2,3} and {2,3,4} share edge 2–3; edge 4–5 closes nothing.
+    // Input deliberately carries both orientations + a self-loop to prove
+    // canonicalization.
+    val e = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L),
+      (2L, 4L), (3L, 4L), (4L, 5L), (5L, 5L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(e).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("edge shape is enforced") {
+    intercept[IllegalArgumentException] {
+      Graph.pageRankFixed(Seq((1L, 2L, 3L)).toDF("a", "b", "c"), 1)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRankFixed(edges, 0)
+    }
+  }
+}

@@ -697,4 +697,40 @@ class PlanShapeSpec extends SparkSpec {
     // stats to push to) — but they must not silently disappear either
     assert(plan.contains("n_chars"), s"the value filter must survive:\n$plan")
   }
+
+  test("searchTopK: term filter pre-shuffle, ONE corpus explode (df branch reuses the postings exchange), heap top-k") {
+    val plan = executedFinalPlan("q133_search_topk")
+    // the query-term filter must sit under the postings aggregation,
+    // directly on the explode output — before anything shuffles
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition heap, not a global sort:\n$plan")
+    assert(!plan.split("\n").exists(l => l.contains("Sort ") && !l.contains("TakeOrdered")),
+      s"no global sort may exist:\n$plan")
+    // the corpus is exploded ONCE: the df/rarity branch shares the
+    // scoring branch's postings exchange (the Σ[tf>0] trick in
+    // TextSearch.searchTopK keeps the subtrees canonically equal)
+    val explodes = plan.linesIterator.count(_.contains("Generate explode"))
+    assert(explodes == 1,
+      s"expected ONE corpus explode (exchange reuse), found $explodes:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"the df branch must reuse the postings exchange:\n$plan")
+  }
+
+  test("pageRankFixed: iterations read the checkpointed edge blocks, never the source plan") {
+    import spark.implicits._
+    val edges = spark.range(300).select(
+      (col("id") % 50).as("src"), ((col("id") * 13) % 50).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val r = Graph.pageRankFixed(edges, iters = 3)
+    val plan = physicalPlan(r)
+    // every leaf of the final iteration's plan is a materialized block
+    // scan (the eDeg/ranks localCheckpoints) — the edge DERIVATION
+    // (Range + filters here; a 100 TB self-join in production) must not
+    // re-run per round
+    assert(!plan.contains("Range ("),
+      s"the edge derivation leaked into the iteration plan:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"iterations must read checkpointed blocks:\n$plan")
+    assertNoQuadraticJoin(plan, "pageRankFixed")
+  }
 }

@@ -188,4 +188,24 @@ class QualitySpec extends SparkSpec {
       .collect().map(r => r.getDouble(3))
     assert(g2.toSeq == Seq(9.0))
   }
+
+  test("iqrOutlierReport: Tukey fences over exact quartiles, per group, nulls excluded") {
+    import spark.implicits._
+    // group a sorted: -10, 1..11, 16, 20 → n=14,
+    // q250 = rank (13·250) div 1000 = 3 → 3.0; q750 = rank 9 → 9.0; iqr 6
+    // low fence: 2v < 2·3 − 3·6 = −12 → v < −6 → only −10
+    // high fence: 2v > 2·9 + 3·6 = 36 → v > 18 → only 20 (16 is inside)
+    val a = (Seq(-10.0) ++ (1 to 11).map(_.toDouble) ++ Seq(16.0, 20.0))
+      .map(v => ("a", Option(v)))
+    // group b: constants → iqr 0, no outliers; a null value is excluded from n
+    val b = Seq(("b", Option(5.0)), ("b", Option(5.0)), ("b", None))
+    val got = Quality.iqrOutlierReport(
+        (a ++ b).toDF("k", "x"), Seq("k"), "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == Map(
+      "a" -> ((14L, 3.0, 9.0, 1L, 1L)),
+      "b" -> ((2L, 5.0, 5.0, 0L, 0L))), s"got $got")
+  }
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "Spark scans the table. spark JOINS the table"),
+    (2L, "spark spark spark joins"),
+    (3L, "joins only, no engine word"),
+    (4L, "spark alone"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("postings: case-folded alnum terms with exact per-doc tf") {
+    val p = TextSearch.postings(docs, "doc_id", "text")
+      .filter(col("term").isin("spark", "joins", "table"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(p == Set(
+      ("spark", 1L, 2L), ("spark", 2L, 3L), ("spark", 4L, 1L),
+      ("joins", 1L, 1L), ("joins", 2L, 1L), ("joins", 3L, 1L),
+      ("table", 1L, 2L)))
+  }
+
+  test("docFrequencies and rarityTable: df counts documents, rarity = (N*1000) div df") {
+    val post = TextSearch.postings(docs, "doc_id", "text")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val r = TextSearch.rarityTable(post, n)
+      .filter(col("term").isin("spark", "joins"))
+      .as[(String, Long, Long)].collect().toSet
+    // N = 5 docs; spark df=3 → 5000 div 3 = 1666; joins df=3 → 1666
+    assert(r == Set(("spark", 3L, 1666L), ("joins", 3L, 1666L)))
+  }
+
+  test("searchTopK: conjunctive match, tf·rarity scoring, deterministic tiebreak, k cut") {
+    // terms spark+joins: docs 1 and 2 match (3 and 4 lack one term).
+    // rarity(spark)=rarity(joins)=1666;
+    // doc1 = (2+1)·1666 = 4998, doc2 = (3+1)·1666 = 6664.
+    val got = TextSearch.searchTopK(docs, "doc_id", "text",
+      Seq("Spark", "JOINS"), k = 10).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 6664L), (1L, 4998L)))
+    // k cut keeps the top scorer only
+    val top1 = TextSearch.searchTopK(docs, "doc_id", "text",
+      Seq("spark", "joins"), k = 1).as[(Long, Long)].collect().toSeq
+    assert(top1 == Seq((2L, 6664L)))
+  }
+
+  test("searchTopK: a term absent from the corpus empties the conjunction") {
+    assert(TextSearch.searchTopK(docs, "doc_id", "text",
+      Seq("spark", "zzzmissing"), k = 10).count() == 0)
+  }
+
+  test("searchTopK: duplicate query terms collapse; score ties break by id ascending") {
+    val tied = Seq((7L, "alpha beta"), (3L, "beta alpha")).toDF("doc_id", "text")
+    val got = TextSearch.searchTopK(tied, "doc_id", "text",
+      Seq("alpha", "alpha", "beta"), k = 10).as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(3L, 7L))
+    assert(got.map(_._2).distinct.size == 1)
+  }
+
+  test("searchTopK rejects empty and non-alnum query terms") {
+    intercept[IllegalArgumentException] {
+      TextSearch.searchTopK(docs, "doc_id", "text", Seq.empty, 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextSearch.searchTopK(docs, "doc_id", "text", Seq("two words"), 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextSearch.searchTopK(docs, "doc_id", "text", Seq("ok"), 0)
+    }
+  }
+}
