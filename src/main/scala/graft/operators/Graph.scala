@@ -167,6 +167,77 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Bounded-hop BFS — minimal hop counts from a source set, the k-hop
+    * reachability pass (blast-radius analysis, seed-expansion sampling).
+    * Output `(node, hop)` for every node reachable within `maxHops`
+    * directed hops (hop 0 = the sources themselves, membership in
+    * `nodes` not required); unreachable nodes are ABSENT. Hop counts are
+    * minimal by construction: a node joins the visited set the first
+    * round it is seen and is anti-joined out of later frontiers.
+    *
+    * Scale: per round one equi-join (frontier ⋈ edges on src — the
+    * frontier is the newly-discovered set only, never the full visited
+    * relation) + one anti-join against visited; edges localCheckpoint'd
+    * once; visited/frontier checkpointed per round to truncate lineage.
+    * Rounds are FIXED (maxHops), so like [[pageRankFixed]] there is no
+    * per-round driver count and the oracle unrolls exactly. */
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    require(sources.columns.length == 1, "sources must be a 1-column relation")
+    val e = asEdges(edges).localCheckpoint(true)
+    var visited = sources.toDF("node").distinct()
+      .withColumn("hop", lit(0L)).localCheckpoint(true)
+    var frontier = visited.select("node")
+    for (i <- 1 to maxHops) {
+      val next = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hop", lit(i.toLong))
+        .localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next.select("node")
+    }
+    visited
+  }
+
+  /** Similarity-weighted co-occurrence edges — the item-item relation of
+    * collaborative filtering / source-affinity analysis: for each item
+    * pair sharing ≥ `minShared` DISTINCT groups, the shared-group count
+    * and the integer Jaccard over their group SETS,
+    * `(n_shared · 1000) div (|A| + |B| − n_shared)`. Output
+    * `(src, dst, n_shared, jaccard_permille)`, canonical src < dst.
+    *
+    * Scale: memberships dedupe first (one (group, item) aggregation), so
+    * parallel memberships cannot inflate the counts; the pair join is
+    * per-group like [[coOccurrenceEdges]] (cap heavy groups with
+    * `maxGroupItems`); degrees join on the item keys of the OUTPUT-sized
+    * pair relation, never the membership body. */
+  def coJaccardEdges(df: DataFrame, groupCol: String, itemCol: String,
+      minShared: Long = 1L,
+      maxGroupItems: Long = Long.MaxValue): DataFrame = {
+    val m = df.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+      .filter(col("__g").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val capped =
+      if (maxGroupItems == Long.MaxValue) m
+      else m.join(
+        m.groupBy("__g").agg(count(lit(1)).as("__gn"))
+          .filter(col("__gn") <= maxGroupItems).select("__g"),
+        Seq("__g"))
+    val deg = capped.groupBy(col("__i").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    capped.as("a").join(capped.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("src"), col("b.__i").as("dst"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(deg.toDF("src", "__da"), "src")
+      .join(deg.toDF("dst", "__db"), "dst")
+      .select(col("src"), col("dst"), col("n_shared"),
+        expr("(n_shared * 1000) div (__da + __db - n_shared)")
+          .cast("long").as("jaccard_permille"))
+  }
+
   private def asEdges(edges: DataFrame): DataFrame = {
     require(edges.columns.length == 2,
       s"edges must be (src, dst)-shaped, got ${edges.columns.toSeq}")

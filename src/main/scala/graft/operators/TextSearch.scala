@@ -112,4 +112,47 @@ object TextSearch {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** More-like-this: for each QUERY document, the top-`k` most similar
+    * corpus documents by rarity-weighted term overlap —
+    * `score(q, d) = Σ_{t ∈ terms(q) ∩ terms(d)} tf_d(t) · rarity(t)`,
+    * rarity from the corpus document frequencies over the query docs'
+    * term universe (the same `(n_docs·1000) div df` integer weight as
+    * [[searchTopK]]). Self-matches (same id on both sides) are excluded.
+    * Output `(q_<idCol>, <idCol>, score)`, ≤ k rows per query, ties
+    * broken by corpus id ascending.
+    *
+    * Scale: the query side is the BOUNDED probe (its postings and term
+    * set broadcast); corpus postings are cut to the query-term universe
+    * by an equi-join before anything else shuffles; per-query top-k is
+    * one rank window over the candidate relation, which is
+    * output-bounded (queries × matched docs), never the corpus. The df
+    * branch reuses the corpus-postings exchange via the same Σ[tf>0]
+    * subtree-equality trick as [[searchTopK]]. */
+  def moreLikeThis(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val qPost = postings(queries, idCol, textCol)
+      .select(col("term"), col(idCol).as("__qid"))
+    val qTerms = qPost.select("term").distinct()
+    val cPost = postings(corpus, idCol, textCol)
+      .join(broadcast(qTerms), "term")
+      .filter(col("term").isNotNull)
+    val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
+    val rarity = cPost.groupBy("term")
+      .agg(sum((col("tf") > lit(0L)).cast("long")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), expr("(n_docs * 1000) div df").cast("long").as("rarity"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qid").orderBy(col("score").desc, col(idCol))
+    cPost
+      .join(broadcast(rarity), "term")
+      .join(broadcast(qPost), "term")
+      .filter(col("__qid") =!= col(idCol))
+      .groupBy(col("__qid"), col(idCol))
+      .agg(sum(col("tf") * col("rarity")).as("score"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("__qid").as(s"q_$idCol"), col(idCol), col("score"))
+  }
 }

@@ -51,10 +51,33 @@ object GraphQueries {
     Graph.triangleCounts(coEdges(spark, dir, minCount = 2L))
       .orderBy("node")
 
+  val BfsHops = 3
+
+  /** GR4 — bounded-hop BFS from every 50th part of the ≥2 subgraph:
+    * minimal hop counts within 3 directed hops, unreachable absent. The
+    * oracle unrolls the 3 frontier rounds as chained CTEs. */
+  val q140BfsHops: Q = (spark, dir) => {
+    val g = coEdges(spark, dir, minCount = 2L)
+    Graph.bfsHops(g, Graph.nodesOf(g).filter(col("node") % 50 === 0), BfsHops)
+      .orderBy("node")
+  }
+
+  /** GR5 — item-item Jaccard similarity edges
+    * ([[Graph.coJaccardEdges]]): part pairs sharing ≥2 distinct orders
+    * with the integer Jaccard of their order SETS — the collaborative-
+    * filtering relation, canonical src < dst. */
+  val q142CoJaccard: Q = (spark, dir) =>
+    Graph.coJaccardEdges(
+        Tables(spark, dir).lineitem.select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", minShared = 2L)
+      .orderBy("src", "dst")
+
   val all: Map[String, Q] = Map(
     "q135_pagerank" -> q135PageRank,
     "q136_graph_components" -> q136GraphComponents,
-    "q138_triangles" -> q138Triangles)
+    "q138_triangles" -> q138Triangles,
+    "q140_bfs_hops" -> q140BfsHops,
+    "q142_cojaccard" -> q142CoJaccard)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -120,5 +143,43 @@ object GraphQueries {
         |  SELECT a AS node FROM tri
         |  UNION ALL SELECT b FROM tri
         |  UNION ALL SELECT c FROM tri)
-        |GROUP BY node ORDER BY node""".stripMargin)
+        |GROUP BY node ORDER BY node""".stripMargin,
+    "q140_bfs_hops" -> {
+      val rounds = (1 to BfsHops).map(i =>
+        s"""n$i AS (
+           |  SELECT DISTINCT e.dst AS node
+           |  FROM e JOIN v${i - 1} v ON e.src = v.node
+           |  WHERE e.dst NOT IN (SELECT node FROM v${i - 1})),
+           |v$i AS (SELECT * FROM v${i - 1}
+           |        UNION ALL SELECT node, CAST($i AS BIGINT) FROM n$i)""".stripMargin)
+        .mkString(",\n")
+      // NB: each frontier nI is (new nodes at hop i); joining e to the
+      // FULL vI-1 (not just the frontier) enumerates a superset of the
+      // frontier's neighbors, and the NOT IN keeps exactly the new ones
+      // — same minimal-hop fixpoint as the engine's frontier form.
+      s"""WITH cnt AS (
+         |  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS n
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |  GROUP BY 1, 2),
+         |e AS (SELECT src, dst FROM cnt WHERE n >= 2),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |v0 AS (SELECT node, CAST(0 AS BIGINT) AS hop FROM nodes
+         |       WHERE node % 50 = 0),
+         |$rounds
+         |SELECT node, hop FROM v$BfsHops ORDER BY node""".stripMargin
+    },
+    "q142_cojaccard" ->
+      """WITH m AS (
+        |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |deg AS (SELECT i, COUNT(*) AS d FROM m GROUP BY i),
+        |p AS (
+        |  SELECT a.i AS src, b.i AS dst, COUNT(*) AS n_shared
+        |  FROM m a JOIN m b ON a.g = b.g AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT src, dst, n_shared,
+        |  CAST((n_shared * 1000) // (da.d + db.d - n_shared) AS BIGINT)
+        |    AS jaccard_permille
+        |FROM p JOIN deg da ON p.src = da.i JOIN deg db ON p.dst = db.i
+        |ORDER BY src, dst""".stripMargin)
 }

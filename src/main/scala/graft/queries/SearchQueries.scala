@@ -40,9 +40,24 @@ object SearchQueries {
       .limit(100)
   }
 
+  val MltK = 5
+
+  /** SR3 — more-like-this: every 100th document probes the corpus for
+    * its 5 nearest neighbors by rarity-weighted term overlap (self
+    * excluded). The probe side is bounded and broadcast; the per-query
+    * top-k is a rank window over the candidate relation. */
+  val q141MoreLikeThis: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val docs = t.documents
+    TextSearch.moreLikeThis(docs, docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", MltK)
+      .orderBy("q_doc_id", "doc_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q133_search_topk" -> q133SearchTopK,
-    "q134_rarity_table" -> q134RarityTable)
+    "q134_rarity_table" -> q134RarityTable,
+    "q141_more_like_this" -> q141MoreLikeThis)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -78,5 +93,24 @@ object SearchQueries {
          |    CAST((tot.n_docs * 1000) // COUNT(*) AS BIGINT) AS rarity
          |  FROM post, tot GROUP BY term, tot.n_docs)
          |SELECT term, df, rarity FROM rar
-         |ORDER BY df DESC, term LIMIT 100""".stripMargin)
+         |ORDER BY df DESC, term LIMIT 100""".stripMargin,
+    "q141_more_like_this" ->
+      s"""WITH $postCte,
+         |qpost AS (SELECT term, doc_id AS qid FROM post WHERE doc_id % 100 = 0),
+         |qterms AS (SELECT DISTINCT term FROM qpost),
+         |cpost AS (SELECT p.* FROM post p JOIN qterms USING (term)),
+         |tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |rar AS (
+         |  SELECT term, (tot.n_docs * 1000) // COUNT(*) AS rarity
+         |  FROM cpost, tot GROUP BY term, tot.n_docs),
+         |sc AS (
+         |  SELECT q.qid, c.doc_id, SUM(c.tf * r.rarity) AS score
+         |  FROM cpost c JOIN rar r USING (term) JOIN qpost q USING (term)
+         |  WHERE q.qid <> c.doc_id GROUP BY q.qid, c.doc_id),
+         |rk AS (
+         |  SELECT qid, doc_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
+         |  FROM sc)
+         |SELECT qid AS q_doc_id, doc_id, CAST(score AS BIGINT) AS score
+         |FROM rk WHERE rk <= $MltK ORDER BY q_doc_id, doc_id""".stripMargin)
 }

@@ -72,6 +72,37 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("bfsHops: minimal hops, shortcut edges win, frontier stops at maxHops") {
+    // chain 1→2→3→4 plus shortcut 1→3; node 5 isolated
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("src", "dst")
+    val src = Seq(1L).toDF("node")
+    val got = Graph.bfsHops(e, src, maxHops = 3).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // bounded horizon: hop-2 nodes vanish at maxHops = 1
+    val h1 = Graph.bfsHops(e, src, maxHops = 1).as[(Long, Long)].collect().toMap
+    assert(h1 == Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+    // multi-source: each node takes the nearest source's hop count
+    val multi = Graph.bfsHops(e, Seq(1L, 3L).toDF("node"), maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(multi == Map(1L -> 0L, 3L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("coJaccardEdges: distinct-membership jaccard, canonical pair, minShared") {
+    val m = Seq(
+      ("g1", 1L), ("g1", 1L), ("g1", 2L), // duplicate membership dedupes
+      ("g2", 1L), ("g2", 2L),
+      ("g3", 1L), ("g3", 3L)).toDF("g", "item")
+    // deg: 1→3 groups, 2→2, 3→1
+    val got = Graph.coJaccardEdges(m, "g", "item")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 2L, 666L),  // shared {g1,g2}; 2000 div (3+2−2)
+      (1L, 3L, 1L, 333L))) // shared {g3};    1000 div (3+1−1)
+    val thresholded = Graph.coJaccardEdges(m, "g", "item", minShared = 2L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(thresholded == Set((1L, 2L, 2L, 666L)))
+  }
+
   test("edge shape is enforced") {
     intercept[IllegalArgumentException] {
       Graph.pageRankFixed(Seq((1L, 2L, 3L)).toDF("a", "b", "c"), 1)

@@ -60,6 +60,21 @@ class TextSearchSpec extends SparkSpec {
     assert(got.map(_._2).distinct.size == 1)
   }
 
+  test("moreLikeThis: rarity-weighted overlap, self excluded, k cut per query") {
+    val corpus = Seq(
+      (1L, "apple banana"), (2L, "apple banana"),
+      (3L, "apple cherry"), (4L, "zzz")).toDF("doc_id", "text")
+    val queries = corpus.filter($"doc_id" === 1L)
+    // N=4; df(apple)=3 → rarity 1333; df(banana)=2 → rarity 2000
+    // score(1→2) = 1333 + 2000 = 3333; score(1→3) = 1333; doc 4 shares nothing
+    val got = TextSearch.moreLikeThis(corpus, queries, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 3333L), (1L, 3L, 1333L)))
+    val top1 = TextSearch.moreLikeThis(corpus, queries, "doc_id", "text", k = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(top1 == Set((1L, 2L, 3333L)))
+  }
+
   test("searchTopK rejects empty and non-alnum query terms") {
     intercept[IllegalArgumentException] {
       TextSearch.searchTopK(docs, "doc_id", "text", Seq.empty, 5)
