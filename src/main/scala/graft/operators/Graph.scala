@@ -55,12 +55,29 @@ object Graph {
   /** Fixed-point integer PageRank: `iters` power iterations at damping
     * 0.85, rank scale 10^6 (every node starts at 1,000,000; the damped
     * floor is 150,000). Output `(node, rank)` over [[nodesOf]] — nodes
-    * with no in-edges settle at the floor. */
+    * with no in-edges settle at the floor.
+    *
+    * Shape note (measured, GraphStudy at the sf0.1 dense-graph point,
+    * 2.39M edges): the join-degrees + checkpoint form below beats the
+    * tried-and-REJECTED window alternative (`count over partitionBy(src)`
+    * + columnar persist) by ~2× — the window's per-partition sort of the
+    * full edge body cost 45 CPU core-s against 22 for derive+join+
+    * repartition+checkpoint, and the cached-columnar iteration scans ran
+    * ~1.6× the LogicalRDD block reads. SCALING.md r15 carries the cells. */
   def pageRankFixed(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
-    val e = asEdges(edges)
-    // one materialization serves every iteration: (src, dst, out_deg)
-    val eDeg = e.join(outDegrees(e), "src").localCheckpoint(true)
+    // ONE evaluation of the caller's edge plan (often an expensive
+    // derivation — a co-occurrence self-join): degrees, nodes, and the
+    // iteration relation all read these blocks. Without this the plan
+    // fans out 4× (eDeg twice, nodes twice) — measured 5× the query's
+    // honest CPU at the sf0.1 bench point.
+    val e = materialized(asEdges(edges))
+    // (src, dst, out_deg), REPARTITIONED BY src before the checkpoint:
+    // LogicalRDD preserves outputPartitioning, so every iteration's
+    // ranks⋈eDeg join re-shuffles only the node-sized rank relation —
+    // the edge body crosses the wire once, not once per round.
+    val eDeg = e.join(outDegrees(e), "src")
+      .repartition(col("src")).localCheckpoint(true)
     val nodes = nodesOf(e).localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (_ <- 1 to iters) {
@@ -83,7 +100,10 @@ object Graph {
     * the near-dup clustering uses. Output `(node, cluster_id)`,
     * cluster_id = component-minimum node id. */
   def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val e = asEdges(edges)
+    // one evaluation of the edge plan; nodesOf and the union-find /
+    // label-propagation machinery read blocks (connectedComponents' own
+    // already-materialized guard then skips its re-checkpoint)
+    val e = materialized(asEdges(edges))
     Dedup.connectedComponents(e, nodesOf(e), "node", maxIter)
   }
 
@@ -140,10 +160,15 @@ object Graph {
     * arms (two wedge sides + the closing probe). */
   def triangleCounts(edges: DataFrame): DataFrame = {
     val e = asEdges(edges)
+    // the canonical undirected relation is consumed 4× (degree counting
+    // + both orientation-degree joins read `und`; `o` feeds three join
+    // arms) — materialize it once instead of re-running the caller's
+    // edge derivation per consumer
     val und = e.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
+      .localCheckpoint(true)
     val deg = und.select(col("u").as("node"))
       .unionByName(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -184,7 +209,7 @@ object Graph {
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     require(sources.columns.length == 1, "sources must be a 1-column relation")
-    val e = asEdges(edges).localCheckpoint(true)
+    val e = materialized(asEdges(edges))
     var visited = sources.toDF("node").distinct()
       .withColumn("hop", lit(0L)).localCheckpoint(true)
     var frontier = visited.select("node")
@@ -218,12 +243,14 @@ object Graph {
     val m = df.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
       .filter(col("__g").isNotNull && col("__i").isNotNull)
       .distinct()
-    val capped =
+    // the deduped membership is consumed 3× (degrees + both self-join
+    // sides) — materialize once rather than re-running the dedup per arm
+    val capped = materialized(
       if (maxGroupItems == Long.MaxValue) m
       else m.join(
         m.groupBy("__g").agg(count(lit(1)).as("__gn"))
           .filter(col("__gn") <= maxGroupItems).select("__g"),
-        Seq("__g"))
+        Seq("__g")))
     val deg = capped.groupBy(col("__i").as("node"))
       .agg(count(lit(1)).as("deg"))
     capped.as("a").join(capped.as("b"),
@@ -242,5 +269,14 @@ object Graph {
     require(edges.columns.length == 2,
       s"edges must be (src, dst)-shaped, got ${edges.columns.toSeq}")
     edges.toDF("src", "dst")
+  }
+
+  /** Eager-materialize unless the relation already IS materialized
+    * blocks (same guard as `Dedup.connectedComponents` — a second
+    * checkpoint would duplicate the blocks in executor storage). */
+  private def materialized(df: DataFrame): DataFrame = {
+    val already = df.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    if (already) df else df.localCheckpoint(true)
   }
 }

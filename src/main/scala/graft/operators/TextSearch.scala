@@ -122,19 +122,29 @@ object TextSearch {
     * Output `(q_<idCol>, <idCol>, score)`, ≤ k rows per query, ties
     * broken by corpus id ascending.
     *
-    * Scale: the query side is the BOUNDED probe (its postings and term
-    * set broadcast); corpus postings are cut to the query-term universe
-    * by an equi-join before anything else shuffles; per-query top-k is
-    * one rank window over the candidate relation, which is
-    * output-bounded (queries × matched docs), never the corpus. The df
-    * branch reuses the corpus-postings exchange via the same Σ[tf>0]
+    * Scale: the query side must be a BOUNDED probe set (its postings and
+    * term set broadcast) — candidate mass is `Σ_{q} Σ_{t ∈ terms(q)}
+    * df(t)`, so a probe set that grows with the corpus makes the
+    * operator quadratic BY CONSTRUCTION (measured: a %-of-corpus probe
+    * set priced 59× at the 10× sweep point, SCALING.md r15; corpus-scale
+    * all-pairs similarity is the near-dup/LSH family's job, not MLT's).
+    * Corpus postings are cut to the query-term universe by an equi-join
+    * before anything else shuffles; per-query top-k is one rank window
+    * over the candidate relation. `maxQueryTerms` is the published MLT
+    * discipline for dense vocabularies: keep only the m RAREST terms of
+    * each query doc (rarity desc, term asc — deterministic), bounding
+    * per-query candidates by the rare terms' df sum. The df branch
+    * reuses the corpus-postings exchange via the same Σ[tf>0]
     * subtree-equality trick as [[searchTopK]]. */
   def moreLikeThis(corpus: DataFrame, queries: DataFrame, idCol: String,
-      textCol: String, k: Int): DataFrame = {
+      textCol: String, k: Int,
+      maxQueryTerms: Option[Int] = None): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val qPost = postings(queries, idCol, textCol)
+    require(maxQueryTerms.forall(_ > 0),
+      s"maxQueryTerms must be positive, got $maxQueryTerms")
+    val qPostAll = postings(queries, idCol, textCol)
       .select(col("term"), col(idCol).as("__qid"))
-    val qTerms = qPost.select("term").distinct()
+    val qTerms = qPostAll.select("term").distinct()
     val cPost = postings(corpus, idCol, textCol)
       .join(broadcast(qTerms), "term")
       .filter(col("term").isNotNull)
@@ -143,6 +153,16 @@ object TextSearch {
       .agg(sum((col("tf") > lit(0L)).cast("long")).as("df"))
       .crossJoin(broadcast(nDocs))
       .select(col("term"), expr("(n_docs * 1000) div df").cast("long").as("rarity"))
+    val qPost = maxQueryTerms match {
+      case None => qPostAll
+      case Some(m) =>
+        val wt = org.apache.spark.sql.expressions.Window
+          .partitionBy("__qid").orderBy(col("rarity").desc, col("term"))
+        qPostAll.join(broadcast(rarity), "term")
+          .withColumn("__tr", row_number().over(wt))
+          .filter(col("__tr") <= m)
+          .select("term", "__qid")
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__qid").orderBy(col("score").desc, col(idCol))
     cPost

@@ -57,7 +57,10 @@ object GraphQueries {
     * minimal hop counts within 3 directed hops, unreachable absent. The
     * oracle unrolls the 3 frontier rounds as chained CTEs. */
   val q140BfsHops: Q = (spark, dir) => {
-    val g = coEdges(spark, dir, minCount = 2L)
+    // one derivation of the co-occurrence graph serves both the source
+    // selection and the hop loop (bfsHops' materialized-guard sees the
+    // checkpointed blocks and does not re-checkpoint)
+    val g = coEdges(spark, dir, minCount = 2L).localCheckpoint(true)
     Graph.bfsHops(g, Graph.nodesOf(g).filter(col("node") % 50 === 0), BfsHops)
       .orderBy("node")
   }

@@ -42,14 +42,17 @@ object SearchQueries {
 
   val MltK = 5
 
-  /** SR3 — more-like-this: every 100th document probes the corpus for
-    * its 5 nearest neighbors by rarity-weighted term overlap (self
-    * excluded). The probe side is bounded and broadcast; the per-query
-    * top-k is a rank window over the candidate relation. */
+  /** SR3 — more-like-this: a FIXED 5-doc probe set (ids < 500, every
+    * 100th) against the whole corpus, 5 nearest neighbors each by
+    * rarity-weighted term overlap (self excluded). The probe set is
+    * fixed — not a corpus share — because MLT candidate mass is
+    * Σ df(query terms): a %-of-corpus probe made the operator quadratic
+    * at the 10× sweep point (59×, SCALING.md r15). */
   val q141MoreLikeThis: Q = (spark, dir) => {
     val t = Tables(spark, dir)
     val docs = t.documents
-    TextSearch.moreLikeThis(docs, docs.filter(col("doc_id") % 100 === 0),
+    TextSearch.moreLikeThis(docs,
+        docs.filter(col("doc_id") < 500 && col("doc_id") % 100 === 0),
         "doc_id", "text", MltK)
       .orderBy("q_doc_id", "doc_id")
   }
@@ -96,7 +99,8 @@ object SearchQueries {
          |ORDER BY df DESC, term LIMIT 100""".stripMargin,
     "q141_more_like_this" ->
       s"""WITH $postCte,
-         |qpost AS (SELECT term, doc_id AS qid FROM post WHERE doc_id % 100 = 0),
+         |qpost AS (SELECT term, doc_id AS qid FROM post
+         |          WHERE doc_id < 500 AND doc_id % 100 = 0),
          |qterms AS (SELECT DISTINCT term FROM qpost),
          |cpost AS (SELECT p.* FROM post p JOIN qterms USING (term)),
          |tot AS (SELECT COUNT(*) AS n_docs FROM documents),

@@ -716,6 +716,22 @@ class PlanShapeSpec extends SparkSpec {
       s"the df branch must reuse the postings exchange:\n$plan")
   }
 
+  test("triangleCounts and fuzzyPairs: equi-join only — no cartesian reachable") {
+    import spark.implicits._
+    val edges = spark.range(400).select(
+      (col("id") % 60).as("src"), ((col("id") * 7) % 60).as("dst"))
+    val triPlan = physicalPlan(Graph.triangleCounts(edges))
+    assertNoQuadraticJoin(triPlan, "triangleCounts")
+    val names = spark.range(200).select(col("id"),
+      concat(lit("name"), (col("id") % 37).cast("string")).as("s"))
+    val fuzzyPlan = physicalPlan(
+      FuzzyMatch.fuzzyPairs(names.toDF("id", "s"), "id", "s", maxDist = 2))
+    assertNoQuadraticJoin(fuzzyPlan, "fuzzyPairs")
+    // the candidate join must be keyed on the segment blocks
+    assert(fuzzyPlan.contains("seg"),
+      s"fuzzy candidates must come from segment-equality blocks:\n$fuzzyPlan")
+  }
+
   test("pageRankFixed: iterations read the checkpointed edge blocks, never the source plan") {
     import spark.implicits._
     val edges = spark.range(300).select(

@@ -75,6 +75,22 @@ class TextSearchSpec extends SparkSpec {
     assert(top1 == Set((1L, 2L, 3333L)))
   }
 
+  test("moreLikeThis: maxQueryTerms keeps only the rarest terms per query") {
+    val corpus = Seq(
+      (1L, "common rare"), (2L, "common rare"),
+      (3L, "common"), (4L, "common")).toDF("doc_id", "text")
+    val queries = corpus.filter($"doc_id" === 1L)
+    // N=4: rarity(common)=1000 (df 4), rarity(rare)=2000 (df 2)
+    val unc = TextSearch.moreLikeThis(corpus, queries, "doc_id", "text", k = 9)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(unc == Set((1L, 2L, 3000L), (1L, 3L, 1000L), (1L, 4L, 1000L)))
+    // cap 1 → only "rare" survives the per-query selection: candidates
+    // shrink to docs containing it, and "common" contributes no score
+    val capped = TextSearch.moreLikeThis(corpus, queries, "doc_id", "text",
+      k = 9, maxQueryTerms = Some(1)).as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L, 2000L)))
+  }
+
   test("searchTopK rejects empty and non-alnum query terms") {
     intercept[IllegalArgumentException] {
       TextSearch.searchTopK(docs, "doc_id", "text", Seq.empty, 5)
