@@ -192,6 +192,39 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** WEIGHTED fixed-point PageRank over a `(src, dst, w)` relation —
+    * rank flows proportional to edge weight (co-occurrence strength,
+    * link multiplicity): each round
+    * `rank'(v) = 150000 + (85 · Σ_{u→v} (rank(u)·w(u,v)) div wsum(u)) div 100`
+    * with `wsum(u) = Σ out-weights of u` — the integer twin of
+    * [[pageRankFixed]] (same damping, scale, floor; per-edge division
+    * replaced by the weighted share). All arithmetic is exact long:
+    * rank ≤ nodes·10^6 and weights up to ~10^6 stay far inside 2^63.
+    * Same materialization discipline: ONE edge-plan evaluation, the
+    * iteration relation src-partitioned and checkpointed once. */
+  def pageRankWeightedFixed(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    require(edges.columns.length == 3,
+      s"edges must be (src, dst, w)-shaped, got ${edges.columns.toSeq}")
+    val e = materialized(edges.toDF("src", "dst", "w"))
+    val eW = e.join(e.groupBy("src").agg(sum("w").as("wsum")), "src")
+      .repartition(col("src")).localCheckpoint(true)
+    val nodes = nodesOf(e.select("src", "dst")).localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = eW
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("(rank * w) div wsum").as("__c"))
+        .groupBy("node").agg(sum("__c").as("__s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(85 * coalesce(__s, 0)) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Bounded-hop BFS — minimal hop counts from a source set, the k-hop
     * reachability pass (blast-radius analysis, seed-expansion sampling).
     * Output `(node, hop)` for every node reachable within `maxHops`

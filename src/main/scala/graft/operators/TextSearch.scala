@@ -113,6 +113,66 @@ object TextSearch {
       .limit(k)
   }
 
+  /** Conjunctive top-k search under INTEGER BM25 — the published Okapi
+    * scoring shape (term-frequency saturation + document-length
+    * normalization) with every factor a permille-scaled long so the
+    * oracle replays it bit-for-bit:
+    *
+    *   nf        = (1000 − b) + (b · dl · 1000) div avgdl_milli
+    *   denom     = tf·1000 + (k1 · nf) div 1000
+    *   score_t   = (rarity_t · tf · (1000 + k1)) div denom
+    *
+    * with `dl` = the document's token count, `avgdl_milli` =
+    * (Σ dl · 1000) div n_docs, `k1`/`b` in permille (defaults 1200/750 =
+    * the classic 1.2/0.75), and rarity standing in for idf as in
+    * [[searchTopK]]. Same conjunctive semantics, tiebreak, and heap
+    * top-k as [[searchTopK]].
+    *
+    * Scale: identical posting shapes to [[searchTopK]] plus the
+    * doc-length relation — a two-skinny-column projection of the corpus
+    * joined onto the MATCHED postings (at index-build time this is the
+    * doc-length sidecar every BM25 index keeps; Spark's runtime bloom
+    * filter prunes the dl scan to joining ids). */
+  def searchTopKBm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1Permille: Long = 1200L, bPermille: Long = 750L): DataFrame = {
+    val qTerms = terms.map(_.toLowerCase).distinct
+    require(qTerms.nonEmpty, "searchTopKBm25 needs at least one term")
+    require(k > 0, s"k must be positive, got $k")
+    require(qTerms.forall(_.matches(TermPattern)),
+      s"query terms must be lowercase alphanumeric runs, got $terms")
+    require(bPermille >= 0 && bPermille <= 1000,
+      s"bPermille must be in [0, 1000], got $bPermille")
+    require(k1Permille >= 0, s"k1Permille must be >= 0, got $k1Permille")
+    val dl = df.select(col(idCol),
+      size(searchTerms(col(textCol))).cast("long").as("__dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum("__dl"), lit(0L)).as("__tot"))
+      .select(col("n_docs"),
+        expr("case when n_docs > 0 then greatest((__tot * 1000) div n_docs, 1) else 1 end")
+          .as("avgdl_milli"))
+    val post = postings(df, idCol, textCol)
+      .filter(col("term").isin(qTerms.map(lit): _*) && col("term").isNotNull)
+    val rarity = post.groupBy("term")
+      .agg(sum((col("tf") > lit(0L)).cast("long")).as("df"))
+      .crossJoin(broadcast(totals))
+      .select(col("term"), expr("(n_docs * 1000) div df").cast("long").as("rarity"))
+    post
+      .join(broadcast(rarity), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(totals.select("avgdl_milli")))
+      .withColumn("__nf", lit(1000L - bPermille) +
+        expr(s"($bPermille * __dl * 1000) div avgdl_milli"))
+      .withColumn("__sc", expr(
+        s"(rarity * tf * (1000 + $k1Permille)) div (tf * 1000 + ($k1Permille * __nf) div 1000)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nt"), sum("__sc").as("score"))
+      .filter(col("__nt") === qTerms.size)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** More-like-this: for each QUERY document, the top-`k` most similar
     * corpus documents by rarity-weighted term overlap —
     * `score(q, d) = Σ_{t ∈ terms(q) ∩ terms(d)} tf_d(t) · rarity(t)`,

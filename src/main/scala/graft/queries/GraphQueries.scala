@@ -75,8 +75,20 @@ object GraphQueries {
         "l_orderkey", "l_partkey", minShared = 2L)
       .orderBy("src", "dst")
 
+  /** GR6 — WEIGHTED PageRank over the ≥2 subgraph with the
+    * co-occurrence count as edge weight: rank flows proportional to
+    * co-order strength. 5 integer rounds, oracle-unrolled. */
+  val q143WeightedPageRank: Q = (spark, dir) =>
+    Graph.pageRankWeightedFixed(
+        Graph.coOccurrenceEdges(
+          Tables(spark, dir).lineitem.select("l_orderkey", "l_partkey"),
+          "l_orderkey", "l_partkey", minCount = 2L),
+        PrIters)
+      .orderBy("node")
+
   val all: Map[String, Q] = Map(
     "q135_pagerank" -> q135PageRank,
+    "q143_weighted_pagerank" -> q143WeightedPageRank,
     "q136_graph_components" -> q136GraphComponents,
     "q138_triangles" -> q138Triangles,
     "q140_bfs_hops" -> q140BfsHops,
@@ -89,6 +101,18 @@ object GraphQueries {
       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       |  FROM lineitem a JOIN lineitem b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)""".stripMargin
+
+  /** One unrolled WEIGHTED round over CTEs `we` (src, dst, w) / `wsum`:
+    * rank_i+1(v) = 150000 + (85 · Σ (rank_i(u)·w) // wsum(u)) // 100. */
+  private def wprRound(i: Int): String =
+    s"""r$i AS (
+       |  SELECT n.node,
+       |    CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS node, SUM((r.rank * e.w) // ws.wsum) AS s
+       |    FROM we e JOIN wsum ws USING (src)
+       |    JOIN r${i - 1} r ON r.node = e.src
+       |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
 
   /** One unrolled PageRank round: rank_i+1(v) = 150000 +
     * (85 · Σ_{u→v} rank_i(u) // out_deg(u)) // 100 — the exact integer
@@ -126,6 +150,18 @@ object GraphQueries {
         |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src)
         |SELECT a AS node, CAST(min(b) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY a ORDER BY node""".stripMargin,
+    "q143_weighted_pagerank" ->
+      s"""WITH cnt AS (
+         |  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS n
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |  GROUP BY 1, 2),
+         |we AS (SELECT src, dst, n AS w FROM cnt WHERE n >= 2),
+         |wsum AS (SELECT src, SUM(w) AS wsum FROM we GROUP BY src),
+         |nodes AS (SELECT src AS node FROM we UNION SELECT dst FROM we),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+         |${(1 to PrIters).map(wprRound).mkString(",\n")}
+         |SELECT node, rank FROM r$PrIters ORDER BY node""".stripMargin,
     // id-orientation, not the engine's degree-orientation: the triangle
     // SET is invariant under any acyclic orientation (each triangle is
     // closed from exactly one corner), so the per-node counts agree.

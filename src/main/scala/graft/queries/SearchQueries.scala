@@ -57,10 +57,19 @@ object SearchQueries {
       .orderBy("q_doc_id", "doc_id")
   }
 
+  /** SR4 — BM25 top-k: the same conjunctive search as q133 under the
+    * full Okapi shape (tf saturation + length normalization), every
+    * factor permille-integer so DuckDB replays the score exactly. */
+  val q144SearchBm25: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    TextSearch.searchTopKBm25(t.documents, "doc_id", "text", QueryTerms, TopK)
+  }
+
   val all: Map[String, Q] = Map(
     "q133_search_topk" -> q133SearchTopK,
     "q134_rarity_table" -> q134RarityTable,
-    "q141_more_like_this" -> q141MoreLikeThis)
+    "q141_more_like_this" -> q141MoreLikeThis,
+    "q144_search_bm25" -> q144SearchBm25)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -97,6 +106,32 @@ object SearchQueries {
          |  FROM post, tot GROUP BY term, tot.n_docs)
          |SELECT term, df, rarity FROM rar
          |ORDER BY df DESC, term LIMIT 100""".stripMargin,
+    "q144_search_bm25" -> {
+      val inList = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH $postCte,
+         |dl AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS dl
+         |  FROM documents),
+         |tot AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |    greatest((COALESCE(SUM(dl), 0) * 1000) // COUNT(*), 1) AS avgdl_milli
+         |  FROM dl),
+         |q AS (SELECT * FROM post WHERE term IN ($inList)),
+         |rar AS (
+         |  SELECT term, (tot.n_docs * 1000) // COUNT(*) AS rarity
+         |  FROM q, tot GROUP BY term, tot.n_docs),
+         |s AS (
+         |  SELECT q.doc_id, COUNT(*) AS nt,
+         |    SUM((r.rarity * q.tf * 2200)
+         |        // (q.tf * 1000 + (1200 * (250 + (750 * dl.dl * 1000) // tot.avgdl_milli)) // 1000))
+         |      AS score
+         |  FROM q JOIN rar r USING (term) JOIN dl USING (doc_id), tot
+         |  GROUP BY q.doc_id)
+         |SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
+         |WHERE nt = ${QueryTerms.size}
+         |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+    },
     "q141_more_like_this" ->
       s"""WITH $postCte,
          |qpost AS (SELECT term, doc_id AS qid FROM post

@@ -42,6 +42,23 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("pageRankWeightedFixed: weighted shares, two hand-computed rounds") {
+    // 1→2 (w 1), 1→3 (w 3), 2→1 (w 2); wsum(1)=4, wsum(2)=2
+    val we = Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 1L, 2L)).toDF("src", "dst", "w")
+    // r1: c(2)=1e6·1/4=250000→362500; c(3)=750000→787500; c(1)=1e6→1000000
+    // r2: c(1)=(362500·2)/2=362500 → 150000+308125=458125; 2,3 as r1
+    val got = Graph.pageRankWeightedFixed(we, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 458125L, 2L -> 362500L, 3L -> 787500L))
+    // uniform weights reproduce the unweighted operator exactly
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L)).toDF("src", "dst")
+    val uni = Graph.pageRankWeightedFixed(
+      e.withColumn("w", org.apache.spark.sql.functions.lit(7L)), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val plain = Graph.pageRankFixed(e, iters = 3).as[(Long, Long)].collect().toMap
+    assert(uni == plain)
+  }
+
   test("coOccurrenceEdges: symmetric counts, minCount threshold, group cap") {
     val m = Seq(
       ("g1", 1L), ("g1", 2L), ("g1", 3L),

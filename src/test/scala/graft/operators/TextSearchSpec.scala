@@ -60,6 +60,21 @@ class TextSearchSpec extends SparkSpec {
     assert(got.map(_._2).distinct.size == 1)
   }
 
+  test("searchTopKBm25: hand-computed saturated, length-normalized scores") {
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // N=2, Σdl=5 → avgdl_milli 2500; df(a)=2 → rarity 1000
+    // doc1: tf 2, nf 250+900=1150, denom 2000+1380=3380 → 4400000/3380 = 1301
+    // doc2: tf 1, nf 250+600=850,  denom 1000+1020=2020 → 2200000/2020 = 1089
+    val got = TextSearch.searchTopKBm25(df, "doc_id", "text", Seq("a"), k = 5)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1301L), (2L, 1089L)))
+    // saturation: doubling tf must NOT double the score
+    assert(got.head._2 < 2 * got(1)._2)
+    // conjunction still applies: b AND c co-occur nowhere
+    assert(TextSearch.searchTopKBm25(df, "doc_id", "text", Seq("b", "c"), 5)
+      .count() == 0)
+  }
+
   test("moreLikeThis: rarity-weighted overlap, self excluded, k cut per query") {
     val corpus = Seq(
       (1L, "apple banana"), (2L, "apple banana"),
