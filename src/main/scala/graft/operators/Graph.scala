@@ -200,13 +200,16 @@ object Graph {
     * [[pageRankFixed]] (same damping, scale, floor; per-edge division
     * replaced by the weighted share). All arithmetic is exact long:
     * rank ≤ nodes·10^6 and weights up to ~10^6 stay far inside 2^63.
+    * Non-positive or null weights are TREATED AS ABSENT EDGES (filtered
+    * at entry — a w ≤ 0 row would silently corrupt the mass shares).
     * Same materialization discipline: ONE edge-plan evaluation, the
     * iteration relation src-partitioned and checkpointed once. */
   def pageRankWeightedFixed(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     require(edges.columns.length == 3,
       s"edges must be (src, dst, w)-shaped, got ${edges.columns.toSeq}")
-    val e = materialized(edges.toDF("src", "dst", "w"))
+    val e = materialized(edges.toDF("src", "dst", "w")
+      .filter(col("w") > 0))
     val eW = e.join(e.groupBy("src").agg(sum("w").as("wsum")), "src")
       .repartition(col("src")).localCheckpoint(true)
     val nodes = nodesOf(e.select("src", "dst")).localCheckpoint(true)

@@ -113,6 +113,51 @@ object TextSearch {
       .limit(k)
   }
 
+  /** Conjunctive top-k search against a PERSISTED postings store (the
+    * relation [[postings]] writes, or the streaming store
+    * [[graft.streaming.StreamingIngest.searchIndexIngestStream]]
+    * maintains — extra columns like `batch_id` are ignored): same
+    * scoring, conjunction, tiebreak and heap top-k as [[searchTopK]].
+    * `nDocs` defaults to the store's distinct indexed-document count
+    * (one skinny distinct over the store — pass the corpus count
+    * explicitly to match [[searchTopK]] when zero-token documents
+    * exist: they never enter a postings store).
+    *
+    * Scale: the term filter prunes FIRST (on a term-partitioned store,
+    * partition pruning — postings never re-derive from text), the
+    * per-term merge + df + scoring all run over matched rows only.
+    * The (term, id) merge makes the reader safe over an uncompacted
+    * store regardless of batch layout. */
+  def searchStoreTopK(store: DataFrame, idCol: String, terms: Seq[String],
+      k: Int, nDocs: Option[Long] = None): DataFrame = {
+    val qTerms = terms.map(_.toLowerCase).distinct
+    require(qTerms.nonEmpty, "searchStoreTopK needs at least one term")
+    require(k > 0, s"k must be positive, got $k")
+    require(nDocs.forall(_ >= 0), s"nDocs must be >= 0, got $nDocs")
+    val n = nDocs match {
+      case Some(v) => broadcast(store.sparkSession.range(1)
+        .select(lit(v).as("n_docs")))
+      case None => broadcast(
+        store.agg(countDistinct(col(idCol)).as("n_docs")))
+    }
+    val post = store
+      .filter(col("term").isin(qTerms.map(lit): _*) && col("term").isNotNull)
+      .groupBy(col("term"), col(idCol)).agg(sum("tf").as("tf"))
+    val rarity = post.groupBy("term")
+      .agg(sum((col("tf") > lit(0L)).cast("long")).as("df"))
+      .crossJoin(n)
+      .select(col("term"), expr("(n_docs * 1000) div df").cast("long").as("rarity"))
+    post
+      .join(broadcast(rarity), "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nt"),
+        sum(col("tf") * col("rarity")).as("score"))
+      .filter(col("__nt") === qTerms.size)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Conjunctive top-k search under INTEGER BM25 — the published Okapi
     * scoring shape (term-frequency saturation + document-length
     * normalization) with every factor a permille-scaled long so the
@@ -170,6 +215,33 @@ object TextSearch {
       .filter(col("__nt") === qTerms.size)
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact-PHRASE search: top-`k` documents containing the exact token
+    * sequence `phrase`, ranked by occurrence count (ties → id
+    * ascending). Matching runs over the WHITESPACE token stream (the
+    * span-dedup tokenization, [[graft.operators.Boilerplate]]): the
+    * phrase's 60-bit window hash is computed ONCE on the driver
+    * ([[graft.functions.Hashing.h60Jvm]]) and embedded as a literal, so
+    * the corpus pass is a single per-row
+    * [[graft.functions.TokenWindowHashes]] projection + an equality
+    * filter — no tokenized corpus ever shuffles; only the matched
+    * (id, count) rows reach the output-bounded aggregation and the
+    * TakeOrdered heap. Same 2^−60 hash-collision contract as the span
+    * screens. Documents shorter than the phrase never match. */
+  def phraseSearchTopK(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearchTopK needs a non-empty phrase")
+    require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"phrase tokens must be non-empty and whitespace-free, got $phrase")
+    require(k > 0, s"k must be positive, got $k")
+    val target = graft.functions.Hashing.h60Jvm(phrase.mkString(" "))
+    Boilerplate.anchorRel(df, idCol, textCol, phrase.length)
+      .filter(col("anchor") === lit(target))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col(idCol))
       .limit(k)
   }
 

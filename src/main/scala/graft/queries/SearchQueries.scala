@@ -65,11 +65,25 @@ object SearchQueries {
     TextSearch.searchTopKBm25(t.documents, "doc_id", "text", QueryTerms, TopK)
   }
 
+  /** The q145 phrase: a frequent corpus bigram (48 occurrences over 46
+    * docs at sf0.01, so the occurrence ranking and the id tiebreak both
+    * do real work). */
+  val Phrase = Seq("table", "hash")
+
+  /** SR5 — exact-phrase search: the phrase's 60-bit window hash embeds
+    * as a literal, the corpus pass is one per-row TokenWindowHashes
+    * projection + equality filter. The oracle matches the token slice
+    * TEXTUALLY — validating the whole hash path end to end. */
+  val q145PhraseSearch: Q = (spark, dir) =>
+    TextSearch.phraseSearchTopK(Tables(spark, dir).documents,
+      "doc_id", "text", Phrase, TopK)
+
   val all: Map[String, Q] = Map(
     "q133_search_topk" -> q133SearchTopK,
     "q134_rarity_table" -> q134RarityTable,
     "q141_more_like_this" -> q141MoreLikeThis,
-    "q144_search_bm25" -> q144SearchBm25)
+    "q144_search_bm25" -> q144SearchBm25,
+    "q145_phrase_search" -> q145PhraseSearch)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -106,6 +120,24 @@ object SearchQueries {
          |  FROM post, tot GROUP BY term, tot.n_docs)
          |SELECT term, df, rarity FROM rar
          |ORDER BY df DESC, term LIMIT 100""".stripMargin,
+    "q145_phrase_search" -> {
+      val n = Phrase.length
+      val lit = Phrase.mkString(" ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |                t -> t <> '') AS ts
+         |  FROM documents),
+         |a AS (
+         |  SELECT doc_id, unnest(range(0, len(ts) - $n + 1)) AS pos, ts
+         |  FROM toks WHERE len(ts) >= $n),
+         |m AS (
+         |  SELECT doc_id FROM a
+         |  WHERE array_to_string(ts[pos + 1 : pos + $n], ' ') = '$lit')
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         |FROM m GROUP BY doc_id
+         |ORDER BY n_occurrences DESC, doc_id LIMIT $TopK""".stripMargin
+    },
     "q144_search_bm25" -> {
       val inList = QueryTerms.map(t => s"'$t'").mkString(", ")
       s"""WITH $postCte,

@@ -1094,6 +1094,93 @@ object StreamingIngest {
       keyCol = "anchor")
   }
 
+  /** Streaming INVERTED-INDEX maintenance — the search-index twin of the
+    * frequency-store screens: each micro-batch's postings
+    * (`(term, <idCol>, tf)` — [[graft.operators.TextSearch.postings]],
+    * the same lowercase-alnum tokenization as every search operator)
+    * append to a persisted store at `indexDir` under the committed-batch
+    * protocol, so the corpus becomes searchable incrementally
+    * ([[graft.operators.TextSearch.searchStoreTopK]] reads the store)
+    * without ever re-tokenizing history.
+    *
+    * Contract: document ids are UNIQUE across batches (the standard
+    * ingest assumption — re-ingesting an id would double its postings;
+    * dedup screens upstream exist for exactly that). Under that
+    * contract a replay is pure overwrite (batch-keyed file names), no
+    * own-batch store read is needed at all, and post-commit compaction
+    * (`compactAtFiles`) is a pure merge: one row per (term, id), tf
+    * summed, batch_id −1, token-mass-checked before the staged swap —
+    * the [[graft.operators.IndexOps.swapDirs]] + `recoverSwap`
+    * discipline, same as every other store in this file. */
+  def searchIndexIngestStream(stream: DataFrame, indexDir: String,
+      checkpoint: String, idCol: String, textCol: String,
+      compactAtFiles: Int = 0,
+      gates: BatchGates = BatchGates()): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        searchIndexBatch(batch.toDF(), batchId, indexDir, idCol, textCol,
+          compactAtFiles, gates = gates)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
+  private[graft] def searchIndexBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, idCol: String, textCol: String,
+      compactAtFiles: Int, failAfterStep: Int = Int.MaxValue,
+      gates: BatchGates = BatchGates()): Unit = {
+    import graft.operators.{Checkpoints, IndexOps, TextSearch}
+    val spark = batch.sparkSession
+    IndexOps.recoverSwap(spark, indexDir)
+    def failpoint(n: Int): Unit = if (failAfterStep == n)
+      throw new IllegalStateException(
+        s"searchIndexBatch: test failpoint after step $n")
+    if (isCommitted(spark, indexDir, batchId)) return
+    runBatchGates(batch, batchId, gates, gateReportDir(indexDir))
+    Checkpoints.scoped(spark) {
+      val delta = TextSearch.postings(batch, idCol, textCol)
+        .withColumn("batch_id", lit(batchId))
+      publishBatch(delta, indexDir, batchId, Nil)
+      failpoint(1)
+      commitBatch(spark, indexDir, batchId)
+    }
+    maintainPostingsStore(spark, indexDir, idCol, compactAtFiles)
+  }
+
+  /** Post-commit postings compaction: merge the per-batch delta files to
+    * one row per (term, id) with tf summed (batch_id −1). The same
+    * uncommitted-delta guard as [[maintainFreqStore]]: a failpoint-1
+    * crash leaves a published, unmarked delta, and folding it into −1
+    * rows would hide it from nothing today (replays overwrite by file
+    * name, not store reads) — but the guard keeps the invariant
+    * uniform: only COMMITTED batches ever merge. Token mass (Σ tf) is
+    * checked across the swap. */
+  private def maintainPostingsStore(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String, compactAtFiles: Int): Unit = {
+    import graft.operators.IndexOps
+    if (compactAtFiles <= 0) return
+    if (IndexOps.dataFileCount(spark, indexDir) < compactAtFiles) return
+    val pending = spark.read.parquet(indexDir)
+      .filter(col("batch_id") >= 0L).select("batch_id").distinct()
+      .collect().map(_.getLong(0))
+      .filterNot(isCommitted(spark, indexDir, _))
+    if (pending.nonEmpty) return // its replay will overwrite it in place
+    val tmp = indexDir + ".compact.tmp"
+    val (fs, _) = fsPath(spark, tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val srcMass = spark.read.parquet(indexDir)
+      .agg(coalesce(sum("tf"), lit(0L))).head().getLong(0)
+    spark.read.parquet(indexDir)
+      .groupBy("term", idCol).agg(sum("tf").as("tf"))
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").parquet(tmp)
+    val dstMass = spark.read.parquet(tmp)
+      .agg(coalesce(sum("tf"), lit(0L))).head().getLong(0)
+    require(dstMass == srcMass,
+      s"maintainPostingsStore: compaction of $indexDir changed the token " +
+        s"mass ($srcMass -> $dstMass) — not swapping in")
+    IndexOps.swapDirs(spark, indexDir, tmp)
+  }
+
   // ----------------------------------------------- curate batch internals
 
   /** The id sidecar of a persisted index directory: a skinny

@@ -57,6 +57,12 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     val plain = Graph.pageRankFixed(e, iters = 3).as[(Long, Long)].collect().toMap
     assert(uni == plain)
+    // w ≤ 0 rows are absent edges: pruning them changes nothing, and a
+    // node reachable only through them drops out entirely
+    val withJunk = we.union(Seq((9L, 1L, 0L), (1L, 9L, -5L)).toDF("src", "dst", "w"))
+    val pruned = Graph.pageRankWeightedFixed(withJunk, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(pruned == Map(1L -> 458125L, 2L -> 362500L, 3L -> 787500L))
   }
 
   test("coOccurrenceEdges: symmetric counts, minCount threshold, group cap") {

@@ -106,6 +106,24 @@ class TextSearchSpec extends SparkSpec {
     assert(capped == Set((1L, 2L, 2000L)))
   }
 
+  test("phraseSearchTopK: exact token sequence, order matters, tiebreak, k cut") {
+    val df = Seq(
+      (1L, "a b a b"), (2L, "b a"), (3L, "a a"), (4L, "")).toDF("doc_id", "text")
+    val ab = TextSearch.phraseSearchTopK(df, "doc_id", "text", Seq("a", "b"), 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(ab == Seq((1L, 2L))) // "b a" is NOT "a b"; short/empty docs absent
+    val ba = TextSearch.phraseSearchTopK(df, "doc_id", "text", Seq("b", "a"), 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(ba == Seq((1L, 1L), (2L, 1L))) // count tie → id ascending
+    // single-token phrase degenerates to term-occurrence ranking
+    val justA = TextSearch.phraseSearchTopK(df, "doc_id", "text", Seq("a"), 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(justA == Seq((1L, 2L), (3L, 2L))) // k cut drops doc 2
+    intercept[IllegalArgumentException] {
+      TextSearch.phraseSearchTopK(df, "doc_id", "text", Seq("two words"), 5)
+    }
+  }
+
   test("searchTopK rejects empty and non-alnum query terms") {
     intercept[IllegalArgumentException] {
       TextSearch.searchTopK(docs, "doc_id", "text", Seq.empty, 5)

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.TextSearch
+
+class SearchStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def run(df: org.apache.spark.sql.DataFrame, id: Long,
+      indexDir: String, compactAt: Int = 0,
+      failAfter: Int = Int.MaxValue): Unit =
+    StreamingIngest.searchIndexBatch(df, id, indexDir, "doc_id", "text",
+      compactAt, failAfterStep = failAfter)
+
+  private def storePostings(indexDir: String): Map[(String, Long), Long] =
+    spark.read.parquet(indexDir).select("term", "doc_id", "tf")
+      .groupBy("term", "doc_id").agg(sum("tf").as("tf"))
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+
+  test("single-batch store equals the batch postings operator; search agrees") {
+    val ix = tmp("si-law")
+    val docs = Seq(
+      (1L, "spark joins the table"), (2L, "spark spark joins"),
+      (3L, "only joins here")).toDF("doc_id", "text")
+    run(docs, 0L, ix)
+    val want = TextSearch.postings(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(storePostings(ix) == want)
+    val viaStore = TextSearch.searchStoreTopK(
+      spark.read.parquet(ix), "doc_id", Seq("spark", "joins"), 10)
+      .as[(Long, Long)].collect().toSeq
+    val direct = TextSearch.searchTopK(docs, "doc_id", "text",
+      Seq("spark", "joins"), 10).as[(Long, Long)].collect().toSeq
+    assert(viaStore == direct)
+  }
+
+  test("incremental batches: store search equals one-shot search over the union corpus") {
+    val ix = tmp("si-inc")
+    val b0 = Seq((1L, "alpha beta gamma"), (2L, "alpha beta")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "alpha gamma gamma"), (4L, "beta beta alpha")).toDF("doc_id", "text")
+    run(b0, 0L, ix); run(b1, 1L, ix)
+    val union = b0.unionByName(b1)
+    for (terms <- Seq(Seq("alpha"), Seq("alpha", "beta"), Seq("gamma", "alpha"))) {
+      val viaStore = TextSearch.searchStoreTopK(
+        spark.read.parquet(ix), "doc_id", terms, 10)
+        .as[(Long, Long)].collect().toSeq
+      val direct = TextSearch.searchTopK(union, "doc_id", "text", terms, 10)
+        .as[(Long, Long)].collect().toSeq
+      assert(viaStore == direct, s"terms $terms: $viaStore != $direct")
+    }
+  }
+
+  test("crash replay converges: failpoint leaves an unmarked delta, the replay overwrites it") {
+    val ix = tmp("si-crash")
+    run(Seq((1L, "one two")).toDF("doc_id", "text"), 0L, ix)
+    val b1 = Seq((2L, "two three")).toDF("doc_id", "text")
+    intercept[IllegalStateException] { run(b1, 1L, ix, failAfter = 1) }
+    run(b1, 1L, ix)
+    assert(storePostings(ix) == Map(
+      ("one", 1L) -> 1L, ("two", 1L) -> 1L,
+      ("two", 2L) -> 1L, ("three", 2L) -> 1L))
+    // committed replay is a no-op: postings unchanged
+    run(b1, 1L, ix)
+    assert(spark.read.parquet(ix)
+      .filter(col("batch_id") === 1L).count() == 2)
+  }
+
+  test("compaction merges to batch_id -1, preserves token mass and search results") {
+    val ix = tmp("si-compact")
+    run(Seq((1L, "red bolt")).toDF("doc_id", "text"), 0L, ix, compactAt = 2)
+    run(Seq((2L, "red gear")).toDF("doc_id", "text"), 1L, ix, compactAt = 2)
+    val store = spark.read.parquet(ix)
+    assert(store.select("batch_id").distinct().as[Long].collect().toSeq == Seq(-1L))
+    assert(store.agg(sum("tf")).head().getLong(0) == 4L)
+    val got = TextSearch.searchStoreTopK(store, "doc_id", Seq("red"), 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1).toSet == Set(1L, 2L))
+    // an uncommitted delta blocks compaction (failpoint before marker)
+    val ix2 = tmp("si-nocompact")
+    run(Seq((1L, "aa bb")).toDF("doc_id", "text"), 0L, ix2, compactAt = 1)
+    intercept[IllegalStateException] {
+      run(Seq((2L, "bb cc")).toDF("doc_id", "text"), 1L, ix2,
+        compactAt = 1, failAfter = 1)
+    }
+    // batch 0 compacted to -1 before the crash; batch 1's delta stays
+    // batch-keyed (the guard refuses to fold an uncommitted delta)
+    assert(spark.read.parquet(ix2).filter(col("batch_id") === 1L).count() == 2)
+  }
+
+  test("the real stream: AvailableNow drains build the index exactly once") {
+    val drop = tmp("si-drop"); val ix = tmp("si-drain"); val ckpt = tmp("si-ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def dropBatch(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$drop/$name"),
+        rows.map { case (i, t) => s"$i\t$t" }.mkString("\n").getBytes("UTF-8"))
+    def drain(): Unit =
+      StreamingIngest.searchIndexIngestStream(
+        spark.readStream.schema(schema).option("sep", "\t").csv(drop),
+        ix, ckpt, "doc_id", "text")
+        .start().awaitTermination()
+    dropBatch("b0.tsv", Seq((1L, "hello world"), (2L, "hello spark")))
+    drain()
+    dropBatch("b1.tsv", Seq((3L, "world of spark")))
+    drain()
+    assert(storePostings(ix) == Map(
+      ("hello", 1L) -> 1L, ("world", 1L) -> 1L,
+      ("hello", 2L) -> 1L, ("spark", 2L) -> 1L,
+      ("world", 3L) -> 1L, ("of", 3L) -> 1L, ("spark", 3L) -> 1L))
+    val top = TextSearch.searchStoreTopK(
+      spark.read.parquet(ix), "doc_id", Seq("spark"), 1)
+      .as[(Long, Long)].collect().toSeq
+    assert(top.map(_._1) == Seq(2L))
+  }
+}
