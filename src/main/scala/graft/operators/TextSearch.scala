@@ -158,6 +158,56 @@ object TextSearch {
       .limit(k)
   }
 
+  /** [[searchStoreTopK]]'s BM25 twin: integer-Okapi scoring
+    * ([[searchTopKBm25]]'s exact arithmetic) against a persisted
+    * postings store. Document lengths default to Σ tf per doc over the
+    * store — correct because the store holds EVERY term of every
+    * indexed document — but that derivation scans the full store, so at
+    * scale pass `docLengths` (a `(idCol, __dl)` relation, e.g. written
+    * at compaction time: the doc-length sidecar every BM25 index
+    * keeps). */
+  def searchStoreTopKBm25(store: DataFrame, idCol: String,
+      terms: Seq[String], k: Int,
+      docLengths: Option[DataFrame] = None,
+      k1Permille: Long = 1200L, bPermille: Long = 750L): DataFrame = {
+    val qTerms = terms.map(_.toLowerCase).distinct
+    require(qTerms.nonEmpty, "searchStoreTopKBm25 needs at least one term")
+    require(k > 0, s"k must be positive, got $k")
+    require(bPermille >= 0 && bPermille <= 1000,
+      s"bPermille must be in [0, 1000], got $bPermille")
+    require(k1Permille >= 0, s"k1Permille must be >= 0, got $k1Permille")
+    val dl = docLengths.getOrElse(
+      store.groupBy(col(idCol)).agg(sum("tf").as("__dl")))
+    require(dl.columns.toSeq == Seq(idCol, "__dl"),
+      s"docLengths must be ($idCol, __dl)-shaped, got ${dl.columns.toSeq}")
+    val totals = dl.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum("__dl"), lit(0L)).as("__tot"))
+      .select(col("n_docs"),
+        expr("case when n_docs > 0 then greatest((__tot * 1000) div n_docs, 1) else 1 end")
+          .as("avgdl_milli"))
+    val post = store
+      .filter(col("term").isin(qTerms.map(lit): _*) && col("term").isNotNull)
+      .groupBy(col("term"), col(idCol)).agg(sum("tf").as("tf"))
+    val rarity = post.groupBy("term")
+      .agg(sum((col("tf") > lit(0L)).cast("long")).as("df"))
+      .crossJoin(broadcast(totals))
+      .select(col("term"), expr("(n_docs * 1000) div df").cast("long").as("rarity"))
+    post
+      .join(broadcast(rarity), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(totals.select("avgdl_milli")))
+      .withColumn("__nf", lit(1000L - bPermille) +
+        expr(s"($bPermille * __dl * 1000) div avgdl_milli"))
+      .withColumn("__sc", expr(
+        s"(rarity * tf * (1000 + $k1Permille)) div (tf * 1000 + ($k1Permille * __nf) div 1000)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nt"), sum("__sc").as("score"))
+      .filter(col("__nt") === qTerms.size)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Conjunctive top-k search under INTEGER BM25 — the published Okapi
     * scoring shape (term-frequency saturation + document-length
     * normalization) with every factor a permille-scaled long so the

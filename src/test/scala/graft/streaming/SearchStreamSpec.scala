@@ -57,6 +57,33 @@ class SearchStreamSpec extends SparkSpec {
     }
   }
 
+  test("store BM25 equals the one-shot BM25 over the union corpus") {
+    val ix = tmp("si-bm25")
+    val b0 = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "alpha alpha beta"), (4L, "gamma beta alpha epsilon")).toDF("doc_id", "text")
+    run(b0, 0L, ix); run(b1, 1L, ix)
+    val union = b0.unionByName(b1)
+    for (terms <- Seq(Seq("alpha"), Seq("alpha", "beta"))) {
+      val viaStore = TextSearch.searchStoreTopKBm25(
+        spark.read.parquet(ix), "doc_id", terms, 10)
+        .as[(Long, Long)].collect().toSeq
+      val direct = TextSearch.searchTopKBm25(union, "doc_id", "text", terms, 10)
+        .as[(Long, Long)].collect().toSeq
+      assert(viaStore == direct, s"terms $terms: $viaStore != $direct")
+    }
+    // an explicit doc-length sidecar gives the same answer as the
+    // store-derived lengths
+    val dl = spark.read.parquet(ix).groupBy("doc_id")
+      .agg(sum("tf").as("__dl"))
+    val withSidecar = TextSearch.searchStoreTopKBm25(
+      spark.read.parquet(ix), "doc_id", Seq("alpha", "beta"), 10,
+      docLengths = Some(dl)).as[(Long, Long)].collect().toSeq
+    val derived = TextSearch.searchStoreTopKBm25(
+      spark.read.parquet(ix), "doc_id", Seq("alpha", "beta"), 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(withSidecar == derived)
+  }
+
   test("crash replay converges: failpoint leaves an unmarked delta, the replay overwrites it") {
     val ix = tmp("si-crash")
     run(Seq((1L, "one two")).toDF("doc_id", "text"), 0L, ix)
