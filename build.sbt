@@ -12,6 +12,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to this process's stdout instead of
+// through sbt's logger: the logger prefixes every line with "[info] ",
+// so no stdout line ever STARTS with '{' — which defeats any line-wise
+// JSON tail-parse of graft.Bench's record (15 rounds of BENCH "parsed":
+// null with a complete JSON object sitting right there in the tail).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

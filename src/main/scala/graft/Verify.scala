@@ -54,7 +54,19 @@ object Verify {
     // re-verify just the queries under work; the driver passes 2 args)
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, None)
-      case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
+      case Array(s, o, f) =>
+        (s, o, Some(f.split(',').map(_.trim).filter(_.nonEmpty).toSet))
+      case _ =>
+        System.err.println(
+          "usage: graft.Verify <sfDir> <outDir> [query1,query2,...]")
+        sys.exit(2)
+    }
+    // a filter naming a nonexistent query must FAIL, not silently verify
+    // nothing — filterKeys would drop it and the dev loop reads green
+    only.foreach { f =>
+      val unknown = f -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, "unknown queries in filter: " +
+        unknown.toSeq.sorted.mkString(", "))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

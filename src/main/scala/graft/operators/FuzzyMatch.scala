@@ -36,7 +36,21 @@ object FuzzyMatch {
     * Completeness: exact for substitution-only edits ≤ nSegments−1 on
     * equal-length strings whose blockCol preserves positions; otherwise
     * the documented blocking approximation. Oversized blocks
-    * (> maxBlockRows) are skipped — they carry no discrimination. */
+    * (> maxBlockRows) are skipped — they carry no discrimination.
+    *
+    * Short strings (length(blockCol) < nSegments): EMPTY segments are
+    * excluded from blocking — segment 0 is empty for EVERY such string,
+    * so the empty block is "all short strings in one bucket", a
+    * non-discriminating block that pays |block|² for no positional
+    * evidence. The substitution contract still holds: any two
+    * EQUAL-length short strings are within length ≤ nSegments−1
+    * substitutions by definition, so short strings carry one extra
+    * same-length rescue block (seg_idx −1, keyed by length) that makes
+    * every equal-length short pair a candidate — content discrimination
+    * is impossible there BECAUSE the contract demands all of them.
+    * Cross-LENGTH short pairs are the insertion regime, outside the
+    * contract like any boundary-shifting edit: they are candidates only
+    * when they agree on a positioned non-empty segment. */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, nSegments: Int = 3,
       blockCol: Option[Column] = None,
@@ -46,12 +60,17 @@ object FuzzyMatch {
     val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"),
         blockCol.getOrElse(col(strCol)).as("__b"))
       .filter(col("__s").isNotNull && col("__b").isNotNull)
-    val segs = base.select(col("__id"), col("__s"),
+    val posSegs = base.select(col("__id"), col("__s"),
         posexplode(array((0 until nSegments).map(i =>
           expr(s"substr(__b, 1 + ($i * length(__b)) div $nSegments, " +
             s"(($i + 1) * length(__b)) div $nSegments - " +
             s"($i * length(__b)) div $nSegments)")): _*))
           .as(Seq("seg_idx", "seg")))
+      .filter(length(col("seg")) > 0)
+    val shortRescue = base.filter(length(col("__b")) < nSegments)
+      .select(col("__id"), col("__s"), lit(-1).as("seg_idx"),
+        concat(lit("L"), length(col("__b"))).as("seg"))
+    val segs = posSegs.unionByName(shortRescue)
     // skip non-discriminating oversized blocks BEFORE the self-join —
     // the one aggregation here is (seg_idx, seg)-keyed and block-sized
     val sized = segs.join(

@@ -142,6 +142,41 @@ object Graph {
       .filter(col("n") >= minCount)
   }
 
+  /** Group-size histogram of a (group, item) relation — how many groups
+    * hold exactly `group_items` member rows. The cost model of every
+    * per-group quadratic here (co-occurrence, co-Jaccard): candidate
+    * mass is Σ |group|², so the histogram's tail IS the worst-group
+    * bound. Same shape as [[IndexOps.bucketHistogram]]/`cellHistogram`;
+    * nulls filtered exactly as [[coOccurrenceEdges]] filters them.
+    * Two map-side-combined aggregations, output ≤ distinct-size rows. */
+  def groupHistogram(df: DataFrame, groupCol: String, itemCol: String): DataFrame =
+    df.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+      .filter(col("__g").isNotNull && col("__i").isNotNull)
+      .groupBy("__g").agg(count(lit(1)).as("group_items"))
+      .groupBy("group_items").agg(count(lit(1)).as("n_groups"))
+
+  /** `maxGroupItems = auto`: [[IndexOps.capFromHistogram]] over
+    * [[groupHistogram]] — the smallest size S such that groups of size
+    * ≤ S are ≥ `quantile` of all groups ("join every group except the
+    * top tail"). Feed to [[coOccurrenceEdges]]/[[coJaccardEdges]] so
+    * the default path cannot go quadratic on a degenerate group (the
+    * empty-string bucket, a crawler session holding half the corpus) —
+    * the cap-picking rule the LSH/IVF families already run as code. */
+  def autoGroupCap(df: DataFrame, groupCol: String, itemCol: String,
+      quantile: Double = 0.999): Long =
+    IndexOps.capFromHistogram(groupHistogram(df, groupCol, itemCol),
+      "group_items", "n_groups", quantile).toLong
+
+  /** The groups a cap DROPS, for the caller's report (the no-silent-caps
+    * discipline): `(group, n_items)` of every group above
+    * `maxGroupItems`, output-bounded by the offender count. */
+  def cappedGroups(df: DataFrame, groupCol: String, itemCol: String,
+      maxGroupItems: Long): DataFrame =
+    df.select(col(groupCol).as(groupCol), col(itemCol).as("__i"))
+      .filter(col(groupCol).isNotNull && col("__i").isNotNull)
+      .groupBy(groupCol).agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") > maxGroupItems)
+
   /** Per-node triangle counts — the local clustering signal (community
     * density, link-spam detection). Classic oriented wedge-closing
     * (Cohen's MapReduce scheme / Suri–Vassilvitskii): canonicalize to
@@ -198,12 +233,23 @@ object Graph {
     * `rank'(v) = 150000 + (85 · Σ_{u→v} (rank(u)·w(u,v)) div wsum(u)) div 100`
     * with `wsum(u) = Σ out-weights of u` — the integer twin of
     * [[pageRankFixed]] (same damping, scale, floor; per-edge division
-    * replaced by the weighted share). All arithmetic is exact long:
-    * rank ≤ nodes·10^6 and weights up to ~10^6 stay far inside 2^63.
-    * Non-positive or null weights are TREATED AS ABSENT EDGES (filtered
-    * at entry — a w ≤ 0 row would silently corrupt the mass shares).
-    * Same materialization discipline: ONE edge-plan evaluation, the
-    * iteration relation src-partitioned and checkpointed once. */
+    * replaced by the weighted share). Non-positive or null weights are
+    * TREATED AS ABSENT EDGES (filtered at entry — a w ≤ 0 row would
+    * silently corrupt the mass shares). Same materialization
+    * discipline: ONE edge-plan evaluation, the iteration relation
+    * src-partitioned and checkpointed once.
+    *
+    * Exactness envelope — ENFORCED, not assumed: every rank is bounded
+    * by the total mass `n_nodes · 10^6` (the per-round update is
+    * `150000 + 0.85·Σ contrib` with contributions a partition of the
+    * sender's rank, so Σ ranks ≤ n·10^6 at every round and a hub's
+    * rank can approach it), hence the widest per-edge product is
+    * `rank · w ≤ n_nodes · 10^6 · w_max`. Spark wraps a signed-64
+    * overflow SILENTLY where DuckDB raises, so the guard below
+    * requires `n_nodes · 10^6 · w_max < 2^63` (two bounded-scalar aggs
+    * over already-materialized blocks) and fails loud with a rescale
+    * hint instead of corrupting ranks — at weights ~10^6 the envelope
+    * closes around n ≈ 9.2·10^6 nodes. */
   def pageRankWeightedFixed(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     require(edges.columns.length == 3,
@@ -213,6 +259,15 @@ object Graph {
     val eW = e.join(e.groupBy("src").agg(sum("w").as("wsum")), "src")
       .repartition(col("src")).localCheckpoint(true)
     val nodes = nodesOf(e.select("src", "dst")).localCheckpoint(true)
+    val wMaxRow = e.agg(max(col("w").cast("long"))).head()
+    val wMax = if (wMaxRow.isNullAt(0)) 0L else wMaxRow.getLong(0)
+    val nNodes = nodes.count()
+    require(BigInt(nNodes) * 1000000L * wMax < BigInt(2).pow(63),
+      s"pageRankWeightedFixed: rank·w can overflow signed 64-bit " +
+        s"(n_nodes=$nNodes, w_max=$wMax, envelope n·10^6·w_max < 2^63) " +
+        "— pre-scale the weight column (shares only need RELATIVE " +
+        "weights, so `w div s` for a power-of-ten s preserves the " +
+        "ranking to 1/s precision)")
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (_ <- 1 to iters) {
       val contrib = eW

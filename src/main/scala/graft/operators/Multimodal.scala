@@ -149,9 +149,24 @@ object Multimodal {
     when(len <= targetBytes, bin).otherwise(sampled)
   }
 
+  /** REAL feature decode for the one format that needs no codec:
+    * uncompressed WAV PCM → `array<long>` of `dims` exact bucket sums
+    * (the integer amplitude envelope — [[graft.functions.
+    * WavPcmFeatures]]: RIFF chunk walk, 8/16-bit multi-channel sample
+    * decode, ⌊j·dims/n⌋ bucketing; null for non-PCM / truncated /
+    * non-WAV payloads). Replaces [[decodeFeaturesStub]] for this
+    * format; compressed codecs remain behind
+    * [[decodeFeaturesPartitioned]]'s pluggable harness. */
+  def wavPcmFeatures(bin: Column, dims: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.WavPcmFeatures(ColumnBridge.expression(bin), dims))
+  }
+
   /** STUB — deterministic fake feature extraction. A real deployment
     * replaces this with an actual image/audio decoder feeding a model;
-    * the container has no codecs, so features are hash-derived floats in
+    * the container has no codecs beyond [[wavPcmFeatures]]'s
+    * uncompressed-PCM path, so features are hash-derived floats in
     * [-1, 1). The column contract (binary in, `array<float>` of `dims`
     * out) and everything downstream (ANN, near-dup over the features) is
     * real and exercised by tests. */

@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
   * family a curation/analytics engine needs once the corpus is big enough
   * that "grep it" stops being a plan: build a postings relation once,
   * derive document frequencies and integer rarity weights from it, and
-  * answer conjunctive top-k queries by touching only the query terms'
-  * postings.
+  * answer top-k queries — conjunctive through pure-OR via the
+  * minimum-should-match dial — touching only the query terms' postings.
   *
   * Engine extension beyond the reference surface (the reference's text
   * handling is row-local cleaning — `prep/down_water_prep.py` has no
@@ -68,24 +68,35 @@ object TextSearch {
       .select(col("term"), col("df"),
         expr("(n_docs * 1000) div df").cast("long").as("rarity"))
 
-  /** Conjunctive ranked search: documents containing ALL of `terms`,
-    * scored `Σ_t tf_t · rarity_t` (rarer terms dominate), top `k` by
+  /** Ranked search: documents containing at least `minShouldMatch` of
+    * `terms` (default: ALL of them — conjunctive), scored
+    * `Σ_{matched t} tf_t · rarity_t` (rarer terms dominate), top `k` by
     * (score desc, id asc — deterministic under ties). Output
     * `(<idCol>, score)`.
+    *
+    * `minShouldMatch = Some(1)` is OR-by-default retrieval — the common
+    * mode, where a missing term costs score instead of membership;
+    * intermediate values are the classic minimum-should-match dial.
+    * The plan is IDENTICAL across the whole dial (only the post-agg
+    * count filter changes), so the conjunctive scale notes below hold
+    * for every mode: per-query cost is proportional to the matched
+    * postings of the query terms, never the corpus.
     *
     * The term filter lands on the postings build's explode output before
     * any shuffle (or prunes partitions on a materialized term-partitioned
     * store); every aggregation downstream is over matched postings only
-    * (≤ |terms| × matching docs rows). The conjunction check is
-    * `count(*) = |terms|` on the per-doc group — postings are (term, doc)
+    * (≤ |terms| × matching docs rows). The match-count check is
+    * `count(*) ≥ m` on the per-doc group — postings are (term, doc)
     * distinct so no countDistinct re-shuffle is needed. */
   def searchTopK(df: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], k: Int): DataFrame = {
+      terms: Seq[String], k: Int,
+      minShouldMatch: Option[Int] = None): DataFrame = {
     val qTerms = terms.map(_.toLowerCase).distinct
     require(qTerms.nonEmpty, "searchTopK needs at least one term")
     require(k > 0, s"k must be positive, got $k")
     require(qTerms.forall(_.matches(TermPattern)),
       s"query terms must be lowercase alphanumeric runs, got $terms")
+    val msm = checkedMsm(minShouldMatch, qTerms.size, "searchTopK")
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     // the explicit isNotNull matches the conjunct the scoring join infers
     // on its side — without it the two postings subtrees canonicalize
@@ -107,21 +118,35 @@ object TextSearch {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__nt"),
         sum(col("tf") * col("rarity")).as("score"))
-      .filter(col("__nt") === qTerms.size)
+      .filter(col("__nt") >= msm)
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
 
-  /** Conjunctive top-k search against a PERSISTED postings store (the
-    * relation [[postings]] writes, or the streaming store
+  /** Validate a minimum-should-match dial against the (deduped) query
+    * term count; None = conjunctive (match all). */
+  private def checkedMsm(minShouldMatch: Option[Int], nTerms: Int,
+      op: String): Int = {
+    val m = minShouldMatch.getOrElse(nTerms)
+    require(m >= 1 && m <= nTerms,
+      s"$op: minShouldMatch must be in [1, $nTerms] " +
+        s"(the distinct query-term count), got $m")
+    m
+  }
+
+  /** Top-k search against a PERSISTED postings store (the relation
+    * [[postings]] writes, or the streaming store
     * [[graft.streaming.StreamingIngest.searchIndexIngestStream]]
     * maintains — extra columns like `batch_id` are ignored): same
-    * scoring, conjunction, tiebreak and heap top-k as [[searchTopK]].
+    * scoring, match-count semantics (`minShouldMatch`, default
+    * conjunctive), tiebreak and heap top-k as [[searchTopK]].
     * `nDocs` defaults to the store's distinct indexed-document count
     * (one skinny distinct over the store — pass the corpus count
     * explicitly to match [[searchTopK]] when zero-token documents
-    * exist: they never enter a postings store).
+    * exist: they never enter a postings store; the streaming loop's
+    * doc-length sidecar carries the corpus-exact count, see
+    * [[graft.streaming.StreamingIngest.searchIndexDocLengths]]).
     *
     * Scale: the term filter prunes FIRST (on a term-partitioned store,
     * partition pruning — postings never re-derive from text), the
@@ -129,11 +154,13 @@ object TextSearch {
     * The (term, id) merge makes the reader safe over an uncompacted
     * store regardless of batch layout. */
   def searchStoreTopK(store: DataFrame, idCol: String, terms: Seq[String],
-      k: Int, nDocs: Option[Long] = None): DataFrame = {
+      k: Int, nDocs: Option[Long] = None,
+      minShouldMatch: Option[Int] = None): DataFrame = {
     val qTerms = terms.map(_.toLowerCase).distinct
     require(qTerms.nonEmpty, "searchStoreTopK needs at least one term")
     require(k > 0, s"k must be positive, got $k")
     require(nDocs.forall(_ >= 0), s"nDocs must be >= 0, got $nDocs")
+    val msm = checkedMsm(minShouldMatch, qTerms.size, "searchStoreTopK")
     val n = nDocs match {
       case Some(v) => broadcast(store.sparkSession.range(1)
         .select(lit(v).as("n_docs")))
@@ -152,7 +179,7 @@ object TextSearch {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__nt"),
         sum(col("tf") * col("rarity")).as("score"))
-      .filter(col("__nt") === qTerms.size)
+      .filter(col("__nt") >= msm)
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
@@ -169,8 +196,10 @@ object TextSearch {
   def searchStoreTopKBm25(store: DataFrame, idCol: String,
       terms: Seq[String], k: Int,
       docLengths: Option[DataFrame] = None,
-      k1Permille: Long = 1200L, bPermille: Long = 750L): DataFrame = {
+      k1Permille: Long = 1200L, bPermille: Long = 750L,
+      minShouldMatch: Option[Int] = None): DataFrame = {
     val qTerms = terms.map(_.toLowerCase).distinct
+    val msm = checkedMsm(minShouldMatch, qTerms.size, "searchStoreTopKBm25")
     require(qTerms.nonEmpty, "searchStoreTopKBm25 needs at least one term")
     require(k > 0, s"k must be positive, got $k")
     require(bPermille >= 0 && bPermille <= 1000,
@@ -202,16 +231,17 @@ object TextSearch {
         s"(rarity * tf * (1000 + $k1Permille)) div (tf * 1000 + ($k1Permille * __nf) div 1000)"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__nt"), sum("__sc").as("score"))
-      .filter(col("__nt") === qTerms.size)
+      .filter(col("__nt") >= msm)
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
 
-  /** Conjunctive top-k search under INTEGER BM25 — the published Okapi
-    * scoring shape (term-frequency saturation + document-length
-    * normalization) with every factor a permille-scaled long so the
-    * oracle replays it bit-for-bit:
+  /** Top-k search under INTEGER BM25 — the published Okapi scoring
+    * shape (term-frequency saturation + document-length normalization)
+    * with every factor a permille-scaled long so the oracle replays it
+    * bit-for-bit (`minShouldMatch` dials the match-count semantics
+    * exactly as in [[searchTopK]]; default conjunctive):
     *
     *   nf        = (1000 − b) + (b · dl · 1000) div avgdl_milli
     *   denom     = tf·1000 + (k1 · nf) div 1000
@@ -230,8 +260,10 @@ object TextSearch {
     * filter prunes the dl scan to joining ids). */
   def searchTopKBm25(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int,
-      k1Permille: Long = 1200L, bPermille: Long = 750L): DataFrame = {
+      k1Permille: Long = 1200L, bPermille: Long = 750L,
+      minShouldMatch: Option[Int] = None): DataFrame = {
     val qTerms = terms.map(_.toLowerCase).distinct
+    val msm = checkedMsm(minShouldMatch, qTerms.size, "searchTopKBm25")
     require(qTerms.nonEmpty, "searchTopKBm25 needs at least one term")
     require(k > 0, s"k must be positive, got $k")
     require(qTerms.forall(_.matches(TermPattern)),
@@ -262,7 +294,7 @@ object TextSearch {
         s"(rarity * tf * (1000 + $k1Permille)) div (tf * 1000 + ($k1Permille * __nf) div 1000)"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__nt"), sum("__sc").as("score"))
-      .filter(col("__nt") === qTerms.size)
+      .filter(col("__nt") >= msm)
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
@@ -317,13 +349,30 @@ object TextSearch {
     * each query doc (rarity desc, term asc — deterministic), bounding
     * per-query candidates by the rare terms' df sum. The df branch
     * reuses the corpus-postings exchange via the same Σ[tf>0]
-    * subtree-equality trick as [[searchTopK]]. */
+    * subtree-equality trick as [[searchTopK]].
+    *
+    * `maxQueryDocs` ENFORCES the bounded-probe contract (the sibling
+    * of `maxGroupItems`/`maxBlockRows`/`maxBucketRows`): the probe set
+    * is counted (one skinny count over the query relation) and an
+    * oversized one throws instead of silently going quadratic. */
   def moreLikeThis(corpus: DataFrame, queries: DataFrame, idCol: String,
       textCol: String, k: Int,
-      maxQueryTerms: Option[Int] = None): DataFrame = {
+      maxQueryTerms: Option[Int] = None,
+      maxQueryDocs: Long = 10000L): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(maxQueryTerms.forall(_ > 0),
       s"maxQueryTerms must be positive, got $maxQueryTerms")
+    require(maxQueryDocs > 0, s"maxQueryDocs must be positive, got $maxQueryDocs")
+    val nq = queries.count()
+    require(nq <= maxQueryDocs,
+      s"moreLikeThis: probe set has $nq docs > maxQueryDocs=$maxQueryDocs. " +
+        "MLT candidate mass is Σ_q Σ_t df(t) — a probe set that grows " +
+        "with the corpus makes it quadratic by construction (measured " +
+        "59x at the 10x sweep, SCALING.md r15). Corpus-scale all-pairs " +
+        "similarity is the near-dup/LSH family's job " +
+        "(graft.operators.Dedup.nearDupPairsLshAuto / " +
+        "graft.operators.Similarity); raise maxQueryDocs only for a " +
+        "probe set that is bounded by CONTRACT, not by today's data.")
     val qPostAll = postings(queries, idCol, textCol)
       .select(col("term"), col(idCol).as("__qid"))
     val qTerms = qPostAll.select("term").distinct()

@@ -388,6 +388,49 @@ object CleaningQueries {
   }
 
 
+  /** MM5 — REAL WAV-PCM FEATURE DECODE ([[Multimodal.wavPcmFeatures]]):
+    * the corpus rendered into structurally valid 16-bit mono PCM WAVs
+    * whose sample values follow a doc_id formula, decoded to 4 exact
+    * integer bucket sums (the amplitude envelope) — the oracle replays
+    * the formula arithmetically, so any endianness / sign-extension /
+    * bucketing error in the sample decode reads back wrong values. One
+    * doc in ten truncated after the data-size declaration (payload
+    * missing → features null: this is a DECODER, not a header read). */
+  val q150WavFeatures: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    def be(v: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column =
+      lpad(hex(v), nBytes * 2, "0")
+    def le(v: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column =
+      concat((0 until nBytes).map(i =>
+        be(shiftright(v.cast("long"), 8 * i).bitwiseAND(lit(255L)), 1)): _*)
+    val nFr = col("doc_id") % 32 + 8
+    // sample j (unsigned 16-bit): u(j) = (doc_id·131 + j·17) mod 65536,
+    // stored little-endian; the decoder must read it back as SIGNED
+    val dataHex = array_join(
+      transform(sequence(lit(0), (nFr - 1).cast("int")), j => {
+        val u = (col("doc_id") * 131 + j * 17) % 65536
+        concat(be(u.bitwiseAND(lit(255L)), 1),
+          be(shiftright(u, 8), 1))
+      }), "")
+    val wavHex = concat(
+      lit("52494646"), le(lit(0L), 4), lit("57415645"),
+      lit("666D7420"), le(lit(16L), 4),
+      le(lit(1L), 2), le(lit(1L), 2), le(lit(8000L), 4),
+      le(lit(16000L), 4), le(lit(2L), 2), le(lit(16L), 2),
+      lit("64617461"), le(nFr * 2, 4),
+      dataHex)
+    val fullBytes = unhex(wavHex)
+    val assets = t.documents.select(col("doc_id"),
+      // header + declared data size survive; the payload does not
+      when(col("doc_id") % 10 === 7, fullBytes.substr(1, 44))
+        .otherwise(fullBytes).as("bytes"))
+    val f = Multimodal.wavPcmFeatures(col("bytes"), 4)
+    assets.select(col("doc_id"),
+      element_at(f, 1).as("f0"), element_at(f, 2).as("f1"),
+      element_at(f, 3).as("f2"), element_at(f, 4).as("f3"))
+      .orderBy("doc_id")
+  }
+
   /** DQ quantile profile — EXACT distributed selection
     * ([[graft.operators.Quality.quantileProfile]]): the value at
     * sorted index (n−1)·p div 1000 for eight permille points over
@@ -543,6 +586,7 @@ object CleaningQueries {
     "q120_image_header" -> q120ImageHeader,
     "q122_audio_header" -> q122AudioHeader,
     "q123_video_header" -> q123VideoHeader,
+    "q150_wav_features" -> q150WavFeatures,
     "q126_quantiles" -> q126Quantiles,
     "q128_grouped_quantiles" -> q128GroupedQuantiles,
     "q137_iqr_outliers" -> q137IqrOutliers,
@@ -762,14 +806,39 @@ object CleaningQueries {
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY custkey""".stripMargin,
+    "q150_wav_features" ->
+      """WITH d AS (SELECT doc_id, doc_id % 32 + 8 AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM d),
+        |v AS (
+        |  SELECT doc_id, (j * 4) // n AS k,
+        |    CASE WHEN u < 32768 THEN u ELSE u - 65536 END AS val
+        |  FROM (SELECT doc_id, n, j,
+        |          (doc_id * 131 + j * 17) % 65536 AS u FROM s)),
+        |g AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN k = 0 THEN val END) AS f0,
+        |    SUM(CASE WHEN k = 1 THEN val END) AS f1,
+        |    SUM(CASE WHEN k = 2 THEN val END) AS f2,
+        |    SUM(CASE WHEN k = 3 THEN val END) AS f3
+        |  FROM v GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(g.f0 AS BIGINT) END AS f0,
+        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(g.f1 AS BIGINT) END AS f1,
+        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(g.f2 AS BIGINT) END AS f2,
+        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(g.f3 AS BIGINT) END AS f3
+        |FROM d JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q139_fuzzy_match" ->
       """WITH names AS (
         |  SELECT min(p_partkey) AS id, p_name AS s FROM part GROUP BY p_name),
         |segs AS (
-        |  SELECT id, s, i AS seg_idx,
-        |    substr(s, 1 + (i * length(s)) // 3,
-        |      ((i + 1) * length(s)) // 3 - (i * length(s)) // 3) AS seg
-        |  FROM names, (VALUES (0), (1), (2)) t(i)),
+        |  SELECT * FROM (
+        |    SELECT id, s, i AS seg_idx,
+        |      substr(s, 1 + (i * length(s)) // 3,
+        |        ((i + 1) * length(s)) // 3 - (i * length(s)) // 3) AS seg
+        |    FROM names, (VALUES (0), (1), (2)) t(i)) WHERE seg <> ''
+        |  UNION ALL
+        |  SELECT id, s, -1 AS seg_idx, 'L' || length(s) AS seg
+        |  FROM names WHERE length(s) < 3),
         |cand AS (
         |  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.s AS a_s, b.s AS b_s
         |  FROM segs a JOIN segs b

@@ -86,8 +86,23 @@ object GraphQueries {
         PrIters)
       .orderBy("node")
 
+  val CoCap = 5L
+
+  /** GR7 — CAPPED co-occurrence edges: groups above `maxGroupItems` = 5
+    * member rows are dropped WHOLE before the self-join (6- and 7-item
+    * orders exist at every SF, so the cap binds and the oracle proves
+    * the drop semantics, not just the happy path). This is the
+    * 100×-safe default shape — [[Graph.autoGroupCap]] derives the cap
+    * from the group-size histogram when no domain bound exists. */
+  val q149CooccurCapped: Q = (spark, dir) =>
+    Graph.coOccurrenceEdges(
+        Tables(spark, dir).lineitem.select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", minCount = 2L, maxGroupItems = CoCap)
+      .orderBy("src", "dst")
+
   val all: Map[String, Q] = Map(
     "q135_pagerank" -> q135PageRank,
+    "q149_cooccur_capped" -> q149CooccurCapped,
     "q143_weighted_pagerank" -> q143WeightedPageRank,
     "q136_graph_components" -> q136GraphComponents,
     "q138_triangles" -> q138Triangles,
@@ -208,6 +223,16 @@ object GraphQueries {
          |$rounds
          |SELECT node, hop FROM v$BfsHops ORDER BY node""".stripMargin
     },
+    "q149_cooccur_capped" ->
+      s"""WITH mem AS (SELECT l_orderkey AS g, l_partkey AS i FROM lineitem),
+         |ok AS (SELECT g FROM mem GROUP BY g HAVING COUNT(*) <= $CoCap),
+         |c AS (SELECT m.* FROM mem m JOIN ok USING (g)),
+         |cnt AS (
+         |  SELECT a.i AS src, b.i AS dst, COUNT(*) AS n
+         |  FROM c a JOIN c b ON a.g = b.g AND a.i <> b.i
+         |  GROUP BY 1, 2)
+         |SELECT src, dst, CAST(n AS BIGINT) AS n FROM cnt
+         |WHERE n >= 2 ORDER BY src, dst""".stripMargin,
     "q142_cojaccard" ->
       """WITH m AS (
         |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),

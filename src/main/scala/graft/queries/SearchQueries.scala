@@ -78,12 +78,83 @@ object SearchQueries {
     TextSearch.phraseSearchTopK(Tables(spark, dir).documents,
       "doc_id", "text", Phrase, TopK)
 
+  /** SR6 — disjunctive (minimum-should-match) ranked search: docs
+    * containing at least 2 of the 3 query terms, same scoring/tiebreak
+    * as q133. The dial is the real differentiator: conjunctive q133
+    * matches 260 of 500 docs at sf0.01, the ≥2 relaxation adds the
+    * one-term-missing population that OR-by-default retrieval exists
+    * for. Plan shape is IDENTICAL to q133 (one corpus explode, reused
+    * postings exchange — PlanShapeSpec). */
+  val MsmAtLeast = 2
+  val q146SearchOr: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    TextSearch.searchTopK(t.documents, "doc_id", "text", QueryTerms, TopK,
+      minShouldMatch = Some(MsmAtLeast))
+  }
+
+  /** SR7 — pure-OR BM25: minShouldMatch = 1 under the integer-Okapi
+    * scoring of q144 — the default mode of every production search box
+    * (a missing term costs score, not membership). */
+  val q147SearchBm25Or: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    TextSearch.searchTopKBm25(t.documents, "doc_id", "text", QueryTerms,
+      TopK, minShouldMatch = Some(1))
+  }
+
+  /** SR8 — store-BM25 over a PERSISTED index directory: the corpus is
+    * ingested as two committed micro-batches (doc_id parity split),
+    * compacted (postings + doc-length sidecar fold to batch_id −1),
+    * and searched through [[StreamingIngest.searchIndexTopKBm25]] —
+    * doc lengths and n_docs/avgdl come from the SIDECAR (document-
+    * count-sized), never a full-store aggregation (PlanShapeSpec pins
+    * the absence of the store-wide Σtf node). The oracle replays the
+    * direct corpus BM25: the sidecar law is that the two are equal. */
+  val q148StoreBm25: Q = (spark, dir) => {
+    val ix = perProcessIndexDir(dir)
+    val t = Tables(spark, dir)
+    val docs = t.documents.select("doc_id", "text")
+    graft.streaming.StreamingIngest.searchIndexBatch(
+      docs.filter(col("doc_id") % 2 === 0), 0L, ix, "doc_id", "text",
+      compactAtFiles = 0)
+    graft.streaming.StreamingIngest.searchIndexBatch(
+      docs.filter(col("doc_id") % 2 === 1), 1L, ix, "doc_id", "text",
+      compactAtFiles = 2)
+    graft.streaming.StreamingIngest.searchIndexTopKBm25(
+      spark, ix, "doc_id", QueryTerms, TopK,
+      minShouldMatch = Some(MsmAtLeast))
+  }
+
+  /** Per-process store dir for q148, removed on JVM exit (the
+    * ScaleQueries tmpdir-hygiene pattern). */
+  private def perProcessIndexDir(dir: String): String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_searchix_p" + ProcessHandle.current().pid() + "_" +
+        dir.toLowerCase.replaceAll("[^a-z0-9]+", "_"))
+    if (cleanupDirs.add(f.toString)) Runtime.getRuntime.addShutdownHook(
+      new Thread(() => {
+        try {
+          import scala.jdk.CollectionConverters._
+          for (d <- Seq(f, new java.io.File(f.toString + "__dl"))
+               if d.exists())
+            java.nio.file.Files.walk(d.toPath).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount)
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Throwable => () }
+      }))
+    f.toString
+  }
+  private val cleanupDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   val all: Map[String, Q] = Map(
     "q133_search_topk" -> q133SearchTopK,
     "q134_rarity_table" -> q134RarityTable,
     "q141_more_like_this" -> q141MoreLikeThis,
     "q144_search_bm25" -> q144SearchBm25,
-    "q145_phrase_search" -> q145PhraseSearch)
+    "q145_phrase_search" -> q145PhraseSearch,
+    "q146_search_or" -> q146SearchOr,
+    "q147_search_bm25_or" -> q147SearchBm25Or,
+    "q148_store_bm25" -> q148StoreBm25)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -162,6 +233,73 @@ object SearchQueries {
          |  GROUP BY q.doc_id)
          |SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
          |WHERE nt = ${QueryTerms.size}
+         |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+    },
+    "q146_search_or" -> {
+      val inList = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH $postCte,
+         |q AS (SELECT * FROM post WHERE term IN ($inList)),
+         |tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |rar AS (
+         |  SELECT term, (tot.n_docs * 1000) // COUNT(*) AS rarity
+         |  FROM q, tot GROUP BY term, tot.n_docs),
+         |s AS (
+         |  SELECT q.doc_id, COUNT(*) AS nt, SUM(q.tf * rar.rarity) AS score
+         |  FROM q JOIN rar USING (term) GROUP BY q.doc_id)
+         |SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
+         |WHERE nt >= $MsmAtLeast
+         |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+    },
+    "q147_search_bm25_or" -> {
+      val inList = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH $postCte,
+         |dl AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS dl
+         |  FROM documents),
+         |tot AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |    greatest((COALESCE(SUM(dl), 0) * 1000) // COUNT(*), 1) AS avgdl_milli
+         |  FROM dl),
+         |q AS (SELECT * FROM post WHERE term IN ($inList)),
+         |rar AS (
+         |  SELECT term, (tot.n_docs * 1000) // COUNT(*) AS rarity
+         |  FROM q, tot GROUP BY term, tot.n_docs),
+         |s AS (
+         |  SELECT q.doc_id, COUNT(*) AS nt,
+         |    SUM((r.rarity * q.tf * 2200)
+         |        // (q.tf * 1000 + (1200 * (250 + (750 * dl.dl * 1000) // tot.avgdl_milli)) // 1000))
+         |      AS score
+         |  FROM q JOIN rar r USING (term) JOIN dl USING (doc_id), tot
+         |  GROUP BY q.doc_id)
+         |SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
+         |WHERE nt >= 1
+         |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+    },
+    "q148_store_bm25" -> {
+      val inList = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH $postCte,
+         |dl AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS dl
+         |  FROM documents),
+         |tot AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |    greatest((COALESCE(SUM(dl), 0) * 1000) // COUNT(*), 1) AS avgdl_milli
+         |  FROM dl),
+         |q AS (SELECT * FROM post WHERE term IN ($inList)),
+         |rar AS (
+         |  SELECT term, (tot.n_docs * 1000) // COUNT(*) AS rarity
+         |  FROM q, tot GROUP BY term, tot.n_docs),
+         |s AS (
+         |  SELECT q.doc_id, COUNT(*) AS nt,
+         |    SUM((r.rarity * q.tf * 2200)
+         |        // (q.tf * 1000 + (1200 * (250 + (750 * dl.dl * 1000) // tot.avgdl_milli)) // 1000))
+         |      AS score
+         |  FROM q JOIN rar r USING (term) JOIN dl USING (doc_id), tot
+         |  GROUP BY q.doc_id)
+         |SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
+         |WHERE nt >= $MsmAtLeast
          |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
     },
     "q141_more_like_this" ->

@@ -1131,6 +1131,7 @@ object StreamingIngest {
     import graft.operators.{Checkpoints, IndexOps, TextSearch}
     val spark = batch.sparkSession
     IndexOps.recoverSwap(spark, indexDir)
+    IndexOps.recoverSwap(spark, dlSidecarDir(indexDir))
     def failpoint(n: Int): Unit = if (failAfterStep == n)
       throw new IllegalStateException(
         s"searchIndexBatch: test failpoint after step $n")
@@ -1141,6 +1142,19 @@ object StreamingIngest {
         .withColumn("batch_id", lit(batchId))
       publishBatch(delta, indexDir, batchId, Nil)
       failpoint(1)
+      // BM25 doc-length sidecar delta, derived from the BATCH rather
+      // than its postings: a zero-token document has no postings but IS
+      // a corpus document, so the sidecar carries the corpus-exact
+      // n_docs (its row count) and doc lengths — store search with the
+      // sidecar matches [[graft.operators.TextSearch.searchTopKBm25]]'s
+      // corpus semantics even over token-free docs. Published before
+      // the commit marker, so a crash between the two replays BOTH
+      // deltas (batch-keyed file names → pure overwrite).
+      val dl = batch.select(col(idCol),
+          size(TextSearch.searchTerms(col(textCol))).cast("long").as("__dl"))
+        .withColumn("batch_id", lit(batchId))
+      publishBatch(dl, dlSidecarDir(indexDir), batchId, Nil)
+      failpoint(2)
       commitBatch(spark, indexDir, batchId)
     }
     maintainPostingsStore(spark, indexDir, idCol, compactAtFiles)
@@ -1179,6 +1193,82 @@ object StreamingIngest {
       s"maintainPostingsStore: compaction of $indexDir changed the token " +
         s"mass ($srcMass -> $dstMass) — not swapping in")
     IndexOps.swapDirs(spark, indexDir, tmp)
+    // the doc-length sidecar compacts alongside: one row per id (ids are
+    // unique across batches, so sum() is the identity merge — same
+    // defensive shape as the postings fold), batch_id −1, mass- AND
+    // row-count-checked before its own staged swap
+    val dlDir = dlSidecarDir(indexDir)
+    val (dlFs, dlP) = fsPath(spark, dlDir)
+    if (hasDataFiles(dlFs, dlP)) {
+      val dlTmp = dlDir + ".compact.tmp"
+      dlFs.delete(new org.apache.hadoop.fs.Path(dlTmp), true)
+      val src = spark.read.parquet(dlDir)
+        .agg(count(lit(1)), coalesce(sum("__dl"), lit(0L))).head()
+      spark.read.parquet(dlDir)
+        .groupBy(idCol).agg(sum("__dl").as("__dl"))
+        .withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite").parquet(dlTmp)
+      val dst = spark.read.parquet(dlTmp)
+        .agg(count(lit(1)), coalesce(sum("__dl"), lit(0L))).head()
+      require(dst.getLong(0) == src.getLong(0) && dst.getLong(1) == src.getLong(1),
+        s"maintainPostingsStore: doc-length compaction of $dlDir changed " +
+          s"the row count or length mass ((${src.getLong(0)}, ${src.getLong(1)}) " +
+          s"-> (${dst.getLong(0)}, ${dst.getLong(1)})) — not swapping in")
+      IndexOps.swapDirs(spark, dlDir, dlTmp)
+    }
+  }
+
+  /** The BM25 doc-length sidecar of a search-index store: a skinny
+    * `(<idCol>, __dl, batch_id)` parquet relation beside the postings
+    * ([[dlSidecarDir]] = `<indexDir>__dl`), one row per INGESTED
+    * document with its token count — including zero-token documents,
+    * which never enter the postings store, so the sidecar's row count
+    * is the corpus-exact `n_docs` and store search scores match the
+    * direct corpus operators over any corpus. Written per batch by
+    * [[searchIndexIngestStream]], folded to batch_id −1 at compaction. */
+  private[graft] def dlSidecarDir(indexDir: String): String = indexDir + "__dl"
+
+  /** Read a search-index store's doc-length sidecar as the
+    * `(<idCol>, __dl)` relation
+    * [[graft.operators.TextSearch.searchStoreTopKBm25]]'s `docLengths`
+    * wants; None when the store predates the sidecar (then the reader
+    * falls back to the full-store derivation). */
+  def searchIndexDocLengths(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String): Option[DataFrame] = {
+    val (fs, p) = fsPath(spark, dlSidecarDir(indexDir))
+    if (hasDataFiles(fs, p))
+      Some(spark.read.parquet(dlSidecarDir(indexDir))
+        .select(col(idCol), col("__dl")))
+    else None
+  }
+
+  /** Store-BM25 search over a persisted index DIRECTORY — the default
+    * scale-correct read path: postings from `indexDir`, doc lengths and
+    * `n_docs`/`avgdl` from the sidecar (document-count-sized, never the
+    * postings store), so no full-store aggregation node appears in the
+    * plan. A pre-sidecar store falls back to the full-store doc-length
+    * derivation with unchanged results. */
+  def searchIndexTopKBm25(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String, terms: Seq[String], k: Int,
+      k1Permille: Long = 1200L, bPermille: Long = 750L,
+      minShouldMatch: Option[Int] = None): DataFrame =
+    graft.operators.TextSearch.searchStoreTopKBm25(
+      spark.read.parquet(indexDir), idCol, terms, k,
+      docLengths = searchIndexDocLengths(spark, indexDir, idCol),
+      k1Permille = k1Permille, bPermille = bPermille,
+      minShouldMatch = minShouldMatch)
+
+  /** Store rarity-scored search over a persisted index DIRECTORY:
+    * `n_docs` comes from the sidecar's row count (corpus-exact — counts
+    * zero-token documents the postings store cannot see), falling back
+    * to the store-distinct derivation for pre-sidecar stores. */
+  def searchIndexTopK(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String, terms: Seq[String], k: Int,
+      minShouldMatch: Option[Int] = None): DataFrame = {
+    val n = searchIndexDocLengths(spark, indexDir, idCol).map(_.count())
+    graft.operators.TextSearch.searchStoreTopK(
+      spark.read.parquet(indexDir), idCol, terms, k,
+      nDocs = n, minShouldMatch = minShouldMatch)
   }
 
   // ----------------------------------------------- curate batch internals

@@ -59,6 +59,38 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(FuzzyMatch.fuzzyPairs(withNull, "id", "s", maxDist = 9).count() == 0)
   }
 
+  test("fuzzyPairs: short strings — no empty-segment mega-block, equal-length rescue holds") {
+    // lengths < nSegments=3 produce empty segments; those must NOT block
+    val df = Seq(
+      (1L, "ab"), (2L, "cd"),  // equal length, ALL positions differ —
+                               // only the same-length rescue block can
+                               // surface them (dist 2)
+      (3L, "a"),               // length 1: cross-length vs #1/#2 — the
+                               // insertion regime, outside the contract
+      (4L, "xy")               // equal length to #1/#2, dist 2 from both
+    ).toDF("id", "s")
+    val got = FuzzyMatch.fuzzyPairs(df, "id", "s", maxDist = 2, nSegments = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // every equal-length short pair is a candidate (the substitution
+    // contract: equal-length L<n strings are within L ≤ n−1 edits)
+    assert(got == Set((1L, 2L, 2L), (1L, 4L, 2L), (2L, 4L, 2L)))
+    // the documented cross-length miss: ed("a","ab")=1 but the pair
+    // shares no positioned non-empty segment and lengths differ
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+    // and the rescue block discriminates BY LENGTH — a mixed-length short
+    // corpus no longer forms one all-short block: same-length blocks are
+    // cappable like any other
+    val many = ((1L to 20L).map(i => (i, "q" + (i % 2))) :+ (99L, "zz"))
+      .toDF("id", "s")
+    val capped = FuzzyMatch.fuzzyPairs(many, "id", "s", maxDist = 2,
+      nSegments = 3, maxBlockRows = 10L)
+    // the 21-row length-2 rescue block exceeds the cap and is skipped;
+    // surviving candidates come only from positioned single-char segments
+    // (the "q?" family shares seg "q"), never from an all-short block
+    assert(capped.as[(Long, Long, Long)].collect()
+      .forall { case (a, b, _) => a != 99L && b != 99L })
+  }
+
   test("fuzzyPairs rejects bad parameters") {
     val df = Seq((1L, "x")).toDF("id", "s")
     intercept[IllegalArgumentException] {

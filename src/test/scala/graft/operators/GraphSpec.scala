@@ -84,6 +84,30 @@ class GraphSpec extends SparkSpec {
     assert(capped == Set((1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("autoGroupCap: mega-group corpus completes under the derived cap, offenders reported") {
+    // 200 well-behaved 2-item groups + ONE degenerate group holding 500
+    // items (the crawler-session / empty-key failure mode at 100×)
+    val good = (1L to 200L).flatMap(g => Seq((s"g$g", 2 * g), (s"g$g", 2 * g + 1)))
+    val mega = (1L to 500L).map(i => ("mega", 10000L + i))
+    val m = (good ++ mega).toDF("g", "item")
+    val hist = Graph.groupHistogram(m, "g", "item")
+      .as[(Long, Long)].collect().toMap
+    assert(hist == Map(2L -> 200L, 500L -> 1L))
+    // 200 of 201 groups are size ≤ 2 → any quantile ≤ 200/201 caps at 2
+    val cap = Graph.autoGroupCap(m, "g", "item", quantile = 0.99)
+    assert(cap == 2L)
+    // the capped run never pays the 500² self-join and the mega group
+    // contributes NO edges
+    val edges = Graph.coOccurrenceEdges(m, "g", "item", maxGroupItems = cap)
+      .as[(Long, Long, Long)].collect()
+    assert(edges.length == 400) // 200 groups × 2 directed edges
+    assert(edges.forall { case (s, d, _) => s < 10000L && d < 10000L })
+    // the no-silent-caps report names the dropped group with its size
+    val dropped = Graph.cappedGroups(m, "g", "item", cap)
+      .as[(String, Long)].collect().toSeq
+    assert(dropped == Seq(("mega", 500L)))
+  }
+
   test("triangleCounts: shared-edge triangles, orientation-duplicate input, hub-free counts") {
     // triangles {1,2,3} and {2,3,4} share edge 2–3; edge 4–5 closes nothing.
     // Input deliberately carries both orientations + a self-loop to prove

@@ -716,6 +716,39 @@ class PlanShapeSpec extends SparkSpec {
       s"the df branch must reuse the postings exchange:\n$plan")
   }
 
+  test("q146 disjunctive search: the OR dial keeps the conjunctive plan — ONE explode, reused exchange, heap top-k") {
+    // minimum-should-match only changes the post-agg count filter; the
+    // scale shape must be byte-for-byte the conjunctive one
+    val plan = executedFinalPlan("q146_search_or")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition heap, not a global sort:\n$plan")
+    val explodes = plan.linesIterator.count(_.contains("Generate explode"))
+    assert(explodes == 1,
+      s"expected ONE corpus explode (exchange reuse), found $explodes:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"the df branch must reuse the postings exchange:\n$plan")
+  }
+
+  test("q148 store-BM25: doc lengths come from the sidecar — no full-store aggregation") {
+    val plan = executedFinalPlan("q148_store_bm25")
+    // every scan of the POSTINGS store must carry the pushed term
+    // filter — an unfiltered store scan is the full-store doc-length
+    // derivation the sidecar exists to replace
+    val storeScans = plan.linesIterator.filter(l =>
+      l.contains("Scan parquet") && l.contains("graft_searchix_p") &&
+        !l.contains("__dl")).toSeq
+    assert(storeScans.nonEmpty, s"expected postings-store scans:\n$plan")
+    assert(storeScans.forall(_.contains("In(term")),
+      "a postings-store scan without the pushed term filter = the " +
+        s"full-store doc-length fallback leaked into the plan:\n$plan")
+    // the doc-length relation is the SIDECAR scan
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Scan parquet") && l.contains("__dl")),
+      s"the doc-length sidecar scan must feed the plan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition heap:\n$plan")
+  }
+
   test("triangleCounts and fuzzyPairs: equi-join only — no cartesian reachable") {
     import spark.implicits._
     val edges = spark.range(400).select(

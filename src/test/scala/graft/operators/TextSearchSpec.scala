@@ -52,6 +52,64 @@ class TextSearchSpec extends SparkSpec {
       Seq("spark", "zzzmissing"), k = 10).count() == 0)
   }
 
+  test("searchTopK minShouldMatch: the OR/minimum-should-match dial") {
+    // terms (spark, joins, table): conjunctive → doc 1 only; ≥2 adds
+    // doc 2 (spark+joins); ≥1 (pure OR) adds docs 3 and 4 too. Scores
+    // sum over MATCHED terms only: N=5, df(spark)=df(joins)=3 →
+    // rarity 1666, df(table)=1 → rarity 5000.
+    def q(msm: Int) = TextSearch.searchTopK(docs, "doc_id", "text",
+      Seq("spark", "joins", "table"), k = 10,
+      minShouldMatch = Some(msm)).as[(Long, Long)].collect().toSeq
+    // doc1 = 2·1666 + 1·1666 + 2·5000 = 14998
+    assert(q(3) == Seq((1L, 14998L)))
+    // conjunctive default ≡ msm = |terms|
+    assert(TextSearch.searchTopK(docs, "doc_id", "text",
+      Seq("spark", "joins", "table"), k = 10)
+      .as[(Long, Long)].collect().toSeq == q(3))
+    // doc2 = 3·1666 + 1·1666 = 6664
+    assert(q(2) == Seq((1L, 14998L), (2L, 6664L)))
+    // doc3 = 1666 (joins), doc4 = 1666 (spark) — tie breaks by id
+    assert(q(1) == Seq((1L, 14998L), (2L, 6664L), (3L, 1666L), (4L, 1666L)))
+    // a missing term no longer empties the result under OR
+    val or = TextSearch.searchTopK(docs, "doc_id", "text",
+      Seq("spark", "zzzmissing"), k = 10, minShouldMatch = Some(1))
+      .as[(Long, Long)].collect().toSeq
+    // only spark matches: df=3, rarity=1666 → docs 2 (3·1666), 1 (2·1666), 4
+    assert(or == Seq((2L, 4998L), (1L, 3332L), (4L, 1666L)))
+    // the dial is validated against the DEDUPED term count
+    intercept[IllegalArgumentException] {
+      TextSearch.searchTopK(docs, "doc_id", "text", Seq("spark"), 10,
+        minShouldMatch = Some(2))
+    }
+    intercept[IllegalArgumentException] {
+      TextSearch.searchTopK(docs, "doc_id", "text", Seq("spark", "joins"),
+        10, minShouldMatch = Some(0))
+    }
+  }
+
+  test("searchTopKBm25 minShouldMatch: OR equals per-term union semantics") {
+    // BM25-OR over (spark, table): doc 4 (spark only) and doc 1 (both)
+    // both appear; conjunctive keeps doc 1 only
+    val orIds = TextSearch.searchTopKBm25(docs, "doc_id", "text",
+      Seq("spark", "table"), k = 10, minShouldMatch = Some(1))
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(orIds == Set(1L, 2L, 4L))
+    val andIds = TextSearch.searchTopKBm25(docs, "doc_id", "text",
+      Seq("spark", "table"), k = 10)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(andIds == Set(1L))
+    // per-doc OR score = Σ of its single-term conjunctive scores (BM25
+    // is additive over matched terms at fixed df/avgdl)
+    val single = (for (t <- Seq("spark", "table")) yield
+      TextSearch.searchTopKBm25(docs, "doc_id", "text", Seq(t), k = 10)
+        .as[(Long, Long)].collect().toSeq).flatten
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val or = TextSearch.searchTopKBm25(docs, "doc_id", "text",
+      Seq("spark", "table"), k = 10, minShouldMatch = Some(1))
+      .as[(Long, Long)].collect().toMap
+    assert(or == single)
+  }
+
   test("searchTopK: duplicate query terms collapse; score ties break by id ascending") {
     val tied = Seq((7L, "alpha beta"), (3L, "beta alpha")).toDF("doc_id", "text")
     val got = TextSearch.searchTopK(tied, "doc_id", "text",
@@ -122,6 +180,21 @@ class TextSearchSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextSearch.phraseSearchTopK(df, "doc_id", "text", Seq("two words"), 5)
     }
+  }
+
+  test("moreLikeThis: an oversized probe set throws — the bounded-probe contract is code, not prose") {
+    val corpus = spark.range(50).selectExpr("id AS doc_id",
+      "concat('alpha beta doc ', id) AS text")
+    val probes = corpus.limit(20)
+    val e = intercept[IllegalArgumentException] {
+      TextSearch.moreLikeThis(corpus, probes, "doc_id", "text", k = 3,
+        maxQueryDocs = 10L)
+    }
+    assert(e.getMessage.contains("maxQueryDocs") &&
+      e.getMessage.contains("LSH"))
+    // at or under the bound the operator runs
+    assert(TextSearch.moreLikeThis(corpus, probes.limit(2), "doc_id",
+      "text", k = 3, maxQueryDocs = 10L).count() > 0)
   }
 
   test("searchTopK rejects empty and non-alnum query terms") {

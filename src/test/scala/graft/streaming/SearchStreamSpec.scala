@@ -84,6 +84,73 @@ class SearchStreamSpec extends SparkSpec {
     assert(withSidecar == derived)
   }
 
+  test("doc-length sidecar: corpus-exact lengths and n_docs, zero-token docs included") {
+    val ix = tmp("si-dl")
+    // doc 3 is token-free: it never enters the postings store, but the
+    // sidecar must carry it (corpus semantics)
+    val b0 = Seq((1L, "alpha beta gamma"), (2L, "alpha beta"),
+      (3L, "???!!!")).toDF("doc_id", "text")
+    val b1 = Seq((4L, "beta beta alpha gamma")).toDF("doc_id", "text")
+    run(b0, 0L, ix); run(b1, 1L, ix)
+    val dl = StreamingIngest.searchIndexDocLengths(spark, ix, "doc_id")
+      .get.as[(Long, Long)].collect().toMap
+    assert(dl == Map(1L -> 3L, 2L -> 2L, 3L -> 0L, 4L -> 4L))
+    val union = b0.unionByName(b1)
+    // THE sidecar law: dir-reader BM25 == the direct corpus operator,
+    // even over a corpus containing a token-free document (n_docs and
+    // avgdl both count it)
+    val viaDir = StreamingIngest.searchIndexTopKBm25(
+      spark, ix, "doc_id", Seq("alpha", "beta"), 10)
+      .as[(Long, Long)].collect().toSeq
+    val direct = TextSearch.searchTopKBm25(union, "doc_id", "text",
+      Seq("alpha", "beta"), 10).as[(Long, Long)].collect().toSeq
+    assert(viaDir == direct)
+    // …and the rarity twin through the sidecar's n_docs
+    assert(StreamingIngest.searchIndexTopK(
+      spark, ix, "doc_id", Seq("alpha", "beta"), 10)
+      .as[(Long, Long)].collect().toSeq ==
+      TextSearch.searchTopK(union, "doc_id", "text",
+        Seq("alpha", "beta"), 10).as[(Long, Long)].collect().toSeq)
+    // the DOCUMENTED divergence the sidecar exists to close: the bare
+    // store readers default n_docs (and BM25 doc lengths) from the
+    // store, which cannot see doc 3 — store-derived n_docs = 3 ≠ 4
+    val bare = TextSearch.searchStoreTopK(
+      spark.read.parquet(ix), "doc_id", Seq("alpha", "beta"), 10)
+      .as[(Long, Long)].collect().toSeq
+    val directRarity = TextSearch.searchTopK(union, "doc_id", "text",
+      Seq("alpha", "beta"), 10).as[(Long, Long)].collect().toSeq
+    assert(bare.map(_._1).toSet == directRarity.map(_._1).toSet) // same docs…
+    assert(bare != directRarity,
+      "store-derived n_docs silently matched corpus semantics — " +
+        "the sidecar's reason to exist disappeared; update the docs")
+  }
+
+  test("doc-length sidecar: replay overwrites it, compaction folds it, mass checked") {
+    val ix = tmp("si-dl-replay")
+    run(Seq((1L, "one two")).toDF("doc_id", "text"), 0L, ix)
+    // crash AFTER the sidecar publish but BEFORE the commit marker:
+    // the replay must overwrite both deltas, not append
+    val b1 = Seq((2L, "two three four")).toDF("doc_id", "text")
+    intercept[IllegalStateException] { run(b1, 1L, ix, failAfter = 2) }
+    run(b1, 1L, ix)
+    val dlStore = spark.read.parquet(StreamingIngest.dlSidecarDir(ix))
+    assert(dlStore.count() == 2)
+    assert(dlStore.select("doc_id", "__dl").as[(Long, Long)]
+      .collect().toMap == Map(1L -> 2L, 2L -> 3L))
+    // compaction folds the sidecar to batch_id −1 with rows preserved
+    run(Seq((3L, "five")).toDF("doc_id", "text"), 2L, ix, compactAt = 1)
+    val compacted = spark.read.parquet(StreamingIngest.dlSidecarDir(ix))
+    assert(compacted.select("batch_id").distinct()
+      .as[Long].collect().toSeq == Seq(-1L))
+    assert(compacted.select("doc_id", "__dl").as[(Long, Long)]
+      .collect().toMap == Map(1L -> 2L, 2L -> 3L, 3L -> 1L))
+    // sidecar ≡ derived lengths: post-compaction store totals agree
+    val derived = spark.read.parquet(ix).groupBy("doc_id")
+      .agg(sum("tf").as("__dl")).as[(Long, Long)].collect().toMap
+    assert(derived == compacted.select("doc_id", "__dl")
+      .as[(Long, Long)].collect().toMap)
+  }
+
   test("crash replay converges: failpoint leaves an unmarked delta, the replay overwrites it") {
     val ix = tmp("si-crash")
     run(Seq((1L, "one two")).toDF("doc_id", "text"), 0L, ix)
