@@ -1192,6 +1192,17 @@ object StreamingIngest {
     require(dstMass == srcMass,
       s"maintainPostingsStore: compaction of $indexDir changed the token " +
         s"mass ($srcMass -> $dstMass) — not swapping in")
+    // the COMMIT MARKERS of this store live INSIDE it
+    // (`<indexDir>/_graft_commits`), and swapDirs replaces the whole
+    // directory — without carrying them into the compacted copy, every
+    // marker dies with the swap and a later replay of a committed batch
+    // re-publishes its postings INTO the already-merged −1 rows: tf
+    // silently doubles (mass-preserving, so the NEXT compaction's mass
+    // check cannot catch it either — the dl sidecar's row-count guard is
+    // what surfaced this). Markers are empty batch-named files; recreate
+    // them in the tmp dir before the swap (crash-safe: tmp is discarded
+    // by recoverSwap, the live dir is untouched until the rename).
+    copyCommitMarkers(spark, indexDir, tmp)
     IndexOps.swapDirs(spark, indexDir, tmp)
     // the doc-length sidecar compacts alongside: one row per id (ids are
     // unique across batches, so sum() is the identity merge — same
@@ -1390,6 +1401,24 @@ object StreamingIngest {
     fs.delete(staging, true)
   }
 
+  /** Recreate `srcDir`'s commit markers inside `dstDir` — for
+    * compactions whose markers live INSIDE the directory being swapped
+    * (the search-index store; the curate/frequency stores keep markers
+    * in a separate outDir and never need this). Markers are empty
+    * files, so "copy" is create-by-name. */
+  private def copyCommitMarkers(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, dstDir: String): Unit = {
+    val (fs, _) = fsPath(spark, srcDir)
+    val src = new org.apache.hadoop.fs.Path(srcDir + "/_graft_commits")
+    if (!fs.exists(src)) return
+    val dst = new org.apache.hadoop.fs.Path(dstDir + "/_graft_commits")
+    fs.mkdirs(dst)
+    fs.listStatus(src).foreach { st =>
+      fs.create(new org.apache.hadoop.fs.Path(dst, st.getPath.getName),
+        true).close()
+    }
+  }
+
   private def markerPath(outDir: String, batchId: Long) =
     new org.apache.hadoop.fs.Path(outDir + "/_graft_commits", s"b$batchId")
 
@@ -1504,15 +1533,7 @@ object StreamingIngest {
       val tmp = outDir + ".delete.tmp"
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       survivors.write.parquet(tmp)
-      val markers = new org.apache.hadoop.fs.Path(outDir + "/_graft_commits")
-      if (fs.exists(markers)) {
-        val dstM = new org.apache.hadoop.fs.Path(tmp + "/_graft_commits")
-        fs.mkdirs(dstM)
-        fs.listStatus(markers).foreach { st =>
-          fs.create(new org.apache.hadoop.fs.Path(dstM, st.getPath.getName),
-            true).close()
-        }
-      }
+      copyCommitMarkers(spark, outDir, tmp)
       IndexOps.swapDirs(spark, outDir, tmp)
     }
     failpoint(5)

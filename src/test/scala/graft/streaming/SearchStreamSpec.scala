@@ -188,6 +188,33 @@ class SearchStreamSpec extends SparkSpec {
     assert(spark.read.parquet(ix2).filter(col("batch_id") === 1L).count() == 2)
   }
 
+  test("commit markers SURVIVE compaction: a committed batch replayed after the swap is a no-op") {
+    // the r16 bench caught this live: markers lived inside the swapped
+    // dir, died with the compaction, and the re-run of an ingest+search
+    // query re-published committed batches INTO the merged −1 rows —
+    // mass-preservingly (tf doubles, Σtf doubles), so only the dl
+    // sidecar's row-count guard surfaced it
+    val ix = tmp("si-marker")
+    val b0 = Seq((1L, "red bolt"), (2L, "red gear gear")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "blue bolt")).toDF("doc_id", "text")
+    run(b0, 0L, ix, compactAt = 2)
+    run(b1, 1L, ix, compactAt = 2) // triggers the compaction + swap
+    val before = storePostings(ix)
+    val dlBefore = spark.read.parquet(StreamingIngest.dlSidecarDir(ix))
+      .select("doc_id", "__dl").as[(Long, Long)].collect().toMap
+    // the whole-query replay shape (a bench/verify loop re-running the
+    // same ingest in one session): BOTH batches re-run post-compaction
+    run(b0, 0L, ix, compactAt = 2)
+    run(b1, 1L, ix, compactAt = 2)
+    assert(storePostings(ix) == before,
+      "a committed batch re-ingested after compaction — markers lost in the swap")
+    assert(spark.read.parquet(StreamingIngest.dlSidecarDir(ix))
+      .select("doc_id", "__dl").as[(Long, Long)].collect().toMap == dlBefore)
+    // and a genuinely NEW batch still ingests + compacts cleanly on top
+    run(Seq((4L, "red")).toDF("doc_id", "text"), 2L, ix, compactAt = 2)
+    assert(storePostings(ix) == before ++ Map(("red", 4L) -> 1L))
+  }
+
   test("the real stream: AvailableNow drains build the index exactly once") {
     val drop = tmp("si-drop"); val ix = tmp("si-drain"); val ckpt = tmp("si-ckpt")
     val schema = org.apache.spark.sql.types.StructType(Seq(
