@@ -223,5 +223,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, s"intra_dup_positions takes 2 arguments, got ${exprs.length}")
         IntraDupPositions(exprs.head, intConst(exprs(1), "k"))
       }))
+    // the REAL multimodal decoders (r16): SQL access to the same exact
+    // integer features the Scala wrappers expose
+    ext.injectFunction((
+      new FunctionIdentifier("wav_pcm_features"),
+      new ExpressionInfo(
+        classOf[graft.functions.WavPcmFeatures].getCanonicalName,
+        "", "wav_pcm_features",
+        "_FUNC_(bin, dims) - exact integer bucket sums (amplitude envelope) " +
+          "decoded from an uncompressed PCM WAV's samples; null outside the contract.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"wav_pcm_features takes 2 arguments, got ${exprs.length}")
+        graft.functions.WavPcmFeatures(exprs.head, intConst(exprs(1), "dims"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bmp_grid_features"),
+      new ExpressionInfo(
+        classOf[graft.functions.BmpGridFeatures].getCanonicalName,
+        "", "bmp_grid_features",
+        "_FUNC_(bin, gx, gy) - per-cell (r,g,b) channel sums over a gx*gy grid " +
+          "of a 24-bit BMP's real pixels; null outside the contract.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, s"bmp_grid_features takes 3 arguments, got ${exprs.length}")
+        graft.functions.BmpGridFeatures(exprs.head,
+          intConst(exprs(1), "gx"), intConst(exprs(2), "gy"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bmp_resize_nearest"),
+      new ExpressionInfo(
+        classOf[graft.functions.BmpResizeNearest].getCanonicalName,
+        "", "bmp_resize_nearest",
+        "_FUNC_(bin, w, h) - nearest-neighbor resize of a 24-bit BMP's real " +
+          "pixels to w*h, emitted as a well-formed BMP; null outside the contract.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, s"bmp_resize_nearest takes 3 arguments, got ${exprs.length}")
+        graft.functions.BmpResizeNearest(exprs.head,
+          intConst(exprs(1), "w"), intConst(exprs(2), "h"))
+      }))
   }
 }

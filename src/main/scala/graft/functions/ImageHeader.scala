@@ -20,6 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - GIF (GIF87a/GIF89a spec): 6-byte version magic, logical-screen
   *    width/height LITTLE-endian u16 at offsets 6/8; palette entries
   *    are RGB, so channels = 3.
+  *  - BMP (Windows BITMAPINFOHEADER): `BM` magic, little-endian i32
+  *    dims at 18/22 (negative height = top-down storage, reported as
+  *    |h|), channels = bitCount/8 for byte-aligned depths (else
+  *    null). Full pixel decode for the 24-bit uncompressed form lives
+  *    in [[BmpGridFeatures]]/[[BmpResizeNearest]].
   *  - JPEG (ITU T.81 §B): FF D8, then a real marker-segment walk —
   *    fill bytes skipped, standalone markers (TEM, RSTn) stepped over,
   *    variable-length segments advanced by their big-endian length —
@@ -110,6 +115,18 @@ object ImageHeader {
         (u8(b, 4) == '7' || u8(b, 4) == '9') && u8(b, 5) == 'a') {
       if (n < 10) return fmtOnly("gif")
       full("gif", le16(b, 6), le16(b, 8), 3)
+    } else if (n >= 2 && u8(b, 0) == 'B' && u8(b, 1) == 'M') {
+      // BMP (Windows BITMAPINFOHEADER): LE dims at 18/22, height may be
+      // negative (top-down); channels from bitCount when byte-aligned
+      if (n < 30) return fmtOnly("bmp")
+      val w = le16(b, 18) | (le16(b, 20) << 16)
+      val hRaw = le16(b, 22) | (le16(b, 24) << 16)
+      val h = math.abs(hRaw)
+      val bits = le16(b, 28)
+      if (w <= 0 || hRaw == 0) return fmtOnly("bmp")
+      val channels: Any =
+        if (bits > 0 && bits % 8 == 0) Int.box(bits / 8) else null
+      InternalRow(UTF8String.fromString("bmp"), w, h, channels, null)
     } else if (n >= 2 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8) {
       var pos = 2
       var exif = false

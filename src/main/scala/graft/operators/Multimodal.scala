@@ -35,6 +35,7 @@ object Multimodal {
       .when(substring(prefix, 1, 6) === "FFD8FF", "image/jpeg")
       .when(substring(prefix, 1, 12) === "474946383761" ||
         substring(prefix, 1, 12) === "474946383961", "image/gif")
+      .when(substring(prefix, 1, 4) === "424D", "image/bmp")
       .when(substring(prefix, 1, 6) === "494433", "audio/mpeg")
       .when(substring(prefix, 1, 8) === "52494646" &&
         substring(prefix, 17, 8) === "57415645", "audio/wav")
@@ -161,6 +162,28 @@ object Multimodal {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(
       graft.functions.WavPcmFeatures(ColumnBridge.expression(bin), dims))
+  }
+
+  /** REAL pixel decode for the second codec-free format: 24-bit
+    * uncompressed BMP → exact integer grid color features
+    * (`array<long>` of gx·gy·3 per-cell (r, g, b) sums —
+    * [[graft.functions.BmpGridFeatures]]; null outside the 24-bit
+    * BI_RGB contract or on a truncated pixel payload). */
+  def bmpGridFeatures(bin: Column, gx: Int, gy: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.BmpGridFeatures(ColumnBridge.expression(bin), gx, gy))
+  }
+
+  /** REAL image resize for 24-bit BMPs — nearest-neighbor over actual
+    * pixels, emitting a well-formed BMP ([[graft.functions.
+    * BmpResizeNearest]]): the thumbnail step, replacing [[resizeStub]]
+    * for this format so downstream stages shuffle thumbnails, not
+    * originals. */
+  def bmpResizeNearest(bin: Column, outW: Int, outH: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.BmpResizeNearest(ColumnBridge.expression(bin), outW, outH))
   }
 
   /** STUB — deterministic fake feature extraction. A real deployment

@@ -327,6 +327,46 @@ object TextSearch {
       .limit(k)
   }
 
+  /** Two-term PROXIMITY search: top-`k` documents by the MINIMUM token
+    * distance between any occurrence of `termA` and any occurrence of
+    * `termB` (search tokenization, 0-based positions), keeping docs
+    * with `min_distance ≤ maxDistance` — the "terms near each other"
+    * relevance signal between exact phrase (distance 1, ordered) and
+    * bag-of-words (any distance). Output `(<idCol>, min_distance)`,
+    * ranked (min_distance asc, id asc).
+    *
+    * The min pairwise |posA − posB| over two position sets equals the
+    * min over ADJACENT opposite-label pairs in the position-sorted
+    * union of both sets (any non-adjacent pair contains an adjacent
+    * opposite-label pair no wider inside it) — so the whole search is:
+    * filter the positional explode to the TWO terms before anything
+    * shuffles, ONE window pass over the matched positions per doc
+    * (never a per-doc positions×positions join — a boilerplate doc
+    * with thousands of occurrences stays linear), one min per doc,
+    * TakeOrdered heap. Matched-positions cost, never corpus cost. */
+  def proximityTopK(df: DataFrame, idCol: String, textCol: String,
+      termA: String, termB: String, maxDistance: Long, k: Int): DataFrame = {
+    val (a, b) = (termA.toLowerCase, termB.toLowerCase)
+    require(a != b, s"proximityTopK needs two DIFFERENT terms, got '$a' twice")
+    require(Seq(a, b).forall(_.matches(TermPattern)),
+      s"query terms must be lowercase alphanumeric runs, got ($termA, $termB)")
+    require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    df.select(col(idCol),
+        posexplode(searchTerms(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term").isin(a, b))
+      .withColumn("__pt", lag("term", 1).over(w))
+      .withColumn("__pp", lag("pos", 1).over(w))
+      .filter(col("__pt").isNotNull && col("__pt") =!= col("term"))
+      .groupBy(col(idCol))
+      .agg(min(col("pos") - col("__pp")).cast("long").as("min_distance"))
+      .filter(col("min_distance") <= maxDistance)
+      .orderBy(col("min_distance"), col(idCol))
+      .limit(k)
+  }
+
   /** More-like-this: for each QUERY document, the top-`k` most similar
     * corpus documents by rarity-weighted term overlap —
     * `score(q, d) = Σ_{t ∈ terms(q) ∩ terms(d)} tf_d(t) · rarity(t)`,

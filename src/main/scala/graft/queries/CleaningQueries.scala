@@ -431,6 +431,91 @@ object CleaningQueries {
       .orderBy("doc_id")
   }
 
+  /** Shared BMP synthesis for q151/q152: structurally valid 24-bit
+    * bottom-up BMPs (padded rows) whose pixel channels follow doc_id
+    * formulas, one doc in ten truncated after the headers (pixel
+    * payload missing → decode null). */
+  private def bmpAssets(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val t = Tables(spark, dir)
+    def be(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lpad(hex(v), 2, "0")
+    def le(v: org.apache.spark.sql.Column, nBytes: Int): org.apache.spark.sql.Column =
+      concat((0 until nBytes).map(i =>
+        be(shiftright(v.cast("long"), 8 * i).bitwiseAND(lit(255L)))): _*)
+    val w = (col("doc_id") % 12 + 4).cast("int")
+    val h = ((col("doc_id") * 3) % 10 + 4).cast("int")
+    val stride = (((w * 3 + 3) / lit(4)).cast("int") * 4)
+    val padHex = lit("000000").substr(lit(1), (stride - w * 3) * 2)
+    def pxHex(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      concat( // BGR on disk
+        be((col("doc_id") * 5 + x * 2 + y * 3) % 256),
+        be((col("doc_id") * 3 + x * 5 + y * 11) % 256),
+        be((col("doc_id") + x * 7 + y * 13) % 256))
+    // bottom-up: file row i carries image row y = h−1−i
+    val pixelsHex = array_join(
+      transform(sequence(lit(0), h - 1), i => concat(
+        array_join(transform(sequence(lit(0), w - 1),
+          x => pxHex(x, h - 1 - i)), ""),
+        padHex)), "")
+    val bmpHex = concat(
+      lit("424D"), le(lit(54) + h * stride, 4), lit("00000000"), le(lit(54), 4),
+      le(lit(40), 4), le(w, 4), le(h, 4), le(lit(1), 2), le(lit(24), 2),
+      le(lit(0), 4), le(h * stride, 4),
+      le(lit(0), 4), le(lit(0), 4), le(lit(0), 4), le(lit(0), 4),
+      pixelsHex)
+    val fullBytes = unhex(bmpHex)
+    t.documents.select(col("doc_id"),
+      when(col("doc_id") % 10 === 7, fullBytes.substr(1, 58))
+        .otherwise(fullBytes).as("bytes"))
+  }
+
+  /** MM6 — REAL BMP PIXEL DECODE ([[Multimodal.bmpGridFeatures]]):
+    * per-cell (r, g, b) channel sums over a 2×2 grid of the actual
+    * pixels, long-exploded to (doc_id, idx, v) rows — the oracle
+    * replays the pixel formula + forward-map bucketing arithmetically,
+    * so any BGR-order / bottom-up / row-padding / bucketing error in
+    * the decoder reads back wrong sums. Truncated docs decode null →
+    * zero rows (mirrored by the oracle's doc filter). */
+  val q151BmpFeatures: Q = (spark, dir) =>
+    bmpAssets(spark, dir).select(col("doc_id"),
+        posexplode(Multimodal.bmpGridFeatures(col("bytes"), 2, 2))
+          .as(Seq("idx", "v")))
+      .orderBy("doc_id", "idx")
+
+  /** MM7 — REAL RESIZE ∘ DECODE ([[Multimodal.bmpResizeNearest]] →
+    * [[Multimodal.bmpGridFeatures]]): every asset nearest-neighbor
+    * resized to 5×4 (an actual emitted BMP — the thumbnail step), then
+    * whole-image channel sums of the RESIZED pixels. The oracle
+    * replays the ⌊x₂·w/5⌋/⌊y₂·h/4⌋ source-pixel selection and the
+    * channel formulas — an end-to-end arithmetic check that the
+    * resize emits exactly the right pixels in a decodable container. */
+  val q152BmpResize: Q = (spark, dir) =>
+    bmpAssets(spark, dir).select(col("doc_id"),
+        posexplode(Multimodal.bmpGridFeatures(
+          Multimodal.bmpResizeNearest(col("bytes"), 5, 4), 1, 1))
+          .as(Seq("idx", "v")))
+      .orderBy("doc_id", "idx")
+
+  /** MM8 — chunking + frame sampling get the ORACLE the spec-only
+    * coverage lacked ([[Multimodal.chunkBytes]] → every-2nd-chunk
+    * [[Multimodal.frameSample]]): the corpus text as UTF-8 payloads cut
+    * into 32-byte chunks, sampled at stride 2, each surviving chunk
+    * reported with its byte length and 4-byte head — DuckDB replays
+    * the chunk arithmetic with blob substring, so off-by-one in the
+    * 1-based substr math or the ceil chunk count hash-fails. */
+  val q154ChunkSample: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val assets = t.documents.select(col("doc_id"),
+      encode(col("text"), "UTF-8").as("bytes"))
+    val chunks = Multimodal.chunkBytes(assets, "doc_id", "bytes", chunkSize = 32)
+    Multimodal.frameSample(chunks, stride = 2)
+      .select(col("doc_id"), col("chunk_id"),
+        length(col("chunk")).cast("long").as("n_bytes"),
+        hex(col("chunk").substr(1, 4)).as("head_hex"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** DQ quantile profile — EXACT distributed selection
     * ([[graft.operators.Quality.quantileProfile]]): the value at
     * sorted index (n−1)·p div 1000 for eight permille points over
@@ -587,6 +672,9 @@ object CleaningQueries {
     "q122_audio_header" -> q122AudioHeader,
     "q123_video_header" -> q123VideoHeader,
     "q150_wav_features" -> q150WavFeatures,
+    "q151_bmp_features" -> q151BmpFeatures,
+    "q152_bmp_resize" -> q152BmpResize,
+    "q154_chunk_sample" -> q154ChunkSample,
     "q126_quantiles" -> q126Quantiles,
     "q128_grouped_quantiles" -> q128GroupedQuantiles,
     "q137_iqr_outliers" -> q137IqrOutliers,
@@ -806,6 +894,61 @@ object CleaningQueries {
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY custkey""".stripMargin,
+    "q154_chunk_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, upper(hex(encode(text))) AS hx,
+        |    octet_length(encode(text)) AS len
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |c AS (
+        |  SELECT doc_id, hx, len,
+        |    unnest(range(0, (len + 31) // 32)) AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, chunk_id,
+        |  CAST(least(32, len - chunk_id * 32) AS BIGINT) AS n_bytes,
+        |  substr(hx, CAST(chunk_id * 64 + 1 AS BIGINT), 8) AS head_hex
+        |FROM c WHERE chunk_id % 2 = 0
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q151_bmp_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 12 + 4 AS w, (doc_id * 3) % 10 + 4 AS h
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |v AS (
+        |  SELECT doc_id, ((y * 2) // h) * 2 + (x * 2) // w AS cell,
+        |    (doc_id + 7 * x + 13 * y) % 256 AS r,
+        |    (doc_id * 3 + 5 * x + 11 * y) % 256 AS g,
+        |    (doc_id * 5 + 2 * x + 3 * y) % 256 AS b
+        |  FROM px),
+        |s AS (SELECT doc_id, cell, SUM(r) AS r, SUM(g) AS g, SUM(b) AS b
+        |      FROM v GROUP BY doc_id, cell),
+        |l AS (
+        |  SELECT doc_id, cell * 3 AS idx, r AS v FROM s
+        |  UNION ALL SELECT doc_id, cell * 3 + 1, g FROM s
+        |  UNION ALL SELECT doc_id, cell * 3 + 2, b FROM s)
+        |SELECT doc_id, CAST(idx AS INT) AS idx, CAST(v AS BIGINT) AS v
+        |FROM l ORDER BY doc_id, idx""".stripMargin,
+    "q152_bmp_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 12 + 4 AS w, (doc_id * 3) % 10 + 4 AS h
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, 5)) AS x2 FROM d),
+        |p2 AS (SELECT doc_id, w, h, x2, unnest(range(0, 4)) AS y2 FROM xs),
+        |src AS (SELECT doc_id, (x2 * w) // 5 AS x, (y2 * h) // 4 AS y FROM p2),
+        |v AS (
+        |  SELECT doc_id,
+        |    (doc_id + 7 * x + 13 * y) % 256 AS r,
+        |    (doc_id * 3 + 5 * x + 11 * y) % 256 AS g,
+        |    (doc_id * 5 + 2 * x + 3 * y) % 256 AS b
+        |  FROM src),
+        |s AS (SELECT doc_id, SUM(r) AS r, SUM(g) AS g, SUM(b) AS b
+        |      FROM v GROUP BY doc_id),
+        |l AS (
+        |  SELECT doc_id, 0 AS idx, r AS v FROM s
+        |  UNION ALL SELECT doc_id, 1, g FROM s
+        |  UNION ALL SELECT doc_id, 2, b FROM s)
+        |SELECT doc_id, CAST(idx AS INT) AS idx, CAST(v AS BIGINT) AS v
+        |FROM l ORDER BY doc_id, idx""".stripMargin,
     "q150_wav_features" ->
       """WITH d AS (SELECT doc_id, doc_id % 32 + 8 AS n FROM documents),
         |s AS (SELECT doc_id, n, unnest(range(0, n)) AS j FROM d),

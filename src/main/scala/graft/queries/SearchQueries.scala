@@ -124,6 +124,20 @@ object SearchQueries {
       minShouldMatch = Some(MsmAtLeast))
   }
 
+  val ProxTerms = ("table", "scan")
+  val ProxWindow = 5L
+
+  /** SR9 — two-term proximity search ([[TextSearch.proximityTopK]]):
+    * top-20 docs by minimum token distance between "table" and "scan"
+    * occurrences, within a 5-token window — the near-each-other
+    * relevance mode between exact phrase and bag-of-words. The engine
+    * computes the min via ONE window pass over the merged
+    * position-sorted stream (adjacent opposite-label pairs); the
+    * oracle replays the identical lag construction. */
+  val q153Proximity: Q = (spark, dir) =>
+    TextSearch.proximityTopK(Tables(spark, dir).documents, "doc_id", "text",
+      ProxTerms._1, ProxTerms._2, ProxWindow, TopK)
+
   /** Per-process store dir for q148, removed on JVM exit (the
     * ScaleQueries tmpdir-hygiene pattern). */
   private def perProcessIndexDir(dir: String): String = {
@@ -154,7 +168,8 @@ object SearchQueries {
     "q145_phrase_search" -> q145PhraseSearch,
     "q146_search_or" -> q146SearchOr,
     "q147_search_bm25_or" -> q147SearchBm25Or,
-    "q148_store_bm25" -> q148StoreBm25)
+    "q148_store_bm25" -> q148StoreBm25,
+    "q153_proximity" -> q153Proximity)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -301,6 +316,26 @@ object SearchQueries {
          |SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
          |WHERE nt >= $MsmAtLeast
          |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+    },
+    "q153_proximity" -> {
+      val (a, b) = ProxTerms
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         |    unnest(range(0, len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+         |  FROM documents),
+         |p AS (SELECT doc_id, term, pos FROM toks WHERE term IN ('$a', '$b')),
+         |w AS (
+         |  SELECT doc_id, term, pos,
+         |    lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS pt,
+         |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS pp
+         |  FROM p),
+         |m AS (
+         |  SELECT doc_id, MIN(pos - pp) AS min_distance FROM w
+         |  WHERE pt IS NOT NULL AND pt <> term GROUP BY doc_id)
+         |SELECT doc_id, CAST(min_distance AS BIGINT) AS min_distance
+         |FROM m WHERE min_distance <= $ProxWindow
+         |ORDER BY min_distance, doc_id LIMIT $TopK""".stripMargin
     },
     "q141_more_like_this" ->
       s"""WITH $postCte,

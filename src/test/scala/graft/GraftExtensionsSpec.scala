@@ -104,6 +104,30 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getLong(4) == 30000L)
   }
 
+  test("the r16 pixel/sample decoders are callable from SQL") {
+    def hxs(h: String): String = h.replaceAll("\\s", "")
+    // 16-bit mono PCM WAV, 2 samples [1000, -1000], payload PRESENT
+    val wav = hxs("52494646 00000000 57415645" +
+      " 666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+      " 64617461 04000000 E803 18FC")
+    // 1x1 24-bit BMP, pixel (r=9, g=8, b=7), stride-padded row
+    val bmp = hxs("424D 3A000000 00000000 36000000" +
+      " 28000000 01000000 01000000 0100 1800 00000000 04000000" +
+      " 00000000 00000000 00000000 00000000" +
+      " 070809 00")
+    val row = spark.sql(
+      s"""SELECT
+         |  wav_pcm_features(unhex('$wav'), 2) AS w,
+         |  bmp_grid_features(unhex('$bmp'), 1, 1) AS f,
+         |  bmp_grid_features(bmp_resize_nearest(unhex('$bmp'), 2, 2), 1, 1) AS r,
+         |  wav_pcm_features(unhex('00'), 2) AS w_null""".stripMargin)
+      .collect()(0)
+    assert(row.getSeq[Long](0) == Seq(1000L, -1000L))
+    assert(row.getSeq[Long](1) == Seq(9L, 8L, 7L))
+    assert(row.getSeq[Long](2) == Seq(36L, 32L, 28L)) // 4 copies of the pixel
+    assert(row.isNullAt(3))
+  }
+
   test("the span-dedup derivations are callable from SQL") {
     val row = spark.sql(
       """SELECT

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Multimodal
+
+class BmpPixelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Minimal 24-bit BMP. `pixels(y)(x) = (r, g, b)` in TOP-DOWN image
+    * coordinates; `topDown = false` stores rows bottom-up (the default
+    * BMP layout), true uses a negative height. */
+  private def bmp(pixels: Seq[Seq[(Int, Int, Int)]],
+      topDown: Boolean = false, bits: Int = 24,
+      compression: Int = 0, truncate: Int = 0): Array[Byte] = {
+    val h = pixels.length; val w = pixels.head.length
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new java.io.ByteArrayOutputStream()
+    def le(v: Long, n: Int): Unit =
+      (0 until n).foreach(i => out.write(((v >> (8 * i)) & 0xFF).toInt))
+    out.write('B'); out.write('M'); le(54L + h * stride, 4); le(0, 4); le(54, 4)
+    le(40, 4); le(w, 4); le(if (topDown) -h else h, 4)
+    le(1, 2); le(bits, 2); le(compression, 4); le(h * stride, 4)
+    le(0, 4); le(0, 4); le(0, 4); le(0, 4)
+    val rows = if (topDown) pixels else pixels.reverse
+    rows.foreach { row =>
+      row.foreach { case (r, g, b) => out.write(b); out.write(g); out.write(r) }
+      (0 until stride - w * 3).foreach(_ => out.write(0))
+    }
+    val full = out.toByteArray
+    if (truncate > 0) full.take(truncate) else full
+  }
+
+  private def feats(bytes: Array[Byte], gx: Int, gy: Int): Option[Seq[Long]] =
+    Seq(Tuple1(bytes)).toDF("b")
+      .select(Multimodal.bmpGridFeatures(col("b"), gx, gy).as("f"))
+      .as[Option[Seq[Long]]].head()
+
+  // a 2×2 image with distinct channel values per pixel
+  private val px2x2 = Seq(
+    Seq((10, 20, 30), (40, 50, 60)),   // top row
+    Seq((70, 80, 90), (100, 110, 120)) // bottom row
+  )
+
+  test("grid features: per-cell (r,g,b) sums, hand-computed; 1x1 grid = whole-image sums") {
+    // 2×2 grid on a 2×2 image: each pixel its own cell, row-major
+    assert(feats(bmp(px2x2), 2, 2) == Some(Seq(
+      10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L, 90L, 100L, 110L, 120L)))
+    assert(feats(bmp(px2x2), 1, 1) == Some(Seq(220L, 260L, 300L)))
+  }
+
+  test("bottom-up and top-down storage decode to the SAME image") {
+    assert(feats(bmp(px2x2), 2, 2) == feats(bmp(px2x2, topDown = true), 2, 2))
+  }
+
+  test("row padding is skipped (odd widths), forward-map bucketing on non-divisible dims") {
+    // 3×1 image (stride 12, 3 pad bytes); gx=2 forward map ⌊x·2/3⌋:
+    // x=0,1 → cell 0, x=2 → cell 1
+    val row = Seq(Seq((1, 2, 3), (4, 5, 6), (7, 8, 9)))
+    assert(feats(bmp(row), 2, 1) == Some(Seq(5L, 7L, 9L, 7L, 8L, 9L)))
+  }
+
+  test("decode-contract violations are null, never garbage") {
+    assert(feats(bmp(px2x2, bits = 8), 1, 1).isEmpty)        // not 24-bit
+    assert(feats(bmp(px2x2, compression = 1), 1, 1).isEmpty) // compressed
+    assert(feats(bmp(px2x2, truncate = 58), 1, 1).isEmpty)   // pixels missing
+    assert(feats("BMxxxx".getBytes("ISO-8859-1"), 1, 1).isEmpty)
+    assert(feats(Array[Byte](1, 2), 1, 1).isEmpty)
+  }
+
+  test("resizeNearest: picks ⌊x·w/outW⌋ pixels, emits a decodable 24-bit BMP") {
+    // 1x1 resize keeps the top-left pixel (⌊0·2/1⌋ = 0)
+    val tiny = Seq(Tuple1(bmp(px2x2))).toDF("b")
+      .select(Multimodal.bmpResizeNearest(col("b"), 1, 1).as("r"))
+      .select(Multimodal.bmpGridFeatures(col("r"), 1, 1).as("f"),
+        Multimodal.imageHeader(col("r")).as("hdr"),
+        Multimodal.sniffMime(col("r")).as("mime"))
+      .as[(Option[Seq[Long]], (String, Option[Int], Option[Int], Option[Int], Option[Boolean]), String)]
+      .head()
+    assert(tiny._1 == Some(Seq(10L, 20L, 30L)))
+    assert(tiny._2 == (("bmp", Some(1), Some(1), Some(3), None)))
+    assert(tiny._3 == "image/bmp")
+    // 4x4 upscale of a 2×2: each source pixel covers a 2×2 block →
+    // every channel sum is 4× the original
+    val up = Seq(Tuple1(bmp(px2x2))).toDF("b")
+      .select(Multimodal.bmpGridFeatures(
+        Multimodal.bmpResizeNearest(col("b"), 4, 4), 2, 2).as("f"))
+      .as[Option[Seq[Long]]].head()
+    assert(up == Some(Seq(10L, 20L, 30L, 40L, 50L, 60L,
+      70L, 80L, 90L, 100L, 110L, 120L).map(_ * 4)))
+    // null propagates through the composition
+    assert(Seq(Tuple1(bmp(px2x2, truncate = 58))).toDF("b")
+      .select(Multimodal.bmpGridFeatures(
+        Multimodal.bmpResizeNearest(col("b"), 4, 4), 1, 1).as("f"))
+      .as[Option[Seq[Long]]].head().isEmpty)
+  }
+
+  test("top-down input resizes identically to its bottom-up twin") {
+    def sums(td: Boolean) = Seq(Tuple1(bmp(px2x2, topDown = td))).toDF("b")
+      .select(Multimodal.bmpGridFeatures(
+        Multimodal.bmpResizeNearest(col("b"), 3, 3), 3, 3).as("f"))
+      .as[Option[Seq[Long]]].head()
+    assert(sums(false).nonEmpty && sums(false) == sums(true))
+  }
+
+  test("constructor contracts") {
+    intercept[IllegalArgumentException] { Multimodal.bmpGridFeatures(col("x"), 0, 1) }
+    intercept[IllegalArgumentException] { Multimodal.bmpResizeNearest(col("x"), 1, 5000) }
+  }
+}

@@ -749,6 +749,23 @@ class PlanShapeSpec extends SparkSpec {
       s"top-k must be a per-partition heap:\n$plan")
   }
 
+  test("q153 proximity: term filter under the explode, one window pass, no join, heap top-k") {
+    val plan = executedFinalPlan("q153_proximity")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition heap:\n$plan")
+    // the min-distance construction is ONE window pass over the matched
+    // positions — never a per-doc positions x positions self-join
+    assert(!plan.contains("Join"),
+      s"proximity must not join position sets:\n$plan")
+    val explodes = plan.linesIterator.count(_.contains("Generate posexplode"))
+    assert(explodes == 1, s"expected ONE positional explode:\n$plan")
+    // only matched positions shuffle: the two-term filter sits between
+    // the explode and the window exchange
+    assert(plan.contains("Filter") && plan.contains("INSET") ||
+      plan.linesIterator.exists(l => l.contains("Filter") && l.contains("term")),
+      s"the term filter must cut the positional stream pre-shuffle:\n$plan")
+  }
+
   test("triangleCounts and fuzzyPairs: equi-join only — no cartesian reachable") {
     import spark.implicits._
     val edges = spark.range(400).select(

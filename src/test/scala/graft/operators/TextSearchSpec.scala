@@ -182,6 +182,30 @@ class TextSearchSpec extends SparkSpec {
     }
   }
 
+  test("proximityTopK: min adjacent-opposite-label distance, window cut, order-insensitive") {
+    val df = Seq(
+      (1L, "red x x x blue"),        // min |a−b| = 4
+      (2L, "blue red"),              // adjacent, order reversed → 1
+      (3L, "red x red blue x blue"), // multiple occurrences → min 1
+      (4L, "red only here"),         // one term only → absent
+      (5L, "blue z z z z z z red blue") // far pair 7 AND near pair 1 → 1
+    ).toDF("doc_id", "text")
+    val got = TextSearch.proximityTopK(df, "doc_id", "text",
+      "red", "blue", maxDistance = 4L, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    // dist asc, id asc: docs 2/3/5 at 1, doc 1 at 4
+    assert(got == Seq((2L, 1L), (3L, 1L), (5L, 1L), (1L, 4L)))
+    // the window cut: maxDistance 3 drops doc 1
+    assert(TextSearch.proximityTopK(df, "doc_id", "text", "red", "blue", 3L, 10)
+      .as[(Long, Long)].collect().toSeq == Seq((2L, 1L), (3L, 1L), (5L, 1L)))
+    intercept[IllegalArgumentException] {
+      TextSearch.proximityTopK(df, "doc_id", "text", "red", "RED", 3L, 10)
+    }
+    intercept[IllegalArgumentException] {
+      TextSearch.proximityTopK(df, "doc_id", "text", "red", "two words", 3L, 10)
+    }
+  }
+
   test("moreLikeThis: an oversized probe set throws — the bounded-probe contract is code, not prose") {
     val corpus = spark.range(50).selectExpr("id AS doc_id",
       "concat('alpha beta doc ', id) AS text")
