@@ -263,5 +263,122 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.BmpResizeNearest(exprs.head,
           intConst(exprs(1), "w"), intConst(exprs(2), "h"))
       }))
+
+    // ------------------------------------------------ table functions (r16)
+    // The operator families' SQL surface: TABLE-valued functions whose
+    // builder returns the LOGICAL PLAN of the same DataFrame composition
+    // the Scala API produces — `SELECT * FROM graft_search_topk(...)`
+    // splices the engine's plan into the outer query, so SQL users get
+    // the identical shapes (one corpus explode, reused exchange, heap
+    // top-k) with zero duplication. Arguments are literal constants
+    // (the SQL TVF contract); the source relation is named by parquet
+    // PATH — the catalog-free analogue of a table name. The same
+    // pattern extends to any (constants, paths) → DataFrame operator.
+    def strConst(e: Expression, name: String): String = {
+      require(e.foldable, s"$name must be a string constant, got $e")
+      e.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case s: String => s
+        case other => throw new IllegalArgumentException(
+          s"$name must be a string constant, got $other")
+      }
+    }
+    def longConst(e: Expression, name: String): Long = {
+      require(e.foldable, s"$name must be an integral constant, got $e")
+      e.eval() match {
+        case i: java.lang.Integer => i.longValue()
+        case l: java.lang.Long => l.longValue()
+        case s: java.lang.Short => s.longValue()
+        case other => throw new IllegalArgumentException(
+          s"$name must be an integral constant, got $other")
+      }
+    }
+    def tvfInfo(name: String, usage: String) = new ExpressionInfo(
+      "graft.GraftExtensions", "", name, usage, "", "", "", "", "", "", "built-in")
+    def logical(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      df.queryExecution.logical
+
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_search_topk"),
+      tvfInfo("graft_search_topk",
+        "_FUNC_(path, id_col, text_col, terms, k[, min_should_match]) - " +
+          "rarity-scored top-k search over the parquet corpus at `path` " +
+          "(terms whitespace-separated; msm defaults to ALL = conjunctive)."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 5 || exprs.length == 6,
+          s"graft_search_topk takes 5-6 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.operators.TextSearch.searchTopK(
+          spark.read.parquet(strConst(exprs(0), "path")),
+          strConst(exprs(1), "id_col"), strConst(exprs(2), "text_col"),
+          strConst(exprs(3), "terms").trim.split("\\s+").toSeq,
+          intConst(exprs(4), "k"),
+          exprs.lift(5).map(e => intConst(e, "min_should_match"))))
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_bm25_topk"),
+      tvfInfo("graft_bm25_topk",
+        "_FUNC_(path, id_col, text_col, terms, k[, min_should_match]) - " +
+          "integer-Okapi BM25 top-k search over the parquet corpus at `path`."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 5 || exprs.length == 6,
+          s"graft_bm25_topk takes 5-6 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.operators.TextSearch.searchTopKBm25(
+          spark.read.parquet(strConst(exprs(0), "path")),
+          strConst(exprs(1), "id_col"), strConst(exprs(2), "text_col"),
+          strConst(exprs(3), "terms").trim.split("\\s+").toSeq,
+          intConst(exprs(4), "k"),
+          minShouldMatch = exprs.lift(5).map(e => intConst(e, "min_should_match"))))
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_proximity_topk"),
+      tvfInfo("graft_proximity_topk",
+        "_FUNC_(path, id_col, text_col, term_a, term_b, max_distance, k) - " +
+          "top-k documents by minimum token distance between the two terms."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 7,
+          s"graft_proximity_topk takes 7 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.operators.TextSearch.proximityTopK(
+          spark.read.parquet(strConst(exprs(0), "path")),
+          strConst(exprs(1), "id_col"), strConst(exprs(2), "text_col"),
+          strConst(exprs(3), "term_a"), strConst(exprs(4), "term_b"),
+          longConst(exprs(5), "max_distance"), intConst(exprs(6), "k")))
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_retention"),
+      tvfInfo("graft_retention",
+        "_FUNC_(path, key_col, ts_col[, bucket_us]) - (cohort_week, " +
+          "week_offset, n_users) retention cohorts over the events at `path` " +
+          "(bucket defaults to 7 days of microseconds)."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3 || exprs.length == 4,
+          s"graft_retention takes 3-4 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.operators.Temporal.retentionCohorts(
+          spark.read.parquet(strConst(exprs(0), "path")),
+          strConst(exprs(1), "key_col"), strConst(exprs(2), "ts_col"),
+          exprs.lift(3).map(e => longConst(e, "bucket_us"))
+            .getOrElse(7L * 86400L * 1000000L)))
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_funnel"),
+      tvfInfo("graft_funnel",
+        "_FUNC_(path, key_col, ts_col, step_col, steps[, max_span_sec]) - " +
+          "ordered-step funnel over the events at `path` (steps " +
+          "whitespace-separated values of step_col; optional conversion window)."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 5 || exprs.length == 6,
+          s"graft_funnel takes 5-6 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.operators.Temporal.funnel(
+          spark.read.parquet(strConst(exprs(0), "path")),
+          strConst(exprs(1), "key_col"), strConst(exprs(2), "ts_col"),
+          strConst(exprs(3), "step_col"),
+          strConst(exprs(4), "steps").trim.split("\\s+").toSeq,
+          exprs.lift(5).map(e => longConst(e, "max_span_sec"))))
+      }))
   }
 }

@@ -52,6 +52,83 @@ object TextSearch {
       .groupBy(col("term"), col(idCol))
       .agg(count(lit(1)).as("tf"))
 
+  /** POSITIONAL postings `(term, <idCol>, positions, tf)` — one row per
+    * (term, document) with the sorted 0-based token positions and their
+    * count. The "prox file" beside the [[postings]] frequency file in
+    * every real inverted index: phrase and proximity queries over a
+    * PERSISTED store need positions, or they re-tokenize the corpus per
+    * query. Same one-scan/one-aggregation shape as [[postings]] (the
+    * positions array adds ~4 bytes/token to the shuffle — still
+    * tokens-proportional, never text); write it term-partitioned and
+    * [[searchStoreProximity]] probes become partition pruning. */
+  def positionalPostings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(searchTerms(col(textCol))).as(Seq("pos", "term")))
+      .groupBy(col("term"), col(idCol))
+      .agg(array_sort(collect_list(col("pos"))).as("positions"),
+        count(lit(1)).as("tf"))
+
+  /** [[proximityTopK]] against a PERSISTED [[positionalPostings]] store:
+    * same min-token-distance semantics, ranking and window cut, with
+    * the two terms' rows pruned from the store FIRST (partition pruning
+    * on a term-partitioned store) — per-query cost is the matched
+    * positions, and the corpus text is never touched. The positions
+    * explode runs per matched (term, doc) row; the merged-stream window
+    * trick then prices exactly like the direct operator. */
+  def searchStoreProximity(store: DataFrame, idCol: String,
+      termA: String, termB: String, maxDistance: Long, k: Int): DataFrame = {
+    val (a, b) = (termA.toLowerCase, termB.toLowerCase)
+    require(a != b, s"searchStoreProximity needs two DIFFERENT terms, got '$a' twice")
+    require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    store.filter(col("term").isin(a, b))
+      .select(col(idCol), col("term"), explode(col("positions")).as("pos"))
+      .withColumn("__pt", lag("term", 1).over(w))
+      .withColumn("__pp", lag("pos", 1).over(w))
+      .filter(col("__pt").isNotNull && col("__pt") =!= col("term"))
+      .groupBy(col(idCol))
+      .agg(min(col("pos") - col("__pp")).cast("long").as("min_distance"))
+      .filter(col("min_distance") <= maxDistance)
+      .orderBy(col("min_distance"), col(idCol))
+      .limit(k)
+  }
+
+  /** Exact-phrase search against a PERSISTED [[positionalPostings]]
+    * store: top-`k` documents by occurrence count of the consecutive
+    * SEARCH-token sequence `phrase` (ties → id ascending) — the store
+    * twin of [[phraseSearchTopK]], with one semantic difference stated
+    * loudly: the store is built on the SEARCH tokenization (lowercase
+    * alnum runs), so punctuation between words does not break a phrase
+    * here, while [[phraseSearchTopK]] matches the raw whitespace token
+    * stream. An occurrence at token position s is one row per phrase
+    * offset agreeing on (id, s): positions of term_i shifted by −i,
+    * chained through i−1 equi-joins on (id, start) — every side is the
+    * MATCHED positions of one term (partition-pruned on a
+    * term-partitioned store), so per-query cost is Σ matched positions
+    * and the corpus text is never touched. Duplicate phrase terms are
+    * handled naturally (each offset joins its own slice). */
+  def searchStorePhrase(store: DataFrame, idCol: String,
+      phrase: Seq[String], k: Int): DataFrame = {
+    val terms = phrase.map(_.toLowerCase)
+    require(terms.nonEmpty, "searchStorePhrase needs a non-empty phrase")
+    require(terms.forall(_.matches(TermPattern)),
+      s"phrase tokens must be lowercase alphanumeric runs " +
+        s"(the store tokenization), got $phrase")
+    require(k > 0, s"k must be positive, got $k")
+    val starts = terms.zipWithIndex.map { case (t, i) =>
+      store.filter(col("term") === t)
+        .select(col(idCol), explode(col("positions")).as("__p"))
+        .select(col(idCol), (col("__p").cast("long") - i).as("start"))
+    }
+    starts.reduce((a, b) => a.join(b, Seq(idCol, "start")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Document frequencies `(term, df)` from a [[postings]] relation —
     * postings are distinct per (term, doc) by construction, so df is a
     * plain count, no distinct re-shuffle. */

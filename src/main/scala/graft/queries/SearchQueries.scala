@@ -138,11 +138,49 @@ object SearchQueries {
     TextSearch.proximityTopK(Tables(spark, dir).documents, "doc_id", "text",
       ProxTerms._1, ProxTerms._2, ProxWindow, TopK)
 
-  /** Per-process store dir for q148, removed on JVM exit (the
+  /** SR10 — proximity over a PERSISTED positional-postings store
+    * ([[TextSearch.positionalPostings]] written term-partitioned, then
+    * [[TextSearch.searchStoreProximity]]): the same q153 contract
+    * answered WITHOUT touching corpus text — the store prunes to the
+    * two terms' partitions, positions explode per matched row only.
+    * Oracle = the direct q153 replay: the store law is equality. */
+  val q155StoreProximity: Q = (spark, dir) =>
+    TextSearch.searchStoreProximity(positionalStore(spark, dir), "doc_id",
+      ProxTerms._1, ProxTerms._2, ProxWindow, TopK)
+
+  /** The persisted positional store shared by q155/q156 — written once
+    * per process, term-partitioned. An EMPTY corpus writes no parquet
+    * data files (schema inference would fail on read-back), so the
+    * empty case serves the zero-row in-memory relation with the same
+    * schema — store semantics are unaffected (there is nothing to
+    * read). */
+  private def positionalStore(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val ix = perProcessIndexDir(dir, "graft_posix_p")
+    val pp = TextSearch.positionalPostings(
+      Tables(spark, dir).documents, "doc_id", "text")
+    if (!new java.io.File(ix).exists())
+      pp.write.partitionBy("term").mode("overwrite").parquet(ix)
+    val hasData = Option(new java.io.File(ix).listFiles())
+      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("term=")))
+    if (hasData) spark.read.parquet(ix) else pp.limit(0)
+  }
+
+  /** SR11 — exact phrase over the SAME positional store
+    * ([[TextSearch.searchStorePhrase]]): occurrence-ranked "table hash"
+    * matches answered from positions alone — offset-shifted equi-joins
+    * on (doc, start), corpus text untouched. Search-token semantics
+    * (alnum runs), so the oracle replays on the regexp token stream. */
+  val q156StorePhrase: Q = (spark, dir) =>
+    TextSearch.searchStorePhrase(positionalStore(spark, dir), "doc_id",
+      Phrase, TopK)
+
+  /** Per-process store dir for q148/q155, removed on JVM exit (the
     * ScaleQueries tmpdir-hygiene pattern). */
-  private def perProcessIndexDir(dir: String): String = {
+  private def perProcessIndexDir(dir: String,
+      prefix: String = "graft_searchix_p"): String = {
     val f = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_searchix_p" + ProcessHandle.current().pid() + "_" +
+      prefix + ProcessHandle.current().pid() + "_" +
         dir.toLowerCase.replaceAll("[^a-z0-9]+", "_"))
     if (cleanupDirs.add(f.toString)) Runtime.getRuntime.addShutdownHook(
       new Thread(() => {
@@ -169,7 +207,9 @@ object SearchQueries {
     "q146_search_or" -> q146SearchOr,
     "q147_search_bm25_or" -> q147SearchBm25Or,
     "q148_store_bm25" -> q148StoreBm25,
-    "q153_proximity" -> q153Proximity)
+    "q153_proximity" -> q153Proximity,
+    "q155_store_proximity" -> q155StoreProximity,
+    "q156_store_phrase" -> q156StorePhrase)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -317,25 +357,26 @@ object SearchQueries {
          |WHERE nt >= $MsmAtLeast
          |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
     },
-    "q153_proximity" -> {
-      val (a, b) = ProxTerms
+    "q153_proximity" -> proximityOracleSql,
+    // the store law IS equality with the direct operator — one oracle
+    "q155_store_proximity" -> proximityOracleSql,
+    "q156_store_phrase" -> {
+      val ts = Phrase.map(_.toLowerCase)
+      val starts = ts.zipWithIndex.map { case (t, i) =>
+        s"s$i AS (SELECT doc_id, pos - $i AS start FROM toks WHERE term = '$t')"
+      }.mkString(",\n")
+      val joins = (1 until ts.size)
+        .map(i => s"JOIN s$i USING (doc_id, start)").mkString(" ")
       s"""WITH toks AS (
          |  SELECT doc_id,
          |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
          |    unnest(range(0, len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
          |  FROM documents),
-         |p AS (SELECT doc_id, term, pos FROM toks WHERE term IN ('$a', '$b')),
-         |w AS (
-         |  SELECT doc_id, term, pos,
-         |    lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS pt,
-         |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS pp
-         |  FROM p),
-         |m AS (
-         |  SELECT doc_id, MIN(pos - pp) AS min_distance FROM w
-         |  WHERE pt IS NOT NULL AND pt <> term GROUP BY doc_id)
-         |SELECT doc_id, CAST(min_distance AS BIGINT) AS min_distance
-         |FROM m WHERE min_distance <= $ProxWindow
-         |ORDER BY min_distance, doc_id LIMIT $TopK""".stripMargin
+         |$starts,
+         |m AS (SELECT doc_id, start FROM s0 $joins)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         |FROM m GROUP BY doc_id
+         |ORDER BY n_occurrences DESC, doc_id LIMIT $TopK""".stripMargin
     },
     "q141_more_like_this" ->
       s"""WITH $postCte,
@@ -357,4 +398,25 @@ object SearchQueries {
          |  FROM sc)
          |SELECT qid AS q_doc_id, doc_id, CAST(score AS BIGINT) AS score
          |FROM rk WHERE rk <= $MltK ORDER BY q_doc_id, doc_id""".stripMargin)
+
+  private lazy val proximityOracleSql: String = {
+      val (a, b) = ProxTerms
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         |    unnest(range(0, len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+         |  FROM documents),
+         |p AS (SELECT doc_id, term, pos FROM toks WHERE term IN ('$a', '$b')),
+         |w AS (
+         |  SELECT doc_id, term, pos,
+         |    lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS pt,
+         |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS pp
+         |  FROM p),
+         |m AS (
+         |  SELECT doc_id, MIN(pos - pp) AS min_distance FROM w
+         |  WHERE pt IS NOT NULL AND pt <> term GROUP BY doc_id)
+         |SELECT doc_id, CAST(min_distance AS BIGINT) AS min_distance
+         |FROM m WHERE min_distance <= $ProxWindow
+         |ORDER BY min_distance, doc_id LIMIT $TopK""".stripMargin
+  }
 }

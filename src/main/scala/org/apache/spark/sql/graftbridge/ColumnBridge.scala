@@ -22,4 +22,13 @@ object ColumnBridge {
       registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     ext.registerFunctions(registry)
+
+  /** The table-function twin of [[registerInjectedFunctions]] — applies
+    * a SparkSessionExtensions' TABLE-function injections to an existing
+    * registry, for the same test-on-a-shared-session reason. */
+  def registerInjectedTableFunctions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry =
+    ext.registerTableFunctions(registry)
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
 import graft.SparkSpec
@@ -126,6 +127,65 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getSeq[Long](1) == Seq(9L, 8L, 7L))
     assert(row.getSeq[Long](2) == Seq(36L, 32L, 28L)) // 4 copies of the pixel
     assert(row.isNullAt(3))
+  }
+
+  test("the operator-family TABLE functions are callable from SQL and equal the Scala API") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    ColumnBridge.registerInjectedTableFunctions(
+      ext, spark.sessionState.tableFunctionRegistry)
+    val corpusDir = java.nio.file.Files.createTempDirectory("tvf-corpus").toString
+    Seq((1L, "spark joins the table table"), (2L, "spark spark joins"),
+      (3L, "only joins"), (4L, "table alone"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    // search TVF ≡ the Scala operator over the same parquet
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_search_topk('$corpusDir', 'doc_id', 'text', 'spark joins', 10)")
+      .as[(Long, Long)].collect().toSeq
+    val viaApi = graft.operators.TextSearch.searchTopK(
+      spark.read.parquet(corpusDir), "doc_id", "text", Seq("spark", "joins"), 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(viaSql == viaApi && viaApi.nonEmpty)
+    // the msm dial rides through; BM25 + proximity TVFs analyze and run
+    assert(spark.sql(
+      s"SELECT * FROM graft_search_topk('$corpusDir', 'doc_id', 'text', 'spark table', 10, 1)")
+      .count() == 3) // OR mode: docs 1, 2, 4 carry spark or table; doc 3 neither
+    assert(spark.sql(
+      s"SELECT * FROM graft_bm25_topk('$corpusDir', 'doc_id', 'text', 'spark joins', 10)")
+      .as[(Long, Long)].collect().toSeq ==
+      graft.operators.TextSearch.searchTopKBm25(
+        spark.read.parquet(corpusDir), "doc_id", "text", Seq("spark", "joins"), 10)
+        .as[(Long, Long)].collect().toSeq)
+    assert(spark.sql(
+      s"SELECT * FROM graft_proximity_topk('$corpusDir', 'doc_id', 'text', 'spark', 'table', 5, 10)")
+      .as[(Long, Long)].collect().toSeq ==
+      graft.operators.TextSearch.proximityTopK(
+        spark.read.parquet(corpusDir), "doc_id", "text", "spark", "table", 5L, 10)
+        .as[(Long, Long)].collect().toSeq)
+    // temporal TVFs: retention + funnel over an events slice
+    val eventsDir = java.nio.file.Files.createTempDirectory("tvf-events").toString
+    Seq((1L, "2024-01-01 00:00:00", "view"), (1L, "2024-01-02 00:00:00", "buy"),
+      (2L, "2024-01-09 00:00:00", "view"), (2L, "2024-01-16 00:00:00", "view"))
+      .toDF("user_id", "ts", "step")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(eventsDir)
+    assert(spark.sql(
+      s"SELECT * FROM graft_retention('$eventsDir', 'user_id', 'ts')")
+      .collect().toSet ==
+      graft.operators.Temporal.retentionCohorts(
+        spark.read.parquet(eventsDir), "user_id", "ts").collect().toSet)
+    assert(spark.sql(
+      s"SELECT * FROM graft_funnel('$eventsDir', 'user_id', 'ts', 'step', 'view buy')")
+      .collect().toSet ==
+      graft.operators.Temporal.funnel(
+        spark.read.parquet(eventsDir), "user_id", "ts", "step",
+        Seq("view", "buy")).collect().toSet)
+    // a non-constant argument is rejected loudly
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_search_topk('$corpusDir', 'doc_id', 'text', lower(rand()), 10)")
+      .collect())
+    assert(e.getMessage.contains("terms") || e.getMessage.contains("constant"))
   }
 
   test("the span-dedup derivations are callable from SQL") {

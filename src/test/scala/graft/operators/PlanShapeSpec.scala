@@ -766,6 +766,16 @@ class PlanShapeSpec extends SparkSpec {
       s"the term filter must cut the positional stream pre-shuffle:\n$plan")
   }
 
+  test("q155 store proximity: the term filter is PARTITION PRUNING on the positional store") {
+    val plan = executedFinalPlan("q155_store_proximity")
+    assert(plan.contains("PartitionFilters") && plan.contains("term"),
+      s"the two-term filter must prune the term-partitioned store:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition heap:\n$plan")
+    assert(!plan.contains("Join"),
+      s"store proximity must not join position sets:\n$plan")
+  }
+
   test("triangleCounts and fuzzyPairs: equi-join only — no cartesian reachable") {
     import spark.implicits._
     val edges = spark.range(400).select(

@@ -206,6 +206,49 @@ class TextSearchSpec extends SparkSpec {
     }
   }
 
+  test("positionalPostings + searchStoreProximity: store search equals the direct operator") {
+    val df = Seq(
+      (1L, "red x x x blue"), (2L, "blue red"), (3L, "red x red blue x blue"),
+      (4L, "red only"), (5L, "")).toDF("doc_id", "text")
+    val pp = TextSearch.positionalPostings(df, "doc_id", "text")
+    // the prox-file shape: sorted 0-based positions, tf = |positions|
+    val redRows = pp.filter(col("term") === "red")
+      .select("doc_id", "positions", "tf")
+      .as[(Long, Seq[Int], Long)].collect()
+      .map { case (d, p, t) => d -> ((p, t)) }.toMap
+    assert(redRows(3L) == (Seq(0, 2), 2L))
+    assert(redRows(2L) == (Seq(1), 1L))
+    val viaStore = TextSearch.searchStoreProximity(pp, "doc_id",
+      "red", "blue", 4L, 10).as[(Long, Long)].collect().toSeq
+    val direct = TextSearch.proximityTopK(df, "doc_id", "text",
+      "red", "blue", 4L, 10).as[(Long, Long)].collect().toSeq
+    assert(viaStore == direct && direct.nonEmpty)
+  }
+
+  test("searchStorePhrase: consecutive search tokens, duplicate-term phrases, the punctuation contrast") {
+    val df = Seq(
+      (1L, "a b a b"),        // "a b" twice, "a b a" once
+      (2L, "b a"), (3L, "a a"),
+      (4L, "a, b")            // punctuation: search tokens are (a, b)
+    ).toDF("doc_id", "text")
+    val pp = TextSearch.positionalPostings(df, "doc_id", "text")
+    val ab = TextSearch.searchStorePhrase(pp, "doc_id", Seq("a", "b"), 10)
+      .as[(Long, Long)].collect().toSeq
+    // the documented semantic difference: search tokens ignore the
+    // comma, so doc 4 matches here but NOT in phraseSearchTopK's
+    // whitespace-token stream ("a," != "a"); doc 2 is the REVERSED
+    // bigram and matches in neither
+    assert(ab == Seq((1L, 2L), (4L, 1L)))
+    assert(TextSearch.phraseSearchTopK(df, "doc_id", "text",
+      Seq("a", "b"), 10).as[(Long, Long)].collect().toSeq == Seq((1L, 2L)))
+    // duplicate phrase terms: "a b a" needs the SAME term at two offsets
+    assert(TextSearch.searchStorePhrase(pp, "doc_id", Seq("a", "b", "a"), 10)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 1L)))
+    intercept[IllegalArgumentException] {
+      TextSearch.searchStorePhrase(pp, "doc_id", Seq("two words"), 5)
+    }
+  }
+
   test("moreLikeThis: an oversized probe set throws — the bounded-probe contract is code, not prose") {
     val corpus = spark.range(50).selectExpr("id AS doc_id",
       "concat('alpha beta doc ', id) AS text")
