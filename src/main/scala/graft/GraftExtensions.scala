@@ -364,6 +364,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             .getOrElse(7L * 86400L * 1000000L)))
       }))
     ext.injectTableFunction((
+      new FunctionIdentifier("graft_asof"),
+      tvfInfo("graft_asof",
+        "_FUNC_(left_path, right_path, keys, left_ts, right_ts, right_vals" +
+          "[, direction[, tolerance_us]]) - merge_asof of the two parquet " +
+          "relations (keys/right_vals whitespace-separated; direction " +
+          "backward|forward|nearest; optional tolerance horizon)."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length >= 6 && exprs.length <= 8,
+          s"graft_asof takes 6-8 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.operators.Temporal.asOfJoin(
+          spark.read.parquet(strConst(exprs(0), "left_path")),
+          spark.read.parquet(strConst(exprs(1), "right_path")),
+          strConst(exprs(2), "keys").trim.split("\\s+").toSeq,
+          strConst(exprs(3), "left_ts"), strConst(exprs(4), "right_ts"),
+          strConst(exprs(5), "right_vals").trim.split("\\s+").toSeq,
+          direction = exprs.lift(6).map(e => strConst(e, "direction"))
+            .getOrElse("backward"),
+          toleranceMicros = exprs.lift(7).map(e => longConst(e, "tolerance_us"))))
+      }))
+    ext.injectTableFunction((
       new FunctionIdentifier("graft_funnel"),
       tvfInfo("graft_funnel",
         "_FUNC_(path, key_col, ts_col, step_col, steps[, max_span_sec]) - " +

@@ -246,10 +246,11 @@ object Graph {
     * rank can approach it), hence the widest per-edge product is
     * `rank · w ≤ n_nodes · 10^6 · w_max`. Spark wraps a signed-64
     * overflow SILENTLY where DuckDB raises, so the guard below
-    * requires `n_nodes · 10^6 · w_max < 2^63` (two bounded-scalar aggs
-    * over already-materialized blocks) and fails loud with a rescale
-    * hint instead of corrupting ranks — at weights ~10^6 the envelope
-    * closes around n ≈ 9.2·10^6 nodes. */
+    * requires `n_nodes · 10^6 · w_max < 2^63` — checked via the bound
+    * `n_nodes ≤ 2·n_edges` so the guard is ONE bounded-scalar agg over
+    * the already-materialized edge blocks — and fails loud with a
+    * rescale hint instead of corrupting ranks; at weights ~10^6 the
+    * envelope closes around n ≈ 9.2·10^6 nodes. */
   def pageRankWeightedFixed(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     require(edges.columns.length == 3,
@@ -259,12 +260,12 @@ object Graph {
     val eW = e.join(e.groupBy("src").agg(sum("w").as("wsum")), "src")
       .repartition(col("src")).localCheckpoint(true)
     val nodes = nodesOf(e.select("src", "dst")).localCheckpoint(true)
-    val wMaxRow = e.agg(max(col("w").cast("long"))).head()
-    val wMax = if (wMaxRow.isNullAt(0)) 0L else wMaxRow.getLong(0)
-    val nNodes = nodes.count()
-    require(BigInt(nNodes) * 1000000L * wMax < BigInt(2).pow(63),
+    val g = e.agg(max(col("w").cast("long")), count(lit(1))).head()
+    val wMax = if (g.isNullAt(0)) 0L else g.getLong(0)
+    val nBound = 2L * g.getLong(1) // every node names an edge endpoint
+    require(BigInt(nBound) * 1000000L * wMax < BigInt(2).pow(63),
       s"pageRankWeightedFixed: rank·w can overflow signed 64-bit " +
-        s"(n_nodes=$nNodes, w_max=$wMax, envelope n·10^6·w_max < 2^63) " +
+        s"(n_nodes <= $nBound, w_max=$wMax, envelope n·10^6·w_max < 2^63) " +
         "— pre-scale the weight column (shares only need RELATIVE " +
         "weights, so `w div s` for a power-of-ten s preserves the " +
         "ranking to 1/s precision)")

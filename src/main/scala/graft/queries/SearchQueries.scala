@@ -148,6 +148,26 @@ object SearchQueries {
     TextSearch.searchStoreProximity(positionalStore(spark, dir), "doc_id",
       ProxTerms._1, ProxTerms._2, ProxWindow, TopK)
 
+  /** SR12 — proximity over a STREAMED positional store
+    * ([[graft.streaming.StreamingIngest.positionalIndexBatch]]): the
+    * corpus ingested as two committed micro-batches and COMPACTED
+    * (positions merged sorted, batch_id −1, markers carried through
+    * the swap), then the q153 contract answered from the store —
+    * protocol + compaction + reader proven equal to the direct
+    * operator by the shared oracle. */
+  val q157StreamProximity: Q = (spark, dir) => {
+    val ix = perProcessIndexDir(dir, "graft_posstream_p")
+    val docs = Tables(spark, dir).documents.select("doc_id", "text")
+    graft.streaming.StreamingIngest.positionalIndexBatch(
+      docs.filter(col("doc_id") % 2 === 0), 0L, ix, "doc_id", "text",
+      compactAtFiles = 0)
+    graft.streaming.StreamingIngest.positionalIndexBatch(
+      docs.filter(col("doc_id") % 2 === 1), 1L, ix, "doc_id", "text",
+      compactAtFiles = 2)
+    TextSearch.searchStoreProximity(spark.read.parquet(ix), "doc_id",
+      ProxTerms._1, ProxTerms._2, ProxWindow, TopK)
+  }
+
   /** The persisted positional store shared by q155/q156 — written once
     * per process, term-partitioned. An EMPTY corpus writes no parquet
     * data files (schema inference would fail on read-back), so the
@@ -209,7 +229,8 @@ object SearchQueries {
     "q148_store_bm25" -> q148StoreBm25,
     "q153_proximity" -> q153Proximity,
     "q155_store_proximity" -> q155StoreProximity,
-    "q156_store_phrase" -> q156StorePhrase)
+    "q156_store_phrase" -> q156StorePhrase,
+    "q157_stream_proximity" -> q157StreamProximity)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -360,6 +381,7 @@ object SearchQueries {
     "q153_proximity" -> proximityOracleSql,
     // the store law IS equality with the direct operator — one oracle
     "q155_store_proximity" -> proximityOracleSql,
+    "q157_stream_proximity" -> proximityOracleSql,
     "q156_store_phrase" -> {
       val ts = Phrase.map(_.toLowerCase)
       val starts = ts.zipWithIndex.map { case (t, i) =>

@@ -1160,6 +1160,119 @@ object StreamingIngest {
     maintainPostingsStore(spark, indexDir, idCol, compactAtFiles)
   }
 
+  /** The POSITIONAL twin of [[searchIndexIngestStream]]: per-batch
+    * deltas are [[graft.operators.TextSearch.positionalPostings]] rows
+    * (`(term, <idCol>, positions, tf)` — the prox file), so ONE
+    * persisted store serves the whole search family: the frequency
+    * readers ([[graft.operators.TextSearch.searchStoreTopK]] /
+    * `searchStoreTopKBm25`) ignore the positions column, and the
+    * positional readers (`searchStoreProximity` / `searchStorePhrase`)
+    * answer phrase/proximity queries without ever re-tokenizing
+    * history. Same committed-batch protocol, unique-id contract,
+    * doc-length sidecar and marker-preserving compaction as the
+    * frequency loop; compaction additionally checks POSITION mass
+    * (Σ|positions| — which the build makes equal to Σtf). */
+  def positionalIndexIngestStream(stream: DataFrame, indexDir: String,
+      checkpoint: String, idCol: String, textCol: String,
+      compactAtFiles: Int = 0,
+      gates: BatchGates = BatchGates()): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        positionalIndexBatch(batch.toDF(), batchId, indexDir, idCol, textCol,
+          compactAtFiles, gates = gates)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
+  private[graft] def positionalIndexBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, idCol: String, textCol: String,
+      compactAtFiles: Int, failAfterStep: Int = Int.MaxValue,
+      gates: BatchGates = BatchGates()): Unit = {
+    import graft.operators.{Checkpoints, IndexOps, TextSearch}
+    val spark = batch.sparkSession
+    IndexOps.recoverSwap(spark, indexDir)
+    IndexOps.recoverSwap(spark, dlSidecarDir(indexDir))
+    def failpoint(n: Int): Unit = if (failAfterStep == n)
+      throw new IllegalStateException(
+        s"positionalIndexBatch: test failpoint after step $n")
+    if (isCommitted(spark, indexDir, batchId)) return
+    runBatchGates(batch, batchId, gates, gateReportDir(indexDir))
+    Checkpoints.scoped(spark) {
+      val delta = TextSearch.positionalPostings(batch, idCol, textCol)
+        .withColumn("batch_id", lit(batchId))
+      publishBatch(delta, indexDir, batchId, Nil)
+      failpoint(1)
+      val dl = batch.select(col(idCol),
+          size(TextSearch.searchTerms(col(textCol))).cast("long").as("__dl"))
+        .withColumn("batch_id", lit(batchId))
+      publishBatch(dl, dlSidecarDir(indexDir), batchId, Nil)
+      failpoint(2)
+      commitBatch(spark, indexDir, batchId)
+    }
+    maintainPositionalStore(spark, indexDir, idCol, compactAtFiles)
+  }
+
+  /** Post-commit POSITIONAL compaction: one row per (term, id) with tf
+    * summed and positions merged sorted (the unique-id contract makes
+    * both the identity — the fold is the same defensive shape as the
+    * frequency store's), batch_id −1, token AND position mass checked,
+    * commit markers carried into the compacted copy before the swap
+    * ([[copyCommitMarkers]] — the r16 marker-loss lesson), dl sidecar
+    * folded alongside. */
+  private def maintainPositionalStore(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String, compactAtFiles: Int): Unit = {
+    import graft.operators.IndexOps
+    if (compactAtFiles <= 0) return
+    if (IndexOps.dataFileCount(spark, indexDir) < compactAtFiles) return
+    val pending = spark.read.parquet(indexDir)
+      .filter(col("batch_id") >= 0L).select("batch_id").distinct()
+      .collect().map(_.getLong(0))
+      .filterNot(isCommitted(spark, indexDir, _))
+    if (pending.nonEmpty) return
+    val tmp = indexDir + ".compact.tmp"
+    val (fs, _) = fsPath(spark, tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    def masses(dir: String): (Long, Long) = {
+      val r = spark.read.parquet(dir).agg(
+        coalesce(sum("tf"), lit(0L)),
+        coalesce(sum(size(col("positions"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val src = masses(indexDir)
+    spark.read.parquet(indexDir)
+      .groupBy("term", idCol)
+      .agg(array_sort(flatten(collect_list("positions"))).as("positions"),
+        sum("tf").as("tf"))
+      .select(col("term"), col(idCol), col("positions"), col("tf"))
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").parquet(tmp)
+    val dst = masses(tmp)
+    require(dst == src,
+      s"maintainPositionalStore: compaction of $indexDir changed the token/" +
+        s"position mass ($src -> $dst) — not swapping in")
+    copyCommitMarkers(spark, indexDir, tmp)
+    IndexOps.swapDirs(spark, indexDir, tmp)
+    val dlDir = dlSidecarDir(indexDir)
+    val (dlFs, dlP) = fsPath(spark, dlDir)
+    if (hasDataFiles(dlFs, dlP)) {
+      val dlTmp = dlDir + ".compact.tmp"
+      dlFs.delete(new org.apache.hadoop.fs.Path(dlTmp), true)
+      val srcDl = spark.read.parquet(dlDir)
+        .agg(count(lit(1)), coalesce(sum("__dl"), lit(0L))).head()
+      spark.read.parquet(dlDir)
+        .groupBy(idCol).agg(sum("__dl").as("__dl"))
+        .withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite").parquet(dlTmp)
+      val dstDl = spark.read.parquet(dlTmp)
+        .agg(count(lit(1)), coalesce(sum("__dl"), lit(0L))).head()
+      require(dstDl.getLong(0) == srcDl.getLong(0) &&
+        dstDl.getLong(1) == srcDl.getLong(1),
+        s"maintainPositionalStore: dl compaction of $dlDir changed the row " +
+          s"count or length mass — not swapping in")
+      IndexOps.swapDirs(spark, dlDir, dlTmp)
+    }
+  }
+
   /** Post-commit postings compaction: merge the per-batch delta files to
     * one row per (term, id) with tf summed (batch_id −1). The same
     * uncommitted-delta guard as [[maintainFreqStore]]: a failpoint-1

@@ -181,6 +181,25 @@ class GraftExtensionsSpec extends SparkSpec {
       graft.operators.Temporal.funnel(
         spark.read.parquet(eventsDir), "user_id", "ts", "step",
         Seq("view", "buy")).collect().toSet)
+    // as-of TVF: two path-named relations, defaults + the nearest dial
+    val quotesDir = java.nio.file.Files.createTempDirectory("tvf-quotes").toString
+    Seq((1L, 100L, 10.0), (1L, 200L, 20.0), (2L, 150L, 15.0))
+      .toDF("key", "ts", "px").write.mode("overwrite").parquet(quotesDir)
+    val tradesDir = java.nio.file.Files.createTempDirectory("tvf-trades").toString
+    Seq((1L, 150L), (1L, 250L), (2L, 100L)).toDF("key", "ts")
+      .write.mode("overwrite").parquet(tradesDir)
+    assert(spark.sql(
+      s"SELECT * FROM graft_asof('$tradesDir', '$quotesDir', 'key', 'ts', 'ts', 'px')")
+      .collect().toSet ==
+      graft.operators.Temporal.asOfJoin(
+        spark.read.parquet(tradesDir), spark.read.parquet(quotesDir),
+        Seq("key"), "ts", "ts", Seq("px")).collect().toSet)
+    assert(spark.sql(
+      s"SELECT * FROM graft_asof('$tradesDir', '$quotesDir', 'key', 'ts', 'ts', 'px', 'nearest')")
+      .collect().toSet ==
+      graft.operators.Temporal.asOfJoin(
+        spark.read.parquet(tradesDir), spark.read.parquet(quotesDir),
+        Seq("key"), "ts", "ts", Seq("px"), direction = "nearest").collect().toSet)
     // a non-constant argument is rejected loudly
     val e = intercept[Exception](spark.sql(
       s"SELECT * FROM graft_search_topk('$corpusDir', 'doc_id', 'text', lower(rand()), 10)")

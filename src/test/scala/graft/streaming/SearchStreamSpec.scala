@@ -215,6 +215,68 @@ class SearchStreamSpec extends SparkSpec {
     assert(storePostings(ix) == before ++ Map(("red", 4L) -> 1L))
   }
 
+  private def runPos(df: org.apache.spark.sql.DataFrame, id: Long,
+      indexDir: String, compactAt: Int = 0,
+      failAfter: Int = Int.MaxValue): Unit =
+    StreamingIngest.positionalIndexBatch(df, id, indexDir, "doc_id", "text",
+      compactAt, failAfterStep = failAfter)
+
+  test("positional loop: ONE store serves frequency AND positional readers, equal to the direct operators") {
+    val ix = tmp("si-pos")
+    val b0 = Seq((1L, "red x x x blue"), (2L, "blue red")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "red x red blue x blue"), (4L, "red only here"))
+      .toDF("doc_id", "text")
+    runPos(b0, 0L, ix); runPos(b1, 1L, ix)
+    val union = b0.unionByName(b1)
+    val store = spark.read.parquet(ix)
+    // single store law #1: positional readers ≡ direct operators
+    assert(TextSearch.searchStoreProximity(store, "doc_id", "red", "blue", 4L, 10)
+      .as[(Long, Long)].collect().toSeq ==
+      TextSearch.proximityTopK(union, "doc_id", "text", "red", "blue", 4L, 10)
+        .as[(Long, Long)].collect().toSeq)
+    assert(TextSearch.searchStorePhrase(store, "doc_id", Seq("red", "blue"), 10)
+      .as[(Long, Long)].collect().toSeq == Seq((3L, 1L)))
+    // single store law #2: the frequency readers ignore positions and
+    // agree with the direct operators (dl sidecar carries BM25 lengths)
+    assert(TextSearch.searchStoreTopK(store, "doc_id", Seq("red", "blue"), 10)
+      .as[(Long, Long)].collect().toSeq ==
+      TextSearch.searchTopK(union, "doc_id", "text", Seq("red", "blue"), 10)
+        .as[(Long, Long)].collect().toSeq)
+    assert(StreamingIngest.searchIndexTopKBm25(spark, ix, "doc_id",
+        Seq("red", "blue"), 10).as[(Long, Long)].collect().toSeq ==
+      TextSearch.searchTopKBm25(union, "doc_id", "text",
+        Seq("red", "blue"), 10).as[(Long, Long)].collect().toSeq)
+  }
+
+  test("positional loop: failpoint replay converges; compaction folds positions, markers survive") {
+    val ix = tmp("si-pos-replay")
+    runPos(Seq((1L, "one two one")).toDF("doc_id", "text"), 0L, ix)
+    val b1 = Seq((2L, "two three two two")).toDF("doc_id", "text")
+    intercept[IllegalStateException] { runPos(b1, 1L, ix, failAfter = 1) }
+    intercept[IllegalStateException] { runPos(b1, 1L, ix, failAfter = 2) }
+    runPos(b1, 1L, ix)
+    def posMap() = spark.read.parquet(ix)
+      .select("term", "doc_id", "positions", "tf")
+      .as[(String, Long, Seq[Int], Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val want = Map(
+      ("one", 1L) -> ((Seq(0, 2), 2L)), ("two", 1L) -> ((Seq(1), 1L)),
+      ("two", 2L) -> ((Seq(0, 2, 3), 3L)), ("three", 2L) -> ((Seq(1), 1L)))
+    assert(posMap() == want)
+    // compaction triggered by a third batch: folds to −1, preserves the
+    // position mass, and the markers survive → whole-query replays no-op
+    runPos(Seq((3L, "four")).toDF("doc_id", "text"), 2L, ix, compactAt = 2)
+    val compacted = spark.read.parquet(ix)
+    assert(compacted.select("batch_id").distinct().as[Long].collect().toSet
+      .subsetOf(Set(-1L, 2L)))
+    runPos(Seq((1L, "one two one")).toDF("doc_id", "text"), 0L, ix, compactAt = 2)
+    runPos(b1, 1L, ix, compactAt = 2)
+    assert(posMap() == want ++ Map(("four", 3L) -> ((Seq(0), 1L))))
+    // the dl sidecar rode along: corpus-exact lengths after compaction
+    assert(StreamingIngest.searchIndexDocLengths(spark, ix, "doc_id")
+      .get.as[(Long, Long)].collect().toMap == Map(1L -> 3L, 2L -> 4L, 3L -> 1L))
+  }
+
   test("the real stream: AvailableNow drains build the index exactly once") {
     val drop = tmp("si-drop"); val ix = tmp("si-drain"); val ckpt = tmp("si-ckpt")
     val schema = org.apache.spark.sql.types.StructType(Seq(
