@@ -7,15 +7,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{AudioHeader, FloatDotProduct, ImageHeader, IntraDupPositions, LshBuckets, MinHashSig, SimHash60, TokenModeCount, TokenShingles, TokenWindowHashes, TopKByScore, VideoHeader}
 
 /** Session extension entry point: registers the engine's native
-  * expressions with the SQL function registry, so `spark.sql` users get
-  * them without touching the Scala API. Activate with
-  * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  * expressions with the SQL function registry AND the operator
+  * families' TABLE-valued functions with the table-function registry,
+  * so `spark.sql` users get both without touching the Scala API.
+  * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`.
   *
   * This is the engine's integration rung for custom Catalyst surface —
-  * today one scalar expression; a custom Rule/Strategy would be injected
-  * from the same place if an operator ever outgrew what the DataFrame
-  * primitives express (none has: every graft operator is a composition
-  * of built-ins + this expression).
+  * a dozen codegen'd scalar/agg expressions plus TVFs whose builders
+  * return the LOGICAL PLAN of the corresponding Scala composition; a
+  * custom Rule/Strategy would be injected from the same place if an
+  * operator ever outgrew what the DataFrame primitives express (none
+  * has: every graft operator is a composition of built-ins + these
+  * expressions).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 

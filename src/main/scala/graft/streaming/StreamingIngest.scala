@@ -1252,25 +1252,7 @@ object StreamingIngest {
         s"position mass ($src -> $dst) — not swapping in")
     copyCommitMarkers(spark, indexDir, tmp)
     IndexOps.swapDirs(spark, indexDir, tmp)
-    val dlDir = dlSidecarDir(indexDir)
-    val (dlFs, dlP) = fsPath(spark, dlDir)
-    if (hasDataFiles(dlFs, dlP)) {
-      val dlTmp = dlDir + ".compact.tmp"
-      dlFs.delete(new org.apache.hadoop.fs.Path(dlTmp), true)
-      val srcDl = spark.read.parquet(dlDir)
-        .agg(count(lit(1)), coalesce(sum("__dl"), lit(0L))).head()
-      spark.read.parquet(dlDir)
-        .groupBy(idCol).agg(sum("__dl").as("__dl"))
-        .withColumn("batch_id", lit(-1L))
-        .write.mode("overwrite").parquet(dlTmp)
-      val dstDl = spark.read.parquet(dlTmp)
-        .agg(count(lit(1)), coalesce(sum("__dl"), lit(0L))).head()
-      require(dstDl.getLong(0) == srcDl.getLong(0) &&
-        dstDl.getLong(1) == srcDl.getLong(1),
-        s"maintainPositionalStore: dl compaction of $dlDir changed the row " +
-          s"count or length mass — not swapping in")
-      IndexOps.swapDirs(spark, dlDir, dlTmp)
-    }
+    compactDlSidecar(spark, indexDir, idCol, "maintainPositionalStore")
   }
 
   /** Post-commit postings compaction: merge the per-batch delta files to
@@ -1317,29 +1299,34 @@ object StreamingIngest {
     // by recoverSwap, the live dir is untouched until the rename).
     copyCommitMarkers(spark, indexDir, tmp)
     IndexOps.swapDirs(spark, indexDir, tmp)
-    // the doc-length sidecar compacts alongside: one row per id (ids are
-    // unique across batches, so sum() is the identity merge — same
-    // defensive shape as the postings fold), batch_id −1, mass- AND
-    // row-count-checked before its own staged swap
+    compactDlSidecar(spark, indexDir, idCol, "maintainPostingsStore")
+  }
+
+  /** Fold a store's doc-length sidecar to batch_id −1 (one row per id —
+    * unique-id contract makes sum() the identity merge), row-count AND
+    * length-mass checked before the staged swap. Shared by both index
+    * loops' compactions. */
+  private def compactDlSidecar(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String, caller: String): Unit = {
+    import graft.operators.IndexOps
     val dlDir = dlSidecarDir(indexDir)
     val (dlFs, dlP) = fsPath(spark, dlDir)
-    if (hasDataFiles(dlFs, dlP)) {
-      val dlTmp = dlDir + ".compact.tmp"
-      dlFs.delete(new org.apache.hadoop.fs.Path(dlTmp), true)
-      val src = spark.read.parquet(dlDir)
-        .agg(count(lit(1)), coalesce(sum("__dl"), lit(0L))).head()
-      spark.read.parquet(dlDir)
-        .groupBy(idCol).agg(sum("__dl").as("__dl"))
-        .withColumn("batch_id", lit(-1L))
-        .write.mode("overwrite").parquet(dlTmp)
-      val dst = spark.read.parquet(dlTmp)
-        .agg(count(lit(1)), coalesce(sum("__dl"), lit(0L))).head()
-      require(dst.getLong(0) == src.getLong(0) && dst.getLong(1) == src.getLong(1),
-        s"maintainPostingsStore: doc-length compaction of $dlDir changed " +
-          s"the row count or length mass ((${src.getLong(0)}, ${src.getLong(1)}) " +
-          s"-> (${dst.getLong(0)}, ${dst.getLong(1)})) — not swapping in")
-      IndexOps.swapDirs(spark, dlDir, dlTmp)
-    }
+    if (!hasDataFiles(dlFs, dlP)) return
+    val dlTmp = dlDir + ".compact.tmp"
+    dlFs.delete(new org.apache.hadoop.fs.Path(dlTmp), true)
+    val src = spark.read.parquet(dlDir)
+      .agg(count(lit(1)), coalesce(sum("__dl"), lit(0L))).head()
+    spark.read.parquet(dlDir)
+      .groupBy(idCol).agg(sum("__dl").as("__dl"))
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").parquet(dlTmp)
+    val dst = spark.read.parquet(dlTmp)
+      .agg(count(lit(1)), coalesce(sum("__dl"), lit(0L))).head()
+    require(dst.getLong(0) == src.getLong(0) && dst.getLong(1) == src.getLong(1),
+      s"$caller: doc-length compaction of $dlDir changed the row count " +
+        s"or length mass ((${src.getLong(0)}, ${src.getLong(1)}) -> " +
+        s"(${dst.getLong(0)}, ${dst.getLong(1)})) — not swapping in")
+    IndexOps.swapDirs(spark, dlDir, dlTmp)
   }
 
   /** The BM25 doc-length sidecar of a search-index store: a skinny
