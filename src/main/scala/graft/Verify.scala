@@ -62,8 +62,12 @@ object Verify {
         sys.exit(2)
     }
     // a filter naming a nonexistent query must FAIL, not silently verify
-    // nothing — filterKeys would drop it and the dev loop reads green
+    // nothing — filterKeys would drop it and the dev loop reads green;
+    // same for a filter that is EMPTY after trimming (",", "$EMPTY_VAR")
     only.foreach { f =>
+      require(f.nonEmpty,
+        "query filter is empty after trimming — verifying zero queries " +
+          "would read green; omit the argument to verify everything")
       val unknown = f -- SparkEntry.queries.keySet
       require(unknown.isEmpty, "unknown queries in filter: " +
         unknown.toSeq.sorted.mkString(", "))

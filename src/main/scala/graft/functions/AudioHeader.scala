@@ -87,25 +87,28 @@ object AudioHeader {
 
   private def parseWav(b: Array[Byte]): InternalRow = {
     val n = b.length
-    var pos = 12
+    // pos walks in LONG: a declared u32 chunk size near 2^31 would wrap
+    // Int arithmetic to a negative index and crash the walk instead of
+    // quarantining (the r16 WavPcmFeatures review finding — same walk)
+    var pos = 12L
     var sr = -1; var ch = -1; var bits = -1; var blockAlign = -1
     var dataBytes = -1L
     while (pos + 7 < n && (sr < 0 || dataBytes < 0)) {
-      val size = le32(b, pos + 4)
-      if (size < 0 || size > Int.MaxValue) return fmtOnly("wav")
-      if (ascii4(b, pos, "fmt ")) {
+      val p = pos.toInt
+      val size = le32(b, p + 4) // u32 as Long — never negative
+      if (ascii4(b, p, "fmt ")) {
         // format(2) channels(2) sampleRate(4) byteRate(4) align(2) bits(2)
         if (pos + 8 + 16 > n || size < 16) return fmtOnly("wav")
-        ch = le16(b, pos + 10)
-        sr = le32(b, pos + 12).toInt
-        blockAlign = le16(b, pos + 20)
-        bits = le16(b, pos + 22)
-      } else if (ascii4(b, pos, "data")) {
+        ch = le16(b, p + 10)
+        sr = le32(b, p + 12).toInt
+        blockAlign = le16(b, p + 20)
+        bits = le16(b, p + 22)
+      } else if (ascii4(b, p, "data")) {
         // the DECLARED size: the metadata contract holds even when the
         // sample payload itself is not shipped alongside the header
         dataBytes = size
       }
-      pos += 8 + size.toInt + (size.toInt & 1) // RIFF pads odd payloads
+      pos += 8L + size + (size & 1L) // RIFF pads odd payloads
     }
     if (sr <= 0 || ch <= 0) return fmtOnly("wav")
     val samples =

@@ -40,11 +40,17 @@ object BmpPixels {
     val compression = le32(b, 30)
     if (dibSize < 40 || w <= 0 || hRaw == 0 || bits != 24 || compression != 0)
       return None
-    val h = math.abs(hRaw)
-    val stride = ((w * 3 + 3) / 4) * 4
-    // full pixel payload must be present — this is a decoder
-    if (dataAt < 14 + dibSize || dataAt.toLong + h.toLong * stride > n) return None
-    Some((dataAt, w, h, stride, hRaw < 0))
+    // LONG geometry throughout: a crafted width >= ~716M wraps Int
+    // stride arithmetic negative and would defeat the bounds check
+    // below (review finding — adversarial-bytes contract); math.abs of
+    // Int.MinValue stays negative, so |h| is taken in Long too
+    val h = math.abs(hRaw.toLong)
+    val stride = ((w.toLong * 3 + 3) / 4) * 4
+    // full pixel payload must be present — this is a decoder. The Long
+    // product check also bounds w, h and stride to the buffer size, so
+    // the Int narrowing below is exact.
+    if (dataAt < 14 + dibSize || dataAt.toLong + h * stride > n) return None
+    Some((dataAt, w, h.toInt, stride.toInt, hRaw < 0))
   }
 
   /** Byte offset of image pixel (x, y) in TOP-DOWN image coordinates
@@ -129,8 +135,11 @@ object BmpPixels {
   * dominates ([[AudioHeader]] rationale). */
 case class BmpGridFeatures(child: Expression, gx: Int, gy: Int)
     extends UnaryExpression with CodegenFallback {
-  require(gx >= 1 && gy >= 1,
-    s"bmp_grid_features: grid must be >= 1x1, got ${gx}x$gy")
+  // the 4096 cap mirrors BmpResizeNearest: the per-ROW output array is
+  // gx·gy·3 longs, so an unbounded grid is a per-row multi-GB allocation
+  // (or an Int-overflowed negative array size) — reject at construction
+  require(gx >= 1 && gy >= 1 && gx <= 4096 && gy <= 4096,
+    s"bmp_grid_features: grid must be 1..4096 per side, got ${gx}x$gy")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess

@@ -121,9 +121,12 @@ object ImageHeader {
       if (n < 30) return fmtOnly("bmp")
       val w = le16(b, 18) | (le16(b, 20) << 16)
       val hRaw = le16(b, 22) | (le16(b, 24) << 16)
-      val h = math.abs(hRaw)
+      // Long abs: math.abs(Int.MinValue) stays negative — a crafted
+      // 0x80000000 height would read back as -2^31 in a |h| field
+      val hAbs = math.abs(hRaw.toLong)
       val bits = le16(b, 28)
-      if (w <= 0 || hRaw == 0) return fmtOnly("bmp")
+      if (w <= 0 || hRaw == 0 || hAbs > Int.MaxValue) return fmtOnly("bmp")
+      val h = hAbs.toInt
       val channels: Any =
         if (bits > 0 && bits % 8 == 0) Int.box(bits / 8) else null
       InternalRow(UTF8String.fromString("bmp"), w, h, channels, null)

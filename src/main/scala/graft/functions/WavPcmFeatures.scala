@@ -72,23 +72,26 @@ object WavPcmFeatures {
     // chunk walk: fmt (PCM geometry) + data (payload offset/size). Both
     // must appear, and unlike the header reader the data payload must
     // actually be in the buffer — this expression reads the samples.
-    var pos = 12
+    // pos walks in LONG: a declared u32 chunk size near 2^31 would wrap
+    // Int arithmetic to a negative index and crash instead of nulling
+    // (adversarial-bytes contract: this expression is SQL-exposed)
+    var pos = 12L
     var fmtCode = -1; var ch = -1; var bits = -1; var blockAlign = -1
-    var dataAt = -1; var dataBytes = -1L
+    var dataAt = -1L; var dataBytes = -1L
     while (pos + 7 < n && (fmtCode < 0 || dataAt < 0)) {
-      val size = le32(b, pos + 4)
-      if (size < 0 || size > Int.MaxValue) return null
-      if (ascii4(b, pos, "fmt ")) {
+      val p = pos.toInt
+      val size = le32(b, p + 4) // u32 as Long — never negative
+      if (ascii4(b, p, "fmt ")) {
         if (pos + 8 + 16 > n || size < 16) return null
-        fmtCode = le16(b, pos + 8)
-        ch = le16(b, pos + 10)
-        blockAlign = le16(b, pos + 20)
-        bits = le16(b, pos + 22)
-      } else if (ascii4(b, pos, "data")) {
+        fmtCode = le16(b, p + 8)
+        ch = le16(b, p + 10)
+        blockAlign = le16(b, p + 20)
+        bits = le16(b, p + 22)
+      } else if (ascii4(b, p, "data")) {
         dataAt = pos + 8
         dataBytes = size
       }
-      pos += 8 + size.toInt + (size.toInt & 1) // RIFF pads odd payloads
+      pos += 8L + size + (size & 1L) // RIFF pads odd payloads
     }
     if (fmtCode != 1 || ch < 1 || (bits != 8 && bits != 16)) return null
     if (blockAlign != ch * bits / 8) return null
@@ -99,7 +102,8 @@ object WavPcmFeatures {
     while (j < frames) {
       var v = 0L
       var c = 0
-      var at = dataAt + j * blockAlign
+      // bounded by the payload check above: dataAt + dataBytes <= n
+      var at = (dataAt + j.toLong * blockAlign).toInt
       while (c < ch) {
         v += (if (bits == 8) u8(b, at) - 128 else le16(b, at).toShort.toLong)
         at += bits / 8

@@ -81,18 +81,10 @@ object TextSearch {
     require(a != b, s"searchStoreProximity needs two DIFFERENT terms, got '$a' twice")
     require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
     require(k > 0, s"k must be positive, got $k")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy("pos")
-    store.filter(col("term").isin(a, b))
-      .select(col(idCol), col("term"), explode(col("positions")).as("pos"))
-      .withColumn("__pt", lag("term", 1).over(w))
-      .withColumn("__pp", lag("pos", 1).over(w))
-      .filter(col("__pt").isNotNull && col("__pt") =!= col("term"))
-      .groupBy(col(idCol))
-      .agg(min(col("pos") - col("__pp")).cast("long").as("min_distance"))
-      .filter(col("min_distance") <= maxDistance)
-      .orderBy(col("min_distance"), col(idCol))
-      .limit(k)
+    minDistanceTopK(
+      store.filter(col("term").isin(a, b))
+        .select(col(idCol), col("term"), explode(col("positions")).as("pos")),
+      idCol, maxDistance, k)
   }
 
   /** Exact-phrase search against a PERSISTED [[positionalPostings]]
@@ -429,11 +421,24 @@ object TextSearch {
       s"query terms must be lowercase alphanumeric runs, got ($termA, $termB)")
     require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
     require(k > 0, s"k must be positive, got $k")
+    minDistanceTopK(
+      df.select(col(idCol),
+          posexplode(searchTerms(col(textCol))).as(Seq("pos", "term")))
+        .filter(col("term").isin(a, b)),
+      idCol, maxDistance, k)
+  }
+
+  /** Shared min-distance tail over an `(idCol, term, pos)` MATCHED-
+    * positions relation: one window pass (adjacent opposite-label
+    * pairs carry the minimum), min per doc, window cut, heap top-k.
+    * [[proximityTopK]] and [[searchStoreProximity]] both route here,
+    * so the direct ≡ store law is structural, not parallel-maintained
+    * code. */
+  private def minDistanceTopK(positions: DataFrame, idCol: String,
+      maxDistance: Long, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("pos")
-    df.select(col(idCol),
-        posexplode(searchTerms(col(textCol))).as(Seq("pos", "term")))
-      .filter(col("term").isin(a, b))
+    positions
       .withColumn("__pt", lag("term", 1).over(w))
       .withColumn("__pp", lag("pos", 1).over(w))
       .filter(col("__pt").isNotNull && col("__pt") =!= col("term"))

@@ -1312,6 +1312,17 @@ object StreamingIngest {
     val dlDir = dlSidecarDir(indexDir)
     val (dlFs, dlP) = fsPath(spark, dlDir)
     if (!hasDataFiles(dlFs, dlP)) return
+    // the sidecar needs its OWN uncommitted-batch guard: the caller's
+    // pending check is postings-derived and cannot see a batch whose
+    // documents were all zero-token (dl rows, no postings rows) — a
+    // failpoint-2 crash of such a batch would otherwise fold its
+    // uncommitted dl rows into −1, its replay would re-publish them,
+    // and every doc of the batch would count twice (review finding)
+    val pendingDl = spark.read.parquet(dlDir)
+      .filter(col("batch_id") >= 0L).select("batch_id").distinct()
+      .collect().map(_.getLong(0))
+      .filterNot(isCommitted(spark, indexDir, _))
+    if (pendingDl.nonEmpty) return
     val dlTmp = dlDir + ".compact.tmp"
     dlFs.delete(new org.apache.hadoop.fs.Path(dlTmp), true)
     val src = spark.read.parquet(dlDir)
@@ -1347,10 +1358,43 @@ object StreamingIngest {
   def searchIndexDocLengths(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, idCol: String): Option[DataFrame] = {
     val (fs, p) = fsPath(spark, dlSidecarDir(indexDir))
-    if (hasDataFiles(fs, p))
-      Some(spark.read.parquet(dlSidecarDir(indexDir))
-        .select(col(idCol), col("__dl")))
-    else None
+    if (!hasDataFiles(fs, p)) return None
+    // completeness guard: a sidecar that POSTDATES the store (batches
+    // ingested before the sidecar existed, or a partially lost __dl
+    // dir) would silently DROP those documents from the BM25 ranking —
+    // BM25's dl join is inner — and undercount n_docs. The sidecar is
+    // only trusted when it covers every batch the store holds. Batch
+    // ids come from the protocol's batch-keyed FILE NAMES (b<id>-*;
+    // compacted part-* files are the −1 generation), so the guard is a
+    // driver-side listing — never a store-wide column scan per query.
+    // An incomplete sidecar falls back to the full-store derivation
+    // (correct, just unsided).
+    val storeBatches = batchIdsFromListing(spark, indexDir)
+    val dlBatches = batchIdsFromListing(spark, dlSidecarDir(indexDir))
+    if (!storeBatches.subsetOf(dlBatches)) None
+    else Some(spark.read.parquet(dlSidecarDir(indexDir))
+      .select(col(idCol), col("__dl")))
+  }
+
+  /** The batch generations a store directory holds, derived from the
+    * publish protocol's deterministic file names: `b<id>-*` data files
+    * are that batch's generation, anything else (Spark-written
+    * `part-*` from a compaction rewrite) is the folded −1 generation.
+    * Driver-side listing, O(files). */
+  private def batchIdsFromListing(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Set[Long] = {
+    val (fs, p) = fsPath(spark, dir)
+    if (!fs.exists(p)) return Set.empty
+    val Named = "^b(\\d+)-.*".r
+    fs.listStatus(p)
+      .filter(st => !st.isDirectory &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName match {
+        case Named(id) => id.toLong
+        case _ => -1L
+      })
+      .toSet
   }
 
   /** Store-BM25 search over a persisted index DIRECTORY — the default

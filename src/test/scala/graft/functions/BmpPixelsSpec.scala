@@ -69,6 +69,34 @@ class BmpPixelsSpec extends SparkSpec {
     assert(feats(Array[Byte](1, 2), 1, 1).isEmpty)
   }
 
+  test("adversarial headers null out instead of crashing or returning garbage") {
+    // crafted width 805306368: Int stride arithmetic would wrap negative
+    // and defeat the payload bounds check (then AIOOBE / a 8e8 iteration
+    // loop); Long geometry rejects it as payload-missing
+    def craft(w: Int, h: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le(v: Long, n: Int): Unit =
+        (0 until n).foreach(i => out.write(((v >> (8 * i)) & 0xFF).toInt))
+      out.write('B'); out.write('M'); le(0, 4); le(0, 4); le(54, 4)
+      le(40, 4); le(w & 0xFFFFFFFFL, 4); le(h & 0xFFFFFFFFL, 4)
+      le(1, 2); le(24, 2); le(0, 4); le(0, 4)
+      le(0, 4); le(0, 4); le(0, 4); le(0, 4)
+      out.toByteArray
+    }
+    assert(feats(craft(805306368, 1), 1, 1).isEmpty)
+    // height 0x80000000: |Int.MinValue| is negative in Int — must be
+    // null, never an all-zero "successful" decode of a garbage header
+    assert(feats(craft(1, Int.MinValue), 1, 1).isEmpty)
+    // the header reader rejects the same height instead of reporting -2^31
+    assert(Seq(Tuple1(craft(1, Int.MinValue))).toDF("b")
+      .select(Multimodal.imageHeader(col("b")).getField("height").as("h"))
+      .as[Option[Int]].head().isEmpty)
+    // grid caps are construction-time contracts
+    intercept[IllegalArgumentException] {
+      Multimodal.bmpGridFeatures(col("x"), 46341, 46341)
+    }
+  }
+
   test("resizeNearest: picks ⌊x·w/outW⌋ pixels, emits a decodable 24-bit BMP") {
     // 1x1 resize keeps the top-left pixel (⌊0·2/1⌋ = 0)
     val tiny = Seq(Tuple1(bmp(px2x2))).toDF("b")

@@ -101,6 +101,38 @@ class WavPcmFeaturesSpec extends SparkSpec {
       .as[Option[Seq[Long]]].head().isEmpty)
   }
 
+  test("adversarial declared chunk sizes near 2^31 null out instead of crashing the walk") {
+    // 'RIFF' + size + 'WAVE' + 'JUNK' chunk declaring ~Int.MaxValue
+    // bytes: an Int chunk walk would wrap pos negative and read b(-2^31)
+    val out = new ByteArrayOutputStream()
+    def le(v: Long, n: Int): Unit = {
+      val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v)
+      out.write(bb.array(), 0, n)
+    }
+    out.write("RIFF".getBytes("ISO-8859-1")); le(0, 4)
+    out.write("WAVE".getBytes("ISO-8859-1"))
+    out.write("JUNK".getBytes("ISO-8859-1")); le(0x7FFFFFF0L, 4)
+    val bytes = out.toByteArray
+    assert(decode(bytes, 2).isEmpty)
+    // the header reader shares the walk — must also survive
+    assert(Seq(Tuple1(bytes)).toDF("b")
+      .select(Multimodal.audioHeader(col("b")).getField("sample_rate").as("sr"))
+      .as[Option[Int]].head().isEmpty)
+    // a declared-huge DATA size with a real fmt chunk: decoder nulls
+    // (payload missing); header reader keeps reporting the metadata
+    val out2 = new ByteArrayOutputStream()
+    def le2(v: Long, n: Int): Unit = {
+      val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v)
+      out2.write(bb.array(), 0, n)
+    }
+    out2.write("RIFF".getBytes("ISO-8859-1")); le2(0, 4)
+    out2.write("WAVE".getBytes("ISO-8859-1"))
+    out2.write("fmt ".getBytes("ISO-8859-1")); le2(16, 4)
+    le2(1, 2); le2(1, 2); le2(8000, 4); le2(16000, 4); le2(2, 2); le2(16, 2)
+    out2.write("data".getBytes("ISO-8859-1")); le2(0xFFFFFFF0L, 4)
+    assert(decode(out2.toByteArray, 2).isEmpty)
+  }
+
   test("agrees with the header reader's geometry on the same payload") {
     val bytes = wav(16, 2, Seq(1, 2, 3, 4, 5, 6))
     val row = Seq(Tuple1(bytes)).toDF("b").select(

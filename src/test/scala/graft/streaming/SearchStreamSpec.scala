@@ -277,6 +277,59 @@ class SearchStreamSpec extends SparkSpec {
       .get.as[(Long, Long)].collect().toMap == Map(1L -> 3L, 2L -> 4L, 3L -> 1L))
   }
 
+  test("doc-length sidecar guards: incomplete sidecar falls back; zero-token-batch crash never double-counts") {
+    // 1. completeness: a sidecar that postdates the store (pre-sidecar
+    // batches) must NOT be trusted — BM25's dl join is inner and would
+    // silently drop the uncovered documents from the ranking
+    val ix = tmp("si-dl-guard")
+    val b0 = Seq((1L, "alpha beta"), (2L, "alpha")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "beta beta alpha")).toDF("doc_id", "text")
+    run(b0, 0L, ix); run(b1, 1L, ix)
+    // simulate a pre-sidecar batch: strip batch 0 from the sidecar
+    val dlDir = StreamingIngest.dlSidecarDir(ix)
+    val partial = spark.read.parquet(dlDir)
+      .filter(col("batch_id") =!= 0L).collect()
+    val schema = spark.read.parquet(dlDir).schema
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(partial.toIndexedSeq), schema)
+      .write.mode("overwrite").parquet(dlDir + ".rewrite")
+    val fs = new org.apache.hadoop.fs.Path(dlDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dlDir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(dlDir + ".rewrite"),
+      new org.apache.hadoop.fs.Path(dlDir))
+    assert(StreamingIngest.searchIndexDocLengths(spark, ix, "doc_id").isEmpty,
+      "an incomplete sidecar must not be served")
+    // the dir reader still answers correctly via the fallback
+    val viaDir = StreamingIngest.searchIndexTopKBm25(
+      spark, ix, "doc_id", Seq("alpha"), 10)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(viaDir == Set(1L, 2L, 3L))
+
+    // 2. a batch whose documents are ALL zero-token publishes dl rows
+    // but no postings rows; a failpoint-2 crash + compaction must not
+    // fold its uncommitted dl rows (they would double on replay)
+    val ix2 = tmp("si-dl-zerotok")
+    run(Seq((1L, "one two")).toDF("doc_id", "text"), 0L, ix2)
+    val zeroTok = Seq((2L, "!!!"), (3L, "???")).toDF("doc_id", "text")
+    intercept[IllegalStateException] {
+      StreamingIngest.searchIndexBatch(zeroTok, 1L, ix2, "doc_id", "text",
+        compactAtFiles = 0, failAfterStep = 2)
+    }
+    // compaction triggered by the next committed batch: the postings-
+    // derived pending check cannot see batch 1 — the sidecar's own
+    // guard must skip the dl fold
+    run(Seq((4L, "three")).toDF("doc_id", "text"), 2L, ix2, compactAt = 1)
+    // replay of the crashed batch converges (overwrite, not append)
+    StreamingIngest.searchIndexBatch(zeroTok, 1L, ix2, "doc_id", "text",
+      compactAtFiles = 0)
+    val dl = spark.read.parquet(StreamingIngest.dlSidecarDir(ix2))
+      .select("doc_id", "__dl").as[(Long, Long)].collect().toMap
+    assert(dl == Map(1L -> 2L, 2L -> 0L, 3L -> 0L, 4L -> 1L),
+      s"zero-token docs double-counted or lost: $dl")
+    assert(spark.read.parquet(StreamingIngest.dlSidecarDir(ix2)).count() == 4)
+  }
+
   test("the real stream: AvailableNow drains build the index exactly once") {
     val drop = tmp("si-drop"); val ix = tmp("si-drain"); val ckpt = tmp("si-ckpt")
     val schema = org.apache.spark.sql.types.StructType(Seq(
