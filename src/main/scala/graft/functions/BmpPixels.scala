@@ -48,8 +48,11 @@ object BmpPixels {
     val stride = ((w.toLong * 3 + 3) / 4) * 4
     // full pixel payload must be present — this is a decoder. The Long
     // product check also bounds w, h and stride to the buffer size, so
-    // the Int narrowing below is exact.
-    if (dataAt < 14 + dibSize || dataAt.toLong + h * stride > n) return None
+    // the Int narrowing below is exact. The header check runs in Long
+    // too: a crafted dibSize near 2^31 wraps `14 + dibSize` negative in
+    // Int, admitting a negative pixel-data offset (advisor finding).
+    if (dataAt < 0 || dataAt.toLong < 14L + dibSize ||
+        dataAt.toLong + h * stride > n) return None
     Some((dataAt, w, h.toInt, stride.toInt, hRaw < 0))
   }
 

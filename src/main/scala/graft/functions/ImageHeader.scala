@@ -117,8 +117,14 @@ object ImageHeader {
       full("gif", le16(b, 6), le16(b, 8), 3)
     } else if (n >= 2 && u8(b, 0) == 'B' && u8(b, 1) == 'M') {
       // BMP (Windows BITMAPINFOHEADER): LE dims at 18/22, height may be
-      // negative (top-down); channels from bitCount when byte-aligned
+      // negative (top-down); channels from bitCount when byte-aligned.
+      // The INFOHEADER offsets are only meaningful when the DIB header
+      // size says ≥40: a legacy BITMAPCOREHEADER (dibSize=12, u16 dims
+      // at 18/20, bitCount at 24) would read fused garbage through them
+      // (advisor finding — consistent with BmpPixels.geometry).
       if (n < 30) return fmtOnly("bmp")
+      val dibSize = le16(b, 14) | (le16(b, 16) << 16)
+      if (dibSize < 40) return fmtOnly("bmp")
       val w = le16(b, 18) | (le16(b, 20) << 16)
       val hRaw = le16(b, 22) | (le16(b, 24) << 16)
       // Long abs: math.abs(Int.MinValue) stays negative — a crafted

@@ -260,7 +260,10 @@ object Graph {
     val eW = e.join(e.groupBy("src").agg(sum("w").as("wsum")), "src")
       .repartition(col("src")).localCheckpoint(true)
     val nodes = nodesOf(e.select("src", "dst")).localCheckpoint(true)
-    val g = e.agg(max(col("w").cast("long")), count(lit(1))).head()
+    // guard scans the already-checkpointed eW (row-identical to e: the
+    // wsum join is inner on e's own src groups) instead of re-running
+    // the edge plan a second time (advisor finding)
+    val g = eW.agg(max(col("w").cast("long")), count(lit(1))).head()
     val wMax = if (g.isNullAt(0)) 0L else g.getLong(0)
     val nBound = 2L * g.getLong(1) // every node names an edge endpoint
     require(BigInt(nBound) * 1000000L * wMax < BigInt(2).pow(63),

@@ -73,17 +73,23 @@ class BmpPixelsSpec extends SparkSpec {
     // crafted width 805306368: Int stride arithmetic would wrap negative
     // and defeat the payload bounds check (then AIOOBE / a 8e8 iteration
     // loop); Long geometry rejects it as payload-missing
-    def craft(w: Int, h: Int): Array[Byte] = {
+    def craft(w: Int, h: Int, dibSize: Int = 40, dataAt: Int = 54): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       def le(v: Long, n: Int): Unit =
         (0 until n).foreach(i => out.write(((v >> (8 * i)) & 0xFF).toInt))
-      out.write('B'); out.write('M'); le(0, 4); le(0, 4); le(54, 4)
-      le(40, 4); le(w & 0xFFFFFFFFL, 4); le(h & 0xFFFFFFFFL, 4)
+      out.write('B'); out.write('M'); le(0, 4); le(0, 4); le(dataAt & 0xFFFFFFFFL, 4)
+      le(dibSize & 0xFFFFFFFFL, 4); le(w & 0xFFFFFFFFL, 4); le(h & 0xFFFFFFFFL, 4)
       le(1, 2); le(24, 2); le(0, 4); le(0, 4)
       le(0, 4); le(0, 4); le(0, 4); le(0, 4)
       out.toByteArray
     }
     assert(feats(craft(805306368, 1), 1, 1).isEmpty)
+    // crafted dibSize near 2^31: `14 + dibSize` wraps negative in Int,
+    // which would admit a negative pixel-data offset and AIOOBE in the
+    // pixel walk — the header check must run in Long (advisor finding)
+    assert(feats(craft(1, 1, dibSize = 2147483634,
+      dataAt = -8 /* 0xFFFFFFF8 */), 1, 1).isEmpty)
+    assert(feats(craft(1, 1, dataAt = -64), 1, 1).isEmpty)
     // height 0x80000000: |Int.MinValue| is negative in Int — must be
     // null, never an all-zero "successful" decode of a garbage header
     assert(feats(craft(1, Int.MinValue), 1, 1).isEmpty)
@@ -91,6 +97,24 @@ class BmpPixelsSpec extends SparkSpec {
     assert(Seq(Tuple1(craft(1, Int.MinValue))).toDF("b")
       .select(Multimodal.imageHeader(col("b")).getField("height").as("h"))
       .as[Option[Int]].head().isEmpty)
+    // a legacy BITMAPCOREHEADER (dibSize=12: u16 dims at 18/20, bitCount
+    // at 24) must degrade to format-only — the INFOHEADER offsets would
+    // read fused garbage dims (advisor finding)
+    val core = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le(v: Long, n: Int): Unit =
+        (0 until n).foreach(i => out.write(((v >> (8 * i)) & 0xFF).toInt))
+      out.write('B'); out.write('M'); le(34, 4); le(0, 4); le(26, 4)
+      le(12, 4); le(2, 2); le(1, 2); le(1, 2); le(24, 2) // COREHEADER
+      le(0, 8) // one 2px BGR row, padded to 4 bytes
+      out.toByteArray
+    }
+    val coreHdr = Seq(Tuple1(core)).toDF("b")
+      .select(Multimodal.imageHeader(col("b")).as("h"))
+      .select(col("h.format"), col("h.width"), col("h.height"))
+      .as[(String, Option[Int], Option[Int])].head()
+    assert(coreHdr == (("bmp", None, None)))
+    assert(feats(core, 1, 1).isEmpty) // the pixel decoder already rejects it
     // grid caps are construction-time contracts
     intercept[IllegalArgumentException] {
       Multimodal.bmpGridFeatures(col("x"), 46341, 46341)
