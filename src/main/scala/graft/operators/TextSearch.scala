@@ -34,13 +34,99 @@ import org.apache.spark.sql.functions._
   */
 object TextSearch {
 
-  /** Search tokenization contract: lowercase alphanumeric runs. Chosen
-    * over [[graft.functions.TextAnalysis.tokensBpe]] for the index path
-    * because retrieval wants case-folded, punctuation-free terms; RE2-safe
-    * so the oracle's regexp engine agrees match-for-match. */
-  val TermPattern = "[a-z0-9]+"
-  def searchTerms(text: Column): Column =
-    regexp_extract_all(lower(text), lit(TermPattern), lit(0))
+  /** Search tokenization contract — Unicode-aware with CJK bigrams (the
+    * classic public-knowledge CJK indexing scheme: Lucene-style bigram
+    * emission over letter/digit runs). Chosen over
+    * [[graft.functions.TextAnalysis.tokensBpe]] for the index path
+    * because retrieval wants case-folded, punctuation-free terms.
+    *
+    *   1. case-fold: `lower(text)`;
+    *   2. runs: maximal `[\p{L}\p{N}]+` matches, in order — punctuation,
+    *      whitespace and symbols separate tokens;
+    *   3. each run splits into maximal CJK / non-CJK segments
+    *      ([[CjkRanges]]: Han, Hiragana/Katakana letters incl. the
+    *      prolonged-sound mark, Hangul syllables — all BMP LETTER
+    *      codepoints, so Java and RE2 category tables cannot disagree
+    *      about run membership inside the class);
+    *   4. a non-CJK segment IS a token (so Cyrillic/Greek/Arabic/Latin
+    *      words index whole); a CJK segment of n codepoints emits its
+    *      n−1 overlapping BIGRAMS (a lone CJK char emits its unigram) —
+    *      scriptio continua has no spaces to segment on, and bigrams
+    *      are the standard recall/precision compromise.
+    *
+    * Positions are indexes in the emitted stream: consecutive bigrams
+    * overlap by one char, so a CJK phrase is exactly its consecutive-
+    * bigram token sequence and phrase/proximity operators work
+    * unchanged. RE2-safe (`\x{...}` classes, no lookaround) so the
+    * oracle replays the identical stream. CJK-free documents — the
+    * overwhelming case per-partition in most corpora — take a fast path
+    * that is byte-identical to the single regexp_extract_all of the
+    * pre-r17 tokenizer: one cheap per-row character-class rlike is the
+    * only added cost, and plan shapes are unchanged (PlanShapeSpec). */
+  val RunPattern = "[\\p{L}\\p{N}]+"
+
+  /** BMP letter codepoints tokenized as CJK: Hiragana letters, Katakana
+    * letters + prolonged-sound mark (U+30FC, category Lm), CJK Unified
+    * Ideographs (+ Ext A, compatibility), Hangul syllables. Deliberately
+    * EXCLUDES the non-letter codepoints inside those blocks (kana
+    * punctuation, voicing marks) — they never survive step 2, keeping
+    * the class ⊂ `\p{L}` on both regexp engines. */
+  val CjkRanges: String =
+    "\\x{3041}-\\x{3096}\\x{30A1}-\\x{30FA}\\x{30FC}" +
+      "\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}" +
+      "\\x{AC00}-\\x{D7A3}"
+  val CjkClass: String = s"[$CjkRanges]"
+  val SegPattern: String = s"$CjkClass+|[^$CjkRanges]+"
+
+  def searchTerms(text: Column): Column = {
+    val lowered = lower(text)
+    val fast = regexp_extract_all(lowered, lit(RunPattern), lit(0))
+    val toks = flatten(transform(fast, r => {
+      val segs = regexp_extract_all(r, lit(SegPattern), lit(0))
+      flatten(transform(segs, s =>
+        when(length(s) >= 2 && s.rlike(s"^$CjkClass"),
+          transform(sequence(lit(1), length(s) - 1), i => s.substr(i, lit(2))))
+          .otherwise(array(s))))
+    }))
+    when(lowered.rlike(CjkClass), toks).otherwise(fast)
+  }
+
+  /** JVM mirror of [[searchTerms]] — tokenize a human QUERY string into
+    * the exact token stream the index holds (law-tested equal to the
+    * column form in TextSearchSpec). Query-side tokenization is always
+    * driver-side and query-sized, so a JVM mirror is the right tool;
+    * the corpus side stays the codegen-friendly column form. */
+  def searchTermsJvm(text: String): Seq[String] = {
+    val lowered = text.toLowerCase
+    val out = Seq.newBuilder[String]
+    val rm = RunPatternJvm.matcher(lowered)
+    while (rm.find()) {
+      val sm = SegPatternJvm.matcher(rm.group())
+      while (sm.find()) {
+        val s = sm.group()
+        if (s.length >= 2 && CjkHeadJvm.matcher(s).find())
+          (0 until s.length - 1).foreach(i => out += s.substring(i, i + 2))
+        else out += s
+      }
+    }
+    out.result()
+  }
+  private val RunPatternJvm = java.util.regex.Pattern.compile(RunPattern)
+  private val SegPatternJvm = java.util.regex.Pattern.compile(SegPattern)
+  private val CjkHeadJvm = java.util.regex.Pattern.compile(s"^$CjkClass")
+
+  /** A valid operator TERM argument is a single token of the contract:
+    * tokenizing it yields exactly itself (a non-CJK letter/digit run,
+    * or a CJK unigram/bigram). Use [[searchTermsJvm]] to turn a human
+    * query string into valid terms. */
+  def isToken(t: String): Boolean = searchTermsJvm(t) == Seq(t)
+
+  private def requireTokens(terms: Seq[String], op: String): Unit =
+    require(terms.forall(isToken),
+      s"$op: query terms must be single search tokens (a lowercase " +
+        s"letter/digit run without CJK chars, or a CJK unigram/bigram); " +
+        s"tokenize query strings with searchTermsJvm. Got: " +
+        terms.filterNot(isToken).mkString("'", "', '", "'"))
 
   /** Postings relation `(term, <idCol>, tf)` — one row per (term,
     * document) with the in-document occurrence count. The inverted-index
@@ -79,6 +165,7 @@ object TextSearch {
       termA: String, termB: String, maxDistance: Long, k: Int): DataFrame = {
     val (a, b) = (termA.toLowerCase, termB.toLowerCase)
     require(a != b, s"searchStoreProximity needs two DIFFERENT terms, got '$a' twice")
+    requireTokens(Seq(a, b), "searchStoreProximity")
     require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
     require(k > 0, s"k must be positive, got $k")
     minDistanceTopK(
@@ -91,10 +178,13 @@ object TextSearch {
     * store: top-`k` documents by occurrence count of the consecutive
     * SEARCH-token sequence `phrase` (ties → id ascending) — the store
     * twin of [[phraseSearchTopK]], with one semantic difference stated
-    * loudly: the store is built on the SEARCH tokenization (lowercase
-    * alnum runs), so punctuation between words does not break a phrase
-    * here, while [[phraseSearchTopK]] matches the raw whitespace token
-    * stream. An occurrence at token position s is one row per phrase
+    * loudly: the store is built on the SEARCH tokenization ([[searchTerms]]
+    * — Unicode runs, CJK bigrams), so punctuation between words does not
+    * break a phrase here, while [[phraseSearchTopK]] matches the raw
+    * whitespace token stream. A CJK phrase is its consecutive-bigram
+    * token sequence (bigram positions step by one), so pass
+    * `searchTermsJvm(phraseString)` and the construction below matches
+    * the raw character sequence exactly. An occurrence at token position s is one row per phrase
     * offset agreeing on (id, s): positions of term_i shifted by −i,
     * chained through i−1 equi-joins on (id, start) — every side is the
     * MATCHED positions of one term (partition-pruned on a
@@ -105,9 +195,7 @@ object TextSearch {
       phrase: Seq[String], k: Int): DataFrame = {
     val terms = phrase.map(_.toLowerCase)
     require(terms.nonEmpty, "searchStorePhrase needs a non-empty phrase")
-    require(terms.forall(_.matches(TermPattern)),
-      s"phrase tokens must be lowercase alphanumeric runs " +
-        s"(the store tokenization), got $phrase")
+    requireTokens(terms, "searchStorePhrase")
     require(k > 0, s"k must be positive, got $k")
     val starts = terms.zipWithIndex.map { case (t, i) =>
       store.filter(col("term") === t)
@@ -163,8 +251,7 @@ object TextSearch {
     val qTerms = terms.map(_.toLowerCase).distinct
     require(qTerms.nonEmpty, "searchTopK needs at least one term")
     require(k > 0, s"k must be positive, got $k")
-    require(qTerms.forall(_.matches(TermPattern)),
-      s"query terms must be lowercase alphanumeric runs, got $terms")
+    requireTokens(qTerms, "searchTopK")
     val msm = checkedMsm(minShouldMatch, qTerms.size, "searchTopK")
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     // the explicit isNotNull matches the conjunct the scoring join infers
@@ -335,8 +422,7 @@ object TextSearch {
     val msm = checkedMsm(minShouldMatch, qTerms.size, "searchTopKBm25")
     require(qTerms.nonEmpty, "searchTopKBm25 needs at least one term")
     require(k > 0, s"k must be positive, got $k")
-    require(qTerms.forall(_.matches(TermPattern)),
-      s"query terms must be lowercase alphanumeric runs, got $terms")
+    requireTokens(qTerms, "searchTopKBm25")
     require(bPermille >= 0 && bPermille <= 1000,
       s"bPermille must be in [0, 1000], got $bPermille")
     require(k1Permille >= 0, s"k1Permille must be >= 0, got $k1Permille")
@@ -417,8 +503,7 @@ object TextSearch {
       termA: String, termB: String, maxDistance: Long, k: Int): DataFrame = {
     val (a, b) = (termA.toLowerCase, termB.toLowerCase)
     require(a != b, s"proximityTopK needs two DIFFERENT terms, got '$a' twice")
-    require(Seq(a, b).forall(_.matches(TermPattern)),
-      s"query terms must be lowercase alphanumeric runs, got ($termA, $termB)")
+    requireTokens(Seq(a, b), "proximityTopK")
     require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
     require(k > 0, s"k must be positive, got $k")
     minDistanceTopK(

@@ -195,6 +195,110 @@ object SearchQueries {
     TextSearch.searchStorePhrase(positionalStore(spark, dir), "doc_id",
       Phrase, TopK)
 
+  /** The multilingual corpus for the Unicode-tokenization queries: the
+    * ASCII documents table with a deterministic per-doc multilingual
+    * suffix — Han, Japanese (Katakana incl. the U+30FC prolonged-sound
+    * mark), Hangul, Cyrillic, plus a no-space latin+Han MIXED run —
+    * exercising every branch of the r17 tokenization contract
+    * ([[TextSearch.searchTerms]]). DERIVED, not a fixture file: both
+    * engines construct it from the same parquet bytes, so the oracle is
+    * end-to-end (suffix construction + tokenization + scoring). */
+  val MlSuffixes = Seq(
+    "数据库查询引擎 spark数据",
+    "分散処理システム データストリーム",
+    "검색 엔진 데이터 처리",
+    "большие данные поиск")
+
+  private def mlDocs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(spark, dir).documents.select(col("doc_id"),
+      concat(col("text"), lit(" "),
+        element_at(array(MlSuffixes.map(lit): _*),
+          (col("doc_id") % 4 + 1).cast("int"))).as("text"))
+
+  private val mlDocsCte: String =
+    s"""mldocs AS (
+       |  SELECT doc_id, text || ' ' || CASE CAST(doc_id % 4 AS INT)
+       |    WHEN 0 THEN '${MlSuffixes(0)}'
+       |    WHEN 1 THEN '${MlSuffixes(1)}'
+       |    WHEN 2 THEN '${MlSuffixes(2)}'
+       |    ELSE '${MlSuffixes(3)}' END AS text
+       |  FROM documents)""".stripMargin
+
+  /** DuckDB replay of the full tokenization contract over a `(doc_id,
+    * text)` CTE `src`: emits `tokstream(doc_id, term, pos)` — runs,
+    * CJK/non-CJK segments, overlapping bigrams, stream positions —
+    * token-for-token what [[TextSearch.searchTerms]] produces
+    * (law-pinned in TextSearchSpec; cross-engine by these queries). */
+  private def tokStreamCte(src: String): String = {
+    val run = graft.operators.TextSearch.RunPattern
+    val seg = graft.operators.TextSearch.SegPattern
+    val cjkHead = "^" + graft.operators.TextSearch.CjkClass
+    s"""__runs AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '$run')) AS run,
+       |    unnest(range(len(regexp_extract_all(lower(text), '$run')))) AS ri
+       |  FROM $src),
+       |__segs AS (
+       |  SELECT doc_id, ri,
+       |    unnest(regexp_extract_all(run, '$seg')) AS seg,
+       |    unnest(range(len(regexp_extract_all(run, '$seg')))) AS si
+       |  FROM __runs),
+       |__toks AS (
+       |  SELECT doc_id, ri, si, unnest(tl) AS term, unnest(range(len(tl))) AS ti
+       |  FROM (
+       |    SELECT doc_id, ri, si,
+       |      CASE WHEN length(seg) >= 2 AND regexp_matches(seg, '$cjkHead')
+       |        THEN list_transform(range(1, length(seg)),
+       |               i -> substring(seg, CAST(i AS INT), 2))
+       |        ELSE [seg] END AS tl
+       |    FROM __segs)),
+       |tokstream AS (
+       |  SELECT doc_id, term,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ri, si, ti) - 1 AS pos
+       |  FROM __toks)""".stripMargin
+  }
+
+  /** The q158 query STRING — tokenized by the engine itself into
+    * (数据, 据库, данные, query): a Han bigram pair, a Cyrillic word
+    * and an ASCII word, searched OR-mode so each script population
+    * scores. */
+  val UniQuery = "数据库 данные query"
+
+  /** SR13 — multilingual ranked search: the r17 Unicode tokenization
+    * end-to-end (CJK bigrams + Cyrillic + ASCII in ONE query) over the
+    * derived multilingual corpus, minShouldMatch=1, same integer
+    * scoring as q133. The oracle re-derives the corpus AND the token
+    * stream from scratch — tokenizer, postings, rarity and ranking all
+    * replay cross-engine. */
+  val q158SearchUnicode: Q = (spark, dir) =>
+    graft.operators.TextSearch.searchTopK(mlDocs(spark, dir), "doc_id",
+      "text", graft.operators.TextSearch.searchTermsJvm(UniQuery), TopK,
+      minShouldMatch = Some(1))
+
+  /** The q159 phrase string; its token stream (数据, 据库) is the
+    * consecutive-bigram sequence of the 3-char Han word. */
+  val UniPhrase = "数据库"
+
+  /** SR14 — CJK phrase through the STREAMED positional store: the
+    * multilingual corpus ingested as two committed micro-batches,
+    * compacted, then the exact phrase answered from positions alone
+    * ([[TextSearch.searchStorePhrase]]) — proving the Unicode stream
+    * flows through the streaming index loop, the committed-batch
+    * protocol and the store reader with positions intact. */
+  val q159StreamPhraseCjk: Q = (spark, dir) => {
+    val ix = perProcessIndexDir(dir, "graft_posuni_p")
+    val docs = mlDocs(spark, dir)
+    graft.streaming.StreamingIngest.positionalIndexBatch(
+      docs.filter(col("doc_id") % 2 === 0), 0L, ix, "doc_id", "text",
+      compactAtFiles = 0)
+    graft.streaming.StreamingIngest.positionalIndexBatch(
+      docs.filter(col("doc_id") % 2 === 1), 1L, ix, "doc_id", "text",
+      compactAtFiles = 2)
+    graft.operators.TextSearch.searchStorePhrase(spark.read.parquet(ix),
+      "doc_id", graft.operators.TextSearch.searchTermsJvm(UniPhrase), TopK)
+  }
+
   /** Per-process store dir for q148/q155, removed on JVM exit (the
     * ScaleQueries tmpdir-hygiene pattern). */
   private def perProcessIndexDir(dir: String,
@@ -230,7 +334,9 @@ object SearchQueries {
     "q153_proximity" -> q153Proximity,
     "q155_store_proximity" -> q155StoreProximity,
     "q156_store_phrase" -> q156StorePhrase,
-    "q157_stream_proximity" -> q157StreamProximity)
+    "q157_stream_proximity" -> q157StreamProximity,
+    "q158_search_unicode" -> q158SearchUnicode,
+    "q159_stream_phrase_cjk" -> q159StreamPhraseCjk)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -394,6 +500,41 @@ object SearchQueries {
          |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
          |    unnest(range(0, len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
          |  FROM documents),
+         |$starts,
+         |m AS (SELECT doc_id, start FROM s0 $joins)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         |FROM m GROUP BY doc_id
+         |ORDER BY n_occurrences DESC, doc_id LIMIT $TopK""".stripMargin
+    },
+    "q158_search_unicode" -> {
+      val terms = graft.operators.TextSearch.searchTermsJvm(UniQuery)
+        .distinct.map(t => s"'$t'").mkString(", ")
+      s"""WITH $mlDocsCte,
+         |${tokStreamCte("mldocs")},
+         |post AS (
+         |  SELECT term, doc_id, COUNT(*) AS tf FROM tokstream
+         |  GROUP BY term, doc_id),
+         |q AS (SELECT * FROM post WHERE term IN ($terms)),
+         |tot AS (SELECT COUNT(*) AS n_docs FROM mldocs),
+         |rar AS (
+         |  SELECT term, (tot.n_docs * 1000) // COUNT(*) AS rarity
+         |  FROM q, tot GROUP BY term, tot.n_docs),
+         |s AS (
+         |  SELECT q.doc_id, COUNT(*) AS nt, SUM(q.tf * rar.rarity) AS score
+         |  FROM q JOIN rar USING (term) GROUP BY q.doc_id)
+         |SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
+         |WHERE nt >= 1
+         |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+    },
+    "q159_stream_phrase_cjk" -> {
+      val ts = graft.operators.TextSearch.searchTermsJvm(UniPhrase)
+      val starts = ts.zipWithIndex.map { case (t, i) =>
+        s"s$i AS (SELECT doc_id, pos - $i AS start FROM tokstream WHERE term = '$t')"
+      }.mkString(",\n")
+      val joins = (1 until ts.size)
+        .map(i => s"JOIN s$i USING (doc_id, start)").mkString(" ")
+      s"""WITH $mlDocsCte,
+         |${tokStreamCte("mldocs")},
          |$starts,
          |m AS (SELECT doc_id, start FROM s0 $joins)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences

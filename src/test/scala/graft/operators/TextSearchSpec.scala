@@ -275,4 +275,71 @@ class TextSearchSpec extends SparkSpec {
       TextSearch.searchTopK(docs, "doc_id", "text", Seq("ok"), 0)
     }
   }
+
+  // ------------------------------------------------ Unicode tokenization
+
+  private val mlSamples = Seq(
+    "Hello, World! 42 times",
+    "数据库查询引擎 spark数据",          // Han bigrams + a latin/han MIXED run
+    "分散処理システム データストリーム", // Kana+Han, prolonged mark ー in-run
+    "검색 엔진 데이터 처리",             // Hangul syllables
+    "большие данные поиск",             // Cyrillic: a non-CJK Unicode run
+    "mixed 日本語とEnglish words",       // CJK/latin boundary inside a run
+    "中", "a中b", "",                    // unigram; 1-char CJK segments
+    "  punctuation... only !!! ")
+
+  test("searchTerms: the Unicode/CJK-bigram contract, hand-checked") {
+    def toks(s: String) = TextSearch.searchTermsJvm(s)
+    assert(toks("Hello, World! 42x") == Seq("hello", "world", "42x"))
+    // a CJK segment of n chars emits n−1 overlapping bigrams
+    assert(toks("数据库") == Seq("数据", "据库"))
+    // mixed run: CJK and non-CJK segments split, order preserved
+    assert(toks("spark数据库v2") == Seq("spark", "数据", "据库", "v2"))
+    // lone CJK char is a unigram; non-letters separate runs
+    assert(toks("中!中") == Seq("中", "中"))
+    // the prolonged-sound mark (U+30FC, Lm) bigrams with kana
+    assert(toks("データ") == Seq("デー", "ータ"))
+    // Cyrillic (any non-CJK script) indexes as whole words
+    assert(toks("Большие данные") == Seq("большие", "данные"))
+  }
+
+  test("searchTermsJvm is the exact JVM mirror of the column tokenizer") {
+    val colToks = mlSamples.map(Tuple1(_)).toDF("t")
+      .select(TextSearch.searchTerms(col("t")).as("toks"))
+      .as[Seq[String]].collect().toSeq
+    assert(colToks == mlSamples.map(TextSearch.searchTermsJvm))
+  }
+
+  test("isToken: tokens are fixpoints; strings that re-tokenize are rejected") {
+    assert(Seq("spark", "42", "数据", "中", "данные").forall(TextSearch.isToken))
+    assert(Seq("two words", "数据库", "spark数据", "", "UP").forall(t => !TextSearch.isToken(t)))
+    intercept[IllegalArgumentException] { // a trigram is NOT a store token
+      TextSearch.searchTopK(docs, "doc_id", "text", Seq("数据库"), 5)
+    }
+  }
+
+  test("CJK search end-to-end: bigram postings, phrase = consecutive bigrams, store ≡ direct") {
+    val ml = Seq(
+      (1L, "数据库查询引擎 runs fast"),
+      (2L, "the 数据 catalog"),        // has 数据 but NOT the phrase 数据库
+      (3L, "数据库 twice: 数据库!"),
+      (4L, "no cjk at all")).toDF("doc_id", "text")
+    // conjunctive bigram search: docs containing BOTH 数据 and 据库
+    val hits = TextSearch.searchTopK(ml, "doc_id", "text",
+      TextSearch.searchTermsJvm("数据库"), 10)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(hits == Set(1L, 3L))
+    // phrase over a positional store: consecutive-bigram occurrences
+    val store = TextSearch.positionalPostings(ml, "doc_id", "text")
+    val occ = TextSearch.searchStorePhrase(store, "doc_id",
+      TextSearch.searchTermsJvm("数据库"), 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(occ == Seq((3L, 2L), (1L, 1L)))
+    // proximity across scripts: doc 1 tokens are 数据(0) 据库(1) 库查(2)
+    // 查询(3) 询引(4) 引擎(5) runs(6) fast(7) → min |据库 − runs| = 5
+    val prox = TextSearch.proximityTopK(ml, "doc_id", "text",
+      "据库", "runs", maxDistance = 5L, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(prox == Seq((1L, 5L)))
+  }
 }
