@@ -587,6 +587,76 @@ object TextSearch {
       .join(broadcast(qTerms), "term")
       .filter(col("term").isNotNull)
     val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
+    mltTail(cPost, qPostAll, nDocs, idCol, k, maxQueryTerms)
+  }
+
+  /** [[moreLikeThis]] against a PERSISTED postings store (anything
+    * `(term, <idCol>, tf)`-shaped — [[postings]] or
+    * [[positionalPostings]] output, batch columns ignored): identical
+    * semantics, scoring, caps and tiebreak; the shared [[mltTail]]
+    * makes direct ≡ store structural.
+    *
+    * Scale: the probe's distinct term universe is collected to the
+    * driver — legal because the probe is BOUNDED BY CONTRACT
+    * (`maxQueryDocs` counts it, `maxProbeTerms` caps the universe with
+    * a pointer at `maxQueryTerms` when a dense probe blows it) — and
+    * the store filter becomes a LITERAL `term IN (...)`: STATIC
+    * partition pruning on a term-partitioned store, no corpus text,
+    * no full-store scan. `nDocs` defaults to the store's distinct
+    * indexed-doc count (one skinny distinct — same caveat as
+    * [[searchStoreTopK]]: pass the corpus count when zero-token docs
+    * exist, e.g. from the doc-length sidecar's manifest). */
+  def searchStoreMoreLikeThis(store: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      nDocs: Option[Long] = None,
+      maxQueryTerms: Option[Int] = None,
+      maxQueryDocs: Long = 10000L,
+      maxProbeTerms: Int = 4096): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxQueryTerms.forall(_ > 0),
+      s"maxQueryTerms must be positive, got $maxQueryTerms")
+    require(maxQueryDocs > 0, s"maxQueryDocs must be positive, got $maxQueryDocs")
+    require(maxProbeTerms > 0, s"maxProbeTerms must be positive, got $maxProbeTerms")
+    require(nDocs.forall(_ >= 0), s"nDocs must be >= 0, got $nDocs")
+    val nq = queries.count()
+    require(nq <= maxQueryDocs,
+      s"searchStoreMoreLikeThis: probe set has $nq docs > " +
+        s"maxQueryDocs=$maxQueryDocs (the moreLikeThis bounded-probe " +
+        "contract; see its scaladoc and SCALING.md r15)")
+    val qPostAll = postings(queries, idCol, textCol)
+      .select(col("term"), col(idCol).as("__qid"))
+    val termsArr = qPostAll.select("term").distinct()
+      .collect().map(_.getString(0)).sorted
+    require(termsArr.length <= maxProbeTerms,
+      s"searchStoreMoreLikeThis: probe term universe has " +
+        s"${termsArr.length} terms > maxProbeTerms=$maxProbeTerms — set " +
+        "maxQueryTerms to keep only the rarest terms per probe doc " +
+        "(the published MLT discipline), or raise the cap for a " +
+        "contract-bounded probe")
+    val spark = store.sparkSession
+    if (termsArr.isEmpty)
+      return spark.range(0).select(col("id").as(s"q_$idCol"),
+        col("id").as(idCol), col("id").as("score")).limit(0)
+    val n = nDocs match {
+      case Some(v) => broadcast(spark.range(1).select(lit(v).as("n_docs")))
+      case None => broadcast(store.agg(countDistinct(col(idCol)).as("n_docs")))
+    }
+    // literal isin → partition pruning; the (term, id) merge makes the
+    // reader safe over an uncompacted store regardless of batch layout
+    val cPost = store
+      .filter(col("term").isin(termsArr.map(lit).toIndexedSeq: _*) &&
+        col("term").isNotNull)
+      .groupBy(col("term"), col(idCol)).agg(sum("tf").as("tf"))
+    mltTail(cPost, qPostAll, n, idCol, k, maxQueryTerms)
+  }
+
+  /** Shared MLT tail over the already-cut corpus postings: rarity from
+    * the candidate slice, optional rarest-m probe-term trim, the
+    * score join and the per-query rank window. [[moreLikeThis]] and
+    * [[searchStoreMoreLikeThis]] both route here. */
+  private def mltTail(cPost: DataFrame, qPostAll: DataFrame,
+      nDocs: DataFrame, idCol: String, k: Int,
+      maxQueryTerms: Option[Int]): DataFrame = {
     val rarity = cPost.groupBy("term")
       .agg(sum((col("tf") > lit(0L)).cast("long")).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -612,5 +682,82 @@ object TextSearch {
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .select(col("__qid").as(s"q_$idCol"), col(idCol), col("score"))
+  }
+
+  /** k-term WINDOW proximity — "all `terms` within a window of W
+    * tokens": top-`k` documents by their MINIMAL COVER, the smallest
+    * token span containing at least one occurrence of every term
+    * (`window_span = last − first + 1` over the covered occurrence
+    * set), keeping docs with `window_span ≤ window`. Output
+    * `(<idCol>, window_span)`, ranked (span asc, id asc). The two-term
+    * operators are the k=2 special case with `window = maxDistance+1`
+    * (law in TextSearchSpec).
+    *
+    * Minimal-cover over a merged position-sorted stream: the smallest
+    * window ENDING at stream entry p is `p − min_t(latest occurrence
+    * of t at or before p) + 1`, defined once every term has occurred —
+    * so the whole search is ONE window pass carrying |terms| running
+    * `max(CASE term)` columns (query-sized, not data-sized), one min
+    * per doc, heap top-k. Never a per-doc positions^k join: a doc with
+    * thousands of occurrences stays linear in its matched positions. */
+  def windowProximityTopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], window: Long, k: Int): DataFrame = {
+    val qTerms = checkedWindowTerms(terms, window, k, "windowProximityTopK")
+    minCoverTopK(
+      df.select(col(idCol),
+          posexplode(searchTerms(col(textCol))).as(Seq("pos", "term")))
+        .filter(col("term").isin(qTerms.map(lit): _*)),
+      idCol, qTerms, window, k)
+  }
+
+  /** [[windowProximityTopK]] against a PERSISTED [[positionalPostings]]
+    * store: the terms' rows prune from the store first (partition
+    * pruning on a term-partitioned store), positions explode per
+    * matched row only, then the same [[minCoverTopK]] tail — direct ≡
+    * store is structural. */
+  def searchStoreWindowProximity(store: DataFrame, idCol: String,
+      terms: Seq[String], window: Long, k: Int): DataFrame = {
+    val qTerms = checkedWindowTerms(terms, window, k, "searchStoreWindowProximity")
+    minCoverTopK(
+      store.filter(col("term").isin(qTerms.map(lit): _*))
+        .select(col(idCol), col("term"), explode(col("positions")).as("pos")),
+      idCol, qTerms, window, k)
+  }
+
+  private def checkedWindowTerms(terms: Seq[String], window: Long,
+      k: Int, op: String): Seq[String] = {
+    val qTerms = terms.map(_.toLowerCase).distinct
+    require(qTerms.size >= 2,
+      s"$op needs at least two distinct terms, got $terms")
+    requireTokens(qTerms, op)
+    require(window >= qTerms.size,
+      s"$op: window must be >= the distinct term count " +
+        s"(${qTerms.size} distinct positions cannot span fewer tokens), " +
+        s"got $window")
+    require(k > 0, s"k must be positive, got $k")
+    qTerms
+  }
+
+  /** Shared minimal-cover tail over an `(idCol, term, pos)` MATCHED-
+    * positions relation (the k-term sibling of [[minDistanceTopK]]):
+    * one window pass with a running latest-occurrence column per term,
+    * covered span at each stream entry, min per doc, window cut, heap
+    * top-k. */
+  private def minCoverTopK(positions: DataFrame, idCol: String,
+      qTerms: Seq[String], window: Long, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val lastCols = qTerms.indices.map(i =>
+      max(when(col("term") === qTerms(i), col("pos"))).over(w).as(s"__l$i"))
+    val lastRefs = qTerms.indices.map(i => col(s"__l$i"))
+    positions
+      .select(col(idCol) +: col("pos") +: lastCols: _*)
+      .filter(lastRefs.map(_.isNotNull).reduce(_ && _))
+      .groupBy(col(idCol))
+      .agg(min(col("pos") - least(lastRefs: _*) + lit(1)).cast("long")
+        .as("window_span"))
+      .filter(col("window_span") <= window)
+      .orderBy(col("window_span"), col(idCol))
+      .limit(k)
   }
 }

@@ -299,6 +299,44 @@ object SearchQueries {
       "doc_id", graft.operators.TextSearch.searchTermsJvm(UniPhrase), TopK)
   }
 
+  val WindowTerms = Seq("table", "scan", "merge")
+  val WindowW = 12L
+
+  /** SR15 — k-term window proximity ([[TextSearch.windowProximityTopK]]):
+    * top-20 docs by the minimal token span covering ALL THREE terms,
+    * within a 12-token window (131 matching docs at sf0.01, spans
+    * 3–12, so ranking and the cut both do real work). One window pass
+    * with k running latest-occurrence columns — never positions^k. */
+  val q160WindowProximity: Q = (spark, dir) =>
+    graft.operators.TextSearch.windowProximityTopK(
+      Tables(spark, dir).documents, "doc_id", "text",
+      WindowTerms, WindowW, TopK)
+
+  /** SR16 — the same contract over the PERSISTED positional store
+    * ([[TextSearch.searchStoreWindowProximity]]): three-way partition
+    * pruning, positions explode per matched row, shared minimal-cover
+    * tail. Oracle = the direct replay: the store law is equality. */
+  val q161StoreWindowProximity: Q = (spark, dir) =>
+    graft.operators.TextSearch.searchStoreWindowProximity(
+      positionalStore(spark, dir), "doc_id", WindowTerms, WindowW, TopK)
+
+  /** SR17 — more-like-this over the PERSISTED store
+    * ([[TextSearch.searchStoreMoreLikeThis]]): the q141 probe set and
+    * contract answered from `(term, doc_id, tf)` store rows — probe
+    * term universe collected (bounded by contract) into a LITERAL
+    * pruning filter, corpus text untouched. nDocs passed as the corpus
+    * count (the store only knows docs with ≥1 token). Oracle = the
+    * q141 replay: direct ≡ store. */
+  val q162StoreMlt: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val docs = t.documents
+    graft.operators.TextSearch.searchStoreMoreLikeThis(
+        positionalStore(spark, dir),
+        docs.filter(col("doc_id") < 500 && col("doc_id") % 100 === 0),
+        "doc_id", "text", MltK, nDocs = Some(docs.count()))
+      .orderBy("q_doc_id", "doc_id")
+  }
+
   /** Per-process store dir for q148/q155, removed on JVM exit (the
     * ScaleQueries tmpdir-hygiene pattern). */
   private def perProcessIndexDir(dir: String,
@@ -336,7 +374,10 @@ object SearchQueries {
     "q156_store_phrase" -> q156StorePhrase,
     "q157_stream_proximity" -> q157StreamProximity,
     "q158_search_unicode" -> q158SearchUnicode,
-    "q159_stream_phrase_cjk" -> q159StreamPhraseCjk)
+    "q159_stream_phrase_cjk" -> q159StreamPhraseCjk,
+    "q160_window_proximity" -> q160WindowProximity,
+    "q161_store_window_proximity" -> q161StoreWindowProximity,
+    "q162_store_mlt" -> q162StoreMlt)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -488,6 +529,8 @@ object SearchQueries {
     // the store law IS equality with the direct operator — one oracle
     "q155_store_proximity" -> proximityOracleSql,
     "q157_stream_proximity" -> proximityOracleSql,
+    "q160_window_proximity" -> windowProximityOracleSql,
+    "q161_store_window_proximity" -> windowProximityOracleSql,
     "q156_store_phrase" -> {
       val ts = Phrase.map(_.toLowerCase)
       val starts = ts.zipWithIndex.map { case (t, i) =>
@@ -541,7 +584,11 @@ object SearchQueries {
          |FROM m GROUP BY doc_id
          |ORDER BY n_occurrences DESC, doc_id LIMIT $TopK""".stripMargin
     },
-    "q141_more_like_this" ->
+    "q141_more_like_this" -> mltOracleSql,
+    // store ≡ direct: one oracle (q162 answers q141's contract from the store)
+    "q162_store_mlt" -> mltOracleSql)
+
+  private lazy val mltOracleSql: String =
       s"""WITH $postCte,
          |qpost AS (SELECT term, doc_id AS qid FROM post
          |          WHERE doc_id < 500 AND doc_id % 100 = 0),
@@ -560,7 +607,36 @@ object SearchQueries {
          |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rk
          |  FROM sc)
          |SELECT qid AS q_doc_id, doc_id, CAST(score AS BIGINT) AS score
-         |FROM rk WHERE rk <= $MltK ORDER BY q_doc_id, doc_id""".stripMargin)
+         |FROM rk WHERE rk <= $MltK ORDER BY q_doc_id, doc_id""".stripMargin
+
+  /** The q160/q161 oracle: the identical running-latest-occurrence
+    * minimal-cover construction over the regexp token stream. */
+  private lazy val windowProximityOracleSql: String = {
+    val ts = WindowTerms
+    val lcols = ts.zipWithIndex.map { case (t, i) =>
+      s"max(CASE WHEN term = '$t' THEN pos END) OVER win AS l$i"
+    }.mkString(",\n    ")
+    val lrefs = ts.indices.map(i => s"l$i").mkString(", ")
+    val notnull = ts.indices.map(i => s"l$i IS NOT NULL").mkString(" AND ")
+    val inList = ts.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+       |    unnest(range(0, len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+       |  FROM documents),
+       |p AS (SELECT doc_id, term, pos FROM toks WHERE term IN ($inList)),
+       |w AS (
+       |  SELECT doc_id, pos,
+       |    $lcols
+       |  FROM p WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+       |m AS (
+       |  SELECT doc_id, MIN(pos - least($lrefs) + 1) AS window_span
+       |  FROM w WHERE $notnull
+       |  GROUP BY doc_id)
+       |SELECT doc_id, CAST(window_span AS BIGINT) AS window_span
+       |FROM m WHERE window_span <= $WindowW
+       |ORDER BY window_span, doc_id LIMIT $TopK""".stripMargin
+  }
 
   private lazy val proximityOracleSql: String = {
       val (a, b) = ProxTerms

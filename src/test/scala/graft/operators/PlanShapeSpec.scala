@@ -776,6 +776,33 @@ class PlanShapeSpec extends SparkSpec {
       s"store proximity must not join position sets:\n$plan")
   }
 
+  test("q161 store window proximity: three-way partition pruning, one window pass, no join") {
+    val plan = executedFinalPlan("q161_store_window_proximity")
+    assert(plan.contains("PartitionFilters") && plan.contains("term"),
+      s"the k-term filter must prune the term-partitioned store:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition heap:\n$plan")
+    assert(!plan.contains("Join"),
+      s"minimal-cover must be one window pass, never a positions^k join:\n$plan")
+  }
+
+  test("q162 store MLT: the probe-term universe prunes the store scan statically") {
+    val plan = executedFinalPlan("q162_store_mlt")
+    // the corpus side reads the persisted store with the LITERAL
+    // probe-term filter in its partition pruning — corpus text untouched.
+    // Column pruning strips the positions array (MLT needs tf only), so
+    // match the store scan by its pruned (doc_id, tf) read schema.
+    val storeScans = plan.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("tf") &&
+        l.contains("PartitionFilters"))
+      .toSeq
+    assert(storeScans.nonEmpty, s"expected pruned postings-store scans:\n$plan")
+    assert(storeScans.forall(l => l.contains("term#") || l.contains("In(term")),
+      s"the probe-term universe must prune the term-partitioned store:\n$plan")
+    assert(!plan.contains("positions"),
+      s"MLT must never read the positions array — column pruning lost:\n$plan")
+  }
+
   test("triangleCounts and fuzzyPairs: equi-join only — no cartesian reachable") {
     import spark.implicits._
     val edges = spark.range(400).select(

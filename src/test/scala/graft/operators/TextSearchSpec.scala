@@ -276,6 +276,84 @@ class TextSearchSpec extends SparkSpec {
     }
   }
 
+  test("windowProximityTopK: hand-computed minimal cover, window cut, k=2 law") {
+    val d = Seq(
+      // a(0) x(1) b(2) x(3) c(4) ... a(8): covers {a,b,c} as [0,4]=5 and [2,8]=7
+      (1L, "a x b x c x x x a"),
+      // all three adjacent → span 3
+      (2L, "x a b c x"),
+      // missing c entirely → never covered
+      (3L, "a b a b a b"),
+      // c before a,b: cover is [c..b] = positions 0..2 → 3
+      (4L, "c a b")).toDF("doc_id", "text")
+    val r = TextSearch.windowProximityTopK(d, "doc_id", "text",
+      Seq("a", "b", "c"), window = 5L, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(r == Seq((2L, 3L), (4L, 3L), (1L, 5L)))
+    // the k=2 special case IS proximityTopK with window = maxDistance+1
+    val two = TextSearch.windowProximityTopK(docs, "doc_id", "text",
+      Seq("spark", "joins"), window = 4L, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    val prox = TextSearch.proximityTopK(docs, "doc_id", "text",
+      "spark", "joins", maxDistance = 3L, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(two.map { case (id, span) => (id, span - 1) } == prox)
+  }
+
+  test("searchStoreWindowProximity equals the direct operator; contracts reject bad args") {
+    val store = TextSearch.positionalPostings(docs, "doc_id", "text")
+    val direct = TextSearch.windowProximityTopK(docs, "doc_id", "text",
+      Seq("spark", "joins", "table"), 8L, 10).as[(Long, Long)].collect().toSeq
+    val stored = TextSearch.searchStoreWindowProximity(store, "doc_id",
+      Seq("spark", "joins", "table"), 8L, 10).as[(Long, Long)].collect().toSeq
+    assert(direct.nonEmpty && direct == stored)
+    intercept[IllegalArgumentException] { // < 2 distinct terms
+      TextSearch.windowProximityTopK(docs, "doc_id", "text", Seq("a", "A"), 5L, 1)
+    }
+    intercept[IllegalArgumentException] { // window < distinct term count
+      TextSearch.windowProximityTopK(docs, "doc_id", "text", Seq("a", "b", "c"), 2L, 1)
+    }
+    intercept[IllegalArgumentException] { // non-token term
+      TextSearch.searchStoreWindowProximity(store, "doc_id", Seq("a", "b c"), 5L, 1)
+    }
+  }
+
+  test("searchStoreMoreLikeThis equals moreLikeThis; probe caps are enforced") {
+    val corpus = docs
+    val probes = docs.filter(col("doc_id").isin(1L, 3L))
+    val store = TextSearch.positionalPostings(corpus, "doc_id", "text")
+    val direct = TextSearch.moreLikeThis(corpus, probes, "doc_id", "text", 3)
+      .orderBy("q_doc_id", "doc_id").as[(Long, Long, Long)].collect().toSeq
+    val stored = TextSearch.searchStoreMoreLikeThis(store, probes,
+        "doc_id", "text", 3, nDocs = Some(corpus.count()))
+      .orderBy("q_doc_id", "doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(direct.nonEmpty && direct == stored)
+    // maxQueryTerms trims identically on both forms
+    val directT = TextSearch.moreLikeThis(corpus, probes, "doc_id", "text", 3,
+        maxQueryTerms = Some(2))
+      .orderBy("q_doc_id", "doc_id").as[(Long, Long, Long)].collect().toSeq
+    val storedT = TextSearch.searchStoreMoreLikeThis(store, probes,
+        "doc_id", "text", 3, nDocs = Some(corpus.count()),
+        maxQueryTerms = Some(2))
+      .orderBy("q_doc_id", "doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(directT == storedT)
+    // the bounded-probe contract carries over
+    val eDocs = intercept[IllegalArgumentException] {
+      TextSearch.searchStoreMoreLikeThis(store, corpus, "doc_id", "text", 3,
+        maxQueryDocs = 2L)
+    }
+    assert(eDocs.getMessage.contains("maxQueryDocs"))
+    // a dense probe universe trips maxProbeTerms with a maxQueryTerms hint
+    val eTerms = intercept[IllegalArgumentException] {
+      TextSearch.searchStoreMoreLikeThis(store, probes, "doc_id", "text", 3,
+        maxProbeTerms = 2)
+    }
+    assert(eTerms.getMessage.contains("maxQueryTerms"))
+    // an empty probe set yields an empty, correctly-shaped result
+    assert(TextSearch.searchStoreMoreLikeThis(store,
+      probes.filter(col("doc_id") < 0), "doc_id", "text", 3).isEmpty)
+  }
+
   // ------------------------------------------------ Unicode tokenization
 
   private val mlSamples = Seq(
