@@ -266,6 +266,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.BmpResizeNearest(exprs.head,
           intConst(exprs(1), "w"), intConst(exprs(2), "h"))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("png_grid_features"),
+      new ExpressionInfo(
+        classOf[graft.functions.PngGridFeatures].getCanonicalName,
+        "", "png_grid_features",
+        "_FUNC_(bin, gx, gy) - per-cell (r,g,b) channel sums over a gx*gy grid " +
+          "of a non-interlaced 8-bit PNG's real pixels (Inflater + the five " +
+          "scanline unfilters); null outside the contract.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, s"png_grid_features takes 3 arguments, got ${exprs.length}")
+        graft.functions.PngGridFeatures(exprs.head,
+          intConst(exprs(1), "gx"), intConst(exprs(2), "gy"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("png_encode_rgb"),
+      new ExpressionInfo(
+        classOf[graft.functions.PngEncodeRgb].getCanonicalName,
+        "", "png_encode_rgb",
+        "_FUNC_(bin, w, h) - encode raw top-down RGB triples (w*h*3 bytes) " +
+          "as a standard 8-bit RGB PNG; null when the length disagrees.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, s"png_encode_rgb takes 3 arguments, got ${exprs.length}")
+        graft.functions.PngEncodeRgb(exprs(0), exprs(1), exprs(2))
+      }))
 
     // ------------------------------------------------ table functions (r16)
     // The operator families' SQL surface: TABLE-valued functions whose
@@ -403,6 +429,59 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strConst(exprs(3), "step_col"),
           strConst(exprs(4), "steps").trim.split("\\s+").toSeq,
           exprs.lift(5).map(e => longConst(e, "max_span_sec"))))
+      }))
+    // ----- persisted-index readers: the TVFs name an INDEX DIRECTORY
+    // (a streamed/compacted postings or positional store), splicing the
+    // dir readers' exact logical plans — sidecar doc lengths, totals
+    // manifest and partition pruning all ride along for free.
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_store_topk"),
+      tvfInfo("graft_store_topk",
+        "_FUNC_(index_dir, id_col, terms, k[, min_should_match]) - " +
+          "rarity-scored top-k over a PERSISTED postings store (terms " +
+          "whitespace-separated; n_docs from the store's totals manifest " +
+          "when present)."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4 || exprs.length == 5,
+          s"graft_store_topk takes 4-5 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.streaming.StreamingIngest.searchIndexTopK(
+          spark, strConst(exprs(0), "index_dir"), strConst(exprs(1), "id_col"),
+          strConst(exprs(2), "terms").trim.split("\\s+").toSeq,
+          intConst(exprs(3), "k"),
+          exprs.lift(4).map(e => intConst(e, "min_should_match"))))
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_store_bm25"),
+      tvfInfo("graft_store_bm25",
+        "_FUNC_(index_dir, id_col, terms, k[, min_should_match]) - " +
+          "integer-Okapi BM25 top-k over a PERSISTED postings store " +
+          "(doc lengths from the sidecar, scalars from the totals manifest)."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4 || exprs.length == 5,
+          s"graft_store_bm25 takes 4-5 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.streaming.StreamingIngest.searchIndexTopKBm25(
+          spark, strConst(exprs(0), "index_dir"), strConst(exprs(1), "id_col"),
+          strConst(exprs(2), "terms").trim.split("\\s+").toSeq,
+          intConst(exprs(3), "k"),
+          minShouldMatch = exprs.lift(4).map(e => intConst(e, "min_should_match"))))
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_store_phrase"),
+      tvfInfo("graft_store_phrase",
+        "_FUNC_(index_dir, id_col, phrase, k) - exact-phrase occurrence " +
+          "ranking over a PERSISTED positional store; `phrase` is a plain " +
+          "string tokenized by the engine's search contract (CJK included)."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4,
+          s"graft_store_phrase takes 4 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.operators.TextSearch.searchStorePhrase(
+          spark.read.parquet(strConst(exprs(0), "index_dir")),
+          strConst(exprs(1), "id_col"),
+          graft.operators.TextSearch.searchTermsJvm(strConst(exprs(2), "phrase")),
+          intConst(exprs(3), "k")))
       }))
   }
 }

@@ -348,12 +348,17 @@ object TextSearch {
     * indexed document — but that derivation scans the full store, so at
     * scale pass `docLengths` (a `(idCol, __dl)` relation, e.g. written
     * at compaction time: the doc-length sidecar every BM25 index
-    * keeps). */
+    * keeps). `totals` = `(n_docs, Σdl)` turns the normalization
+    * scalars into LITERALS (the identical `(Σdl·1000) div n` floor
+    * arithmetic) — the streaming loops' totals manifest supplies it
+    * ([[graft.streaming.StreamingIngest.searchIndexTotals]]); without
+    * it the scalars cost one count/sum job over `dl` per query. */
   def searchStoreTopKBm25(store: DataFrame, idCol: String,
       terms: Seq[String], k: Int,
       docLengths: Option[DataFrame] = None,
       k1Permille: Long = 1200L, bPermille: Long = 750L,
-      minShouldMatch: Option[Int] = None): DataFrame = {
+      minShouldMatch: Option[Int] = None,
+      totals: Option[(Long, Long)] = None): DataFrame = {
     val qTerms = terms.map(_.toLowerCase).distinct
     val msm = checkedMsm(minShouldMatch, qTerms.size, "searchStoreTopKBm25")
     require(qTerms.nonEmpty, "searchStoreTopKBm25 needs at least one term")
@@ -361,26 +366,34 @@ object TextSearch {
     require(bPermille >= 0 && bPermille <= 1000,
       s"bPermille must be in [0, 1000], got $bPermille")
     require(k1Permille >= 0, s"k1Permille must be >= 0, got $k1Permille")
+    require(totals.forall(t => t._1 >= 0 && t._2 >= 0),
+      s"totals must be non-negative (n_docs, sum_dl), got $totals")
     val dl = docLengths.getOrElse(
       store.groupBy(col(idCol)).agg(sum("tf").as("__dl")))
     require(dl.columns.toSeq == Seq(idCol, "__dl"),
       s"docLengths must be ($idCol, __dl)-shaped, got ${dl.columns.toSeq}")
-    val totals = dl.agg(count(lit(1)).as("n_docs"),
-      coalesce(sum("__dl"), lit(0L)).as("__tot"))
-      .select(col("n_docs"),
-        expr("case when n_docs > 0 then greatest((__tot * 1000) div n_docs, 1) else 1 end")
-          .as("avgdl_milli"))
+    val totalsRel = totals match {
+      case Some((n, tot)) => store.sparkSession.range(1)
+        .select(lit(n).as("n_docs"),
+          lit(if (n > 0) math.max(tot * 1000L / n, 1L) else 1L)
+            .as("avgdl_milli"))
+      case None => dl.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("__dl"), lit(0L)).as("__tot"))
+        .select(col("n_docs"),
+          expr("case when n_docs > 0 then greatest((__tot * 1000) div n_docs, 1) else 1 end")
+            .as("avgdl_milli"))
+    }
     val post = store
       .filter(col("term").isin(qTerms.map(lit): _*) && col("term").isNotNull)
       .groupBy(col("term"), col(idCol)).agg(sum("tf").as("tf"))
     val rarity = post.groupBy("term")
       .agg(sum((col("tf") > lit(0L)).cast("long")).as("df"))
-      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(totalsRel))
       .select(col("term"), expr("(n_docs * 1000) div df").cast("long").as("rarity"))
     post
       .join(broadcast(rarity), "term")
       .join(dl, idCol)
-      .crossJoin(broadcast(totals.select("avgdl_milli")))
+      .crossJoin(broadcast(totalsRel.select("avgdl_milli")))
       .withColumn("__nf", lit(1000L - bPermille) +
         expr(s"($bPermille * __dl * 1000) div avgdl_milli"))
       .withColumn("__sc", expr(
@@ -428,7 +441,7 @@ object TextSearch {
     require(k1Permille >= 0, s"k1Permille must be >= 0, got $k1Permille")
     val dl = df.select(col(idCol),
       size(searchTerms(col(textCol))).cast("long").as("__dl"))
-    val totals = dl.agg(count(lit(1)).as("n_docs"),
+    val totalsRel = dl.agg(count(lit(1)).as("n_docs"),
       coalesce(sum("__dl"), lit(0L)).as("__tot"))
       .select(col("n_docs"),
         expr("case when n_docs > 0 then greatest((__tot * 1000) div n_docs, 1) else 1 end")
@@ -437,12 +450,12 @@ object TextSearch {
       .filter(col("term").isin(qTerms.map(lit): _*) && col("term").isNotNull)
     val rarity = post.groupBy("term")
       .agg(sum((col("tf") > lit(0L)).cast("long")).as("df"))
-      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(totalsRel))
       .select(col("term"), expr("(n_docs * 1000) div df").cast("long").as("rarity"))
     post
       .join(broadcast(rarity), "term")
       .join(dl, idCol)
-      .crossJoin(broadcast(totals.select("avgdl_milli")))
+      .crossJoin(broadcast(totalsRel.select("avgdl_milli")))
       .withColumn("__nf", lit(1000L - bPermille) +
         expr(s"($bPermille * __dl * 1000) div avgdl_milli"))
       .withColumn("__sc", expr(

@@ -1154,6 +1154,7 @@ object StreamingIngest {
           size(TextSearch.searchTerms(col(textCol))).cast("long").as("__dl"))
         .withColumn("batch_id", lit(batchId))
       publishBatch(dl, dlSidecarDir(indexDir), batchId, Nil)
+      publishDlTotals(dl, dlSidecarDir(indexDir), batchId)
       failpoint(2)
       commitBatch(spark, indexDir, batchId)
     }
@@ -1206,6 +1207,7 @@ object StreamingIngest {
           size(TextSearch.searchTerms(col(textCol))).cast("long").as("__dl"))
         .withColumn("batch_id", lit(batchId))
       publishBatch(dl, dlSidecarDir(indexDir), batchId, Nil)
+      publishDlTotals(dl, dlSidecarDir(indexDir), batchId)
       failpoint(2)
       commitBatch(spark, indexDir, batchId)
     }
@@ -1337,7 +1339,78 @@ object StreamingIngest {
       s"$caller: doc-length compaction of $dlDir changed the row count " +
         s"or length mass ((${src.getLong(0)}, ${src.getLong(1)}) -> " +
         s"(${dst.getLong(0)}, ${dst.getLong(1)})) — not swapping in")
+    // the totals manifest folds to ONE "compacted" entry carried into
+    // the swapped copy (the copyCommitMarkers discipline: the manifest
+    // lives INSIDE the dir being swapped) — its values are the already-
+    // computed mass-check scalars, so the fold costs zero extra jobs
+    writeDlTotals(spark, dlTmp, "compacted", src.getLong(0), src.getLong(1))
     IndexOps.swapDirs(spark, dlDir, dlTmp)
+  }
+
+  /** The TOTALS MANIFEST of a doc-length sidecar: one tiny text file
+    * per data GENERATION under `<dlDir>/_totals` — `b<id>` beside a
+    * batch delta, `compacted` beside the folded −1 generation —
+    * holding `"<n_docs> <sum_dl>"`. Written with the generation's data
+    * files (a replay is the same deterministic overwrite), folded at
+    * compaction from the mass-check scalars. Store readers take
+    * (n_docs, Σdl) from [[searchIndexTotals]] — a driver-side listing
+    * plus O(generations) tiny reads, ZERO Spark jobs per query — where
+    * they previously ran a count/sum job over the sidecar relation
+    * per search. */
+  private def dlTotalsPath(dlDir: String, gen: String) =
+    new org.apache.hadoop.fs.Path(dlDir + "/_totals", gen)
+
+  private def publishDlTotals(dl: DataFrame, dlDir: String,
+      batchId: Long): Unit = {
+    val t = dl.agg(count(lit(1)), coalesce(sum("__dl"), lit(0L))).head()
+    writeDlTotals(dl.sparkSession, dlDir, s"b$batchId",
+      t.getLong(0), t.getLong(1))
+  }
+
+  private def writeDlTotals(spark: org.apache.spark.sql.SparkSession,
+      dlDir: String, gen: String, nDocs: Long, sumDl: Long): Unit = {
+    val (fs, _) = fsPath(spark, dlDir)
+    val p = dlTotalsPath(dlDir, gen)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(s"$nDocs $sumDl".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readDlTotals(spark: org.apache.spark.sql.SparkSession,
+      dlDir: String, gen: String): Option[(Long, Long)] = {
+    val (fs, _) = fsPath(spark, dlDir)
+    val p = dlTotalsPath(dlDir, gen)
+    if (!fs.exists(p)) return None
+    val len = fs.getFileStatus(p).getLen.toInt
+    if (len <= 0 || len > 64) return None
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, "UTF-8").trim.split("\\s+") match {
+      case Array(n, s) =>
+        try Some((n.toLong, s.toLong))
+        catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+  }
+
+  /** `(n_docs, Σdl)` of a persisted search index from the totals
+    * manifest — O(generations) driver-side file reads, NO Spark job.
+    * None when the sidecar is missing or incomplete vs the store
+    * (same batch-listing guard as [[searchIndexDocLengths]]) or any
+    * generation predates the manifest — readers then fall back to the
+    * counting derivation (correct, one sidecar-sized job). */
+  def searchIndexTotals(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[(Long, Long)] = {
+    val dlDir = dlSidecarDir(indexDir)
+    val (fs, p) = fsPath(spark, dlDir)
+    if (!hasDataFiles(fs, p)) return None
+    val dlBatches = batchIdsFromListing(spark, dlDir)
+    if (!batchIdsFromListing(spark, indexDir).subsetOf(dlBatches)) return None
+    val reads = dlBatches.toSeq
+      .map(id => readDlTotals(spark, dlDir, if (id < 0L) "compacted" else s"b$id"))
+    if (reads.exists(_.isEmpty)) None
+    else Some((reads.flatten.map(_._1).sum, reads.flatten.map(_._2).sum))
   }
 
   /** The BM25 doc-length sidecar of a search-index store: a skinny
@@ -1398,29 +1471,54 @@ object StreamingIngest {
   }
 
   /** Store-BM25 search over a persisted index DIRECTORY — the default
-    * scale-correct read path: postings from `indexDir`, doc lengths and
-    * `n_docs`/`avgdl` from the sidecar (document-count-sized, never the
-    * postings store), so no full-store aggregation node appears in the
-    * plan. A pre-sidecar store falls back to the full-store doc-length
-    * derivation with unchanged results. */
+    * scale-correct read path: postings from `indexDir`, doc lengths
+    * from the sidecar (document-count-sized, never the postings store)
+    * and `n_docs`/`avgdl` from the TOTALS MANIFEST
+    * ([[searchIndexTotals]] — driver-side, no count job per query), so
+    * no full-store aggregation node appears in the plan. Fallback
+    * ladder, each step documented-correct just costlier: a
+    * pre-manifest sidecar derives totals with one sidecar-sized agg; a
+    * pre-sidecar store derives doc lengths from the FULL store — a
+    * store-wide scan per query, refused when
+    * `allowFullScanFallback = false` (set it false in any serving
+    * path: at 100 TB that fallback is a query-time full-index scan). */
   def searchIndexTopKBm25(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, idCol: String, terms: Seq[String], k: Int,
       k1Permille: Long = 1200L, bPermille: Long = 750L,
-      minShouldMatch: Option[Int] = None): DataFrame =
+      minShouldMatch: Option[Int] = None,
+      allowFullScanFallback: Boolean = true): DataFrame = {
+    val dls = searchIndexDocLengths(spark, indexDir, idCol)
+    require(allowFullScanFallback || dls.nonEmpty,
+      s"searchIndexTopKBm25: $indexDir has no (complete) doc-length " +
+        "sidecar — doc lengths would derive from a FULL-STORE scan per " +
+        "query. Re-ingest through searchIndexIngestStream (which " +
+        "maintains the sidecar), or pass allowFullScanFallback = true " +
+        "to accept the scan explicitly.")
     graft.operators.TextSearch.searchStoreTopKBm25(
       spark.read.parquet(indexDir), idCol, terms, k,
-      docLengths = searchIndexDocLengths(spark, indexDir, idCol),
+      docLengths = dls,
+      totals = searchIndexTotals(spark, indexDir),
       k1Permille = k1Permille, bPermille = bPermille,
       minShouldMatch = minShouldMatch)
+  }
 
   /** Store rarity-scored search over a persisted index DIRECTORY:
-    * `n_docs` comes from the sidecar's row count (corpus-exact — counts
-    * zero-token documents the postings store cannot see), falling back
-    * to the store-distinct derivation for pre-sidecar stores. */
+    * `n_docs` comes from the totals manifest (corpus-exact — counts
+    * zero-token documents the postings store cannot see; no Spark job),
+    * then a pre-manifest sidecar's row count (one skinny count job),
+    * then the store-distinct derivation — the last is a full-store
+    * aggregate per query, refused when `allowFullScanFallback` is
+    * false. */
   def searchIndexTopK(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, idCol: String, terms: Seq[String], k: Int,
-      minShouldMatch: Option[Int] = None): DataFrame = {
-    val n = searchIndexDocLengths(spark, indexDir, idCol).map(_.count())
+      minShouldMatch: Option[Int] = None,
+      allowFullScanFallback: Boolean = true): DataFrame = {
+    val n = searchIndexTotals(spark, indexDir).map(_._1)
+      .orElse(searchIndexDocLengths(spark, indexDir, idCol).map(_.count()))
+    require(allowFullScanFallback || n.nonEmpty,
+      s"searchIndexTopK: $indexDir has no (complete) doc-length " +
+        "sidecar — n_docs would derive from a full-store distinct per " +
+        "query; pass allowFullScanFallback = true to accept that scan.")
     graft.operators.TextSearch.searchStoreTopK(
       spark.read.parquet(indexDir), idCol, terms, k,
       nDocs = n, minShouldMatch = minShouldMatch)

@@ -127,6 +127,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getSeq[Long](1) == Seq(9L, 8L, 7L))
     assert(row.getSeq[Long](2) == Seq(36L, 32L, 28L)) // 4 copies of the pixel
     assert(row.isNullAt(3))
+    // the r17 PNG pair: encode raw RGB in SQL, decode it back
+    val rowP = spark.sql(
+      """SELECT
+        |  png_grid_features(png_encode_rgb(unhex('090807'), 1, 1), 1, 1) AS f,
+        |  png_encode_rgb(unhex('090807'), 2, 1) AS bad""".stripMargin)
+      .collect()(0)
+    assert(rowP.getSeq[Long](0) == Seq(9L, 8L, 7L))
+    assert(rowP.isNullAt(1))
   }
 
   test("the operator-family TABLE functions are callable from SQL and equal the Scala API") {
@@ -205,6 +213,47 @@ class GraftExtensionsSpec extends SparkSpec {
       s"SELECT * FROM graft_search_topk('$corpusDir', 'doc_id', 'text', lower(rand()), 10)")
       .collect())
     assert(e.getMessage.contains("terms") || e.getMessage.contains("constant"))
+  }
+
+  test("the persisted-store TABLE functions splice the dir readers' plans") {
+    import spark.implicits._
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    ColumnBridge.registerInjectedTableFunctions(
+      ext, spark.sessionState.tableFunctionRegistry)
+    val corpus = Seq((1L, "spark joins the table table"),
+      (2L, "spark spark joins 数据库"), (3L, "only joins"), (4L, "..."))
+      .toDF("doc_id", "text")
+    // a streamed POSITIONAL store (serves frequency AND phrase readers)
+    // with its dl sidecar + totals manifest, compacted
+    val ix = java.nio.file.Files.createTempDirectory("tvf-store").toString + "/ix"
+    graft.streaming.StreamingIngest.positionalIndexBatch(
+      corpus.filter(col("doc_id") <= 2), 0L, ix, "doc_id", "text",
+      compactAtFiles = 0)
+    graft.streaming.StreamingIngest.positionalIndexBatch(
+      corpus.filter(col("doc_id") > 2), 1L, ix, "doc_id", "text",
+      compactAtFiles = 2)
+    assert(spark.sql(
+      s"SELECT * FROM graft_store_topk('$ix', 'doc_id', 'spark joins', 10)")
+      .as[(Long, Long)].collect().toSeq ==
+      graft.operators.TextSearch.searchTopK(corpus, "doc_id", "text",
+        Seq("spark", "joins"), 10).as[(Long, Long)].collect().toSeq)
+    // BM25 through the TVF = the direct corpus operator — n_docs/avgdl
+    // ride the totals manifest (doc 4 is token-free and still counts)
+    assert(spark.sql(
+      s"SELECT * FROM graft_store_bm25('$ix', 'doc_id', 'spark joins', 10, 1)")
+      .as[(Long, Long)].collect().toSeq ==
+      graft.operators.TextSearch.searchTopKBm25(corpus, "doc_id", "text",
+        Seq("spark", "joins"), 10, minShouldMatch = Some(1))
+        .as[(Long, Long)].collect().toSeq)
+    // phrase from positions alone; the string argument tokenizes through
+    // the engine contract — a CJK phrase works from pure SQL
+    assert(spark.sql(
+      s"SELECT * FROM graft_store_phrase('$ix', 'doc_id', 'spark joins', 10)")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 1L), (2L, 1L)))
+    assert(spark.sql(
+      s"SELECT * FROM graft_store_phrase('$ix', 'doc_id', '数据库', 10)")
+      .as[(Long, Long)].collect().toSeq == Seq((2L, 1L)))
   }
 
   test("the span-dedup derivations are callable from SQL") {

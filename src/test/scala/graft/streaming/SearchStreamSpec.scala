@@ -125,6 +125,78 @@ class SearchStreamSpec extends SparkSpec {
         "the sidecar's reason to exist disappeared; update the docs")
   }
 
+  test("totals manifest ≡ derived totals across batches, replay and compaction; readers are O(1)") {
+    val ix = tmp("si-totals")
+    def derived: (Long, Long) = {
+      val r = spark.read.parquet(StreamingIngest.dlSidecarDir(ix))
+        .agg(count(lit(1)), coalesce(sum("__dl"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def manifest = StreamingIngest.searchIndexTotals(spark, ix)
+    // batch 0 (incl. a zero-token doc: counted, length 0)
+    run(Seq((1L, "alpha beta gamma"), (2L, "..."), (3L, "beta"))
+      .toDF("doc_id", "text"), 0L, ix)
+    assert(manifest == Some(derived) && manifest == Some((3L, 4L)))
+    // batch 1
+    run(Seq((4L, "gamma gamma alpha")).toDF("doc_id", "text"), 1L, ix)
+    assert(manifest == Some(derived) && manifest == Some((4L, 7L)))
+    // a crashed batch (after dl publish, before its commit marker)
+    // leaves manifest ≡ data — both were published together
+    intercept[IllegalStateException] {
+      run(Seq((5L, "alpha")).toDF("doc_id", "text"), 2L, ix, failAfter = 2)
+    }
+    assert(manifest == Some(derived) && manifest == Some((5L, 8L)))
+    // the replay is the same deterministic overwrite
+    run(Seq((5L, "alpha")).toDF("doc_id", "text"), 2L, ix)
+    assert(manifest == Some(derived) && manifest == Some((5L, 8L)))
+    // compaction folds the manifest to one "compacted" entry from the
+    // mass-check scalars — still equal to the derived totals
+    run(Seq((6L, "beta delta")).toDF("doc_id", "text"), 3L, ix, compactAt = 2)
+    assert(manifest == Some(derived) && manifest == Some((6L, 10L)))
+    // post-compaction appends stack new batch entries on the folded one
+    run(Seq((7L, "epsilon")).toDF("doc_id", "text"), 4L, ix)
+    assert(manifest == Some(derived) && manifest == Some((7L, 11L)))
+    // the dir readers ride the manifest (no count job) and still agree
+    // with the direct corpus operators — including BM25's avgdl scalar
+    val union = Seq((1L, "alpha beta gamma"), (2L, "..."), (3L, "beta"),
+      (4L, "gamma gamma alpha"), (5L, "alpha"), (6L, "beta delta"),
+      (7L, "epsilon")).toDF("doc_id", "text")
+    assert(StreamingIngest.searchIndexTopKBm25(spark, ix, "doc_id",
+        Seq("alpha", "beta"), 10, allowFullScanFallback = false)
+        .as[(Long, Long)].collect().toSeq ==
+      TextSearch.searchTopKBm25(union, "doc_id", "text",
+        Seq("alpha", "beta"), 10).as[(Long, Long)].collect().toSeq)
+    assert(StreamingIngest.searchIndexTopK(spark, ix, "doc_id",
+        Seq("alpha", "beta"), 10, allowFullScanFallback = false)
+        .as[(Long, Long)].collect().toSeq ==
+      TextSearch.searchTopK(union, "doc_id", "text",
+        Seq("alpha", "beta"), 10).as[(Long, Long)].collect().toSeq)
+    // a manifest hole (e.g. a pre-manifest generation) falls back to
+    // the derived totals — and the strict dir readers still work, since
+    // the sidecar RELATION is complete
+    val fs = new org.apache.hadoop.fs.Path(ix)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(
+      StreamingIngest.dlSidecarDir(ix) + "/_totals/b4"), false)
+    assert(manifest.isEmpty)
+    assert(StreamingIngest.searchIndexTopK(spark, ix, "doc_id",
+        Seq("alpha", "beta"), 10, allowFullScanFallback = false)
+        .as[(Long, Long)].collect().toSeq ==
+      TextSearch.searchTopK(union, "doc_id", "text",
+        Seq("alpha", "beta"), 10).as[(Long, Long)].collect().toSeq)
+    // a missing sidecar is REFUSABLE: the full-store fallback must be
+    // opted into explicitly
+    val bare = tmp("si-totals-bare")
+    TextSearch.postings(union, "doc_id", "text")
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").parquet(bare)
+    val e = intercept[IllegalArgumentException] {
+      StreamingIngest.searchIndexTopKBm25(spark, bare, "doc_id",
+        Seq("alpha"), 10, allowFullScanFallback = false)
+    }
+    assert(e.getMessage.contains("FULL-STORE"))
+  }
+
   test("doc-length sidecar: replay overwrites it, compaction folds it, mass checked") {
     val ix = tmp("si-dl-replay")
     run(Seq((1L, "one two")).toDF("doc_id", "text"), 0L, ix)
