@@ -186,10 +186,33 @@ object Multimodal {
       graft.functions.BmpResizeNearest(ColumnBridge.expression(bin), outW, outH))
   }
 
+  /** REAL pixel decode for the third JDK-decodable format:
+    * non-interlaced 8-bit PNG (Inflater + the five scanline unfilters —
+    * [[graft.functions.PngGridFeatures]]) → the same exact integer
+    * grid color features as [[bmpGridFeatures]]. Gray/gray+alpha/RGB/
+    * RGBA decode; palette, 16-bit and interlaced return null. */
+  def pngGridFeatures(bin: Column, gx: Int, gy: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.PngGridFeatures(ColumnBridge.expression(bin), gx, gy))
+  }
+
+  /** Encode raw top-down RGB triples (w·h·3 bytes) as a standard 8-bit
+    * RGB PNG ([[graft.functions.PngEncodeRgb]]) — the
+    * compressed-thumbnail emit beside [[bmpResizeNearest]]'s
+    * uncompressed one. */
+  def pngEncodeRgb(data: Column, w: Column, h: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.PngEncodeRgb(
+      ColumnBridge.expression(data), ColumnBridge.expression(w),
+      ColumnBridge.expression(h)))
+  }
+
   /** STUB — deterministic fake feature extraction. A real deployment
     * replaces this with an actual image/audio decoder feeding a model;
     * the container has no codecs beyond [[wavPcmFeatures]]'s
-    * uncompressed-PCM path, so features are hash-derived floats in
+    * uncompressed-PCM path, the BMP/PNG pixel decoders and the PNG
+    * encoder, so features are hash-derived floats in
     * [-1, 1). The column contract (binary in, `array<float>` of `dims`
     * out) and everything downstream (ANN, near-dup over the features) is
     * real and exercised by tests. */

@@ -497,6 +497,37 @@ object CleaningQueries {
           .as(Seq("idx", "v")))
       .orderBy("doc_id", "idx")
 
+  /** MM9 — REAL PNG DECODE, validated through the engine's own ENCODER
+    * ([[Multimodal.pngEncodeRgb]] → [[Multimodal.pngGridFeatures]]):
+    * per-doc raw RGB pixels follow doc_id formulas (built with the same
+    * hex machinery as the BMP corpus), are deflate-compressed into a
+    * standard PNG, then decoded back to 2×2 grid channel sums. The
+    * oracle replays the pixel formulas arithmetically — DuckDB never
+    * parses a PNG, yet any error in the encoder's layout, the chunk
+    * walk, the Inflater plumbing, the unfilters or the bucketing reads
+    * back wrong sums. One doc in ten is truncated mid-IDAT (decode
+    * null → zero rows, mirrored by the oracle's filter). */
+  val q163PngFeatures: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    def be(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lpad(hex(v), 2, "0")
+    val w = (col("doc_id") % 9 + 3).cast("int")
+    val h = ((col("doc_id") * 5) % 7 + 3).cast("int")
+    def pxHex(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      concat(
+        be((col("doc_id") * 7 + x * 3 + y * 5) % 256),
+        be((col("doc_id") * 11 + x + y * 2) % 256),
+        be((col("doc_id") * 13 + x * 9 + y) % 256))
+    val rawHex = array_join(
+      transform(sequence(lit(0), h - 1), y => array_join(
+        transform(sequence(lit(0), w - 1), x => pxHex(x, y)), "")), "")
+    val png = Multimodal.pngEncodeRgb(unhex(rawHex), w, h)
+    val bytes = when(col("doc_id") % 10 === 7, png.substr(1, 40)).otherwise(png)
+    t.documents.select(col("doc_id"),
+        posexplode(Multimodal.pngGridFeatures(bytes, 2, 2)).as(Seq("idx", "v")))
+      .orderBy("doc_id", "idx")
+  }
+
   /** MM8 — chunking + frame sampling get the ORACLE the spec-only
     * coverage lacked ([[Multimodal.chunkBytes]] → every-2nd-chunk
     * [[Multimodal.frameSample]]): the corpus text as UTF-8 payloads cut
@@ -675,6 +706,7 @@ object CleaningQueries {
     "q151_bmp_features" -> q151BmpFeatures,
     "q152_bmp_resize" -> q152BmpResize,
     "q154_chunk_sample" -> q154ChunkSample,
+    "q163_png_features" -> q163PngFeatures,
     "q126_quantiles" -> q126Quantiles,
     "q128_grouped_quantiles" -> q128GroupedQuantiles,
     "q137_iqr_outliers" -> q137IqrOutliers,
@@ -919,6 +951,26 @@ object CleaningQueries {
         |    (doc_id + 7 * x + 13 * y) % 256 AS r,
         |    (doc_id * 3 + 5 * x + 11 * y) % 256 AS g,
         |    (doc_id * 5 + 2 * x + 3 * y) % 256 AS b
+        |  FROM px),
+        |s AS (SELECT doc_id, cell, SUM(r) AS r, SUM(g) AS g, SUM(b) AS b
+        |      FROM v GROUP BY doc_id, cell),
+        |l AS (
+        |  SELECT doc_id, cell * 3 AS idx, r AS v FROM s
+        |  UNION ALL SELECT doc_id, cell * 3 + 1, g FROM s
+        |  UNION ALL SELECT doc_id, cell * 3 + 2, b FROM s)
+        |SELECT doc_id, CAST(idx AS INT) AS idx, CAST(v AS BIGINT) AS v
+        |FROM l ORDER BY doc_id, idx""".stripMargin,
+    "q163_png_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 9 + 3 AS w, (doc_id * 5) % 7 + 3 AS h
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |v AS (
+        |  SELECT doc_id, ((y * 2) // h) * 2 + (x * 2) // w AS cell,
+        |    (doc_id * 7 + x * 3 + y * 5) % 256 AS r,
+        |    (doc_id * 11 + x + y * 2) % 256 AS g,
+        |    (doc_id * 13 + x * 9 + y) % 256 AS b
         |  FROM px),
         |s AS (SELECT doc_id, cell, SUM(r) AS r, SUM(g) AS g, SUM(b) AS b
         |      FROM v GROUP BY doc_id, cell),
