@@ -331,9 +331,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((
       new FunctionIdentifier("graft_search_topk"),
       tvfInfo("graft_search_topk",
-        "_FUNC_(path, id_col, text_col, terms, k[, min_should_match]) - " +
-          "rarity-scored top-k search over the parquet corpus at `path` " +
-          "(terms whitespace-separated; msm defaults to ALL = conjunctive)."),
+        "_FUNC_(path, id_col, text_col, query, k[, min_should_match]) - " +
+          "rarity-scored top-k search over the parquet corpus at `path`; " +
+          "`query` is a plain string tokenized by the engine's search " +
+          "contract (CJK bigrams included); msm defaults to ALL = conjunctive."),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 5 || exprs.length == 6,
           s"graft_search_topk takes 5-6 arguments, got ${exprs.length}")
@@ -341,15 +342,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         logical(graft.operators.TextSearch.searchTopK(
           spark.read.parquet(strConst(exprs(0), "path")),
           strConst(exprs(1), "id_col"), strConst(exprs(2), "text_col"),
-          strConst(exprs(3), "terms").trim.split("\\s+").toSeq,
+          graft.operators.TextSearch.searchTermsJvm(strConst(exprs(3), "query")),
           intConst(exprs(4), "k"),
           exprs.lift(5).map(e => intConst(e, "min_should_match"))))
       }))
     ext.injectTableFunction((
       new FunctionIdentifier("graft_bm25_topk"),
       tvfInfo("graft_bm25_topk",
-        "_FUNC_(path, id_col, text_col, terms, k[, min_should_match]) - " +
-          "integer-Okapi BM25 top-k search over the parquet corpus at `path`."),
+        "_FUNC_(path, id_col, text_col, query, k[, min_should_match]) - " +
+          "integer-Okapi BM25 top-k search over the parquet corpus at `path`; " +
+          "`query` is tokenized by the engine's search contract (CJK included)."),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 5 || exprs.length == 6,
           s"graft_bm25_topk takes 5-6 arguments, got ${exprs.length}")
@@ -357,7 +359,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         logical(graft.operators.TextSearch.searchTopKBm25(
           spark.read.parquet(strConst(exprs(0), "path")),
           strConst(exprs(1), "id_col"), strConst(exprs(2), "text_col"),
-          strConst(exprs(3), "terms").trim.split("\\s+").toSeq,
+          graft.operators.TextSearch.searchTermsJvm(strConst(exprs(3), "query")),
           intConst(exprs(4), "k"),
           minShouldMatch = exprs.lift(5).map(e => intConst(e, "min_should_match"))))
       }))
@@ -437,33 +439,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((
       new FunctionIdentifier("graft_store_topk"),
       tvfInfo("graft_store_topk",
-        "_FUNC_(index_dir, id_col, terms, k[, min_should_match]) - " +
-          "rarity-scored top-k over a PERSISTED postings store (terms " +
-          "whitespace-separated; n_docs from the store's totals manifest " +
-          "when present)."),
+        "_FUNC_(index_dir, id_col, query, k[, min_should_match]) - " +
+          "rarity-scored top-k over a PERSISTED postings store; `query` is a " +
+          "plain string tokenized by the engine's search contract (CJK " +
+          "bigrams included — a raw whitespace split would silently miss " +
+          "them); n_docs from the store's totals manifest when present."),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 4 || exprs.length == 5,
           s"graft_store_topk takes 4-5 arguments, got ${exprs.length}")
         val spark = org.apache.spark.sql.SparkSession.active
         logical(graft.streaming.StreamingIngest.searchIndexTopK(
           spark, strConst(exprs(0), "index_dir"), strConst(exprs(1), "id_col"),
-          strConst(exprs(2), "terms").trim.split("\\s+").toSeq,
+          graft.operators.TextSearch.searchTermsJvm(strConst(exprs(2), "query")),
           intConst(exprs(3), "k"),
           exprs.lift(4).map(e => intConst(e, "min_should_match"))))
       }))
     ext.injectTableFunction((
       new FunctionIdentifier("graft_store_bm25"),
       tvfInfo("graft_store_bm25",
-        "_FUNC_(index_dir, id_col, terms, k[, min_should_match]) - " +
-          "integer-Okapi BM25 top-k over a PERSISTED postings store " +
-          "(doc lengths from the sidecar, scalars from the totals manifest)."),
+        "_FUNC_(index_dir, id_col, query, k[, min_should_match]) - " +
+          "integer-Okapi BM25 top-k over a PERSISTED postings store; `query` " +
+          "is tokenized by the engine's search contract (CJK included); doc " +
+          "lengths from the sidecar, scalars from the totals manifest."),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 4 || exprs.length == 5,
           s"graft_store_bm25 takes 4-5 arguments, got ${exprs.length}")
         val spark = org.apache.spark.sql.SparkSession.active
         logical(graft.streaming.StreamingIngest.searchIndexTopKBm25(
           spark, strConst(exprs(0), "index_dir"), strConst(exprs(1), "id_col"),
-          strConst(exprs(2), "terms").trim.split("\\s+").toSeq,
+          graft.operators.TextSearch.searchTermsJvm(strConst(exprs(2), "query")),
           intConst(exprs(3), "k"),
           minShouldMatch = exprs.lift(4).map(e => intConst(e, "min_should_match"))))
       }))

@@ -97,7 +97,12 @@ object TextSearch {
     * driver-side and query-sized, so a JVM mirror is the right tool;
     * the corpus side stays the codegen-friendly column form. */
   def searchTermsJvm(text: String): Seq[String] = {
-    val lowered = text.toLowerCase
+    // Locale.ROOT: a default-locale lowercase diverges from the column
+    // tokenizer on Turkish/Azeri JVMs (TITLE -> tıtle) — the index would
+    // hold 'title' while the query side produced 'tıtle', silently
+    // zero-hit (review finding). ROOT matches lower()'s ASCII fast path
+    // everywhere and root-locale semantics beyond it.
+    val lowered = text.toLowerCase(java.util.Locale.ROOT)
     val out = Seq.newBuilder[String]
     val rm = RunPatternJvm.matcher(lowered)
     while (rm.find()) {
@@ -642,14 +647,20 @@ object TextSearch {
       .collect().map(_.getString(0)).sorted
     require(termsArr.length <= maxProbeTerms,
       s"searchStoreMoreLikeThis: probe term universe has " +
-        s"${termsArr.length} terms > maxProbeTerms=$maxProbeTerms — set " +
-        "maxQueryTerms to keep only the rarest terms per probe doc " +
-        "(the published MLT discipline), or raise the cap for a " +
-        "contract-bounded probe")
+        s"${termsArr.length} terms > maxProbeTerms=$maxProbeTerms. The " +
+        "cap bounds the DRIVER collect and the literal pruning filter, " +
+        "which happen BEFORE the rarest-m maxQueryTerms trim (rarity " +
+        "needs the store's df, which needs the filter) — so only " +
+        "raising maxProbeTerms admits a wider probe; do that for a " +
+        "probe bounded by CONTRACT, or shrink the probe docs' " +
+        "vocabulary upstream")
     val spark = store.sparkSession
+    // empty probe: an empty result CARRYING THE STORE'S id type — a
+    // range(0)-derived frame would be bigint-shaped and break unions
+    // with non-empty batches over string-keyed stores (review finding)
     if (termsArr.isEmpty)
-      return spark.range(0).select(col("id").as(s"q_$idCol"),
-        col("id").as(idCol), col("id").as("score")).limit(0)
+      return store.limit(0).select(col(idCol).as(s"q_$idCol"),
+        col(idCol), lit(0L).as("score"))
     val n = nDocs match {
       case Some(v) => broadcast(spark.range(1).select(lit(v).as("n_docs")))
       case None => broadcast(store.agg(countDistinct(col(idCol)).as("n_docs")))

@@ -1136,6 +1136,7 @@ object StreamingIngest {
       throw new IllegalStateException(
         s"searchIndexBatch: test failpoint after step $n")
     if (isCommitted(spark, indexDir, batchId)) return
+    ensureTokenizerMarker(spark, indexDir)
     runBatchGates(batch, batchId, gates, gateReportDir(indexDir))
     Checkpoints.scoped(spark) {
       val delta = TextSearch.postings(batch, idCol, textCol)
@@ -1197,6 +1198,7 @@ object StreamingIngest {
       throw new IllegalStateException(
         s"positionalIndexBatch: test failpoint after step $n")
     if (isCommitted(spark, indexDir, batchId)) return
+    ensureTokenizerMarker(spark, indexDir)
     runBatchGates(batch, batchId, gates, gateReportDir(indexDir))
     Checkpoints.scoped(spark) {
       val delta = TextSearch.positionalPostings(batch, idCol, textCol)
@@ -1253,6 +1255,7 @@ object StreamingIngest {
       s"maintainPositionalStore: compaction of $indexDir changed the token/" +
         s"position mass ($src -> $dst) — not swapping in")
     copyCommitMarkers(spark, indexDir, tmp)
+    copyMarkerDir(spark, indexDir, tmp, "_graft_tokenizer")
     IndexOps.swapDirs(spark, indexDir, tmp)
     compactDlSidecar(spark, indexDir, idCol, "maintainPositionalStore")
   }
@@ -1300,6 +1303,7 @@ object StreamingIngest {
     // them in the tmp dir before the swap (crash-safe: tmp is discarded
     // by recoverSwap, the live dir is untouched until the rename).
     copyCommitMarkers(spark, indexDir, tmp)
+    copyMarkerDir(spark, indexDir, tmp, "_graft_tokenizer")
     IndexOps.swapDirs(spark, indexDir, tmp)
     compactDlSidecar(spark, indexDir, idCol, "maintainPostingsStore")
   }
@@ -1362,9 +1366,23 @@ object StreamingIngest {
 
   private def publishDlTotals(dl: DataFrame, dlDir: String,
       batchId: Long): Unit = {
-    val t = dl.agg(count(lit(1)), coalesce(sum("__dl"), lit(0L))).head()
-    writeDlTotals(dl.sparkSession, dlDir, s"b$batchId",
-      t.getLong(0), t.getLong(1))
+    // aggregate the JUST-PUBLISHED b<id>-* delta files, not the dl
+    // plan: the plan re-tokenizes the whole batch (size(searchTerms))
+    // a third time per ingest just to produce two scalars; the
+    // published sidecar delta is a skinny document-count-sized parquet
+    // read (review finding — keeps the manifest's per-batch cost near
+    // zero as documented)
+    val spark = dl.sparkSession
+    val (fs, p) = fsPath(spark, dlDir)
+    val files = fs.listStatus(p)
+      .filter(st => !st.isDirectory && st.getPath.getName.startsWith(s"b$batchId-"))
+      .map(_.getPath.toString)
+    val t =
+      if (files.isEmpty) null // a zero-row delta writes no data files
+      else spark.read.parquet(files.toIndexedSeq: _*)
+        .agg(count(lit(1)), coalesce(sum("__dl"), lit(0L))).head()
+    writeDlTotals(spark, dlDir, s"b$batchId",
+      if (t == null) 0L else t.getLong(0), if (t == null) 0L else t.getLong(1))
   }
 
   private def writeDlTotals(spark: org.apache.spark.sql.SparkSession,
@@ -1649,14 +1667,64 @@ object StreamingIngest {
     * in a separate outDir and never need this). Markers are empty
     * files, so "copy" is create-by-name. */
   private def copyCommitMarkers(spark: org.apache.spark.sql.SparkSession,
-      srcDir: String, dstDir: String): Unit = {
+      srcDir: String, dstDir: String): Unit =
+    copyMarkerDir(spark, srcDir, dstDir, "_graft_commits")
+
+  /** Recreate a marker subdirectory (empty name-keyed files) inside a
+    * compaction tmp dir — `_graft_commits` and `_graft_tokenizer` both
+    * live INSIDE the directory swapDirs replaces, so both must be
+    * carried or they die with the swap (the r16 marker-loss lesson,
+    * now shared by the tokenizer-version marker). */
+  private def copyMarkerDir(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, dstDir: String, name: String): Unit = {
     val (fs, _) = fsPath(spark, srcDir)
-    val src = new org.apache.hadoop.fs.Path(srcDir + "/_graft_commits")
+    val src = new org.apache.hadoop.fs.Path(srcDir + "/" + name)
     if (!fs.exists(src)) return
-    val dst = new org.apache.hadoop.fs.Path(dstDir + "/_graft_commits")
+    val dst = new org.apache.hadoop.fs.Path(dstDir + "/" + name)
     fs.mkdirs(dst)
     fs.listStatus(src).foreach { st =>
       fs.create(new org.apache.hadoop.fs.Path(dst, st.getPath.getName),
+        true).close()
+    }
+  }
+
+  /** The search-TOKENIZATION contract version a persisted index was
+    * built with, recorded as an empty version-named file under
+    * `<indexDir>/_graft_tokenizer`. r17 changed the contract (ASCII
+    * `[a-z0-9]+` → Unicode runs + CJK bigrams): appending new-tokenizer
+    * batches to an old-tokenizer store would MIX two token streams —
+    * positions shift, df/dl mix two length definitions, old-spelling
+    * terms stop matching — all silently wrong at read time, where
+    * nothing can detect it (a postings store has no text to re-check).
+    * So the ingest side refuses loudly instead: a store with data but
+    * no marker is legacy (pre-r17) and must be rebuilt; a marker that
+    * names a different version is a contract mismatch. */
+  private[graft] val TokenizerVersion = "v2-unicode-cjk-bigram"
+
+  private def ensureTokenizerMarker(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val (fs, p) = fsPath(spark, indexDir)
+    val mDir = new org.apache.hadoop.fs.Path(indexDir + "/_graft_tokenizer")
+    if (fs.exists(mDir)) {
+      val vs = fs.listStatus(mDir).map(_.getPath.getName).toSet
+      require(vs == Set(TokenizerVersion),
+        s"index store at $indexDir was built with search-tokenizer " +
+          s"version [${vs.mkString(", ")}], this engine runs " +
+          s"$TokenizerVersion — appending would mix incompatible token " +
+          "streams (positions, df and doc lengths all silently wrong). " +
+          "Rebuild the index by re-ingesting the corpus.")
+    } else if (hasDataFiles(fs, p)) {
+      throw new IllegalStateException(
+        s"index store at $indexDir holds data but no tokenizer-version " +
+          s"marker: it predates $TokenizerVersion (legacy ASCII " +
+          "tokenization). Appending with the current Unicode/CJK " +
+          "tokenizer would mix two token streams in one store — " +
+          "positions, df and doc lengths would be silently wrong at " +
+          "query time, where nothing can detect it. Rebuild the index " +
+          "by re-ingesting the corpus.")
+    } else {
+      fs.mkdirs(mDir)
+      fs.create(new org.apache.hadoop.fs.Path(mDir, TokenizerVersion),
         true).close()
     }
   }

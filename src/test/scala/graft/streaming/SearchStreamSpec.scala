@@ -197,6 +197,43 @@ class SearchStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("FULL-STORE"))
   }
 
+  test("tokenizer-version marker: legacy stores refuse appends; the marker survives compaction and replay") {
+    // a pre-r17 store = data files, no _graft_tokenizer marker: appends
+    // would mix two token streams (positions/df/dl silently wrong at
+    // query time) — ingest must refuse LOUDLY
+    val legacy = tmp("si-tok-legacy")
+    TextSearch.postings(
+        Seq((1L, "old ascii store")).toDF("doc_id", "text"), "doc_id", "text")
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").parquet(legacy)
+    val e = intercept[IllegalStateException] {
+      run(Seq((2L, "new batch")).toDF("doc_id", "text"), 1L, legacy)
+    }
+    assert(e.getMessage.contains("tokenizer-version") ||
+      e.getMessage.contains("tokenizer"))
+    // a fresh store writes the marker; replay and compaction carry it
+    val ix = tmp("si-tok-fresh")
+    run(Seq((1L, "alpha beta")).toDF("doc_id", "text"), 0L, ix)
+    val mPath = new org.apache.hadoop.fs.Path(
+      ix + "/_graft_tokenizer/" + StreamingIngest.TokenizerVersion)
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(mPath))
+    intercept[IllegalStateException] {
+      run(Seq((2L, "beta gamma")).toDF("doc_id", "text"), 1L, ix, failAfter = 2)
+    }
+    run(Seq((2L, "beta gamma")).toDF("doc_id", "text"), 1L, ix) // replay OK
+    run(Seq((3L, "gamma delta")).toDF("doc_id", "text"), 2L, ix, compactAt = 2)
+    assert(fs.exists(mPath), "the marker must survive the compaction swap")
+    // a version mismatch refuses with the rebuild hint
+    fs.delete(mPath, false)
+    fs.create(new org.apache.hadoop.fs.Path(
+      ix + "/_graft_tokenizer/v1-ascii"), true).close()
+    val e2 = intercept[IllegalArgumentException] {
+      run(Seq((4L, "delta")).toDF("doc_id", "text"), 3L, ix)
+    }
+    assert(e2.getMessage.contains("v1-ascii") && e2.getMessage.contains("Rebuild"))
+  }
+
   test("doc-length sidecar: replay overwrites it, compaction folds it, mass checked") {
     val ix = tmp("si-dl-replay")
     run(Seq((1L, "one two")).toDF("doc_id", "text"), 0L, ix)
