@@ -762,6 +762,86 @@ object TextSearch {
     qTerms
   }
 
+  /** ORDERED window proximity — "the terms IN ORDER within a window of
+    * W tokens" (phrase-with-slop generalized to a subsequence match):
+    * top-`k` documents by the minimal span of an occurrence of
+    * `terms(0) < terms(1) < … < terms(k−1)` in token order, keeping
+    * docs with `window_span ≤ window`. Output `(<idCol>,
+    * window_span)`, ranked (span asc, id asc). The unordered sibling
+    * is [[windowProximityTopK]]; exact phrase is the slop-0 extreme
+    * ([[searchStorePhrase]]).
+    *
+    * The classic minimal-window-subsequence DP, run as stacked window
+    * columns over ONE position-sorted stream: `c_0 = max(pos | term =
+    * t_0)` (latest t_0 so far), `c_j = max(c_{j−1} @ t_j rows)` (the
+    * latest chain START of an ordered j-prefix completed so far —
+    * bestStart is monotone in the end position, so the running max IS
+    * the DP). At a t_{k−1} row the minimal ordered span ending there
+    * is `pos − c_{k−2} + 1`. |terms| stacked Window operators share
+    * one partitioning+sort (one shuffle, k linear passes over matched
+    * positions — never a positions^k join). Duplicate terms are
+    * rejected: the chain columns cannot tell "the same occurrence
+    * reused" from a genuine repeat. */
+  def orderedWindowTopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], window: Long, k: Int): DataFrame = {
+    val qTerms = checkedOrderedTerms(terms, window, k, "orderedWindowTopK")
+    orderedCoverTopK(
+      df.select(col(idCol),
+          posexplode(searchTerms(col(textCol))).as(Seq("pos", "term")))
+        .filter(col("term").isin(qTerms.map(lit): _*)),
+      idCol, qTerms, window, k)
+  }
+
+  /** [[orderedWindowTopK]] against a PERSISTED [[positionalPostings]]
+    * store: terms prune from the store first (partition pruning),
+    * positions explode per matched row, same DP tail — direct ≡ store
+    * structural. */
+  def searchStoreOrderedWindow(store: DataFrame, idCol: String,
+      terms: Seq[String], window: Long, k: Int): DataFrame = {
+    val qTerms = checkedOrderedTerms(terms, window, k, "searchStoreOrderedWindow")
+    orderedCoverTopK(
+      store.filter(col("term").isin(qTerms.map(lit): _*))
+        .select(col(idCol), col("term"), explode(col("positions")).as("pos")),
+      idCol, qTerms, window, k)
+  }
+
+  private def checkedOrderedTerms(terms: Seq[String], window: Long,
+      k: Int, op: String): Seq[String] = {
+    val qTerms = terms.map(_.toLowerCase)
+    require(qTerms.size >= 2, s"$op needs at least two terms, got $terms")
+    require(qTerms.distinct.size == qTerms.size,
+      s"$op: terms must be DISTINCT (the ordered-chain columns cannot " +
+        s"distinguish a reused occurrence from a genuine repeat), got $terms")
+    requireTokens(qTerms, op)
+    require(window >= qTerms.size,
+      s"$op: window must be >= the term count, got $window")
+    require(k > 0, s"k must be positive, got $k")
+    qTerms
+  }
+
+  private def orderedCoverTopK(positions: DataFrame, idCol: String,
+      qTerms: Seq[String], window: Long, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    // c_0 … c_{k-2}: stacked chain-start columns (the DP above). All
+    // share one (partition, order) spec → Catalyst plans ONE sort with
+    // |terms|−1 Window operators over it.
+    var cur = positions.withColumn("__c0",
+      max(when(col("term") === qTerms(0), col("pos"))).over(w))
+    for (j <- 1 until qTerms.size - 1)
+      cur = cur.withColumn(s"__c$j",
+        max(when(col("term") === qTerms(j), col(s"__c${j - 1}"))).over(w))
+    val last = qTerms.size - 2
+    cur
+      .filter(col("term") === qTerms.last && col(s"__c$last").isNotNull)
+      .groupBy(col(idCol))
+      .agg(min(col("pos") - col(s"__c$last") + lit(1)).cast("long")
+        .as("window_span"))
+      .filter(col("window_span") <= window)
+      .orderBy(col("window_span"), col(idCol))
+      .limit(k)
+  }
+
   /** Shared minimal-cover tail over an `(idCol, term, pos)` MATCHED-
     * positions relation (the k-term sibling of [[minDistanceTopK]]):
     * one window pass with a running latest-occurrence column per term,
@@ -781,6 +861,65 @@ object TextSearch {
       .agg(min(col("pos") - least(lastRefs: _*) + lit(1)).cast("long")
         .as("window_span"))
       .filter(col("window_span") <= window)
+      .orderBy(col("window_span"), col(idCol))
+      .limit(k)
+  }
+
+  /** SNIPPET extraction — the "why did this document match" surface:
+    * for the top-`k` documents by minimal cover of `terms` (the
+    * [[windowProximityTopK]] ranking, same `window` cut), also return
+    * WHERE the best window sits: `(<idCol>, window_span,
+    * snippet_start, snippet_end)` with start/end the 0-based token
+    * positions of the tightest all-terms window (ties → earliest
+    * start). A UI slices `snippet_start − m … snippet_end + m` tokens
+    * of the stored text; the engine ships OFFSETS, not text — nothing
+    * document-sized moves through the ranking.
+    *
+    * Same one-window-pass shape as [[minCoverTopK]] plus a per-doc
+    * argmin rank (one more window op over the same partitioning):
+    * matched-positions cost, never corpus cost. */
+  def snippetTopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], window: Long, k: Int): DataFrame = {
+    val qTerms = checkedWindowTerms(terms, window, k, "snippetTopK")
+    snippetCoverTopK(
+      df.select(col(idCol),
+          posexplode(searchTerms(col(textCol))).as(Seq("pos", "term")))
+        .filter(col("term").isin(qTerms.map(lit): _*)),
+      idCol, qTerms, window, k)
+  }
+
+  /** [[snippetTopK]] against a PERSISTED [[positionalPostings]] store:
+    * pruned terms, per-match position explode, same argmin tail. */
+  def searchStoreSnippet(store: DataFrame, idCol: String,
+      terms: Seq[String], window: Long, k: Int): DataFrame = {
+    val qTerms = checkedWindowTerms(terms, window, k, "searchStoreSnippet")
+    snippetCoverTopK(
+      store.filter(col("term").isin(qTerms.map(lit): _*))
+        .select(col(idCol), col("term"), explode(col("positions")).as("pos")),
+      idCol, qTerms, window, k)
+  }
+
+  private def snippetCoverTopK(positions: DataFrame, idCol: String,
+      qTerms: Seq[String], window: Long, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val lastCols = qTerms.indices.map(i =>
+      max(when(col("term") === qTerms(i), col("pos"))).over(w).as(s"__l$i"))
+    val lastRefs = qTerms.indices.map(i => col(s"__l$i"))
+    val pick = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy(col("window_span"), col("snippet_start"))
+    positions
+      .select(col(idCol) +: col("pos") +: lastCols: _*)
+      .filter(lastRefs.map(_.isNotNull).reduce(_ && _))
+      .select(col(idCol),
+        (col("pos") - least(lastRefs: _*) + lit(1)).cast("long").as("window_span"),
+        least(lastRefs: _*).cast("long").as("snippet_start"),
+        col("pos").cast("long").as("snippet_end"))
+      .withColumn("__rk", row_number().over(pick))
+      .filter(col("__rk") === 1 && col("window_span") <= window)
+      .select(col(idCol), col("window_span"),
+        col("snippet_start"), col("snippet_end"))
       .orderBy(col("window_span"), col(idCol))
       .limit(k)
   }

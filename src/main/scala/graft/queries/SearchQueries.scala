@@ -337,6 +337,36 @@ object SearchQueries {
       .orderBy("q_doc_id", "doc_id")
   }
 
+  /** SR18 — ORDERED window proximity ([[TextSearch.orderedWindowTopK]]):
+    * the q160 terms required IN ORDER (table < scan < merge as token
+    * positions) within the same 12-token window — phrase-with-slop as
+    * a subsequence match. 37 docs match at sf0.01 (vs 131 unordered:
+    * order is a real constraint here), spans 3–12. The minimal-window-
+    * subsequence DP runs as stacked chain-start window columns over ONE
+    * sorted pass; the oracle replays the identical construction. */
+  val q164OrderedNear: Q = (spark, dir) =>
+    graft.operators.TextSearch.orderedWindowTopK(
+      Tables(spark, dir).documents, "doc_id", "text",
+      WindowTerms, WindowW, TopK)
+
+  /** SR19 — the ordered form over the PERSISTED positional store
+    * ([[TextSearch.searchStoreOrderedWindow]]): partition-pruned terms,
+    * positions explode per matched row, shared DP tail. Oracle = the
+    * direct replay (store ≡ direct). */
+  val q165StoreOrderedNear: Q = (spark, dir) =>
+    graft.operators.TextSearch.searchStoreOrderedWindow(
+      positionalStore(spark, dir), "doc_id", WindowTerms, WindowW, TopK)
+
+  /** SR20 — snippet extraction ([[TextSearch.snippetTopK]]): the q160
+    * ranking plus WHERE the best window sits — (window_span,
+    * snippet_start, snippet_end) token offsets of the tightest
+    * all-terms window, ties to the earliest start. Offsets, never
+    * text: a UI slices the stored document itself. */
+  val q166Snippet: Q = (spark, dir) =>
+    graft.operators.TextSearch.snippetTopK(
+      Tables(spark, dir).documents, "doc_id", "text",
+      WindowTerms, WindowW, TopK)
+
   /** Per-process store dir for q148/q155, removed on JVM exit (the
     * ScaleQueries tmpdir-hygiene pattern). */
   private def perProcessIndexDir(dir: String,
@@ -377,7 +407,10 @@ object SearchQueries {
     "q159_stream_phrase_cjk" -> q159StreamPhraseCjk,
     "q160_window_proximity" -> q160WindowProximity,
     "q161_store_window_proximity" -> q161StoreWindowProximity,
-    "q162_store_mlt" -> q162StoreMlt)
+    "q162_store_mlt" -> q162StoreMlt,
+    "q164_ordered_near" -> q164OrderedNear,
+    "q165_store_ordered_near" -> q165StoreOrderedNear,
+    "q166_snippet" -> q166Snippet)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -531,6 +564,40 @@ object SearchQueries {
     "q157_stream_proximity" -> proximityOracleSql,
     "q160_window_proximity" -> windowProximityOracleSql,
     "q161_store_window_proximity" -> windowProximityOracleSql,
+    "q164_ordered_near" -> orderedNearOracleSql,
+    "q165_store_ordered_near" -> orderedNearOracleSql,
+    "q166_snippet" -> {
+      val ts = WindowTerms
+      val lcols = ts.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN term = '$t' THEN pos END) OVER win AS l$i"
+      }.mkString(",\n    ")
+      val lrefs = ts.indices.map(i => s"l$i").mkString(", ")
+      val notnull = ts.indices.map(i => s"l$i IS NOT NULL").mkString(" AND ")
+      val inList = ts.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         |    unnest(range(0, len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+         |  FROM documents),
+         |p AS (SELECT doc_id, term, pos FROM toks WHERE term IN ($inList)),
+         |w AS (
+         |  SELECT doc_id, pos,
+         |    $lcols
+         |  FROM p WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         |c AS (
+         |  SELECT doc_id, pos - least($lrefs) + 1 AS window_span,
+         |    least($lrefs) AS snippet_start, pos AS snippet_end
+         |  FROM w WHERE $notnull),
+         |r AS (
+         |  SELECT *, row_number()
+         |    OVER (PARTITION BY doc_id ORDER BY window_span, snippet_start) AS rk
+         |  FROM c)
+         |SELECT doc_id, CAST(window_span AS BIGINT) AS window_span,
+         |  CAST(snippet_start AS BIGINT) AS snippet_start,
+         |  CAST(snippet_end AS BIGINT) AS snippet_end
+         |FROM r WHERE rk = 1 AND window_span <= $WindowW
+         |ORDER BY window_span, doc_id LIMIT $TopK""".stripMargin
+    },
     "q156_store_phrase" -> {
       val ts = Phrase.map(_.toLowerCase)
       val starts = ts.zipWithIndex.map { case (t, i) =>
@@ -633,6 +700,38 @@ object SearchQueries {
        |  SELECT doc_id, MIN(pos - least($lrefs) + 1) AS window_span
        |  FROM w WHERE $notnull
        |  GROUP BY doc_id)
+       |SELECT doc_id, CAST(window_span AS BIGINT) AS window_span
+       |FROM m WHERE window_span <= $WindowW
+       |ORDER BY window_span, doc_id LIMIT $TopK""".stripMargin
+  }
+
+  /** The q164/q165 oracle: the identical stacked chain-start DP over
+    * the regexp token stream (c0 = latest t0 pos; c_j = latest c_{j−1}
+    * at a t_j row; span at a t_last row = pos − c_last + 1). */
+  private lazy val orderedNearOracleSql: String = {
+    val ts = WindowTerms
+    val inList = ts.map(t => s"'$t'").mkString(", ")
+    val ctes = (0 until ts.size - 1).map { i =>
+      val src = if (i == 0) "p" else s"w${i - 1}"
+      val value = if (i == 0) "pos" else s"c${i - 1}"
+      val carry = if (i == 0) "" else (0 until i).map(j => s", c$j").mkString
+      s"""w$i AS (
+         |  SELECT doc_id, term, pos$carry,
+         |    max(CASE WHEN term = '${ts(i)}' THEN $value END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS c$i
+         |  FROM $src)""".stripMargin
+    }.mkString(",\n")
+    val last = ts.size - 2
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+       |    unnest(range(0, len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+       |  FROM documents),
+       |p AS (SELECT doc_id, term, pos FROM toks WHERE term IN ($inList)),
+       |$ctes,
+       |m AS (
+       |  SELECT doc_id, MIN(pos - c$last + 1) AS window_span FROM w$last
+       |  WHERE term = '${ts.last}' AND c$last IS NOT NULL GROUP BY doc_id)
        |SELECT doc_id, CAST(window_span AS BIGINT) AS window_span
        |FROM m WHERE window_span <= $WindowW
        |ORDER BY window_span, doc_id LIMIT $TopK""".stripMargin

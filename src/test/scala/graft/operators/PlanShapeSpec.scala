@@ -803,6 +803,22 @@ class PlanShapeSpec extends SparkSpec {
       s"MLT must never read the positions array — column pruning lost:\n$plan")
   }
 
+  test("q165 store ordered-near: pruned store, stacked chain windows share ONE sort, no join") {
+    val plan = executedFinalPlan("q165_store_ordered_near")
+    assert(plan.contains("PartitionFilters") && plan.contains("term"),
+      s"the term filter must prune the term-partitioned store:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the ordered-subsequence DP must never join position sets:\n$plan")
+    // the |terms|−1 chain-start Window operators share one (partition,
+    // order) spec → exactly ONE exchange feeds them
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"stacked chain windows must share one shuffle, saw $exchanges:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition heap:\n$plan")
+  }
+
   test("triangleCounts and fuzzyPairs: equi-join only — no cartesian reachable") {
     import spark.implicits._
     val edges = spark.range(400).select(

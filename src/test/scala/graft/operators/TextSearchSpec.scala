@@ -318,6 +318,64 @@ class TextSearchSpec extends SparkSpec {
     }
   }
 
+  test("orderedWindowTopK: minimal ordered-subsequence span, order matters, store ≡ direct") {
+    val d = Seq(
+      // a(0) b(2) c(4): ordered span 5; ALSO c(5) a(6) b(7) — wrong order
+      (1L, "a x b x c c a b"),
+      // only the reverse order c b a: no ordered match
+      (2L, "c x b x a"),
+      // a(0) ... b(5) c(6): span 7; but a(4) b(5) c(6): span 3 (latest-start DP)
+      (3L, "a x x x a b c"),
+      (4L, "a b x c")).toDF("doc_id", "text")
+    val r = TextSearch.orderedWindowTopK(d, "doc_id", "text",
+      Seq("a", "b", "c"), window = 7L, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(r == Seq((3L, 3L), (4L, 4L), (1L, 5L)))
+    // order is a REAL constraint: the unordered form admits doc 2
+    val un = TextSearch.windowProximityTopK(d, "doc_id", "text",
+      Seq("a", "b", "c"), window = 7L, k = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(un.contains(2L) && !r.exists(_._1 == 2L))
+    // store twin equals the direct operator
+    val store = TextSearch.positionalPostings(d, "doc_id", "text")
+    assert(TextSearch.searchStoreOrderedWindow(store, "doc_id",
+      Seq("a", "b", "c"), 7L, 10).as[(Long, Long)].collect().toSeq == r)
+    // duplicate terms are rejected (the chain cannot tell a reused
+    // occurrence from a genuine repeat)
+    intercept[IllegalArgumentException] {
+      TextSearch.orderedWindowTopK(d, "doc_id", "text", Seq("a", "a"), 5L, 1)
+    }
+    // slop-0 sanity: an adjacent ordered pair scores span 2
+    val adj = TextSearch.orderedWindowTopK(d, "doc_id", "text",
+      Seq("a", "b"), window = 2L, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(adj == Seq((3L, 2L), (4L, 2L), (1L, 2L)).sortBy(x => (x._2, x._1)))
+  }
+
+  test("snippetTopK: the argmin cover window with earliest-start ties; store ≡ direct") {
+    val d = Seq(
+      // covers: [0,4] span 5 and [2,8] span 7 → pick [0,4]
+      (1L, "a x b x c x x x a"),
+      // two span-3 covers [1,3] and [5,7] → earliest start wins
+      (2L, "x a b c x a b c"),
+      (3L, "a b only")).toDF("doc_id", "text")
+    val r = TextSearch.snippetTopK(d, "doc_id", "text",
+      Seq("a", "b", "c"), window = 7L, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((2L, 3L, 1L, 3L), (1L, 5L, 0L, 4L)))
+    // span is always end − start + 1, and the ranking matches the
+    // windowProximityTopK contract on the same inputs
+    assert(r.forall { case (_, span, s, e) => span == e - s + 1 })
+    assert(r.map(x => (x._1, x._2)) ==
+      TextSearch.windowProximityTopK(d, "doc_id", "text",
+        Seq("a", "b", "c"), 7L, 10).as[(Long, Long)].collect().toSeq)
+    // store twin equals the direct operator
+    val store = TextSearch.positionalPostings(d, "doc_id", "text")
+    assert(TextSearch.searchStoreSnippet(store, "doc_id",
+      Seq("a", "b", "c"), 7L, 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq == r)
+  }
+
   test("searchStoreMoreLikeThis equals moreLikeThis; probe caps are enforced") {
     val corpus = docs
     val probes = docs.filter(col("doc_id").isin(1L, 3L))
