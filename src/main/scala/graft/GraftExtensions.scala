@@ -472,6 +472,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           minShouldMatch = exprs.lift(4).map(e => intConst(e, "min_should_match"))))
       }))
     ext.injectTableFunction((
+      new FunctionIdentifier("graft_store_mlt"),
+      tvfInfo("graft_store_mlt",
+        "_FUNC_(index_dir, probe_path, id_col, text_col, k[, max_query_terms]) - " +
+          "more-like-this over a PERSISTED postings store: for each probe " +
+          "document at `probe_path` (parquet), the k most similar indexed " +
+          "documents by rarity-weighted term overlap; the probe term " +
+          "universe prunes the store statically (bounded-probe contract)."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 5 || exprs.length == 6,
+          s"graft_store_mlt takes 5-6 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.operators.TextSearch.searchStoreMoreLikeThis(
+          spark.read.parquet(strConst(exprs(0), "index_dir")),
+          spark.read.parquet(strConst(exprs(1), "probe_path")),
+          strConst(exprs(2), "id_col"), strConst(exprs(3), "text_col"),
+          intConst(exprs(4), "k"),
+          maxQueryTerms = exprs.lift(5).map(e => intConst(e, "max_query_terms"))))
+      }))
+    ext.injectTableFunction((
       new FunctionIdentifier("graft_store_phrase"),
       tvfInfo("graft_store_phrase",
         "_FUNC_(index_dir, id_col, phrase, k) - exact-phrase occurrence " +

@@ -254,6 +254,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT * FROM graft_store_phrase('$ix', 'doc_id', '数据库', 10)")
       .as[(Long, Long)].collect().toSeq == Seq((2L, 1L)))
+    // store MLT from SQL ≡ the Scala API on the same store + probe
+    val probeDir = java.nio.file.Files.createTempDirectory("tvf-probe").toString
+    corpus.filter(col("doc_id") === 1L).write.mode("overwrite").parquet(probeDir)
+    assert(spark.sql(
+      s"SELECT * FROM graft_store_mlt('$ix', '$probeDir', 'doc_id', 'text', 3)")
+      .as[(Long, Long, Long)].collect().toSet ==
+      graft.operators.TextSearch.searchStoreMoreLikeThis(
+        spark.read.parquet(ix), spark.read.parquet(probeDir),
+        "doc_id", "text", 3).as[(Long, Long, Long)].collect().toSet)
   }
 
   test("the span-dedup derivations are callable from SQL") {
