@@ -483,11 +483,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 5 || exprs.length == 6,
           s"graft_store_mlt takes 5-6 arguments, got ${exprs.length}")
         val spark = org.apache.spark.sql.SparkSession.active
+        val indexDir = strConst(exprs(0), "index_dir")
         logical(graft.operators.TextSearch.searchStoreMoreLikeThis(
-          spark.read.parquet(strConst(exprs(0), "index_dir")),
+          spark.read.parquet(indexDir),
           spark.read.parquet(strConst(exprs(1), "probe_path")),
           strConst(exprs(2), "id_col"), strConst(exprs(3), "text_col"),
           intConst(exprs(4), "k"),
+          // corpus-true n_docs from the totals manifest (counts
+          // zero-token docs, no full-store countDistinct per query) —
+          // the same sourcing as the sibling store TVFs; a store
+          // without a manifest falls back to the store-distinct count
+          nDocs = graft.streaming.StreamingIngest
+            .searchIndexTotals(spark, indexDir).map(_._1),
           maxQueryTerms = exprs.lift(5).map(e => intConst(e, "max_query_terms"))))
       }))
     ext.injectTableFunction((

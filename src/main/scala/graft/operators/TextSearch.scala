@@ -168,7 +168,7 @@ object TextSearch {
     * trick then prices exactly like the direct operator. */
   def searchStoreProximity(store: DataFrame, idCol: String,
       termA: String, termB: String, maxDistance: Long, k: Int): DataFrame = {
-    val (a, b) = (termA.toLowerCase, termB.toLowerCase)
+    val (a, b) = (termA.toLowerCase(java.util.Locale.ROOT), termB.toLowerCase(java.util.Locale.ROOT))
     require(a != b, s"searchStoreProximity needs two DIFFERENT terms, got '$a' twice")
     requireTokens(Seq(a, b), "searchStoreProximity")
     require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
@@ -198,7 +198,7 @@ object TextSearch {
     * handled naturally (each offset joins its own slice). */
   def searchStorePhrase(store: DataFrame, idCol: String,
       phrase: Seq[String], k: Int): DataFrame = {
-    val terms = phrase.map(_.toLowerCase)
+    val terms = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
     require(terms.nonEmpty, "searchStorePhrase needs a non-empty phrase")
     requireTokens(terms, "searchStorePhrase")
     require(k > 0, s"k must be positive, got $k")
@@ -253,7 +253,7 @@ object TextSearch {
   def searchTopK(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int,
       minShouldMatch: Option[Int] = None): DataFrame = {
-    val qTerms = terms.map(_.toLowerCase).distinct
+    val qTerms = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     require(qTerms.nonEmpty, "searchTopK needs at least one term")
     require(k > 0, s"k must be positive, got $k")
     requireTokens(qTerms, "searchTopK")
@@ -317,7 +317,7 @@ object TextSearch {
   def searchStoreTopK(store: DataFrame, idCol: String, terms: Seq[String],
       k: Int, nDocs: Option[Long] = None,
       minShouldMatch: Option[Int] = None): DataFrame = {
-    val qTerms = terms.map(_.toLowerCase).distinct
+    val qTerms = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     require(qTerms.nonEmpty, "searchStoreTopK needs at least one term")
     require(k > 0, s"k must be positive, got $k")
     require(nDocs.forall(_ >= 0), s"nDocs must be >= 0, got $nDocs")
@@ -364,7 +364,7 @@ object TextSearch {
       k1Permille: Long = 1200L, bPermille: Long = 750L,
       minShouldMatch: Option[Int] = None,
       totals: Option[(Long, Long)] = None): DataFrame = {
-    val qTerms = terms.map(_.toLowerCase).distinct
+    val qTerms = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     val msm = checkedMsm(minShouldMatch, qTerms.size, "searchStoreTopKBm25")
     require(qTerms.nonEmpty, "searchStoreTopKBm25 needs at least one term")
     require(k > 0, s"k must be positive, got $k")
@@ -436,7 +436,7 @@ object TextSearch {
       terms: Seq[String], k: Int,
       k1Permille: Long = 1200L, bPermille: Long = 750L,
       minShouldMatch: Option[Int] = None): DataFrame = {
-    val qTerms = terms.map(_.toLowerCase).distinct
+    val qTerms = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     val msm = checkedMsm(minShouldMatch, qTerms.size, "searchTopKBm25")
     require(qTerms.nonEmpty, "searchTopKBm25 needs at least one term")
     require(k > 0, s"k must be positive, got $k")
@@ -519,7 +519,7 @@ object TextSearch {
     * TakeOrdered heap. Matched-positions cost, never corpus cost. */
   def proximityTopK(df: DataFrame, idCol: String, textCol: String,
       termA: String, termB: String, maxDistance: Long, k: Int): DataFrame = {
-    val (a, b) = (termA.toLowerCase, termB.toLowerCase)
+    val (a, b) = (termA.toLowerCase(java.util.Locale.ROOT), termB.toLowerCase(java.util.Locale.ROOT))
     require(a != b, s"proximityTopK needs two DIFFERENT terms, got '$a' twice")
     requireTokens(Seq(a, b), "proximityTopK")
     require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
@@ -750,7 +750,7 @@ object TextSearch {
 
   private def checkedWindowTerms(terms: Seq[String], window: Long,
       k: Int, op: String): Seq[String] = {
-    val qTerms = terms.map(_.toLowerCase).distinct
+    val qTerms = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     require(qTerms.size >= 2,
       s"$op needs at least two distinct terms, got $terms")
     requireTokens(qTerms, op)
@@ -807,7 +807,7 @@ object TextSearch {
 
   private def checkedOrderedTerms(terms: Seq[String], window: Long,
       k: Int, op: String): Seq[String] = {
-    val qTerms = terms.map(_.toLowerCase)
+    val qTerms = terms.map(_.toLowerCase(java.util.Locale.ROOT))
     require(qTerms.size >= 2, s"$op needs at least two terms, got $terms")
     require(qTerms.distinct.size == qTerms.size,
       s"$op: terms must be DISTINCT (the ordered-chain columns cannot " +
@@ -906,20 +906,24 @@ object TextSearch {
     val lastCols = qTerms.indices.map(i =>
       max(when(col("term") === qTerms(i), col("pos"))).over(w).as(s"__l$i"))
     val lastRefs = qTerms.indices.map(i => col(s"__l$i"))
-    val pick = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol)
-      .orderBy(col("window_span"), col("snippet_start"))
+    // the per-doc argmin is a lexicographic MIN over a (span, start,
+    // end) struct — a plain partial-agg-friendly aggregate reproducing
+    // the (min span, earliest start) tie-break exactly ((span, start)
+    // pairs are unique per doc: end = start + span − 1), one sort
+    // cheaper than a rank-window pick (review finding)
     positions
       .select(col(idCol) +: col("pos") +: lastCols: _*)
       .filter(lastRefs.map(_.isNotNull).reduce(_ && _))
-      .select(col(idCol),
+      .select(col(idCol), struct(
         (col("pos") - least(lastRefs: _*) + lit(1)).cast("long").as("window_span"),
         least(lastRefs: _*).cast("long").as("snippet_start"),
-        col("pos").cast("long").as("snippet_end"))
-      .withColumn("__rk", row_number().over(pick))
-      .filter(col("__rk") === 1 && col("window_span") <= window)
-      .select(col(idCol), col("window_span"),
-        col("snippet_start"), col("snippet_end"))
+        col("pos").cast("long").as("snippet_end")).as("__c"))
+      .groupBy(col(idCol))
+      .agg(min(col("__c")).as("__c"))
+      .filter(col("__c.window_span") <= window)
+      .select(col(idCol), col("__c.window_span").as("window_span"),
+        col("__c.snippet_start").as("snippet_start"),
+        col("__c.snippet_end").as("snippet_end"))
       .orderBy(col("window_span"), col(idCol))
       .limit(k)
   }

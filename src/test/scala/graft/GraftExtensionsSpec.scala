@@ -254,15 +254,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT * FROM graft_store_phrase('$ix', 'doc_id', '数据库', 10)")
       .as[(Long, Long)].collect().toSeq == Seq((2L, 1L)))
-    // store MLT from SQL ≡ the Scala API on the same store + probe
+    // store MLT from SQL ≡ the DIRECT corpus operator — the strong form:
+    // n_docs must come from the totals manifest (doc 4 is token-free
+    // and still counts: a store-distinct fallback would score with 3
+    // instead of the corpus-true 4 and this assertion would catch it)
     val probeDir = java.nio.file.Files.createTempDirectory("tvf-probe").toString
     corpus.filter(col("doc_id") === 1L).write.mode("overwrite").parquet(probeDir)
-    assert(spark.sql(
+    val mltSql = spark.sql(
       s"SELECT * FROM graft_store_mlt('$ix', '$probeDir', 'doc_id', 'text', 3)")
-      .as[(Long, Long, Long)].collect().toSet ==
-      graft.operators.TextSearch.searchStoreMoreLikeThis(
-        spark.read.parquet(ix), spark.read.parquet(probeDir),
-        "doc_id", "text", 3).as[(Long, Long, Long)].collect().toSet)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(mltSql.nonEmpty)
+    assert(mltSql == graft.operators.TextSearch.moreLikeThis(
+      corpus, corpus.filter(col("doc_id") === 1L), "doc_id", "text", 3)
+      .as[(Long, Long, Long)].collect().toSet)
   }
 
   test("the span-dedup derivations are callable from SQL") {
