@@ -552,6 +552,44 @@ object TextSearch {
       .limit(k)
   }
 
+  /** "Did you mean" — term suggestions from the INDEXED vocabulary: the
+    * top-`k` terms within `maxDist` Levenshtein edits of `query`,
+    * ranked (distance asc, df desc, term asc) — typo corrections
+    * ordered by how common the corrected term actually is in the
+    * corpus. Output `(term, df, distance)`; the query term itself is
+    * excluded (a term that IS in the vocabulary needs no correction
+    * row). Works over any `(term, <idCol>, …)`-shaped relation — a
+    * [[postings]] build or a persisted (positional) store slice.
+    *
+    * Scale: VOCABULARY-linear, never corpus-linear — postings collapse
+    * to one row per term first, and the length pigeonhole
+    * (|len(t) − len(q)| ≤ maxDist, since an edit changes length by at
+    * most one) prunes before the levenshtein evaluation as a pushed
+    * range predicate. Vocabularies are Zipf-bounded (a 100 TB corpus
+    * holds ~10^8 terms — one skinny scan per suggestion); a serving
+    * path that cannot afford even that blocks the vocabulary like
+    * [[FuzzyMatch.fuzzyPairs]]'s disjoint-segment pigeonhole. */
+  def suggestTerms(post: DataFrame, query: String, maxDist: Int,
+      k: Int): DataFrame = {
+    val q = query.toLowerCase(java.util.Locale.ROOT)
+    requireTokens(Seq(q), "suggestTerms")
+    require(maxDist >= 1 && maxDist <= 8,
+      s"maxDist must be in [1, 8] (beyond that everything matches), got $maxDist")
+    require(k > 0, s"k must be positive, got $k")
+    // codepoint count, matching Spark's length() — q.length would be
+    // UTF-16 units and mis-prune non-BMP letters
+    val qLen = q.codePointCount(0, q.length)
+    post.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(length(col("term"))
+        .between(lit(qLen - maxDist), lit(qLen + maxDist)) &&
+        col("term") =!= q)
+      .withColumn("distance", levenshtein(col("term"), lit(q)).cast("long"))
+      .filter(col("distance") <= maxDist)
+      .orderBy(col("distance"), col("df").desc, col("term"))
+      .limit(k)
+      .select("term", "df", "distance")
+  }
+
   /** More-like-this: for each QUERY document, the top-`k` most similar
     * corpus documents by rarity-weighted term overlap —
     * `score(q, d) = Σ_{t ∈ terms(q) ∩ terms(d)} tf_d(t) · rarity(t)`,

@@ -367,6 +367,21 @@ object SearchQueries {
       Tables(spark, dir).documents, "doc_id", "text",
       WindowTerms, WindowW, TopK)
 
+  val Typo = "qery"
+  val SuggestDist = 2
+
+  /** SR21 — "did you mean" ([[TextSearch.suggestTerms]]): vocabulary
+    * terms within 2 edits of the typo "qery", ranked by (distance, df
+    * desc, term) — at sf0.01 that is `query` (d=1, df=385) then `key`
+    * (d=2, df=373): the correction users actually meant ranks first
+    * because the ranking is corpus-frequency-aware. Vocabulary-linear
+    * with the length pigeonhole pushed ahead of the levenshtein. */
+  val q167Suggest: Q = (spark, dir) =>
+    graft.operators.TextSearch.suggestTerms(
+      graft.operators.TextSearch.postings(
+        Tables(spark, dir).documents, "doc_id", "text"),
+      Typo, SuggestDist, TopK)
+
   /** Per-process store dir for q148/q155, removed on JVM exit (the
     * ScaleQueries tmpdir-hygiene pattern). */
   private def perProcessIndexDir(dir: String,
@@ -410,7 +425,8 @@ object SearchQueries {
     "q162_store_mlt" -> q162StoreMlt,
     "q164_ordered_near" -> q164OrderedNear,
     "q165_store_ordered_near" -> q165StoreOrderedNear,
-    "q166_snippet" -> q166Snippet)
+    "q166_snippet" -> q166Snippet,
+    "q167_suggest" -> q167Suggest)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -566,6 +582,14 @@ object SearchQueries {
     "q161_store_window_proximity" -> windowProximityOracleSql,
     "q164_ordered_near" -> orderedNearOracleSql,
     "q165_store_ordered_near" -> orderedNearOracleSql,
+    "q167_suggest" ->
+      s"""WITH $postCte,
+         |vocab AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term)
+         |SELECT term, CAST(df AS BIGINT) AS df,
+         |  CAST(levenshtein(term, '$Typo') AS BIGINT) AS distance
+         |FROM vocab
+         |WHERE levenshtein(term, '$Typo') <= $SuggestDist AND term <> '$Typo'
+         |ORDER BY distance, df DESC, term LIMIT $TopK""".stripMargin,
     "q166_snippet" -> {
       val ts = WindowTerms
       val lcols = ts.zipWithIndex.map { case (t, i) =>

@@ -412,6 +412,34 @@ class TextSearchSpec extends SparkSpec {
       probes.filter(col("doc_id") < 0), "doc_id", "text", 3).isEmpty)
   }
 
+  test("suggestTerms: frequency-aware typo correction over the vocabulary; store slices work") {
+    val d = Seq(
+      (1L, "spark sparks the table"), (2L, "spark spark parks"),
+      (3L, "shark joins"), (4L, "spork")).toDF("doc_id", "text")
+    val post = TextSearch.postings(d, "doc_id", "text")
+    val r = TextSearch.suggestTerms(post, "spark", 1, 10)
+      .as[(String, Long, Long)].collect().toSeq
+    // d=1 candidates ranked by df desc then term: sparks(1), shark(1),
+    // spork(1) tie on df → term asc; parks is d=1 too (drop 's', add
+    // nothing? parks→spark = 1 substitution? p-a-r-k-s vs s-p-a-r-k:
+    // distance 2) — excluded at maxDist 1
+    assert(r == Seq(("shark", 1L, 1L), ("sparks", 1L, 1L), ("spork", 1L, 1L)))
+    // the query term itself is never suggested; df ranks corrections
+    val r2 = TextSearch.suggestTerms(post, "sprak", 2, 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r2.head._1 == "spark" && r2.head._2 == 2L)
+    // a positional-store slice serves as the vocabulary source
+    val store = TextSearch.positionalPostings(d, "doc_id", "text")
+    assert(TextSearch.suggestTerms(store, "spark", 1, 10)
+      .as[(String, Long, Long)].collect().toSeq == r)
+    intercept[IllegalArgumentException] {
+      TextSearch.suggestTerms(post, "two words", 1, 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextSearch.suggestTerms(post, "ok", 0, 5)
+    }
+  }
+
   // ------------------------------------------------ Unicode tokenization
 
   private val mlSamples = Seq(
