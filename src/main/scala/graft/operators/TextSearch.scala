@@ -559,7 +559,11 @@ object TextSearch {
     * corpus. Output `(term, df, distance)`; the query term itself is
     * excluded (a term that IS in the vocabulary needs no correction
     * row). Works over any `(term, <idCol>, …)`-shaped relation — a
-    * [[postings]] build or a persisted (positional) store slice.
+    * [[postings]] build or a persisted (positional) store slice,
+    * COMPACTED OR NOT: df is the DISTINCT-document count per term, so
+    * an uncompacted store's one-row-per-(term, id, batch) layout cannot
+    * inflate it (the same per-document merge discipline as
+    * [[searchStoreMoreLikeThis]] — review finding).
     *
     * Scale: VOCABULARY-linear, never corpus-linear — postings collapse
     * to one row per term first, and the length pigeonhole
@@ -569,8 +573,8 @@ object TextSearch {
     * holds ~10^8 terms — one skinny scan per suggestion); a serving
     * path that cannot afford even that blocks the vocabulary like
     * [[FuzzyMatch.fuzzyPairs]]'s disjoint-segment pigeonhole. */
-  def suggestTerms(post: DataFrame, query: String, maxDist: Int,
-      k: Int): DataFrame = {
+  def suggestTerms(post: DataFrame, idCol: String, query: String,
+      maxDist: Int, k: Int): DataFrame = {
     val q = query.toLowerCase(java.util.Locale.ROOT)
     requireTokens(Seq(q), "suggestTerms")
     require(maxDist >= 1 && maxDist <= 8,
@@ -579,7 +583,7 @@ object TextSearch {
     // codepoint count, matching Spark's length() — q.length would be
     // UTF-16 units and mis-prune non-BMP letters
     val qLen = q.codePointCount(0, q.length)
-    post.groupBy("term").agg(count(lit(1)).as("df"))
+    post.groupBy("term").agg(countDistinct(col(idCol)).as("df"))
       .filter(length(col("term"))
         .between(lit(qLen - maxDist), lit(qLen + maxDist)) &&
         col("term") =!= q)
@@ -693,12 +697,15 @@ object TextSearch {
         "probe bounded by CONTRACT, or shrink the probe docs' " +
         "vocabulary upstream")
     val spark = store.sparkSession
-    // empty probe: an empty result CARRYING THE STORE'S id type — a
-    // range(0)-derived frame would be bigint-shaped and break unions
-    // with non-empty batches over string-keyed stores (review finding)
+    // empty probe: an empty result whose q_<idCol> carries the PROBE
+    // frame's id type and <idCol> the store's — exactly the non-empty
+    // path's typing (there q_<idCol> descends from the probe postings'
+    // __qid), so results union cleanly across probe batches even when
+    // the two id types differ (review finding; the earlier shape typed
+    // BOTH from the store)
     if (termsArr.isEmpty)
-      return store.limit(0).select(col(idCol).as(s"q_$idCol"),
-        col(idCol), lit(0L).as("score"))
+      return queries.limit(0).select(col(idCol).as(s"q_$idCol"))
+        .crossJoin(store.limit(0).select(col(idCol), lit(0L).as("score")))
     val n = nDocs match {
       case Some(v) => broadcast(spark.range(1).select(lit(v).as("n_docs")))
       case None => broadcast(store.agg(countDistinct(col(idCol)).as("n_docs")))

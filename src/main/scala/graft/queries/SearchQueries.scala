@@ -380,7 +380,41 @@ object SearchQueries {
     graft.operators.TextSearch.suggestTerms(
       graft.operators.TextSearch.postings(
         Tables(spark, dir).documents, "doc_id", "text"),
-      Typo, SuggestDist, TopK)
+      "doc_id", Typo, SuggestDist, TopK)
+
+  /** The q168 takedown list: every 7th-mod-3 document (~14% of the
+    * corpus) — large enough that n_docs/avgdl/df all move. */
+  val TakedownMod = 7L
+  val TakedownRem = 3L
+
+  /** SR22 — retrieval-store TAKEDOWN, strong form: the corpus ingested
+    * as two committed micro-batches, a takedown list applied through
+    * [[graft.streaming.StreamingIngest.deleteSwapSearchIndex]] —
+    * postings, doc-length sidecar and totals manifest all fold
+    * together — then the store searched with BM25. The oracle replays
+    * BM25 over the SURVIVING corpus only: n_docs, avgdl, df and every
+    * score shift with the deletion, so a takedown that left ANY
+    * derivative stale (a lingering posting, an undeleted sidecar row,
+    * a stale manifest scalar) hash-mismatches. Idempotent per process:
+    * replayed batches skip on their commit markers, a re-applied list
+    * finds no ids and no-ops. */
+  val q168StoreTakedown: Q = (spark, dir) => {
+    val ix = perProcessIndexDir(dir, "graft_takedownix_p")
+    val docs = Tables(spark, dir).documents.select("doc_id", "text")
+    graft.streaming.StreamingIngest.searchIndexBatch(
+      docs.filter(col("doc_id") % 2 === 0), 0L, ix, "doc_id", "text",
+      compactAtFiles = 0)
+    graft.streaming.StreamingIngest.searchIndexBatch(
+      docs.filter(col("doc_id") % 2 === 1), 1L, ix, "doc_id", "text",
+      compactAtFiles = 0)
+    graft.streaming.StreamingIngest.deleteSwapSearchIndex(spark, ix,
+      "doc_id",
+      docs.filter(col("doc_id") % TakedownMod === TakedownRem)
+        .select("doc_id"))
+    graft.streaming.StreamingIngest.searchIndexTopKBm25(
+      spark, ix, "doc_id", QueryTerms, TopK,
+      minShouldMatch = Some(MsmAtLeast))
+  }
 
   /** Per-process store dir for q148/q155, removed on JVM exit (the
     * ScaleQueries tmpdir-hygiene pattern). */
@@ -426,7 +460,8 @@ object SearchQueries {
     "q164_ordered_near" -> q164OrderedNear,
     "q165_store_ordered_near" -> q165StoreOrderedNear,
     "q166_snippet" -> q166Snippet,
-    "q167_suggest" -> q167Suggest)
+    "q167_suggest" -> q167Suggest,
+    "q168_store_takedown" -> q168StoreTakedown)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -677,7 +712,44 @@ object SearchQueries {
     },
     "q141_more_like_this" -> mltOracleSql,
     // store ≡ direct: one oracle (q162 answers q141's contract from the store)
-    "q162_store_mlt" -> mltOracleSql)
+    "q162_store_mlt" -> mltOracleSql,
+    // the takedown's strong form: the oracle is BM25 over the SURVIVING
+    // corpus — every scalar (n_docs, avgdl, df) must shift with the
+    // deletion for the hashes to match
+    "q168_store_takedown" -> {
+      val inList = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH surv AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % $TakedownMod <> $TakedownRem),
+         |post AS (
+         |  SELECT term, doc_id, COUNT(*) AS tf FROM (
+         |    SELECT doc_id,
+         |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+         |    FROM surv)
+         |  GROUP BY term, doc_id),
+         |dl AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS dl
+         |  FROM surv),
+         |tot AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |    greatest((COALESCE(SUM(dl), 0) * 1000) // COUNT(*), 1) AS avgdl_milli
+         |  FROM dl),
+         |q AS (SELECT * FROM post WHERE term IN ($inList)),
+         |rar AS (
+         |  SELECT term, (tot.n_docs * 1000) // COUNT(*) AS rarity
+         |  FROM q, tot GROUP BY term, tot.n_docs),
+         |s AS (
+         |  SELECT q.doc_id, COUNT(*) AS nt,
+         |    SUM((r.rarity * q.tf * 2200)
+         |        // (q.tf * 1000 + (1200 * (250 + (750 * dl.dl * 1000) // tot.avgdl_milli)) // 1000))
+         |      AS score
+         |  FROM q JOIN rar r USING (term) JOIN dl USING (doc_id), tot
+         |  GROUP BY q.doc_id)
+         |SELECT doc_id, CAST(score AS BIGINT) AS score FROM s
+         |WHERE nt >= $MsmAtLeast
+         |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+    })
 
   private lazy val mltOracleSql: String =
       s"""WITH $postCte,

@@ -1111,15 +1111,23 @@ object StreamingIngest {
     * (`compactAtFiles`) is a pure merge: one row per (term, id), tf
     * summed, batch_id −1, token-mass-checked before the staged swap —
     * the [[graft.operators.IndexOps.swapDirs]] + `recoverSwap`
-    * discipline, same as every other store in this file. */
+    * discipline, same as every other store in this file.
+    *
+    * `applyDeletesFrom` (a directory path) is the in-loop TAKEDOWN —
+    * the curate loops' contract applied to the retrieval store: id-list
+    * parquet files/dirs dropped into the directory are applied strictly
+    * AFTER each batch commits ([[deleteSwapRetrieval]]: postings, dl
+    * sidecar and totals manifest all fold consistently), then consumed
+    * into `_applied/`. Point-in-time by the unique-id ingest contract. */
   def searchIndexIngestStream(stream: DataFrame, indexDir: String,
       checkpoint: String, idCol: String, textCol: String,
       compactAtFiles: Int = 0,
-      gates: BatchGates = BatchGates()): DataStreamWriter[Row] =
+      gates: BatchGates = BatchGates(),
+      applyDeletesFrom: String = ""): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         searchIndexBatch(batch.toDF(), batchId, indexDir, idCol, textCol,
-          compactAtFiles, gates = gates)
+          compactAtFiles, gates = gates, applyDeletesFrom = applyDeletesFrom)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -1127,7 +1135,8 @@ object StreamingIngest {
   private[graft] def searchIndexBatch(batch: DataFrame, batchId: Long,
       indexDir: String, idCol: String, textCol: String,
       compactAtFiles: Int, failAfterStep: Int = Int.MaxValue,
-      gates: BatchGates = BatchGates()): Unit = {
+      gates: BatchGates = BatchGates(),
+      applyDeletesFrom: String = ""): Unit = {
     import graft.operators.{Checkpoints, IndexOps, TextSearch}
     val spark = batch.sparkSession
     IndexOps.recoverSwap(spark, indexDir)
@@ -1135,7 +1144,9 @@ object StreamingIngest {
     def failpoint(n: Int): Unit = if (failAfterStep == n)
       throw new IllegalStateException(
         s"searchIndexBatch: test failpoint after step $n")
-    if (isCommitted(spark, indexDir, batchId)) return
+    def applyDeletes(): Unit = applyRetrievalDeletes(spark,
+      applyDeletesFrom, indexDir, idCol, positional = false, failpoint)
+    if (isCommitted(spark, indexDir, batchId)) { applyDeletes(); return }
     ensureTokenizerMarker(spark, indexDir)
     runBatchGates(batch, batchId, gates, gateReportDir(indexDir))
     Checkpoints.scoped(spark) {
@@ -1160,6 +1171,9 @@ object StreamingIngest {
       commitBatch(spark, indexDir, batchId)
     }
     maintainPostingsStore(spark, indexDir, idCol, compactAtFiles)
+    // post-commit in-loop takedown (the applyCurateDeletes placement:
+    // a delete only ever runs against fully-committed generations)
+    applyDeletes()
   }
 
   /** The POSITIONAL twin of [[searchIndexIngestStream]]: per-batch
@@ -1173,15 +1187,18 @@ object StreamingIngest {
     * history. Same committed-batch protocol, unique-id contract,
     * doc-length sidecar and marker-preserving compaction as the
     * frequency loop; compaction additionally checks POSITION mass
-    * (Σ|positions| — which the build makes equal to Σtf). */
+    * (Σ|positions| — which the build makes equal to Σtf).
+    * `applyDeletesFrom` is the in-loop takedown, exactly as on
+    * [[searchIndexIngestStream]] (positions fold with the survivors). */
   def positionalIndexIngestStream(stream: DataFrame, indexDir: String,
       checkpoint: String, idCol: String, textCol: String,
       compactAtFiles: Int = 0,
-      gates: BatchGates = BatchGates()): DataStreamWriter[Row] =
+      gates: BatchGates = BatchGates(),
+      applyDeletesFrom: String = ""): DataStreamWriter[Row] =
     stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         positionalIndexBatch(batch.toDF(), batchId, indexDir, idCol, textCol,
-          compactAtFiles, gates = gates)
+          compactAtFiles, gates = gates, applyDeletesFrom = applyDeletesFrom)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -1189,7 +1206,8 @@ object StreamingIngest {
   private[graft] def positionalIndexBatch(batch: DataFrame, batchId: Long,
       indexDir: String, idCol: String, textCol: String,
       compactAtFiles: Int, failAfterStep: Int = Int.MaxValue,
-      gates: BatchGates = BatchGates()): Unit = {
+      gates: BatchGates = BatchGates(),
+      applyDeletesFrom: String = ""): Unit = {
     import graft.operators.{Checkpoints, IndexOps, TextSearch}
     val spark = batch.sparkSession
     IndexOps.recoverSwap(spark, indexDir)
@@ -1197,7 +1215,9 @@ object StreamingIngest {
     def failpoint(n: Int): Unit = if (failAfterStep == n)
       throw new IllegalStateException(
         s"positionalIndexBatch: test failpoint after step $n")
-    if (isCommitted(spark, indexDir, batchId)) return
+    def applyDeletes(): Unit = applyRetrievalDeletes(spark,
+      applyDeletesFrom, indexDir, idCol, positional = true, failpoint)
+    if (isCommitted(spark, indexDir, batchId)) { applyDeletes(); return }
     ensureTokenizerMarker(spark, indexDir)
     runBatchGates(batch, batchId, gates, gateReportDir(indexDir))
     Checkpoints.scoped(spark) {
@@ -1214,6 +1234,7 @@ object StreamingIngest {
       commitBatch(spark, indexDir, batchId)
     }
     maintainPositionalStore(spark, indexDir, idCol, compactAtFiles)
+    applyDeletes()
   }
 
   /** Post-commit POSITIONAL compaction: one row per (term, id) with tf
@@ -1540,6 +1561,197 @@ object StreamingIngest {
     graft.operators.TextSearch.searchStoreTopK(
       spark.read.parquet(indexDir), idCol, terms, k,
       nDocs = n, minShouldMatch = minShouldMatch)
+  }
+
+  // ------------------------------------------- retrieval-store takedown
+
+  /** Takedown for a persisted POSTINGS store — the retrieval half of
+    * the right-to-be-forgotten path, closing the one derivative class
+    * that had none (ANN indexes have [[graft.operators.IndexOps
+    * .deleteSwap]], exports have `deleteIdsFromExport`): every postings
+    * row of the listed ids, their doc-length sidecar rows, AND their
+    * totals-manifest contribution (n_docs, Σdl) all go together, so a
+    * post-takedown store is byte-for-byte the store a fresh ingest of
+    * the surviving corpus would build (modulo batch layout) — BM25
+    * scores SHIFT with the new n_docs/avgdl, the strong form of the
+    * contract (law-tested in SearchStreamSpec; oracle q168).
+    *
+    * Construction: the staged, dst-counted, marker-preserving rewrite
+    * of the compaction path — survivors fold to one row per (term, id)
+    * at batch_id −1, token mass is checked against the survivor mass
+    * BEFORE the swap, `_graft_commits` and `_graft_tokenizer` are
+    * carried into the staging (a swap that dropped them would make
+    * every committed batch replay its write path / lose the contract
+    * version), then the dl sidecar is rewritten minus the ids with its
+    * totals manifest folded to ONE `compacted` entry holding the new
+    * (n_docs, Σdl). Necessarily a full store rewrite — id is not the
+    * partition key — but a postings store is a token-count derivative
+    * of its corpus, not the corpus. Ids absent everywhere are a no-op;
+    * each half is independently idempotent, so a crash between the two
+    * swaps is healed by re-applying the same list (the in-loop path
+    * does exactly that); in the crash window the store refuses nothing
+    * and scores conservatively (deleted docs have no postings, so they
+    * can never be RETURNED — only the normalization scalars are stale
+    * until the dl half lands). A takedown that would empty the store
+    * is refused like [[graft.operators.IndexOps.deleteSwap]]'s same
+    * rule; a store holding published-but-uncommitted generations is
+    * refused (folding an uncommitted delta to −1 would double it on
+    * replay — restart the crashed stream first). Point-in-time by the
+    * ingest contract (ids are unique across batches, so a deleted id
+    * re-arriving is already a contract violation; the curate loops'
+    * id screens are the forward filter). Returns the surviving
+    * postings row count. */
+  def deleteSwapSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String, ids: DataFrame): Long =
+    deleteSwapRetrieval(spark, indexDir, idCol, ids,
+      positional = false, _ => ())
+
+  /** [[deleteSwapSearchIndex]] for a POSITIONAL store
+    * ([[positionalIndexIngestStream]]'s layout): identical protocol,
+    * with the survivors' positions merged sorted through the fold and
+    * POSITION mass checked alongside token mass. */
+  def deleteSwapPositionalIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String, ids: DataFrame): Long =
+    deleteSwapRetrieval(spark, indexDir, idCol, ids,
+      positional = true, _ => ())
+
+  private def deleteSwapRetrieval(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String, ids: DataFrame, positional: Boolean,
+      failpoint: Int => Unit): Long = {
+    import graft.operators.IndexOps
+    val op = if (positional) "deleteSwapPositionalIndex" else "deleteSwapSearchIndex"
+    val dlDir = dlSidecarDir(indexDir)
+    IndexOps.recoverSwap(spark, indexDir)
+    IndexOps.recoverSwap(spark, dlDir)
+    val drop = ids.select(col(idCol)).distinct()
+    val (fs, ixP) = fsPath(spark, indexDir)
+    // folding an uncommitted published delta into batch_id −1 would
+    // hide it from nothing — but its REPLAY would re-publish it beside
+    // the folded copy and silently double tf (the compaction paths'
+    // same guard). Batch ids come from the protocol's file names —
+    // driver-side listing, never a store column scan.
+    def requireNoPending(dir: String): Unit = {
+      val pending = batchIdsFromListing(spark, dir)
+        .filter(_ >= 0L).filterNot(isCommitted(spark, indexDir, _))
+      require(pending.isEmpty,
+        s"$op: $dir holds published but UNCOMMITTED batch generations " +
+          s"${pending.toSeq.sorted.mkString("[", ", ", "]")} — replay the " +
+          "crashed ingest (restart its stream) before a takedown; the " +
+          "rewrite folds generations to batch_id -1 and folding an " +
+          "uncommitted delta would double it on replay")
+    }
+    // ---- postings half
+    var survivors = 0L
+    if (hasDataFiles(fs, ixP)) {
+      val src = spark.read.parquet(indexDir)
+      if (!src.join(drop, Seq(idCol), "left_semi").isEmpty) {
+        requireNoPending(indexDir)
+        val kept = src.join(drop, Seq(idCol), "left_anti")
+        val exp =
+          if (positional) kept.agg(count(lit(1)), coalesce(sum("tf"), lit(0L)),
+            coalesce(sum(size(col("positions"))), lit(0L))).head()
+          else kept.agg(count(lit(1)), coalesce(sum("tf"), lit(0L))).head()
+        require(exp.getLong(1) > 0L,
+          s"$op: the takedown would remove EVERY row of $indexDir — " +
+            "delete the index directory (and rebuild when there is " +
+            "content) instead of swapping in an empty relation no " +
+            "search can read")
+        val folded =
+          if (positional)
+            kept.groupBy(col("term"), col(idCol))
+              .agg(array_sort(flatten(collect_list("positions"))).as("positions"),
+                sum("tf").as("tf"))
+              .select(col("term"), col(idCol), col("positions"), col("tf"))
+              .withColumn("batch_id", lit(-1L))
+          else
+            kept.groupBy(col("term"), col(idCol)).agg(sum("tf").as("tf"))
+              .withColumn("batch_id", lit(-1L))
+        val tmp = indexDir + ".compact.tmp"
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        folded.write.mode("overwrite").parquet(tmp)
+        val dst =
+          if (positional) spark.read.parquet(tmp)
+            .agg(count(lit(1)), coalesce(sum("tf"), lit(0L)),
+              coalesce(sum(size(col("positions"))), lit(0L))).head()
+          else spark.read.parquet(tmp)
+            .agg(count(lit(1)), coalesce(sum("tf"), lit(0L))).head()
+        require(dst.getLong(1) == exp.getLong(1) &&
+            (!positional || dst.getLong(2) == exp.getLong(2)),
+          s"$op: rewrite of $indexDir changed the survivor token/position " +
+            s"mass — not swapping in")
+        copyCommitMarkers(spark, indexDir, tmp)
+        copyMarkerDir(spark, indexDir, tmp, "_graft_tokenizer")
+        IndexOps.swapDirs(spark, indexDir, tmp)
+        survivors = dst.getLong(0)
+      } else survivors = src.count()
+    }
+    failpoint(11)
+    // ---- doc-length sidecar half (zero-token documents live ONLY
+    // here, so the dl hit test is independent of the postings half's)
+    val (dlFs, dlP) = fsPath(spark, dlDir)
+    if (hasDataFiles(dlFs, dlP)) {
+      val dl = spark.read.parquet(dlDir)
+      if (!dl.join(drop, Seq(idCol), "left_semi").isEmpty) {
+        requireNoPending(dlDir)
+        val kept = dl.join(drop, Seq(idCol), "left_anti")
+          .groupBy(col(idCol)).agg(sum("__dl").as("__dl"))
+          .withColumn("batch_id", lit(-1L))
+        val exp = kept.agg(count(lit(1)),
+          coalesce(sum("__dl"), lit(0L))).head()
+        require(exp.getLong(0) > 0L,
+          s"$op: the takedown would empty the doc-length sidecar at " +
+            s"$dlDir — delete the store directories instead")
+        val tmp = dlDir + ".compact.tmp"
+        dlFs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        kept.write.mode("overwrite").parquet(tmp)
+        val dst = spark.read.parquet(tmp)
+          .agg(count(lit(1)), coalesce(sum("__dl"), lit(0L))).head()
+        require(dst.getLong(0) == exp.getLong(0) &&
+            dst.getLong(1) == exp.getLong(1),
+          s"$op: sidecar rewrite of $dlDir lost rows or length mass — " +
+            "not swapping in")
+        // the totals manifest folds WITH the sidecar: one `compacted`
+        // entry carrying the post-takedown (n_docs, Σdl) — this is what
+        // makes BM25's n_docs/avgdl shift to the surviving corpus's
+        // (the strong form of the takedown contract)
+        writeDlTotals(spark, tmp, "compacted", dst.getLong(0), dst.getLong(1))
+        IndexOps.swapDirs(spark, dlDir, tmp)
+      }
+    }
+    failpoint(12)
+    survivors
+  }
+
+  /** In-loop takedown for the two index loops — the retrieval twin of
+    * [[applyCurateDeletes]]: pending id-list parquet files/dirs
+    * (carrying `idCol`) dropped into `pendDir` are applied strictly
+    * AFTER a batch commits via [[deleteSwapRetrieval]] (both halves +
+    * totals fold), then consumed into `_applied/`. A crash anywhere
+    * re-applies the same lists next batch — both halves are
+    * idempotent, and a crash inside either swap is healed by the next
+    * batch's entry recovery. */
+  private def applyRetrievalDeletes(spark: org.apache.spark.sql.SparkSession,
+      pendDir: String, indexDir: String, idCol: String, positional: Boolean,
+      failpoint: Int => Unit): Unit = {
+    if (pendDir.isEmpty) return
+    val pend = new org.apache.hadoop.fs.Path(pendDir)
+    val fs = pend.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(pend)) return
+    val lists = fs.listStatus(pend)
+      .filter(st => !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    if (lists.isEmpty) return
+    val ids = spark.read.parquet(lists.map(_.toString).toIndexedSeq: _*)
+      .select(idCol).distinct()
+    deleteSwapRetrieval(spark, indexDir, idCol, ids, positional, failpoint)
+    failpoint(13)
+    val applied = new org.apache.hadoop.fs.Path(pend, "_applied")
+    fs.mkdirs(applied)
+    lists.foreach { p =>
+      require(fs.rename(p, new org.apache.hadoop.fs.Path(applied, p.getName)),
+        s"applyRetrievalDeletes: consuming applied delete list $p failed")
+    }
   }
 
   // ----------------------------------------------- curate batch internals

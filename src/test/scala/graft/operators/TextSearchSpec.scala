@@ -410,6 +410,19 @@ class TextSearchSpec extends SparkSpec {
     // an empty probe set yields an empty, correctly-shaped result
     assert(TextSearch.searchStoreMoreLikeThis(store,
       probes.filter(col("doc_id") < 0), "doc_id", "text", 3).isEmpty)
+    // ... whose q_<idCol> carries the PROBE's id type even when it
+    // differs from the store's (long-keyed store, string-keyed probe):
+    // both branches must agree or unions across probe batches break
+    // (advisor r17 finding)
+    val strProbes = probes.filter(col("doc_id") < 0)
+      .withColumn("doc_id", col("doc_id").cast("string"))
+    val emptyR = TextSearch.searchStoreMoreLikeThis(store, strProbes,
+      "doc_id", "text", 3)
+    assert(emptyR.isEmpty)
+    assert(emptyR.schema("q_doc_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(emptyR.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.LongType)
   }
 
   test("suggestTerms: frequency-aware typo correction over the vocabulary; store slices work") {
@@ -417,7 +430,7 @@ class TextSearchSpec extends SparkSpec {
       (1L, "spark sparks the table"), (2L, "spark spark parks"),
       (3L, "shark joins"), (4L, "spork")).toDF("doc_id", "text")
     val post = TextSearch.postings(d, "doc_id", "text")
-    val r = TextSearch.suggestTerms(post, "spark", 1, 10)
+    val r = TextSearch.suggestTerms(post, "doc_id", "spark", 1, 10)
       .as[(String, Long, Long)].collect().toSeq
     // d=1 candidates ranked by df desc then term: sparks(1), shark(1),
     // spork(1) tie on df → term asc; parks is d=1 too (drop 's', add
@@ -425,18 +438,27 @@ class TextSearchSpec extends SparkSpec {
     // distance 2) — excluded at maxDist 1
     assert(r == Seq(("shark", 1L, 1L), ("sparks", 1L, 1L), ("spork", 1L, 1L)))
     // the query term itself is never suggested; df ranks corrections
-    val r2 = TextSearch.suggestTerms(post, "sprak", 2, 2)
+    val r2 = TextSearch.suggestTerms(post, "doc_id", "sprak", 2, 2)
       .as[(String, Long, Long)].collect().toSeq
     assert(r2.head._1 == "spark" && r2.head._2 == 2L)
     // a positional-store slice serves as the vocabulary source
     val store = TextSearch.positionalPostings(d, "doc_id", "text")
-    assert(TextSearch.suggestTerms(store, "spark", 1, 10)
+    assert(TextSearch.suggestTerms(store, "doc_id", "spark", 1, 10)
+      .as[(String, Long, Long)].collect().toSeq == r)
+    // UNCOMPACTED-store law: a store holding one row per (term, id,
+    // batch) — the same document's postings split across two batch
+    // generations — suggests IDENTICALLY to the compacted form: df is
+    // the distinct-document count, not the raw row count (the advisor's
+    // r17 finding: a row count doubles df for every recurring term)
+    val uncompacted = post.withColumn("batch_id", lit(0L)).unionByName(
+      post.withColumn("batch_id", lit(1L)))
+    assert(TextSearch.suggestTerms(uncompacted, "doc_id", "spark", 1, 10)
       .as[(String, Long, Long)].collect().toSeq == r)
     intercept[IllegalArgumentException] {
-      TextSearch.suggestTerms(post, "two words", 1, 5)
+      TextSearch.suggestTerms(post, "doc_id", "two words", 1, 5)
     }
     intercept[IllegalArgumentException] {
-      TextSearch.suggestTerms(post, "ok", 0, 5)
+      TextSearch.suggestTerms(post, "doc_id", "ok", 0, 5)
     }
   }
 

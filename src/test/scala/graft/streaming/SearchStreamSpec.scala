@@ -439,6 +439,133 @@ class SearchStreamSpec extends SparkSpec {
     assert(spark.read.parquet(StreamingIngest.dlSidecarDir(ix2)).count() == 4)
   }
 
+  // ------------------------------------------- retrieval-store takedown
+
+  private def dlMap(ix: String): Map[Long, Long] =
+    spark.read.parquet(StreamingIngest.dlSidecarDir(ix))
+      .groupBy("doc_id").agg(sum("__dl").as("__dl"))
+      .as[(Long, Long)].collect().toMap
+
+  test("takedown strong form: post-delete store ≡ a fresh ingest of the surviving corpus (scores shift with n_docs)") {
+    val ix = tmp("si-td")
+    val b0 = Seq((1L, "alpha beta gamma"), (2L, "alpha beta"),
+      (3L, "gamma gamma alpha beta")).toDF("doc_id", "text")
+    val b1 = Seq((4L, "beta delta"), (5L, "alpha alpha delta beta"),
+      (6L, "...")).toDF("doc_id", "text") // 6 is zero-token: sidecar-only
+    run(b0, 0L, ix); run(b1, 1L, ix)
+    val before = StreamingIngest.searchIndexTopKBm25(spark, ix, "doc_id",
+      Seq("alpha", "beta"), 10).as[(Long, Long)].collect().toSeq
+    // takedown: docs 3 (postings+dl) and 6 (dl ONLY — its terms never
+    // entered the store; the sidecar half must still fire)
+    val removed = StreamingIngest.deleteSwapSearchIndex(spark, ix, "doc_id",
+      Seq(3L, 6L).toDF("doc_id"))
+    assert(removed > 0)
+    // the reference: a FRESH ingest of the surviving corpus
+    val ix2 = tmp("si-td-ref")
+    run(Seq((1L, "alpha beta gamma"), (2L, "alpha beta"),
+      (4L, "beta delta"), (5L, "alpha alpha delta beta"))
+      .toDF("doc_id", "text"), 0L, ix2)
+    assert(storePostings(ix) == storePostings(ix2),
+      "post-takedown postings differ from a survivor rebuild")
+    assert(dlMap(ix) == dlMap(ix2))
+    assert(StreamingIngest.searchIndexTotals(spark, ix) ==
+      StreamingIngest.searchIndexTotals(spark, ix2),
+      "totals manifest did not fold with the takedown")
+    // the STRONG form: BM25 through the dir reader (manifest n_docs,
+    // sidecar lengths) equals the survivor rebuild's — and differs from
+    // the pre-takedown ranking (n_docs/avgdl/df all shifted)
+    def bm25(d: String) = StreamingIngest.searchIndexTopKBm25(spark, d,
+      "doc_id", Seq("alpha", "beta"), 10,
+      allowFullScanFallback = false).as[(Long, Long)].collect().toSeq
+    assert(bm25(ix) == bm25(ix2))
+    assert(bm25(ix) != before, "scores did not shift — a stale scalar " +
+      "(n_docs or avgdl) survived the takedown")
+    // markers survived: a committed-batch replay after the swap no-ops
+    val after = storePostings(ix)
+    run(b0, 0L, ix); run(b1, 1L, ix)
+    assert(storePostings(ix) == after,
+      "commit markers lost in the takedown swap — replays re-published")
+    // re-applying the same list is a no-op (idempotence)
+    StreamingIngest.deleteSwapSearchIndex(spark, ix, "doc_id",
+      Seq(3L, 6L).toDF("doc_id"))
+    assert(storePostings(ix) == after && dlMap(ix) == dlMap(ix2))
+    // and a genuinely NEW batch still ingests on top (tokenizer marker
+    // survived the swap too — an ingest would refuse otherwise)
+    run(Seq((7L, "epsilon beta")).toDF("doc_id", "text"), 2L, ix)
+    assert(storePostings(ix).contains(("epsilon", 7L)))
+  }
+
+  test("takedown refusals: delete-all refused; uncommitted generations refuse the fold") {
+    val ix = tmp("si-td-refuse")
+    run(Seq((1L, "alpha beta"), (2L, "beta")).toDF("doc_id", "text"), 0L, ix)
+    val eAll = intercept[IllegalArgumentException] {
+      StreamingIngest.deleteSwapSearchIndex(spark, ix, "doc_id",
+        Seq(1L, 2L).toDF("doc_id"))
+    }
+    assert(eAll.getMessage.contains("EVERY row"))
+    // a crashed batch (published, unmarked) blocks the takedown: folding
+    // its delta to −1 would double it on replay
+    intercept[IllegalStateException] {
+      run(Seq((3L, "gamma")).toDF("doc_id", "text"), 1L, ix, failAfter = 1)
+    }
+    val ePend = intercept[IllegalArgumentException] {
+      StreamingIngest.deleteSwapSearchIndex(spark, ix, "doc_id",
+        Seq(1L).toDF("doc_id"))
+    }
+    assert(ePend.getMessage.contains("UNCOMMITTED"))
+    // replay the crashed batch; the takedown then proceeds
+    run(Seq((3L, "gamma")).toDF("doc_id", "text"), 1L, ix)
+    StreamingIngest.deleteSwapSearchIndex(spark, ix, "doc_id",
+      Seq(1L).toDF("doc_id"))
+    assert(!storePostings(ix).contains(("alpha", 1L)))
+  }
+
+  test("positional takedown: store twins stop matching the deleted doc; in-loop crash seams replay to convergence") {
+    val ix = tmp("si-td-pos"); val pend = tmp("si-td-pend")
+    val b0 = Seq((1L, "red blue x red blue"), (2L, "red x x blue"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, "red blue")).toDF("doc_id", "text")
+    runPos(b0, 0L, ix); runPos(b1, 1L, ix)
+    // the reference: a survivor rebuild
+    val ix2 = tmp("si-td-pos-ref")
+    runPos(Seq((1L, "red blue x red blue"), (2L, "red x x blue"))
+      .toDF("doc_id", "text"), 0L, ix2)
+    // drop an id list into the pend dir; crash AFTER the postings swap
+    // (failpoint 11 fires inside the takedown's two-halves window)
+    Seq(3L).toDF("doc_id").write.parquet(pend + "/list1")
+    intercept[IllegalStateException] {
+      StreamingIngest.positionalIndexBatch(
+        Seq((9L, "green")).toDF("doc_id", "text"), 2L, ix, "doc_id", "text",
+        compactAtFiles = 0, failAfterStep = 11, applyDeletesFrom = pend)
+    }
+    // postings half landed; dl half pending; the list was NOT consumed
+    assert(spark.read.parquet(ix).filter(col("doc_id") === 3L).isEmpty,
+      "postings half did not land before the failpoint")
+    assert(new java.io.File(pend + "/list1").exists(),
+      "list consumed before both halves completed")
+    // the next batch entry (a replay of the committed batch 2) re-applies
+    // the pending list to completion
+    StreamingIngest.positionalIndexBatch(
+      Seq((9L, "green")).toDF("doc_id", "text"), 2L, ix, "doc_id", "text",
+      compactAtFiles = 0, applyDeletesFrom = pend)
+    assert(!new java.io.File(pend + "/list1").exists() &&
+      new java.io.File(pend + "/_applied/list1").exists(),
+      "applied list not consumed into _applied/")
+    // doc 3 is gone from every reader: phrase, proximity, frequency
+    val store = spark.read.parquet(ix).filter(col("doc_id") =!= 9L)
+    val ref = spark.read.parquet(ix2)
+    assert(TextSearch.searchStorePhrase(store, "doc_id",
+        Seq("red", "blue"), 10).as[(Long, Long)].collect().toSeq ==
+      TextSearch.searchStorePhrase(ref, "doc_id",
+        Seq("red", "blue"), 10).as[(Long, Long)].collect().toSeq)
+    assert(TextSearch.searchStoreProximity(store, "doc_id", "red", "blue",
+        4L, 10).as[(Long, Long)].collect().toSeq ==
+      TextSearch.searchStoreProximity(ref, "doc_id", "red", "blue",
+        4L, 10).as[(Long, Long)].collect().toSeq)
+    // dl sidecar folded consistently (batch 2's doc 9 remains)
+    assert(dlMap(ix) == dlMap(ix2) + (9L -> 1L))
+  }
+
   test("the real stream: AvailableNow drains build the index exactly once") {
     val drop = tmp("si-drop"); val ix = tmp("si-drain"); val ckpt = tmp("si-ckpt")
     val schema = org.apache.spark.sql.types.StructType(Seq(
