@@ -90,11 +90,24 @@ object Bench {
     // returns (wall seconds, task-CPU core-seconds, succeeded): a failed
     // pass keeps its wall time for the cold report but must never become
     // the min — a fast failure would otherwise masquerade as a speedup
+    // Each pass runs inside Checkpoints.scoped: several queries pin
+    // eager localCheckpoint blocks (the graph family's materialized()
+    // guard, the curate compositions), and without a release 167
+    // queries x 2 passes accumulate storage for the whole run —
+    // block-manager pressure that lands on whichever cells run LATE in
+    // the suite, not on the queries that pinned the blocks (the r17
+    // driver/builder graph-stretch divergence's structural suspect).
+    // Scoping each pass bounds pinned storage to one query's worth.
     def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Boolean) = {
       val t0 = System.nanoTime()
       val c0 = cpuNs.sum()
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try {
+          graft.operators.Checkpoints.scoped(spark) {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
+          true
+        }
         catch { case e: Throwable =>
           errors.getOrElseUpdate(name,
             e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200))

@@ -19,8 +19,13 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // scoped: release each query's eager localCheckpoint blocks so a
+      // 167-query sequential run cannot accumulate pinned storage that
+      // pressures late-alphabet queries (the Bench pass discipline)
+      try graft.operators.Checkpoints.scoped(spark) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         val msg = e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(500)
         System.err.println(s"[verify] $name failed: $msg")
