@@ -513,5 +513,92 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.operators.TextSearch.searchTermsJvm(strConst(exprs(2), "phrase")),
           intConst(exprs(3), "k")))
       }))
+    // the remaining store readers (r18 — completing the family): every
+    // proximity shape plus suggest, each splicing the exact plan of its
+    // Scala reader, with query strings tokenized through the engine
+    // contract so CJK works from SQL
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_store_proximity"),
+      tvfInfo("graft_store_proximity",
+        "_FUNC_(index_dir, id_col, term_a, term_b, max_distance, k) - " +
+          "top-k docs by minimum token distance between the two terms, " +
+          "answered from a PERSISTED positional store (terms prune first)."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 6,
+          s"graft_store_proximity takes 6 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.operators.TextSearch.searchStoreProximity(
+          spark.read.parquet(strConst(exprs(0), "index_dir")),
+          strConst(exprs(1), "id_col"),
+          strConst(exprs(2), "term_a"), strConst(exprs(3), "term_b"),
+          longConst(exprs(4), "max_distance"), intConst(exprs(5), "k")))
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_store_window"),
+      tvfInfo("graft_store_window",
+        "_FUNC_(index_dir, id_col, query, window, k) - top-k docs by the " +
+          "minimal token span covering ALL of `query`'s terms (engine " +
+          "tokenization, CJK included) within `window`, from a PERSISTED " +
+          "positional store."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 5,
+          s"graft_store_window takes 5 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.operators.TextSearch.searchStoreWindowProximity(
+          spark.read.parquet(strConst(exprs(0), "index_dir")),
+          strConst(exprs(1), "id_col"),
+          graft.operators.TextSearch.searchTermsJvm(strConst(exprs(2), "query")),
+          longConst(exprs(3), "window"), intConst(exprs(4), "k")))
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_store_ordered"),
+      tvfInfo("graft_store_ordered",
+        "_FUNC_(index_dir, id_col, query, window, k) - top-k docs by the " +
+          "minimal span of `query`'s terms IN ORDER (subsequence match, " +
+          "phrase-with-slop) within `window`, from a PERSISTED positional " +
+          "store; terms must be distinct after tokenization."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 5,
+          s"graft_store_ordered takes 5 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.operators.TextSearch.searchStoreOrderedWindow(
+          spark.read.parquet(strConst(exprs(0), "index_dir")),
+          strConst(exprs(1), "id_col"),
+          graft.operators.TextSearch.searchTermsJvm(strConst(exprs(2), "query")),
+          longConst(exprs(3), "window"), intConst(exprs(4), "k")))
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_store_snippet"),
+      tvfInfo("graft_store_snippet",
+        "_FUNC_(index_dir, id_col, query, window, k) - the graft_store_window " +
+          "ranking plus WHERE the best window sits: (id, window_span, " +
+          "snippet_start, snippet_end) token offsets from a PERSISTED " +
+          "positional store — offsets, never text."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 5,
+          s"graft_store_snippet takes 5 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.operators.TextSearch.searchStoreSnippet(
+          spark.read.parquet(strConst(exprs(0), "index_dir")),
+          strConst(exprs(1), "id_col"),
+          graft.operators.TextSearch.searchTermsJvm(strConst(exprs(2), "query")),
+          longConst(exprs(3), "window"), intConst(exprs(4), "k")))
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_store_suggest"),
+      tvfInfo("graft_store_suggest",
+        "_FUNC_(index_dir, id_col, term, max_dist, k) - \"did you mean\": " +
+          "the k vocabulary terms of a PERSISTED store within max_dist " +
+          "edits of `term`, ranked (distance, df desc, term); df is the " +
+          "distinct-document count, so uncompacted stores rank identically."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 5,
+          s"graft_store_suggest takes 5 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.operators.TextSearch.suggestTerms(
+          spark.read.parquet(strConst(exprs(0), "index_dir")),
+          strConst(exprs(1), "id_col"), strConst(exprs(2), "term"),
+          intConst(exprs(3), "max_dist"), intConst(exprs(4), "k")))
+      }))
   }
 }

@@ -267,6 +267,47 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(mltSql == graft.operators.TextSearch.moreLikeThis(
       corpus, corpus.filter(col("doc_id") === 1L), "doc_id", "text", 3)
       .as[(Long, Long, Long)].collect().toSet)
+    // the r18 completions: every proximity shape + suggest, SQL ≡ Scala
+    val store = spark.read.parquet(ix)
+    assert(spark.sql(
+      s"SELECT * FROM graft_store_proximity('$ix', 'doc_id', 'spark', 'joins', 4, 10)")
+      .as[(Long, Long)].collect().toSeq ==
+      graft.operators.TextSearch.searchStoreProximity(store, "doc_id",
+        "spark", "joins", 4L, 10).as[(Long, Long)].collect().toSeq)
+    assert(spark.sql(
+      s"SELECT * FROM graft_store_window('$ix', 'doc_id', 'spark table', 6, 10)")
+      .as[(Long, Long)].collect().toSeq ==
+      graft.operators.TextSearch.searchStoreWindowProximity(store, "doc_id",
+        Seq("spark", "table"), 6L, 10).as[(Long, Long)].collect().toSeq)
+    assert(spark.sql(
+      s"SELECT * FROM graft_store_ordered('$ix', 'doc_id', 'spark table', 6, 10)")
+      .as[(Long, Long)].collect().toSeq ==
+      graft.operators.TextSearch.searchStoreOrderedWindow(store, "doc_id",
+        Seq("spark", "table"), 6L, 10).as[(Long, Long)].collect().toSeq)
+    assert(spark.sql(
+      s"SELECT * FROM graft_store_snippet('$ix', 'doc_id', 'spark table', 6, 10)")
+      .as[(Long, Long, Long, Long)].collect().toSeq ==
+      graft.operators.TextSearch.searchStoreSnippet(store, "doc_id",
+        Seq("spark", "table"), 6L, 10)
+        .as[(Long, Long, Long, Long)].collect().toSeq)
+    // a CJK query string tokenizes to its bigrams through the TVF
+    assert(spark.sql(
+      s"SELECT * FROM graft_store_window('$ix', 'doc_id', '数据库', 4, 10)")
+      .as[(Long, Long)].collect().toSeq ==
+      graft.operators.TextSearch.searchStoreWindowProximity(store, "doc_id",
+        Seq("数据", "据库"), 4L, 10).as[(Long, Long)].collect().toSeq)
+    // suggest over the store vocabulary, df = distinct docs (doc 1 and 2
+    // both hold 'spark': df 2 even though the uncompacted layout could
+    // hold multiple rows)
+    assert(spark.sql(
+      s"SELECT * FROM graft_store_suggest('$ix', 'doc_id', 'sprk', 2, 5)")
+      .as[(String, Long, Long)].collect().toSeq ==
+      graft.operators.TextSearch.suggestTerms(store, "doc_id", "sprk", 2, 5)
+        .as[(String, Long, Long)].collect().toSeq)
+    assert(spark.sql(
+      s"SELECT * FROM graft_store_suggest('$ix', 'doc_id', 'sprk', 2, 5)")
+      .filter(col("term") === "spark").as[(String, Long, Long)]
+      .collect().toSeq == Seq(("spark", 2L, 1L)))
   }
 
   test("the span-dedup derivations are callable from SQL") {
