@@ -205,6 +205,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$name must be an integral constant, got $other")
     }
     ext.injectFunction((
+      new FunctionIdentifier("search_tokens"),
+      new ExpressionInfo(
+        classOf[graft.functions.SearchTokens].getCanonicalName,
+        "", "search_tokens",
+        "_FUNC_(text) - the engine's search-tokenization contract as an " +
+          "array<string>: ROOT-folded Unicode letter/digit runs, CJK " +
+          "segments emitted as overlapping bigrams (what every graft " +
+          "search operator and index store indexes).",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"search_tokens takes 1 argument, got ${exprs.length}")
+        graft.functions.SearchTokens(exprs.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("token_window_hashes"),
       new ExpressionInfo(
         classOf[TokenWindowHashes].getCanonicalName,

@@ -57,12 +57,16 @@ object TextSearch {
     * Positions are indexes in the emitted stream: consecutive bigrams
     * overlap by one char, so a CJK phrase is exactly its consecutive-
     * bigram token sequence and phrase/proximity operators work
-    * unchanged. RE2-safe (`\x{...}` classes, no lookaround) so the
-    * oracle replays the identical stream. CJK-free documents — the
-    * overwhelming case per-partition in most corpora — take a fast path
-    * that is byte-identical to the single regexp_extract_all of the
-    * pre-r17 tokenizer: one cheap per-row character-class rlike is the
-    * only added cost, and plan shapes are unchanged (PlanShapeSpec). */
+    * unchanged. The regex patterns below are RE2-safe (`\x{...}`
+    * classes, no lookaround) and are what the DuckDB oracle replays;
+    * since r18 the ENGINE side evaluates the identical contract through
+    * the native [[graft.functions.SearchTokens]] expression instead of
+    * the regex-in-lambda chain — one byte walk for ASCII documents, one
+    * codepoint walk (ROOT-locale folded, closing the executor-locale
+    * divergence the r17 advisor flagged) otherwise; law-tested equal to
+    * [[searchTermsJvm]] and to the declarative chain in TextSearchSpec,
+    * 28× cheaper warm-pass on the all-CJK sweep corpus and 2.4× on the
+    * ASCII one (SCALING.md r18). */
   val RunPattern = "[\\p{L}\\p{N}]+"
 
   /** BMP letter codepoints tokenized as CJK: Hiragana letters, Katakana
@@ -78,7 +82,23 @@ object TextSearch {
   val CjkClass: String = s"[$CjkRanges]"
   val SegPattern: String = s"$CjkClass+|[^$CjkRanges]+"
 
-  def searchTerms(text: Column): Column = {
+  def searchTerms(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.SearchTokens(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
+  /** The pre-r18 declarative tokenizer — the regex/higher-order-function
+    * chain [[searchTerms]]'s native expression replaced, kept as the
+    * law-test witness (TextSearchSpec pins native ≡ declarative on
+    * generated strings; the DuckDB oracle replays this construction via
+    * [[RunPattern]]/[[SegPattern]]). One known divergence, documented
+    * on [[graft.functions.SearchTokens]]: Spark's collation-aware
+    * `lower()` applies the Greek Final_Cased rule with ICU context
+    * detection, the contract's ROOT fold with the JDK's — they differ
+    * on Σ near surrogate pairs, where this chain also disagreed with
+    * the QUERY side ([[searchTermsJvm]]); the native form pins both
+    * sides to one fold. */
+  private[graft] def searchTermsDeclarative(text: Column): Column = {
     val lowered = lower(text)
     val fast = regexp_extract_all(lowered, lit(RunPattern), lit(0))
     val toks = flatten(transform(fast, r => {
@@ -97,11 +117,13 @@ object TextSearch {
     * driver-side and query-sized, so a JVM mirror is the right tool;
     * the corpus side stays the codegen-friendly column form. */
   def searchTermsJvm(text: String): Seq[String] = {
-    // Locale.ROOT: a default-locale lowercase diverges from the column
-    // tokenizer on Turkish/Azeri JVMs (TITLE -> tıtle) — the index would
-    // hold 'title' while the query side produced 'tıtle', silently
-    // zero-hit (review finding). ROOT matches lower()'s ASCII fast path
-    // everywhere and root-locale semantics beyond it.
+    // Locale.ROOT on BOTH sides since r18: the column tokenizer
+    // ([[graft.functions.SearchTokens]]) folds with ROOT too, so corpus
+    // and query sides agree on every JVM — including Turkish/Azeri
+    // executor locales, where the old lower()-based chain folded
+    // non-ASCII-bearing corpus strings with the DEFAULT locale
+    // ("TITLE数据" indexed as 'tıtle…' while the query side produced
+    // 'title', silently zero-hit — the r17 advisor's residual).
     val lowered = text.toLowerCase(java.util.Locale.ROOT)
     val out = Seq.newBuilder[String]
     val rm = RunPatternJvm.matcher(lowered)

@@ -496,6 +496,62 @@ class TextSearchSpec extends SparkSpec {
     assert(colToks == mlSamples.map(TextSearch.searchTermsJvm))
   }
 
+  test("triple tokenizer law: native expression ≡ declarative chain ≡ JVM mirror on adversarial generated strings") {
+    // a seeded pool crossing every classification boundary the native
+    // walk has: ASCII alnum/punct, every CJK range edge (incl. the
+    // U+30FC prolonged mark and range endpoints), non-CJK Unicode
+    // letters, combining marks (Mn — split runs), non-BMP letters
+    // (surrogate pairs in \p{L}), number categories Nd/Nl/No beyond
+    // ASCII, uppercase needing multi-char folds (İ ß ΣΟΣ), and symbols
+    val pool: IndexedSeq[String] = IndexedSeq(
+      "a", "Z", "7", " ", ".", "_", "-", "!", "\t", "\n",
+      "中", "ぁ", "ゖ", "ァ", "ヺ", "ー",
+      "㐀", "䶿", "一", "鿿", "豈", "﫿",
+      "가", "힣",
+      "д", "Б", "ع", "ا", "İ", "ı", "ß", "Σ", "Ο", "ς",
+      "̇", "́", // combining marks (Mn)
+      new String(Character.toChars(0x1D538)), // 𝔸 MATHEMATICAL A (Lu, non-BMP)
+      new String(Character.toChars(0x10348)), // 𐍈 GOTHIC LETTER (Lo, non-BMP)
+      new String(Character.toChars(0x1F600)), // 😀 (So — separator)
+      "٤", // ٤ ARABIC-INDIC DIGIT FOUR (Nd)
+      "Ⅲ", // Ⅲ ROMAN NUMERAL (Nl)
+      "²", // ² SUPERSCRIPT TWO (No)
+      "゙", // combining kana voicing mark (Mn, inside the CJK block)
+      "・") // katakana middle dot (Po, inside the CJK block)
+    val rnd = new scala.util.Random(180) // deterministic: failures replay
+    val gen = (1 to 300).map { _ =>
+      val len = rnd.nextInt(24)
+      (0 until len).map(_ => pool(rnd.nextInt(pool.size))).mkString
+    } ++ mlSamples
+    val df = gen.map(Tuple1(_)).toDF("t")
+    val both = df.select(
+        TextSearch.searchTerms(col("t")).as("native"),
+        graft.operators.TextSearch.searchTermsDeclarative(col("t")).as("decl"))
+      .as[(Seq[String], Seq[String])].collect().toSeq
+    both.zip(gen).foreach { case ((nat, dec), s) =>
+      // THE contract law: corpus-side native ≡ query-side JVM mirror,
+      // byte-exact on EVERY input — one ROOT fold on both sides is what
+      // makes indexed terms and query terms meet (the r17 advisor's
+      // locale residual, closed)
+      assert(nat == TextSearch.searchTermsJvm(s),
+        s"native != JVM mirror on ${s.map(c => f"\\u${c.toInt}%04x").mkString}: " +
+          s"$nat vs ${TextSearch.searchTermsJvm(s)}")
+      // the retired declarative chain agrees everywhere EXCEPT the
+      // Greek-final-sigma conditional casing: Spark 4's collation-aware
+      // lower() applies the Unicode Final_Cased rule with ICU context
+      // detection, while the JDK heuristic the contract pins diverges
+      // near surrogate pairs (Σ → ς vs σ; found by this generator) —
+      // exactly the class of silent corpus/query mismatch that made the
+      // old lower()-based chain worth retiring
+      if (!s.contains('Σ'))
+        assert(nat == dec,
+          s"native != declarative on ${s.map(c => f"\\u${c.toInt}%04x").mkString}: $nat vs $dec")
+    }
+    // null flows through like the old chain (null in → null out)
+    assert(df.limit(1).select(
+      TextSearch.searchTerms(lit(null).cast("string"))).head().isNullAt(0))
+  }
+
   test("isToken: tokens are fixpoints; strings that re-tokenize are rejected") {
     assert(Seq("spark", "42", "数据", "中", "данные").forall(TextSearch.isToken))
     assert(Seq("two words", "数据库", "spark数据", "", "UP").forall(t => !TextSearch.isToken(t)))
