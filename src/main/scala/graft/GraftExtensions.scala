@@ -306,6 +306,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 3, s"png_encode_rgb takes 3 arguments, got ${exprs.length}")
         graft.functions.PngEncodeRgb(exprs(0), exprs(1), exprs(2))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("png_encode_palette"),
+      new ExpressionInfo(
+        classOf[graft.functions.PngEncodePalette].getCanonicalName,
+        "", "png_encode_palette",
+        "_FUNC_(indices, w, h, palette) - encode raw top-down index bytes " +
+          "(w*h) + an RGB table (3*entries bytes, <=256 entries) as a " +
+          "standard 8-bit PALETTE PNG; null when lengths disagree or an " +
+          "index points past the table.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4, s"png_encode_palette takes 4 arguments, got ${exprs.length}")
+        graft.functions.PngEncodePalette(exprs(0), exprs(1), exprs(2), exprs(3))
+      }))
 
     // ------------------------------------------------ table functions (r16)
     // The operator families' SQL surface: TABLE-valued functions whose

@@ -10,12 +10,18 @@ import org.apache.spark.sql.types._
   * format: non-interlaced 8-bit PNG (public spec, RFC 2083) — the
   * signature + chunk walk, IDAT concatenation through
   * `java.util.zip.Inflater`, and the five scanline unfilters
-  * (None/Sub/Up/Average/Paeth). Gray, gray+alpha, RGB and RGBA color
-  * types decode; palette (needs PLTE indirection), 16-bit and
+  * (None/Sub/Up/Average/Paeth). Gray, gray+alpha, RGB, RGBA and —
+  * since r18 — PALETTE (PLTE-indexed, the most common PNG subtype on
+  * the web: icons, screenshots, charts) color types decode; 16-bit and
   * interlaced images return null (documented contract edges, the
   * [[BmpPixels]] decode-or-null discipline — never garbage, never a
-  * crash). CRCs are NOT verified: this is a decoder, not a validator,
-  * and a corrupt stream already fails the inflate/size checks.
+  * crash). Palette rules: exactly one PLTE chunk, before the first
+  * IDAT, 1–256 entries of 3 bytes; a pixel indexing past the palette
+  * is null (a decoder that clamped or wrapped would read back
+  * plausible wrong colors); tRNS alpha is ignored (the feature surface
+  * ignores alpha for RGBA too). CRCs are NOT verified: this is a
+  * decoder, not a validator, and a corrupt stream already fails the
+  * inflate/size checks.
   *
   * [[PngEncodeRgb]] is the inverse for the common case — raw top-down
   * RGB triples to a minimal standard PNG (filter-0 rows, one IDAT,
@@ -68,26 +74,42 @@ object PngPixels {
     // byte-walk lesson: every size check in overflow-free Long)
     if (w <= 0 || h <= 0 || w > MaxInflated || h > MaxInflated) return null
     if (bitDepth != 8) return null
+    // palette images carry ONE index byte per pixel through the filter
+    // stage; the PLTE indirection to RGB happens after unfiltering
     val channels = colorType match {
-      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
-      case _ => return null // 3 = palette (needs PLTE), others undefined
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return null
     }
     val rowBytes = w * channels.toLong
     val inflatedLen = h * (rowBytes + 1) // ≤ 2^26 · (2^28+1): overflow-free
     if (inflatedLen > MaxInflated) return null
+    // the palette EXPANSION (w·h·3) must obey the same cap as the
+    // inflate buffer — a 1-byte-per-pixel image at the inflate cap
+    // would otherwise allocate 3× past it
+    if (colorType == 3 && h * w * 3L > MaxInflated) return null
     // chunk walk: collect IDAT extents in stream order (Long offsets —
-    // a crafted length must not wrap the cursor)
+    // a crafted length must not wrap the cursor); capture PLTE for
+    // palette images (exactly one, before the first IDAT, 1–256
+    // three-byte entries — anything else is out of contract)
     var at = 33L
     var idat = List.empty[(Int, Int)]
+    var palette: Array[Byte] = null
     var ended = false
     while (!ended && at + 8 <= n) {
       val len = be32(b, at.toInt)
       if (len > Int.MaxValue || at + 12 + len > n) return null // truncated chunk
       if (isType(b, at.toInt + 4, "IDAT")) idat ::= ((at.toInt + 8, len.toInt))
+      else if (isType(b, at.toInt + 4, "PLTE")) {
+        if (palette != null || idat.nonEmpty) return null
+        if (len == 0 || len % 3 != 0 || len > 768) return null
+        palette = java.util.Arrays.copyOfRange(
+          b, at.toInt + 8, at.toInt + 8 + len.toInt)
+      }
       else if (isType(b, at.toInt + 4, "IEND")) ended = true
       at += 12 + len
     }
     if (idat.isEmpty) return null
+    if (colorType == 3 && palette == null) return null // indexed, no table
     val ranges = idat.reverse
     val out = new Array[Byte](inflatedLen.toInt)
     val inf = new java.util.zip.Inflater()
@@ -158,7 +180,23 @@ object PngPixels {
       }
       y += 1
     }
-    new Decoded(w.toInt, h.toInt, channels, samples)
+    if (colorType != 3) new Decoded(w.toInt, h.toInt, channels, samples)
+    else {
+      // PLTE indirection: one table lookup per pixel; an index past the
+      // table is OUT OF CONTRACT (null), never clamped or wrapped
+      val entries = palette.length / 3
+      val rgb = new Array[Byte](samples.length * 3)
+      var i = 0
+      while (i < samples.length) {
+        val idx = samples(i) & 0xFF
+        if (idx >= entries) return null
+        rgb(3 * i) = palette(3 * idx)
+        rgb(3 * i + 1) = palette(3 * idx + 1)
+        rgb(3 * i + 2) = palette(3 * idx + 2)
+        i += 1
+      }
+      new Decoded(w.toInt, h.toInt, 3, rgb)
+    }
   }
 
   /** Exact integer grid color features over the REAL pixels — the
@@ -199,7 +237,39 @@ object PngPixels {
     val rowBytes = w.toLong * 3
     if (h * (rowBytes + 1) > MaxInflated) return null
     if (data.length.toLong != rowBytes * h) return null
-    val rb = rowBytes.toInt
+    emitPng(data, w, h, rowBytes.toInt, colorType = 2, plte = null)
+  }
+
+  /** Encode a PALETTE PNG from raw top-down index bytes (w·h of them)
+    * and a 1–256-entry RGB table (3·entries bytes) — 8-bit color type
+    * 3, PLTE chunk, filter-0 rows, correct CRCs. Null when the lengths
+    * disagree, the table is malformed, any index points past the table
+    * (the decoder refuses such a pixel, and this encoder never emits
+    * what the decoder would refuse), or the dims exceed the decode
+    * caps. The fixture path that lets a SQL oracle value-check the
+    * PLTE indirection end to end (the q163 encode→decode discipline). */
+  private[graft] def encodePalette(indices: Array[Byte], w: Int, h: Int,
+      palette: Array[Byte]): Array[Byte] = {
+    if (w <= 0 || h <= 0) return null
+    if (palette == null || palette.length == 0 ||
+      palette.length % 3 != 0 || palette.length > 768) return null
+    val rowBytes = w.toLong
+    if (h * (rowBytes + 1) > MaxInflated || h * w * 3L > MaxInflated) return null
+    if (indices.length.toLong != rowBytes * h) return null
+    val entries = palette.length / 3
+    var i = 0
+    while (i < indices.length) {
+      if ((indices(i) & 0xFF) >= entries) return null
+      i += 1
+    }
+    emitPng(indices, w, h, rowBytes.toInt, colorType = 3, plte = palette)
+  }
+
+  /** Shared emit: filter-0 rows, one deflate stream, IHDR(depth 8,
+    * `colorType`), optional PLTE, IDAT, IEND — CRCs correct so
+    * external decoders accept the file. */
+  private def emitPng(data: Array[Byte], w: Int, h: Int, rb: Int,
+      colorType: Int, plte: Array[Byte]): Array[Byte] = {
     val raw = new Array[Byte](h * (rb + 1))
     var y = 0
     while (y < h) {
@@ -231,8 +301,9 @@ object PngPixels {
     def beI(v: Long, nBytes: Int): Unit =
       ((nBytes - 1) to 0 by -1).foreach(i => ihdr.write(((v >> (8 * i)) & 0xFF).toInt))
     beI(w.toLong, 4); beI(h.toLong, 4)
-    ihdr.write(8); ihdr.write(2); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    ihdr.write(8); ihdr.write(colorType); ihdr.write(0); ihdr.write(0); ihdr.write(0)
     chunk("IHDR", ihdr.toByteArray)
+    if (plte != null) chunk("PLTE", plte)
     chunk("IDAT", compressed)
     chunk("IEND", Array.empty[Byte])
     out.toByteArray
@@ -241,10 +312,11 @@ object PngPixels {
 
 /** Exact integer grid features over a PNG's REAL pixels — the
   * [[BmpGridFeatures]] contract for the compressed sibling: Inflater +
-  * the five scanline unfilters, then the same forward-map cell sums in
-  * exact long arithmetic. Null for anything outside the decode
-  * contract (palette/16-bit/interlaced, truncated IDAT, undefined
-  * filter types, over-cap dims). */
+  * the five scanline unfilters (+ the PLTE indirection for palette
+  * images), then the same forward-map cell sums in exact long
+  * arithmetic. Null for anything outside the decode contract
+  * (16-bit/interlaced, malformed or missing PLTE, out-of-table
+  * indexes, truncated IDAT, undefined filter types, over-cap dims). */
 case class PngGridFeatures(child: Expression, gx: Int, gy: Int)
     extends UnaryExpression with CodegenFallback {
   require(gx >= 1 && gy >= 1 && gx <= 4096 && gy <= 4096,
@@ -287,4 +359,36 @@ case class PngEncodeRgb(first: Expression, second: Expression, third: Expression
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Encode raw top-down index bytes + an RGB table as a standard 8-bit
+  * PALETTE PNG ([[PngPixels.encodePalette]]) — the fixture path that
+  * lets a SQL oracle value-check the decoder's PLTE indirection end to
+  * end, and the icon/chart-thumbnail emit where 1 byte/pixel beats 3.
+  * Null when `indices` ≠ w·h bytes, the table is empty/misaligned/over
+  * 256 entries, any index points past the table, or the dims exceed
+  * the decode caps. */
+case class PngEncodePalette(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+    with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (BinaryType, IntegerType, IntegerType, BinaryType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, int, int, binary) inputs, got $other")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "png_encode_palette"
+  override def nullSafeEval(data: Any, w: Any, h: Any, palette: Any): Any =
+    PngPixels.encodePalette(data.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int],
+      palette.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
 }

@@ -190,7 +190,8 @@ object Multimodal {
     * non-interlaced 8-bit PNG (Inflater + the five scanline unfilters —
     * [[graft.functions.PngGridFeatures]]) → the same exact integer
     * grid color features as [[bmpGridFeatures]]. Gray/gray+alpha/RGB/
-    * RGBA decode; palette, 16-bit and interlaced return null. */
+    * RGBA/palette (PLTE-indexed, r18) decode; 16-bit and interlaced
+    * return null. */
   def pngGridFeatures(bin: Column, gx: Int, gy: Int): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(
@@ -206,6 +207,18 @@ object Multimodal {
     ColumnBridge.column(graft.functions.PngEncodeRgb(
       ColumnBridge.expression(data), ColumnBridge.expression(w),
       ColumnBridge.expression(h)))
+  }
+
+  /** Encode raw top-down index bytes + an RGB table as a standard
+    * 8-bit PALETTE PNG ([[graft.functions.PngEncodePalette]]) — the
+    * 1-byte-per-pixel emit for icon/chart-like assets, and the fixture
+    * path value-checking the decoder's PLTE indirection (q169). */
+  def pngEncodePalette(indices: Column, w: Column, h: Column,
+      palette: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.PngEncodePalette(
+      ColumnBridge.expression(indices), ColumnBridge.expression(w),
+      ColumnBridge.expression(h), ColumnBridge.expression(palette)))
   }
 
   /** STUB — deterministic fake feature extraction. A real deployment

@@ -528,6 +528,39 @@ object CleaningQueries {
       .orderBy("doc_id", "idx")
   }
 
+  /** MM10 — PALETTE PNG DECODE, validated through the engine's own
+    * palette encoder ([[Multimodal.pngEncodePalette]] →
+    * [[Multimodal.pngGridFeatures]]): per-doc index pixels and a
+    * 4–8-entry RGB table follow doc_id formulas, encode to a standard
+    * color-type-3 PNG (PLTE chunk, filter-0 rows, CRCs), decode back
+    * through the PLTE indirection to 2×2 grid sums. The oracle replays
+    * `palette[idx(x, y)]` arithmetically — DuckDB never parses a PNG,
+    * yet any error in the PLTE capture, the 1-byte-per-pixel unfilter
+    * path or the indirection reads back wrong sums. One doc in ten is
+    * truncated mid-file (decode null → zero rows, mirrored by the
+    * oracle's filter). */
+  val q169PngPalette: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    def be(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lpad(hex(v), 2, "0")
+    val w = (col("doc_id") % 9 + 3).cast("int")
+    val h = ((col("doc_id") * 5) % 7 + 3).cast("int")
+    val n = (col("doc_id") % 5 + 4).cast("int") // 4–8 palette entries
+    val palHex = array_join(transform(sequence(lit(0), n - 1), i => concat(
+      be((col("doc_id") * 7 + i * 29) % 256),
+      be((col("doc_id") * 3 + i * 53) % 256),
+      be((col("doc_id") * 11 + i * 17) % 256))), "")
+    val idxHex = array_join(
+      transform(sequence(lit(0), h - 1), y => array_join(
+        transform(sequence(lit(0), w - 1),
+          x => be((col("doc_id") + x * 3 + y * 5) % n)), "")), "")
+    val png = Multimodal.pngEncodePalette(unhex(idxHex), w, h, unhex(palHex))
+    val bytes = when(col("doc_id") % 10 === 7, png.substr(1, 40)).otherwise(png)
+    t.documents.select(col("doc_id"),
+        posexplode(Multimodal.pngGridFeatures(bytes, 2, 2)).as(Seq("idx", "v")))
+      .orderBy("doc_id", "idx")
+  }
+
   /** MM8 — chunking + frame sampling get the ORACLE the spec-only
     * coverage lacked ([[Multimodal.chunkBytes]] → every-2nd-chunk
     * [[Multimodal.frameSample]]): the corpus text as UTF-8 payloads cut
@@ -707,6 +740,7 @@ object CleaningQueries {
     "q152_bmp_resize" -> q152BmpResize,
     "q154_chunk_sample" -> q154ChunkSample,
     "q163_png_features" -> q163PngFeatures,
+    "q169_png_palette" -> q169PngPalette,
     "q126_quantiles" -> q126Quantiles,
     "q128_grouped_quantiles" -> q128GroupedQuantiles,
     "q137_iqr_outliers" -> q137IqrOutliers,
@@ -971,6 +1005,27 @@ object CleaningQueries {
         |    (doc_id * 7 + x * 3 + y * 5) % 256 AS r,
         |    (doc_id * 11 + x + y * 2) % 256 AS g,
         |    (doc_id * 13 + x * 9 + y) % 256 AS b
+        |  FROM px),
+        |s AS (SELECT doc_id, cell, SUM(r) AS r, SUM(g) AS g, SUM(b) AS b
+        |      FROM v GROUP BY doc_id, cell),
+        |l AS (
+        |  SELECT doc_id, cell * 3 AS idx, r AS v FROM s
+        |  UNION ALL SELECT doc_id, cell * 3 + 1, g FROM s
+        |  UNION ALL SELECT doc_id, cell * 3 + 2, b FROM s)
+        |SELECT doc_id, CAST(idx AS INT) AS idx, CAST(v AS BIGINT) AS v
+        |FROM l ORDER BY doc_id, idx""".stripMargin,
+    "q169_png_palette" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 9 + 3 AS w, (doc_id * 5) % 7 + 3 AS h,
+        |    doc_id % 5 + 4 AS n
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |xs AS (SELECT doc_id, w, h, n, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, n, x, unnest(range(0, h)) AS y FROM xs),
+        |v AS (
+        |  SELECT doc_id, ((y * 2) // h) * 2 + (x * 2) // w AS cell,
+        |    (doc_id * 7 + ((doc_id + x * 3 + y * 5) % n) * 29) % 256 AS r,
+        |    (doc_id * 3 + ((doc_id + x * 3 + y * 5) % n) * 53) % 256 AS g,
+        |    (doc_id * 11 + ((doc_id + x * 3 + y * 5) % n) * 17) % 256 AS b
         |  FROM px),
         |s AS (SELECT doc_id, cell, SUM(r) AS r, SUM(g) AS g, SUM(b) AS b
         |      FROM v GROUP BY doc_id, cell),

@@ -135,6 +135,16 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect()(0)
     assert(rowP.getSeq[Long](0) == Seq(9L, 8L, 7L))
     assert(rowP.isNullAt(1))
+    // the r18 palette pair: encode indexed pixels + an RGB table in
+    // SQL, decode back through the PLTE indirection
+    val rowQ = spark.sql(
+      """SELECT
+        |  png_grid_features(png_encode_palette(
+        |    unhex('0100'), 2, 1, unhex('0A141E646E78')), 1, 1) AS f,
+        |  png_encode_palette(unhex('0102'), 2, 1, unhex('0A141E')) AS bad""".stripMargin)
+      .collect()(0)
+    assert(rowQ.getSeq[Long](0) == Seq(110L, 130L, 150L)) // (100,110,120)+(10,20,30)
+    assert(rowQ.isNullAt(1)) // an index past the 1-entry table refuses
   }
 
   test("the operator-family TABLE functions are callable from SQL and equal the Scala API") {

@@ -13,7 +13,8 @@ class PngPixelsSpec extends SparkSpec {
     * controls the exact filter bytes the unfilters must invert. */
   private def png(w: Int, h: Int, raw: Array[Byte], bitDepth: Int = 8,
       colorType: Int = 2, interlace: Int = 0, splitIdat: Boolean = false,
-      dropIend: Boolean = false): Array[Byte] = {
+      dropIend: Boolean = false, plte: Array[Byte] = null,
+      plteAfterIdat: Boolean = false): Array[Byte] = {
     val d = new java.util.zip.Deflater()
     d.setInput(raw); d.finish()
     val cbuf = new java.io.ByteArrayOutputStream()
@@ -38,11 +39,13 @@ class PngPixelsSpec extends SparkSpec {
     ihdr.write(bitDepth); ihdr.write(colorType); ihdr.write(0); ihdr.write(0)
     ihdr.write(interlace)
     chunk("IHDR", ihdr.toByteArray)
+    if (plte != null && !plteAfterIdat) chunk("PLTE", plte)
     if (splitIdat) {
       val cut = compressed.length / 2
       chunk("IDAT", compressed.take(cut))
       chunk("IDAT", compressed.drop(cut))
     } else chunk("IDAT", compressed)
+    if (plte != null && plteAfterIdat) chunk("PLTE", plte)
     if (!dropIend) chunk("IEND", Array.empty[Byte])
     out.toByteArray
   }
@@ -107,6 +110,62 @@ class PngPixelsSpec extends SparkSpec {
       .as[Option[Array[Byte]]].head().isEmpty)
   }
 
+  test("palette decode: PLTE indirection, filtered index rows, encoder round-trip") {
+    // 3-entry table: 0→(10,20,30) 1→(100,110,120) 2→(200,210,220)
+    val table = bytesOf(10, 20, 30, 100, 110, 120, 200, 210, 220)
+    // 2×2 indices row0 [0,1] row1 [2,0]; row0 None, row1 SUB on the
+    // INDEX plane (bpp=1: 2 = 2−0, 254 wraps 0 = 2+254 mod 256) — the
+    // filters must invert BEFORE the table lookup
+    val raw = bytesOf(0, 0, 1, 1, 2, 254)
+    val fileB = png(2, 2, raw, colorType = 3, plte = table)
+    assert(feats(fileB, 2, 2) == Some(Seq(
+      10L, 20L, 30L, 100L, 110L, 120L, 200L, 210L, 220L, 10L, 20L, 30L)))
+    // encoder round-trip: indices + table → standard PNG → same sums,
+    // and the header reader sees a palette PNG (3 channels)
+    val out = Seq(Tuple1(bytesOf(0, 1, 2, 0))).toDF("d")
+      .select(Multimodal.pngEncodePalette(col("d"), lit(2), lit(2),
+        lit(table)).as("p"))
+      .select(Multimodal.pngGridFeatures(col("p"), 2, 2).as("f"),
+        Multimodal.sniffMime(col("p")).as("mime"))
+      .as[(Option[Seq[Long]], String)].head()
+    assert(out._1 == Some(Seq(
+      10L, 20L, 30L, 100L, 110L, 120L, 200L, 210L, 220L, 10L, 20L, 30L)))
+    assert(out._2 == "image/png")
+    // encoder refusals: an index past the table; wrong payload length;
+    // misaligned / empty / oversized tables — null, never a bad emit
+    def enc(d: Array[Byte], w: Int, h: Int, t: Array[Byte]) =
+      Seq(Tuple1(d)).toDF("d")
+        .select(Multimodal.pngEncodePalette(col("d"), lit(w), lit(h),
+          lit(t)).as("p"))
+        .as[Option[Array[Byte]]].head()
+    assert(enc(bytesOf(0, 3, 0, 0), 2, 2, table).isEmpty) // idx 3 ≥ 3 entries
+    assert(enc(bytesOf(0, 1, 2), 2, 2, table).isEmpty)    // 3 bytes ≠ 2·2
+    assert(enc(bytesOf(0, 0, 0, 0), 2, 2, bytesOf(1, 2)).isEmpty) // len % 3
+    assert(enc(bytesOf(0, 0, 0, 0), 2, 2, Array.empty[Byte]).isEmpty)
+    assert(enc(bytesOf(0, 0, 0, 0), 2, 2,
+      Array.fill[Byte](771)(1)).isEmpty) // 257 entries
+  }
+
+  test("palette contract edges: missing/duplicate/misplaced/misaligned PLTE and out-of-table pixels are null") {
+    val table = bytesOf(10, 20, 30, 100, 110, 120)
+    val raw = bytesOf(0, 0, 1, 0, 1, 0)
+    assert(feats(png(2, 2, raw, colorType = 3, plte = table), 2, 2).nonEmpty)
+    // no PLTE at all
+    assert(feats(png(2, 2, raw, colorType = 3), 2, 2).isEmpty)
+    // PLTE after the first IDAT (spec: must precede)
+    assert(feats(png(2, 2, raw, colorType = 3, plte = table,
+      plteAfterIdat = true), 2, 2).isEmpty)
+    // misaligned table (not a multiple of 3)
+    assert(feats(png(2, 2, raw, colorType = 3,
+      plte = bytesOf(1, 2, 3, 4)), 2, 2).isEmpty)
+    // a pixel indexing past the table: index 5 ≥ 2 entries
+    assert(feats(png(2, 2, bytesOf(0, 0, 5, 0, 1, 0), colorType = 3,
+      plte = table), 2, 2).isEmpty)
+    // 16-bit palette stays out of contract
+    assert(feats(png(2, 2, raw, colorType = 3, plte = table,
+      bitDepth = 16), 2, 2).isEmpty)
+  }
+
   test("contract violations and adversarial bytes are null, never garbage or a crash") {
     val good = png(2, 2, bytesOf(0, 1, 2, 3, 5, 6, 7, 0, 10, 20, 30, 40, 50, 60))
     assert(feats(good, 2, 2).nonEmpty)
@@ -114,7 +173,7 @@ class PngPixelsSpec extends SparkSpec {
     assert(feats(good.take(40), 2, 2).isEmpty)
     // undefined filter type 5
     assert(feats(png(2, 2, bytesOf(5, 1, 2, 3, 5, 6, 7, 0, 10, 20, 30, 40, 50, 60)), 2, 2).isEmpty)
-    // palette / 16-bit / interlaced are outside the decode contract
+    // palette without its PLTE table / 16-bit / interlaced are null
     assert(feats(png(2, 2, bytesOf(0, 0, 1, 0, 1), colorType = 3), 1, 1).isEmpty)
     assert(feats(png(2, 2, bytesOf(0, 1, 2), bitDepth = 16), 1, 1).isEmpty)
     assert(feats(png(2, 2, bytesOf(0, 1, 2), interlace = 1), 1, 1).isEmpty)
