@@ -320,6 +320,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 4, s"png_encode_palette takes 4 arguments, got ${exprs.length}")
         graft.functions.PngEncodePalette(exprs(0), exprs(1), exprs(2), exprs(3))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("gif_grid_features"),
+      new ExpressionInfo(
+        classOf[graft.functions.GifGridFeatures].getCanonicalName,
+        "", "gif_grid_features",
+        "_FUNC_(bin, gx, gy) - per-cell (r,g,b) channel sums over a gx*gy " +
+          "grid of a GIF first frame's real pixels (full variable-width LZW " +
+          "decode + color-table indirection); null outside the contract.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, s"gif_grid_features takes 3 arguments, got ${exprs.length}")
+        graft.functions.GifGridFeatures(exprs.head,
+          intConst(exprs(1), "gx"), intConst(exprs(2), "gy"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("gif_encode_palette"),
+      new ExpressionInfo(
+        classOf[graft.functions.GifEncodePalette].getCanonicalName,
+        "", "gif_encode_palette",
+        "_FUNC_(indices, w, h, palette) - encode raw top-down index bytes " +
+          "(w*h) + an RGB table (<=256 entries) as a standard GIF89a; null " +
+          "when lengths disagree or an index points past the table.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4, s"gif_encode_palette takes 4 arguments, got ${exprs.length}")
+        graft.functions.GifEncodePalette(exprs(0), exprs(1), exprs(2), exprs(3))
+      }))
 
     // ------------------------------------------------ table functions (r16)
     // The operator families' SQL surface: TABLE-valued functions whose

@@ -221,6 +221,29 @@ object Multimodal {
       ColumnBridge.expression(h), ColumnBridge.expression(palette)))
   }
 
+  /** REAL pixel decode for the fourth codec-free format: GIF first
+    * frames through a full variable-width LZW decoder
+    * ([[graft.functions.GifGridFeatures]]) → the same exact integer
+    * grid color features as the BMP/PNG siblings. Interlaced frames
+    * and out-of-table pixels return null. */
+  def gifGridFeatures(bin: Column, gx: Int, gy: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.GifGridFeatures(ColumnBridge.expression(bin), gx, gy))
+  }
+
+  /** Encode raw top-down index bytes + an RGB table as a standard
+    * GIF89a ([[graft.functions.GifEncodePalette]]) — the LZW sibling
+    * of [[pngEncodePalette]], and the fixture path value-checking the
+    * GIF decoder (q170). */
+  def gifEncodePalette(indices: Column, w: Column, h: Column,
+      palette: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.GifEncodePalette(
+      ColumnBridge.expression(indices), ColumnBridge.expression(w),
+      ColumnBridge.expression(h), ColumnBridge.expression(palette)))
+  }
+
   /** STUB — deterministic fake feature extraction. A real deployment
     * replaces this with an actual image/audio decoder feeding a model;
     * the container has no codecs beyond [[wavPcmFeatures]]'s

@@ -561,6 +561,38 @@ object CleaningQueries {
       .orderBy("doc_id", "idx")
   }
 
+  /** MM11 — GIF LZW DECODE, validated through the engine's own GIF
+    * encoder ([[Multimodal.gifEncodePalette]] →
+    * [[Multimodal.gifGridFeatures]]): the q169 fixture scheme in the
+    * LZW container — per-doc index pixels and a 4–8-entry table encode
+    * to a standard GIF89a (global color table, literal LZW with
+    * clear-code discipline), decode back through the variable-width
+    * LZW decoder + table indirection to 2×2 grid sums. Different pixel
+    * formulas than q169 so a copy-paste confusion between the two
+    * decoders cannot pass both. One doc in ten truncated (null → zero
+    * rows). */
+  val q170GifLzw: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    def be(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lpad(hex(v), 2, "0")
+    val w = (col("doc_id") % 8 + 4).cast("int")
+    val h = ((col("doc_id") * 3) % 6 + 3).cast("int")
+    val n = (col("doc_id") % 5 + 4).cast("int") // 4–8 table entries
+    val palHex = array_join(transform(sequence(lit(0), n - 1), i => concat(
+      be((col("doc_id") * 5 + i * 37) % 256),
+      be((col("doc_id") * 9 + i * 41) % 256),
+      be((col("doc_id") * 2 + i * 59) % 256))), "")
+    val idxHex = array_join(
+      transform(sequence(lit(0), h - 1), y => array_join(
+        transform(sequence(lit(0), w - 1),
+          x => be((col("doc_id") * 2 + x * 5 + y * 7) % n)), "")), "")
+    val gif = Multimodal.gifEncodePalette(unhex(idxHex), w, h, unhex(palHex))
+    val bytes = when(col("doc_id") % 10 === 7, gif.substr(1, 20)).otherwise(gif)
+    t.documents.select(col("doc_id"),
+        posexplode(Multimodal.gifGridFeatures(bytes, 2, 2)).as(Seq("idx", "v")))
+      .orderBy("doc_id", "idx")
+  }
+
   /** MM8 — chunking + frame sampling get the ORACLE the spec-only
     * coverage lacked ([[Multimodal.chunkBytes]] → every-2nd-chunk
     * [[Multimodal.frameSample]]): the corpus text as UTF-8 payloads cut
@@ -741,6 +773,7 @@ object CleaningQueries {
     "q154_chunk_sample" -> q154ChunkSample,
     "q163_png_features" -> q163PngFeatures,
     "q169_png_palette" -> q169PngPalette,
+    "q170_gif_lzw" -> q170GifLzw,
     "q126_quantiles" -> q126Quantiles,
     "q128_grouped_quantiles" -> q128GroupedQuantiles,
     "q137_iqr_outliers" -> q137IqrOutliers,
@@ -1026,6 +1059,27 @@ object CleaningQueries {
         |    (doc_id * 7 + ((doc_id + x * 3 + y * 5) % n) * 29) % 256 AS r,
         |    (doc_id * 3 + ((doc_id + x * 3 + y * 5) % n) * 53) % 256 AS g,
         |    (doc_id * 11 + ((doc_id + x * 3 + y * 5) % n) * 17) % 256 AS b
+        |  FROM px),
+        |s AS (SELECT doc_id, cell, SUM(r) AS r, SUM(g) AS g, SUM(b) AS b
+        |      FROM v GROUP BY doc_id, cell),
+        |l AS (
+        |  SELECT doc_id, cell * 3 AS idx, r AS v FROM s
+        |  UNION ALL SELECT doc_id, cell * 3 + 1, g FROM s
+        |  UNION ALL SELECT doc_id, cell * 3 + 2, b FROM s)
+        |SELECT doc_id, CAST(idx AS INT) AS idx, CAST(v AS BIGINT) AS v
+        |FROM l ORDER BY doc_id, idx""".stripMargin,
+    "q170_gif_lzw" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 + 4 AS w, (doc_id * 3) % 6 + 3 AS h,
+        |    doc_id % 5 + 4 AS n
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |xs AS (SELECT doc_id, w, h, n, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, n, x, unnest(range(0, h)) AS y FROM xs),
+        |v AS (
+        |  SELECT doc_id, ((y * 2) // h) * 2 + (x * 2) // w AS cell,
+        |    (doc_id * 5 + ((doc_id * 2 + x * 5 + y * 7) % n) * 37) % 256 AS r,
+        |    (doc_id * 9 + ((doc_id * 2 + x * 5 + y * 7) % n) * 41) % 256 AS g,
+        |    (doc_id * 2 + ((doc_id * 2 + x * 5 + y * 7) % n) * 59) % 256 AS b
         |  FROM px),
         |s AS (SELECT doc_id, cell, SUM(r) AS r, SUM(g) AS g, SUM(b) AS b
         |      FROM v GROUP BY doc_id, cell),
