@@ -48,29 +48,32 @@ object GifPixels {
     if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
       (b(4) != '7' && b(4) != '9') || b(5) != 'a') return null
     val packed = u8(b, 10)
-    var at = 13
+    // the cursor walks in LONG (the r16 byte-walk lesson the PNG
+    // sibling cites: near-2GB inputs must not wrap an Int bound check
+    // into admitting a negative offset)
+    var at = 13L
     var gct: Array[Byte] = null
     if ((packed & 0x80) != 0) {
       val entries = 1 << ((packed & 7) + 1)
-      if (at + 3 * entries > n) return null
-      gct = java.util.Arrays.copyOfRange(b, at, at + 3 * entries)
+      if (at + 3L * entries > n) return null
+      gct = java.util.Arrays.copyOfRange(b, at.toInt, (at + 3 * entries).toInt)
       at += 3 * entries
     }
     while (at < n) {
-      u8(b, at) match {
+      u8(b, at.toInt) match {
         case 0x21 => // extension: label + sub-blocks
           at += 2
           var sub = true
           while (sub) {
             if (at >= n) return null
-            val len = u8(b, at); at += 1 + len
+            val len = u8(b, at.toInt); at += 1 + len
             if (len == 0) sub = false
           }
         case 0x2C => // image descriptor — the frame we decode
           if (at + 10 > n) return null
-          val fw = le16(b, at + 5)
-          val fh = le16(b, at + 7)
-          val packed2 = u8(b, at + 9)
+          val fw = le16(b, (at + 5).toInt)
+          val fh = le16(b, (at + 7).toInt)
+          val packed2 = u8(b, (at + 9).toInt)
           at += 10
           if ((packed2 & 0x40) != 0) return null // interlaced: out of contract
           if (fw <= 0 || fh <= 0) return null
@@ -78,27 +81,19 @@ object GifPixels {
           var table = gct
           if ((packed2 & 0x80) != 0) {
             val entries = 1 << ((packed2 & 7) + 1)
-            if (at + 3 * entries > n) return null
-            table = java.util.Arrays.copyOfRange(b, at, at + 3 * entries)
+            if (at + 3L * entries > n) return null
+            table = java.util.Arrays.copyOfRange(b, at.toInt, (at + 3 * entries).toInt)
             at += 3 * entries
           }
           if (table == null) return null // indexed data, no color table
           if (at >= n) return null
-          val minCode = u8(b, at); at += 1
+          val minCode = u8(b, at.toInt); at += 1
           if (minCode < 2 || minCode > 8) return null
           val idx = lzwDecode(b, at, minCode, fw * fh)
           if (idx == null) return null
-          val entries = table.length / 3
-          val rgb = new Array[Byte](fw * fh * 3)
-          var i = 0
-          while (i < idx.length) {
-            val v = idx(i) & 0xFF
-            if (v >= entries) return null
-            rgb(3 * i) = table(3 * v)
-            rgb(3 * i + 1) = table(3 * v + 1)
-            rgb(3 * i + 2) = table(3 * v + 2)
-            i += 1
-          }
+          // the color-table indirection shared with the PNG decoder
+          val rgb = PngPixels.expandPalette(idx, table)
+          if (rgb == null) return null
           return new Decoded(fw, fh, rgb)
         case 0x3B => return null // trailer before any image frame
         case _ => return null    // undefined block type
@@ -111,21 +106,22 @@ object GifPixels {
     * dictionary, KwKwK handled, growth capped at 4096 codes / width
     * 12. Exactly `nPixels` indexes must decode (short or overlong
     * streams are null). */
-  private def lzwDecode(b: Array[Byte], subBlocksAt: Int, minCode: Int,
+  private def lzwDecode(b: Array[Byte], subBlocksAt: Long, minCode: Int,
       nPixels: Int): Array[Byte] = {
     val n = b.length
     // gather the sub-block payload into one contiguous buffer (bounded
-    // by the input length — no crafted expansion possible here)
+    // by the input length — no crafted expansion possible here); the
+    // cursor stays in Long like the caller's chunk walk
     var at = subBlocksAt
     val buf = new java.io.ByteArrayOutputStream(256)
     var done = false
     while (!done) {
       if (at >= n) return null
-      val len = u8(b, at); at += 1
+      val len = u8(b, at.toInt); at += 1
       if (len == 0) done = true
       else {
         if (at + len > n) return null
-        buf.write(b, at, len); at += len
+        buf.write(b, at.toInt, len); at += len
       }
     }
     val data = buf.toByteArray
@@ -175,10 +171,9 @@ object GifPixels {
         prev = code
       } else {
         // valid here: a literal, an assigned dict code, or exactly
-        // nextCode (KwKwK); clear/end matched above, so anything else
-        // in [clear, end] or past nextCode is malformed
+        // nextCode (KwKwK) — clear/end matched above and every code in
+        // (end, nextCode) is assigned, so only past-nextCode is left
         if (code > nextCode) return null
-        if (code >= clear && code <= end) return null
         val first =
           if (code == nextCode) expandInto(prev, repeatFirst = true)
           else expandInto(code, repeatFirst = false)
@@ -191,6 +186,22 @@ object GifPixels {
         }
         prev = code
       }
+    }
+    // the frame is full: a well-formed stream now carries the END code
+    // (trailing padding bits after it are fine, and a stream that ends
+    // exactly here — some real encoders omit END — is accepted), but
+    // MORE pixel codes mean the stream encodes a bigger image than the
+    // descriptor claims: out of contract, like every other
+    // dims-vs-data disagreement in the multimodal decoders
+    if (bitPos + width <= totalBits) {
+      var code = 0
+      var got = 0
+      while (got < width) {
+        val byteAt = (bitPos >> 3).toInt
+        code |= ((u8(data, byteAt) >> (bitPos & 7).toInt) & 1) << got
+        got += 1; bitPos += 1
+      }
+      if (code != end) return null
     }
     out
   }
@@ -229,17 +240,14 @@ object GifPixels {
     * ([[PngPixels.encodePalette]]'s rules). */
   private[graft] def encodePalette(indices: Array[Byte], w: Int, h: Int,
       palette: Array[Byte]): Array[Byte] = {
-    if (w <= 0 || h <= 0) return null
-    if (palette == null || palette.length == 0 ||
-      palette.length % 3 != 0 || palette.length > 768) return null
-    if (w.toLong * h * 3 > PngPixels.MaxInflated) return null
-    if (indices.length.toLong != w.toLong * h) return null
+    // one refusal contract with the palette-PNG encoder (shared rule
+    // set — the two formats cannot silently diverge), plus the GIF
+    // container's own limit: dims are 16-bit LE fields, so anything
+    // wider would TRUNCATE into a corrupt-but-plausible stream
+    if (!PngPixels.validPaletteArgs(indices, w, h, palette)) return null
+    if (w > 0xFFFF || h > 0xFFFF) return null
     val entries = palette.length / 3
     var i = 0
-    while (i < indices.length) {
-      if ((indices(i) & 0xFF) >= entries) return null
-      i += 1
-    }
     // global color table size: the next power of two ≥ entries (min 2)
     var bits = 1
     while ((1 << bits) < entries) bits += 1
@@ -284,7 +292,9 @@ object GifPixels {
         nextCode += 1
         if (nextCode == (1 << width) && width < 12) width += 1
       }
-      if (nextCode >= 4094) { // reset before the decoder's table fills
+      // reset before the decoder's table fills — but never AFTER the
+      // last pixel, where the decoder expects END (or nothing) next
+      if (nextCode >= 4094 && i + 1 < indices.length) {
         put(clear); width = minCode + 1; nextCode = endCode + 1; first = true
       }
       i += 1

@@ -182,20 +182,11 @@ object PngPixels {
     }
     if (colorType != 3) new Decoded(w.toInt, h.toInt, channels, samples)
     else {
-      // PLTE indirection: one table lookup per pixel; an index past the
-      // table is OUT OF CONTRACT (null), never clamped or wrapped
-      val entries = palette.length / 3
-      val rgb = new Array[Byte](samples.length * 3)
-      var i = 0
-      while (i < samples.length) {
-        val idx = samples(i) & 0xFF
-        if (idx >= entries) return null
-        rgb(3 * i) = palette(3 * idx)
-        rgb(3 * i + 1) = palette(3 * idx + 1)
-        rgb(3 * i + 2) = palette(3 * idx + 2)
-        i += 1
-      }
-      new Decoded(w.toInt, h.toInt, 3, rgb)
+      // PLTE indirection: one table lookup per pixel ([[expandPalette]]
+      // — shared with the GIF decoder); an index past the table is OUT
+      // OF CONTRACT (null), never clamped or wrapped
+      val rgb = expandPalette(samples, palette)
+      if (rgb == null) null else new Decoded(w.toInt, h.toInt, 3, rgb)
     }
   }
 
@@ -250,19 +241,50 @@ object PngPixels {
     * PLTE indirection end to end (the q163 encode→decode discipline). */
   private[graft] def encodePalette(indices: Array[Byte], w: Int, h: Int,
       palette: Array[Byte]): Array[Byte] = {
-    if (w <= 0 || h <= 0) return null
+    if (!validPaletteArgs(indices, w, h, palette)) return null
+    emitPng(indices, w, h, w, colorType = 3, plte = palette)
+  }
+
+  /** The shared palette-encoder refusal contract ([[encodePalette]] and
+    * [[GifPixels.encodePalette]] — one rule set, so the two formats'
+    * refusals cannot silently diverge): positive dims, a well-formed
+    * 1–256-entry RGB table, indices exactly w·h with every value
+    * inside the table, and the decode-side size caps (the filter-plane
+    * and the ×3 expansion both under [[MaxInflated]]). */
+  private[functions] def validPaletteArgs(indices: Array[Byte], w: Int,
+      h: Int, palette: Array[Byte]): Boolean = {
+    if (w <= 0 || h <= 0) return false
     if (palette == null || palette.length == 0 ||
-      palette.length % 3 != 0 || palette.length > 768) return null
+      palette.length % 3 != 0 || palette.length > 768) return false
     val rowBytes = w.toLong
-    if (h * (rowBytes + 1) > MaxInflated || h * w * 3L > MaxInflated) return null
-    if (indices.length.toLong != rowBytes * h) return null
+    if (h * (rowBytes + 1) > MaxInflated || h * w * 3L > MaxInflated) return false
+    if (indices.length.toLong != rowBytes * h) return false
     val entries = palette.length / 3
     var i = 0
     while (i < indices.length) {
-      if ((indices(i) & 0xFF) >= entries) return null
+      if ((indices(i) & 0xFF) >= entries) return false
       i += 1
     }
-    emitPng(indices, w, h, rowBytes.toInt, colorType = 3, plte = palette)
+    true
+  }
+
+  /** The PLTE/color-table indirection shared by both palette decoders:
+    * top-down index bytes → RGB triples, null when any pixel indexes
+    * past the table (never clamped or wrapped). */
+  private[functions] def expandPalette(idx: Array[Byte],
+      palette: Array[Byte]): Array[Byte] = {
+    val entries = palette.length / 3
+    val rgb = new Array[Byte](idx.length * 3)
+    var i = 0
+    while (i < idx.length) {
+      val v = idx(i) & 0xFF
+      if (v >= entries) return null
+      rgb(3 * i) = palette(3 * v)
+      rgb(3 * i + 1) = palette(3 * v + 1)
+      rgb(3 * i + 2) = palette(3 * v + 2)
+      i += 1
+    }
+    rgb
   }
 
   /** Shared emit: filter-0 rows, one deflate stream, IHDR(depth 8,

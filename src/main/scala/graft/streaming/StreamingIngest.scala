@@ -1640,11 +1640,23 @@ object StreamingIngest {
           "rewrite folds generations to batch_id -1 and folding an " +
           "uncommitted delta would double it on replay")
     }
+    // hit tests run on BOTH halves up front: a zero-token document
+    // lives ONLY in the dl sidecar, and a dl-only takedown must still
+    // fold the POSTINGS store to the same −1 generation — otherwise
+    // the readers' batch-listing subset guards (store generations ⊆
+    // sidecar generations) would permanently distrust a complete,
+    // correct sidecar (review finding). Either hit folds both.
+    val (dlFs, dlP) = fsPath(spark, dlDir)
+    val pHit = hasDataFiles(fs, ixP) &&
+      !spark.read.parquet(indexDir).join(drop, Seq(idCol), "left_semi").isEmpty
+    val dlHit = hasDataFiles(dlFs, dlP) &&
+      !spark.read.parquet(dlDir).join(drop, Seq(idCol), "left_semi").isEmpty
+    val anyHit = pHit || dlHit
     // ---- postings half
     var survivors = 0L
     if (hasDataFiles(fs, ixP)) {
       val src = spark.read.parquet(indexDir)
-      if (!src.join(drop, Seq(idCol), "left_semi").isEmpty) {
+      if (anyHit) {
         requireNoPending(indexDir)
         val kept = src.join(drop, Seq(idCol), "left_anti")
         val exp =
@@ -1686,12 +1698,11 @@ object StreamingIngest {
       } else survivors = src.count()
     }
     failpoint(11)
-    // ---- doc-length sidecar half (zero-token documents live ONLY
-    // here, so the dl hit test is independent of the postings half's)
-    val (dlFs, dlP) = fsPath(spark, dlDir)
+    // ---- doc-length sidecar half (folds whenever either half hit,
+    // keeping both stores on the same generation — see above)
     if (hasDataFiles(dlFs, dlP)) {
       val dl = spark.read.parquet(dlDir)
-      if (!dl.join(drop, Seq(idCol), "left_semi").isEmpty) {
+      if (anyHit) {
         requireNoPending(dlDir)
         val kept = dl.join(drop, Seq(idCol), "left_anti")
           .groupBy(col(idCol)).agg(sum("__dl").as("__dl"))
@@ -1746,11 +1757,30 @@ object StreamingIngest {
       .select(idCol).distinct()
     deleteSwapRetrieval(spark, indexDir, idCol, ids, positional, failpoint)
     failpoint(13)
+    consumeAppliedLists(fs, pend, lists.toIndexedSeq, "applyRetrievalDeletes")
+  }
+
+  /** Consume applied delete lists into `<pendDir>/_applied/`, choosing
+    * a UNIQUE destination name when a previous application already
+    * parked one under the same name — `fs.rename` refuses an existing
+    * destination on HDFS-like stores, and the old inline rename wedged
+    * the whole ingest loop forever the first time an operator reused a
+    * list filename (monthly `ids.parquet` drops; review finding).
+    * Shared by the curate loops, the export sink and the index loops. */
+  private def consumeAppliedLists(fs: org.apache.hadoop.fs.FileSystem,
+      pend: org.apache.hadoop.fs.Path,
+      lists: Seq[org.apache.hadoop.fs.Path], caller: String): Unit = {
     val applied = new org.apache.hadoop.fs.Path(pend, "_applied")
     fs.mkdirs(applied)
     lists.foreach { p =>
-      require(fs.rename(p, new org.apache.hadoop.fs.Path(applied, p.getName)),
-        s"applyRetrievalDeletes: consuming applied delete list $p failed")
+      var dst = new org.apache.hadoop.fs.Path(applied, p.getName)
+      var k = 1
+      while (fs.exists(dst)) {
+        dst = new org.apache.hadoop.fs.Path(applied, s"${p.getName}-$k")
+        k += 1
+      }
+      require(fs.rename(p, dst),
+        s"$caller: consuming applied delete list $p failed")
     }
   }
 
@@ -2061,12 +2091,7 @@ object StreamingIngest {
     failpoint(5)
     indexDelete(ids)
     failpoint(6)
-    val applied = new org.apache.hadoop.fs.Path(pend, "_applied")
-    fs.mkdirs(applied)
-    lists.foreach { p =>
-      require(fs.rename(p, new org.apache.hadoop.fs.Path(applied, p.getName)),
-        s"applyCurateDeletes: consuming applied delete list $p failed")
-    }
+    consumeAppliedLists(fs, pend, lists.toIndexedSeq, "applyCurateDeletes")
   }
 
   /** One micro-batch of [[curateIngestStream]] — exposed for the spec's
@@ -2240,13 +2265,7 @@ object StreamingIngest {
           failpoint(4)
           // consume only AFTER the delete completed: a crash in the
           // window re-applies the same lists next batch — idempotent
-          val applied = new org.apache.hadoop.fs.Path(pend, "_applied")
-          fs.mkdirs(applied)
-          lists.foreach { p =>
-            require(fs.rename(p,
-                new org.apache.hadoop.fs.Path(applied, p.getName)),
-              s"exportShardBatch: consuming applied delete list $p failed")
-          }
+          consumeAppliedLists(fs, pend, lists.toIndexedSeq, "exportShardBatch")
           failpoint(5)
         }
       }

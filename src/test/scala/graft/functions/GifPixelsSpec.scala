@@ -103,6 +103,15 @@ class GifPixelsSpec extends SparkSpec {
     // end code before the frame fills
     // codes [clear=4, 1, end=5]: only 1 of 3 pixels
     assert(feats(handGif(3, 1, 2, bytesOf(0x4C, 0x01)), 1, 1).isEmpty)
+    // OVERLONG stream: codes [clear, 1, 1, 1, end] against a 2×1 frame
+    // — the third pixel code where END must sit is out of contract
+    // (review finding: the loop used to exit at nPixels and silently
+    // accept the rest)
+    assert(feats(handGif(2, 1, 2, bytesOf(0x4C, 0x52)), 1, 1).isEmpty)
+    // dims past the GIF container's 16-bit fields refuse at encode
+    // (le() would silently truncate into a corrupt-but-plausible file)
+    assert(enc(Array.fill[Byte](70000)(0), 1, 70000, table).isEmpty)
+    assert(enc(Array.fill[Byte](70000)(0), 70000, 1, table).isEmpty)
     // no color table anywhere: GCT flag off, no LCT
     val noGct = {
       val out = new java.io.ByteArrayOutputStream()

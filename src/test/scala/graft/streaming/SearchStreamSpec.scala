@@ -520,6 +520,47 @@ class SearchStreamSpec extends SparkSpec {
     assert(!storePostings(ix).contains(("alpha", 1L)))
   }
 
+  test("dl-only takedown (a zero-token doc) folds BOTH stores: readers' generation guards stay healthy") {
+    // doc 3 is token-free: it lives ONLY in the dl sidecar. Its
+    // takedown must fold the postings store to the same −1 generation,
+    // or the subset guards (store batches ⊆ sidecar batches) would
+    // permanently distrust a complete sidecar (review finding)
+    val ix = tmp("si-td-dlonly")
+    run(Seq((1L, "alpha beta"), (2L, "alpha"), (3L, "...")).toDF("doc_id", "text"), 0L, ix)
+    StreamingIngest.deleteSwapSearchIndex(spark, ix, "doc_id",
+      Seq(3L).toDF("doc_id"))
+    // the strict readers still serve (totals manifest + sidecar intact)
+    assert(StreamingIngest.searchIndexTotals(spark, ix) == Some((2L, 3L)))
+    val ix2 = tmp("si-td-dlonly-ref")
+    run(Seq((1L, "alpha beta"), (2L, "alpha")).toDF("doc_id", "text"), 0L, ix2)
+    def bm25(d: String) = StreamingIngest.searchIndexTopKBm25(spark, d,
+      "doc_id", Seq("alpha"), 10, allowFullScanFallback = false)
+      .as[(Long, Long)].collect().toSeq
+    assert(bm25(ix) == bm25(ix2))
+    assert(dlMap(ix) == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("a reused delete-list filename does not wedge the loop: _applied picks a unique name") {
+    val ix = tmp("si-td-reuse"); val pend = tmp("si-td-reuse-pend")
+    run(Seq((1L, "alpha beta"), (2L, "beta"), (3L, "gamma beta"))
+      .toDF("doc_id", "text"), 0L, ix)
+    Seq(2L).toDF("doc_id").write.parquet(pend + "/ids.parquet")
+    StreamingIngest.searchIndexBatch(
+      Seq((4L, "delta")).toDF("doc_id", "text"), 1L, ix, "doc_id", "text",
+      compactAtFiles = 0, applyDeletesFrom = pend)
+    assert(new java.io.File(pend + "/_applied/ids.parquet").exists())
+    // the SAME filename dropped again (the monthly-takedown shape that
+    // wedged the old rename-into-existing-destination)
+    Seq(3L).toDF("doc_id").write.parquet(pend + "/ids.parquet")
+    StreamingIngest.searchIndexBatch(
+      Seq((5L, "epsilon")).toDF("doc_id", "text"), 2L, ix, "doc_id", "text",
+      compactAtFiles = 0, applyDeletesFrom = pend)
+    assert(new java.io.File(pend + "/_applied/ids.parquet-1").exists())
+    assert(!new java.io.File(pend + "/ids.parquet").exists())
+    val left = storePostings(ix).keySet.map(_._2)
+    assert(left == Set(1L, 4L, 5L), s"got $left")
+  }
+
   test("positional takedown: store twins stop matching the deleted doc; in-loop crash seams replay to convergence") {
     val ix = tmp("si-td-pos"); val pend = tmp("si-td-pend")
     val b0 = Seq((1L, "red blue x red blue"), (2L, "red x x blue"))
