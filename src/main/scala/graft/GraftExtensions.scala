@@ -335,6 +335,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intConst(exprs(1), "gx"), intConst(exprs(2), "gy"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("fix_mojibake"),
+      new ExpressionInfo(
+        classOf[graft.functions.FixMojibake].getCanonicalName,
+        "", "fix_mojibake",
+        "_FUNC_(str) - repair UTF-8-read-as-Latin-1/Windows-1252 mojibake by " +
+          "exact inversion (char-to-byte map + strict UTF-8 re-decode); " +
+          "unrepairable or clean text passes through unchanged.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"fix_mojibake takes 1 argument, got ${exprs.length}")
+        graft.functions.FixMojibake(exprs.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("flac_pcm_features"),
+      new ExpressionInfo(
+        classOf[graft.functions.FlacPcmFeatures].getCanonicalName,
+        "", "flac_pcm_features",
+        "_FUNC_(bin, dims) - exact integer bucket sums (the wav_pcm_features " +
+          "amplitude envelope) decoded from a FLAC stream's real samples " +
+          "(fixed/LPC predictors, rice residuals, stereo decorrelation, " +
+          "CRC+MD5 verified); null outside the contract.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"flac_pcm_features takes 2 arguments, got ${exprs.length}")
+        graft.functions.FlacPcmFeatures(exprs.head, intConst(exprs(1), "dims"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("flac_encode_pcm"),
+      new ExpressionInfo(
+        classOf[graft.functions.FlacEncodePcm].getCanonicalName,
+        "", "flac_encode_pcm",
+        "_FUNC_(pcm, channels, rate) - encode 16-bit LE interleaved PCM as a " +
+          "real FLAC stream (honest STREAMINFO + MD5, rice-coded fixed-order " +
+          "predictors, correct CRCs); null for malformed arguments.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, s"flac_encode_pcm takes 3 arguments, got ${exprs.length}")
+        graft.functions.FlacEncodePcm(exprs(0), exprs(1), exprs(2))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("gif_encode_palette"),
       new ExpressionInfo(
         classOf[graft.functions.GifEncodePalette].getCanonicalName,

@@ -56,4 +56,15 @@ object Clean {
     * (the reference's `'n' + x` typing trick, `down/down_water_prep.py:470-471`). */
   def stringKey(c: Column, prefix: String = ""): Column =
     concat(lit(prefix), stripFloatArtifact(trim(c.cast("string"))))
+
+  /** Repair UTF-8-read-as-Latin-1/Windows-1252 mojibake ("Ã©" → "é",
+    * "æ•°" → "数") by EXACT inversion — char-to-byte map + strict UTF-8
+    * re-decode; unrepairable or clean text passes through unchanged
+    * ([[graft.functions.FixMojibake]]). The web-corpus cleaning step
+    * every scraped training set needs before dedup/quality see the
+    * text. One corruption generation per call. */
+  def fixMojibake(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.FixMojibake(ColumnBridge.expression(c)))
+  }
 }

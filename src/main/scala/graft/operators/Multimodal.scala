@@ -164,6 +164,30 @@ object Multimodal {
       graft.functions.WavPcmFeatures(ColumnBridge.expression(bin), dims))
   }
 
+  /** REAL sample decode for the first COMPRESSED audio format: FLAC →
+    * the SAME `array<long>` amplitude envelope as [[wavPcmFeatures]]
+    * ([[graft.functions.FlacPcmFeatures]]: metadata walk, frame
+    * headers with CRC-8, constant/verbatim/fixed/LPC subframes, rice
+    * residuals, stereo decorrelation, CRC-16 + MD5 verification; null
+    * outside the decode contract). One oracle arithmetic covers the
+    * raw and the compressed container. */
+  def flacPcmFeatures(bin: Column, dims: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.FlacPcmFeatures(ColumnBridge.expression(bin), dims))
+  }
+
+  /** Encode 16-bit LE interleaved PCM as a real FLAC stream
+    * ([[graft.functions.FlacEncodePcm]]) — the compressed-audio emit
+    * beside the WAV surface, and the fixture path value-checking the
+    * FLAC decoder end to end (q171). */
+  def flacEncodePcm(pcm: Column, channels: Column, sampleRate: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.FlacEncodePcm(
+      ColumnBridge.expression(pcm), ColumnBridge.expression(channels),
+      ColumnBridge.expression(sampleRate)))
+  }
+
   /** REAL pixel decode for the second codec-free format: 24-bit
     * uncompressed BMP → exact integer grid color features
     * (`array<long>` of gx·gy·3 per-cell (r, g, b) sums —

@@ -593,6 +593,75 @@ object CleaningQueries {
       .orderBy("doc_id", "idx")
   }
 
+  /** MM12 — FLAC SAMPLE DECODE, validated through the engine's own
+    * FLAC encoder ([[Multimodal.flacEncodePcm]] →
+    * [[Multimodal.flacPcmFeatures]]): per-doc 16-bit PCM (1 or 2
+    * channels, 20–619 samples → one to three 256-sample frames) whose
+    * samples follow doc_id formulas, compressed to a real FLAC stream
+    * (STREAMINFO + MD5, rice-coded fixed-order-2 predictors, CONSTANT
+    * subframes for the one-in-seven flat docs, VERBATIM short tails,
+    * CRC-8/16), decoded back to the q150 amplitude envelope. The
+    * oracle replays the sample arithmetic — DuckDB never parses FLAC,
+    * yet any error in the rice coding, the predictor reconstruction,
+    * the frame segmentation or the MD5/CRC plumbing reads back wrong
+    * sums. One doc in ten truncated mid-STREAMINFO (decode null →
+    * null features, mirrored by the oracle's CASE). */
+  val q171FlacFeatures: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    def be(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lpad(hex(v), 2, "0")
+    val nFr = col("doc_id") % 600 + 20
+    val ch = (col("doc_id") % 2 + 1).cast("int")
+    // flat docs (mult = 0) exercise CONSTANT subframes end to end
+    val mult = when(col("doc_id") % 7 === 3, lit(0L)).otherwise(lit(1L))
+    val nTot = (nFr * ch).cast("int")
+    // interleaved sample t (unsigned 16-bit): u(t) = (doc_id·97 +
+    // t·31·mult) mod 65536, stored LE; the decoder reads it back SIGNED
+    val dataHex = array_join(
+      transform(sequence(lit(0), nTot - 1), tt => {
+        val u = (col("doc_id") * 97 + tt * 31 * mult) % 65536
+        concat(be(u.bitwiseAND(lit(255L))), be(shiftright(u, 8)))
+      }), "")
+    val flac = Multimodal.flacEncodePcm(unhex(dataHex), ch, lit(8000))
+    val bytes = when(col("doc_id") % 10 === 7, flac.substr(1, 30)).otherwise(flac)
+    val f = Multimodal.flacPcmFeatures(bytes, 4)
+    t.documents.select(col("doc_id"),
+      element_at(f, 1).as("f0"), element_at(f, 2).as("f1"),
+      element_at(f, 3).as("f2"), element_at(f, 4).as("f3"))
+      .orderBy("doc_id")
+  }
+
+  /** TX — MOJIBAKE REPAIR under the oracle gate: the corpus extended
+    * with a multilingual marker (accents, CJK, cp1252 punctuation, an
+    * astral-plane check via …), then one doc in three garbled as a
+    * Latin-1 read of the UTF-8 bytes, one in three as a Windows-1252
+    * read (simulated with `translate` over the 27 defined 0x80–0x9F
+    * codepoints — byte-exactly what a cp1252 decoder produces), the
+    * rest left clean. [[graft.clean.Clean.fixMojibake]] must invert
+    * both corruptions exactly AND pass the clean third through
+    * untouched — the oracle is simply the UNCORRUPTED text, so any
+    * over- or under-repair hash-fails. */
+  val q172FixMojibake: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val marker = " Émile café 数据库 – €1,50 ™ …done #"
+    val derived = concat(col("text"), lit(marker), col("doc_id").cast("string"))
+    val latin1 = decode(encode(derived, "UTF-8"), "ISO-8859-1")
+    // the cp1252 read differs from the Latin-1 read exactly on the 27
+    // defined 0x80–0x9F bytes (the 5 undefined ones pass through as C1)
+    val c1 = "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008A" +
+      "\u008B\u008C\u008E\u0091\u0092\u0093\u0094\u0095\u0096\u0097" +
+      "\u0098\u0099\u009A\u009B\u009C\u009E\u009F"
+    val cp = "\u20AC\u201A\u0192\u201E\u2026\u2020\u2021\u02C6\u2030\u0160" +
+      "\u2039\u0152\u017D\u2018\u2019\u201C\u201D\u2022\u2013\u2014" +
+      "\u02DC\u2122\u0161\u203A\u0153\u017E\u0178"
+    val garbled = when(col("doc_id") % 3 === 0, latin1)
+      .when(col("doc_id") % 3 === 1, translate(latin1, c1, cp))
+      .otherwise(derived)
+    t.documents.select(col("doc_id"),
+      graft.clean.Clean.fixMojibake(garbled).as("repaired"))
+      .orderBy("doc_id")
+  }
+
   /** MM8 — chunking + frame sampling get the ORACLE the spec-only
     * coverage lacked ([[Multimodal.chunkBytes]] → every-2nd-chunk
     * [[Multimodal.frameSample]]): the corpus text as UTF-8 payloads cut
@@ -774,6 +843,8 @@ object CleaningQueries {
     "q163_png_features" -> q163PngFeatures,
     "q169_png_palette" -> q169PngPalette,
     "q170_gif_lzw" -> q170GifLzw,
+    "q171_flac_features" -> q171FlacFeatures,
+    "q172_fix_mojibake" -> q172FixMojibake,
     "q126_quantiles" -> q126Quantiles,
     "q128_grouped_quantiles" -> q128GroupedQuantiles,
     "q137_iqr_outliers" -> q137IqrOutliers,
@@ -1089,6 +1160,36 @@ object CleaningQueries {
         |  UNION ALL SELECT doc_id, cell * 3 + 2, b FROM s)
         |SELECT doc_id, CAST(idx AS INT) AS idx, CAST(v AS BIGINT) AS v
         |FROM l ORDER BY doc_id, idx""".stripMargin,
+    "q171_flac_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 600 + 20 AS nfr, doc_id % 2 + 1 AS ch,
+        |    CASE WHEN doc_id % 7 = 3 THEN 0 ELSE 1 END AS mult
+        |  FROM documents),
+        |s AS (SELECT doc_id, nfr, ch, mult, unnest(range(0, nfr)) AS j FROM d),
+        |c AS (SELECT doc_id, nfr, ch, mult, j, unnest(range(0, ch)) AS cc FROM s),
+        |v AS (
+        |  SELECT doc_id, nfr, j,
+        |    CASE WHEN u < 32768 THEN u ELSE u - 65536 END AS val
+        |  FROM (SELECT doc_id, nfr, j,
+        |          (doc_id * 97 + (j * ch + cc) * 31 * mult) % 65536 AS u FROM c)),
+        |g AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN (j * 4) // nfr = 0 THEN val END) AS f0,
+        |    SUM(CASE WHEN (j * 4) // nfr = 1 THEN val END) AS f1,
+        |    SUM(CASE WHEN (j * 4) // nfr = 2 THEN val END) AS f2,
+        |    SUM(CASE WHEN (j * 4) // nfr = 3 THEN val END) AS f3
+        |  FROM v GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(g.f0 AS BIGINT) END AS f0,
+        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(g.f1 AS BIGINT) END AS f1,
+        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(g.f2 AS BIGINT) END AS f2,
+        |  CASE WHEN d.doc_id % 10 = 7 THEN NULL ELSE CAST(g.f3 AS BIGINT) END AS f3
+        |FROM d JOIN g USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q172_fix_mojibake" ->
+      """SELECT doc_id,
+        |  text || ' Émile café 数据库 – €1,50 ™ …done #' ||
+        |    CAST(doc_id AS VARCHAR) AS repaired
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q152_bmp_resize" ->
       """WITH d AS (
         |  SELECT doc_id, doc_id % 12 + 4 AS w, (doc_id * 3) % 10 + 4 AS h
