@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Temporal joins: batch as-of enrichment, point-into-interval range
   * join, and interval-overlap join.
@@ -438,6 +438,79 @@ object Temporal {
         (col("__g") * gridMicros).as("grid_ts"),
         col("__mean").as("value"),
         when(col("__g") === col("__cell"), col("__n")).otherwise(lit(0L)).as("n_obs")): _*)
+  }
+
+  /** Downsample to a fixed time grid with LINEAR INTERPOLATION across
+    * gaps — the sibling of [[resampleLocf]] for signals where holding
+    * the last value misrepresents a trend (sensor readings, prices):
+    * per `keys` group, aggregate `valueCol` into `gridMicros`-wide
+    * cells, emit EVERY grid cell between the key's first and last
+    * observation, and fill an empty cell at grid index g between
+    * observed cells c (value v) and nxt (value w) with
+    *
+    *   v + (w − v) · (g − c) / (nxt − c)
+    *
+    * — FLOOR division when the cell aggregate is integral, so a SQL
+    * oracle replays the arithmetic exactly with `//` (the repo-wide
+    * integer-exactness discipline; pass an integral `cellAgg` like a
+    * decimal-accumulated micro-unit sum for hash-stable output), IEEE
+    * double arithmetic in the written shape otherwise. `n_obs = 0`
+    * marks interpolated rows. No extrapolation: the grid spans
+    * first..last observed cell, so every gap has both neighbors.
+    *
+    * Plan: the [[resampleLocf]] one-exchange shape — repartition on
+    * keys serves both the cell agg and the lead window; the dense grid
+    * is an explode over the AGGREGATED rows. Integral overflow
+    * envelope: |Δcell value| · gap cells must stay under 2^63 — the
+    * same caller-domain contract as [[rangeJoin]]'s bucket width. */
+  def resampleInterpolate(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      gridMicros: Long,
+      cellAgg: Option[Column] = None): DataFrame = {
+    require(keys.nonEmpty, "resampleInterpolate needs at least one key column")
+    require(gridMicros > 0, "gridMicros must be positive")
+    requireCols(df, (keys :+ tsCol) :+ valueCol, "input")
+    val live = ((keys :+ tsCol) :+ valueCol).foldLeft(df)((d, c) => d.filter(col(c).isNotNull))
+    val cells = live
+      .withColumn("__cell", floorDiv(micros(df, tsCol), gridMicros))
+      .repartition(keys.map(col): _*)
+      .groupBy(keys.map(col) :+ col("__cell"): _*)
+      .agg(cellAgg.getOrElse(avg(col(valueCol))).as("__v"),
+        count(lit(1)).as("__n"))
+    val isIntegral = cells.schema("__v").dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__cell"))
+    val staged = cells
+      .withColumn("__next", lead(col("__cell"), 1).over(w))
+      .withColumn("__nextV", lead(col("__v"), 1).over(w))
+      .withColumn("__g", explode(sequence(col("__cell"),
+        coalesce(col("__next") - 1, col("__cell")))))
+    val filled =
+      if (isIntegral)
+        staged
+          .withColumn("__num",
+            (col("__nextV") - col("__v")) * (col("__g") - col("__cell")))
+          .withColumn("__den", col("__next") - col("__cell"))
+          // exact floor division: subtract the non-negative pmod, then
+          // `div` on the now-exact multiple (trunc == floor there)
+          .withColumn("__fill",
+            col("__v") + expr("(__num - pmod(__num, __den)) div __den"))
+      else
+        staged.withColumn("__fill",
+          col("__v") + (col("__nextV") - col("__v")) *
+            ((col("__g") - col("__cell")).cast("double") /
+              (col("__next") - col("__cell")).cast("double")))
+    filled.select(keys.map(col) ++ Seq(
+      (col("__g") * gridMicros).as("grid_ts"),
+      when(col("__g") === col("__cell"), col("__v"))
+        .otherwise(col("__fill")).as("value"),
+      when(col("__g") === col("__cell"), col("__n"))
+        .otherwise(lit(0L)).as("n_obs")): _*)
   }
 
   /** The plain inequality-join phrasing of [[rangeJoin]] — the route

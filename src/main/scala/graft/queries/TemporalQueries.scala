@@ -143,6 +143,24 @@ object TemporalQueries {
       .orderBy("user_id", "grid_ts")
   }
 
+  /** RESAMPLE + LINEAR INTERPOLATION ([[Temporal.resampleInterpolate]])
+    * — per-user half-day cells of event `value` in exact decimal
+    * MICRO-UNITS (an integral cell aggregate, so the gap fill is pure
+    * integer floor arithmetic the oracle replays with `//`), every
+    * cell between a user's first and last event, gaps filled on the
+    * straight line between the neighboring observed cells
+    * (`n_obs = 0` marks interpolated rows). */
+  val q173ResampleInterp: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val halfDay = 43200L * 1000000L
+    val microSum = (sum(col("value").cast("decimal(18,6)")) * lit(1000000))
+      .cast("long")
+    Temporal.resampleInterpolate(t.events, Seq("user_id"), "ts", "value",
+        halfDay, cellAgg = Some(microSum))
+      .withColumnRenamed("value", "value_micros")
+      .orderBy("user_id", "grid_ts")
+  }
+
   /** FUNNEL ([[Temporal.funnel]]) — per user, the earliest
     * signup → view → click → purchase progression, each step strictly
     * after the previous and within 20 days of the signup anchor:
@@ -212,6 +230,7 @@ object TemporalQueries {
     "q84_overlap_pairs" -> q84OverlapPairs,
     "q85_asof_nearest" -> q85AsofNearest,
     "q86_resample_locf" -> q86ResampleLocf,
+    "q173_resample_interp" -> q173ResampleInterp,
     "q87_range_auto" -> q87RangeAuto,
     "q114_funnel" -> q114Funnel,
     "q132_conversion_latency" -> q132ConversionLatency)
@@ -385,5 +404,36 @@ object TemporalQueries {
         |  CASE WHEN g = cell THEN n ELSE CAST(0 AS BIGINT) END AS n_obs
         |FROM spans JOIN series
         |  ON g BETWEEN cell AND COALESCE(next_cell - 1, cell)
+        |ORDER BY user_id, grid_ts""".stripMargin,
+    "q173_resample_interp" ->
+      """WITH cells AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 43200000000 AS cell,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS v,
+        |    COUNT(*) AS n
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT user_id, cell, v, n,
+        |    LEAD(cell) OVER (PARTITION BY user_id ORDER BY cell) AS next_cell,
+        |    LEAD(v) OVER (PARTITION BY user_id ORDER BY cell) AS next_v
+        |  FROM cells),
+        |series AS (
+        |  SELECT UNNEST(generate_series((SELECT MIN(cell) FROM cells),
+        |                                (SELECT MAX(cell) FROM cells))) AS g),
+        |grid AS (
+        |  SELECT user_id, g, cell, v, n,
+        |    (next_v - v) * (g - cell) AS nm, next_cell - cell AS dn
+        |  FROM spans JOIN series
+        |    ON g BETWEEN cell AND COALESCE(next_cell - 1, cell))
+        |SELECT user_id, g * 43200000000 AS grid_ts,
+        |  -- duckdb's // truncates toward zero; subtract the non-negative
+        |  -- mod first so the division is exact (trunc == floor there)
+        |  CASE WHEN g = cell THEN v
+        |       ELSE v + (nm - (((nm % dn) + dn) % dn)) // dn
+        |  END AS value_micros,
+        |  CASE WHEN g = cell THEN n ELSE CAST(0 AS BIGINT) END AS n_obs
+        |FROM grid
         |ORDER BY user_id, grid_ts""".stripMargin)
 }

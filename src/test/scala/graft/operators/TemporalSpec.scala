@@ -292,6 +292,49 @@ class TemporalSpec extends SparkSpec {
     assert(got.head.getDouble(2) == 4.0 && got.head.getLong(3) == 2L)
   }
 
+  test("resampleInterpolate: integral floor fill, double fill, ends exact, one exchange") {
+    // integral path: key 1 observes cells 0 (sum 100) and 3 (sum 400) →
+    // the 1,2 gap lies on the line (200, 300); key 2 observes 0 (10)
+    // and 3 (12) → floor fill 10 + 2·g//3 = (10, 11); key 3 is a
+    // single cell (no fill, no extrapolation).
+    val df = Seq(
+      (1L, 5L, 100L), (1L, 35L, 400L),
+      (2L, 1L, 10L), (2L, 33L, 12L),
+      (3L, 12L, 9L)
+    ).toDF("k", "ts", "v")
+    val got = Temporal.resampleInterpolate(df, Seq("k"), "ts", "v", 10L,
+        cellAgg = Some(sum(col("v"))))
+      .orderBy("k", "grid_ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 100L, 1L), (1L, 10L, 200L, 0L), (1L, 20L, 300L, 0L),
+      (1L, 30L, 400L, 1L),
+      (2L, 0L, 10L, 1L), (2L, 10L, 10L, 0L), (2L, 20L, 11L, 0L),
+      (2L, 30L, 12L, 1L),
+      (3L, 10L, 9L, 1L)))
+
+    // default mean (double) path: 10.0 at cell 0, 13.0 at cell 2 → 11.5
+    val dbl = Seq((1L, 5L, 10.0), (1L, 25L, 13.0)).toDF("k", "ts", "v")
+    val gd = Temporal.resampleInterpolate(dbl, Seq("k"), "ts", "v", 10L)
+      .orderBy("grid_ts").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(gd == Seq((0L, 10.0, 1L), (10L, 11.5, 0L), (20L, 13.0, 1L)))
+
+    // negative slope floors toward -inf (the DuckDB // semantics)
+    val neg = Seq((1L, 5L, 0L), (1L, 35L, -2L)).toDF("k", "ts", "v")
+    val gn = Temporal.resampleInterpolate(neg, Seq("k"), "ts", "v", 10L,
+        cellAgg = Some(sum(col("v"))))
+      .orderBy("grid_ts").collect().map(_.getLong(2)).toSeq
+    assert(gn == Seq(0L, -1L, -2L, -2L))
+
+    val plan = Temporal.resampleInterpolate(df, Seq("k"), "ts", "v", 10L,
+        cellAgg = Some(sum(col("v"))))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"resampleInterpolate must be one shuffle, got $exchanges:\n$plan")
+  }
+
   test("funnel: greedy-earliest, strict-after, span bound, anchored, gap-free") {
     // numeric ts (micros) — the operator takes them as-is
     val ev = Seq(
