@@ -517,6 +517,69 @@ object Similarity {
         col("col").as("q"), col("scale_micro"))
   }
 
+  /** SQ8 encode column: `struct<codes: binary, scale_micro: long>` of
+    * the NORMALIZED vector ([[graft.functions.SqEncode]]) — one signed
+    * byte per dimension + one scale, the 4× compression rung between
+    * raw vectors and PQ's 32×. Unlike [[quantizeInt8]] (which
+    * quantizes the STORED vector), this quantizes the unit-sphere form
+    * so the asymmetric score ranks by a cosine estimate. */
+  def sqEncodeCol(vec: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.SqEncode(ColumnBridge.expression(vec)))
+  }
+
+  /** Query-side exact micro vector: qm_d = ⌊10⁶ · (x_d / ‖x‖)⌋ as
+    * `array<long>` — computed once per BOUNDED query row, so the
+    * interpreted higher-order form is fine (the [[graft.operators.Pq]]
+    * lut reasoning); null-normed queries null out. */
+  def sqQueryMicro(vec: Column): Column = {
+    val nrm = norm(vec)
+    when(nrm > 0, transform(vec,
+      x => floor(lit(1e6) * (x.cast("double") / nrm)).cast("long")))
+  }
+
+  /** SQ8 compressed-domain brute-force top-k — the
+    * [[graft.operators.Pq.pqTopKExhaustive]] shape at 4× (not 32×)
+    * compression and zero training: encode the corpus to (codes,
+    * scale), broadcast the bounded query batch carrying exact micro
+    * vectors, score each pair `scale_micro · Σ qm_d·code_d` (pure
+    * integer — the oracle replays it term-exactly), heap-cap to k.
+    * Output: `(query_id, neighbor_id, sq_micro, rank)` ranked by
+    * `(sq_micro desc, neighbor_id)`.
+    *
+    * The materialization boundary before the cross join is the same
+    * BroadcastNestedLoopJoin lesson as PQ's: without it codegen fuses
+    * the encode into the join's per-MATCH path and quantizes each
+    * corpus row once per QUERY. Checkpointed codes are dims bytes +
+    * one long per row. */
+  def sqTopKExhaustive(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val encoded = corpus
+      .select(col(idCol).as("neighbor_id"), sqEncodeCol(col(vecCol)).as("__sq"))
+      .filter(col("__sq").isNotNull)
+      .select(col("neighbor_id"), col("__sq.codes").as("__codes"),
+        col("__sq.scale_micro").as("__scale"))
+      .localCheckpoint(true)
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), sqQueryMicro(col(vecCol)).as("__qm"))
+      .filter(col("__qm").isNotNull))
+    val score = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(graft.functions.SqAdc(
+        ColumnBridge.expression(col("__codes")),
+        ColumnBridge.expression(col("__qm")))) * col("__scale")
+    }
+    encoded.crossJoin(q)
+      .withColumn("sq_micro", score)
+      .groupBy("query_id")
+      .agg(topKBy(col("sq_micro"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").as("sq_micro"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   // ------------------------------------------------------------- LSH / ANN
 
   /** Deterministic ±1 hyperplane components: sign_pi from the portable

@@ -239,6 +239,21 @@ object ScaleQueries {
       .orderBy("vec_id", "dim")
   }
 
+  /** SS6b — SQ8 compressed-domain ANN
+    * ([[Similarity.sqTopKExhaustive]]): the corpus stored as one signed
+    * byte per dimension + a per-vector scale (4× compression, zero
+    * training — the rung between raw scan and PQ's 32×), every
+    * (query, candidate) pair scored `scale · Σ qm_d·code_d` in exact
+    * integer arithmetic the oracle replays term-for-term, heap-capped
+    * to top 3. */
+  val q174SqTopk: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    Similarity.sqTopKExhaustive(
+      t.embeddings.filter(col("vec_id") % 50 === 0), t.embeddings,
+      "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
   /** SS7 — embedding index probe: new vectors (vec_id % 10 = 0) screened
     * against the LSH index of the remaining corpus, plane count derived
     * from the CORPUS size at build time (as a real index build would —
@@ -739,6 +754,7 @@ object ScaleQueries {
     "q71_embedding_ingest" -> q71EmbeddingIngest,
     "q68_embedding_probe" -> q68EmbeddingProbe,
     "q60_quantize_int8" -> q60QuantizeInt8,
+    "q174_sq_topk" -> q174SqTopk,
     "q25_exact_dedup" -> q25ExactDedup,
     "q40_dedup_clusters" -> q40DedupClusters,
     "q111_survivor_policy" -> q111SurvivorPolicy,
@@ -1265,6 +1281,38 @@ object ScaleQueries {
         |  CAST(floor(1e6 * ma / 127) AS BIGINT) AS scale_micro
         |FROM nz, unnest(generate_series(1, len(embedding))) AS u(i)
         |ORDER BY vec_id, dim""".stripMargin,
+    "q174_sq_topk" ->
+      s"""WITH $normedCte,
+         |ma AS (
+         |  SELECT vec_id, embedding, nrm,
+         |    list_max(list_transform(generate_series(1, len(embedding)),
+         |      i -> abs(CAST(embedding[i] AS DOUBLE) / nrm))) AS ma
+         |  FROM e),
+         |enc AS (
+         |  SELECT vec_id AS neighbor_id,
+         |    list_transform(generate_series(1, len(embedding)),
+         |      i -> CAST(floor(CAST(embedding[i] AS DOUBLE) / nrm * 127 / ma
+         |                      + 0.5) AS BIGINT)) AS codes,
+         |    CAST(floor(1e6 * ma / 127) AS BIGINT) AS scale
+         |  FROM ma WHERE ma > 0),
+         |qm AS (
+         |  SELECT vec_id AS query_id,
+         |    list_transform(generate_series(1, len(embedding)),
+         |      i -> CAST(floor(1e6 * (CAST(embedding[i] AS DOUBLE) / nrm))
+         |           AS BIGINT)) AS q
+         |  FROM e WHERE vec_id % 50 = 0),
+         |sc AS (
+         |  SELECT query_id, neighbor_id,
+         |    scale * list_reduce(list_transform(generate_series(1, len(q)),
+         |      i -> q[i] * codes[i]), (x, y) -> x + y) AS sq_micro
+         |  FROM qm, enc),
+         |r AS (
+         |  SELECT query_id, neighbor_id, sq_micro,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY sq_micro DESC, neighbor_id) AS rank
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, sq_micro, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "q25_exact_dedup" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
