@@ -93,6 +93,52 @@ object Graph {
     ranks
   }
 
+  /** PERSONALIZED (seeded) integer PageRank — the recommendation /
+    * related-items variant: the damped restart mass lands only on the
+    * `seeds` relation instead of uniformly, so rank measures proximity
+    * TO THE SEEDS along edges rather than global centrality. Same
+    * fixed-k power iteration, scale and damping as [[pageRankFixed]]:
+    * seeds start at 1,000,000 (non-seeds at 0), and each round is
+    *
+    *   rank(v) ← (isSeed(v) ? 150,000 : 0) + (85 · Σ_{u→v} rank(u)
+    *             div out_deg(u)) div 100
+    *
+    * — exact integer arithmetic the oracle unrolls. Nodes unreachable
+    * from any seed settle at 0 (the floor is seed-only by definition of
+    * the personalization vector).
+    *
+    * Shape: the [[pageRankFixed]] plan (one edge materialization,
+    * src-repartitioned checkpointed edge⋈degree relation, per round one
+    * equi-join + one agg); the seed set is a query-sized relation
+    * BROADCAST onto the node list once — at 100 TB the seed list is the
+    * thing a user typed, never corpus-sized. */
+  def pageRankPersonalized(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val e = materialized(asEdges(edges))
+    val eDeg = e.join(outDegrees(e), "src")
+      .repartition(col("src")).localCheckpoint(true)
+    val seedRel = seeds.select(col(seeds.columns.head).as("node"))
+      .distinct().withColumn("__seed", lit(1))
+    val nodes = nodesOf(e)
+      .join(broadcast(seedRel), Seq("node"), "left")
+      .localCheckpoint(true)
+    val floor = when(col("__seed").isNotNull, lit(150000L)).otherwise(lit(0L))
+    var ranks = nodes.select(col("node"),
+      when(col("__seed").isNotNull, lit(1000000L)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = eDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank div out_deg").as("__c"))
+        .groupBy("node").agg(sum("__c").as("__s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (floor + expr("(85 * coalesce(__s, 0)) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Connected components of the UNDIRECTED view of `edges`: delegates
     * to [[Dedup.connectedComponents]] (driver union-find fast path under
     * ~1.3M edges, distributed min-label propagation above) over

@@ -100,8 +100,22 @@ object GraphQueries {
         "l_orderkey", "l_partkey", minCount = 2L, maxGroupItems = CoCap)
       .orderBy("src", "dst")
 
+  /** GR8 — PERSONALIZED PageRank from every 50th part
+    * ([[Graph.pageRankPersonalized]]): the restart mass lands on the
+    * seed set only, so rank measures proximity to the seeds (the
+    * related-items primitive). 5 integer rounds over the simple
+    * co-occurrence graph, oracle-unrolled with the seed-only floor;
+    * nodes unreachable from any seed verify at exactly 0. */
+  val q175PprSeeded: Q = (spark, dir) => {
+    val g = coEdges(spark, dir, minCount = 1L).localCheckpoint(true)
+    Graph.pageRankPersonalized(g,
+        Graph.nodesOf(g).filter(col("node") % 50 === 0), PrIters)
+      .orderBy("node")
+  }
+
   val all: Map[String, Q] = Map(
     "q135_pagerank" -> q135PageRank,
+    "q175_ppr_seeded" -> q175PprSeeded,
     "q149_cooccur_capped" -> q149CooccurCapped,
     "q143_weighted_pagerank" -> q143WeightedPageRank,
     "q136_graph_components" -> q136GraphComponents,
@@ -129,6 +143,19 @@ object GraphQueries {
        |    JOIN r${i - 1} r ON r.node = e.src
        |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
 
+  /** One unrolled PERSONALIZED round: the [[prRound]] arithmetic with
+    * the damped floor paid only to seed nodes (node % 50 = 0). */
+  private def pprRound(i: Int): String =
+    s"""p$i AS (
+       |  SELECT n.node,
+       |    CAST(CASE WHEN n.node % 50 = 0 THEN 150000 ELSE 0 END
+       |      + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst AS node, SUM(r.rank // d.out_deg) AS s
+       |    FROM co e JOIN deg d USING (src)
+       |    JOIN p${i - 1} r ON r.node = e.src
+       |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+
   /** One unrolled PageRank round: rank_i+1(v) = 150000 +
     * (85 · Σ_{u→v} rank_i(u) // out_deg(u)) // 100 — the exact integer
     * twin of [[Graph.pageRankFixed]]'s iteration. */
@@ -150,6 +177,15 @@ object GraphQueries {
          |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
          |${(1 to PrIters).map(prRound).mkString(",\n")}
          |SELECT node, rank FROM r$PrIters ORDER BY node""".stripMargin,
+    "q175_ppr_seeded" ->
+      s"""WITH $coCte,
+         |deg AS (SELECT src, COUNT(*) AS out_deg FROM co GROUP BY src),
+         |nodes AS (SELECT src AS node FROM co UNION SELECT dst FROM co),
+         |p0 AS (SELECT node,
+         |  CAST(CASE WHEN node % 50 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS rank
+         |  FROM nodes),
+         |${(1 to PrIters).map(pprRound).mkString(",\n")}
+         |SELECT node, rank FROM p$PrIters ORDER BY node""".stripMargin,
     "q136_graph_components" ->
       """WITH RECURSIVE cnt AS (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS n

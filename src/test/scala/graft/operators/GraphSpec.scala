@@ -150,6 +150,20 @@ class GraphSpec extends SparkSpec {
     assert(thresholded == Set((1L, 2L, 2L, 666L)))
   }
 
+  test("pageRankPersonalized: seed-only floor, two hand rounds, unreachable stays 0") {
+    // 1→2→3→1 cycle plus a disconnected 4→5; seed = {1}, out_deg all 1
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val r1 = Graph.pageRankPersonalized(e, seeds, 1)
+      .as[(Long, Long)].collect().toMap
+    // round 1: seed floor 150000; node 2 receives 85% of the seed's 1e6
+    assert(r1 == Map(1L -> 150000L, 2L -> 850000L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
+    val r2 = Graph.pageRankPersonalized(e, seeds, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 150000L, 2L -> 127500L, 3L -> 722500L,
+      4L -> 0L, 5L -> 0L))
+  }
+
   test("edge shape is enforced") {
     intercept[IllegalArgumentException] {
       Graph.pageRankFixed(Seq((1L, 2L, 3L)).toDF("a", "b", "c"), 1)
