@@ -335,6 +335,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intConst(exprs(1), "gx"), intConst(exprs(2), "gy"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(
+        classOf[graft.functions.HllSketchAgg].getCanonicalName,
+        "", "hll_sketch",
+        "_FUNC_(h60_hash, p) - mergeable 2^p-register HyperLogLog sketch " +
+          "(array<int>) aggregated from a 60-bit portable hash column.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"hll_sketch takes 2 arguments, got ${exprs.length}")
+        graft.functions.HllSketchAgg(exprs.head, exprs(1)).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_merge"),
+      new ExpressionInfo(
+        classOf[graft.functions.HllMergeAgg].getCanonicalName,
+        "", "hll_merge",
+        "_FUNC_(sketch) - exact HLL union of persisted sketches by " +
+          "element-wise register max; loud on width mismatch.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"hll_merge takes 1 argument, got ${exprs.length}")
+        graft.functions.HllMergeAgg(exprs.head).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_estimate"),
+      new ExpressionInfo(
+        classOf[graft.functions.HllEstimate].getCanonicalName,
+        "", "hll_estimate",
+        "_FUNC_(sketch) - the standard corrected HyperLogLog estimate of a " +
+          "sketch (double).",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"hll_estimate takes 1 argument, got ${exprs.length}")
+        graft.functions.HllEstimate(exprs.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("fix_mojibake"),
       new ExpressionInfo(
         classOf[graft.functions.FixMojibake].getCanonicalName,

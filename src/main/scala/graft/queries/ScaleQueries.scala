@@ -254,6 +254,41 @@ object ScaleQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** SK1 — mergeable HyperLogLog rollup ([[graft.operators.Sketch]]):
+    * per-(event_type, user slice) sketches of distinct users UNION-ed
+    * up to event_type with `hll_merge` — the daily→monthly rollup path
+    * that never re-reads raw data. The oracle computes every register
+    * DIRECTLY from the raw rows, so the sketch build AND the merge law
+    * (merge of slice sketches ≡ sketch of the union) verify exactly;
+    * the raw-form estimate (dyadic fold — no libm) replays bit-for-bit
+    * beside the true distinct count. */
+  val q176HllRollup: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val hashed = t.events
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        graft.functions.Hashing.h60(col("user_id").cast("string")).as("h"))
+    val slices = hashed
+      .groupBy(col("event_type"), (col("user_id") % 4).as("__slice"))
+      .agg(graft.operators.Sketch.hllSketch(col("h"), 6).as("sk"))
+    val merged = slices.groupBy("event_type")
+      .agg(graft.operators.Sketch.hllMerge(col("sk")).as("sk"))
+    val exact = hashed.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    // Σ 2^−reg as the exact integer numerator Σ 2^(57−reg) (reg ≤ 55 at
+    // p = 6, 64 terms ≤ 2^63 — order-independent), divided out in one
+    // deterministic double step; 144115188075855872 = 2^57 exactly
+    val sNum = expr("aggregate(transform(sk, r -> CAST(1 AS BIGINT) << (57 - r)), " +
+      "CAST(0 AS BIGINT), (a, x) -> a + x)")
+    val est = floor(lit(1000000.0) * (lit(0.709) * lit(64.0) * lit(64.0)) *
+        lit(144115188075855872.0) / sNum)
+      .cast("long")
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("exact_users"), est.as("est_micro"),
+        posexplode(col("sk")).as(Seq("idx", "reg")))
+      .orderBy("event_type", "idx")
+  }
+
   /** SS7 — embedding index probe: new vectors (vec_id % 10 = 0) screened
     * against the LSH index of the remaining corpus, plane count derived
     * from the CORPUS size at build time (as a real index build would —
@@ -755,6 +790,7 @@ object ScaleQueries {
     "q68_embedding_probe" -> q68EmbeddingProbe,
     "q60_quantize_int8" -> q60QuantizeInt8,
     "q174_sq_topk" -> q174SqTopk,
+    "q176_hll_rollup" -> q176HllRollup,
     "q25_exact_dedup" -> q25ExactDedup,
     "q40_dedup_clusters" -> q40DedupClusters,
     "q111_survivor_policy" -> q111SurvivorPolicy,
@@ -1313,6 +1349,38 @@ object ScaleQueries {
          |  FROM sc)
          |SELECT query_id, neighbor_id, sq_micro, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "q176_hll_rollup" ->
+      s"""WITH h AS (
+         |  SELECT event_type, user_id,
+         |    ${Hashing.h60Sql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         |b AS (SELECT event_type, h % 64 AS bucket, h // 64 AS w FROM h),
+         |r AS (
+         |  SELECT event_type, bucket,
+         |    MAX(CASE WHEN w = 0 THEN 55 ELSE 55 - len(bin(w)) END) AS rho
+         |  FROM b GROUP BY 1, 2),
+         |g AS (SELECT DISTINCT event_type FROM h),
+         |idx AS (SELECT g.event_type, i AS idx
+         |        FROM g, (SELECT unnest(range(0, 64)) AS i)),
+         |reg AS (
+         |  SELECT idx.event_type, idx.idx, COALESCE(r.rho, 0) AS reg
+         |  FROM idx LEFT JOIN r
+         |    ON idx.event_type = r.event_type AND idx.idx = r.bucket),
+         |regs AS (SELECT event_type, list(reg ORDER BY idx) AS l
+         |         FROM reg GROUP BY 1),
+         |est AS (
+         |  SELECT event_type,
+         |    CAST(floor(1000000.0 * (0.709 * 64 * 64) * 144115188075855872.0 /
+         |      list_reduce(list_transform(l, x -> 1::BIGINT << (57 - x)),
+         |        (a, b) -> a + b)) AS BIGINT) AS est_micro
+         |  FROM regs),
+         |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+         |       FROM h GROUP BY 1)
+         |SELECT reg.event_type, ex.exact_users, est.est_micro,
+         |  CAST(reg.idx AS INTEGER) AS idx, CAST(reg.reg AS INTEGER) AS reg
+         |FROM reg JOIN est USING (event_type) JOIN ex USING (event_type)
+         |ORDER BY event_type, idx""".stripMargin,
     "q25_exact_dedup" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
