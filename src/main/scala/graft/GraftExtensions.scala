@@ -371,6 +371,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.HllEstimate(exprs.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(
+        classOf[graft.functions.CmsSketchAgg].getCanonicalName,
+        "", "cms_sketch",
+        "_FUNC_(h60_hash, depth, width) - mergeable depth*width Count-Min " +
+          "frequency sketch (array<bigint>, row-major) aggregated from a " +
+          "60-bit portable hash column.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, s"cms_sketch takes 3 arguments, got ${exprs.length}")
+        graft.functions.CmsSketchAgg(exprs(0), exprs(1), exprs(2)).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_merge"),
+      new ExpressionInfo(
+        classOf[graft.functions.CmsMergeAgg].getCanonicalName,
+        "", "cms_merge",
+        "_FUNC_(sketch) - element-wise sum of persisted Count-Min sketches " +
+          "(exact union by linearity); loud on size mismatch.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"cms_merge takes 1 argument, got ${exprs.length}")
+        graft.functions.CmsMergeAgg(exprs.head).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_query"),
+      new ExpressionInfo(
+        classOf[graft.functions.CmsQuery].getCanonicalName,
+        "", "cms_query",
+        "_FUNC_(sketch, h60_hash, depth) - Count-Min point estimate (min over " +
+          "rows; >= the true count), integer end to end.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, s"cms_query takes 3 arguments, got ${exprs.length}")
+        graft.functions.CmsQuery(exprs(0), exprs(1), intConst(exprs(2), "depth"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("fix_mojibake"),
       new ExpressionInfo(
         classOf[graft.functions.FixMojibake].getCanonicalName,

@@ -36,4 +36,25 @@ object Sketch {
   /** The standard corrected HLL estimate of a sketch (double). */
   def hllEstimate(sketch: Column): Column =
     ColumnBridge.column(HllEstimate(ColumnBridge.expression(sketch)))
+
+  /** Build a depth×width Count-Min frequency sketch (`array<long>`,
+    * row-major) from a 60-bit portable hash column — the heavy-hitter
+    * sibling of [[hllSketch]], integer end to end. */
+  def cmsSketch(hash: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(graft.functions.CmsSketchAgg(
+      ColumnBridge.expression(hash),
+      org.apache.spark.sql.catalyst.expressions.Literal(depth),
+      org.apache.spark.sql.catalyst.expressions.Literal(width))
+      .toAggregateExpression())
+
+  /** Sum persisted Count-Min sketches element-wise — exact,
+    * associative, loud on size mismatch. */
+  def cmsMerge(sketch: Column): Column =
+    ColumnBridge.column(graft.functions.CmsMergeAgg(
+      ColumnBridge.expression(sketch)).toAggregateExpression())
+
+  /** Count-Min point estimate (min over rows; ≥ the true count). */
+  def cmsQuery(sketch: Column, hash: Column, depth: Int): Column =
+    ColumnBridge.column(graft.functions.CmsQuery(
+      ColumnBridge.expression(sketch), ColumnBridge.expression(hash), depth))
 }

@@ -289,6 +289,34 @@ object ScaleQueries {
       .orderBy("event_type", "idx")
   }
 
+  /** SK2 — Count-Min heavy-hitter rollup ([[graft.operators.Sketch]]):
+    * per-(event_type, user slice) 4×512 frequency sketches summed up to
+    * event_type with `cms_merge`, then point-queried for every 20th
+    * user against the true per-user event count. Integer end to end —
+    * the oracle replays the counters AND the min-over-rows estimates
+    * exactly (unlike HLL there is no float anywhere), and the ≥-true
+    * one-sided guarantee is visible in the output pairs. */
+  val q177CmsHeavyHitters: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val hashed = t.events
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        Hashing.h60(col("user_id").cast("string")).as("h"))
+    val merged = hashed
+      .groupBy(col("event_type"), (col("user_id") % 4).as("__slice"))
+      .agg(graft.operators.Sketch.cmsSketch(col("h"), 4, 512).as("sk"))
+      .groupBy("event_type")
+      .agg(graft.operators.Sketch.cmsMerge(col("sk")).as("sk"))
+    val probes = hashed.filter(col("user_id") % 20 === 0)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("true_count"), first(col("h")).as("h"))
+    probes.join(merged, "event_type")
+      .select(col("event_type"), col("user_id"),
+        graft.operators.Sketch.cmsQuery(col("sk"), col("h"), 4).as("est_count"),
+        col("true_count"))
+      .orderBy("event_type", "user_id")
+  }
+
   /** SS7 — embedding index probe: new vectors (vec_id % 10 = 0) screened
     * against the LSH index of the remaining corpus, plane count derived
     * from the CORPUS size at build time (as a real index build would —
@@ -791,6 +819,7 @@ object ScaleQueries {
     "q60_quantize_int8" -> q60QuantizeInt8,
     "q174_sq_topk" -> q174SqTopk,
     "q176_hll_rollup" -> q176HllRollup,
+    "q177_cms_heavy" -> q177CmsHeavyHitters,
     "q25_exact_dedup" -> q25ExactDedup,
     "q40_dedup_clusters" -> q40DedupClusters,
     "q111_survivor_policy" -> q111SurvivorPolicy,
@@ -1381,6 +1410,36 @@ object ScaleQueries {
          |  CAST(reg.idx AS INTEGER) AS idx, CAST(reg.reg AS INTEGER) AS reg
          |FROM reg JOIN est USING (event_type) JOIN ex USING (event_type)
          |ORDER BY event_type, idx""".stripMargin,
+    "q177_cms_heavy" -> {
+      def posSql(i: Int, hExpr: String): String =
+        s"(${Hashing.h31AffineSql(i, hExpr)}) % 512"
+      val countersArm = (0 until 4).map(i =>
+        s"SELECT event_type, $i AS i, ${posSql(i, "h")} AS p FROM h")
+        .mkString("\n  UNION ALL ")
+      val probeArm = (0 until 4).map(i =>
+        s"SELECT event_type, user_id, true_count, $i AS i, " +
+          s"${posSql(i, "h")} AS p FROM probe")
+        .mkString("\n  UNION ALL ")
+      s"""WITH h AS (
+         |  SELECT event_type, user_id,
+         |    ${Hashing.h60Sql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         |ph AS (
+         |  SELECT event_type, i, p, COUNT(*) AS cnt FROM (
+         |  $countersArm) GROUP BY 1, 2, 3),
+         |probe AS (
+         |  SELECT event_type, user_id, h, COUNT(*) AS true_count
+         |  FROM h WHERE user_id % 20 = 0 GROUP BY 1, 2, 3),
+         |pp AS (
+         |  $probeArm)
+         |SELECT pp.event_type, pp.user_id,
+         |  CAST(MIN(ph.cnt) AS BIGINT) AS est_count,
+         |  CAST(pp.true_count AS BIGINT) AS true_count
+         |FROM pp JOIN ph USING (event_type, i, p)
+         |GROUP BY 1, 2, pp.true_count
+         |ORDER BY event_type, user_id""".stripMargin
+    },
     "q25_exact_dedup" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
