@@ -153,6 +153,63 @@ object Graph {
     Dedup.connectedComponents(e, nodesOf(e), "node", maxIter)
   }
 
+  /** k-CORE of the undirected view of `edges`: the maximal subgraph in
+    * which every node keeps degree ≥ k — the standard "dense part of
+    * the graph" extraction (spam rings, community nuclei, trending
+    * cliques). Computed by iterative peeling: drop every node whose
+    * surviving degree is < k, recompute, repeat to the FIXPOINT (the
+    * k-core is unique, so the fixpoint is the answer — unlike the
+    * fixed-k PageRank family, truncating the loop would return a
+    * superset, not an approximation of anything). Output: `(node,
+    * core_deg)` for surviving nodes, core_deg their degree INSIDE the
+    * core; self-loops and edge direction/duplication are normalized
+    * away first.
+    *
+    * Loud convergence contract: peeling converges in at most as many
+    * rounds as there are nodes, but each round is a count() + two anti
+    * joins over the (shrinking) edge body — if `maxIter` rounds do not
+    * reach the fixpoint this THROWS rather than silently returning the
+    * superset (the oracle unrolls exactly `maxIter` rounds, so a
+    * silent truncation here would be a silent wrong answer there).
+    * Real graphs peel in a handful of rounds; GraphSpec pins a 3-round
+    * case.
+    *
+    * Scale: per round one degree agg + two shuffled anti joins, all on
+    * the SURVIVING edge body (checkpointed each round so lineage stays
+    * flat and later rounds read the smaller relation, not a replay). */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(maxIter >= 1, s"maxIter must be positive, got $maxIter")
+    val e = asEdges(edges)
+    // undirected simple view: both orientations of every distinct pair
+    val und = e.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .union(e.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var sym = und.localCheckpoint(true)
+    var round = 0
+    while (round < maxIter) {
+      val deg = sym.groupBy("src").agg(count(lit(1)).as("core_deg"))
+      val bad = deg.filter(col("core_deg") < k).select("src").localCheckpoint(true)
+      if (bad.isEmpty)
+        return deg.select(col("src").as("node"), col("core_deg"))
+      sym = sym
+        .join(bad, Seq("src"), "left_anti")
+        .join(bad.withColumnRenamed("src", "dst"), Seq("dst"), "left_anti")
+        .localCheckpoint(true)
+      round += 1
+    }
+    // one more degree pass: if the LAST removal already reached the
+    // fixpoint, maxIter rounds of removal + this check suffice
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("core_deg"))
+    if (deg.filter(col("core_deg") < k).isEmpty)
+      deg.select(col("src").as("node"), col("core_deg"))
+    else throw new IllegalStateException(
+      s"kCore(k=$k) did not converge in $maxIter peel rounds - raise maxIter " +
+        "(and the oracle unroll if this relation is oracle-checked)")
+  }
+
   /** Co-occurrence edge builder — the generic "items sharing a group"
     * graph derivation (parts per order, domains per user, tokens per
     * doc): one directed edge per ordered pair of distinct items

@@ -113,9 +113,24 @@ object GraphQueries {
       .orderBy("node")
   }
 
+  val KCoreK = 3
+  val KCoreRounds = 20
+
+  /** GR9 — 3-CORE of the ≥2 co-occurrence subgraph ([[Graph.kCore]]):
+    * iterative peeling to the FIXPOINT (8 rounds at sf0.01, 1055 of
+    * 1892 nodes survive — the peel does real work), surviving nodes
+    * with their in-core degree. The oracle unrolls [[KCoreRounds]]
+    * removal rounds — the engine THROWS past the same bound rather
+    * than silently returning a superset, so the two can never drift. */
+  val q178KCore: Q = (spark, dir) =>
+    Graph.kCore(coEdges(spark, dir, minCount = 2L), KCoreK,
+        maxIter = KCoreRounds)
+      .orderBy("node")
+
   val all: Map[String, Q] = Map(
     "q135_pagerank" -> q135PageRank,
     "q175_ppr_seeded" -> q175PprSeeded,
+    "q178_kcore" -> q178KCore,
     "q149_cooccur_capped" -> q149CooccurCapped,
     "q143_weighted_pagerank" -> q143WeightedPageRank,
     "q136_graph_components" -> q136GraphComponents,
@@ -142,6 +157,19 @@ object GraphQueries {
        |    FROM we e JOIN wsum ws USING (src)
        |    JOIN r${i - 1} r ON r.node = e.src
        |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+
+  /** One unrolled k-core PEEL round over the symmetric edge CTE
+    * `s${i-1}`: drop every edge touching a node of surviving degree
+    * < k. Idempotent once converged, so unrolling past the fixpoint is
+    * harmless. */
+  private def kcoreRound(i: Int): String =
+    s"""bad$i AS MATERIALIZED (
+       |  SELECT src FROM (SELECT src, COUNT(*) AS c FROM s${i - 1} GROUP BY src)
+       |  WHERE c < $KCoreK),
+       |s$i AS MATERIALIZED (
+       |  SELECT e.src, e.dst FROM s${i - 1} e
+       |  WHERE e.src NOT IN (SELECT src FROM bad$i)
+       |    AND e.dst NOT IN (SELECT src FROM bad$i))""".stripMargin
 
   /** One unrolled PERSONALIZED round: the [[prRound]] arithmetic with
     * the damped floor paid only to seed nodes (node % 50 = 0). */
@@ -186,6 +214,19 @@ object GraphQueries {
          |  FROM nodes),
          |${(1 to PrIters).map(pprRound).mkString(",\n")}
          |SELECT node, rank FROM p$PrIters ORDER BY node""".stripMargin,
+    "q178_kcore" ->
+      s"""WITH cnt AS (
+         |  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS n
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |  GROUP BY 1, 2),
+         |e AS (SELECT src, dst FROM cnt WHERE n >= 2),
+         |s0 AS MATERIALIZED (
+         |  SELECT src, dst FROM e WHERE src <> dst
+         |  UNION SELECT dst, src FROM e WHERE src <> dst),
+         |${(1 to KCoreRounds).map(kcoreRound).mkString(",\n")}
+         |SELECT src AS node, COUNT(*) AS core_deg
+         |FROM s$KCoreRounds GROUP BY src ORDER BY node""".stripMargin,
     "q136_graph_components" ->
       """WITH RECURSIVE cnt AS (
         |  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS n

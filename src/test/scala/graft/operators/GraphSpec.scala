@@ -164,6 +164,25 @@ class GraphSpec extends SparkSpec {
       4L -> 0L, 5L -> 0L))
   }
 
+  test("kCore: multi-round peel to fixpoint, loud on truncation, empty core") {
+    // triangle {1,2,3} + a tail 3−4−5: k=2 peels 5 (deg 1), then 4,
+    // leaving the triangle — two genuine rounds + the converged check
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val core = Graph.kCore(e, k = 2).as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3: everything peels away
+    assert(Graph.kCore(e, k = 3).isEmpty)
+    // truncating the loop must throw, never return the superset
+    intercept[IllegalStateException] {
+      Graph.kCore(e, k = 2, maxIter = 1).collect()
+    }
+    // duplicate/reversed edges and self-loops normalize away
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L))
+      .toDF("src", "dst")
+    assert(Graph.kCore(messy, k = 2).as[(Long, Long)].collect().toMap ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("edge shape is enforced") {
     intercept[IllegalArgumentException] {
       Graph.pageRankFixed(Seq((1L, 2L, 3L)).toDF("a", "b", "c"), 1)
