@@ -29,10 +29,14 @@ import org.apache.spark.sql.types._
   * merges map-side, the shuffle carries one depth·width array per
   * group per mapper, never the key stream. */
 object CmsSketch {
-  private[functions] def pos(h: Long, i: Int, width: Int): Int = {
-    val (a, b) = Hashing.affineParams(i)
+  /** Row-i counter index — callers pass PRECOMPUTED affine params (the
+    * [[MinHashSig]] rule: affineParams runs two MD5s, so deriving it
+    * per row would dwarf the counter increment it feeds). */
+  private[functions] def pos(h: Long, a: Long, b: Long, width: Int): Int =
     (((a * (h % Hashing.P31) + b) % Hashing.P31) % width).toInt
-  }
+
+  private[functions] def params(depth: Int): Array[(Long, Long)] =
+    Array.tabulate(depth)(Hashing.affineParams)
 
   private[functions] def checkConst(e: Expression, name: String, lo: Int,
       hi: Int): TypeCheckResult =
@@ -71,6 +75,7 @@ case class CmsSketchAgg(
 
   private lazy val depth: Int = depthExpr.eval().asInstanceOf[Number].intValue()
   private lazy val width: Int = widthExpr.eval().asInstanceOf[Number].intValue()
+  private lazy val ab: Array[(Long, Long)] = CmsSketch.params(depth)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (hash.dataType != LongType)
@@ -95,7 +100,8 @@ case class CmsSketchAgg(
       val h = v.asInstanceOf[Long] & ((1L << 60) - 1)
       var i = 0
       while (i < depth) {
-        buffer(i * width + CmsSketch.pos(h, i, width)) += 1
+        val (a, b) = ab(i)
+        buffer(i * width + CmsSketch.pos(h, a, b, width)) += 1
         i += 1
       }
     }
@@ -159,7 +165,18 @@ case class CmsMergeAgg(
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = sketch.eval(input)
     if (v == null) buffer
-    else mergeInto(buffer, v.asInstanceOf[ArrayData].toLongArray())
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val in = new Array[Long](arr.numElements())
+      var i = 0
+      while (i < in.length) {
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          "cms_merge: null counter slot — not an engine-built Count-Min sketch")
+        in(i) = arr.getLong(i)
+        i += 1
+      }
+      mergeInto(buffer, in)
+    }
   }
 
   override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] =
@@ -200,6 +217,8 @@ case class CmsQuery(left: Expression, right: Expression, depth: Int)
   override def nullable: Boolean = true
   override def prettyName: String = "cms_query"
 
+  private lazy val ab: Array[(Long, Long)] = CmsSketch.params(depth)
+
   override def nullSafeEval(sk: Any, hv: Any): Any = {
     val arr = sk.asInstanceOf[ArrayData]
     if (arr.numElements() == 0 || arr.numElements() % depth != 0) return null
@@ -208,7 +227,13 @@ case class CmsQuery(left: Expression, right: Expression, depth: Int)
     var best = Long.MaxValue
     var i = 0
     while (i < depth) {
-      val c = arr.getLong(i * width + CmsSketch.pos(h, i, width))
+      val (a, b) = ab(i)
+      val at = i * width + CmsSketch.pos(h, a, b, width)
+      // a null counter slot means the sketch is not one this engine
+      // built — null out rather than read it as 0 and UNDERestimate,
+      // which would silently break the one-sided >=-true guarantee
+      if (arr.isNullAt(at)) return null
+      val c = arr.getLong(at)
       if (c < best) best = c
       i += 1
     }

@@ -561,14 +561,25 @@ object FlacPcm {
       val bsCode = if (bs <= 256) 6 else 7
       w.byte((bsCode << 4) | 0)                 // sample rate from STREAMINFO
       w.byte(((channels - 1) << 4) | (4 << 1))  // independent, 16-bit, reserved 0
-      // UTF-8-style coded frame number
+      // UTF-8-style coded frame number — all forms up to 6 bytes, so a
+      // 2^31-frame index still emits a well-formed header (the 4-byte
+      // form tops out at 21 bits; a longer stream would otherwise
+      // self-reject on its own continuation/CRC check)
       if (f < 0x80) w.byte(f)
       else if (f < 0x800) { w.byte(0xC0 | (f >> 6)); w.byte(0x80 | (f & 0x3F)) }
       else if (f < 0x10000) {
         w.byte(0xE0 | (f >> 12)); w.byte(0x80 | ((f >> 6) & 0x3F))
         w.byte(0x80 | (f & 0x3F))
-      } else {
+      } else if (f < 0x200000) {
         w.byte(0xF0 | (f >> 18)); w.byte(0x80 | ((f >> 12) & 0x3F))
+        w.byte(0x80 | ((f >> 6) & 0x3F)); w.byte(0x80 | (f & 0x3F))
+      } else if (f < 0x4000000) {
+        w.byte(0xF8 | (f >> 24)); w.byte(0x80 | ((f >> 18) & 0x3F))
+        w.byte(0x80 | ((f >> 12) & 0x3F)); w.byte(0x80 | ((f >> 6) & 0x3F))
+        w.byte(0x80 | (f & 0x3F))
+      } else {
+        w.byte(0xFC | (f >>> 30)); w.byte(0x80 | ((f >> 24) & 0x3F))
+        w.byte(0x80 | ((f >> 18) & 0x3F)); w.byte(0x80 | ((f >> 12) & 0x3F))
         w.byte(0x80 | ((f >> 6) & 0x3F)); w.byte(0x80 | (f & 0x3F))
       }
       if (bsCode == 6) w.byte(bs - 1) else { w.byte((bs - 1) >> 8); w.byte((bs - 1) & 0xFF) }

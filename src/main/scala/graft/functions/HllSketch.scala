@@ -41,6 +41,29 @@ object HllSketch {
     if (w == 0) 61 - p
     else 61 - p - (64 - java.lang.Long.numberOfLeadingZeros(w))
 
+  /** A register is a rho in [0, 57] (p ≥ 4 on a 60-bit hash ⇒ rho ≤
+    * 57). Values outside that range cannot come from this engine —
+    * they would also silently truncate through the one-byte-per-
+    * register serialization, making results depend on whether a
+    * shuffle spilled the buffer. Reject loudly at the boundary. */
+  private[functions] def requireRegister(r: Int, who: String): Unit =
+    if (r < 0 || r > 57) throw new IllegalArgumentException(
+      s"$who: register value $r is outside [0, 57] — not an engine-built " +
+        "HLL sketch")
+
+  private[functions] def toBytes(buffer: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte](buffer.length)
+    var i = 0
+    while (i < buffer.length) { out(i) = buffer(i).toByte; i += 1 }
+    out
+  }
+  private[functions] def fromBytes(bytes: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = bytes(i) & 0xFF; i += 1 }
+    out
+  }
+
   private[functions] def checkP(pExpr: Expression, name: String): TypeCheckResult =
     if (!pExpr.foldable || pExpr.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure(s"$name p must be an int literal")
@@ -101,20 +124,8 @@ case class HllSketchAgg(
   }
 
   override def eval(buffer: Array[Int]): Any = new GenericArrayData(buffer)
-
-  override def serialize(buffer: Array[Int]): Array[Byte] = {
-    // rho ≤ 57 — one byte per register
-    val out = new Array[Byte](buffer.length)
-    var i = 0
-    while (i < buffer.length) { out(i) = buffer(i).toByte; i += 1 }
-    out
-  }
-  override def deserialize(bytes: Array[Byte]): Array[Int] = {
-    val out = new Array[Int](bytes.length)
-    var i = 0
-    while (i < bytes.length) { out(i) = bytes(i) & 0xFF; i += 1 }
-    out
-  }
+  override def serialize(buffer: Array[Int]): Array[Byte] = HllSketch.toBytes(buffer)
+  override def deserialize(bytes: Array[Byte]): Array[Int] = HllSketch.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -169,26 +180,27 @@ case class HllMergeAgg(
   override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {
     val v = sketch.eval(input)
     if (v == null) buffer
-    else mergeInto(buffer, v.asInstanceOf[ArrayData].toIntArray())
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val in = new Array[Int](arr.numElements())
+      var i = 0
+      while (i < in.length) {
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          "hll_merge: null register slot — not an engine-built HLL sketch")
+        in(i) = arr.getInt(i)
+        HllSketch.requireRegister(in(i), "hll_merge")
+        i += 1
+      }
+      mergeInto(buffer, in)
+    }
   }
 
   override def merge(buffer: Array[Int], other: Array[Int]): Array[Int] =
     mergeInto(buffer, other)
 
   override def eval(buffer: Array[Int]): Any = new GenericArrayData(buffer)
-
-  override def serialize(buffer: Array[Int]): Array[Byte] = {
-    val out = new Array[Byte](buffer.length)
-    var i = 0
-    while (i < buffer.length) { out(i) = buffer(i).toByte; i += 1 }
-    out
-  }
-  override def deserialize(bytes: Array[Byte]): Array[Int] = {
-    val out = new Array[Int](bytes.length)
-    var i = 0
-    while (i < bytes.length) { out(i) = bytes(i) & 0xFF; i += 1 }
-    out
-  }
+  override def serialize(buffer: Array[Int]): Array[Byte] = HllSketch.toBytes(buffer)
+  override def deserialize(bytes: Array[Byte]): Array[Int] = HllSketch.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -225,7 +237,12 @@ case class HllEstimate(child: Expression)
     var zeros = 0
     var i = 0
     while (i < m) {
+      // a null or out-of-range slot is not an engine-built sketch; null
+      // out rather than let `1L << r` wrap (shift is mod 64) into a
+      // plausible-looking garbage estimate
+      if (arr.isNullAt(i)) return null
       val r = arr.getInt(i)
+      if (r < 0 || r > 57) return null
       s += 1.0 / (1L << r).toDouble
       if (r == 0) zeros += 1
       i += 1

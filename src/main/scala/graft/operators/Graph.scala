@@ -180,7 +180,9 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(maxIter >= 1, s"maxIter must be positive, got $maxIter")
-    val e = asEdges(edges)
+    // one evaluation of the caller's edge plan — the pageRankFixed
+    // hazard: both union arms below read it
+    val e = materialized(asEdges(edges))
     // undirected simple view: both orientations of every distinct pair
     val und = e.filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))

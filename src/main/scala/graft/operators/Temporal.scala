@@ -405,6 +405,30 @@ object Temporal {
     * bucket width). Null keys/times/values drop, as in the SQL oracle
     * phrasing.
     */
+  /** Shared resampler prelude ([[resampleLocf]] / [[resampleInterpolate]]):
+    * drop null keys/times/values, bucket into `gridMicros` cells, and
+    * aggregate per (keys, cell) — partitioned by KEYS (not the
+    * groupBy's (keys, cell)): hash on keys satisfies the agg's
+    * clustering (subset rule) AND the fill window's, so either
+    * resampler runs on one exchange. The default cell aggregate is the
+    * mean; oracle-exact callers pass a decimal-accumulated form (the
+    * q86 phrasing) so Spark and DuckDB agree bitwise. Output columns:
+    * keys, `__cell`, `__v`, `__n`. */
+  private def resampleCells(df: DataFrame, keys: Seq[String], tsCol: String,
+      valueCol: String, gridMicros: Long, cellAgg: Option[Column],
+      who: String): DataFrame = {
+    require(keys.nonEmpty, s"$who needs at least one key column")
+    require(gridMicros > 0, "gridMicros must be positive")
+    requireCols(df, (keys :+ tsCol) :+ valueCol, "input")
+    val live = ((keys :+ tsCol) :+ valueCol).foldLeft(df)((d, c) => d.filter(col(c).isNotNull))
+    live
+      .withColumn("__cell", floorDiv(micros(df, tsCol), gridMicros))
+      .repartition(keys.map(col): _*)
+      .groupBy(keys.map(col) :+ col("__cell"): _*)
+      .agg(cellAgg.getOrElse(avg(col(valueCol))).as("__v"),
+        count(lit(1)).as("__n"))
+  }
+
   def resampleLocf(
       df: DataFrame,
       keys: Seq[String],
@@ -412,21 +436,8 @@ object Temporal {
       valueCol: String,
       gridMicros: Long,
       cellAgg: Option[Column] = None): DataFrame = {
-    require(keys.nonEmpty, "resampleLocf needs at least one key column")
-    require(gridMicros > 0, "gridMicros must be positive")
-    requireCols(df, (keys :+ tsCol) :+ valueCol, "input")
-    val live = ((keys :+ tsCol) :+ valueCol).foldLeft(df)((d, c) => d.filter(col(c).isNotNull))
-    // Partition by KEYS (not the groupBy's (keys, cell)): hash on keys
-    // satisfies the agg's clustering (subset rule) AND the LOCF
-    // window's, so the whole operator runs on one exchange.
-    val cells = live
-      .withColumn("__cell", floorDiv(micros(df, tsCol), gridMicros))
-      .repartition(keys.map(col): _*)
-      .groupBy(keys.map(col) :+ col("__cell"): _*)
-      // default mean; oracle-exact callers pass a decimal-accumulated
-      // form (the q86 phrasing) so Spark and DuckDB agree bitwise
-      .agg(cellAgg.getOrElse(avg(col(valueCol))).as("__mean"),
-        count(lit(1)).as("__n"))
+    val cells = resampleCells(df, keys, tsCol, valueCol, gridMicros, cellAgg,
+      "resampleLocf").withColumnRenamed("__v", "__mean")
     // Each observed cell owns the grid span up to (not including) the
     // next observed cell: emit itself plus its forward-filled shadow.
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__cell"))
@@ -470,16 +481,8 @@ object Temporal {
       valueCol: String,
       gridMicros: Long,
       cellAgg: Option[Column] = None): DataFrame = {
-    require(keys.nonEmpty, "resampleInterpolate needs at least one key column")
-    require(gridMicros > 0, "gridMicros must be positive")
-    requireCols(df, (keys :+ tsCol) :+ valueCol, "input")
-    val live = ((keys :+ tsCol) :+ valueCol).foldLeft(df)((d, c) => d.filter(col(c).isNotNull))
-    val cells = live
-      .withColumn("__cell", floorDiv(micros(df, tsCol), gridMicros))
-      .repartition(keys.map(col): _*)
-      .groupBy(keys.map(col) :+ col("__cell"): _*)
-      .agg(cellAgg.getOrElse(avg(col(valueCol))).as("__v"),
-        count(lit(1)).as("__n"))
+    val cells = resampleCells(df, keys, tsCol, valueCol, gridMicros, cellAgg,
+      "resampleInterpolate")
     val isIntegral = cells.schema("__v").dataType match {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false
