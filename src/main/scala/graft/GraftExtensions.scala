@@ -408,6 +408,135 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.CmsQuery(exprs(0), exprs(1), intConst(exprs(2), "depth"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(
+        classOf[graft.functions.KmvSketchAgg].getCanonicalName,
+        "", "kmv_sketch",
+        "_FUNC_(h60_hash, k) - mergeable bottom-k KMV distinct sketch " +
+          "(sorted array<bigint>) aggregated from a 60-bit portable hash " +
+          "column; doubles as a coordinated sample for set resemblance.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"kmv_sketch takes 2 arguments, got ${exprs.length}")
+        graft.functions.KmvSketchAgg(exprs.head, exprs(1)).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_merge"),
+      new ExpressionInfo(
+        classOf[graft.functions.KmvMergeAgg].getCanonicalName,
+        "", "kmv_merge",
+        "_FUNC_(sketch, k) - exact KMV union of persisted sketches (bottom-k " +
+          "of the union of bottom-k's); loud when a sketch exceeds k entries.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"kmv_merge takes 2 arguments, got ${exprs.length}")
+        graft.functions.KmvMergeAgg(exprs.head, exprs(1)).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_estimate"),
+      new ExpressionInfo(
+        classOf[graft.functions.KmvEstimate].getCanonicalName,
+        "", "kmv_estimate",
+        "_FUNC_(sketch, k) - KMV distinct estimate (bigint): exact below k " +
+          "entries, (k-1)*2^60/h_(k-1) in 128-bit floor division at k.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"kmv_estimate takes 2 arguments, got ${exprs.length}")
+        graft.functions.KmvEstimate(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_resemblance_permille"),
+      new ExpressionInfo(
+        classOf[graft.functions.KmvResemblancePermille].getCanonicalName,
+        "", "kmv_resemblance_permille",
+        "_FUNC_(a, b, k) - Jaccard estimate between the sets behind two KMV " +
+          "sketches, in permille (bigint; exact when both sets are below k).",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"kmv_resemblance_permille takes 3 arguments, got ${exprs.length}")
+        graft.functions.KmvResemblancePermille(exprs(0), exprs(1), exprs(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_sketch"),
+      new ExpressionInfo(
+        classOf[graft.functions.BloomSketchAgg].getCanonicalName,
+        "", "bloom_sketch",
+        "_FUNC_(h60_hash, m, k) - mergeable m-bit Bloom filter with k affine " +
+          "probes (array<bigint> of 32-bit words) aggregated from a 60-bit " +
+          "portable hash column; m must be a multiple of 32.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, s"bloom_sketch takes 3 arguments, got ${exprs.length}")
+        graft.functions.BloomSketchAgg(exprs(0), exprs(1), exprs(2)).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_merge"),
+      new ExpressionInfo(
+        classOf[graft.functions.BloomMergeAgg].getCanonicalName,
+        "", "bloom_merge",
+        "_FUNC_(filter) - union persisted Bloom filters by element-wise OR; " +
+          "loud on width mismatch.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"bloom_merge takes 1 argument, got ${exprs.length}")
+        graft.functions.BloomMergeAgg(exprs.head).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[graft.functions.BloomMightContain].getCanonicalName,
+        "", "bloom_might_contain",
+        "_FUNC_(filter, h60_hash, k) - true iff all k probe bits are set: " +
+          "no false negatives; false positives replay oracle-exactly.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"bloom_might_contain takes 3 arguments, got ${exprs.length}")
+        graft.functions.BloomMightContain(exprs(0), exprs(1), exprs(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hist_sketch"),
+      new ExpressionInfo(
+        classOf[graft.functions.HistSketchAgg].getCanonicalName,
+        "", "hist_sketch",
+        "_FUNC_(value, lo, width, n) - mergeable n-bucket equi-width " +
+          "histogram of a bigint measure over [lo, lo+n*width) " +
+          "(array<bigint>); out-of-range values clamp into the edge buckets.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4, s"hist_sketch takes 4 arguments, got ${exprs.length}")
+        graft.functions.HistSketchAgg(exprs(0), exprs(1), exprs(2), exprs(3))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hist_merge"),
+      new ExpressionInfo(
+        classOf[graft.functions.CmsMergeAgg].getCanonicalName,
+        "", "hist_merge",
+        "_FUNC_(sketch) - sum persisted histograms element-wise (exact by " +
+          "linearity; the cms_merge implementation verbatim); loud on width " +
+          "mismatch.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"hist_merge takes 1 argument, got ${exprs.length}")
+        graft.functions.CmsMergeAgg(exprs.head).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hist_quantile_bucket"),
+      new ExpressionInfo(
+        classOf[graft.functions.HistQuantileBucket].getCanonicalName,
+        "", "hist_quantile_bucket",
+        "_FUNC_(counts, permille) - smallest bucket index with 1000*cumsum " +
+          ">= permille*total (int; null for an all-zero histogram); " +
+          "multiplication-only rank arithmetic.",
+        "", "", "", "", "", "", "built-in"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"hist_quantile_bucket takes 2 arguments, got ${exprs.length}")
+        graft.functions.HistQuantileBucket(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("fix_mojibake"),
       new ExpressionInfo(
         classOf[graft.functions.FixMojibake].getCanonicalName,

@@ -212,6 +212,56 @@ object Graph {
         "(and the oracle unroll if this relation is oracle-checked)")
   }
 
+  /** Synchronous label-propagation COMMUNITIES over the undirected
+    * simple view of `edges` — the cheap community detector beside
+    * [[components]] (connectivity) and [[kCore]] (density): every node
+    * starts as its own label; each round it adopts the most frequent
+    * label among its NEIGHBORS, ties broken to the smallest label, all
+    * nodes updating simultaneously. Deterministic by construction (the
+    * (count desc, label asc) pick has no random tie-break), which is
+    * what makes the rounds oracle-unrollable.
+    *
+    * Fixed `rounds`, like the PageRank family and unlike [[kCore]]'s
+    * fixpoint: synchronous LPA can OSCILLATE on bipartite-ish
+    * structures (two labels swapping forever), so "run to convergence"
+    * is not well-defined — the engine runs exactly `rounds` rounds and
+    * the oracle unrolls exactly the same count. Nodes whose only edges
+    * are self-loops are dropped with them (no neighbors to vote).
+    * Output: `(node, label)`; equal labels = one community.
+    *
+    * Scale: per round one equi-join (labels onto the symmetric edge
+    * relation — shuffle keyed by node), one (node, label) count, one
+    * per-node window pick partitioned by node (bounded by degree);
+    * labels checkpointed each round so lineage stays flat. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    val e = materialized(asEdges(edges))
+    val sym = e.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+      .union(e.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val pick = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("cnt").desc, col("label").asc)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var round = 0
+    while (round < rounds) {
+      labels = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("__rn", row_number().over(pick))
+        .filter(col("__rn") === 1)
+        .select("node", "label")
+        .localCheckpoint(true)
+      round += 1
+    }
+    labels
+  }
+
   /** Co-occurrence edge builder — the generic "items sharing a group"
     * graph derivation (parts per order, domains per user, tokens per
     * doc): one directed edge per ordered pair of distinct items

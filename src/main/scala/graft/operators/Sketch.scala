@@ -57,4 +57,84 @@ object Sketch {
   def cmsQuery(sketch: Column, hash: Column, depth: Int): Column =
     ColumnBridge.column(graft.functions.CmsQuery(
       ColumnBridge.expression(sketch), ColumnBridge.expression(hash), depth))
+
+  /** Build a bottom-k KMV sketch (`array<bigint>`, sorted) from a
+    * 60-bit portable hash column — the coordinated-sample sibling of
+    * [[hllSketch]] that additionally answers SET RESEMBLANCE from
+    * persisted sketches ([[graft.functions.KmvSketch]]). */
+  def kmvSketch(hash: Column, k: Int): Column =
+    ColumnBridge.column(graft.functions.KmvSketchAgg(
+      ColumnBridge.expression(hash),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)).toAggregateExpression())
+
+  /** Union persisted KMV sketches — bottom-k of the union of
+    * bottom-k's (exact); loud when an input is longer than `k`. */
+  def kmvMerge(sketch: Column, k: Int): Column =
+    ColumnBridge.column(graft.functions.KmvMergeAgg(
+      ColumnBridge.expression(sketch),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)).toAggregateExpression())
+
+  /** KMV distinct estimate (bigint — exact below k entries, 128-bit
+    * integer floor arithmetic at k; oracle-replayable term-exactly). */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    ColumnBridge.column(graft.functions.KmvEstimate(
+      ColumnBridge.expression(sketch),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)))
+
+  /** Jaccard estimate between the sets behind two KMV sketches, in
+    * permille (bigint; exact when both sets are smaller than k). */
+  def kmvResemblancePermille(a: Column, b: Column, k: Int): Column =
+    ColumnBridge.column(graft.functions.KmvResemblancePermille(
+      ColumnBridge.expression(a), ColumnBridge.expression(b),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)))
+
+  /** Build an m-bit Bloom filter with k affine probes (`array<bigint>`
+    * of 32-bit words) from a 60-bit portable hash column — the
+    * membership sketch; per-shard filters are the data-skipping /
+    * takedown-pre-screen primitive ([[graft.functions.BloomSketch]]). */
+  def bloomSketch(hash: Column, m: Int, k: Int): Column =
+    ColumnBridge.column(graft.functions.BloomSketchAgg(
+      ColumnBridge.expression(hash),
+      org.apache.spark.sql.catalyst.expressions.Literal(m),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)).toAggregateExpression())
+
+  /** Union persisted Bloom filters by element-wise OR — exact,
+    * associative, loud on width mismatch. */
+  def bloomMerge(filter: Column): Column =
+    ColumnBridge.column(graft.functions.BloomMergeAgg(
+      ColumnBridge.expression(filter)).toAggregateExpression())
+
+  /** Membership probe: true iff all k bits are set (no false
+    * negatives ever; false positives replay oracle-exactly). */
+  def bloomMightContain(filter: Column, hash: Column, k: Int): Column =
+    ColumnBridge.column(graft.functions.BloomMightContain(
+      ColumnBridge.expression(filter), ColumnBridge.expression(hash),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)))
+
+  /** Build an n-bucket equi-width histogram of a LONG measure over
+    * [lo, lo + n·width) (`array<bigint>`; out-of-range clamps into the
+    * edge buckets) — the mergeable QUANTILE sketch
+    * ([[graft.functions.HistSketch]]). */
+  def histSketch(value: Column, lo: Long, width: Long, nBuckets: Int): Column =
+    ColumnBridge.column(graft.functions.HistSketchAgg(
+      ColumnBridge.expression(value),
+      org.apache.spark.sql.catalyst.expressions.Literal(lo),
+      org.apache.spark.sql.catalyst.expressions.Literal(width),
+      org.apache.spark.sql.catalyst.expressions.Literal(nBuckets))
+      .toAggregateExpression())
+
+  /** Sum persisted histograms element-wise — histograms are linear, so
+    * this is EXACTLY [[cmsMerge]] (one merge implementation, one set of
+    * overflow and width-mismatch contracts). */
+  def histMerge(sketch: Column): Column = cmsMerge(sketch)
+
+  /** The p-permille bucket of a histogram: smallest bucket index with
+    * 1000·cumsum ≥ permille·total (int; null for an all-zero or
+    * malformed histogram). Multiplication-only rank arithmetic — exact
+    * and oracle-replayable. The bucket's value range is
+    * [lo + idx·width, lo + (idx+1)·width). */
+  def histQuantileBucket(counts: Column, permille: Int): Column =
+    ColumnBridge.column(graft.functions.HistQuantileBucket(
+      ColumnBridge.expression(counts),
+      org.apache.spark.sql.catalyst.expressions.Literal(permille)))
 }

@@ -812,4 +812,96 @@ object Temporal {
       .agg(count(lit(1)).as("n_active"),
         count(when(col("__minpos") === 0, lit(1))).as("n_active_bucket"))
   }
+
+  /** INTERVAL COVERAGE — per key, the total length of the UNION of its
+    * `[lo, hi)` intervals (overlaps merged, gaps excluded), with the
+    * interval and merged-island counts: the "total hours actually
+    * covered" / "days with an open shipment" aggregate that a plain
+    * SUM(hi − lo) double-counts whenever intervals overlap. The
+    * classic sweep, expressed as ONE exchange: hash-partition by key,
+    * sort by (lo, hi) inside the window, carry the running max of
+    * PRECEDING ends — an island starts where `lo` clears everything
+    * seen before (`lo ≥ max_prev_hi`; half-open intervals, so a
+    * TOUCHING pair — `[1,2)`,`[2,3)` — counts as two islands: the
+    * covered total is identical under either convention, and the
+    * strict rule is the one the oracle replays) — number islands with
+    * a running sum, then two output-bounded aggregations (island
+    * extents, key rollup). Integer end to end on long bounds (dates → days, micros
+    * → micros — the caller picks the unit; `micros` columns go through
+    * the engine's usual timestamp path).
+    *
+    * Degenerate and inverted intervals (`hi ≤ lo`) are DROPPED, not
+    * clamped — a zero-length interval covers nothing, and an inverted
+    * one is a data error a silent clamp would hide (count them
+    * upstream with a [[Quality]] gate if they matter). Null keys and
+    * null bounds never contribute (SQL join-key semantics).
+    *
+    * Scale: the window and both groupBys share the key hash
+    * partitioning (one exchange total); per-key cost is the sort —
+    * standard window sizing, no joins, nothing quadratic. */
+  def intervalCoverage(df: DataFrame, keys: Seq[String], loCol: String,
+      hiCol: String): DataFrame = {
+    require(keys.nonEmpty, "intervalCoverage needs at least one key column")
+    val lo = micros(df, loCol)
+    val hi = micros(df, hiCol)
+    val kCols = keys.map(col)
+    val rows = df
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) &&
+        lo.isNotNull && hi.isNotNull && hi > lo)
+      .select((kCols :+ lo.as("__lo")) :+ hi.as("__hi"): _*)
+    val wSort = Window.partitionBy(kCols: _*)
+      .orderBy(col("__lo"), col("__hi"))
+    val wPrev = wSort.rowsBetween(Window.unboundedPreceding, -1)
+    rows
+      .withColumn("__prev_hi", max(col("__hi")).over(wPrev))
+      .withColumn("__starts",
+        when(col("__prev_hi").isNull || col("__lo") >= col("__prev_hi"), 1L)
+          .otherwise(0L))
+      .withColumn("__island",
+        sum(col("__starts")).over(wSort.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(kCols :+ col("__island"): _*)
+      .agg(min(col("__lo")).as("__ilo"), max(col("__hi")).as("__ihi"),
+        count(lit(1)).as("__n"))
+      .groupBy(kCols: _*)
+      .agg(sum(col("__n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__ihi") - col("__ilo")).as("covered"))
+  }
+
+  /** STATE-TRANSITION MATRIX — the Markov view of an event stream: per
+    * key, order events by (ts, tie) and count every consecutive
+    * `(from_state, to_state)` pair, with the within-from permille
+    * share — the "what do users do next" relation feeding churn
+    * analysis and next-step prediction baselines. `tieCol` makes the
+    * order TOTAL (equal timestamps are real in event data; without a
+    * deterministic tie-break the matrix itself would be
+    * nondeterministic, which also makes it un-oracle-able — same
+    * reasoning as [[graft.queries.ParityQueries]]'s total orderings).
+    *
+    * Shape at scale: one exchange (hash by key, per-partition sort)
+    * feeding `lead`, then a count aggregation on (from, to) — the
+    * pair relation is |states|²-bounded, the permille join is against
+    * that tiny aggregate (broadcast). Integer permille via `div`
+    * (floor), oracle-replayed exactly. Null keys/states/times drop
+    * (the SQL key contract). */
+  def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, stateCol: String): DataFrame = {
+    val ts = micros(events, tsCol)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts"), col(tieCol))
+    val pairs = events
+      .filter(col(keyCol).isNotNull && ts.isNotNull &&
+        col(stateCol).isNotNull && col(tieCol).isNotNull)
+      .select(col(keyCol), ts.as("__ts"), col(tieCol),
+        col(stateCol).as("from_state"))
+      .withColumn("to_state", lead(col("from_state"), 1).over(w))
+      .filter(col("to_state").isNotNull)
+      .groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_state")
+      .agg(sum(col("n")).as("__total"))
+    pairs.join(broadcast(totals), "from_state")
+      .select(col("from_state"), col("to_state"), col("n"),
+        expr("(1000 * n) div __total").as("permille"))
+  }
 }

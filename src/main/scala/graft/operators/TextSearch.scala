@@ -252,6 +252,36 @@ object TextSearch {
       .select(col("term"), col("df"),
         expr("(n_docs * 1000) div df").cast("long").as("rarity"))
 
+  /** Per-document TOP-K TERMS by tf·rarity — keyword extraction / doc
+    * tagging: the [[searchTopK]] scoring turned inward, answering "what
+    * is this document about" for every document at once. Output
+    * `(<idCol>, term, tf, rarity, score, rank)`, rank 1..k by
+    * (score desc, term asc — deterministic under ties).
+    *
+    * Shape at scale: ONE corpus tokenization feeding both the postings
+    * and the rarity branch (the [[searchTopK]] ReusedExchange
+    * construction — both aggregate the same exchange), then a join on
+    * `term` (vocabulary-sized right side — NOT forced broadcast: a
+    * 100 TB corpus vocabulary can be executor-memory-sized, so the
+    * planner/AQE picks) and one per-document window pass bounded by
+    * document term count. Never a per-query corpus scan — this IS the
+    * one corpus pass. */
+  def topTermsPerDoc(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val post = postings(df, idCol, textCol)
+    val rar = rarityTable(post, df.agg(count(lit(1)).as("n_docs")))
+      .select("term", "rarity")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    post.join(rar, "term")
+      .withColumn("score", col("tf") * col("rarity"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("rarity"),
+        col("score"), col("rank"))
+  }
+
   /** Ranked search: documents containing at least `minShouldMatch` of
     * `terms` (default: ALL of them — conjunctive), scored
     * `Σ_{matched t} tf_t · rarity_t` (rarer terms dominate), top `k` by

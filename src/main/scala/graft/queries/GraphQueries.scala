@@ -127,7 +127,21 @@ object GraphQueries {
         maxIter = KCoreRounds)
       .orderBy("node")
 
+  val LpaRounds = 4
+
+  /** GR10 — label-propagation communities on the ≥2 co-occurrence
+    * subgraph ([[Graph.labelPropagation]]): 4 synchronous rounds of
+    * adopt-the-modal-neighbor-label with min-label tie-break — the
+    * cheap community detector beside connectivity (GR2) and density
+    * (GR9). Deterministic pick, so the oracle unrolls the SAME 4
+    * rounds (group → window mode → re-join) and every label matches
+    * value-exactly. */
+  val q182LabelProp: Q = (spark, dir) =>
+    Graph.labelPropagation(coEdges(spark, dir, minCount = 2L), LpaRounds)
+      .orderBy("node")
+
   val all: Map[String, Q] = Map(
+    "q182_label_prop" -> q182LabelProp,
     "q135_pagerank" -> q135PageRank,
     "q175_ppr_seeded" -> q175PprSeeded,
     "q178_kcore" -> q178KCore,
@@ -197,7 +211,34 @@ object GraphQueries {
        |    JOIN r${i - 1} r ON r.node = e.src
        |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
 
+  /** One unrolled LPA round over the symmetric edge CTE `sym`: each
+    * node adopts the (count desc, label asc)-modal label among its
+    * neighbors' round-(i−1) labels — the exact window-pick twin of
+    * [[Graph.labelPropagation]]'s iteration. */
+  private def lpaRound(i: Int): String =
+    s"""l$i AS MATERIALIZED (
+       |  SELECT node, label FROM (
+       |    SELECT s.src AS node, l.label,
+       |      row_number() OVER (PARTITION BY s.src
+       |        ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+       |    FROM sym s JOIN l${i - 1} l ON l.node = s.dst
+       |    GROUP BY s.src, l.label)
+       |  WHERE rn = 1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q182_label_prop" ->
+      s"""WITH cnt AS (
+         |  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS n
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |  GROUP BY 1, 2),
+         |e AS (SELECT src, dst FROM cnt WHERE n >= 2),
+         |sym AS MATERIALIZED (
+         |  SELECT src, dst FROM e WHERE src <> dst
+         |  UNION SELECT dst, src FROM e WHERE src <> dst),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+         |${(1 to LpaRounds).map(lpaRound).mkString(",\n")}
+         |SELECT node, label FROM l$LpaRounds ORDER BY node""".stripMargin,
     "q135_pagerank" ->
       s"""WITH $coCte,
          |deg AS (SELECT src, COUNT(*) AS out_deg FROM co GROUP BY src),

@@ -317,6 +317,195 @@ object ScaleQueries {
       .orderBy("event_type", "user_id")
   }
 
+  /** SK3 — mergeable KMV (bottom-k) rollup ([[graft.operators.Sketch]]):
+    * per-(event_type, user slice) bottom-64 sketches of distinct-user
+    * hashes UNION-ed up to event_type with `kmv_merge`. The oracle
+    * recomputes the bottom-64 DIRECTLY from the raw rows (distinct →
+    * rank → take 64), so the sketch build AND the merge law (bottom-k
+    * of a union of bottom-k's ≡ bottom-k of the union) verify value-
+    * exactly, and the (k−1)·2^60/h_(k−1) estimate replays in HUGEINT
+    * floor division — pure integer, unlike HLL's raw-form double. */
+  val q179KmvRollup: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val k = 64
+    val hashed = t.events
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        Hashing.h60(col("user_id").cast("string")).as("h"))
+    val merged = hashed
+      .groupBy(col("event_type"), (col("user_id") % 4).as("__slice"))
+      .agg(graft.operators.Sketch.kmvSketch(col("h"), k).as("sk"))
+      .groupBy("event_type")
+      .agg(graft.operators.Sketch.kmvMerge(col("sk"), k).as("sk"))
+    val exact = hashed.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        graft.operators.Sketch.kmvEstimate(col("sk"), k).as("est_users"),
+        posexplode(col("sk")).as(Seq("idx", "v")))
+      .orderBy("event_type", "idx")
+  }
+
+  /** SK4 — audience-overlap matrix from persisted KMV sketches: the
+    * sets are each event_type's distinct (user, day) activity pairs,
+    * the deliverable is Jaccard between every pair of event types
+    * computed from the SKETCHES alone (`kmv_resemblance_permille` —
+    * the coordinated-sample estimator over bottom-256 of the sketch
+    * union), reported beside the true Jaccard from raw rows. Both
+    * columns replay exactly in the oracle: the estimator is integer
+    * counting over hash sets both engines share, so this pins the
+    * merge-walk itself, not just "close enough". At 100 TB the matrix
+    * costs |types|² sketch comparisons over a 5-row relation — raw
+    * data is touched once, at sketch-build time. */
+  val q180KmvResemblance: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val k = 256
+    val keys = t.events
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select(col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          col("ts").cast("date").cast("string")).as("key"))
+      .distinct()
+    val sk = keys
+      .select(col("event_type"), Hashing.h60(col("key")).as("h"))
+      .groupBy("event_type")
+      .agg(graft.operators.Sketch.kmvSketch(col("h"), k).as("sk"),
+        count(lit(1)).as("n"))
+    val pairs = sk.as("a").join(sk.as("b"),
+        col("a.event_type") < col("b.event_type"))
+    val inter = keys.as("x").join(keys.as("y"),
+        col("x.key") === col("y.key") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ea"), col("y.event_type").as("eb"))
+      .agg(count(lit(1)).as("inter"))
+    pairs.join(inter,
+        col("a.event_type") === col("ea") && col("b.event_type") === col("eb"),
+        "left")
+      .select(col("a.event_type").as("ea"), col("b.event_type").as("eb"),
+        graft.operators.Sketch.kmvResemblancePermille(
+          col("a.sk"), col("b.sk"), k).as("est_permille"),
+        expr("(1000 * coalesce(inter, 0)) div (a.n + b.n - coalesce(inter, 0))")
+          .as("true_permille"))
+      .orderBy("ea", "eb")
+  }
+
+  /** SK5 — Bloom-filter shard skipping ([[graft.operators.Sketch]]):
+    * per-(event_type, user slice) 2048-bit filters of the user-id set
+    * OR-merged up to event_type, then probed with user ids 0..299 —
+    * the "which shards can contain id X" screen a point lookup or a
+    * takedown pre-pass runs against manifest-sized side state instead
+    * of opening shards. The oracle constructs every WORD of the filter
+    * from the raw rows (bit_or over the same affine-family positions)
+    * and replays every probe answer — so no-false-negatives is proven
+    * (n_false_neg = 0 on both engines) and even the false POSITIVES
+    * match bit-for-bit, pinning the probe arithmetic itself. */
+  val q181BloomSkipping: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val (m, kH) = (2048, 4)
+    val hashed = t.events
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        Hashing.h60(col("user_id").cast("string")).as("h"))
+    val merged = hashed
+      .groupBy(col("event_type"), (col("user_id") % 4).as("__slice"))
+      .agg(graft.operators.Sketch.bloomSketch(col("h"), m, kH).as("bf"))
+      .groupBy("event_type")
+      .agg(graft.operators.Sketch.bloomMerge(col("bf")).as("bf"))
+    val probeIds = spark.range(0, 300).toDF("probe_id")
+      .select(col("probe_id"), Hashing.h60(col("probe_id").cast("string")).as("ph"))
+    val present = hashed.select(col("event_type").as("p_et"),
+      col("user_id").as("p_uid")).distinct()
+    val stats = merged
+      .join(broadcast(probeIds))
+      .withColumn("might",
+        graft.operators.Sketch.bloomMightContain(col("bf"), col("ph"), kH))
+      .join(present,
+        col("event_type") === col("p_et") && col("probe_id") === col("p_uid"),
+        "left")
+      .groupBy("event_type")
+      .agg(
+        count(when(col("might"), 1)).as("n_hits"),
+        count(when(col("might") && col("p_uid").isNull, 1)).as("n_false_pos"),
+        count(when(!col("might") && col("p_uid").isNotNull, 1)).as("n_false_neg"))
+    merged.join(stats, "event_type")
+      .select(col("event_type"), col("n_hits"), col("n_false_pos"),
+        col("n_false_neg"), posexplode(col("bf")).as(Seq("idx", "word")))
+      .orderBy("event_type", "idx")
+  }
+
+  /** SK6 — mergeable histogram quantiles ([[graft.operators.Sketch]]):
+    * per-(event_type, event slice) 100-bucket equi-width histograms of
+    * the micro-scaled `value` measure summed up to event_type with
+    * `hist_merge` (≡ cms_merge — histograms are linear), then rank-
+    * queried for p50/p90/p99 to one-bucket resolution — the persisted-
+    * rollup complement of the exact [[graft.operators.Quality]]
+    * quantile profiles, which re-read raw values. The oracle replays
+    * every bucket count AND the multiplication-only rank pick
+    * (smallest bucket with 1000·cumsum ≥ p·total) exactly. */
+  val q183HistQuantiles: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val (w, n) = (5000000L, 100)
+    val vm = t.events
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * lit(1000000.0)).cast("long").as("vm"))
+    val merged = vm
+      .groupBy(col("event_type"), (col("event_id") % 4).as("__slice"))
+      .agg(graft.operators.Sketch.histSketch(col("vm"), 0L, w, n).as("hs"))
+      .groupBy("event_type")
+      .agg(graft.operators.Sketch.histMerge(col("hs")).as("hs"))
+    merged.select(col("event_type"),
+        graft.operators.Sketch.histQuantileBucket(col("hs"), 500).as("p50_bucket"),
+        graft.operators.Sketch.histQuantileBucket(col("hs"), 900).as("p90_bucket"),
+        graft.operators.Sketch.histQuantileBucket(col("hs"), 990).as("p99_bucket"),
+        posexplode(col("hs")).as(Seq("idx", "cnt")))
+      .orderBy("event_type", "idx")
+  }
+
+  /** SK7 — STREAMED sketch-rollup store
+    * ([[graft.streaming.StreamingIngest.sketchRollupBatch]]): the
+    * events stream ingested as two committed micro-batches, each
+    * appending one (event_type, hll, cms, n_rows) row per group under
+    * the committed-batch protocol, then the WHOLE history answered
+    * from the store fold alone (`sketchRollupTotals` — HLL register
+    * max, CMS counter sum, exact unions): per-type distinct-user
+    * registers, a frequency probe for user 7, and the row count. The
+    * oracle computes everything DIRECTLY from raw rows — sketch
+    * mergeability is what makes "stream of batches" ≡ "one batch" an
+    * exact law, and this query pins protocol + marker + reader
+    * end-to-end. */
+  val q184SketchStream: Q = (spark, dir) => {
+    val store = perProcessSketchDir(dir)
+    val src = Tables(spark, dir).events
+      .filter(col("event_type").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        Hashing.h60(col("user_id").cast("string")).as("h"))
+    graft.streaming.StreamingIngest.sketchRollupBatch(
+      src.filter(col("event_id") % 2 === 0), 0L, store, "event_type", "h",
+      hllP = 6, cmsDepth = 4, cmsWidth = 512)
+    graft.streaming.StreamingIngest.sketchRollupBatch(
+      src.filter(col("event_id") % 2 === 1), 1L, store, "event_type", "h",
+      hllP = 6, cmsDepth = 4, cmsWidth = 512)
+    val totals = graft.streaming.StreamingIngest.sketchRollupTotals(
+      spark, store, "event_type")
+    totals.select(col("event_type"), col("n_rows"),
+        graft.operators.Sketch.cmsQuery(col("cms"),
+          Hashing.h60(lit(7).cast("string")), 4).as("est7"),
+        posexplode(col("hll")).as(Seq("idx", "reg")))
+      .orderBy("event_type", "idx")
+  }
+
+  /** Per-process tmpdir for q184's streamed sketch store (the
+    * perProcessIvfDir hygiene pattern — pid-suffixed, removed on JVM
+    * exit; re-runs within a process hit the committed-batch skip). */
+  private def perProcessSketchDir(dir: String): String = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_sketch_p" + ProcessHandle.current().pid() + "_" +
+        dir.toLowerCase.replaceAll("[^a-z0-9]+", "_"))
+    ivfDirsToClean.add(f)
+    f.toString
+  }
+
   /** SS7 — embedding index probe: new vectors (vec_id % 10 = 0) screened
     * against the LSH index of the remaining corpus, plane count derived
     * from the CORPUS size at build time (as a real index build would —
@@ -820,6 +1009,11 @@ object ScaleQueries {
     "q174_sq_topk" -> q174SqTopk,
     "q176_hll_rollup" -> q176HllRollup,
     "q177_cms_heavy" -> q177CmsHeavyHitters,
+    "q179_kmv_rollup" -> q179KmvRollup,
+    "q180_kmv_resemblance" -> q180KmvResemblance,
+    "q181_bloom_skipping" -> q181BloomSkipping,
+    "q183_hist_quantiles" -> q183HistQuantiles,
+    "q184_sketch_stream" -> q184SketchStream,
     "q25_exact_dedup" -> q25ExactDedup,
     "q40_dedup_clusters" -> q40DedupClusters,
     "q111_survivor_policy" -> q111SurvivorPolicy,
@@ -1410,6 +1604,207 @@ object ScaleQueries {
          |  CAST(reg.idx AS INTEGER) AS idx, CAST(reg.reg AS INTEGER) AS reg
          |FROM reg JOIN est USING (event_type) JOIN ex USING (event_type)
          |ORDER BY event_type, idx""".stripMargin,
+    "q179_kmv_rollup" ->
+      s"""WITH h AS (
+         |  SELECT event_type, user_id,
+         |    ${Hashing.h60Sql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         |d AS (SELECT DISTINCT event_type, h FROM h),
+         |rk AS (SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |       FROM d),
+         |sk AS (SELECT event_type, h, rn FROM rk WHERE rn <= 64),
+         |est AS (
+         |  SELECT event_type,
+         |    CASE WHEN count(*) < 64 THEN count(*)
+         |         ELSE CAST(63::HUGEINT * 1152921504606846976 //
+         |                   max(CASE WHEN rn = 64 THEN h END) AS BIGINT)
+         |    END AS est_users
+         |  FROM sk GROUP BY 1),
+         |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+         |       FROM h GROUP BY 1)
+         |SELECT sk.event_type, ex.exact_users, est.est_users,
+         |  CAST(sk.rn - 1 AS INTEGER) AS idx, sk.h AS v
+         |FROM sk JOIN est USING (event_type) JOIN ex USING (event_type)
+         |ORDER BY event_type, idx""".stripMargin,
+    "q180_kmv_resemblance" ->
+      s"""WITH keys AS (
+         |  SELECT DISTINCT event_type,
+         |    CAST(user_id AS VARCHAR) || ':' ||
+         |      CAST(CAST(ts AS DATE) AS VARCHAR) AS key
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         |h AS (SELECT event_type, ${Hashing.h60Sql("key")} AS h FROM keys),
+         |sz AS (SELECT event_type, count(*) AS n FROM h GROUP BY 1),
+         |rk AS (SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |       FROM h),
+         |sk AS (SELECT event_type, h FROM rk WHERE rn <= 256),
+         |p AS (SELECT a.event_type AS ea, b.event_type AS eb
+         |      FROM sz a JOIN sz b ON a.event_type < b.event_type),
+         |uh AS (SELECT p.ea, p.eb, s.h FROM p JOIN sk s
+         |         ON s.event_type IN (p.ea, p.eb)
+         |       GROUP BY 1, 2, 3),
+         |um AS (SELECT ea, eb, h,
+         |         row_number() OVER (PARTITION BY ea, eb ORDER BY h) AS rn
+         |       FROM uh),
+         |m AS (SELECT ea, eb, h FROM um WHERE rn <= 256),
+         |res AS (
+         |  SELECT m.ea, m.eb, count(*) AS taken,
+         |    count(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL THEN 1 END)
+         |      AS inter
+         |  FROM m
+         |  LEFT JOIN sk sa ON sa.event_type = m.ea AND sa.h = m.h
+         |  LEFT JOIN sk sb ON sb.event_type = m.eb AND sb.h = m.h
+         |  GROUP BY 1, 2),
+         |tj AS (
+         |  SELECT a.event_type AS ea, b.event_type AS eb, count(*) AS inter
+         |  FROM keys a JOIN keys b
+         |    ON a.key = b.key AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT res.ea AS ea, res.eb AS eb,
+         |  1000 * res.inter // res.taken AS est_permille,
+         |  (1000 * COALESCE(tj.inter, 0)) //
+         |    (x.n + y.n - COALESCE(tj.inter, 0)) AS true_permille
+         |FROM res
+         |LEFT JOIN tj ON tj.ea = res.ea AND tj.eb = res.eb
+         |JOIN sz x ON x.event_type = res.ea
+         |JOIN sz y ON y.event_type = res.eb
+         |ORDER BY res.ea, res.eb""".stripMargin,
+    "q181_bloom_skipping" -> {
+      def posSql(i: Int, hExpr: String): String =
+        s"(${Hashing.h31AffineSql(i, hExpr)}) % 2048"
+      val bitsArm = (0 until 4).map(i =>
+        s"SELECT event_type, ${posSql(i, "h")} AS p FROM h")
+        .mkString("\n  UNION ALL ")
+      val probeArm = (0 until 4).map(i =>
+        s"SELECT probe_id, ${posSql(i, "ph")} AS p FROM pid")
+        .mkString("\n  UNION ALL ")
+      s"""WITH h AS (
+         |  SELECT event_type, user_id,
+         |    ${Hashing.h60Sql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         |bits AS (
+         |  SELECT event_type, p // 32 AS widx, p % 32 AS bit FROM (
+         |  $bitsArm)),
+         |setw AS (
+         |  SELECT event_type, widx,
+         |    bit_or(CAST(1 AS BIGINT) << bit) AS word
+         |  FROM bits GROUP BY 1, 2),
+         |g AS (SELECT DISTINCT event_type FROM h),
+         |wi AS (SELECT g.event_type, i AS widx
+         |       FROM g, (SELECT unnest(range(0, 64)) AS i)),
+         |w AS (SELECT wi.event_type, wi.widx, COALESCE(setw.word, 0) AS word
+         |      FROM wi LEFT JOIN setw
+         |        ON wi.event_type = setw.event_type AND wi.widx = setw.widx),
+         |pid AS (
+         |  SELECT i AS probe_id,
+         |    ${Hashing.h60Sql("CAST(i AS VARCHAR)")} AS ph
+         |  FROM (SELECT unnest(range(0, 300)) AS i)),
+         |pb AS (SELECT probe_id, p // 32 AS widx, p % 32 AS bit FROM (
+         |  $probeArm)),
+         |chk AS (
+         |  SELECT w.event_type, pb.probe_id,
+         |    bool_and((w.word >> pb.bit) & 1 = 1) AS might
+         |  FROM pb JOIN w ON w.widx = pb.widx
+         |  GROUP BY 1, 2),
+         |present AS (SELECT DISTINCT event_type, user_id FROM h),
+         |stats AS (
+         |  SELECT chk.event_type,
+         |    count(CASE WHEN might THEN 1 END) AS n_hits,
+         |    count(CASE WHEN might AND pr.user_id IS NULL THEN 1 END)
+         |      AS n_false_pos,
+         |    count(CASE WHEN NOT might AND pr.user_id IS NOT NULL THEN 1 END)
+         |      AS n_false_neg
+         |  FROM chk LEFT JOIN present pr
+         |    ON pr.event_type = chk.event_type AND pr.user_id = chk.probe_id
+         |  GROUP BY 1)
+         |SELECT w.event_type, stats.n_hits, stats.n_false_pos,
+         |  stats.n_false_neg, CAST(w.widx AS INTEGER) AS idx, w.word
+         |FROM w JOIN stats USING (event_type)
+         |ORDER BY event_type, idx""".stripMargin
+    },
+    "q183_hist_quantiles" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS vm
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |b AS (
+        |  SELECT event_type,
+        |    CASE WHEN vm < 0 THEN 0
+        |         WHEN vm // 5000000 >= 100 THEN 99
+        |         ELSE CAST(vm // 5000000 AS INTEGER) END AS idx
+        |  FROM v),
+        |c AS (SELECT event_type, idx, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |g AS (SELECT DISTINCT event_type FROM v),
+        |fb AS (SELECT g.event_type, i AS idx
+        |       FROM g, (SELECT unnest(range(0, 100)) AS i)),
+        |h AS (SELECT fb.event_type, fb.idx, COALESCE(c.cnt, 0) AS cnt
+        |      FROM fb LEFT JOIN c
+        |        ON fb.event_type = c.event_type AND fb.idx = c.idx),
+        |cum AS (
+        |  SELECT event_type, idx, cnt,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY idx) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS total
+        |  FROM h),
+        |q AS (
+        |  SELECT event_type,
+        |    CAST(MIN(CASE WHEN 1000 * cum >= 500 * total THEN idx END)
+        |      AS INTEGER) AS p50_bucket,
+        |    CAST(MIN(CASE WHEN 1000 * cum >= 900 * total THEN idx END)
+        |      AS INTEGER) AS p90_bucket,
+        |    CAST(MIN(CASE WHEN 1000 * cum >= 990 * total THEN idx END)
+        |      AS INTEGER) AS p99_bucket
+        |  FROM cum GROUP BY 1)
+        |SELECT h.event_type, q.p50_bucket, q.p90_bucket, q.p99_bucket,
+        |  CAST(h.idx AS INTEGER) AS idx, h.cnt
+        |FROM h JOIN q USING (event_type)
+        |ORDER BY event_type, idx""".stripMargin,
+    "q184_sketch_stream" -> {
+      val ph7 = Hashing.h60Sql("'7'")
+      def posSql(i: Int, hExpr: String): String =
+        s"(${Hashing.h31AffineSql(i, hExpr)}) % 512"
+      val arms = (0 until 4).map(i =>
+        s"SELECT event_type, $i AS i, COUNT(*) AS cnt FROM h " +
+          s"WHERE ${posSql(i, "h")} = ${posSql(i, ph7)} GROUP BY 1")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ev AS (
+         |  SELECT event_type, user_id FROM events
+         |  WHERE event_type IS NOT NULL),
+         |h AS (
+         |  SELECT event_type, user_id,
+         |    ${Hashing.h60Sql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM ev WHERE user_id IS NOT NULL),
+         |nr AS (SELECT event_type, count(*) AS n_rows FROM ev GROUP BY 1),
+         |b AS (SELECT event_type, h % 64 AS bucket, h // 64 AS w FROM h),
+         |r AS (
+         |  SELECT event_type, bucket,
+         |    MAX(CASE WHEN w = 0 THEN 55 ELSE 55 - len(bin(w)) END) AS rho
+         |  FROM b GROUP BY 1, 2),
+         |g AS (SELECT DISTINCT event_type FROM ev),
+         |idx AS (SELECT g.event_type, i AS idx
+         |        FROM g, (SELECT unnest(range(0, 64)) AS i)),
+         |reg AS (
+         |  SELECT idx.event_type, idx.idx, COALESCE(r.rho, 0) AS reg
+         |  FROM idx LEFT JOIN r
+         |    ON idx.event_type = r.event_type AND idx.idx = r.bucket),
+         |arms AS (
+         |  $arms),
+         |grid AS (SELECT g.event_type, i FROM g,
+         |         (SELECT unnest(range(0, 4)) AS i)),
+         |cnts AS (SELECT grid.event_type, grid.i, COALESCE(arms.cnt, 0) AS cnt
+         |         FROM grid LEFT JOIN arms
+         |           ON grid.event_type = arms.event_type AND grid.i = arms.i),
+         |est AS (SELECT event_type, CAST(MIN(cnt) AS BIGINT) AS est7
+         |        FROM cnts GROUP BY 1)
+         |SELECT reg.event_type, nr.n_rows, est.est7,
+         |  CAST(reg.idx AS INTEGER) AS idx, CAST(reg.reg AS INTEGER) AS reg
+         |FROM reg JOIN nr USING (event_type) JOIN est USING (event_type)
+         |ORDER BY event_type, idx""".stripMargin
+    },
     "q177_cms_heavy" -> {
       def posSql(i: Int, hExpr: String): String =
         s"(${Hashing.h31AffineSql(i, hExpr)}) % 512"

@@ -40,6 +40,19 @@ object SearchQueries {
       .limit(100)
   }
 
+  val TopTermsK = 3
+
+  /** SR-KW — per-document top-3 terms by tf·rarity
+    * ([[TextSearch.topTermsPerDoc]]): the q133 scoring turned inward —
+    * keyword extraction over the whole corpus in ONE tokenization pass
+    * (postings + rarity share the exchange), a vocabulary join and a
+    * per-doc window. The oracle replays tokenizer, df, rarity and the
+    * (score desc, term) rank for every document. */
+  val q187TopTerms: Q = (spark, dir) =>
+    TextSearch.topTermsPerDoc(Tables(spark, dir).documents,
+        "doc_id", "text", TopTermsK)
+      .orderBy("doc_id", "rank")
+
   val MltK = 5
 
   /** SR3 — more-like-this: a FIXED 5-doc probe set (ids < 500, every
@@ -461,7 +474,8 @@ object SearchQueries {
     "q165_store_ordered_near" -> q165StoreOrderedNear,
     "q166_snippet" -> q166Snippet,
     "q167_suggest" -> q167Suggest,
-    "q168_store_takedown" -> q168StoreTakedown)
+    "q168_store_takedown" -> q168StoreTakedown,
+    "q187_top_terms" -> q187TopTerms)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -474,6 +488,25 @@ object SearchQueries {
       |  GROUP BY term, doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q187_top_terms" ->
+      s"""WITH $postCte,
+         |tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |rar AS (
+         |  SELECT term, (tot.n_docs * 1000) // COUNT(*) AS rarity
+         |  FROM post, tot GROUP BY term, tot.n_docs),
+         |sc AS (
+         |  SELECT post.doc_id, post.term, post.tf, rar.rarity,
+         |    post.tf * rar.rarity AS score
+         |  FROM post JOIN rar USING (term)),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS rank
+         |  FROM sc)
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+         |  CAST(rarity AS BIGINT) AS rarity, CAST(score AS BIGINT) AS score,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM rk WHERE rank <= $TopTermsK
+         |ORDER BY doc_id, rank""".stripMargin,
     "q133_search_topk" -> {
       val inList = QueryTerms.map(t => s"'$t'").mkString(", ")
       s"""WITH $postCte,

@@ -222,7 +222,39 @@ object TemporalQueries {
       Seq(0, 250, 500, 750, 900, 1000))
   }
 
+  /** INTERVAL COVERAGE — per user, the union length of their activity
+    * intervals [ts, ts + value minutes) in microseconds
+    * ([[Temporal.intervalCoverage]]): overlaps merged, gaps excluded,
+    * beside the raw interval count and the merged-island count — the
+    * "time with at least one session open" aggregate a plain
+    * SUM(duration) double-counts whenever sessions overlap. One
+    * exchange: the window sweep and both rollups share the user hash
+    * partitioning; the oracle replays the identical running-max
+    * construction, integer micros end to end. */
+  val q185IntervalCoverage: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val lo = unix_micros(col("ts").cast("timestamp"))
+    val iv = t.events.select(col("user_id"), lo.as("lo_us"),
+      (lo + floor(col("value") * lit(60000000.0)).cast("long")).as("hi_us"))
+    Temporal.intervalCoverage(iv, Seq("user_id"), "lo_us", "hi_us")
+      .orderBy("user_id")
+  }
+
+  /** STATE-TRANSITION MATRIX — the Markov view of the event stream
+    * ([[Temporal.transitionMatrix]]): per user, events ordered by
+    * (ts, event_id — a TOTAL order, so the matrix is deterministic and
+    * oracle-able), every consecutive (from, to) event-type pair
+    * counted, with the within-from permille share. |states|²-bounded
+    * output; the permille join is against the tiny from-state totals
+    * (broadcast). */
+  val q186TransitionMatrix: Q = (spark, dir) =>
+    Temporal.transitionMatrix(Tables(spark, dir).events,
+        "user_id", "ts", "event_id", "event_type")
+      .orderBy("from_state", "to_state")
+
   val all: Map[String, Q] = Map(
+    "q185_interval_coverage" -> q185IntervalCoverage,
+    "q186_transition_matrix" -> q186TransitionMatrix,
     "q118_retention" -> q118Retention,
     "q124_rolling_active" -> q124RollingActive,
     "q82_asof_enrich" -> q82AsofEnrich,
@@ -295,6 +327,53 @@ object TemporalQueries {
        |  GROUP BY s3.user_id, s3.t_1, s3.t_2, s3.t_3)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q185_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS lo,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      + CAST(floor(value * 60000000.0) AS BIGINT) AS hi
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND floor(value * 60000000.0) > 0),
+        |m AS (
+        |  SELECT user_id, lo, hi,
+        |    MAX(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_hi
+        |  FROM iv),
+        |s AS (
+        |  SELECT *, CASE WHEN prev_hi IS NULL OR lo >= prev_hi
+        |                 THEN 1 ELSE 0 END AS st
+        |  FROM m),
+        |g AS (
+        |  SELECT *, SUM(st) OVER (PARTITION BY user_id ORDER BY lo, hi
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM s),
+        |i AS (SELECT user_id, isl, MIN(lo) AS ilo, MAX(hi) AS ihi,
+        |        COUNT(*) AS n
+        |      FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_intervals,
+        |  COUNT(*) AS n_islands, CAST(SUM(ihi - ilo) AS BIGINT) AS covered
+        |FROM i GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q186_transition_matrix" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        |p AS (
+        |  SELECT event_type AS from_state,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS to_state
+        |  FROM e),
+        |c AS (SELECT from_state, to_state, COUNT(*) AS n FROM p
+        |      WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_state, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, c.n,
+        |  (1000 * c.n) // CAST(t.tot AS BIGINT) AS permille
+        |FROM c JOIN t USING (from_state)
+        |ORDER BY from_state, to_state""".stripMargin,
     "q132_conversion_latency" ->
       s"""WITH $funnelCtes,
          |conv AS (

@@ -1863,6 +1863,125 @@ object StreamingIngest {
     * broken mid-publish: they see the old files, a mix, or the new
     * files — all row-identical under the loops' deterministic
     * recompute. */
+  // ------------------------------------------------ streaming sketch rollup
+
+  /** Streaming SKETCH-ROLLUP store: per batch, one `(group, hll, cms,
+    * n_rows, batch_id)` row per group — an HLL distinct sketch and a
+    * Count-Min frequency sketch of the batch's hash column
+    * ([[graft.operators.Sketch]]) — appended under the committed-batch
+    * protocol. Because both sketches are MERGEABLE (register max /
+    * counter sum — exact unions), the persisted rows ARE the rollup:
+    * [[sketchRollupTotals]] answers per-group distinct estimates and
+    * frequency probes over the whole ingested history by folding the
+    * store's tiny rows, never re-reading raw data — the streaming form
+    * of the q176/q177 batch rollups, and the metrics-store shape a
+    * 100 TB pipeline keeps per (day, source): the raw stream is
+    * touched once, at ingest.
+    *
+    * Store size is O(batches × groups × sketch width), independent of
+    * row volume; no compaction loop is needed because merge-at-read IS
+    * the compaction (a fold over arrays, not a corpus operation).
+    * Rows with a null group are dropped (no group to credit); null
+    * hashes count toward `n_rows` but not the sketches (the sketch
+    * aggregates' own null contract).
+    *
+    * Sketch parameters ride a `_graft_sketch_params` marker — the
+    * tokenizer-marker discipline: appending batches built with a
+    * different p/depth/width would mix widths in one store and fail at
+    * MERGE time (far from the misconfiguration); the ingest side
+    * refuses loudly instead, naming both parameter sets. */
+  def sketchRollupStream(stream: DataFrame, storeDir: String,
+      checkpoint: String, groupCol: String, hashCol: String,
+      hllP: Int, cmsDepth: Int, cmsWidth: Int): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        sketchRollupBatch(batch.toDF(), batchId, storeDir, groupCol, hashCol,
+          hllP, cmsDepth, cmsWidth)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
+  private[graft] def sketchRollupBatch(batch: DataFrame, batchId: Long,
+      storeDir: String, groupCol: String, hashCol: String,
+      hllP: Int, cmsDepth: Int, cmsWidth: Int,
+      failAfterStep: Int = Int.MaxValue): Unit = {
+    import graft.operators.Sketch
+    val spark = batch.sparkSession
+    def failpoint(n: Int): Unit = if (failAfterStep == n)
+      throw new IllegalStateException(
+        s"sketchRollupBatch: test failpoint after step $n")
+    if (isCommitted(spark, storeDir, batchId)) return
+    ensureSketchParamsMarker(spark, storeDir, hllP, cmsDepth, cmsWidth)
+    val delta = batch
+      .filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(Sketch.hllSketch(col(hashCol), hllP).as("hll"),
+        Sketch.cmsSketch(col(hashCol), cmsDepth, cmsWidth).as("cms"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("batch_id", lit(batchId))
+    publishBatch(delta, storeDir, batchId, Nil)
+    failpoint(1)
+    commitBatch(spark, storeDir, batchId)
+  }
+
+  /** Fold a sketch-rollup store to one row per group: HLL-merged
+    * distinct sketch, CMS-merged frequency sketch, summed row count —
+    * COMMITTED batches only (a crash between publish and commit leaves
+    * data files without a marker; unlike the postings store, a partial
+    * batch here would silently under-sketch its groups, so the reader
+    * filters to the marker set — the replayed batch re-publishes
+    * by-name and commits, after which the fold converges). Loud on a
+    * missing/empty store: there is no schema to serve. */
+  def sketchRollupTotals(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, groupCol: String): DataFrame = {
+    import graft.operators.Sketch
+    val (fs, p) = fsPath(spark, storeDir)
+    require(hasDataFiles(fs, p),
+      s"sketchRollupTotals: no sketch store at $storeDir")
+    val committed = committedBatchIds(spark, storeDir)
+    require(committed.nonEmpty,
+      s"sketchRollupTotals: no committed batches at $storeDir")
+    spark.read.parquet(storeDir)
+      .filter(col("batch_id").isin(committed.toSeq.map(Long.box): _*))
+      .groupBy(groupCol)
+      .agg(Sketch.hllMerge(col("hll")).as("hll"),
+        Sketch.cmsMerge(col("cms")).as("cms"),
+        sum("n_rows").as("n_rows"))
+  }
+
+  private def committedBatchIds(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): Set[Long] = {
+    val (fs, _) = fsPath(spark, outDir)
+    val m = new org.apache.hadoop.fs.Path(outDir + "/_graft_commits")
+    if (!fs.exists(m)) return Set.empty
+    fs.listStatus(m).map(_.getPath.getName)
+      .collect { case n if n.startsWith("b") => n.drop(1).toLong }
+      .toSet
+  }
+
+  private def ensureSketchParamsMarker(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, hllP: Int, cmsDepth: Int, cmsWidth: Int): Unit = {
+    val name = s"hll$hllP-cms${cmsDepth}x$cmsWidth"
+    val (fs, p) = fsPath(spark, storeDir)
+    val mDir = new org.apache.hadoop.fs.Path(storeDir + "/_graft_sketch_params")
+    if (fs.exists(mDir)) {
+      val vs = fs.listStatus(mDir).map(_.getPath.getName).toSet
+      require(vs == Set(name),
+        s"sketch store at $storeDir was built with parameters " +
+          s"[${vs.mkString(", ")}], this ingest runs $name — appending " +
+          "would mix sketch widths in one store (the merge would fail " +
+          "far from this misconfiguration). Rebuild the store or match " +
+          "the parameters.")
+    } else if (hasDataFiles(fs, p)) {
+      throw new IllegalStateException(
+        s"sketch store at $storeDir holds data but no parameter marker " +
+          "— not a store this loop wrote. Refusing to append.")
+    } else {
+      fs.mkdirs(mDir)
+      fs.create(new org.apache.hadoop.fs.Path(mDir, name), true).close()
+    }
+  }
+
   private[graft] def publishBatch(df: DataFrame, dstDir: String, batchId: Long,
       partitionCols: Seq[String]): Unit = {
     val spark = df.sparkSession

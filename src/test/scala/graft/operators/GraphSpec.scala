@@ -183,6 +183,35 @@ class GraphSpec extends SparkSpec {
       Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("labelPropagation: hand rounds, min-label ties, synchronous update") {
+    // two triangles {1,2,3} and {4,5,6} joined by a 3−4 bridge
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L),
+      (3L, 4L)).toDF("src", "dst")
+    // round 1 (all labels = own id, every neighbor label count is 1 →
+    // min neighbor label wins): 1→2 (nbrs {2,3}), 2→1, 3→1 (nbrs
+    // {1,2,4}), 4→3 (nbrs {3,5,6}), 5→4, 6→4
+    val r1 = Graph.labelPropagation(e, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 4L, 6L -> 4L))
+    // round 2 from r1 (synchronous — votes read ROUND-1 labels):
+    // 1: nbrs 2,3 → labels {1,1} → 1
+    // 2: nbrs 1,3 → labels {2,1} → tie → 1
+    // 3: nbrs 1,2,4 → labels {2,1,3} → tie → 1
+    // 4: nbrs 3,5,6 → labels {1,4,4} → 4
+    // 5: nbrs 4,6 → labels {3,4} → tie → 3
+    // 6: nbrs 4,5 → labels {3,4} → tie → 3
+    val r2 = Graph.labelPropagation(e, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 3L, 6L -> 3L))
+    // duplicate/reversed edges and self-loops normalize away: same r1
+    val messy = e.union(Seq((2L, 1L), (1L, 1L), (2L, 3L)).toDF("src", "dst"))
+    assert(Graph.labelPropagation(messy, rounds = 1)
+      .as[(Long, Long)].collect().toMap == r1)
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(e, rounds = 0)
+    }
+  }
+
   test("edge shape is enforced") {
     intercept[IllegalArgumentException] {
       Graph.pageRankFixed(Seq((1L, 2L, 3L)).toDF("a", "b", "c"), 1)

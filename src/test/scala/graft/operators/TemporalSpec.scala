@@ -448,4 +448,53 @@ class TemporalSpec extends SparkSpec {
       .select("user_id", "event_id", "last_signup_ts")
     assertSameRows(got, want)
   }
+
+  test("intervalCoverage: merged overlaps, touching stays split, degenerates drop") {
+    import spark.implicits._
+    val iv = Seq(
+      // key a: [0,10) ∪ [5,20) merge → [0,20); [20,25) touches → own
+      // island; [30,31) separate; [8,8) zero-length drops; [9,4)
+      // inverted drops
+      ("a", 0L, 10L), ("a", 5L, 20L), ("a", 20L, 25L), ("a", 30L, 31L),
+      ("a", 8L, 8L), ("a", 9L, 4L),
+      // key b: containment — [0,100) swallows [10,20) and [50,60)
+      ("b", 0L, 100L), ("b", 10L, 20L), ("b", 50L, 60L)
+    ).toDF("k", "lo", "hi")
+    val got = Temporal.intervalCoverage(iv, Seq("k"), "lo", "hi")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map(
+      "a" -> ((4L, 3L, 26L)),   // 4 kept intervals, islands [0,20)[20,25)[30,31), 20+5+1
+      "b" -> ((3L, 1L, 100L))))
+    // null keys/bounds contribute nothing
+    val withNulls = iv.union(Seq((null: String, 0L, 5L)).toDF("k", "lo", "hi"))
+    assert(Temporal.intervalCoverage(withNulls, Seq("k"), "lo", "hi")
+      .count() == 2L)
+  }
+
+  test("transitionMatrix: ordered pairs, tie-broken, permille floors") {
+    import spark.implicits._
+    // user 1: A→B→A (ties on ts broken by event_id: 2 before 3)
+    // user 2: A→A
+    val ev = Seq(
+      (1L, 1L, 100L, "A"), (1L, 2L, 200L, "B"), (1L, 3L, 200L, "A"),
+      (2L, 4L, 50L, "A"), (2L, 5L, 60L, "A")
+    ).toDF("user", "eid", "t", "state")
+    val got = Temporal.transitionMatrix(ev, "user", "t", "eid", "state")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // from A: A→B (u1) and A→A (u2) → 2 total; from B: B→A (u1)
+    assert(got == Map(
+      ("A", "B") -> ((1L, 500L)),
+      ("A", "A") -> ((1L, 500L)),
+      ("B", "A") -> ((1L, 1000L))))
+    // reversing the tie order flips the u1 chain: A→A→B
+    val flipped = Seq(
+      (1L, 3L, 100L, "A"), (1L, 2L, 200L, "B"), (1L, 1L, 200L, "A"))
+      .toDF("user", "eid", "t", "state")
+    val g2 = Temporal.transitionMatrix(flipped, "user", "t", "eid", "state")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(g2 == Map(("A", "A") -> 1L, ("A", "B") -> 1L))
+  }
 }

@@ -47,6 +47,22 @@ class TextSearchSpec extends SparkSpec {
     assert(top1 == Seq((2L, 6664L)))
   }
 
+  test("topTermsPerDoc: per-doc tf·rarity rank, term-asc ties, empty docs absent") {
+    val got = TextSearch.topTermsPerDoc(docs, "doc_id", "text", k = 2)
+      .select("doc_id", "term", "score", "rank")
+      .as[(Long, String, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq)
+      .toMap
+    // doc2: spark tf3·1666 = 4998 > joins 1666
+    assert(got(2L) == Seq(("spark", 4998L), ("joins", 1666L)))
+    // doc4: hapax "alone" (rarity 5000) outranks spark
+    assert(got(4L) == Seq(("alone", 5000L), ("spark", 1666L)))
+    // doc3: three hapaxes tie at 5000 → term-ascending wins
+    assert(got(3L) == Seq(("engine", 5000L), ("no", 5000L)))
+    // the empty doc has no terms, hence no rows
+    assert(!got.contains(5L))
+  }
+
   test("searchTopK: a term absent from the corpus empties the conjunction") {
     assert(TextSearch.searchTopK(docs, "doc_id", "text",
       Seq("spark", "zzzmissing"), k = 10).count() == 0)
