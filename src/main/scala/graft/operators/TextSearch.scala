@@ -269,9 +269,20 @@ object TextSearch {
   def topTermsPerDoc(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    // the searchTopK reuse construction, both tricks: the explicit
+    // isNotNull matches the conjunct the scoring join infers on its
+    // side, and df REFERENCES tf (Σ [tf > 0] — value-identical to
+    // count(*) since postings carry tf ≥ 1) so the column pruner can't
+    // strip it from this branch — either divergence and the two
+    // postings subtrees stop canonicalizing equal, the corpus
+    // tokenizes TWICE, and the ReusedExchange below is lost
+    // (PlanShapeSpec pins one Generate).
     val post = postings(df, idCol, textCol)
-    val rar = rarityTable(post, df.agg(count(lit(1)).as("n_docs")))
-      .select("term", "rarity")
+      .filter(col("term").isNotNull)
+    val rar = post.groupBy("term")
+      .agg(sum((col("tf") > lit(0L)).cast("long")).as("df"))
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("n_docs"))))
+      .select(col("term"), expr("(n_docs * 1000) div df").cast("long").as("rarity"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
       .orderBy(col("score").desc, col("term"))
     post.join(rar, "term")

@@ -852,4 +852,39 @@ class PlanShapeSpec extends SparkSpec {
       s"iterations must read checkpointed blocks:\n$plan")
     assertNoQuadraticJoin(plan, "pageRankFixed")
   }
+
+  test("q185 intervalCoverage: ONE data exchange — windows and both rollups share the key partitioning, no join") {
+    val plan = executedFinalPlan("q185_interval_coverage")
+    assert(!plan.contains("Join"),
+      s"interval coverage must carry no join node:\n$plan")
+    // exactly one hash exchange over the data (the trailing range
+    // exchange is the query-level orderBy, not the operator's)
+    val hashEx = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"expected ONE hash exchange (windows + rollups co-partitioned), found $hashEx:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Window")) == 2,
+      s"the sweep is exactly two window passes (prev-max, island sum):\n$plan")
+  }
+
+  test("q187 topTermsPerDoc: ONE corpus tokenization — the rarity branch reuses the postings exchange; per-doc rank is group-limited") {
+    val plan = executedFinalPlan("q187_top_terms")
+    val explodes = plan.linesIterator.count(_.contains("Generate explode"))
+    assert(explodes == 1,
+      s"expected ONE corpus explode (exchange reuse), found $explodes:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"the rarity branch must reuse the postings exchange:\n$plan")
+    // rank<=k must push into the shuffle as a group-limit (Spark's
+    // WindowGroupLimit) so only k rows per doc cross the wire
+    assert(plan.contains("WindowGroupLimit"),
+      s"the per-doc top-k must be group-limited before the window shuffle:\n$plan")
+  }
+
+  test("q186 transitionMatrix: per-key window then bounded aggregates; the permille join broadcasts the totals") {
+    val plan = executedFinalPlan("q186_transition_matrix")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the from-state totals must broadcast into the permille join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("NestedLoop"),
+      s"no shuffled or nested-loop join may exist:\n$plan")
+  }
 }
