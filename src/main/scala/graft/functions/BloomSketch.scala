@@ -34,8 +34,8 @@ import org.apache.spark.sql.types._
   * array per group per mapper, never the value stream. */
 object BloomSketch {
   /** m (bits) bounded to keep a filter comfortably manifest-sized:
-    * 2^25 bits = 4 MB of words. k up to 16 covers every sensible
-    * false-positive target. */
+    * 2^25 bits = 2^20 long-backed words = 8 MB. k up to 16 covers
+    * every sensible false-positive target. */
   private[functions] def checkParams(mExpr: Expression, kExpr: Expression,
       name: String): TypeCheckResult =
     if (!mExpr.foldable || mExpr.dataType != IntegerType ||
@@ -57,24 +57,6 @@ object BloomSketch {
     }
 
   private[functions] def nWords(m: Int): Int = (m + 31) / 32
-
-  /** Set/check the k bit positions of a hash: the affine family over
-    * the masked 60-bit hash, reduced mod m — ONE definition shared by
-    * build and probe, mirrored by the oracle via
-    * [[Hashing.h31AffineSql]]. Callers pass PRECOMPUTED affine params
-    * (the [[CmsSketch.pos]] rule: affineParams runs two MD5s, so
-    * deriving it per row would dwarf the bit operation it feeds). */
-  private[functions] def eachPosition(hash: Long, m: Int,
-      ab: Array[(Long, Long)])(f: Int => Boolean): Boolean = {
-    val base = (hash & ((1L << 60) - 1)) % Hashing.P31
-    var i = 0
-    while (i < ab.length) {
-      val (a, b) = ab(i)
-      if (!f((((a * base + b) % Hashing.P31) % m).toInt)) return false
-      i += 1
-    }
-    true
-  }
 
   private[functions] def toBytes(buffer: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(8 * buffer.length)
@@ -148,11 +130,18 @@ case class BloomSketchAgg(
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = hash.eval(input)
-    if (v != null)
-      BloomSketch.eachPosition(v.asInstanceOf[Long], m, ab) { pos =>
+    if (v != null) {
+      // masked + CmsSketch.pos: ONE position definition across the
+      // affine-family sketches, params precomputed (two MD5s each)
+      val h = v.asInstanceOf[Long] & ((1L << 60) - 1)
+      var i = 0
+      while (i < k) {
+        val (a, b) = ab(i)
+        val pos = CmsSketch.pos(h, a, b, m)
         buffer(pos / 32) |= 1L << (pos % 32)
-        true
+        i += 1
       }
+    }
     buffer
   }
 
@@ -266,9 +255,15 @@ case class BloomMightContain(first: Expression, second: Expression,
     val words = BloomSketch.readWords(filterV, prettyName, loud = false)
     if (words == null || words.length == 0) return null
     val m = words.length * 32
-    BloomSketch.eachPosition(hashV.asInstanceOf[Long], m, ab) { pos =>
-      (words(pos / 32) & (1L << (pos % 32))) != 0L
+    val h = hashV.asInstanceOf[Long] & ((1L << 60) - 1)
+    var i = 0
+    while (i < k) {
+      val (a, b) = ab(i)
+      val pos = CmsSketch.pos(h, a, b, m)
+      if ((words(pos / 32) & (1L << (pos % 32))) == 0L) return false
+      i += 1
     }
+    true
   }
 
   override protected def withNewChildrenInternal(

@@ -886,5 +886,11 @@ class PlanShapeSpec extends SparkSpec {
       s"the from-state totals must broadcast into the permille join:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("NestedLoop"),
       s"no shuffled or nested-loop join may exist:\n$plan")
+    // the totals branch re-aggregates the PAIRS exchange, not the
+    // corpus: one raw scan + one window pass in the whole plan
+    assert(plan.linesIterator.count(_.contains("FileScan")) == 1,
+      s"the raw events must be scanned exactly once:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"the totals branch must reuse the pairs exchange:\n$plan")
   }
 }
