@@ -248,9 +248,13 @@ object ScaleQueries {
     * to top 3. */
   val q174SqTopk: Q = (spark, dir) => {
     val t = Tables(spark, dir)
+    // FIXED probe set (≤100 queries at any SF), not a corpus share:
+    // exhaustive-arm cost is |queries|·|corpus|, so a %-of-corpus probe
+    // is quadratic in SF — the q141/q101 lesson, re-learned at the r18
+    // sf3 sweep (10.7× CPU at 3× data before this bound)
     Similarity.sqTopKExhaustive(
-      t.embeddings.filter(col("vec_id") % 50 === 0), t.embeddings,
-      "vec_id", "embedding", k = 3)
+      t.embeddings.filter(col("vec_id") % 50 === 0 && col("vec_id") < 5000),
+      t.embeddings, "vec_id", "embedding", k = 3)
       .orderBy("query_id", "rank")
   }
 
@@ -1559,7 +1563,7 @@ object ScaleQueries {
          |    list_transform(generate_series(1, len(embedding)),
          |      i -> CAST(floor(1e6 * (CAST(embedding[i] AS DOUBLE) / nrm))
          |           AS BIGINT)) AS q
-         |  FROM e WHERE vec_id % 50 = 0),
+         |  FROM e WHERE vec_id % 50 = 0 AND vec_id < 5000),
          |sc AS (
          |  SELECT query_id, neighbor_id,
          |    scale * list_reduce(list_transform(generate_series(1, len(q)),
