@@ -515,6 +515,66 @@ object Graph {
           .cast("long").as("jaccard_permille"))
   }
 
+  /** MARKET-BASKET LIFT pairs — [[coJaccardEdges]]'s association-rule
+    * sibling: item pairs sharing ≥ `minShared` distinct groups with
+    * the integer LIFT of their co-membership, micro-scaled:
+    * `lift_micro = (n_ab · N · 10^6) div (n_a · n_b)` over DISTINCT
+    * group memberships (N = distinct groups, n_x = groups containing
+    * x). Lift > 1e6 means the pair co-occurs more than independence
+    * predicts — the "customers who bought A also bought B" relation,
+    * with Jaccard's popularity bias corrected by the independence
+    * baseline. Canonical `src < dst`; output
+    * `(src, dst, n_shared, lift_micro)`.
+    *
+    * Same shape and caps as [[coJaccardEdges]]: one deduped membership
+    * materialization feeding degrees + both self-join sides, the
+    * per-group quadratic bounded by `maxGroupItems`, pair mass cut by
+    * `minShared` BEFORE the degree joins.
+    *
+    * Overflow envelope, ENFORCED (the [[pageRankWeightedFixed]]
+    * discipline): the numerator needs `n_ab · N · 10^6 < 2^63`, i.e.
+    * `N · max(n_ab) < 9.2·10^12`. Checked against the actual pair
+    * maximum (one output-bounded scalar) — beyond it the long
+    * arithmetic would wrap silently, so this THROWS with the knob to
+    * turn (raise `minShared`, cap groups, or bucket the group key to a
+    * coarser grain). */
+  def liftPairs(df: DataFrame, groupCol: String, itemCol: String,
+      minShared: Long = 1L,
+      maxGroupItems: Long = Long.MaxValue): DataFrame = {
+    val m = df.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+      .filter(col("__g").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val capped = materialized(
+      if (maxGroupItems == Long.MaxValue) m
+      else m.join(
+        m.groupBy("__g").agg(count(lit(1)).as("__gn"))
+          .filter(col("__gn") <= maxGroupItems).select("__g"),
+        Seq("__g")))
+    val nGroups = capped.select("__g").distinct().count()
+    val deg = capped.groupBy(col("__i").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("src"), col("b.__i").as("dst"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .localCheckpoint(true)
+    val maxShared = pairs.agg(max(col("n_shared"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    require(maxShared <= Long.MaxValue / 1000000L / math.max(nGroups, 1L),
+      s"liftPairs: n_ab·N·10^6 would overflow long (N = $nGroups groups, " +
+        s"max n_ab = $maxShared) — raise minShared, cap groups with " +
+        "maxGroupItems, or bucket the group key to a coarser grain")
+    pairs
+      .join(deg.toDF("src", "__da"), "src")
+      .join(deg.toDF("dst", "__db"), "dst")
+      .select(col("src"), col("dst"), col("n_shared"),
+        expr(s"(n_shared * CAST($nGroups AS BIGINT) * 1000000) div (__da * __db)")
+          .cast("long").as("lift_micro"))
+  }
+
   private def asEdges(edges: DataFrame): DataFrame = {
     require(edges.columns.length == 2,
       s"edges must be (src, dst)-shaped, got ${edges.columns.toSeq}")

@@ -868,6 +868,51 @@ object Temporal {
         sum(col("__ihi") - col("__ilo")).as("covered"))
   }
 
+  /** PEAK CONCURRENCY — per key, the maximum number of SIMULTANEOUSLY
+    * open `[lo, hi)` intervals, with the interval count: the "peak
+    * concurrent sessions / max in-flight requests" capacity statistic
+    * [[intervalCoverage]]'s union length cannot answer. The classic
+    * event sweep as ONE exchange: every interval becomes a +1 at `lo`
+    * and a −1 at `hi`, deltas are summed in (position, delta) order —
+    * delta ascending, so at equal positions the −1 applies FIRST:
+    * half-open intervals, a close at p and an open at p never overlap
+    * — and the per-key running maximum is the answer. Ties are
+    * order-invariant within the (pos, delta) sort (equal rows are
+    * interchangeable under a running sum).
+    *
+    * Same input contract as [[intervalCoverage]]: degenerate/inverted
+    * intervals and null keys/bounds are dropped. Integer end to end;
+    * the oracle replays the identical sweep. Scale: the window and the
+    * rollup share the key hash partitioning (one exchange); per-key
+    * cost is the 2·n-row sort. */
+  def peakConcurrency(df: DataFrame, keys: Seq[String], loCol: String,
+      hiCol: String): DataFrame = {
+    require(keys.nonEmpty, "peakConcurrency needs at least one key column")
+    val lo = micros(df, loCol)
+    val hi = micros(df, hiCol)
+    val kCols = keys.map(col)
+    val rows = df
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) &&
+        lo.isNotNull && hi.isNotNull && hi > lo)
+      .select((kCols :+ lo.as("__lo")) :+ hi.as("__hi"): _*)
+    // one corpus scan: each interval EXPLODES to its ±1 pair (a union
+    // of two projections would scan the raw relation twice)
+    val events = rows
+      .select((kCols :+ explode(array(
+        struct(col("__lo").as("__pos"), lit(1L).as("__d")),
+        struct(col("__hi").as("__pos"), lit(-1L).as("__d")))).as("__e")): _*)
+      .select((kCols :+ col("__e.__pos").as("__pos")) :+
+        col("__e.__d").as("__d"): _*)
+    val w = Window.partitionBy(kCols: _*)
+      .orderBy(col("__pos"), col("__d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .withColumn("__open", sum(col("__d")).over(w))
+      .groupBy(kCols: _*)
+      .agg(max(col("__open")).as("peak_concurrency"),
+        expr("count(1) div 2").as("n_intervals"))
+  }
+
   /** STATE-TRANSITION MATRIX — the Markov view of an event stream: per
     * key, order events by (ts, tie) and count every consecutive
     * `(from_state, to_state)` pair, with the within-from permille

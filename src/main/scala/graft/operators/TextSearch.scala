@@ -293,6 +293,75 @@ object TextSearch {
         col("score"), col("rank"))
   }
 
+  /** COLLOCATIONS — association-ranked consecutive token pairs: the
+    * corpus-level "which word pairs belong together" extraction
+    * (collocation mining), ranked by integer LIFT of bigram occurrence
+    * against unigram independence:
+    * `lift_micro = (n_ab · T · 10^6) div (n_a · n_b)` with n_ab = the
+    * bigram's occurrence count, n_x = token occurrence counts, T =
+    * total tokens — monotone in PMI without a single libm call, so the
+    * oracle replays every value. Output `(a, b, n_ab, lift_micro)`,
+    * pairs with `n_ab ≥ minCount`, top-`k` by (lift desc, a, b).
+    *
+    * ONE corpus tokenization: each token position emits a single
+    * struct `(a = tok_i, b = tok_i+1 | null-at-doc-end)` — unigram
+    * counts are the rows per `a`, bigram counts the rows per (a, b)
+    * with b present, T the row total, so no second explode exists
+    * (contrast the naive unigram-pass + bigram-pass shape). The count
+    * join is vocabulary²-bounded on the pair side and
+    * vocabulary-bounded on the unigram side (planner's call on
+    * broadcast, as in [[topTermsPerDoc]]).
+    *
+    * Overflow envelope, ENFORCED (the liftPairs discipline): the
+    * numerator needs `max(n_ab) · T · 10^6 < 2^63` — checked against
+    * the actual maxima; beyond it this throws naming the knob (raise
+    * `minCount`, or shard the corpus and merge ranked heads). */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k > 0, s"k must be positive, got $k")
+    // projection boundary: tokenize ONCE per row, then pair each token
+    // with its successor (null at doc end). zip_with pads the shorter
+    // side, so an empty doc yields one (null, null) artifact row —
+    // dropped by the a-not-null filter (real tokens are never null).
+    val shifted = (t: Column) =>
+      concat(slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        array(lit(null).cast("string")))
+    val units = df
+      .select(searchTerms(col(textCol)).as("__t"))
+      .select(explode(zip_with(col("__t"), shifted(col("__t")),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a").isNotNull)
+    // ONE corpus aggregation keyed (a, b) — b-null rows are doc ends,
+    // so unigram counts are exact row sums over this (bigram-
+    // vocabulary-bounded) relation: n_a = Σ_b n_(a,b). One
+    // materialization serves the unigram rollup, the totals scalar and
+    // the pair filter — the corpus token stream is scanned exactly
+    // once and never materialized.
+    val ab = units.groupBy("a", "b")
+      .agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(true)
+    val counted = ab.groupBy("a").agg(sum(col("n_ab")).as("n_a"))
+    val totals = counted.agg(sum(col("n_a")).as("t"),
+      max(col("n_a")).as("maxNa")).head()
+    val bigT = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+    val pairs = ab.filter(col("b").isNotNull && col("n_ab") >= minCount)
+    require(bigT == 0L ||
+      (if (totals.isNullAt(1)) 0L else totals.getLong(1)) <=
+        Long.MaxValue / 1000000L / math.max(bigT, 1L),
+      s"collocations: n_ab·T·10^6 would overflow long (T = $bigT tokens) — " +
+        "raise minCount, or shard the corpus and merge ranked heads")
+    pairs
+      .join(counted.select(col("a"), col("n_a")), "a")
+      .join(counted.select(col("a").as("b"), col("n_a").as("__nb")), "b")
+      .select(col("a"), col("b"), col("n_ab"),
+        expr(s"(n_ab * CAST($bigT AS BIGINT) * 1000000) div (n_a * __nb)")
+          .cast("long").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Ranked search: documents containing at least `minShouldMatch` of
     * `terms` (default: ALL of them — conjunctive), scored
     * `Σ_{matched t} tf_t · rarity_t` (rarer terms dominate), top `k` by

@@ -140,8 +140,24 @@ object GraphQueries {
     Graph.labelPropagation(coEdges(spark, dir, minCount = 2L), LpaRounds)
       .orderBy("node")
 
+  val LiftMinShared = 3L
+
+  /** GR11 — market-basket LIFT pairs ([[Graph.liftPairs]]): part pairs
+    * co-ordered in ≥3 distinct orders with the micro-scaled lift of
+    * their co-membership against the independence baseline — the
+    * association-rule relation beside GR5's Jaccard (lift corrects
+    * Jaccard's popularity bias by the expected-co-occurrence
+    * denominator). Integer end to end under the ENFORCED overflow
+    * envelope; the oracle replays the arithmetic in HUGEINT. */
+  val q189LiftPairs: Q = (spark, dir) =>
+    Graph.liftPairs(
+        Tables(spark, dir).lineitem.select("l_orderkey", "l_partkey"),
+        "l_orderkey", "l_partkey", minShared = LiftMinShared)
+      .orderBy("src", "dst")
+
   val all: Map[String, Q] = Map(
     "q182_label_prop" -> q182LabelProp,
+    "q189_lift_pairs" -> q189LiftPairs,
     "q135_pagerank" -> q135PageRank,
     "q175_ppr_seeded" -> q175PprSeeded,
     "q178_kcore" -> q178KCore,
@@ -226,6 +242,23 @@ object GraphQueries {
        |  WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q189_lift_pairs" ->
+      s"""WITH m AS (
+         |  SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+         |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         |n AS (SELECT COUNT(DISTINCT g) AS ng FROM m),
+         |deg AS (SELECT i, COUNT(*) AS d FROM m GROUP BY i),
+         |p AS (
+         |  SELECT a.i AS src, b.i AS dst, COUNT(*) AS n_shared
+         |  FROM m a JOIN m b ON a.g = b.g AND a.i < b.i
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $LiftMinShared)
+         |SELECT p.src, p.dst, p.n_shared,
+         |  CAST((p.n_shared::HUGEINT * n.ng * 1000000) //
+         |       (da.d::HUGEINT * db.d) AS BIGINT) AS lift_micro
+         |FROM p CROSS JOIN n
+         |JOIN deg da ON p.src = da.i
+         |JOIN deg db ON p.dst = db.i
+         |ORDER BY src, dst""".stripMargin,
     "q182_label_prop" ->
       s"""WITH cnt AS (
          |  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS n

@@ -53,6 +53,20 @@ object SearchQueries {
         "doc_id", "text", TopTermsK)
       .orderBy("doc_id", "rank")
 
+  val CollocMin = 5L
+  val CollocK = 50
+
+  /** SR-CL — collocation mining ([[TextSearch.collocations]]): top-50
+    * consecutive-token pairs by integer LIFT against unigram
+    * independence (monotone in PMI, no libm), bigram count ≥ 5. ONE
+    * corpus tokenization feeds a single (a, b)-keyed aggregation from
+    * which unigram counts, the totals scalar and the pair set all
+    * derive; the oracle replays tokenizer, counts and the HUGEINT
+    * lift arithmetic exactly. */
+  val q190Collocations: Q = (spark, dir) =>
+    TextSearch.collocations(Tables(spark, dir).documents,
+      "doc_id", "text", CollocMin, CollocK)
+
   val MltK = 5
 
   /** SR3 — more-like-this: a FIXED 5-doc probe set (ids < 500, every
@@ -475,7 +489,8 @@ object SearchQueries {
     "q166_snippet" -> q166Snippet,
     "q167_suggest" -> q167Suggest,
     "q168_store_takedown" -> q168StoreTakedown,
-    "q187_top_terms" -> q187TopTerms)
+    "q187_top_terms" -> q187TopTerms,
+    "q190_collocations" -> q190Collocations)
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -488,6 +503,28 @@ object SearchQueries {
       |  GROUP BY term, doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q190_collocations" ->
+      s"""WITH toks AS (
+         |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM documents),
+         |units AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(t)),
+         |    i -> struct_pack(a := t[i],
+         |                     b := CASE WHEN i < len(t) THEN t[i+1] END))) AS p
+         |  FROM toks WHERE len(t) > 0),
+         |ab AS (SELECT p.a AS a, p.b AS b, count(*) AS n_ab
+         |       FROM units GROUP BY 1, 2),
+         |uc AS (SELECT a, SUM(n_ab) AS n_a FROM ab GROUP BY 1),
+         |tt AS (SELECT SUM(n_a) AS tot FROM uc),
+         |pr AS (SELECT a, b, n_ab FROM ab
+         |       WHERE b IS NOT NULL AND n_ab >= $CollocMin)
+         |SELECT pr.a AS a, pr.b AS b, pr.n_ab,
+         |  CAST((pr.n_ab::HUGEINT * tt.tot * 1000000) //
+         |       (ua.n_a::HUGEINT * ub.n_a) AS BIGINT) AS lift_micro
+         |FROM pr CROSS JOIN tt
+         |JOIN uc ua ON pr.a = ua.a
+         |JOIN uc ub ON pr.b = ub.a
+         |ORDER BY lift_micro DESC, pr.a, pr.b LIMIT $CollocK""".stripMargin,
     "q187_top_terms" ->
       s"""WITH $postCte,
          |tot AS (SELECT COUNT(*) AS n_docs FROM documents),

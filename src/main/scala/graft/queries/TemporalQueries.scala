@@ -252,9 +252,25 @@ object TemporalQueries {
         "user_id", "ts", "event_id", "event_type")
       .orderBy("from_state", "to_state")
 
+  /** PEAK CONCURRENCY — per user, the max number of simultaneously
+    * open activity intervals ([[Temporal.peakConcurrency]] over the
+    * q185 intervals): the capacity statistic union-coverage cannot
+    * answer. The ±1 event sweep with the half-open tie rule (closes
+    * before opens at equal positions), replayed exactly by the
+    * oracle's windowed running sum. */
+  val q188PeakConcurrency: Q = (spark, dir) => {
+    val t = Tables(spark, dir)
+    val lo = unix_micros(col("ts").cast("timestamp"))
+    val iv = t.events.select(col("user_id"), lo.as("lo_us"),
+      (lo + floor(col("value") * lit(60000000.0)).cast("long")).as("hi_us"))
+    Temporal.peakConcurrency(iv, Seq("user_id"), "lo_us", "hi_us")
+      .orderBy("user_id")
+  }
+
   val all: Map[String, Q] = Map(
     "q185_interval_coverage" -> q185IntervalCoverage,
     "q186_transition_matrix" -> q186TransitionMatrix,
+    "q188_peak_concurrency" -> q188PeakConcurrency,
     "q118_retention" -> q118Retention,
     "q124_rolling_active" -> q124RollingActive,
     "q82_asof_enrich" -> q82AsofEnrich,
@@ -355,6 +371,26 @@ object TemporalQueries {
         |SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_intervals,
         |  COUNT(*) AS n_islands, CAST(SUM(ihi - ilo) AS BIGINT) AS covered
         |FROM i GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q188_peak_concurrency" ->
+      """WITH iv AS (
+        |  SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS lo,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      + CAST(floor(value * 60000000.0) AS BIGINT) AS hi
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND floor(value * 60000000.0) > 0),
+        |ev AS (
+        |  SELECT user_id, lo AS pos, 1 AS d FROM iv
+        |  UNION ALL SELECT user_id, hi, -1 FROM iv),
+        |o AS (
+        |  SELECT user_id,
+        |    SUM(d) OVER (PARTITION BY user_id ORDER BY pos, d
+        |      ROWS UNBOUNDED PRECEDING) AS open
+        |  FROM ev)
+        |SELECT user_id, CAST(MAX(open) AS BIGINT) AS peak_concurrency,
+        |  COUNT(*) // 2 AS n_intervals
+        |FROM o GROUP BY 1 ORDER BY user_id""".stripMargin,
     "q186_transition_matrix" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

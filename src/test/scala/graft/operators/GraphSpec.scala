@@ -212,6 +212,26 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("liftPairs: hand-computed lifts, minShared cut, group cap") {
+    // groups: g1{A,B} g2{A,B} g3{A,C} g4{B} — N=4, deg A=3 B=3 C=1
+    val m = Seq(("g1", "A"), ("g1", "B"), ("g2", "A"), ("g2", "B"),
+      ("g3", "A"), ("g3", "C"), ("g4", "B"), ("g1", "A") /* dup row dedups */)
+      .toDF("g", "i")
+    val got = Graph.liftPairs(m, "g", "i")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // lift(A,B) = 2·4·10^6 div (3·3) = 888888; lift(A,C) = 1·4·10^6 div 3
+    assert(got == Map(
+      ("A", "B") -> ((2L, 888888L)),
+      ("A", "C") -> ((1L, 1333333L))))
+    // minShared cuts the singleton pair
+    assert(Graph.liftPairs(m, "g", "i", minShared = 2L)
+      .as[(String, String, Long, Long)].collect().toSeq
+      .map(r => (r._1, r._2)) == Seq(("A", "B")))
+    // a group over the cap drops whole: g1/g2/g3 capped at 1 member → no pairs
+    assert(Graph.liftPairs(m, "g", "i", maxGroupItems = 1L).isEmpty)
+  }
+
   test("edge shape is enforced") {
     intercept[IllegalArgumentException] {
       Graph.pageRankFixed(Seq((1L, 2L, 3L)).toDF("a", "b", "c"), 1)

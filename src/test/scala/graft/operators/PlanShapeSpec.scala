@@ -880,6 +880,28 @@ class PlanShapeSpec extends SparkSpec {
       s"the per-doc top-k must be group-limited before the window shuffle:\n$plan")
   }
 
+  test("q188 peakConcurrency: one raw scan (±1 pairs explode, no union re-scan), one exchange, no join") {
+    val plan = executedFinalPlan("q188_peak_concurrency")
+    assert(plan.linesIterator.count(_.contains("FileScan")) == 1,
+      s"the raw relation must be scanned exactly once (explode, not union):\n$plan")
+    assert(!plan.contains("Join"),
+      s"the sweep must carry no join node:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"window and rollup must share ONE key exchange:\n$plan")
+  }
+
+  test("q190 collocations: the corpus pass is the checkpointed (a,b) aggregate; unigram branch reuses its exchange") {
+    val plan = executedFinalPlan("q190_collocations")
+    // the corpus token stream never re-materializes: pair counts come
+    // from the localCheckpointed (a, b) aggregate (ExistingRDD blocks)
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"pair/unigram branches must read the checkpointed aggregate:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"the two count branches must share one exchange:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the vocabulary joins must not shuffle the pair side:\n$plan")
+  }
+
   test("q186 transitionMatrix: per-key window then bounded aggregates; the permille join broadcasts the totals") {
     val plan = executedFinalPlan("q186_transition_matrix")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),

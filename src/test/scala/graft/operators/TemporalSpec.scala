@@ -472,6 +472,25 @@ class TemporalSpec extends SparkSpec {
       .count() == 2L)
   }
 
+  test("peakConcurrency: overlap peak, closes-before-opens at ties, degenerates drop") {
+    import spark.implicits._
+    val iv = Seq(
+      // key a: [0,10) [5,20) [8,12) — all three open on [8,10) → peak 3
+      ("a", 0L, 10L), ("a", 5L, 20L), ("a", 8L, 12L),
+      // key b: touching [0,5) [5,10) never overlap (close applies first)
+      ("b", 0L, 5L), ("b", 5L, 10L),
+      // key c: degenerate + inverted drop, one real interval remains
+      ("c", 3L, 3L), ("c", 9L, 2L), ("c", 1L, 4L)
+    ).toDF("k", "lo", "hi")
+    val got = Temporal.peakConcurrency(iv, Seq("k"), "lo", "hi")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      "a" -> ((3L, 3L)),
+      "b" -> ((1L, 2L)),
+      "c" -> ((1L, 1L))))
+  }
+
   test("transitionMatrix: ordered pairs, tie-broken, permille floors") {
     import spark.implicits._
     // user 1: A→B→A (ties on ts broken by event_id: 2 before 3)

@@ -63,6 +63,30 @@ class TextSearchSpec extends SparkSpec {
     assert(!got.contains(5L))
   }
 
+  test("collocations: hand-computed lifts, doc-end handling, tie order, minCount cut") {
+    val corpus = Seq((1L, "a b a b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
+    // T = 6 tokens; n_a = 2, n_b = 3, n_c = 1
+    // bigrams: (a,b)×2, (b,a)×1, (b,c)×1
+    // lift(a,b) = 2·6·10^6 div (2·3) = 2e6; (b,c) = 1·6·10^6 div 3 = 2e6;
+    // (b,a) = 1·6·10^6 div 6 = 1e6. Tie (a,b)=(b,c) → a ascending.
+    val got = TextSearch.collocations(corpus, "doc_id", "text",
+      minCount = 1L, k = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 2L, 2000000L),
+      ("b", "c", 1L, 2000000L),
+      ("b", "a", 1L, 1000000L)))
+    // minCount cuts the singletons; k cuts the head
+    assert(TextSearch.collocations(corpus, "doc_id", "text", 2L, 10)
+      .as[(String, String, Long, Long)].collect().toSeq ==
+      Seq(("a", "b", 2L, 2000000L)))
+    assert(TextSearch.collocations(corpus, "doc_id", "text", 1L, 1)
+      .count() == 1L)
+    // an all-empty corpus yields no rows (and no division by anything)
+    assert(TextSearch.collocations(
+      Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text", 1L, 5).isEmpty)
+  }
+
   test("searchTopK: a term absent from the corpus empties the conjunction") {
     assert(TextSearch.searchTopK(docs, "doc_id", "text",
       Seq("spark", "zzzmissing"), k = 10).count() == 0)
