@@ -897,5 +897,113 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strConst(exprs(1), "id_col"), strConst(exprs(2), "term"),
           intConst(exprs(3), "max_dist"), intConst(exprs(4), "k")))
       }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_top_terms"),
+      tvfInfo("graft_top_terms",
+        "_FUNC_(path, id_col, text_col, k) - per-document top-k terms by " +
+          "tf*rarity over the parquet corpus at `path` (keyword " +
+          "extraction; one corpus tokenization)."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4,
+          s"graft_top_terms takes 4 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.operators.TextSearch.topTermsPerDoc(
+          spark.read.parquet(strConst(exprs(0), "path")),
+          strConst(exprs(1), "id_col"), strConst(exprs(2), "text_col"),
+          intConst(exprs(3), "k")))
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_collocations"),
+      tvfInfo("graft_collocations",
+        "_FUNC_(path, id_col, text_col, min_count, k) - top-k consecutive-" +
+          "token pairs by integer lift (PMI-monotone) over the parquet " +
+          "corpus at `path`; pairs below min_count occurrences drop."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 5,
+          s"graft_collocations takes 5 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.operators.TextSearch.collocations(
+          spark.read.parquet(strConst(exprs(0), "path")),
+          strConst(exprs(1), "id_col"), strConst(exprs(2), "text_col"),
+          longConst(exprs(3), "min_count"), intConst(exprs(4), "k")))
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_lift_pairs"),
+      tvfInfo("graft_lift_pairs",
+        "_FUNC_(path, group_col, item_col, min_shared[, max_group_items]) - " +
+          "market-basket lift pairs over distinct group memberships at " +
+          "`path`: (src, dst, n_shared, lift_micro), canonical src < dst."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4 || exprs.length == 5,
+          s"graft_lift_pairs takes 4-5 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.operators.Graph.liftPairs(
+          spark.read.parquet(strConst(exprs(0), "path")),
+          strConst(exprs(1), "group_col"), strConst(exprs(2), "item_col"),
+          longConst(exprs(3), "min_shared"),
+          exprs.lift(4).map(e => longConst(e, "max_group_items"))
+            .getOrElse(Long.MaxValue)))
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_label_prop"),
+      tvfInfo("graft_label_prop",
+        "_FUNC_(path, src_col, dst_col, rounds) - synchronous label-" +
+          "propagation communities over the (src, dst) edges at `path`: " +
+          "(node, label) after exactly `rounds` modal-neighbor rounds, " +
+          "min-label ties."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4,
+          s"graft_label_prop takes 4 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.operators.Graph.labelPropagation(
+          spark.read.parquet(strConst(exprs(0), "path"))
+            .select(strConst(exprs(1), "src_col"), strConst(exprs(2), "dst_col")),
+          intConst(exprs(3), "rounds")))
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_interval_coverage"),
+      tvfInfo("graft_interval_coverage",
+        "_FUNC_(path, keys, lo_col, hi_col) - per-key union length of the " +
+          "[lo, hi) intervals at `path` (overlaps merged; keys whitespace-" +
+          "separated): (keys..., n_intervals, n_islands, covered)."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4,
+          s"graft_interval_coverage takes 4 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.operators.Temporal.intervalCoverage(
+          spark.read.parquet(strConst(exprs(0), "path")),
+          strConst(exprs(1), "keys").trim.split("\\s+").toSeq,
+          strConst(exprs(2), "lo_col"), strConst(exprs(3), "hi_col")))
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_peak_concurrency"),
+      tvfInfo("graft_peak_concurrency",
+        "_FUNC_(path, keys, lo_col, hi_col) - per-key maximum of " +
+          "simultaneously open [lo, hi) intervals at `path` (keys " +
+          "whitespace-separated): (keys..., peak_concurrency, n_intervals)."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4,
+          s"graft_peak_concurrency takes 4 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.operators.Temporal.peakConcurrency(
+          spark.read.parquet(strConst(exprs(0), "path")),
+          strConst(exprs(1), "keys").trim.split("\\s+").toSeq,
+          strConst(exprs(2), "lo_col"), strConst(exprs(3), "hi_col")))
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_transition_matrix"),
+      tvfInfo("graft_transition_matrix",
+        "_FUNC_(path, key_col, ts_col, tie_col, state_col) - the Markov " +
+          "transition matrix of the event stream at `path`: (from_state, " +
+          "to_state, n, permille), (ts, tie) totally ordered per key."),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 5,
+          s"graft_transition_matrix takes 5 arguments, got ${exprs.length}")
+        val spark = org.apache.spark.sql.SparkSession.active
+        logical(graft.operators.Temporal.transitionMatrix(
+          spark.read.parquet(strConst(exprs(0), "path")),
+          strConst(exprs(1), "key_col"), strConst(exprs(2), "ts_col"),
+          strConst(exprs(3), "tie_col"), strConst(exprs(4), "state_col")))
+      }))
   }
 }

@@ -336,4 +336,65 @@ class GraftExtensionsSpec extends SparkSpec {
     val h = spark.sql("SELECT token_window_hashes('x y', 2)[0] AS h").collect()(0).getLong(0)
     assert(h == graft.functions.Hashing.h60Jvm("x y"))
   }
+
+  test("the r18 analytics TABLE functions are callable from SQL and equal the Scala API") {
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files.createTempDirectory("tvf18-docs").toString
+    Seq((1L, "spark joins the table"), (2L, "spark joins spark joins"),
+      (3L, "only joins here"), (4L, ""))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(corpusDir)
+    assert(spark.sql(
+      s"SELECT * FROM graft_top_terms('$corpusDir', 'doc_id', 'text', 2)")
+      .collect().toSet ==
+      graft.operators.TextSearch.topTermsPerDoc(
+        spark.read.parquet(corpusDir), "doc_id", "text", 2).collect().toSet)
+    assert(spark.sql(
+      s"SELECT * FROM graft_collocations('$corpusDir', 'doc_id', 'text', 1, 5)")
+      .collect().toSeq ==
+      graft.operators.TextSearch.collocations(
+        spark.read.parquet(corpusDir), "doc_id", "text", 1L, 5).collect().toSeq)
+
+    val basketDir = java.nio.file.Files.createTempDirectory("tvf18-basket").toString
+    Seq(("g1", "A"), ("g1", "B"), ("g2", "A"), ("g2", "B"), ("g3", "A"),
+      ("g3", "C"), ("g4", "B")).toDF("g", "i")
+      .write.mode("overwrite").parquet(basketDir)
+    assert(spark.sql(
+      s"SELECT * FROM graft_lift_pairs('$basketDir', 'g', 'i', 1)")
+      .collect().toSet ==
+      graft.operators.Graph.liftPairs(
+        spark.read.parquet(basketDir), "g", "i").collect().toSet)
+
+    val edgesDir = java.nio.file.Files.createTempDirectory("tvf18-edges").toString
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 4L))
+      .toDF("src", "dst").write.mode("overwrite").parquet(edgesDir)
+    assert(spark.sql(
+      s"SELECT * FROM graft_label_prop('$edgesDir', 'src', 'dst', 2)")
+      .collect().toSet ==
+      graft.operators.Graph.labelPropagation(
+        spark.read.parquet(edgesDir), 2).collect().toSet)
+
+    val ivDir = java.nio.file.Files.createTempDirectory("tvf18-iv").toString
+    Seq(("a", 0L, 10L), ("a", 5L, 20L), ("a", 30L, 31L), ("b", 1L, 4L))
+      .toDF("k", "lo", "hi").write.mode("overwrite").parquet(ivDir)
+    assert(spark.sql(
+      s"SELECT * FROM graft_interval_coverage('$ivDir', 'k', 'lo', 'hi')")
+      .collect().toSet ==
+      graft.operators.Temporal.intervalCoverage(
+        spark.read.parquet(ivDir), Seq("k"), "lo", "hi").collect().toSet)
+    assert(spark.sql(
+      s"SELECT * FROM graft_peak_concurrency('$ivDir', 'k', 'lo', 'hi')")
+      .collect().toSet ==
+      graft.operators.Temporal.peakConcurrency(
+        spark.read.parquet(ivDir), Seq("k"), "lo", "hi").collect().toSet)
+
+    val evDir = java.nio.file.Files.createTempDirectory("tvf18-ev").toString
+    Seq((1L, 1L, 100L, "A"), (1L, 2L, 200L, "B"), (1L, 3L, 200L, "A"),
+      (2L, 4L, 50L, "A"), (2L, 5L, 60L, "A"))
+      .toDF("u", "eid", "t", "st").write.mode("overwrite").parquet(evDir)
+    assert(spark.sql(
+      s"SELECT * FROM graft_transition_matrix('$evDir', 'u', 't', 'eid', 'st')")
+      .collect().toSet ==
+      graft.operators.Temporal.transitionMatrix(
+        spark.read.parquet(evDir), "u", "t", "eid", "st").collect().toSet)
+  }
 }
