@@ -81,6 +81,32 @@ class SketchStreamSpec extends SparkSpec {
     assert(est > 0.5 && est < 3.0, s"estimate $est for 1 distinct")
   }
 
+  test("the real stream: AvailableNow drains append committed sketch rows, fold equals direct") {
+    val drop = tmp("sk-drop"); val store = tmp("sk-drain"); val ckpt = tmp("sk-ckpt")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.LongType)))
+    def dropBatch(name: String, rows: Seq[(String, Long)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$drop/$name"),
+        rows.map { case (g, h) => s"$g\t$h" }.mkString("\n").getBytes("UTF-8"))
+    def drain(): Unit =
+      StreamingIngest.sketchRollupStream(
+        spark.readStream.schema(schema).option("sep", "\t").csv(drop),
+        store, ckpt, "g", "h", hllP = 5, cmsDepth = 3, cmsWidth = 64)
+        .start().awaitTermination()
+    val b0 = Seq("x" -> Hashing.h60Jvm("u1"), "x" -> Hashing.h60Jvm("u2"),
+      "y" -> Hashing.h60Jvm("u1"))
+    val b1 = Seq("x" -> Hashing.h60Jvm("u3"), "y" -> Hashing.h60Jvm("u1"))
+    dropBatch("b0.tsv", b0)
+    drain()
+    dropBatch("b1.tsv", b1)
+    drain()
+    val unioned = (b0 ++ b1).toDF("g", "h")
+    assert(asMap(totals(store)) == asMap(direct(unioned)))
+  }
+
   test("reader refuses a missing or uncommitted-only store") {
     intercept[IllegalArgumentException] {
       totals(tmp("sk-missing")).collect()
