@@ -57,40 +57,103 @@ object Graph {
     * floor is 150,000). Output `(node, rank)` over [[nodesOf]] — nodes
     * with no in-edges settle at the floor.
     *
-    * Shape note (measured, GraphStudy at the sf0.1 dense-graph point,
-    * 2.39M edges): the join-degrees + checkpoint form below beats the
-    * tried-and-REJECTED window alternative (`count over partitionBy(src)`
-    * + columnar persist) by ~2× — the window's per-partition sort of the
-    * full edge body cost 45 CPU core-s against 22 for derive+join+
-    * repartition+checkpoint, and the cached-columnar iteration scans ran
-    * ~1.6× the LogicalRDD block reads. SCALING.md r15 carries the cells. */
+    * Shape history (both measured at the sf0.1 dense-graph point,
+    * 2.39M edges): a window alternative (`count over partitionBy(src)`
+    * + columnar persist) was tried and REJECTED in r15 — its full-body
+    * sort cost ~2× (SCALING.md r15 carries the cells); the r15
+    * edge⋈degree ("eDeg") checkpoint form was replaced in r18 by
+    * [[prIterationRelations]]/[[prRound]] (share-on-nodes, single
+    * narrower checkpoint, pinned shuffled-hash rounds — the
+    * decomposition and before/after cells are in OPTIMIZATION_r18.md). */
   def pageRankFixed(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
-    // ONE evaluation of the caller's edge plan (often an expensive
-    // derivation — a co-occurrence self-join): degrees, nodes, and the
-    // iteration relation all read these blocks. Without this the plan
-    // fans out 4× (eDeg twice, nodes twice) — measured 5× the query's
-    // honest CPU at the sf0.1 bench point.
-    val e = materialized(asEdges(edges))
-    // (src, dst, out_deg), REPARTITIONED BY src before the checkpoint:
-    // LogicalRDD preserves outputPartitioning, so every iteration's
-    // ranks⋈eDeg join re-shuffles only the node-sized rank relation —
-    // the edge body crosses the wire once, not once per round.
-    val eDeg = e.join(outDegrees(e), "src")
-      .repartition(col("src")).localCheckpoint(true)
-    val nodes = nodesOf(e).localCheckpoint(true)
+    val (e, deg, nodes) = prIterationRelations(asEdges(edges))
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (_ <- 1 to iters) {
-      val contrib = eDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("rank div out_deg").as("__c"))
-        .groupBy("node").agg(sum("__c").as("__s"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(150000L) + expr("(85 * coalesce(__s, 0)) div 100")).as("rank"))
-        .localCheckpoint(true)
+      ranks = prRound(e, deg, nodes, ranks, lit(150000L))
     }
     ranks
+  }
+
+  /** The r18 iteration layout shared by the PageRank family (measured
+    * against the r15 eDeg form it replaces — OPTIMIZATION_r18.md):
+    *
+    *  - ONE materialization of the caller's edge plan, REPARTITIONED BY
+    *    src first: the 2-column edge body crosses the wire once, and
+    *    LogicalRDD preserves outputPartitioning, so degrees (groupBy
+    *    src), every round's contribution join (on src) and the
+    *    iteration reads all land on the same partitioning with ZERO
+    *    further edge exchanges. The r15 form checkpointed the edge body
+    *    TWICE (raw + a 3-column edge⋈degree join) — the join and the
+    *    second, wider materialization are gone.
+    *  - `rank div out_deg` moves off the edge rows onto the NODE-sized
+    *    degree relation ([[prRound]]): per round the edge body is only
+    *    streamed through one hash probe + map-side combine, not widened
+    *    with out_deg and divided 2.4M times.
+    *  - nodes: distinct src comes FREE from the degree aggregation —
+    *    only dst pays a distinct pass (the r15 nodesOf unioned both
+    *    sides, 2× the rows through the distinct exchange).
+    */
+  private def prIterationRelations(e0: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val e = srcPartitionedCheckpoint(e0)
+    val deg = outDegrees(e).localCheckpoint(true)
+    val nodes = deg.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    (e, deg, nodes)
+  }
+
+  /** The [[materialized]] guard, partitioning-aware: a caller that
+    * already holds the edge relation as src-hash-partitioned
+    * checkpointed blocks (q175's query shares one graph between seed
+    * selection and the rank loop) must not pay a SECOND edge-body
+    * shuffle + materialization here. Anything else — lazy plans,
+    * checkpoints on other partitionings — goes through the full
+    * repartition(src) + checkpoint. */
+  private def srcPartitionedCheckpoint(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.RDDScanExec
+    val already = df.queryExecution.executedPlan match {
+      case r: RDDScanExec => r.outputPartitioning match {
+        case h: HashPartitioning => h.expressions match {
+          case Seq(a: AttributeReference) => a.name == "src"
+          case _ => false
+        }
+        case _ => false
+      }
+      case _ => false
+    }
+    if (already) df else df.repartition(col("src")).localCheckpoint(true)
+  }
+
+  /** One integer power-iteration round:
+    * `floor + (85 · Σ_{u→v} rank(u) div out_deg(u)) div 100`, exactly
+    * the [[pageRankFixed]] arithmetic (the division happens per SOURCE
+    * NODE and is joined onto edges — bit-identical to dividing on each
+    * edge row, since the divisor is a function of src alone).
+    *
+    * Join strategy is pinned deliberately (guide §3.1): SHUFFLE_HASH on
+    * the node-sized side everywhere. The static planner sees
+    * LogicalRDD leaves (no stats → never broadcast), and sort-merge
+    * would re-SORT the edge body every round; shuffled-hash builds the
+    * node-sized hash table per partition and STREAMS the edge blocks —
+    * scale-safe (build side is nodes/numPartitions per task) and
+    * sort-free. The edge side's src partitioning and the aggregation's
+    * node partitioning line up, so each round's only data exchanges are
+    * node-sized (ranks → src; combined contributions → node). */
+  private def prRound(e: DataFrame, deg: DataFrame, nodes: DataFrame,
+      ranks: DataFrame, floor: org.apache.spark.sql.Column): DataFrame = {
+    val shares = deg
+      .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+      .select(col("src"), expr("rank div out_deg").as("__share"))
+    val contrib = e.join(shares.hint("shuffle_hash"), "src")
+      .select(col("dst").as("node"), col("__share").as("__c"))
+      .groupBy("node").agg(sum("__c").as("__s"))
+    nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+      .select(col("node"),
+        (floor + expr("(85 * coalesce(__s, 0)) div 100")).as("rank"))
+      .localCheckpoint(true)
   }
 
   /** PERSONALIZED (seeded) integer PageRank — the recommendation /
@@ -115,26 +178,19 @@ object Graph {
   def pageRankPersonalized(edges: DataFrame, seeds: DataFrame,
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
-    val e = materialized(asEdges(edges))
-    val eDeg = e.join(outDegrees(e), "src")
-      .repartition(col("src")).localCheckpoint(true)
+    // the shared r18 iteration layout ([[prIterationRelations]]), with
+    // the query-sized seed relation broadcast onto the node list once
+    val (e, deg, bareNodes) = prIterationRelations(asEdges(edges))
     val seedRel = seeds.select(col(seeds.columns.head).as("node"))
       .distinct().withColumn("__seed", lit(1))
-    val nodes = nodesOf(e)
+    val nodes = bareNodes
       .join(broadcast(seedRel), Seq("node"), "left")
       .localCheckpoint(true)
     val floor = when(col("__seed").isNotNull, lit(150000L)).otherwise(lit(0L))
     var ranks = nodes.select(col("node"),
       when(col("__seed").isNotNull, lit(1000000L)).otherwise(lit(0L)).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = eDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("rank div out_deg").as("__c"))
-        .groupBy("node").agg(sum("__c").as("__s"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (floor + expr("(85 * coalesce(__s, 0)) div 100")).as("rank"))
-        .localCheckpoint(true)
+      ranks = prRound(e, deg, nodes, ranks, floor)
     }
     ranks
   }
@@ -290,7 +346,16 @@ object Graph {
         base.groupBy("__g").agg(count(lit(1)).as("__gn"))
           .filter(col("__gn") <= maxGroupItems).select("__g"),
         Seq("__g"))
-    capped.as("a").join(capped.as("b"),
+    // REPARTITION BY THE GROUP KEY before the self-join (r18, measured:
+    // the planner broadcast one side and streamed the other through the
+    // SOURCE's partitioning — on a narrow scan that serializes the whole
+    // pair enumeration + partial aggregation into one task). The
+    // group-key exchange is the partitioning an at-scale shuffle join
+    // needs anyway, both self-join arms REUSE the one exchange
+    // (ReusedExchange — the input plan also evaluates once, not twice),
+    // and the per-group pair quadratic then runs at full width.
+    val spread = capped.repartition(col("__g"))
+    spread.as("a").join(spread.as("b").hint("shuffle_hash"),
         col("a.__g") === col("b.__g") && col("a.__i") =!= col("b.__i"))
       .groupBy(col("a.__i").as("src"), col("b.__i").as("dst"))
       .agg(count(lit(1)).as("n"))
@@ -410,15 +475,19 @@ object Graph {
     require(iters >= 1, s"iters must be positive, got $iters")
     require(edges.columns.length == 3,
       s"edges must be (src, dst, w)-shaped, got ${edges.columns.toSeq}")
-    val e = materialized(edges.toDF("src", "dst", "w")
-      .filter(col("w") > 0))
-    val eW = e.join(e.groupBy("src").agg(sum("w").as("wsum")), "src")
+    // the r18 iteration layout ([[prIterationRelations]]'s shape, with
+    // the weight column riding the edge checkpoint and the per-source
+    // weight SUM on the node-sized relation): one src-partitioned edge
+    // materialization; wsum, nodes and every round read those blocks.
+    val e = edges.toDF("src", "dst", "w").filter(col("w") > 0)
       .repartition(col("src")).localCheckpoint(true)
-    val nodes = nodesOf(e.select("src", "dst")).localCheckpoint(true)
-    // guard scans the already-checkpointed eW (row-identical to e: the
-    // wsum join is inner on e's own src groups) instead of re-running
-    // the edge plan a second time (advisor finding)
-    val g = eW.agg(max(col("w").cast("long")), count(lit(1))).head()
+    val wsum = e.groupBy("src").agg(sum("w").as("wsum")).localCheckpoint(true)
+    val nodes = wsum.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    // guard scans the already-checkpointed e instead of re-running the
+    // edge plan a second time (advisor finding)
+    val g = e.agg(max(col("w").cast("long")), count(lit(1))).head()
     val wMax = if (g.isNullAt(0)) 0L else g.getLong(0)
     val nBound = 2L * g.getLong(1) // every node names an edge endpoint
     require(BigInt(nBound) * 1000000L * wMax < BigInt(2).pow(63),
@@ -429,12 +498,17 @@ object Graph {
         "ranking to 1/s precision)")
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (_ <- 1 to iters) {
-      val contrib = eW
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+      // (rank · w) div wsum stays PER EDGE (integer division does not
+      // distribute over the per-edge weight), but rank and wsum ride a
+      // node-sized relation joined onto the edge blocks — sort-free
+      // shuffled-hash like [[prRound]], zero edge exchanges per round
+      val nr = wsum
+        .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
+      val contrib = e.join(nr.hint("shuffle_hash"), "src")
         .select(col("dst").as("node"),
           expr("(rank * w) div wsum").as("__c"))
         .groupBy("node").agg(sum("__c").as("__s"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      ranks = nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("(85 * coalesce(__s, 0)) div 100")).as("rank"))
         .localCheckpoint(true)
@@ -503,7 +577,13 @@ object Graph {
         Seq("__g")))
     val deg = capped.groupBy(col("__i").as("node"))
       .agg(count(lit(1)).as("deg"))
-    capped.as("a").join(capped.as("b"),
+    // group-key spread + shuffled-hash (r18, the coOccurrenceEdges
+    // discipline): the planner broadcast the 600k-row membership for
+    // each self-join arm — a corpus-sized driver collect the shuffle
+    // join never needs; both arms reuse ONE group-key exchange and the
+    // per-partition build side is capped-group-bounded.
+    val spread = capped.repartition(col("__g"))
+    spread.as("a").join(spread.as("b").hint("shuffle_hash"),
         col("a.__g") === col("b.__g") && col("a.__i") < col("b.__i"))
       .groupBy(col("a.__i").as("src"), col("b.__i").as("dst"))
       .agg(count(lit(1)).as("n_shared"))
@@ -553,7 +633,9 @@ object Graph {
     val nGroups = capped.select("__g").distinct().count()
     val deg = capped.groupBy(col("__i").as("node"))
       .agg(count(lit(1)).as("deg"))
-    val pairs = capped.as("a").join(capped.as("b"),
+    // group-key spread + shuffled-hash: the coJaccardEdges r18 shape
+    val spread = capped.repartition(col("__g"))
+    val pairs = spread.as("a").join(spread.as("b").hint("shuffle_hash"),
         col("a.__g") === col("b.__g") && col("a.__i") < col("b.__i"))
       .groupBy(col("a.__i").as("src"), col("b.__i").as("dst"))
       .agg(count(lit(1)).as("n_shared"))

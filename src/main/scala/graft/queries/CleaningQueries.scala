@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.clean.Clean
-import graft.operators.{Geocode, Multimodal, Relational}
+import graft.operators.{Geocode, Multimodal, Relational, Spread}
 import graft.queries.ParityQueries.Q
 
 /** Oracle coverage for the cleaning layer, the reference's reconciliation
@@ -420,14 +420,19 @@ object CleaningQueries {
       lit("64617461"), le(nFr * 2, 4),
       dataHex)
     val fullBytes = unhex(wavHex)
+    // NOT Spread-widened: the WAV synthesis+decode measured ~0.3 CPU
+    // core-s total — the exchange costs more than the width saves
     val assets = t.documents.select(col("doc_id"),
       // header + declared data size survive; the payload does not
       when(col("doc_id") % 10 === 7, fullBytes.substr(1, 44))
         .otherwise(fullBytes).as("bytes"))
     val f = Multimodal.wavPcmFeatures(col("bytes"), 4)
-    assets.select(col("doc_id"),
-      element_at(f, 1).as("f0"), element_at(f, 2).as("f1"),
-      element_at(f, 3).as("f2"), element_at(f, 4).as("f3"))
+    // alias-first so the decode runs once per row, not per element_at
+    // (CollapseProject keeps the boundary — the q171 rationale)
+    assets.select(col("doc_id"), f.as("__f"))
+      .select(col("doc_id"),
+        element_at(col("__f"), 1).as("f0"), element_at(col("__f"), 2).as("f1"),
+        element_at(col("__f"), 3).as("f2"), element_at(col("__f"), 4).as("f3"))
       .orderBy("doc_id")
   }
 
@@ -465,7 +470,8 @@ object CleaningQueries {
       le(lit(0), 4), le(lit(0), 4), le(lit(0), 4), le(lit(0), 4),
       pixelsHex)
     val fullBytes = unhex(bmpHex)
-    t.documents.select(col("doc_id"),
+    // widen before synthesis: ids cross the exchange, bytes don't (Spread)
+    Spread.byKey(t.documents.select("doc_id"), "doc_id").select(col("doc_id"),
       when(col("doc_id") % 10 === 7, fullBytes.substr(1, 58))
         .otherwise(fullBytes).as("bytes"))
   }
@@ -523,7 +529,7 @@ object CleaningQueries {
         transform(sequence(lit(0), w - 1), x => pxHex(x, y)), "")), "")
     val png = Multimodal.pngEncodeRgb(unhex(rawHex), w, h)
     val bytes = when(col("doc_id") % 10 === 7, png.substr(1, 40)).otherwise(png)
-    t.documents.select(col("doc_id"),
+    Spread.byKey(t.documents.select("doc_id"), "doc_id").select(col("doc_id"),
         posexplode(Multimodal.pngGridFeatures(bytes, 2, 2)).as(Seq("idx", "v")))
       .orderBy("doc_id", "idx")
   }
@@ -556,6 +562,8 @@ object CleaningQueries {
           x => be((col("doc_id") + x * 3 + y * 5) % n)), "")), "")
     val png = Multimodal.pngEncodePalette(unhex(idxHex), w, h, unhex(palHex))
     val bytes = when(col("doc_id") % 10 === 7, png.substr(1, 40)).otherwise(png)
+    // NOT Spread-widened: the palette decode is small (marginal wall
+    // gain measured against a multi-core-second per-task CPU floor)
     t.documents.select(col("doc_id"),
         posexplode(Multimodal.pngGridFeatures(bytes, 2, 2)).as(Seq("idx", "v")))
       .orderBy("doc_id", "idx")
@@ -588,6 +596,7 @@ object CleaningQueries {
           x => be((col("doc_id") * 2 + x * 5 + y * 7) % n)), "")), "")
     val gif = Multimodal.gifEncodePalette(unhex(idxHex), w, h, unhex(palHex))
     val bytes = when(col("doc_id") % 10 === 7, gif.substr(1, 20)).otherwise(gif)
+    // NOT Spread-widened: same rationale as the palette PNG (q169)
     t.documents.select(col("doc_id"),
         posexplode(Multimodal.gifGridFeatures(bytes, 2, 2)).as(Seq("idx", "v")))
       .orderBy("doc_id", "idx")
@@ -625,9 +634,15 @@ object CleaningQueries {
     val flac = Multimodal.flacEncodePcm(unhex(dataHex), ch, lit(8000))
     val bytes = when(col("doc_id") % 10 === 7, flac.substr(1, 30)).otherwise(flac)
     val f = Multimodal.flacPcmFeatures(bytes, 4)
-    t.documents.select(col("doc_id"),
-      element_at(f, 1).as("f0"), element_at(f, 2).as("f1"),
-      element_at(f, 3).as("f2"), element_at(f, 4).as("f3"))
+    // two-step projection ON PURPOSE: aliasing the feature array first
+    // makes CollapseProject keep the boundary (non-cheap expression
+    // referenced 4×), so the encode→decode chain runs ONCE per row
+    // instead of once per element_at (r18; measured 4× the decode CPU)
+    Spread.byKey(t.documents.select("doc_id"), "doc_id")
+      .select(col("doc_id"), f.as("__f"))
+      .select(col("doc_id"),
+        element_at(col("__f"), 1).as("f0"), element_at(col("__f"), 2).as("f1"),
+        element_at(col("__f"), 3).as("f2"), element_at(col("__f"), 4).as("f3"))
       .orderBy("doc_id")
   }
 
@@ -732,6 +747,10 @@ object CleaningQueries {
     * table's key and status columns. */
   val q58Profile: Q = (spark, dir) => {
     val t = Tables(spark, dir)
+    // deliberately NOT Spread-widened: the profile's per-partition
+    // sort-aggregate overhead grows ~linearly with width (SpreadStudy4:
+    // serial 1.5 CPU / 1.9 s wall vs 7.4 CPU / 1.5 s at 32) — the wall
+    // gain never pays for the CPU at any width on this shape
     graft.operators.Quality.profile(t.orders,
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
       .orderBy("column")
@@ -742,8 +761,11 @@ object CleaningQueries {
     * value-exact against DuckDB's reproduction of the same hash sum. */
   val q61Checksum: Q = (spark, dir) => {
     val t = Tables(spark, dir)
-    graft.operators.Quality.tableChecksum(t.lineitem,
-      Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate"))
+    val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate")
+    // project to the checksummed columns, then widen the narrow scan so
+    // the per-row hash runs at machine width (Spread)
+    graft.operators.Quality.tableChecksum(
+      Spread.byKey(t.lineitem.select(cols.map(col): _*), "l_orderkey"), cols)
   }
 
   /** Geocoding enrichment ([[graft.operators.Geocode]]) — the reference's

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Hashing
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, Spread}
 import graft.queries.ParityQueries.Q
 
 /** Dedup + similarity-search queries (the training-data-pipeline surface)
@@ -777,7 +777,9 @@ object ScaleQueries {
     // empty table → null mins; any constants work (zero rows to bucket)
     def at(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
     val (lo1, hi1, lo2, hi2) = (at(0), at(1), at(2), at(3))
-    t.lineitem
+    // widen the key projection before the interleave ladder (Spread:
+    // the single-split scan otherwise runs the per-row bit work serial)
+    Spread.byKey(t.lineitem.select("l_orderkey", "l_partkey"), "l_orderkey", widthDivisor = 2)
       .withColumn("zval", ZOrder.zorder2(
         ZOrder.bucket16(col("l_orderkey").cast("long"), lo1, hi1),
         ZOrder.bucket16(col("l_partkey").cast("long"), lo2, hi2)))
@@ -800,7 +802,8 @@ object ScaleQueries {
       min(col("l_partkey").cast("long")), max(col("l_partkey").cast("long")),
       min(col("l_suppkey").cast("long")), max(col("l_suppkey").cast("long"))).collect()(0)
     def at(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
-    t.lineitem
+    // widen the key projection before the interleave ladder (Spread)
+    Spread.byKey(t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey"), "l_orderkey", widthDivisor = 2)
       .withColumn("zval", ZOrder.zorder3(
         ZOrder.bucket21(col("l_orderkey").cast("long"), at(0), at(1)),
         ZOrder.bucket21(col("l_partkey").cast("long"), at(2), at(3)),

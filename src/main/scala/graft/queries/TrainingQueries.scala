@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Hashing
-import graft.operators.{Boilerplate, TrainingData}
+import graft.operators.{Boilerplate, Spread, TrainingData}
 import graft.queries.ParityQueries.Q
 
 /** Corpus-preparation queries: deterministic splits, stratified
@@ -101,7 +101,10 @@ object TrainingQueries {
     * through the frequency machinery ([[Boilerplate]] Scaladoc). */
   val q109BoilerplateStrip: Q = (spark, dir) => {
     val t = Tables(spark, dir)
-    Boilerplate.stripRepeatedUnits(t.documents, "doc_id",
+    // widen the narrow corpus scan before the per-row chunking /
+    // tokenization expressions (Spread; the scan is one split)
+    Boilerplate.stripRepeatedUnits(
+        Spread.byKey(t.documents.select("doc_id", "text"), "doc_id", widthDivisor = 2), "doc_id",
         chunkLines(col("text")), "__kept", minDocs = 2)
       .select(col("doc_id"), col("n_units"), col("n_stripped"),
         array_join(col("__kept"), "\n").as("text_kept"))
@@ -113,7 +116,9 @@ object TrainingQueries {
     * the strip threshold). */
   val q110BoilerplateReport: Q = (spark, dir) => {
     val t = Tables(spark, dir)
-    Boilerplate.unitDocFreq(t.documents, "doc_id", chunkLines(col("text")))
+    Boilerplate.unitDocFreq(
+        Spread.byKey(t.documents.select("doc_id", "text"), "doc_id", widthDivisor = 2), "doc_id",
+        chunkLines(col("text")))
       .filter(col("doc_freq") >= 2)
       .orderBy(col("doc_freq").desc, col("unit"))
       .limit(100)
@@ -129,7 +134,8 @@ object TrainingQueries {
     * 60-bit window-hash arithmetic. */
   val q119SpanStrip: Q = (spark, dir) => {
     val t = Tables(spark, dir)
-    Boilerplate.stripRepeatedSpans(t.documents, "doc_id", "text",
+    Boilerplate.stripRepeatedSpans(
+        Spread.byKey(t.documents.select("doc_id", "text"), "doc_id", widthDivisor = 2), "doc_id", "text",
         "__kept", k = 12, minDocs = 2)
       .select(col("doc_id"), col("n_tokens"), col("n_removed"),
         array_join(col("__kept"), " ").as("text_kept"))
@@ -145,7 +151,8 @@ object TrainingQueries {
     * window hashes. */
   val q127SpanKeepFirst: Q = (spark, dir) => {
     val t = Tables(spark, dir)
-    Boilerplate.stripRepeatedSpansKeepFirst(t.documents, "doc_id", "text",
+    Boilerplate.stripRepeatedSpansKeepFirst(
+        Spread.byKey(t.documents.select("doc_id", "text"), "doc_id", widthDivisor = 2), "doc_id", "text",
         "__kept", k = 12, minDocs = 2)
       .select(col("doc_id"), col("n_tokens"), col("n_removed"),
         array_join(col("__kept"), " ").as("text_kept"))
@@ -162,7 +169,8 @@ object TrainingQueries {
     * intra-doc repeated bigram at sf0.01). */
   val q130IntraDedupe: Q = (spark, dir) => {
     val t = Tables(spark, dir)
-    Boilerplate.dedupeIntraDocSpans(t.documents, "doc_id", "text",
+    Boilerplate.dedupeIntraDocSpans(
+        Spread.byKey(t.documents.select("doc_id", "text"), "doc_id", widthDivisor = 2), "doc_id", "text",
         "__kept", k = 2)
       .select(col("doc_id"), col("n_tokens"), col("n_removed"),
         array_join(col("__kept"), " ").as("text_kept"))
@@ -180,7 +188,10 @@ object TrainingQueries {
     * later layers see. */
   val q131CurationChain: Q = (spark, dir) => {
     val t = Tables(spark, dir)
-    val s1 = Boilerplate.dedupeIntraDocSpans(t.documents, "doc_id", "text",
+    // one widening at the chain's input parallelizes all three layers
+    // (each layer's per-row tokenization inherits the width)
+    val s1 = Boilerplate.dedupeIntraDocSpans(
+        Spread.byKey(t.documents.select("doc_id", "text"), "doc_id", widthDivisor = 2), "doc_id", "text",
         "__k1", k = 2)
       .select(col("doc_id"), array_join(col("__k1"), " ").as("text"))
     val s2 = Boilerplate.stripRepeatedSpansKeepFirst(s1, "doc_id", "text",
