@@ -44,8 +44,22 @@ object GraftSession {
   * so the read path (schema, pushdown surface) is uniform.
   */
 final class Tables(spark: SparkSession, sfDir: String) {
-  private def t(name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  // Schema inference reads a parquet footer ON THE DRIVER for every
+  // spark.read.parquet — with ~190 bench queries each re-opening 1–3
+  // tables, that is hundreds of redundant footer reads per run (r18,
+  // guide §6: avoid repeated driver-side listing/metadata work). The
+  // inferred schema is cached per (session, path) and replayed through
+  // reader.schema(...), which skips inference entirely. METADATA only
+  // — never rows — and keyed by the live session so a restarted
+  // session re-infers; testdata drift stays covered by
+  // TestdataSchemaSpec plus the events branch below, which reads the
+  // actual (cached) field type.
+  private def t(name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = Tables.schemaCache.computeIfAbsent((spark, path),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -88,4 +102,11 @@ final class Tables(spark: SparkSession, sfDir: String) {
 
 object Tables {
   def apply(spark: SparkSession, sfDir: String): Tables = new Tables(spark, sfDir)
+
+  /** (session, path) → inferred schema; see [[Tables.t]]. Weak-ish by
+    * construction: entries die with the process, and a replaced
+    * SparkSession keys fresh entries. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      org.apache.spark.sql.types.StructType]()
 }

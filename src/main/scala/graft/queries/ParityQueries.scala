@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.Relational._
+import graft.operators.Spread
 
 /** Parity queries: one per operator family of SURVEY.md §2, each paired
   * with an ANSI-SQL oracle (DuckDB) over the same parquet tables.
@@ -243,7 +244,11 @@ object ParityQueries {
   /** A+ — rollup with grouping indicators (subtotal + grand-total rows). */
   val q16Rollup: Q = (spark, dir) => {
     val t = Tables(spark, dir)
-    t.lineitem
+    // project + Spread before the broadcast joins and the rollup's
+    // Expand: the single-split scan otherwise runs the whole map side
+    // serial (measured 2.02 -> 0.88 s at half width, SpreadStudy5)
+    Spread.byKey(t.lineitem.select("l_suppkey", "l_extendedprice", "l_discount"),
+        "l_suppkey", widthDivisor = 2)
       .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
@@ -370,8 +375,11 @@ object ParityQueries {
     * hash-checked path. */
   val q116Unpivot: Q = (spark, dir) => {
     val t = Tables(spark, dir)
-    t.lineitem
-      .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    // Spread before the unpivot Expand (1.30 -> 0.62 s, SpreadStudy5);
+    // l_extendedprice is the projection's high-cardinality hash key
+    Spread.byKey(t.lineitem
+        .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        "l_extendedprice", widthDivisor = 2)
       .unpivot(
         ids = Array(col("l_returnflag")),
         values = Array(col("l_quantity"), col("l_extendedprice"),
@@ -390,7 +398,10 @@ object ParityQueries {
     * sentinel — not engine null-sort order — carries the level. */
   val q117Cube: Q = (spark, dir) => {
     val t = Tables(spark, dir)
-    t.lineitem
+    // Spread before the cube Expand (1.47 -> 0.71 s, SpreadStudy5)
+    Spread.byKey(t.lineitem
+        .select("l_returnflag", "l_linestatus", "l_extendedprice"),
+        "l_extendedprice", widthDivisor = 2)
       .cube("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
         sumMoney(col("l_extendedprice")).as("total"),

@@ -64,7 +64,10 @@ object ScaleQueries {
     * scaladoc and SCALING.md). */
   val q26JaccardPairs: Q = (spark, dir) => {
     val t = Tables(spark, dir)
-    Dedup.jaccardPairs(t.documents, "doc_id", "text", n = 3, minPermille = 500,
+    Dedup.jaccardPairs(
+      // Spread the corpus before shingling (1.41 -> 0.88 s, SpreadStudy5)
+      Spread.byKey(t.documents.select("doc_id", "text"), "doc_id", widthDivisor = 2),
+      "doc_id", "text", n = 3, minPermille = 500,
       maxShingleDocFreq = Some(100))
       .orderBy("a_doc_id", "b_doc_id")
   }
