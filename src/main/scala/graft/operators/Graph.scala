@@ -355,11 +355,16 @@ object Graph {
     // (ReusedExchange — the input plan also evaluates once, not twice),
     // and the per-group pair quadratic then runs at full width.
     val spread = capped.repartition(col("__g"))
-    spread.as("a").join(spread.as("b").hint("shuffle_hash"),
+    val pairs = spread.as("a").join(spread.as("b").hint("shuffle_hash"),
         col("a.__g") === col("b.__g") && col("a.__i") =!= col("b.__i"))
       .groupBy(col("a.__i").as("src"), col("b.__i").as("dst"))
       .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minCount)
+    // minCount <= 1 is a tautology over grouped counts — skipping the
+    // filter keeps the schema but stops the filter from REFERENCING n,
+    // so a caller that drops n (the PageRank queries read only
+    // (src, dst)) lets column pruning elide the count buffers and the
+    // aggregate decays to a distinct (r18)
+    if (minCount <= 1L) pairs else pairs.filter(col("n") >= minCount)
   }
 
   /** Group-size histogram of a (group, item) relation — how many groups
