@@ -27,7 +27,11 @@ object CleaningQueries {
     * (`compare.py:63`'s `'.'` → 1/9/1999). */
   val q32CleanBattery: Q = (spark, dir) => {
     val t = Tables(spark, dir)
-    val raw = t.orders.select(
+    // Spread before the messy-synthesis + clean battery (all per-row
+    // string work; the single-split scan otherwise runs it serial)
+    val raw = Spread.byKey(t.orders.select("o_orderkey", "o_custkey",
+        "o_orderpriority", "o_orderdate"), "o_orderkey", widthDivisor = 2)
+      .select(
       col("o_orderkey"),
       when(col("o_orderkey") % 5 === 0, lit("."))
         .when(col("o_orderkey") % 5 === 1, lit("nan"))
