@@ -69,11 +69,26 @@ object Graph {
     require(iters >= 1, s"iters must be positive, got $iters")
     val (e, deg, nodes) = prIterationRelations(asEdges(edges))
     var ranks = nodes.withColumn("rank", lit(1000000L))
-    for (_ <- 1 to iters) {
-      ranks = prRound(e, deg, nodes, ranks, lit(150000L))
+    for (i <- 1 to iters) {
+      ranks = prCut(prRound(e, deg, nodes, ranks, lit(150000L)), i, iters)
     }
     ranks
   }
+
+  /** Lineage valve for the fixed-k rank loops (r18): within a round
+    * chain every intermediate is referenced exactly ONCE (ranks feeds
+    * only the next round's share join; e/deg/nodes are already
+    * checkpointed blocks), so lazily chaining rounds is free of
+    * recomputation and collapses k sequential materialize-jobs into
+    * one execution — measured as pure job-dispatch + block-write
+    * savings. A checkpoint every [[PrCkptEvery]] rounds still bounds
+    * plan depth for large k (the iters-deep-lineage failure mode the
+    * per-round form guarded against), and the LAST round stays lazy so
+    * the caller's action executes the tail. */
+  private val PrCkptEvery = 8
+  private def prCut(ranks: DataFrame, round: Int, iters: Int): DataFrame =
+    if (round % PrCkptEvery == 0 && round < iters) ranks.localCheckpoint(true)
+    else ranks
 
   /** The r18 iteration layout shared by the PageRank family (measured
     * against the r15 eDeg form it replaces — OPTIMIZATION_r18.md):
@@ -153,7 +168,6 @@ object Graph {
     nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
       .select(col("node"),
         (floor + expr("(85 * coalesce(__s, 0)) div 100")).as("rank"))
-      .localCheckpoint(true)
   }
 
   /** PERSONALIZED (seeded) integer PageRank — the recommendation /
@@ -189,8 +203,8 @@ object Graph {
     val floor = when(col("__seed").isNotNull, lit(150000L)).otherwise(lit(0L))
     var ranks = nodes.select(col("node"),
       when(col("__seed").isNotNull, lit(1000000L)).otherwise(lit(0L)).as("rank"))
-    for (_ <- 1 to iters) {
-      ranks = prRound(e, deg, nodes, ranks, floor)
+    for (i <- 1 to iters) {
+      ranks = prCut(prRound(e, deg, nodes, ranks, floor), i, iters)
     }
     ranks
   }
@@ -305,15 +319,17 @@ object Graph {
       .localCheckpoint(true)
     var round = 0
     while (round < rounds) {
-      labels = sym
+      round += 1
+      // lazily chained like the PageRank rounds (prCut): each round's
+      // labels feed exactly one consumer, so no recomputation; the
+      // periodic cut bounds plan depth for large round counts
+      labels = prCut(sym
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("__rn", row_number().over(pick))
         .filter(col("__rn") === 1)
-        .select("node", "label")
-        .localCheckpoint(true)
-      round += 1
+        .select("node", "label"), round, rounds)
     }
     labels
   }
@@ -502,7 +518,7 @@ object Graph {
         "weights, so `w div s` for a power-of-ten s preserves the " +
         "ranking to 1/s precision)")
     var ranks = nodes.withColumn("rank", lit(1000000L))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // (rank · w) div wsum stays PER EDGE (integer division does not
       // distribute over the per-edge weight), but rank and wsum ride a
       // node-sized relation joined onto the edge blocks — sort-free
@@ -513,10 +529,10 @@ object Graph {
         .select(col("dst").as("node"),
           expr("(rank * w) div wsum").as("__c"))
         .groupBy("node").agg(sum("__c").as("__s"))
-      ranks = nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+      ranks = prCut(nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
-          (lit(150000L) + expr("(85 * coalesce(__s, 0)) div 100")).as("rank"))
-        .localCheckpoint(true)
+          (lit(150000L) + expr("(85 * coalesce(__s, 0)) div 100")).as("rank")),
+        i, iters)
     }
     ranks
   }
