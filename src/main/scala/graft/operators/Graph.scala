@@ -371,8 +371,14 @@ object Graph {
     // (ReusedExchange — the input plan also evaluates once, not twice),
     // and the per-group pair quadratic then runs at full width.
     val spread = capped.repartition(col("__g"))
-    val pairs = spread.as("a").join(spread.as("b").hint("shuffle_hash"),
-        col("a.__g") === col("b.__g") && col("a.__i") =!= col("b.__i"))
+    // CANONICAL a < b pairs only — HALF the per-group quadratic and
+    // half the aggregation mass — then mirror in ONE projection: the
+    // relation is symmetric by construction (every co-occurring row
+    // pair appears in both orders, so n(a,b) = n(b,a) exactly), and
+    // the explode mirrors without a self-union's double evaluation
+    // (r18; measured on the graph family's shared derivation).
+    val half = spread.as("a").join(spread.as("b").hint("shuffle_hash"),
+        col("a.__g") === col("b.__g") && col("a.__i") < col("b.__i"))
       .groupBy(col("a.__i").as("src"), col("b.__i").as("dst"))
       .agg(count(lit(1)).as("n"))
     // minCount <= 1 is a tautology over grouped counts — skipping the
@@ -380,7 +386,12 @@ object Graph {
     // so a caller that drops n (the PageRank queries read only
     // (src, dst)) lets column pruning elide the count buffers and the
     // aggregate decays to a distinct (r18)
-    if (minCount <= 1L) pairs else pairs.filter(col("n") >= minCount)
+    val cut = if (minCount <= 1L) half else half.filter(col("n") >= minCount)
+    cut.select(explode(array(
+        struct(col("src"), col("dst"), col("n")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("n")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"),
+        col("__e.n").as("n"))
   }
 
   /** Group-size histogram of a (group, item) relation — how many groups
