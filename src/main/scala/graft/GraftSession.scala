@@ -56,9 +56,14 @@ final class Tables(spark: SparkSession, sfDir: String) {
   // actual (cached) field type.
   private def t(name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val schema = Tables.schemaCache.computeIfAbsent((spark, path),
-      _ => spark.read.parquet(path).schema)
-    spark.read.schema(schema).parquet(path)
+    Tables.cacheKey(spark, path) match {
+      case Some(key) =>
+        val schema = Tables.schemaCache.computeIfAbsent(key,
+          _ => spark.read.parquet(path).schema)
+        spark.read.schema(schema).parquet(path)
+      case None => spark.read.parquet(path) // stat failed; surface the
+      // real read error (missing path) from the uncached read
+    }
   }
 
   def region: DataFrame     = t("region")
@@ -103,10 +108,26 @@ final class Tables(spark: SparkSession, sfDir: String) {
 object Tables {
   def apply(spark: SparkSession, sfDir: String): Tables = new Tables(spark, sfDir)
 
-  /** (session, path) → inferred schema; see [[Tables.t]]. Weak-ish by
-    * construction: entries die with the process, and a replaced
-    * SparkSession keys fresh entries. */
+  /** (qualified path, mtime, length) → inferred schema; see
+    * [[Tables.t]]. CONTENT-keyed, session-free (r19, advisor finding):
+    * the previous (session, path) key strongly retained every
+    * SparkSession for the JVM's life and replayed a stale schema when a
+    * testdata file was regenerated within one session — keying on the
+    * file status makes regeneration re-infer (mtime/length change) and
+    * retains no session. One local fs stat per table open, far below
+    * the footer read it replaces. */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
       org.apache.spark.sql.types.StructType]()
+
+  /** The cache key for `path`, or None when the stat fails (missing
+    * path — let the uncached read raise the real error). */
+  private def cacheKey(spark: SparkSession,
+      path: String): Option[(String, Long, Long)] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      Some((fs.makeQualified(p).toString, st.getModificationTime, st.getLen))
+    } catch { case _: java.io.IOException => None }
 }

@@ -124,11 +124,37 @@ object Export {
   }
 
   /** Write parallelism for an assigned frame: at least one task per
-    * shard, and at least the input's own partition count — the corpus'
-    * scan parallelism (≈ bytes / maxPartitionBytes) is the scale signal
+    * shard, and at least the input's own width — the corpus' scan
+    * parallelism (≈ bytes / maxPartitionBytes) is the scale signal
     * that needs no extra job to read. */
   private[graft] def writeTasks(assigned: DataFrame, nShards: Int): Int =
-    math.max(nShards, assigned.rdd.getNumPartitions)
+    math.max(nShards, inputWidth(assigned))
+
+  /** The input's own partition width, probed WITHOUT executing it.
+    * `.rdd.getNumPartitions` is pure planning only on scan-shaped
+    * plans; on a plan containing a shuffle (balancedShards' prefix-sum
+    * window, any join), AQE materializes the upstream query stages for
+    * `.rdd` and the write afterwards does NOT reuse them (separate
+    * QueryExecution) — q91/q96 paid the whole two-pass prefix sum
+    * TWICE this way (r19; the Spread advisor finding, same class). So:
+    * an explicit repartition answers from the plan, any other
+    * shuffle-bearing operator answers the session's shuffle
+    * parallelism (what its output width is at planning time), and only
+    * scan-shaped plans fall through to the `.rdd` probe. */
+  private def inputWidth(df: DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, Repartition, RepartitionByExpression}
+    val shufflePartitions = df.sparkSession.sessionState.conf.numShufflePartitions
+    def width(p: LogicalPlan): Option[Int] = p match {
+      case r: Repartition => Some(r.numPartitions)
+      case r: RepartitionByExpression =>
+        Some(r.optNumPartitions.getOrElse(shufflePartitions))
+      case _: Project | _: Filter => width(p.children.head)
+      case _: LeafNode => None
+      case _ => Some(shufflePartitions) // joins/aggregates/windows/…
+    }
+    width(df.queryExecution.optimizedPlan)
+      .getOrElse(df.rdd.getNumPartitions) // scan-shaped: planning only
+  }
 
   /** 2^61 — the checksum modulus shared with [[Quality.tableChecksum]]. */
   private val ChecksumMod: Long = 1L << 61
@@ -261,15 +287,17 @@ object Export {
       case None => readData(spark, dataDir(dir), None)
     }
 
-  /** Parquet read that falls back to `schema` over zero files. */
+  /** Parquet read under a KNOWN schema when the caller has one (the
+    * attestation re-scans: the staged files were just written from a
+    * frame of exactly that shape, so footer inference is a redundant
+    * driver-side listing+read per publish — r19, guide §6 — and the
+    * schema-supplied read is also what makes a zero-file staging read
+    * as empty instead of failing inference). No schema → infer. */
   private def readData(spark: SparkSession, dataDir: String,
       schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
-    try spark.read.parquet(dataDir)
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" && schema.nonEmpty =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.get)
+    schema match {
+      case Some(s) => spark.read.schema(s).parquet(dataDir)
+      case None => spark.read.parquet(dataDir)
     }
 
   /** Loud schema-drift gate for the append family: an appended batch
@@ -1497,8 +1525,10 @@ object Export {
       nShards: Int, nParts: Int = 0): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     require(nParts >= 0, s"nParts must be non-negative, got $nParts")
+    // inputWidth, not `.rdd.getNumPartitions`: same non-executing probe
+    // as writeTasks (the result is nParts-invariant either way)
     val parts =
-      if (nParts > 0) nParts else math.max(32, df.rdd.getNumPartitions)
+      if (nParts > 0) nParts else math.max(32, inputWidth(df))
     import org.apache.spark.sql.expressions.Window
     // LONG accumulation, decimal only in the final boundary formula:
     // a decimal window sum is the hot per-row cost (measured 2.2× the

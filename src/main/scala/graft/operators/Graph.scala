@@ -13,16 +13,19 @@ import org.apache.spark.sql.functions._
   * `150000 + (85 · Σ contrib) div 100`, and each per-edge contribution
   * is `rank div out_degree` — no floating point anywhere.
   *
-  * Scale posture (billions of edges):
-  *  - The edge⋈degree relation is built ONCE and localCheckpoint'd —
-  *    every iteration reads those materialized blocks instead of
-  *    re-deriving edges, and the checkpoint truncates what would
-  *    otherwise be an `iters`-deep lineage of joins (the standard
-  *    failure mode of iterative DataFrame algorithms).
-  *  - Each iteration is one equi-join (ranks ⋈ edges on src — both
-  *    sides hash-partition on the same key, so the edge side's shuffle
-  *    is the reusable checkpoint read) plus one aggregation keyed dst.
-  *    Nothing is driver-side; rank state never leaves the cluster.
+  * Scale posture (billions of edges; the r18 layout —
+  * [[prIterationRelations]]/[[prRound]]):
+  *  - ONE src-hash-partitioned 2-column edge checkpoint; degrees and
+  *    nodes are NODE-sized relations derived from it once. Every
+  *    iteration reads those materialized blocks instead of re-deriving
+  *    edges, and the checkpoint (plus the periodic [[prCut]] cut)
+  *    truncates what would otherwise be an `iters`-deep lineage of
+  *    joins (the standard failure mode of iterative DataFrame
+  *    algorithms).
+  *  - Each iteration shares `rank div out_deg` on the node-sized degree
+  *    relation, joins it onto the edge blocks (pinned shuffled-hash —
+  *    sort-free, zero edge exchanges per round) and aggregates keyed
+  *    dst. Nothing is driver-side; rank state never leaves the cluster.
   *  - Iteration count is FIXED (power iteration converges geometrically;
   *    fixed-k is the published practice for rank features), so the
   *    whole computation is a static plan chain — no convergence count()
@@ -64,7 +67,13 @@ object Graph {
     * edge⋈degree ("eDeg") checkpoint form was replaced in r18 by
     * [[prIterationRelations]]/[[prRound]] (share-on-nodes, single
     * narrower checkpoint, pinned shuffled-hash rounds — the
-    * decomposition and before/after cells are in OPTIMIZATION_r18.md). */
+    * decomposition and before/after cells are in OPTIMIZATION_r18.md).
+    *
+    * Single-action contract (all three pageRank* variants): the tail
+    * rounds after the last [[prCut]] checkpoint are LAZY, so the
+    * returned DataFrame recomputes those rounds' joins on EVERY action
+    * — run ONE action (write/collect) per call, or localCheckpoint the
+    * result first if it will be consumed repeatedly. */
   def pageRankFixed(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     val (e, deg, nodes) = prIterationRelations(asEdges(edges))
@@ -125,21 +134,38 @@ object Graph {
     * shuffle + materialization here. Anything else — lazy plans,
     * checkpoints on other partitionings — goes through the full
     * repartition(src) + checkpoint. */
-  private def srcPartitionedCheckpoint(df: DataFrame): DataFrame = {
+  private def srcPartitionedCheckpoint(df: DataFrame): DataFrame =
+    if (srcPartitionedMaterialized(df)) df
+    else df.repartition(col("src")).localCheckpoint(true)
+
+  /** True when `df` already IS checkpointed blocks hash-partitioned on
+    * its own first ("src") column. SEMANTIC comparison, not a name
+    * match (r19, advisor finding): the partitioning expression must be
+    * the scan's own output attribute — same exprId — so an unrelated
+    * attribute that happens to be named "src" can never satisfy it,
+    * and the check is robust to however the optimizer renders the
+    * caller's rename (GraphSpec pins that q175's
+    * repartition+checkpoint shape is detected THROUGH asEdges' toDF).
+    * Failure mode stays benign by construction: a miss costs one
+    * redundant edge shuffle+checkpoint, never wrongness. */
+  private[graft] def srcPartitionedMaterialized(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import org.apache.spark.sql.execution.RDDScanExec
-    val already = df.queryExecution.executedPlan match {
-      case r: RDDScanExec => r.outputPartitioning match {
-        case h: HashPartitioning => h.expressions match {
-          case Seq(a: AttributeReference) => a.name == "src"
+    df.queryExecution.executedPlan match {
+      case r: RDDScanExec =>
+        val srcAttr = r.output.headOption.collect {
+          case a: AttributeReference if a.name == "src" => a
+        }
+        r.outputPartitioning match {
+          case h: HashPartitioning => h.expressions match {
+            case Seq(a: AttributeReference) => srcAttr.exists(a.semanticEquals)
+            case _ => false
+          }
           case _ => false
         }
-        case _ => false
-      }
       case _ => false
     }
-    if (already) df else df.repartition(col("src")).localCheckpoint(true)
   }
 
   /** One integer power-iteration round:

@@ -49,7 +49,28 @@ object Spread {
   def byKey(df: DataFrame, key: String, widthDivisor: Int = 1): DataFrame = {
     val target = math.max(2,
       df.sparkSession.sparkContext.defaultParallelism / widthDivisor)
-    if (df.rdd.getNumPartitions >= target) df
+    // Probe the current width ONLY on scan-shaped plans (leaf +
+    // projections/filters): there `.rdd.getNumPartitions` is pure
+    // planning. On any plan containing a shuffle/join/aggregate, AQE
+    // wraps the query and `.rdd` EXECUTES the upstream stages — whose
+    // results the repartition below would not reuse (separate
+    // QueryExecution): a silent double execution (r19, advisor
+    // finding). Such plans skip the probe and pass through unchanged —
+    // their width is already the session's shuffle parallelism, i.e.
+    // machine width, which is exactly the no-op case.
+    if (!scanShaped(df)) df
+    else if (df.rdd.getNumPartitions >= target) df
     else df.repartition(target, col(key))
+  }
+
+  /** True when `df`'s optimized plan is a leaf under projections and
+    * filters only — the shape where planning the RDD cannot trigger
+    * execution. */
+  private def scanShaped(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project}
+    df.queryExecution.optimizedPlan.collectFirst {
+      case p if !p.isInstanceOf[Project] && !p.isInstanceOf[Filter] &&
+        !p.isInstanceOf[LeafNode] => p
+    }.isEmpty
   }
 }

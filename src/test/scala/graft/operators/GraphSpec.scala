@@ -232,6 +232,23 @@ class GraphSpec extends SparkSpec {
     assert(Graph.liftPairs(m, "g", "i", maxGroupItems = 1L).isEmpty)
   }
 
+  test("srcPartitionedMaterialized: detects the q175 shared-checkpoint shape") {
+    import org.apache.spark.sql.functions.col
+    // the q175 path: src-repartitioned eager checkpoint, THEN the
+    // operator's asEdges rename — detection must survive the toDF
+    val shared = edges.repartition(col("src")).localCheckpoint(true)
+    assert(Graph.srcPartitionedMaterialized(shared.toDF("src", "dst")))
+    // renamed columns collapse back to the same attributes
+    assert(Graph.srcPartitionedMaterialized(
+      shared.toDF("a", "b").toDF("src", "dst")))
+    // a lazy plan, a dst-partitioned checkpoint, and an unpartitioned
+    // checkpoint must all MISS (→ the operator re-checkpoints)
+    assert(!Graph.srcPartitionedMaterialized(edges))
+    assert(!Graph.srcPartitionedMaterialized(
+      edges.repartition(col("dst")).localCheckpoint(true)))
+    assert(!Graph.srcPartitionedMaterialized(edges.localCheckpoint(true)))
+  }
+
   test("edge shape is enforced") {
     intercept[IllegalArgumentException] {
       Graph.pageRankFixed(Seq((1L, 2L, 3L)).toDF("a", "b", "c"), 1)
